@@ -1,0 +1,18 @@
+package graft
+
+import graft.queries._
+
+/** Central inventory of all verifiable operator demonstrations.
+  * SparkEntry / Verify / Bench all derive from this single list.
+  */
+object Registry {
+  def all: Seq[QueryDef] =
+    AggQueries.defs ++
+    JoinQueries.defs
+
+  lazy val byName: Map[String, QueryDef] = {
+    val m = all.map(q => q.name -> q).toMap
+    require(m.size == all.size, "duplicate query names in Registry")
+    m
+  }
+}
