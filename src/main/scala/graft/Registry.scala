@@ -8,7 +8,12 @@ import graft.queries._
 object Registry {
   def all: Seq[QueryDef] =
     AggQueries.defs ++
-    JoinQueries.defs
+    JoinQueries.defs ++
+    OverQueries.defs ++
+    SetQueries.defs ++
+    WindowTvfQueries.defs ++
+    CalcQueries.defs ++
+    FuncQueries.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val m = all.map(q => q.name -> q).toMap

@@ -1,0 +1,17 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Registration for graft's custom Catalyst expressions, making them
+  * callable from SQL and `expr()` — the analogue of the reference's
+  * function catalog (BuiltInFunctionDefinitions.java registration).
+  */
+package object functions {
+
+  /** Idempotently register all graft SQL functions on a session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("split_index",
+      exprs => SplitIndex(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import Q._
+
+/** Projection / filter / row-compute / lateral / subqueries — reference:
+  * Calc (StreamExecCalc.java:49 + CalcCodeGenerator.scala), Correlate /
+  * UNNEST (StreamExecCorrelate.java, LogicalUnnestRule), subquery
+  * decorrelation (FlinkRewriteSubQueryRule / FlinkSubQueryRemoveRule).
+  * Catalyst fuses project+filter into whole-stage codegen and performs
+  * the same subquery-to-join rewrites.
+  */
+object CalcQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Fused project+filter with arithmetic + CASE (Calc).
+    QueryDef("q_calc", (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 30 && col("l_discount") < 0.05)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+            .cast("double").as("net_price"),
+          when(col("l_returnflag") === "R", lit("returned"))
+            .when(col("l_returnflag") === "A", lit("accepted"))
+            .otherwise(lit("neither")).as("flag_desc"),
+          (col("l_quantity") * 2 + 1).as("qx"))
+    }, Some(s"""
+      SELECT l_orderkey, l_linenumber,
+        CAST(${revenueSql("l_extendedprice", "l_discount")} AS DOUBLE)
+          AS net_price,
+        CASE WHEN l_returnflag = 'R' THEN 'returned'
+             WHEN l_returnflag = 'A' THEN 'accepted'
+             ELSE 'neither' END AS flag_desc,
+        l_quantity * 2 + 1 AS qx
+      FROM lineitem WHERE l_quantity > 30 AND l_discount < 0.05""")),
+
+    // Scan pushdown shape: projection + selective filter reach parquet.
+    QueryDef("q_scan_pushdown", (s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_size") >= 40 && col("p_brand") === "Brand#1")
+        .select(col("p_partkey"), col("p_name"), col("p_size"))
+    }, Some("""
+      SELECT p_partkey, p_name, p_size FROM part
+      WHERE p_size >= 40 AND p_brand = 'Brand#1'""")),
+
+    // Lateral explode / UNNEST (Correlate): word explosion over docs.
+    QueryDef("q_explode", (s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    }, Some("""
+      SELECT word, COUNT(*) AS n FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+        FROM documents WHERE doc_id < 100)
+      GROUP BY word""")),
+
+    // posexplode — generator with ordinality.
+    QueryDef("q_posexplode", (s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(col("pos") < 3)
+    }, Some("""
+      SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        string_split(text, ' ')[i] AS word
+      FROM documents, generate_series(1, 3) t(i)
+      WHERE doc_id < 20 AND i <= len(string_split(text, ' '))""")),
+
+    // Pivot-style conditional aggregation.
+    QueryDef("q_pivot", (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "view", 1)).as("n_view"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          count(when(col("event_type") === "error", 1)).as("n_error"))
+    }, Some("""
+      SELECT user_id,
+        COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+        COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+        COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+      FROM events GROUP BY user_id""")),
+
+    // Correlated scalar subquery (decorrelated to join by Catalyst —
+    // reference FlinkDecorrelateProgram).
+    QueryDef("q_subquery_scalar", (s, dir) => sql(s, dir, """
+      SELECT p_partkey, p_retailprice, (
+        SELECT COUNT(*) FROM lineitem WHERE l_partkey = p_partkey) AS n_li
+      FROM part WHERE p_size > 45"""),
+      Some("""
+      SELECT p_partkey, p_retailprice, (
+        SELECT COUNT(*) FROM lineitem WHERE l_partkey = p_partkey) AS n_li
+      FROM part WHERE p_size > 45""")),
+
+    // IN subquery → semi join (reference SEMI_JOIN_RULES).
+    QueryDef("q_subquery_in", (s, dir) => sql(s, dir, """
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 400000)"""),
+      Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_custkey IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""")),
+
+    // SELECT DISTINCT projection.
+    QueryDef("q_distinct", (s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+    }, Some("""
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"""))
+  )
+}
