@@ -13,7 +13,8 @@ object Registry {
     SetQueries.defs ++
     WindowTvfQueries.defs ++
     CalcQueries.defs ++
-    FuncQueries.defs
+    FuncQueries.defs ++
+    PipelineQueries.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val m = all.map(q => q.name -> q).toMap

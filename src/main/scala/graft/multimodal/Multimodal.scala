@@ -1,0 +1,75 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus a partition-batched decode /
+  * feature-extract stage.
+  *
+  * The Spark-side shape is the real thing — binary payload column,
+  * metadata struct, `mapPartitions` batching (one decoder init per
+  * partition, not per row), fixed-width float features out. The decode
+  * itself is a STUB (this container has no image/audio codecs): a
+  * deterministic fake that hashes payload bytes into a feature vector,
+  * clearly marked below. Swap `FakeCodec.decode` for a real JNI/codec
+  * call and nothing else changes.
+  */
+object Multimodal {
+
+  case class MediaMeta(mediaType: String, width: Int, height: Int,
+      sampleRate: Int, nBytes: Long)
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
+
+  case class MediaFeatures(doc_id: Long, mediaType: String, nBytes: Long,
+      features: Array[Float])
+
+  /** Attach a synthetic binary payload + metadata to a documents table —
+    * stands in for reading real image/audio bytes from parquet/object
+    * storage. Payload = UTF-8 bytes of the text (deterministic). */
+  def withFakeMedia(docs: DataFrame): DataFrame = {
+    val mt = element_at(array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+    docs
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("meta", struct(
+        mt.as("mediaType"),
+        (pmod(col("doc_id"), lit(4)) * 160 + 320).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(4)) * 90 + 180).cast("int").as("height"),
+        when(mt === "audio", 16000).otherwise(0).as("sampleRate"),
+        octet_length(col("payload")).cast("long").as("nBytes")))
+  }
+
+  /** Decode + feature-extract, batched per partition. The iterator shape
+    * is what matters: decoder state is initialized once per partition
+    * (the expensive part with real codecs), rows stream through it. */
+  def decodeFeatures(spark: SparkSession, media: DataFrame,
+      featureDim: Int = 8): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"), col("meta"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // >>> STUB: real implementation initializes a codec here, e.g.
+        // val decoder = ImageDecoder.open(...)   (not available in this
+        // container). The fake below is deterministic on payload bytes.
+        rows.map { r =>
+          val feats = FakeCodec.decode(r.payload, featureDim)
+          MediaFeatures(r.doc_id, r.meta.mediaType, r.meta.nBytes, feats)
+        }
+      }
+  }
+
+  /** Deterministic stand-in for a media decoder. */
+  private[multimodal] object FakeCodec {
+    def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) {
+        out(i % dim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      out
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]) — brute-force cosine top-k as the exact baseline, and
+  * a random-hyperplane LSH bucketed variant as the scale path.
+  *
+  * Vector math uses `zip_with`/`aggregate` higher-order expressions —
+  * native Catalyst, evaluated in index order (so the double accumulation
+  * is deterministic and engine-comparable), no UDF serialization.
+  *
+  * Scale shape: brute force broadcasts the (small) query set against the
+  * corpus — one pass, no corpus shuffle, partial top-k per partition
+  * (WindowGroupLimit) before the final per-query merge. The LSH variant
+  * buckets the corpus once (linear) and probes only matching buckets —
+  * sign-random-projection (Charikar 2002, public algorithm).
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, accumulated in double in
+    * index order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) table — the big side, never shuffled
+    *                until the per-query top-k reduction
+    * @param queries (qidCol, qvecCol) table — small, broadcast
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), round(col("sim"), 6).as("sim"),
+        col("rank"))
+  }
+
+  /** Deterministic pseudo-random plane weight in [-1, 1) for (seed,
+    * plane, dim) — SplitMix64 mixing (public-domain constants). */
+  private def planeWeight(seed: Int, p: Int, d: Int): Double = {
+    var z = (seed * 7919L + p * 1337L + d + 1) * 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+  }
+
+  /** Sign-random-projection bucket id for one hash table: `planes` sign
+    * bits packed into a long. Pure expressions — fuses into the scan. */
+  def srpBucket(vec: Column, dim: Int, planes: Int, seed: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val ws = array((0 until dim).map(d => lit(planeWeight(seed, p, d))): _*)
+      when(aggregate(
+        zip_with(vec, ws, (x, wd) => x.cast("double") * wd),
+        lit(0.0), (acc, x) => acc + x) > 0, lit(1L)).otherwise(lit(0L))
+    }
+    bits.zipWithIndex.map { case (b, i) => shiftleft(b, i) }
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** Explode a vector table into (row, tableIdx, bucket) across `tables`
+    * independent hash tables (distinct hyperplanes per table). */
+  private def bucketed(df: DataFrame, vecCol: String, dim: Int,
+      planes: Int, tables: Int): DataFrame =
+    df.select(col("*"),
+      posexplode(array((0 until tables).map(t =>
+        srpBucket(col(vecCol), dim, planes, t)): _*))
+        .as(Seq("tbl", "bucket")))
+
+  /** ANN via SRP-LSH: candidates = same bucket in any hash table, then
+    * exact cosine re-rank within candidates. Recall grows with `tables`;
+    * cost stays linear in corpus size (no cross join). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      k: Int, dim: Int, planes: Int = 10, tables: Int = 6): DataFrame = {
+    val c = bucketed(corpus.select(col(idCol), col(vecCol)),
+      vecCol, dim, planes, tables)
+    val q = bucketed(queries.select(col(qidCol), col(qvecCol)),
+      qvecCol, dim, planes, tables)
+      .withColumnRenamed("tbl", "qtbl").withColumnRenamed("bucket", "qbucket")
+    val cands = c.join(broadcast(q),
+        col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
+          col(idCol) =!= col(qidCol))
+      .select(col(idCol), col(vecCol), col(qidCol), col(qvecCol))
+      .distinct()
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("sim").desc, col(idCol))
+    cands.withColumn("sim", cosine(col(vecCol), col(qvecCol)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), round(col("sim"), 6).as("sim"),
+        col("rank"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Spark expressions — per-row, codegen-friendly, zero shuffle — so they
+  * compose into a single scan pass over a 100 TB corpus.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: Column): Column = size(split(textCol, "\\s+"))
+
+  /** BPE-ish token estimate: words + digit runs + punctuation marks
+    * counted separately (a regex approximation of subword tokenizers). */
+  def bpeishTokenCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol,
+      lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Heuristic quality score in [0,1]: combines length band, mean word
+    * length band, punctuation density and non-alnum density — the
+    * standard cheap pre-filter shape (Gopher/C4-style rules, public). */
+  def qualityScore(textCol: Column): Column = {
+    val nChars = length(textCol).cast("double")
+    val nWords = tokenCount(textCol).cast("double")
+    val meanWordLen = (nChars - nWords + 1.0) / nWords
+    val punct = size(regexp_extract_all(textCol,
+      lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val lengthOk = when(nWords >= 10 && nWords <= 100000, 1.0).otherwise(0.0)
+    val wordLenOk = when(meanWordLen >= 2.5 && meanWordLen <= 12.0, 1.0)
+      .otherwise(0.0)
+    val punctOk = when(punct / nChars <= 0.2, 1.0).otherwise(0.0)
+    round((lengthOk + wordLenOk + punctOk) / 3.0, 4)
+  }
+
+  /** Language-ID via stopword hit-rates: fraction of tokens that are
+    * high-frequency function words of each language (an n-gram-free
+    * variant of the classic heuristic; deterministic). Returns the
+    * arg-max language code among the profiled set, 'und' if no hits. */
+  def langId(textCol: Column): Column = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it",
+        "was", "for", "on", "with", "as", "at", "by"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den",
+        "nicht", "ein", "eine", "zu", "im", "für", "auf"),
+      "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se",
+        "las", "por", "un", "una", "con", "para"),
+      "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "en", "un",
+        "une", "du", "que", "pour", "dans", "qui"),
+      "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这",
+        "他", "也", "就", "人", "都", "说"))
+    val words = split(lower(textCol), "\\s+")
+    val scores = profiles.map { case (lang, stops) =>
+      val stopArr = array(stops.map(lit): _*)
+      struct(
+        (size(array_intersect(words, stopArr)).cast("double") /
+          greatest(size(words), lit(1)).cast("double")).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    when(best.getField("score") > 0.0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD 2003,
+    * public algorithm): k-gram hashes, then the minimum hash in each
+    * sliding window of size w — a compact, position-robust signature
+    * used for plagiarism/near-dup detection. Returns array<long>. */
+  def winnowingFingerprint(textCol: Column, k: Int = 5, w: Int = 4): Column = {
+    // rolling k-gram hashes over characters
+    val grams = transform(
+      sequence(lit(1), greatest(length(textCol) - (k - 1), lit(1))),
+      i => xxhash64(textCol.substr(i, lit(k))))
+    // winnowing: min hash of each length-w window, deduplicated
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
+      j => array_min(slice(grams, j, lit(w)))))
+  }
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.operators.{Similarity, TextAnalysis, TextDedup}
+import graft.multimodal.Multimodal
+import Q._
+
+/** Training-data pipeline operators over the documents/embeddings
+  * tables: dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard),
+  * similarity search (brute force + SRP-LSH), text analysis (lang-ID,
+  * quality, token counts, fingerprints), multimodal plumbing.
+  *
+  * Oracle-checked where DuckDB can express the same computation; the
+  * hash-based ops (MinHash/SimHash/LSH/fingerprints) are deterministic
+  * but engine-specific, so they get the driver's rows-only check plus
+  * ScalaTest property/unit coverage.
+  */
+object PipelineQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- deduplication ----
+
+    // Exact dedup on normalized text: corpus summary + survivor pick.
+    QueryDef("q_dedup_exact", (s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(TextDedup.normalizedHash(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+        .groupBy(col("n_copies"))
+        .agg(count(lit(1)).as("n_groups"), min(col("keep_id")).as("min_keep"))
+    }, Some("""
+      SELECT n_copies, COUNT(*) AS n_groups, MIN(keep_id) AS min_keep
+      FROM (SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+              AS text_hash,
+            COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+            FROM documents GROUP BY 1)
+      GROUP BY n_copies""")),
+
+    // n-gram Jaccard similarity, exact, oracle-checked: all pairs within
+    // a small id range (the verification kernel of LSH dedup).
+    QueryDef("q_ngram_jaccard", (s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), TextDedup.shingles(col("text"), 3).as("sh"))
+      val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(TextDedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
+        .filter(col("jac") > 0.05)
+    }, Some("""
+      WITH sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+            i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))
+            AS grams
+        FROM documents WHERE doc_id < 40)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jac
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.grams, b.grams))) > 0.05"""),
+      bench = false),
+
+    // MinHash signatures (deterministic; engine-specific hash → rows-only
+    // check; ScalaTest covers signature properties).
+    QueryDef("q_minhash_signature", (s, dir) => {
+      TextDedup.withSignature(t(s, dir, "documents"), "text")
+        .select(col("doc_id"),
+          element_at(col("minhash_sig"), 1).as("mh0"),
+          element_at(col("minhash_sig"), 2).as("mh1"),
+          xxhash64(concat_ws(",",
+            transform(col("minhash_sig"), x => x.cast("string"))))
+            .as("sig_hash"))
+    }, None),
+
+    // Full MinHash-LSH near-dup candidate pipeline.
+    QueryDef("q_minhash_lsh", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = TextDedup.lshCandidates(docs, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 16)
+      // verify candidates with exact jaccard
+      val sh = docs.select(col("doc_id"),
+        TextDedup.shingles(col("text"), 3).as("sh"))
+      cands
+        .join(sh.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+        .join(sh.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("n_bands"),
+          round(TextDedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
+    }, None),
+
+    // SimHash fingerprints + hamming near-dup counts.
+    QueryDef("q_simhash", (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextDedup.simHash64(col("text")).as("sh"))
+        .select(col("doc_id"), col("sh"),
+          TextDedup.hamming64(col("sh"), lit(0L)).as("popcount"))
+    }, None),
+
+    // ---- similarity search ----
+
+    // Brute-force exact cosine top-5 (oracle: DuckDB list functions).
+    QueryDef("q_ann_brute", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", "qid", "qvec", 5)
+    }, Some("""
+      SELECT qid, vec_id, sim, rank FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+          ROUND(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                 CAST(q.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                     CAST(c.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                     CAST(q.embedding AS DOUBLE[])))), 6)
+            AS sim,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                       CAST(c.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(q.embedding AS DOUBLE[]))))
+              DESC, c.vec_id) AS rank
+        FROM embeddings c, embeddings q
+        WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+      WHERE rank <= 5""")),
+
+    // SRP-LSH approximate top-5 (deterministic buckets; rows-only check;
+    // ScalaTest asserts recall against brute force).
+    QueryDef("q_ann_lsh", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.lshTopK(emb, queries,
+        "vec_id", "embedding", "qid", "qvec", 5, dim = 64)
+    }, None),
+
+    // ---- text analysis ----
+
+    QueryDef("q_text_stats", (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast("long")
+            .as("n_bpeish"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+    }, Some("""
+      SELECT doc_id,
+        LENGTH(text) AS n_chars,
+        LEN(regexp_extract_all(text, '\S+')) AS n_tokens,
+        LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+          AS n_bpeish,
+        ROUND((
+          (CASE WHEN LEN(regexp_extract_all(text, '\S+')) BETWEEN 10 AND 100000
+            THEN 1.0 ELSE 0.0 END) +
+          (CASE WHEN (LENGTH(text) - LEN(regexp_extract_all(text, '\S+')) + 1.0)
+                  / LEN(regexp_extract_all(text, '\S+')) BETWEEN 2.5 AND 12.0
+            THEN 1.0 ELSE 0.0 END) +
+          (CASE WHEN CAST(LEN(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                  AS DOUBLE) / LENGTH(text) <= 0.2
+            THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
+      FROM documents""")),
+
+    // Language ID (heuristic, engine-specific → rows-only; accuracy is
+    // asserted in ScalaTest on real multilingual samples).
+    QueryDef("q_lang_id", (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("labeled"),
+          TextAnalysis.langId(col("text")).as("predicted"))
+        .groupBy(col("labeled"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+    }, None),
+
+    // Winnowing fingerprints (rows-only; determinism in ScalaTest).
+    QueryDef("q_fingerprint", (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.winnowingFingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_fp"),
+          xxhash64(concat_ws(",",
+            transform(col("fp"), x => x.cast("string")))).as("fp_hash"))
+    }, None),
+
+    // ---- multimodal plumbing ----
+
+    // Binary payload + metadata + batched decode stub. Byte lengths are
+    // oracle-checkable; features are the stub's deterministic output.
+    QueryDef("q_multimodal", (s, dir) => {
+      val media = Multimodal.withFakeMedia(t(s, dir, "documents"))
+      Multimodal.decodeFeatures(s, media)
+        .toDF()
+        .select(col("doc_id"), col("mediaType").as("media_type"),
+          col("nBytes").as("n_bytes"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+    }, None),
+
+    QueryDef("q_multimodal_meta", (s, dir) => {
+      Multimodal.withFakeMedia(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          col("meta.mediaType").as("media_type"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.nBytes").as("n_bytes"))
+    }, Some("""
+      SELECT doc_id,
+        ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        CAST(doc_id % 4 AS INT) * 160 + 320 AS width,
+        CAST(doc_id % 4 AS INT) * 90 + 180 AS height,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents"""))
+  )
+}
