@@ -14,7 +14,8 @@ object Registry {
     WindowTvfQueries.defs ++
     CalcQueries.defs ++
     FuncQueries.defs ++
-    PipelineQueries.defs
+    PipelineQueries.defs ++
+    CdcQueries.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val m = all.map(q => q.name -> q).toMap

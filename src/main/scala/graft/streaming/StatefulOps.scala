@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming operators on `flatMapGroupsWithState` — the
+  * Spark substrate for the reference's per-key stateful operators
+  * (ProcessFunction/KeyedProcessFunction, flink-runtime/.../functions/;
+  * dedup keep-last DeduplicateFunctionHelper.java:29; TopN
+  * AbstractTopNFunction.java:48; streaming OVER
+  * RowTimeRowsBoundedPrecedingFunction.java:57; count windows
+  * flink-runtime/.../windowing/assigners/ count variants).
+  *
+  * State discipline at scale: every operator keeps O(1) or O(n) state
+  * per key (n = TopN size / window size), never unbounded row buffers.
+  * These run identically on a 1000-executor cluster: state lives in the
+  * per-partition state store, keys are hash-distributed, and each
+  * micro-batch touches only keys present in the batch.
+  *
+  * All operators also work on batch Datasets (Spark runs
+  * flatMapGroupsWithState in batch mode with empty initial state),
+  * which is how the driver's batch gate exercises them.
+  */
+object StatefulOps {
+
+  /** Deduplicate keep-last: emit the latest row per key (by `seqFn`,
+    * e.g. event-time micros) whenever it changes — update semantics,
+    * exactly Flink's deduplication with keep-last-row. O(1) state. */
+  def keepLast[K, T](ds: Dataset[T], keyFn: T => K, seqFn: T => Long)(
+      implicit kEnc: Encoder[K], tEnc: Encoder[T]): Dataset[T] = {
+    implicit val stateEnc: Encoder[(Long, T)] =
+      Encoders.tuple(Encoders.scalaLong, tEnc)
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: K, rows: Iterator[T], state: GroupState[(Long, T)]) =>
+          val prev = state.getOption
+          var cur = prev
+          rows.foreach { r =>
+            val s = seqFn(r)
+            if (cur.isEmpty || s >= cur.get._1) cur = Some((s, r))
+          }
+          cur match {
+            case Some(c) if prev.isEmpty || prev.get._1 != c._1 ||
+                prev.get._2 != c._2 =>
+              state.update(c)
+              Iterator.single(c._2)
+            case _ => Iterator.empty
+          }
+      }
+  }
+
+  /** Streaming TopN per key: maintains the top `n` rows by `scoreFn`
+    * (desc) in state; emits the full refreshed ranking of a key whenever
+    * it changes. Output rows are (key, rank, row). O(n) state per key —
+    * the AppendOnlyTopNFunction strategy. */
+  def topN[K, T](ds: Dataset[T], keyFn: T => K, scoreFn: T => Double, n: Int)(
+      implicit kEnc: Encoder[K], tEnc: Encoder[T],
+      outEnc: Encoder[(K, Int, T)], stateEnc: Encoder[Seq[T]]): Dataset[(K, Int, T)] = {
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: K, rows: Iterator[T], state: GroupState[Seq[T]]) =>
+          val old = state.getOption.getOrElse(Seq.empty)
+          val merged = (old ++ rows).sortBy(r => -scoreFn(r)).take(n)
+          if (merged == old) Iterator.empty
+          else {
+            state.update(merged)
+            merged.iterator.zipWithIndex
+              .map { case (r, i) => (key, i + 1, r) }
+          }
+      }
+  }
+
+  /** Count-based tumbling windows per key (reference: count windows,
+    * GlobalWindows + CountTrigger): buffer `size` rows, emit the full
+    * window batch once complete. Emits (key, windowIndex, rows). */
+  def countWindow[K, T](ds: Dataset[T], keyFn: T => K, size: Int)(
+      implicit kEnc: Encoder[K], tEnc: Encoder[T],
+      outEnc: Encoder[(K, Long, Seq[T])],
+      stateEnc: Encoder[(Long, Seq[T])]): Dataset[(K, Long, Seq[T])] = {
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: K, rows: Iterator[T], state: GroupState[(Long, Seq[T])]) =>
+          var (windowIdx, buf) = state.getOption.getOrElse((0L, Seq.empty[T]))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(K, Long, Seq[T])]
+          rows.foreach { r =>
+            buf = buf :+ r
+            if (buf.size == size) {
+              out += ((key, windowIdx, buf))
+              windowIdx += 1
+              buf = Seq.empty
+            }
+          }
+          state.update((windowIdx, buf))
+          out.iterator
+      }
+  }
+
+  /** Streaming OVER aggregate, ROWS UNBOUNDED PRECEDING flavor
+    * (reference AbstractRowTimeUnboundedPrecedingOver): per-key running
+    * sum in event-time order. Within a micro-batch rows are sorted by
+    * `tsFn`; across batches the accumulator persists. Emits
+    * (key, seq, runningSum). O(1) state.
+    *
+    * Caveat vs the reference (documented semantic delta): rows arriving
+    * out of order ACROSS micro-batches are accumulated in arrival order;
+    * Flink buffers until the watermark. Pair with a watermark-delayed
+    * source for strict event-time ordering.
+    */
+  def runningSum[K, T](ds: Dataset[T], keyFn: T => K, tsFn: T => Long,
+      valFn: T => Double)(
+      implicit kEnc: Encoder[K], tEnc: Encoder[T],
+      outEnc: Encoder[(K, Long, Double)]): Dataset[(K, Long, Double)] = {
+    implicit val accEnc: Encoder[Double] = Encoders.scalaDouble
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: K, rows: Iterator[T], state: GroupState[Double]) =>
+          var acc = state.getOption.getOrElse(0.0)
+          val out = rows.toSeq.sortBy(tsFn).map { r =>
+            acc += valFn(r)
+            (key, tsFn(r), acc)
+          }
+          state.update(acc)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,79 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+case class Upsert(pk: Long, name: String, deleted: Boolean)
+
+class ChangelogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = new StructType()
+    .add("id", LongType).add("name", StringType)
+
+  test("debezium decode: c/u/d → +I / -U +U / -D") {
+    val df = Seq(
+      """{"before":null,"after":{"id":1,"name":"a"},"op":"c"}""",
+      """{"before":{"id":1,"name":"a"},"after":{"id":1,"name":"b"},"op":"u"}""",
+      """{"before":{"id":1,"name":"b"},"after":null,"op":"d"}"""
+    ).toDF("value")
+    val got = ChangelogFormats.fromDebezium(df, "value", schema)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      ("+I", 1L, "a"), ("-U", 1L, "a"), ("+U", 1L, "b"), ("-D", 1L, "b")))
+  }
+
+  test("maxwell decode merges partial old image into -U row") {
+    val df = Seq(
+      """{"data":{"id":7,"name":"new"},"old":{"name":"old"},"type":"update"}"""
+    ).toDF("value")
+    val got = ChangelogFormats.fromMaxwell(df, "value", schema)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(("-U", 7L, "old"), ("+U", 7L, "new")))
+  }
+
+  test("canal decode handles row arrays with positional old images") {
+    val df = Seq(
+      """{"data":[{"id":1,"name":"x1"},{"id":2,"name":"x2"}],
+          "old":[{"name":"o1"},{"name":"o2"}],"type":"UPDATE"}"""
+        .replaceAll("\n\\s*", "")
+    ).toDF("value")
+    val got = ChangelogFormats.fromCanal(df, "value", schema)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.toSet == Set(
+      ("-U", 1L, "o1"), ("+U", 1L, "x1"),
+      ("-U", 2L, "o2"), ("+U", 2L, "x2")))
+  }
+
+  test("ogg decode: I/U/D ops") {
+    val df = Seq(
+      """{"before":null,"after":{"id":3,"name":"z"},"op_type":"I"}"""
+    ).toDF("value")
+    val got = ChangelogFormats.fromOgg(df, "value", schema)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(("+I", 3L, "z")))
+  }
+
+  test("changelogNormalize emits +I / -U +U / -D across batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[Upsert]
+    val out = ChangelogNormalize.normalize[Long, Upsert](
+      in.toDS(), _.pk, _.deleted)
+    val q = out.writeStream.format("memory").queryName("cn")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(Upsert(1, "a", deleted = false))
+      q.processAllAvailable()
+      in.addData(Upsert(1, "b", deleted = false)) // update
+      q.processAllAvailable()
+      in.addData(Upsert(1, "b", deleted = true))  // tombstone
+      q.processAllAvailable()
+      val got = spark.table("cn").as[(String, Upsert)].collect()
+        .map(r => (r._1, r._2.name))
+      assert(got.toSeq == Seq(
+        ("+I", "a"), ("-U", "a"), ("+U", "b"), ("-D", "b")))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId identifies real multilingual samples") {
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy with the sun"),
+      ("de", "der hund und die katze sind nicht in dem haus und das ist gut"),
+      ("es", "el perro y el gato están en la casa con los niños para jugar"),
+      ("fr", "le chien et le chat sont dans la maison avec les enfants qui jouent"),
+      ("zh", "我 是 一个 学生 他 是 老师 这 是 我们 的 学校 人 都 很 好")
+    ).toDF("want", "text")
+    val got = samples.select($"want",
+      TextAnalysis.langId($"text").as("got")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"want ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("quality score in [0,1]; short junk scores low, good text high") {
+    val df = Seq(
+      ("x", "!!"),
+      ("good", "the quick brown fox jumps over a lazy dog and runs through the field")
+    ).toDF("tag", "text")
+    val m = df.select($"tag", TextAnalysis.qualityScore($"text").as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("x") <= 0.34)
+    assert(m("good") == 1.0)
+    m.values.foreach(q => assert(q >= 0.0 && q <= 1.0))
+  }
+
+  test("token counts: whitespace and bpe-ish") {
+    val m = Seq(("a bb  ccc dddd, eee!", 1))
+      .toDF("text", "i")
+      .select(TextAnalysis.tokenCount($"text").as("ws"),
+        TextAnalysis.bpeishTokenCount($"text").as("bpe"))
+      .collect().head
+    assert(m.getInt(0) == 5)
+    // tokens: a, bb, ccc, dddd, ',', eee, '!'
+    assert(m.getInt(1) == 7)
+  }
+
+  test("winnowing fingerprint: deterministic, shared grams overlap") {
+    val df = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz0123456789"),
+      (2L, "abcdefghijklmnopqrstuvwxyz0123456789"),
+      (3L, "zyxwvutsrqponmlkjihgfedcba9876543210")
+    ).toDF("id", "text")
+    val fps = df.select($"id",
+        TextAnalysis.winnowingFingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) == fps(2L))
+    assert((fps(1L) & fps(3L)).size < fps(1L).size / 2)
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about database query optimization and join ordering"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("jaccard: identical docs = 1.0, disjoint docs = 0.0") {
+    val sh = docs.select($"doc_id", TextDedup.shingles($"text", 3).as("sh"))
+    val a = sh.filter($"doc_id" === 1).select($"sh".as("a"))
+    val pairs = a.crossJoin(sh.select($"doc_id", $"sh".as("b")))
+      .select($"doc_id", TextDedup.jaccard($"a", $"b").as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pairs(1L) == 1.0 && pairs(4L) == 1.0)
+    assert(pairs(3L) == 0.0)
+    assert(pairs(2L) > 0.7 && pairs(2L) < 1.0)
+  }
+
+  test("minhash signature is deterministic and length numHashes") {
+    val s1 = TextDedup.withSignature(docs, "text", 3, 32)
+      .select($"doc_id", $"minhash_sig").collect()
+    val s2 = TextDedup.withSignature(docs, "text", 3, 32)
+      .select($"doc_id", $"minhash_sig").collect()
+    assert(s1.map(_.getSeq[Long](1)).forall(_.length == 32))
+    assert(s1.map(r => (r.getLong(0), r.getSeq[Long](1))).toMap ==
+      s2.map(r => (r.getLong(0), r.getSeq[Long](1))).toMap)
+  }
+
+  test("minhash agreement tracks jaccard: dup > near-dup > disjoint") {
+    val sigs = TextDedup.withSignature(docs, "text", 3, 64)
+      .select($"doc_id", $"minhash_sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def agree(a: Long, b: Long): Int =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+    assert(agree(1, 4) == 64)        // exact dup: all hashes equal
+    assert(agree(1, 2) > 32)          // near-dup: most equal
+    assert(agree(1, 3) < 8)           // disjoint: almost none
+  }
+
+  test("lsh candidates find the planted near-dup and exact dup") {
+    val cands = TextDedup.lshCandidates(docs, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 16)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 4L)))
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)))
+  }
+
+  test("simhash: hamming(identical)=0, near-dup close, disjoint far") {
+    val fps = docs.select($"doc_id", TextDedup.simHash64($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int =
+      java.lang.Long.bitCount(fps(a) ^ fps(b))
+    assert(ham(1, 4) == 0)
+    assert(ham(1, 2) < ham(1, 3))
+  }
+
+  test("normalizedHash collapses case and whitespace") {
+    val hs = Seq("A  b\tC", "a b c").toDF("text")
+      .select(TextDedup.normalizedHash($"text")).distinct().count()
+    assert(hs == 1)
+  }
+}
