@@ -13,5 +13,11 @@ package object functions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("split_index",
       exprs => SplitIndex(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinHashSig(exprs.head, 3, 32), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64Expr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("winnow_fingerprint",
+      exprs => WinnowFingerprint(exprs.head, 5, 4), "built-in")
   }
 }

@@ -69,13 +69,11 @@ object TextAnalysis {
     * sliding window of size w — a compact, position-robust signature
     * used for plagiarism/near-dup detection. Returns array<long>. */
   def winnowingFingerprint(textCol: Column, k: Int = 5, w: Int = 4): Column = {
-    // rolling k-gram hashes over characters
-    val grams = transform(
-      sequence(lit(1), greatest(length(textCol) - (k - 1), lit(1))),
-      i => xxhash64(textCol.substr(i, lit(k))))
-    // winnowing: min hash of each length-w window, deduplicated
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(grams) - (w - 1), lit(1))),
-      j => array_min(slice(grams, j, lit(w)))))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // native expression: rolling k-gram hashes + monotonic-deque window
+    // minima — O(len) per row (the declarative slice/array_min version
+    // is O(len·w) with interpreted per-gram allocation)
+    ColumnBridge.column(graft.functions.WinnowFingerprint(
+      ColumnBridge.expression(textCol), k, w))
   }
 }

@@ -53,15 +53,13 @@ object TextDedup {
       s => pmod(hash(s).cast("long"), lit(MersennePrime)))
 
   /** MinHash signature: array of `numHashes` minima over permuted shingle
-    * hashes. Nested higher-order functions — per-row compute, no shuffle. */
+    * hashes. Delegates to the native single-pass expression
+    * (graft.functions.MinHashSig) — per-row compute, no shuffle, no
+    * boxing; see TextHashExprs for why this matters at corpus scale. */
   def minHashSignature(textCol: Column, n: Int, numHashes: Int): Column = {
-    val as = array(coef(0x5eed5eedL, numHashes).map(lit): _*)
-    val bs = array(coef(0xc0ffee42L, numHashes).map(lit): _*)
-    val hashes = shingleHashes(textCol, n)
-    transform(sequence(lit(1), lit(numHashes)), i =>
-      array_min(transform(hashes,
-        h => pmod(element_at(as, i) * h + element_at(bs, i),
-          lit(MersennePrime)))))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.MinHashSig(
+      ColumnBridge.expression(textCol), n, numHashes))
   }
 
   /** Per-document signatures: input columns + `minhash_sig`. */
@@ -114,20 +112,13 @@ object TextDedup {
   }
 
   /** SimHash-64 (Charikar 2002): per-token 64-bit hashes vote ±1 per
-    * bit; the fingerprint takes the sign of each bit's vote sum. Built
-    * from two 32-bit halves so the bit-assembly (acc*2 + bit) never
-    * overflows under ANSI. Per-row compute, no shuffle. */
+    * bit; the fingerprint takes the sign of each bit's vote sum.
+    * Delegates to the native expression (graft.functions.SimHash64Expr):
+    * one compiled pass per row, no shuffle. */
   def simHash64(textCol: Column): Column = {
-    val hashes = transform(split(textCol, " "), w => xxhash64(w))
-    def bitOf(h: Column, i: Column): Column =
-      call_function("getbit", h, i).cast("long")
-    def half(lo: Int): Column =
-      aggregate(sequence(lit(lo + 31), lit(lo), lit(-1)), lit(0L),
-        (acc, i) => acc * 2 + when(
-          aggregate(hashes, lit(0L), (a, h) =>
-            a + when(bitOf(h, i) === 1L, 1L).otherwise(-1L)) > 0,
-          1L).otherwise(0L))
-    shiftleft(half(32), 32).bitwiseOR(half(0))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.SimHash64Expr(
+      ColumnBridge.expression(textCol)))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */

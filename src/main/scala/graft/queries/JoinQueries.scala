@@ -27,9 +27,10 @@ object JoinQueries {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
-      l.join(broadcast(o.join(broadcast(c),
-          c("c_custkey") === o("o_custkey"))),
-          col("l_orderkey") === col("o_orderkey"))
+      // fact-fact join shuffles on the key (orders wouldn't be
+      // broadcastable at scale); only the true dimension is broadcast
+      l.join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
             .cast("double").as("revenue"),
