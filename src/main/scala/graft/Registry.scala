@@ -14,8 +14,10 @@ object Registry {
     WindowTvfQueries.defs ++
     CalcQueries.defs ++
     FuncQueries.defs ++
+    FuncQueries2.defs ++
     PipelineQueries.defs ++
-    CdcQueries.defs
+    CdcQueries.defs ++
+    CepQueries.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val m = all.map(q => q.name -> q).toMap

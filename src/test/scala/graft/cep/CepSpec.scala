@@ -1,0 +1,122 @@
+package graft.cep
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+case class CE(k: String, ts: Long, typ: String)
+case class CES(k: String, ts: Long, typ: String, ets: java.sql.Timestamp)
+
+class CepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def evs(types: String*): IndexedSeq[CE] =
+    types.zipWithIndex.map { case (t, i) => CE("k", i.toLong * 1000, t) }
+      .toIndexedSeq
+
+  private def matches(events: IndexedSeq[CE], p: Pattern[CE]) =
+    Matcher.findMatches[CE](events, (e: CE) => e.ts, p)
+
+  test("strict next: a b matches only adjacent pairs, skip past last row") {
+    val p = Pattern.begin[CE]("a").where(_.typ == "a")
+      .next("b").where(_.typ == "b")
+    assert(matches(evs("a", "b", "a", "b"), p).size == 2)
+    assert(matches(evs("a", "x", "b"), p).isEmpty)
+    assert(matches(evs("a", "a", "b"), p).size == 1)
+  }
+
+  test("relaxed followedBy skips non-matching events") {
+    val p = Pattern.begin[CE]("a").where(_.typ == "a")
+      .followedBy("b").where(_.typ == "b")
+    val ms = matches(evs("a", "x", "x", "b"), p)
+    assert(ms.size == 1)
+    assert(ms.head("b").head.ts == 3000)
+  }
+
+  test("greedy oneOrMore consumes the longest run") {
+    val p = Pattern.begin[CE]("a").where(_.typ == "a").oneOrMore
+      .followedBy("b").where(_.typ == "b")
+    val ms = matches(evs("a", "a", "a", "b"), p)
+    assert(ms.size == 1)
+    assert(ms.head("a").size == 3)
+  }
+
+  test("reluctant oneOrMore consumes the shortest run") {
+    val p = Pattern.begin[CE]("a").where(_.typ == "a").oneOrMore.reluctant
+      .followedBy("b").where(_.typ == "b")
+    val ms = matches(evs("a", "a", "b"), p)
+    assert(ms.size == 1)
+    assert(ms.head("a").size == 1)
+  }
+
+  test("times(n) requires exactly n consecutive matches") {
+    val p = Pattern.begin[CE]("a").where(_.typ == "a").times(2)
+      .next("b").where(_.typ == "b")
+    assert(matches(evs("a", "a", "b"), p).size == 1)
+    assert(matches(evs("a", "b"), p).isEmpty)
+  }
+
+  test("optional step can be absent") {
+    val p = Pattern.begin[CE]("a").where(_.typ == "a")
+      .followedBy("x").where(_.typ == "x").optional
+      .followedBy("b").where(_.typ == "b")
+    val withX = matches(evs("a", "x", "b"), p)
+    assert(withX.size == 1 && withX.head("x").size == 1)
+    val withoutX = matches(evs("a", "b"), p)
+    assert(withoutX.size == 1 && withoutX.head("x").isEmpty)
+  }
+
+  test("within bounds first-to-last time span") {
+    val p = Pattern.begin[CE]("a").where(_.typ == "a")
+      .followedBy("b").where(_.typ == "b").within(1500)
+    assert(matches(evs("a", "b"), p).size == 1)       // 1000 apart
+    assert(matches(evs("a", "x", "b"), p).isEmpty)    // 2000 apart
+  }
+
+  test("iterative condition sees prior bindings") {
+    val p = Pattern.begin[CE]("a").where(_.typ == "a")
+      .followedBy("b").whereCtx((e, ctx) =>
+        e.typ == "b" && ctx("a").head.ts + 500 < e.ts)
+    assert(matches(evs("a", "b"), p).size == 1)
+  }
+
+  test("batch CEP over Dataset groups by key") {
+    val ds = Seq(
+      CE("u1", 1, "a"), CE("u1", 2, "b"),
+      CE("u2", 1, "a"), CE("u2", 2, "x"), CE("u2", 3, "b")
+    ).toDS()
+    val p = Pattern.begin[CE]("a").where(_.typ == "a")
+      .followedBy("b").where(_.typ == "b")
+    val ms = CEP.matchPattern[String, CE](ds, _.k, _.ts, p).collect()
+    assert(ms.length == 2)
+    assert(ms.map(_._1).toSet == Set("u1", "u2"))
+  }
+
+  test("streaming CEP emits finalized matches as watermark advances") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[CE]
+    // event-time column must live INSIDE the row type so the watermark
+    // attribute survives into flatMapGroupsWithState
+    val withTs = in.toDS()
+      .map(e => CES(e.k, e.ts, e.typ, new java.sql.Timestamp(e.ts)))
+      .withWatermark("ets", "0 seconds")
+    val p = Pattern.begin[CES]("a").where(_.typ == "a")
+      .followedBy("b").where(_.typ == "b").within(5000)
+    val out = CEP.matchPatternStream[String, CES](withTs, _.k, _.ts, p)
+      .map { case (k, i, m) => (k, i, m("a").head.ts, m("b").head.ts) }
+    val q = out.writeStream.format("memory").queryName("cepstream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(CE("k", 1000, "a"), CE("k", 2000, "b"))
+      q.processAllAvailable()
+      // watermark still at 2000 — window [1000, 6000] not closed
+      in.addData(CE("k", 10000, "x"))
+      q.processAllAvailable()
+      in.addData(CE("k", 20000, "x")) // advance watermark past 6000
+      q.processAllAvailable()
+      val rows = spark.table("cepstream").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getLong(2) == 1000 && rows.head.getLong(3) == 2000)
+    } finally q.stop()
+  }
+}
