@@ -17,7 +17,8 @@ object Registry {
     FuncQueries2.defs ++
     PipelineQueries.defs ++
     CdcQueries.defs ++
-    CepQueries.defs
+    CepQueries.defs ++
+    UdfQueries.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val m = all.map(q => q.name -> q).toMap

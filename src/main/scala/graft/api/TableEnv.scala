@@ -1,0 +1,74 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Table-environment facade — the layer-1 surface of SURVEY.md §7.1,
+  * mirroring the reference's TableEnvironment (flink-table-api-java/.../
+  * TableEnvironmentImpl.java: executeSql / from / createTemporaryView /
+  * fromValues) on top of a SparkSession. Catalyst replaces the Calcite
+  * planner chain (SURVEY.md §3.1: stages 1-5 are Spark built-ins).
+  *
+  * Table metadata the reference declares in DDL (watermark clause,
+  * primary key) is carried here as [[TableSpec]] and applied on read:
+  * the watermark becomes `withWatermark` on streaming reads; the primary
+  * key feeds upsert/changelog operators (graft.cdc).
+  */
+final case class TableSpec(
+    path: String,
+    format: String = "parquet",
+    schema: Option[StructType] = None,
+    watermark: Option[(String, String)] = None, // (eventTimeCol, delay)
+    primaryKey: Seq[String] = Nil)
+
+final class TableEnv(val spark: SparkSession) {
+
+  graft.functions.register(spark)
+
+  private val specs = scala.collection.mutable.Map.empty[String, TableSpec]
+
+  /** CREATE TABLE analogue: register a named external table. */
+  def createTable(name: String, spec: TableSpec): Unit = {
+    specs(name) = spec
+    batchRead(spec).createOrReplaceTempView(name)
+  }
+
+  def tableSpec(name: String): Option[TableSpec] = specs.get(name)
+
+  /** Batch `from` — reference Table.java `from(path)`. */
+  def from(name: String): DataFrame = spark.table(name)
+
+  /** Streaming `from`: file-monitoring source with the declared
+    * watermark applied (reference: watermark DDL + pushdown,
+    * StreamExecWatermarkAssigner.java). */
+  def fromStreaming(name: String): DataFrame = {
+    val spec = specs.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown table $name"))
+    val schema = spec.schema.getOrElse(batchRead(spec).schema)
+    val df = spark.readStream.schema(schema).format(spec.format)
+      .load(spec.path)
+    spec.watermark.fold(df) { case (c, d) => df.withWatermark(c, d) }
+  }
+
+  /** SQL entry point — reference TableEnvironmentImpl.executeSql. */
+  def executeSql(sql: String): DataFrame = spark.sql(sql)
+
+  /** Reference Table.createTemporaryView. */
+  def createTemporaryView(name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** Reference TableEnvironmentImpl.fromValues (Values exec node). */
+  def fromValues(schema: StructType, rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList), schema)
+
+  private def batchRead(spec: TableSpec): DataFrame = {
+    val r = spark.read.format(spec.format)
+    spec.schema.fold(r)(s => r.schema(s)).load(spec.path)
+  }
+}
+
+object TableEnv {
+  def apply(spark: SparkSession): TableEnv = new TableEnv(spark)
+}

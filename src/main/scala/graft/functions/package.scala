@@ -19,5 +19,10 @@ package object functions {
       exprs => SimHash64Expr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
       exprs => WinnowFingerprint(exprs.head, 5, 4), "built-in")
+    reg.createOrReplaceTempFunction("ngrams",
+      exprs => NGrams(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    spark.udf.register("weighted_avg",
+      org.apache.spark.sql.functions.udaf(new Aggregators.WeightedAvg))
   }
 }
