@@ -95,6 +95,47 @@ object StatefulOps {
       }
   }
 
+  /** Streaming OVER aggregate, ROWS BETWEEN (n-1) PRECEDING AND CURRENT
+    * ROW in strict event-time order — reference:
+    * RowTimeRowsBoundedPrecedingFunction.java:57. Rows are buffered until
+    * the watermark passes them (so late rows up to the watermark delay
+    * land in their correct position), then emitted in order with the
+    * aggregate over the trailing window of `n` values. State: the
+    * immature buffer plus the last n-1 matured values (a ring of
+    * doubles) — O(n) per key.
+    * Emits (key, ts, windowSum) in append mode; pair with a watermarked
+    * input (event-time timeouts flush keys with no further input). */
+  def rowsBoundedSum[K, T](ds: Dataset[T], keyFn: T => K, tsFn: T => Long,
+      valFn: T => Double, n: Int)(
+      implicit kEnc: Encoder[K], tEnc: Encoder[T], seqEnc: Encoder[Seq[T]],
+      outEnc: Encoder[(K, Long, Double)]): Dataset[(K, Long, Double)] = {
+    implicit val stEnc: Encoder[(Seq[T], Seq[Double])] =
+      Encoders.tuple(seqEnc, org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[Double]]())
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: K, rows: Iterator[T], state: GroupState[(Seq[T], Seq[Double])]) =>
+          val (buffered, tail) =
+            state.getOption.getOrElse((Seq.empty[T], Seq.empty[Double]))
+          val wm = state.getCurrentWatermarkMs()
+          val all = (buffered ++ rows).sortBy(tsFn)
+          val (mature, pending) = all.partition(t => tsFn(t) <= wm)
+          var window = tail
+          val out = mature.map { t =>
+            window = (window :+ valFn(t)).takeRight(n)
+            (key, tsFn(t), window.sum)
+          }
+          if (pending.isEmpty && window.isEmpty) state.remove()
+          else {
+            state.update((pending, window.takeRight(n - 1)))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(tsFn(pending.head) + 1)
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming OVER aggregate, ROWS UNBOUNDED PRECEDING flavor
     * (reference AbstractRowTimeUnboundedPrecedingOver): per-key running
     * sum in event-time order. Within a micro-batch rows are sorted by
