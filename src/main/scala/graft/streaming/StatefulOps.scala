@@ -95,6 +95,32 @@ object StatefulOps {
       }
   }
 
+  /** Temporal sort (reference RowTimeSortOperator.java /
+    * StreamExecTemporalSort.java): emit each key's rows in strict
+    * event-time order once the watermark passes them — the
+    * reorder-on-watermark operator that turns an out-of-order stream
+    * into an ordered one. State: the immature buffer only. */
+  def eventTimeSort[K, T](ds: Dataset[T], keyFn: T => K, tsFn: T => Long,
+      tieFn: T => Long = (_: T) => 0L)(
+      implicit kEnc: Encoder[K], tEnc: Encoder[T],
+      seqEnc: Encoder[Seq[T]]): Dataset[T] = {
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: K, rows: Iterator[T], state: GroupState[Seq[T]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val all = (state.getOption.getOrElse(Seq.empty) ++ rows)
+            .sortBy(t => (tsFn(t), tieFn(t)))
+          val (mature, pending) = all.partition(t => tsFn(t) <= wm)
+          if (pending.isEmpty) state.remove()
+          else {
+            state.update(pending)
+            state.setTimeoutTimestamp(tsFn(pending.head) + 1)
+          }
+          mature.iterator
+      }
+  }
+
   /** Streaming OVER aggregate, ROWS BETWEEN (n-1) PRECEDING AND CURRENT
     * ROW in strict event-time order — reference:
     * RowTimeRowsBoundedPrecedingFunction.java:57. Rows are buffered until

@@ -1,0 +1,62 @@
+package graft
+
+/** Golden-plan assertions (SURVEY.md §5: golden explain checks) — the
+  * physical plans the engine is designed around must actually appear:
+  * scan pushdown, broadcast star joins, window-group-limit for TopN,
+  * partial aggregation. A regression here is a scale regression even
+  * when results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.byName(name).run(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q_scan_pushdown pushes filters and prunes columns at the scan") {
+    val p = plan("q_scan_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(p_size), IsNotNull(p_brand)")
+      || p.contains("GreaterThanOrEqual(p_size,40)"))
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_name:string"))
+  }
+
+  test("q1_agg pushes the date filter and plans partial aggregation") {
+    val p = plan("q1_agg")
+    assert(p.contains("LessThanOrEqual(l_shipdate"))
+    assert(p.contains("HashAggregate"))
+    // partial + final pair
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("q_join_multi is a broadcast star join (no fact-side shuffle joins)") {
+    val p = plan("q_join_multi")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 5)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_rank_topn gets a partial top-k (WindowGroupLimit) before the shuffle") {
+    val p = plan("q_rank_topn")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("q_sort_limit plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q_join_nonequi plans BroadcastNestedLoopJoin") {
+    assert(plan("q_join_nonequi").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_join_semi and q_join_anti plan semi/anti joins") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("split_index participates in whole-stage codegen") {
+    graft.functions.register(spark)
+    val df = spark.range(10).selectExpr("split_index(cast(id as string), '1', 0) s")
+    // "*(n)" marks operators inside a WholeStageCodegen stage
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project [split_index"))
+  }
+}

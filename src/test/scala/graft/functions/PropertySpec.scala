@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck equivalence properties (SURVEY.md §5): re-implemented
+  * function semantics checked against a straightforward model. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop, n: Int = 20): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+
+  test("split_index(s, d, i) == s.split(d)(i) on in-range indices") {
+    graft.functions.register(spark)
+    check(Prop.forAll(Gen.listOfN(8, word), Gen.choose(0, 9)) {
+      (ws: List[String], i: Int) =>
+        val s = ws.mkString(",")
+        val got = Seq(s).toDF("s")
+          .selectExpr(s"split_index(s, ',', $i) v").collect().head
+        val parts = s.split(",", -1)
+        if (i < parts.length) got.getString(0) == parts(i)
+        else got.isNullAt(0)
+    }, n = 15)
+  }
+
+  test("minhash signature agreement estimates jaccard within tolerance") {
+    val base = (0 until 60).map(i => s"tok$i")
+    check(Prop.forAll(Gen.choose(0, 60)) { (overlapN: Int) =>
+      val a = base.mkString(" ")
+      val b = (base.take(overlapN) ++
+        (0 until (60 - overlapN)).map(i => s"other$i")).mkString(" ")
+      val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      val sigs = graft.operators.TextDedup.withSignature(df, "text", 1, 128)
+        .select("minhash_sig").collect().map(_.getSeq[Long](0))
+      val agree = sigs(0).zip(sigs(1)).count { case (x, y) => x == y } / 128.0
+      val trueJac = overlapN.toDouble / (120 - overlapN)
+      math.abs(agree - trueJac) < 0.2
+    }, n = 10)
+  }
+
+  test("winnowing fingerprint is deterministic and position-robust") {
+    check(Prop.forAll(Gen.listOfN(30, Gen.alphaChar).map(_.mkString)) {
+      (s: String) =>
+        val df = Seq((s, s, "xxxxx" + s)).toDF("a", "b", "c")
+        val r = df.select(
+          graft.operators.TextAnalysis.winnowingFingerprint($"a").as("fa"),
+          graft.operators.TextAnalysis.winnowingFingerprint($"b").as("fb"),
+          graft.operators.TextAnalysis.winnowingFingerprint($"c").as("fc"))
+          .collect().head
+        val fa = r.getSeq[Long](0).toSet
+        val fb = r.getSeq[Long](1).toSet
+        val fc = r.getSeq[Long](2).toSet
+        fa == fb && (fa & fc).size.toDouble / fa.size > 0.5
+    }, n = 10)
+  }
+}

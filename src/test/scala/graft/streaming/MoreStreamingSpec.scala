@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+case class SEv(user: String, ts: Timestamp, v: Double)
+
+/** Remaining §2 streaming surface: temporal sort, session windows,
+  * coGroup, broadcast-state-style stream-static join. */
+class MoreStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("eventTimeSort re-orders out-of-order rows on watermark") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[WEv]
+    val src = in.toDS().withWatermark("ets", "0 seconds")
+    val out = StatefulOps.eventTimeSort[String, WEv](src, _.k, _.ts)
+      .map(e => (e.k, e.ts))
+    val q = out.writeStream.format("memory").queryName("etsort")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(WEv("a", 3000, 3, new Timestamp(3000)),
+        WEv("a", 1000, 1, new Timestamp(1000)),
+        WEv("a", 2000, 2, new Timestamp(2000)))
+      q.processAllAvailable()
+      in.addData(WEv("a", 9000, 9, new Timestamp(9000)))
+      q.processAllAvailable()
+      val got = spark.table("etsort").as[(String, Long)].collect().map(_._2)
+      assert(got.toSeq == Seq(1000L, 2000L, 3000L))
+    } finally q.stop()
+  }
+
+  test("streaming session window aggregate (10s gap)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[SEv]
+    val agg = in.toDS()
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window($"ts", "10 seconds"), $"user")
+      .agg(count(lit(1)).as("n"))
+      .select($"session_window.start".as("ss"), $"user", $"n")
+    val q = agg.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(SEv("u", ts("2024-01-01 00:00:00"), 1),
+        SEv("u", ts("2024-01-01 00:00:05"), 1))
+      q.processAllAvailable()
+      in.addData(SEv("u", ts("2024-01-01 01:00:00"), 1)) // closes session
+      q.processAllAvailable()
+      in.addData(SEv("u", ts("2024-01-01 02:00:00"), 1))
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+      assert(rows.contains(("2024-01-01 00:00:00.0", 2L)))
+    } finally q.stop()
+  }
+
+  test("coGroup via KeyValueGroupedDataset.cogroup (DataStream coGroup)") {
+    val a = Seq(("k1", 1), ("k1", 2), ("k2", 3)).toDS()
+    val b = Seq(("k1", 10), ("k3", 30)).toDS()
+    val out = a.groupByKey(_._1).cogroup(b.groupByKey(_._1)) {
+      (k, as, bs) => Iterator((k, as.map(_._2).sum, bs.map(_._2).sum))
+    }.collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("k1") == (3, 10))
+    assert(out("k2") == (3, 0))
+    assert(out("k3") == (0, 30))
+  }
+
+  test("broadcast-state pattern: stream-static join re-reads dim per batch") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-dim").toString
+    Seq((1L, "x")).toDF("id", "name").write.mode("overwrite").parquet(dir)
+    val dim = spark.read.parquet(dir)
+    val in = MemoryStream[Long]
+    val joined = graft.operators.LookupJoin.streamStatic(
+      in.toDS().toDF("id"), dim, Seq("id"))
+    val q = joined.writeStream.format("memory").queryName("bcast")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(1L, 2L)
+      q.processAllAvailable()
+      val rows = spark.table("bcast").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows(1L).contains("x") && rows(2L).isEmpty)
+    } finally q.stop()
+  }
+}
