@@ -28,7 +28,14 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — native single-pass expression
+    * (graft.functions.CosineSim); accumulates in index order so results
+    * are bit-identical to the declarative dot/norm formulation. */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.CosineSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** Exact top-k by cosine for each query vector.
     *
@@ -60,16 +67,12 @@ object Similarity {
   }
 
   /** Sign-random-projection bucket id for one hash table: `planes` sign
-    * bits packed into a long. Pure expressions — fuses into the scan. */
+    * bits packed into a long — native one-pass expression
+    * (graft.functions.SrpBucket). */
   def srpBucket(vec: Column, dim: Int, planes: Int, seed: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val ws = array((0 until dim).map(d => lit(planeWeight(seed, p, d))): _*)
-      when(aggregate(
-        zip_with(vec, ws, (x, wd) => x.cast("double") * wd),
-        lit(0.0), (acc, x) => acc + x) > 0, lit(1L)).otherwise(lit(0L))
-    }
-    bits.zipWithIndex.map { case (b, i) => shiftleft(b, i) }
-      .reduce(_.bitwiseOR(_))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.SrpBucket(
+      ColumnBridge.expression(vec), dim, planes, seed))
   }
 
   /** Explode a vector table into (row, tableIdx, bucket) across `tables`
