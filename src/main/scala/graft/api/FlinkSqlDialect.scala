@@ -1,0 +1,103 @@
+package graft.api
+
+import scala.util.matching.Regex
+
+/** Flink SQL dialect shim: translates the reference's SQL extensions to
+  * Spark SQL so existing queries run unchanged through
+  * `TableEnv.executeSql`. Reference grammar: the FMPP-extended Calcite
+  * parser (flink-table/flink-sql-parser/src/main/codegen/; window TVFs
+  * in FlinkSqlOperatorTable.java).
+  *
+  * Supported rewrites:
+  *  - `TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL 'n' UNIT))` →
+  *    subquery projecting window_start / window_end via `window()`
+  *  - `TABLE(HOP(TABLE t, DESCRIPTOR(ts), slide, size))` → same with
+  *    sliding `window()` (Spark's TimeWindowing rule expands each row
+  *    into its windows, the TVF semantics)
+  *  - `TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), step, max))` → explode
+  *    of cumulative window ends (graft.operators.TimeWindows shape)
+  *  - `PROCTIME()` → `current_timestamp()`
+  *  - `LISTAGG(x)` → `concat_ws(',', collect_list(x))`
+  *  - `SPLIT_INDEX` passes through (registered native function)
+  *
+  * Not translated (documented): `MATCH_RECOGNIZE` (use graft.cep),
+  * `FOR SYSTEM_TIME AS OF` (use graft.operators.AsOfJoin) — both throw
+  * with a pointer to the operator API.
+  */
+object FlinkSqlDialect {
+
+  private val IntervalP = """INTERVAL\s+'(\d+)'\s+(\w+)"""
+
+  private val Tumble: Regex =
+    ("""(?is)TABLE\s*\(\s*TUMBLE\s*\(\s*TABLE\s+(\w+)\s*,\s*""" +
+      """DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*""" + IntervalP + """\s*\)\s*\)""").r
+
+  private val Hop: Regex =
+    ("""(?is)TABLE\s*\(\s*HOP\s*\(\s*TABLE\s+(\w+)\s*,\s*""" +
+      """DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*""" + IntervalP + """\s*,\s*""" +
+      IntervalP + """\s*\)\s*\)""").r
+
+  private val Cumulate: Regex =
+    ("""(?is)TABLE\s*\(\s*CUMULATE\s*\(\s*TABLE\s+(\w+)\s*,\s*""" +
+      """DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*""" + IntervalP + """\s*,\s*""" +
+      IntervalP + """\s*\)\s*\)""").r
+
+  private def seconds(n: String, unit: String): Long = {
+    val mult = unit.toUpperCase match {
+      case "SECOND" | "SECONDS" => 1L
+      case "MINUTE" | "MINUTES" => 60L
+      case "HOUR" | "HOURS" => 3600L
+      case "DAY" | "DAYS" => 86400L
+      case u => throw new IllegalArgumentException(s"interval unit $u")
+    }
+    n.toLong * mult
+  }
+
+  def translate(sql: String): String = {
+    require(!sql.toUpperCase.contains("MATCH_RECOGNIZE"),
+      "MATCH_RECOGNIZE: use graft.cep.CEP.matchPattern (Pattern DSL)")
+    require(!sql.toUpperCase.contains("FOR SYSTEM_TIME AS OF"),
+      "temporal join: use graft.operators.AsOfJoin / graft.streaming.StreamingAsOf")
+
+    var out = sql
+
+    out = Tumble.replaceAllIn(out, m => {
+      val (t, ts, n, u) = (m.group(1), m.group(2), m.group(3), m.group(4))
+      val s = seconds(n, u)
+      Regex.quoteReplacement(
+        s"""(SELECT *, window($ts, '$s seconds').start AS window_start,
+            window($ts, '$s seconds').end AS window_end FROM $t)""")
+    })
+
+    out = Hop.replaceAllIn(out, m => {
+      val (t, ts) = (m.group(1), m.group(2))
+      val slide = seconds(m.group(3), m.group(4))
+      val size = seconds(m.group(5), m.group(6))
+      Regex.quoteReplacement(
+        s"""(SELECT *, window($ts, '$size seconds', '$slide seconds').start
+              AS window_start,
+            window($ts, '$size seconds', '$slide seconds').end
+              AS window_end FROM $t)""")
+    })
+
+    out = Cumulate.replaceAllIn(out, m => {
+      val (t, ts) = (m.group(1), m.group(2))
+      val step = seconds(m.group(3), m.group(4)) * 1000000L
+      val max = seconds(m.group(5), m.group(6)) * 1000000L
+      Regex.quoteReplacement(
+        s"""(SELECT *,
+            timestamp_micros((unix_micros($ts) DIV $max) * $max)
+              AS window_start,
+            explode(transform(
+              sequence((unix_micros($ts) DIV $step) * $step + $step,
+                       (unix_micros($ts) DIV $max) * $max + $max, $step),
+              x -> timestamp_micros(x))) AS window_end FROM $t)""")
+    })
+
+    out = out.replaceAll("""(?i)PROCTIME\s*\(\s*\)""", "current_timestamp()")
+    // simple-argument LISTAGG only (column or dotted reference)
+    out = out.replaceAll("""(?i)LISTAGG\s*\(\s*([\w.]+)\s*\)""",
+      "concat_ws(',', collect_list($1))")
+    out
+  }
+}

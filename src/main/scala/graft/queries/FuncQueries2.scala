@@ -126,6 +126,39 @@ object FuncQueries2 {
         strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS fmt
       FROM events WHERE event_id < 2000""")),
 
+    // Edit distance (reference: not in Flink's builtin list but standard
+    // in dedup pipelines; both engines implement classic Levenshtein).
+    QueryDef("q_func_levenshtein", (s, dir) => {
+      t(s, dir, "part").filter(col("p_partkey") <= 300)
+        .select(col("p_partkey"),
+          levenshtein(col("p_brand"), col("p_type")).cast("long").as("lev"),
+          levenshtein(col("p_name"), col("p_name")).cast("long").as("lev0"))
+    }, Some("""
+      SELECT p_partkey,
+        levenshtein(p_brand, p_type) AS lev,
+        levenshtein(p_name, p_name) AS lev0
+      FROM part WHERE p_partkey <= 300""")),
+
+    // PARSE_URL (Flink builtin; DuckDB lacks it → rows-only + spec).
+    QueryDef("q_func_parse_url", (s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 30)
+        .withColumn("url", concat(lit("https://example.com/"),
+          col("source"), lit("?id="), col("doc_id")))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("id")).as("qid"))
+    }, None),
+
+    // Approximate distinct (HLL++) — sketch outputs are engine-specific;
+    // accuracy asserted in AggSpec against the exact count.
+    QueryDef("q_agg_approx", (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+    }, None),
+
     QueryDef("q_func_map", (s, dir) => {
       t(s, dir, "events").filter(col("event_id") < 1500)
         .withColumn("m", map(lit("type"), col("event_type"),
