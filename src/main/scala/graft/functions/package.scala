@@ -8,6 +8,14 @@ import org.apache.spark.sql.SparkSession
   */
 package object functions {
 
+  /** TEMPORAL_OVERLAPS(s1, e1, s2, e2): do [s1,e1) and [s2,e2) overlap —
+    * reference BuiltInFunctionDefinitions TEMPORAL_OVERLAPS, expanded to
+    * a boolean expression (SURVEY.md §2.7). */
+  def temporalOverlaps(s1: org.apache.spark.sql.Column,
+      e1: org.apache.spark.sql.Column, s2: org.apache.spark.sql.Column,
+      e2: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    s1 < e2 && s2 < e1
+
   /** Idempotently register all graft SQL functions on a session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -126,6 +126,23 @@ object FuncQueries2 {
         strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS fmt
       FROM events WHERE event_id < 2000""")),
 
+    // TEMPORAL_OVERLAPS (reference BuiltInFunctionDefinitions): expanded
+    // to the boolean range-intersection expression per SURVEY §2.7.
+    QueryDef("q_func_temporal_overlaps", (s, dir) => {
+      val e = t(s, dir, "events")
+      e.select(col("event_id"), col("ts"),
+          graft.functions.temporalOverlaps(
+            col("ts"), col("ts") + expr("INTERVAL 10 MINUTES"),
+            lit("2024-01-05 00:00:00").cast("timestamp"),
+            lit("2024-01-06 00:00:00").cast("timestamp")).as("in_window"))
+        .groupBy(col("in_window")).agg(count(lit(1)).as("n"))
+    }, Some("""
+      SELECT (ts < TIMESTAMP '2024-01-06 00:00:00'
+          AND TIMESTAMP '2024-01-05 00:00:00' < ts + INTERVAL 10 MINUTE)
+          AS in_window,
+        COUNT(*) AS n
+      FROM events GROUP BY 1""")),
+
     // Edit distance (reference: not in Flink's builtin list but standard
     // in dedup pipelines; both engines implement classic Levenshtein).
     QueryDef("q_func_levenshtein", (s, dir) => {

@@ -95,6 +95,42 @@ object StatefulOps {
       }
   }
 
+  /** Keep-last dedup with state TTL (reference StateTtlConfig,
+    * flink-core/.../state/StateTtlConfig.java, OnReadAndWrite
+    * visibility): state older than `ttlMs` of processing time is treated
+    * as absent on next access — lazy expiry, exactly the reference's
+    * read-visibility TTL. (Timer-based eager cleanup belongs to the
+    * state store; Spark's ProcessingTimeTimeout covers it but interacts
+    * poorly with synchronous test harnesses, so expiry here is lazy.)
+    * State tuple: (lastTouchedWallClock, seq, row). */
+  def keepLastWithTtl[K, T](ds: Dataset[T], keyFn: T => K, seqFn: T => Long,
+      ttlMs: Long)(
+      implicit kEnc: Encoder[K], tEnc: Encoder[T]): Dataset[T] = {
+    implicit val stateEnc: Encoder[(Long, Long, T)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, tEnc)
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: K, rows: Iterator[T], state: GroupState[(Long, Long, T)]) =>
+          val now = System.currentTimeMillis()
+          val prev = state.getOption.filter(s => now - s._1 <= ttlMs)
+            .map(s => (s._2, s._3))
+          var cur = prev
+          rows.foreach { r =>
+            val s = seqFn(r)
+            if (cur.isEmpty || s >= cur.get._1) cur = Some((s, r))
+          }
+          cur match {
+            case Some(c) if prev != cur =>
+              state.update((now, c._1, c._2))
+              Iterator.single(c._2)
+            case Some(c) =>
+              state.update((now, c._1, c._2)) // touch
+              Iterator.empty
+            case None => Iterator.empty
+          }
+      }
+  }
+
   /** Temporal sort (reference RowTimeSortOperator.java /
     * StreamExecTemporalSort.java): emit each key's rows in strict
     * event-time order once the watermark passes them — the
