@@ -160,6 +160,28 @@ object JoinQueries {
                       GROUP BY user_id, ts) c
         ON e.user_id = c.user_id AND e.ts >= c.ts""")),
 
+    // Same as-of semantics through the custom physical operator
+    // (graft.plans.AsOfJoinExec: LogicalPlan + SparkStrategy + SparkPlan,
+    // co-partitioned single-pass merge).
+    QueryDef("q_asof_join_planned", (s, dir) => {
+      val e1 = t(s, dir, "events")
+      val e2 = t(s, dir, "events")
+      val purchases = e1.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = e2.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+      graft.plans.PlannedAsOfJoin.asOf(purchases, clicks,
+        "user_id", "ts", Seq("click_value"))
+    }, Some("""
+      SELECT e.event_id, e.user_id, e.ts, e.value, c.click_value
+      FROM (SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase') e
+      ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS click_value
+                      FROM events WHERE event_type = 'click'
+                      GROUP BY user_id, ts) c
+        ON e.user_id = c.user_id AND e.ts >= c.ts""")),
+
     // Interval join (reference TimeIntervalJoin.java:52): event pairs of
     // the same user within 5 minutes. Equi key + range predicate — Spark
     // plans a shuffled join on user_id with the range as post-filter.
