@@ -27,6 +27,12 @@ package object functions {
       exprs => SimHash64Expr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("winnow_fingerprint",
       exprs => WinnowFingerprint(exprs.head, 5, 4), "built-in")
+    reg.createOrReplaceTempFunction("json_value",
+      exprs => JsonValue(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("json_query",
+      exprs => JsonQuery(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("json_exists",
+      exprs => JsonExists(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("ngrams",
       exprs => NGrams(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]), "built-in")

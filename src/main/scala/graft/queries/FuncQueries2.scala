@@ -126,6 +126,22 @@ object FuncQueries2 {
         strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS fmt
       FROM events WHERE event_id < 2000""")),
 
+    // SQL/JSON path functions (custom expressions, SURVEY §2.7 gap):
+    // JSON_VALUE / JSON_EXISTS over the events props column.
+    QueryDef("q_func_json_path", (s, dir) => {
+      graft.functions.register(s)
+      t(s, dir, "events").filter(col("event_id") < 2500)
+        .select(col("event_id"),
+          expr("json_value(props, '$.k')").as("k_val"),
+          expr("json_exists(props, '$.k')").as("has_k"),
+          expr("json_exists(props, '$.absent')").as("has_absent"))
+    }, Some("""
+      SELECT event_id,
+        json_extract_string(props, '$.k') AS k_val,
+        json_extract(props, '$.k') IS NOT NULL AS has_k,
+        json_extract(props, '$.absent') IS NOT NULL AS has_absent
+      FROM events WHERE event_id < 2500""")),
+
     // TEMPORAL_OVERLAPS (reference BuiltInFunctionDefinitions): expanded
     // to the boolean range-intersection expression per SURVEY §2.7.
     QueryDef("q_func_temporal_overlaps", (s, dir) => {
