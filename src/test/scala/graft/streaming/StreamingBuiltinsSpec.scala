@@ -41,6 +41,25 @@ class StreamingBuiltinsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming group aggregate in update mode revises per-key results") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[TEv]
+    val agg = in.toDS().groupBy($"user")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    val q = agg.writeStream.format("memory").queryName("sga")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(TEv("u", ts("2024-01-01 00:00:00"), 1))
+      q.processAllAvailable()
+      in.addData(TEv("u", ts("2024-01-01 00:01:00"), 2))
+      q.processAllAvailable()
+      val revisions = spark.table("sga").collect()
+        .map(r => (r.getLong(1), r.getDouble(2)))
+      // update mode emits the revised aggregate each batch: (1,1) then (2,3)
+      assert(revisions.toSeq == Seq((1L, 1.0), (2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups by key in event time") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[TEv]
