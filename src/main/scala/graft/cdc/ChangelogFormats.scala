@@ -97,6 +97,12 @@ object ChangelogFormats {
       .select(col(s"__k.$RowKindCol"), col("__k.row.*"))
   }
 
+  /** DropUpdateBefore (reference StreamExecDropUpdateBefore.java):
+    * remove -U rows when the sink keys on the primary key and doesn't
+    * need the pre-image. */
+  def dropUpdateBefore(df: DataFrame): DataFrame =
+    df.filter(col(RowKindCol) =!= "-U")
+
   private def explodeKinds(df: DataFrame, op: Column, insert: Column,
       updateBefore: Column, updateAfter: Column, delete: Column,
       insertOps: Seq[String], updateOps: Seq[String], deleteOps: Seq[String],

@@ -75,6 +75,89 @@ object Similarity {
       ColumnBridge.expression(vec), dim, planes, seed))
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer splits the
+    * corpus into `nlist` cells; queries probe the `nprobe` nearest cells
+    * and re-rank exactly within them — the FAISS-style scale path for
+    * billion-vector search (public technique, Jégou et al. 2011).
+    *
+    * Training runs Lloyd's iterations with DataFrame ops; centroids are
+    * tiny (nlist × dim) so they live on the driver and broadcast — the
+    * corpus is only ever scanned, never shuffled. Deterministic:
+    * centroids init from evenly-strided corpus rows.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val n = corpus.count()
+    // deterministic strided init
+    val init = corpus.select(col(idCol), col(vecCol))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col(idCol))))
+      .filter(pmod(col("__rn"), lit(math.max(n / nlist, 1))) === 1)
+      .limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    var centroids: Array[Array[Float]] = init
+
+    def centroidDf(cs: Array[Array[Float]]): DataFrame =
+      cs.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("__cell", "__centroid")
+
+    def assigned(df: DataFrame, vec: String): DataFrame = {
+      // nearest centroid per row: min euclidean == max dot for unit-ish
+      // vectors; use full L2 via cosine-free dot arithmetic
+      val withCells = df.crossJoin(broadcast(centroidDf(centroids)))
+        .withColumn("__dist", -dot(col(vec), col("__centroid")) * 2 +
+          dot(col("__centroid"), col("__centroid")))
+      val w = Window.partitionBy(df.columns.map(col): _*)
+        .orderBy(col("__dist"), col("__cell"))
+      withCells.withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .drop("__r", "__dist", "__centroid")
+    }
+
+    for (_ <- 0 until iters) {
+      val assign = assigned(corpus.select(col(idCol), col(vecCol)), vecCol)
+      val updated = assign.groupBy(col("__cell"))
+        .agg(collect_list(col(vecCol)).as("__vs"))
+        .select(col("__cell"),
+          expr(s"""transform(sequence(0, ${dim - 1}), d ->
+            aggregate(__vs, CAST(0.0 AS DOUBLE),
+              (acc, v) -> acc + CAST(v[d] AS DOUBLE)) / size(__vs))""")
+            .as("__mean"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[Double](1).map(_.toFloat).toArray).toMap
+      centroids = centroids.indices
+        .map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+
+    // index: corpus rows tagged with their cell
+    val indexed = assigned(corpus.select(col(idCol), col(vecCol)), vecCol)
+    // queries probe their nprobe nearest cells
+    val qCells = queries.select(col(qidCol), col(qvecCol))
+      .crossJoin(broadcast(centroidDf(centroids)))
+      .withColumn("__dist", -dot(col(qvecCol), col("__centroid")) * 2 +
+        dot(col("__centroid"), col("__centroid")))
+    val wq = Window.partitionBy(col(qidCol))
+      .orderBy(col("__dist"), col("__cell"))
+    val probes = qCells.withColumn("__r", row_number().over(wq))
+      .filter(col("__r") <= nprobe)
+      .select(col(qidCol), col(qvecCol), col("__cell"))
+    val cands = indexed.join(broadcast(probes), Seq("__cell"))
+      .filter(col(idCol) =!= col(qidCol))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("sim").desc, col(idCol))
+    cands.withColumn("sim", cosine(col(vecCol), col(qvecCol)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), round(col("sim"), 6).as("sim"),
+        col("rank"))
+  }
+
   /** Explode a vector table into (row, tableIdx, bucket) across `tables`
     * independent hash tables (distinct hyperplanes per table). */
   private def bucketed(df: DataFrame, vecCol: String, dim: Int,

@@ -54,6 +54,32 @@ object CdcQueries {
         SELECT '-D', o_totalprice FROM orders WHERE o_orderkey % 10 = 1)
       GROUP BY row_kind""")),
 
+    // DropUpdateBefore (reference StreamExecDropUpdateBefore.java).
+    QueryDef("q_cdc_drop_update_before", (s, dir) => {
+      val o = t(s, dir, "orders")
+      val payload = struct(col("o_orderkey"), col("o_totalprice"))
+      val beforeU = struct(col("o_orderkey"),
+        (col("o_totalprice") * 0.5).as("o_totalprice"))
+      val env = to_json(struct(
+        when(pmod(col("o_orderkey"), lit(10)) === 0, beforeU)
+          .otherwise(lit(null).cast(rowSchema)).as("before"),
+        payload.as("after"),
+        when(pmod(col("o_orderkey"), lit(10)) === 0, "u")
+          .otherwise("c").as("op")))
+      val decoded = ChangelogFormats.fromDebezium(
+        o.select(env.as("value")), "value", rowSchema)
+      ChangelogFormats.dropUpdateBefore(decoded)
+        .groupBy(col(ChangelogFormats.RowKindCol).as("row_kind"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+    }, Some(s"""
+      SELECT row_kind, COUNT(*) AS n, ${dsumSql("price")} AS sum_price
+      FROM (
+        SELECT '+I' AS row_kind, o_totalprice AS price FROM orders
+          WHERE o_orderkey % 10 <> 0
+        UNION ALL
+        SELECT '+U', o_totalprice FROM orders WHERE o_orderkey % 10 = 0)
+      GROUP BY row_kind""")),
+
     QueryDef("q_cdc_maxwell", (s, dir) => {
       val o = t(s, dir, "orders")
       val data = struct(col("o_orderkey"), col("o_totalprice"))

@@ -142,6 +142,17 @@ object PipelineQueries {
         "vec_id", "embedding", "qid", "qvec", 5, dim = 64)
     }, None),
 
+    // IVF coarse-quantizer ANN (rows-only; recall asserted in
+    // SimilaritySpec against brute force).
+    QueryDef("q_ann_ivf", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(emb, queries,
+        "vec_id", "embedding", "qid", "qvec", 5, dim = 64,
+        nlist = 16, nprobe = 4, iters = 3)
+    }, None),
+
     // ---- text analysis ----
 
     QueryDef("q_text_stats", (s, dir) => {

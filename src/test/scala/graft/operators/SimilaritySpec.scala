@@ -30,6 +30,28 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getAs[Int]("rank") == 1)
   }
 
+  test("ivf top-k achieves high recall vs brute force on clustered data") {
+    val corpus = (0 until 200).map { i =>
+      val c = i % 8
+      (i.toLong, Array.tabulate(16) { d =>
+        (math.cos(c * 16 + d) + 0.02 * math.sin(i * 31 + d)).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", "qid", "qvec", 5)
+      .select($"qid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(corpus, queries,
+        "vec_id", "embedding", "qid", "qvec", 5,
+        dim = 16, nlist = 8, nprobe = 3, iters = 3)
+      .select($"qid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("lsh top-k achieves high recall vs brute force on clustered data") {
     // clustered corpus: 10 clusters of 20 points each
     val corpus = (0 until 200).map { i =>
