@@ -36,7 +36,21 @@ object Matcher {
     * optional). Returns (end index exclusive, bindings). */
   def tryFrom[T](events: IndexedSeq[T], start: Int, tsOf: T => Long,
       pattern: Pattern[T]): Option[(Int, Map[String, Seq[T]])] = {
-    val steps = pattern.steps
+    // fold negated steps into the FOLLOWING positive step as a
+    // forbidden-gap predicate (reference: notFollowedBy NFA edges)
+    require(!pattern.steps.last.negated,
+      "notFollowedBy cannot be the last pattern step")
+    case class ExecStep(step: Step[T],
+        forbidden: Option[(T, Map[String, Seq[T]]) => Boolean])
+    val steps: Vector[ExecStep] = {
+      val out = Vector.newBuilder[ExecStep]
+      var pendingNeg: Option[(T, Map[String, Seq[T]]) => Boolean] = None
+      pattern.steps.foreach { s =>
+        if (s.negated) pendingNeg = Some(s.predicate)
+        else { out += ExecStep(s, pendingNeg); pendingNeg = None }
+      }
+      out.result()
+    }
     val withinMs = pattern.withinMs
 
     def go(stepIdx: Int, pos: Int, firstTs: Long,
@@ -44,13 +58,19 @@ object Matcher {
       if (stepIdx == steps.length)
         return if (acc.valuesIterator.exists(_.nonEmpty)) Some((pos, acc))
           else None
-      val step = steps(stepIdx)
+      val es = steps(stepIdx)
+      val step = es.step
       val isFirstStep = stepIdx == 0
       // where may this step's run begin?
       val startPositions: Iterator[Int] =
         if (isFirstStep || step.strict) Iterator.single(pos)
         else Iterator.range(pos, events.length + 1) // +1 allows empty-at-end
       for (sp <- startPositions) {
+        // notFollowedBy: the gap skipped over may not contain a
+        // forbidden event; once one appears, no later start can work
+        es.forbidden.foreach { f =>
+          if ((pos until sp).exists(i => f(events(i), acc))) return None
+        }
         // longest consecutive run of matching events from sp
         var maxRun = 0
         while (sp + maxRun < events.length && maxRun < step.maxRepeat && {

@@ -24,7 +24,8 @@ final case class Step[T](
     minRepeat: Int = 1,
     maxRepeat: Int = 1,
     strict: Boolean = false,
-    greedy: Boolean = true)
+    greedy: Boolean = true,
+    negated: Boolean = false)
 
 final class Pattern[T] private (val steps: Vector[Step[T]], val withinMs: Long)
     extends Serializable {
@@ -48,6 +49,13 @@ final class Pattern[T] private (val steps: Vector[Step[T]], val withinMs: Long)
   /** Relaxed contiguity (skip till next match). */
   def followedBy(name: String): Pattern[T] =
     new Pattern(steps :+ Step[T](name, (_, _) => true), withinMs)
+
+  /** Absence constraint (reference Pattern.notFollowedBy): no event
+    * matching this step's condition may occur between the previous step
+    * and the next one. Must be followed by a positive step. */
+  def notFollowedBy(name: String): Pattern[T] =
+    new Pattern(steps :+ Step[T](name, (_, _) => true, negated = true),
+      withinMs)
 
   def times(n: Int): Pattern[T] =
     updLast(_.copy(minRepeat = n, maxRepeat = n))

@@ -66,6 +66,19 @@ class CepSpec extends SparkSpec {
     assert(withoutX.size == 1 && withoutX.head("x").isEmpty)
   }
 
+  test("notFollowedBy blocks matches containing the forbidden event") {
+    val p = Pattern.begin[CE]("a").where(_.typ == "a")
+      .notFollowedBy("nb").where(_.typ == "b")
+      .followedBy("c").where(_.typ == "c")
+    assert(matches(evs("a", "x", "c"), p).size == 1)
+    assert(matches(evs("a", "b", "c"), p).isEmpty)
+    assert(matches(evs("a", "c", "b"), p).size == 1) // b after c is fine
+    intercept[IllegalArgumentException] {
+      matches(evs("a"), Pattern.begin[CE]("a").where(_.typ == "a")
+        .notFollowedBy("nb").where(_.typ == "b"))
+    }
+  }
+
   test("within bounds first-to-last time span") {
     val p = Pattern.begin[CE]("a").where(_.typ == "a")
       .followedBy("b").where(_.typ == "b").within(1500)

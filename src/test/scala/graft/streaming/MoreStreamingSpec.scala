@@ -59,6 +59,32 @@ class MoreStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUMULATE aggregate (update mode, cumulative windows)") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[SEv]
+    val cum = graft.operators.TimeWindows
+      .cumulate(in.toDF(), "ts", 900L, 3600L)
+      .groupBy($"window_start", $"window_end")
+      .agg(count(lit(1)).as("n"))
+    val q = cum.writeStream.format("memory").queryName("cumstream")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(SEv("u", ts("2024-01-01 00:05:00"), 1))
+      q.processAllAvailable()
+      in.addData(SEv("u", ts("2024-01-01 00:20:00"), 1))
+      q.processAllAvailable()
+      // latest revision per (start,end)
+      val rows = spark.table("cumstream").collect()
+        .map(r => (r.getTimestamp(1).toString, r.getLong(2)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      // both rows fall in windows ending 00:30..01:00; only the first is
+      // in the 00:15 window
+      assert(rows("2024-01-01 00:15:00.0") == 1L)
+      assert(rows("2024-01-01 00:30:00.0") == 2L)
+      assert(rows("2024-01-01 01:00:00.0") == 2L)
+    } finally q.stop()
+  }
+
   test("coGroup via KeyValueGroupedDataset.cogroup (DataStream coGroup)") {
     val a = Seq(("k1", 1), ("k1", 2), ("k2", 3)).toDS()
     val b = Seq(("k1", 10), ("k3", 30)).toDS()
