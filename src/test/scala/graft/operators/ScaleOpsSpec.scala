@@ -19,6 +19,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("dynamic partition pruning fires on partitioned fact joins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    val o = Tables.load(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    o.write.partitionBy("o_year").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // dim filter NOT on the join key → static constant propagation can't
+    // prune; only runtime (dynamic) pruning can
+    val dim = o.filter(col("o_totalprice") > 400000)
+      .select(col("o_year").as("d_year")).distinct()
+    val joined = fact.join(dim, col("o_year") === col("d_year"))
+    val plan = joined.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning in:\n$plan")
+    val wantYears = dim.collect().map(_.getInt(0)).toSet
+    assert(joined.count() ==
+      o.filter(col("o_year").isInCollection(wantYears)).count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse dir is a static conf — use the default; clear any
     // leftover managed-table locations from previous runs first
