@@ -57,15 +57,6 @@ object Similarity {
         col("rank"))
   }
 
-  /** Deterministic pseudo-random plane weight in [-1, 1) for (seed,
-    * plane, dim) — SplitMix64 mixing (public-domain constants). */
-  private def planeWeight(seed: Int, p: Int, d: Int): Double = {
-    var z = (seed * 7919L + p * 1337L + d + 1) * 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
-  }
-
   /** Sign-random-projection bucket id for one hash table: `planes` sign
     * bits packed into a long — native one-pass expression
     * (graft.functions.SrpBucket). */
