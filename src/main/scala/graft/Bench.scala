@@ -6,6 +6,13 @@ import org.apache.spark.sql.SparkSession
   * from the Registry at SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   * Results are forced through the noop sink so the full plan executes
   * (a bare count() would let Catalyst prune columns and skip work).
+  *
+  * Output discipline: the JSON line is kept short (3-decimal times, no
+  * spaces) and printed as the LAST stdout line so a tail-capture can't
+  * truncate it; the same JSON is also written to BENCH_QUERIES.json next
+  * to the working directory as a durable copy. A query that throws is
+  * recorded as -1 and listed under "failed" — a broken query must never
+  * masquerade as a fast measurement.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,19 +36,34 @@ object Bench {
     // the per-query numbers without changing what is measured
     def time(q: QueryDef): Double = {
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        -1.0
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val results = benchable.map { q =>
-      q.name -> math.min(time(q), time(q))
+      val a = time(q)
+      val b = time(q)
+      q.name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // durable copy in case stdout capture truncates the tail
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_QUERIES.json"),
+        line.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
+    println(line)
   }
 }

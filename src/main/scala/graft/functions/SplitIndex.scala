@@ -31,9 +31,11 @@ case class SplitIndex(first: Expression, second: Expression, third: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "split_index"
 
+  // splitSQL, not split: the delimiter is a LITERAL separator (Flink
+  // semantics), not a regex — split() would make '.' or '|' split wrong.
   override protected def nullSafeEval(str: Any, delim: Any, idx: Any): Any = {
     val parts = str.asInstanceOf[UTF8String]
-      .split(delim.asInstanceOf[UTF8String], -1)
+      .splitSQL(delim.asInstanceOf[UTF8String], -1)
     val i = idx.asInstanceOf[Int]
     if (i >= 0 && i < parts.length) parts(i) else null
   }
@@ -43,7 +45,7 @@ case class SplitIndex(first: Expression, second: Expression, third: Expression)
       val parts = ctx.freshName("parts")
       s"""
         org.apache.spark.unsafe.types.UTF8String[] $parts =
-          $str.split($delim, -1);
+          $str.splitSQL($delim, -1);
         if ($idx >= 0 && $idx < $parts.length) {
           ${ev.value} = $parts[$idx];
         } else {

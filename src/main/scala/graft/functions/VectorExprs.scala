@@ -53,12 +53,20 @@ case class SrpBucket(child: Expression, dim: Int, planes: Int, seed: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "srp_bucket"
 
+  // SplitMix64 finalizer — full-avalanche, so (seed, plane, dim) triples
+  // can't collide by linear combination (a linear p*K+d scheme would make
+  // plane p dim d>=K alias plane p+1 dim d-K for realistic dims like 1536).
+  private def mix64(v: Long): Long = {
+    var z = v * 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   // plane-major weight matrix, deterministic (SplitMix64)
   @transient private lazy val weights: Array[Array[Double]] =
     Array.tabulate(planes, dim) { (p, d) =>
-      var z = (seed * 7919L + p * 1337L + d + 1) * 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      val z = mix64(mix64(seed.toLong) ^ mix64((p.toLong << 32) | d.toLong))
       ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
     }
 

@@ -89,13 +89,23 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         private var rValid = false
         private var candVals: UnsafeRow = _      // latest right <= ts, projected
         private var candKey: UnsafeRow = _
+        // Null keys/timestamps never match (SQL join semantics; the
+        // reference temporal join likewise drops null-keyed builds) —
+        // skip them on the right, null-pad on the left. Safe w.r.t. the
+        // merge order: nulls sort first, so the right cursor has not
+        // passed any valid key when a null-keyed left row is emitted.
         private def advanceRight(): Unit = {
-          if (rIter.hasNext) {
+          rValid = false
+          while (!rValid && rIter.hasNext) {
             rRow = rIter.next()
-            rKey = rKeyProj(rRow).copy()
-            rTs = rTsProj(rRow).getLong(0)
-            rValid = true
-          } else rValid = false
+            val k = rKeyProj(rRow)
+            val t = rTsProj(rRow)
+            if (!k.anyNull && !t.anyNull) {
+              rKey = k.copy()
+              rTs = t.getLong(0)
+              rValid = true
+            }
+          }
         }
         advanceRight()
 
@@ -103,7 +113,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         override def next(): InternalRow = {
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
-          val lTsV = lTsProj(lRow).getLong(0)
+          val lTsRow = lTsProj(lRow)
+          if (lKey.anyNull || lTsRow.anyNull) {
+            return outProj(joined(lRow, nullRightRow))
+          }
+          val lTsV = lTsRow.getLong(0)
           // drop candidate from a previous key
           if (candKey != null && keyOrdering.compare(candKey, lKey) != 0) {
             candKey = null; candVals = null

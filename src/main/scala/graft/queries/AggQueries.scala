@@ -172,15 +172,18 @@ object AggQueries {
         ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 4) AS p75
       FROM lineitem GROUP BY l_returnflag""")),
 
-    // Collection aggregates: COLLECT/ARRAY_AGG as sorted array.
+    // Collection aggregates: COLLECT/ARRAY_AGG as sorted array. Emitted as
+    // a joined string (not a raw array column) so the driver's comparator —
+    // which sorts pandas object columns — can hash it.
     QueryDef("q_agg_array", (s, dir) => {
       t(s, dir, "supplier")
         .groupBy(col("s_nationkey"))
-        .agg(sort_array(collect_list(col("s_suppkey"))).as("supp_keys"),
+        .agg(concat_ws(",",
+            sort_array(collect_list(col("s_suppkey")))).as("supp_keys"),
           count(lit(1)).as("n"))
     }, Some("""
       SELECT s_nationkey,
-        LIST_SORT(LIST(s_suppkey)) AS supp_keys,
+        ARRAY_TO_STRING(LIST_SORT(LIST(s_suppkey)), ',') AS supp_keys,
         COUNT(*) AS n
       FROM supplier GROUP BY s_nationkey"""))
   )

@@ -102,7 +102,7 @@ object CdcQueries {
           sum(col("o_orderkey")).as("sum_key"))
     }, Some(s"""
       SELECT row_kind, COUNT(*) AS n,
-        ${dsumSql("price")} AS sum_price, SUM(okey) AS sum_key
+        ${dsumSql("price")} AS sum_price, CAST(SUM(okey) AS BIGINT) AS sum_key
       FROM (
         SELECT '+I' AS row_kind, o_totalprice AS price, o_orderkey AS okey
           FROM orders WHERE o_orderkey % 10 NOT IN (0, 1)

@@ -140,7 +140,7 @@ object FuncQueries {
         ROUND(LOG10(l_extendedprice), 6) AS log10_p,
         POW(2, l_linenumber) AS pow2,
         l_orderkey % 7 AS mod7,
-        SIGN(l_discount - 0.05) AS sgn
+        CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sgn
       FROM lineitem WHERE l_orderkey <= 2000""")),
 
     QueryDef("q_func_array", (s, dir) => {

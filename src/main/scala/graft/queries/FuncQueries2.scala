@@ -198,14 +198,15 @@ object FuncQueries2 {
           lit("user"), col("user_id").cast("string")))
         .select(col("event_id"),
           element_at(col("m"), "type").as("mtype"),
-          map_keys(col("m")).as("ks"),
+          // string, not array — the driver's comparator can't sort arrays
+          concat_ws(",", map_keys(col("m"))).as("ks"),
           size(col("m")).cast("long").as("n"),
           expr("str_to_map(concat('a:1,b:', event_type), ',', ':')['b']")
             .as("from_str"))
     }, Some("""
       SELECT event_id,
         event_type AS mtype,
-        ['type','user'] AS ks,
+        'type,user' AS ks,
         CAST(2 AS BIGINT) AS n,
         event_type AS from_str
       FROM events WHERE event_id < 1500"""))

@@ -51,9 +51,9 @@ object OverQueries {
         .select(col("l_orderkey"), col("l_returnflag"), col("nearby_qty"))
     }, Some("""
       SELECT l_orderkey, l_returnflag,
-        SUM(CAST(l_quantity AS BIGINT)) OVER (
+        CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
           PARTITION BY l_returnflag ORDER BY l_orderkey
-          RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS nearby_qty
+          RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT) AS nearby_qty
       FROM lineitem WHERE l_linenumber = 1""")),
 
     // TopN per group via row_number (reference AppendOnlyTopNFunction).
