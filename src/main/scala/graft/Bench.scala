@@ -26,7 +26,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val benchable = Registry.all.filter(_.bench)
+    // optional args: bench only the named queries (local iteration aid)
+    val benchable0 = Registry.all.filter(_.bench)
+    val benchable = if (args.nonEmpty) benchable0.filter(q => args.contains(q.name))
+      else benchable0
     // one warm-up pass of the catalog read path so first-query JIT /
     // file-listing cost doesn't pollute the first measurement
     graft.core.Tables.names.foreach { n =>

@@ -93,3 +93,94 @@ case class SrpBucket(child: Expression, dim: Int, planes: Int, seed: Int)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
+
+/** nearest_centroid(vec): argmin over a driver-local centroid table by
+  * squared L2 distance, ties broken by lowest cell index. The IVF coarse
+  * quantizer's assignment step as a pure PROJECTION — the corpus is
+  * scanned, never shuffled (the centroid table is nlist x dim, carried
+  * in the serialized expression like a broadcast literal). */
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Float]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  @transient private lazy val cs: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cv = cs(c)
+      val n = math.min(v.numElements(), cv.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val diff = v.getFloat(i).toDouble - cv(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    Integer.valueOf(best)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** nearest_cells(vec): the `nprobe` nearest centroid cell ids, ascending
+  * by squared L2 distance (ties by cell index) — the IVF query-side probe
+  * list as a projection, replacing the crossJoin+window formulation. */
+case class NearestCells(child: Expression, centroids: Seq[Seq[Float]],
+    nprobe: Int) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  @transient private lazy val cs: Array[Array[Float]] =
+    centroids.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dists = new Array[Double](cs.length)
+    var c = 0
+    while (c < cs.length) {
+      val cv = cs(c)
+      val n = math.min(v.numElements(), cv.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val diff = v.getFloat(i).toDouble - cv(i)
+        d += diff * diff
+        i += 1
+      }
+      dists(c) = d
+      c += 1
+    }
+    val m = math.min(nprobe, cs.length)
+    val out = new Array[Int](m)
+    val taken = new Array[Boolean](cs.length)
+    var j = 0
+    while (j < m) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var k = 0
+      while (k < dists.length) {
+        if (!taken(k) && dists(k) < bestD) { bestD = dists(k); best = k }
+        k += 1
+      }
+      taken(best) = true
+      out(j) = best
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -76,68 +76,76 @@ object Similarity {
     * corpus is only ever scanned, never shuffled. Deterministic:
     * centroids init from evenly-strided corpus rows.
     */
+  /** Nearest-centroid cell id as a pure projection (native expression —
+    * the centroid table rides inside the serialized expression). */
+  def nearestCentroid(vec: Column, cs: Array[Array[Float]]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.NearestCentroid(
+      ColumnBridge.expression(vec), cs.toSeq.map(_.toSeq)))
+  }
+
+  /** The nprobe nearest cells, as a projection (array column). */
+  def nearestCells(vec: Column, cs: Array[Array[Float]], nprobe: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.NearestCells(
+      ColumnBridge.expression(vec), cs.toSeq.map(_.toSeq), nprobe))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, qvecCol: String,
       k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
       iters: Int = 5): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val n = corpus.count()
-    // deterministic strided init
-    val init = corpus.select(col(idCol), col(vecCol))
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(col(idCol))))
-      .filter(pmod(col("__rn"), lit(math.max(n / nlist, 1))) === 1)
-      .limit(nlist)
+    // Train the coarse quantizer on a bounded sample (FAISS practice:
+    // O(100) points per centroid suffices): one deterministic
+    // pseudo-random TakeOrdered over a hash of the id — a single corpus
+    // scan that collects <= nlist*256 vectors (~1 MB at dim 64), then
+    // Lloyd's runs driver-local in-memory. Cluster cost of training is
+    // ONE pass regardless of `iters`; the model is tiny driver-side
+    // state, like any broadcast dimension.
+    val maxTrain = nlist * 256
+    val train: Array[Array[Float]] = corpus.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(maxTrain)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
-    var centroids: Array[Array[Float]] = init
-
-    def centroidDf(cs: Array[Array[Float]]): DataFrame =
-      cs.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-        .toDF("__cell", "__centroid")
-
-    def assigned(df: DataFrame, vec: String): DataFrame = {
-      // nearest centroid per row: min euclidean == max dot for unit-ish
-      // vectors; use full L2 via cosine-free dot arithmetic
-      val withCells = df.crossJoin(broadcast(centroidDf(centroids)))
-        .withColumn("__dist", -dot(col(vec), col("__centroid")) * 2 +
-          dot(col("__centroid"), col("__centroid")))
-      val w = Window.partitionBy(df.columns.map(col): _*)
-        .orderBy(col("__dist"), col("__cell"))
-      withCells.withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
-        .drop("__r", "__dist", "__centroid")
-    }
+    var centroids: Array[Array[Float]] = train.take(nlist)
 
     for (_ <- 0 until iters) {
-      val assign = assigned(corpus.select(col(idCol), col(vecCol)), vecCol)
-      val updated = assign.groupBy(col("__cell"))
-        .agg(collect_list(col(vecCol)).as("__vs"))
-        .select(col("__cell"),
-          expr(s"""transform(sequence(0, ${dim - 1}), d ->
-            aggregate(__vs, CAST(0.0 AS DOUBLE),
-              (acc, v) -> acc + CAST(v[d] AS DOUBLE)) / size(__vs))""")
-            .as("__mean"))
-        .collect()
-        .map(r => r.getInt(0) ->
-          r.getSeq[Double](1).map(_.toFloat).toArray).toMap
-      centroids = centroids.indices
-        .map(i => updated.getOrElse(i, centroids(i))).toArray
+      val sums = Array.fill(centroids.length, dim)(0.0)
+      val counts = new Array[Long](centroids.length)
+      train.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          val cv = centroids(c)
+          val n = math.min(v.length, cv.length)
+          var d2 = 0.0
+          var i = 0
+          while (i < n) {
+            val diff = v(i).toDouble - cv(i)
+            d2 += diff * diff
+            i += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < math.min(v.length, dim)) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
+      }.toArray
     }
 
-    // index: corpus rows tagged with their cell
-    val indexed = assigned(corpus.select(col(idCol), col(vecCol)), vecCol)
-    // queries probe their nprobe nearest cells
-    val qCells = queries.select(col(qidCol), col(qvecCol))
-      .crossJoin(broadcast(centroidDf(centroids)))
-      .withColumn("__dist", -dot(col(qvecCol), col("__centroid")) * 2 +
-        dot(col("__centroid"), col("__centroid")))
-    val wq = Window.partitionBy(col(qidCol))
-      .orderBy(col("__dist"), col("__cell"))
-    val probes = qCells.withColumn("__r", row_number().over(wq))
-      .filter(col("__r") <= nprobe)
-      .select(col(qidCol), col(qvecCol), col("__cell"))
+    // index: corpus rows tagged with their cell — again a projection
+    val indexed = corpus.select(col(idCol), col(vecCol),
+      nearestCentroid(col(vecCol), centroids).as("__cell"))
+    // queries probe their nprobe nearest cells — projection + explode
+    val probes = queries.select(col(qidCol), col(qvecCol),
+        explode(nearestCells(col(qvecCol), centroids, nprobe)).as("__cell"))
     val cands = indexed.join(broadcast(probes), Seq("__cell"))
       .filter(col(idCol) =!= col(qidCol))
     val w = Window.partitionBy(col(qidCol))
@@ -169,15 +177,19 @@ object Similarity {
     val q = bucketed(queries.select(col(qidCol), col(qvecCol)),
       qvecCol, dim, planes, tables)
       .withColumnRenamed("tbl", "qtbl").withColumnRenamed("bucket", "qbucket")
+    // Score BEFORE deduplicating: cosine is deterministic, so a pair hit
+    // in several hash tables yields identical (id, qid, sim) rows and the
+    // distinct's exchange carries 2 ids + a double — never the vector
+    // payloads (at 100 TB the embedding columns dominate the pair count).
     val cands = c.join(broadcast(q),
         col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
           col(idCol) =!= col(qidCol))
-      .select(col(idCol), col(vecCol), col(qidCol), col(qvecCol))
+      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
+      .select(col(qidCol), col(idCol), col("sim"))
       .distinct()
     val w = Window.partitionBy(col(qidCol))
       .orderBy(col("sim").desc, col(idCol))
-    cands.withColumn("sim", cosine(col(vecCol), col(qvecCol)))
-      .withColumn("rank", row_number().over(w))
+    cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qidCol), col(idCol), round(col("sim"), 6).as("sim"),
         col("rank"))
