@@ -55,7 +55,8 @@ object FlinkSqlDialect {
 
   def translate(sql: String): String = {
     require(!sql.toUpperCase.contains("MATCH_RECOGNIZE"),
-      "MATCH_RECOGNIZE: use graft.cep.CEP.matchPattern (Pattern DSL)")
+      "MATCH_RECOGNIZE: route through TableEnv.executeSql " +
+        "(graft.cep.MatchRecognize)")
     require(!sql.toUpperCase.contains("FOR SYSTEM_TIME AS OF"),
       "temporal join: use graft.operators.AsOfJoin / graft.streaming.StreamingAsOf")
 

@@ -51,8 +51,14 @@ final class TableEnv(val spark: SparkSession) {
     spec.watermark.fold(df) { case (c, d) => df.withWatermark(c, d) }
   }
 
-  /** SQL entry point — reference TableEnvironmentImpl.executeSql. */
-  def executeSql(sql: String): DataFrame = spark.sql(sql)
+  /** SQL entry point — reference TableEnvironmentImpl.executeSql.
+    * Accepts Flink SQL directly: MATCH_RECOGNIZE routes to the CEP
+    * compiler; other dialect extensions (window TVFs, PROCTIME, LISTAGG)
+    * are rewritten to Spark SQL by FlinkSqlDialect. */
+  def executeSql(sql: String): DataFrame =
+    if (graft.cep.MatchRecognize.matches(sql))
+      graft.cep.MatchRecognize.execute(spark, sql)
+    else spark.sql(FlinkSqlDialect.translate(sql))
 
   /** Reference Table.createTemporaryView. */
   def createTemporaryView(name: String, df: DataFrame): Unit =

@@ -1,0 +1,335 @@
+package graft.cep
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** MATCH_RECOGNIZE SQL surface — reference: the FMPP/Calcite grammar in
+  * flink-table/flink-sql-parser/src/main/codegen/ and the planner bridge
+  * StreamExecMatch.java:51 (NFA execution in flink-cep/.../nfa/).
+  *
+  * Supported subset (Flink's common usage): PARTITION BY, ORDER BY,
+  * MEASURES with FIRST/LAST/COUNT/SUM/MIN/MAX/AVG over step variables,
+  * ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST ROW, PATTERN with
+  * quantifiers (* + ? {n} {n,} {n,m}, reluctant '?' suffix), WITHIN,
+  * DEFINE with current-row conditions. Not supported (raises):
+  * ALL ROWS PER MATCH, other skip modes, alternation/grouping in
+  * PATTERN, PREV/NEXT navigation in DEFINE.
+  *
+  * Execution is Spark-first, not an interpreter bolted on:
+  *  1. every DEFINE condition becomes a precomputed BOOLEAN column
+  *     (`__def_X`) — arbitrary Spark SQL, codegen'd, evaluated scan-side
+  *     before any shuffle;
+  *  2. one hash-partition by PARTITION BY keys, per-key time sort, and
+  *     the graft.cep.Matcher (NFA-equivalent) binds rows to steps; its
+  *     per-row predicate is just a boolean-column read;
+  *  3. each match emits the per-step row ARRAYS; MEASURES compile to
+  *     array expressions (try_element_at / size / aggregate) evaluated
+  *     declaratively — again codegen'd, no per-measure interpreter.
+  * At 100 TB this is one shuffle on the partition key plus a per-key
+  * sort — the same cost shape as the reference's keyed CEP operator.
+  */
+object MatchRecognize {
+
+  final case class PatSym(name: String, minRepeat: Int, maxRepeat: Int,
+      greedy: Boolean)
+
+  final case class Spec(
+      inputTable: String,
+      outerSelect: String,
+      partitionBy: Seq[String],
+      orderBy: Seq[String],
+      measures: Seq[(String, String)], // (measure SQL, output alias)
+      pattern: Seq[PatSym],
+      withinMs: Option[Long],
+      defines: Map[String, String])    // UPPER(symbol) -> condition SQL
+
+  def matches(sql: String): Boolean =
+    sql.toUpperCase.contains("MATCH_RECOGNIZE")
+
+  // ---------------------------------------------------------------- parse
+
+  private val OuterP: Regex =
+    """(?is)^\s*SELECT\s+(.*?)\s+FROM\s+([\w.]+)\s+MATCH_RECOGNIZE\s*\(""".r
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"MATCH_RECOGNIZE: $msg")
+
+  /** Split on top-level commas (not inside parens or quotes). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote = false
+    s.foreach {
+      case '\'' => quote = !quote; cur += '\''
+      case '(' if !quote => depth += 1; cur += '('
+      case ')' if !quote => depth -= 1; cur += ')'
+      case ',' if !quote && depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  def parse(sql: String): Spec = {
+    val m = OuterP.findFirstMatchIn(sql).getOrElse(
+      fail("expected SELECT ... FROM <table> MATCH_RECOGNIZE (...)"))
+    val outerSelect = m.group(1).trim
+    val inputTable = m.group(2)
+    // balanced-paren scan for the MATCH_RECOGNIZE body
+    val openAt = m.end - 1
+    var depth = 0
+    var i = openAt
+    var closeAt = -1
+    var quote = false
+    while (i < sql.length && closeAt < 0) {
+      sql.charAt(i) match {
+        case '\'' => quote = !quote
+        case '(' if !quote => depth += 1
+        case ')' if !quote => depth -= 1; if (depth == 0) closeAt = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (closeAt < 0) fail("unbalanced parentheses")
+    val body = sql.substring(openAt + 1, closeAt)
+    val tail = sql.substring(closeAt + 1).trim
+    if (!tail.isEmpty && !tail.matches("(?is)AS\\s+\\w+\\s*;?\\s*") &&
+        !tail.matches("(?is)\\w+\\s*;?\\s*"))
+      fail(s"unsupported trailing clause: $tail")
+
+    // locate clause keywords in the body
+    val kws = Seq(
+      "PARTITION_BY" -> """(?is)\bPARTITION\s+BY\b""".r,
+      "ORDER_BY" -> """(?is)\bORDER\s+BY\b""".r,
+      "MEASURES" -> """(?is)\bMEASURES\b""".r,
+      "ROWS_PER_MATCH" -> """(?is)\b(ONE\s+ROW|ALL\s+ROWS)\s+PER\s+MATCH\b""".r,
+      "AFTER_MATCH" -> """(?is)\bAFTER\s+MATCH\b""".r,
+      "PATTERN" -> """(?is)\bPATTERN\b""".r,
+      "WITHIN" -> """(?is)\bWITHIN\b""".r,
+      "DEFINE" -> """(?is)\bDEFINE\b""".r)
+    val hits = kws.flatMap { case (name, r) =>
+      r.findFirstMatchIn(body).map(mm => (name, mm.start, mm.end))
+    }.sortBy(_._2)
+    val sections: Map[String, String] = hits.zipWithIndex.map {
+      case ((name, _, e), idx) =>
+        val end = if (idx + 1 < hits.length) hits(idx + 1)._2 else body.length
+        name -> body.substring(e, end).trim
+    }.toMap
+
+    val partitionBy = sections.get("PARTITION_BY")
+      .map(splitTopLevel(_).map(_.trim)).getOrElse(Nil)
+    val orderBy = sections.get("ORDER_BY")
+      .map(splitTopLevel(_).map(_.trim)).getOrElse(fail("ORDER BY required"))
+    hits.find(_._1 == "ROWS_PER_MATCH").foreach { h =>
+      if (body.substring(h._2, h._3).toUpperCase.contains("ALL"))
+        fail("ALL ROWS PER MATCH is not supported (ONE ROW PER MATCH only)")
+    }
+    sections.get("AFTER_MATCH").foreach { s =>
+      if (!s.matches("(?is)SKIP\\s+PAST\\s+LAST\\s+ROW\\s*"))
+        fail(s"only AFTER MATCH SKIP PAST LAST ROW is supported, got: $s")
+    }
+    val measures = sections.get("MEASURES").map(splitTopLevel(_).map { e =>
+      val mm = """(?is)^(.*\S)\s+AS\s+(\w+)\s*$""".r
+      e match {
+        case mm(ex, alias) => (ex.trim, alias)
+        case _ => fail(s"measure needs 'expr AS alias': $e")
+      }
+    }).getOrElse(fail("MEASURES required"))
+
+    val patBody0 = sections.getOrElse("PATTERN", fail("PATTERN required"))
+    val patP = """(?s)^\s*\((.*?)\)\s*$""".r
+    val patBody = patBody0 match {
+      case patP(b) => b.trim
+      case _ => fail(s"PATTERN needs (...): $patBody0")
+    }
+    if (patBody.contains("|") || patBody.contains("("))
+      fail("alternation/grouping in PATTERN is not supported")
+    val symP = """(\w+)(\*\?|\+\?|\*|\+|\?|\{\d+(?:,\d*)?\}\??)?""".r
+    val pattern = symP.findAllMatchIn(patBody).map { sm =>
+      val name = sm.group(1)
+      val (mn, mx, greedy) = Option(sm.group(2)) match {
+        case None => (1, 1, true)
+        case Some("*") => (0, Int.MaxValue, true)
+        case Some("*?") => (0, Int.MaxValue, false)
+        case Some("+") => (1, Int.MaxValue, true)
+        case Some("+?") => (1, Int.MaxValue, false)
+        case Some("?") => (0, 1, true)
+        case Some(q) =>
+          val braceP = """\{(\d+)(?:,(\d*))?\}(\?)?""".r
+          q match {
+            case braceP(n, null, rel) => (n.toInt, n.toInt, rel == null)
+            case braceP(n, "", rel) => (n.toInt, Int.MaxValue, rel == null)
+            case braceP(n, x, rel) => (n.toInt, x.toInt, rel == null)
+            case _ => fail(s"quantifier $q")
+          }
+      }
+      PatSym(name, mn, mx, greedy)
+    }.toVector
+    if (pattern.isEmpty) fail("empty PATTERN")
+    if (pattern.map(_.name.toUpperCase).distinct.length != pattern.length)
+      fail("repeated pattern variables are not supported")
+
+    val withinMs = sections.get("WITHIN").map { s =>
+      val ip = """(?is)INTERVAL\s+'(\d+)'\s+(\w+)""".r
+      s match {
+        case ip(n, u) =>
+          val mult = u.toUpperCase match {
+            case "SECOND" | "SECONDS" => 1000L
+            case "MINUTE" | "MINUTES" => 60000L
+            case "HOUR" | "HOURS" => 3600000L
+            case "DAY" | "DAYS" => 86400000L
+            case other => fail(s"WITHIN unit $other")
+          }
+          n.toLong * mult
+        case _ => fail(s"WITHIN needs INTERVAL 'n' UNIT: $s")
+      }
+    }
+
+    val defines = sections.get("DEFINE").map(splitTopLevel(_).map { d =>
+      val dm = """(?is)^(\w+)\s+AS\s+(.*)$""".r
+      d match {
+        case dm(name, cond) => name.toUpperCase -> cond.trim
+        case _ => fail(s"DEFINE needs 'SYM AS condition': $d")
+      }
+    }.toMap).getOrElse(Map.empty)
+
+    Spec(inputTable, outerSelect, partitionBy, orderBy, measures,
+      pattern, withinMs, defines)
+  }
+
+  // -------------------------------------------------------------- execute
+
+  /** Run a full MATCH_RECOGNIZE SELECT against the session catalog. */
+  def execute(spark: SparkSession, sql: String): DataFrame = {
+    val spec = parse(sql)
+    val out = apply(spark.table(spec.inputTable), spec)
+    if (spec.outerSelect == "*") out
+    else {
+      val v = s"__mr_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      out.createOrReplaceTempView(v)
+      spark.sql(s"SELECT ${spec.outerSelect} FROM $v")
+    }
+  }
+
+  /** Strip `SYM.` prefixes in DEFINE conditions — they refer to the
+    * current row's columns. */
+  private def stripSymbolPrefixes(cond: String, symbols: Seq[String]): String = {
+    val sym = symbols.map(Regex.quote).mkString("|")
+    cond.replaceAll(s"(?i)\\b($sym)\\.(\\w+)", "$2")
+  }
+
+  /** Compile a MEASURES expression to Spark SQL over the per-step match
+    * arrays (`__m_X`). Bare `X.col` follows the standard's FINAL LAST
+    * semantics. */
+  private[cep] def rewriteMeasure(m: String, symbols: Seq[String]): String = {
+    val sym = symbols.map(Regex.quote).mkString("|")
+    var s = m
+    s = s.replaceAll(s"(?i)\\bFIRST\\s*\\(\\s*($sym)\\.(\\w+)\\s*\\)",
+      "try_element_at(__m_$1, 1).$2")
+    s = s.replaceAll(s"(?i)\\bLAST\\s*\\(\\s*($sym)\\.(\\w+)\\s*\\)",
+      "try_element_at(__m_$1, -1).$2")
+    s = s.replaceAll(s"(?i)\\bCOUNT\\s*\\(\\s*($sym)\\.\\*\\s*\\)",
+      "CAST(size(__m_$1) AS BIGINT)")
+    s = s.replaceAll(s"(?i)\\bCOUNT\\s*\\(\\s*($sym)\\.(\\w+)\\s*\\)",
+      "CAST(size(filter(__m_$1, x -> x.$2 IS NOT NULL)) AS BIGINT)")
+    s = s.replaceAll(s"(?i)\\bSUM\\s*\\(\\s*($sym)\\.(\\w+)\\s*\\)",
+      "aggregate(__m_$1, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x.$2 AS DOUBLE))")
+    s = s.replaceAll(s"(?i)\\bAVG\\s*\\(\\s*($sym)\\.(\\w+)\\s*\\)",
+      "aggregate(__m_$1, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x.$2 AS DOUBLE))" +
+        " / size(__m_$1)")
+    s = s.replaceAll(s"(?i)\\bMIN\\s*\\(\\s*($sym)\\.(\\w+)\\s*\\)",
+      "array_min(transform(__m_$1, x -> x.$2))")
+    s = s.replaceAll(s"(?i)\\bMAX\\s*\\(\\s*($sym)\\.(\\w+)\\s*\\)",
+      "array_max(transform(__m_$1, x -> x.$2))")
+    s = s.replaceAll(s"(?i)\\b($sym)\\.(\\w+)", "try_element_at(__m_$1, -1).$2")
+    s
+  }
+
+  /** Apply a parsed spec to a DataFrame. */
+  def apply(df: DataFrame, spec: Spec): DataFrame = {
+    val symbols = spec.pattern.map(_.name)
+
+    // 1. DEFINE conditions as precomputed boolean columns (scan-side)
+    var pre = df
+    symbols.foreach { s =>
+      val cond = spec.defines.get(s.toUpperCase)
+        .map(stripSymbolPrefixes(_, symbols)).getOrElse("true")
+      pre = pre.withColumn(s"__def_$s", expr(cond))
+    }
+    val preSchema = pre.schema
+    val partIdx = spec.partitionBy.map(preSchema.fieldIndex).toArray
+    val orderIdx = spec.orderBy.map(preSchema.fieldIndex).toArray
+    val defIdx = symbols.map(s => s -> preSchema.fieldIndex(s"__def_$s")).toMap
+    val tsIdx = orderIdx.head
+    spec.withinMs.foreach { _ =>
+      val t = preSchema(tsIdx).dataType
+      if (t != TimestampType && t != LongType && t != IntegerType)
+        fail(s"WITHIN requires a time-ordered first ORDER BY column, got $t")
+    }
+
+    // 2. the cep pattern over Row: predicates read the boolean columns;
+    // SQL MATCH_RECOGNIZE contiguity is strict (quantified steps consume
+    // the in-between rows)
+    var pat: Pattern[Row] = null
+    spec.pattern.zipWithIndex.foreach { case (ps, i) =>
+      val di = defIdx(ps.name)
+      val pred: Row => Boolean = r => !r.isNullAt(di) && r.getBoolean(di)
+      pat = if (i == 0) Pattern.begin[Row](ps.name).where(pred)
+        else pat.next(ps.name).where(pred)
+      if (!(ps.minRepeat == 1 && ps.maxRepeat == 1))
+        pat = pat.times(ps.minRepeat, ps.maxRepeat)
+      if (!ps.greedy) pat = pat.reluctant
+    }
+    spec.withinMs.foreach(ms => pat = pat.within(ms))
+
+    val tsOf: Row => Long = r => r.get(tsIdx) match {
+      case null => Long.MinValue
+      case t: java.sql.Timestamp => t.getTime
+      case t: java.time.Instant => t.toEpochMilli
+      case l: Long => l
+      case n: Int => n.toLong
+      case o => fail(s"unsupported ORDER BY value $o")
+    }
+    val rowOrd: Ordering[Row] = (a: Row, b: Row) => {
+      var c = 0
+      var i = 0
+      while (c == 0 && i < orderIdx.length) {
+        val x = a.get(orderIdx(i))
+        val y = b.get(orderIdx(i))
+        c = if (x == null && y == null) 0
+          else if (x == null) -1
+          else if (y == null) 1
+          else x.asInstanceOf[Comparable[Any]].compareTo(y)
+        i += 1
+      }
+      c
+    }
+
+    val keySchema = StructType(partIdx.map(preSchema.apply).toSeq)
+    val stepArr = ArrayType(preSchema, containsNull = false)
+    val outSchema = StructType(keySchema.fields.toSeq ++
+      symbols.map(s => StructField(s"__m_$s", stepArr)))
+    val patB = pat
+
+    val matched = pre
+      .groupByKey((r: Row) => Row.fromSeq(partIdx.map(r.get).toSeq))(
+        Encoders.row(keySchema))
+      .flatMapGroups { (key: Row, rows: Iterator[Row]) =>
+        val sorted = rows.toIndexedSeq.sorted(rowOrd)
+        Matcher.findMatches(sorted, tsOf, patB).iterator.map { bindings =>
+          Row.fromSeq(key.toSeq ++
+            symbols.map(s => bindings.getOrElse(s, Seq.empty[Row])))
+        }
+      }(Encoders.row(outSchema))
+
+    // 3. MEASURES as declarative array expressions
+    val measureCols = spec.measures.map { case (e, alias) =>
+      expr(rewriteMeasure(e, symbols)).as(alias)
+    }
+    matched.select(spec.partitionBy.map(col) ++ measureCols: _*)
+  }
+}

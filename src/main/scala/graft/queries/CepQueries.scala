@@ -61,6 +61,41 @@ object CepQueries {
             bindings("buy").head.value)
         }
         .toDF("user_id", "match_idx", "n_clicks", "buy_value")
-    }, None, bench = true)
+    }, None, bench = true),
+
+    // The same click->purchase pattern through the MATCH_RECOGNIZE SQL
+    // surface (graft.cep.MatchRecognize): DEFINE becomes boolean columns,
+    // the matcher binds steps, MEASURES compile to array expressions.
+    // Mutually-exclusive step types make the lag() oracle exact.
+    QueryDef("q_match_recognize", (s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      val env = graft.api.TableEnv(s)
+      val matches = env.executeSql("""
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES FIRST(C.event_id) AS click_id, LAST(P.value) AS buy_value
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (C P)
+          DEFINE C AS C.event_type = 'click',
+                 P AS P.event_type = 'purchase'
+        )""")
+      matches.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          sum(col("click_id")).as("sum_click_id"),
+          dsum(col("buy_value")).as("sum_buy"))
+    }, Some(s"""
+      SELECT user_id, COUNT(*) AS n_matches,
+        CAST(SUM(click_id) AS BIGINT) AS sum_click_id,
+        ${dsumSql("value")} AS sum_buy
+      FROM (
+        SELECT user_id, value, event_type,
+          LAG(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev,
+          LAG(event_id) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS click_id
+        FROM events)
+      WHERE event_type = 'purchase' AND prev = 'click'
+      GROUP BY user_id"""), bench = true)
   )
 }

@@ -1,0 +1,159 @@
+package graft.cep
+
+import graft.SparkSpec
+import graft.api.TableEnv
+import graft.core.Tables
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class MatchRecognizeSpec extends SparkSpec {
+
+  private def mkEvents(rows: Seq[(Long, Long, String, Long, Double)]): Unit = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("t", LongType),
+      StructField("value", DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2, r._3, r._4, r._5))),
+      schema).createOrReplaceTempView("mr_events")
+  }
+
+  test("parse extracts all clauses") {
+    val spec = MatchRecognize.parse("""
+      SELECT * FROM t MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES FIRST(A.ts) AS start_ts, COUNT(B.*) AS n_b
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B*? C{1,3})
+        WITHIN INTERVAL '10' MINUTE
+        DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'
+      ) AS m""")
+    assert(spec.inputTable == "t")
+    assert(spec.partitionBy == Seq("user_id"))
+    assert(spec.orderBy == Seq("ts", "event_id"))
+    assert(spec.measures == Seq(("FIRST(A.ts)", "start_ts"),
+      ("COUNT(B.*)", "n_b")))
+    assert(spec.pattern == Seq(
+      MatchRecognize.PatSym("A", 1, 1, greedy = true),
+      MatchRecognize.PatSym("B", 0, Int.MaxValue, greedy = false),
+      MatchRecognize.PatSym("C", 1, 3, greedy = true)))
+    assert(spec.withinMs.contains(600000L))
+    assert(spec.defines("A") == "A.event_type = 'a'")
+  }
+
+  test("measure rewrite compiles step references to array exprs") {
+    val syms = Seq("A", "B")
+    assert(MatchRecognize.rewriteMeasure("FIRST(A.ts)", syms) ==
+      "try_element_at(__m_A, 1).ts")
+    assert(MatchRecognize.rewriteMeasure("LAST(B.v)", syms) ==
+      "try_element_at(__m_B, -1).v")
+    assert(MatchRecognize.rewriteMeasure("COUNT(B.*)", syms) ==
+      "CAST(size(__m_B) AS BIGINT)")
+    assert(MatchRecognize.rewriteMeasure("A.v", syms) ==
+      "try_element_at(__m_A, -1).v")
+  }
+
+  test("quantified funnel pattern binds and measures correctly") {
+    mkEvents(Seq(
+      // user 1: signup, 3 clicks, purchase -> one match, greedy clicks
+      (1L, 1L, "signup", 100L, 1.0), (2L, 1L, "click", 200L, 2.0),
+      (3L, 1L, "click", 300L, 3.0), (4L, 1L, "click", 400L, 4.0),
+      (5L, 1L, "purchase", 500L, 50.0),
+      // user 2: signup then purchase with no clicks -> B* matches empty
+      (6L, 2L, "signup", 100L, 1.0), (7L, 2L, "purchase", 200L, 20.0),
+      // user 3: clicks interrupted by a view -> strict contiguity fails
+      (8L, 3L, "signup", 100L, 1.0), (9L, 3L, "click", 200L, 2.0),
+      (10L, 3L, "view", 300L, 0.0), (11L, 3L, "purchase", 400L, 40.0)))
+    val env = TableEnv(spark)
+    val out = env.executeSql("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY t, event_id
+        MEASURES FIRST(S.t) AS start_t, COUNT(C.*) AS n_clicks,
+                 SUM(C.value) AS click_sum, LAST(P.value) AS buy_value
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (S C* P)
+        DEFINE S AS S.event_type = 'signup',
+               C AS C.event_type = 'click',
+               P AS P.event_type = 'purchase'
+      )""").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 100L, 3L, 9.0, 50.0),
+      (2L, 100L, 0L, 0.0, 20.0)))
+  }
+
+  test("WITHIN bounds the match window") {
+    mkEvents(Seq(
+      (1L, 1L, "a", 0L, 0.0), (2L, 1L, "b", 500L, 0.0),       // inside
+      (3L, 2L, "a", 0L, 0.0), (4L, 2L, "b", 5000L, 0.0)))     // outside
+    val env = TableEnv(spark)
+    // long ORDER BY column: WITHIN interval converts to ms units
+    val out = env.executeSql("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY t
+        MEASURES LAST(B.t) AS end_t
+        PATTERN (A B)
+        WITHIN INTERVAL '1' SECOND
+        DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'
+      )""").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("SKIP PAST LAST ROW does not overlap matches") {
+    mkEvents(Seq(
+      (1L, 1L, "a", 100L, 0.0), (2L, 1L, "a", 200L, 0.0),
+      (3L, 1L, "a", 300L, 0.0)))
+    val env = TableEnv(spark)
+    val out = env.executeSql("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY t
+        MEASURES FIRST(A.t) AS t0, LAST(B.t) AS t1
+        PATTERN (A B)
+        DEFINE A AS A.event_type = 'a', B AS B.event_type = 'a'
+      )""").collect()
+    // rows 1+2 match; row 3 has no partner -> exactly one match
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((100L, 200L)))
+  }
+
+  test("unsupported clauses raise") {
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parse("""SELECT * FROM t MATCH_RECOGNIZE (
+        ORDER BY ts MEASURES A.x AS x ALL ROWS PER MATCH
+        PATTERN (A) DEFINE A AS true)""")
+    }
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parse("""SELECT * FROM t MATCH_RECOGNIZE (
+        ORDER BY ts MEASURES A.x AS x AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A) DEFINE A AS true)""")
+    }
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parse("""SELECT * FROM t MATCH_RECOGNIZE (
+        ORDER BY ts MEASURES A.x AS x PATTERN (A | B) DEFINE A AS true)""")
+    }
+  }
+
+  test("events-table funnel matches the Pattern-DSL CEP result") {
+    Tables.registerAll(spark, sfDir)
+    val env = TableEnv(spark)
+    val sqlOut = env.executeSql("""
+      SELECT * FROM events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY ts, event_id
+        MEASURES COUNT(P.*) AS n
+        PATTERN (C P)
+        DEFINE C AS C.event_type = 'click', P AS P.event_type = 'purchase'
+      )""")
+    import org.apache.spark.sql.functions._
+    val viaDsl = graft.Registry.byName("q_cep_strict")
+      .run(spark, sfDir)
+    val got = sqlOut.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_matches"))
+    assert(got.exceptAll(viaDsl).isEmpty && viaDsl.exceptAll(got).isEmpty)
+  }
+}
