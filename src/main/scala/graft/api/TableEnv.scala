@@ -58,6 +58,9 @@ final class TableEnv(val spark: SparkSession) {
   def executeSql(sql: String): DataFrame =
     if (graft.cep.MatchRecognize.matches(sql))
       graft.cep.MatchRecognize.execute(spark, sql)
+    else if (TemporalJoinSql.matches(sql))
+      TemporalJoinSql.execute(spark, sql,
+        name => specs.get(name).flatMap(_.watermark).map(_._1))
     else spark.sql(FlinkSqlDialect.translate(sql))
 
   /** Reference Table.createTemporaryView. */

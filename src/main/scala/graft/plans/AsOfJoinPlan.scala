@@ -32,6 +32,10 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     rightVals: Seq[Attribute]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ rightVals.map(_.withNullability(true))
+  // keys/timestamps must survive column pruning even when the parent
+  // only selects a subset of rightVals
+  override def references: AttributeSet =
+    AttributeSet(Seq(leftKey, rightKey, leftTs, rightTs) ++ rightVals)
   override protected def withNewChildrenInternal(
       l: LogicalPlan, r: LogicalPlan): LogicalPlan = copy(left = l, right = r)
 }
@@ -152,22 +156,35 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 object PlannedAsOfJoin {
 
   /** Backward (inclusive) as-of join on a shared key/timestamp column
-    * name; `rightVals` are carried from the right side. Registers the
-    * strategy on the session (idempotent). */
+    * name; `rightVals` are carried from the right side. */
   def asOf(leftDf: DataFrame, rightDf: DataFrame, key: String, ts: String,
+      rightVals: Seq[String]): DataFrame =
+    asOf(leftDf, rightDf, key, key, ts, ts, rightVals)
+
+  /** General form with distinct column names per side (the SQL
+    * `FOR SYSTEM_TIME AS OF` surface needs this). Registers the strategy
+    * on the session (idempotent). */
+  def asOf(leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
       rightVals: Seq[String]): DataFrame = {
     val spark: SparkSession = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     val lPlan = ColumnBridge.analyzedPlan(leftDf)
-    val rPlan = ColumnBridge.analyzedPlan(rightDf)
+    // re-alias the right side so its attribute ids can never collide
+    // with the left's (both sides often derive from the same base
+    // DataFrame; ambiguous ids would let the optimizer collapse the
+    // right key/ts onto the left's and mis-prune the right child)
+    val rPlanRaw = ColumnBridge.analyzedPlan(rightDf)
+    val rPlan: LogicalPlan = org.apache.spark.sql.catalyst.plans.logical.Project(
+      rPlanRaw.output.map(a => Alias(a, a.name)()), rPlanRaw)
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column $n"))
     val plan = AsOfJoinPlan(lPlan, rPlan,
-      attr(lPlan, key), attr(rPlan, key),
-      attr(lPlan, ts), attr(rPlan, ts),
+      attr(lPlan, leftKey), attr(rPlan, rightKey),
+      attr(lPlan, leftTs), attr(rPlan, rightTs),
       rightVals.map(attr(rPlan, _)))
     ColumnBridge.ofRows(spark, plan)
   }

@@ -182,6 +182,31 @@ object JoinQueries {
                       GROUP BY user_id, ts) c
         ON e.user_id = c.user_id AND e.ts >= c.ts""")),
 
+    // The same temporal join through the `FOR SYSTEM_TIME AS OF` SQL
+    // surface (graft.api.TemporalJoinSql -> AsOfJoinExec).
+    QueryDef("q_asof_sql", (s, dir) => {
+      val e = t(s, dir, "events")
+      e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .createOrReplaceTempView("asof_purchases")
+      e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+        .createOrReplaceTempView("asof_clicks")
+      graft.api.TableEnv(s).executeSql("""
+        SELECT p.event_id, p.user_id, p.ts, p.value, c.click_value
+        FROM asof_purchases p
+        LEFT JOIN asof_clicks FOR SYSTEM_TIME AS OF p.ts AS c
+        ON p.user_id = c.user_id""")
+    }, Some("""
+      SELECT e.event_id, e.user_id, e.ts, e.value, c.click_value
+      FROM (SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase') e
+      ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS click_value
+                      FROM events WHERE event_type = 'click'
+                      GROUP BY user_id, ts) c
+        ON e.user_id = c.user_id AND e.ts >= c.ts""")),
+
     // Interval join (reference TimeIntervalJoin.java:52): event pairs of
     // the same user within 5 minutes. Equi key + range predicate — Spark
     // plans a shuffled join on user_id with the range as post-filter.
