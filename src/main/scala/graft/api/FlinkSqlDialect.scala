@@ -42,6 +42,11 @@ object FlinkSqlDialect {
       """DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*""" + IntervalP + """\s*,\s*""" +
       IntervalP + """\s*\)\s*\)""").r
 
+  private val Session: Regex =
+    ("""(?is)TABLE\s*\(\s*SESSION\s*\(\s*TABLE\s+(\w+)""" +
+      """(?:\s+PARTITION\s+BY\s+([\w]+(?:\s*,\s*[\w]+)*))?\s*,\s*""" +
+      """DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*""" + IntervalP + """\s*\)\s*\)""").r
+
   private def seconds(n: String, unit: String): Long = {
     val mult = unit.toUpperCase match {
       case "SECOND" | "SECONDS" => 1L
@@ -93,6 +98,31 @@ object FlinkSqlDialect {
               sequence((unix_micros($ts) DIV $step) * $step + $step,
                        (unix_micros($ts) DIV $max) * $max + $max, $step),
               x -> timestamp_micros(x))) AS window_end FROM $t)""")
+    })
+
+    // SESSION TVF (reference UnsliceAssigners.java:47, session merge in
+    // MergingWindowSet.java:255): gaps-and-islands in pure Spark SQL —
+    // a new session starts when the gap to the previous event exceeds
+    // the interval; window_end is last event + gap, matching both the
+    // reference and Spark's session_window().
+    out = Session.replaceAllIn(out, m => {
+      val (t, pk, ts) = (m.group(1), Option(m.group(2)), m.group(3))
+      val gapUs = seconds(m.group(4), m.group(5)) * 1000000L
+      val part = pk.map(p => s"PARTITION BY $p ").getOrElse("")
+      val sidPart = pk.map(p => s"$p, ").getOrElse("")
+      Regex.quoteReplacement(
+        s"""(SELECT *,
+              MIN($ts) OVER (PARTITION BY $sidPart __sid) AS window_start,
+              timestamp_micros(unix_micros(
+                MAX($ts) OVER (PARTITION BY $sidPart __sid)) + $gapUs)
+                AS window_end
+            FROM (SELECT *,
+              SUM(__new_sess) OVER ($part ORDER BY $ts
+                ROWS UNBOUNDED PRECEDING) AS __sid
+            FROM (SELECT *,
+              CASE WHEN unix_micros($ts) - LAG(unix_micros($ts))
+                OVER ($part ORDER BY $ts) <= $gapUs
+                THEN 0 ELSE 1 END AS __new_sess FROM $t)))""")
     })
 
     out = out.replaceAll("""(?i)PROCTIME\s*\(\s*\)""", "current_timestamp()")

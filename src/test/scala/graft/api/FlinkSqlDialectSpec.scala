@@ -49,6 +49,37 @@ class FlinkSqlDialectSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("SESSION TVF matches session_window aggregation") {
+    val flink = """
+      SELECT window_start AS session_start, user_id, COUNT(*) AS n
+      FROM TABLE(SESSION(TABLE events PARTITION BY user_id,
+        DESCRIPTOR(ts), INTERVAL '10' MINUTE))
+      GROUP BY window_start, user_id"""
+    val got = env.executeSql(FlinkSqlDialect.translate(flink))
+    val want = Tables.load(spark, sfDir, "events")
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("session_start"), col("user_id"), col("n"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("SESSION TVF window_end is last event plus gap") {
+    val flink = """
+      SELECT window_start, window_end, user_id, COUNT(*) AS n
+      FROM TABLE(SESSION(TABLE events PARTITION BY user_id,
+        DESCRIPTOR(ts), INTERVAL '10' MINUTE))
+      GROUP BY window_start, window_end, user_id"""
+    val got = env.executeSql(FlinkSqlDialect.translate(flink))
+    val want = Tables.load(spark, sfDir, "events")
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("user_id"), col("n"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("PROCTIME and LISTAGG rewrite") {
     val t = FlinkSqlDialect.translate(
       "SELECT PROCTIME() AS p, LISTAGG(n_name) AS names FROM nation")
