@@ -1,0 +1,104 @@
+package graft.operators
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.{Dataset, Encoder}
+
+/** Async cached lookup join — reference: AsyncLookupJoinRunner +
+  * AsyncLookupJoinWithCalcRunner (flink-table-runtime/.../operators/
+  * join/lookup/), the retry wrapper (RetryableAsyncLookupFunction
+  * Delegator) and the shared partition cache (LookupCacheManager.java,
+  * CachingAsyncLookupFunction.java).
+  *
+  * Combines the AsyncIO pipeline with the LookupJoin cache: per
+  * PARTITION one async lookup function, one LRU cache, and up to
+  * `capacity` in-flight lookups; results emit in INPUT ORDER (the
+  * runner's ordered ResultFetcher). A cache hit short-circuits the
+  * dispatch entirely; a miss dispatches with up to `maxRetries`
+  * fixed-delay retries (the reference's FIXED_DELAY retry strategy).
+  *
+  * Scale shape: zero shuffle of the probe side, no driver involvement;
+  * at 1000 executors this is 1000 independent caches and connection
+  * pools, identical to the reference's per-subtask runners.
+  */
+object AsyncLookupJoin {
+
+  /** Async lookup function contract (reference AsyncLookupFunction:
+    * open once per partition, async fetch per key, close at end). */
+  trait AsyncLookupFn[K, V] extends Serializable {
+    def open(): Unit = ()
+    def asyncLookup(key: K)(implicit ec: ExecutionContext): Future[Option[V]]
+    def close(): Unit = ()
+  }
+
+  /** Ordered async cached lookup join (left outer via Option). */
+  def ordered[T, K, V, O](ds: Dataset[T], keyFn: T => K,
+      fn: AsyncLookupFn[K, V], combine: (T, Option[V]) => O,
+      capacity: Int = 16, cacheSize: Int = 10000,
+      timeout: Duration = Duration.Inf,
+      maxRetries: Int = 0, retryDelayMs: Long = 0)(
+      implicit oEnc: Encoder[O]): Dataset[O] = {
+    ds.mapPartitions { rows =>
+      fn.open()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(2, capacity))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      // cache shared between the fill loop and completion callbacks
+      val cache = new java.util.LinkedHashMap[K, Option[V]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[K, Option[V]]): Boolean = size() > cacheSize
+      }
+      def cacheGet(k: K): Option[Option[V]] = cache.synchronized {
+        Option(cache.get(k))
+      }
+      def cachePut(k: K, v: Option[V]): Unit = cache.synchronized {
+        cache.put(k, v); ()
+      }
+      def withRetry(k: K, attempt: Int): Future[Option[V]] =
+        fn.asyncLookup(k).recoverWith {
+          case _ if attempt < maxRetries =>
+            // fixed-delay retry on the pool thread (reference
+            // FIXED_DELAY strategy; delay bounded by the caller)
+            if (retryDelayMs > 0) Thread.sleep(retryDelayMs)
+            withRetry(k, attempt + 1)
+        }
+      // duplicate keys already in flight share one future (the
+      // reference's LookupCacheManager semantics) — a hot probe key
+      // costs one store round-trip, not `capacity` of them
+      val pending = scala.collection.mutable.Map.empty[K, Future[Option[V]]]
+      def dispatch(k: K): Future[Option[V]] = cacheGet(k) match {
+        case Some(hit) => Future.successful(hit)
+        case None => pending.synchronized {
+          pending.getOrElseUpdate(k, {
+            val f = withRetry(k, 0)
+            f.onComplete { r =>
+              r.foreach(v => cachePut(k, v))
+              pending.synchronized(pending.remove(k))
+            }
+            f
+          })
+        }
+      }
+      val inflight = scala.collection.mutable.Queue.empty[(T, Future[Option[V]])]
+      new Iterator[O] {
+        private def fill(): Unit =
+          while (inflight.size < capacity && rows.hasNext) {
+            val r = rows.next()
+            inflight.enqueue((r, dispatch(keyFn(r))))
+          }
+        def hasNext: Boolean = {
+          fill()
+          val h = inflight.nonEmpty
+          if (!h) { fn.close(); pool.shutdown() }
+          h
+        }
+        def next(): O = {
+          fill()
+          val (r, f) = inflight.dequeue()
+          combine(r, Await.result(f, timeout))
+        }
+      }
+    }
+  }
+}
