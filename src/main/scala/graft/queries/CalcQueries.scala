@@ -46,6 +46,28 @@ object CalcQueries {
       SELECT p_partkey, p_name, p_size FROM part
       WHERE p_size >= 40 AND p_brand = 'Brand#1'""")),
 
+    // Avro payload format roundtrip (graft.core.AvroFormat — reference
+    // flink-avro (de)serialization schemas): encode an orders projection
+    // to avro binary, decode, aggregate; the oracle aggregates the raw
+    // table, so any codec defect breaks the hash.
+    QueryDef("q_format_avro", (s, dir) => {
+      val schema = """{"type":"record","name":"ord","fields":[
+        {"name":"o_orderkey","type":"long"},
+        {"name":"o_orderpriority","type":["null","string"]},
+        {"name":"o_totalprice","type":"double"}]}"""
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val decoded = graft.core.AvroFormat.fromAvro(
+        graft.core.AvroFormat.toAvro(o, schema), "value", schema)
+      decoded.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("o_orderkey")).as("sum_key"))
+    }, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n,
+        ${dsumSql("o_totalprice")} AS sum_price,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+      FROM orders GROUP BY o_orderpriority""")),
+
     // Lateral explode / UNNEST (Correlate): word explosion over docs.
     QueryDef("q_explode", (s, dir) => {
       t(s, dir, "documents")

@@ -198,6 +198,48 @@ object StatefulOps {
       }
   }
 
+  /** Streaming OVER aggregate, RANGE BETWEEN `rangeMs` PRECEDING AND
+    * CURRENT ROW in strict event-time order — reference:
+    * RowTimeRangeBoundedPrecedingFunction.java:67 (which keeps per-
+    * timestamp state and retracts entries leaving the range). Rows
+    * buffer until the watermark passes them, then emit in order with
+    * the sum over values whose ts lies in [ts - rangeMs, ts]. State:
+    * the immature buffer plus the matured (ts, value) pairs still
+    * inside the range of the last emitted row — O(rows-in-range) per
+    * key, the same bound as the reference's per-ts map. */
+  def rangeBoundedSum[K, T](ds: Dataset[T], keyFn: T => K, tsFn: T => Long,
+      valFn: T => Double, rangeMs: Long)(
+      implicit kEnc: Encoder[K], tEnc: Encoder[T], seqEnc: Encoder[Seq[T]],
+      outEnc: Encoder[(K, Long, Double)]): Dataset[(K, Long, Double)] = {
+    implicit val stEnc: Encoder[(Seq[T], Seq[(Long, Double)])] =
+      Encoders.tuple(seqEnc, org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(Long, Double)]]())
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: K, rows: Iterator[T],
+            state: GroupState[(Seq[T], Seq[(Long, Double)])]) =>
+          val (buffered, tail) =
+            state.getOption.getOrElse((Seq.empty[T], Seq.empty[(Long, Double)]))
+          val wm = state.getCurrentWatermarkMs()
+          val all = (buffered ++ rows).sortBy(tsFn)
+          val (mature, pending) = all.partition(t => tsFn(t) <= wm)
+          var window = tail
+          val out = mature.map { t =>
+            val ts = tsFn(t)
+            window = (window :+ (ts, valFn(t))).dropWhile(_._1 < ts - rangeMs)
+            (key, ts, window.map(_._2).sum)
+          }
+          if (pending.isEmpty && window.isEmpty) state.remove()
+          else {
+            state.update((pending, window))
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(tsFn(pending.head) + 1)
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming OVER aggregate, ROWS UNBOUNDED PRECEDING flavor
     * (reference AbstractRowTimeUnboundedPrecedingOver): per-key running
     * sum in event-time order. Within a micro-batch rows are sorted by
