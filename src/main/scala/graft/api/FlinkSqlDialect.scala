@@ -129,6 +129,37 @@ object FlinkSqlDialect {
     // simple-argument LISTAGG only (column or dotted reference)
     out = out.replaceAll("""(?i)LISTAGG\s*\(\s*([\w.]+)\s*\)""",
       "concat_ws(',', collect_list($1))")
+    // SUM0: null-as-zero sum (reference BuiltInFunctionDefinitions SUM0)
+    out = out.replaceAll("""(?i)\bSUM0\s*\(\s*([\w.]+)\s*\)""",
+      "coalesce(sum($1), 0)")
+    // RAND_INTEGER(n) -> uniform int in [0, n)
+    out = out.replaceAll("""(?i)\bRAND_INTEGER\s*\(\s*(\w+)\s*\)""",
+      "CAST(floor(rand() * $1) AS INT)")
+    // SIMILAR TO: SQL pattern -> Java regex via rlike. Handles the SQL
+    // wildcards % and _; character classes pass through unchanged.
+    // Literal-pattern operand only (the common form).
+    out = out.replaceAll(
+      """(?i)\b([\w.]+)\s+SIMILAR\s+TO\s+'([^']*)'""", "SIMILARTO($1,'$2')")
+    out = """SIMILARTO\(([\w.]+),'([^']*)'\)""".r.replaceAllIn(out, m => {
+      val target = m.group(1)
+      val rx = m.group(2)
+        .replace(".", "\\.")
+        .replace("%", ".*").replace("_", ".")
+      Regex.quoteReplacement(s"$target rlike '^$rx$$'")
+    })
+    // JSON constructors (reference JSON_OBJECT/JSON_ARRAY and their
+    // aggregate forms). KEY k VALUE v syntax -> to_json over structs;
+    // the agg forms build from collect_list.
+    out = out.replaceAll(
+      """(?i)\bJSON_OBJECT\s*\(\s*KEY\s+'(\w+)'\s+VALUE\s+([\w.]+)\s*\)""",
+      "to_json(struct($2 AS $1))")
+    out = out.replaceAll("""(?i)\bJSON_ARRAY\s*\(\s*([\w.,\s]+?)\s*\)""",
+      "to_json(array($1))")
+    out = out.replaceAll("""(?i)\bJSON_ARRAYAGG\s*\(\s*([\w.]+)\s*\)""",
+      "to_json(collect_list($1))")
+    out = out.replaceAll(
+      """(?i)\bJSON_OBJECTAGG\s*\(\s*KEY\s+([\w.]+)\s+VALUE\s+([\w.]+)\s*\)""",
+      "to_json(map_from_entries(collect_list(struct($1, $2))))")
     out
   }
 }

@@ -37,17 +37,23 @@ object Matcher {
   def tryFrom[T](events: IndexedSeq[T], start: Int, tsOf: T => Long,
       pattern: Pattern[T]): Option[(Int, Map[String, Seq[T]])] = {
     // fold negated steps into the FOLLOWING positive step as a
-    // forbidden-gap predicate (reference: notFollowedBy NFA edges)
+    // forbidden-gap predicate (reference: notFollowedBy / notNext NFA
+    // edges; strict = notNext checks only the immediately-next event)
     require(!pattern.steps.last.negated,
-      "notFollowedBy cannot be the last pattern step")
+      "notFollowedBy/notNext cannot be the last pattern step")
     case class ExecStep(step: Step[T],
-        forbidden: Option[(T, Map[String, Seq[T]]) => Boolean])
+        forbidden: Option[(T, Map[String, Seq[T]]) => Boolean],
+        forbiddenStrict: Boolean)
     val steps: Vector[ExecStep] = {
       val out = Vector.newBuilder[ExecStep]
       var pendingNeg: Option[(T, Map[String, Seq[T]]) => Boolean] = None
+      var pendingNegStrict = false
       pattern.steps.foreach { s =>
-        if (s.negated) pendingNeg = Some(s.predicate)
-        else { out += ExecStep(s, pendingNeg); pendingNeg = None }
+        if (s.negated) { pendingNeg = Some(s.predicate); pendingNegStrict = s.strict }
+        else {
+          out += ExecStep(s, pendingNeg, pendingNegStrict)
+          pendingNeg = None; pendingNegStrict = false
+        }
       }
       out.result()
     }
@@ -61,6 +67,17 @@ object Matcher {
       val es = steps(stepIdx)
       val step = es.step
       val isFirstStep = stepIdx == 0
+      def withinOk(e: T): Boolean =
+        firstTs == Long.MinValue || tsOf(e) - firstTs <= withinMs
+      def untilHit(e: T): Boolean = step.until.exists(_(e, acc))
+      // notNext: the event immediately after the previous step may not
+      // match the forbidden condition (regardless of where this step
+      // eventually matches)
+      if (es.forbiddenStrict) {
+        es.forbidden.foreach { f =>
+          if (pos < events.length && f(events(pos), acc)) return None
+        }
+      }
       // where may this step's run begin?
       val startPositions: Iterator[Int] =
         if (isFirstStep || step.strict) Iterator.single(pos)
@@ -68,16 +85,29 @@ object Matcher {
       for (sp <- startPositions) {
         // notFollowedBy: the gap skipped over may not contain a
         // forbidden event; once one appears, no later start can work
-        es.forbidden.foreach { f =>
+        if (!es.forbiddenStrict) es.forbidden.foreach { f =>
           if ((pos until sp).exists(i => f(events(i), acc))) return None
         }
-        // longest consecutive run of matching events from sp
-        var maxRun = 0
-        while (sp + maxRun < events.length && maxRun < step.maxRepeat && {
-          val e = events(sp + maxRun)
-          step.predicate(e, acc) &&
-            (firstTs == Long.MinValue || tsOf(e) - firstTs <= withinMs)
-        }) maxRun += 1
+        // candidate repeat positions from sp: consecutive by default;
+        // with relaxedRepeat, non-matching events in between are skipped
+        // (Flink's skip-till-next inside loops); `until` ends the run
+        val runIdx = scala.collection.mutable.ArrayBuffer.empty[Int]
+        if (step.relaxedRepeat && !step.strict) {
+          var j = sp
+          var stop = false
+          while (!stop && j < events.length && runIdx.length < step.maxRepeat) {
+            val e = events(j)
+            if (!withinOk(e) || untilHit(e)) stop = true
+            else { if (step.predicate(e, acc)) runIdx += j; j += 1 }
+          }
+        } else {
+          var j = sp
+          while (j < events.length && runIdx.length < step.maxRepeat && {
+            val e = events(j)
+            step.predicate(e, acc) && withinOk(e) && !untilHit(e)
+          }) { runIdx += j; j += 1 }
+        }
+        val maxRun = runIdx.length
         if (maxRun >= step.minRepeat || step.minRepeat == 0) {
           val lo = math.max(step.minRepeat, 0)
           val hi = math.min(maxRun, step.maxRepeat)
@@ -88,12 +118,12 @@ object Matcher {
             if (step.minRepeat == 0 && !counts.contains(0)) counts :+ 0
             else counts
           for (c <- candidateCounts) {
-            val taken = events.slice(sp, sp + c).toSeq
+            val taken = runIdx.take(c).map(events).toSeq
             val f2 =
               if (firstTs != Long.MinValue) firstTs
               else if (c > 0) tsOf(taken.head)
               else Long.MinValue
-            go(stepIdx + 1, if (c > 0) sp + c else sp, f2,
+            go(stepIdx + 1, if (c > 0) runIdx(c - 1) + 1 else sp, f2,
                 acc + (step.name -> taken)) match {
               case s @ Some(_) => return s
               case None =>

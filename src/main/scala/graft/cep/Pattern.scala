@@ -25,7 +25,12 @@ final case class Step[T](
     maxRepeat: Int = 1,
     strict: Boolean = false,
     greedy: Boolean = true,
-    negated: Boolean = false)
+    negated: Boolean = false,
+    // loop stop condition (reference Pattern.until)
+    until: Option[(T, Map[String, Seq[T]]) => Boolean] = None,
+    // relaxed internal contiguity for quantified steps (Flink's default
+    // for followedBy loops; our default is consecutive)
+    relaxedRepeat: Boolean = false)
 
 final class Pattern[T] private (val steps: Vector[Step[T]], val withinMs: Long)
     extends Serializable {
@@ -56,6 +61,36 @@ final class Pattern[T] private (val steps: Vector[Step[T]], val withinMs: Long)
   def notFollowedBy(name: String): Pattern[T] =
     new Pattern(steps :+ Step[T](name, (_, _) => true, negated = true),
       withinMs)
+
+  /** Strict absence (reference Pattern.notNext): the event immediately
+    * following the previous step must not match this condition. Must be
+    * followed by a positive step. */
+  def notNext(name: String): Pattern[T] =
+    new Pattern(steps :+ Step[T](name, (_, _) => true, negated = true,
+      strict = true), withinMs)
+
+  /** Disjunctive condition on the current step (reference
+    * Pattern.or(SimpleCondition)). */
+  def or(p: T => Boolean): Pattern[T] =
+    updLast { s =>
+      val old = s.predicate
+      s.copy(predicate = (t, ctx) => old(t, ctx) || p(t))
+    }
+
+  /** Loop stop condition (reference Pattern.until): a quantified step
+    * stops accepting once an event matches `p` (the event itself is not
+    * consumed by the loop). */
+  def until(p: T => Boolean): Pattern[T] =
+    updLast(_.copy(until = Some((t, _) => p(t))))
+
+  /** Relaxed internal contiguity for the (quantified) step: repeat
+    * elements may be separated by non-matching events (Flink's default
+    * for followedBy loops — skip-till-next within the loop). */
+  def allowGaps: Pattern[T] = updLast(_.copy(relaxedRepeat = true))
+
+  /** Strict internal contiguity (reference Pattern.consecutive) — the
+    * default here; provided for parity. */
+  def consecutive: Pattern[T] = updLast(_.copy(relaxedRepeat = false))
 
   def times(n: Int): Pattern[T] =
     updLast(_.copy(minRepeat = n, maxRepeat = n))

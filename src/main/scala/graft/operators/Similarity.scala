@@ -157,6 +157,47 @@ object Similarity {
         col("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact all-pairs baseline —
+    * O(N^2), the correctness reference for the LSH variant (analogous to
+    * bruteForceTopK for search). Emits (id_a, id_b, sim) with
+    * id_a < id_b and round(sim, 6) >= threshold. */
+  def cosineNearDupExact(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via SRP-LSH — the 100 TB
+    * path: bucket each vector into `tables` hash tables (projection,
+    * zero shuffle), self-join within (table, bucket) with a `maxBucket`
+    * cap against degenerate buckets, exact-cosine verify, dedup on
+    * (id_a, id_b, sim) so the exchange never carries vectors. Recall
+    * rises with `tables` and falls with `planes`; precision is exact
+    * (cosine is re-computed). Best for thresholds >= ~0.8 where SRP
+    * collision probability is high. */
+  def cosineNearDup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, planes: Int = 8, tables: Int = 8,
+      maxBucket: Int = 2000): DataFrame = {
+    val banded = bucketed(corpus.select(col(idCol), col(vecCol)),
+      vecCol, dim, planes, tables)
+    val capped = banded.withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("tbl"), col("bucket"))))
+      .filter(col("__n") <= maxBucket).drop("__n")
+    val l = capped.select(col("tbl"), col("bucket"),
+      col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val r = capped.select(col("tbl"), col("bucket"),
+      col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    l.join(r, Seq("tbl", "bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .distinct()
+  }
+
   /** Explode a vector table into (row, tableIdx, bucket) across `tables`
     * independent hash tables (distinct hyperplanes per table). */
   private def bucketed(df: DataFrame, vecCol: String, dim: Int,

@@ -153,6 +153,38 @@ object PipelineQueries {
         nlist = 16, nprobe = 4, iters = 3)
     }, None),
 
+    // Embedding-cosine near-duplicate pairs, exact baseline (oracle via
+    // DuckDB list functions; threshold applied to the rounded sim so
+    // both engines cut at identical values).
+    QueryDef("q_embed_neardup", (s, dir) => {
+      Similarity.cosineNearDupExact(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+    }, Some("""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(a.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])))), 6)
+          AS sim
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(a.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])))), 6)
+          >= 0.4""")),
+
+    // The LSH-bucketed near-dup scale path (rows-only; recall asserted
+    // in SimilaritySpec against the exact baseline).
+    QueryDef("q_embed_neardup_lsh", (s, dir) => {
+      Similarity.cosineNearDup(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.4, dim = 64)
+    }, None),
+
     // ---- text analysis ----
 
     QueryDef("q_text_stats", (s, dir) => {

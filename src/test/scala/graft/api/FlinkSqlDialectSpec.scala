@@ -88,6 +88,48 @@ class FlinkSqlDialectSpec extends SparkSpec {
     assert(env.executeSql(t).count() == 1)
   }
 
+  test("SUM0, RAND_INTEGER, SIMILAR TO rewrite and evaluate") {
+    val t1 = FlinkSqlDialect.translate(
+      "SELECT SUM0(n_regionkey) AS s FROM nation WHERE n_nationkey < 0")
+    assert(t1.contains("coalesce(sum(n_regionkey), 0)"))
+    assert(env.executeSql(t1).collect().head.getLong(0) == 0L)
+
+    val t2 = FlinkSqlDialect.translate("SELECT RAND_INTEGER(10) AS r FROM nation")
+    val rs = env.executeSql(t2).collect().map(_.getInt(0))
+    assert(rs.forall(r => r >= 0 && r < 10))
+
+    val t3 = FlinkSqlDialect.translate(
+      "SELECT COUNT(*) AS n FROM nation WHERE n_name SIMILAR TO 'N%'")
+    assert(t3.contains("rlike '^N.*$'"))
+    val direct = env.executeSql(
+      "SELECT COUNT(*) AS n FROM nation WHERE n_name LIKE 'N%'")
+      .collect().head.getLong(0)
+    assert(env.executeSql(t3).collect().head.getLong(0) == direct)
+
+    // _ wildcard + passthrough character class: NATION_<single digit>
+    val t4 = FlinkSqlDialect.translate(
+      "SELECT COUNT(*) AS n FROM nation WHERE n_name SIMILAR TO 'NATION_[0-9]'")
+    val eightChars = env.executeSql(
+      "SELECT COUNT(*) AS n FROM nation WHERE length(n_name) = 8")
+      .collect().head.getLong(0)
+    assert(env.executeSql(t4).collect().head.getLong(0) == eightChars)
+  }
+
+  test("JSON constructors and aggregates rewrite") {
+    val t1 = FlinkSqlDialect.translate(
+      "SELECT JSON_OBJECT(KEY 'name' VALUE n_name) AS j FROM nation WHERE n_nationkey = 0")
+    assert(env.executeSql(t1).collect().head.getString(0).contains("\"name\""))
+    val t2 = FlinkSqlDialect.translate(
+      "SELECT JSON_ARRAYAGG(n_nationkey) AS j FROM nation")
+    val arr = env.executeSql(t2).collect().head.getString(0)
+    assert(arr.startsWith("[") && arr.contains("0"))
+    val t3 = FlinkSqlDialect.translate(
+      "SELECT JSON_OBJECTAGG(KEY n_name VALUE n_nationkey) AS j " +
+        "FROM nation WHERE n_nationkey < 2")
+    val obj = env.executeSql(t3).collect().head.getString(0)
+    assert(obj.contains("\"NATION_0\":0") && obj.contains("\"NATION_1\":1"))
+  }
+
   test("unsupported constructs point at the operator API") {
     intercept[IllegalArgumentException] {
       FlinkSqlDialect.translate("SELECT * FROM t MATCH_RECOGNIZE (..)")

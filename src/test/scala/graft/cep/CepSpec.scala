@@ -132,4 +132,57 @@ class CepSpec extends SparkSpec {
       assert(rows.head.getLong(2) == 1000 && rows.head.getLong(3) == 2000)
     } finally q.stop()
   }
+
+  test("or combines conditions disjunctively") {
+    val p = Pattern.begin[CE]("start")
+      .where(_.typ == "a").or(_.typ == "c")
+      .next("b").where(_.typ == "b")
+    assert(matches(evs("a", "b"), p).size == 1)
+    assert(matches(evs("c", "b"), p).size == 1)
+    assert(matches(evs("x", "b"), p).isEmpty)
+  }
+
+  test("notNext forbids only the immediately following event") {
+    val p = Pattern.begin[CE]("a").where(_.typ == "a")
+      .notNext("x").where(_.typ == "x")
+      .followedBy("b").where(_.typ == "b")
+    assert(matches(evs("a", "x", "b"), p).isEmpty)    // x immediately after a
+    assert(matches(evs("a", "y", "x", "b"), p).size == 1) // x later is fine
+    // contrast: notFollowedBy forbids anywhere in the gap
+    val pf = Pattern.begin[CE]("a").where(_.typ == "a")
+      .notFollowedBy("x").where(_.typ == "x")
+      .followedBy("b").where(_.typ == "b")
+    assert(matches(evs("a", "y", "x", "b"), pf).isEmpty)
+  }
+
+  test("until stops the loop without consuming the stopper") {
+    val p = Pattern.begin[CE]("a").where(_.typ != "end").oneOrMore
+      .until(_.typ == "stop")
+      .followedBy("s").where(_.typ == "stop")
+    val ms = matches(evs("a", "a", "stop", "a"), p)
+    assert(ms.size == 1)
+    assert(ms.head("a").size == 2)          // loop ends before the stopper
+    assert(ms.head("s").head.typ == "stop") // next step consumes it
+  }
+
+  test("allowGaps lets repeat elements skip non-matching events") {
+    val strictP = Pattern.begin[CE]("a").where(_.typ == "a").timesOrMore(3)
+      .followedBy("b").where(_.typ == "b")
+    assert(matches(evs("a", "x", "a", "a", "b"), strictP).isEmpty)
+    val relaxedP = Pattern.begin[CE]("a").where(_.typ == "a").timesOrMore(3)
+      .allowGaps
+      .followedBy("b").where(_.typ == "b")
+    val ms = matches(evs("a", "x", "a", "a", "b"), relaxedP)
+    assert(ms.size == 1)
+    assert(ms.head("a").size == 3)
+    assert(ms.head("a").map(_.ts) == Seq(0L, 2000L, 3000L))
+  }
+
+  test("consecutive is the default and a parity no-op") {
+    val p = Pattern.begin[CE]("a").where(_.typ == "a").oneOrMore.consecutive
+      .followedBy("b").where(_.typ == "b")
+    val ms = matches(evs("a", "a", "x", "a", "b"), p)
+    assert(ms.size == 1)
+    assert(ms.head("a").size == 2)  // the consecutive leading run
+  }
 }

@@ -74,4 +74,36 @@ class SimilaritySpec extends SparkSpec {
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.8, s"recall $recall")
   }
+
+  test("cosine near-dup: LSH finds planted near-duplicates, exact precision") {
+    val rnd = new scala.util.Random(42)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0 until 80).map { i =>
+      i.toLong -> unit(Array.fill(32)(rnd.nextGaussian().toFloat))
+    }
+    // plant 20 near-duplicates: tiny perturbations (cosine ~0.99)
+    val dups = (0 until 20).map { i =>
+      val (_, v) = base(i)
+      (1000L + i) -> unit(v.map(x => x + 0.02f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ dups).toDF("vec_id", "embedding")
+    val planted = (0 until 20).map(i => (i.toLong, 1000L + i)).toSet
+
+    val exact = Similarity.cosineNearDupExact(
+      corpus, "vec_id", "embedding", 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(exact), s"exact missed ${planted -- exact}")
+
+    val lsh = Similarity.cosineNearDup(
+      corpus, "vec_id", "embedding", 0.9, dim = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact by construction (cosine recomputed)
+    assert(lsh.subsetOf(exact))
+    // recall on planted pairs
+    val recall = (planted & lsh).size.toDouble / planted.size
+    assert(recall >= 0.9, s"near-dup recall $recall")
+  }
 }
