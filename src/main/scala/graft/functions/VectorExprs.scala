@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
   * DuckDB oracle comparison exact.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
@@ -38,6 +38,32 @@ case class CosineSim(left: Expression, right: Expression)
     }
     java.lang.Double.valueOf(dot / (math.sqrt(nx) * math.sqrt(ny)))
   }
+
+  // real codegen (not CodegenFallback): the ANN scan / near-dup verify
+  // evaluates this once per candidate pair — the fallback's boxed path
+  // would dominate; the generated loop keeps the whole-stage span intact
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = (double) $a.getFloat($i);
+          double $yi = (double) $b.getFloat($i);
+          $dot += $xi * $yi;
+          $nx += $xi * $xi;
+          $ny += $yi * $yi;
+        }
+        ${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+      """
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
