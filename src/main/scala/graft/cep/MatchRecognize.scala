@@ -14,9 +14,10 @@ import org.apache.spark.sql.types._
   * MEASURES with FIRST/LAST/COUNT/SUM/MIN/MAX/AVG over step variables,
   * ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST ROW, PATTERN with
   * quantifiers (* + ? {n} {n,} {n,m}, reluctant '?' suffix), WITHIN,
-  * DEFINE with current-row conditions. Not supported (raises):
-  * ALL ROWS PER MATCH, other skip modes, alternation/grouping in
-  * PATTERN, PREV/NEXT navigation in DEFINE.
+  * DEFINE with current-row conditions and PREV(col[, n]) navigation
+  * (compiled to precomputed lag columns), ALL ROWS PER MATCH (with
+  * CLASSIFIER() and MATCH_NUMBER()). Not supported (raises): other
+  * skip modes, alternation/grouping in PATTERN, NEXT navigation.
   *
   * Execution is Spark-first, not an interpreter bolted on:
   *  1. every DEFINE condition becomes a precomputed BOOLEAN column
@@ -44,7 +45,8 @@ object MatchRecognize {
       measures: Seq[(String, String)], // (measure SQL, output alias)
       pattern: Seq[PatSym],
       withinMs: Option[Long],
-      defines: Map[String, String])    // UPPER(symbol) -> condition SQL
+      defines: Map[String, String],    // UPPER(symbol) -> condition SQL
+      allRows: Boolean = false)
 
   def matches(sql: String): Boolean =
     sql.toUpperCase.contains("MATCH_RECOGNIZE")
@@ -124,10 +126,8 @@ object MatchRecognize {
       .map(splitTopLevel(_).map(_.trim)).getOrElse(Nil)
     val orderBy = sections.get("ORDER_BY")
       .map(splitTopLevel(_).map(_.trim)).getOrElse(fail("ORDER BY required"))
-    hits.find(_._1 == "ROWS_PER_MATCH").foreach { h =>
-      if (body.substring(h._2, h._3).toUpperCase.contains("ALL"))
-        fail("ALL ROWS PER MATCH is not supported (ONE ROW PER MATCH only)")
-    }
+    val allRows = hits.find(_._1 == "ROWS_PER_MATCH")
+      .exists(h => body.substring(h._2, h._3).toUpperCase.contains("ALL"))
     sections.get("AFTER_MATCH").foreach { s =>
       if (!s.matches("(?is)SKIP\\s+PAST\\s+LAST\\s+ROW\\s*"))
         fail(s"only AFTER MATCH SKIP PAST LAST ROW is supported, got: $s")
@@ -198,7 +198,7 @@ object MatchRecognize {
     }.toMap).getOrElse(Map.empty)
 
     Spec(inputTable, outerSelect, partitionBy, orderBy, measures,
-      pattern, withinMs, defines)
+      pattern, withinMs, defines, allRows)
   }
 
   // -------------------------------------------------------------- execute
@@ -221,6 +221,23 @@ object MatchRecognize {
     val sym = symbols.map(Regex.quote).mkString("|")
     cond.replaceAll(s"(?i)\\b($sym)\\.(\\w+)", "$2")
   }
+
+  private val PrevP: Regex =
+    """(?i)\bPREV\s*\(\s*(?:\w+\.)?(\w+)\s*(?:,\s*(\d+))?\s*\)""".r
+
+  /** PREV(col[, n]) references in DEFINE — collected so they can be
+    * precomputed as lag columns (the Spark-first compilation: row
+    * navigation becomes a window projection before matching). */
+  private[cep] def prevRefs(cond: String): Seq[(String, Int)] =
+    PrevP.findAllMatchIn(cond)
+      .map(m => (m.group(1), Option(m.group(2)).map(_.toInt).getOrElse(1)))
+      .toSeq.distinct
+
+  private[cep] def rewritePrev(cond: String): String =
+    PrevP.replaceAllIn(cond, m => {
+      val n = Option(m.group(2)).map(_.toInt).getOrElse(1)
+      Regex.quoteReplacement(s"__prev_${n}_${m.group(1)}")
+    })
 
   /** Compile a MEASURES expression to Spark SQL over the per-step match
     * arrays (`__m_X`). Bare `X.col` follows the standard's FINAL LAST
@@ -245,6 +262,7 @@ object MatchRecognize {
       "array_min(transform(__m_$1, x -> x.$2))")
     s = s.replaceAll(s"(?i)\\bMAX\\s*\\(\\s*($sym)\\.(\\w+)\\s*\\)",
       "array_max(transform(__m_$1, x -> x.$2))")
+    s = s.replaceAll("(?i)\\bMATCH_NUMBER\\s*\\(\\s*\\)", "__match_num")
     s = s.replaceAll(s"(?i)\\b($sym)\\.(\\w+)", "try_element_at(__m_$1, -1).$2")
     s
   }
@@ -252,12 +270,27 @@ object MatchRecognize {
   /** Apply a parsed spec to a DataFrame. */
   def apply(df: DataFrame, spec: Spec): DataFrame = {
     val symbols = spec.pattern.map(_.name)
+    val inputCols = df.columns.toSeq
+
+    // 0. PREV(col, n) navigation in DEFINE -> precomputed lag columns
+    // (a window projection before matching — no per-row navigation in
+    // the matcher itself)
+    var pre = df
+    val prevNeeded = spec.defines.values.flatMap(prevRefs).toSeq.distinct
+    if (prevNeeded.nonEmpty) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(spec.partitionBy.map(col): _*)
+        .orderBy(spec.orderBy.map(col): _*)
+      prevNeeded.foreach { case (c, n) =>
+        pre = pre.withColumn(s"__prev_${n}_$c", lag(col(c), n).over(w))
+      }
+    }
 
     // 1. DEFINE conditions as precomputed boolean columns (scan-side)
-    var pre = df
     symbols.foreach { s =>
       val cond = spec.defines.get(s.toUpperCase)
-        .map(stripSymbolPrefixes(_, symbols)).getOrElse("true")
+        .map(c => stripSymbolPrefixes(rewritePrev(c), symbols))
+        .getOrElse("true")
       pre = pre.withColumn(s"__def_$s", expr(cond))
     }
     val preSchema = pre.schema
@@ -312,6 +345,7 @@ object MatchRecognize {
     val keySchema = StructType(partIdx.map(preSchema.apply).toSeq)
     val stepArr = ArrayType(preSchema, containsNull = false)
     val outSchema = StructType(keySchema.fields.toSeq ++
+      Seq(StructField("__match_num", LongType, nullable = false)) ++
       symbols.map(s => StructField(s"__m_$s", stepArr)))
     val patB = pat
 
@@ -320,16 +354,33 @@ object MatchRecognize {
         Encoders.row(keySchema))
       .flatMapGroups { (key: Row, rows: Iterator[Row]) =>
         val sorted = rows.toIndexedSeq.sorted(rowOrd)
-        Matcher.findMatches(sorted, tsOf, patB).iterator.map { bindings =>
-          Row.fromSeq(key.toSeq ++
-            symbols.map(s => bindings.getOrElse(s, Seq.empty[Row])))
-        }
+        Matcher.findMatches(sorted, tsOf, patB).iterator.zipWithIndex
+          .map { case (bindings, i) =>
+            Row.fromSeq(key.toSeq ++ Seq(i.toLong + 1) ++
+              symbols.map(s => bindings.getOrElse(s, Seq.empty[Row])))
+          }
       }(Encoders.row(outSchema))
 
     // 3. MEASURES as declarative array expressions
     val measureCols = spec.measures.map { case (e, alias) =>
       expr(rewriteMeasure(e, symbols)).as(alias)
     }
-    matched.select(spec.partitionBy.map(col) ++ measureCols: _*)
+    if (!spec.allRows) {
+      matched.select(spec.partitionBy.map(col) ++ measureCols: _*)
+    } else {
+      // ALL ROWS PER MATCH: one output row per matched event —
+      // explode the per-step arrays tagged with their CLASSIFIER()
+      // (declarative: flatten+transform+explode, FINAL measure
+      // semantics per the standard's SKIP PAST LAST ROW mode)
+      val tagged = expr(
+        symbols.map(s =>
+          s"transform(__m_$s, x -> struct('$s' AS classifier, x AS r))")
+          .mkString("flatten(array(", ", ", "))"))
+      val exploded = matched.withColumn("__e", explode(tagged))
+      val rowCols = inputCols.map(c => exploded(s"__e.r.$c").as(c))
+      exploded.select(rowCols ++
+        Seq(col("__e.classifier").as("classifier"),
+          col("__match_num").as("match_num")) ++ measureCols: _*)
+    }
   }
 }

@@ -124,11 +124,6 @@ class MatchRecognizeSpec extends SparkSpec {
   test("unsupported clauses raise") {
     intercept[IllegalArgumentException] {
       MatchRecognize.parse("""SELECT * FROM t MATCH_RECOGNIZE (
-        ORDER BY ts MEASURES A.x AS x ALL ROWS PER MATCH
-        PATTERN (A) DEFINE A AS true)""")
-    }
-    intercept[IllegalArgumentException] {
-      MatchRecognize.parse("""SELECT * FROM t MATCH_RECOGNIZE (
         ORDER BY ts MEASURES A.x AS x AFTER MATCH SKIP TO NEXT ROW
         PATTERN (A) DEFINE A AS true)""")
     }
@@ -155,5 +150,77 @@ class MatchRecognizeSpec extends SparkSpec {
     val got = sqlOut.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_matches"))
     assert(got.exceptAll(viaDsl).isEmpty && viaDsl.exceptAll(got).isEmpty)
+  }
+
+  test("PREV in DEFINE compiles to lag columns") {
+    mkEvents(Seq(
+      (1L, 1L, "t", 100L, 1.0), (2L, 1L, "t", 200L, 2.0),
+      (3L, 1L, "t", 300L, 3.0), (4L, 1L, "t", 400L, 2.5),
+      (5L, 1L, "t", 500L, 4.0)))
+    val env = TableEnv(spark)
+    // strictly-ascending runs of length >= 3 (B rises vs previous row)
+    val out = env.executeSql("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY t
+        MEASURES FIRST(B.t) AS t0, LAST(B.t) AS t1, COUNT(B.*) AS len
+        PATTERN (B{3})
+        DEFINE B AS B.value > PREV(B.value)
+      )""").collect()
+    // rising rows: t=200,300 (vs prior), then 400 breaks (2.5 < 3.0),
+    // 500 rises again -> no run of 3 consecutive rising rows... except
+    // rows 200,300 rise and 500 rises: longest consecutive rising run
+    // is 2 -> no match
+    assert(out.isEmpty)
+    mkEvents(Seq(
+      (1L, 1L, "t", 100L, 1.0), (2L, 1L, "t", 200L, 2.0),
+      (3L, 1L, "t", 300L, 3.0), (4L, 1L, "t", 400L, 4.0)))
+    val out2 = env.executeSql("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY t
+        MEASURES FIRST(B.t) AS t0, LAST(B.t) AS t1, COUNT(B.*) AS len
+        PATTERN (B{3})
+        DEFINE B AS B.value > PREV(B.value)
+      )""").collect()
+    assert(out2.length == 1)
+    assert(out2.head.getLong(1) == 200L && out2.head.getLong(2) == 400L)
+  }
+
+  test("ALL ROWS PER MATCH emits classifier and match number") {
+    mkEvents(Seq(
+      (1L, 1L, "a", 100L, 1.0), (2L, 1L, "b", 200L, 2.0),
+      (3L, 1L, "a", 300L, 3.0), (4L, 1L, "b", 400L, 4.0)))
+    val env = TableEnv(spark)
+    val out = env.executeSql("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY t
+        MEASURES FIRST(A.t) AS start_t
+        ALL ROWS PER MATCH
+        PATTERN (A B)
+        DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'
+      )""").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("classifier"),
+        r.getAs[Long]("match_num"), r.getAs[Long]("start_t")))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "A", 1L, 100L), (2L, "B", 1L, 100L),
+      (3L, "A", 2L, 300L), (4L, "B", 2L, 300L)))
+  }
+
+  test("MATCH_NUMBER() in measures") {
+    mkEvents(Seq(
+      (1L, 1L, "a", 100L, 1.0), (2L, 1L, "a", 200L, 2.0)))
+    val env = TableEnv(spark)
+    val out = env.executeSql("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY t
+        MEASURES MATCH_NUMBER() AS mn, A.t AS at
+        PATTERN (A)
+        DEFINE A AS A.event_type = 'a'
+      )""").collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 100L), (2L, 200L)))
   }
 }
