@@ -1,0 +1,92 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Retraction-aware aggregation over changelog rows — reference: the
+  * retractable accumulators (flink-table-runtime/.../functions/aggregate/
+  * MinWithRetractAggFunction.java, MaxWithRetract..., SumWithRetract...)
+  * and GroupAggFunction.java:43's retract() path, which let a grouped
+  * aggregate stay correct when the input carries -U/-D rows.
+  *
+  * Batch shape ("materialize the changelog"): every row gets a signed
+  * weight (+1 for +I/+U, -1 for -U/-D). SUM/COUNT/AVG are weighted sums
+  * — one partial-aggregated groupBy, exact. MIN/MAX need the surviving
+  * value multiset: a first groupBy on (key, value) computes net counts,
+  * values with net > 0 survive, a second groupBy takes min/max — the
+  * declarative equivalent of the reference's value-multiset accumulator,
+  * and the same two-shuffle cost shape it pays in state. Both levels
+  * partial-aggregate, so at 100 TB the exchanges carry one row per
+  * distinct (key, value), not the changelog.
+  *
+  * Streaming shape: per-key state holds the signed (count, sum) plus the
+  * value->net-count multiset (the reference's MapView state); emits in
+  * update mode. State is O(distinct live values per key), identical to
+  * MinWithRetractAggFunction's map state.
+  */
+object ChangelogAgg {
+
+  /** +1 for insert-like kinds, -1 for retract-like kinds. */
+  def weight(rowKind: Column): Column =
+    when(rowKind.isin("+I", "+U"), lit(1)).otherwise(lit(-1))
+
+  /** Batch materialization: net COUNT/SUM/AVG/MIN/MAX per key over a
+    * changelog with a `__row_kind` column. */
+  def materialize(df: DataFrame, keys: Seq[String], valCol: String,
+      rowKindCol: String = ChangelogFormats.RowKindCol): DataFrame = {
+    val w = weight(col(rowKindCol))
+    // value-level net counts (partial agg: one row per (key, value))
+    val perValue = df.groupBy((keys.map(col) :+ col(valCol)): _*)
+      .agg(sum(w).as("__net"),
+        sum(w.cast("long") * col(valCol)).as("__wsum"))
+    perValue.groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("__net")).cast("long").as("cnt"),
+        sum(col("__wsum")).as("sum_val"),
+        min(when(col("__net") > 0, col(valCol))).as("min_val"),
+        max(when(col("__net") > 0, col(valCol))).as("max_val"))
+      .withColumn("avg_val", col("sum_val") / col("cnt"))
+      // a fully-retracted group leaves the materialized state
+      // (reference GroupAggFunction emits -D when count hits zero)
+      .filter(col("cnt") > 0)
+  }
+
+  /** Streaming retractable aggregate: emits (key, cnt, sum, min, max)
+    * per update. Input rows are (key, value, rowKind). */
+  def streamingMaterialize[K](ds: Dataset[(K, Double, String)])(
+      implicit kEnc: Encoder[K],
+      inEnc: Encoder[(K, Double, String)],
+      outEnc: Encoder[(K, Long, Double, Double, Double)])
+      : Dataset[(K, Long, Double, Double, Double)] = {
+    // state: (net count, signed sum, value -> net multiplicity)
+    implicit val stEnc: Encoder[(Long, Double, Map[Double, Long])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[Map[Double, Long]]())
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: K, rows: Iterator[(K, Double, String)],
+            state: GroupState[(Long, Double, Map[Double, Long])]) =>
+          var (cnt, sum, multiset) =
+            state.getOption.getOrElse((0L, 0.0, Map.empty[Double, Long]))
+          rows.foreach { case (_, v, kind) =>
+            val w = if (kind == "+I" || kind == "+U") 1L else -1L
+            cnt += w
+            sum += w * v
+            val m = multiset.getOrElse(v, 0L) + w
+            multiset = if (m == 0L) multiset - v else multiset + (v -> m)
+          }
+          if (cnt == 0L && multiset.isEmpty) {
+            state.remove()
+            Iterator((key, 0L, 0.0, Double.NaN, Double.NaN))
+          } else {
+            state.update((cnt, sum, multiset))
+            val live = multiset.collect { case (v, n) if n > 0 => v }
+            Iterator((key, cnt, sum,
+              if (live.isEmpty) Double.NaN else live.min,
+              if (live.isEmpty) Double.NaN else live.max))
+          }
+      }
+  }
+}

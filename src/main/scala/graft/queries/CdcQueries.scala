@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
 import graft.QueryDef
-import graft.cdc.ChangelogFormats
+import graft.cdc.{ChangelogAgg, ChangelogFormats}
 import Q._
 
 /** CDC ingestion — reference: debezium/canal/maxwell/ogg JSON formats
@@ -193,6 +193,39 @@ object CdcQueries {
         SELECT '+U', o_totalprice FROM orders WHERE o_orderkey % 10 = 0
         UNION ALL
         SELECT '-D', o_totalprice FROM orders WHERE o_orderkey % 10 = 1)
-      GROUP BY row_kind"""))
+      GROUP BY row_kind""")),
+
+    // Retraction-aware aggregation (reference MinWithRetractAggFunction
+    // et al. + GroupAggFunction retract path): a synthesized changelog
+    // (inserts, -U/+U price doubling for key%10=0, -D for key%10=1) is
+    // materialized per customer; the oracle computes the surviving net
+    // state directly, so any retraction-handling defect breaks the hash.
+    QueryDef("q_cdc_agg", (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderkey"), money(col("o_totalprice")).as("v"))
+      val k = ChangelogFormats.RowKindCol
+      val changelog = o.select(col("o_custkey"), col("v"), lit("+I").as(k))
+        .union(o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .select(col("o_custkey"), col("v"), lit("-U").as(k)))
+        .union(o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .select(col("o_custkey"), (col("v") * 2).as("v"), lit("+U").as(k)))
+        .union(o.filter(pmod(col("o_orderkey"), lit(10)) === 1)
+          .select(col("o_custkey"), col("v"), lit("-D").as(k)))
+      ChangelogAgg.materialize(changelog, Seq("o_custkey"), "v")
+        .select(col("o_custkey"), col("cnt"),
+          col("sum_val").cast("double").as("sum_val"),
+          col("min_val").cast("double").as("min_val"),
+          col("max_val").cast("double").as("max_val"))
+    }, Some(s"""
+      WITH live AS (
+        SELECT o_custkey, CASE WHEN o_orderkey % 10 = 0
+          THEN ${moneySql("o_totalprice")} * 2
+          ELSE ${moneySql("o_totalprice")} END AS v
+        FROM orders WHERE o_orderkey % 10 <> 1)
+      SELECT o_custkey, COUNT(*) AS cnt,
+        CAST(SUM(v) AS DOUBLE) AS sum_val,
+        CAST(MIN(v) AS DOUBLE) AS min_val,
+        CAST(MAX(v) AS DOUBLE) AS max_val
+      FROM live GROUP BY o_custkey"""))
   )
 }

@@ -76,4 +76,49 @@ class ChangelogSpec extends SparkSpec {
         ("+I", "a"), ("-U", "a"), ("+U", "b"), ("-D", "b")))
     } finally q.stop()
   }
+
+  test("batch changelog materialization handles retractions exactly") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("A", 10.0, "+I"), ("A", 10.0, "-U"), ("A", 30.0, "+U"),
+      ("A", 5.0, "+I"),
+      ("B", 7.0, "+I"), ("B", 7.0, "-D"))
+      .toDF("k", "v", ChangelogFormats.RowKindCol)
+    val out = ChangelogAgg.materialize(df, Seq("k"), "v").collect()
+    assert(out.length == 1)                 // B fully retracted
+    val a = out.head
+    assert(a.getString(0) == "A" && a.getLong(1) == 2L)
+    assert(a.getDouble(2) == 35.0)          // 30 + 5
+    assert(a.getDouble(3) == 5.0 && a.getDouble(4) == 30.0)
+  }
+
+  test("duplicate values retract one multiplicity, not all") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("A", 10.0, "+I"), ("A", 10.0, "+I"), ("A", 10.0, "-D"),
+      ("A", 20.0, "+I"))
+      .toDF("k", "v", ChangelogFormats.RowKindCol)
+    val out = ChangelogAgg.materialize(df, Seq("k"), "v").collect().head
+    assert(out.getLong(1) == 2L)
+    assert(out.getDouble(3) == 10.0)        // one 10 still live
+  }
+
+  test("streaming retractable aggregate updates min/max through retractions") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Double, String)]
+    val out = ChangelogAgg.streamingMaterialize[String](in.toDS())
+    val q = out.writeStream.format("memory").queryName("clagg")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(("k", 10.0, "+I"), ("k", 20.0, "+I"))
+      q.processAllAvailable()
+      in.addData(("k", 10.0, "-D"))   // retract the current minimum
+      q.processAllAvailable()
+      val hist = spark.table("clagg")
+        .as[(String, Long, Double, Double, Double)].collect()
+      assert(hist.length == 2)
+      assert(hist(0) == (("k", 2L, 30.0, 10.0, 20.0)))
+      assert(hist(1) == (("k", 1L, 20.0, 20.0, 20.0)))
+    } finally q.stop()
+  }
 }
