@@ -172,7 +172,9 @@ object FuncQueries2 {
         levenshtein(p_name, p_name) AS lev0
       FROM part WHERE p_partkey <= 300""")),
 
-    // PARSE_URL (Flink builtin; DuckDB lacks it → rows-only + spec).
+    // PARSE_URL (Flink builtin; DuckDB lacks it, but the synthesized
+    // URLs make the expected components directly constructible, so the
+    // oracle checks the extraction exactly).
     QueryDef("q_func_parse_url", (s, dir) => {
       t(s, dir, "documents").filter(col("doc_id") < 30)
         .withColumn("url", concat(lit("https://example.com/"),
@@ -181,7 +183,11 @@ object FuncQueries2 {
           parse_url(col("url"), lit("HOST")).as("host"),
           parse_url(col("url"), lit("PATH")).as("path"),
           parse_url(col("url"), lit("QUERY"), lit("id")).as("qid"))
-    }, None),
+    }, Some("""
+      SELECT doc_id, 'example.com' AS host,
+        '/' || source AS path,
+        CAST(doc_id AS VARCHAR) AS qid
+      FROM documents WHERE doc_id < 30""")),
 
     // Approximate distinct (HLL++) — sketch outputs are engine-specific;
     // accuracy asserted in AggSpec against the exact count.

@@ -198,6 +198,23 @@ object StatefulOps {
       }
   }
 
+  /** Streaming LIMIT (reference StreamExecLimit: limit over an
+    * append-only stream is stateful — a count survives micro-batches).
+    * Emits at most `n` rows per key across the whole stream; use a
+    * constant key for a global limit. O(1) state per key. */
+  def streamingLimit[K, T](ds: Dataset[T], keyFn: T => K, n: Long)(
+      implicit kEnc: Encoder[K], tEnc: Encoder[T]): Dataset[T] = {
+    implicit val cntEnc: Encoder[Long] = Encoders.scalaLong
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: K, rows: Iterator[T], state: GroupState[Long]) =>
+          val seen = state.getOption.getOrElse(0L)
+          val out = rows.take(math.max(0L, n - seen).toInt).toVector
+          state.update(seen + out.size)
+          out.iterator
+      }
+  }
+
   /** Streaming OVER aggregate, RANGE BETWEEN `rangeMs` PRECEDING AND
     * CURRENT ROW in strict event-time order — reference:
     * RowTimeRangeBoundedPrecedingFunction.java:67 (which keeps per-

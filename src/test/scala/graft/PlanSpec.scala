@@ -59,4 +59,32 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*(1) Project [split_index"))
   }
+
+  test("q_ann_ivf has no exchange keyed on the embedding vector") {
+    val lines = plan("q_ann_ivf").linesIterator.toSeq
+    val shuffleLines = lines.filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffleLines.forall(l => !l.contains("embedding")),
+      s"shuffle keyed on the vector column:\n${shuffleLines.mkString("\n")}")
+  }
+
+  test("q_embed_neardup_lsh dedup exchange carries no vector payloads") {
+    val lines = plan("q_embed_neardup_lsh").linesIterator.toSeq
+    val shuffleLines = lines.filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffleLines.nonEmpty)
+    assert(shuffleLines.forall(l =>
+      !l.contains("embedding") && !l.contains("__va") && !l.contains("__vb")),
+      s"vector column crosses an exchange:\n${shuffleLines.mkString("\n")}")
+  }
+
+  test("q_cdc_agg plans partial aggregation at both levels") {
+    val p = plan("q_cdc_agg")
+    // two groupBys, each with partial+final HashAggregate
+    assert("HashAggregate".r.findAllIn(p).size >= 4)
+  }
+
+  test("q_format_avro decode stays scan-side (single aggregation exchange)") {
+    val p = plan("q_format_avro")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 1, s"avro roundtrip added shuffles: $n")
+  }
 }
