@@ -1,0 +1,157 @@
+package graft.api
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.types._
+
+/** Flink `CREATE TABLE` DDL — reference: the DDL grammar in
+  * flink-table/flink-sql-parser (SqlCreateTable) and its planner
+  * handling: connector options resolve a DynamicTableSource, the
+  * WATERMARK clause becomes the source watermark
+  * (StreamExecWatermarkAssigner.java), PRIMARY KEY feeds upsert
+  * semantics.
+  *
+  * Supported subset:
+  * {{{
+  * CREATE TABLE [IF NOT EXISTS] name (
+  *   col TYPE [, ...]
+  *   [, WATERMARK FOR tscol AS tscol - INTERVAL 'n' UNIT]
+  *   [, PRIMARY KEY (c1 [, c2...]) NOT ENFORCED]
+  * ) WITH ('connector' = 'filesystem', 'path' = '...', 'format' = '...')
+  * }}}
+  * Only the filesystem connector exists in this environment; other
+  * connector values raise. The parsed spec lands in [[TableSpec]], so
+  * `TableEnv.from` / `fromStreaming` (watermark applied) and the CDC
+  * layer (primary key) behave as the reference's DDL promises.
+  */
+object FlinkDdl {
+
+  final case class Ddl(name: String, ifNotExists: Boolean, spec: TableSpec)
+
+  private val CreateP: Regex =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(""").r
+
+  def matches(sql: String): Boolean =
+    """(?is)^\s*CREATE\s+TABLE\b""".r.findFirstIn(sql).isDefined
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"CREATE TABLE: $msg")
+
+  def sqlType(t: String): DataType = {
+    val up = t.trim.toUpperCase
+    val decP = """DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+    up match {
+      case "BIGINT" => LongType
+      case "INT" | "INTEGER" => IntegerType
+      case "SMALLINT" => ShortType
+      case "TINYINT" => ByteType
+      case "DOUBLE" => DoubleType
+      case "FLOAT" | "REAL" => FloatType
+      case "BOOLEAN" => BooleanType
+      case "DATE" => DateType
+      case "BYTES" | "VARBINARY" | "BINARY" => BinaryType
+      case "STRING" => StringType
+      case decP(p, s) => DecimalType(p.toInt, s.toInt)
+      case _ if up.startsWith("VARCHAR") || up.startsWith("CHAR") => StringType
+      case _ if up.startsWith("TIMESTAMP_LTZ") => TimestampType
+      case _ if up.startsWith("TIMESTAMP") => TimestampType
+      case other => fail(s"unsupported type $other")
+    }
+  }
+
+  def parse(sql: String): Ddl = {
+    val m = CreateP.findFirstMatchIn(sql).getOrElse(
+      fail("expected CREATE TABLE [IF NOT EXISTS] name (...) WITH (...)"))
+    val ifNotExists = m.group(1) != null
+    val name = m.group(2)
+    // balanced-paren scan for the column list
+    val openAt = m.end - 1
+    var depth = 0
+    var i = openAt
+    var closeAt = -1
+    var quote = false
+    while (i < sql.length && closeAt < 0) {
+      sql.charAt(i) match {
+        case '\'' => quote = !quote
+        case '(' if !quote => depth += 1
+        case ')' if !quote => depth -= 1; if (depth == 0) closeAt = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (closeAt < 0) fail("unbalanced parentheses in column list")
+    val colsBody = sql.substring(openAt + 1, closeAt)
+    val tail = sql.substring(closeAt + 1)
+
+    // split column list on top-level commas
+    val items = {
+      val out = Vector.newBuilder[String]
+      val cur = new StringBuilder
+      var d = 0
+      var q = false
+      colsBody.foreach {
+        case '\'' => q = !q; cur += '\''
+        case '(' if !q => d += 1; cur += '('
+        case ')' if !q => d -= 1; cur += ')'
+        case ',' if !q && d == 0 => out += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      if (cur.nonEmpty) out += cur.toString
+      out.result().map(_.trim).filter(_.nonEmpty)
+    }
+
+    val wmP = ("""(?is)^WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*""" +
+      """INTERVAL\s+'(\d+)'\s+(\w+)$""").r
+    val pkP = """(?is)^PRIMARY\s+KEY\s*\(([\w,\s]+)\)\s*(?:NOT\s+ENFORCED)?$""".r
+    val colP = """(?s)^(\w+)\s+(.+)$""".r
+
+    var fields = Vector.empty[StructField]
+    var watermark: Option[(String, String)] = None
+    var primaryKey: Seq[String] = Nil
+    items.foreach {
+      case wmP(c, n, unit) =>
+        val u = unit.toLowerCase
+        watermark = Some((c, s"$n $u" + (if (n == "1") "" else
+          if (u.endsWith("s")) "" else "s")))
+      case pkP(cols) =>
+        primaryKey = cols.split(",").map(_.trim).toSeq
+      case colP(cname, ctype) =>
+        fields :+= StructField(cname, sqlType(ctype))
+      case other => fail(s"unrecognized table element: $other")
+    }
+
+    // WITH ('k' = 'v', ...)
+    val withP = """(?is)\bWITH\s*\(""".r
+    val options: Map[String, String] = withP.findFirstMatchIn(tail).map { wm =>
+      var d = 0
+      var j = wm.end - 1
+      var close = -1
+      var q = false
+      while (j < tail.length && close < 0) {
+        tail.charAt(j) match {
+          case '\'' => q = !q
+          case '(' if !q => d += 1
+          case ')' if !q => d -= 1; if (d == 0) close = j
+          case _ =>
+        }
+        j += 1
+      }
+      if (close < 0) fail("unbalanced WITH options")
+      val body = tail.substring(wm.end, close)
+      val optP = """'([^']*)'\s*=\s*'([^']*)'""".r
+      optP.findAllMatchIn(body).map(o => o.group(1) -> o.group(2)).toMap
+    }.getOrElse(Map.empty)
+
+    val connector = options.getOrElse("connector", "filesystem")
+    if (connector != "filesystem")
+      fail(s"connector '$connector' is not available in this environment " +
+        "(filesystem only)")
+    val path = options.getOrElse("path", fail("filesystem connector needs 'path'"))
+    val format = options.getOrElse("format", "parquet")
+
+    Ddl(name, ifNotExists, TableSpec(
+      path = path, format = format,
+      schema = if (fields.isEmpty) None else Some(StructType(fields)),
+      watermark = watermark, primaryKey = primaryKey))
+  }
+}

@@ -56,7 +56,12 @@ final class TableEnv(val spark: SparkSession) {
     * compiler; other dialect extensions (window TVFs, PROCTIME, LISTAGG)
     * are rewritten to Spark SQL by FlinkSqlDialect. */
   def executeSql(sql: String): DataFrame =
-    if (graft.cep.MatchRecognize.matches(sql))
+    if (FlinkDdl.matches(sql)) {
+      val ddl = FlinkDdl.parse(sql)
+      if (!(ddl.ifNotExists && spark.catalog.tableExists(ddl.name)))
+        createTable(ddl.name, ddl.spec)
+      spark.emptyDataFrame
+    } else if (graft.cep.MatchRecognize.matches(sql))
       graft.cep.MatchRecognize.execute(spark, sql)
     else if (TemporalJoinSql.matches(sql))
       TemporalJoinSql.execute(spark, sql,

@@ -1,0 +1,68 @@
+package graft.api
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class FlinkDdlSpec extends SparkSpec {
+
+  test("parse extracts schema, watermark, primary key, options") {
+    val ddl = FlinkDdl.parse("""
+      CREATE TABLE IF NOT EXISTS my_orders (
+        o_orderkey BIGINT,
+        o_totalprice DOUBLE,
+        o_flag VARCHAR(1),
+        o_dec DECIMAL(12, 2),
+        ts TIMESTAMP(3),
+        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND,
+        PRIMARY KEY (o_orderkey) NOT ENFORCED
+      ) WITH (
+        'connector' = 'filesystem',
+        'path' = '/tmp/orders',
+        'format' = 'parquet'
+      )""")
+    assert(ddl.name == "my_orders" && ddl.ifNotExists)
+    assert(ddl.spec.path == "/tmp/orders" && ddl.spec.format == "parquet")
+    assert(ddl.spec.schema.get == StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_flag", StringType),
+      StructField("o_dec", DecimalType(12, 2)),
+      StructField("ts", TimestampType))))
+    assert(ddl.spec.watermark.contains(("ts", "5 seconds")))
+    assert(ddl.spec.primaryKey == Seq("o_orderkey"))
+  }
+
+  test("executeSql DDL registers a readable table with the declared watermark") {
+    val env = TableEnv(spark)
+    env.executeSql(s"""
+      CREATE TABLE ddl_events (
+        event_id BIGINT,
+        ts BIGINT,
+        user_id BIGINT,
+        event_type STRING,
+        value DOUBLE,
+        props STRING,
+        WATERMARK FOR ts AS ts - INTERVAL '10' SECOND
+      ) WITH ('connector' = 'filesystem',
+              'path' = '$sfDir/events.parquet',
+              'format' = 'parquet')""")
+    val n = env.from("ddl_events").count()
+    assert(n > 0)
+    assert(env.tableSpec("ddl_events").exists(_.watermark
+      .contains(("ts", "10 seconds"))))
+    // batch SQL over the registered view works
+    val c = env.executeSql(
+      "SELECT COUNT(*) AS n FROM ddl_events WHERE event_type = 'click'")
+      .collect().head.getLong(0)
+    assert(c > 0 && c < n)
+  }
+
+  test("unknown connector raises with a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      FlinkDdl.parse("""CREATE TABLE t (a INT) WITH (
+        'connector' = 'kafka', 'topic' = 'x')""")
+    }
+    assert(e.getMessage.contains("kafka"))
+  }
+}
