@@ -28,10 +28,22 @@ final class TableEnv(val spark: SparkSession) {
 
   private val specs = scala.collection.mutable.Map.empty[String, TableSpec]
 
-  /** CREATE TABLE analogue: register a named external table. */
+  /** CREATE TABLE analogue: register a named external table. A sink
+    * table whose path doesn't exist yet registers as an empty view with
+    * the declared schema (filled by INSERT INTO later). */
   def createTable(name: String, spec: TableSpec): Unit = {
     specs(name) = spec
-    batchRead(spec).createOrReplaceTempView(name)
+    try batchRead(spec).createOrReplaceTempView(name)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        spec.schema match {
+          case Some(schema) =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], schema)
+              .createOrReplaceTempView(name)
+          case None => throw e
+        }
+    }
   }
 
   def tableSpec(name: String): Option[TableSpec] = specs.get(name)
@@ -55,11 +67,27 @@ final class TableEnv(val spark: SparkSession) {
     * Accepts Flink SQL directly: MATCH_RECOGNIZE routes to the CEP
     * compiler; other dialect extensions (window TVFs, PROCTIME, LISTAGG)
     * are rewritten to Spark SQL by FlinkSqlDialect. */
+  private val InsertP =
+    """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s+(.*)$""".r
+
   def executeSql(sql: String): DataFrame =
     if (FlinkDdl.matches(sql)) {
       val ddl = FlinkDdl.parse(sql)
       if (!(ddl.ifNotExists && spark.catalog.tableExists(ddl.name)))
         createTable(ddl.name, ddl.spec)
+      spark.emptyDataFrame
+    } else if (InsertP.findFirstMatchIn(sql).isDefined) {
+      // INSERT INTO/OVERWRITE a DDL-registered table: run the query and
+      // write to the table's path in its format (the reference's
+      // TableEnvironment.executeSql DML path → DynamicTableSink)
+      val m = InsertP.findFirstMatchIn(sql).get
+      val (mode, name, query) = (m.group(1).toUpperCase, m.group(2), m.group(3))
+      val spec = specs.getOrElse(name, throw new IllegalArgumentException(
+        s"INSERT target $name is not a registered table (use CREATE TABLE)"))
+      executeSql(query).write.format(spec.format)
+        .mode(if (mode == "INTO") "append" else "overwrite")
+        .save(spec.path)
+      batchRead(spec).createOrReplaceTempView(name) // refresh the view
       spark.emptyDataFrame
     } else if (graft.cep.MatchRecognize.matches(sql))
       graft.cep.MatchRecognize.execute(spark, sql)

@@ -65,4 +65,27 @@ class FlinkDdlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("kafka"))
   }
+
+  test("INSERT INTO appends and INSERT OVERWRITE replaces") {
+    val env = TableEnv(spark)
+    graft.core.Tables.registerAll(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("ddl_sink").toString
+    env.executeSql(s"""
+      CREATE TABLE nation_sink (
+        n_nationkey BIGINT,
+        n_name STRING
+      ) WITH ('connector' = 'filesystem', 'path' = '$dir/nation_sink',
+              'format' = 'parquet')""")
+    env.executeSql(
+      "INSERT INTO nation_sink SELECT n_nationkey, n_name FROM nation")
+    val n1 = env.from("nation_sink").count()
+    assert(n1 > 0)
+    env.executeSql(
+      "INSERT INTO nation_sink SELECT n_nationkey, n_name FROM nation")
+    assert(env.from("nation_sink").count() == 2 * n1)
+    env.executeSql(
+      "INSERT OVERWRITE nation_sink SELECT n_nationkey, n_name FROM nation " +
+        "WHERE n_nationkey < 5")
+    assert(env.from("nation_sink").count() == 5)
+  }
 }
