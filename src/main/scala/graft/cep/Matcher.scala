@@ -98,7 +98,13 @@ object Matcher {
           while (!stop && j < events.length && runIdx.length < step.maxRepeat) {
             val e = events(j)
             if (!withinOk(e) || untilHit(e)) stop = true
-            else { if (step.predicate(e, acc)) runIdx += j; j += 1 }
+            else {
+              if (step.predicate(e, acc)) runIdx += j
+              // an anchored first step must take events(start) itself;
+              // only LATER repeat elements may skip over non-matches
+              else if (isFirstStep && runIdx.isEmpty) stop = true
+              j += 1
+            }
           }
         } else {
           var j = sp

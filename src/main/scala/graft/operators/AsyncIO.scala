@@ -26,6 +26,9 @@ object AsyncIO {
       implicit oEnc: Encoder[O]): Dataset[O] = {
     ds.mapPartitions { rows =>
       val pool = java.util.concurrent.Executors.newFixedThreadPool(capacity)
+      // release threads even when the task fails mid-iteration
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val inflight = scala.collection.mutable.Queue.empty[Future[O]]
       new Iterator[O] {
@@ -53,6 +56,9 @@ object AsyncIO {
       implicit oEnc: Encoder[O]): Dataset[O] = {
     ds.mapPartitions { rows =>
       val pool = java.util.concurrent.Executors.newFixedThreadPool(capacity)
+      // release threads even when the task fails mid-iteration
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val buf = scala.collection.mutable.ArrayBuffer.empty[Future[O]]
       new Iterator[O] {

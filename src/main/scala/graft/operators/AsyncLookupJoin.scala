@@ -43,6 +43,9 @@ object AsyncLookupJoin {
       fn.open()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.max(2, capacity))
+      // release threads even when the task fails mid-iteration
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       // cache shared between the fill loop and completion callbacks
       val cache = new java.util.LinkedHashMap[K, Option[V]](64, 0.75f, true) {

@@ -185,4 +185,15 @@ class CepSpec extends SparkSpec {
     assert(ms.size == 1)
     assert(ms.head("a").size == 2)  // the consecutive leading run
   }
+
+  test("allowGaps on the first step keeps the match anchored") {
+    val p = Pattern.begin[CE]("a").where(_.typ == "a").timesOrMore(2)
+      .allowGaps
+      .followedBy("b").where(_.typ == "b")
+    // anchor (index 0) is not an 'a' -> no match claims to start there;
+    // the real match anchors at the first 'a'
+    val ms = matches(evs("x", "a", "y", "a", "b"), p)
+    assert(ms.size == 1)
+    assert(ms.head("a").map(_.ts) == Seq(1000L, 3000L))
+  }
 }
