@@ -33,9 +33,13 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // Null join keys/timestamps never match (SQL semantics; also the
+    // custom AsOfJoinExec's behavior): a null-key right row must not
+    // fill the null-key window partition's left rows.
+    val rightValid = right.filter(col(key).isNotNull && col(ts).isNotNull)
     // Align schemas: left rows carry null right-values, right rows carry
     // null left-values. tag 0 = right (sorts first at equal ts → inclusive).
-    val taggedRight = right.select(
+    val taggedRight = rightValid.select(
       col(key) +: col(ts) +: lit(0).as("__tag") +:
         (rightVals.map(col) ++
           leftCols.filterNot(c => c == key || c == ts)
