@@ -47,17 +47,17 @@ object AsyncLookupJoin {
       Option(org.apache.spark.TaskContext.get()).foreach(
         _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      // cache shared between the fill loop and completion callbacks
+      // cache + in-flight map guarded by ONE lock so a key is fetched at
+      // most once per partition: the miss check, the pending lookup, and
+      // the completion's cache-insert/pending-remove are each atomic
+      // (a two-lock scheme had a window where a just-completed key was
+      // neither pending nor yet visible as a hit -> duplicate fetch)
+      val lock = new Object
       val cache = new java.util.LinkedHashMap[K, Option[V]](64, 0.75f, true) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[K, Option[V]]): Boolean = size() > cacheSize
       }
-      def cacheGet(k: K): Option[Option[V]] = cache.synchronized {
-        Option(cache.get(k))
-      }
-      def cachePut(k: K, v: Option[V]): Unit = cache.synchronized {
-        cache.put(k, v); ()
-      }
+      val pending = scala.collection.mutable.Map.empty[K, Future[Option[V]]]
       def withRetry(k: K, attempt: Int): Future[Option[V]] =
         fn.asyncLookup(k).recoverWith {
           case _ if attempt < maxRetries =>
@@ -69,15 +69,16 @@ object AsyncLookupJoin {
       // duplicate keys already in flight share one future (the
       // reference's LookupCacheManager semantics) — a hot probe key
       // costs one store round-trip, not `capacity` of them
-      val pending = scala.collection.mutable.Map.empty[K, Future[Option[V]]]
-      def dispatch(k: K): Future[Option[V]] = cacheGet(k) match {
-        case Some(hit) => Future.successful(hit)
-        case None => pending.synchronized {
-          pending.getOrElseUpdate(k, {
+      def dispatch(k: K): Future[Option[V]] = lock.synchronized {
+        Option(cache.get(k)) match {
+          case Some(hit) => Future.successful(hit)
+          case None => pending.getOrElseUpdate(k, {
             val f = withRetry(k, 0)
             f.onComplete { r =>
-              r.foreach(v => cachePut(k, v))
-              pending.synchronized(pending.remove(k))
+              lock.synchronized {
+                r.foreach(v => cache.put(k, v))
+                pending.remove(k)
+              }
             }
             f
           })
