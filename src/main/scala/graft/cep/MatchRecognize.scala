@@ -16,8 +16,9 @@ import org.apache.spark.sql.types._
   * quantifiers (* + ? {n} {n,} {n,m}, reluctant '?' suffix), WITHIN,
   * DEFINE with current-row conditions and PREV(col[, n]) navigation
   * (compiled to precomputed lag columns), ALL ROWS PER MATCH (with
-  * CLASSIFIER() and MATCH_NUMBER()). Not supported (raises): other
-  * skip modes, alternation/grouping in PATTERN, NEXT navigation.
+  * CLASSIFIER() and MATCH_NUMBER()), top-level PATTERN alternation
+  * (A B | A C — leftmost branch priority). Not supported (raises):
+  * other skip modes, grouping in PATTERN, NEXT navigation.
   *
   * Execution is Spark-first, not an interpreter bolted on:
   *  1. every DEFINE condition becomes a precomputed BOOLEAN column
@@ -43,7 +44,7 @@ object MatchRecognize {
       partitionBy: Seq[String],
       orderBy: Seq[String],
       measures: Seq[(String, String)], // (measure SQL, output alias)
-      pattern: Seq[PatSym],
+      branches: Seq[Seq[PatSym]],      // PATTERN alternation branches
       withinMs: Option[Long],
       defines: Map[String, String],    // UPPER(symbol) -> condition SQL
       allRows: Boolean = false)
@@ -146,10 +147,11 @@ object MatchRecognize {
       case patP(b) => b.trim
       case _ => fail(s"PATTERN needs (...): $patBody0")
     }
-    if (patBody.contains("|") || patBody.contains("("))
-      fail("alternation/grouping in PATTERN is not supported")
+    if (patBody.contains("("))
+      fail("grouping in PATTERN is not supported")
     val symP = """(\w+)(\*\?|\+\?|\*|\+|\?|\{\d+(?:,\d*)?\}\??)?""".r
-    val pattern = symP.findAllMatchIn(patBody).map { sm =>
+    def parseBranch(branchBody: String): Vector[PatSym] =
+      symP.findAllMatchIn(branchBody).map { sm =>
       val name = sm.group(1)
       val (mn, mx, greedy) = Option(sm.group(2)) match {
         case None => (1, 1, true)
@@ -169,9 +171,12 @@ object MatchRecognize {
       }
       PatSym(name, mn, mx, greedy)
     }.toVector
-    if (pattern.isEmpty) fail("empty PATTERN")
-    if (pattern.map(_.name.toUpperCase).distinct.length != pattern.length)
-      fail("repeated pattern variables are not supported")
+    val branches = patBody.split("\\|").toSeq.map(_.trim).map(parseBranch)
+    if (branches.exists(_.isEmpty)) fail("empty PATTERN branch")
+    branches.foreach { b =>
+      if (b.map(_.name.toUpperCase).distinct.length != b.length)
+        fail("repeated pattern variables within a branch are not supported")
+    }
 
     val withinMs = sections.get("WITHIN").map { s =>
       val ip = """(?is)INTERVAL\s+'(\d+)'\s+(\w+)""".r
@@ -198,7 +203,7 @@ object MatchRecognize {
     }.toMap).getOrElse(Map.empty)
 
     Spec(inputTable, outerSelect, partitionBy, orderBy, measures,
-      pattern, withinMs, defines, allRows)
+      branches, withinMs, defines, allRows)
   }
 
   // -------------------------------------------------------------- execute
@@ -269,7 +274,7 @@ object MatchRecognize {
 
   /** Apply a parsed spec to a DataFrame. */
   def apply(df: DataFrame, spec: Spec): DataFrame = {
-    val symbols = spec.pattern.map(_.name)
+    val symbols = spec.branches.flatten.map(_.name).distinct
     val inputCols = df.columns.toSeq
 
     // 0. PREV(col, n) navigation in DEFINE -> precomputed lag columns
@@ -304,20 +309,24 @@ object MatchRecognize {
         fail(s"WITHIN requires a time-ordered first ORDER BY column, got $t")
     }
 
-    // 2. the cep pattern over Row: predicates read the boolean columns;
-    // SQL MATCH_RECOGNIZE contiguity is strict (quantified steps consume
-    // the in-between rows)
-    var pat: Pattern[Row] = null
-    spec.pattern.zipWithIndex.foreach { case (ps, i) =>
-      val di = defIdx(ps.name)
-      val pred: Row => Boolean = r => !r.isNullAt(di) && r.getBoolean(di)
-      pat = if (i == 0) Pattern.begin[Row](ps.name).where(pred)
-        else pat.next(ps.name).where(pred)
-      if (!(ps.minRepeat == 1 && ps.maxRepeat == 1))
-        pat = pat.times(ps.minRepeat, ps.maxRepeat)
-      if (!ps.greedy) pat = pat.reluctant
+    // 2. one cep pattern per alternation branch: predicates read the
+    // boolean columns; SQL MATCH_RECOGNIZE contiguity is strict
+    // (quantified steps consume the in-between rows)
+    def branchPattern(branch: Seq[PatSym]): Pattern[Row] = {
+      var pat: Pattern[Row] = null
+      branch.zipWithIndex.foreach { case (ps, i) =>
+        val di = defIdx(ps.name)
+        val pred: Row => Boolean = r => !r.isNullAt(di) && r.getBoolean(di)
+        pat = if (i == 0) Pattern.begin[Row](ps.name).where(pred)
+          else pat.next(ps.name).where(pred)
+        if (!(ps.minRepeat == 1 && ps.maxRepeat == 1))
+          pat = pat.times(ps.minRepeat, ps.maxRepeat)
+        if (!ps.greedy) pat = pat.reluctant
+      }
+      spec.withinMs.foreach(ms => pat = pat.within(ms))
+      pat
     }
-    spec.withinMs.foreach(ms => pat = pat.within(ms))
+    val pats = spec.branches.map(branchPattern)
 
     val tsOf: Row => Long = r => r.get(tsIdx) match {
       case null => Long.MinValue
@@ -347,14 +356,14 @@ object MatchRecognize {
     val outSchema = StructType(keySchema.fields.toSeq ++
       Seq(StructField("__match_num", LongType, nullable = false)) ++
       symbols.map(s => StructField(s"__m_$s", stepArr)))
-    val patB = pat
+    val patB = pats
 
     val matched = pre
       .groupByKey((r: Row) => Row.fromSeq(partIdx.map(r.get).toSeq))(
         Encoders.row(keySchema))
       .flatMapGroups { (key: Row, rows: Iterator[Row]) =>
         val sorted = rows.toIndexedSeq.sorted(rowOrd)
-        Matcher.findMatches(sorted, tsOf, patB).iterator.zipWithIndex
+        Matcher.findMatchesAlt(sorted, tsOf, patB).iterator.zipWithIndex
           .map { case (bindings, i) =>
             Row.fromSeq(key.toSeq ++ Seq(i.toLong + 1) ++
               symbols.map(s => bindings.getOrElse(s, Seq.empty[Row])))

@@ -17,11 +17,22 @@ object Matcher {
     * event of each match. Leftmost-first; quantifier greediness follows
     * each step's flag. */
   def findMatches[T](events: IndexedSeq[T], tsOf: T => Long,
-      pattern: Pattern[T]): Seq[Map[String, Seq[T]]] = {
+      pattern: Pattern[T]): Seq[Map[String, Seq[T]]] =
+    findMatchesAlt(events, tsOf, Seq(pattern))
+
+  /** Alternation (SQL `PATTERN (A B | A C)`): at each start position the
+    * branches are tried in order — leftmost branch priority, as in the
+    * standard — and the first that matches wins; the scan then resumes
+    * past that match (SKIP PAST LAST ROW). */
+  def findMatchesAlt[T](events: IndexedSeq[T], tsOf: T => Long,
+      patterns: Seq[Pattern[T]]): Seq[Map[String, Seq[T]]] = {
     val out = mutable.ArrayBuffer.empty[Map[String, Seq[T]]]
     var i = 0
     while (i < events.length) {
-      tryFrom(events, i, tsOf, pattern) match {
+      val hit = patterns.iterator
+        .map(p => tryFrom(events, i, tsOf, p))
+        .collectFirst { case Some(m) => m }
+      hit match {
         case Some((endExclusive, bindings)) =>
           out += bindings
           i = math.max(endExclusive, i + 1)

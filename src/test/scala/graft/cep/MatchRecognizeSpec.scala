@@ -36,10 +36,10 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(spec.orderBy == Seq("ts", "event_id"))
     assert(spec.measures == Seq(("FIRST(A.ts)", "start_ts"),
       ("COUNT(B.*)", "n_b")))
-    assert(spec.pattern == Seq(
+    assert(spec.branches == Seq(Seq(
       MatchRecognize.PatSym("A", 1, 1, greedy = true),
       MatchRecognize.PatSym("B", 0, Int.MaxValue, greedy = false),
-      MatchRecognize.PatSym("C", 1, 3, greedy = true)))
+      MatchRecognize.PatSym("C", 1, 3, greedy = true))))
     assert(spec.withinMs.contains(600000L))
     assert(spec.defines("A") == "A.event_type = 'a'")
   }
@@ -129,8 +129,31 @@ class MatchRecognizeSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       MatchRecognize.parse("""SELECT * FROM t MATCH_RECOGNIZE (
-        ORDER BY ts MEASURES A.x AS x PATTERN (A | B) DEFINE A AS true)""")
+        ORDER BY ts MEASURES A.x AS x PATTERN ((A B) C) DEFINE A AS true)""")
     }
+  }
+
+  test("PATTERN alternation picks the leftmost matching branch") {
+    mkEvents(Seq(
+      (1L, 1L, "a", 100L, 1.0), (2L, 1L, "b", 200L, 2.0),
+      (3L, 1L, "a", 300L, 3.0), (4L, 1L, "c", 400L, 4.0)))
+    val env = TableEnv(spark)
+    val out = env.executeSql("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY t
+        MEASURES LAST(B.t) AS b_t, LAST(C.t) AS c_t, FIRST(A.t) AS a_t
+        PATTERN (A B | A C)
+        DEFINE A AS A.event_type = 'a',
+               B AS B.event_type = 'b',
+               C AS C.event_type = 'c'
+      )""").collect()
+      .map(r => (r.getLong(3), Option(r.get(1)), Option(r.get(2))))
+      .sortBy(_._1)
+    // first match takes branch A B; second takes branch A C
+    assert(out.length == 2)
+    assert(out(0) == ((100L, Some(200L), None)))
+    assert(out(1) == ((300L, None, Some(400L))))
   }
 
   test("events-table funnel matches the Pattern-DSL CEP result") {
