@@ -17,8 +17,9 @@ import org.apache.spark.sql.types._
   * DEFINE with current-row conditions and PREV(col[, n]) navigation
   * (compiled to precomputed lag columns), ALL ROWS PER MATCH (with
   * CLASSIFIER() and MATCH_NUMBER()), top-level PATTERN alternation
-  * (A B | A C — leftmost branch priority). Not supported (raises):
-  * other skip modes, grouping in PATTERN, NEXT navigation.
+  * (A B | A C — leftmost branch priority), AFTER MATCH SKIP PAST LAST
+  * ROW / SKIP TO NEXT ROW. Not supported (raises): other skip modes,
+  * grouping in PATTERN, NEXT navigation.
   *
   * Execution is Spark-first, not an interpreter bolted on:
   *  1. every DEFINE condition becomes a precomputed BOOLEAN column
@@ -47,7 +48,8 @@ object MatchRecognize {
       branches: Seq[Seq[PatSym]],      // PATTERN alternation branches
       withinMs: Option[Long],
       defines: Map[String, String],    // UPPER(symbol) -> condition SQL
-      allRows: Boolean = false)
+      allRows: Boolean = false,
+      skipToNextRow: Boolean = false)
 
   def matches(sql: String): Boolean =
     sql.toUpperCase.contains("MATCH_RECOGNIZE")
@@ -129,9 +131,11 @@ object MatchRecognize {
       .map(splitTopLevel(_).map(_.trim)).getOrElse(fail("ORDER BY required"))
     val allRows = hits.find(_._1 == "ROWS_PER_MATCH")
       .exists(h => body.substring(h._2, h._3).toUpperCase.contains("ALL"))
-    sections.get("AFTER_MATCH").foreach { s =>
-      if (!s.matches("(?is)SKIP\\s+PAST\\s+LAST\\s+ROW\\s*"))
-        fail(s"only AFTER MATCH SKIP PAST LAST ROW is supported, got: $s")
+    val skipToNextRow = sections.get("AFTER_MATCH").exists { s =>
+      if (s.matches("(?is)SKIP\\s+PAST\\s+LAST\\s+ROW\\s*")) false
+      else if (s.matches("(?is)SKIP\\s+TO\\s+NEXT\\s+ROW\\s*")) true
+      else fail(s"unsupported AFTER MATCH mode: $s " +
+        "(SKIP PAST LAST ROW / SKIP TO NEXT ROW)")
     }
     val measures = sections.get("MEASURES").map(splitTopLevel(_).map { e =>
       val mm = """(?is)^(.*\S)\s+AS\s+(\w+)\s*$""".r
@@ -203,7 +207,7 @@ object MatchRecognize {
     }.toMap).getOrElse(Map.empty)
 
     Spec(inputTable, outerSelect, partitionBy, orderBy, measures,
-      branches, withinMs, defines, allRows)
+      branches, withinMs, defines, allRows, skipToNextRow)
   }
 
   // -------------------------------------------------------------- execute
@@ -357,13 +361,15 @@ object MatchRecognize {
       Seq(StructField("__match_num", LongType, nullable = false)) ++
       symbols.map(s => StructField(s"__m_$s", stepArr)))
     val patB = pats
+    val skipNext = spec.skipToNextRow
 
     val matched = pre
       .groupByKey((r: Row) => Row.fromSeq(partIdx.map(r.get).toSeq))(
         Encoders.row(keySchema))
       .flatMapGroups { (key: Row, rows: Iterator[Row]) =>
         val sorted = rows.toIndexedSeq.sorted(rowOrd)
-        Matcher.findMatchesAlt(sorted, tsOf, patB).iterator.zipWithIndex
+        Matcher.findMatchesAlt(sorted, tsOf, patB, skipNext)
+          .iterator.zipWithIndex
           .map { case (bindings, i) =>
             Row.fromSeq(key.toSeq ++ Seq(i.toLong + 1) ++
               symbols.map(s => bindings.getOrElse(s, Seq.empty[Row])))

@@ -25,7 +25,8 @@ object Matcher {
     * standard — and the first that matches wins; the scan then resumes
     * past that match (SKIP PAST LAST ROW). */
   def findMatchesAlt[T](events: IndexedSeq[T], tsOf: T => Long,
-      patterns: Seq[Pattern[T]]): Seq[Map[String, Seq[T]]] = {
+      patterns: Seq[Pattern[T]],
+      skipToNextRow: Boolean = false): Seq[Map[String, Seq[T]]] = {
     val out = mutable.ArrayBuffer.empty[Map[String, Seq[T]]]
     var i = 0
     while (i < events.length) {
@@ -35,7 +36,9 @@ object Matcher {
       hit match {
         case Some((endExclusive, bindings)) =>
           out += bindings
-          i = math.max(endExclusive, i + 1)
+          // SKIP TO NEXT ROW allows overlapping matches; PAST LAST ROW
+          // (the default) resumes after the consumed events
+          i = if (skipToNextRow) i + 1 else math.max(endExclusive, i + 1)
         case None => i += 1
       }
     }

@@ -124,7 +124,7 @@ class MatchRecognizeSpec extends SparkSpec {
   test("unsupported clauses raise") {
     intercept[IllegalArgumentException] {
       MatchRecognize.parse("""SELECT * FROM t MATCH_RECOGNIZE (
-        ORDER BY ts MEASURES A.x AS x AFTER MATCH SKIP TO NEXT ROW
+        ORDER BY ts MEASURES A.x AS x AFTER MATCH SKIP TO FIRST A
         PATTERN (A) DEFINE A AS true)""")
     }
     intercept[IllegalArgumentException] {
@@ -245,5 +245,24 @@ class MatchRecognizeSpec extends SparkSpec {
         DEFINE A AS A.event_type = 'a'
       )""").collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(out.toSeq == Seq((1L, 100L), (2L, 200L)))
+  }
+
+  test("SKIP TO NEXT ROW yields overlapping matches") {
+    mkEvents(Seq(
+      (1L, 1L, "a", 100L, 0.0), (2L, 1L, "a", 200L, 0.0),
+      (3L, 1L, "a", 300L, 0.0)))
+    val env = TableEnv(spark)
+    def run(mode: String) = env.executeSql(s"""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY t
+        MEASURES FIRST(A.t) AS t0, LAST(B.t) AS t1
+        AFTER MATCH $mode
+        PATTERN (A B)
+        DEFINE A AS A.event_type = 'a', B AS B.event_type = 'a'
+      )""").collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(run("SKIP PAST LAST ROW").toSeq == Seq((100L, 200L)))
+    assert(run("SKIP TO NEXT ROW").toSeq ==
+      Seq((100L, 200L), (200L, 300L)))
   }
 }
