@@ -12,7 +12,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "q_join_multi", "q_join_inner", "q_scan_pushdown",
-        "q_rank_topn", "q_minhash_lsh", "q_ann_brute")
+        "q_rank_topn", "q_minhash_lsh", "q_ann_brute", "q_ann_ivf",
+        "q_embed_neardup_lsh", "q_cdc_agg", "q_match_recognize",
+        "q_asof_sql", "q_format_avro")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
