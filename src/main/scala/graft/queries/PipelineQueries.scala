@@ -214,13 +214,42 @@ object PipelineQueries {
 
     // Language ID (heuristic, engine-specific → rows-only; accuracy is
     // asserted in ScalaTest on real multilingual samples).
+    // Language-ID heuristic (stopword-profile arg-max) — the scoring is
+    // plain set arithmetic, so DuckDB can replicate it exactly: the
+    // oracle recomputes the arg-max with the same tie-break (score desc,
+    // then language code desc, matching Spark's greatest-over-structs).
     QueryDef("q_lang_id", (s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang").as("labeled"),
           TextAnalysis.langId(col("text")).as("predicted"))
         .groupBy(col("labeled"), col("predicted"))
         .agg(count(lit(1)).as("n"))
-    }, None),
+    }, Some("""
+      WITH words AS (
+        SELECT doc_id, lang AS labeled,
+          regexp_split_to_array(lower(text), '\s+') AS w
+        FROM documents),
+      scored AS (
+        SELECT doc_id, labeled, s.lang,
+          CAST(len(list_intersect(w, s.stops)) AS DOUBLE)
+            / greatest(len(w), 1) AS score
+        FROM words, (VALUES
+          ('en', ['the','and','of','to','in','is','that','it','was','for','on','with','as','at','by']),
+          ('de', ['der','die','das','und','ist','von','mit','den','nicht','ein','eine','zu','im','für','auf']),
+          ('es', ['el','la','de','que','y','en','los','del','se','las','por','un','una','con','para']),
+          ('fr', ['le','la','les','de','des','et','est','en','un','une','du','que','pour','dans','qui']),
+          ('zh', ['的','是','在','了','和','有','我','不','这','他','也','就','人','都','说'])
+        ) AS s(lang, stops)),
+      best AS (
+        SELECT doc_id, labeled, lang, score,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, lang DESC) AS rn
+        FROM scored)
+      SELECT labeled,
+        CASE WHEN score > 0 THEN lang ELSE 'und' END AS predicted,
+        COUNT(*) AS n
+      FROM best WHERE rn = 1
+      GROUP BY 1, 2""")),
 
     // Winnowing fingerprints (rows-only; determinism in ScalaTest).
     QueryDef("q_fingerprint", (s, dir) => {
