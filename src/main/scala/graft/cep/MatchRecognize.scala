@@ -17,9 +17,10 @@ import org.apache.spark.sql.types._
   * DEFINE with current-row conditions and PREV(col[, n]) navigation
   * (compiled to precomputed lag columns), ALL ROWS PER MATCH (with
   * CLASSIFIER() and MATCH_NUMBER()), top-level PATTERN alternation
-  * (A B | A C — leftmost branch priority), AFTER MATCH SKIP PAST LAST
+  * (A B | A C — leftmost branch priority), bounded group quantifiers
+  * ((B C){m,n}, unrolled into branches), AFTER MATCH SKIP PAST LAST
   * ROW / SKIP TO NEXT ROW. Not supported (raises): other skip modes,
-  * grouping in PATTERN, NEXT navigation.
+  * unbounded group quantifiers, NEXT navigation.
   *
   * Execution is Spark-first, not an interpreter bolted on:
   *  1. every DEFINE condition becomes a precomputed BOOLEAN column
@@ -151,8 +152,6 @@ object MatchRecognize {
       case patP(b) => b.trim
       case _ => fail(s"PATTERN needs (...): $patBody0")
     }
-    if (patBody.contains("("))
-      fail("grouping in PATTERN is not supported")
     val symP = """(\w+)(\*\?|\+\?|\*|\+|\?|\{\d+(?:,\d*)?\}\??)?""".r
     def parseBranch(branchBody: String): Vector[PatSym] =
       symP.findAllMatchIn(branchBody).map { sm =>
@@ -175,12 +174,67 @@ object MatchRecognize {
       }
       PatSym(name, mn, mx, greedy)
     }.toVector
-    val branches = patBody.split("\\|").toSeq.map(_.trim).map(parseBranch)
-    if (branches.exists(_.isEmpty)) fail("empty PATTERN branch")
-    branches.foreach { b =>
-      if (b.map(_.name.toUpperCase).distinct.length != b.length)
-        fail("repeated pattern variables within a branch are not supported")
+    // bounded group quantifiers — (B C){m,n} / (B C)? — unroll into
+    // alternation branches (the reference compiles groups into NFA
+    // sub-automata; with bounded repetition the expansion is finite and
+    // the branch-priority order encodes greediness). Symbols repeated by
+    // unrolling merge their bindings (Matcher appends per name).
+    val tokenP = ("""\(\s*([^()|]*?)\s*\)(\{\d+(?:,\d+)?\}\??|\?\??)?""" +
+      """|(\w+)((?:\*|\+|\?|\{\d+(?:,\d*)?\})\??)?""").r
+    def expandBranch(branchBody: String): Seq[Vector[PatSym]] = {
+      if (!branchBody.contains("(")) return Seq(parseBranch(branchBody))
+      var expansions: Seq[Vector[PatSym]] = Seq(Vector.empty)
+      // every non-space character must belong to a token — otherwise a
+      // construct like (A B)+ would silently drop its quantifier
+      val covered = Array.fill(branchBody.length)(false)
+      tokenP.findAllMatchIn(branchBody).foreach { m =>
+        (m.start until m.end).foreach(covered(_) = true)
+      }
+      branchBody.zipWithIndex.foreach { case (c, i) =>
+        if (!c.isWhitespace && !covered(i))
+          fail(s"unsupported PATTERN syntax near '$c' in: $branchBody " +
+            "(unbounded group quantifiers are not supported)")
+      }
+      tokenP.findAllMatchIn(branchBody).foreach { m =>
+        if (m.group(3) != null) {
+          expansions = expansions.map(_ ++ parseBranch(m.matched))
+        } else {
+          val inner = parseBranch(m.group(1))
+          if (inner.isEmpty) fail("empty group in PATTERN")
+          val braceP = """\{(\d+)(?:,(\d+))?\}(\?)?""".r
+          val (mn, mx, greedy) = Option(m.group(2)) match {
+            case None => (1, 1, true)
+            case Some("?") => (0, 1, true)
+            case Some("??") => (0, 1, false)
+            case Some(braceP(n, null, rel)) => (n.toInt, n.toInt, rel == null)
+            case Some(braceP(n, x, rel)) => (n.toInt, x.toInt, rel == null)
+            case Some(q) => fail(s"group quantifier $q " +
+              "(unbounded group quantifiers are not supported)")
+          }
+          val counts = if (greedy) mx to mn by -1 else mn to mx
+          expansions = expansions.flatMap(e =>
+            counts.map(k => e ++ Vector.fill(k)(inner).flatten))
+          if (expansions.length > 64)
+            fail("group quantifier expansion exceeds 64 branches")
+        }
+      }
+      expansions
     }
+    def splitAlt(body: String): Seq[String] = {
+      val out = Vector.newBuilder[String]
+      val cur = new StringBuilder
+      var d = 0
+      body.foreach {
+        case '(' => d += 1; cur += '('
+        case ')' => d -= 1; cur += ')'
+        case '|' if d == 0 => out += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      out += cur.toString
+      out.result().map(_.trim)
+    }
+    val branches = splitAlt(patBody).flatMap(expandBranch)
+    if (branches.exists(_.isEmpty)) fail("empty PATTERN branch")
 
     val withinMs = sections.get("WITHIN").map { s =>
       val ip = """(?is)INTERVAL\s+'(\d+)'\s+(\w+)""".r

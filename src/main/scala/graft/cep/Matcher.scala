@@ -143,8 +143,11 @@ object Matcher {
               if (firstTs != Long.MinValue) firstTs
               else if (c > 0) tsOf(taken.head)
               else Long.MinValue
+            // APPEND to any earlier binding of the same name — a symbol
+            // can repeat across unrolled group-quantifier copies
             go(stepIdx + 1, if (c > 0) runIdx(c - 1) + 1 else sp, f2,
-                acc + (step.name -> taken)) match {
+                acc.updated(step.name,
+                  acc.getOrElse(step.name, Seq.empty) ++ taken)) match {
               case s @ Some(_) => return s
               case None =>
             }

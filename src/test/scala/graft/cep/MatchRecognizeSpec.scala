@@ -127,10 +127,13 @@ class MatchRecognizeSpec extends SparkSpec {
         ORDER BY ts MEASURES A.x AS x AFTER MATCH SKIP TO FIRST A
         PATTERN (A) DEFINE A AS true)""")
     }
-    intercept[IllegalArgumentException] {
-      MatchRecognize.parse("""SELECT * FROM t MATCH_RECOGNIZE (
-        ORDER BY ts MEASURES A.x AS x PATTERN ((A B) C) DEFINE A AS true)""")
-    }
+    // a group without a quantifier is plain sequencing - supported
+    val grouped = MatchRecognize.parse("""SELECT * FROM t MATCH_RECOGNIZE (
+      ORDER BY ts MEASURES A.x AS x PATTERN ((A B) C) DEFINE A AS true)""")
+    assert(grouped.branches == Seq(Seq(
+      MatchRecognize.PatSym("A", 1, 1, greedy = true),
+      MatchRecognize.PatSym("B", 1, 1, greedy = true),
+      MatchRecognize.PatSym("C", 1, 1, greedy = true))))
   }
 
   test("PATTERN alternation picks the leftmost matching branch") {
@@ -264,5 +267,53 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(run("SKIP PAST LAST ROW").toSeq == Seq((100L, 200L)))
     assert(run("SKIP TO NEXT ROW").toSeq ==
       Seq((100L, 200L), (200L, 300L)))
+  }
+
+  test("bounded group quantifier unrolls and merges bindings") {
+    mkEvents(Seq(
+      (1L, 1L, "b", 100L, 1.0), (2L, 1L, "c", 200L, 2.0),
+      (3L, 1L, "b", 300L, 3.0), (4L, 1L, "c", 400L, 4.0),
+      (5L, 1L, "d", 500L, 5.0)))
+    val env = TableEnv(spark)
+    val out = env.executeSql("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY t
+        MEASURES COUNT(B.*) AS n_b, COUNT(C.*) AS n_c, FIRST(D.t) AS d_t
+        PATTERN ((B C){1,2} D)
+        DEFINE B AS B.event_type = 'b',
+               C AS C.event_type = 'c',
+               D AS D.event_type = 'd'
+      )""").collect()
+    // greedy: two (B C) copies bound, bindings merged per symbol
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 2L && out.head.getLong(2) == 2L)
+    assert(out.head.getLong(3) == 500L)
+  }
+
+  test("optional group matches zero or one copies") {
+    mkEvents(Seq(
+      (1L, 1L, "a", 100L, 0.0), (2L, 1L, "d", 200L, 0.0),
+      (3L, 2L, "a", 100L, 0.0), (4L, 2L, "b", 200L, 0.0),
+      (5L, 2L, "c", 300L, 0.0), (6L, 2L, "d", 400L, 0.0)))
+    val env = TableEnv(spark)
+    val out = env.executeSql("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY t
+        MEASURES COUNT(B.*) AS n_b, FIRST(D.t) AS d_t
+        PATTERN (A (B C)? D)
+        DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b',
+               C AS C.event_type = 'c', D AS D.event_type = 'd'
+      )""").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 0L, 200L), (2L, 1L, 400L)))
+  }
+
+  test("unbounded group quantifier raises") {
+    intercept[IllegalArgumentException] {
+      MatchRecognize.parse("""SELECT * FROM t MATCH_RECOGNIZE (
+        ORDER BY ts MEASURES A.x AS x PATTERN ((A B)+) DEFINE A AS true)""")
+    }
   }
 }
