@@ -97,4 +97,26 @@ class CepPropertySpec extends AnyFunSuite {
       got == want
     })
   }
+
+  test("alternation agrees with regex alternative-priority semantics") {
+    val branchesGen = Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, patternGen))
+    check(Prop.forAll(eventsGen, branchesGen) {
+      (input: String, branches: List[List[QStep]]) =>
+        val events = input.zipWithIndex
+          .map { case (c, i) => Ev(i, c) }.toIndexedSeq
+        val got = Matcher.findMatchesAlt[Ev](events, (e: Ev) => e.idx.toLong,
+            branches.map(toCep))
+          .map { bindings =>
+            val idxs = bindings.valuesIterator.flatten.map(_.idx).toSeq.sorted
+            (idxs.head, idxs.last + 1)
+          }
+        // non-capturing groups keep alternative priority order
+        val rx = branches.map(b => s"(?:${toRegex(b)})").mkString("|")
+        val want = regexSpans(input, rx)
+        if (got != want) println(
+          s"ALT MISMATCH input=$input regex=$rx got=$got want=$want")
+        got == want
+    }, n = 500)
+  }
 }
