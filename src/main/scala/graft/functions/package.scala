@@ -1,10 +1,16 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{AnalysisException, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** Registration for graft's custom Catalyst expressions, making them
   * callable from SQL and `expr()` — the analogue of the reference's
   * function catalog (BuiltInFunctionDefinitions.java registration).
+  * One validated builder per function, shared between the session
+  * registry path (`register`) and the SparkSessionExtensions path
+  * (graft.GraftExtensions), so mis-parameterized calls fail analysis
+  * instead of silently running with different semantics.
   */
 package object functions {
 
@@ -16,26 +22,66 @@ package object functions {
       e2: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     s1 < e2 && s2 < e1
 
+  private[graft] def arityErr(name: String, msg: String): Nothing =
+    throw new AnalysisException(
+      errorClass = "INTERNAL_ERROR",
+      messageParameters = Map("message" -> s"$name: $msg"))
+
+  /** Extra parameters must be foldable ints — a silently-ignored
+    * argument would return results for different parameters than
+    * requested. */
+  private[graft] def intArg(name: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case _ => arityErr(name, s"parameter must be an INT literal, got $e")
+  }
+
+  /** Validated SQL builders for every graft function. */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "split_index" -> { exprs =>
+      if (exprs.length == 3) SplitIndex(exprs(0), exprs(1), exprs(2))
+      else arityErr("split_index", s"expects 3 arguments, got ${exprs.length}")
+    },
+    "minhash_sig" -> {
+      case Seq(t) => MinHashSig(t, 3, 32)
+      case Seq(t, n, h) =>
+        MinHashSig(t, intArg("minhash_sig", n), intArg("minhash_sig", h))
+      case exprs => arityErr("minhash_sig",
+        s"expects (text) or (text, ngram INT, numHashes INT), got ${exprs.length} args")
+    },
+    "simhash64" -> { exprs =>
+      if (exprs.length == 1) SimHash64Expr(exprs.head)
+      else arityErr("simhash64", s"expects 1 argument, got ${exprs.length}")
+    },
+    "winnow_fingerprint" -> {
+      case Seq(t) => WinnowFingerprint(t, 5, 4)
+      case Seq(t, k, w) => WinnowFingerprint(t,
+        intArg("winnow_fingerprint", k), intArg("winnow_fingerprint", w))
+      case exprs => arityErr("winnow_fingerprint",
+        s"expects (text) or (text, k INT, w INT), got ${exprs.length} args")
+    },
+    "json_value" -> { exprs =>
+      if (exprs.length == 2) JsonValue(exprs(0), exprs(1))
+      else arityErr("json_value", s"expects 2 arguments, got ${exprs.length}")
+    },
+    "json_query" -> { exprs =>
+      if (exprs.length == 2) JsonQuery(exprs(0), exprs(1))
+      else arityErr("json_query", s"expects 2 arguments, got ${exprs.length}")
+    },
+    "json_exists" -> { exprs =>
+      if (exprs.length == 2) JsonExists(exprs(0), exprs(1))
+      else arityErr("json_exists", s"expects 2 arguments, got ${exprs.length}")
+    },
+    "ngrams" -> { exprs =>
+      if (exprs.length == 2) NGrams(exprs(0), intArg("ngrams", exprs(1)))
+      else arityErr("ngrams", s"expects 2 arguments, got ${exprs.length}")
+    })
+
   /** Idempotently register all graft SQL functions on a session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("split_index",
-      exprs => SplitIndex(exprs(0), exprs(1), exprs(2)), "built-in")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      exprs => MinHashSig(exprs.head, 3, 32), "built-in")
-    reg.createOrReplaceTempFunction("simhash64",
-      exprs => SimHash64Expr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("winnow_fingerprint",
-      exprs => WinnowFingerprint(exprs.head, 5, 4), "built-in")
-    reg.createOrReplaceTempFunction("json_value",
-      exprs => JsonValue(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("json_query",
-      exprs => JsonQuery(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("json_exists",
-      exprs => JsonExists(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("ngrams",
-      exprs => NGrams(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
     spark.udf.register("weighted_avg",
       org.apache.spark.sql.functions.udaf(new Aggregators.WeightedAvg))
   }

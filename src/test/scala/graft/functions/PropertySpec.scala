@@ -59,4 +59,28 @@ class PropertySpec extends SparkSpec {
         fa == fb && (fa & fc).size.toDouble / fa.size > 0.5
     }, n = 10)
   }
+
+  test("SQL functions validate arity and accept optional int parameters") {
+    graft.functions.register(spark)
+    import spark.implicits._
+    val df = Seq("the quick brown fox jumps").toDF("t")
+    df.createOrReplaceTempView("fn_arity")
+    // optional parameters change the result shape
+    val sig64 = spark.sql("SELECT minhash_sig(t, 4, 64) AS s FROM fn_arity")
+      .collect().head.getSeq[Long](0)
+    assert(sig64.length == 64)
+    val sigDefault = spark.sql("SELECT minhash_sig(t) AS s FROM fn_arity")
+      .collect().head.getSeq[Long](0)
+    assert(sigDefault.length == 32)
+    // wrong arity fails analysis instead of silently using defaults
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_sig(t, 4) FROM fn_arity").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT split_index(t, ',') FROM fn_arity").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64(t, 1) FROM fn_arity").collect()
+    }
+  }
 }
