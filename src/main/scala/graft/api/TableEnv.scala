@@ -84,7 +84,17 @@ final class TableEnv(val spark: SparkSession) {
       val (mode, name, query) = (m.group(1).toUpperCase, m.group(2), m.group(3))
       val spec = specs.getOrElse(name, throw new IllegalArgumentException(
         s"INSERT target $name is not a registered table (use CREATE TABLE)"))
-      executeSql(query).write.format(spec.format)
+      val result0 = executeSql(query)
+      // changelog-mode inference (reference
+      // FlinkChangelogModeInferenceProgram): an upsert sink — primary
+      // key declared — keys on the PK and needs no -U pre-images, so
+      // they are dropped before the write
+      val result =
+        if (spec.primaryKey.nonEmpty &&
+            result0.columns.contains(graft.cdc.ChangelogFormats.RowKindCol))
+          graft.cdc.ChangelogFormats.dropUpdateBefore(result0)
+        else result0
+      result.write.format(spec.format)
         .mode(if (mode == "INTO") "append" else "overwrite")
         .save(spec.path)
       batchRead(spec).createOrReplaceTempView(name) // refresh the view

@@ -88,4 +88,33 @@ class FlinkDdlSpec extends SparkSpec {
         "WHERE n_nationkey < 5")
     assert(env.from("nation_sink").count() == 5)
   }
+
+  test("upsert sink (primary key) drops -U rows on INSERT - changelog inference") {
+    val env = TableEnv(spark)
+    import spark.implicits._
+    Seq((1L, "a", "+I"), (1L, "a", "-U"), (1L, "b", "+U"), (2L, "c", "+I"))
+      .toDF("pk", "v", graft.cdc.ChangelogFormats.RowKindCol)
+      .createOrReplaceTempView("cl_src")
+    val dir = java.nio.file.Files.createTempDirectory("upsert_sink").toString
+    env.executeSql(s"""
+      CREATE TABLE upsert_sink (
+        pk BIGINT, v STRING, __row_kind STRING,
+        PRIMARY KEY (pk) NOT ENFORCED
+      ) WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+              'format' = 'parquet')""")
+    env.executeSql("INSERT INTO upsert_sink SELECT * FROM cl_src")
+    val kinds = env.from("upsert_sink")
+      .select(graft.cdc.ChangelogFormats.RowKindCol).collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(kinds == Seq("+I", "+I", "+U"))  // -U inferred away
+
+    // a sink WITHOUT a primary key keeps the full changelog
+    env.executeSql(s"""
+      CREATE TABLE retract_sink (
+        pk BIGINT, v STRING, __row_kind STRING
+      ) WITH ('connector' = 'filesystem', 'path' = '$dir/t2',
+              'format' = 'parquet')""")
+    env.executeSql("INSERT INTO retract_sink SELECT * FROM cl_src")
+    assert(env.from("retract_sink").count() == 4)
+  }
 }
