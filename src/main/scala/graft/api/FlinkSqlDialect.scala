@@ -58,6 +58,33 @@ object FlinkSqlDialect {
     n.toLong * mult
   }
 
+  /** SQL SIMILAR TO pattern -> Java regex: % -> .* and _ -> . and
+    * literal-dot escaping apply OUTSIDE bracket character classes only;
+    * everything inside [...] is copied verbatim (SQL and Java regex
+    * classes agree). A '\'-escaped character is copied through. */
+  private[api] def similarToRegex(p: String): String = {
+    val sb = new StringBuilder
+    var inClass = false
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '\\' && i + 1 < p.length) { // escaped char passes through
+        sb.append(c).append(p.charAt(i + 1)); i += 1
+      } else if (inClass) {
+        sb.append(c)
+        if (c == ']') inClass = false
+      } else c match {
+        case '[' => inClass = true; sb.append(c)
+        case '%' => sb.append(".*")
+        case '_' => sb.append('.')
+        case '.' => sb.append("\\.")
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   def translate(sql: String): String = {
     require(!sql.toUpperCase.contains("MATCH_RECOGNIZE"),
       "MATCH_RECOGNIZE: route through TableEnv.executeSql " +
@@ -136,15 +163,15 @@ object FlinkSqlDialect {
     out = out.replaceAll("""(?i)\bRAND_INTEGER\s*\(\s*(\w+)\s*\)""",
       "CAST(floor(rand() * $1) AS INT)")
     // SIMILAR TO: SQL pattern -> Java regex via rlike. Handles the SQL
-    // wildcards % and _; character classes pass through unchanged.
-    // Literal-pattern operand only (the common form).
+    // wildcards % and _; character classes [...] pass through unchanged
+    // (the tokenizer below skips substitution inside them, so '[a_b]'
+    // keeps its literal underscore). Literal-pattern operand only
+    // (the common form).
     out = out.replaceAll(
       """(?i)\b([\w.]+)\s+SIMILAR\s+TO\s+'([^']*)'""", "SIMILARTO($1,'$2')")
     out = """SIMILARTO\(([\w.]+),'([^']*)'\)""".r.replaceAllIn(out, m => {
       val target = m.group(1)
-      val rx = m.group(2)
-        .replace(".", "\\.")
-        .replace("%", ".*").replace("_", ".")
+      val rx = similarToRegex(m.group(2))
       Regex.quoteReplacement(s"$target rlike '^$rx$$'")
     })
     // JSON constructors (reference JSON_OBJECT/JSON_ARRAY and their

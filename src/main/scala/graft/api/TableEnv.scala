@@ -30,12 +30,15 @@ final class TableEnv(val spark: SparkSession) {
 
   /** CREATE TABLE analogue: register a named external table. A sink
     * table whose path doesn't exist yet registers as an empty view with
-    * the declared schema (filled by INSERT INTO later). */
+    * the declared schema (filled by INSERT INTO later). Only the
+    * path-not-found case falls back to the empty view — a wrong format
+    * option or schema mismatch must FAIL here, not silently register an
+    * empty table that makes downstream queries return empty results. */
   def createTable(name: String, spec: TableSpec): Unit = {
     specs(name) = spec
     try batchRead(spec).createOrReplaceTempView(name)
     catch {
-      case e: org.apache.spark.sql.AnalysisException =>
+      case e: org.apache.spark.sql.AnalysisException if isPathNotFound(e) =>
         spec.schema match {
           case Some(schema) =>
             spark.createDataFrame(
@@ -45,6 +48,10 @@ final class TableEnv(val spark: SparkSession) {
         }
     }
   }
+
+  private[api] def isPathNotFound(e: org.apache.spark.sql.AnalysisException): Boolean =
+    Option(e.getCondition).exists(_.contains("PATH_NOT_FOUND")) ||
+      Option(e.getMessage).exists(_.contains("Path does not exist"))
 
   def tableSpec(name: String): Option[TableSpec] = specs.get(name)
 
@@ -88,12 +95,27 @@ final class TableEnv(val spark: SparkSession) {
       // changelog-mode inference (reference
       // FlinkChangelogModeInferenceProgram): an upsert sink — primary
       // key declared — keys on the PK and needs no -U pre-images, so
-      // they are dropped before the write
+      // they are dropped before the write. Two storage modes:
+      //  * declared schema INCLUDES __row_kind -> the sink stores the
+      //    changelog itself (the reference's retract-visible sink);
+      //  * declared schema OMITS __row_kind -> true upsert sink: the
+      //    store stays an append-only changelog tagged with a batch
+      //    epoch + intra-batch sequence, and batchRead materializes
+      //    latest-per-PK with deletes applied (compaction-on-read, the
+      //    compacted-topic shape — append-only writes scale; the
+      //    single PK shuffle happens at read)
+      val kindCol = graft.cdc.ChangelogFormats.RowKindCol
+      val declaresKind = spec.schema.exists(_.fieldNames.contains(kindCol))
       val result =
-        if (spec.primaryKey.nonEmpty &&
-            result0.columns.contains(graft.cdc.ChangelogFormats.RowKindCol))
-          graft.cdc.ChangelogFormats.dropUpdateBefore(result0)
-        else result0
+        if (spec.primaryKey.nonEmpty && result0.columns.contains(kindCol)) {
+          val dropped = graft.cdc.ChangelogFormats.dropUpdateBefore(result0)
+          if (declaresKind) dropped
+          else dropped
+            .withColumn(TableEnv.EpochCol,
+              org.apache.spark.sql.functions.lit(TableEnv.nextEpoch()))
+            .withColumn(TableEnv.SeqCol,
+              org.apache.spark.sql.functions.monotonically_increasing_id())
+        } else result0
       result.write.format(spec.format)
         .mode(if (mode == "INTO") "append" else "overwrite")
         .save(spec.path)
@@ -116,11 +138,49 @@ final class TableEnv(val spark: SparkSession) {
       spark.sparkContext.parallelize(rows.toList), schema)
 
   private def batchRead(spec: TableSpec): DataFrame = {
-    val r = spark.read.format(spec.format)
-    spec.schema.fold(r)(s => r.schema(s)).load(spec.path)
+    import org.apache.spark.sql.functions.{col, row_number}
+    def forced: DataFrame = {
+      val r = spark.read.format(spec.format)
+      spec.schema.fold(r)(s => r.schema(s)).load(spec.path)
+    }
+    val kindCol = graft.cdc.ChangelogFormats.RowKindCol
+    val declaresKind = spec.schema.exists(_.fieldNames.contains(kindCol))
+    if (spec.primaryKey.isEmpty || declaresKind) forced
+    else {
+      // upsert materialization (see executeSql INSERT): latest row per
+      // PK by (batch epoch, intra-batch seq), delete tombstones applied,
+      // internal columns projected away. One shuffle on the PK — the
+      // same cost as any log compaction, and it happens at read, not on
+      // the append-only write path.
+      val raw = spark.read.format(spec.format).load(spec.path)
+      val internal = Set(kindCol, TableEnv.EpochCol, TableEnv.SeqCol)
+      if (!internal.subsetOf(raw.columns.toSet)) forced
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(spec.primaryKey.map(col): _*)
+          .orderBy(col(TableEnv.EpochCol).desc, col(TableEnv.SeqCol).desc)
+        val declared = spec.schema.map(_.fieldNames.toSeq)
+          .getOrElse(raw.columns.toSeq.filterNot(internal))
+        raw.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1 && col(kindCol) =!= "-D")
+          .select(declared.map(col): _*)
+      }
+    }
   }
 }
 
 object TableEnv {
+  /** Internal storage columns of the upsert-sink changelog store. */
+  val EpochCol = "__upsert_epoch"
+  val SeqCol = "__upsert_seq"
+
+  // strictly increasing batch epochs even when two INSERTs land within
+  // the same millisecond (wall time is only the starting point); cross-
+  // process writers would need transactional table storage — out of
+  // scope, single-writer semantics documented in USAGE.md
+  private val epochCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[api] def nextEpoch(): Long =
+    epochCounter.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
+
   def apply(spark: SparkSession): TableEnv = new TableEnv(spark)
 }

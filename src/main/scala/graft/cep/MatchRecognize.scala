@@ -316,11 +316,16 @@ object MatchRecognize {
       "CAST(size(__m_$1) AS BIGINT)")
     s = s.replaceAll(s"(?i)\\bCOUNT\\s*\\(\\s*($sym)\\.(\\w+)\\s*\\)",
       "CAST(size(filter(__m_$1, x -> x.$2 IS NOT NULL)) AS BIGINT)")
+    // SQL aggregate semantics: NULL elements are ignored, not
+    // propagated — SUM over all-NULL is NULL, AVG divides by the
+    // non-null count (reference MATCH_RECOGNIZE measures do the same)
+    val nnCount = "size(filter(__m_$1, x -> x.$2 IS NOT NULL))"
+    val nnSum = "aggregate(__m_$1, CAST(0.0 AS DOUBLE), " +
+      "(acc, x) -> acc + coalesce(CAST(x.$2 AS DOUBLE), 0.0))"
     s = s.replaceAll(s"(?i)\\bSUM\\s*\\(\\s*($sym)\\.(\\w+)\\s*\\)",
-      "aggregate(__m_$1, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x.$2 AS DOUBLE))")
+      s"(CASE WHEN $nnCount = 0 THEN NULL ELSE $nnSum END)")
     s = s.replaceAll(s"(?i)\\bAVG\\s*\\(\\s*($sym)\\.(\\w+)\\s*\\)",
-      "aggregate(__m_$1, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x.$2 AS DOUBLE))" +
-        " / size(__m_$1)")
+      s"(CASE WHEN $nnCount = 0 THEN NULL ELSE $nnSum / $nnCount END)")
     s = s.replaceAll(s"(?i)\\bMIN\\s*\\(\\s*($sym)\\.(\\w+)\\s*\\)",
       "array_min(transform(__m_$1, x -> x.$2))")
     s = s.replaceAll(s"(?i)\\bMAX\\s*\\(\\s*($sym)\\.(\\w+)\\s*\\)",

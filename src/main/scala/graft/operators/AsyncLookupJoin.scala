@@ -43,9 +43,15 @@ object AsyncLookupJoin {
       fn.open()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.max(2, capacity))
-      // release threads even when the task fails mid-iteration
+      // close exactly once, whether the iterator is fully drained, the
+      // partition is cut short (LIMIT), or the task fails — the task
+      // completion listener is the only path that fires in all three
+      val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def closeAll(): Unit = if (closed.compareAndSet(false, true)) {
+        try fn.close() finally pool.shutdownNow()
+      }
       Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => pool.shutdownNow()))
+        _.addTaskCompletionListener[Unit](_ => closeAll()))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       // cache + in-flight map guarded by ONE lock so a key is fetched at
       // most once per partition: the miss check, the pending lookup, and
@@ -94,7 +100,7 @@ object AsyncLookupJoin {
         def hasNext: Boolean = {
           fill()
           val h = inflight.nonEmpty
-          if (!h) { fn.close(); pool.shutdown() }
+          if (!h) closeAll() // eager cleanup on drain; idempotent
           h
         }
         def next(): O = {

@@ -117,4 +117,44 @@ class FlinkDdlSpec extends SparkSpec {
     env.executeSql("INSERT INTO retract_sink SELECT * FROM cl_src")
     assert(env.from("retract_sink").count() == 4)
   }
+
+  test("upsert sink without __row_kind in schema materializes latest per PK") {
+    val env = TableEnv(spark)
+    import spark.implicits._
+    val kind = graft.cdc.ChangelogFormats.RowKindCol
+    Seq((1L, "a", "+I"), (1L, "a", "-U"), (1L, "b", "+U"),
+        (2L, "c", "+I"), (3L, "d", "+I"))
+      .toDF("pk", "v", kind).coalesce(1).createOrReplaceTempView("up_src1")
+    val dir = java.nio.file.Files.createTempDirectory("upsert_mat").toString
+    env.executeSql(s"""
+      CREATE TABLE upsert_mat (
+        pk BIGINT, v STRING,
+        PRIMARY KEY (pk) NOT ENFORCED
+      ) WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+              'format' = 'parquet')""")
+    env.executeSql("INSERT INTO upsert_mat SELECT * FROM up_src1")
+    // second batch: update pk=2, delete pk=3
+    Seq((2L, "c2", "+U"), (3L, "d", "-D"))
+      .toDF("pk", "v", kind).coalesce(1).createOrReplaceTempView("up_src2")
+    env.executeSql("INSERT INTO upsert_mat SELECT * FROM up_src2")
+    // read-back is the materialized table: declared schema (no internal
+    // columns), latest value per PK, deleted key gone
+    assert(env.from("upsert_mat").columns.toSeq == Seq("pk", "v"))
+    val rows = env.from("upsert_mat").as[(Long, String)].collect().sorted.toSeq
+    assert(rows == Seq((1L, "b"), (2L, "c2")))
+  }
+
+  test("createTable falls back to an empty view only on path-not-found") {
+    val env = TableEnv(spark)
+    // path-not-found with declared schema -> empty view (sink table)
+    val schema = StructType(Seq(StructField("a", LongType)))
+    env.createTable("no_such_path_t", TableSpec(
+      path = "/definitely/not/here", schema = Some(schema)))
+    assert(env.from("no_such_path_t").count() == 0)
+    // any other analysis error must propagate, not register empty
+    assert(env.isPathNotFound(new org.apache.spark.sql.AnalysisException(
+      "PATH_NOT_FOUND", Map("path" -> "x"))))
+    assert(!env.isPathNotFound(new org.apache.spark.sql.AnalysisException(
+      "UNABLE_TO_INFER_SCHEMA", Map("format" -> "json"))))
+  }
 }

@@ -115,6 +115,23 @@ class FlinkSqlDialectSpec extends SparkSpec {
     assert(env.executeSql(t4).collect().head.getLong(0) == eightChars)
   }
 
+  test("SIMILAR TO wildcards are not substituted inside bracket classes") {
+    // '_' and '%' inside [...] are class members, not wildcards
+    assert(FlinkSqlDialect.similarToRegex("[a_b]x_%") == "[a_b]x..*")
+    assert(FlinkSqlDialect.similarToRegex("[.%]_") == "[.%].")
+    // outside a class, '.' is literal and must be escaped
+    assert(FlinkSqlDialect.similarToRegex("a.b%") == "a\\.b.*")
+    // escaped characters pass through untouched
+    assert(FlinkSqlDialect.similarToRegex("""a\%b%""") == """a\%b.*""")
+    val spark2 = spark
+    import spark2.implicits._
+    Seq("a_b", "axb", "aXb").toDF("s").createOrReplaceTempView("sim_t")
+    val t = FlinkSqlDialect.translate(
+      "SELECT COUNT(*) AS n FROM sim_t WHERE s SIMILAR TO 'a[x_]b'")
+    // class matches only literal 'x' or '_' in the middle — not 'X'
+    assert(env.executeSql(t).collect().head.getLong(0) == 2L)
+  }
+
   test("JSON constructors and aggregates rewrite") {
     val t1 = FlinkSqlDialect.translate(
       "SELECT JSON_OBJECT(KEY 'name' VALUE n_name) AS j FROM nation WHERE n_nationkey = 0")

@@ -80,10 +80,11 @@ class MatchRecognizeSpec extends SparkSpec {
                C AS C.event_type = 'click',
                P AS P.event_type = 'purchase'
       )""").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+        if (r.isNullAt(3)) null else r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    // SQL aggregate semantics: SUM over an empty match set is NULL
     assert(out.toSeq == Seq(
       (1L, 100L, 3L, 9.0, 50.0),
-      (2L, 100L, 0L, 0.0, 20.0)))
+      (2L, 100L, 0L, null, 20.0)))
   }
 
   test("WITHIN bounds the match window") {
@@ -315,5 +316,35 @@ class MatchRecognizeSpec extends SparkSpec {
       MatchRecognize.parse("""SELECT * FROM t MATCH_RECOGNIZE (
         ORDER BY ts MEASURES A.x AS x PATTERN ((A B)+) DEFINE A AS true)""")
     }
+  }
+
+  test("SUM and AVG measures ignore NULL elements (SQL aggregate semantics)") {
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("t", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        // user 1: values 10, NULL, 2 -> SUM 12, AVG 6 (NULL ignored)
+        Row(1L, 1L, "b", 10.0), Row(1L, 2L, "b", null),
+        Row(1L, 3L, "b", 2.0), Row(1L, 4L, "end", 0.0),
+        // user 2: all-NULL -> SUM NULL, AVG NULL (not 0)
+        Row(2L, 1L, "b", null), Row(2L, 2L, "end", 0.0))),
+      schema).createOrReplaceTempView("mr_null_events")
+    val env = TableEnv(spark)
+    val out = env.executeSql("""
+      SELECT * FROM mr_null_events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY t
+        MEASURES SUM(B.value) AS s, AVG(B.value) AS a
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (B+ E)
+        DEFINE B AS B.event_type = 'b', E AS E.event_type = 'end'
+      )""").collect()
+    val byUser = out.map(r => r.getLong(r.fieldIndex("user_id")) -> r).toMap
+    assert(byUser(1L).getDouble(byUser(1L).fieldIndex("s")) == 12.0)
+    assert(byUser(1L).getDouble(byUser(1L).fieldIndex("a")) == 6.0)
+    assert(byUser(2L).isNullAt(byUser(2L).fieldIndex("s")))
+    assert(byUser(2L).isNullAt(byUser(2L).fieldIndex("a")))
   }
 }

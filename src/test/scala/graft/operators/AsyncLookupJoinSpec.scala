@@ -14,8 +14,10 @@ import graft.SparkSpec
 object FakeStore {
   val fetches = new AtomicInteger(0)
   val failures = new AtomicInteger(0)
+  val closes = new AtomicInteger(0)
 
   class Fn(failFirst: Boolean) extends AsyncLookupJoin.AsyncLookupFn[Long, String] {
+    override def close(): Unit = FakeStore.closes.incrementAndGet()
     private val attempted =
       java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     override def asyncLookup(key: Long)(
@@ -74,6 +76,25 @@ class AsyncLookupJoinSpec extends SparkSpec {
       .collect()
     assert(FakeStore.failures.get() >= 5)   // each key failed once
     assert(out.forall(_.startsWith("dim_")))
+  }
+
+  test("lookup function closes exactly once, even when cut short by LIMIT") {
+    val ds = (0L until 200L).map(i => (i, i % 5)).toDS().coalesce(1)
+    def joined = AsyncLookupJoin.ordered[(Long, Long), Long, String, Long](
+      ds, _._2, new FakeStore.Fn(failFirst = false), (r, _) => r._1,
+      capacity = 4, timeout = 30.seconds)
+    // partial consumption: LIMIT stops mid-partition; only the task
+    // completion listener can close — must still be exactly once
+    FakeStore.closes.set(0)
+    assert(joined.limit(3).collect().length == 3)
+    assert(FakeStore.closes.get() == 1,
+      s"expected 1 close after LIMIT, got ${FakeStore.closes.get()}")
+    // full drain: eager close on exhaustion + completion listener — the
+    // once-guard must collapse them to a single close
+    FakeStore.closes.set(0)
+    assert(joined.collect().length == 200)
+    assert(FakeStore.closes.get() == 1,
+      s"expected 1 close after drain, got ${FakeStore.closes.get()}")
   }
 
   test("no retry propagates the failure") {
