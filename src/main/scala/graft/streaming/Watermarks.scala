@@ -19,6 +19,26 @@ object Watermarks {
       .flatMap(p => Option(p.eventTime.get("watermark")))
       .map(ts => java.time.Instant.parse(ts).toEpochMilli)
 
+  /** Idle-source watermark policy — reference:
+    * WatermarkStrategy.withIdleness (flink-core/.../eventtime/
+    * WatermarkStrategy.java) and WatermarksWithIdleness.java: a source
+    * that stops emitting is marked idle so it no longer holds back the
+    * combined watermark of a multi-input operator.
+    *
+    * Spark computes one global watermark across all sources of a query;
+    * by default it is the MINIMUM over per-source watermarks, so one
+    * idle source stalls every window — precisely the problem withIdleness
+    * solves. Spark's engine-level switch is the session conf
+    * `spark.sql.streaming.multipleWatermarkPolicy=max`: the combined
+    * watermark follows the fastest source, so idle inputs are ignored —
+    * the same effect as marking them idle. (Per-source idleness timeouts
+    * are a finer grain than Spark exposes; with micro-batch unions the
+    * max policy is the faithful equivalent, documented here rather than
+    * simulated with synthetic keep-alive rows.) */
+  def advanceWatermarkPastIdleSources(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+
   /** Annotate each row with the watermark the stateful operator observed
     * when processing it — the in-query CURRENT_WATERMARK() analogue
     * (e.g. to measure lateness or route near-late rows). Keyed so state

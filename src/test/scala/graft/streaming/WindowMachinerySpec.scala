@@ -1,0 +1,184 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+case class WmEv(k: String, ts: Timestamp, v: Double)
+
+class WindowMachinerySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(k: String, sec: Long, v: Double) =
+    WmEv(k, new Timestamp(sec * 1000L), v)
+
+  private def fires(name: String) =
+    spark.table(name).as[(String, Long, Long, String, Seq[WmEv])].collect()
+
+  test("event-time trigger: onTime fire, allowed-late re-fire, dropped-late side output") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[WmEv]
+    // Flink composition: out-of-orderness 0, size 10s, lateness 10s ->
+    // engine watermark held back by size+lateness=20s; the operator adds
+    // the 20s lag back, so fires still happen at maxEventTime
+    val windowed = WindowMachinery.tumbling[String, WmEv](
+      in.toDS().withWatermark("ts", "20 seconds").as[WmEv],
+      _.k, _.ts.getTime, sizeMs = 10000L,
+      allowedLatenessMs = 10000L, watermarkLagMs = 20000L)
+    val q = windowed.writeStream.format("memory").queryName("wm_et")
+      .outputMode(OutputMode.Append()).start()
+    // timestamps offset by 1000s: the engine watermark floors at 0 and
+    // a small-epoch test would never climb past the hold-back
+    val W = 1000L
+    try {
+      in.addData(ev("a", W + 1, 1.0), ev("a", W + 2, 2.0)) // [1000s,1010s)
+      q.processAllAvailable()
+      in.addData(ev("a", W + 15, 0.0)) // engine wm -> 995s (firing wm 1015s)
+      q.processAllAvailable()
+      in.addData(ev("a", W + 16, 0.0)) // batch fires [1000,1010) on time
+      q.processAllAvailable()
+      val onTime = fires("wm_et").filter(_._4 == "onTime")
+      assert(onTime.exists(f =>
+        f._2 == W * 1000 && f._5.map(_.v).sorted == Seq(1.0, 2.0)))
+
+      // late but within lateness (end 1010s + 10s > firing wm 1016s):
+      // re-fire with the full buffer including the late element
+      in.addData(ev("a", W + 5, 5.0))
+      q.processAllAvailable()
+      val late = fires("wm_et").filter(_._4 == "late")
+      assert(late.exists(f =>
+        f._2 == W * 1000 && f._5.map(_.v).sorted == Seq(1.0, 2.0, 5.0)))
+
+      // push the firing watermark past end+lateness=1020s, then a
+      // beyond-horizon element: routed to the side output, not state
+      in.addData(ev("a", W + 25, 0.0))
+      q.processAllAvailable()
+      in.addData(ev("a", W + 26, 0.0))
+      q.processAllAvailable()
+      in.addData(ev("a", W + 8, 8.0)) // [1000,1010) horizon 1020 < 1025
+      q.processAllAvailable()
+      val dropped = fires("wm_et").filter(_._4 == "droppedLate")
+      assert(dropped.exists(f =>
+        f._2 == W * 1000 && f._5.map(_.v) == Seq(8.0)))
+    } finally q.stop()
+  }
+
+  test("count trigger fires every n elements; purging clears the buffer") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[WmEv]
+    val windowed = WindowMachinery.tumbling[String, WmEv](
+      in.toDS().withWatermark("ts", "0 seconds").as[WmEv],
+      _.k, _.ts.getTime, sizeMs = 60000L,
+      trigger = WindowMachinery.Trigger.Count(2))
+    val q = windowed.writeStream.format("memory").queryName("wm_cnt")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev("a", 1, 1.0), ev("a", 2, 2.0), ev("a", 3, 3.0),
+        ev("a", 4, 4.0))
+      q.processAllAvailable()
+      val early = fires("wm_cnt").filter(_._4 == "early").sortBy(_._5.size)
+      // accumulating count trigger: fire at 2 and at 4 elements
+      assert(early.map(_._5.map(_.v)).toSeq ==
+        Seq(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0, 4.0)))
+    } finally q.stop()
+
+    val in2 = MemoryStream[WmEv]
+    val purged = WindowMachinery.tumbling[String, WmEv](
+      in2.toDS().withWatermark("ts", "0 seconds").as[WmEv],
+      _.k, _.ts.getTime, sizeMs = 60000L,
+      trigger = WindowMachinery.Trigger.Count(2, purge = true))
+    val q2 = purged.writeStream.format("memory").queryName("wm_cntp")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in2.addData(ev("a", 1, 1.0), ev("a", 2, 2.0), ev("a", 3, 3.0),
+        ev("a", 4, 4.0))
+      q2.processAllAvailable()
+      val early = fires("wm_cntp").filter(_._4 == "early")
+      // purging: each fire sees only its own pane
+      assert(early.map(_._5.map(_.v)).toSeq ==
+        Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+    } finally q2.stop()
+  }
+
+  test("count evictor keeps only the newest elements at fire time") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[WmEv]
+    val windowed = WindowMachinery.tumbling[String, WmEv](
+      in.toDS().withWatermark("ts", "0 seconds").as[WmEv],
+      _.k, _.ts.getTime, sizeMs = 60000L,
+      trigger = WindowMachinery.Trigger.Count(3),
+      evictor = Some(WindowMachinery.Evictor.Count(2)))
+    val q = windowed.writeStream.format("memory").queryName("wm_ev")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev("a", 1, 1.0), ev("a", 2, 2.0), ev("a", 3, 3.0))
+      q.processAllAvailable()
+      val early = fires("wm_ev").filter(_._4 == "early")
+      assert(early.map(_._5.map(_.v)).toSeq == Seq(Seq(2.0, 3.0)))
+    } finally q.stop()
+  }
+
+  test("continuous event-time trigger fires periodically before the end") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[WmEv]
+    val windowed = WindowMachinery.tumbling[String, WmEv](
+      in.toDS().withWatermark("ts", "0 seconds").as[WmEv],
+      _.k, _.ts.getTime, sizeMs = 30000L,
+      trigger = WindowMachinery.Trigger.ContinuousEventTime(10000L))
+    val q = windowed.writeStream.format("memory").queryName("wm_cont")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev("a", 1, 1.0), ev("a", 2, 2.0)) // window [0,30s)
+      q.processAllAvailable()
+      in.addData(ev("a", 12, 12.0)) // wm -> 12s
+      q.processAllAvailable()
+      in.addData(ev("a", 22, 22.0)) // batch wm=12s: early fire at 10s
+      q.processAllAvailable()
+      in.addData(ev("a", 40, 0.0)) // wm -> 40s
+      q.processAllAvailable()
+      in.addData(ev("a", 41, 0.0)) // batch wm=40s: fire 20s early + onTime
+      q.processAllAvailable()
+      val all = fires("wm_cont").filter(_._2 == 0L)
+      assert(all.count(_._4 == "early") >= 2) // 10s and 20s boundaries
+      val onTime = all.filter(_._4 == "onTime")
+      assert(onTime.map(_._5.map(_.v).sorted).toSeq ==
+        Seq(Seq(1.0, 2.0, 12.0, 22.0)))
+    } finally q.stop()
+  }
+
+  test("multipleWatermarkPolicy=max lets windows finalize despite an idle source") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.multipleWatermarkPolicy")
+    Watermarks.advanceWatermarkPastIdleSources(spark)
+    try {
+      val active = MemoryStream[WmEv]
+      val idle = MemoryStream[WmEv]
+      val union = active.toDS().withWatermark("ts", "0 seconds")
+        .unionByName(idle.toDS().withWatermark("ts", "0 seconds"))
+      val agg = union.groupBy(window(col("ts"), "10 seconds"), col("k"))
+        .agg(sum(col("v")).as("s"))
+      val q = agg.writeStream.format("memory").queryName("wm_idle")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // the idle stream NEVER receives data; with the default min
+        // policy its watermark would pin the union at -inf and append
+        // mode would emit nothing
+        active.addData(ev("a", 1, 1.0), ev("a", 2, 2.0))
+        q.processAllAvailable()
+        active.addData(ev("a", 15, 0.0))
+        q.processAllAvailable()
+        active.addData(ev("a", 16, 0.0))
+        q.processAllAvailable()
+        assert(spark.table("wm_idle").count() >= 1)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", v)
+        case None => spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
+      }
+    }
+  }
+}
