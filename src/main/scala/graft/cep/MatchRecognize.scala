@@ -11,16 +11,20 @@ import org.apache.spark.sql.types._
   * StreamExecMatch.java:51 (NFA execution in flink-cep/.../nfa/).
   *
   * Supported subset (Flink's common usage): PARTITION BY, ORDER BY,
-  * MEASURES with FIRST/LAST/COUNT/SUM/MIN/MAX/AVG over step variables,
-  * ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST ROW, PATTERN with
+  * MEASURES with FIRST/LAST/COUNT/SUM/MIN/MAX/AVG over step variables
+  * (RUNNING and FINAL semantics — RUNNING compiles against the ordered
+  * per-match trace prefix), ONE ROW PER MATCH, PATTERN with
   * quantifiers (* + ? {n} {n,} {n,m}, reluctant '?' suffix), WITHIN,
-  * DEFINE with current-row conditions and PREV(col[, n]) navigation
-  * (compiled to precomputed lag columns), ALL ROWS PER MATCH (with
-  * CLASSIFIER() and MATCH_NUMBER()), top-level PATTERN alternation
-  * (A B | A C — leftmost branch priority), bounded group quantifiers
-  * ((B C){m,n}, unrolled into branches), AFTER MATCH SKIP PAST LAST
-  * ROW / SKIP TO NEXT ROW. Not supported (raises): other skip modes,
-  * unbounded group quantifiers, NEXT navigation.
+  * DEFINE with current-row conditions and PREV/NEXT(col[, n])
+  * navigation (compiled to precomputed lag/lead columns), ALL ROWS PER
+  * MATCH (with CLASSIFIER() and MATCH_NUMBER()), top-level PATTERN
+  * alternation (A B | A C — leftmost branch priority), bounded group
+  * quantifiers ((B C){m,n}, unrolled into branches), AFTER MATCH SKIP
+  * PAST LAST ROW / SKIP TO NEXT ROW / SKIP TO FIRST|LAST var (with the
+  * reference's fail-on-non-advancing loop guard). Not supported
+  * (raises): unbounded group quantifiers. Bare (unprefixed) measures in
+  * ALL ROWS mode keep FINAL semantics — a documented delta from the
+  * standard's RUNNING default.
   *
   * Execution is Spark-first, not an interpreter bolted on:
   *  1. every DEFINE condition becomes a precomputed BOOLEAN column
@@ -50,7 +54,9 @@ object MatchRecognize {
       withinMs: Option[Long],
       defines: Map[String, String],    // UPPER(symbol) -> condition SQL
       allRows: Boolean = false,
-      skipToNextRow: Boolean = false)
+      skipToNextRow: Boolean = false,
+      // AFTER MATCH SKIP TO FIRST|LAST <var>: (isFirst, varName)
+      skipTo: Option[(Boolean, String)] = None)
 
   def matches(sql: String): Boolean =
     sql.toUpperCase.contains("MATCH_RECOGNIZE")
@@ -132,11 +138,18 @@ object MatchRecognize {
       .map(splitTopLevel(_).map(_.trim)).getOrElse(fail("ORDER BY required"))
     val allRows = hits.find(_._1 == "ROWS_PER_MATCH")
       .exists(h => body.substring(h._2, h._3).toUpperCase.contains("ALL"))
+    val skipToVarP = """(?is)SKIP\s+TO\s+(FIRST|LAST)\s+(\w+)\s*""".r
+    var skipTo: Option[(Boolean, String)] = None
     val skipToNextRow = sections.get("AFTER_MATCH").exists { s =>
       if (s.matches("(?is)SKIP\\s+PAST\\s+LAST\\s+ROW\\s*")) false
       else if (s.matches("(?is)SKIP\\s+TO\\s+NEXT\\s+ROW\\s*")) true
-      else fail(s"unsupported AFTER MATCH mode: $s " +
-        "(SKIP PAST LAST ROW / SKIP TO NEXT ROW)")
+      else s match {
+        case skipToVarP(fl, v) =>
+          skipTo = Some((fl.equalsIgnoreCase("FIRST"), v))
+          false
+        case _ => fail(s"unsupported AFTER MATCH mode: $s " +
+          "(SKIP PAST LAST ROW / SKIP TO NEXT ROW / SKIP TO FIRST|LAST var)")
+      }
     }
     val measures = sections.get("MEASURES").map(splitTopLevel(_).map { e =>
       val mm = """(?is)^(.*\S)\s+AS\s+(\w+)\s*$""".r
@@ -261,7 +274,7 @@ object MatchRecognize {
     }.toMap).getOrElse(Map.empty)
 
     Spec(inputTable, outerSelect, partitionBy, orderBy, measures,
-      branches, withinMs, defines, allRows, skipToNextRow)
+      branches, withinMs, defines, allRows, skipToNextRow, skipTo)
   }
 
   // -------------------------------------------------------------- execute
@@ -287,6 +300,8 @@ object MatchRecognize {
 
   private val PrevP: Regex =
     """(?i)\bPREV\s*\(\s*(?:\w+\.)?(\w+)\s*(?:,\s*(\d+))?\s*\)""".r
+  private val NextP: Regex =
+    """(?i)\bNEXT\s*\(\s*(?:\w+\.)?(\w+)\s*(?:,\s*(\d+))?\s*\)""".r
 
   /** PREV(col[, n]) references in DEFINE — collected so they can be
     * precomputed as lag columns (the Spark-first compilation: row
@@ -296,11 +311,23 @@ object MatchRecognize {
       .map(m => (m.group(1), Option(m.group(2)).map(_.toInt).getOrElse(1)))
       .toSeq.distinct
 
-  private[cep] def rewritePrev(cond: String): String =
-    PrevP.replaceAllIn(cond, m => {
+  /** NEXT(col[, n]) — the symmetric lookahead, precomputed as lead
+    * columns (reference: logical-offset NEXT navigation in DEFINE). */
+  private[cep] def nextRefs(cond: String): Seq[(String, Int)] =
+    NextP.findAllMatchIn(cond)
+      .map(m => (m.group(1), Option(m.group(2)).map(_.toInt).getOrElse(1)))
+      .toSeq.distinct
+
+  private[cep] def rewritePrev(cond: String): String = {
+    val p = PrevP.replaceAllIn(cond, m => {
       val n = Option(m.group(2)).map(_.toInt).getOrElse(1)
       Regex.quoteReplacement(s"__prev_${n}_${m.group(1)}")
     })
+    NextP.replaceAllIn(p, m => {
+      val n = Option(m.group(2)).map(_.toInt).getOrElse(1)
+      Regex.quoteReplacement(s"__next_${n}_${m.group(1)}")
+    })
+  }
 
   /** Compile a MEASURES expression to Spark SQL over the per-step match
     * arrays (`__m_X`). Bare `X.col` follows the standard's FINAL LAST
@@ -335,22 +362,61 @@ object MatchRecognize {
     s
   }
 
+  /** RUNNING semantics (ALL ROWS PER MATCH): the aggregate/navigation
+    * sees only match rows up to and including the CURRENT output row.
+    * Compiled against the ordered trace array `__m_all`
+    * (struct(classifier, r)) and the 0-based output position `__p`:
+    * `slice(__m_all, 1, __p + 1)` is exactly the running prefix. Bare
+    * (unprefixed) measures keep FINAL semantics, matching the
+    * SKIP-PAST-LAST-ROW convention documented in the scaladoc; the
+    * explicit FINAL keyword is stripped and routed to rewriteMeasure. */
+  private[cep] def rewriteRunning(m: String, symbols: Seq[String]): String = {
+    val sym = symbols.map(Regex.quote).mkString("|")
+    var s = m
+    val prefix = "filter(slice(__m_all, 1, __p + 1), x -> x.classifier = '$1')"
+    val nn = "filter(slice(__m_all, 1, __p + 1), " +
+      "x -> x.classifier = '$1' AND x.r.$2 IS NOT NULL)"
+    val nnSum = s"aggregate($nn, CAST(0.0 AS DOUBLE), " +
+      "(acc, x) -> acc + CAST(x.r.$2 AS DOUBLE))"
+    s = s.replaceAll(s"(?i)\\bRUNNING\\s+FIRST\\s*\\(\\s*($sym)\\.(\\w+)\\s*\\)",
+      s"try_element_at($prefix, 1).r.$$2")
+    s = s.replaceAll(s"(?i)\\bRUNNING\\s+LAST\\s*\\(\\s*($sym)\\.(\\w+)\\s*\\)",
+      s"try_element_at($prefix, -1).r.$$2")
+    s = s.replaceAll(s"(?i)\\bRUNNING\\s+COUNT\\s*\\(\\s*($sym)\\.\\*\\s*\\)",
+      s"CAST(size($prefix) AS BIGINT)")
+    s = s.replaceAll(s"(?i)\\bRUNNING\\s+COUNT\\s*\\(\\s*($sym)\\.(\\w+)\\s*\\)",
+      s"CAST(size($nn) AS BIGINT)")
+    s = s.replaceAll(s"(?i)\\bRUNNING\\s+SUM\\s*\\(\\s*($sym)\\.(\\w+)\\s*\\)",
+      s"(CASE WHEN size($nn) = 0 THEN NULL ELSE $nnSum END)")
+    s = s.replaceAll(s"(?i)\\bRUNNING\\s+AVG\\s*\\(\\s*($sym)\\.(\\w+)\\s*\\)",
+      s"(CASE WHEN size($nn) = 0 THEN NULL ELSE $nnSum / size($nn) END)")
+    s = s.replaceAll(s"(?i)\\bRUNNING\\s+MIN\\s*\\(\\s*($sym)\\.(\\w+)\\s*\\)",
+      s"array_min(transform($nn, x -> x.r.$$2))")
+    s = s.replaceAll(s"(?i)\\bRUNNING\\s+MAX\\s*\\(\\s*($sym)\\.(\\w+)\\s*\\)",
+      s"array_max(transform($nn, x -> x.r.$$2))")
+    s
+  }
+
   /** Apply a parsed spec to a DataFrame. */
   def apply(df: DataFrame, spec: Spec): DataFrame = {
     val symbols = spec.branches.flatten.map(_.name).distinct
     val inputCols = df.columns.toSeq
 
-    // 0. PREV(col, n) navigation in DEFINE -> precomputed lag columns
-    // (a window projection before matching — no per-row navigation in
-    // the matcher itself)
+    // 0. PREV/NEXT(col, n) navigation in DEFINE -> precomputed lag/lead
+    // columns (a window projection before matching — no per-row
+    // navigation in the matcher itself)
     var pre = df
     val prevNeeded = spec.defines.values.flatMap(prevRefs).toSeq.distinct
-    if (prevNeeded.nonEmpty) {
+    val nextNeeded = spec.defines.values.flatMap(nextRefs).toSeq.distinct
+    if (prevNeeded.nonEmpty || nextNeeded.nonEmpty) {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(spec.partitionBy.map(col): _*)
         .orderBy(spec.orderBy.map(col): _*)
       prevNeeded.foreach { case (c, n) =>
         pre = pre.withColumn(s"__prev_${n}_$c", lag(col(c), n).over(w))
+      }
+      nextNeeded.foreach { case (c, n) =>
+        pre = pre.withColumn(s"__next_${n}_$c", lead(col(c), n).over(w))
       }
     }
 
@@ -416,41 +482,58 @@ object MatchRecognize {
 
     val keySchema = StructType(partIdx.map(preSchema.apply).toSeq)
     val stepArr = ArrayType(preSchema, containsNull = false)
+    val traceArr = ArrayType(StructType(Seq(
+      StructField("classifier", StringType, nullable = false),
+      StructField("r", preSchema, nullable = false))), containsNull = false)
     val outSchema = StructType(keySchema.fields.toSeq ++
       Seq(StructField("__match_num", LongType, nullable = false)) ++
-      symbols.map(s => StructField(s"__m_$s", stepArr)))
+      symbols.map(s => StructField(s"__m_$s", stepArr)) :+
+      StructField("__m_all", traceArr, nullable = false))
     val patB = pats
-    val skipNext = spec.skipToNextRow
+    val skip: Matcher.Skip = spec.skipTo match {
+      case Some((first, v)) =>
+        val s = symbols.find(_.equalsIgnoreCase(v)).getOrElse(
+          fail(s"AFTER MATCH SKIP TO references unknown variable $v"))
+        if (first) Matcher.Skip.ToFirst(s) else Matcher.Skip.ToLast(s)
+      case None =>
+        if (spec.skipToNextRow) Matcher.Skip.ToNextRow
+        else Matcher.Skip.PastLastRow
+    }
 
     val matched = pre
       .groupByKey((r: Row) => Row.fromSeq(partIdx.map(r.get).toSeq))(
         Encoders.row(keySchema))
       .flatMapGroups { (key: Row, rows: Iterator[Row]) =>
         val sorted = rows.toIndexedSeq.sorted(rowOrd)
-        Matcher.findMatchesAlt(sorted, tsOf, patB, skipNext)
+        Matcher.findMatchesSkip(sorted, tsOf, patB, skip)
           .iterator.zipWithIndex
-          .map { case (bindings, i) =>
+          .map { case ((bindings, trace), i) =>
             Row.fromSeq(key.toSeq ++ Seq(i.toLong + 1) ++
-              symbols.map(s => bindings.getOrElse(s, Seq.empty[Row])))
+              symbols.map(s => bindings.getOrElse(s, Seq.empty[Row])) :+
+              trace.map { case (cls, j) => Row(cls, sorted(j)) })
           }
       }(Encoders.row(outSchema))
 
-    // 3. MEASURES as declarative array expressions
+    // 3. MEASURES as declarative array expressions. ONE ROW PER MATCH
+    // evaluates at the final row, where RUNNING == FINAL — both
+    // keywords reduce to the plain rewrite. ALL ROWS PER MATCH
+    // compiles RUNNING against the per-output-row prefix of the
+    // ordered trace; unprefixed/FINAL measures see the whole match.
+    def stripKeywords(e: String): String =
+      e.replaceAll("(?i)\\b(RUNNING|FINAL)\\s+", "")
     val measureCols = spec.measures.map { case (e, alias) =>
-      expr(rewriteMeasure(e, symbols)).as(alias)
+      if (!spec.allRows) expr(rewriteMeasure(stripKeywords(e), symbols)).as(alias)
+      else expr(rewriteMeasure(
+        stripKeywords(rewriteRunning(e, symbols)), symbols)).as(alias)
     }
     if (!spec.allRows) {
       matched.select(spec.partitionBy.map(col) ++ measureCols: _*)
     } else {
-      // ALL ROWS PER MATCH: one output row per matched event —
-      // explode the per-step arrays tagged with their CLASSIFIER()
-      // (declarative: flatten+transform+explode, FINAL measure
-      // semantics per the standard's SKIP PAST LAST ROW mode)
-      val tagged = expr(
-        symbols.map(s =>
-          s"transform(__m_$s, x -> struct('$s' AS classifier, x AS r))")
-          .mkString("flatten(array(", ", ", "))"))
-      val exploded = matched.withColumn("__e", explode(tagged))
+      // ALL ROWS PER MATCH: one output row per matched event, in match
+      // order, via posexplode of the ordered trace — the position __p
+      // also drives RUNNING measures
+      val exploded = matched
+        .selectExpr("*", "posexplode(__m_all) AS (__p, __e)")
       val rowCols = inputCols.map(c => exploded(s"__e.r.$c").as(c))
       exploded.select(rowCols ++
         Seq(col("__e.classifier").as("classifier"),

@@ -12,6 +12,19 @@ import scala.collection.mutable
   */
 object Matcher {
 
+  /** AFTER MATCH skip strategies (reference: AfterMatchSkipStrategy,
+    * flink-cep/.../nfa/aftermatch/). */
+  sealed trait Skip extends Serializable
+  object Skip {
+    case object PastLastRow extends Skip
+    case object ToNextRow extends Skip
+    /** Resume at the first row bound to `v` (exclusive of the match
+      * start — a non-advancing target raises, as the reference does). */
+    final case class ToFirst(v: String) extends Skip
+    /** Resume at the last row bound to `v`. */
+    final case class ToLast(v: String) extends Skip
+  }
+
   /** All matches over an event sequence (must be time-ordered), using
     * after-match SKIP PAST LAST ROW: the scan resumes after the last
     * event of each match. Leftmost-first; quantifier greediness follows
@@ -23,22 +36,50 @@ object Matcher {
   /** Alternation (SQL `PATTERN (A B | A C)`): at each start position the
     * branches are tried in order — leftmost branch priority, as in the
     * standard — and the first that matches wins; the scan then resumes
-    * past that match (SKIP PAST LAST ROW). */
+    * per the skip strategy (SKIP PAST LAST ROW default). */
   def findMatchesAlt[T](events: IndexedSeq[T], tsOf: T => Long,
       patterns: Seq[Pattern[T]],
-      skipToNextRow: Boolean = false): Seq[Map[String, Seq[T]]] = {
-    val out = mutable.ArrayBuffer.empty[Map[String, Seq[T]]]
+      skipToNextRow: Boolean = false): Seq[Map[String, Seq[T]]] =
+    findMatchesSkip(events, tsOf, patterns,
+      if (skipToNextRow) Skip.ToNextRow else Skip.PastLastRow).map(_._1)
+
+  /** Core scan with a full skip strategy. Each match yields its
+    * per-symbol bindings plus the ordered (symbol, eventIndex) trace —
+    * the trace drives SKIP TO FIRST/LAST and RUNNING measure
+    * semantics. */
+  def findMatchesSkip[T](events: IndexedSeq[T], tsOf: T => Long,
+      patterns: Seq[Pattern[T]], skip: Skip)
+      : Seq[(Map[String, Seq[T]], Seq[(String, Int)])] = {
+    def fail(msg: String): Nothing = throw new IllegalStateException(
+      s"AFTER MATCH $msg")
+    val out = mutable.ArrayBuffer.empty[(Map[String, Seq[T]], Seq[(String, Int)])]
     var i = 0
     while (i < events.length) {
       val hit = patterns.iterator
-        .map(p => tryFrom(events, i, tsOf, p))
+        .map(p => tryFromIdx(events, i, tsOf, p))
         .collectFirst { case Some(m) => m }
       hit match {
-        case Some((endExclusive, bindings)) =>
-          out += bindings
-          // SKIP TO NEXT ROW allows overlapping matches; PAST LAST ROW
-          // (the default) resumes after the consumed events
-          i = if (skipToNextRow) i + 1 else math.max(endExclusive, i + 1)
+        case Some((endExclusive, bindings, idxs)) =>
+          val trace = idxs.toSeq
+            .flatMap { case (name, is) => is.map(j => (name, j)) }
+            .sortBy(_._2)
+          out += ((bindings, trace))
+          i = skip match {
+            case Skip.PastLastRow => math.max(endExclusive, i + 1)
+            case Skip.ToNextRow => i + 1
+            case Skip.ToFirst(v) =>
+              val j = idxs.getOrElse(v, Seq.empty).headOption.getOrElse(
+                fail(s"SKIP TO FIRST $v: variable bound no rows in match"))
+              if (j <= i) fail(s"SKIP TO FIRST $v would not advance " +
+                "(infinite loop)")
+              j
+            case Skip.ToLast(v) =>
+              val j = idxs.getOrElse(v, Seq.empty).lastOption.getOrElse(
+                fail(s"SKIP TO LAST $v: variable bound no rows in match"))
+              if (j <= i) fail(s"SKIP TO LAST $v would not advance " +
+                "(infinite loop)")
+              j
+          }
         case None => i += 1
       }
     }
@@ -49,7 +90,13 @@ object Matcher {
     * first event must be events(start) unless the first step is
     * optional). Returns (end index exclusive, bindings). */
   def tryFrom[T](events: IndexedSeq[T], start: Int, tsOf: T => Long,
-      pattern: Pattern[T]): Option[(Int, Map[String, Seq[T]])] = {
+      pattern: Pattern[T]): Option[(Int, Map[String, Seq[T]])] =
+    tryFromIdx(events, start, tsOf, pattern).map { case (e, b, _) => (e, b) }
+
+  /** As tryFrom, also returning the bound event INDICES per symbol. */
+  def tryFromIdx[T](events: IndexedSeq[T], start: Int, tsOf: T => Long,
+      pattern: Pattern[T])
+      : Option[(Int, Map[String, Seq[T]], Map[String, Seq[Int]])] = {
     // fold negated steps into the FOLLOWING positive step as a
     // forbidden-gap predicate (reference: notFollowedBy / notNext NFA
     // edges; strict = notNext checks only the immediately-next event)
@@ -74,10 +121,12 @@ object Matcher {
     val withinMs = pattern.withinMs
 
     def go(stepIdx: Int, pos: Int, firstTs: Long,
-        acc: Map[String, Seq[T]]): Option[(Int, Map[String, Seq[T]])] = {
+        acc: Map[String, Seq[T]], accIdx: Map[String, Seq[Int]])
+        : Option[(Int, Map[String, Seq[T]], Map[String, Seq[Int]])] = {
       if (stepIdx == steps.length)
-        return if (acc.valuesIterator.exists(_.nonEmpty)) Some((pos, acc))
-          else None
+        return if (acc.valuesIterator.exists(_.nonEmpty))
+          Some((pos, acc, accIdx))
+        else None
       val es = steps(stepIdx)
       val step = es.step
       val isFirstStep = stepIdx == 0
@@ -138,7 +187,8 @@ object Matcher {
             if (step.minRepeat == 0 && !counts.contains(0)) counts :+ 0
             else counts
           for (c <- candidateCounts) {
-            val taken = runIdx.take(c).map(events).toSeq
+            val takenIdx = runIdx.take(c).toSeq
+            val taken = takenIdx.map(events)
             val f2 =
               if (firstTs != Long.MinValue) firstTs
               else if (c > 0) tsOf(taken.head)
@@ -147,7 +197,9 @@ object Matcher {
             // can repeat across unrolled group-quantifier copies
             go(stepIdx + 1, if (c > 0) runIdx(c - 1) + 1 else sp, f2,
                 acc.updated(step.name,
-                  acc.getOrElse(step.name, Seq.empty) ++ taken)) match {
+                  acc.getOrElse(step.name, Seq.empty) ++ taken),
+                accIdx.updated(step.name,
+                  accIdx.getOrElse(step.name, Seq.empty) ++ takenIdx)) match {
               case s @ Some(_) => return s
               case None =>
             }
@@ -158,6 +210,6 @@ object Matcher {
       }
       None
     }
-    go(0, start, Long.MinValue, Map.empty)
+    go(0, start, Long.MinValue, Map.empty, Map.empty)
   }
 }

@@ -185,6 +185,46 @@ object PipelineQueries {
         t(s, dir, "embeddings"), "vec_id", "embedding", 0.4, dim = 64)
     }, None),
 
+    // Dedup GROUP resolution: connected components over the near-dup
+    // pair graph — the step that turns LSH pairs into keep/drop
+    // decisions. Spark side: min-label propagation
+    // (operators.ConnectedComponents); oracle: DuckDB recursive CTE
+    // computing min reachable id over the same (exactly-defined) edge
+    // set. Every embedding gets a group id; singletons map to
+    // themselves.
+    // bench=false: at sf0.1 the synthetic 0.4-threshold graph is one
+    // long sparse component, so convergence takes ~10 driver-synced
+    // rounds of ~0.4 s fixed job overhead on a 920-edge graph — pure
+    // small-data constant cost (the per-round work is linear in |E|
+    // and the rounds are O(log diameter); at real scale the fixed
+    // overhead vanishes). Correctness stays oracle-gated below.
+    QueryDef("q_dedup_groups", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Similarity.cosineNearDupExact(emb, "vec_id", "embedding", 0.4)
+      graft.operators.ConnectedComponents
+        .withSingletons(emb, "vec_id", pairs, "id_a", "id_b")
+        .select(col("id").as("vec_id"), col("comp").as("group_id"))
+    }, Some("""
+      WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id <> b.vec_id
+          AND ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])))), 6)
+            >= 0.4
+      ),
+      reach(id, lbl) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT p.dst, r.lbl FROM reach r JOIN pairs p ON p.src = r.id
+      )
+      SELECT id AS vec_id, MIN(lbl) AS group_id FROM reach GROUP BY id"""),
+      bench = false),
+
     // ---- text analysis ----
 
     QueryDef("q_text_stats", (s, dir) => {

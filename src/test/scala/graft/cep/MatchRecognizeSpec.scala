@@ -125,9 +125,14 @@ class MatchRecognizeSpec extends SparkSpec {
   test("unsupported clauses raise") {
     intercept[IllegalArgumentException] {
       MatchRecognize.parse("""SELECT * FROM t MATCH_RECOGNIZE (
-        ORDER BY ts MEASURES A.x AS x AFTER MATCH SKIP TO FIRST A
+        ORDER BY ts MEASURES A.x AS x AFTER MATCH SKIP HALFWAY
         PATTERN (A) DEFINE A AS true)""")
     }
+    // SKIP TO FIRST|LAST var now parses
+    val st = MatchRecognize.parse("""SELECT * FROM t MATCH_RECOGNIZE (
+      ORDER BY ts MEASURES A.x AS x AFTER MATCH SKIP TO FIRST A
+      PATTERN (A B) DEFINE A AS true)""")
+    assert(st.skipTo.contains((true, "A")))
     // a group without a quantifier is plain sequencing - supported
     val grouped = MatchRecognize.parse("""SELECT * FROM t MATCH_RECOGNIZE (
       ORDER BY ts MEASURES A.x AS x PATTERN ((A B) C) DEFINE A AS true)""")
@@ -316,6 +321,99 @@ class MatchRecognizeSpec extends SparkSpec {
       MatchRecognize.parse("""SELECT * FROM t MATCH_RECOGNIZE (
         ORDER BY ts MEASURES A.x AS x PATTERN ((A B)+) DEFINE A AS true)""")
     }
+  }
+
+  test("AFTER MATCH SKIP TO FIRST re-scans from the first bound row (overlap)") {
+    // x b b b end with PATTERN (A B+ E): SKIP TO FIRST B restarts at
+    // each match's first b, producing telescoping overlapping matches
+    mkEvents(Seq(
+      (1L, 1L, "x", 1L, 0.0), (2L, 1L, "b", 2L, 1.0),
+      (3L, 1L, "b", 3L, 2.0), (4L, 1L, "b", 4L, 3.0),
+      (5L, 1L, "end", 5L, 0.0)))
+    val env = TableEnv(spark)
+    def run(skip: String) = env.executeSql(s"""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY t
+        MEASURES FIRST(B.value) AS first_b, COUNT(B.*) AS n_b
+        AFTER MATCH $skip
+        PATTERN (A B+ E)
+        DEFINE B AS B.event_type = 'b', E AS E.event_type = 'end'
+      )""").collect().map(r => (r.getDouble(1), r.getLong(2)))
+    // default: one greedy match consuming everything
+    assert(run("SKIP PAST LAST ROW").toSeq == Seq((1.0, 3L)))
+    // SKIP TO FIRST B: resume at b1 (A rebinds there), then b2, then b3
+    // (whose match fails B+) -> three telescoping matches
+    assert(run("SKIP TO FIRST B").toSeq ==
+      Seq((1.0, 3L), (2.0, 2L), (3.0, 1L)))
+  }
+
+  test("SKIP TO FIRST of the match start raises the loop guard") {
+    mkEvents(Seq((1L, 1L, "a", 1L, 1.0), (2L, 1L, "b", 2L, 2.0),
+      (3L, 1L, "a", 3L, 1.0), (4L, 1L, "b", 4L, 2.0)))
+    val env = TableEnv(spark)
+    val e = intercept[Exception] {
+      env.executeSql("""
+        SELECT * FROM mr_events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY t
+          MEASURES COUNT(A.*) AS n
+          AFTER MATCH SKIP TO FIRST A
+          PATTERN (A B)
+          DEFINE A AS A.event_type = 'a', B AS B.event_type = 'b'
+        )""").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("would not advance")))
+  }
+
+  test("NEXT navigation in DEFINE compiles to lead columns") {
+    // B = a row whose NEXT value doubles it (lookahead)
+    mkEvents(Seq(
+      (1L, 1L, "x", 1L, 2.0), (2L, 1L, "x", 2L, 4.0), (3L, 1L, "x", 3L, 1.0),
+      (4L, 1L, "x", 4L, 9.0)))
+    val env = TableEnv(spark)
+    val out = env.executeSql("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY t
+        MEASURES FIRST(B.value) AS v, NEXT_STEP.value AS nv
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (B NEXT_STEP)
+        DEFINE B AS NEXT(value) = 2 * B.value
+      )""").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((2.0, 4.0)))
+  }
+
+  test("RUNNING vs FINAL measures in ALL ROWS PER MATCH") {
+    mkEvents(Seq(
+      (1L, 1L, "b", 1L, 10.0), (2L, 1L, "b", 2L, 20.0),
+      (3L, 1L, "end", 3L, 5.0)))
+    val env = TableEnv(spark)
+    val out = env.executeSql("""
+      SELECT * FROM mr_events MATCH_RECOGNIZE (
+        PARTITION BY user_id
+        ORDER BY t
+        MEASURES RUNNING COUNT(B.*) AS rc, RUNNING SUM(B.value) AS rs,
+                 RUNNING LAST(B.value) AS rl, COUNT(B.*) AS fc
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (B+ E)
+        DEFINE B AS B.event_type = 'b', E AS E.event_type = 'end'
+      )""").collect()
+      .map(r => (r.getLong(r.fieldIndex("t")),
+        r.getLong(r.fieldIndex("rc")),
+        if (r.isNullAt(r.fieldIndex("rs"))) -1.0 else r.getDouble(r.fieldIndex("rs")),
+        if (r.isNullAt(r.fieldIndex("rl"))) -1.0 else r.getDouble(r.fieldIndex("rl")),
+        r.getLong(r.fieldIndex("fc"))))
+      .sortBy(_._1)
+    // per output row: running count/sum/last grow with the prefix while
+    // the FINAL count is 2 everywhere
+    assert(out.toSeq == Seq(
+      (1L, 1L, 10.0, 10.0, 2L),
+      (2L, 2L, 30.0, 20.0, 2L),
+      (3L, 2L, 30.0, 20.0, 2L)))
   }
 
   test("SUM and AVG measures ignore NULL elements (SQL aggregate semantics)") {
