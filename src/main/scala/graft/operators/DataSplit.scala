@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based dataset splitting and sampling — the
+  * reproducibility primitives of a training-data pipeline.
+  *
+  * At 100 TB, `df.sample()` / `randomSplit()` are the wrong tools: their
+  * output depends on partitioning and rerun seeds, so a retried stage or
+  * a repartitioned input silently changes which rows land in the train
+  * set. The standard fix (used by every large corpus pipeline) is
+  * content-addressed assignment: bucket each row by a cryptographic hash
+  * of its stable key, then split/sample by bucket range. Properties:
+  *
+  *  - pure projection — zero shuffle, zero state, trivially parallel;
+  *  - stable under repartitioning, retries, and incremental reruns
+  *    (a new corpus drop assigns old rows to the same split);
+  *  - different `seed` strings give independent assignments, so a
+  *    holdout for experiment A doesn't correlate with experiment B's.
+  *
+  * Reference behavior: Flink exposes no dataset-split primitive (users
+  * hand-roll the same md5-mod in SQL); this formalizes the idiom as an
+  * operator. Hashing uses md5 (available and bit-identical in every
+  * engine, so results are portable across Spark / DuckDB / Flink SQL).
+  */
+object DataSplit {
+
+  /** Uniform bucket in [0, buckets) from the md5 of (key, seed).
+    * First 8 hex chars → unsigned 32-bit value → mod. */
+  def hashBucket(key: Column, buckets: Int, seed: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(seed))), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Adds a `split` column: 'train' / 'val' / 'test' with the given
+    * percentage weights (must sum to <= 100; remainder goes to test). */
+  def assignSplit(df: DataFrame, keyCol: String, trainPct: Int = 80,
+      valPct: Int = 10, seed: String = "split"): DataFrame = {
+    require(trainPct + valPct <= 100, "train+val must be <= 100")
+    val b = hashBucket(col(keyCol), 100, seed)
+    df.withColumn("split",
+      when(b < trainPct, lit("train"))
+        .when(b < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Deterministic ~pct% sample: keeps rows whose bucket falls below
+    * `pct` of 10,000 basis points (0.01% resolution). */
+  def sampleByHash(df: DataFrame, keyCol: String, pctBp: Int,
+      seed: String = "sample"): DataFrame =
+    df.filter(hashBucket(col(keyCol), 10000, seed) < pctBp)
+}

@@ -159,12 +159,17 @@ object AggQueries {
     // Exact percentiles (reference PERCENTILE) — linear interpolation in
     // both engines.
     QueryDef("q_agg_percentile", (s, dir) => {
+      // One percentile(…, array(…)) buffer per group, not three: exact
+      // percentile materializes a value->count map per aggregate, so the
+      // fused form is 3x lighter in both memory and sort work.
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+          .as("__p"))
+        .select(col("l_returnflag"),
+          round(col("__p").getItem(0), 4).as("p25"),
+          round(col("__p").getItem(1), 4).as("p50"),
+          round(col("__p").getItem(2), 4).as("p75"))
     }, Some("""
       SELECT l_returnflag,
         ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.QueryDef
-import graft.operators.{Similarity, TextAnalysis, TextDedup}
+import graft.operators.{DataSplit, SequencePacking, Similarity, TextAnalysis, TextDedup}
 import graft.multimodal.Multimodal
 import Q._
 
@@ -327,6 +327,63 @@ object PipelineQueries {
         CAST(doc_id % 4 AS INT) * 160 + 320 AS width,
         CAST(doc_id % 4 AS INT) * 90 + 180 AS height,
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-      FROM documents"""))
+      FROM documents""")),
+
+    // ---- splitting / sampling / packing ----
+
+    // Deterministic train/val/test split: content-addressed md5 buckets
+    // (operators.DataSplit) — pure projection, stable under reruns and
+    // repartitioning. The oracle recomputes the same md5-mod in DuckDB,
+    // proving the assignment is engine-portable.
+    QueryDef("q_split_hash", (s, dir) => {
+      DataSplit.assignSplit(t(s, dir, "documents"), "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+    }, Some("""
+      SELECT CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+        COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+        MIN(doc_id) AS min_id
+      FROM (SELECT doc_id, n_chars,
+              ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8))::BIGINT
+                % 100 AS b
+            FROM documents)
+      GROUP BY 1""")),
+
+    // Deterministic ~5% hash sample — row-level output so the oracle
+    // verifies the exact membership, not just the count.
+    QueryDef("q_sample_hash", (s, dir) => {
+      DataSplit.sampleByHash(t(s, dir, "documents"), "doc_id", 500)
+        .select(col("doc_id"), col("lang"))
+    }, Some("""
+      SELECT doc_id, lang FROM documents
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'sample'), 1, 8))::BIGINT
+              % 10000 < 500""")),
+
+    // GPT-style sequence packing: global token offsets via the
+    // distributed two-phase prefix sum (operators.SequencePacking).
+    // The oracle is the SEQUENTIAL definition — DuckDB's global window
+    // cumsum — so a green row proves the distributed decomposition is
+    // exact. Token proxy: (n_chars+3) div 4, integer in both engines.
+    QueryDef("q_seq_pack", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), expr("(n_chars + 3) div 4").as("n_tok"))
+      SequencePacking.pack(docs, "doc_id", "n_tok", 2048L)
+        .select(col("doc_id"), col("n_tok"), col("tok_offset"),
+          col("seq_first"), col("seq_last"), col("pos_in_seq"))
+    }, Some("""
+      SELECT doc_id, n_tok,
+        off AS tok_offset,
+        off // 2048 AS seq_first,
+        (off + n_tok - 1) // 2048 AS seq_last,
+        off % 2048 AS pos_in_seq
+      FROM (
+        SELECT doc_id, (n_chars + 3) // 4 AS n_tok,
+          COALESCE(SUM((n_chars + 3) // 4) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM documents)"""))
   )
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DataSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) = (0L until n.toLong).toDF("id")
+
+  test("split is deterministic and invariant under repartitioning") {
+    val a = DataSplit.assignSplit(docs(2000), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val b = DataSplit.assignSplit(docs(2000).repartition(7), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a == b)
+    val c = DataSplit.assignSplit(docs(2000), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(a == c)
+  }
+
+  test("split fractions approximate the requested weights") {
+    val counts = DataSplit.assignSplit(docs(20000), "id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") / 20000.0 - 0.80) < 0.02)
+    assert(math.abs(counts("val") / 20000.0 - 0.10) < 0.01)
+    assert(math.abs(counts("test") / 20000.0 - 0.10) < 0.01)
+  }
+
+  test("incremental stability: a grown corpus keeps old assignments") {
+    val small = DataSplit.assignSplit(docs(1000), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val grown = DataSplit.assignSplit(docs(5000), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    small.foreach { case (id, s) => assert(grown(id) == s) }
+  }
+
+  test("different seeds give independent assignments") {
+    val a = DataSplit.assignSplit(docs(5000), "id", seed = "expA")
+      .filter($"split" === "test").select("id").as[Long].collect().toSet
+    val b = DataSplit.assignSplit(docs(5000), "id", seed = "expB")
+      .filter($"split" === "test").select("id").as[Long].collect().toSet
+    // ~10% each; under independence the overlap is ~1% of the corpus
+    val overlap = (a intersect b).size / 5000.0
+    assert(overlap < 0.03, s"overlap $overlap suggests correlated seeds")
+    assert(a != b)
+  }
+
+  test("sampleByHash keeps the requested fraction, deterministically") {
+    val s1 = DataSplit.sampleByHash(docs(20000), "id", 500)
+      .as[Long].collect().toSet
+    val s2 = DataSplit.sampleByHash(docs(20000).repartition(13), "id", 500)
+      .as[Long].collect().toSet
+    assert(s1 == s2)
+    assert(math.abs(s1.size / 20000.0 - 0.05) < 0.01)
+    // a wider sample with the same seed is a superset (bucket < pct)
+    val s3 = DataSplit.sampleByHash(docs(20000), "id", 1000)
+      .as[Long].collect().toSet
+    assert(s1.subsetOf(s3))
+  }
+
+  test("split is a pure projection — no shuffle in the plan") {
+    val plan = DataSplit.assignSplit(docs(100), "id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
