@@ -49,4 +49,15 @@ object DataSplit {
   def sampleByHash(df: DataFrame, keyCol: String, pctBp: Int,
       seed: String = "sample"): DataFrame =
     df.filter(hashBucket(col(keyCol), 10000, seed) < pctBp)
+
+  /** Deterministic mixture / domain reweighting: keep each row with its
+    * source's target rate (basis points of 10,000; sources absent from
+    * the map are dropped). The standard way a pretraining pipeline hits
+    * a target domain mixture — same content-addressed stability as
+    * [[sampleByHash]], rate lookup is a broadcast map literal, so the
+    * whole op stays a zero-shuffle projection over the scan. */
+  def mixtureSample(df: DataFrame, keyCol: String, sourceCol: String,
+      ratesBp: Map[String, Int], seed: String = "mixture"): DataFrame =
+    df.filter(hashBucket(col(keyCol), 10000, seed) <
+      coalesce(element_at(typedlit(ratesBp), col(sourceCol)), lit(0)))
 }

@@ -19,6 +19,16 @@ object TextAnalysis {
     size(regexp_extract_all(textCol,
       lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Gopher-style repetition signal (Rae et al. 2021, public): the
+    * fraction of word n-grams that are duplicates of an earlier n-gram
+    * in the same document. High values flag boilerplate/spam — the
+    * standard cheap repetition filter for pretraining corpora. Pure
+    * expression, zero shuffle. */
+  def dupNgramFraction(textCol: Column, n: Int): Column = {
+    val g = TextDedup.shingles(textCol, n)
+    lit(1.0) - size(array_distinct(g)).cast("double") / size(g)
+  }
+
   /** Heuristic quality score in [0,1]: combines length band, mean word
     * length band, punctuation density and non-alnum density — the
     * standard cheap pre-filter shape (Gopher/C4-style rules, public). */

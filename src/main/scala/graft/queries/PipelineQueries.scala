@@ -363,6 +363,54 @@ object PipelineQueries {
       WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'sample'), 1, 8))::BIGINT
               % 10000 < 500""")),
 
+    // Domain-mixture reweighting: per-source keep rates, deterministic
+    // by content hash. Row-level output so the oracle checks exact
+    // membership under the target mixture.
+    QueryDef("q_mixture_sample", (s, dir) => {
+      val rates = (0 until 20).map { i =>
+        s"src$i" -> (if (i < 5) 10000 else if (i < 10) 5000 else 1000)
+      }.toMap
+      DataSplit.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
+          rates)
+        .select(col("doc_id"), col("source"))
+    }, Some("""
+      SELECT doc_id, source FROM documents
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'mixture'), 1, 8))::BIGINT
+              % 10000
+        < CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                 THEN 10000
+               WHEN source IN ('src5','src6','src7','src8','src9')
+                 THEN 5000
+               ELSE 1000 END""")),
+
+    // Gopher-style repetition filter: duplicate word-n-gram fractions.
+    QueryDef("q_repetition", (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.dupNgramFraction(col("text"), 2), 6)
+            .as("dup2"),
+          round(TextAnalysis.dupNgramFraction(col("text"), 3), 6)
+            .as("dup3"))
+        .filter(col("dup2") > 0.2)
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id,
+          list_transform(
+            generate_series(1, greatest(len(string_split(text,' ')) - 1, 1)),
+            i -> array_to_string(string_split(text,' ')[i:i+1], ' ')) AS g2,
+          list_transform(
+            generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+            i -> array_to_string(string_split(text,' ')[i:i+2], ' ')) AS g3
+        FROM documents)
+      SELECT doc_id,
+        ROUND(1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+          AS dup2,
+        ROUND(1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6)
+          AS dup3
+      FROM g
+      WHERE ROUND(1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
+              > 0.2""")),
+
     // GPT-style sequence packing: global token offsets via the
     // distributed two-phase prefix sum (operators.SequencePacking).
     // The oracle is the SEQUENTIAL definition — DuckDB's global window

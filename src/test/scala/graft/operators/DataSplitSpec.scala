@@ -65,4 +65,18 @@ class DataSplitSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("mixtureSample hits per-source rates, deterministically") {
+    val df = (0L until 30000L).toDF("id")
+      .withColumn("src", concat(lit("s"), (col("id") % 3).cast("string")))
+    val rates = Map("s0" -> 10000, "s1" -> 2500) // s2 absent -> dropped
+    val got = DataSplit.mixtureSample(df, "id", "src", rates)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(got("s0") == 10000L)                       // keep-all is exact
+    assert(math.abs(got("s1") / 10000.0 - 0.25) < 0.02)
+    assert(!got.contains("s2"))
+    val again = DataSplit.mixtureSample(df.repartition(11), "id", "src",
+      rates).groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(again == got)
+  }
 }

@@ -55,4 +55,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) == fps(2L))
     assert((fps(1L) & fps(3L)).size < fps(1L).size / 2)
   }
+
+  test("dupNgramFraction matches hand-computed repetition") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("a b a b a b",     0),  // 2-grams: [a b, b a, a b, b a, a b] -> 2 distinct of 5
+      ("w x y z",         1),  // all distinct -> 0.0
+      ("r r r r r",       2)   // [r r]x4 -> 1 distinct of 4 -> 0.75
+    ).toDF("text", "i")
+    val got = df.select($"i",
+        round(TextAnalysis.dupNgramFraction($"text", 2), 6).as("f"))
+      .as[(Int, Double)].collect().toMap
+    assert(got(0) == 0.6)
+    assert(got(1) == 0.0)
+    assert(got(2) == 0.75)
+  }
 }
