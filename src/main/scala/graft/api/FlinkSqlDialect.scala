@@ -16,13 +16,20 @@ import scala.util.matching.Regex
   *    into its windows, the TVF semantics)
   *  - `TABLE(CUMULATE(TABLE t, DESCRIPTOR(ts), step, max))` → explode
   *    of cumulative window ends (graft.operators.TimeWindows shape)
+  *  - legacy group windows: `GROUP BY TUMBLE/HOP/SESSION(ts, i)` →
+  *    `window()`/`session_window()` grouping, with the
+  *    `TUMBLE_/HOP_/SESSION_START|END` selectors → grouping-struct
+  *    fields and `*_ROWTIME` → end − 1 ms (the reference's rowtime
+  *    attribute)
   *  - `PROCTIME()` → `current_timestamp()`
   *  - `LISTAGG(x)` → `concat_ws(',', collect_list(x))`
   *  - `SPLIT_INDEX` passes through (registered native function)
   *
-  * Not translated (documented): `MATCH_RECOGNIZE` (use graft.cep),
-  * `FOR SYSTEM_TIME AS OF` (use graft.operators.AsOfJoin) — both throw
-  * with a pointer to the operator API.
+  * Not translated HERE (routed upstream): `MATCH_RECOGNIZE` →
+  * `cep.MatchRecognize` and `FOR SYSTEM_TIME AS OF` →
+  * `api.TemporalJoinSql`; `TableEnv.executeSql` dispatches both before
+  * dialect rewriting, so they only throw if this object is called
+  * directly (the message points at executeSql).
   */
 object FlinkSqlDialect {
 
@@ -151,6 +158,59 @@ object FlinkSqlDialect {
                 OVER ($part ORDER BY $ts) <= $gapUs
                 THEN 0 ELSE 1 END AS __new_sess FROM $t)))""")
     })
+
+    // ---- legacy group-window syntax (pre-TVF; reference
+    // StreamExecGroupWindowAggregate.java and the TUMBLE_/HOP_/SESSION_
+    // auxiliary functions in FlinkSqlOperatorTable.java) ----
+    // `GROUP BY TUMBLE(ts, i)` → `GROUP BY window(ts, 'n seconds')`; the
+    // *_START/_END selectors become fields of Spark's grouping struct
+    // (named `window` / `session_window`); *_ROWTIME is the reference's
+    // end-minus-1ms rowtime attribute. Selectors are rewritten first;
+    // the TVF forms above were already consumed (they require TABLE(...)
+    // so these regexes cannot re-match them).
+    val iv = """INTERVAL\s+'\d+'\s+\w+"""
+    out = out.replaceAll(
+      s"""(?i)\\bTUMBLE_START\\s*\\(\\s*[\\w.]+\\s*,\\s*$iv\\s*\\)""",
+      "window.start")
+    out = out.replaceAll(
+      s"""(?i)\\bTUMBLE_END\\s*\\(\\s*[\\w.]+\\s*,\\s*$iv\\s*\\)""",
+      "window.end")
+    out = out.replaceAll(
+      s"""(?i)\\bTUMBLE_ROWTIME\\s*\\(\\s*[\\w.]+\\s*,\\s*$iv\\s*\\)""",
+      "window.end - INTERVAL '0.001' SECOND")
+    out = out.replaceAll(
+      s"""(?i)\\bHOP_START\\s*\\(\\s*[\\w.]+\\s*,\\s*$iv\\s*,\\s*$iv\\s*\\)""",
+      "window.start")
+    out = out.replaceAll(
+      s"""(?i)\\bHOP_END\\s*\\(\\s*[\\w.]+\\s*,\\s*$iv\\s*,\\s*$iv\\s*\\)""",
+      "window.end")
+    out = out.replaceAll(
+      s"""(?i)\\bHOP_ROWTIME\\s*\\(\\s*[\\w.]+\\s*,\\s*$iv\\s*,\\s*$iv\\s*\\)""",
+      "window.end - INTERVAL '0.001' SECOND")
+    out = out.replaceAll(
+      s"""(?i)\\bSESSION_START\\s*\\(\\s*[\\w.]+\\s*,\\s*$iv\\s*\\)""",
+      "session_window.start")
+    out = out.replaceAll(
+      s"""(?i)\\bSESSION_END\\s*\\(\\s*[\\w.]+\\s*,\\s*$iv\\s*\\)""",
+      "session_window.end")
+    val GwTumble =
+      ("""(?i)\bTUMBLE\s*\(\s*([\w.]+)\s*,\s*""" + IntervalP + """\s*\)""").r
+    out = GwTumble.replaceAllIn(out, m => Regex.quoteReplacement(
+      s"window(${m.group(1)}, '${seconds(m.group(2), m.group(3))} seconds')"))
+    val GwHop =
+      ("""(?i)\bHOP\s*\(\s*([\w.]+)\s*,\s*""" + IntervalP + """\s*,\s*""" +
+        IntervalP + """\s*\)""").r
+    out = GwHop.replaceAllIn(out, m => {   // HOP(ts, slide, size)
+      val slide = seconds(m.group(2), m.group(3))
+      val size = seconds(m.group(4), m.group(5))
+      Regex.quoteReplacement(
+        s"window(${m.group(1)}, '$size seconds', '$slide seconds')")
+    })
+    val GwSession =
+      ("""(?i)\bSESSION\s*\(\s*([\w.]+)\s*,\s*""" + IntervalP + """\s*\)""").r
+    out = GwSession.replaceAllIn(out, m => Regex.quoteReplacement(
+      s"session_window(${m.group(1)}, " +
+        s"'${seconds(m.group(2), m.group(3))} seconds')"))
 
     out = out.replaceAll("""(?i)PROCTIME\s*\(\s*\)""", "current_timestamp()")
     // simple-argument LISTAGG only (column or dotted reference)

@@ -33,6 +33,27 @@ object WindowTvfQueries {
         CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2""")),
 
+    // Legacy (pre-TVF) group-window SQL through the dialect: GROUP BY
+    // TUMBLE + TUMBLE_START/END selectors — the dominant syntax in
+    // pre-1.13 Flink deployments (StreamExecGroupWindowAggregate;
+    // auxiliary fns in FlinkSqlOperatorTable.java).
+    QueryDef("q_group_window_sql", (s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      graft.api.TableEnv(s).executeSql("""
+        SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS window_start,
+               TUMBLE_END(ts, INTERVAL '1' HOUR) AS window_end,
+               event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total
+        FROM events
+        GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), event_type""")
+    }, Some("""
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+          AS window_end,
+        event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2, 3""")),
+
     // HOP/sliding (reference SliceAssigners hop): 1h window, 30m slide —
     // each row lands in exactly 2 windows.
     QueryDef("q_hop", (s, dir) => {

@@ -156,4 +156,49 @@ class FlinkSqlDialectSpec extends SparkSpec {
         "SELECT * FROM a JOIN b FOR SYSTEM_TIME AS OF a.ts ON a.k = b.k")
     }
   }
+
+  test("legacy GROUP BY TUMBLE + TUMBLE_START/END matches window()") {
+    val flink = """
+      SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws,
+             TUMBLE_END(ts, INTERVAL '1' HOUR) AS we,
+             event_type, COUNT(*) AS n
+      FROM events
+      GROUP BY TUMBLE(ts, INTERVAL '1' HOUR), event_type"""
+    val got = env.executeSql(flink)
+    val w = window(col("ts"), "1 hour")
+    val want = Tables.load(spark, sfDir, "events")
+      .groupBy(w.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("w.end").as("we"),
+        col("event_type"), col("n"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("legacy GROUP BY HOP maps slide/size to window(size, slide)") {
+    val flink = """
+      SELECT HOP_START(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR) AS ws,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY HOP(ts, INTERVAL '30' MINUTE, INTERVAL '1' HOUR)"""
+    val got = env.executeSql(flink)
+    val w = window(col("ts"), "1 hour", "30 minutes")
+    val want = Tables.load(spark, sfDir, "events")
+      .groupBy(w.as("w")).agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("legacy GROUP BY SESSION maps to session_window()") {
+    val flink = """
+      SELECT SESSION_START(ts, INTERVAL '30' MINUTE) AS ws,
+             user_id, COUNT(*) AS n
+      FROM events
+      GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id"""
+    val got = env.executeSql(flink)
+    val w = session_window(col("ts"), "30 minutes")
+    val want = Tables.load(spark, sfDir, "events")
+      .groupBy(w.as("w"), col("user_id")).agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("user_id"), col("n"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
