@@ -19,6 +19,19 @@ object TextAnalysis {
     size(regexp_extract_all(textCol,
       lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** PII redaction: replaces emails, IPv4 addresses and international
+    * phone numbers with typed placeholder tokens — the standard scrub
+    * pass before pretraining. Pure regexp_replace chain (codegen'd,
+    * zero shuffle); patterns are RE2-safe so the same rules run
+    * identically in other engines. */
+  def redactPii(textCol: Column): Column = {
+    val email = regexp_replace(textCol,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+\\d{7,15}\\b", "<PHONE>")
+  }
+
   /** Gopher-style repetition signal (Rae et al. 2021, public): the
     * fraction of word n-grams that are duplicates of an earlier n-gram
     * in the same document. High values flag boilerplate/spam — the

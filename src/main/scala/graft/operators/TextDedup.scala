@@ -104,6 +104,25 @@ object TextDedup {
 
   /** Exact n-gram Jaccard similarity: |A ∩ B| / |A ∪ B| over distinct
     * shingle sets. For verifying LSH candidates. */
+  /** Benchmark decontamination: ids of corpus documents sharing at
+    * least one word n-gram with an evaluation set — the pretraining
+    * hygiene pass that keeps test data out of the training corpus
+    * (the n-gram overlap rule of GPT-3 appendix C / PaLM, public).
+    *
+    * Scale shape: eval sets are tiny relative to a 100 TB corpus, so
+    * the distinct benchmark grams BROADCAST and the probe is a map-side
+    * LEFT SEMI join over the exploded corpus grams — no corpus shuffle
+    * until the final distinct on (already small) matching ids. */
+  def contaminated(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(shingles(col(textCol), n)).as("__g"))
+    val bgrams = bench
+      .select(explode(shingles(col(benchTextCol), n)).as("__g")).distinct()
+    grams.join(broadcast(bgrams), Seq("__g"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   def jaccard(shinglesA: Column, shinglesB: Column): Column = {
     val ai = array_distinct(shinglesA)
     val bi = array_distinct(shinglesB)

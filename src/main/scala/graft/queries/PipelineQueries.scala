@@ -329,6 +329,56 @@ object PipelineQueries {
         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
       FROM documents""")),
 
+    // Benchmark decontamination: docs sharing a 5-gram with the "eval
+    // set" (every 50th doc). Spark side broadcasts the eval grams and
+    // probes with a map-side semi join; the oracle recomputes the
+    // overlap with DuckDB list intersection.
+    QueryDef("q_decontaminate", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      TextDedup.contaminated(docs, "doc_id", "text", bench, "text", 5)
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id,
+          list_transform(
+            generate_series(1, greatest(len(string_split(text,' ')) - 4, 1)),
+            i -> array_to_string(string_split(text,' ')[i:i+4], ' '))
+            AS grams
+        FROM documents),
+      b AS (SELECT grams FROM g WHERE doc_id % 50 = 0)
+      SELECT DISTINCT g.doc_id
+      FROM g, b WHERE len(list_intersect(g.grams, b.grams)) > 0""")),
+
+    // PII scrubbing: deterministic synthetic PII appended per doc, then
+    // redacted; the oracle replays the same regexes (RE2-safe) and the
+    // md5 of the full redacted text proves byte-identical output.
+    QueryDef("q_pii_redact", (s, dir) => {
+      val withPii = t(s, dir, "documents").withColumn("__aug",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com at 10.0."), col("doc_id") % 256,
+          lit(".7 or +1555"), (col("doc_id") % 10000) + 10000))
+      withPii.select(col("doc_id"),
+        md5(TextAnalysis.redactPii(col("__aug"))).as("redacted_md5"),
+        (length(col("__aug")) - length(TextAnalysis.redactPii(col("__aug"))))
+          .cast("long").as("chars_removed"))
+    }, Some("""
+      WITH aug AS (
+        SELECT doc_id,
+          text || ' contact user' || doc_id::VARCHAR ||
+            '@example.com at 10.0.' || (doc_id % 256)::VARCHAR ||
+            '.7 or +1555' || ((doc_id % 10000) + 10000)::VARCHAR AS a
+        FROM documents),
+      red AS (
+        SELECT doc_id, a,
+          regexp_replace(regexp_replace(regexp_replace(a,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+            '\+\d{7,15}\b', '<PHONE>', 'g') AS r
+        FROM aug)
+      SELECT doc_id, md5(r) AS redacted_md5,
+        length(a) - length(r) AS chars_removed
+      FROM red""")),
+
     // ---- splitting / sampling / packing ----
 
     // Deterministic train/val/test split: content-addressed md5 buckets

@@ -70,4 +70,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1) == 0.0)
     assert(got(2) == 0.75)
   }
+
+  test("redactPii scrubs emails, IPs and phone numbers") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      "mail me at jane.doe+x@sub.example.org today",
+      "server 192.168.0.1 and 8.8.8.8 up",
+      "call +14155550123 now",
+      "nothing sensitive here"
+    ).toDF("text")
+    val got = df.select(TextAnalysis.redactPii($"text")).as[String].collect()
+    assert(got(0) == "mail me at <EMAIL> today")
+    assert(got(1) == "server <IP> and <IP> up")
+    assert(got(2) == "call <PHONE> now")
+    assert(got(3) == "nothing sensitive here")
+  }
 }

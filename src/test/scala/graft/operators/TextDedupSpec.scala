@@ -69,4 +69,23 @@ class TextDedupSpec extends SparkSpec {
       .select(TextDedup.normalizedHash($"text")).distinct().count()
     assert(hs == 1)
   }
+
+  test("contaminated flags docs overlapping the benchmark set") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different words entirely here now"),
+      (3L, "x y alpha beta gamma delta epsilon tail"),
+      (4L, "unrelated content again nothing shared ok")
+    ).toDF("id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val got = TextDedup.contaminated(docs, "id", "text", bench, "text", 5)
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 3L))
+    // broadcast semi-join shape: no shuffle of the corpus gram stream
+    val plan = TextDedup.contaminated(docs, "id", "text", bench, "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), plan)
+  }
 }
