@@ -60,4 +60,23 @@ object DataSplit {
       ratesBp: Map[String, Int], seed: String = "mixture"): DataFrame =
     df.filter(hashBucket(col(keyCol), 10000, seed) <
       coalesce(element_at(typedlit(ratesBp), col(sourceCol)), lit(0)))
+
+  /** Per-key cap: keeps at most `maxPerKey` rows per key, the first ones
+    * in `orderCol` order — the standard per-domain document cap of web
+    * corpus curation (no single host may dominate the training mixture).
+    *
+    * Scale shape: ROW_NUMBER + rank filter, which Spark's
+    * WindowGroupLimit rule turns into a map-side PARTIAL limit before
+    * the shuffle and a final limit after it — so a hot domain with 10^8
+    * pages ships only `maxPerKey` rows per input partition, not its
+    * whole population, and the single hash shuffle moves at most
+    * maxPerKey x mappers rows per key. */
+  def capPerKey(df: DataFrame, keyCol: String, orderCol: String,
+      maxPerKey: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col(orderCol))))
+      .filter(col("__rn") <= maxPerKey)
+      .drop("__rn")
+  }
 }

@@ -87,6 +87,27 @@ object TextAnalysis {
       .otherwise(lit("und"))
   }
 
+  /** Hashing-trick linear classifier score — the evaluation plumbing of
+    * a fastText-style document quality classifier (public: Weinberger
+    * et al. 2009 feature hashing; Joulin et al. 2016 fastText): each
+    * token hashes into one of `weights.size` buckets and the document
+    * score is the mean bucket weight. The weight vector is trained
+    * offline and supplied here; scoring is a pure zero-shuffle
+    * projection with the weights riding along as a literal array, so it
+    * composes into the single curation scan at corpus scale. The token
+    * hash is the portable md5 bucket of [[DataSplit.hashBucket]], so
+    * the same weights score identically in any engine. */
+  def hashingTrickScore(textCol: Column, weights: Seq[Double],
+      seed: String = "feat"): Column = {
+    val dim = weights.size
+    val wlit = typedlit(weights)
+    val toks = split(textCol, "\\s+")
+    val total = aggregate(toks, lit(0.0), (acc, tok) =>
+      acc + element_at(wlit,
+        (DataSplit.hashBucket(tok, dim, seed) + 1).cast("int")))
+    total / size(toks).cast("double")
+  }
+
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD 2003,
     * public algorithm): k-gram hashes, then the minimum hash in each
     * sliding window of size w — a compact, position-robust signature

@@ -123,6 +123,89 @@ object TextDedup {
       .select(col(idCol)).distinct()
   }
 
+  /** Exact duplicated-span pairs: documents sharing at least one
+    * verbatim run of `spanTokens` words (the exact-substring dedup
+    * signal of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better" — here at word, not byte, granularity).
+    * Returns (id_a, id_b, n_spans) with id_a < id_b, n_spans = number
+    * of distinct shared spans.
+    *
+    * Scale shape: like [[lshCandidates]] but keyed by the exact span
+    * hash instead of a banded signature — explode to (span_hash, id),
+    * drop hashes seen once (a self-join can't match them; the
+    * count-aggregate prunes the overwhelmingly-unique tail with
+    * map-side partial aggregation and NO per-bucket materialization,
+    * so a boilerplate span shared by 10^8 docs costs a counter, not a
+    * list), cap degenerate buckets at `maxBucket`, then pair up within
+    * the surviving buckets. Every stage shuffles on the span hash —
+    * one exchange, reused — and moves (hash, id) pairs only, never the
+    * text. Caveat: a bucket over `maxBucket` is dropped entirely, so
+    * at thresholds where that fires the result undercounts boilerplate
+    * (by design — those spans need a dictionary pass, not a join). */
+  def sharedSpanPairs(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, maxBucket: Int = 1000): DataFrame = {
+    // 64-bit span keys: at corpus scale a 31-bit key would take birthday
+    // collisions (~N^2/2^32 spurious pairs); xxhash64 keeps the expected
+    // collision count negligible while still never shuffling span text.
+    val spans = df.select(col(idCol).as("__id"),
+        explode(array_distinct(transform(shingles(col(textCol), spanTokens),
+          s => xxhash64(s)))).as("__h"))
+    val eligible = spans.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucket))
+      .select(col("__h"))
+    val ok = spans.join(eligible, Seq("__h"))
+    val b = ok.select(col("__h").as("__hb"), col("__id").as("id_b"))
+    ok.select(col("__h"), col("__id").as("id_a"))
+      .join(b, col("__h") === col("__hb") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("__h")).as("n_spans"))
+  }
+
+  /** Bloom-filter decontamination — the constant-memory scale shape of
+    * [[contaminated]]. The benchmark grams are folded into one Bloom
+    * filter DISTRIBUTED (Catalyst's BloomFilterAggregate: per-partition
+    * partial filters OR-merged by the final aggregate), the single
+    * binary blob comes back to the driver (small model state, like a
+    * k-means codebook), and the corpus probe is then a pure projection:
+    * might_contain(blob, xxhash64(gram)) evaluated map-side inside the
+    * scan stage — no join against the eval set at all. The only shuffle
+    * is the final distinct over the (already tiny) matching ids.
+    *
+    * Compared to the broadcast-semi-join of [[contaminated]], the probe
+    * side here is O(1) memory per executor regardless of eval-set gram
+    * count, at the cost of false positives (rate `fpp`, never false
+    * negatives) — the standard trade once eval suites reach millions of
+    * grams. */
+  def contaminatedBloom(docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int,
+      expectedGrams: Long = 1L << 20, fpp: Double = 1e-4): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    // optimal bit count m = -n ln(p) / (ln 2)^2
+    val numBits = math.max(64L,
+      (-expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bgrams = bench
+      .select(explode(shingles(col(benchTextCol), n)).as("__g"))
+      .select(xxhash64(col("__g")).as("__h"))
+    val aggExpr = new BloomFilterAggregate(
+      ColumnBridge.expression(col("__h")),
+      Literal(expectedGrams), Literal(numBits)).toAggregateExpression()
+    val blob = bgrams.agg(ColumnBridge.column(aggExpr).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (blob == null) return docs.select(col(idCol)).filter(lit(false))
+
+    val grams = docs.select(col(idCol),
+      explode(shingles(col(textCol), n)).as("__g"))
+    val probe = ColumnBridge.column(BloomFilterMightContain(
+      Literal.create(blob, BinaryType),
+      ColumnBridge.expression(xxhash64(col("__g")))))
+    grams.filter(probe).select(col(idCol)).distinct()
+  }
+
   def jaccard(shinglesA: Column, shinglesB: Column): Column = {
     val ai = array_distinct(shinglesA)
     val bi = array_distinct(shinglesB)

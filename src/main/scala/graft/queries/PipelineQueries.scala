@@ -18,6 +18,17 @@ import Q._
   */
 object PipelineQueries {
 
+  /** Deterministic "trained" weight vector for the classifier demo:
+    * 64 buckets in [-0.5, 0.5]. Every weight is an exact multiple of
+    * 1/1024 (a binary fraction), so the token-weight SUM is exact —
+    * no rounding in any accumulation order — and the single final
+    * division is the only inexact op, performed identically by every
+    * engine. (Decimal-looking weights like 0.113 are NOT exact doubles
+    * and turned one row in 500 into a cross-engine last-ulp rounding
+    * flip at the ROUND(,6) boundary.) */
+  val classifierWeights: Seq[Double] =
+    (0 until 64).map(i => ((i * 37 + 11) % 1025) / 1024.0 - 0.5)
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- deduplication ----
@@ -349,6 +360,77 @@ object PipelineQueries {
       SELECT DISTINCT g.doc_id
       FROM g, b WHERE len(list_intersect(g.grams, b.grams)) > 0""")),
 
+    // Bloom-filter decontamination: same contamination rule as
+    // q_decontaminate but probed through a distributed-built Bloom
+    // filter (constant executor memory at any eval-set size). Output
+    // depends on the bloom's hash family → rows-only check; the
+    // superset-of-exact and equality-at-low-fpp properties are asserted
+    // in TextDedupSpec.
+    QueryDef("q_decontaminate_bloom", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      TextDedup.contaminatedBloom(docs, "doc_id", "text", bench, "text", 5)
+    }, None),
+
+    // Exact duplicated-span pairs (Lee et al. 2022 substring dedup at
+    // word granularity): docs sharing a verbatim 6-token run. The
+    // oracle recomputes the same pairs by joining the span STRINGS
+    // (Spark joins 64-bit span hashes — collision odds ~N^2/2^65), so a
+    // green row proves the hash-bucketed plan equals the string join.
+    QueryDef("q_substring_dup", (s, dir) => {
+      TextDedup.sharedSpanPairs(t(s, dir, "documents"), "doc_id", "text", 6)
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id,
+          list_distinct(list_transform(
+            generate_series(1, greatest(len(string_split(text,' ')) - 5, 1)),
+            i -> array_to_string(string_split(text,' ')[i:i+5], ' ')))
+            AS spans
+        FROM documents),
+      e AS (SELECT doc_id, unnest(spans) AS span FROM g)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        COUNT(DISTINCT a.span) AS n_spans
+      FROM e a JOIN e b ON a.span = b.span AND a.doc_id < b.doc_id
+      GROUP BY 1, 2""")),
+
+    // Per-domain cap: URL host extraction (parse_url) + keep-first-K per
+    // domain — row-level output so the oracle checks the exact kept set.
+    QueryDef("q_domain_cap", (s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("__url",
+        concat(lit("https://w"), col("doc_id") % 2, lit("."), col("source"),
+          lit(".example.com/p/"), col("doc_id")))
+      val dom = docs.withColumn("domain",
+        parse_url(col("__url"), lit("HOST")))
+      DataSplit.capPerKey(dom, "domain", "doc_id", 8)
+        .select(col("doc_id"), col("domain"))
+    }, Some("""
+      SELECT doc_id, domain FROM (
+        SELECT doc_id, domain,
+          ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+        FROM (SELECT doc_id,
+                'w' || (doc_id % 2)::VARCHAR || '.' || source ||
+                  '.example.com' AS domain
+              FROM documents))
+      WHERE rn <= 8""")),
+
+    // Z-order (Morton) layout key: the write-side clustering value that
+    // makes parquet min/max stats prune multi-dimensional filters
+    // (operators.Layout). Row-level oracle: DuckDB recomputes the
+    // bit interleave arithmetically, proving the codegen'd expression
+    // bit-exact.
+    QueryDef("q_zorder", (s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          graft.operators.Layout.zorder(16,
+            col("l_orderkey"), col("l_partkey")).as("z"))
+    }, Some("""
+      SELECT l_orderkey, l_partkey,
+        CAST(list_sum(list_transform(generate_series(0, 15),
+          i -> ((((l_orderkey & 65535) >> i) & 1) << (2*i))
+             + ((((l_partkey  & 65535) >> i) & 1) << (2*i + 1))))
+          AS BIGINT) AS z
+      FROM lineitem""")),
+
     // PII scrubbing: deterministic synthetic PII appended per doc, then
     // redacted; the oracle replays the same regexes (RE2-safe) and the
     // md5 of the full redacted text proves byte-identical output.
@@ -378,6 +460,24 @@ object PipelineQueries {
       SELECT doc_id, md5(r) AS redacted_md5,
         length(a) - length(r) AS chars_removed
       FROM red""")),
+
+    // Hashing-trick linear classifier scoring (fastText-style quality
+    // model evaluation): deterministic weight vector, portable md5
+    // feature hash — the oracle rescoring in DuckDB proves the whole
+    // feature-hash + weight-lookup + mean pipeline engine-exact.
+    QueryDef("q_quality_classifier", (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.hashingTrickScore(col("text"),
+            PipelineQueries.classifierWeights), 6).as("score"))
+    }, Some(s"""
+      SELECT doc_id,
+        ROUND(list_sum(list_transform(regexp_extract_all(text, '\\S+'),
+            t -> ([${PipelineQueries.classifierWeights.mkString(",")}])
+              [CAST(('0x' || substr(md5(t || 'feat'), 1, 8))::BIGINT
+                 % ${PipelineQueries.classifierWeights.size} AS INT) + 1]))
+          / len(regexp_extract_all(text, '\\S+')), 6) AS score
+      FROM documents""")),
 
     // ---- splitting / sampling / packing ----
 

@@ -66,6 +66,23 @@ class DataSplitSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("capPerKey keeps the first K per key and plans a group limit") {
+    val df = (0L until 1000L).toDF("id")
+      .withColumn("domain", concat(lit("d"), (col("id") % 7).cast("string")))
+    val capped = DataSplit.capPerKey(df, "domain", "id", 10)
+    val got = capped.groupBy("domain").count()
+      .as[(String, Long)].collect().toMap
+    assert(got.values.forall(_ == 10L))
+    // kept rows are exactly the lowest ids of each domain
+    val keptD0 = capped.filter($"domain" === "d0").select("id")
+      .as[Long].collect().sorted
+    assert(keptD0.sameElements((0L until 70L by 7).take(10)))
+    // map-side partial limit before the shuffle (WindowGroupLimit)
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("Partial"), plan)
+  }
+
   test("mixtureSample hits per-source rates, deterministically") {
     val df = (0L until 30000L).toDF("id")
       .withColumn("src", concat(lit("s"), (col("id") % 3).cast("string")))

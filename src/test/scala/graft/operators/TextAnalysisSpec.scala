@@ -71,6 +71,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) == 0.75)
   }
 
+  test("hashingTrickScore: mean bucket weight, deterministic, bounded") {
+    import org.apache.spark.sql.functions._
+    val ws = (0 until 16).map(i => i / 16.0 - 0.5)
+    val df = Seq("alpha", "beta", "alpha alpha alpha", "alpha beta",
+      "beta alpha").toDF("text")
+    val got = df.select($"text",
+        TextAnalysis.hashingTrickScore($"text", ws).as("s"))
+      .as[(String, Double)].collect().toMap
+    // repeating one token doesn't move its mean score
+    assert(got("alpha") == got("alpha alpha alpha"))
+    // token order doesn't matter for the mean
+    assert(got("alpha beta") == got("beta alpha"))
+    // the two-token score is the mean of the single-token scores
+    assert(math.abs(got("alpha beta") -
+      (got("alpha") + got("beta")) / 2) < 1e-12)
+    // every score is a convex combination of the weight vector
+    got.values.foreach(s => assert(s >= -0.5 && s <= 0.5))
+  }
+
   test("redactPii scrubs emails, IPs and phone numbers") {
     import org.apache.spark.sql.functions._
     val df = Seq(

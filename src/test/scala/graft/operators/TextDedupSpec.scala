@@ -70,6 +70,65 @@ class TextDedupSpec extends SparkSpec {
     assert(hs == 1)
   }
 
+  test("sharedSpanPairs finds docs sharing a verbatim token run") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y a b c d e f z w"),         // shares the 6-run "a b c d e f"
+      (3L, "p q r s t u v w x2 y2"),       // nothing shared
+      (4L, "a b c d e f g h i j")          // exact dup of 1
+    ).toDF("doc_id", "text")
+    val pairs = TextDedup.sharedSpanPairs(d, "doc_id", "text", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 4L)) == 5L)          // all five 6-gram spans shared
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // maxBucket drops degenerate spans entirely
+    val capped = TextDedup.sharedSpanPairs(d, "doc_id", "text", 6,
+      maxBucket = 1)
+    assert(capped.count() == 0)
+  }
+
+  test("sharedSpanPairs matches a brute-force model on random docs") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val texts = (0L until 60L).map { id =>
+      id -> (0 until (8 + rnd.nextInt(8)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val k = 4
+    def spans(t: String): Set[Seq[String]] =
+      t.split(" ").toSeq.sliding(k).filter(_.size == k).toSeq.toSet
+    val expected = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      shared = (spans(ta) intersect spans(tb)).size if shared > 0
+    } yield (ia, ib) -> shared.toLong).toMap
+    val got = TextDedup.sharedSpanPairs(
+        texts.toDF("doc_id", "text"), "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"${got.size} vs ${expected.size} pairs")
+  }
+
+  test("contaminatedBloom: superset of exact, equal at low fpp") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different words entirely here now"),
+      (3L, "x y alpha beta gamma delta epsilon tail"),
+      (4L, "unrelated content again nothing shared ok")
+    ).toDF("id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val exact = TextDedup.contaminated(docs, "id", "text", bench, "text", 5)
+      .as[Long].collect().toSet
+    val bloom = TextDedup.contaminatedBloom(docs, "id", "text",
+        bench, "text", 5, expectedGrams = 1000, fpp = 1e-6)
+      .as[Long].collect().toSet
+    assert(exact.subsetOf(bloom), s"false negative: $exact vs $bloom")
+    assert(bloom == exact)                 // at fpp 1e-6 on 4 docs: equal
+    // empty benchmark -> nothing contaminated (null bloom guard)
+    val none = TextDedup.contaminatedBloom(docs, "id", "text",
+      bench.limit(0), "text", 5).as[Long].collect()
+    assert(none.isEmpty)
+  }
+
   test("contaminated flags docs overlapping the benchmark set") {
     import org.apache.spark.sql.functions._
     val docs = Seq(
