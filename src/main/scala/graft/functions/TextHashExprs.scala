@@ -112,6 +112,51 @@ case class MinHashSig(child: Expression, n: Int, numHashes: Int)
     copy(child = c)
 }
 
+/** word_gram_hashes(text, n): 64-bit hashes of the word n-grams of a
+  * text — the shared kernel of exact-substring dedup, decontamination
+  * and repetition scoring. Each gram hash is the mixed FNV-1a of the
+  * exact source substring spanning the n words (separator included),
+  * so equal hash <=> equal span string up to 64-bit collisions. One
+  * compiled pass, no gram strings materialized — the declarative
+  * split/slice/concat_ws formulation allocates O(tokens * n) string
+  * data per row, which dominates a curation scan at corpus scale.
+  * With `distinct`, returns the deduplicated (sorted) hash set. */
+case class WordGramHashes(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  import TextHash._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_gram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val (starts, ends) = wordBounds(s)
+    val nWords = starts.length
+    val nG = math.max(nWords - (n - 1), 1)
+    val out = new Array[Long](nG)
+    var g = 0
+    while (g < nG) {
+      val until = ends(math.min(g + n - 1, nWords - 1))
+      out(g) = mix64(hashChars(s, starts(g), until))
+      g += 1
+    }
+    if (!distinct) new GenericArrayData(out)
+    else {
+      java.util.Arrays.sort(out)
+      var uniq = 0
+      var i = 0
+      while (i < nG) {
+        if (i == 0 || out(i) != out(i - 1)) { out(uniq) = out(i); uniq += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** simhash64(text): 64-bit SimHash fingerprint (Charikar 2002) over
   * whitespace tokens, one compiled pass. */
 case class SimHash64Expr(child: Expression)

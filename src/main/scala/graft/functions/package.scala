@@ -74,7 +74,56 @@ package object functions {
     "ngrams" -> { exprs =>
       if (exprs.length == 2) NGrams(exprs(0), intArg("ngrams", exprs(1)))
       else arityErr("ngrams", s"expects 2 arguments, got ${exprs.length}")
+    },
+    "z_order" -> { exprs =>
+      if (exprs.length >= 2)
+        ZOrder64(exprs.tail.map(e =>
+          org.apache.spark.sql.catalyst.expressions.Cast(e,
+            org.apache.spark.sql.types.LongType)),
+          intArg("z_order", exprs.head))
+      else arityErr("z_order",
+        s"expects (bits INT, col, col, ...), got ${exprs.length} args")
+    },
+    "word_gram_hashes" -> {
+      case Seq(t, n) => WordGramHashes(t, intArg("word_gram_hashes", n),
+        distinct = false)
+      case exprs => arityErr("word_gram_hashes",
+        s"expects (text, n INT), got ${exprs.length} args")
+    },
+    // curation-layer scalar surface: composed from built-in expressions
+    // via the operator API, registered so SQL users get the same
+    // semantics as the Scala surface
+    "quality_score" -> composed1("quality_score",
+      graft.operators.TextAnalysis.qualityScore),
+    "redact_pii" -> composed1("redact_pii",
+      graft.operators.TextAnalysis.redactPii),
+    "lang_id" -> composed1("lang_id",
+      graft.operators.TextAnalysis.langId),
+    "token_count" -> composed1("token_count",
+      graft.operators.TextAnalysis.tokenCount),
+    "bpeish_token_count" -> composed1("bpeish_token_count",
+      graft.operators.TextAnalysis.bpeishTokenCount),
+    "dup_ngram_fraction" -> { exprs =>
+      if (exprs.length == 2) {
+        val n = intArg("dup_ngram_fraction", exprs(1))
+        org.apache.spark.sql.graftbridge.ColumnBridge.eagerExpression(
+          graft.operators.TextAnalysis.dupNgramFraction(
+            org.apache.spark.sql.graftbridge.ColumnBridge.column(exprs(0)),
+            n))
+      } else arityErr("dup_ngram_fraction",
+        s"expects (text, n INT), got ${exprs.length} args")
     })
+
+  /** Builder for a 1-arg SQL function defined by a Column->Column
+    * composition from the operator layer. */
+  private def composed1(name: String,
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : Seq[Expression] => Expression = { exprs =>
+    if (exprs.length == 1)
+      org.apache.spark.sql.graftbridge.ColumnBridge.eagerExpression(
+        f(org.apache.spark.sql.graftbridge.ColumnBridge.column(exprs.head)))
+    else arityErr(name, s"expects 1 argument, got ${exprs.length}")
+  }
 
   /** Idempotently register all graft SQL functions on a session. */
   def register(spark: SparkSession): Unit = {

@@ -38,7 +38,9 @@ object TextAnalysis {
     * standard cheap repetition filter for pretraining corpora. Pure
     * expression, zero shuffle. */
   def dupNgramFraction(textCol: Column, n: Int): Column = {
-    val g = TextDedup.shingles(textCol, n)
+    // native 64-bit gram hashes: distinct-counting hashes instead of
+    // materialized gram strings (collision odds ~grams^2/2^65 per doc)
+    val g = TextDedup.gramHashes(textCol, n, distinct = false)
     lit(1.0) - size(array_distinct(g)).cast("double") / size(g)
   }
 

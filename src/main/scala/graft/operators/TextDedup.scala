@@ -52,6 +52,14 @@ object TextDedup {
     transform(shingles(textCol, n),
       s => pmod(hash(s).cast("long"), lit(MersennePrime)))
 
+  /** 64-bit word n-gram hashes, one compiled pass, no gram strings
+    * (graft.functions.WordGramHashes). */
+  def gramHashes(textCol: Column, n: Int, distinct: Boolean): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.WordGramHashes(
+      ColumnBridge.expression(textCol), n, distinct))
+  }
+
   /** MinHash signature: array of `numHashes` minima over permuted shingle
     * hashes. Delegates to the native single-pass expression
     * (graft.functions.MinHashSig) — per-row compute, no shuffle, no
@@ -115,10 +123,14 @@ object TextDedup {
     * until the final distinct on (already small) matching ids. */
   def contaminated(docs: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    // both sides probe 64-bit gram hashes, not gram strings: the
+    // broadcast table and the join keys shrink ~10x, and the corpus
+    // side never allocates gram strings at all
     val grams = docs.select(col(idCol),
-      explode(shingles(col(textCol), n)).as("__g"))
+      explode(gramHashes(col(textCol), n, distinct = true)).as("__g"))
     val bgrams = bench
-      .select(explode(shingles(col(benchTextCol), n)).as("__g")).distinct()
+      .select(explode(gramHashes(col(benchTextCol), n, distinct = true))
+        .as("__g")).distinct()
     grams.join(broadcast(bgrams), Seq("__g"), "left_semi")
       .select(col(idCol)).distinct()
   }
@@ -145,11 +157,12 @@ object TextDedup {
   def sharedSpanPairs(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int, maxBucket: Int = 1000): DataFrame = {
     // 64-bit span keys: at corpus scale a 31-bit key would take birthday
-    // collisions (~N^2/2^32 spurious pairs); xxhash64 keeps the expected
-    // collision count negligible while still never shuffling span text.
+    // collisions (~N^2/2^32 spurious pairs); the single-pass native
+    // 64-bit gram hash keeps the expected collision count negligible
+    // while never materializing span strings.
     val spans = df.select(col(idCol).as("__id"),
-        explode(array_distinct(transform(shingles(col(textCol), spanTokens),
-          s => xxhash64(s)))).as("__h"))
+        explode(gramHashes(col(textCol), spanTokens, distinct = true))
+          .as("__h"))
     val eligible = spans.groupBy(col("__h"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n").between(2, maxBucket))
@@ -182,28 +195,39 @@ object TextDedup {
       expectedGrams: Long = 1L << 20, fpp: Double = 1e-4): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
 
-    // optimal bit count m = -n ln(p) / (ln 2)^2
-    val numBits = math.max(64L,
-      (-expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    val bgrams = bench
-      .select(explode(shingles(col(benchTextCol), n)).as("__g"))
-      .select(xxhash64(col("__g")).as("__h"))
-    val aggExpr = new BloomFilterAggregate(
-      ColumnBridge.expression(col("__h")),
-      Literal(expectedGrams), Literal(numBits)).toAggregateExpression()
-    val blob = bgrams.agg(ColumnBridge.column(aggExpr).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val blob = buildGramBloom(bench, benchTextCol, n, expectedGrams, fpp)
     if (blob == null) return docs.select(col(idCol)).filter(lit(false))
 
     val grams = docs.select(col(idCol),
-      explode(shingles(col(textCol), n)).as("__g"))
+      explode(gramHashes(col(textCol), n, distinct = true)).as("__g"))
     val probe = ColumnBridge.column(BloomFilterMightContain(
       Literal.create(blob, BinaryType),
-      ColumnBridge.expression(xxhash64(col("__g")))))
+      ColumnBridge.expression(col("__g"))))
     grams.filter(probe).select(col(idCol)).distinct()
+  }
+
+  /** Distributed Bloom build over the benchmark grams: per-partition
+    * partial filters, OR-merged; one binary blob back to the driver.
+    * Bit count m = -n ln(p) / (ln 2)^2 (optimal for target fpp).
+    * Returns null when `bench` has no rows. */
+  private def buildGramBloom(bench: DataFrame, benchTextCol: String,
+      n: Int, expectedGrams: Long, fpp: Double): Array[Byte] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+    val numBits = math.max(64L,
+      (-expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bgrams = bench
+      .select(explode(gramHashes(col(benchTextCol), n, distinct = true))
+        .as("__h"))
+    val aggExpr = new BloomFilterAggregate(
+      ColumnBridge.expression(col("__h")),
+      Literal(expectedGrams), Literal(numBits)).toAggregateExpression()
+    bgrams.agg(ColumnBridge.column(aggExpr).as("bf"))
+      .head().getAs[Array[Byte]](0)
   }
 
   def jaccard(shinglesA: Column, shinglesB: Column): Column = {
@@ -230,4 +254,37 @@ object TextDedup {
     * whitespace) — the first pass of any corpus dedup. */
   def normalizedHash(textCol: Column): Column =
     md5(lower(regexp_replace(textCol, "\\s+", " ")))
+
+  /** Scala-side twin of [[normalizedHash]] for typed key extractors
+    * (e.g. streaming keep-first dedup via `StatefulOps.keepFirst`). */
+  def normalizedHashString(text: String): String = {
+    val normalized = text.toLowerCase.replaceAll("\\s+", " ")
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(normalized.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  /** Decontamination as a reusable PREDICATE: builds the Bloom filter
+    * over the benchmark grams once (same distributed build as
+    * [[contaminatedBloom]]) and returns a text-column -> boolean Column
+    * function — true iff the text shares an n-gram with the eval set.
+    * Being a pure projection, the probe drops into any batch or
+    * STREAMING plan (the bloom blob rides along as a literal), which is
+    * how a firehose ingestion pipeline filters contamination on the
+    * fly. */
+  def contaminatedProbe(bench: DataFrame, benchTextCol: String, n: Int,
+      expectedGrams: Long = 1L << 20, fpp: Double = 1e-4)
+      : Column => Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+
+    val blob = buildGramBloom(bench, benchTextCol, n, expectedGrams, fpp)
+    if (blob == null) { _: Column => lit(false) }
+    else { textCol: Column =>
+      exists(gramHashes(textCol, n, distinct = true),
+        h => ColumnBridge.column(BloomFilterMightContain(
+          Literal.create(blob, BinaryType), ColumnBridge.expression(h))))
+    }
+  }
 }

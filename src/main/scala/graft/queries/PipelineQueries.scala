@@ -561,6 +561,94 @@ object PipelineQueries {
       WHERE ROUND(1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6)
               > 0.2""")),
 
+    // END-TO-END curation pipeline: exact-dedup keep-first -> quality
+    // gate -> repetition gate -> benchmark decontamination -> train
+    // split -> sequence packing, all as ONE composed Spark plan over
+    // the operator layer. The oracle replays the identical DAG as a
+    // DuckDB CTE chain, so a green row proves the operators compose
+    // (each is also oracled individually). At scale the whole thing is
+    // one scan + the dedup/pack shuffles — the gates and split are
+    // zero-shuffle projections fused into the scan stage.
+    QueryDef("q_pipeline_e2e", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val deduped = DataSplit.capPerKey(
+        docs.withColumn("__h", TextDedup.normalizedHash(col("text"))),
+        "__h", "doc_id", 1).drop("__h")
+      val filtered = deduped
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.66)
+        .filter(round(TextAnalysis.dupNgramFraction(col("text"), 2), 6)
+          <= 0.2)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val contam = TextDedup.contaminated(
+        filtered, "doc_id", "text", bench, "text", 5)
+      val clean = filtered.join(contam, Seq("doc_id"), "left_anti")
+      val train = DataSplit.assignSplit(clean, "doc_id")
+        .filter(col("split") === "train")
+        .select(col("doc_id"), expr("(n_chars + 3) div 4").as("n_tok"))
+      SequencePacking.pack(train, "doc_id", "n_tok", 2048L)
+        .select(col("doc_id"), col("n_tok"), col("tok_offset"),
+          col("seq_first"), col("pos_in_seq"))
+    }, Some("""
+      WITH dedup AS (
+        SELECT doc_id, text, n_chars FROM (
+          SELECT doc_id, text, n_chars,
+            ROW_NUMBER() OVER (
+              PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+              ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1),
+      quality AS (
+        SELECT doc_id, text, n_chars FROM dedup
+        WHERE ROUND((
+            (CASE WHEN LEN(regexp_extract_all(text, '\S+'))
+                BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN (LENGTH(text) - LEN(regexp_extract_all(text, '\S+'))
+                  + 1.0) / LEN(regexp_extract_all(text, '\S+'))
+                BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN CAST(LEN(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                  AS DOUBLE) / LENGTH(text) <= 0.2
+              THEN 1.0 ELSE 0.0 END)) / 3.0, 4) >= 0.66
+          AND ROUND(1 - CAST(len(list_distinct(list_transform(
+                generate_series(1,
+                  greatest(len(string_split(text,' ')) - 1, 1)),
+                i -> array_to_string(string_split(text,' ')[i:i+1], ' '))))
+                AS DOUBLE)
+              / len(list_transform(
+                generate_series(1,
+                  greatest(len(string_split(text,' ')) - 1, 1)),
+                i -> array_to_string(string_split(text,' ')[i:i+1], ' '))),
+              6) <= 0.2),
+      qgrams AS (
+        SELECT doc_id,
+          list_transform(
+            generate_series(1, greatest(len(string_split(text,' ')) - 4, 1)),
+            i -> array_to_string(string_split(text,' ')[i:i+4], ' '))
+            AS grams
+        FROM quality),
+      bgrams AS (
+        SELECT list_transform(
+            generate_series(1, greatest(len(string_split(text,' ')) - 4, 1)),
+            i -> array_to_string(string_split(text,' ')[i:i+4], ' '))
+            AS grams
+        FROM documents WHERE doc_id % 50 = 0),
+      contam AS (
+        SELECT DISTINCT q.doc_id
+        FROM qgrams q, bgrams b
+        WHERE len(list_intersect(q.grams, b.grams)) > 0),
+      train AS (
+        SELECT doc_id, (n_chars + 3) // 4 AS n_tok FROM quality
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+          AND ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8))::BIGINT
+                % 100 < 80)
+      SELECT doc_id, n_tok,
+        off AS tok_offset,
+        off // 2048 AS seq_first,
+        off % 2048 AS pos_in_seq
+      FROM (
+        SELECT doc_id, n_tok,
+          COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM train)""")),
+
     // GPT-style sequence packing: global token offsets via the
     // distributed two-phase prefix sum (operators.SequencePacking).
     // The oracle is the SEQUENTIAL definition — DuckDB's global window

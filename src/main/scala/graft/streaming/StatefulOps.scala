@@ -49,6 +49,21 @@ object StatefulOps {
       }
   }
 
+  /** Deduplicate keep-first: emit only the first row ever seen per key —
+    * Flink's deduplication with keep-first-row. O(1) state (a presence
+    * marker per key); later duplicates are swallowed. The streaming
+    * face of exact corpus dedup: key on the normalized text hash. */
+  def keepFirst[K, T](ds: Dataset[T], keyFn: T => K)(
+      implicit kEnc: Encoder[K], tEnc: Encoder[T]): Dataset[T] = {
+    implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: K, rows: Iterator[T], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); rows.take(1) }
+      }
+  }
+
   /** Streaming TopN per key: maintains the top `n` rows by `scoreFn`
     * (desc) in state; emits the full refreshed ranking of a key whenever
     * it changes. Output rows are (key, rank, row). O(n) state per key —

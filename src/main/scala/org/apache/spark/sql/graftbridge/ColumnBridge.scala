@@ -12,6 +12,16 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eagerly converts a Column's node tree to catalyst expressions
+    * (UnresolvedFunction et al.), unlike `expression` whose lazy
+    * ColumnNodeExpression wrapper only resolves through the Dataset
+    * analysis path. Needed when a composed Column is returned from a
+    * FunctionRegistry builder: the analyzer resolves the returned
+    * catalyst tree by fixpoint, but never looks inside the lazy
+    * wrapper. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Analyzed logical plan of a DataFrame (private[sql] surface). */
   def analyzedPlan(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =

@@ -83,4 +83,37 @@ class PropertySpec extends SparkSpec {
       spark.sql("SELECT simhash64(t, 1) FROM fn_arity").collect()
     }
   }
+
+  test("curation-layer SQL functions match the Scala operator surface") {
+    graft.functions.register(spark)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq("the quick brown fox the quick brown fox go go go")
+      .toDF("t")
+    df.createOrReplaceTempView("fn_cur")
+    val viaSql = spark.sql(
+      """SELECT quality_score(t) AS q, token_count(t) AS n,
+                dup_ngram_fraction(t, 2) AS d,
+                size(word_gram_hashes(t, 3)) AS g
+         FROM fn_cur""").collect().head
+    val viaApi = df.select(
+      graft.operators.TextAnalysis.qualityScore(col("t")),
+      graft.operators.TextAnalysis.tokenCount(col("t")),
+      graft.operators.TextAnalysis.dupNgramFraction(col("t"), 2),
+      org.apache.spark.sql.functions.size(
+        graft.operators.TextDedup.gramHashes(col("t"), 3,
+          distinct = false))).collect().head
+    assert(viaSql.toSeq == viaApi.toSeq)
+    // redact_pii + lang_id are callable and sane from SQL
+    val red = spark.sql(
+      "SELECT redact_pii('mail a@b.co now') AS r").as[String].head()
+    assert(red == "mail <EMAIL> now")
+    val lang = spark.sql(
+      "SELECT lang_id('the cat and the dog is here') AS l")
+      .as[String].head()
+    assert(lang == "en")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT quality_score(t, 2) FROM fn_cur").collect()
+    }
+  }
 }

@@ -63,6 +63,17 @@ class LayoutSpec extends SparkSpec {
     assert(mm == ((0L, 4095L)))
   }
 
+  test("z_order is callable from SQL") {
+    graft.functions.register(spark)
+    val got = spark.sql("SELECT z_order(4, 3, 5) AS z").as[Long].head()
+    // x=3 -> bits 0,1 at even positions; y=5 -> bits 0,2 at odd: 1+2+4+32
+    assert(got == 39L)
+    val err = intercept[Exception] {
+      spark.sql("SELECT z_order(7)").collect()
+    }
+    assert(err.getMessage.contains("z_order"))
+  }
+
   test("null inputs produce a null z value") {
     val got = Seq((Some(1L), Option.empty[Long]), (Some(1L), Some(1L)))
       .toDF("x", "y")

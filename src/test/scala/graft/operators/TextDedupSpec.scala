@@ -64,6 +64,13 @@ class TextDedupSpec extends SparkSpec {
     assert(ham(1, 2) < ham(1, 3))
   }
 
+  test("normalizedHashString matches the normalizedHash column twin") {
+    val texts = Seq("A  b\tC", "the quick Brown fox", "x")
+    val viaCol = texts.toDF("text")
+      .select(TextDedup.normalizedHash($"text")).as[String].collect().toSeq
+    assert(viaCol == texts.map(TextDedup.normalizedHashString))
+  }
+
   test("normalizedHash collapses case and whitespace") {
     val hs = Seq("A  b\tC", "a b c").toDF("text")
       .select(TextDedup.normalizedHash($"text")).distinct().count()

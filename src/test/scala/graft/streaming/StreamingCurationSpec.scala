@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.operators.{TextAnalysis, TextDedup}
+
+case class StreamDoc(doc_id: Long, text: String)
+
+/** The curation layer on a STREAM: the dedup/quality/decontamination
+  * operators are pure projections (or keyed state for dedup), so the
+  * same code that curates a 100 TB batch corpus runs incrementally over
+  * a document firehose — this spec proves the composition end-to-end in
+  * Structured Streaming (the reference's unbounded-pipeline story).
+  */
+class StreamingCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming curation: dedup keep-first + quality gate + bloom probe") {
+    implicit val sq = spark.sqlContext
+
+    // benchmark set known up front: build the bloom ONCE (driver-side
+    // blob), probe it inside the streaming projection
+    val benchDocs = Seq(
+      "held out eval question about spark joins and shuffles today ok fine"
+    ).toDF("text")
+
+    val goodText = // passes the quality gate (>=10 words, sane ratios)
+      "the quick brown fox jumps over the lazy dog near the river bank"
+    val contaminatedText =
+      "held out eval question about spark joins and shuffles today ok sure"
+    val junkText = "x!! y!! z!!" // fails quality gate (3 words, punct-heavy)
+
+    val in = MemoryStream[StreamDoc]
+
+    // keep-first exact dedup on the normalized text hash (keyed state),
+    // then zero-shuffle quality + decontamination projections
+    val deduped = StatefulOps.keepFirst[String, StreamDoc](
+      in.toDS(), d => TextDedup.normalizedHashString(d.text))
+    val curated = deduped.toDF()
+      .filter(TextAnalysis.qualityScore(col("text")) >= 0.66)
+      .filter(!TextDedup.contaminatedProbe(
+        benchDocs, "text", n = 5)(col("text")))
+
+    val q = curated.writeStream.format("memory").queryName("cur")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(StreamDoc(1, goodText), StreamDoc(2, contaminatedText),
+        StreamDoc(3, junkText))
+      q.processAllAvailable()
+      in.addData(StreamDoc(4, goodText), // exact dup of 1: dropped by state
+        StreamDoc(5, goodText + " extra")) // new doc: kept
+      q.processAllAvailable()
+      val ids = spark.table("cur").as[StreamDoc].collect().map(_.doc_id).toSet
+      assert(ids == Set(1L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+}
