@@ -369,7 +369,11 @@ object PipelineQueries {
     QueryDef("q_decontaminate_bloom", (s, dir) => {
       val docs = t(s, dir, "documents")
       val bench = docs.filter(col("doc_id") % 50 === 0)
-      TextDedup.contaminatedBloom(docs, "doc_id", "text", bench, "text", 5)
+      // blob sized to the eval set (~2% of docs x ~100 grams): 2^17
+      // expected grams keeps the literal ~0.3 MB instead of the 2.4 MB
+      // default — plan-serialization weight matters per micro-batch
+      TextDedup.contaminatedBloom(docs, "doc_id", "text", bench, "text", 5,
+        expectedGrams = 1L << 17)
     }, None),
 
     // Exact duplicated-span pairs (Lee et al. 2022 substring dedup at

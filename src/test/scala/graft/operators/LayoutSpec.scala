@@ -74,6 +74,24 @@ class LayoutSpec extends SparkSpec {
     assert(err.getMessage.contains("z_order"))
   }
 
+  test("zorder matches a model implementation on random 3-column input") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(500)((rnd.nextInt(1 << 10).toLong,
+      rnd.nextInt(1 << 10).toLong, rnd.nextInt(1 << 10).toLong))
+    def model(x: Long, y: Long, z: Long, bits: Int): Long = {
+      var out = 0L
+      for (i <- 0 until bits; (v, c) <- Seq((x, 0), (y, 1), (z, 2)))
+        out |= (((v & ((1L << bits) - 1)) >> i) & 1L) << (i * 3 + c)
+      out
+    }
+    val got = rows.zipWithIndex
+      .map { case ((x, y, z), i) => (i, x, y, z) }
+      .toDF("i", "x", "y", "z")
+      .select($"i", Layout.zorder(10, $"x", $"y", $"z").as("zv"))
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(got.toSeq == rows.map { case (x, y, z) => model(x, y, z, 10) })
+  }
+
   test("null inputs produce a null z value") {
     val got = Seq((Some(1L), Option.empty[Long]), (Some(1L), Some(1L)))
       .toDF("x", "y")

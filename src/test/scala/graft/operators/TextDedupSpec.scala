@@ -134,6 +134,13 @@ class TextDedupSpec extends SparkSpec {
     val none = TextDedup.contaminatedBloom(docs, "id", "text",
       bench.limit(0), "text", 5).as[Long].collect()
     assert(none.isEmpty)
+    // the probe plan is join-FREE: the corpus side is scan -> generate
+    // -> filter(might_contain) -> distinct; only the tiny id distinct
+    // shuffles
+    val plan = TextDedup.contaminatedBloom(docs, "id", "text",
+      bench, "text", 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("might_contain"), plan)
   }
 
   test("contaminated flags docs overlapping the benchmark set") {

@@ -149,6 +149,48 @@ class WindowMachinerySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("default min policy aligns the watermark to the SLOWEST source") {
+    // Flink's multi-input watermark rule: an operator's watermark is the
+    // MIN over its inputs, so a slow source holds results back rather
+    // than letting the fast source emit windows the slow one could still
+    // dirty. Spark's default multipleWatermarkPolicy=min is the same
+    // alignment — proven here: a window closes only once BOTH sources'
+    // watermarks pass it.
+    implicit val sq = spark.sqlContext
+    val fast = MemoryStream[WmEv]
+    val slow = MemoryStream[WmEv]
+    val union = fast.toDS().withWatermark("ts", "0 seconds")
+      .unionByName(slow.toDS().withWatermark("ts", "0 seconds"))
+    val agg = union.groupBy(window(col("ts"), "10 seconds"), col("k"))
+      .agg(sum(col("v")).as("s"))
+    val q = agg.writeStream.format("memory").queryName("wm_align")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      fast.addData(ev("a", 1, 1.0))
+      slow.addData(ev("a", 2, 2.0))
+      q.processAllAvailable()
+      // fast source races far ahead; slow stays inside the first window
+      fast.addData(ev("a", 60, 0.0))
+      q.processAllAvailable()
+      fast.addData(ev("a", 61, 0.0))
+      q.processAllAvailable()
+      // aligned (min) watermark is still ~2s: the [0,10) window must
+      // NOT have fired even though the fast source is at 61s
+      assert(spark.table("wm_align").count() == 0)
+      // a late row from the slow source still lands in [0,10) correctly
+      slow.addData(ev("a", 5, 5.0))
+      q.processAllAvailable()
+      // now the slow source passes the window end -> [0,10) finalizes
+      slow.addData(ev("a", 12, 0.0))
+      q.processAllAvailable()
+      slow.addData(ev("a", 13, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("wm_align")
+        .selectExpr("s").as[Double].collect()
+      assert(rows.contains(8.0), s"got ${rows.toSeq}") // 1+2+5 all counted
+    } finally q.stop()
+  }
+
   test("multipleWatermarkPolicy=max lets windows finalize despite an idle source") {
     implicit val sq = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.multipleWatermarkPolicy")
