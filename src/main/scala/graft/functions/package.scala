@@ -76,13 +76,19 @@ package object functions {
       else arityErr("ngrams", s"expects 2 arguments, got ${exprs.length}")
     },
     "z_order" -> { exprs =>
-      if (exprs.length >= 2)
-        ZOrder64(exprs.tail.map(e =>
-          org.apache.spark.sql.catalyst.expressions.Cast(e,
-            org.apache.spark.sql.types.LongType)),
-          intArg("z_order", exprs.head))
-      else arityErr("z_order",
-        s"expects (bits INT, col, col, ...), got ${exprs.length} args")
+      if (exprs.length < 2)
+        arityErr("z_order",
+          s"expects (bits INT, col, col, ...), got ${exprs.length} args")
+      val bits = intArg("z_order", exprs.head)
+      val nCols = exprs.length - 1
+      // surface mis-parameterization as AnalysisException like every
+      // other validated builder, not the expression's require()
+      if (bits <= 0 || nCols * bits > 63)
+        arityErr("z_order",
+          s"numCols * bits must be in (0, 63], got $nCols * $bits")
+      ZOrder64(exprs.tail.map(e =>
+        org.apache.spark.sql.catalyst.expressions.Cast(e,
+          org.apache.spark.sql.types.LongType)), bits)
     },
     "word_gram_hashes" -> {
       case Seq(t, n) => WordGramHashes(t, intArg("word_gram_hashes", n),

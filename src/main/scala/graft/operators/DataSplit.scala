@@ -74,9 +74,12 @@ object DataSplit {
   def capPerKey(df: DataFrame, keyCol: String, orderCol: String,
       maxPerKey: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    df.withColumn("__rn", row_number().over(
+    // collision-proof temp column: a caller's own "__rn" must survive
+    val rn = Iterator.from(0).map(i => s"__graft_cap_rn$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(rn, row_number().over(
         Window.partitionBy(col(keyCol)).orderBy(col(orderCol))))
-      .filter(col("__rn") <= maxPerKey)
-      .drop("__rn")
+      .filter(col(rn) <= maxPerKey)
+      .drop(rn)
   }
 }

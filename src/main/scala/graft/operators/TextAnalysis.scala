@@ -103,7 +103,10 @@ object TextAnalysis {
       seed: String = "feat"): Column = {
     val dim = weights.size
     val wlit = typedlit(weights)
-    val toks = split(textCol, "\\s+")
+    // \S+ extraction, not split-on-\s+: split emits empty tokens for
+    // leading/trailing whitespace, which would hash the ''-bucket weight
+    // into the score and skew the divisor
+    val toks = regexp_extract_all(textCol, lit("\\S+"), lit(0))
     val total = aggregate(toks, lit(0.0), (acc, tok) =>
       acc + element_at(wlit,
         (DataSplit.hashBucket(tok, dim, seed) + 1).cast("int")))

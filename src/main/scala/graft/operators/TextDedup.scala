@@ -258,7 +258,10 @@ object TextDedup {
   /** Scala-side twin of [[normalizedHash]] for typed key extractors
     * (e.g. streaming keep-first dedup via `StatefulOps.keepFirst`). */
   def normalizedHashString(text: String): String = {
-    val normalized = text.toLowerCase.replaceAll("\\s+", " ")
+    // Locale.ROOT: default-locale toLowerCase turns 'I' into dotless 'ı'
+    // under tr/az locales, silently diverging from Spark's lower()
+    val normalized = text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(normalized.getBytes("UTF-8"))
     d.map("%02x".format(_)).mkString

@@ -382,7 +382,11 @@ object PipelineQueries {
     // (Spark joins 64-bit span hashes — collision odds ~N^2/2^65), so a
     // green row proves the hash-bucketed plan equals the string join.
     QueryDef("q_substring_dup", (s, dir) => {
-      TextDedup.sharedSpanPairs(t(s, dir, "documents"), "doc_id", "text", 6)
+      // maxBucket uncapped: the oracle joins ALL span strings, so the
+      // Spark side must not drop degenerate buckets (the cap is the
+      // production default, exercised in TextDedupSpec instead)
+      TextDedup.sharedSpanPairs(t(s, dir, "documents"), "doc_id", "text", 6,
+        maxBucket = Int.MaxValue)
     }, Some("""
       WITH g AS (
         SELECT doc_id,

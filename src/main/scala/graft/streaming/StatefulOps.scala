@@ -50,9 +50,14 @@ object StatefulOps {
   }
 
   /** Deduplicate keep-first: emit only the first row ever seen per key —
-    * Flink's deduplication with keep-first-row. O(1) state (a presence
-    * marker per key); later duplicates are swallowed. The streaming
-    * face of exact corpus dedup: key on the normalized text hash. */
+    * Flink's deduplication with keep-first-row on PROCESSING time.
+    * O(1) state (a presence marker per key); later duplicates are
+    * swallowed. When several rows of a new key land in the SAME
+    * micro-batch their order after the shuffle is arbitrary, so which
+    * one survives is too — exactly Flink's proctime keep-first
+    * semantics; use the `seqFn` overload for a deterministic pick.
+    * The streaming face of exact corpus dedup: key on the normalized
+    * text hash. */
   def keepFirst[K, T](ds: Dataset[T], keyFn: T => K)(
       implicit kEnc: Encoder[K], tEnc: Encoder[T]): Dataset[T] = {
     implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
@@ -61,6 +66,21 @@ object StatefulOps {
         (_: K, rows: Iterator[T], state: GroupState[Boolean]) =>
           if (state.exists) Iterator.empty
           else { state.update(true); rows.take(1) }
+      }
+  }
+
+  /** [[keepFirst]] with a deterministic within-batch tiebreak: among
+    * same-key rows of one micro-batch the LOWEST `seqFn` value wins
+    * (event-time keep-first on the first-arriving batch), so reruns and
+    * task retries emit the same survivor. */
+  def keepFirst[K, T](ds: Dataset[T], keyFn: T => K, seqFn: T => Long)(
+      implicit kEnc: Encoder[K], tEnc: Encoder[T]): Dataset[T] = {
+    implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: K, rows: Iterator[T], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(rows.minBy(seqFn)) }
       }
   }
 

@@ -81,6 +81,11 @@ class DataSplitSpec extends SparkSpec {
     val plan = capped.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
     assert(plan.contains("Partial"), plan)
+    // a caller's own "__rn" column survives the internal window
+    val withRn = df.withColumn("__rn", lit(42))
+    val kept = DataSplit.capPerKey(withRn, "domain", "id", 3)
+    assert(kept.columns.contains("__rn"))
+    assert(kept.select("__rn").distinct().as[Int].collect().toSeq == Seq(42))
   }
 
   test("mixtureSample hits per-source rates, deterministically") {

@@ -72,6 +72,11 @@ class LayoutSpec extends SparkSpec {
       spark.sql("SELECT z_order(7)").collect()
     }
     assert(err.getMessage.contains("z_order"))
+    // bit-budget misuse is an analysis error, not an internal one
+    val over = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT z_order(32, 1, 2, 3)").collect()
+    }
+    assert(over.getMessage.contains("63"))
   }
 
   test("zorder matches a model implementation on random 3-column input") {

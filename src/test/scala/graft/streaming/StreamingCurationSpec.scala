@@ -57,4 +57,23 @@ class StreamingCurationSpec extends SparkSpec {
       assert(ids == Set(1L, 5L), s"got $ids")
     } finally q.stop()
   }
+
+  test("keepFirst seqFn overload picks the lowest-seq row within a batch") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[StreamDoc]
+    val out = StatefulOps.keepFirst[String, StreamDoc](
+      in.toDS(), d => TextDedup.normalizedHashString(d.text),
+      (d: StreamDoc) => d.doc_id)
+    val q = out.writeStream.format("memory").queryName("kf_det")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    try {
+      // same normalized key, one micro-batch: doc 7 must win (min id),
+      // regardless of shuffle order
+      in.addData(StreamDoc(9, "A  b"), StreamDoc(7, "a B"),
+        StreamDoc(8, "a b"))
+      q.processAllAvailable()
+      val ids = spark.table("kf_det").as[StreamDoc].collect().map(_.doc_id)
+      assert(ids.toSeq == Seq(7L))
+    } finally q.stop()
+  }
 }
