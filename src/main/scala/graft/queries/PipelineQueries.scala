@@ -236,6 +236,70 @@ object PipelineQueries {
       SELECT id AS vec_id, MIN(lbl) AS group_id FROM reach GROUP BY id"""),
       bench = false),
 
+    // END-TO-END embedding curation: exact near-dup pairs -> connected
+    // components -> keep the min-id representative per group -> ANN
+    // top-3 over the deduplicated corpus. The DuckDB oracle replays the
+    // DAG (recursive-CTE components + list-function cosine ranking), so
+    // one green row certifies the composition of Similarity +
+    // ConnectedComponents + bruteForceTopK. bench=false: inherits the
+    // CC driver-synced rounds and the O(N^2) exact pair baseline (both
+    // individually benched/owned elsewhere).
+    QueryDef("q_embed_pipeline", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Similarity.cosineNearDupExact(emb, "vec_id", "embedding",
+        0.4)
+      val groups = graft.operators.ConnectedComponents
+        .withSingletons(emb, "vec_id", pairs, "id_a", "id_b")
+      val reps = groups.groupBy(col("comp")).agg(min(col("id")).as("vec_id"))
+      val corpus = emb.join(reps.select(col("vec_id")), Seq("vec_id"))
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", "qid", "qvec", 3)
+    }, Some("""
+      WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id <> b.vec_id
+          AND ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])))), 6)
+            >= 0.4
+      ),
+      reach(id, lbl) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT p.dst, r.lbl FROM reach r JOIN pairs p ON p.src = r.id
+      ),
+      comp AS (SELECT id, MIN(lbl) AS comp FROM reach GROUP BY id),
+      reps AS (SELECT MIN(id) AS vec_id FROM comp GROUP BY comp),
+      corpus AS (
+        SELECT e.* FROM embeddings e JOIN reps r ON e.vec_id = r.vec_id)
+      SELECT qid, vec_id, sim, rank FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+          ROUND(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                 CAST(q.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                     CAST(c.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                     CAST(q.embedding AS DOUBLE[])))), 6)
+            AS sim,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[]))
+              / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                       CAST(c.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(q.embedding AS DOUBLE[]))))
+              DESC, c.vec_id) AS rank
+        FROM corpus c, embeddings q
+        WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+      WHERE rank <= 3"""),
+      bench = false),
+
     // ---- text analysis ----
 
     QueryDef("q_text_stats", (s, dir) => {
