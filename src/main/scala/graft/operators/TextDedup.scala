@@ -230,6 +230,22 @@ object TextDedup {
       .head().getAs[Array[Byte]](0)
   }
 
+  /** Boilerplate span mining — the dictionary pass that handles what
+    * [[sharedSpanPairs]]' `maxBucket` cap drops: spans repeated across
+    * at least `minDf` documents (headers, licenses, navigation chrome)
+    * are surfaced with their document frequency so a curation pipeline
+    * can strip or down-weight them. Returns (span_hash, df). One
+    * explode + one count aggregate — map-side partial counts, no pair
+    * blowup regardless of how degenerate a span is; at 100 TB this is
+    * the only safe way to even LOOK at spans shared by 10^8 docs. */
+  def boilerplateSpans(df: DataFrame, textCol: String, spanTokens: Int,
+      minDf: Long): DataFrame =
+    df.select(explode(gramHashes(col(textCol), spanTokens,
+        distinct = true)).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+
   def jaccard(shinglesA: Column, shinglesB: Column): Column = {
     val ai = array_distinct(shinglesA)
     val bi = array_distinct(shinglesB)

@@ -465,6 +465,23 @@ object PipelineQueries {
       FROM e a JOIN e b ON a.span = b.span AND a.doc_id < b.doc_id
       GROUP BY 1, 2""")),
 
+    // Boilerplate span mining (the dictionary pass complementing the
+    // substring-dedup bucket cap): 3-token spans appearing in >= 2
+    // docs, summarized as a document-frequency histogram so the DuckDB
+    // oracle can verify without replicating the span hash.
+    QueryDef("q_boilerplate", (s, dir) => {
+      TextDedup.boilerplateSpans(t(s, dir, "documents"), "text", 3, 2)
+        .groupBy(col("df")).agg(count(lit(1)).as("n_spans"))
+    }, Some("""
+      WITH e AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+          i -> array_to_string(string_split(text,' ')[i:i+2], ' '))))
+          AS span
+        FROM documents),
+      d AS (SELECT span, COUNT(DISTINCT doc_id) AS df FROM e GROUP BY span)
+      SELECT df, COUNT(*) AS n_spans FROM d WHERE df >= 2 GROUP BY df""")),
+
     // Per-domain cap: URL host extraction (parse_url) + keep-first-K per
     // domain — row-level output so the oracle checks the exact kept set.
     QueryDef("q_domain_cap", (s, dir) => {

@@ -115,6 +115,22 @@ class TextDedupSpec extends SparkSpec {
     assert(got == expected, s"${got.size} vs ${expected.size} pairs")
   }
 
+  test("boilerplateSpans surfaces spans by document frequency") {
+    val d = Seq(
+      (1L, "common header text alpha"),
+      (2L, "common header text beta"),
+      (3L, "common header text gamma"),
+      (4L, "totally different body here")
+    ).toDF("doc_id", "text")
+    // 3-token spans: "common header text" appears in docs 1,2,3 (df=3);
+    // every other span is unique
+    val got = TextDedup.boilerplateSpans(d, "text", 3, 2)
+      .select($"df").as[Long].collect().toSeq
+    assert(got == Seq(3L))
+    // minDf above the max df -> empty
+    assert(TextDedup.boilerplateSpans(d, "text", 3, 4).count() == 0)
+  }
+
   test("contaminatedBloom: superset of exact, equal at low fpp") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
