@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for large text corpora — the operators a
@@ -95,10 +94,18 @@ object TextDedup {
             transform(slice(col("minhash_sig"), lit(b * r + 1), lit(r)),
               x => x.cast("string"))))))
           .as(Seq("band_idx", "band_hash")))
+    // one window pass computes bucket sizes (signatures are the
+    // expensive part, so the plan must not re-reference `banded` — a
+    // count-aggregate+join formulation recomputes the signature chain
+    // per branch and benches slower); keeping only buckets of
+    // 2..maxBucket members: singleton buckets — the vast majority —
+    // never reach the pair join, degenerate (boilerplate) buckets are
+    // dropped
     val capped = banded
       .withColumn("__bucket_n", count(lit(1)).over(
-        Window.partitionBy(col("band_idx"), col("band_hash"))))
-      .filter(col("__bucket_n") <= maxBucket)
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_hash"))))
+      .filter(col("__bucket_n").between(2, maxBucket))
       .drop("__bucket_n")
     val a = capped.select(col("band_idx"), col("band_hash"),
       col("__id").as("id_a"))
