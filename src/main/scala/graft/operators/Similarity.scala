@@ -184,9 +184,11 @@ object Similarity {
       maxBucket: Int = 2000): DataFrame = {
     val banded = bucketed(corpus.select(col(idCol), col(vecCol)),
       vecCol, dim, planes, tables)
+    // 2..maxBucket: singleton buckets can never pair under id_a < id_b,
+    // so they are pruned before both sides of the self-join shuffle
     val capped = banded.withColumn("__n", count(lit(1)).over(
         Window.partitionBy(col("tbl"), col("bucket"))))
-      .filter(col("__n") <= maxBucket).drop("__n")
+      .filter(col("__n").between(2, maxBucket)).drop("__n")
     val l = capped.select(col("tbl"), col("bucket"),
       col(idCol).as("id_a"), col(vecCol).as("__va"))
     val r = capped.select(col("tbl"), col("bucket"),

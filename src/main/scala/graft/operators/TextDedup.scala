@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for large text corpora — the operators a
@@ -103,8 +104,7 @@ object TextDedup {
     // dropped
     val capped = banded
       .withColumn("__bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_idx"), col("band_hash"))))
+        Window.partitionBy(col("band_idx"), col("band_hash"))))
       .filter(col("__bucket_n").between(2, maxBucket))
       .drop("__bucket_n")
     val a = capped.select(col("band_idx"), col("band_hash"),
