@@ -58,6 +58,41 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keepFirst dedup state survives a checkpointed restart") {
+    implicit val sq = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_curation_ckpt").toString
+    val in = MemoryStream[StreamDoc]
+    // memory sink can't recover from a checkpoint; foreachBatch can
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    def start() = StatefulOps.keepFirst[String, StreamDoc](
+        in.toDS(), d => TextDedup.normalizedHashString(d.text))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamDoc],
+          _: Long) =>
+        seen.synchronized { seen ++= batch.collect().map(_.doc_id) }; ()
+      }.start()
+
+    val q1 = start()
+    try {
+      in.addData(StreamDoc(1, "alpha beta"), StreamDoc(2, "gamma delta"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart from the checkpoint: previously-seen texts must STAY
+    // deduplicated (state recovered), new text must pass
+    val q2 = start()
+    try {
+      in.addData(StreamDoc(3, "alpha beta"), StreamDoc(4, "epsilon zeta"))
+      q2.processAllAvailable()
+      val ids = seen.synchronized(seen.toSet)
+      assert(ids.contains(4L) && !ids.contains(3L), s"got $ids")
+      assert(ids.contains(1L) && ids.contains(2L), s"got $ids")
+    } finally q2.stop()
+  }
+
   test("keepFirst seqFn overload picks the lowest-seq row within a batch") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[StreamDoc]
