@@ -68,6 +68,31 @@ object CalcQueries {
         CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
       FROM orders GROUP BY o_orderpriority""")),
 
+    // Protobuf payload format roundtrip (graft.core.ProtoFormat — pure
+    // wire-format codec; reference flink-protobuf Pb(De|Se)rializationSchema):
+    // encode an orders projection to proto binary, decode, aggregate; the
+    // oracle aggregates the raw table, so any codec defect breaks the hash.
+    QueryDef("q_format_proto", (s, dir) => {
+      val proto = """message Ord {
+        int64 o_orderkey = 1;
+        optional string o_orderpriority = 2;
+        double o_totalprice = 3;
+        sint64 neg_key = 4;
+      }"""
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          (-col("o_orderkey")).as("neg_key"))
+      val decoded = graft.core.ProtoFormat.fromProto(
+        graft.core.ProtoFormat.toProto(o, proto), "value", proto)
+      decoded.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("o_orderkey") + col("neg_key") + col("o_orderkey")).as("sum_key"))
+    }, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n,
+        ${dsumSql("o_totalprice")} AS sum_price,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+      FROM orders GROUP BY o_orderpriority""")),
+
     // Lateral explode / UNNEST (Correlate): word explosion over docs.
     QueryDef("q_explode", (s, dir) => {
       t(s, dir, "documents")
