@@ -91,17 +91,15 @@ object Similarity {
       ColumnBridge.expression(vec), cs.toSeq.map(_.toSeq), nprobe))
   }
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
-      k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
-      iters: Int = 5): DataFrame = {
-    // Train the coarse quantizer on a bounded sample (FAISS practice:
-    // O(100) points per centroid suffices): one deterministic
-    // pseudo-random TakeOrdered over a hash of the id — a single corpus
-    // scan that collects <= nlist*256 vectors (~1 MB at dim 64), then
-    // Lloyd's runs driver-local in-memory. Cluster cost of training is
-    // ONE pass regardless of `iters`; the model is tiny driver-side
-    // state, like any broadcast dimension.
+  /** Coarse k-means quantizer training on a bounded sample (FAISS
+    * practice: O(100) points per centroid suffices): one deterministic
+    * pseudo-random TakeOrdered over a hash of the id — a single corpus
+    * scan that collects <= nlist*256 vectors (~1 MB at dim 64), then
+    * Lloyd's runs driver-local in-memory. Cluster cost of training is
+    * ONE pass regardless of `iters`; the model is tiny driver-side
+    * state, like any broadcast dimension. */
+  def trainKMeans(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nlist: Int, iters: Int): Array[Array[Float]] = {
     val maxTrain = nlist * 256
     val train: Array[Array[Float]] = corpus.select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)), col(idCol))
@@ -139,7 +137,14 @@ object Similarity {
         else Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat)
       }.toArray
     }
+    centroids
+  }
 
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
+      iters: Int = 5): DataFrame = {
+    val centroids = trainKMeans(corpus, idCol, vecCol, dim, nlist, iters)
     // index: corpus rows tagged with their cell — again a projection
     val indexed = corpus.select(col(idCol), col(vecCol),
       nearestCentroid(col(vecCol), centroids).as("__cell"))
@@ -198,6 +203,57 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
       .distinct()
+  }
+
+  /** SemDeDup (Abbas et al. 2023, public): semantic near-duplicate
+    * removal by clustering embeddings with the coarse k-means quantizer
+    * and deduplicating WITHIN each cluster — pairwise cosine is only
+    * computed cell-locally, so the quadratic term is bounded by the cell
+    * size, not the corpus (the paper's reason the method scales to
+    * billions of examples). Members of each within-cell near-dup
+    * component (cos >= eps) collapse to ONE survivor: the member LEAST
+    * similar to its cluster centroid (the paper's keep-rule — retain the
+    * least prototypical example), ties broken by id.
+    *
+    * Scale shape: cell assignment and centroid-similarity are pure
+    * projections over one scan (the centroid table rides inside the
+    * expressions); the pair join shuffles on `__cell` with oversize
+    * cells (> maxCell) exempted from pair generation — their members are
+    * all retained, the same bounded-skew treatment as the LSH bucket
+    * cap. Component resolution reuses [[ConnectedComponents]].
+    *
+    * Returns (idCol, cell, group_id) for the KEPT documents.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      eps: Double, dim: Int, nlist: Int = 16, iters: Int = 3,
+      maxCell: Int = 5000): DataFrame = {
+    val cs = trainKMeans(corpus, idCol, vecCol, dim, nlist, iters)
+    val csLit = typedlit(cs.toSeq.map(_.toSeq))
+    val cells = corpus.select(col(idCol), col(vecCol),
+        nearestCentroid(col(vecCol), cs).as("__cell"))
+      .withColumn("__csim",
+        cosine(col(vecCol), element_at(csLit, col("__cell") + 1)))
+    val capped = cells.withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("__cell"))))
+      .filter(col("__n") <= maxCell).drop("__n")
+    val l = capped.select(col("__cell"), col(idCol).as("id_a"),
+      col(vecCol).as("__va"))
+    val r = capped.select(col("__cell"), col(idCol).as("id_b"),
+      col(vecCol).as("__vb"))
+    val pairs = l.join(r, Seq("__cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("sim") >= eps)
+      .select(col("id_a"), col("id_b"))
+    val comps = ConnectedComponents.withSingletons(
+        corpus.select(col(idCol)), idCol, pairs, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("__csim").asc, col(idCol))
+    cells.join(comps, Seq(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__cell").as("cell"),
+        col("comp").as("group_id"))
   }
 
   /** Explode a vector table into (row, tableIdx, bucket) across `tables`

@@ -196,6 +196,16 @@ object PipelineQueries {
         t(s, dir, "embeddings"), "vec_id", "embedding", 0.4, dim = 64)
     }, None),
 
+    // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — the
+    // published scale path where pairwise cosine is confined to k-means
+    // cells. Depends on the trained quantizer → rows-only check; the
+    // survivor-per-component and nlist=1-equals-global-graph properties
+    // are asserted in SemDedupSpec.
+    QueryDef("q_semdedup", (s, dir) => {
+      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        eps = 0.4, dim = 64, nlist = 16, iters = 3)
+    }, None),
+
     // Dedup GROUP resolution: connected components over the near-dup
     // pair graph — the step that turns LSH pairs into keep/drop
     // decisions. Spark side: min-label propagation
@@ -567,6 +577,156 @@ object PipelineQueries {
                  % ${PipelineQueries.classifierWeights.size} AS INT) + 1]))
           / len(regexp_extract_all(text, '\\S+')), 6) AS score
       FROM documents""")),
+
+    // DSIR importance resampling (Xie et al. 2023, public): select the
+    // documents whose unigram distribution is closest to a target domain
+    // (here: the lang='en' slice) by log-likelihood-ratio score, sampled
+    // without replacement via deterministic hash-Gumbel top-k. Every ln
+    // is floor-quantized to k/1024 so the score SUM is exact and
+    // order-free; the DuckDB oracle replays the full DAG (vocab cap, raw
+    // counts, weights, scoring, Gumbel key, top-k) and checks the exact
+    // kept set and scores.
+    QueryDef("q_importance_resample", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Relevance.importanceResample(
+        docs, "doc_id", "text", docs.filter(col("lang") === "en"), "text",
+        keepN = 200, dim = 1024)
+    }, Some("""
+      WITH tb AS (
+        SELECT ('0x' || substr(md5(word || 'dsir_feat'), 1, 8))::BIGINT
+                 % 1024 AS b,
+               COUNT(*) AS tcnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
+              FROM documents WHERE lang = 'en')
+        GROUP BY 1),
+      cw AS (
+        SELECT doc_id,
+          ('0x' || substr(md5(word || 'dsir_feat'), 1, 8))::BIGINT
+            % 1024 AS b
+        FROM (SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '\S+')) AS word
+              FROM documents)),
+      raw AS (SELECT b, COUNT(*) AS rcnt FROM cw GROUP BY b),
+      base AS (
+        SELECT COALESCE(r.b, t.b) AS b, COALESCE(t.tcnt, 0) AS tcnt,
+               COALESCE(r.rcnt, 0) AS rcnt
+        FROM raw r FULL OUTER JOIN tb t ON r.b = t.b),
+      tot AS (SELECT SUM(tcnt) AS t, SUM(rcnt) AS r FROM base),
+      wts AS (
+        SELECT b,
+          floor((ln(CAST(tcnt + 1 AS DOUBLE) / CAST(t + 1024 AS DOUBLE))
+               - ln(CAST(rcnt + 1 AS DOUBLE) / CAST(r + 1024 AS DOUBLE)))
+            * 1024) / 1024.0 AS weight
+        FROM base, tot),
+      sc AS (
+        SELECT c.doc_id, SUM(w.weight) AS score
+        FROM cw c JOIN wts w ON c.b = w.b GROUP BY c.doc_id)
+      SELECT doc_id, score, sel_key FROM (
+        SELECT d.doc_id, COALESCE(s.score, 0.0) AS score,
+          COALESCE(s.score, 0.0) + floor(-ln(-ln(
+            (CAST(('0x' || substr(md5(d.doc_id::VARCHAR || 'dsir'), 1, 8))
+               ::BIGINT % 1048576 AS DOUBLE) + 0.5) / 1048576.0)) * 1024)
+            / 1024.0 AS sel_key
+        FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id)
+      ORDER BY sel_key DESC, doc_id LIMIT 200""")),
+
+    // CCNet-style LM quality score (Wenzek et al. 2020, public): mean
+    // log-prob of each document under an add-one-smoothed word-bigram
+    // model trained on the lang='en' slice — the "perplexity filter"
+    // stage of corpus curation. Quantized logp (k/1024) makes the SUM
+    // exact; the DuckDB oracle retrains the identical model and rescores
+    // every document.
+    QueryDef("q_lm_score", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Relevance.lmScore(
+        docs, "doc_id", "text", docs.filter(col("lang") === "en"), "text")
+    }, Some("""
+      WITH tw AS (
+        SELECT regexp_extract_all(lower(text), '\S+') AS ws
+        FROM documents WHERE lang = 'en'),
+      tbi AS (
+        SELECT
+          unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+            i -> ws[i])) AS w1,
+          unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+            i -> ws[i+1])) AS w2
+        FROM tw),
+      big AS (SELECT w1, w2, COUNT(*) AS c12 FROM tbi GROUP BY 1, 2),
+      ctx AS (SELECT w1, COUNT(*) AS c1 FROM tbi GROUP BY 1),
+      voc AS (
+        SELECT COUNT(DISTINCT word) AS v
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
+              FROM documents WHERE lang = 'en')),
+      dw AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+        FROM documents),
+      dbi AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+            i -> ws[i])) AS w1,
+          unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+            i -> ws[i+1])) AS w2
+        FROM dw),
+      sc AS (
+        SELECT d.doc_id,
+          SUM(floor(ln(CAST(COALESCE(b.c12, 0) + 1 AS DOUBLE)
+            / CAST(COALESCE(c.c1, 0) + v.v AS DOUBLE)) * 1024) / 1024.0)
+            AS sum_lp,
+          COUNT(*) AS n_bi
+        FROM dbi d
+        CROSS JOIN voc v
+        LEFT JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+        LEFT JOIN ctx c ON d.w1 = c.w1
+        GROUP BY d.doc_id)
+      SELECT d.doc_id, COALESCE(s.n_bi, 0) AS n_bigrams,
+        COALESCE(s.sum_lp / s.n_bi, 0.0) AS lm_score
+      FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id""")),
+
+    // BM25 relevance ranking (Robertson & Spärck Jones, public): top-50
+    // documents for a literal term set. Zero explode, zero per-term
+    // shuffle — tf is a pure projection, corpus stats come from one agg
+    // pass broadcast back, top-k is TakeOrderedAndProject. The oracle
+    // recomputes the identical expression tree (same literals, same
+    // parenthesization, idf floor-quantized) in DuckDB.
+    QueryDef("q_bm25", (s, dir) => {
+      graft.operators.Relevance.bm25TopK(t(s, dir, "documents"),
+        "doc_id", "text", Seq("spark", "hash", "window", "stream"), 50)
+    }, Some("""
+      WITH w AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+        FROM documents),
+      tf AS (
+        SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+          CAST(len(list_filter(ws, x -> x = 'spark')) AS DOUBLE) AS tf0,
+          CAST(len(list_filter(ws, x -> x = 'hash')) AS DOUBLE) AS tf1,
+          CAST(len(list_filter(ws, x -> x = 'window')) AS DOUBLE) AS tf2,
+          CAST(len(list_filter(ws, x -> x = 'stream')) AS DOUBLE) AS tf3
+        FROM w),
+      st AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) AS sum_dl,
+          CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+          CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+          CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+          CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+        FROM tf)
+      SELECT doc_id, dl, score FROM (
+        SELECT t.doc_id, t.dl,
+          floor(ln((s.n - s.df0 + 0.5) / (s.df0 + 0.5) + 1.0) * 1024) / 1024.0
+            * (t.tf0 * (1.2 + 1.0) / (t.tf0 + 1.2 *
+                (1.0 - 0.75 + 0.75 * (t.dl / (s.sum_dl / s.n)))))
+          + floor(ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1.0) * 1024) / 1024.0
+            * (t.tf1 * (1.2 + 1.0) / (t.tf1 + 1.2 *
+                (1.0 - 0.75 + 0.75 * (t.dl / (s.sum_dl / s.n)))))
+          + floor(ln((s.n - s.df2 + 0.5) / (s.df2 + 0.5) + 1.0) * 1024) / 1024.0
+            * (t.tf2 * (1.2 + 1.0) / (t.tf2 + 1.2 *
+                (1.0 - 0.75 + 0.75 * (t.dl / (s.sum_dl / s.n)))))
+          + floor(ln((s.n - s.df3 + 0.5) / (s.df3 + 0.5) + 1.0) * 1024) / 1024.0
+            * (t.tf3 * (1.2 + 1.0) / (t.tf3 + 1.2 *
+                (1.0 - 0.75 + 0.75 * (t.dl / (s.sum_dl / s.n)))))
+          AS score
+        FROM tf t, st s)
+      WHERE score > 0.0
+      ORDER BY score DESC, doc_id LIMIT 50""")),
 
     // ---- splitting / sampling / packing ----
 
