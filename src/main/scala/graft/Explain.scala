@@ -14,7 +14,8 @@ object Explain {
       else Seq("q1_agg", "q_join_multi", "q_join_inner", "q_scan_pushdown",
         "q_rank_topn", "q_minhash_lsh", "q_ann_brute", "q_ann_ivf",
         "q_embed_neardup_lsh", "q_cdc_agg", "q_match_recognize",
-        "q_asof_sql", "q_format_avro")
+        "q_asof_sql", "q_format_avro", "q_format_proto", "q_bm25",
+        "q_importance_resample", "q_lm_score", "q_semdedup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
