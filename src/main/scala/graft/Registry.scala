@@ -18,7 +18,8 @@ object Registry {
     PipelineQueries.defs ++
     CdcQueries.defs ++
     CepQueries.defs ++
-    UdfQueries.defs
+    UdfQueries.defs ++
+    TpchQueries.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val m = all.map(q => q.name -> q).toMap
