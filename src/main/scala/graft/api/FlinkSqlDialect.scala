@@ -101,6 +101,10 @@ object FlinkSqlDialect {
 
     var out = sql
 
+    // EXPLAIN [PLAN FOR] <query> — reference docs/content/docs/dev/table/
+    // sql/explain.md; Spark's EXPLAIN takes the query directly
+    out = out.replaceAll("(?is)^\\s*EXPLAIN\\s+PLAN\\s+FOR\\s+", "EXPLAIN ")
+
     out = Tumble.replaceAllIn(out, m => {
       val (t, ts, n, u) = (m.group(1), m.group(2), m.group(3), m.group(4))
       val s = seconds(n, u)

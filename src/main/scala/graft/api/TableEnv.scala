@@ -55,6 +55,20 @@ final class TableEnv(val spark: SparkSession) {
 
   def tableSpec(name: String): Option[TableSpec] = specs.get(name)
 
+  private[api] def registeredTables: Set[String] = specs.keySet.toSet
+
+  /** Re-point a registered table's temp view at a fresh read of its
+    * backing path (after a write, or to drop a cache re-pointing). */
+  private[api] def refreshTable(name: String): Unit =
+    specs.get(name).foreach(spec =>
+      batchRead(spec).createOrReplaceTempView(name))
+
+  /** Reference TableEnvironment.createStatementSet — collect several
+    * INSERTs and execute them as one batch with shared sources scanned
+    * once (see [[StatementSet]]). */
+  def createStatementSet(shareSources: Boolean = true): StatementSet =
+    new StatementSet(this, shareSources)
+
   /** Batch `from` — reference Table.java `from(path)`. */
   def from(name: String): DataFrame = spark.table(name)
 
@@ -78,7 +92,13 @@ final class TableEnv(val spark: SparkSession) {
     """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s+(.*)$""".r
 
   def executeSql(sql: String): DataFrame =
-    if (FlinkDdl.matches(sql)) {
+    if (StatementSet.matches(sql)) {
+      // EXECUTE STATEMENT SET BEGIN ...; ...; END → one multi-sink batch
+      val set = createStatementSet()
+      StatementSet.statements(sql).foreach(set.addInsertSql)
+      set.execute()
+      spark.emptyDataFrame
+    } else if (FlinkDdl.matches(sql)) {
       val ddl = FlinkDdl.parse(sql)
       if (!(ddl.ifNotExists && spark.catalog.tableExists(ddl.name)))
         createTable(ddl.name, ddl.spec)
