@@ -19,7 +19,8 @@ object Registry {
     CdcQueries.defs ++
     CepQueries.defs ++
     UdfQueries.defs ++
-    TpchQueries.defs
+    TpchQueries.defs ++
+    BpeQueries.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val m = all.map(q => q.name -> q).toMap

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 import graft.QueryDef
 import Q._
@@ -429,14 +430,17 @@ object TpchQueries {
       val lo = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"), late.as("late"))
-      val ord = lo.groupBy(col("l_orderkey").as("g_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("nsupp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("nlate"))
+      // per-order supplier stats as WINDOW aggregates: one shuffle on
+      // l_orderkey total, vs the aggregate-then-rejoin formulation which
+      // shuffles the fact-fact join output twice. Per-order sets are
+      // bounded by lines-per-order, so collect_set state is O(1).
+      val w = Window.partitionBy(col("l_orderkey"))
       val su = t(s, dir, "supplier")
       val n = t(s, dir, "nation").filter(col("n_name") === "NATION_1")
-      lo.filter(col("late"))
-        .join(ord, col("l_orderkey") === col("g_orderkey"))
-        .filter(col("nsupp") >= 2 && col("nlate") === 1)
+      lo.withColumn("nsupp", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("nlate",
+          size(collect_set(when(col("late"), col("l_suppkey"))).over(w)))
+        .filter(col("late") && col("nsupp") >= 2 && col("nlate") === 1)
         .join(su, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("s_name"))
