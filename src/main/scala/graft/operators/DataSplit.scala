@@ -61,6 +61,20 @@ object DataSplit {
     df.filter(hashBucket(col(keyCol), 10000, seed) <
       coalesce(element_at(typedlit(ratesBp), col(sourceCol)), lit(0)))
 
+  /** Leakage-guarded split: assign train/val/test by hashing a GROUP
+    * key instead of the row key, so every member of a duplicate /
+    * near-duplicate group lands in the SAME split. Splitting dedup
+    * groups across train and test is the classic eval-contamination
+    * bug — a test document with a near-dup in train is memorized, not
+    * generalized. Feed `groupCol` with [[graft.operators.TextDedup.normalizedHash]]
+    * (exact groups), a MinHash/SimHash band key, or the component id
+    * from [[graft.operators.ConnectedComponents]] (transitive near-dup
+    * groups). Still a zero-shuffle projection when the group key is
+    * already a column; stability properties as [[assignSplit]]. */
+  def groupAwareSplit(df: DataFrame, groupCol: String, trainPct: Int = 80,
+      valPct: Int = 10, seed: String = "gsplit"): DataFrame =
+    assignSplit(df, groupCol, trainPct, valPct, seed)
+
   /** Per-key cap: keeps at most `maxPerKey` rows per key, the first ones
     * in `orderCol` order — the standard per-domain document cap of web
     * corpus curation (no single host may dominate the training mixture).

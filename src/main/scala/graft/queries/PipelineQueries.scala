@@ -752,6 +752,27 @@ object PipelineQueries {
             FROM documents)
       GROUP BY 1""")),
 
+    // Leakage-guarded split: hash the dedup-GROUP key (normalized-text
+    // md5), not the row id, so exact-duplicate documents can never
+    // straddle train/test (the eval-contamination bug). Row-level
+    // output: the oracle checks the exact assignment of every doc.
+    QueryDef("q_group_split", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("gkey", TextDedup.normalizedHash(col("text")))
+      DataSplit.groupAwareSplit(docs, "gkey")
+        .select(col("doc_id"), col("gkey"), col("split"))
+    }, Some("""
+      SELECT doc_id, gkey,
+        CASE WHEN b < 80 THEN 'train'
+             WHEN b < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+              md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS gkey,
+              ('0x' || substr(md5(
+                md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+                  || 'gsplit'), 1, 8))::BIGINT % 100 AS b
+            FROM documents)""")),
+
     // Deterministic ~5% hash sample — row-level output so the oracle
     // verifies the exact membership, not just the count.
     QueryDef("q_sample_hash", (s, dir) => {

@@ -88,6 +88,20 @@ class DataSplitSpec extends SparkSpec {
     assert(kept.select("__rn").distinct().as[Int].collect().toSeq == Seq(42))
   }
 
+  test("groupAwareSplit never splits a dedup group across splits") {
+    val docs = (0L until 2000L).toDF("id")
+      // 200 duplicate groups of 10 members each, varied whitespace/case
+      .withColumn("text", concat(lit("Doc  body "), (col("id") % 200).cast("string")))
+      .withColumn("gkey", TextDedup.normalizedHash(lower(col("text"))))
+    val split = DataSplit.groupAwareSplit(docs, "gkey")
+    val straddling = split.groupBy("gkey")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(straddling == 0)
+    // all three splits are populated at this group count
+    assert(split.select("split").distinct().count() == 3)
+  }
+
   test("mixtureSample hits per-source rates, deterministically") {
     val df = (0L until 30000L).toDF("id")
       .withColumn("src", concat(lit("s"), (col("id") % 3).cast("string")))
