@@ -231,6 +231,32 @@ object JoinQueries {
         AND b.ts <= a.ts + INTERVAL 5 MINUTE
       GROUP BY a.user_id""")),
 
+    // Keyless range join via bucketization (operators.RangeJoin): ship
+    // events matched into promotion windows with NO equi key — the
+    // bucket trick turns the nested-loop theta join into one hash
+    // shuffle on a dense integer key + exact residual.
+    QueryDef("q_range_join", (s, dir) => {
+      val day = 86400L * 1000000L
+      val pts = t(s, dir, "lineitem")
+        .select(unix_micros(col("l_shipdate").cast("timestamp")).as("p"), col("l_quantity"))
+      val iv = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("s"),
+          unix_micros((col("o_orderdate") + expr("INTERVAL 14 DAYS")).cast("timestamp")).as("e"))
+      graft.operators.RangeJoin.pointInInterval(pts, "p", iv, "s", "e", 14 * day)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_pts"), dsum(col("l_quantity")).as("sum_qty"))
+    }, Some(s"""
+      SELECT o_orderkey, COUNT(*) AS n_pts,
+        ${dsumSql("l_quantity")} AS sum_qty
+      FROM lineitem
+      JOIN (SELECT o_orderkey, o_orderdate AS st,
+              o_orderdate + INTERVAL 14 DAY AS en
+            FROM orders WHERE o_orderkey % 50 = 0) iv
+        ON l_shipdate BETWEEN st AND en
+      GROUP BY o_orderkey""")),
+
     // Window join (reference WindowJoinOperator.java:66): clicks and
     // purchases bucketed into the same tumbling hour, equi-joined on
     // (window, user) — both sides pre-aggregated per bucket so the join
