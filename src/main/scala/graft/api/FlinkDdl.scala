@@ -120,9 +120,29 @@ object FlinkDdl {
       case other => fail(s"unrecognized table element: $other")
     }
 
-    // WITH ('k' = 'v', ...)
+    val options = parseWithOptions(tail)
+    val partitions = parsePartitionedBy(tail)
+    val (path, format) = pathFormat(options)
+
+    Ddl(name, ifNotExists, TableSpec(
+      path = path, format = format,
+      schema = if (fields.isEmpty) None else Some(StructType(fields)),
+      watermark = watermark, primaryKey = primaryKey,
+      partitions = partitions))
+  }
+
+  /** `PARTITIONED BY (c1, c2)` — reference filesystem-connector
+    * partitioned tables (SqlCreateTable PARTITIONED BY clause). */
+  private[api] def parsePartitionedBy(tail: String): Seq[String] =
+    """(?is)\bPARTITIONED\s+BY\s*\(([\w,\s]+)\)""".r
+      .findFirstMatchIn(tail)
+      .map(_.group(1).split(",").map(_.trim).toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
+
+  /** WITH ('k' = 'v', ...) — shared by CREATE TABLE and CTAS. */
+  private[api] def parseWithOptions(tail: String): Map[String, String] = {
     val withP = """(?is)\bWITH\s*\(""".r
-    val options: Map[String, String] = withP.findFirstMatchIn(tail).map { wm =>
+    withP.findFirstMatchIn(tail).map { wm =>
       var d = 0
       var j = wm.end - 1
       var close = -1
@@ -141,17 +161,37 @@ object FlinkDdl {
       val optP = """'([^']*)'\s*=\s*'([^']*)'""".r
       optP.findAllMatchIn(body).map(o => o.group(1) -> o.group(2)).toMap
     }.getOrElse(Map.empty)
+  }
 
+  private[api] def pathFormat(options: Map[String, String]): (String, String) = {
     val connector = options.getOrElse("connector", "filesystem")
     if (connector != "filesystem")
       fail(s"connector '$connector' is not available in this environment " +
         "(filesystem only)")
     val path = options.getOrElse("path", fail("filesystem connector needs 'path'"))
-    val format = options.getOrElse("format", "parquet")
+    (path, options.getOrElse("format", "parquet"))
+  }
 
-    Ddl(name, ifNotExists, TableSpec(
-      path = path, format = format,
-      schema = if (fields.isEmpty) None else Some(StructType(fields)),
-      watermark = watermark, primaryKey = primaryKey))
+  /** `CREATE TABLE [IF NOT EXISTS] t [PARTITIONED BY (...)] WITH (...)
+    * AS <query>` — reference CTAS (FLIP-218, SqlCreateTableAs). Returns
+    * (name, ifNotExists, spec-sans-schema, query). */
+  final case class Ctas(name: String, ifNotExists: Boolean, spec: TableSpec,
+      query: String)
+
+  private val CtasP =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*""" +
+      """((?:PARTITIONED\s+BY\s*\([\w,\s]+\)\s*)?WITH\s*\(.*?\))\s+AS\s+(SELECT.*)$""").r
+
+  def matchesCtas(sql: String): Boolean = CtasP.pattern.matcher(sql).matches()
+
+  def parseCtas(sql: String): Ctas = sql match {
+    case CtasP(ine, name, head, query) =>
+      val options = parseWithOptions(head)
+      val (path, format) = pathFormat(options)
+      Ctas(name, ine != null,
+        TableSpec(path = path, format = format,
+          partitions = parsePartitionedBy(head)),
+        query)
+    case _ => fail("not a CREATE TABLE ... AS SELECT statement")
   }
 }

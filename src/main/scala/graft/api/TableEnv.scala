@@ -20,7 +20,8 @@ final case class TableSpec(
     format: String = "parquet",
     schema: Option[StructType] = None,
     watermark: Option[(String, String)] = None, // (eventTimeCol, delay)
-    primaryKey: Seq[String] = Nil)
+    primaryKey: Seq[String] = Nil,
+    partitions: Seq[String] = Nil) // PARTITIONED BY columns (hive-style dirs)
 
 final class TableEnv(val spark: SparkSession) {
 
@@ -98,6 +99,20 @@ final class TableEnv(val spark: SparkSession) {
       StatementSet.statements(sql).foreach(set.addInsertSql)
       set.execute()
       spark.emptyDataFrame
+    } else if (FlinkDdl.matchesCtas(sql)) {
+      // CTAS (reference FLIP-218): run the query, write it as the new
+      // table's data (partitioned if declared), register with the
+      // result's schema
+      val ctas = FlinkDdl.parseCtas(sql)
+      if (!(ctas.ifNotExists && spark.catalog.tableExists(ctas.name))) {
+        val result = executeSql(ctas.query)
+        val w0 = result.write.format(ctas.spec.format).mode("overwrite")
+        val w = if (ctas.spec.partitions.nonEmpty)
+          w0.partitionBy(ctas.spec.partitions: _*) else w0
+        w.save(ctas.spec.path)
+        createTable(ctas.name, ctas.spec)
+      }
+      spark.emptyDataFrame
     } else if (FlinkDdl.matches(sql)) {
       val ddl = FlinkDdl.parse(sql)
       if (!(ddl.ifNotExists && spark.catalog.tableExists(ddl.name)))
@@ -136,9 +151,14 @@ final class TableEnv(val spark: SparkSession) {
             .withColumn(TableEnv.SeqCol,
               org.apache.spark.sql.functions.monotonically_increasing_id())
         } else result0
-      result.write.format(spec.format)
+      val writer0 = result.write.format(spec.format)
         .mode(if (mode == "INTO") "append" else "overwrite")
-        .save(spec.path)
+      // PARTITIONED BY → hive-style partition directories, so selective
+      // reads prune whole directories (reference: filesystem connector
+      // partitioned tables, partition commit)
+      val writer = if (spec.partitions.nonEmpty)
+        writer0.partitionBy(spec.partitions: _*) else writer0
+      writer.save(spec.path)
       batchRead(spec).createOrReplaceTempView(name) // refresh the view
       spark.emptyDataFrame
     } else if (graft.cep.MatchRecognize.matches(sql))

@@ -144,6 +144,70 @@ class FlinkDdlSpec extends SparkSpec {
     assert(rows == Seq((1L, "b"), (2L, "c2")))
   }
 
+  test("PARTITIONED BY writes hive-style dirs and reads prune partitions") {
+    val env = TableEnv(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ddl_part").toString
+    env.executeSql(s"""
+      CREATE TABLE part_docs (
+        doc_id BIGINT, text STRING, lang STRING
+      ) PARTITIONED BY (lang)
+      WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+            'format' = 'parquet')""")
+    assert(env.tableSpec("part_docs").get.partitions == Seq("lang"))
+    env.createTemporaryView("part_src",
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text", "lang"))
+    env.executeSql("INSERT INTO part_docs SELECT * FROM part_src")
+    // hive-style partition directories exist
+    val dirs = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("lang=")), dirs.toString)
+    // read-back matches and a lang filter prunes whole directories
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(env.from("part_docs").count() == total)
+    val pruned = env.from("part_docs").filter(col("lang") === "en")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
+  }
+
+  test("CTAS creates, writes and registers a table from a query") {
+    val env = TableEnv(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ddl_ctas").toString
+    env.createTemporaryView("ctas_src",
+      spark.read.parquet(s"$sfDir/nation.parquet"))
+    env.executeSql(s"""
+      CREATE TABLE ctas_regions
+      WITH ('connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'parquet')
+      AS SELECT n_regionkey, COUNT(*) AS n_nations
+         FROM ctas_src GROUP BY n_regionkey""")
+    assert(env.from("ctas_regions").count() == 5)
+    assert(env.from("ctas_regions").columns.toSeq ==
+      Seq("n_regionkey", "n_nations"))
+    // IF NOT EXISTS on an existing table is a no-op (does not rewrite)
+    env.executeSql(s"""
+      CREATE TABLE IF NOT EXISTS ctas_regions
+      WITH ('connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'parquet')
+      AS SELECT 1 AS x""")
+    assert(env.from("ctas_regions").count() == 5)
+  }
+
+  test("CTAS with PARTITIONED BY lays out partition directories") {
+    val env = TableEnv(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ddl_ctasp").toString
+    env.createTemporaryView("ctasp_src",
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    env.executeSql(s"""
+      CREATE TABLE ctas_by_lang
+      PARTITIONED BY (lang)
+      WITH ('connector' = 'filesystem', 'path' = '$dir/t', 'format' = 'parquet')
+      AS SELECT doc_id, lang FROM ctasp_src""")
+    val dirs = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("lang=")), dirs.toString)
+    assert(env.from("ctas_by_lang").count() ==
+      spark.read.parquet(s"$sfDir/documents.parquet").count())
+  }
+
   test("createTable falls back to an empty view only on path-not-found") {
     val env = TableEnv(spark)
     // path-not-found with declared schema -> empty view (sink table)
