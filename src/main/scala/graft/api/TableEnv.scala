@@ -92,6 +92,52 @@ final class TableEnv(val spark: SparkSession) {
   private val InsertP =
     """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+([\w.]+)\s+(.*)$""".r
 
+  private val DropP =
+    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
+  private val ShowCreateP =
+    """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$""".r
+
+  /** Reconstruct the Flink DDL for a registered table (reference
+    * ShowCreateUtil) — from the stored TableSpec, including watermark /
+    * primary key / partitioning. */
+  def showCreateTable(name: String): String = {
+    val spec = specs.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown table $name"))
+    val schema = spec.schema.getOrElse(batchRead(spec).schema)
+    def ddlType(dt: org.apache.spark.sql.types.DataType): String = dt match {
+      case org.apache.spark.sql.types.LongType => "BIGINT"
+      case org.apache.spark.sql.types.IntegerType => "INT"
+      case org.apache.spark.sql.types.DoubleType => "DOUBLE"
+      case org.apache.spark.sql.types.FloatType => "FLOAT"
+      case org.apache.spark.sql.types.StringType => "STRING"
+      case org.apache.spark.sql.types.BooleanType => "BOOLEAN"
+      case org.apache.spark.sql.types.DateType => "DATE"
+      case org.apache.spark.sql.types.BinaryType => "BYTES"
+      case d: org.apache.spark.sql.types.DecimalType => s"DECIMAL(${d.precision}, ${d.scale})"
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => "TIMESTAMP(6)"
+      case other => other.sql
+    }
+    val cols = schema.fields.map(f => s"  ${f.name} ${ddlType(f.dataType)}")
+    val wm = spec.watermark.map { case (c, d) =>
+      val (n, u) = d.split(" ") match { case Array(a, b) => (a, b.stripSuffix("s").toUpperCase) }
+      s"  WATERMARK FOR $c AS $c - INTERVAL '$n' $u"
+    }
+    val pk = if (spec.primaryKey.nonEmpty)
+      Some(s"  PRIMARY KEY (${spec.primaryKey.mkString(", ")}) NOT ENFORCED")
+    else None
+    val part = if (spec.partitions.nonEmpty)
+      s"\nPARTITIONED BY (${spec.partitions.mkString(", ")})" else ""
+    s"""CREATE TABLE $name (
+       |${(cols ++ wm ++ pk).mkString(",\n")}
+       |)$part
+       |WITH (
+       |  'connector' = 'filesystem',
+       |  'path' = '${spec.path}',
+       |  'format' = '${spec.format}'
+       |)""".stripMargin
+  }
+
   def executeSql(sql: String): DataFrame =
     if (StatementSet.matches(sql)) {
       // EXECUTE STATEMENT SET BEGIN ...; ...; END → one multi-sink batch
@@ -99,6 +145,18 @@ final class TableEnv(val spark: SparkSession) {
       StatementSet.statements(sql).foreach(set.addInsertSql)
       set.execute()
       spark.emptyDataFrame
+    } else if (DropP.pattern.matcher(sql).matches()) {
+      val m = DropP.findFirstMatchIn(sql).get
+      val (ifExists, name) = (m.group(1) != null, m.group(2))
+      if (!specs.contains(name) && !spark.catalog.tableExists(name) && !ifExists)
+        throw new IllegalArgumentException(s"DROP TABLE: unknown table $name")
+      specs.remove(name)
+      spark.catalog.dropTempView(name)
+      spark.emptyDataFrame
+    } else if (ShowCreateP.pattern.matcher(sql).matches()) {
+      val name = ShowCreateP.findFirstMatchIn(sql).get.group(1)
+      import spark.implicits._
+      Seq(showCreateTable(name)).toDF("result")
     } else if (FlinkDdl.matchesCtas(sql)) {
       // CTAS (reference FLIP-218): run the query, write it as the new
       // table's data (partitioned if declared), register with the

@@ -61,6 +61,41 @@ object DataSplit {
     df.filter(hashBucket(col(keyCol), 10000, seed) <
       coalesce(element_at(typedlit(ratesBp), col(sourceCol)), lit(0)))
 
+  /** Token-budget mixture planning: given a target token budget and
+    * per-domain mixture weights, compute each domain's deterministic
+    * sampling rate and apply it — the step that turns "2:1:1 web/code/
+    * academic at 500 B tokens" into an actual per-row keep decision.
+    *
+    * rate(d) = min(1, budget * weight(d) / tokens(d)) — a domain with
+    * fewer tokens than its allocation keeps everything (the shortfall is
+    * NOT redistributed; callers who want renormalization can re-run with
+    * adjusted weights, keeping the rule transparent and replayable).
+    *
+    * Scale shape: pass 1 is one aggregate over the corpus (per-domain
+    * token totals, map-side combined); the tiny rate table is collected
+    * to the driver (one row per domain — model state) and applied as a
+    * zero-shuffle [[mixtureSample]]-style projection keyed by content
+    * hash, so the plan stays deterministic under retries/repartition.
+    * Weights need not sum to 1 — they are normalized here. */
+  def tokenBudgetSample(df: DataFrame, keyCol: String, sourceCol: String,
+      tokensCol: String, budget: Long, weights: Map[String, Double],
+      seed: String = "budget"): DataFrame = {
+    require(budget > 0 && weights.nonEmpty && weights.values.forall(_ >= 0),
+      "budget must be positive, weights non-negative")
+    val wSum = weights.values.sum
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol)).as("__tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // basis points of 10,000 — same resolution as sampleByHash, and the
+    // integer rate makes the decision replayable in any engine
+    val ratesBp: Map[String, Int] = weights.collect {
+      case (src, w) if totals.getOrElse(src, 0L) > 0L =>
+        val alloc = budget.toDouble * (w / wSum)
+        src -> math.min(10000.0, alloc / totals(src) * 10000.0).toInt
+    }
+    mixtureSample(df, keyCol, sourceCol, ratesBp, seed)
+  }
+
   /** Leakage-guarded split: assign train/val/test by hashing a GROUP
     * key instead of the row key, so every member of a duplicate /
     * near-duplicate group lands in the SAME split. Splitting dedup

@@ -803,6 +803,33 @@ object PipelineQueries {
                  THEN 5000
                ELSE 1000 END""")),
 
+    // Token-budget mixture planning: per-domain token totals → basis-
+    // point sampling rates (min(1, budget*weight/tokens)) → hash-keyed
+    // keep decision. The oracle replays the WHOLE pipeline — totals,
+    // rate formula (floor to int bp, exact same fp op order), md5
+    // membership — so the end-to-end plan is engine-portable.
+    QueryDef("q_token_budget", (s, dir) => {
+      DataSplit.tokenBudgetSample(t(s, dir, "documents"), "doc_id",
+          "source", "n_chars", budget = 5000L,
+          weights = Map("src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0))
+        .select(col("doc_id"), col("source"))
+    }, Some("""
+      WITH tot AS (
+        SELECT source, SUM(n_chars) AS tok FROM documents GROUP BY source),
+      rates AS (
+        SELECT source,
+          CAST(FLOOR(LEAST(10000.0,
+            (5000 * (CASE source WHEN 'src1' THEN 2.0
+                                 WHEN 'src2' THEN 1.0
+                                 WHEN 'src3' THEN 1.0 END / 4.0))
+              / tok * 10000.0)) AS INT) AS bp
+        FROM tot
+        WHERE source IN ('src1', 'src2', 'src3') AND tok > 0)
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'budget'), 1, 8))::BIGINT
+              % 10000 < r.bp""")),
+
     // Gopher-style repetition filter: duplicate word-n-gram fractions.
     QueryDef("q_repetition", (s, dir) => {
       t(s, dir, "documents")

@@ -208,6 +208,33 @@ class FlinkDdlSpec extends SparkSpec {
       spark.read.parquet(s"$sfDir/documents.parquet").count())
   }
 
+  test("SHOW CREATE TABLE round-trips the DDL; DROP TABLE unregisters") {
+    val env = TableEnv(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ddl_show").toString
+    env.executeSql(s"""
+      CREATE TABLE show_t (
+        k BIGINT, v STRING, ts TIMESTAMP(3),
+        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND,
+        PRIMARY KEY (k) NOT ENFORCED
+      ) PARTITIONED BY (v)
+      WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+            'format' = 'parquet')""")
+    val ddl = env.executeSql("SHOW CREATE TABLE show_t")
+      .collect().head.getString(0)
+    // the emitted DDL parses back to the same spec
+    val re = FlinkDdl.parse(ddl)
+    assert(re.name == "show_t")
+    assert(re.spec.primaryKey == Seq("k"))
+    assert(re.spec.watermark.contains(("ts", "5 seconds")))
+    assert(re.spec.partitions == Seq("v"))
+    assert(re.spec.path == s"$dir/t")
+    env.executeSql("DROP TABLE show_t")
+    intercept[Exception] { env.from("show_t").collect() }
+    // DROP of a missing table: IF EXISTS is a no-op, plain form raises
+    env.executeSql("DROP TABLE IF EXISTS show_t")
+    intercept[IllegalArgumentException] { env.executeSql("DROP TABLE show_t") }
+  }
+
   test("createTable falls back to an empty view only on path-not-found") {
     val env = TableEnv(spark)
     // path-not-found with declared schema -> empty view (sink table)

@@ -102,6 +102,25 @@ class DataSplitSpec extends SparkSpec {
     assert(split.select("split").distinct().count() == 3)
   }
 
+  test("tokenBudgetSample: capped keep-all, proportional rates, drops unweighted") {
+    val df = (0L until 9000L).toDF("id")
+      .withColumn("src", concat(lit("s"), (col("id") % 3).cast("string")))
+      .withColumn("tok", lit(10L)) // 30k tokens per source
+    // budget 30k, weights 2:1 → s0 alloc 20k (rate 6666bp), s1 alloc 10k
+    // (3333bp), s2 unweighted → dropped
+    val got = DataSplit.tokenBudgetSample(df, "id", "src", "tok",
+        budget = 30000L, weights = Map("s0" -> 2.0, "s1" -> 1.0))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(!got.contains("s2"))
+    assert(math.abs(got("s0") / 3000.0 - 0.6666) < 0.03)
+    assert(math.abs(got("s1") / 3000.0 - 0.3333) < 0.03)
+    // a budget above the domain total keeps everything (rate capped)
+    val all = DataSplit.tokenBudgetSample(df, "id", "src", "tok",
+        budget = 1000000L, weights = Map("s0" -> 1.0))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(all("s0") == 3000L)
+  }
+
   test("mixtureSample hits per-source rates, deterministically") {
     val df = (0L until 30000L).toDF("id")
       .withColumn("src", concat(lit("s"), (col("id") % 3).cast("string")))
