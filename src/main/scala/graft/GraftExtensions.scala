@@ -19,5 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), b))
     }
+    // keyless-range-join bucketization (off until
+    // spark.graft.rangejoin.bucketWidth is set)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }
 }
