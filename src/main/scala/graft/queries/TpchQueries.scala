@@ -465,6 +465,196 @@ object TpchQueries {
       GROUP BY s_name
       ORDER BY numwait DESC, s_name""")),
 
+    // Q2 minimum-cost supplier. Adapted: no partsupp/ps_supplycost — the
+    // unit offer is proxied by each supplier's MINIMUM lineitem price for
+    // the part (exact decimal, so "equals the per-part minimum" is a
+    // bit-exact decimal comparison). Region filter + correlated min as in
+    // the original.
+    QueryDef("q_tpch_q2", (s, dir) => {
+      val cost = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(min(money(col("l_extendedprice"))).as("unit"))
+      val p = t(s, dir, "part")
+        .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val regional = cost
+        .join(su, col("sk") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val minUnit = regional.groupBy(col("pk").as("m_pk"))
+        .agg(min(col("unit")).as("min_unit"))
+      regional
+        .join(p, col("pk") === col("p_partkey"))
+        .join(minUnit, col("pk") === col("m_pk") &&
+          col("unit") === col("min_unit"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("unit").cast("double").as("min_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+    }, Some(s"""
+      WITH cost AS (
+        SELECT l_partkey AS pk, l_suppkey AS sk,
+               MIN(${moneySql("l_extendedprice")}) AS unit
+        FROM lineitem GROUP BY 1, 2),
+      regional AS (
+        SELECT pk, sk, unit, s_acctbal, s_name, n_name
+        FROM cost
+        JOIN supplier ON sk = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE')
+      SELECT s_acctbal, s_name, n_name, p_partkey,
+        CAST(unit AS DOUBLE) AS min_cost
+      FROM regional
+      JOIN part ON pk = p_partkey
+      WHERE p_size = 15 AND p_type = 'STANDARD'
+        AND unit = (SELECT MIN(unit) FROM regional r2 WHERE r2.pk = regional.pk)
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""")),
+
+    // Q11 important stock. Adapted: per-part value = exact-decimal
+    // lineitem revenue of suppliers from one nation; keep parts whose
+    // value exceeds 0.1% of the total (decimal-exact threshold compare).
+    QueryDef("q_tpch_q11", (s, dir) => {
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation").filter(col("n_name") === "NATION_2")
+      val v = t(s, dir, "lineitem")
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("v"))
+      val thresh = v.agg((sum(col("v")) * lit(BigDecimal("0.001"))).as("th"))
+      v.join(broadcast(thresh))
+        .filter(col("v") > col("th"))
+        .select(col("l_partkey"), col("v").cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }, Some(s"""
+      WITH v AS (
+        SELECT l_partkey, SUM(${revenueSql("l_extendedprice", "l_discount")}) AS v
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_2'
+        GROUP BY l_partkey)
+      SELECT l_partkey, CAST(v AS DOUBLE) AS value
+      FROM v
+      WHERE v > (SELECT SUM(v) * CAST(0.001 AS DECIMAL(4,3)) FROM v)
+      ORDER BY value DESC, l_partkey""")),
+
+    // Q12 shipping modes & priority. Adapted: l_returnflag stands in for
+    // the absent l_shipmode; the late-receipt filter becomes the Q4-style
+    // shipdate delay.
+    QueryDef("q_tpch_q12", (s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01"))
+      val o = t(s, dir, "orders")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      SELECT l_returnflag,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")),
+
+    // Q13 customer order-count distribution: left join keeps customers
+    // with zero orders (the point of the query), two-level aggregate.
+    QueryDef("q_tpch_q13", (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }, Some("""
+      SELECT c_count, COUNT(*) AS custdist
+      FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+              AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""")),
+
+    // Q16 supplier counts per part attribute. Adapted: the part-supplier
+    // relation comes from lineitem (no partsupp); the excluded-supplier
+    // subquery keeps the NOT IN shape (complaint suppliers = acctbal<0).
+    QueryDef("q_tpch_q16", (s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
+      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bad_sk"))
+      t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(bad, col("l_suppkey") === col("bad_sk"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }, Some("""
+      SELECT p_brand, p_type, p_size,
+        COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#1'
+        AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // Q20 potential part promotion. Adapted: a supplier qualifies when
+    // its shipped quantity of matching parts over the year exceeds a
+    // threshold (the partsupp availability check becomes a shipped-sum
+    // HAVING; quantity sums of integral doubles are exact).
+    QueryDef("q_tpch_q20", (s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_name").like("red%"))
+        .select(col("p_partkey"))
+      val heavy = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01"))
+        .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 100)
+        .select(col("l_suppkey"))
+      val n = t(s, dir, "nation").filter(col("n_name") === "NATION_3")
+      t(s, dir, "supplier")
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_name"))
+    }, Some("""
+      SELECT s_suppkey, s_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+        AND s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+            AND l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'red%')
+          GROUP BY l_suppkey HAVING SUM(l_quantity) > 100)
+      ORDER BY s_name""")),
+
     // Q22 global sales opportunity: above-average account balance (exact
     // decimal average — see Q.davg), a set of nations, and no orders
     // (anti-join). c_phone country codes don't exist — c_nationkey

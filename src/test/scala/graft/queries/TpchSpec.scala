@@ -54,7 +54,7 @@ class TpchSpec extends SparkSpec {
 
   test("q_tpch_q1x family: every query in the suite executes at sf0.001") {
     val names = Registry.all.map(_.name).filter(_.startsWith("q_tpch_"))
-    assert(names.size == 15)
+    assert(names.size == 21)
     names.foreach { n =>
       // schema resolves and the plan executes end-to-end
       Registry.byName(n).run(spark, sfDir).write
