@@ -20,7 +20,8 @@ object Registry {
     CepQueries.defs ++
     UdfQueries.defs ++
     TpchQueries.defs ++
-    BpeQueries.defs
+    BpeQueries.defs ++
+    GraphQueries.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val m = all.map(q => q.name -> q).toMap

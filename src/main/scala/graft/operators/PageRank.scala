@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed PageRank by iterated joins — in a training-data pipeline
+  * this is domain/host authority weighting (quality signal for web
+  * corpora, as in public Common-Crawl curation recipes); on the
+  * synthetic star schema it ranks part/supplier centrality.
+  *
+  * Numeric discipline: each iteration's contribution PR(u)/outdeg(u) is
+  * floor-quantized to multiples of 2^-20 BEFORE the sum, so the sum is
+  * an exact binary fraction (order-independent, identical on any engine
+  * and any partitioning — the same trick as graft.operators.Relevance's
+  * q1024 scores, finer grain). The damping multiply-add
+  * 0.15 + 0.85 * sum is then ONE identical IEEE op sequence per node.
+  * This is what makes q_pagerank hash-comparable against a DuckDB
+  * replay of the same 2^-20 arithmetic.
+  *
+  * Scale shape: the undirected edge list is built and persisted ONCE;
+  * every iteration is join(edges, ranks on src) → quantized-contribution
+  * projection → one shuffle on dst for the sum → left join back onto the
+  * node set. Rank tables are persisted per iteration and the previous
+  * one released, so lineage (and recompute) never grows with the
+  * iteration count. State per node is O(1).
+  */
+object PageRank {
+
+  private val Q = 1048576L // 2^20
+
+  /** Undirected PageRank over `edges` (any direction; both directions
+    * are added, so every node has outdegree >= 1 and there are no
+    * dangling-mass corrections to fudge). Node id type is whatever the
+    * columns carry — prefer integral ids (string keys hash ~2x slower
+    * across the per-iteration joins); namespace ids that can collide
+    * (e.g. 2*part vs 2*supp+1). Returns (node, pr). */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      // hash-partition the cached edge list on src: every iteration's
+      // rank join reuses this partitioning (only the small rank table
+      // shuffles), instead of re-shuffling the edges k times
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = deg.select(col("src").as("node")) // undirected: src set = node set
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var pr = nodes.withColumn("pr", lit(1.0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pr.count()
+    for (_ <- 1 to iterations) {
+      val contrib = und
+        .join(pr, und("src") === pr("node"))
+        .join(deg, Seq("src"))
+        .select(col("dst"),
+          (floor(col("pr") / col("outdeg") * Q) / lit(Q.toDouble)).as("c"))
+      val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      val next = nodes
+        .join(sums, nodes("node") === sums("dst"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize, then drop the previous iteration
+      pr.unpersist()
+      pr = next
+    }
+    Seq(und, deg, nodes).foreach(_.unpersist())
+    pr
+  }
+
+  /** Driver-side reference implementation with the identical quantized
+    * arithmetic — used by the spec as ground truth on small graphs. */
+  private[graft] def reference(edges: Seq[(String, String)],
+      iterations: Int, damping: Double = 0.85): Map[String, Double] = {
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val deg = und.groupBy(_._1).view.mapValues(_.size).toMap
+    val nodes = deg.keySet
+    var pr = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to iterations) {
+      val mass = und.groupBy(_._2).map { case (v, in) =>
+        v -> in.map { case (u, _) =>
+          math.floor(pr(u) / deg(u) * Q) / Q.toDouble
+        }.sum
+      }
+      pr = nodes.map(v => v -> ((1.0 - damping) +
+        damping * mass.getOrElse(v, 0.0))).toMap
+    }
+    pr
+  }
+}

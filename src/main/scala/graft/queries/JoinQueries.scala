@@ -240,11 +240,16 @@ object JoinQueries {
       val pts = t(s, dir, "lineitem")
         .select(unix_micros(col("l_shipdate").cast("timestamp")).as("p"), col("l_quantity"))
       val iv = t(s, dir, "orders")
-        .filter(col("o_orderkey") % 50 === 0)
+        .filter(col("o_orderkey") % 500 === 0)
         .select(col("o_orderkey"),
           unix_micros(col("o_orderdate").cast("timestamp")).as("s"),
           unix_micros((col("o_orderdate") + expr("INTERVAL 14 DAYS")).cast("timestamp")).as("e"))
-      graft.operators.RangeJoin.pointInInterval(pts, "p", iv, "s", "e", 14 * day)
+      // w = 2 days: 8 bucket replicas per 14-day interval, but ~1000
+      // distinct bucket keys over the date range instead of ~140 — finer
+      // keys spread the per-bucket cross product across all reducers
+      // (with w = 14d this query was the slowest in the whole bench; the
+      // width knob IS the perf story of the operator)
+      graft.operators.RangeJoin.pointInInterval(pts, "p", iv, "s", "e", 2 * day)
         .groupBy(col("o_orderkey"))
         .agg(count(lit(1)).as("n_pts"), dsum(col("l_quantity")).as("sum_qty"))
     }, Some(s"""
@@ -253,7 +258,7 @@ object JoinQueries {
       FROM lineitem
       JOIN (SELECT o_orderkey, o_orderdate AS st,
               o_orderdate + INTERVAL 14 DAY AS en
-            FROM orders WHERE o_orderkey % 50 = 0) iv
+            FROM orders WHERE o_orderkey % 500 = 0) iv
         ON l_shipdate BETWEEN st AND en
       GROUP BY o_orderkey""")),
 
