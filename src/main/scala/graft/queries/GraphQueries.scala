@@ -46,6 +46,44 @@ object GraphQueries {
   }
 
   val defs: Seq[QueryDef] = Seq(
+
+    // KMV distinct sketch (operators.Sketches): estimate distinct parts
+    // per return flag with k=256 — the portable md5 hash makes even the
+    // ESTIMATE hash-comparable: the oracle rebuilds the same synopsis
+    // (k-th minimum via window rank) and applies the identical formula.
+    QueryDef("q_kmv_distinct", (s, dir) => {
+      import graft.operators.Sketches
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          Sketches.kmvDistinct(
+            Sketches.portableHash32(col("l_partkey")), 256).as("kmv_est"),
+          countDistinct(col("l_partkey")).as("exact"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      WITH h AS (
+        SELECT DISTINCT l_returnflag,
+          ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT AS hv
+        FROM lineitem),
+      r AS (
+        SELECT l_returnflag, hv,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn,
+          COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM h),
+      syn AS (
+        SELECT l_returnflag, MAX(n) AS n,
+          MAX(CASE WHEN rn = 256 THEN hv END) AS hk
+        FROM r GROUP BY l_returnflag)
+      SELECT s.l_returnflag,
+        CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+             ELSE CAST(1095216660480 AS DOUBLE) / CAST(hk AS DOUBLE)
+        END AS kmv_est,
+        e.exact
+      FROM syn s
+      JOIN (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact
+            FROM lineitem GROUP BY 1) e USING (l_returnflag)
+      ORDER BY l_returnflag""")),
+
     QueryDef("q_pagerank", (s, dir) => {
       // integral namespaced ids: parts even, suppliers odd
       val e = t(s, dir, "lineitem").select(
