@@ -90,6 +90,10 @@ package object functions {
         org.apache.spark.sql.catalyst.expressions.Cast(e,
           org.apache.spark.sql.types.LongType)), bits)
     },
+    "nfc_normalize" -> { exprs =>
+      if (exprs.length == 1) NfcNormalize(exprs.head)
+      else arityErr("nfc_normalize", s"expects 1 argument, got ${exprs.length}")
+    },
     "word_gram_hashes" -> {
       case Seq(t, n) => WordGramHashes(t, intArg("word_gram_hashes", n),
         distinct = false)
@@ -99,6 +103,8 @@ package object functions {
     // curation-layer scalar surface: composed from built-in expressions
     // via the operator API, registered so SQL users get the same
     // semantics as the Scala surface
+    "clean_text" -> composed1("clean_text",
+      graft.operators.TextAnalysis.cleanText),
     "quality_score" -> composed1("quality_score",
       graft.operators.TextAnalysis.qualityScore),
     "redact_pii" -> composed1("redact_pii",

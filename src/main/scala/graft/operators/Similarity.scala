@@ -100,12 +100,23 @@ object Similarity {
     * state, like any broadcast dimension. */
   def trainKMeans(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, nlist: Int, iters: Int): Array[Array[Float]] = {
-    val maxTrain = nlist * 256
-    val train: Array[Array[Float]] = corpus.select(col(idCol), col(vecCol))
+    val train = sampleVectors(corpus, idCol, vecCol, nlist * 256)
+    lloyd(train, dim, nlist, iters)
+  }
+
+  /** Deterministic bounded training sample: one TakeOrdered over a hash
+    * of the id — a single corpus scan collecting <= maxTrain vectors. */
+  private def sampleVectors(corpus: DataFrame, idCol: String,
+      vecCol: String, maxTrain: Int): Array[Array[Float]] =
+    corpus.select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(maxTrain)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
+
+  /** Driver-local Lloyd's iterations on an in-memory sample. */
+  private def lloyd(train: Array[Array[Float]], dim: Int, nlist: Int,
+      iters: Int): Array[Array[Float]] = {
     var centroids: Array[Array[Float]] = train.take(nlist)
 
     for (_ <- 0 until iters) {
@@ -293,4 +304,104 @@ object Similarity {
       .select(col(qidCol), col(idCol), round(col("sim"), 6).as("sim"),
         col("rank"))
   }
+
+  // ---- Product quantization (Jégou et al. 2011, public) ----
+  //
+  // The memory half of the FAISS scale recipe (IVF above is the compute
+  // half): split each vector into m subvectors, k-means each subspace to
+  // `k` centroids, and store only the m centroid codes — m bytes instead
+  // of dim·4 (32× at dim 64, m 8). Search is asymmetric distance
+  // computation (ADC): per query, precompute an m×k table of
+  // subvector·centroid inner products ONCE, then score every corpus code
+  // with m table lookups instead of dim multiplies. At 100 TB the corpus
+  // is scanned as codes (a projection at encode time — never shuffled,
+  // 32× less I/O) and the query side is a broadcast carrying its tables.
+
+  /** Train PQ codebooks: ONE bounded sample scan, then m driver-local
+    * Lloyd runs on the subvector slices. Returns [m][k][dim/m] floats —
+    * tiny driver-side model state, like the IVF centroids. */
+  def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int = 5): Array[Array[Array[Float]]] = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val ds = dim / m
+    val train = sampleVectors(corpus, idCol, vecCol, k * 256)
+    Array.tabulate(m) { j =>
+      lloyd(train.map(v => v.slice(j * ds, (j + 1) * ds)), ds, k, iters)
+    }
+  }
+
+  /** PQ codes for a vector column: array<int> of length m, code j =
+    * nearest centroid of subvector j. Pure projection (slice +
+    * [[nearestCentroid]] native expressions) — encoding a 100 TB corpus
+    * is one scan, zero shuffle, and the output is 32× smaller. */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column = {
+    val m = codebooks.length
+    val ds = codebooks.head.head.length
+    array((0 until m).map(j =>
+      nearestCentroid(slice(vec, j * ds + 1, ds), codebooks(j))): _*)
+  }
+
+  /** ADC query tables: [m][k] inner products of the query's subvectors
+    * with every centroid — computed once per QUERY row (the codebook
+    * rides as a literal), broadcast with the query. */
+  private def adcTables(qvec: Column,
+      codebooks: Array[Array[Array[Float]]]): Column = {
+    val ds = codebooks.head.head.length
+    val cbLit = typedlit(codebooks.toSeq.map(_.toSeq.map(_.toSeq)))
+    transform(cbLit, (sub, j) =>
+      transform(sub, c => dot(slice(qvec, j * ds + 1, lit(ds)), c)))
+  }
+
+  /** ANN via PQ codes + ADC, with exact re-rank of the top candidates.
+    *
+    * Phase 1 scores every (corpus code, query) pair with m table
+    * lookups — `refine·k` survivors per query via WindowGroupLimit
+    * partial top-k, the exchange carrying only (qid, id, score). Phase 2
+    * re-ranks the tiny survivor set exactly (vectors re-attached by id
+    * join). Vectors are L2-normalized on both sides so the quantized
+    * inner product approximates cosine. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      k: Int, dim: Int, m: Int = 8, codebookSize: Int = 16,
+      refine: Int = 4): DataFrame = {
+    val unit = normalized(corpus, vecCol)
+    val cbs = trainPq(unit, idCol, vecCol, dim, m, codebookSize)
+    val codes = unit.select(col(idCol),
+      pqEncode(col(vecCol), cbs).as("__codes"))
+    val q = normalized(queries.select(col(qidCol), col(qvecCol)), qvecCol)
+    val qt = q.select(col(qidCol), adcTables(col(qvecCol), cbs).as("__qt"))
+    val approx = codes.crossJoin(broadcast(qt))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("__adc", aggregate(
+        zip_with(col("__codes"), col("__qt"),
+          (cd, tab) => element_at(tab, cd + 1)),
+        lit(0.0), (acc, x) => acc + x))
+    val wa = Window.partitionBy(col(qidCol))
+      .orderBy(col("__adc").desc, col(idCol))
+    val cands = approx.withColumn("__r", row_number().over(wa))
+      .filter(col("__r") <= k * refine)
+      .select(col(qidCol), col(idCol))
+    // exact re-rank: survivors only — two broadcastable joins at this
+    // cardinality (queries·k·refine rows)
+    val rer = cands
+      .join(unit.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(q), Seq(qidCol))
+      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("sim").desc, col(idCol))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), round(col("sim"), 6).as("sim"),
+        col("rank"))
+  }
+
+  /** L2-normalize a vector column (projection). The norm materializes
+    * as its own row-level column first so the per-element lambda divides
+    * by a bound attribute — NOT by a re-evaluated aggregate (which would
+    * make normalization O(dim²) per row). */
+  private def normalized(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__vnorm", norm(col(vecCol)))
+      .withColumn(vecCol, transform(col(vecCol),
+        x => (x.cast("double") / col("__vnorm")).cast("float")))
+      .drop("__vnorm")
 }

@@ -60,6 +60,52 @@ object TextAnalysis {
     round((lengthOk + wordLenOk + punctOk) / 3.0, 4)
   }
 
+  /** Canonical text cleanup — the standard first pass of a curation
+    * pipeline, in normalization order: (1) Unicode NFC composition
+    * (native [[graft.functions.NfcNormalize]] expression, so combining
+    * marks and precomposed characters dedup identically), (2) strip
+    * C0/DEL control characters (tab/newline survive as whitespace),
+    * (3) collapse whitespace runs to one space, (4) trim. Pure per-row
+    * projection with codegen — composes into the single 100-TB curation
+    * scan; every step is RE2-safe so other engines replay it exactly. */
+  def cleanText(textCol: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val nfc = ColumnBridge.column(graft.functions.NfcNormalize(
+      ColumnBridge.expression(textCol)))
+    val noCtl = regexp_replace(nfc, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    trim(regexp_replace(noCtl, "\\s+", " "))
+  }
+
+  /** Overlapping fixed-size word-window chunking — how a pretraining /
+    * RAG pipeline slices documents into model-sized pieces. Each
+    * document of n words yields ceil(n / stride) chunks starting at
+    * 0, stride, 2·stride, ... each `chunkSize` words long (the last
+    * ones shorter), so consecutive chunks overlap by
+    * `chunkSize - stride` words.
+    *
+    * Scale shape: split + explode-over-sequence + slice — all native
+    * expressions in one scan pass, zero shuffle. The only 100-TB cost
+    * is the deliberate output inflation of the overlap, a factor of
+    * chunkSize/stride (1.33× at 32/24); everything else is per-row.
+    *
+    * Returns (idCol, chunk_idx, chunk_text, n_tokens).
+    */
+  def chunkWords(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
+    val words = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
+    df.select(col(idCol), words.as("__w"))
+      .select(col(idCol), col("__w"),
+        explode(sequence(lit(0), greatest(size(col("__w")) - 1, lit(0)),
+          lit(stride))).as("__s"))
+      .select(col(idCol),
+        (col("__s") / stride).cast("int").as("chunk_idx"),
+        array_join(slice(col("__w"), col("__s") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"),
+        size(slice(col("__w"), col("__s") + 1, lit(chunkSize)))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Language-ID via stopword hit-rates: fraction of tokens that are
     * high-frequency function words of each language (an n-gram-free
     * variant of the classic heuristic; deterministic). Returns the

@@ -164,6 +164,19 @@ object PipelineQueries {
         nlist = 16, nprobe = 4, iters = 3)
     }, None),
 
+    // Product-quantization ANN (Jégou et al. 2011): codes are 32× smaller
+    // than the vectors, scoring is m table lookups per pair (ADC), exact
+    // re-rank on the survivors. Depends on the k-means codebooks →
+    // rows-only check; recall vs brute force asserted in SimilaritySpec.
+    QueryDef("q_ann_pq", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.pqTopK(emb, queries,
+        "vec_id", "embedding", "qid", "qvec", 5, dim = 64,
+        m = 16, codebookSize = 32, refine = 8)
+    }, None),
+
     // Embedding-cosine near-duplicate pairs, exact baseline (oracle via
     // DuckDB list functions; threshold applied to the rounded sim so
     // both engines cut at identical values).
@@ -336,6 +349,51 @@ object PipelineQueries {
                   AS DOUBLE) / LENGTH(text) <= 0.2
             THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
       FROM documents""")),
+
+    // Canonical text cleanup: NFC + control strip + whitespace collapse.
+    // The test corpus is ASCII, so the oracle certifies the control/
+    // whitespace pipeline; NFC behavior on combining marks is proven in
+    // TextAnalysisSpec. DuckDB replays the identical normalization order.
+    QueryDef("q_clean_text", (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.cleanText(concat(lit("  "), col("text"),
+            lit("\tx\u0007y  "))).as("cleaned"))
+        .select(col("doc_id"), length(col("cleaned")).cast("long").as("n"),
+          when(length(col("cleaned")) >= 8,
+            substring(col("cleaned"), -8, 8))
+            .otherwise(col("cleaned")).as("tail8"))
+    }, Some("""
+      WITH c AS (
+        SELECT doc_id,
+          trim(regexp_replace(regexp_replace(
+            nfc_normalize('  ' || text || chr(9) || 'x' || chr(7) || 'y  '),
+            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+            '\s+', ' ', 'g')) AS cleaned
+        FROM documents)
+      SELECT doc_id, LENGTH(cleaned) AS n,
+        CASE WHEN LENGTH(cleaned) >= 8
+          THEN substr(cleaned, LENGTH(cleaned) - 7, 8) ELSE cleaned END
+          AS tail8
+      FROM c""")),
+
+    // Overlapping word-window chunking (32-word chunks, stride 24) — the
+    // model-sized document slicer. Fully SQL-expressible: the oracle
+    // replays split/slice with DuckDB list functions.
+    QueryDef("q_chunk", (s, dir) => {
+      TextAnalysis.chunkWords(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+    }, Some("""
+      WITH w AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+            AS w
+        FROM documents)
+      SELECT doc_id,
+        CAST(s / 24 AS INT) AS chunk_idx,
+        array_to_string(w[s + 1:s + 32], ' ') AS chunk_text,
+        CAST(len(w[s + 1:s + 32]) AS BIGINT) AS n_tokens
+      FROM w, LATERAL unnest(range(0, greatest(len(w), 1), 24)) AS t(s)""")),
 
     // Language ID (heuristic, engine-specific → rows-only; accuracy is
     // asserted in ScalaTest on real multilingual samples).

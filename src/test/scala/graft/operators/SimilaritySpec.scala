@@ -52,6 +52,46 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("pq top-k achieves high recall vs brute force on clustered data") {
+    val corpus = (0 until 200).map { i =>
+      val c = i % 8
+      (i.toLong, Array.tabulate(16) { d =>
+        (math.cos(c * 16 + d) + 0.02 * math.sin(i * 31 + d)).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", "qid", "qvec", 5)
+      .select($"qid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(corpus, queries,
+        "vec_id", "embedding", "qid", "qvec", 5,
+        dim = 16, m = 4, codebookSize = 16, refine = 4)
+      .select($"qid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("pq codes are m ints in [0, k) and encode is deterministic") {
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cbs = Similarity.trainPq(corpus, "vec_id", "embedding",
+      dim = 8, m = 4, k = 8, iters = 3)
+    assert(cbs.length == 4 && cbs.forall(_.length == 8) &&
+      cbs.forall(_.forall(_.length == 2)))
+    val codes = corpus.select(
+        Similarity.pqEncode($"embedding", cbs).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    val codes2 = corpus.select(
+        Similarity.pqEncode($"embedding", cbs).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.toSeq == codes2.toSeq)
+  }
+
   test("lsh top-k achieves high recall vs brute force on clustered data") {
     // clustered corpus: 10 clusters of 20 points each
     val corpus = (0 until 200).map { i =>

@@ -104,4 +104,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) == "call <PHONE> now")
     assert(got(3) == "nothing sensitive here")
   }
+
+  test("cleanText: NFC-composes, strips controls, collapses whitespace") {
+    import org.apache.spark.sql.functions._
+    val decomposed = "cafe\u0301"  // e + combining acute
+    val precomposed = "caf\u00e9"  // é
+    val df = Seq(
+      decomposed,
+      precomposed,
+      "a\u0000b\u0007c",     // NUL and BEL stripped, no space left behind
+      "  x \t\n  y  ",       // runs collapse, ends trim
+      "tab\tkept as space"
+    ).toDF("text")
+    val got = df.select(TextAnalysis.cleanText($"text")).as[String].collect()
+    assert(got(0) == precomposed, "NFC must compose combining marks")
+    assert(got(0) == got(1), "decomposed and precomposed must clean equal")
+    assert(got(2) == "abc")
+    assert(got(3) == "x y")
+    assert(got(4) == "tab kept as space")
+    // SQL surface parity
+    graft.functions.register(spark)
+    val viaSql = spark.sql(s"SELECT clean_text('cafe\u0301')")
+      .as[String].collect().head
+    assert(viaSql == precomposed)
+  }
+
+  test("chunkWords: full coverage, overlap, short-tail lengths") {
+    import org.apache.spark.sql.functions._
+    // 10 words, chunkSize 4, stride 3 -> starts 0,3,6,9
+    val words = (1 to 10).map(i => s"w$i")
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWords(df, "doc_id", "text", 4, 3)
+      .orderBy($"chunk_idx").collect()
+    assert(got.length == 4)
+    assert(got.map(_.getAs[Int]("chunk_idx")).toSeq == Seq(0, 1, 2, 3))
+    assert(got(0).getAs[String]("chunk_text") == "w1 w2 w3 w4")
+    assert(got(1).getAs[String]("chunk_text") == "w4 w5 w6 w7")
+    assert(got(3).getAs[String]("chunk_text") == "w10") // short tail
+    assert(got.map(_.getAs[Long]("n_tokens")).toSeq == Seq(4L, 4L, 4L, 1L))
+    // every word appears in some chunk (coverage), consecutive chunks
+    // share chunkSize - stride words (overlap)
+    val allWords = got.flatMap(_.getAs[String]("chunk_text").split(" ")).toSet
+    assert(allWords == words.toSet)
+  }
 }
