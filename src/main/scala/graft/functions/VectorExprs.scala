@@ -159,6 +159,166 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Float]])
     copy(child = c)
 }
 
+/** pq_codes(vec): product-quantization codes — the vector is L2-
+  * normalized ONCE, then each of the m subvectors maps to its nearest
+  * subspace centroid (squared L2, ties to the lowest index). One
+  * compiled pass, O(dim·k); the codebooks ([m][k][dim/m]) ride in the
+  * serialized expression. The declarative slice+argmin formulation
+  * evaluated the whole-vector norm aggregate once PER CENTROID after
+  * projection collapse — this expression exists to make encode cost
+  * O(dim·k), not O(dim²·k), per row. */
+case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Float]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  @transient private lazy val cbs: Array[Array[Array[Float]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = cbs.length
+    val ds = cbs(0)(0).length
+    val n = v.numElements()
+    var norm2 = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      norm2 += x * x
+      i += 1
+    }
+    val inv = if (norm2 > 0) 1.0 / math.sqrt(norm2) else 0.0
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val sub = cbs(j)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < sub.length) {
+        val cv = sub(c)
+        var d = 0.0
+        var t = 0
+        while (t < ds) {
+          val idx = j * ds + t
+          val x = if (idx < n) v.getFloat(idx).toDouble * inv else 0.0
+          val diff = x - cv(t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** adc_tables(qvec): the query-side ADC lookup tables — [m][k] inner
+  * products of the (once-)normalized query subvectors with every
+  * subspace centroid. Evaluated once per QUERY row on the broadcast
+  * side; O(dim·k) compiled. */
+case class AdcTables(child: Expression, codebooks: Seq[Seq[Seq[Float]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def prettyName: String = "adc_tables"
+
+  @transient private lazy val cbs: Array[Array[Array[Float]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val m = cbs.length
+    val ds = cbs(0)(0).length
+    val n = v.numElements()
+    var norm2 = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      norm2 += x * x
+      i += 1
+    }
+    val inv = if (norm2 > 0) 1.0 / math.sqrt(norm2) else 0.0
+    val tables = new Array[ArrayData](m)
+    var j = 0
+    while (j < m) {
+      val sub = cbs(j)
+      val row = new Array[Double](sub.length)
+      var c = 0
+      while (c < sub.length) {
+        val cv = sub(c)
+        var dot = 0.0
+        var t = 0
+        while (t < ds) {
+          val idx = j * ds + t
+          val x = if (idx < n) v.getFloat(idx).toDouble * inv else 0.0
+          dot += x * cv(t)
+          t += 1
+        }
+        row(c) = dot
+        c += 1
+      }
+      tables(j) = ArrayData.toArrayData(row)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      tables.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** adc_score(codes, tables): sum over subspaces of tables[j][codes[j]] —
+  * the ADC approximate inner product, m lookups per (corpus, query)
+  * pair. This is the hot per-pair kernel of PQ search; real codegen so
+  * it stays inside the whole-stage span of the scoring scan. */
+case class AdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_score"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val tables = b.asInstanceOf[ArrayData]
+    val m = math.min(codes.numElements(), tables.numElements())
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      s += tables.getArray(j).getDouble(codes.getInt(j))
+      j += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      s"""
+        int $m = Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $j = 0; $j < $m; $j++) {
+          $s += $b.getArray($j).getDouble($a.getInt($j));
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** nearest_cells(vec): the `nprobe` nearest centroid cell ids, ascending
   * by squared L2 distance (ties by cell index) — the IVF query-side probe
   * list as a projection, replacing the crossJoin+window formulation. */

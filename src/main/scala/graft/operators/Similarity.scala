@@ -318,64 +318,67 @@ object Similarity {
   // 32× less I/O) and the query side is a broadcast carrying its tables.
 
   /** Train PQ codebooks: ONE bounded sample scan, then m driver-local
-    * Lloyd runs on the subvector slices. Returns [m][k][dim/m] floats —
-    * tiny driver-side model state, like the IVF centroids. */
+    * Lloyd runs on the L2-normalized subvector slices (codebooks live in
+    * normalized space so the ADC inner product approximates cosine).
+    * Returns [m][k][dim/m] floats — tiny driver-side model state, like
+    * the IVF centroids. */
   def trainPq(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, k: Int, iters: Int = 5): Array[Array[Array[Float]]] = {
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     val ds = dim / m
-    val train = sampleVectors(corpus, idCol, vecCol, k * 256)
+    val train = sampleVectors(corpus, idCol, vecCol, k * 256).map { v =>
+      var norm2 = 0.0
+      v.foreach(x => norm2 += x.toDouble * x.toDouble)
+      val inv = if (norm2 > 0) 1.0 / math.sqrt(norm2) else 0.0
+      v.map(x => (x * inv).toFloat)
+    }
     Array.tabulate(m) { j =>
       lloyd(train.map(v => v.slice(j * ds, (j + 1) * ds)), ds, k, iters)
     }
   }
 
   /** PQ codes for a vector column: array<int> of length m, code j =
-    * nearest centroid of subvector j. Pure projection (slice +
-    * [[nearestCentroid]] native expressions) — encoding a 100 TB corpus
-    * is one scan, zero shuffle, and the output is 32× smaller. */
+    * nearest subspace centroid of the normalized subvector — a native
+    * one-pass expression ([[graft.functions.PqCodes]]). Encoding a
+    * 100 TB corpus is one scan, zero shuffle, output 32× smaller. */
   def pqEncode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column = {
-    val m = codebooks.length
-    val ds = codebooks.head.head.length
-    array((0 until m).map(j =>
-      nearestCentroid(slice(vec, j * ds + 1, ds), codebooks(j))): _*)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.PqCodes(
+      ColumnBridge.expression(vec),
+      codebooks.toSeq.map(_.toSeq.map(_.toSeq))))
   }
 
-  /** ADC query tables: [m][k] inner products of the query's subvectors
-    * with every centroid — computed once per QUERY row (the codebook
-    * rides as a literal), broadcast with the query. */
+  /** ADC query tables: [m][k] inner products of the normalized query's
+    * subvectors with every centroid — a native expression evaluated once
+    * per QUERY row, broadcast with the query. */
   private def adcTables(qvec: Column,
       codebooks: Array[Array[Array[Float]]]): Column = {
-    val ds = codebooks.head.head.length
-    val cbLit = typedlit(codebooks.toSeq.map(_.toSeq.map(_.toSeq)))
-    transform(cbLit, (sub, j) =>
-      transform(sub, c => dot(slice(qvec, j * ds + 1, lit(ds)), c)))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.AdcTables(
+      ColumnBridge.expression(qvec),
+      codebooks.toSeq.map(_.toSeq.map(_.toSeq))))
   }
 
   /** ANN via PQ codes + ADC, with exact re-rank of the top candidates.
     *
     * Phase 1 scores every (corpus code, query) pair with m table
-    * lookups — `refine·k` survivors per query via WindowGroupLimit
-    * partial top-k, the exchange carrying only (qid, id, score). Phase 2
-    * re-ranks the tiny survivor set exactly (vectors re-attached by id
-    * join). Vectors are L2-normalized on both sides so the quantized
-    * inner product approximates cosine. */
+    * lookups (native [[graft.functions.AdcScore]], codegen'd) —
+    * `refine·k` survivors per query via WindowGroupLimit partial top-k,
+    * the exchange carrying only (qid, id, score). Phase 2 re-ranks the
+    * tiny survivor set exactly (vectors re-attached by id join; cosine
+    * normalizes internally, so raw vectors are fine). */
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, qvecCol: String,
       k: Int, dim: Int, m: Int = 8, codebookSize: Int = 16,
       refine: Int = 4): DataFrame = {
-    val unit = normalized(corpus, vecCol)
-    val cbs = trainPq(unit, idCol, vecCol, dim, m, codebookSize)
-    val codes = unit.select(col(idCol),
+    val cbs = trainPq(corpus, idCol, vecCol, dim, m, codebookSize)
+    val codes = corpus.select(col(idCol),
       pqEncode(col(vecCol), cbs).as("__codes"))
-    val q = normalized(queries.select(col(qidCol), col(qvecCol)), qvecCol)
-    val qt = q.select(col(qidCol), adcTables(col(qvecCol), cbs).as("__qt"))
-    val approx = codes.crossJoin(broadcast(qt))
+    val qt = queries.select(col(qidCol), col(qvecCol),
+      adcTables(col(qvecCol), cbs).as("__qt"))
+    val approx = codes.crossJoin(broadcast(qt.select(col(qidCol), col("__qt"))))
       .filter(col(idCol) =!= col(qidCol))
-      .withColumn("__adc", aggregate(
-        zip_with(col("__codes"), col("__qt"),
-          (cd, tab) => element_at(tab, cd + 1)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("__adc", adcScore(col("__codes"), col("__qt")))
     val wa = Window.partitionBy(col(qidCol))
       .orderBy(col("__adc").desc, col(idCol))
     val cands = approx.withColumn("__r", row_number().over(wa))
@@ -384,8 +387,8 @@ object Similarity {
     // exact re-rank: survivors only — two broadcastable joins at this
     // cardinality (queries·k·refine rows)
     val rer = cands
-      .join(unit.select(col(idCol), col(vecCol)), Seq(idCol))
-      .join(broadcast(q), Seq(qidCol))
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
       .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
     val w = Window.partitionBy(col(qidCol))
       .orderBy(col("sim").desc, col(idCol))
@@ -395,13 +398,11 @@ object Similarity {
         col("rank"))
   }
 
-  /** L2-normalize a vector column (projection). The norm materializes
-    * as its own row-level column first so the per-element lambda divides
-    * by a bound attribute — NOT by a re-evaluated aggregate (which would
-    * make normalization O(dim²) per row). */
-  private def normalized(df: DataFrame, vecCol: String): DataFrame =
-    df.withColumn("__vnorm", norm(col(vecCol)))
-      .withColumn(vecCol, transform(col(vecCol),
-        x => (x.cast("double") / col("__vnorm")).cast("float")))
-      .drop("__vnorm")
+  /** ADC approximate inner product: codes ⋅ tables lookup-sum (native
+    * codegen expression). */
+  def adcScore(codes: Column, tables: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.AdcScore(
+      ColumnBridge.expression(codes), ColumnBridge.expression(tables)))
+  }
 }
