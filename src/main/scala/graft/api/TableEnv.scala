@@ -96,6 +96,9 @@ final class TableEnv(val spark: SparkSession) {
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
   private val ShowCreateP =
     """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$""".r
+  private val ShowTablesP = """(?is)^\s*SHOW\s+TABLES\s*$""".r
+  private val DescribeP =
+    """(?is)^\s*DESC(?:RIBE)?\s+(?!EXTENDED\b)([\w.]+)\s*$""".r
 
   /** Reconstruct the Flink DDL for a registered table (reference
     * ShowCreateUtil) — from the stored TableSpec, including watermark /
@@ -153,6 +156,28 @@ final class TableEnv(val spark: SparkSession) {
       specs.remove(name)
       spark.catalog.dropTempView(name)
       spark.emptyDataFrame
+    } else if (ShowTablesP.pattern.matcher(sql).matches()) {
+      // reference ShowTablesOperation: every table visible in the
+      // session — DDL-registered specs plus plain temp views
+      import spark.implicits._
+      val names = (specs.keySet ++
+        spark.catalog.listTables().collect().map(_.name)).toSeq.sorted
+      names.toDF("table name")
+    } else if (DescribeP.pattern.matcher(sql).matches()) {
+      // reference DescribeTableOperation output shape: name / type /
+      // null / key / extras / watermark
+      val name = DescribeP.findFirstMatchIn(sql).get.group(1)
+      val spec = specs.get(name)
+      val schema = spec.flatMap(_.schema)
+        .getOrElse(spark.table(name).schema)
+      import spark.implicits._
+      schema.fields.toSeq.map { f =>
+        val key = if (spec.exists(_.primaryKey.contains(f.name)))
+          "PRI NOT ENFORCED" else null
+        val wm = spec.flatMap(_.watermark).filter(_._1 == f.name)
+          .map { case (c, d) => s"`$c` - INTERVAL '$d'" }.orNull
+        (f.name, f.dataType.sql, f.nullable, key, wm)
+      }.toDF("name", "type", "null", "key", "watermark")
     } else if (ShowCreateP.pattern.matcher(sql).matches()) {
       val name = ShowCreateP.findFirstMatchIn(sql).get.group(1)
       import spark.implicits._

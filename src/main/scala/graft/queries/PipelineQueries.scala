@@ -395,6 +395,75 @@ object PipelineQueries {
         CAST(len(w[s + 1:s + 32]) AS BIGINT) AS n_tokens
       FROM w, LATERAL unnest(range(0, greatest(len(w), 1), 24)) AS t(s)""")),
 
+    // RAG-style retrieval pipeline, end-to-end and fully oracled: clean
+    // text -> overlapping chunks -> BM25-rank the CHUNKS against a term
+    // query -> top-k. Composes three already-oracled operators into the
+    // retrieval DAG a RAG corpus build runs; DuckDB replays every stage
+    // (chunk ids are doc_id*1000 + chunk_idx — chunk counts are bounded
+    // by doc length / stride, far under 1000).
+    // Scale shape: the chunker is one scan pass, BM25 adds one stats
+    // aggregate + broadcast + TakeOrderedAndProject — no explode-by-term,
+    // no per-term shuffle, independent of query length.
+    QueryDef("q_rag_e2e", (s, dir) => {
+      val cleaned = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.cleanText(col("text")).as("text"))
+      val chunks = TextAnalysis
+        .chunkWords(cleaned, "doc_id", "text", chunkSize = 32, stride = 24)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
+          col("chunk_text"))
+      graft.operators.Relevance.bm25TopK(chunks, "chunk_id", "chunk_text",
+        Seq("spark", "hash", "window", "stream"), 50)
+    }, Some("""
+      WITH cleaned AS (
+        SELECT doc_id,
+          trim(regexp_replace(regexp_replace(nfc_normalize(text),
+            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+            '\s+', ' ', 'g')) AS text
+        FROM documents),
+      wsplit AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM cleaned),
+      chunks AS (
+        SELECT doc_id * 1000 + CAST(s / 24 AS INT) AS chunk_id,
+          array_to_string(w[s + 1:s + 32], ' ') AS chunk_text
+        FROM wsplit, LATERAL unnest(range(0, greatest(len(w), 1), 24))
+          AS t(s)),
+      w AS (
+        SELECT chunk_id,
+          regexp_extract_all(lower(chunk_text), '\S+') AS ws
+        FROM chunks),
+      tf AS (
+        SELECT chunk_id, CAST(len(ws) AS DOUBLE) AS dl,
+          CAST(len(list_filter(ws, x -> x = 'spark')) AS DOUBLE) AS tf0,
+          CAST(len(list_filter(ws, x -> x = 'hash')) AS DOUBLE) AS tf1,
+          CAST(len(list_filter(ws, x -> x = 'window')) AS DOUBLE) AS tf2,
+          CAST(len(list_filter(ws, x -> x = 'stream')) AS DOUBLE) AS tf3
+        FROM w),
+      st AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) AS sum_dl,
+          CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+          CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+          CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+          CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+        FROM tf)
+      SELECT chunk_id, dl, score FROM (
+        SELECT t.chunk_id, t.dl,
+          floor(ln((s.n - s.df0 + 0.5) / (s.df0 + 0.5) + 1.0) * 1024) / 1024.0
+            * (t.tf0 * (1.2 + 1.0) / (t.tf0 + 1.2 *
+                (1.0 - 0.75 + 0.75 * (t.dl / (s.sum_dl / s.n)))))
+          + floor(ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1.0) * 1024) / 1024.0
+            * (t.tf1 * (1.2 + 1.0) / (t.tf1 + 1.2 *
+                (1.0 - 0.75 + 0.75 * (t.dl / (s.sum_dl / s.n)))))
+          + floor(ln((s.n - s.df2 + 0.5) / (s.df2 + 0.5) + 1.0) * 1024) / 1024.0
+            * (t.tf2 * (1.2 + 1.0) / (t.tf2 + 1.2 *
+                (1.0 - 0.75 + 0.75 * (t.dl / (s.sum_dl / s.n)))))
+          + floor(ln((s.n - s.df3 + 0.5) / (s.df3 + 0.5) + 1.0) * 1024) / 1024.0
+            * (t.tf3 * (1.2 + 1.0) / (t.tf3 + 1.2 *
+                (1.0 - 0.75 + 0.75 * (t.dl / (s.sum_dl / s.n)))))
+          AS score
+        FROM tf t, st s)
+      WHERE score > 0.0
+      ORDER BY score DESC, chunk_id LIMIT 50""")),
+
     // Language ID (heuristic, engine-specific → rows-only; accuracy is
     // asserted in ScalaTest on real multilingual samples).
     // Language-ID heuristic (stopword-profile arg-max) — the scoring is

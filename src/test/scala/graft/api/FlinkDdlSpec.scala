@@ -235,6 +235,37 @@ class FlinkDdlSpec extends SparkSpec {
     intercept[IllegalArgumentException] { env.executeSql("DROP TABLE show_t") }
   }
 
+  test("SHOW TABLES lists registered tables; DESCRIBE reports schema + pk + watermark") {
+    val env = TableEnv(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ddl_show").toString
+    spark.range(3).select(col("id").as("k"), col("id").cast("double").as("v"),
+        current_timestamp().as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/t")
+    env.executeSql(s"""
+      CREATE TABLE desc_t (
+        k BIGINT,
+        v DOUBLE,
+        ts TIMESTAMP(3),
+        WATERMARK FOR ts AS ts - INTERVAL '5' SECOND,
+        PRIMARY KEY (k) NOT ENFORCED
+      ) WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+              'format' = 'parquet')""")
+    val tables = env.executeSql("SHOW TABLES")
+      .collect().map(_.getString(0))
+    assert(tables.contains("desc_t"))
+    val desc = env.executeSql("DESCRIBE desc_t").collect()
+      .map(r => r.getString(0) ->
+        (r.getString(1), r.getBoolean(2), r.getString(3), r.getString(4)))
+      .toMap
+    assert(desc("k")._1 == "BIGINT")
+    assert(desc("k")._3 == "PRI NOT ENFORCED")
+    assert(desc("v") == (("DOUBLE", true, null, null)))
+    assert(desc("ts")._4 != null && desc("ts")._4.contains("ts"))
+    // DESC shorthand routes the same way
+    assert(env.executeSql("DESC desc_t").count() == 3)
+    env.executeSql("DROP TABLE desc_t")
+  }
+
   test("createTable falls back to an empty view only on path-not-found") {
     val env = TableEnv(spark)
     // path-not-found with declared schema -> empty view (sink table)
