@@ -405,4 +405,55 @@ object Similarity {
     ColumnBridge.column(graft.functions.AdcScore(
       ColumnBridge.expression(codes), ColumnBridge.expression(tables)))
   }
+
+  /** IVF-PQ: the two halves of the FAISS billion-scale recipe composed —
+    * the coarse quantizer restricts each query to `nprobe` cells
+    * (compute), PQ codes stand in for the vectors inside those cells
+    * (memory/IO), ADC scores the candidates, and the exact re-rank
+    * fixes precision at the end.
+    *
+    * Scale shape: index = ONE corpus scan projecting (id, cell, codes) —
+    * at 100 TB that is the stored index, 32× smaller than the vectors
+    * and partitionable by cell; search joins it to the broadcast probe
+    * list on the cell id, so per query only nprobe/nlist of the corpus
+    * is touched, at m lookups per candidate.
+    *
+    * Documented delta vs FAISS: codes quantize the NORMALIZED vector
+    * directly, not the per-cell residual (IVFADC in Jégou et al. 2011 §A
+    * encodes v − centroid(cell) for tighter cells). Residual coding cuts
+    * quantization error further; the exact re-rank already restores
+    * precision at the output, so the simplification costs only recall
+    * headroom, not correctness. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qidCol: String, qvecCol: String,
+      k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 16, codebookSize: Int = 32, refine: Int = 8,
+      iters: Int = 3): DataFrame = {
+    val centroids = trainKMeans(corpus, idCol, vecCol, dim, nlist, iters)
+    val cbs = trainPq(corpus, idCol, vecCol, dim, m, codebookSize)
+    val indexed = corpus.select(col(idCol),
+      nearestCentroid(col(vecCol), centroids).as("__cell"),
+      pqEncode(col(vecCol), cbs).as("__codes"))
+    val probes = queries.select(col(qidCol),
+        explode(nearestCells(col(qvecCol), centroids, nprobe)).as("__cell"),
+        adcTables(col(qvecCol), cbs).as("__qt"))
+    val cands = indexed.join(broadcast(probes), Seq("__cell"))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("__adc", adcScore(col("__codes"), col("__qt")))
+    val wa = Window.partitionBy(col(qidCol))
+      .orderBy(col("__adc").desc, col(idCol))
+    val top = cands.withColumn("__r", row_number().over(wa))
+      .filter(col("__r") <= k * refine)
+      .select(col(qidCol), col(idCol))
+    val rer = top
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(col("sim").desc, col(idCol))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), round(col("sim"), 6).as("sim"),
+        col("rank"))
+  }
 }

@@ -177,6 +177,18 @@ object PipelineQueries {
         m = 16, codebookSize = 32, refine = 8)
     }, None),
 
+    // IVF-PQ: coarse cells bound the compute, PQ codes bound the
+    // memory/IO, ADC + exact re-rank — the composed billion-scale index
+    // shape. Rows-only (k-means model); recall asserted in SimilaritySpec.
+    QueryDef("q_ann_ivfpq", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfPqTopK(emb, queries,
+        "vec_id", "embedding", "qid", "qvec", 5, dim = 64,
+        nlist = 16, nprobe = 8, m = 16, codebookSize = 32, refine = 12)
+    }, None),
+
     // Embedding-cosine near-duplicate pairs, exact baseline (oracle via
     // DuckDB list functions; threshold applied to the rounded sim so
     // both engines cut at identical values).

@@ -74,6 +74,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("ivf-pq top-k achieves decent recall vs brute force on clustered data") {
+    val corpus = (0 until 200).map { i =>
+      val c = i % 8
+      (i.toLong, Array.tabulate(16) { d =>
+        (math.cos(c * 16 + d) + 0.02 * math.sin(i * 31 + d)).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", "qid", "qvec", 5)
+      .select($"qid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.ivfPqTopK(corpus, queries,
+        "vec_id", "embedding", "qid", "qvec", 5,
+        dim = 16, nlist = 8, nprobe = 4, m = 4, codebookSize = 16,
+        refine = 4)
+      .select($"qid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("pq codes are m ints in [0, k) and encode is deterministic") {
     val corpus = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
