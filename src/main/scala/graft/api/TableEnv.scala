@@ -99,6 +99,11 @@ final class TableEnv(val spark: SparkSession) {
   private val ShowTablesP = """(?is)^\s*SHOW\s+TABLES\s*$""".r
   private val DescribeP =
     """(?is)^\s*DESC(?:RIBE)?\s+(?!EXTENDED\b)([\w.]+)\s*$""".r
+  private val CreateViewP =
+    """(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(SELECT.*)$""".r
+  private val CreateLikeP =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*""" +
+      """(WITH\s*\(.*?\)\s*)?LIKE\s+([\w.]+)\s*$""").r
 
   /** Reconstruct the Flink DDL for a registered table (reference
     * ShowCreateUtil) — from the stored TableSpec, including watermark /
@@ -155,6 +160,33 @@ final class TableEnv(val spark: SparkSession) {
         throw new IllegalArgumentException(s"DROP TABLE: unknown table $name")
       specs.remove(name)
       spark.catalog.dropTempView(name)
+      spark.emptyDataFrame
+    } else if (CreateViewP.pattern.matcher(sql).matches()) {
+      // CREATE [TEMPORARY] VIEW (reference SqlCreateView): every view is
+      // session-scoped here, like the reference's temporary views
+      val m = CreateViewP.findFirstMatchIn(sql).get
+      val (ifNotExists, name, query) = (m.group(1) != null, m.group(2), m.group(3))
+      if (!(ifNotExists && spark.catalog.tableExists(name)))
+        executeSql(query).createOrReplaceTempView(name)
+      spark.emptyDataFrame
+    } else if (CreateLikeP.pattern.matcher(sql).matches()) {
+      // CREATE TABLE ... [WITH (...)] LIKE base (reference SqlTableLike,
+      // FLIP-110): clone the base table's spec — schema, watermark,
+      // primary key, partitioning — with WITH options overriding the
+      // connector properties (path/format). The subset implemented is
+      // the default merge (INCLUDING ALL, OVERWRITING OPTIONS).
+      val m = CreateLikeP.findFirstMatchIn(sql).get
+      val (ifNotExists, name, withClause, base) =
+        (m.group(1) != null, m.group(2), Option(m.group(3)), m.group(4))
+      val baseSpec = specs.getOrElse(base, throw new IllegalArgumentException(
+        s"CREATE TABLE LIKE: unknown base table $base"))
+      val opts = withClause.map(FlinkDdl.parseWithOptions).getOrElse(Map.empty)
+      val spec = baseSpec.copy(
+        path = opts.getOrElse("path", baseSpec.path),
+        format = opts.getOrElse("format", baseSpec.format),
+        schema = baseSpec.schema.orElse(Some(batchRead(baseSpec).schema)))
+      if (!(ifNotExists && spark.catalog.tableExists(name)))
+        createTable(name, spec)
       spark.emptyDataFrame
     } else if (ShowTablesP.pattern.matcher(sql).matches()) {
       // reference ShowTablesOperation: every table visible in the

@@ -266,6 +266,46 @@ class FlinkDdlSpec extends SparkSpec {
     env.executeSql("DROP TABLE desc_t")
   }
 
+  test("CREATE VIEW registers a queryable view; CREATE TABLE LIKE clones the spec") {
+    val env = TableEnv(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ddl_like").toString
+    spark.range(5).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .write.mode("overwrite").parquet(s"$dir/base")
+    env.executeSql(s"""
+      CREATE TABLE like_base (
+        k BIGINT,
+        v BIGINT,
+        PRIMARY KEY (k) NOT ENFORCED
+      ) WITH ('connector' = 'filesystem', 'path' = '$dir/base',
+              'format' = 'parquet')""")
+    // view over dialect SQL
+    env.executeSql(
+      "CREATE TEMPORARY VIEW like_v AS SELECT k, v FROM like_base WHERE k >= 2")
+    assert(env.from("like_v").count() == 3)
+    // LIKE with a path override: clones schema + pk, points elsewhere
+    env.executeSql(s"""
+      CREATE TABLE like_clone WITH ('path' = '$dir/clone') LIKE like_base""")
+    val clone = env.tableSpec("like_clone").get
+    assert(clone.path == s"$dir/clone")
+    assert(clone.format == "parquet")
+    assert(clone.primaryKey == Seq("k"))
+    assert(clone.schema.get.fieldNames.toSeq == Seq("k", "v"))
+    // the clone starts empty (new path) and accepts INSERT
+    assert(env.from("like_clone").count() == 0)
+    env.executeSql("INSERT INTO like_clone SELECT k, v FROM like_base")
+    assert(env.from("like_clone").count() == 5)
+    // plain LIKE with no WITH shares the base path
+    env.executeSql("CREATE TABLE like_alias LIKE like_base")
+    assert(env.tableSpec("like_alias").get.path == s"$dir/base")
+    assert(env.from("like_alias").count() == 5)
+    // unknown base fails loudly
+    intercept[IllegalArgumentException] {
+      env.executeSql("CREATE TABLE nope LIKE no_such_base")
+    }
+    Seq("like_clone", "like_alias", "like_base").foreach(t =>
+      env.executeSql(s"DROP TABLE $t"))
+  }
+
   test("createTable falls back to an empty view only on path-not-found") {
     val env = TableEnv(spark)
     // path-not-found with declared schema -> empty view (sink table)
