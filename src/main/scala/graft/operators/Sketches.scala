@@ -38,27 +38,85 @@ object Sketches {
     if (synopsis.size < k) synopsis.size.toDouble
     else (k - 1) * HashSpace / synopsis.last
 
-  /** Insert into a sorted, distinct, k-bounded synopsis. O(k). */
-  private[operators] def insert(s: List[Long], h: Long, k: Int): List[Long] =
-    if (s.contains(h)) s
+  /** Insert into a sorted, distinct, k-bounded synopsis. The list stays
+    * ascending, so insertion is an O(position) splice — NOT a per-row
+    * sort (the original `(h :: s).sorted` was the whole cost of the
+    * sketch at corpus scale) — and a warm sketch rejects most rows on
+    * the `h >= max` fast path without allocating at all. */
+  private[operators] def insert(s: List[Long], h: Long, k: Int): List[Long] = {
+    val full = s.lengthCompare(k) >= 0
+    if (full && h >= s.last) s
     else {
-      val merged = (h :: s).sorted
-      if (merged.size > k) merged.take(k) else merged
+      val (lo, hi) = s.span(_ < h)
+      if (hi.headOption.contains(h)) s
+      else {
+        val merged = lo ::: h :: hi
+        if (full) merged.init else merged
+      }
     }
+  }
 
   private[operators] def union2(a: List[Long], b: List[Long], k: Int): List[Long] =
     (a ++ b).distinct.sorted.take(k)
 
   /** Typed Aggregator over PRE-HASHED values (apply [[portableHash32]]
     * in the projection so hashing stays codegen'd). Output: the
-    * synopsis (ascending). */
-  class KmvSketch(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
-    override def zero: List[Long] = Nil
-    override def reduce(b: List[Long], h: Long): List[Long] = insert(b, h, k)
-    override def merge(x: List[Long], y: List[Long]): List[Long] = union2(x, y, k)
-    override def finish(b: List[Long]): Seq[Long] = b
-    override def bufferEncoder: Encoder[List[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+    * synopsis (ascending).
+    *
+    * The buffer is a SORTED PRIMITIVE Array[Long] (the typed-imperative
+    * aggregate keeps it as a live object per group, serializing only at
+    * shuffle boundaries): a warm sketch rejects almost every row with
+    * one O(1) compare against the k-th minimum, membership is a binary
+    * search, and the rare true insert is an in-place arraycopy splice —
+    * no per-row allocation. The earlier List buffer walked (and
+    * re-allocated) 256 cons cells per row and dominated the whole
+    * aggregation at corpus scale. */
+  class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], h: Long): Array[Long] = {
+      val n = b.length
+      if (n == k && h >= b(n - 1)) b // warm fast path: not a k-minimum
+      else {
+        val pos = java.util.Arrays.binarySearch(b, h)
+        if (pos >= 0) b // already present
+        else {
+          val ins = -pos - 1
+          if (n < k) {
+            val nb = new Array[Long](n + 1)
+            System.arraycopy(b, 0, nb, 0, ins)
+            nb(ins) = h
+            System.arraycopy(b, ins, nb, ins + 1, n - ins)
+            nb
+          } else { // full: drop the current max, splice h in place
+            System.arraycopy(b, ins, b, ins + 1, n - ins - 1)
+            b(ins) = h
+            b
+          }
+        }
+      }
+    }
+    // single-pass two-way merge of sorted arrays, dedup, cap k — merge
+    // runs once per pre-aggregated group on the combine side (with a
+    // distinct-agg in the same Aggregate, Spark's Expand rewrite makes
+    // that one merge PER DISTINCT KEY, so this path is as hot as reduce)
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      val out = new Array[Long](math.min(x.length + y.length, k))
+      var i = 0
+      var j = 0
+      var n = 0
+      while (n < out.length && (i < x.length || j < y.length)) {
+        val take =
+          if (j >= y.length || (i < x.length && x(i) <= y(j))) {
+            val v = x(i); if (i < x.length && j < y.length && x(i) == y(j)) j += 1
+            i += 1; v
+          } else { val v = y(j); j += 1; v }
+        if (n == 0 || out(n - 1) != take) { out(n) = take; n += 1 }
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     override def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }

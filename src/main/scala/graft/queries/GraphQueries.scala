@@ -53,12 +53,21 @@ object GraphQueries {
     // (k-th minimum via window rank) and applies the identical formula.
     QueryDef("q_kmv_distinct", (s, dir) => {
       import graft.operators.Sketches
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          Sketches.kmvDistinct(
-            Sketches.portableHash32(col("l_partkey")), 256).as("kmv_est"),
-          countDistinct(col("l_partkey")).as("exact"))
+      val li = t(s, dir, "lineitem")
+      // sketch and exact count in SEPARATE aggregates, joined on the
+      // 3-row result: mixing a distinct-aggregate into the sketch's
+      // Aggregate triggers Spark's Expand rewrite, which doubles the
+      // scan rows AND re-keys the sketch's partial aggregation by the
+      // distinct key — one sketch buffer per (flag, partkey) instead of
+      // per flag. The whole point of the synopsis is to avoid the
+      // exact-distinct shuffle, so at scale they never share a plan.
+      val kmv = li.groupBy(col("l_returnflag"))
+        .agg(Sketches.kmvDistinct(
+          Sketches.portableHash32(col("l_partkey")), 256).as("kmv_est"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact"))
+      kmv.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("kmv_est"), col("exact"))
         .orderBy(col("l_returnflag"))
     }, Some("""
       WITH h AS (
