@@ -87,4 +87,39 @@ class PlanSpec extends SparkSpec {
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(n <= 1, s"avro roundtrip added shuffles: $n")
   }
+
+  test("q_chunk is one scan pass with zero exchanges") {
+    val p = plan("q_chunk")
+    assert(!p.contains("Exchange"), s"chunker shuffled:\n$p")
+    assert(p.contains("Generate explode"), "chunking must be a generator")
+  }
+
+  test("q_clean_text has zero exchanges and nfc stays in codegen") {
+    val p = plan("q_clean_text")
+    assert(!p.contains("Exchange"))
+    // nfc_normalize has real codegen — the projection around it must be
+    // inside a WholeStageCodegen span ("*(n)" prefix)
+    assert(p.linesIterator.exists(l =>
+      l.contains("Project") && l.trim.startsWith("*")))
+  }
+
+  test("q_ann_pq: corpus never shuffles with vectors or codes as the key") {
+    val lines = plan("q_ann_pq").linesIterator.toSeq
+    val shuffleLines = lines.filter(_.contains("Exchange hashpartitioning"))
+    // the only hash exchanges are the per-query top-k windows (keyed on
+    // qid) and the tiny re-rank joins — never on embedding or __codes
+    assert(shuffleLines.forall(l =>
+      !l.contains("embedding") && !l.contains("__codes")),
+      s"PQ shuffled payloads:\n${shuffleLines.mkString("\n")}")
+  }
+
+  test("q_ann_ivfpq: index side joins broadcast probes, no corpus shuffle") {
+    val lines = plan("q_ann_ivfpq").linesIterator.toSeq
+    val shuffleLines = lines.filter(_.contains("Exchange hashpartitioning"))
+    assert(shuffleLines.forall(l =>
+      !l.contains("embedding") && !l.contains("__codes")),
+      s"IVF-PQ shuffled payloads:\n${shuffleLines.mkString("\n")}")
+    assert(plan("q_ann_ivfpq").contains("BroadcastHashJoin"),
+      "probe join must broadcast the query side")
+  }
 }
