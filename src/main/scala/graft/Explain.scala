@@ -13,9 +13,10 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "q_join_multi", "q_join_inner", "q_scan_pushdown",
         "q_rank_topn", "q_minhash_lsh", "q_ann_brute", "q_ann_ivf",
-        "q_embed_neardup_lsh", "q_cdc_agg", "q_match_recognize",
-        "q_asof_sql", "q_format_avro", "q_format_proto", "q_bm25",
-        "q_importance_resample", "q_lm_score", "q_semdedup")
+        "q_ann_pq", "q_ann_ivfpq", "q_embed_neardup_lsh", "q_cdc_agg",
+        "q_match_recognize", "q_asof_sql", "q_format_avro",
+        "q_format_proto", "q_bm25", "q_importance_resample", "q_lm_score",
+        "q_semdedup", "q_chunk", "q_rag_e2e", "q_kmv_distinct")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -351,7 +351,7 @@ object Similarity {
   /** ADC query tables: [m][k] inner products of the normalized query's
     * subvectors with every centroid — a native expression evaluated once
     * per QUERY row, broadcast with the query. */
-  private def adcTables(qvec: Column,
+  def adcTables(qvec: Column,
       codebooks: Array[Array[Array[Float]]]): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(graft.functions.AdcTables(

@@ -137,4 +137,50 @@ class MoreStreamingSpec extends SparkSpec {
       assert(rows(1L).contains("x") && rows(2L).isEmpty)
     } finally q.stop()
   }
+
+  test("streaming queries probe a static PQ index (online ANN, append mode)") {
+    import graft.operators.Similarity
+    // static index built once: codebooks + codes for a small corpus
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cbs = Similarity.trainPq(corpus, "vec_id", "embedding",
+      dim = 8, m = 4, k = 8, iters = 3)
+    val codes = corpus.select(col("vec_id"),
+      Similarity.pqEncode(col("embedding"), cbs).as("codes"))
+    // streaming query vectors -> ADC-table projection -> stream-static
+    // join against the codes -> lookup-sum score + threshold. Pure
+    // append mode: no stateful op, the static side broadcasts.
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Float])]
+    val probes = in.toDF().toDF("qid", "qvec")
+      .select(col("qid"), graft.operators.Similarity
+        .adcTables(col("qvec"), cbs).as("qt"))
+    val scored = probes.crossJoin(codes)
+      .withColumn("score", Similarity.adcScore(col("codes"), col("qt")))
+      .filter(col("score") > 0.5)
+      .select(col("qid"), col("vec_id"), col("score"))
+    val q = scored.writeStream.format("memory").queryName("pq_probe")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val qvec = Array.tabulate(8)(d => (math.sin(7 * 8 + d) + 0.001).toFloat)
+      in.addData((100L, qvec))
+      q.processAllAvailable()
+      val got = spark.table("pq_probe")
+        .select(col("qid"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the planted near-identical corpus vector 7 must be a hit
+      assert(got.contains((100L, 7L)), s"got $got")
+      // batch equivalence: the same probe computed statically
+      val batch = Seq((100L, qvec)).toDF("qid", "qvec")
+        .select(col("qid"),
+          Similarity.adcTables(col("qvec"), cbs).as("qt"))
+        .crossJoin(codes)
+        .withColumn("score", Similarity.adcScore(col("codes"), col("qt")))
+        .filter(col("score") > 0.5)
+        .select(col("qid"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
 }
