@@ -105,6 +105,23 @@ object FlinkSqlDialect {
     // sql/explain.md; Spark's EXPLAIN takes the query directly
     out = out.replaceAll("(?is)^\\s*EXPLAIN\\s+PLAN\\s+FOR\\s+", "EXPLAIN ")
 
+    // Join hints (reference docs/content/docs/dev/table/sql/queries/
+    // hints.md): BROADCAST and SHUFFLE_HASH share Spark's hint names and
+    // pass through; the other two map onto Spark's equivalents. LOOKUP /
+    // STATE_TTL / OPTIONS are streaming-runtime hints with no Spark
+    // analogue — raise with a pointer instead of silently dropping them.
+    require(!"""(?i)/\*\+\s*OPTIONS\s*\(""".r.findFirstIn(out).isDefined,
+      "OPTIONS hint: dynamic table options are not supported — set " +
+        "connector options in CREATE TABLE ... WITH (...)")
+    require(!"""(?i)/\*\+\s*LOOKUP\s*\(""".r.findFirstIn(out).isDefined,
+      "LOOKUP hint: use graft.operators.LookupJoin / AsyncLookupJoin " +
+        "(retry and async options are constructor parameters)")
+    require(!"""(?i)/\*\+\s*STATE_TTL\s*\(""".r.findFirstIn(out).isDefined,
+      "STATE_TTL hint: use graft.streaming.StatefulOps.keepLastWithTtl " +
+        "/ TwsOps TTLConfig")
+    out = out.replaceAll("(?i)\\bSHUFFLE_MERGE\\s*\\(", "MERGE(")
+    out = out.replaceAll("(?i)\\bNEST_LOOP\\s*\\(", "SHUFFLE_REPLICATE_NL(")
+
     out = Tumble.replaceAllIn(out, m => {
       val (t, ts, n, u) = (m.group(1), m.group(2), m.group(3), m.group(4))
       val s = seconds(n, u)

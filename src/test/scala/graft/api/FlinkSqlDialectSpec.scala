@@ -201,4 +201,33 @@ class FlinkSqlDialectSpec extends SparkSpec {
       .select(col("w.start").as("ws"), col("user_id"), col("n"))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("Flink join hints map to Spark strategies; runtime hints raise") {
+    // SHUFFLE_MERGE -> MERGE (sort-merge join)
+    val smj = env.executeSql("""
+      SELECT /*+ SHUFFLE_MERGE(o) */ o.o_orderkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""")
+    assert(smj.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    // NEST_LOOP -> SHUFFLE_REPLICATE_NL (cartesian)
+    val nl = env.executeSql("""
+      SELECT /*+ NEST_LOOP(n) */ n.n_name, r.r_name
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""")
+    assert(nl.queryExecution.executedPlan.toString
+      .contains("CartesianProduct"))
+    // BROADCAST passes through with Spark's own name
+    val bc = env.executeSql("""
+      SELECT /*+ BROADCAST(r) */ n.n_name
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""")
+    assert(bc.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    // streaming-runtime hints raise with a pointer, never silently drop
+    intercept[IllegalArgumentException] {
+      env.executeSql(
+        "SELECT /*+ OPTIONS('a'='b') */ * FROM nation")
+    }
+    intercept[IllegalArgumentException] {
+      env.executeSql(
+        "SELECT /*+ LOOKUP('table'='d') */ * FROM nation")
+    }
+  }
 }
