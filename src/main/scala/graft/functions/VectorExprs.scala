@@ -277,6 +277,97 @@ case class AdcTables(child: Expression, codebooks: Seq[Seq[Seq[Float]]])
     copy(child = c)
 }
 
+/** pq_codes_residual(vec): the IVFADC index entry (Jégou et al. 2011
+  * §A): L2-normalize once, assign the nearest COARSE centroid, then
+  * PQ-encode the RESIDUAL (normalized vector − centroid) — residuals
+  * are much tighter around zero than raw vectors, so the same codebook
+  * budget quantizes them with far less error. One compiled pass,
+  * O(dim·(nlist + k)); returns struct(cell INT, codes ARRAY<INT>). */
+case class PqCodesResidual(child: Expression,
+    coarse: Seq[Seq[Float]], codebooks: Seq[Seq[Seq[Float]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "pq_codes_residual"
+
+  @transient private lazy val cc: Array[Array[Float]] =
+    coarse.map(_.toArray).toArray
+  @transient private lazy val cbs: Array[Array[Array[Float]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val dim = cc(0).length
+    // normalize once
+    var norm2 = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      norm2 += x * x
+      i += 1
+    }
+    val inv = if (norm2 > 0) 1.0 / math.sqrt(norm2) else 0.0
+    val hat = new Array[Double](dim)
+    i = 0
+    while (i < math.min(n, dim)) {
+      hat(i) = v.getFloat(i).toDouble * inv
+      i += 1
+    }
+    // nearest coarse centroid
+    var cell = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cc.length) {
+      val cv = cc(c)
+      var d = 0.0
+      var t = 0
+      while (t < dim) {
+        val diff = hat(t) - cv(t)
+        d += diff * diff
+        t += 1
+      }
+      if (d < bestD) { bestD = d; cell = c }
+      c += 1
+    }
+    // residual PQ codes
+    val cv = cc(cell)
+    val m = cbs.length
+    val ds = cbs(0)(0).length
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val sub = cbs(j)
+      var best = 0
+      var bd = Double.MaxValue
+      var k = 0
+      while (k < sub.length) {
+        val kv = sub(k)
+        var d = 0.0
+        var t = 0
+        while (t < ds) {
+          val idx = j * ds + t
+          val diff = (hat(idx) - cv(idx)) - kv(t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bd) { bd = d; best = k }
+        k += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      Integer.valueOf(cell), ArrayData.toArrayData(out))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** adc_score(codes, tables): sum over subspaces of tables[j][codes[j]] —
   * the ADC approximate inner product, m lookups per (corpus, query)
   * pair. This is the hot per-pair kernel of PQ search; real codegen so

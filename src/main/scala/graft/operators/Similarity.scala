@@ -406,40 +406,109 @@ object Similarity {
       ColumnBridge.expression(codes), ColumnBridge.expression(tables)))
   }
 
-  /** IVF-PQ: the two halves of the FAISS billion-scale recipe composed —
-    * the coarse quantizer restricts each query to `nprobe` cells
-    * (compute), PQ codes stand in for the vectors inside those cells
-    * (memory/IO), ADC scores the candidates, and the exact re-rank
+  /** Unitize a float vector driver-side. */
+  private def unitize(v: Array[Float]): Array[Float] = {
+    var norm2 = 0.0
+    v.foreach(x => norm2 += x.toDouble * x.toDouble)
+    val inv = if (norm2 > 0) 1.0 / math.sqrt(norm2) else 0.0
+    v.map(x => (x * inv).toFloat)
+  }
+
+  private def nearestCellOf(v: Array[Float],
+      coarse: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < coarse.length) {
+      val cv = coarse(c)
+      var d = 0.0
+      var i = 0
+      while (i < math.min(v.length, cv.length)) {
+        val diff = v(i).toDouble - cv(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Coarse quantizer trained in the UNIT (L2-normalized) space — what
+    * cosine-metric IVF needs; same bounded-sample shape as
+    * [[trainKMeans]]. */
+  def trainKMeansUnit(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nlist: Int, iters: Int): Array[Array[Float]] =
+    lloyd(sampleVectors(corpus, idCol, vecCol, nlist * 256).map(unitize),
+      dim, nlist, iters)
+
+  /** PQ codebooks trained on per-cell RESIDUALS (normalized vector −
+    * assigned coarse centroid) — the IVFADC training step. One bounded
+    * sample scan; assignment and Lloyd's run driver-local. */
+  def trainPqResidual(corpus: DataFrame, idCol: String, vecCol: String,
+      coarse: Array[Array[Float]], dim: Int, m: Int, k: Int,
+      iters: Int = 5): Array[Array[Array[Float]]] = {
+    require(dim % m == 0, s"dim $dim must be divisible by m $m")
+    val ds = dim / m
+    val residuals = sampleVectors(corpus, idCol, vecCol, k * 256)
+      .map(unitize).map { v =>
+        val cv = coarse(nearestCellOf(v, coarse))
+        Array.tabulate(dim)(i =>
+          ((if (i < v.length) v(i) else 0f) - cv(i)))
+      }
+    Array.tabulate(m) { j =>
+      lloyd(residuals.map(_.slice(j * ds, (j + 1) * ds)), ds, k, iters)
+    }
+  }
+
+  /** IVF-PQ (IVFADC, Jégou et al. 2011 §A): the two halves of the FAISS
+    * billion-scale recipe composed — the coarse quantizer restricts each
+    * query to `nprobe` cells (compute), PQ codes of the per-cell
+    * RESIDUAL stand in for the vectors (memory/IO; residuals are tight
+    * around zero, so the codebook budget quantizes them with far less
+    * error than raw vectors), ADC scores the candidates as
+    * IP(q̂, centroid) + IP(q̂, residual-codes), and the exact re-rank
     * fixes precision at the end.
     *
     * Scale shape: index = ONE corpus scan projecting (id, cell, codes) —
     * at 100 TB that is the stored index, 32× smaller than the vectors
     * and partitionable by cell; search joins it to the broadcast probe
     * list on the cell id, so per query only nprobe/nlist of the corpus
-    * is touched, at m lookups per candidate.
-    *
-    * Documented delta vs FAISS: codes quantize the NORMALIZED vector
-    * directly, not the per-cell residual (IVFADC in Jégou et al. 2011 §A
-    * encodes v − centroid(cell) for tighter cells). Residual coding cuts
-    * quantization error further; the exact re-rank already restores
-    * precision at the output, so the simplification costs only recall
-    * headroom, not correctness. */
+    * is touched, at m lookups + one add per candidate. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, qvecCol: String,
       k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
       m: Int = 16, codebookSize: Int = 32, refine: Int = 8,
       iters: Int = 3): DataFrame = {
-    val centroids = trainKMeans(corpus, idCol, vecCol, dim, nlist, iters)
-    val cbs = trainPq(corpus, idCol, vecCol, dim, m, codebookSize)
-    val indexed = corpus.select(col(idCol),
-      nearestCentroid(col(vecCol), centroids).as("__cell"),
-      pqEncode(col(vecCol), cbs).as("__codes"))
-    val probes = queries.select(col(qidCol),
-        explode(nearestCells(col(qvecCol), centroids, nprobe)).as("__cell"),
-        adcTables(col(qvecCol), cbs).as("__qt"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val coarse = trainKMeansUnit(corpus, idCol, vecCol, dim, nlist, iters)
+    val cbs = trainPqResidual(corpus, idCol, vecCol, coarse, dim, m,
+      codebookSize)
+    // index entry: (cell, residual codes) in one native pass
+    val entry = ColumnBridge.column(graft.functions.PqCodesResidual(
+      ColumnBridge.expression(col(vecCol)),
+      coarse.toSeq.map(_.toSeq), cbs.toSeq.map(_.toSeq.map(_.toSeq))))
+    val indexed = corpus.select(col(idCol), entry.as("__e"))
+      .select(col(idCol), col("__e.cell").as("__cell"),
+        col("__e.codes").as("__codes"))
+    // query side (tiny): normalize once as a column, probe cells in unit
+    // space, carry the per-cell additive term IP(q̂, centroid) plus the
+    // ADC tables (AdcTables normalizes q̂ internally)
+    val coarseLit = typedlit(coarse.toSeq.map(_.toSeq))
+    val qunit = queries
+      .withColumn("__qn", norm(col(qvecCol)))
+      .withColumn("__qhat", transform(col(qvecCol),
+        x => (x.cast("double") / col("__qn")).cast("float")))
+    val probes = qunit.select(col(qidCol),
+        explode(nearestCells(col("__qhat"), coarse, nprobe)).as("__cell"),
+        adcTables(col(qvecCol), cbs).as("__qt"), col("__qhat"))
+      .withColumn("__ipqc",
+        dot(col("__qhat"), element_at(coarseLit, col("__cell") + 1)))
+      .select(col(qidCol), col("__cell"), col("__qt"), col("__ipqc"))
     val cands = indexed.join(broadcast(probes), Seq("__cell"))
       .filter(col(idCol) =!= col(qidCol))
-      .withColumn("__adc", adcScore(col("__codes"), col("__qt")))
+      .withColumn("__adc", col("__ipqc") +
+        adcScore(col("__codes"), col("__qt")))
     val wa = Window.partitionBy(col(qidCol))
       .orderBy(col("__adc").desc, col(idCol))
     val top = cands.withColumn("__r", row_number().over(wa))
