@@ -189,6 +189,17 @@ object PipelineQueries {
         nlist = 16, nprobe = 8, m = 16, codebookSize = 32, refine = 12)
     }, None),
 
+    // SQ8 flat compressed index: int8 codes (4x less scan I/O), integer
+    // dots, exact re-rank — the no-recall-cliff compression baseline.
+    // Rows-only (quantized); recall asserted in SimilaritySpec.
+    QueryDef("q_ann_sq8", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.sq8TopK(emb, queries,
+        "vec_id", "embedding", "qid", "qvec", 5)
+    }, None),
+
     // Embedding-cosine near-duplicate pairs, exact baseline (oracle via
     // DuckDB list functions; threshold applied to the rounded sim so
     // both engines cut at identical values).

@@ -97,6 +97,52 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("sq8 top-k matches brute force almost exactly (flat compression)") {
+    val corpus = (0 until 200).map { i =>
+      val c = i % 8
+      (i.toLong, Array.tabulate(16) { d =>
+        (math.cos(c * 16 + d) + 0.02 * math.sin(i * 31 + d)).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "embedding", "qid", "qvec", 5)
+      .select($"qid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // this corpus is 8 clusters of near-identical vectors: within a
+    // cluster the sim gaps are smaller than the int8 error, so the
+    // refine window must cover the whole cluster (25 members) for the
+    // exact re-rank to recover the true order
+    val sq8 = Similarity.sq8TopK(corpus, queries,
+        "vec_id", "embedding", "qid", "qvec", 5, refine = 6)
+      .select($"qid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & sq8).size.toDouble / brute.size
+    assert(recall >= 0.95, s"recall $recall")
+  }
+
+  test("sq8 encode/dot: scale bound, byte range, dot close to exact") {
+    val df = Seq(
+      (Array(0.5f, -1.0f, 0.25f, 0f), Array(0.5f, -1.0f, 0.25f, 0f)),
+      (Array(1f, 2f, 3f, 4f), Array(-4f, 3f, -2f, 1f))
+    ).toDF("a", "b")
+    val got = df.select(
+        Similarity.sq8Dot(Similarity.sq8Encode($"a"),
+          Similarity.sq8Encode($"b")).as("qd"),
+        Similarity.dot($"a", $"b").as("xd"))
+      .collect()
+    // error scales with ||a||·||b|| (per-component quanta are
+    // max|x|/127 on each side), not with the dot value itself
+    val norms = df.select(
+        (Similarity.norm($"a") * Similarity.norm($"b")).as("nn"))
+      .collect().map(_.getDouble(0))
+    got.zip(norms).foreach { case (r, nn) =>
+      val (qd, xd) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(qd - xd) <= 0.02 * nn, s"sq8 dot $qd vs exact $xd")
+    }
+  }
+
   test("pq codes are m ints in [0, k) and encode is deterministic") {
     val corpus = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
