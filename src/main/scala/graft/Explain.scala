@@ -16,7 +16,8 @@ object Explain {
         "q_ann_pq", "q_ann_ivfpq", "q_embed_neardup_lsh", "q_cdc_agg",
         "q_match_recognize", "q_asof_sql", "q_format_avro",
         "q_format_proto", "q_bm25", "q_importance_resample", "q_lm_score",
-        "q_semdedup", "q_chunk", "q_rag_e2e", "q_kmv_distinct")
+        "q_semdedup", "q_chunk", "q_clean_text", "q_rag_e2e",
+        "q_kmv_distinct", "q_ann_sq8")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -110,17 +110,26 @@ object FlinkSqlDialect {
     // pass through; the other two map onto Spark's equivalents. LOOKUP /
     // STATE_TTL / OPTIONS are streaming-runtime hints with no Spark
     // analogue — raise with a pointer instead of silently dropping them.
-    require(!"""(?i)/\*\+\s*OPTIONS\s*\(""".r.findFirstIn(out).isDefined,
-      "OPTIONS hint: dynamic table options are not supported — set " +
-        "connector options in CREATE TABLE ... WITH (...)")
-    require(!"""(?i)/\*\+\s*LOOKUP\s*\(""".r.findFirstIn(out).isDefined,
-      "LOOKUP hint: use graft.operators.LookupJoin / AsyncLookupJoin " +
-        "(retry and async options are constructor parameters)")
-    require(!"""(?i)/\*\+\s*STATE_TTL\s*\(""".r.findFirstIn(out).isDefined,
-      "STATE_TTL hint: use graft.streaming.StatefulOps.keepLastWithTtl " +
-        "/ TwsOps TTLConfig")
-    out = out.replaceAll("(?i)\\bSHUFFLE_MERGE\\s*\\(", "MERGE(")
-    out = out.replaceAll("(?i)\\bNEST_LOOP\\s*\\(", "SHUFFLE_REPLICATE_NL(")
+    // Both the guards and the renames operate ONLY inside /*+ ... */
+    // hint blocks (anywhere in the block, not just leading position), so
+    // string literals and identifiers that happen to contain a hint name
+    // are never touched.
+    val hintBlock = """(?s)/\*\+.*?\*/""".r
+    hintBlock.findAllIn(out).foreach { block =>
+      require(!"""(?i)\bOPTIONS\s*\(""".r.findFirstIn(block).isDefined,
+        "OPTIONS hint: dynamic table options are not supported — set " +
+          "connector options in CREATE TABLE ... WITH (...)")
+      require(!"""(?i)\bLOOKUP\s*\(""".r.findFirstIn(block).isDefined,
+        "LOOKUP hint: use graft.operators.LookupJoin / AsyncLookupJoin " +
+          "(retry and async options are constructor parameters)")
+      require(!"""(?i)\bSTATE_TTL\s*\(""".r.findFirstIn(block).isDefined,
+        "STATE_TTL hint: use graft.streaming.StatefulOps.keepLastWithTtl " +
+          "/ TwsOps TTLConfig")
+    }
+    out = hintBlock.replaceAllIn(out, m =>
+      Regex.quoteReplacement(m.matched
+        .replaceAll("(?i)\\bSHUFFLE_MERGE\\s*\\(", "MERGE(")
+        .replaceAll("(?i)\\bNEST_LOOP\\s*\\(", "SHUFFLE_REPLICATE_NL(")))
 
     out = Tumble.replaceAllIn(out, m => {
       val (t, ts, n, u) = (m.group(1), m.group(2), m.group(3), m.group(4))

@@ -163,11 +163,18 @@ final class TableEnv(val spark: SparkSession) {
       spark.emptyDataFrame
     } else if (CreateViewP.pattern.matcher(sql).matches()) {
       // CREATE [TEMPORARY] VIEW (reference SqlCreateView): every view is
-      // session-scoped here, like the reference's temporary views
+      // session-scoped here, like the reference's temporary views.
+      // An existing name RAISES (as the reference does) unless IF NOT
+      // EXISTS — silently clobbering a DDL-registered table would leave
+      // reads (the view) and writes (the spec's path) pointing at
+      // different objects.
       val m = CreateViewP.findFirstMatchIn(sql).get
       val (ifNotExists, name, query) = (m.group(1) != null, m.group(2), m.group(3))
-      if (!(ifNotExists && spark.catalog.tableExists(name)))
-        executeSql(query).createOrReplaceTempView(name)
+      val exists = specs.contains(name) || spark.catalog.tableExists(name)
+      if (exists && !ifNotExists)
+        throw new IllegalArgumentException(
+          s"CREATE VIEW: $name already exists (use IF NOT EXISTS, or DROP it)")
+      if (!exists) executeSql(query).createOrReplaceTempView(name)
       spark.emptyDataFrame
     } else if (CreateLikeP.pattern.matcher(sql).matches()) {
       // CREATE TABLE ... [WITH (...)] LIKE base (reference SqlTableLike,
@@ -181,6 +188,15 @@ final class TableEnv(val spark: SparkSession) {
       val baseSpec = specs.getOrElse(base, throw new IllegalArgumentException(
         s"CREATE TABLE LIKE: unknown base table $base"))
       val opts = withClause.map(FlinkDdl.parseWithOptions).getOrElse(Map.empty)
+      // raise on options this clone can't honor — a silently-dropped
+      // 'connector' override would write to the base's path instead of
+      // the connector the user asked for
+      val unsupported = opts.keySet -- Set("path", "format", "connector")
+      require(unsupported.isEmpty,
+        s"CREATE TABLE LIKE: unsupported WITH options $unsupported " +
+          "(supported: path, format, connector='filesystem')")
+      require(opts.get("connector").forall(_ == "filesystem"),
+        "CREATE TABLE LIKE: only the filesystem connector is supported")
       val spec = baseSpec.copy(
         path = opts.getOrElse("path", baseSpec.path),
         format = opts.getOrElse("format", baseSpec.format),

@@ -326,12 +326,7 @@ object Similarity {
       dim: Int, m: Int, k: Int, iters: Int = 5): Array[Array[Array[Float]]] = {
     require(dim % m == 0, s"dim $dim must be divisible by m $m")
     val ds = dim / m
-    val train = sampleVectors(corpus, idCol, vecCol, k * 256).map { v =>
-      var norm2 = 0.0
-      v.foreach(x => norm2 += x.toDouble * x.toDouble)
-      val inv = if (norm2 > 0) 1.0 / math.sqrt(norm2) else 0.0
-      v.map(x => (x * inv).toFloat)
-    }
+    val train = sampleVectors(corpus, idCol, vecCol, k * 256).map(unitize)
     Array.tabulate(m) { j =>
       lloyd(train.map(v => v.slice(j * ds, (j + 1) * ds)), ds, k, iters)
     }
@@ -370,8 +365,8 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qidCol: String, qvecCol: String,
       k: Int, dim: Int, m: Int = 8, codebookSize: Int = 16,
-      refine: Int = 4): DataFrame = {
-    val cbs = trainPq(corpus, idCol, vecCol, dim, m, codebookSize)
+      refine: Int = 4, iters: Int = 5): DataFrame = {
+    val cbs = trainPq(corpus, idCol, vecCol, dim, m, codebookSize, iters)
     val codes = corpus.select(col(idCol),
       pqEncode(col(vecCol), cbs).as("__codes"))
     val qt = queries.select(col(qidCol), col(qvecCol),
@@ -384,18 +379,7 @@ object Similarity {
     val cands = approx.withColumn("__r", row_number().over(wa))
       .filter(col("__r") <= k * refine)
       .select(col(qidCol), col(idCol))
-    // exact re-rank: survivors only — two broadcastable joins at this
-    // cardinality (queries·k·refine rows)
-    val rer = cands
-      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
-      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
-      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
-    val w = Window.partitionBy(col(qidCol))
-      .orderBy(col("sim").desc, col(idCol))
-    rer.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col(idCol), round(col("sim"), 6).as("sim"),
-        col("rank"))
+    exactRerank(cands, corpus, queries, idCol, vecCol, qidCol, qvecCol, k)
   }
 
   /** SQ8 int8 encoding of a vector column: struct(scale, bytes) — 4×
@@ -446,6 +430,16 @@ object Similarity {
     val cands = scored.withColumn("__r", row_number().over(wa))
       .filter(col("__r") <= k * refine)
       .select(col(qidCol), col(idCol))
+    exactRerank(cands, corpus, queries, idCol, vecCol, qidCol, qvecCol, k)
+  }
+
+  /** Exact re-rank: attach vectors to the (qid, id) survivor set and
+    * rank by true cosine — the shared phase 2 of every compressed index
+    * (PQ / SQ8 / IVFADC). Survivor cardinality is queries·k·refine, so
+    * both joins broadcast. */
+  private def exactRerank(cands: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, qidCol: String,
+      qvecCol: String, k: Int): DataFrame = {
     val rer = cands
       .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
       .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
@@ -543,7 +537,7 @@ object Similarity {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val coarse = trainKMeansUnit(corpus, idCol, vecCol, dim, nlist, iters)
     val cbs = trainPqResidual(corpus, idCol, vecCol, coarse, dim, m,
-      codebookSize)
+      codebookSize, iters)
     // index entry: (cell, residual codes) in one native pass
     val entry = ColumnBridge.column(graft.functions.PqCodesResidual(
       ColumnBridge.expression(col(vecCol)),
@@ -574,15 +568,6 @@ object Similarity {
     val top = cands.withColumn("__r", row_number().over(wa))
       .filter(col("__r") <= k * refine)
       .select(col(qidCol), col(idCol))
-    val rer = top
-      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
-      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
-      .withColumn("sim", cosine(col(vecCol), col(qvecCol)))
-    val w = Window.partitionBy(col(qidCol))
-      .orderBy(col("sim").desc, col(idCol))
-    rer.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col(idCol), round(col("sim"), 6).as("sim"),
-        col("rank"))
+    exactRerank(top, corpus, queries, idCol, vecCol, qidCol, qvecCol, k)
   }
 }

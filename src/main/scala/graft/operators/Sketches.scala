@@ -38,24 +38,6 @@ object Sketches {
     if (synopsis.size < k) synopsis.size.toDouble
     else (k - 1) * HashSpace / synopsis.last
 
-  /** Insert into a sorted, distinct, k-bounded synopsis. The list stays
-    * ascending, so insertion is an O(position) splice — NOT a per-row
-    * sort (the original `(h :: s).sorted` was the whole cost of the
-    * sketch at corpus scale) — and a warm sketch rejects most rows on
-    * the `h >= max` fast path without allocating at all. */
-  private[operators] def insert(s: List[Long], h: Long, k: Int): List[Long] = {
-    val full = s.lengthCompare(k) >= 0
-    if (full && h >= s.last) s
-    else {
-      val (lo, hi) = s.span(_ < h)
-      if (hi.headOption.contains(h)) s
-      else {
-        val merged = lo ::: h :: hi
-        if (full) merged.init else merged
-      }
-    }
-  }
-
   private[operators] def union2(a: List[Long], b: List[Long], k: Int): List[Long] =
     (a ++ b).distinct.sorted.take(k)
 

@@ -93,8 +93,13 @@ object TextAnalysis {
   def chunkWords(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
-    val words = split(trim(regexp_replace(col(textCol), "\\s+", " ")), " ")
+    // \S+ extraction, not split-on-space: split("") yields [""], which
+    // would emit a phantom (chunk_text="", n_tokens=1) chunk for empty /
+    // whitespace-only documents; extraction yields [] and the filter
+    // below drops such documents entirely
+    val words = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
     df.select(col(idCol), words.as("__w"))
+      .filter(size(col("__w")) > 0)
       .select(col(idCol), col("__w"),
         explode(sequence(lit(0), greatest(size(col("__w")) - 1, lit(0)),
           lit(stride))).as("__s"))

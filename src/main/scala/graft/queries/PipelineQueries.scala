@@ -408,15 +408,14 @@ object PipelineQueries {
         chunkSize = 32, stride = 24)
     }, Some("""
       WITH w AS (
-        SELECT doc_id,
-          string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
-            AS w
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS w
         FROM documents)
       SELECT doc_id,
         CAST(s / 24 AS INT) AS chunk_idx,
         array_to_string(w[s + 1:s + 32], ' ') AS chunk_text,
         CAST(len(w[s + 1:s + 32]) AS BIGINT) AS n_tokens
-      FROM w, LATERAL unnest(range(0, greatest(len(w), 1), 24)) AS t(s)""")),
+      FROM w, LATERAL unnest(range(0, greatest(len(w), 1), 24)) AS t(s)
+      WHERE len(w) > 0""")),
 
     // RAG-style retrieval pipeline, end-to-end and fully oracled: clean
     // text -> overlapping chunks -> BM25-rank the CHUNKS against a term
@@ -444,12 +443,13 @@ object PipelineQueries {
             '\s+', ' ', 'g')) AS text
         FROM documents),
       wsplit AS (
-        SELECT doc_id, string_split(text, ' ') AS w FROM cleaned),
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM cleaned),
       chunks AS (
         SELECT doc_id * 1000 + CAST(s / 24 AS INT) AS chunk_id,
           array_to_string(w[s + 1:s + 32], ' ') AS chunk_text
         FROM wsplit, LATERAL unnest(range(0, greatest(len(w), 1), 24))
-          AS t(s)),
+          AS t(s)
+        WHERE len(w) > 0),
       w AS (
         SELECT chunk_id,
           regexp_extract_all(lower(chunk_text), '\S+') AS ws

@@ -229,5 +229,15 @@ class FlinkSqlDialectSpec extends SparkSpec {
       env.executeSql(
         "SELECT /*+ LOOKUP('table'='d') */ * FROM nation")
     }
+    // ... including when combined after another hint in the same block
+    intercept[IllegalArgumentException] {
+      env.executeSql(
+        "SELECT /*+ BROADCAST(r), OPTIONS('a'='b') */ n.n_name " +
+          "FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey")
+    }
+    // hint names inside string literals are data, not hints
+    val lit = env.executeSql("SELECT 'NEST_LOOP(a)' AS tag FROM region")
+      .collect().head.getString(0)
+    assert(lit == "NEST_LOOP(a)")
   }
 }

@@ -153,10 +153,12 @@ class PropertySpec extends SparkSpec {
         .orderBy(col("chunk_idx"))
         .select(col("chunk_text")).as[String].collect()
         .map(c => if (c.isEmpty) Array.empty[String] else c.split(" "))
-      // starts advance by stride; chunk i covers words [i*stride, +size)
-      val model = (0 to math.max(n - 1, 0) / stride)
-        .map(i => words.slice(i * stride, i * stride + size).toArray)
-      // the trailing empty-text case (n == 0) yields one empty chunk
+      // starts advance by stride; chunk i covers words [i*stride, +size);
+      // an empty document yields NO chunks (no phantom empty chunk)
+      val model =
+        if (n == 0) Seq.empty
+        else (0 to (n - 1) / stride)
+          .map(i => words.slice(i * stride, i * stride + size).toArray)
       chunks.length == model.length &&
         chunks.zip(model).forall { case (a, b) => a.sameElements(b) }
     }, n = 25)
