@@ -105,6 +105,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3) == "nothing sensitive here")
   }
 
+  test("hashingTrickScoreFast: same estimator laws as the portable scorer") {
+    import org.apache.spark.sql.functions._
+    val ws = (0 until 16).map(i => i / 16.0 - 0.5)
+    val df = Seq("alpha", "alpha alpha alpha", "alpha beta", "beta alpha")
+      .toDF("text")
+    val got = df.select($"text",
+        TextAnalysis.hashingTrickScoreFast($"text", ws).as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(got("alpha") == got("alpha alpha alpha")) // mean invariance
+    assert(got("alpha beta") == got("beta alpha"))   // order invariance
+    got.values.foreach(s => assert(s >= -0.5 && s <= 0.5)) // convexity
+  }
+
   test("cleanText: NFC-composes, strips controls, collapses whitespace") {
     import org.apache.spark.sql.functions._
     val decomposed = "cafe\u0301"  // e + combining acute
