@@ -131,6 +131,23 @@ object FlinkSqlDialect {
         .replaceAll("(?i)\\bSHUFFLE_MERGE\\s*\\(", "MERGE(")
         .replaceAll("(?i)\\bNEST_LOOP\\s*\\(", "SHUFFLE_REPLICATE_NL(")))
 
+    // CROSS JOIN UNNEST (reference docs .../sql/queries/joins.md "Array
+    // Expansion"): Spark spells it LATERAL VIEW — explode for a single
+    // output column, inline for array-of-row expanded to n columns.
+    // WITH ORDINALITY has no direct LATERAL VIEW form (posexplode's pos
+    // is 0-based and column-first) — raise with the pointer.
+    require(!"""(?i)\bWITH\s+ORDINALITY\b""".r.findFirstIn(out).isDefined,
+      "UNNEST WITH ORDINALITY: use posexplode(...) (0-based pos) via the " +
+        "DataFrame API or SELECT posexplode(...)")
+    val Unnest =
+      ("""(?is)CROSS\s+JOIN\s+UNNEST\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)""" +
+        """\s+AS\s+(\w+)\s*\((\w+(?:\s*,\s*\w+)*)\)""").r
+    out = Unnest.replaceAllIn(out, m => {
+      val (expr, alias, cols) = (m.group(1), m.group(2), m.group(3))
+      val fn = if (cols.contains(",")) "inline" else "explode"
+      Regex.quoteReplacement(s"LATERAL VIEW $fn($expr) $alias AS $cols")
+    })
+
     out = Tumble.replaceAllIn(out, m => {
       val (t, ts, n, u) = (m.group(1), m.group(2), m.group(3), m.group(4))
       val s = seconds(n, u)

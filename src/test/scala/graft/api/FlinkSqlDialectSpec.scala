@@ -202,6 +202,31 @@ class FlinkSqlDialectSpec extends SparkSpec {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("CROSS JOIN UNNEST rewrites to LATERAL VIEW explode/inline") {
+    spark.sql("""SELECT 1L AS id, array('a', 'b') AS tags,
+        array(named_struct('k', 'x', 'v', 1),
+              named_struct('k', 'y', 'v', 2)) AS kvs""")
+      .createOrReplaceTempView("unnest_t")
+    // single column -> explode
+    val tags = env.executeSql("""
+      SELECT id, tag FROM unnest_t
+      CROSS JOIN UNNEST(tags) AS u(tag)""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(tags == Set((1L, "a"), (1L, "b")))
+    // array-of-row, n columns -> inline
+    val kvs = env.executeSql("""
+      SELECT id, k, v FROM unnest_t
+      CROSS JOIN UNNEST(kvs) AS u(k, v)""")
+      .collect().map(r => (r.getString(1), r.getInt(2))).toSet
+    assert(kvs == Set(("x", 1), ("y", 2)))
+    // WITH ORDINALITY raises with a pointer
+    intercept[IllegalArgumentException] {
+      env.executeSql("""
+        SELECT id, tag, o FROM unnest_t
+        CROSS JOIN UNNEST(tags) WITH ORDINALITY AS u(tag, o)""")
+    }
+  }
+
   test("Flink join hints map to Spark strategies; runtime hints raise") {
     // SHUFFLE_MERGE -> MERGE (sort-merge join)
     val smj = env.executeSql("""
