@@ -189,14 +189,24 @@ object FuncQueries2 {
         CAST(doc_id AS VARCHAR) AS qid
       FROM documents WHERE doc_id < 30""")),
 
-    // Approximate distinct (HLL++) — sketch outputs are engine-specific;
-    // accuracy asserted in AggSpec against the exact count.
+    // Approximate distinct (HLL++) — the sketch VALUE is engine-specific
+    // (DuckDB's HLL differs), but Spark's estimate is deterministic, so
+    // the query emits the exact count plus a within-5%-band boolean:
+    // the oracle recomputes the exact count and asserts the band held,
+    // hash-checking both — a real gate instead of rows-only.
     QueryDef("q_agg_approx", (s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
-    }, None),
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double")
+            / col("exact_parts") <= 0.05).as("within_5pct"))
+    }, Some("""
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS exact_parts,
+        true AS within_5pct
+      FROM lineitem GROUP BY l_returnflag""")),
 
     QueryDef("q_func_map", (s, dir) => {
       t(s, dir, "events").filter(col("event_id") < 1500)
