@@ -200,6 +200,61 @@ object PipelineQueries {
         "vec_id", "embedding", "qid", "qvec", 5)
     }, None),
 
+    // Recall gate over every approximate index variant: mean recall@5
+    // vs the exact brute-force baseline, computed in Spark (all variants
+    // are deterministic), emitted as floor booleans the DuckDB oracle
+    // asserts as a static truth table — turning five rows-only checks
+    // into a hash-gated quality floor. bench=false: the gate runs brute
+    // force once per variant by construction.
+    QueryDef("q_ann_recall_gates", (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select(col("qid"), col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = pairs(Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", "qid", "qvec", 5))
+      def recall(df: org.apache.spark.sql.DataFrame): Double =
+        (brute & pairs(df)).size.toDouble / brute.size
+      // SRP-LSH is gated on the NEAR-DUP task it is built for (pair
+      // recall vs the exact all-pairs baseline): top-k over near-random
+      // vectors sits far below its high-similarity regime and would
+      // gate nothing (see lshTopK's scaladoc).
+      val exactPairs = Similarity.cosineNearDupExact(
+          emb, "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lshPairs = Similarity.cosineNearDup(
+          emb, "vec_id", "embedding", 0.4, dim = 64,
+          planes = 6, tables = 16)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lshPairRecall =
+        (exactPairs & lshPairs).size.toDouble / math.max(exactPairs.size, 1)
+      val gates = Seq(
+        ("lsh_neardup", lshPairRecall, 0.50),
+        ("ivf", recall(Similarity.ivfTopK(emb, queries,
+          "vec_id", "embedding", "qid", "qvec", 5, dim = 64,
+          nlist = 16, nprobe = 4, iters = 3)), 0.40),
+        ("pq", recall(Similarity.pqTopK(emb, queries,
+          "vec_id", "embedding", "qid", "qvec", 5, dim = 64,
+          m = 16, codebookSize = 32, refine = 8)), 0.60),
+        ("ivfpq", recall(Similarity.ivfPqTopK(emb, queries,
+          "vec_id", "embedding", "qid", "qvec", 5, dim = 64,
+          nlist = 16, nprobe = 8, m = 16, codebookSize = 32,
+          refine = 12)), 0.50),
+        ("sq8", recall(Similarity.sq8TopK(emb, queries,
+          "vec_id", "embedding", "qid", "qvec", 5, refine = 6)), 0.80))
+      gates.map { case (v, r, floor) => (v, r >= floor) }
+        .toDF("variant", "recall_ok")
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('lsh_neardup', true), ('ivf', true), ('pq', true),
+        ('ivfpq', true), ('sq8', true)) AS t(variant, recall_ok)"""),
+      bench = false),
+
     // Embedding-cosine near-duplicate pairs, exact baseline (oracle via
     // DuckDB list functions; threshold applied to the rounded sim so
     // both engines cut at identical values).
@@ -228,8 +283,13 @@ object PipelineQueries {
     // The LSH-bucketed near-dup scale path (rows-only; recall asserted
     // in SimilaritySpec against the exact baseline).
     QueryDef("q_embed_neardup_lsh", (s, dir) => {
+      // planes=6/tables=16: the 0.4 threshold sits well below SRP-LSH's
+      // high-similarity sweet spot, so collision probability needs short
+      // codes and many tables ((1-acos(0.4)/pi)^6 ~ 7% per table, ~2/3
+      // over 16) — the standard recall-vs-compute dial of banded LSH
       Similarity.cosineNearDup(
-        t(s, dir, "embeddings"), "vec_id", "embedding", 0.4, dim = 64)
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.4, dim = 64,
+        planes = 6, tables = 16)
     }, None),
 
     // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — the
