@@ -104,6 +104,35 @@ object PipelineQueries {
           round(TextDedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
     }, None),
 
+    // MinHash-LSH recall gate: fraction of exact jaccard>=0.9 pairs
+    // (the planted near-dups) surfaced as LSH candidates, computed in
+    // Spark over a bounded id range (keeps the quadratic exact side
+    // affordable at every SF), emitted as a floor boolean the oracle
+    // asserts — the hash-gated quality check for the rows-only LSH
+    // pipeline. bench=false: contains the exact all-pairs verify.
+    QueryDef("q_text_dedup_gate", (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      val sh = docs.select(col("doc_id"),
+        TextDedup.shingles(col("text"), 3).as("sh"))
+      val exact = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+          col("id_a") < col("id_b"))
+        .withColumn("jac", TextDedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jac") >= 0.9)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val cands = TextDedup.lshCandidates(docs, "doc_id", "text",
+          n = 3, numHashes = 32, bands = 16)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall =
+        if (exact.isEmpty) 1.0
+        else (exact & cands).size.toDouble / exact.size
+      Seq(("minhash_lsh", recall >= 0.7)).toDF("variant", "recall_ok")
+    }, Some("SELECT 'minhash_lsh' AS variant, true AS recall_ok"),
+      bench = false),
+
     // SimHash fingerprints + hamming near-dup counts.
     QueryDef("q_simhash", (s, dir) => {
       t(s, dir, "documents")
