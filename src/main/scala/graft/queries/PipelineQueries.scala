@@ -129,8 +129,21 @@ object PipelineQueries {
       val recall =
         if (exact.isEmpty) 1.0
         else (exact & cands).size.toDouble / exact.size
-      Seq(("minhash_lsh", recall >= 0.7)).toDF("variant", "recall_ok")
-    }, Some("SELECT 'minhash_lsh' AS variant, true AS recall_ok"),
+      // SimHash gate: the planted pairs must land within hamming 8 of
+      // each other (64-bit fingerprints; jaccard>=0.9 text overlap)
+      val shMap = docs.select(col("doc_id"),
+          TextDedup.simHash64(col("text")).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val simRecall =
+        if (exact.isEmpty) 1.0
+        else exact.count { case (a, b) =>
+          java.lang.Long.bitCount(shMap(a) ^ shMap(b)) <= 8
+        }.toDouble / exact.size
+      Seq(("minhash_lsh", recall >= 0.7),
+        ("simhash_h8", simRecall >= 0.8)).toDF("variant", "recall_ok")
+    }, Some("""
+      SELECT * FROM (VALUES ('minhash_lsh', true), ('simhash_h8', true))
+        AS t(variant, recall_ok)"""),
       bench = false),
 
     // SimHash fingerprints + hamming near-dup counts.
