@@ -4,14 +4,17 @@ import graft.SparkSpec
 
 class ApproxSpec extends SparkSpec {
 
-  test("approx_count_distinct within 10% of exact on test data") {
+  test("approx_count_distinct stays inside the query's 5% band") {
+    // q_agg_approx emits the band boolean itself (the oracle asserts it
+    // as a truth table); the spec checks the flag is actually computed
+    // and true on the test data
     val rows = graft.Registry.byName("q_agg_approx").run(spark, sfDir)
       .collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.10,
-        s"approx=$approx exact=$exact")
+      assert(r.getAs[Long]("exact_parts") > 0)
+      assert(r.getAs[Boolean]("within_5pct"),
+        s"HLL estimate outside 5% band for ${r.getAs[String]("l_returnflag")}")
     }
   }
 
