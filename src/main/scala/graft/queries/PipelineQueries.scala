@@ -139,11 +139,23 @@ object PipelineQueries {
         else exact.count { case (a, b) =>
           java.lang.Long.bitCount(shMap(a) ^ shMap(b)) <= 8
         }.toDouble / exact.size
+      // winnowing gate: planted pairs must share >= half their
+      // fingerprint sets (position-robust rolling-hash signatures)
+      val fpMap = docs.select(col("doc_id"),
+          TextAnalysis.winnowingFingerprint(col("text")).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val fpRecall =
+        if (exact.isEmpty) 1.0
+        else exact.count { case (a, b) =>
+          val (fa, fb) = (fpMap(a), fpMap(b))
+          (fa & fb).size.toDouble / math.max(math.min(fa.size, fb.size), 1) >= 0.5
+        }.toDouble / exact.size
       Seq(("minhash_lsh", recall >= 0.7),
-        ("simhash_h8", simRecall >= 0.8)).toDF("variant", "recall_ok")
+        ("simhash_h8", simRecall >= 0.8),
+        ("winnow_fp", fpRecall >= 0.8)).toDF("variant", "recall_ok")
     }, Some("""
-      SELECT * FROM (VALUES ('minhash_lsh', true), ('simhash_h8', true))
-        AS t(variant, recall_ok)"""),
+      SELECT * FROM (VALUES ('minhash_lsh', true), ('simhash_h8', true),
+        ('winnow_fp', true)) AS t(variant, recall_ok)"""),
       bench = false),
 
     // SimHash fingerprints + hamming near-dup counts.
