@@ -257,7 +257,22 @@ final class TableEnv(val spark: SparkSession) {
       val (mode, name, query) = (m.group(1).toUpperCase, m.group(2), m.group(3))
       val spec = specs.getOrElse(name, throw new IllegalArgumentException(
         s"INSERT target $name is not a registered table (use CREATE TABLE)"))
-      val result0 = executeSql(query)
+      val resultRaw = executeSql(query)
+      // Flink binds INSERT columns by POSITION, not name (SqlValidator
+      // appendPartitionAndNullsProjects): rename + cast the query result
+      // to the declared schema so `INSERT INTO t VALUES (...)` (col1,
+      // col2, ...) and positional SELECTs land in the right columns.
+      // Changelog-tagged results (__row_kind) keep their names — that
+      // convention is name-based by design.
+      val result0 = spec.schema match {
+        case Some(sch)
+            if !resultRaw.columns.contains(graft.cdc.ChangelogFormats.RowKindCol) &&
+              resultRaw.columns.length == sch.length =>
+          resultRaw.toDF(sch.fieldNames: _*)
+            .select(sch.fields.map(f =>
+              col(f.name).cast(f.dataType)): _*)
+        case _ => resultRaw
+      }
       // changelog-mode inference (reference
       // FlinkChangelogModeInferenceProgram): an upsert sink — primary
       // key declared — keys on the PK and needs no -U pre-images, so

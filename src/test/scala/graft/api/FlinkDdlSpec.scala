@@ -306,6 +306,23 @@ class FlinkDdlSpec extends SparkSpec {
       env.executeSql(s"DROP TABLE $t"))
   }
 
+  test("INSERT INTO ... VALUES writes literal rows") {
+    val env = TableEnv(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ddl_vals").toString
+    env.executeSql(s"""
+      CREATE TABLE vals_t (
+        k BIGINT,
+        v STRING
+      ) WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+              'format' = 'parquet')""")
+    env.executeSql("INSERT INTO vals_t VALUES (1, 'a'), (2, 'b')")
+    env.executeSql("INSERT INTO vals_t VALUES (3, 'c')")
+    val got = env.from("vals_t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    env.executeSql("DROP TABLE vals_t")
+  }
+
   test("createTable falls back to an empty view only on path-not-found") {
     val env = TableEnv(spark)
     // path-not-found with declared schema -> empty view (sink table)
