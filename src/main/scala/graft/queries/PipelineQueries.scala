@@ -1008,7 +1008,7 @@ object PipelineQueries {
       SELECT CASE WHEN b < 80 THEN 'train'
                   WHEN b < 90 THEN 'val'
                   ELSE 'test' END AS split,
-        COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+        COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         MIN(doc_id) AS min_id
       FROM (SELECT doc_id, n_chars,
               ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8))::BIGINT
@@ -1206,8 +1206,9 @@ object PipelineQueries {
         off % 2048 AS pos_in_seq
       FROM (
         SELECT doc_id, n_tok,
-          COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS off
         FROM train)""")),
 
     // GPT-style sequence packing: global token offsets via the
@@ -1229,8 +1230,9 @@ object PipelineQueries {
         off % 2048 AS pos_in_seq
       FROM (
         SELECT doc_id, (n_chars + 3) // 4 AS n_tok,
-          COALESCE(SUM((n_chars + 3) // 4) OVER (ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          CAST(COALESCE(SUM((n_chars + 3) // 4) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS off
         FROM documents)"""))
   )
 }

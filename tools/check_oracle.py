@@ -21,8 +21,17 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].apply(
-                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            # parquet DATE columns arrive as object-of-datetime.date while
+            # DuckDB yields datetime64 — the driver matches these, so
+            # normalize before the dtype-strict comparison
+            nonnull = df[c].dropna()
+            if len(nonnull) and all(isinstance(v, __import__("datetime").date)
+                                    and not isinstance(v, __import__("datetime").datetime)
+                                    for v in nonnull):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            else:
+                df[c] = df[c].apply(
+                    lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 def main(sf_dir, out_dir):
@@ -55,6 +64,15 @@ def main(sf_dir, out_dir):
         mismatches = []
         for c in got.columns:
             g, w = got[c], want[c]
+            # dtype-strict like the driver: a DuckDB HUGEINT SUM comes back
+            # as float64 while Spark yields int64 — values match but the
+            # driver's value-hash differs. Fail on numeric-kind mismatch so
+            # this class can't pass locally (CAST the oracle SQL instead).
+            if g.dtype.kind != w.dtype.kind:
+                mismatches.append(
+                    f"{c}: DTYPE got={g.dtype} want={w.dtype} "
+                    "(driver hash-fails this; CAST the oracle SQL)")
+                continue
             if g.dtype.kind == "f" or w.dtype.kind == "f":
                 g = g.astype(float); w = w.astype(float)
                 both_nan = g.isna() & w.isna()
