@@ -18,6 +18,58 @@ import Q._
   */
 object PipelineQueries {
 
+  /** DuckDB SQL fragments replaying the native TextHash kernels
+    * (functions/TextHashExprs.scala) bit-exactly, so the hash-based
+    * dedup signatures get real value oracles instead of rows-only
+    * checks. 64-bit wrap-around arithmetic is emulated in HUGEINT with
+    * a 32-bit operand split (a full 64x64 product overflows signed
+    * INT128); Java's signed-long view is recovered with an explicit
+    * 2^64 offset. The corpus is ASCII (TESTDATA), so DuckDB code
+    * points == Java chars. */
+  private object DuckHash {
+    val T = "18446744073709551616" // 2^64
+
+    /** (x * k) mod 2^64 for UBIGINT x and a 64-bit constant k. */
+    def mulmod(x: String, k: String): String =
+      s"CAST(((((CAST($x >> 32 AS HUGEINT) * $k) % 4294967296) * 4294967296" +
+        s" + CAST($x % 4294967296 AS HUGEINT) * $k) % $T) AS UBIGINT)"
+
+    /** Reinterpret UBIGINT as Java signed long. */
+    def toSigned(u: String): String =
+      s"CAST(CASE WHEN $u >= 9223372036854775808 THEN CAST($u AS HUGEINT)" +
+        s" - $T ELSE CAST($u AS HUGEINT) END AS BIGINT)"
+
+    /** FNV-1a fold over a UBIGINT char-code list (prime 2^40 — the
+      * direct HUGEINT product cannot overflow). */
+    def fnv(codes: String): String =
+      s"list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT)," +
+        s" $codes), (h, c) -> CAST((CAST(xor(h, c) AS HUGEINT)" +
+        s" * 1099511628211) % $T AS UBIGINT))"
+
+    /** Three CTEs applying the splitmix64 finalization stages to a
+      * UBIGINT list column `z` of table `src`, leaving `doc_id, z`.
+      * The single-element list_transform is a let-binding so each
+      * xor-shifted value is computed once. */
+    def mixStages(src: String): String =
+      s"""m1 AS (SELECT doc_id, list_transform(z, x ->
+             ${mulmod("x", "11400714819323198485")}) AS z FROM $src),
+         m2 AS (SELECT doc_id, list_transform(z, x0 ->
+             list_transform([xor(x0, x0 >> 30)], x ->
+               ${mulmod("x", "13787848793156543929")})[1]) AS z FROM m1),
+         m3 AS (SELECT doc_id, list_transform(z, x0 ->
+             list_transform([xor(x0, x0 >> 27)], x ->
+               ${mulmod("x", "10723151780598845931")})[1]) AS z FROM m2)"""
+
+    /** CTE prefix: per-word FNV-1a hashes of the space-split text,
+      * exactly TextHash.wordBounds + hashChars. */
+    val wordFnv: String =
+      s"""w AS (SELECT doc_id, string_split(text, ' ') AS words
+             FROM documents),
+         u AS (SELECT doc_id, list_transform(words, wd ->
+             ${fnv("list_transform(generate_series(1, length(wd))," +
+               " i -> CAST(unicode(wd[i]) AS UBIGINT))")}) AS fnv FROM w)"""
+  }
+
   /** Deterministic "trained" weight vector for the classifier demo:
     * 64 buckets in [-0.5, 0.5]. Every weight is an exact multiple of
     * 1/1024 (a binary fraction), so the token-weight SUM is exact —
@@ -75,17 +127,42 @@ object PipelineQueries {
           / len(list_distinct(list_concat(a.grams, b.grams))) > 0.05"""),
       bench = false),
 
-    // MinHash signatures (deterministic; engine-specific hash → rows-only
-    // check; ScalaTest covers signature properties).
+    // MinHash signatures — deterministic, and the oracle replays the
+    // full native kernel (FNV-1a word hashes → rolling 3-gram shingle
+    // combine → 32 affine permutations mod 2^31-1) in DuckDB, with the
+    // permutation coefficients inlined from the same TextHash.coef the
+    // expression uses. sig_hash digests all 32 values via md5 (portable,
+    // unlike xxhash64) so the whole signature is value-checked.
     QueryDef("q_minhash_signature", (s, dir) => {
       TextDedup.withSignature(t(s, dir, "documents"), "text")
         .select(col("doc_id"),
           element_at(col("minhash_sig"), 1).as("mh0"),
           element_at(col("minhash_sig"), 2).as("mh1"),
-          xxhash64(concat_ws(",",
+          md5(concat_ws(",",
             transform(col("minhash_sig"), x => x.cast("string"))))
             .as("sig_hash"))
-    }, None),
+    }, Some {
+      import graft.functions.TextHash
+      val aLit = TextHash.coef(0x5eed5eedL, 32).mkString("[", ",", "]")
+      val bLit = TextHash.coef(0xc0ffee42L, 32).mkString("[", ",", "]")
+      s"""
+      WITH ${DuckHash.wordFnv},
+      wh AS (SELECT doc_id, list_transform(fnv, x ->
+          (((${DuckHash.toSigned("x")}) % 2147483647) + 2147483647)
+            % 2147483647) AS wh FROM u),
+      sh AS (SELECT doc_id,
+          list_transform(generate_series(1, greatest(len(wh) - 2, 1)), g ->
+            list_reduce(
+              list_prepend(CAST(0 AS BIGINT), wh[g:least(g+2, len(wh))]),
+              (a, x) -> (a * 8191 + x) % 2147483647)) AS sh FROM wh),
+      sig AS (SELECT doc_id, list_transform(generate_series(1, 32), k ->
+            list_min(list_transform(sh, s ->
+              ($aLit[k] * s + $bLit[k]) % 2147483647))) AS sig
+          FROM sh)
+      SELECT doc_id, sig[1] AS mh0, sig[2] AS mh1,
+        md5(array_to_string(sig, ',')) AS sig_hash
+      FROM sig"""
+    }),
 
     // Full MinHash-LSH near-dup candidate pipeline.
     QueryDef("q_minhash_lsh", (s, dir) => {
@@ -158,13 +235,32 @@ object PipelineQueries {
         ('winnow_fp', true)) AS t(variant, recall_ok)"""),
       bench = false),
 
-    // SimHash fingerprints + hamming near-dup counts.
+    // SimHash fingerprints + popcount. The oracle replays Charikar's
+    // bit-vote construction over the same per-word splitmix64 hashes.
     QueryDef("q_simhash", (s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextDedup.simHash64(col("text")).as("sh"))
         .select(col("doc_id"), col("sh"),
           TextDedup.hamming64(col("sh"), lit(0L)).as("popcount"))
-    }, None),
+    }, Some(s"""
+      WITH ${DuckHash.wordFnv},
+      z0 AS (SELECT doc_id, fnv AS z FROM u),
+      ${DuckHash.mixStages("z0")},
+      hh AS (SELECT doc_id, list_transform(z, x -> xor(x, x >> 31)) AS h
+        FROM m3),
+      fp AS (SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS HUGEINT),
+              list_reverse(list_transform(generate_series(0, 63), b ->
+                CASE WHEN 2 * len(list_filter(h, x -> ((x >> b) & 1) = 1))
+                       > len(h)
+                     THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END))),
+            (a, x) -> a * 2 + x) AS fpu
+        FROM hh)
+      SELECT doc_id,
+        ${DuckHash.toSigned("fpu")} AS sh,
+        CAST(bit_count(${DuckHash.toSigned("fpu")}) AS INTEGER) AS popcount
+      FROM fp""")),
 
     // ---- similarity search ----
 
@@ -640,15 +736,40 @@ object PipelineQueries {
       FROM best WHERE rn = 1
       GROUP BY 1, 2""")),
 
-    // Winnowing fingerprints (rows-only; determinism in ScalaTest).
+    // Winnowing fingerprints (Schleimer et al., k=5 w=4). The oracle
+    // replays the char-5-gram hashes and takes each length-4 window's
+    // SIGNED minimum (the deque compares Java longs), then the distinct
+    // sorted set; fp_hash md5-digests the full set per doc.
     QueryDef("q_fingerprint", (s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.winnowingFingerprint(col("text")).as("fp"))
         .select(col("doc_id"), size(col("fp")).as("n_fp"),
-          xxhash64(concat_ws(",",
+          md5(concat_ws(",",
             transform(col("fp"), x => x.cast("string")))).as("fp_hash"))
-    }, None),
+    }, Some(s"""
+      WITH cs AS (SELECT doc_id, length(text) AS L,
+          list_transform(generate_series(1, length(text)),
+            i -> CAST(unicode(text[i]) AS UBIGINT)) AS codes
+        FROM documents),
+      g0 AS (SELECT doc_id,
+          CASE WHEN L >= 5 THEN
+            list_transform(generate_series(1, L - 4), i ->
+              ${DuckHash.fnv("codes[i:i+4]")})
+          ELSE [${DuckHash.fnv("codes")}] END AS z FROM cs),
+      ${DuckHash.mixStages("g0")},
+      gh AS (SELECT doc_id,
+          list_transform(z, x -> ${DuckHash.toSigned("xor(x, x >> 31)")})
+            AS gs FROM m3),
+      sel AS (SELECT doc_id, list_sort(list_distinct(
+            CASE WHEN len(gs) >= 4 THEN
+              list_transform(generate_series(4, len(gs)), i ->
+                list_min(gs[i-3:i]))
+            ELSE [list_min(gs)] END)) AS fp
+        FROM gh)
+      SELECT doc_id, CAST(len(fp) AS INTEGER) AS n_fp,
+        md5(array_to_string(fp, ',')) AS fp_hash
+      FROM sel""")),
 
     // ---- multimodal plumbing ----
 
