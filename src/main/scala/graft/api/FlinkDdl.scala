@@ -103,11 +103,16 @@ object FlinkDdl {
     val wmP = ("""(?is)^WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*""" +
       """INTERVAL\s+'(\d+)'\s+(\w+)$""").r
     val pkP = """(?is)^PRIMARY\s+KEY\s*\(([\w,\s]+)\)\s*(?:NOT\s+ENFORCED)?$""".r
+    // computed processing-time attribute (reference: proctime attribute
+    // in SqlCreateTable computed columns) — virtual, not stored; feeds
+    // the lookup-join route (FOR SYSTEM_TIME AS OF <proctime>)
+    val ptP = """(?is)^(\w+)\s+AS\s+PROCTIME\s*\(\s*\)$""".r
     val colP = """(?s)^(\w+)\s+(.+)$""".r
 
     var fields = Vector.empty[StructField]
     var watermark: Option[(String, String)] = None
     var primaryKey: Seq[String] = Nil
+    var proctime: Option[String] = None
     items.foreach {
       case wmP(c, n, unit) =>
         val u = unit.toLowerCase
@@ -115,6 +120,8 @@ object FlinkDdl {
           if (u.endsWith("s")) "" else "s")))
       case pkP(cols) =>
         primaryKey = cols.split(",").map(_.trim).toSeq
+      case ptP(c) =>
+        proctime = Some(c)
       case colP(cname, ctype) =>
         fields :+= StructField(cname, sqlType(ctype))
       case other => fail(s"unrecognized table element: $other")
@@ -128,7 +135,7 @@ object FlinkDdl {
       path = path, format = format,
       schema = if (fields.isEmpty) None else Some(StructType(fields)),
       watermark = watermark, primaryKey = primaryKey,
-      partitions = partitions))
+      partitions = partitions, proctime = proctime))
   }
 
   /** `PARTITIONED BY (c1, c2)` — reference filesystem-connector

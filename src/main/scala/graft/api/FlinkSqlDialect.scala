@@ -120,8 +120,10 @@ object FlinkSqlDialect {
         "OPTIONS hint: dynamic table options are not supported — set " +
           "connector options in CREATE TABLE ... WITH (...)")
       require(!"""(?i)\bLOOKUP\s*\(""".r.findFirstIn(block).isDefined,
-        "LOOKUP hint: use graft.operators.LookupJoin / AsyncLookupJoin " +
-          "(retry and async options are constructor parameters)")
+        "LOOKUP hint: supported only on a lookup join — SELECT /*+ " +
+          "LOOKUP(...) */ ... JOIN dim FOR SYSTEM_TIME AS OF o.<proctime> " +
+          "via TableEnv.executeSql (api.LookupJoinSql); or use " +
+          "graft.operators.LookupJoin / AsyncLookupJoin directly")
       require(!"""(?i)\bSTATE_TTL\s*\(""".r.findFirstIn(block).isDefined,
         "STATE_TTL hint: use graft.streaming.StatefulOps.keepLastWithTtl " +
           "/ TwsOps TTLConfig")

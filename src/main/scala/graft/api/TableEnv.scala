@@ -21,7 +21,8 @@ final case class TableSpec(
     schema: Option[StructType] = None,
     watermark: Option[(String, String)] = None, // (eventTimeCol, delay)
     primaryKey: Seq[String] = Nil,
-    partitions: Seq[String] = Nil) // PARTITIONED BY columns (hive-style dirs)
+    partitions: Seq[String] = Nil, // PARTITIONED BY columns (hive-style dirs)
+    proctime: Option[String] = None) // computed col declared AS PROCTIME()
 
 final class TableEnv(val spark: SparkSession) {
 
@@ -56,6 +57,34 @@ final class TableEnv(val spark: SparkSession) {
 
   def tableSpec(name: String): Option[TableSpec] = specs.get(name)
 
+  // ---- lookup-join function registry (reference: a connector's
+  // LookupTableSource provides LookupFunction / AsyncLookupFunction;
+  // here the user registers them per table name; filesystem tables
+  // fall back to a broadcast snapshot — see LookupJoinSql) ----
+  private val syncLookupFns =
+    scala.collection.mutable.Map.empty[String, graft.operators.LookupJoin.LookupFn[Any, Row]]
+  private val asyncLookupFns =
+    scala.collection.mutable.Map.empty[String, graft.operators.AsyncLookupJoin.AsyncLookupFn[Any, Row]]
+
+  /** Register a per-partition lookup function for a dimension table
+    * (the external-store case — opened once per partition, LRU-cached).
+    * A null fn unregisters. */
+  def registerLookupFunction(table: String,
+      fn: graft.operators.LookupJoin.LookupFn[Any, Row]): Unit =
+    if (fn == null) syncLookupFns.remove(table) else syncLookupFns(table) = fn
+
+  /** Register an async lookup function for a dimension table (used by
+    * `/*+ LOOKUP('table'='...', 'async'='true') */`). A null fn
+    * unregisters. */
+  def registerAsyncLookupFunction(table: String,
+      fn: graft.operators.AsyncLookupJoin.AsyncLookupFn[Any, Row]): Unit =
+    if (fn == null) asyncLookupFns.remove(table) else asyncLookupFns(table) = fn
+
+  private[api] def lookupFn(table: String): Option[graft.operators.LookupJoin.LookupFn[Any, Row]] =
+    syncLookupFns.get(table)
+  private[api] def asyncLookupFn(table: String): Option[graft.operators.AsyncLookupJoin.AsyncLookupFn[Any, Row]] =
+    asyncLookupFns.get(table)
+
   private[api] def registeredTables: Set[String] = specs.keySet.toSet
 
   /** Re-point a registered table's temp view at a fresh read of its
@@ -79,9 +108,12 @@ final class TableEnv(val spark: SparkSession) {
   def fromStreaming(name: String): DataFrame = {
     val spec = specs.getOrElse(name,
       throw new IllegalArgumentException(s"unknown table $name"))
-    val schema = spec.schema.getOrElse(batchRead(spec).schema)
-    val df = spark.readStream.schema(schema).format(spec.format)
+    val schema = spec.schema.getOrElse(StructType(batchRead(spec).schema
+      .filterNot(f => spec.proctime.contains(f.name))))
+    val df0 = spark.readStream.schema(schema).format(spec.format)
       .load(spec.path)
+    val df = spec.proctime.fold(df0)(pt =>
+      df0.withColumn(pt, org.apache.spark.sql.functions.current_timestamp()))
     spec.watermark.fold(df) { case (c, d) => df.withWatermark(c, d) }
   }
 
@@ -126,7 +158,11 @@ final class TableEnv(val spark: SparkSession) {
            org.apache.spark.sql.types.TimestampNTZType => "TIMESTAMP(6)"
       case other => other.sql
     }
-    val cols = schema.fields.map(f => s"  ${f.name} ${ddlType(f.dataType)}")
+    // an inferred schema (no DDL schema) already contains the virtual
+    // proctime column — keep it out of the physical column list
+    val cols = schema.fields.filterNot(f => spec.proctime.contains(f.name))
+      .map(f => s"  ${f.name} ${ddlType(f.dataType)}")
+    val pt = spec.proctime.map(c => s"  $c AS PROCTIME()")
     val wm = spec.watermark.map { case (c, d) =>
       val (n, u) = d.split(" ") match { case Array(a, b) => (a, b.stripSuffix("s").toUpperCase) }
       s"  WATERMARK FOR $c AS $c - INTERVAL '$n' $u"
@@ -137,7 +173,7 @@ final class TableEnv(val spark: SparkSession) {
     val part = if (spec.partitions.nonEmpty)
       s"\nPARTITIONED BY (${spec.partitions.mkString(", ")})" else ""
     s"""CREATE TABLE $name (
-       |${(cols ++ wm ++ pk).mkString(",\n")}
+       |${(cols ++ pt ++ wm ++ pk).mkString(",\n")}
        |)$part
        |WITH (
        |  'connector' = 'filesystem',
@@ -309,10 +345,18 @@ final class TableEnv(val spark: SparkSession) {
       spark.emptyDataFrame
     } else if (graft.cep.MatchRecognize.matches(sql))
       graft.cep.MatchRecognize.execute(spark, sql)
-    else if (TemporalJoinSql.matches(sql))
-      TemporalJoinSql.execute(spark, sql,
+    else if (TemporalJoinSql.matches(sql)) {
+      // FOR SYSTEM_TIME AS OF: a processing-time attribute (or an
+      // explicit LOOKUP hint) means a lookup join against the dim's
+      // current version; an event-time attribute means the versioned
+      // as-of join (reference: StreamExecLookupJoin vs
+      // StreamExecTemporalJoin split on the time attribute kind)
+      if (LookupJoinSql.isLookupJoin(sql,
+          name => specs.get(name).flatMap(_.proctime)))
+        LookupJoinSql.execute(this, sql)
+      else TemporalJoinSql.execute(spark, sql,
         name => specs.get(name).flatMap(_.watermark).map(_._1))
-    else spark.sql(FlinkSqlDialect.translate(sql))
+    } else spark.sql(FlinkSqlDialect.translate(sql))
 
   /** Reference Table.createTemporaryView. */
   def createTemporaryView(name: String, df: DataFrame): Unit =
@@ -325,7 +369,12 @@ final class TableEnv(val spark: SparkSession) {
 
   private def batchRead(spec: TableSpec): DataFrame = {
     import org.apache.spark.sql.functions.{col, row_number}
-    def forced: DataFrame = {
+    // the declared PROCTIME() attribute is virtual — materialized on
+    // read as the current processing time, never stored
+    def withProctime(df: DataFrame): DataFrame =
+      spec.proctime.fold(df)(pt =>
+        df.withColumn(pt, org.apache.spark.sql.functions.current_timestamp()))
+    def forced: DataFrame = withProctime {
       val r = spark.read.format(spec.format)
       spec.schema.fold(r)(s => r.schema(s)).load(spec.path)
     }
@@ -347,9 +396,9 @@ final class TableEnv(val spark: SparkSession) {
           .orderBy(col(TableEnv.EpochCol).desc, col(TableEnv.SeqCol).desc)
         val declared = spec.schema.map(_.fieldNames.toSeq)
           .getOrElse(raw.columns.toSeq.filterNot(internal))
-        raw.withColumn("__rn", row_number().over(w))
+        withProctime(raw.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1 && col(kindCol) =!= "-D")
-          .select(declared.map(col): _*)
+          .select(declared.map(col): _*))
       }
     }
   }

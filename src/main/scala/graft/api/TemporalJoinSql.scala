@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions.col
   */
 object TemporalJoinSql {
 
-  private val P: Regex =
+  private[api] val P: Regex =
     ("""(?is)^\s*SELECT\s+(.*?)\s+FROM\s+([\w.]+)(?:\s+AS)?\s+(\w+)\s+""" +
       """(LEFT\s+)?JOIN\s+([\w.]+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+""" +
       """(\w+)\.(\w+)(?:\s+AS)?\s+(\w+)\s+""" +

@@ -93,45 +93,109 @@ object Matcher {
       pattern: Pattern[T]): Option[(Int, Map[String, Seq[T]])] =
     tryFromIdx(events, start, tsOf, pattern).map { case (e, b, _) => (e, b) }
 
-  /** As tryFrom, also returning the bound event INDICES per symbol. */
+  /** As tryFrom, also returning the bound event INDICES per symbol.
+    *
+    * Execution is a continuation-passing backtracking scan: each element
+    * (single step or quantified GROUP) consumes events and calls the
+    * continuation with the advanced state; a group is a loop over its
+    * sub-sequence — the NFA loop state of the reference's GroupPattern
+    * (flink-cep/.../nfa/compiler/NFACompiler.java group states), NOT an
+    * unrolling, so `(A B)+` works unbounded. */
   def tryFromIdx[T](events: IndexedSeq[T], start: Int, tsOf: T => Long,
       pattern: Pattern[T])
       : Option[(Int, Map[String, Seq[T]], Map[String, Seq[Int]])] = {
+    type Res = Option[(Int, Map[String, Seq[T]], Map[String, Seq[Int]])]
+    // continuation: (pos, firstTs, bindings, boundIndices)
+    type K = (Int, Long, Map[String, Seq[T]], Map[String, Seq[Int]]) => Res
+
     // fold negated steps into the FOLLOWING positive step as a
     // forbidden-gap predicate (reference: notFollowedBy / notNext NFA
     // edges; strict = notNext checks only the immediately-next event)
-    require(!pattern.steps.last.negated,
-      "notFollowedBy/notNext cannot be the last pattern step")
+    sealed trait ExecElem
     case class ExecStep(step: Step[T],
         forbidden: Option[(T, Map[String, Seq[T]]) => Boolean],
-        forbiddenStrict: Boolean)
-    val steps: Vector[ExecStep] = {
-      val out = Vector.newBuilder[ExecStep]
+        forbiddenStrict: Boolean) extends ExecElem
+    case class ExecGroup(group: GroupStep[T], sub: Vector[ExecElem])
+        extends ExecElem
+
+    def fold(elems: Vector[PElem[T]]): Vector[ExecElem] = {
+      elems.lastOption.foreach {
+        case s: Step[T] => require(!s.negated,
+          "notFollowedBy/notNext cannot be the last pattern step")
+        case _ =>
+      }
+      val out = Vector.newBuilder[ExecElem]
       var pendingNeg: Option[(T, Map[String, Seq[T]]) => Boolean] = None
       var pendingNegStrict = false
-      pattern.steps.foreach { s =>
-        if (s.negated) { pendingNeg = Some(s.predicate); pendingNegStrict = s.strict }
-        else {
+      elems.foreach {
+        case s: Step[T] if s.negated =>
+          pendingNeg = Some(s.predicate); pendingNegStrict = s.strict
+        case s: Step[T] =>
           out += ExecStep(s, pendingNeg, pendingNegStrict)
           pendingNeg = None; pendingNegStrict = false
-        }
+        case g: GroupStep[T] =>
+          require(pendingNeg.isEmpty,
+            "notFollowedBy/notNext directly before a pattern group is " +
+              "not supported — put the absence step inside the group")
+          out += ExecGroup(g, fold(g.sub))
       }
       out.result()
     }
+    val topElems = fold(pattern.steps)
     val withinMs = pattern.withinMs
 
-    def go(stepIdx: Int, pos: Int, firstTs: Long,
-        acc: Map[String, Seq[T]], accIdx: Map[String, Seq[Int]])
-        : Option[(Int, Map[String, Seq[T]], Map[String, Seq[Int]])] = {
-      if (stepIdx == steps.length)
-        return if (acc.valuesIterator.exists(_.nonEmpty))
-          Some((pos, acc, accIdx))
-        else None
-      val es = steps(stepIdx)
+    // `anchored`: the first element's first event must be events(pos)
+    // (pattern start, strict contiguity, or a group copy that must not
+    // slide)
+    def matchSeq(elems: Vector[ExecElem], idx: Int, pos: Int, firstTs: Long,
+        acc: Map[String, Seq[T]], accIdx: Map[String, Seq[Int]],
+        anchored: Boolean)(k: K): Res = {
+      if (idx == elems.length) return k(pos, firstTs, acc, accIdx)
+      val anchorHere = anchored && idx == 0
+      elems(idx) match {
+        case eg: ExecGroup =>
+          matchGroup(eg, pos, firstTs, acc, accIdx, anchorHere) {
+            (p2, f2, a2, ai2) =>
+              matchSeq(elems, idx + 1, p2, f2, a2, ai2, anchored)(k)
+          }
+        case es: ExecStep =>
+          matchStep(es, pos, firstTs, acc, accIdx, anchorHere) {
+            (p2, f2, a2, ai2) =>
+              matchSeq(elems, idx + 1, p2, f2, a2, ai2, anchored)(k)
+          }
+      }
+    }
+
+    /** Loop over the group's sub-sequence min..max times (greedy tries
+      * one-more-copy before stopping; reluctant the reverse). A copy
+      * that consumes no events ends the loop — an empty body can never
+      * advance the NFA (guards optional-only groups from spinning). */
+    def matchGroup(eg: ExecGroup, pos: Int, firstTs: Long,
+        acc: Map[String, Seq[T]], accIdx: Map[String, Seq[Int]],
+        anchored: Boolean)(k: K): Res = {
+      val g = eg.group
+      def loop(count: Int, p: Int, f: Long,
+          a: Map[String, Seq[T]], ai: Map[String, Seq[Int]]): Res = {
+        def stop: Res = if (count >= g.minRepeat) k(p, f, a, ai) else None
+        def more: Res =
+          if (count >= g.maxRepeat) None
+          else matchSeq(eg.sub, 0, p, f, a, ai,
+              anchored = (anchored && count == 0) || g.strict) {
+            (p2, f2, a2, ai2) =>
+              if (p2 == p) None // empty copy: stop the loop
+              else loop(count + 1, p2, f2, a2, ai2)
+          }
+        if (g.greedy) more.orElse(stop) else stop.orElse(more)
+      }
+      loop(0, pos, firstTs, acc, accIdx)
+    }
+
+    def matchStep(es: ExecStep, pos: Int, firstTs: Long,
+        acc: Map[String, Seq[T]], accIdx: Map[String, Seq[Int]],
+        anchored: Boolean)(k: K): Res = {
       val step = es.step
-      val isFirstStep = stepIdx == 0
-      def withinOk(e: T): Boolean =
-        firstTs == Long.MinValue || tsOf(e) - firstTs <= withinMs
+      def withinOk(e: T, f: Long): Boolean =
+        f == Long.MinValue || tsOf(e) - f <= withinMs
       def untilHit(e: T): Boolean = step.until.exists(_(e, acc))
       // notNext: the event immediately after the previous step may not
       // match the forbidden condition (regardless of where this step
@@ -143,7 +207,7 @@ object Matcher {
       }
       // where may this step's run begin?
       val startPositions: Iterator[Int] =
-        if (isFirstStep || step.strict) Iterator.single(pos)
+        if (anchored || step.strict) Iterator.single(pos)
         else Iterator.range(pos, events.length + 1) // +1 allows empty-at-end
       for (sp <- startPositions) {
         // notFollowedBy: the gap skipped over may not contain a
@@ -160,12 +224,12 @@ object Matcher {
           var stop = false
           while (!stop && j < events.length && runIdx.length < step.maxRepeat) {
             val e = events(j)
-            if (!withinOk(e) || untilHit(e)) stop = true
+            if (!withinOk(e, firstTs) || untilHit(e)) stop = true
             else {
               if (step.predicate(e, acc)) runIdx += j
               // an anchored first step must take events(start) itself;
               // only LATER repeat elements may skip over non-matches
-              else if (isFirstStep && runIdx.isEmpty) stop = true
+              else if (anchored && runIdx.isEmpty) stop = true
               j += 1
             }
           }
@@ -173,7 +237,7 @@ object Matcher {
           var j = sp
           while (j < events.length && runIdx.length < step.maxRepeat && {
             val e = events(j)
-            step.predicate(e, acc) && withinOk(e) && !untilHit(e)
+            step.predicate(e, acc) && withinOk(e, firstTs) && !untilHit(e)
           }) { runIdx += j; j += 1 }
         }
         val maxRun = runIdx.length
@@ -194,8 +258,8 @@ object Matcher {
               else if (c > 0) tsOf(taken.head)
               else Long.MinValue
             // APPEND to any earlier binding of the same name — a symbol
-            // can repeat across unrolled group-quantifier copies
-            go(stepIdx + 1, if (c > 0) runIdx(c - 1) + 1 else sp, f2,
+            // repeats across group-loop iterations
+            k(if (c > 0) runIdx(c - 1) + 1 else sp, f2,
                 acc.updated(step.name,
                   acc.getOrElse(step.name, Seq.empty) ++ taken),
                 accIdx.updated(step.name,
@@ -206,10 +270,15 @@ object Matcher {
           }
         }
         // a strict step (or the anchored first step) may not slide
-        if (isFirstStep || step.strict) return None
+        if (anchored || step.strict) return None
       }
       None
     }
-    go(0, start, Long.MinValue, Map.empty, Map.empty)
+
+    matchSeq(topElems, 0, start, Long.MinValue, Map.empty, Map.empty,
+      anchored = true) { (pos, _, acc, accIdx) =>
+      if (acc.valuesIterator.exists(_.nonEmpty)) Some((pos, acc, accIdx))
+      else None
+    }
   }
 }

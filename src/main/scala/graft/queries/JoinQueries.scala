@@ -231,6 +231,27 @@ object JoinQueries {
         AND b.ts <= a.ts + INTERVAL 5 MINUTE
       GROUP BY a.user_id""")),
 
+    // Lookup join SQL route (api.LookupJoinSql): FOR SYSTEM_TIME AS OF a
+    // PROCTIME() attribute executes through LookupJoin.perPartition over
+    // a broadcast dim snapshot — probes never shuffle. The oracle is the
+    // equivalent current-version equi-join.
+    QueryDef("q_lookup_join", (s, dir) => {
+      val env = graft.api.TableEnv(s)
+      env.createTable("lkq_orders", graft.api.TableSpec(
+        path = s"$dir/orders.parquet", proctime = Some("pt")))
+      env.createTable("lkq_customer", graft.api.TableSpec(
+        path = s"$dir/customer.parquet"))
+      env.executeSql("""
+        SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_nationkey
+        FROM lkq_orders AS o
+        JOIN lkq_customer FOR SYSTEM_TIME AS OF o.pt AS c
+        ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey < 2000""")
+    }, Some("""
+      SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_nationkey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderkey < 2000""")),
+
     // Keyless range join via bucketization (operators.RangeJoin): ship
     // events matched into promotion windows with NO equi key — the
     // bucket trick turns the nested-loop theta join into one hash

@@ -196,4 +196,82 @@ class CepSpec extends SparkSpec {
     assert(ms.size == 1)
     assert(ms.head("a").map(_.ts) == Seq(1000L, 3000L))
   }
+
+  // ---- pattern groups (reference GroupPattern.java): (A B)+ loops over
+  // the group state, unbounded — not an unrolling ----
+
+  private def groupAB: Pattern[CE] =
+    Pattern.begin[CE]("a").where(_.typ == "a")
+      .next("b").where(_.typ == "b")
+
+  test("(A B)+ greedy: the group repeats as a unit, bindings accumulate") {
+    val p = Pattern.begin(groupAB).oneOrMore
+    val ms = matches(evs("a", "b", "a", "b", "a", "x"), p)
+    assert(ms.size == 1)               // greedy takes both copies
+    assert(ms.head("a").map(_.ts) == Seq(0L, 2000L))
+    assert(ms.head("b").map(_.ts) == Seq(1000L, 3000L))
+  }
+
+  test("(A B)+ matches arbitrarily many copies (no unroll bound)") {
+    val n = 50
+    val types = Seq.fill(n)(Seq("a", "b")).flatten
+    val ms = matches(evs(types: _*), Pattern.begin(groupAB).oneOrMore)
+    assert(ms.size == 1)
+    assert(ms.head("a").size == n && ms.head("b").size == n)
+  }
+
+  test("(A B)+ relaxed between copies; next(group) forces consecutive") {
+    // gap between the copies: begin-group loop default is relaxed
+    val ms = matches(evs("a", "b", "x", "a", "b"),
+      Pattern.begin(groupAB).oneOrMore)
+    assert(ms.size == 1 && ms.head("a").size == 2)
+    // a group appended with next(...) requires consecutive copies
+    val strictLoop = Pattern.begin[CE]("s").where(_.typ == "s")
+      .next(groupAB).oneOrMore
+    val ms2 = matches(evs("s", "a", "b", "x", "a", "b"), strictLoop)
+    assert(ms2.size == 1 && ms2.head("a").size == 1) // stops at the gap
+  }
+
+  test("(A B).times(2) requires exactly two copies") {
+    val p = Pattern.begin(groupAB).times(2)
+    assert(matches(evs("a", "b", "a", "b"), p).size == 1)
+    assert(matches(evs("a", "b", "a", "x"), p).isEmpty)
+  }
+
+  test("(A B)+ within(...) bounds first to last event across copies") {
+    val p = Pattern.begin(groupAB).oneOrMore.within(2500)
+    // events are 1s apart: a(0) b(1000) a(2000) b(3000) — two copies
+    // span 3000 ms > 2500, so greedy backs off to one copy
+    val ms = matches(evs("a", "b", "a", "b"), p)
+    assert(ms.nonEmpty)
+    assert(ms.head("a").size == 1 && ms.head("b").size == 1)
+    // wide window takes both copies in one match
+    val wide = matches(evs("a", "b", "a", "b"),
+      Pattern.begin(groupAB).oneOrMore.within(10000))
+    assert(wide.size == 1 && wide.head("a").size == 2)
+  }
+
+  test("(A B)+ reluctant takes the fewest copies") {
+    val p = Pattern.begin(groupAB).oneOrMore.reluctant
+      .followedBy("c").where(_.typ == "c")
+    val ms = matches(evs("a", "b", "a", "b", "c"), p)
+    assert(ms.size == 1)
+    assert(ms.head("a").size == 1 && ms.head("c").size == 1)
+  }
+
+  test("optional group and group followed by steps") {
+    val p = Pattern.begin[CE]("s").where(_.typ == "s")
+      .followedBy(groupAB).optional
+      .followedBy("c").where(_.typ == "c")
+    val withGroup = matches(evs("s", "a", "b", "c"), p)
+    assert(withGroup.size == 1 && withGroup.head("a").size == 1)
+    val without = matches(evs("s", "c"), p)
+    assert(without.size == 1 && !without.head.contains("a"))
+  }
+
+  test("where on a group raises with a pointer") {
+    val e = intercept[IllegalArgumentException](
+      Pattern.begin(groupAB).where(_.typ == "a"))
+    assert(e.getMessage.contains("group"))
+  }
 }
