@@ -35,14 +35,20 @@ object FlinkSqlDialect {
 
   private val IntervalP = """INTERVAL\s+'(\d+)'\s+(\w+)"""
 
+  // trailing optional interval: the TVF `offset` argument
+  // (SliceAssigners.java:46 — shifts the window alignment; Spark's
+  // window() exposes the same knob as startTime)
+  private val OffsetP = """(?:\s*,\s*INTERVAL\s+'(\d+)'\s+(\w+))?"""
+
   private val Tumble: Regex =
     ("""(?is)TABLE\s*\(\s*TUMBLE\s*\(\s*TABLE\s+(\w+)\s*,\s*""" +
-      """DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*""" + IntervalP + """\s*\)\s*\)""").r
+      """DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*""" + IntervalP + OffsetP +
+      """\s*\)\s*\)""").r
 
   private val Hop: Regex =
     ("""(?is)TABLE\s*\(\s*HOP\s*\(\s*TABLE\s+(\w+)\s*,\s*""" +
       """DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*""" + IntervalP + """\s*,\s*""" +
-      IntervalP + """\s*\)\s*\)""").r
+      IntervalP + OffsetP + """\s*\)\s*\)""").r
 
   private val Cumulate: Regex =
     ("""(?is)TABLE\s*\(\s*CUMULATE\s*\(\s*TABLE\s+(\w+)\s*,\s*""" +
@@ -153,20 +159,22 @@ object FlinkSqlDialect {
     out = Tumble.replaceAllIn(out, m => {
       val (t, ts, n, u) = (m.group(1), m.group(2), m.group(3), m.group(4))
       val s = seconds(n, u)
+      val off = Option(m.group(5)).map(o => seconds(o, m.group(6))).getOrElse(0L)
+      val w = s"window($ts, '$s seconds', '$s seconds', '$off seconds')"
       Regex.quoteReplacement(
-        s"""(SELECT *, window($ts, '$s seconds').start AS window_start,
-            window($ts, '$s seconds').end AS window_end FROM $t)""")
+        s"""(SELECT *, $w.start AS window_start,
+            $w.end AS window_end FROM $t)""")
     })
 
     out = Hop.replaceAllIn(out, m => {
       val (t, ts) = (m.group(1), m.group(2))
       val slide = seconds(m.group(3), m.group(4))
       val size = seconds(m.group(5), m.group(6))
+      val off = Option(m.group(7)).map(o => seconds(o, m.group(8))).getOrElse(0L)
+      val w = s"window($ts, '$size seconds', '$slide seconds', '$off seconds')"
       Regex.quoteReplacement(
-        s"""(SELECT *, window($ts, '$size seconds', '$slide seconds').start
-              AS window_start,
-            window($ts, '$size seconds', '$slide seconds').end
-              AS window_end FROM $t)""")
+        s"""(SELECT *, $w.start AS window_start,
+            $w.end AS window_end FROM $t)""")
     })
 
     out = Cumulate.replaceAllIn(out, m => {
@@ -265,6 +273,12 @@ object FlinkSqlDialect {
     // simple-argument LISTAGG only (column or dotted reference)
     out = out.replaceAll("""(?i)LISTAGG\s*\(\s*([\w.]+)\s*\)""",
       "concat_ws(',', collect_list($1))")
+    // COLLECT -> MULTISET as count-map (reference
+    // BuiltInFunctionDefinitions.COLLECT; MULTISET ≡ MAP<elem, INT>
+    // convention per SURVEY §1.2); CARDINALITY on the result is Spark's
+    // native cardinality() over maps, no rewrite needed
+    out = out.replaceAll("""(?i)\bCOLLECT\s*\(\s*([\w.]+)\s*\)""",
+      "collect_multiset($1)")
     // SUM0: null-as-zero sum (reference BuiltInFunctionDefinitions SUM0)
     out = out.replaceAll("""(?i)\bSUM0\s*\(\s*([\w.]+)\s*\)""",
       "coalesce(sum($1), 0)")

@@ -34,6 +34,31 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** COLLECT aggregate → MULTISET, carried as the count-map convention
+    * (SURVEY §1.2: MULTISET<T> ≡ MAP<T, INT>) — reference:
+    * BuiltInFunctionDefinitions.COLLECT and LogicalTypeRoot.java:53-141
+    * (MULTISET). Nulls are skipped, like the reference aggregate. The
+    * buffer cardinality is the group's DISTINCT element count, so
+    * memory stays bounded by the value domain, not the row count. */
+  class CollectMultiset extends Aggregator[String, Map[String, Int], Map[String, Int]] {
+    override def zero: Map[String, Int] = Map.empty
+    override def reduce(m: Map[String, Int], e: String): Map[String, Int] =
+      if (e == null) m else m.updated(e, m.getOrElse(e, 0) + 1)
+    override def merge(x: Map[String, Int], y: Map[String, Int]): Map[String, Int] = {
+      val (big, small) = if (x.size >= y.size) (x, y) else (y, x)
+      small.foldLeft(big) { case (m, (k, v)) =>
+        m.updated(k, m.getOrElse(k, 0) + v)
+      }
+    }
+    override def finish(b: Map[String, Int]): Map[String, Int] = b
+    override def bufferEncoder: Encoder[Map[String, Int]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Map[String, Int]]()
+    override def outputEncoder: Encoder[Map[String, Int]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Map[String, Int]]()
+  }
+
   /** First non-null value by an explicit order key (reference
     * FIRST_VALUE with ignore-nulls). */
   class FirstValueByOrder extends Aggregator[(Long, String), (Long, String), String] {

@@ -145,5 +145,10 @@ package object functions {
     }
     spark.udf.register("weighted_avg",
       org.apache.spark.sql.functions.udaf(new Aggregators.WeightedAvg))
+    // COLLECT → MULTISET as MAP<elem, INT> (string elements; the
+    // reference's multiset of other types maps via CAST at the call
+    // site). FlinkSqlDialect rewrites COLLECT(x) to this name.
+    spark.udf.register("collect_multiset",
+      org.apache.spark.sql.functions.udaf(new Aggregators.CollectMultiset))
   }
 }

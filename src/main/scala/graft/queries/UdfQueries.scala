@@ -31,6 +31,29 @@ object UdfQueries {
         COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag""")),
 
+    // COLLECT → MULTISET (count-map convention, SURVEY §1.2): the
+    // dialect rewrites COLLECT(x) to the collect_multiset UDAGG, and the
+    // multiset is serialized sorted so the oracle (a per-element COUNT
+    // histogram replay) compares exactly.
+    QueryDef("q_agg_collect", (s, dir) => {
+      graft.functions.register(s)
+      Tables.registerOn(s, dir)
+      s.sql(graft.api.FlinkSqlDialect.translate("""
+        SELECT o_orderpriority,
+          CAST(cardinality(ms) AS INT) AS n_distinct,
+          concat_ws(',', transform(array_sort(map_keys(ms)),
+            k -> concat(k, ':', CAST(ms[k] AS STRING)))) AS multiset
+        FROM (SELECT o_orderpriority, COLLECT(o_orderstatus) AS ms
+              FROM orders GROUP BY o_orderpriority)"""))
+    }, Some("""
+      SELECT o_orderpriority, CAST(COUNT(*) AS INT) AS n_distinct,
+        string_agg(o_orderstatus || ':' || cnt, ',' ORDER BY o_orderstatus)
+          AS multiset
+      FROM (SELECT o_orderpriority, o_orderstatus,
+              CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM orders GROUP BY 1, 2)
+      GROUP BY 1""")),
+
     // Custom Generator UDTF in LATERAL VIEW position.
     QueryDef("q_udtf_ngrams", (s, dir) => {
       graft.functions.register(s)

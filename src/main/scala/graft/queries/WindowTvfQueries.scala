@@ -33,6 +33,25 @@ object WindowTvfQueries {
         CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total
       FROM events GROUP BY 1, 2""")),
 
+    // TUMBLE TVF with the offset argument (SliceAssigners.java:46):
+    // windows align 15 min past the hour. The dialect maps offset onto
+    // Spark window()'s startTime; the oracle is DuckDB's 3-arg
+    // time_bucket with the same offset.
+    QueryDef("q_tumble_offset", (s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      graft.api.TableEnv(s).executeSql("""
+        SELECT window_start, window_end, event_type, COUNT(*) AS n
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR,
+                          INTERVAL '15' MINUTE))
+        GROUP BY window_start, window_end, event_type""")
+    }, Some("""
+      SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '15 minutes')
+          AS window_start,
+        time_bucket(INTERVAL '1 hour', ts, INTERVAL '15 minutes')
+          + INTERVAL '1 hour' AS window_end,
+        event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3""")),
+
     // Legacy (pre-TVF) group-window SQL through the dialect: GROUP BY
     // TUMBLE + TUMBLE_START/END selectors — the dominant syntax in
     // pre-1.13 Flink deployments (StreamExecGroupWindowAggregate;

@@ -35,6 +35,48 @@ class FlinkSqlDialectSpec extends SparkSpec {
     assert(n == 2 * events) // every row in exactly 2 hop windows
   }
 
+  test("TUMBLE/HOP TVF offset argument shifts window alignment") {
+    val flink = """
+      SELECT window_start, event_type, COUNT(*) AS n
+      FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR,
+                        INTERVAL '15' MINUTE))
+      GROUP BY window_start, event_type"""
+    val got = env.executeSql(FlinkSqlDialect.translate(flink))
+    val want = Tables.load(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour", "1 hour", "15 minutes")("start")
+        .as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // every window_start sits 15 min past the hour
+    assert(got.selectExpr("minute(window_start)").distinct()
+      .collect().map(_.getInt(0)).toSet == Set(15))
+    // HOP keeps its per-row window multiplicity with an offset present
+    val hop = """
+      SELECT COUNT(*) AS n
+      FROM TABLE(HOP(TABLE events, DESCRIPTOR(ts),
+        INTERVAL '30' MINUTE, INTERVAL '1' HOUR, INTERVAL '10' MINUTE))"""
+    val n = env.executeSql(FlinkSqlDialect.translate(hop))
+      .collect().head.getLong(0)
+    assert(n == 2 * Tables.load(spark, sfDir, "events").count())
+  }
+
+  test("COLLECT rewrites to the collect_multiset UDAGG (MULTISET as count-map)") {
+    val got = env.executeSql(FlinkSqlDialect.translate("""
+      SELECT o_orderpriority, COLLECT(o_orderstatus) AS ms
+      FROM orders GROUP BY o_orderpriority"""))
+    val row = got.filter(col("o_orderpriority").isNotNull).collect().head
+    val ms = row.getMap[String, Int](1)
+    assert(ms.nonEmpty && ms.values.forall(_ > 0))
+    // counts add up to the group's row count
+    val prio = row.getString(0)
+    val total = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === prio).count()
+    assert(ms.values.sum == total)
+    // collect_list / collect_set are untouched by the rewrite
+    assert(FlinkSqlDialect.translate("SELECT collect_list(x) FROM t")
+      .contains("collect_list(x)"))
+  }
+
   test("CUMULATE TVF matches the operator implementation") {
     val flink = """
       SELECT window_start, window_end, COUNT(*) AS n
