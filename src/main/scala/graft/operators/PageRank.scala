@@ -21,9 +21,11 @@ import org.apache.spark.storage.StorageLevel
   * Scale shape: the undirected edge list is built and persisted ONCE;
   * every iteration is join(edges, ranks on src) → quantized-contribution
   * projection → one shuffle on dst for the sum → left join back onto the
-  * node set. Rank tables are persisted per iteration and the previous
-  * one released, so lineage (and recompute) never grows with the
-  * iteration count. State per node is O(1).
+  * node set. Each iteration's rank table is materialized with an eager
+  * localCheckpoint — one pass that BOTH caches the blocks and truncates
+  * lineage (the persist+count idiom costs a second, separate count
+  * action per iteration), so plans and recompute chains never grow with
+  * the iteration count. State per node is O(1).
   */
 object PageRank {
 
@@ -50,9 +52,9 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = deg.select(col("src").as("node")) // undirected: src set = node set
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the initial uniform rank is a free projection of the cached node
+    // set — no materialization needed before the first iteration
     var pr = nodes.withColumn("pr", lit(1.0))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    pr.count()
     for (_ <- 1 to iterations) {
       val contrib = und
         .join(pr, und("src") === pr("node"))
@@ -60,15 +62,15 @@ object PageRank {
         .select(col("dst"),
           (floor(col("pr") / col("outdeg") * Q) / lit(Q.toDouble)).as("c"))
       val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
-      val next = nodes
+      // eager localCheckpoint: one action materializes the iteration AND
+      // caps lineage (previous iterations' blocks are released by the
+      // context cleaner once unreferenced)
+      pr = nodes
         .join(sums, nodes("node") === sums("dst"), "left")
         .select(col("node"),
           (lit(1.0 - damping) +
             lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize, then drop the previous iteration
-      pr.unpersist()
-      pr = next
+        .localCheckpoint(true)
     }
     Seq(und, deg, nodes).foreach(_.unpersist())
     pr

@@ -452,6 +452,73 @@ object PipelineQueries {
         eps = 0.4, dim = 64, nlist = 16, iters = 3)
     }, None),
 
+    // SemDedup gate oracle (q_ann_recall_gates style): the raw output is
+    // cluster-dependent (rows-only above), but its defining invariants
+    // are exact and driver-checkable — one survivor per near-dup
+    // component, no two surviving near-dups in a cell, the corpus
+    // actually shrinks, and (recall side) tight planted pairs collapse.
+    QueryDef("q_semdedup_gate", (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val eps = 0.4
+      val out = Similarity.semDedup(emb, "vec_id", "embedding",
+          eps = eps, dim = 64, nlist = 16, iters = 3).collect()
+      val survivors = out.map(_.getLong(0)).toSet
+      val oneSurvivorPerGroup =
+        out.map(_.getLong(2)).distinct.length == out.length
+      // distinct components in one cell are non-adjacent by definition,
+      // so survivors sharing a cell must sit below eps (mirror the
+      // operator's round-to-6 comparison)
+      val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var (dot, na, nb) = (0.0, 0.0, 0.0)
+        var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        BigDecimal(dot / math.sqrt(na * nb))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val byCell = out.groupBy(_.get(1)).values
+      val noNearDupSurvivorsInCell = byCell.forall { cell =>
+        cell.combinations(2).forall { case Array(x, y) =>
+          cos(vecs(x.getLong(0)), vecs(y.getLong(0))) < eps
+        }
+      }
+      val dedupReduces = out.length < vecs.size
+      // recall side: recompute the (deterministic) cell assignment with
+      // the operator's own quantizer, then every exact near-dup pair
+      // that lands in one cell must have collapsed to at most one
+      // survivor — the paper's within-cluster dedup contract
+      val cs = Similarity.trainKMeans(emb, "vec_id", "embedding",
+        dim = 64, nlist = 16, iters = 3)
+      val cellOf = emb.select(col("vec_id"),
+          Similarity.nearestCentroid(col("embedding"), cs).as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val sameCellPairs = Similarity.cosineNearDupExact(
+          emb, "vec_id", "embedding", eps)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => cellOf(a) == cellOf(b) }
+      val sameCellCollapsed = sameCellPairs.nonEmpty &&
+        sameCellPairs.forall { case (a, b) =>
+          !(survivors(a) && survivors(b))
+        }
+      Seq(("one_survivor_per_group", oneSurvivorPerGroup),
+        ("no_neardup_survivors_within_cell", noNearDupSurvivorsInCell),
+        ("dedup_reduces_corpus", dedupReduces),
+        ("same_cell_pairs_collapsed", sameCellCollapsed))
+        .toDF("variant", "ok")
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('one_survivor_per_group', true),
+        ('no_neardup_survivors_within_cell', true),
+        ('dedup_reduces_corpus', true),
+        ('same_cell_pairs_collapsed', true)) AS t(variant, ok)"""),
+      bench = false),
+
     // Dedup GROUP resolution: connected components over the near-dup
     // pair graph — the step that turns LSH pairs into keep/drop
     // decisions. Spark side: min-label propagation
