@@ -143,13 +143,39 @@ object FlinkSqlDialect {
     // Expansion"): Spark spells it LATERAL VIEW — explode for a single
     // output column, inline for array-of-row expanded to n columns.
     // WITH ORDINALITY has no direct LATERAL VIEW form (posexplode's pos
-    // is 0-based and column-first) — raise with the pointer.
-    require(!"""(?i)\bWITH\s+ORDINALITY\b""".r.findFirstIn(out).isDefined,
+    // is 0-based and column-first) — raise with the pointer, scoped to
+    // actual UNNEST clauses so string literals/comments containing the
+    // words can't trip it.
+    val unnestArgs = """UNNEST\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)"""
+    require(!("""(?is)""" + unnestArgs + """\s+WITH\s+ORDINALITY""").r
+        .findFirstIn(out).isDefined,
       "UNNEST WITH ORDINALITY: use posexplode(...) (0-based pos) via the " +
         "DataFrame API or SELECT posexplode(...)")
     val Unnest =
-      ("""(?is)CROSS\s+JOIN\s+UNNEST\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)""" +
+      ("""(?is)CROSS\s+JOIN\s+""" + unnestArgs +
         """\s+AS\s+(\w+)\s*\((\w+(?:\s*,\s*\w+)*)\)""").r
+    // Spark accepts LATERAL VIEW only after ALL join relations: a JOIN
+    // following the UNNEST clause would rewrite into SQL Spark cannot
+    // parse — raise instead (reorder the query so UNNEST comes last).
+    Unnest.findAllMatchIn(out).foreach { m =>
+      val rest = out.substring(m.end)
+      require(!"""(?is)^\s*(?:(?:LEFT|RIGHT|FULL|INNER|CROSS)\s+)*(?:OUTER\s+)?JOIN\b"""
+          .r.findFirstIn(rest).isDefined,
+        "CROSS JOIN UNNEST followed by another JOIN: Spark's LATERAL " +
+          "VIEW must come after all join relations — move the UNNEST " +
+          "clause after the other joins")
+    }
+    // an UNNEST alias WITHOUT a column list has no LATERAL VIEW
+    // equivalent we can infer names for — raise rather than silently
+    // passing the unrewritten SQL to Spark
+    val UnnestNoCols =
+      ("""(?is)CROSS\s+JOIN\s+""" + unnestArgs + """\s+AS\s+(\w+)(?!\s*\()""").r
+    UnnestNoCols.findFirstMatchIn(out).foreach { m =>
+      throw new IllegalArgumentException(
+        s"CROSS JOIN UNNEST(...) AS ${m.group(2)}: add a column list — " +
+          "AS alias(col [, col...]) — so the rewrite can name the " +
+          "exploded column(s)")
+    }
     out = Unnest.replaceAllIn(out, m => {
       val (expr, alias, cols) = (m.group(1), m.group(2), m.group(3))
       val fn = if (cols.contains(",")) "inline" else "explode"

@@ -302,8 +302,17 @@ final class TableEnv(val spark: SparkSession) {
       // convention is name-based by design.
       val result0 = spec.schema match {
         case Some(sch)
-            if !resultRaw.columns.contains(graft.cdc.ChangelogFormats.RowKindCol) &&
-              resultRaw.columns.length == sch.length =>
+            if !resultRaw.columns.contains(graft.cdc.ChangelogFormats.RowKindCol) =>
+          // arity mismatches must RAISE (Flink's validator rejects them)
+          // — silently falling back to name-based binding would land
+          // values in the wrong columns or drop them
+          if (resultRaw.columns.length != sch.length)
+            throw new IllegalArgumentException(
+              s"INSERT INTO $name: query produces " +
+                s"${resultRaw.columns.length} column(s) but the declared " +
+                s"schema has ${sch.length} — positional binding requires " +
+                "matching arity (INSERT INTO t (col, ...) column lists " +
+                "are not supported)")
           resultRaw.toDF(sch.fieldNames: _*)
             .select(sch.fields.map(f =>
               col(f.name).cast(f.dataType)): _*)

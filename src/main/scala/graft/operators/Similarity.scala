@@ -549,8 +549,11 @@ object Similarity {
     // space, carry the per-cell additive term IP(q̂, centroid) plus the
     // ADC tables (AdcTables normalizes q̂ internally)
     val coarseLit = typedlit(coarse.toSeq.map(_.toSeq))
+    // zero-norm guard (mirrors driver-side unitize): without it a
+    // zero query vector turns __qhat into NaN, and NaN ADC scores sort
+    // LARGEST under desc — arbitrary candidates instead of none
     val qunit = queries
-      .withColumn("__qn", norm(col(qvecCol)))
+      .withColumn("__qn", greatest(norm(col(qvecCol)), lit(1e-12f)))
       .withColumn("__qhat", transform(col(qvecCol),
         x => (x.cast("double") / col("__qn")).cast("float")))
     val probes = qunit.select(col(qidCol),

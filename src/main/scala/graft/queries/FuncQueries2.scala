@@ -191,21 +191,24 @@ object FuncQueries2 {
 
     // Approximate distinct (HLL++) — the sketch VALUE is engine-specific
     // (DuckDB's HLL differs), but Spark's estimate is deterministic, so
-    // the query emits the exact count plus a within-5%-band boolean:
-    // the oracle recomputes the exact count and asserts the band held,
-    // hash-checking both — a real gate instead of rows-only.
+    // the query emits the exact count plus an error-band boolean: the
+    // oracle recomputes the exact count and asserts the band held,
+    // hash-checking both — a real gate instead of rows-only. The rsd is
+    // requested explicitly (0.02) and the gate sits at ~3 sigma of it:
+    // a 1-sigma band over the DEFAULT rsd would make a probabilistic
+    // bound a flaky correctness failure at other scale factors.
     QueryDef("q_agg_approx", (s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx_parts") - col("exact_parts")).cast("double")
-            / col("exact_parts") <= 0.05).as("within_5pct"))
+            / col("exact_parts") <= 0.06).as("within_band"))
     }, Some("""
       SELECT l_returnflag,
         COUNT(DISTINCT l_partkey) AS exact_parts,
-        true AS within_5pct
+        true AS within_band
       FROM lineitem GROUP BY l_returnflag""")),
 
     QueryDef("q_func_map", (s, dir) => {

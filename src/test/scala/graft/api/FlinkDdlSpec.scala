@@ -320,6 +320,13 @@ class FlinkDdlSpec extends SparkSpec {
     val got = env.from("vals_t").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // positional binding REJECTS arity mismatches (Flink's validator
+    // does too) instead of silently falling back to name-based binding
+    val e = intercept[IllegalArgumentException] {
+      env.executeSql("INSERT INTO vals_t VALUES (4, 'd', 'extra')")
+    }
+    assert(e.getMessage.contains("arity") ||
+      e.getMessage.contains("column"))
     env.executeSql("DROP TABLE vals_t")
   }
 

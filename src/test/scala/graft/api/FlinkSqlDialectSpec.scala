@@ -267,6 +267,26 @@ class FlinkSqlDialectSpec extends SparkSpec {
         SELECT id, tag, o FROM unnest_t
         CROSS JOIN UNNEST(tags) WITH ORDINALITY AS u(tag, o)""")
     }
+    // ...but only when attached to an UNNEST clause — a string literal
+    // containing the words is fine
+    assert(env.executeSql(
+      "SELECT 'WITH ORDINALITY' AS s FROM unnest_t").count() == 1)
+    // a JOIN after the UNNEST clause would put LATERAL VIEW before a
+    // join relation, which Spark can't parse — raise with guidance
+    val e1 = intercept[IllegalArgumentException] {
+      FlinkSqlDialect.translate("""
+        SELECT id, tag FROM unnest_t
+        CROSS JOIN UNNEST(tags) AS u(tag)
+        JOIN other_t o ON o.id = unnest_t.id""")
+    }
+    assert(e1.getMessage.contains("after all join relations"))
+    // alias without a column list cannot be rewritten — raise, don't
+    // pass through silently
+    val e2 = intercept[IllegalArgumentException] {
+      FlinkSqlDialect.translate(
+        "SELECT id FROM unnest_t CROSS JOIN UNNEST(tags) AS u")
+    }
+    assert(e2.getMessage.contains("column list"))
   }
 
   test("Flink join hints map to Spark strategies; runtime hints raise") {

@@ -97,6 +97,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("ivf-pq: a zero-norm query vector does not poison scores with NaN") {
+    val corpus = (0 until 100).map { i =>
+      (i.toLong, Array.tabulate(16)(d => math.cos(i + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val zeroQ = Seq((999L, Array.fill(16)(0f))).toDF("qid", "qvec")
+    // unguarded, 0/0 made __qhat NaN and NaN ADC scores sorted first —
+    // arbitrary candidates; the greatest(norm, 1e-12) guard keeps the
+    // pipeline finite and deterministic
+    def run() = Similarity.ivfPqTopK(corpus, zeroQ,
+        "vec_id", "embedding", "qid", "qvec", 3,
+        dim = 16, nlist = 4, nprobe = 2, m = 4, codebookSize = 8,
+        refine = 4)
+      .select($"qid", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val a = run()
+    assert(a == run()) // deterministic, not NaN-ordering-dependent
+  }
+
   test("sq8 top-k matches brute force almost exactly (flat compression)") {
     val corpus = (0 until 200).map { i =>
       val c = i % 8

@@ -4,17 +4,18 @@ import graft.SparkSpec
 
 class ApproxSpec extends SparkSpec {
 
-  test("approx_count_distinct stays inside the query's 5% band") {
+  test("approx_count_distinct stays inside the query's error band") {
     // q_agg_approx emits the band boolean itself (the oracle asserts it
     // as a truth table); the spec checks the flag is actually computed
-    // and true on the test data
+    // and true on the test data. Band = ~3 sigma of the requested
+    // rsd=0.02, so the probabilistic bound isn't a flaky gate.
     val rows = graft.Registry.byName("q_agg_approx").run(spark, sfDir)
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getAs[Long]("exact_parts") > 0)
-      assert(r.getAs[Boolean]("within_5pct"),
-        s"HLL estimate outside 5% band for ${r.getAs[String]("l_returnflag")}")
+      assert(r.getAs[Boolean]("within_band"),
+        s"HLL estimate outside band for ${r.getAs[String]("l_returnflag")}")
     }
   }
 
