@@ -79,22 +79,9 @@ case class SrpBucket(child: Expression, dim: Int, planes: Int, seed: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = "srp_bucket"
 
-  // SplitMix64 finalizer — full-avalanche, so (seed, plane, dim) triples
-  // can't collide by linear combination (a linear p*K+d scheme would make
-  // plane p dim d>=K alias plane p+1 dim d-K for realistic dims like 1536).
-  private def mix64(v: Long): Long = {
-    var z = v * 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
   // plane-major weight matrix, deterministic (SplitMix64)
   @transient private lazy val weights: Array[Array[Double]] =
-    Array.tabulate(planes, dim) { (p, d) =>
-      val z = mix64(mix64(seed.toLong) ^ mix64((p.toLong << 32) | d.toLong))
-      ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
-    }
+    SrpBucket.weights(dim, planes, seed)
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -118,6 +105,26 @@ case class SrpBucket(child: Expression, dim: Int, planes: Int, seed: Int)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+object SrpBucket {
+  // SplitMix64 finalizer — full-avalanche, so (seed, plane, dim) triples
+  // can't collide by linear combination (a linear p*K+d scheme would make
+  // plane p dim d>=K alias plane p+1 dim d-K for realistic dims like 1536).
+  private def mix64(v: Long): Long = {
+    var z = v * 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The deterministic plane-major hyperplane matrix — public so oracle
+    * replays can inline the exact weights (Double.toString round-trips). */
+  def weights(dim: Int, planes: Int, seed: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim) { (p, d) =>
+      val z = mix64(mix64(seed.toLong) ^ mix64((p.toLong << 32) | d.toLong))
+      ((z >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
 }
 
 /** nearest_centroid(vec): argmin over a driver-local centroid table by

@@ -68,6 +68,29 @@ object PipelineQueries {
          u AS (SELECT doc_id, list_transform(words, wd ->
              ${fnv("list_transform(generate_series(1, length(wd))," +
                " i -> CAST(unicode(wd[i]) AS UBIGINT))")}) AS fnv FROM w)"""
+
+    /** CTE chain ending in `sig(doc_id, sig)`: the full 32-permutation
+      * MinHash signature over word 3-gram shingles (MinHashSig), with
+      * the permutation coefficients inlined from TextHash.coef. */
+    val minhashSig: String = {
+      val aLit = graft.functions.TextHash.coef(0x5eed5eedL, 32)
+        .mkString("[", ",", "]")
+      val bLit = graft.functions.TextHash.coef(0xc0ffee42L, 32)
+        .mkString("[", ",", "]")
+      s"""$wordFnv,
+      wh AS (SELECT doc_id, list_transform(fnv, x ->
+          (((${toSigned("x")}) % 2147483647) + 2147483647)
+            % 2147483647) AS wh FROM u),
+      sh AS (SELECT doc_id,
+          list_transform(generate_series(1, greatest(len(wh) - 2, 1)), g ->
+            list_reduce(
+              list_prepend(CAST(0 AS BIGINT), wh[g:least(g+2, len(wh))]),
+              (a, x) -> (a * 8191 + x) % 2147483647)) AS sh FROM wh),
+      sig AS (SELECT doc_id, list_transform(generate_series(1, 32), k ->
+            list_min(list_transform(sh, s ->
+              ($aLit[k] * s + $bLit[k]) % 2147483647))) AS sig
+          FROM sh)"""
+    }
   }
 
   /** Deterministic "trained" weight vector for the classifier demo:
@@ -141,30 +164,19 @@ object PipelineQueries {
           md5(concat_ws(",",
             transform(col("minhash_sig"), x => x.cast("string"))))
             .as("sig_hash"))
-    }, Some {
-      import graft.functions.TextHash
-      val aLit = TextHash.coef(0x5eed5eedL, 32).mkString("[", ",", "]")
-      val bLit = TextHash.coef(0xc0ffee42L, 32).mkString("[", ",", "]")
-      s"""
-      WITH ${DuckHash.wordFnv},
-      wh AS (SELECT doc_id, list_transform(fnv, x ->
-          (((${DuckHash.toSigned("x")}) % 2147483647) + 2147483647)
-            % 2147483647) AS wh FROM u),
-      sh AS (SELECT doc_id,
-          list_transform(generate_series(1, greatest(len(wh) - 2, 1)), g ->
-            list_reduce(
-              list_prepend(CAST(0 AS BIGINT), wh[g:least(g+2, len(wh))]),
-              (a, x) -> (a * 8191 + x) % 2147483647)) AS sh FROM wh),
-      sig AS (SELECT doc_id, list_transform(generate_series(1, 32), k ->
-            list_min(list_transform(sh, s ->
-              ($aLit[k] * s + $bLit[k]) % 2147483647))) AS sig
-          FROM sh)
+    }, Some(s"""
+      WITH ${DuckHash.minhashSig}
       SELECT doc_id, sig[1] AS mh0, sig[2] AS mh1,
         md5(array_to_string(sig, ',')) AS sig_hash
-      FROM sig"""
-    }),
+      FROM sig""")),
 
-    // Full MinHash-LSH near-dup candidate pipeline.
+    // Full MinHash-LSH near-dup candidate pipeline. The oracle replays
+    // the whole thing: signatures (DuckHash.minhashSig), banding —
+    // grouped on the RAW per-band signature slice, which buckets
+    // identically to the engine's xxhash64 band key (the hash is only a
+    // bucket id; equal slice <=> equal hash, collisions aside) — the
+    // 2..maxBucket size gate, the per-bucket self-join, and the exact
+    // jaccard verify.
     QueryDef("q_minhash_lsh", (s, dir) => {
       val docs = t(s, dir, "documents")
       val cands = TextDedup.lshCandidates(docs, "doc_id", "text",
@@ -179,7 +191,37 @@ object PipelineQueries {
           .withColumnRenamed("sh", "sh_b"), Seq("id_b"))
         .select(col("id_a"), col("id_b"), col("n_bands"),
           round(TextDedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jac"))
-    }, None),
+    }, Some(s"""
+      WITH ${DuckHash.minhashSig},
+      banded AS (
+        SELECT doc_id, b AS band_idx,
+          array_to_string(sig[b*2+1 : b*2+2], ',') AS band_key
+        FROM sig, generate_series(0, 15) AS gs(b)),
+      sizes AS (
+        SELECT band_idx, band_key, COUNT(*) AS n
+        FROM banded GROUP BY 1, 2),
+      capped AS (
+        SELECT banded.* FROM banded
+        JOIN sizes USING (band_idx, band_key)
+        WHERE sizes.n BETWEEN 2 AND 1000),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          COUNT(DISTINCT a.band_idx) AS n_bands
+        FROM capped a
+        JOIN capped b ON a.band_idx = b.band_idx
+          AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      grams AS (
+        SELECT doc_id, list_transform(
+            generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+            i -> array_to_string(string_split(text,' ')[i:i+2], ' ')) AS g
+        FROM documents)
+      SELECT p.id_a, p.id_b, p.n_bands,
+        ROUND(CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+          / len(list_distinct(list_concat(ga.g, gb.g))), 6) AS jac
+      FROM pairs p
+      JOIN grams ga ON ga.doc_id = p.id_a
+      JOIN grams gb ON gb.doc_id = p.id_b""")),
 
     // MinHash-LSH recall gate: fraction of exact jaccard>=0.9 pairs
     // (the planted near-dups) surfaced as LSH candidates, computed in
@@ -293,15 +335,60 @@ object PipelineQueries {
         WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
       WHERE rank <= 5""")),
 
-    // SRP-LSH approximate top-5 (deterministic buckets; rows-only check;
-    // ScalaTest asserts recall against brute force).
+    // SRP-LSH approximate top-5. Deterministic end to end, so the oracle
+    // replays it: inlined SplitMix64 hyperplanes (seed = table index,
+    // planes=10/tables=6 — lshTopK defaults), sign-bit buckets via
+    // sequential-order dots, candidates = shared bucket in any table,
+    // exact cosine re-rank (q_ann_brute's proven formula).
     QueryDef("q_ann_lsh", (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.lshTopK(emb, queries,
         "vec_id", "embedding", "qid", "qvec", 5, dim = 64)
-    }, None),
+    }, Some {
+      val planeRows = (0 until 6).flatMap { tbl =>
+        graft.functions.SrpBucket.weights(64, 10, tbl).zipWithIndex.map {
+          case (w, p) => s"($tbl, $p, [${w.mkString(",")}])"
+        }
+      }.mkString(",\n        ")
+      val cosRaw =
+        """list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                            CAST(q.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                   CAST(c.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                   CAST(q.embedding AS DOUBLE[]))))"""
+      s"""
+      WITH planes(tbl, plane, w) AS (VALUES
+        $planeRows),
+      bits AS (
+        SELECT e.vec_id, p.tbl, p.plane,
+          CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(generate_series(1, 64),
+                i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i])),
+              (a, x) -> a + x) > 0
+            THEN CAST(1 AS BIGINT) << p.plane
+            ELSE CAST(0 AS BIGINT) END AS bit
+        FROM embeddings e, planes p),
+      buckets AS (
+        SELECT vec_id, tbl, CAST(SUM(bit) AS BIGINT) AS bucket
+        FROM bits GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS vec_id
+        FROM buckets cb
+        JOIN buckets qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+        WHERE qb.vec_id < 8 AND cb.vec_id <> qb.vec_id)
+      SELECT qid, vec_id, sim, rank FROM (
+        SELECT cand.qid, cand.vec_id,
+          ROUND($cosRaw, 6) AS sim,
+          ROW_NUMBER() OVER (PARTITION BY cand.qid
+            ORDER BY $cosRaw DESC, cand.vec_id) AS rank
+        FROM cand
+        JOIN embeddings c ON c.vec_id = cand.vec_id
+        JOIN embeddings q ON q.vec_id = cand.qid)
+      WHERE rank <= 5"""
+    }),
 
     // IVF coarse-quantizer ANN (rows-only; recall asserted in
     // SimilaritySpec against brute force).
@@ -430,8 +517,12 @@ object PipelineQueries {
                                    CAST(b.embedding AS DOUBLE[])))), 6)
           >= 0.4""")),
 
-    // The LSH-bucketed near-dup scale path (rows-only; recall asserted
-    // in SimilaritySpec against the exact baseline).
+    // The LSH-bucketed near-dup scale path. Fully oracled: the SRP
+    // hyperplanes are deterministic (SrpBucket.weights — SplitMix64), so
+    // the oracle inlines the exact plane weights and replays bucketing
+    // (sequential-order dot products via list_reduce, matching the
+    // expression's accumulation), the 2..maxBucket gate, the per-bucket
+    // self-join and the cosine verify.
     QueryDef("q_embed_neardup_lsh", (s, dir) => {
       // planes=6/tables=16: the 0.4 threshold sits well below SRP-LSH's
       // high-similarity sweet spot, so collision probability needs short
@@ -440,7 +531,48 @@ object PipelineQueries {
       Similarity.cosineNearDup(
         t(s, dir, "embeddings"), "vec_id", "embedding", 0.4, dim = 64,
         planes = 6, tables = 16)
-    }, None),
+    }, Some {
+      val planeRows = (0 until 16).flatMap { tbl =>
+        graft.functions.SrpBucket.weights(64, 6, tbl).zipWithIndex.map {
+          case (w, p) => s"($tbl, $p, [${w.mkString(",")}])"
+        }
+      }.mkString(",\n        ")
+      s"""
+      WITH planes(tbl, plane, w) AS (VALUES
+        $planeRows),
+      bits AS (
+        SELECT e.vec_id, p.tbl, p.plane,
+          CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(generate_series(1, 64),
+                i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i])),
+              (a, x) -> a + x) > 0
+            THEN CAST(1 AS BIGINT) << p.plane
+            ELSE CAST(0 AS BIGINT) END AS bit
+        FROM embeddings e, planes p),
+      buckets AS (
+        SELECT vec_id, tbl, CAST(SUM(bit) AS BIGINT) AS bucket
+        FROM bits GROUP BY 1, 2),
+      sizes AS (SELECT tbl, bucket, COUNT(*) AS n FROM buckets GROUP BY 1, 2),
+      capped AS (SELECT buckets.* FROM buckets JOIN sizes USING (tbl, bucket)
+                 WHERE sizes.n BETWEEN 2 AND 2000),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM capped a JOIN capped b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT * FROM (
+        SELECT c.id_a, c.id_b,
+          ROUND(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                 CAST(eb.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(ea.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])))), 6)
+            AS sim
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.id_a
+        JOIN embeddings eb ON eb.vec_id = c.id_b)
+      WHERE sim >= 0.4"""
+    }),
 
     // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — the
     // published scale path where pairwise cosine is confined to k-means
@@ -840,8 +972,11 @@ object PipelineQueries {
 
     // ---- multimodal plumbing ----
 
-    // Binary payload + metadata + batched decode stub. Byte lengths are
-    // oracle-checkable; features are the stub's deterministic output.
+    // Binary payload + metadata + batched decode stub. The stub decoder
+    // is deterministic (FakeCodec: float32 accumulation of payload
+    // bytes), so even the feature value is oracled — DuckDB replays the
+    // same IEEE single-precision adds in the same order via REAL casts;
+    // the corpus is ASCII so payload bytes == code points == length.
     QueryDef("q_multimodal", (s, dir) => {
       val media = Multimodal.withFakeMedia(t(s, dir, "documents"))
       Multimodal.decodeFeatures(s, media)
@@ -849,7 +984,23 @@ object PipelineQueries {
         .select(col("doc_id"), col("mediaType").as("media_type"),
           col("nBytes").as("n_bytes"),
           round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
-    }, None),
+    }, Some("""
+      WITH cs AS (
+        SELECT doc_id, text,
+          list_transform(generate_series(1, length(text)),
+            i -> unicode(text[i])) AS codes
+        FROM documents)
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+          ELSE 'video' END AS media_type,
+        CAST(length(text) AS BIGINT) AS n_bytes,
+        ROUND(CAST(list_reduce(
+          list_prepend(CAST(0 AS REAL),
+            list_transform(list_filter(generate_series(1, len(codes)),
+                i -> (i - 1) % 8 = 0),
+              i -> CAST(codes[i] AS REAL) / CAST(255 AS REAL))),
+          (a, x) -> CAST(a + x AS REAL)) AS DOUBLE), 4) AS f0
+      FROM cs""")),
 
     QueryDef("q_multimodal_meta", (s, dir) => {
       Multimodal.withFakeMedia(t(s, dir, "documents"))
