@@ -180,7 +180,8 @@ object Matcher {
         def more: Res =
           if (count >= g.maxRepeat) None
           else matchSeq(eg.sub, 0, p, f, a, ai,
-              anchored = (anchored && count == 0) || g.strict) {
+              anchored =
+                if (count == 0) anchored || g.strict else g.copiesStrict) {
             (p2, f2, a2, ai2) =>
               if (p2 == p) None // empty copy: stop the loop
               else loop(count + 1, p2, f2, a2, ai2)

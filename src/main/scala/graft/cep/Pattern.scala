@@ -39,15 +39,20 @@ final case class Step[T](
 
 /** A quantified pattern group (reference GroupPattern.java): the whole
   * sub-sequence repeats min..max times as one NFA loop state. `strict`
-  * is the group's own contiguity (`next(group)`) — it anchors the first
-  * copy and makes later copies start immediately after the previous
-  * one; inner steps keep their own contiguity within each copy. */
+  * is the group's ENTRY contiguity (`next(group)`) — it anchors the
+  * first copy; `consecutiveCopies` overrides the copy-to-copy
+  * contiguity (reference consecutive()/allowCombinations on loops) and
+  * defaults to the entry contiguity. Inner steps keep their own
+  * contiguity within each copy. */
 final case class GroupStep[T](
     sub: Vector[PElem[T]],
     minRepeat: Int = 1,
     maxRepeat: Int = 1,
     strict: Boolean = false,
-    greedy: Boolean = true) extends PElem[T]
+    greedy: Boolean = true,
+    consecutiveCopies: Option[Boolean] = None) extends PElem[T] {
+  def copiesStrict: Boolean = consecutiveCopies.getOrElse(strict)
+}
 
 final class Pattern[T] private (val steps: Vector[PElem[T]], val withinMs: Long)
     extends Serializable {
@@ -120,14 +125,23 @@ final class Pattern[T] private (val steps: Vector[PElem[T]], val withinMs: Long)
   def until(p: T => Boolean): Pattern[T] =
     updLastStep("until")(_.copy(until = Some((t, _) => p(t))))
 
-  /** Relaxed internal contiguity for the (quantified) step: repeat
-    * elements may be separated by non-matching events (Flink's default
-    * for followedBy loops — skip-till-next within the loop). */
-  def allowGaps: Pattern[T] = updLastStep("allowGaps")(_.copy(relaxedRepeat = true))
+  /** Relaxed internal contiguity for the (quantified) step or group:
+    * repeat elements/copies may be separated by non-matching events
+    * (Flink's default for followedBy loops — skip-till-next within the
+    * loop; on a group, Pattern.allowCombinations-style relaxation). */
+  def allowGaps: Pattern[T] = updLast {
+    case s: Step[T] => s.copy(relaxedRepeat = true)
+    case g: GroupStep[T] => g.copy(consecutiveCopies = Some(false))
+  }
 
   /** Strict internal contiguity (reference Pattern.consecutive) — the
-    * default here; provided for parity. */
-  def consecutive: Pattern[T] = updLastStep("consecutive")(_.copy(relaxedRepeat = false))
+    * step default here; on a quantified GROUP it makes the copies
+    * consecutive (each copy starts right after the previous one; entry
+    * contiguity is unchanged). */
+  def consecutive: Pattern[T] = updLast {
+    case s: Step[T] => s.copy(relaxedRepeat = false)
+    case g: GroupStep[T] => g.copy(consecutiveCopies = Some(true))
+  }
 
   def times(n: Int): Pattern[T] = updLast {
     case s: Step[T] => s.copy(minRepeat = n, maxRepeat = n)

@@ -98,6 +98,48 @@ class CepPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("group loops agree with regex non-capturing group quantifiers") {
+    // (?:t0 t1 ...){m,M}[?] — strict inner contiguity, consecutive
+    // copies: the fully-regex-expressible slice of GroupPattern loops
+    val groupGen = for {
+      types <- Gen.choose(1, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+      q <- Gen.oneOf((1, Int.MaxValue), (1, 2), (2, 2), (2, Int.MaxValue),
+        (1, 3))
+      g <- Gen.oneOf(true, false)
+    } yield (types, q, g)
+    check(Prop.forAll(eventsGen, groupGen) {
+      case (input: String, (types: List[Char], (mn: Int, mx: Int), greedy: Boolean)) =>
+        val events = input.zipWithIndex
+          .map { case (c, i) => Ev(i, c) }.toIndexedSeq
+        var sub: Pattern[Ev] = null
+        types.zipWithIndex.foreach { case (t, i) =>
+          sub = if (i == 0) Pattern.begin[Ev](s"g$i") else sub.next(s"g$i")
+          sub = sub.where((e: Ev) => e.typ == t)
+        }
+        var cep = Pattern.begin(sub)
+          .times(mn, if (mx == Int.MaxValue) Int.MaxValue else mx)
+          .consecutive
+        if (!greedy) cep = cep.reluctant
+        val got = Matcher
+          .findMatches[Ev](events, (e: Ev) => e.idx.toLong, cep)
+          .map { bindings =>
+            val idxs = bindings.valuesIterator.flatten.map(_.idx).toSeq.sorted
+            (idxs.head, idxs.last + 1)
+          }
+        val q = (mn, mx) match {
+          case (1, Int.MaxValue) => "+"
+          case (m, Int.MaxValue) => s"{$m,}"
+          case (m, x) => s"{$m,$x}"
+        }
+        val rx = s"(?:${types.mkString})$q" + (if (greedy) "" else "?")
+        val want = regexSpans(input, rx)
+        if (got != want) println(
+          s"GROUP MISMATCH input=$input regex=$rx got=$got want=$want")
+        got == want
+    })
+  }
+
   test("alternation agrees with regex alternative-priority semantics") {
     val branchesGen = Gen.choose(1, 3).flatMap(n =>
       Gen.listOfN(n, patternGen))
