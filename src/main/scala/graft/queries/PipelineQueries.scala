@@ -435,7 +435,63 @@ object PipelineQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.sq8TopK(emb, queries,
         "vec_id", "embedding", "qid", "qvec", 5)
-    }, None),
+    }, Some {
+      // SQ8 uses a PER-VECTOR scale (no trained model), so unlike the
+      // k-means-trained variants the whole index is replayable: DuckDB
+      // emulates the float32 encode path step-for-step (REAL casts;
+      // Java Math.round(float) = floor(f + 0.5f)), scores with the
+      // integer dot scaled in double, takes k*refine=15 ADC survivors
+      // and re-ranks them by exact cosine.
+      val cosRaw =
+        """list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                            CAST(q.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                   CAST(c.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                   CAST(q.embedding AS DOUBLE[]))))"""
+      s"""
+      WITH enc AS (
+        SELECT vec_id,
+          list_transform(embedding,
+            x -> CAST(CAST(x AS DOUBLE) / sqrt(list_dot_product(
+              CAST(embedding AS DOUBLE[]),
+              CAST(embedding AS DOUBLE[]))) AS REAL)) AS u
+        FROM embeddings),
+      sc AS (
+        SELECT vec_id, u,
+          CAST(list_max(list_transform(u, x -> abs(x)))
+            / CAST(127 AS REAL) AS REAL) AS scale
+        FROM enc),
+      codes AS (
+        SELECT vec_id, scale,
+          list_transform(u, x -> greatest(-127, least(127,
+            CAST(floor(CAST(CAST(x / scale AS REAL)
+              + CAST(0.5 AS REAL) AS REAL)) AS INTEGER)))) AS q
+        FROM sc),
+      scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+          CAST(c.scale AS DOUBLE) * CAST(q.scale AS DOUBLE)
+            * CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> c.q[i] * q.q[i])) AS BIGINT) AS s
+        FROM codes c, codes q
+        WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+      cand AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id)
+              AS r
+          FROM scored)
+        WHERE r <= 15)
+      SELECT qid, vec_id, sim, rank FROM (
+        SELECT cand.qid, cand.vec_id,
+          ROUND($cosRaw, 6) AS sim,
+          ROW_NUMBER() OVER (PARTITION BY cand.qid
+            ORDER BY $cosRaw DESC, cand.vec_id) AS rank
+        FROM cand
+        JOIN embeddings c ON c.vec_id = cand.vec_id
+        JOIN embeddings q ON q.vec_id = cand.qid)
+      WHERE rank <= 5"""
+    }),
 
     // Recall gate over every approximate index variant: mean recall@5
     // vs the exact brute-force baseline, computed in Spark (all variants
