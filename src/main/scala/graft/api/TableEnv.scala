@@ -126,6 +126,18 @@ final class TableEnv(val spark: SparkSession) {
 
   private val DropP =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$""".r
+  private val ShowViewsP = """(?is)^\s*SHOW\s+VIEWS\s*$""".r
+  private val ShowFunctionsP = """(?is)^\s*SHOW\s+FUNCTIONS\s*$""".r
+  private val AlterRenameP =
+    """(?is)^\s*ALTER\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*$""".r
+  private val AlterSetP =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s*\((.*)\)\s*$""".r
+  private val AlterOtherP = """(?is)^\s*ALTER\s+TABLE\b.*$""".r
+  private val SetP = """(?is)^\s*SET\s+'([^']+)'\s*=\s*'([^']*)'\s*;?\s*$""".r
+  private val SetListP = """(?is)^\s*SET\s*;?\s*$""".r
+  private val ResetP = """(?is)^\s*RESET\s+'([^']+)'\s*;?\s*$""".r
+  private val TruncateP =
+    """(?is)^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*$""".r
   private val ShowCreateP =
     """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$""".r
   private val ShowTablesP = """(?is)^\s*SHOW\s+TABLES\s*$""".r
@@ -239,6 +251,83 @@ final class TableEnv(val spark: SparkSession) {
         schema = baseSpec.schema.orElse(Some(batchRead(baseSpec).schema)))
       if (!(ifNotExists && spark.catalog.tableExists(name)))
         createTable(name, spec)
+      spark.emptyDataFrame
+    } else if (ShowViewsP.pattern.matcher(sql).matches()) {
+      // reference ShowViewsOperation (docs/dev/table/sql/show.md): the
+      // session's views — temp views NOT backed by a DDL TableSpec
+      import spark.implicits._
+      spark.catalog.listTables().collect().map(_.name)
+        .filterNot(specs.contains).toSeq.sorted.toDF("view name")
+    } else if (ShowFunctionsP.pattern.matcher(sql).matches()) {
+      // reference ShowFunctionsOperation: built-ins + registered UDFs
+      import spark.implicits._
+      spark.catalog.listFunctions().collect().map(_.name)
+        .toSeq.sorted.toDF("function name")
+    } else if (AlterRenameP.pattern.matcher(sql).matches()) {
+      // ALTER TABLE [IF EXISTS] a RENAME TO b (reference alter.md)
+      val m = AlterRenameP.findFirstMatchIn(sql).get
+      val (ifExists, from, to) = (m.group(1) != null, m.group(2), m.group(3))
+      specs.get(from) match {
+        case None =>
+          if (!ifExists) throw new IllegalArgumentException(
+            s"ALTER TABLE: unknown table $from")
+        case Some(spec) =>
+          require(!specs.contains(to) && !spark.catalog.tableExists(to),
+            s"ALTER TABLE RENAME: $to already exists")
+          specs.remove(from)
+          spark.catalog.dropTempView(from)
+          createTable(to, spec)
+      }
+      spark.emptyDataFrame
+    } else if (AlterSetP.pattern.matcher(sql).matches()) {
+      // ALTER TABLE t SET ('k'='v'): connector-option updates — the
+      // filesystem connector honors path/format re-pointing
+      val m = AlterSetP.findFirstMatchIn(sql).get
+      val (name, body) = (m.group(1), m.group(2))
+      val spec = specs.getOrElse(name, throw new IllegalArgumentException(
+        s"ALTER TABLE: unknown table $name"))
+      val opts = """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(body)
+        .map(o => o.group(1) -> o.group(2)).toMap
+      val unsupported = opts.keySet -- Set("path", "format", "connector")
+      require(unsupported.isEmpty,
+        s"ALTER TABLE SET: unsupported option(s) $unsupported " +
+          "(supported: path, format, connector='filesystem')")
+      require(opts.get("connector").forall(_ == "filesystem"),
+        "ALTER TABLE SET: only the filesystem connector is supported")
+      createTable(name, spec.copy(
+        path = opts.getOrElse("path", spec.path),
+        format = opts.getOrElse("format", spec.format)))
+      spark.emptyDataFrame
+    } else if (AlterOtherP.pattern.matcher(sql).matches()) {
+      throw new IllegalArgumentException(
+        "ALTER TABLE: only RENAME TO and SET ('k'='v') are supported — " +
+          "for schema changes use CREATE TABLE ... LIKE / CTAS and " +
+          "INSERT the reshaped data")
+    } else if (TruncateP.pattern.matcher(sql).matches()) {
+      // TRUNCATE TABLE (reference truncate.md, batch-only): delete all
+      // rows, keep the table registered
+      val name = TruncateP.findFirstMatchIn(sql).get.group(1)
+      val spec = specs.getOrElse(name, throw new IllegalArgumentException(
+        s"TRUNCATE TABLE: $name is not a registered table"))
+      val schema = spec.schema.getOrElse(spark.table(name).schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(schema.filterNot(f => spec.proctime.contains(f.name))))
+        .write.format(spec.format).mode("overwrite").save(spec.path)
+      refreshTable(name)
+      spark.emptyDataFrame
+    } else if (SetP.pattern.matcher(sql).matches()) {
+      // SET 'key' = 'value' (reference set.md): session configuration
+      val m = SetP.findFirstMatchIn(sql).get
+      spark.conf.set(m.group(1), m.group(2))
+      spark.emptyDataFrame
+    } else if (SetListP.pattern.matcher(sql).matches()) {
+      // bare SET lists the configuration
+      import spark.implicits._
+      spark.conf.getAll.toSeq.sorted.toDF("key", "value")
+    } else if (ResetP.pattern.matcher(sql).matches()) {
+      // RESET 'key' (reference reset.md) — key-level reset; a bare
+      // RESET (reset everything) is not supported, name the key
+      spark.conf.unset(ResetP.findFirstMatchIn(sql).get.group(1))
       spark.emptyDataFrame
     } else if (ShowTablesP.pattern.matcher(sql).matches()) {
       // reference ShowTablesOperation: every table visible in the

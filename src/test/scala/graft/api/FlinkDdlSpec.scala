@@ -330,6 +330,45 @@ class FlinkDdlSpec extends SparkSpec {
     env.executeSql("DROP TABLE vals_t")
   }
 
+  test("SHOW VIEWS / SHOW FUNCTIONS / SET / RESET / ALTER / TRUNCATE") {
+    val env = TableEnv(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ddl_misc").toString
+    env.executeSql(s"""
+      CREATE TABLE misc_t (k BIGINT, v STRING)
+      WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+            'format' = 'parquet')""")
+    env.executeSql("INSERT INTO misc_t VALUES (1, 'a'), (2, 'b')")
+    env.executeSql("CREATE TEMPORARY VIEW misc_v AS SELECT k FROM misc_t")
+    // SHOW VIEWS lists views, not DDL tables
+    val views = env.executeSql("SHOW VIEWS").collect().map(_.getString(0))
+    assert(views.contains("misc_v") && !views.contains("misc_t"))
+    // SHOW FUNCTIONS includes the registered graft UDFs
+    val fns = env.executeSql("SHOW FUNCTIONS").collect().map(_.getString(0))
+    assert(fns.contains("collect_multiset") && fns.contains("split_index"))
+    // SET writes session conf; bare SET lists it; RESET unsets
+    env.executeSql("SET 'graft.test.flag' = 'on'")
+    assert(spark.conf.get("graft.test.flag") == "on")
+    val listed = env.executeSql("SET").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(listed.get("graft.test.flag").contains("on"))
+    env.executeSql("RESET 'graft.test.flag'")
+    assert(spark.conf.getOption("graft.test.flag").isEmpty)
+    // ALTER TABLE RENAME moves the spec and the view
+    env.executeSql("ALTER TABLE misc_t RENAME TO misc_t2")
+    assert(env.tableSpec("misc_t").isEmpty &&
+      env.tableSpec("misc_t2").isDefined)
+    assert(env.from("misc_t2").count() == 2)
+    // unsupported ALTER forms raise with a pointer
+    val e = intercept[IllegalArgumentException](
+      env.executeSql("ALTER TABLE misc_t2 ADD c INT"))
+    assert(e.getMessage.contains("RENAME"))
+    // TRUNCATE deletes rows, keeps the table
+    env.executeSql("TRUNCATE TABLE misc_t2")
+    assert(env.from("misc_t2").count() == 0)
+    assert(env.tableSpec("misc_t2").isDefined)
+    env.executeSql("DROP TABLE misc_t2")
+  }
+
   test("createTable falls back to an empty view only on path-not-found") {
     val env = TableEnv(spark)
     // path-not-found with declared schema -> empty view (sink table)
