@@ -138,6 +138,11 @@ final class TableEnv(val spark: SparkSession) {
   private val ResetP = """(?is)^\s*RESET\s+'([^']+)'\s*;?\s*$""".r
   private val TruncateP =
     """(?is)^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*$""".r
+  private val ShowJobsP = """(?is)^\s*SHOW\s+JOBS\s*;?\s*$""".r
+  private val DescribeJobP =
+    """(?is)^\s*DESCRIBE\s+JOB\s+'([^']+)'\s*;?\s*$""".r
+  private val StopJobP =
+    """(?is)^\s*STOP\s+JOB\s+'([^']+)'(\s+WITH\s+SAVEPOINT)?\s*;?\s*$""".r
   private val ShowCreateP =
     """(?is)^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$""".r
   private val ShowTablesP = """(?is)^\s*SHOW\s+TABLES\s*$""".r
@@ -328,6 +333,39 @@ final class TableEnv(val spark: SparkSession) {
       // RESET 'key' (reference reset.md) — key-level reset; a bare
       // RESET (reset everything) is not supported, name the key
       spark.conf.unset(ResetP.findFirstMatchIn(sql).get.group(1))
+      spark.emptyDataFrame
+    } else if (ShowJobsP.pattern.matcher(sql).matches()) {
+      // reference job.md SHOW JOBS: the running streaming jobs — here
+      // the session's active Structured Streaming queries
+      import spark.implicits._
+      spark.streams.active.toSeq
+        .map(q => (q.id.toString, Option(q.name).getOrElse(""),
+          if (q.isActive) "RUNNING" else "FINISHED"))
+        .toDF("job id", "job name", "status")
+    } else if (DescribeJobP.pattern.matcher(sql).matches()) {
+      val id = DescribeJobP.findFirstMatchIn(sql).get.group(1)
+      val q = spark.streams.active.find(q =>
+        q.id.toString == id || q.runId.toString == id ||
+          Option(q.name).contains(id))
+        .getOrElse(throw new IllegalArgumentException(
+          s"DESCRIBE JOB: no active job '$id'"))
+      import spark.implicits._
+      Seq((q.id.toString, Option(q.name).getOrElse(""),
+        if (q.isActive) "RUNNING" else "FINISHED",
+        Option(q.lastProgress).map(_.timestamp).getOrElse("")))
+        .toDF("job id", "job name", "status", "last progress")
+    } else if (StopJobP.pattern.matcher(sql).matches()) {
+      // STOP JOB 'id': graceful stop. WITH SAVEPOINT maps to Spark's
+      // checkpoint story — state lives in the query's checkpointLocation
+      // already, so the stop itself is the "savepoint" (documented
+      // delta: no separate savepoint artifact path is produced).
+      val id = StopJobP.findFirstMatchIn(sql).get.group(1)
+      val q = spark.streams.active.find(q =>
+        q.id.toString == id || q.runId.toString == id ||
+          Option(q.name).contains(id))
+        .getOrElse(throw new IllegalArgumentException(
+          s"STOP JOB: no active job '$id'"))
+      q.stop()
       spark.emptyDataFrame
     } else if (ShowTablesP.pattern.matcher(sql).matches()) {
       // reference ShowTablesOperation: every table visible in the

@@ -369,6 +369,31 @@ class FlinkDdlSpec extends SparkSpec {
     env.executeSql("DROP TABLE misc_t2")
   }
 
+  test("SHOW JOBS / DESCRIBE JOB / STOP JOB manage streaming queries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val env = TableEnv(spark)
+    val ms = MemoryStream[Long]
+    ms.addData(1L, 2L, 3L)
+    val q = ms.toDF().writeStream.queryName("graft_job_q")
+      .format("memory").start()
+    try {
+      q.processAllAvailable()
+      val jobs = env.executeSql("SHOW JOBS").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(jobs.exists(j => j._2 == "graft_job_q" && j._3 == "RUNNING"))
+      val d = env.executeSql("DESCRIBE JOB 'graft_job_q'").collect().head
+      assert(d.getString(2) == "RUNNING")
+      env.executeSql("STOP JOB 'graft_job_q'")
+      assert(!spark.streams.active.exists(x =>
+        Option(x.name).contains("graft_job_q")))
+      val e = intercept[IllegalArgumentException](
+        env.executeSql("DESCRIBE JOB 'graft_job_q'"))
+      assert(e.getMessage.contains("no active job"))
+    } finally if (q.isActive) q.stop()
+  }
+
   test("createTable falls back to an empty view only on path-not-found") {
     val env = TableEnv(spark)
     // path-not-found with declared schema -> empty view (sink table)
