@@ -153,6 +153,20 @@ class LookupJoinSqlSpec extends SparkSpec {
   }
 
 
+  test("lookup join never shuffles the probe side (scale contract)") {
+    val df = env.executeSql("""
+      SELECT o.o_orderkey, c.c_name
+      FROM lk_orders AS o
+      JOIN lk_customer FOR SYSTEM_TIME AS OF o.pt AS c
+      ON o.o_custkey = c.c_custkey""")
+    // probes flow scan -> mapPartitions(lookup runner) -> project/filter:
+    // no Exchange anywhere — the dim rides as a broadcast variable
+    // inside the lookup function, exactly the per-subtask runner shape
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(plan.contains("MapPartitions"), s"lookup runner missing:\n$plan")
+  }
+
   test("hint validation: unknown options and wrong table raise") {
     val e1 = intercept[IllegalArgumentException](env.executeSql("""
       SELECT /*+ LOOKUP('table'='c', 'bogus'='1') */ o.o_orderkey
