@@ -30,6 +30,14 @@ final class TableEnv(val spark: SparkSession) {
 
   private val specs = scala.collection.mutable.Map.empty[String, TableSpec]
 
+  // ---- catalogs (reference CatalogManager): the built-in session
+  // catalog plus any CREATE CATALOG ('type'='hive') registrations;
+  // while a hive catalog is active, DDL tables are ALSO persisted to
+  // the metastore (see HiveCatalog) ----
+  private val hiveCatalogNames = scala.collection.mutable.Set.empty[String]
+  private var activeCatalog: String = "default_catalog"
+  private def persistToHive: Boolean = hiveCatalogNames.contains(activeCatalog)
+
   /** CREATE TABLE analogue: register a named external table. A sink
     * table whose path doesn't exist yet registers as an empty view with
     * the declared schema (filled by INSERT INTO later). Only the
@@ -49,6 +57,9 @@ final class TableEnv(val spark: SparkSession) {
           case None => throw e
         }
     }
+    // active hive catalog: also write the metastore entry so the table
+    // outlives this session (the point of a catalog vs temp views)
+    if (persistToHive) HiveCatalog.persist(spark, name, spec)
   }
 
   private[api] def isPathNotFound(e: org.apache.spark.sql.AnalysisException): Boolean =
@@ -139,6 +150,10 @@ final class TableEnv(val spark: SparkSession) {
   private val TruncateP =
     """(?is)^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*$""".r
   private val ShowJobsP = """(?is)^\s*SHOW\s+JOBS\s*;?\s*$""".r
+  private val CreateCatalogP =
+    """(?is)^\s*CREATE\s+CATALOG\s+(\w+)\s+WITH\s*\((.*)\)\s*$""".r
+  private val UseCatalogP = """(?is)^\s*USE\s+CATALOG\s+(\w+)\s*;?\s*$""".r
+  private val ShowCatalogsP = """(?is)^\s*SHOW\s+CATALOGS\s*;?\s*$""".r
   private val DescribeJobP =
     """(?is)^\s*DESCRIBE\s+JOB\s+'([^']+)'\s*;?\s*$""".r
   private val StopJobP =
@@ -213,6 +228,7 @@ final class TableEnv(val spark: SparkSession) {
         throw new IllegalArgumentException(s"DROP TABLE: unknown table $name")
       specs.remove(name)
       spark.catalog.dropTempView(name)
+      if (persistToHive) HiveCatalog.unpersist(spark, name)
       spark.emptyDataFrame
     } else if (CreateViewP.pattern.matcher(sql).matches()) {
       // CREATE [TEMPORARY] VIEW (reference SqlCreateView): every view is
@@ -334,6 +350,38 @@ final class TableEnv(val spark: SparkSession) {
       // RESET (reset everything) is not supported, name the key
       spark.conf.unset(ResetP.findFirstMatchIn(sql).get.group(1))
       spark.emptyDataFrame
+    } else if (CreateCatalogP.pattern.matcher(sql).matches()) {
+      // CREATE CATALOG c WITH ('type' = 'hive') — reference
+      // hive_catalog.md. Requires a hive-enabled session (the catalog
+      // implementation is fixed per JVM; see HiveCatalog.session).
+      val m = CreateCatalogP.findFirstMatchIn(sql).get
+      val (cname, body) = (m.group(1), m.group(2))
+      val opts = """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(body)
+        .map(o => o.group(1) -> o.group(2)).toMap
+      opts.get("type") match {
+        case Some("hive") =>
+          require(HiveCatalog.available,
+            "CREATE CATALOG: hive metastore classes not on the classpath")
+          require(HiveCatalog.isHiveSession(spark),
+            "CREATE CATALOG ('type'='hive') needs a hive-enabled " +
+              "session — build it with graft.api.HiveCatalog.session(" +
+              "warehouseDir, metastoreDir) (the catalog implementation " +
+              "is fixed per JVM at first-session creation)")
+          hiveCatalogNames += cname
+        case other => throw new IllegalArgumentException(
+          s"CREATE CATALOG: unsupported type $other (supported: hive)")
+      }
+      spark.emptyDataFrame
+    } else if (UseCatalogP.pattern.matcher(sql).matches()) {
+      val cname = UseCatalogP.findFirstMatchIn(sql).get.group(1)
+      require(cname == "default_catalog" || hiveCatalogNames.contains(cname),
+        s"USE CATALOG: unknown catalog $cname")
+      activeCatalog = cname
+      spark.emptyDataFrame
+    } else if (ShowCatalogsP.pattern.matcher(sql).matches()) {
+      import spark.implicits._
+      ("default_catalog" +: hiveCatalogNames.toSeq.sorted)
+        .toDF("catalog name")
     } else if (ShowJobsP.pattern.matcher(sql).matches()) {
       // reference job.md SHOW JOBS: the running streaming jobs — here
       // the session's active Structured Streaming queries
