@@ -24,6 +24,10 @@ final case class TableSpec(
     partitions: Seq[String] = Nil, // PARTITIONED BY columns (hive-style dirs)
     proctime: Option[String] = None) // computed col declared AS PROCTIME()
 
+/** ANALYZE TABLE output: row count plus per-column (nullCount, ndv). */
+final case class TableStats(rowCount: Long,
+    columns: Map[String, (Long, Long)])
+
 final class TableEnv(val spark: SparkSession) {
 
   graft.functions.register(spark)
@@ -37,6 +41,12 @@ final class TableEnv(val spark: SparkSession) {
   private val hiveCatalogNames = scala.collection.mutable.Set.empty[String]
   private var activeCatalog: String = "default_catalog"
   private def persistToHive: Boolean = hiveCatalogNames.contains(activeCatalog)
+
+  /** ANALYZE TABLE results for session-catalog tables (reference
+    * analyze.md stats; hive-catalog tables use the metastore instead). */
+  private val tableStatsMap =
+    scala.collection.mutable.Map.empty[String, TableStats]
+  def tableStats(name: String): Option[TableStats] = tableStatsMap.get(name)
 
   /** CREATE TABLE analogue: register a named external table. A sink
     * table whose path doesn't exist yet registers as an empty view with
@@ -150,6 +160,9 @@ final class TableEnv(val spark: SparkSession) {
   private val TruncateP =
     """(?is)^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*$""".r
   private val ShowJobsP = """(?is)^\s*SHOW\s+JOBS\s*;?\s*$""".r
+  private val AnalyzeP =
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS""" +
+      """(\s+FOR\s+ALL\s+COLUMNS|\s+FOR\s+COLUMNS\s+([\w,\s]+))?\s*$""").r
   private val CreateCatalogP =
     """(?is)^\s*CREATE\s+CATALOG\s+(\w+)\s+WITH\s*\((.*)\)\s*$""".r
   private val UseCatalogP = """(?is)^\s*USE\s+CATALOG\s+(\w+)\s*;?\s*$""".r
@@ -349,6 +362,36 @@ final class TableEnv(val spark: SparkSession) {
       // RESET 'key' (reference reset.md) — key-level reset; a bare
       // RESET (reset everything) is not supported, name the key
       spark.conf.unset(ResetP.findFirstMatchIn(sql).get.group(1))
+      spark.emptyDataFrame
+    } else if (AnalyzeP.pattern.matcher(sql).matches()) {
+      // ANALYZE TABLE ... COMPUTE STATISTICS [FOR ALL COLUMNS|FOR
+      // COLUMNS c,...] (reference analyze.md, batch-only, manual).
+      // With a hive catalog active the statement delegates to Spark's
+      // native ANALYZE (stats land in the metastore and feed CBO/AQE);
+      // otherwise stats are computed into the session spec registry,
+      // visible via DESCRIBE EXTENDED-style inspection (tableStats).
+      val m = AnalyzeP.findFirstMatchIn(sql).get
+      val name = m.group(1)
+      require(specs.contains(name) || spark.catalog.tableExists(name),
+        s"ANALYZE TABLE: unknown table $name")
+      if (persistToHive) spark.sql(sql)
+      else {
+        val df = spark.table(name)
+        val cols: Seq[String] =
+          if (m.group(2) == null) Nil
+          else Option(m.group(3))
+            .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
+            .getOrElse(df.columns.toSeq)
+        val rowCount = df.count()
+        val colStats = cols.map { c =>
+          val r = df.select(
+            org.apache.spark.sql.functions.count(col(c)),
+            org.apache.spark.sql.functions.count_distinct(col(c)))
+            .head()
+          c -> (rowCount - r.getLong(0), r.getLong(1)) // (nulls, ndv)
+        }.toMap
+        tableStatsMap(name) = TableStats(rowCount, colStats)
+      }
       spark.emptyDataFrame
     } else if (CreateCatalogP.pattern.matcher(sql).matches()) {
       // CREATE CATALOG c WITH ('type' = 'hive') — reference

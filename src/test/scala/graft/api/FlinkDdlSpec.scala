@@ -369,6 +369,25 @@ class FlinkDdlSpec extends SparkSpec {
     env.executeSql("DROP TABLE misc_t2")
   }
 
+  test("ANALYZE TABLE computes row and column statistics") {
+    val env = TableEnv(spark)
+    env.executeSql(s"""
+      CREATE TABLE an_t (r_regionkey BIGINT, r_name STRING, r_comment STRING)
+      WITH ('connector' = 'filesystem', 'path' = '$sfDir/region.parquet',
+            'format' = 'parquet')""")
+    env.executeSql("ANALYZE TABLE an_t COMPUTE STATISTICS")
+    assert(env.tableStats("an_t").exists(s =>
+      s.rowCount == 5 && s.columns.isEmpty))
+    env.executeSql("ANALYZE TABLE an_t COMPUTE STATISTICS FOR COLUMNS r_name")
+    val st = env.tableStats("an_t").get
+    assert(st.columns("r_name") == ((0L, 5L))) // no nulls, 5 distinct
+    env.executeSql("ANALYZE TABLE an_t COMPUTE STATISTICS FOR ALL COLUMNS")
+    assert(env.tableStats("an_t").get.columns.size == 3)
+    intercept[IllegalArgumentException](
+      env.executeSql("ANALYZE TABLE nope_t COMPUTE STATISTICS"))
+    env.executeSql("DROP TABLE an_t")
+  }
+
   test("SHOW JOBS / DESCRIBE JOB / STOP JOB manage streaming queries") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
