@@ -107,9 +107,23 @@ object FlinkSqlDialect {
 
     var out = sql
 
-    // EXPLAIN [PLAN FOR] <query> — reference docs/content/docs/dev/table/
-    // sql/explain.md; Spark's EXPLAIN takes the query directly
+    // EXPLAIN [PLAN FOR | <ExplainDetail,...>] <query> — reference
+    // docs/.../sql/explain.md. ESTIMATED_COST → Spark EXPLAIN COST,
+    // JSON_EXECUTION_PLAN → EXPLAIN FORMATTED; CHANGELOG_MODE /
+    // PLAN_ADVICE have no Spark analogue — raise, don't silently drop.
     out = out.replaceAll("(?is)^\\s*EXPLAIN\\s+PLAN\\s+FOR\\s+", "EXPLAIN ")
+    if ("""(?is)^\s*EXPLAIN\s""".r.findFirstIn(out).isDefined) {
+      require(!"""(?i)\bCHANGELOG_MODE\b""".r.findFirstIn(out).isDefined,
+        "EXPLAIN CHANGELOG_MODE: Spark plans carry no changelog kinds — " +
+          "inspect the graft.cdc operators' __row_kind column instead")
+      require(!"""(?i)\bPLAN_ADVICE\b""".r.findFirstIn(out).isDefined,
+        "EXPLAIN PLAN_ADVICE: no Spark analogue — use EXPLAIN " +
+          "ESTIMATED_COST (cost-based details) or Spark's AQE logs")
+      out = out.replaceAll("(?is)^(\\s*EXPLAIN)\\s+ESTIMATED_COST\\s+",
+        "$1 COST ")
+      out = out.replaceAll("(?is)^(\\s*EXPLAIN)\\s+JSON_EXECUTION_PLAN\\s+",
+        "$1 FORMATTED ")
+    }
 
     // Join hints (reference docs/content/docs/dev/table/sql/queries/
     // hints.md): BROADCAST and SHUFFLE_HASH share Spark's hint names and

@@ -289,6 +289,20 @@ class FlinkSqlDialectSpec extends SparkSpec {
     assert(e2.getMessage.contains("column list"))
   }
 
+  test("EXPLAIN detail modes map to Spark's; unmappable ones raise") {
+    val cost = env.executeSql(FlinkSqlDialect.translate(
+      "EXPLAIN ESTIMATED_COST SELECT COUNT(*) FROM region"))
+      .collect().head.getString(0)
+    assert(cost.contains("Statistics") || cost.contains("sizeInBytes"))
+    val fmt = env.executeSql(FlinkSqlDialect.translate(
+      "EXPLAIN JSON_EXECUTION_PLAN SELECT COUNT(*) FROM region"))
+      .collect().head.getString(0)
+    assert(fmt.contains("(1)") || fmt.contains("HashAggregate"))
+    val e = intercept[IllegalArgumentException](FlinkSqlDialect.translate(
+      "EXPLAIN CHANGELOG_MODE SELECT * FROM region"))
+    assert(e.getMessage.contains("row_kind"))
+  }
+
   test("Flink join hints map to Spark strategies; runtime hints raise") {
     // SHUFFLE_MERGE -> MERGE (sort-merge join)
     val smj = env.executeSql("""
