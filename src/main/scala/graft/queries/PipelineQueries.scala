@@ -69,6 +69,128 @@ object PipelineQueries {
              ${fnv("list_transform(generate_series(1, length(wd))," +
                " i -> CAST(unicode(wd[i]) AS UBIGINT))")}) AS fnv FROM w)"""
 
+    /** rotl(x, r) mod 2^64: the shifted halves are disjoint, so OR ==
+      * XOR; the left shift is a mulmod by 2^r (UBIGINT << overflows). */
+    def rotl(x: String, r: Int): String =
+      s"xor(${mulmod(x, (1L << r).toString)}, ($x >> ${64 - r}))"
+
+    /** CTE chain ending in `sample(vec_id, embedding, rnk)`: the
+      * embeddings table ranked by Spark's xxhash64(vec_id) — XXH64 of
+      * the 8-byte long with seed 42, replayed step-for-step — exactly
+      * Similarity.sampleVectors' deterministic training order. */
+    val xxhSample: String = {
+      val (p1, p2, p3, p4, p5) =
+        ("-7046029288634856825", "-4417276706812531889",
+          "1609587929392839161", "-8796714831421723037",
+          "2870177450012600261")
+      // unsigned views of the XXH64 primes and the seed-42 initial hash
+      def u(s: String): String = {
+        val v = java.lang.Long.parseLong(s)
+        java.lang.Long.toUnsignedString(v)
+      }
+      val h0 = java.lang.Long.toUnsignedString(
+        42L + java.lang.Long.parseLong(p5) + 8L)
+      s"""xh0 AS (SELECT vec_id, embedding,
+             ${mulmod("CAST(vec_id AS UBIGINT)", u(p2))} AS k
+           FROM embeddings),
+         xh1 AS (SELECT vec_id, embedding, ${rotl("k", 31)} AS k FROM xh0),
+         xh2 AS (SELECT vec_id, embedding, ${mulmod("k", u(p1))} AS k FROM xh1),
+         xh3 AS (SELECT vec_id, embedding,
+             xor(CAST($h0 AS UBIGINT), k) AS h FROM xh2),
+         xh4 AS (SELECT vec_id, embedding, ${rotl("h", 27)} AS h FROM xh3),
+         xh5 AS (SELECT vec_id, embedding,
+             CAST((CAST(${mulmod("h", u(p1))} AS HUGEINT) + ${u(p4)}) % $T
+               AS UBIGINT) AS h FROM xh4),
+         xh6 AS (SELECT vec_id, embedding, xor(h, h >> 33) AS h FROM xh5),
+         xh7 AS (SELECT vec_id, embedding, ${mulmod("h", u(p2))} AS h FROM xh6),
+         xh8 AS (SELECT vec_id, embedding, xor(h, h >> 29) AS h FROM xh7),
+         xh9 AS (SELECT vec_id, embedding, ${mulmod("h", u(p3))} AS h FROM xh8),
+         xhA AS (SELECT vec_id, embedding, xor(h, h >> 32) AS h FROM xh9),
+         sample AS (
+           SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (ORDER BY ${toSigned("h")}, vec_id) AS rnk
+           FROM xhA QUALIFY rnk <= 8192)"""
+    }
+
+    /** Sequential-order squared-L2 between a FLOAT vector and a REAL
+      * centroid — the exact double fold of NearestCentroid/lloyd. */
+    def d2n(v: String, c: String, n: Int): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         list_transform(generate_series(1, $n), i ->
+           (CAST($v[i] AS DOUBLE) - CAST($c[i] AS DOUBLE))
+           * (CAST($v[i] AS DOUBLE) - CAST($c[i] AS DOUBLE)))),
+         (a, x) -> a + x)"""
+    def d2(v: String, c: String): String = d2n(v, c, 64)
+
+    /** L2-unitized sample vectors (rounded to FLOAT per component —
+      * Similarity.unitize), as CTE `usample0(rnk, v)`. */
+    val unitSample: String =
+      """usample0 AS (
+        SELECT rnk,
+          list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * (CASE
+            WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])) > 0
+            THEN 1.0 / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[])))
+            ELSE 0.0 END) AS REAL)) AS v
+        FROM sample)"""
+
+    /** Generic Lloyd chain over `src(rnk, v)` — or `src(j, rnk, v)`
+      * when `subspaced` (one independent run per subspace j). Produces
+      * `<prefix>{iters}(cell[, j], c)`; semantics identical to
+      * [[lloydCtes]]. */
+    def lloydChain(prefix: String, src: String, subspaced: Boolean,
+        dims: Int, nlist: Int, iters: Int): String = {
+      val jkey = if (subspaced) "j, " else ""
+      val jsel = if (subspaced) "s.j, " else ""
+      val jon = if (subspaced) "p.j = s.j AND " else ""
+      val jpr = if (subspaced) "p.j, " else ""
+      val jcond = if (subspaced) "a.j = p.j AND " else ""
+      val chain = (1 to iters).map { it =>
+        s"""${prefix}a$it AS (
+           SELECT ${jkey}rnk, v, cell FROM (
+             SELECT ${jsel}s.rnk, s.v, p.cell,
+               ROW_NUMBER() OVER (PARTITION BY ${jsel}s.rnk
+                 ORDER BY ${d2n("s.v", "p.c", dims)}, p.cell) AS r
+             FROM $src s JOIN $prefix${it - 1} p ON ${jon}TRUE)
+           WHERE r = 1),
+         ${prefix}p$it AS (
+           SELECT ${jkey}cell, COUNT(*) AS cnt,
+             list(v ORDER BY rnk) AS mem
+           FROM ${prefix}a$it GROUP BY ${jkey}cell),
+         $prefix$it AS (
+           SELECT ${jpr}p.cell,
+             CASE WHEN a.cnt IS NULL THEN p.c ELSE
+               list_transform(generate_series(1, $dims), d ->
+                 CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(a.mem, m -> CAST(m[d] AS DOUBLE))),
+                   (x, y) -> x + y) / a.cnt AS REAL)) END AS c
+           FROM $prefix${it - 1} p
+           LEFT JOIN ${prefix}p$it a ON ${jcond}a.cell = p.cell)"""
+      }.mkString(",\n      ")
+      s"""${prefix}0 AS (SELECT ${jkey}rnk - 1 AS cell, v AS c
+           FROM $src WHERE rnk <= $nlist),
+         $chain"""
+    }
+
+    /** Raw double cosine (the proven q_ann_brute formula). */
+    def cosRaw(a: String, b: String): String =
+      s"""(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST($b AS DOUBLE[]),
+                                 CAST($b AS DOUBLE[])))))"""
+
+    /** CTE chain cent0..cent{iters}: Similarity.trainKMeans replayed —
+      * init = first nlist sample vectors, then Lloyd iterations with
+      * the driver's exact semantics (strict-< argmin ties to the lowest
+      * cell; per-cell mean as an ORDERED double fold over members in
+      * sample order, cast to float; empty cells keep their centroid).
+      * The raw (non-unitized) variant over the nlist*256-row sample. */
+    def lloydCtes(nlist: Int, iters: Int): String =
+      s"""rawsrc AS (SELECT rnk, embedding AS v FROM sample
+           WHERE rnk <= ${nlist * 256}),
+         ${lloydChain("cent", "rawsrc", subspaced = false, 64, nlist, iters)}"""
+
     /** CTE chain ending in `sig(doc_id, sig)`: the full 32-permutation
       * MinHash signature over word 3-gram shingles (MinHashSig), with
       * the permutation coefficients inlined from TextHash.coef. */
@@ -392,6 +514,11 @@ object PipelineQueries {
 
     // IVF coarse-quantizer ANN (rows-only; recall asserted in
     // SimilaritySpec against brute force).
+    // IVF is now FULLY oracled, trained model included: the sample
+    // order is Spark's xxhash64(vec_id) — XXH64 replayed in DuckDB —
+    // so the k-means init and all 3 Lloyd iterations re-run exactly
+    // (ordered double folds), then cell assignment, nprobe probing and
+    // the exact-cosine re-rank.
     QueryDef("q_ann_ivf", (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
@@ -399,12 +526,43 @@ object PipelineQueries {
       Similarity.ivfTopK(emb, queries,
         "vec_id", "embedding", "qid", "qvec", 5, dim = 64,
         nlist = 16, nprobe = 4, iters = 3)
-    }, None),
+    }, Some(s"""
+      WITH ${DuckHash.xxhSample},
+      ${DuckHash.lloydCtes(16, 3)},
+      indexed AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, p.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${DuckHash.d2("e.embedding", "p.c")}, p.cell) AS r
+          FROM embeddings e, cent3 p)
+        WHERE r = 1),
+      probes AS (
+        SELECT qid, qvec, cell FROM (
+          SELECT e.vec_id AS qid, e.embedding AS qvec, p.cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${DuckHash.d2("e.embedding", "p.c")}, p.cell) AS r
+          FROM embeddings e, cent3 p WHERE e.vec_id < 8)
+        WHERE r <= 4)
+      SELECT qid, vec_id, sim, rank FROM (
+        SELECT p.qid, i.vec_id,
+          ROUND(${DuckHash.cosRaw("i.embedding", "p.qvec")}, 6) AS sim,
+          ROW_NUMBER() OVER (PARTITION BY p.qid
+            ORDER BY ${DuckHash.cosRaw("i.embedding", "p.qvec")} DESC,
+              i.vec_id) AS rank
+        FROM indexed i JOIN probes p
+          ON i.cell = p.cell AND i.vec_id <> p.qid)
+      WHERE rank <= 5""")),
 
     // Product-quantization ANN (Jégou et al. 2011): codes are 32× smaller
     // than the vectors, scoring is m table lookups per pair (ADC), exact
     // re-rank on the survivors. Depends on the k-means codebooks →
     // rows-only check; recall vs brute force asserted in SimilaritySpec.
+    // PQ is FULLY oracled, codebooks included: the xxhash64-ordered
+    // sample is unitized (float-rounded, Similarity.unitize), the 16
+    // subspace codebooks re-run their 5 Lloyd iterations exactly
+    // (lloydChain subspaced), encode/ADC replay PqCodes/AdcTables'
+    // double-normalized arithmetic, and the k*refine ADC survivors
+    // re-rank by exact cosine.
     QueryDef("q_ann_pq", (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
@@ -412,11 +570,77 @@ object PipelineQueries {
       Similarity.pqTopK(emb, queries,
         "vec_id", "embedding", "qid", "qvec", 5, dim = 64,
         m = 16, codebookSize = 32, refine = 8)
-    }, None),
+    }, Some {
+      // PqCodes/AdcTables normalize in DOUBLE (no float rounding)
+      val inv =
+        """(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+              CAST(e.embedding AS DOUBLE[])) > 0
+            THEN 1.0 / sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+              CAST(e.embedding AS DOUBLE[]))) ELSE 0.0 END)"""
+      val d2enc =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(generate_series(1, 4), t ->
+             (CAST(e.embedding[p.j*4+t] AS DOUBLE) * $inv
+               - CAST(p.c[t] AS DOUBLE))
+             * (CAST(e.embedding[p.j*4+t] AS DOUBLE) * $inv
+               - CAST(p.c[t] AS DOUBLE)))), (a, x) -> a + x)"""
+      val adcdot =
+        s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(generate_series(1, 4), t ->
+             CAST(e.embedding[p.j*4+t] AS DOUBLE) * $inv
+               * CAST(p.c[t] AS DOUBLE))), (a, x) -> a + x)"""
+      s"""
+      WITH ${DuckHash.xxhSample},
+      ${DuckHash.unitSample},
+      slices AS (
+        SELECT rnk, j, v[j*4+1 : j*4+4] AS v
+        FROM usample0, generate_series(0, 15) AS gj(j)),
+      ${DuckHash.lloydChain("pc", "slices", subspaced = true, 4, 32, 5)},
+      codes AS (
+        SELECT vec_id, j, code FROM (
+          SELECT e.vec_id, p.j, p.cell AS code,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id, p.j
+              ORDER BY $d2enc, p.cell) AS r
+          FROM embeddings e, pc5 p)
+        WHERE r = 1),
+      qtab AS (
+        SELECT e.vec_id AS qid, p.j, p.cell, $adcdot AS tv
+        FROM embeddings e, pc5 p WHERE e.vec_id < 8),
+      adc AS (
+        SELECT q.qid, c.vec_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(q.tv ORDER BY q.j)), (a, x) -> a + x) AS s
+        FROM codes c JOIN qtab q ON q.j = c.j AND q.cell = c.code
+        WHERE c.vec_id <> q.qid
+        GROUP BY q.qid, c.vec_id),
+      cand AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id)
+              AS r
+          FROM adc)
+        WHERE r <= 40)
+      SELECT qid, vec_id, sim, rank FROM (
+        SELECT cand.qid, cand.vec_id,
+          ROUND(${DuckHash.cosRaw("c.embedding", "q.embedding")}, 6) AS sim,
+          ROW_NUMBER() OVER (PARTITION BY cand.qid
+            ORDER BY ${DuckHash.cosRaw("c.embedding", "q.embedding")} DESC,
+              cand.vec_id) AS rank
+        FROM cand
+        JOIN embeddings c ON c.vec_id = cand.vec_id
+        JOIN embeddings q ON q.vec_id = cand.qid)
+      WHERE rank <= 5"""
+    }),
 
     // IVF-PQ: coarse cells bound the compute, PQ codes bound the
     // memory/IO, ADC + exact re-rank — the composed billion-scale index
     // shape. Rows-only (k-means model); recall asserted in SimilaritySpec.
+    // IVFADC fully oracled: unit-space coarse quantizer (3 Lloyd
+    // iterations over the unitized sample), residual PQ codebooks
+    // (float-subtracted residual slices, 16 subspace Lloyd runs),
+    // PqCodesResidual's double-normalized encode, probes carrying
+    // IP(q̂, centroid) with the float-rounded q̂ (incl. the zero-norm
+    // guard) plus ADC tables of the raw query, and the exact re-rank.
     QueryDef("q_ann_ivfpq", (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 8)
@@ -424,7 +648,108 @@ object PipelineQueries {
       Similarity.ivfPqTopK(emb, queries,
         "vec_id", "embedding", "qid", "qvec", 5, dim = 64,
         nlist = 16, nprobe = 8, m = 16, codebookSize = 32, refine = 12)
-    }, None),
+    }, Some(s"""
+      WITH ${DuckHash.xxhSample},
+      ${DuckHash.unitSample},
+      ucsrc AS (SELECT rnk, v FROM usample0 WHERE rnk <= 4096),
+      ${DuckHash.lloydChain("uc", "ucsrc", subspaced = false, 64, 16, 3)},
+      rsd AS (
+        SELECT rnk, v, cvv FROM (
+          SELECT u.rnk, u.v, p.c AS cvv,
+            ROW_NUMBER() OVER (PARTITION BY u.rnk
+              ORDER BY ${DuckHash.d2("u.v", "p.c")}, p.cell) AS r
+          FROM usample0 u, uc3 p)
+        WHERE r = 1),
+      rslices AS (
+        SELECT rnk, j,
+          list_transform(generate_series(1, 4), t ->
+            CAST(CAST(v[j*4+t] AS REAL) - CAST(cvv[j*4+t] AS REAL)
+              AS REAL)) AS v
+        FROM rsd, generate_series(0, 15) AS gj(j)),
+      ${DuckHash.lloydChain("rc", "rslices", subspaced = true, 4, 32, 3)},
+      hats AS (
+        SELECT vec_id, embedding,
+          list_transform(generate_series(1, 64), i ->
+            CAST(embedding[i] AS DOUBLE) * (CASE
+              WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])) > 0
+              THEN 1.0 / sqrt(list_dot_product(
+                CAST(embedding AS DOUBLE[]),
+                CAST(embedding AS DOUBLE[])))
+              ELSE 0.0 END)) AS hat
+        FROM embeddings),
+      cells AS (
+        SELECT vec_id, hat, cell, cvv FROM (
+          SELECT h.vec_id, h.hat, p.cell, p.c AS cvv,
+            ROW_NUMBER() OVER (PARTITION BY h.vec_id
+              ORDER BY ${DuckHash.d2("h.hat", "p.c")}, p.cell) AS r
+          FROM hats h, uc3 p)
+        WHERE r = 1),
+      codes AS (
+        SELECT vec_id, cell, j, code FROM (
+          SELECT c.vec_id, c.cell, p.j, p.cell AS code,
+            ROW_NUMBER() OVER (PARTITION BY c.vec_id, p.j
+              ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(generate_series(1, 4), t ->
+                  ((c.hat[p.j*4+t] - CAST(c.cvv[p.j*4+t] AS DOUBLE))
+                    - CAST(p.c[t] AS DOUBLE))
+                  * ((c.hat[p.j*4+t] - CAST(c.cvv[p.j*4+t] AS DOUBLE))
+                    - CAST(p.c[t] AS DOUBLE)))), (a, x) -> a + x),
+                p.cell) AS r
+          FROM cells c, rc3 p)
+        WHERE r = 1),
+      qhat AS (
+        SELECT e.vec_id AS qid, e.embedding,
+          list_transform(e.embedding, x -> CAST(CAST(x AS DOUBLE)
+            / greatest(
+              sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[]))),
+              CAST(CAST(0.000000000001 AS REAL) AS DOUBLE)) AS REAL))
+            AS qh
+        FROM embeddings e WHERE e.vec_id < 8),
+      probes AS (
+        SELECT qid, cell, ipqc FROM (
+          SELECT q.qid, p.cell,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(generate_series(1, 64), i ->
+                CAST(q.qh[i] AS DOUBLE) * CAST(p.c[i] AS DOUBLE))),
+              (a, x) -> a + x) AS ipqc,
+            ROW_NUMBER() OVER (PARTITION BY q.qid
+              ORDER BY ${DuckHash.d2("q.qh", "p.c")}, p.cell) AS r
+          FROM qhat q, uc3 p)
+        WHERE r <= 8),
+      qtab AS (
+        SELECT h.vec_id AS qid, p.j, p.cell,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, 4), t ->
+              h.hat[p.j*4+t] * CAST(p.c[t] AS DOUBLE))),
+            (a, x) -> a + x) AS tv
+        FROM hats h, rc3 p WHERE h.vec_id < 8),
+      adc AS (
+        SELECT pr.qid, c.vec_id,
+          pr.ipqc + list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(q.tv ORDER BY q.j)), (a, x) -> a + x) AS s
+        FROM codes c
+        JOIN probes pr ON pr.cell = c.cell AND c.vec_id <> pr.qid
+        JOIN qtab q ON q.qid = pr.qid AND q.j = c.j AND q.cell = c.code
+        GROUP BY pr.qid, c.vec_id, pr.ipqc),
+      cand AS (
+        SELECT qid, vec_id FROM (
+          SELECT qid, vec_id,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id)
+              AS r
+          FROM adc)
+        WHERE r <= 60)
+      SELECT qid, vec_id, sim, rank FROM (
+        SELECT cand.qid, cand.vec_id,
+          ROUND(${DuckHash.cosRaw("c.embedding", "q.embedding")}, 6) AS sim,
+          ROW_NUMBER() OVER (PARTITION BY cand.qid
+            ORDER BY ${DuckHash.cosRaw("c.embedding", "q.embedding")} DESC,
+              cand.vec_id) AS rank
+        FROM cand
+        JOIN embeddings c ON c.vec_id = cand.vec_id
+        JOIN embeddings q ON q.vec_id = cand.qid)
+      WHERE rank <= 5""")),
 
     // SQ8 flat compressed index: int8 codes (4x less scan I/O), integer
     // dots, exact re-rank — the no-recall-cliff compression baseline.
@@ -635,10 +960,46 @@ object PipelineQueries {
     // cells. Depends on the trained quantizer → rows-only check; the
     // survivor-per-component and nlist=1-equals-global-graph properties
     // are asserted in SemDedupSpec.
+    // SemDedup is FULLY oracled too: the same replayed quantizer
+    // (xxhash64 sample order + Lloyd), then cell-scoped near-dup pairs,
+    // connected components as a recursive CTE (the q_dedup_groups
+    // technique) and the keep-least-prototypical survivor rule.
     QueryDef("q_semdedup", (s, dir) => {
       Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
         eps = 0.4, dim = 64, nlist = 16, iters = 3)
-    }, None),
+    }, Some(s"""
+      WITH RECURSIVE ${DuckHash.xxhSample},
+      ${DuckHash.lloydCtes(16, 3)},
+      cells AS (
+        SELECT vec_id, embedding, cell,
+          ${DuckHash.cosRaw("embedding", "c")} AS csim FROM (
+          SELECT e.vec_id, e.embedding, p.cell, p.c,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${DuckHash.d2("e.embedding", "p.c")}, p.cell) AS r
+          FROM embeddings e, cent3 p)
+        WHERE r = 1),
+      capped AS (
+        SELECT * FROM (
+          SELECT cells.*, COUNT(*) OVER (PARTITION BY cell) AS n
+          FROM cells)
+        WHERE n <= 5000),
+      pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM capped a JOIN capped b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        WHERE ROUND(${DuckHash.cosRaw("a.embedding", "b.embedding")}, 6)
+          >= 0.4),
+      reach(id, lbl) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT p.dst, r.lbl FROM reach r JOIN pairs p ON p.src = r.id),
+      comps AS (SELECT id AS vec_id, MIN(lbl) AS comp FROM reach GROUP BY id)
+      SELECT vec_id, cell, group_id FROM (
+        SELECT c.vec_id, c.cell, k.comp AS group_id,
+          ROW_NUMBER() OVER (PARTITION BY k.comp
+            ORDER BY c.csim, c.vec_id) AS rn
+        FROM cells c JOIN comps k ON k.vec_id = c.vec_id)
+      WHERE rn = 1""")),
 
     // SemDedup gate oracle (q_ann_recall_gates style): the raw output is
     // cluster-dependent (rows-only above), but its defining invariants
