@@ -191,6 +191,19 @@ object PipelineQueries {
            WHERE rnk <= ${nlist * 256}),
          ${lloydChain("cent", "rawsrc", subspaced = false, 64, nlist, iters)}"""
 
+    // ---- 32-bit wrap-around helpers (Murmur3_x86_32 replay) ----
+    def mul32(x: String, k: String): String =
+      s"CAST((CAST($x AS HUGEINT) * $k) % 4294967296 AS UBIGINT)"
+    def rotl32(x: String, r: Int): String =
+      s"xor(${mul32(x, (1L << r).toString)}, ($x >> ${32 - r}))"
+    /** Murmur3_x86_32 mixK1 (C1=0xcc9e2d51, C2=0x1b873593). */
+    def mixK1(k: String): String =
+      mul32(rotl32(mul32(k, "3432918353"), 15), "461845907")
+    /** Murmur3_x86_32 mixH1 (0xe6546b64). */
+    def mixH1(h: String, k: String): String =
+      s"""CAST((CAST(${rotl32(s"xor($h, $k)", 13)} AS HUGEINT) * 5
+         + 3864292196) % 4294967296 AS UBIGINT)"""
+
     /** CTE chain ending in `sig(doc_id, sig)`: the full 32-permutation
       * MinHash signature over word 3-gram shingles (MinHashSig), with
       * the permutation coefficients inlined from TextHash.coef. */
@@ -1456,10 +1469,14 @@ object PipelineQueries {
 
     // Bloom-filter decontamination: same contamination rule as
     // q_decontaminate but probed through a distributed-built Bloom
-    // filter (constant executor memory at any eval-set size). Output
-    // depends on the bloom's hash family → rows-only check; the
-    // superset-of-exact and equality-at-low-fpp properties are asserted
-    // in TextDedupSpec.
+    // filter (constant executor memory at any eval-set size). FULLY
+    // oracled, false positives included: Spark's BloomFilterImpl is the
+    // standard double-hash scheme over Murmur3_x86_32.hashLong — DuckDB
+    // replays the word-5-gram mix64 hashes, both murmur passes (seed 0,
+    // then seed h1), the 13 combined-hash bit indices (sign-flip and
+    // modulo the word-rounded bit size) and the all-bits-present
+    // membership test. The superset-of-exact property stays asserted in
+    // TextDedupSpec.
     QueryDef("q_decontaminate_bloom", (s, dir) => {
       val docs = t(s, dir, "documents")
       val bench = docs.filter(col("doc_id") % 50 === 0)
@@ -1468,7 +1485,79 @@ object PipelineQueries {
       // default — plan-serialization weight matters per micro-batch
       TextDedup.contaminatedBloom(docs, "doc_id", "text", bench, "text", 5,
         expectedGrams = 1L << 17)
-    }, None),
+    }, Some {
+      // mirror contaminatedBloom's sizing + the sketch library's
+      // rounding: BitArray rounds bits up to whole 64-bit words;
+      // k = max(1, round(m/n * ln 2))
+      val expected = 1L << 17
+      val numBits = math.max(64L,
+        (-expected * math.log(1e-4) / (math.log(2) * math.log(2))).toLong)
+      val bitSize = ((numBits + 63) / 64) * 64
+      val k = math.max(1L, math.round(
+        numBits.toDouble / expected * math.log(2)))
+      import DuckHash.{fnv, mulmod, mixK1, mixH1, mul32}
+      s"""
+      WITH dg0 AS (
+        SELECT doc_id,
+          array_to_string(ws[g : least(g + 4, len(ws))], ' ') AS span
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents),
+          generate_series(1, 4000) AS gs(g)
+        WHERE g <= greatest(len(ws) - 4, 1)),
+      f0 AS (
+        SELECT doc_id, ${fnv("list_transform(generate_series(1, " +
+          "length(span)), i -> CAST(unicode(span[i]) AS UBIGINT))")} AS z
+        FROM dg0),
+      w1 AS (SELECT doc_id, ${mulmod("z", "11400714819323198485")} AS z
+        FROM f0),
+      w2 AS (SELECT doc_id, list_transform([xor(z, z >> 30)], x ->
+        ${mulmod("x", "13787848793156543929")})[1] AS z FROM w1),
+      w3 AS (SELECT doc_id, list_transform([xor(z, z >> 27)], x ->
+        ${mulmod("x", "10723151780598845931")})[1] AS z FROM w2),
+      dgu AS (SELECT DISTINCT doc_id, xor(z, z >> 31) AS u FROM w3),
+      gd AS (SELECT DISTINCT u FROM dgu),
+      mm0 AS (SELECT u, u % 4294967296 AS lo, u >> 32 AS hi FROM gd),
+      h1a AS (SELECT u, lo, hi,
+        ${mixH1("CAST(0 AS UBIGINT)", mixK1("lo"))} AS h FROM mm0),
+      h1b AS (SELECT u, lo, hi, ${mixH1("h", mixK1("hi"))} AS h FROM h1a),
+      h1c AS (SELECT u, lo, hi, xor(h, CAST(8 AS UBIGINT)) AS h FROM h1b),
+      h1d AS (SELECT u, lo, hi,
+        ${mul32("xor(h, h >> 16)", "2246822507")} AS h FROM h1c),
+      h1e AS (SELECT u, lo, hi,
+        ${mul32("xor(h, h >> 13)", "3266489917")} AS h FROM h1d),
+      h1f AS (SELECT u, lo, hi, xor(h, h >> 16) AS h1 FROM h1e),
+      h2a AS (SELECT u, lo, hi, h1,
+        ${mixH1("h1", mixK1("lo"))} AS h FROM h1f),
+      h2b AS (SELECT u, lo, hi, h1,
+        ${mixH1("h", mixK1("hi"))} AS h FROM h2a),
+      h2c AS (SELECT u, lo, hi, h1, xor(h, CAST(8 AS UBIGINT)) AS h
+        FROM h2b),
+      h2d AS (SELECT u, lo, hi, h1,
+        ${mul32("xor(h, h >> 16)", "2246822507")} AS h FROM h2c),
+      h2e AS (SELECT u, lo, hi, h1,
+        ${mul32("xor(h, h >> 13)", "3266489917")} AS h FROM h2d),
+      h2f AS (SELECT u, h1, xor(h, h >> 16) AS h2 FROM h2e),
+      ubits AS (
+        SELECT u, bit FROM (
+          SELECT u,
+            CASE WHEN comb >= 2147483648 THEN 4294967295 - comb
+              ELSE comb END % $bitSize AS bit
+          FROM (SELECT u,
+              CAST((CAST(h1 AS HUGEINT) + i * CAST(h2 AS HUGEINT))
+                % 4294967296 AS UBIGINT) AS comb
+            FROM h2f, generate_series(1, $k) AS ks(i)))),
+      ebits AS (
+        SELECT DISTINCT b.bit
+        FROM dgu d JOIN ubits b ON b.u = d.u
+        WHERE d.doc_id % 50 = 0),
+      contained AS (
+        SELECT ub.u FROM ubits ub
+        LEFT JOIN ebits e ON e.bit = ub.bit
+        GROUP BY ub.u
+        HAVING COUNT(*) = COUNT(e.bit))
+      SELECT DISTINCT d.doc_id
+      FROM dgu d JOIN contained c ON c.u = d.u"""
+    }),
 
     // Exact duplicated-span pairs (Lee et al. 2022 substring dedup at
     // word granularity): docs sharing a verbatim 6-token run. The
