@@ -21,7 +21,8 @@ object Registry {
     UdfQueries.defs ++
     TpchQueries.defs ++
     BpeQueries.defs ++
-    GraphQueries.defs
+    GraphQueries.defs ++
+    AnalyticsQueries.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val m = all.map(q => q.name -> q).toMap

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.operators.{CountMin, SetSimJoin, TriangleCount}
+import Q._
+
+/** Synopsis / graph / set-analytics surface added in round 4:
+  * Count-Min heavy hitters (operators.CountMin), degree-ordered
+  * triangle counting (operators.TriangleCount), the EXACT prefix-filter
+  * set-similarity join (operators.SetSimJoin — the exact counterpart of
+  * the MinHash-LSH candidate path), and quantile winsorization (robust
+  * per-group outlier clipping for corpus stats). All four are fully
+  * value-oracled: CMS buckets replay in SQL because the hashes are the
+  * portable md5 prefix; triangle counts are order-invariant so the
+  * oracle's id-ordered replay must equal the engine's degree-ordered
+  * one; the sim-join oracle is the brute-force all-pairs join the
+  * operator exists to avoid.
+  */
+object AnalyticsQueries {
+
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+  private val SimTau = 0.5
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Heavy hitters via Count-Min: estimate the top-20 part frequencies
+    // from a 4x1024 sketch and report estimate vs exact. One sketch pass
+    // + one exact groupBy for the comparison column (the sketch path is
+    // the one that scales; exact is the demo's ground truth).
+    QueryDef("q_countmin_topk", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sk = li.agg(
+        CountMin.sketch(col("l_partkey"), CmsDepth, CmsWidth).as("sk"))
+      val top = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("l_partkey")).limit(20)
+      top.crossJoin(broadcast(sk))
+        .select(col("l_partkey"), col("exact"),
+          CountMin.estimate(col("sk"), col("l_partkey"), CmsDepth, CmsWidth)
+            .as("cms_est"))
+        .orderBy(col("l_partkey"))
+    }, Some(s"""
+      WITH ks AS (SELECT i FROM (VALUES (0),(1),(2),(3)) AS v(i)),
+      cms AS (
+        SELECT i,
+          ('0x' || substr(md5(i || ':' || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % $CmsWidth AS b,
+          COUNT(*) AS c
+        FROM lineitem CROSS JOIN ks
+        GROUP BY 1, 2),
+      top AS (
+        SELECT l_partkey, COUNT(*) AS exact FROM lineitem GROUP BY 1
+        ORDER BY exact DESC, l_partkey LIMIT 20)
+      SELECT t.l_partkey, MAX(t.exact) AS exact, MIN(c.c) AS cms_est
+      FROM top t JOIN cms c
+        ON c.b = ('0x' || substr(md5(c.i || ':' || CAST(t.l_partkey AS VARCHAR)), 1, 8))::BIGINT % $CmsWidth
+      GROUP BY t.l_partkey
+      ORDER BY t.l_partkey""")),
+
+    // Triangle count of the part co-order graph (parts appearing in the
+    // same order). The engine orients edges by (degree, id); the oracle
+    // replays with plain id order — the counts must agree exactly.
+    QueryDef("q_triangles", (s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val pairs = e.as("x")
+        .join(e.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v"))
+      TriangleCount.run(pairs, "u", "v")
+    }, Some("""
+      WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+      nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+      tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+      SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+             (SELECT COUNT(*) FROM e) AS n_edges,
+             n_triangles
+      FROM tri""")),
+
+    // Exact Jaccard >= tau near-dup pairs over documents via prefix
+    // filtering on word 3-gram shingles (whole-word sets are useless on
+    // a small shared vocabulary — shingles encode sequence, splitting
+    // the corpus bimodally into planted near-dups at J >= 0.9 vs
+    // background < 0.3); the oracle is the all-pairs join the prefix
+    // filter exists to avoid.
+    QueryDef("q_set_simjoin", (s, dir) => {
+      val ws = split(lower(col("text")), " ")
+      val shingles = when(size(ws) >= 3,
+        transform(sequence(lit(1), size(ws) - 2),
+          i => concat_ws(" ",
+            element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), shingles.as("toks"))
+      SetSimJoin.jaccardJoin(docs, "doc_id", "toks", SimTau)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      WITH w AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      tok AS (
+        SELECT DISTINCT doc_id,
+          unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                  FOR i IN range(1, greatest(len(ws) - 1, 1))]) AS token
+        FROM w),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+      i AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, inter, sa.n + sb.n - inter AS union_n,
+        CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      FROM i JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= $SimTau
+      ORDER BY id_a, id_b""")),
+
+    // Winsorized corpus stats: per-source p10/p90 length clipping with
+    // clipped-tail counts — the robust-outlier gate for quality filters.
+    QueryDef("q_winsorize", (s, dir) => {
+      val d = t(s, dir, "documents")
+      val q = d.groupBy(col("source"))
+        .agg(expr("percentile(n_chars, array(0.1D, 0.9D))").as("__q"),
+          count(lit(1)).as("n_docs"))
+        .select(col("source"), round(col("__q").getItem(0), 4).as("lo"),
+          round(col("__q").getItem(1), 4).as("hi"), col("n_docs"))
+      d.join(q, "source")
+        .groupBy(col("source"))
+        .agg(max(col("lo")).as("p10"), max(col("hi")).as("p90"),
+          max(col("n_docs")).as("n_docs"),
+          count(when(col("n_chars") < col("lo"), 1)).as("n_below"),
+          count(when(col("n_chars") > col("hi"), 1)).as("n_above"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH q AS (
+        SELECT source, ROUND(QUANTILE_CONT(n_chars, 0.1), 4) AS p10,
+          ROUND(QUANTILE_CONT(n_chars, 0.9), 4) AS p90, COUNT(*) AS n_docs
+        FROM documents GROUP BY source)
+      SELECT d.source, MAX(q.p10) AS p10, MAX(q.p90) AS p90,
+        MAX(q.n_docs) AS n_docs,
+        COUNT(CASE WHEN d.n_chars < q.p10 THEN 1 END) AS n_below,
+        COUNT(CASE WHEN d.n_chars > q.p90 THEN 1 END) AS n_above
+      FROM documents d JOIN q USING (source)
+      GROUP BY d.source ORDER BY d.source"""))
+  )
+}
