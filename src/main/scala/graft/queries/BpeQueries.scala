@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.QueryDef
-import graft.operators.BpeTrainer
+import graft.operators.{BpeTrainer, WordPiece}
 import Q._
 
 /** BPE tokenizer-training surface (operators.BpeTrainer). Everything is
@@ -123,6 +123,92 @@ object BpeQueries {
         FROM tok GROUP BY doc_id)
       SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
         substr(array_to_string(toks, '|'), 1, 120) AS head_tokens
-      FROM agg"""), bench = false)
+      FROM agg"""), bench = false),
+
+    // WordPiece INFERENCE (operators.WordPiece): corpus-derived piece
+    // vocabulary (top word-initial + top "##"-continuation n-grams,
+    // frequency-weighted, tie on piece — a deterministic total order),
+    // then greedy longest-match-first tokenization. The oracle rebuilds
+    // the identical vocabulary in SQL and replays the greedy matcher as
+    // a RECURSIVE CTE: each step left-joins the 4 candidate substring
+    // lengths (longest wins via COALESCE; near the word end the shorter
+    // probes coincide, which is exactly the min(maxPiece, remaining)
+    // start), advancing by the matched length; a no-match collapses the
+    // word to one [UNK] (5 chars — cannot collide with <=4-char pieces).
+    QueryDef("q_wordpiece", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wc = BpeTrainer.wordCounts(docs, "text")
+      val (init, cont) = WordPiece.buildVocab(wc, initK = 60, contK = 120)
+      docs
+        .select(col("source"),
+          WordPiece.tokenize(col("text"), init, cont).as("toks"))
+        .select(col("source"), size(col("toks")).as("nt"),
+          size(filter(col("toks"), x => x === lit("[UNK]"))).as("nu"))
+        .groupBy(col("source"))
+        .agg(sum(col("nt")).cast("long").as("n_tokens"),
+          sum(col("nu")).cast("long").as("n_unk"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH RECURSIVE wc AS (
+        SELECT w AS word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      init_c AS (
+        SELECT piece FROM (
+          SELECT substr(word, 1, n) AS piece, SUM(freq) AS wt
+          FROM wc, (SELECT unnest([1, 2, 3, 4]) AS n) ln
+          WHERE n <= len(word)
+          GROUP BY 1 ORDER BY wt DESC, piece LIMIT 60)),
+      cont_c AS (
+        SELECT piece FROM (
+          SELECT substr(word, p, n) AS piece, SUM(freq) AS wt
+          FROM wc,
+            (SELECT unnest(generate_series(2, 40)) AS p) pp,
+            (SELECT unnest([1, 2, 3, 4]) AS n) ln
+          WHERE p <= len(word) AND n <= len(word) - p + 1
+          GROUP BY 1 ORDER BY wt DESC, piece LIMIT 120)),
+      uw AS (SELECT DISTINCT word AS w FROM wc),
+      tk AS (
+        SELECT w, 1 AS pos, CAST([] AS VARCHAR[]) AS toks FROM uw
+        UNION ALL
+        SELECT w,
+          CASE WHEN raw IS NULL THEN len(w) + 1 ELSE pos + len(raw) END,
+          CASE WHEN raw IS NULL THEN ['[UNK]']
+               WHEN pos = 1 THEN list_append(toks, raw)
+               ELSE list_append(toks, '##' || raw) END
+        FROM (
+          SELECT t0.w, t0.pos, t0.toks,
+            COALESCE(i4.piece, i3.piece, i2.piece, i1.piece,
+                     c4.piece, c3.piece, c2.piece, c1.piece) AS raw
+          FROM tk t0
+          LEFT JOIN init_c i4 ON t0.pos = 1 AND i4.piece = substr(t0.w, t0.pos, 4)
+          LEFT JOIN init_c i3 ON t0.pos = 1 AND i3.piece = substr(t0.w, t0.pos, 3)
+          LEFT JOIN init_c i2 ON t0.pos = 1 AND i2.piece = substr(t0.w, t0.pos, 2)
+          LEFT JOIN init_c i1 ON t0.pos = 1 AND i1.piece = substr(t0.w, t0.pos, 1)
+          LEFT JOIN cont_c c4 ON t0.pos > 1 AND c4.piece = substr(t0.w, t0.pos, 4)
+          LEFT JOIN cont_c c3 ON t0.pos > 1 AND c3.piece = substr(t0.w, t0.pos, 3)
+          LEFT JOIN cont_c c2 ON t0.pos > 1 AND c2.piece = substr(t0.w, t0.pos, 2)
+          LEFT JOIN cont_c c1 ON t0.pos > 1 AND c1.piece = substr(t0.w, t0.pos, 1)
+          WHERE t0.pos <= len(t0.w))),
+      done AS (SELECT w, toks FROM tk WHERE pos = len(w) + 1),
+      words_d AS (
+        SELECT d.doc_id, d.ws[g.i] AS w
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+              FROM documents) d,
+          (SELECT unnest(generate_series(1, 4000)) AS i) g
+        WHERE g.i <= len(d.ws) AND len(d.ws[g.i]) > 0),
+      per_doc AS (
+        SELECT wd.doc_id,
+          SUM(len(dn.toks)) AS n_tok,
+          SUM(len(list_filter(dn.toks, x -> x = '[UNK]'))) AS n_unk
+        FROM words_d wd JOIN done dn ON dn.w = wd.w
+        GROUP BY 1)
+      SELECT doc.source,
+        CAST(SUM(COALESCE(pd.n_tok, 0)) AS BIGINT) AS n_tokens,
+        CAST(SUM(COALESCE(pd.n_unk, 0)) AS BIGINT) AS n_unk,
+        COUNT(*) AS n_docs
+      FROM documents doc LEFT JOIN per_doc pd ON pd.doc_id = doc.doc_id
+      GROUP BY 1 ORDER BY 1"""))
   )
 }
