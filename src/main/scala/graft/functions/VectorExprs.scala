@@ -69,6 +69,49 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** sorted_intersect_count(a, b): intersection size of two SORTED
+  * ascending distinct int arrays — one merge pass per row, zero
+  * allocation. This is the exact-verification kernel of
+  * operators.SetSimJoin: the built-in array_intersect materializes a
+  * hash set AND the intersection array per row, which dominated the
+  * whole join at candidate volume (~5 s for 400k pairs vs ~0.3 s for
+  * this merge loop). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Integer.valueOf(SortedIntersectCount.count(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntersectCount.count($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SortedIntersectCount {
+  def count(x: ArrayData, y: ArrayData): Int = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val a = x.getInt(i)
+      val b = y.getInt(j)
+      if (a == b) { c += 1; i += 1; j += 1 }
+      else if (a < b) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 /** srp_bucket(vec): sign-random-projection bucket id — `planes` sign
   * bits of deterministic pseudo-random hyperplane projections packed
   * into a long (Charikar 2002). One pass over the vector computes every

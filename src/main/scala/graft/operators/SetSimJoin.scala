@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** EXACT set-similarity self-join (all pairs with Jaccard >= tau) with
   * AllPairs prefix filtering — Bayardo, Ma & Srikant 2007 ("Scaling up
@@ -37,32 +38,70 @@ object SetSimJoin {
     * Jaccard >= tau. `tokensCol` is an array column (dedup'd
     * internally). Returns (id_a, id_b, inter, union_n, jaccard),
     * id_a < id_b. */
-  def jaccardJoin(docs: DataFrame, idCol: String, tokensCol: String, tau: Double): DataFrame = {
+  def jaccardJoin(docs: DataFrame, idCol: String, tokensCol: String, tau: Double): DataFrame =
+    jaccardJoinTokens(
+      docs.select(col(idCol).as("id"), explode(col(tokensCol)).as("token")),
+      "id", "token", tau)
+
+  /** Same join over PRE-EXPLODED (id, token) rows — the fast path when
+    * tokens come from a generator (e.g. graft.functions.NGrams): one
+    * native pass per row instead of building a per-doc array with
+    * interpreted higher-order functions, whose lambda-inlined
+    * expression trees re-evaluate the tokenizer per element. */
+  def jaccardJoinTokens(tok0: DataFrame, idCol: String, tokenCol: String,
+      tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
-    val tok = docs
-      .select(col(idCol).as("id"), explode(col(tokensCol)).as("token"))
+    val tok = tok0
+      .select(col(idCol).as("id"), col(tokenCol).as("token"))
       .distinct()
     val sz = tok.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val prefix = tok
-      .join(dfreq, "token")
+    // factorize tokens to dense int ids ordered by (string): bijective,
+    // so every downstream set op is EXACT, while candidate buckets and
+    // verification arrays carry 4-byte ints instead of shingle strings.
+    // The dictionary is vocabulary-sized; its global row_number sort is
+    // the one non-distributed step — at true corpus scale swap it for a
+    // 64-bit content hash + collision check (vocab >> memory), same
+    // downstream shape. Ordering by (df, tid) == (df, token) because
+    // tid is token-ascending, so the prefix order is unchanged.
+    val vocab = dfreq.withColumn("tid",
+      row_number().over(Window.orderBy(col("token"))))
+    val tokI = tok.join(vocab, "token").select(col("id"), col("tid"), col("df"))
+    val prefix = tokI
       .join(sz, "id")
       .withColumn("rn",
-        row_number().over(Window.partitionBy(col("id")).orderBy(col("df"), col("token"))))
+        row_number().over(Window.partitionBy(col("id")).orderBy(col("df"), col("tid"))))
       .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n")) + lit(1))
-      .select(col("id"), col("token"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"), col("a.token") === col("b.token") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("id"), col("tid"))
+    // candidate pairs per prefix-token bucket (the TextDedup.minhashLsh
+    // shape): ONE aggregation + a bounded pair expansion per bucket —
+    // no second computation of the prefix table for a self-join's other
+    // side. Bucket sizes are small BY CONSTRUCTION (prefixes exclude
+    // frequent tokens); a skew cap would go here if a corpus violated
+    // that.
+    val cand = prefix
+      .groupBy(col("tid")).agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-    val inter = cand
-      .join(tok.as("ta"), col("id_a") === col("ta.id"))
-      .join(tok.as("tb"), col("id_b") === col("tb.id") && col("ta.token") === col("tb.token"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("id").as("id_a"), col("n").as("na")), "id_a")
-      .join(sz.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+    // verification: per-doc SORTED int arrays (broadcast-joined onto the
+    // candidates) + one native merge-intersect per pair — not a
+    // token-level join (re-shuffles |cand| * avg_set rows), not
+    // array_intersect (builds a per-row hash set + result array; ~10x
+    // slower than the merge at candidate volume)
+    val docToks = tokI.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("tid"))).as("toks"), count(lit(1)).as("n"))
+    val interCnt = ColumnBridge.column(graft.functions.SortedIntersectCount(
+      ColumnBridge.expression(col("ta")), ColumnBridge.expression(col("tb"))))
+    cand
+      .join(docToks.select(col("id").as("id_a"), col("toks").as("ta"), col("n").as("na")), "id_a")
+      .join(docToks.select(col("id").as("id_b"), col("toks").as("tb"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        interCnt.cast("long").as("inter"),
+        col("na"), col("nb"))
       .select(
         col("id_a"), col("id_b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("union_n"),

@@ -57,19 +57,29 @@ object AnalyticsQueries {
       GROUP BY t.l_partkey
       ORDER BY t.l_partkey""")),
 
-    // Triangle count of the part co-order graph (parts appearing in the
-    // same order). The engine orients edges by (degree, id); the oracle
-    // replays with plain id order — the counts must agree exactly.
+    // Triangle count of the part co-order graph at MINIMUM SUPPORT 2
+    // (edge = parts co-ordered at least twice — the standard
+    // frequent-itemset threshold; without it random co-occurrence
+    // densifies the graph super-linearly with SF and triangle work
+    // explodes while meaning nothing). The engine orients edges by
+    // (degree, id); the oracle replays with plain id order — the
+    // triangle count is order-invariant so they must agree exactly.
     QueryDef("q_triangles", (s, dir) => {
       val e = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       val pairs = e.as("x")
         .join(e.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("u"), col("y.p").as("v"))
+        .groupBy(col("x.p").as("u"), col("y.p").as("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("u"), col("v"))
       TriangleCount.run(pairs, "u", "v")
     }, Some("""
       WITH pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-      e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+      e AS (SELECT u, v FROM (
+        SELECT a.p AS u, b.p AS v, COUNT(*) AS c
+        FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2) WHERE c >= 2),
       nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
       tri AS (
         SELECT COUNT(*) AS n_triangles
@@ -87,15 +97,14 @@ object AnalyticsQueries {
     // background < 0.3); the oracle is the all-pairs join the prefix
     // filter exists to avoid.
     QueryDef("q_set_simjoin", (s, dir) => {
-      val ws = split(lower(col("text")), " ")
-      val shingles = when(size(ws) >= 3,
-        transform(sequence(lit(1), size(ws) - 2),
-          i => concat_ws(" ",
-            element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
-        .otherwise(array().cast("array<string>"))
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), shingles.as("toks"))
-      SetSimJoin.jaccardJoin(docs, "doc_id", "toks", SimTau)
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      // shingles via the native NGrams generator: one compiled pass per
+      // document (an interpreted transform() over split() re-evaluates
+      // the split per element — the round-3 HOF lesson)
+      val tok = t(s, dir, "documents").select(col("doc_id"),
+        ColumnBridge.column(graft.functions.NGrams(
+          ColumnBridge.expression(lower(col("text"))), 3)).as("token"))
+      SetSimJoin.jaccardJoinTokens(tok, "doc_id", "token", SimTau)
         .orderBy(col("id_a"), col("id_b"))
     }, Some(s"""
       WITH w AS (
