@@ -22,13 +22,22 @@ object ChangelogFormats {
   private def kindRow(kind: String, payload: Column): Column =
     struct(lit(kind).as(RowKindCol), payload.as("row"))
 
-  /** Debezium envelope: {before, after, op: c|r|u|d}. */
+  /** Debezium envelope: {before, after, op: c|r|u|d}.
+    *
+    * The envelope is parsed into ONE materialized `__env` column and
+    * every consumer reads fields from it: from_json (JsonToStructs) is
+    * a CodegenFallback expression, so inlining the parse at each of the
+    * 5-6 use sites (op test + the four kind payloads) re-parses the
+    * JSON per site — measured 3x slower on the decode benchmarks. The
+    * multi-referenced non-cheap alias also keeps CollapseProject from
+    * undoing the materialization. */
   def fromDebezium(df: DataFrame, jsonCol: String, rowSchema: StructType): DataFrame = {
     val env = new StructType()
       .add("before", rowSchema).add("after", rowSchema)
       .add("op", org.apache.spark.sql.types.StringType)
-    val j = from_json(col(jsonCol), env)
-    explodeKinds(df, j("op"),
+    val parsed = df.withColumn("__env", from_json(col(jsonCol), env))
+    val j = col("__env")
+    explodeKinds(parsed, j("op"),
       insert = kindRow("+I", j("after")),
       updateBefore = kindRow("-U", j("before")),
       updateAfter = kindRow("+U", j("after")),
@@ -37,13 +46,15 @@ object ChangelogFormats {
       rowSchema)
   }
 
-  /** Oracle GoldenGate envelope: {before, after, op_type: I|U|D}. */
+  /** Oracle GoldenGate envelope: {before, after, op_type: I|U|D}.
+    * Single materialized parse — see [[fromDebezium]]. */
   def fromOgg(df: DataFrame, jsonCol: String, rowSchema: StructType): DataFrame = {
     val env = new StructType()
       .add("before", rowSchema).add("after", rowSchema)
       .add("op_type", org.apache.spark.sql.types.StringType)
-    val j = from_json(col(jsonCol), env)
-    explodeKinds(df, j("op_type"),
+    val parsed = df.withColumn("__env", from_json(col(jsonCol), env))
+    val j = col("__env")
+    explodeKinds(parsed, j("op_type"),
       insert = kindRow("+I", j("after")),
       updateBefore = kindRow("-U", j("before")),
       updateAfter = kindRow("+U", j("after")),
@@ -59,10 +70,12 @@ object ChangelogFormats {
     val env = new StructType()
       .add("data", rowSchema).add("old", rowSchema)
       .add("type", org.apache.spark.sql.types.StringType)
-    val j = from_json(col(jsonCol), env)
+    // single materialized parse — see fromDebezium
+    val parsed = df.withColumn("__env", from_json(col(jsonCol), env))
+    val j = col("__env")
     val beforeMerged = struct(rowSchema.fieldNames.map(f =>
       coalesce(j("old").getField(f), j("data").getField(f)).as(f)): _*)
-    explodeKinds(df, j("type"),
+    explodeKinds(parsed, j("type"),
       insert = kindRow("+I", j("data")),
       updateBefore = kindRow("-U", beforeMerged),
       updateAfter = kindRow("+U", j("data")),

@@ -73,6 +73,13 @@ object BpeTrainer {
     var vocab = initVocab(words).persist(StorageLevel.MEMORY_AND_DISK)
     vocab.count() // materialize before the loop so persists don't nest
     val merges = scala.collection.mutable.ArrayBuffer.empty[MergeStep]
+    // ONE action per iteration: the argmax collect both reads the
+    // statistic AND (as a side effect of computing over a fresh persist)
+    // populates the current vocab's cache — so the PREVIOUS iteration's
+    // cache can only be dropped after that collect has run, one step
+    // late. The earlier persist+count idiom paid a second job per
+    // iteration just to materialize eagerly.
+    var prev: DataFrame = null
     var step = 0
     var exhausted = false
     while (step < numMerges && !exhausted) {
@@ -80,6 +87,8 @@ object BpeTrainer {
         .filter(col("pair_count") > 1)
         .orderBy(col("pair_count").desc, col("l"), col("r"))
         .limit(1).collect()
+      // vocab's cache is now populated; its parent is safe to drop
+      if (prev != null) prev.unpersist()
       if (top.isEmpty) exhausted = true
       else {
         val row = top.head
@@ -87,12 +96,17 @@ object BpeTrainer {
         merges += MergeStep(step + 1, l, r, l + r, c)
         val next = vocab.withColumn("symbols", applyMerge(col("symbols"), l, r))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // cut lineage growth: materialize, then drop previous
-        vocab.unpersist()
+        prev = vocab
         vocab = next
         step += 1
       }
     }
+    // NOTE: the final vocab's cache is not yet materialized (no action
+    // has touched it), so its cached parent `prev` is deliberately left
+    // persisted — a consumer of the returned vocab computes one
+    // projection from that cache instead of replaying every merge; the
+    // vocab-sized block is released with the session (or the caller's
+    // unpersist).
     (merges.toSeq, vocab)
   }
 

@@ -32,17 +32,23 @@ import org.apache.spark.sql.functions._
   */
 object CountMin {
 
-  /** Bucket index of `value` in hash row `row` (codegen'd md5 — keep
-    * this in the projection, not inside the Aggregator). */
+  /** Bucket index of `value` in hash row `row`: the row's 8-hex-char
+    * slice of ONE md5 per value (32 hex chars = 4 independent 32-bit
+    * hashes — one hash invocation instead of depth, and the slices are
+    * as independent as md5 bits are, which is the usual CM heuristic).
+    * Codegen'd — keep this in the projection, not inside the
+    * Aggregator. Depth is capped at 4 by the digest width. */
   def bucket(row: Int, value: Column, width: Int): Column =
     pmod(
-      conv(substring(md5(concat_ws(":", lit(row.toString), value.cast("string"))), 1, 8), 16, 10)
+      conv(substring(md5(value.cast("string")), 8 * row + 1, 8), 16, 10)
         .cast("long"),
       lit(width.toLong))
 
   /** All d bucket indexes of `value` as one array column. */
-  def buckets(value: Column, depth: Int, width: Int): Column =
+  def buckets(value: Column, depth: Int, width: Int): Column = {
+    require(depth >= 1 && depth <= 4, s"depth must be 1..4 (md5 slices), got $depth")
     array((0 until depth).map(i => bucket(i, value, width).cast("int")): _*)
+  }
 
   /** Aggregate Column building the sketch over pre-computed bucket
     * arrays (from [[buckets]]). Output: the flattened d*w count matrix

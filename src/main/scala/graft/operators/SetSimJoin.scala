@@ -49,8 +49,9 @@ object SetSimJoin {
     * interpreted higher-order functions, whose lambda-inlined
     * expression trees re-evaluate the tokenizer per element. */
   def jaccardJoinTokens(tok0: DataFrame, idCol: String, tokenCol: String,
-      tau: Double): DataFrame = {
+      tau: Double, maxBucket: Int = 10000): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
     val tok = tok0
       .select(col(idCol).as("id"), col(tokenCol).as("token"))
       .distinct()
@@ -77,11 +78,13 @@ object SetSimJoin {
     // shape): ONE aggregation + a bounded pair expansion per bucket —
     // no second computation of the prefix table for a self-join's other
     // side. Bucket sizes are small BY CONSTRUCTION (prefixes exclude
-    // frequent tokens); a skew cap would go here if a corpus violated
-    // that.
+    // frequent tokens); `maxBucket` is the same quadratic-blowup guard
+    // as TextDedup.lshCandidates for a corpus that violates that (a
+    // capped bucket trades recall for survival, exactly like LSH —
+    // leave it above the corpus' max prefix df for exact results).
     val cand = prefix
       .groupBy(col("tid")).agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))

@@ -44,7 +44,7 @@ object AnalyticsQueries {
       WITH ks AS (SELECT i FROM (VALUES (0),(1),(2),(3)) AS v(i)),
       cms AS (
         SELECT i,
-          ('0x' || substr(md5(i || ':' || CAST(l_partkey AS VARCHAR)), 1, 8))::BIGINT % $CmsWidth AS b,
+          ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1 + 8 * i, 8))::BIGINT % $CmsWidth AS b,
           COUNT(*) AS c
         FROM lineitem CROSS JOIN ks
         GROUP BY 1, 2),
@@ -53,7 +53,7 @@ object AnalyticsQueries {
         ORDER BY exact DESC, l_partkey LIMIT 20)
       SELECT t.l_partkey, MAX(t.exact) AS exact, MIN(c.c) AS cms_est
       FROM top t JOIN cms c
-        ON c.b = ('0x' || substr(md5(c.i || ':' || CAST(t.l_partkey AS VARCHAR)), 1, 8))::BIGINT % $CmsWidth
+        ON c.b = ('0x' || substr(md5(CAST(t.l_partkey AS VARCHAR)), 1 + 8 * c.i, 8))::BIGINT % $CmsWidth
       GROUP BY t.l_partkey
       ORDER BY t.l_partkey""")),
 
