@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** KMV (k-minimum-values) distinct sketch — Bar-Yossef et al. 2002,
@@ -127,5 +127,45 @@ object Sketches {
       val inBoth = u.count(h => a.contains(h) && b.contains(h))
       inBoth.toDouble / u.size * estimateFrom(u, k)
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic sampled quantiles (bottom-k-by-hash sample)
+  // ---------------------------------------------------------------------
+  // The full-sort exact quantile doesn't scale (global sort of 100 TB)
+  // and approx_percentile's GK sketch is engine-private (not replayable
+  // by another system, merge order-dependent). The portable alternative:
+  // a BOTTOM-k-BY-HASH sample — the k rows whose md5-derived hash of a
+  // unique row key is smallest form a uniform random sample of the
+  // group that is DETERMINISTIC (a pure function of the data, not of
+  // partitioning or seeds) and MERGEABLE (k smallest of a union), the
+  // sample-based quantile estimator of Cormode et al., "Synopses for
+  // Massive Data" §2. Estimate error is O(1/sqrt(k)) in rank space.
+  //
+  // Plan shape: the rank filter compiles to WindowGroupLimit (map-side
+  // partial top-k per group BEFORE the shuffle — asserted in PlanSpec),
+  // so each of 1000 executors ships at most k rows per group, never the
+  // corpus.
+
+  /** Rank of a row inside its group under the portable-hash order:
+    * `filter(sampleRank(...) <= k)` IS the deterministic uniform
+    * k-sample. `rowKey` must be unique per row (it is also the
+    * tie-break, making the sample a pure function of the data). */
+  def sampleRank(groupCols: Seq[Column], rowKey: Column): Column =
+    row_number().over(
+      Window.partitionBy(groupCols: _*).orderBy(portableHash32(rowKey), rowKey))
+
+  /** Linear-interpolated quantile over an ASCENDING array column —
+    * h = (n-1)q; v = v[lo] + (v[hi] - v[lo]) * (h - lo). The arithmetic
+    * (operand order included) is mirrored verbatim in the DuckDB oracle
+    * so the double bits hash-match. */
+  def interpolatedQuantile(sortedVals: Column, q: Double): Column = {
+    val n = size(sortedVals)
+    val h = (n - lit(1)).cast("double") * lit(q)
+    val lo = floor(h).cast("int")
+    val frac = h - floor(h).cast("double")
+    val vlo = element_at(sortedVals, lo + lit(1))
+    val vhi = element_at(sortedVals, least(lo + lit(2), n))
+    vlo + (vhi - vlo) * frac
   }
 }

@@ -151,6 +151,79 @@ object AnalyticsQueries {
         COUNT(CASE WHEN d.n_chars < q.p10 THEN 1 END) AS n_below,
         COUNT(CASE WHEN d.n_chars > q.p90 THEN 1 END) AS n_above
       FROM documents d JOIN q USING (source)
-      GROUP BY d.source ORDER BY d.source"""))
+      GROUP BY d.source ORDER BY d.source""")),
+
+    // Deterministic sampled quantiles (Sketches.sampleRank /
+    // interpolatedQuantile): per-group p50/p95 of l_extendedprice from a
+    // bottom-256-by-hash uniform sample — the portable, mergeable
+    // replacement for a full sort (or for approx_percentile, whose GK
+    // sketch no other engine can replay). The rank filter compiles to
+    // WindowGroupLimit: each task ships <= k rows per group. Accuracy is
+    // certified IN the query: the fraction of the full group below each
+    // estimate must straddle the target rank (~0.5 / ~0.95) — and the
+    // oracle hash-matches estimates AND fractions bit-for-bit.
+    QueryDef("q_quantile_sample", (s, dir) => {
+      val k = 256
+      val li = t(s, dir, "lineitem")
+      val keyed = li.select(col("l_returnflag"), col("l_extendedprice").as("v"),
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("rk"))
+      val sample = keyed
+        .withColumn("__rn",
+          graft.operators.Sketches.sampleRank(Seq(col("l_returnflag")), col("rk")))
+        .filter(col("__rn") <= k)
+        .groupBy(col("l_returnflag"))
+        .agg(sort_array(collect_list(col("v"))).as("__s"),
+          count(lit(1)).as("n_sample"))
+        .select(col("l_returnflag"), col("n_sample"),
+          graft.operators.Sketches.interpolatedQuantile(col("__s"), 0.5).as("p50_est"),
+          graft.operators.Sketches.interpolatedQuantile(col("__s"), 0.95).as("p95_est"))
+      li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+        .join(broadcast(sample), "l_returnflag")
+        .join(li.select(col("l_returnflag"), col("l_extendedprice").as("v")),
+          "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n_rows")).as("n_rows"), max(col("n_sample")).as("n_sample"),
+          max(col("p50_est")).as("p50_est"), max(col("p95_est")).as("p95_est"),
+          (count(when(col("v") < col("p50_est"), 1)).cast("double") /
+            max(col("n_rows")).cast("double")).as("frac_below_p50"),
+          (count(when(col("v") < col("p95_est"), 1)).cast("double") /
+            max(col("n_rows")).cast("double")).as("frac_below_p95"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      WITH s AS (
+        SELECT l_returnflag, l_extendedprice AS v,
+          ('0x' || substr(md5(l_orderkey || ':' || l_linenumber), 1, 8))::BIGINT AS h,
+          l_orderkey || ':' || l_linenumber AS rk
+        FROM lineitem),
+      r AS (
+        SELECT l_returnflag, v,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h, rk) AS rn
+        FROM s),
+      g AS (
+        SELECT l_returnflag, LIST(v ORDER BY v) AS sm, COUNT(*) AS n_sample
+        FROM r WHERE rn <= 256 GROUP BY 1),
+      est AS (
+        SELECT l_returnflag, n_sample,
+          sm[CAST(FLOOR((n_sample - 1) * 0.5) AS INT) + 1]
+            + (sm[LEAST(CAST(FLOOR((n_sample - 1) * 0.5) AS INT) + 2, CAST(n_sample AS INT))]
+               - sm[CAST(FLOOR((n_sample - 1) * 0.5) AS INT) + 1])
+              * ((n_sample - 1) * 0.5 - FLOOR((n_sample - 1) * 0.5)) AS p50_est,
+          sm[CAST(FLOOR((n_sample - 1) * 0.95) AS INT) + 1]
+            + (sm[LEAST(CAST(FLOOR((n_sample - 1) * 0.95) AS INT) + 2, CAST(n_sample AS INT))]
+               - sm[CAST(FLOOR((n_sample - 1) * 0.95) AS INT) + 1])
+              * ((n_sample - 1) * 0.95 - FLOOR((n_sample - 1) * 0.95)) AS p95_est
+        FROM g),
+      nr AS (SELECT l_returnflag, COUNT(*) AS n_rows FROM lineitem GROUP BY 1)
+      SELECT li.l_returnflag, MAX(nr.n_rows) AS n_rows,
+        MAX(est.n_sample) AS n_sample,
+        MAX(est.p50_est) AS p50_est, MAX(est.p95_est) AS p95_est,
+        CAST(COUNT(CASE WHEN li.l_extendedprice < est.p50_est THEN 1 END) AS DOUBLE)
+          / CAST(MAX(nr.n_rows) AS DOUBLE) AS frac_below_p50,
+        CAST(COUNT(CASE WHEN li.l_extendedprice < est.p95_est THEN 1 END) AS DOUBLE)
+          / CAST(MAX(nr.n_rows) AS DOUBLE) AS frac_below_p95
+      FROM lineitem li
+        JOIN est ON li.l_returnflag = est.l_returnflag
+        JOIN nr ON li.l_returnflag = nr.l_returnflag
+      GROUP BY li.l_returnflag ORDER BY li.l_returnflag"""))
   )
 }

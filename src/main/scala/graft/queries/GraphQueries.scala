@@ -99,6 +99,58 @@ object GraphQueries {
         (col("l_partkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       PageRank.run(e, "src", "dst", Iters)
-    }, Some(oracle(Iters)))
+    }, Some(oracle(Iters))),
+
+    // HITS hub/authority over the directed supplier→part relation:
+    // suppliers are hubs, parts authorities (operators.Hits — quantized
+    // max-normalized iterations). Like q_pagerank, the oracle replays
+    // EVERY iteration as chained CTEs with the identical 2^-20
+    // arithmetic and hash-matches the score doubles.
+    QueryDef("q_hits", (s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("h"), col("l_partkey").as("a"))
+      graft.operators.Hits.run(e, "h", "a", Iters)
+        .orderBy(col("kind"), col("id"))
+    }, Some(hitsOracle(Iters)))
   )
+
+  /** Chained-CTE HITS replay: a_i from h_{i-1}, h_i from a_i, each side
+    * max-normalized then floor-quantized — same fp op order as
+    * Hits.run. Every CTE is MATERIALIZED: each level is referenced
+    * twice (the FROM and the MAX scalar subquery), so DuckDB's default
+    * inlining re-derives the whole chain per reference — 2^iters
+    * blowup that turns a sub-second replay into minutes. */
+  private def hitsOracle(iters: Int): String = {
+    val base = """
+      WITH e AS MATERIALIZED (
+        SELECT DISTINCT l_suppkey AS hub_id, l_partkey AS auth_id
+        FROM lineitem),
+      h0 AS MATERIALIZED (
+        SELECT DISTINCT hub_id, CAST(1 AS DOUBLE) AS hub FROM e)"""
+    val its = (1 to iters).map { i =>
+      s""",
+      a${i}s AS MATERIALIZED (
+        SELECT auth_id, SUM(hub) AS s
+        FROM e JOIN h${i - 1} USING (hub_id) GROUP BY 1),
+      a$i AS MATERIALIZED (
+        SELECT auth_id,
+          FLOOR(s / (SELECT MAX(s) FROM a${i}s) * 1048576)
+            / CAST(1048576 AS DOUBLE) AS hub
+        FROM a${i}s),
+      h${i}s AS MATERIALIZED (
+        SELECT hub_id, SUM(a$i.hub) AS s
+        FROM e JOIN a$i USING (auth_id) GROUP BY 1),
+      h$i AS MATERIALIZED (
+        SELECT hub_id,
+          FLOOR(s / (SELECT MAX(s) FROM h${i}s) * 1048576)
+            / CAST(1048576 AS DOUBLE) AS hub
+        FROM h${i}s)"""
+    }.mkString
+    base + its + s"""
+      SELECT kind, id, score FROM (
+        SELECT 'auth' AS kind, auth_id AS id, hub AS score FROM a$iters
+        UNION ALL
+        SELECT 'hub' AS kind, hub_id AS id, hub AS score FROM h$iters)
+      ORDER BY kind, id"""
+  }
 }

@@ -50,4 +50,36 @@ class SketchesSpec extends SparkSpec {
       .agg(Sketches.kmvDistinct(col("h"), K)).as[Double].collect().head
     assert(run(2) == run(17))
   }
+
+  // --- bottom-k sampled quantiles -----------------------------------
+
+  private def sampledQuantiles(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.withColumn("__rn", Sketches.sampleRank(Seq(col("g")), col("id")))
+      .filter(col("__rn") <= k)
+      .groupBy(col("g"))
+      .agg(sort_array(collect_list(col("v"))).as("s"))
+      .select(col("g"),
+        Sketches.interpolatedQuantile(col("s"), 0.5).as("p50"),
+        Sketches.interpolatedQuantile(col("s"), 0.95).as("p95"))
+
+  test("sampled quantile: deterministic across partitionings, near truth") {
+    // g=a: v = id (uniform 0..9999) => true p50 ~ 5000, p95 ~ 9500
+    val df = (0 until 10000).map(i => ("a", i.toString, i.toDouble)).toDF("g", "id", "v")
+    def run(p: Int) = sampledQuantiles(df.repartition(p), 256).collect().head
+    val r2 = run(2)
+    val r31 = run(31)
+    assert(r2 == r31) // bit-identical: pure function of data, not layout
+    val (p50, p95) = (r2.getDouble(1), r2.getDouble(2))
+    // rank error O(1/sqrt(k)): k=256 => sigma ~ 6% of the range around
+    // the target rank; 4-sigma bands
+    assert(math.abs(p50 - 5000) < 1250, s"p50=$p50")
+    assert(math.abs(p95 - 9500) < 1250, s"p95=$p95")
+  }
+
+  test("sampled quantile: exact (interpolated) when group fits in k") {
+    val df = (0 until 101).map(i => ("a", i.toString, i.toDouble)).toDF("g", "id", "v")
+    val r = sampledQuantiles(df, 256).collect().head
+    assert(r.getDouble(1) == 50.0) // (n-1)*0.5 = 50 exactly
+    assert(r.getDouble(2) == 95.0)
+  }
 }
