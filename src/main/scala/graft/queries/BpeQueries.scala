@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.QueryDef
-import graft.operators.{BpeTrainer, WordPiece}
+import graft.operators.{BpeTrainer, Unigram, WordPiece}
 import Q._
 
 /** BPE tokenizer-training surface (operators.BpeTrainer). Everything is
@@ -207,6 +207,107 @@ object BpeQueries {
       SELECT doc.source,
         CAST(SUM(COALESCE(pd.n_tok, 0)) AS BIGINT) AS n_tokens,
         CAST(SUM(COALESCE(pd.n_unk, 0)) AS BIGINT) AS n_unk,
+        COUNT(*) AS n_docs
+      FROM documents doc LEFT JOIN per_doc pd ON pd.doc_id = doc.doc_id
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Unigram-LM (SentencePiece-family) Viterbi segmentation
+    // (operators.Unigram / functions.UnigramSegment): exact-arithmetic
+    // objective (fewest pieces, then heaviest, then longest-last-piece)
+    // over a top-200-ngram + full-alphabet weighted vocabulary. The
+    // oracle rebuilds the vocabulary and replays the Viterbi DP cell by
+    // cell as a recursive CTE that carries the per-position (cnt, wt)
+    // tables as growing lists, realizing the tie-break as a
+    // (cnt, -wt, -j) struct sort — summed token counts AND chosen-piece
+    // weights hash-match per source.
+    QueryDef("q_unigram_lm", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wc = BpeTrainer.wordCounts(docs, "text")
+      val vocab = Unigram.buildVocab(wc, 200)
+      docs.select(col("source"), Unigram.segment(col("text"), vocab).as("seg"))
+        .groupBy(col("source"))
+        .agg(sum(size(col("seg").getField("toks"))).cast("long").as("n_tokens"),
+          sum(col("seg").getField("wt")).as("sum_wt"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH RECURSIVE wc AS MATERIALIZED (
+        SELECT w AS word, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+        WHERE len(w) > 0 GROUP BY w),
+      grams AS MATERIALIZED (
+        SELECT substr(word, p, n) AS piece, CAST(SUM(freq) AS BIGINT) AS w
+        FROM wc,
+          (SELECT unnest(generate_series(1, 40)) AS p) pp,
+          (SELECT unnest([1, 2, 3, 4]) AS n) ln
+        WHERE p <= len(word) AND n <= len(word) - p + 1
+        GROUP BY 1),
+      vocab AS MATERIALIZED (
+        -- GROUP BY, not UNION-dedup: inside a WITH RECURSIVE clause
+        -- DuckDB (1.0) skips the distinct of a plain UNION in a
+        -- NON-recursive member, leaving duplicate (piece, w) rows that
+        -- fan out every DP join (the same rows dedup fine outside
+        -- RECURSIVE). Both branches carry the same w per piece, so
+        -- MAX is a no-op numerically.
+        SELECT piece, MAX(w) AS w FROM (
+          SELECT piece, w FROM (
+            SELECT piece, w FROM grams ORDER BY w DESC, piece LIMIT 200)
+          UNION ALL
+          SELECT piece, w FROM grams WHERE len(piece) = 1)
+        GROUP BY piece),
+      uw AS MATERIALIZED (
+        SELECT DISTINCT word AS w FROM wc WHERE len(word) <= 40),
+      dp AS (
+        SELECT w, 0 AS pos, [0] AS cnts, [CAST(0 AS BIGINT)] AS wts FROM uw
+        UNION ALL
+        SELECT w, pos + 1,
+          list_append(cnts, best.cnt), list_append(wts, -best.negwt)
+        FROM (
+          SELECT t0.w, t0.pos, t0.cnts, t0.wts,
+            list_sort(list_filter([
+              CASE WHEN v4.piece IS NOT NULL THEN
+                {'cnt': t0.cnts[t0.pos - 2] + 1,
+                 'negwt': -(t0.wts[t0.pos - 2] + v4.w), 'negj': -4} END,
+              CASE WHEN v3.piece IS NOT NULL THEN
+                {'cnt': t0.cnts[t0.pos - 1] + 1,
+                 'negwt': -(t0.wts[t0.pos - 1] + v3.w), 'negj': -3} END,
+              CASE WHEN v2.piece IS NOT NULL THEN
+                {'cnt': t0.cnts[t0.pos] + 1,
+                 'negwt': -(t0.wts[t0.pos] + v2.w), 'negj': -2} END,
+              CASE WHEN v1.piece IS NOT NULL THEN
+                {'cnt': t0.cnts[t0.pos + 1] + 1,
+                 'negwt': -(t0.wts[t0.pos + 1] + v1.w), 'negj': -1} END
+            ], x -> x IS NOT NULL))[1] AS best
+          FROM dp t0
+          LEFT JOIN vocab v4
+            ON t0.pos + 1 >= 4 AND v4.piece = substr(t0.w, t0.pos - 2, 4)
+          LEFT JOIN vocab v3
+            ON t0.pos + 1 >= 3 AND v3.piece = substr(t0.w, t0.pos - 1, 3)
+          LEFT JOIN vocab v2
+            ON t0.pos + 1 >= 2 AND v2.piece = substr(t0.w, t0.pos, 2)
+          LEFT JOIN vocab v1 ON v1.piece = substr(t0.w, t0.pos + 1, 1)
+          WHERE t0.pos < len(t0.w))),
+      seg AS (
+        SELECT w, cnts[len(w) + 1] AS cnt, wts[len(w) + 1] AS wt
+        FROM dp WHERE pos = len(w)),
+      segall AS (
+        SELECT w, cnt, wt FROM seg
+        UNION ALL
+        SELECT DISTINCT word AS w, 1 AS cnt, CAST(0 AS BIGINT) AS wt
+        FROM wc WHERE len(word) > 40),
+      words_d AS (
+        SELECT d.doc_id, d.ws[g.i] AS w
+        FROM (SELECT doc_id, string_split_regex(text, '\s+') AS ws
+              FROM documents) d,
+          (SELECT unnest(generate_series(1, 4000)) AS i) g
+        WHERE g.i <= len(d.ws) AND len(d.ws[g.i]) > 0),
+      per_doc AS (
+        SELECT wd.doc_id, SUM(sa.cnt) AS n_tok, SUM(sa.wt) AS swt
+        FROM words_d wd JOIN segall sa ON sa.w = wd.w
+        GROUP BY 1)
+      SELECT doc.source,
+        CAST(SUM(COALESCE(pd.n_tok, 0)) AS BIGINT) AS n_tokens,
+        CAST(SUM(COALESCE(pd.swt, 0)) AS BIGINT) AS sum_wt,
         COUNT(*) AS n_docs
       FROM documents doc LEFT JOIN per_doc pd ON pd.doc_id = doc.doc_id
       GROUP BY 1 ORDER BY 1"""))
