@@ -350,6 +350,23 @@ object FlinkSqlDialect {
     out = out.replaceAll(
       """(?i)\bJSON_OBJECTAGG\s*\(\s*KEY\s+([\w.]+)\s+VALUE\s+([\w.]+)\s*\)""",
       "to_json(map_from_entries(collect_list(struct($1, $2))))")
+    // long-tail name mappings (reference BuiltInFunctionDefinitions):
+    // TRANSLATE3 is Flink's spelling of 3-arg translate
+    out = out.replaceAll("""(?i)\bTRANSLATE3\s*\(""", "translate(")
+    // MAP_UNION -> map_concat (last-wins on duplicate keys, both engines)
+    out = out.replaceAll("""(?i)\bMAP_UNION\s*\(""", "map_concat(")
+    // CURRENT_ROW_TIMESTAMP() -> per-row proc time approximation
+    // (SURVEY §2.7 sanctions current_timestamp here)
+    out = out.replaceAll("""(?i)\bCURRENT_ROW_TIMESTAMP\s*\(\s*\)""",
+      "current_timestamp()")
+    // JSON_QUOTE/JSON_UNQUOTE (MySQL-style, in Flink 1.20):
+    // quote = JSON string literal of x (escape via to_json on a
+    // 1-element array, then strip the brackets — Spark's to_json does
+    // not accept a bare string); unquote = JSON-path identity extract
+    out = out.replaceAll("""(?i)\bJSON_QUOTE\s*\(\s*([\w.]+)\s*\)""",
+      "substring(to_json(array($1)), 2, length(to_json(array($1))) - 2)")
+    out = out.replaceAll("""(?i)\bJSON_UNQUOTE\s*\(\s*([\w.]+)\s*\)""",
+      "get_json_object($1, '\\$')")
     out
   }
 }

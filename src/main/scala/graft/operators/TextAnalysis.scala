@@ -13,6 +13,15 @@ object TextAnalysis {
   /** Whitespace token count. */
   def tokenCount(textCol: Column): Column = size(split(textCol, "\\s+"))
 
+  /** Content-defined chunks (Rabin-boundary CDC rule, window 16,
+    * divisor 64 → ~64-char expected chunks) — see
+    * graft.functions.ContentChunks for the boundary arithmetic. */
+  def contentChunks(textCol: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.ContentChunks(
+      ColumnBridge.expression(textCol), 16, 31L, 1048573L, 64L))
+  }
+
   /** BPE-ish token estimate: words + digit runs + punctuation marks
     * counted separately (a regex approximation of subword tokenizers). */
   def bpeishTokenCount(textCol: Column): Column =

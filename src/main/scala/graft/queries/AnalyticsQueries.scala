@@ -224,6 +224,54 @@ object AnalyticsQueries {
       FROM lineitem li
         JOIN est ON li.l_returnflag = est.l_returnflag
         JOIN nr ON li.l_returnflag = nr.l_returnflag
-      GROUP BY li.l_returnflag ORDER BY li.l_returnflag"""))
+      GROUP BY li.l_returnflag ORDER BY li.l_returnflag""")),
+
+    // Content-defined chunking (TextAnalysis.contentChunks /
+    // functions.ContentChunks): Rabin-boundary chunks of every
+    // document, reporting chunk counts, DISTINCT chunks (the
+    // chunk-level dedup rate CDC exists for), and total chars (proof
+    // no text is lost). The boundary rule is positional (pure window
+    // hash, no min/max clamps), so the oracle recomputes every
+    // boundary set-based: per position, the same 16-term polynomial
+    // mod 1048573, cut where hv % 64 = 0.
+    QueryDef("q_content_chunks", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("source"),
+          explode(graft.operators.TextAnalysis.contentChunks(col("text"))).as("ch"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("ch")).as("n_uniq"),
+          sum(length(col("ch"))).cast("long").as("total_chars"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH pw AS (SELECT * FROM (VALUES
+          (1, 381454), (2, 519679), (3, 456488), (4, 758874),
+          (5, 971578), (6, 674015), (7, 765891), (8, 633555),
+          (9, 155737), (10, 410923), (11, 317680), (12, 923521),
+          (13, 29791), (14, 961), (15, 31), (16, 1)) v(j, p)),
+      posh AS (
+        SELECT doc_id, i,
+          CAST(SUM(unicode(substr(text, i - 16 + j, 1)) * p) AS BIGINT)
+            % 1048573 AS hv
+        FROM documents,
+          (SELECT unnest(generate_series(16, 4000)) AS i) gi, pw
+        WHERE i <= len(text)
+        GROUP BY doc_id, i),
+      cuts AS (
+        SELECT doc_id, LIST(i ORDER BY i) AS cs
+        FROM posh WHERE hv % 64 = 0 GROUP BY 1),
+      b AS (
+        SELECT d.doc_id, d.source, d.text,
+          list_prepend(0, COALESCE(c.cs, CAST([] AS BIGINT[]))) AS st,
+          list_append(COALESCE(c.cs, CAST([] AS BIGINT[])), len(d.text)) AS en
+        FROM documents d LEFT JOIN cuts c USING (doc_id)),
+      chunk AS (
+        SELECT b.doc_id, b.source,
+          substr(b.text, CAST(st[k] AS INT) + 1, CAST(en[k] - st[k] AS INT)) AS ch
+        FROM b, (SELECT unnest(generate_series(1, 200)) AS k) gk
+        WHERE k <= len(st) AND en[k] > st[k])
+      SELECT source, COUNT(*) AS n_chunks, COUNT(DISTINCT ch) AS n_uniq,
+        CAST(SUM(len(ch)) AS BIGINT) AS total_chars
+      FROM chunk GROUP BY 1 ORDER BY 1"""))
   )
 }

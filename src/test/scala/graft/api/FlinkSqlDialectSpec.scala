@@ -341,4 +341,32 @@ class FlinkSqlDialectSpec extends SparkSpec {
       .collect().head.getString(0)
     assert(lit == "NEST_LOOP(a)")
   }
+
+  test("long-tail names: TRANSLATE3, MAP_UNION, CURRENT_ROW_TIMESTAMP, JSON_QUOTE/UNQUOTE") {
+    val t1 = FlinkSqlDialect.translate(
+      "SELECT TRANSLATE3(n_name, 'AEIOU', 'aeiou') AS x FROM nation")
+    assert(t1.contains("translate(n_name"))
+    assert(env.executeSql(t1).collect().forall(r =>
+      !r.getString(0).exists("AEIOU".contains(_))))
+
+    val t2 = FlinkSqlDialect.translate(
+      "SELECT MAP_UNION(map('a', 1), map('b', 2)) AS m FROM region LIMIT 1")
+    assert(t2.contains("map_concat("))
+    assert(env.executeSql(t2).collect().head
+      .getMap[String, Int](0).size == 2)
+
+    val t3 = FlinkSqlDialect.translate(
+      "SELECT CURRENT_ROW_TIMESTAMP() AS ts FROM region LIMIT 1")
+    assert(t3.contains("current_timestamp()"))
+    assert(env.executeSql(t3).count() == 1)
+
+    // quote escapes the quote char; unquote round-trips
+    val t4 = FlinkSqlDialect.translate(
+      "SELECT JSON_QUOTE(n_name) AS q FROM nation WHERE n_nationkey = 0")
+    val q = env.executeSql(t4).collect().head.getString(0)
+    assert(q.startsWith("\"") && q.endsWith("\""))
+    val t5 = FlinkSqlDialect.translate(
+      "SELECT JSON_UNQUOTE(j) AS u FROM (SELECT '\"abc\"' AS j)")
+    assert(env.executeSql(t5).collect().head.getString(0) == "abc")
+  }
 }

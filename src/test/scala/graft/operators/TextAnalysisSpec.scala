@@ -160,4 +160,40 @@ class TextAnalysisSpec extends SparkSpec {
     val allWords = got.flatMap(_.getAs[String]("chunk_text").split(" ")).toSet
     assert(allWords == words.toSet)
   }
+
+  private def contentChunksOf(texts: Seq[String]): Seq[Seq[String]] = {
+    import org.apache.spark.sql.functions._
+    texts.toDF("text")
+      .select(TextAnalysis.contentChunks($"text").as("cs"))
+      .as[Seq[String]].collect().toSeq
+  }
+
+  test("contentChunks: lossless reconstruction, deterministic boundaries") {
+    val rnd = new scala.util.Random(42)
+    val texts = (1 to 20).map(_ =>
+      (1 to 300).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val chunks = contentChunksOf(texts)
+    texts.zip(chunks).foreach { case (t, cs) =>
+      assert(cs.mkString == t) // nothing lost, nothing reordered
+    }
+    assert(chunks.exists(_.length > 1)) // divisor 64 on 300 chars cuts
+    assert(contentChunksOf(texts) == chunks) // pure function
+  }
+
+  test("contentChunks: an insertion only disturbs chunks near the edit") {
+    val rnd = new scala.util.Random(7)
+    val t = (1 to 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = t.substring(0, 1000) + "XYZ" + t.substring(1000)
+    val Seq(a, b) = contentChunksOf(Seq(t, edited))
+    val shared = a.toSet.intersect(b.toSet)
+    // CDC's whole point: far-from-edit chunks re-sync and still dedup
+    assert(shared.size >= a.size - 3,
+      s"only ${shared.size}/${a.size} chunks survived the edit")
+    assert(b.mkString == edited)
+  }
+
+  test("contentChunks: short and empty inputs") {
+    assert(contentChunksOf(Seq("tiny")) == Seq(Seq("tiny"))) // < window
+    assert(contentChunksOf(Seq("")) == Seq(Seq.empty[String]))
+  }
 }
