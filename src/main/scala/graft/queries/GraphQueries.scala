@@ -101,6 +101,88 @@ object GraphQueries {
       PageRank.run(e, "src", "dst", Iters)
     }, Some(oracle(Iters))),
 
+    // KMV set ALGEBRA in-plan — the operation HLL cannot do and the
+    // reason operators.Sketches exists: estimate cross-corpus shingle
+    // overlap (union, Jaccard, intersection) from two tiny synopses
+    // WITHOUT rescanning either corpus. The two halves (source parity)
+    // are sketched independently (k smallest portable hashes of word
+    // 3-gram shingles); the union synopsis is the k smallest of the
+    // merged synopses (exact sketch identity, Beyer et al. 2007 §4) and
+    // Jaccard over it estimates the intersection. Exact counts computed
+    // alongside as ground truth (the expensive join the sketch path
+    // avoids at 100 TB). The oracle replays synopses, algebra, and
+    // estimator arithmetic; everything hash-matches including the
+    // estimate doubles.
+    QueryDef("q_kmv_overlap", (s, dir) => {
+      import graft.operators.{Sketches, TextDedup}
+      import org.apache.spark.sql.Encoders
+      val k = 256
+      val docs = t(s, dir, "documents")
+      val dh = docs.select(
+          (substring(col("source"), 4, 10).cast("int") % 2).as("g"),
+          explode(TextDedup.shingles(col("text"), 3)).as("gram"))
+        .select(col("g"), Sketches.portableHash32(col("gram")).as("h"))
+        .distinct()
+      val kmv = udaf(new Sketches.KmvSketch(k), Encoders.scalaLong)
+      val syn = dh.groupBy(col("g")).agg(kmv(col("h")).as("s"))
+      val ab = syn.filter(col("g") === 0).select(col("s").as("sa"))
+        .crossJoin(syn.filter(col("g") === 1).select(col("s").as("sb")))
+        .select(col("sa"), col("sb"),
+          slice(array_sort(array_distinct(concat(col("sa"), col("sb")))),
+            1, k).as("u"))
+      val est = ab.select(
+        when(size(col("u")) < k, size(col("u")).cast("double"))
+          .otherwise(lit((k - 1) * 4294967296.0) /
+            element_at(col("u"), k).cast("double")).as("est_union"),
+        (size(filter(col("u"), x =>
+            array_contains(col("sa"), x) && array_contains(col("sb"), x)))
+          .cast("double") / size(col("u")).cast("double")).as("est_jaccard"))
+        .select(col("est_union"), col("est_jaccard"),
+          (col("est_jaccard") * col("est_union")).as("est_inter"))
+      val counts = dh.groupBy().agg(
+        count(when(col("g") === 0, 1)).as("n_a"),
+        count(when(col("g") === 1, 1)).as("n_b"))
+      val inter = dh.filter(col("g") === 0).select(col("h"))
+        .join(dh.filter(col("g") === 1).select(col("h")), "h")
+        .agg(count(lit(1)).as("inter_exact"))
+      counts.crossJoin(inter).crossJoin(est)
+    }, Some("""
+      WITH sh AS (
+        SELECT CAST(substr(source, 4) AS INT) % 2 AS g,
+          array_to_string(ws[i:i+2], ' ') AS gram
+        FROM (SELECT source, string_split(text, ' ') AS ws FROM documents) d,
+          (SELECT unnest(generate_series(1, 4000)) AS i) gi
+        WHERE i <= GREATEST(len(ws) - 2, 1)),
+      dh AS (
+        SELECT DISTINCT g,
+          ('0x' || substr(md5(gram), 1, 8))::BIGINT AS h
+        FROM sh),
+      r AS (
+        SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+        FROM dh),
+      syn AS (
+        SELECT g, LIST(h ORDER BY h) AS s FROM r WHERE rn <= 256 GROUP BY g),
+      ab AS (
+        SELECT a.s AS sa, b.s AS sb,
+          (list_sort(list_distinct(list_concat(a.s, b.s))))[1:256] AS u
+        FROM syn a, syn b WHERE a.g = 0 AND b.g = 1),
+      est AS (
+        SELECT
+          CASE WHEN len(u) < 256 THEN CAST(len(u) AS DOUBLE)
+               ELSE CAST(1095216660480 AS DOUBLE) / CAST(u[256] AS DOUBLE)
+          END AS est_union,
+          CAST(len(list_filter(u, x ->
+              list_contains(sa, x) AND list_contains(sb, x))) AS DOUBLE)
+            / CAST(len(u) AS DOUBLE) AS est_jaccard
+        FROM ab)
+      SELECT
+        (SELECT COUNT(*) FROM dh WHERE g = 0) AS n_a,
+        (SELECT COUNT(*) FROM dh WHERE g = 1) AS n_b,
+        (SELECT COUNT(*) FROM (SELECT h FROM dh WHERE g = 0) x
+           JOIN (SELECT h FROM dh WHERE g = 1) y USING (h)) AS inter_exact,
+        est_union, est_jaccard, est_jaccard * est_union AS est_inter
+      FROM est""")),
+
     // HITS hub/authority over the directed supplier→part relation:
     // suppliers are hubs, parts authorities (operators.Hits — quantized
     // max-normalized iterations). Like q_pagerank, the oracle replays
