@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.QueryDef
-import graft.operators.PageRank
+import graft.operators.{LabelPropagation, PageRank}
 import Q._
 
 /** Graph-analytics surface: PageRank over the bipartite part—supplier
@@ -16,6 +16,7 @@ import Q._
 object GraphQueries {
 
   private val Iters = 4
+  private val LpaIters = 3
 
   /** Chained-CTE replay: pr_i from pr_{i-1}, same fp op order as
     * PageRank.run (double casts everywhere — bare DuckDB decimals would
@@ -193,8 +194,49 @@ object GraphQueries {
         .select(col("l_suppkey").as("h"), col("l_partkey").as("a"))
       graft.operators.Hits.run(e, "h", "a", Iters)
         .orderBy(col("kind"), col("id"))
-    }, Some(hitsOracle(Iters)))
+    }, Some(hitsOracle(Iters))),
+
+    // Label-propagation communities (operators.LabelPropagation) over
+    // the low-volume slice of the part—supplier graph (thin edges →
+    // many small communities instead of one giant bipartite blob).
+    // All-integer votes + total tie order make the labels a pure
+    // function of the graph: the oracle replays every iteration as a
+    // chained-CTE neighbor-majority argmax and hash-matches exactly.
+    QueryDef("q_label_prop", (s, dir) => {
+      val e = t(s, dir, "lineitem").filter(col("l_quantity") <= 3)
+        .select((col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      LabelPropagation.run(e, "src", "dst", LpaIters)
+        .orderBy(col("node"))
+    }, Some(lpaOracle(LpaIters)))
   )
+
+  /** Chained-CTE LPA replay: l_i votes from l_{i-1}, argmax via
+    * ROW_NUMBER ordered (cnt DESC, label ASC) — the same total order as
+    * LabelPropagation.run's max(struct(cnt, -label)). MATERIALIZED so
+    * DuckDB derives each level once instead of inlining the chain. */
+  private def lpaOracle(iters: Int): String = {
+    val base = """
+      WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT 2 * l_partkey AS src, 2 * l_suppkey + 1 AS dst
+        FROM lineitem WHERE l_quantity <= 3),
+      und AS MATERIALIZED (
+        SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM und)"""
+    val its = (1 to iters).map { i =>
+      s""",
+      l$i AS MATERIALIZED (
+        SELECT node, label FROM (
+          SELECT u.dst AS node, l.label,
+            ROW_NUMBER() OVER (PARTITION BY u.dst
+              ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+          FROM und u JOIN l${i - 1} l ON l.node = u.src
+          GROUP BY u.dst, l.label)
+        WHERE rn = 1)"""
+    }.mkString
+    base + its + s"\n      SELECT node, label FROM l$iters ORDER BY node"
+  }
 
   /** Chained-CTE HITS replay: a_i from h_{i-1}, h_i from a_i, each side
     * max-normalized then floor-quantized — same fp op order as
