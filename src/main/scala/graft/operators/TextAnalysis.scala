@@ -120,6 +120,49 @@ object TextAnalysis {
           .cast("long").as("n_tokens"))
   }
 
+  /** Shannon word-entropy per document (nats) — the "perplexity-lite"
+    * quality signal of corpus curation (low entropy ⇒ repetitive /
+    * template / spam text; used alongside the repetition ratios, cf.
+    * the Gopher quality heuristics, Rae et al. 2021, public). Also
+    * reports the type-token ratio (distinct/total words).
+    *
+    * Numeric discipline: H = ln(N) − (Σ c·ln c)/N over the word
+    * histogram. Each c·ln c term is floor-quantized to a multiple of
+    * 2^-10 BEFORE the sum, so the Σ is exact and order/partition-free
+    * (the PageRank trick); ln(N) is quantized the same way, leaving ONE
+    * IEEE division + subtraction — a fixed op sequence any engine
+    * reproduces bit-for-bit, which is what lets the DuckDB oracle
+    * hash-match the entropy doubles.
+    *
+    * Scale shape: explode → count by (doc, word) → sum by doc. Both
+    * aggregations are partial-aggregate friendly, so the shuffled data
+    * is the per-doc VOCABULARY (distinct words), not the token stream;
+    * per-doc state is O(1) afterward. Returns
+    * (idCol, n_words, n_distinct, entropy, ttr); empty/whitespace-only
+    * documents are dropped (entropy of nothing is undefined).
+    */
+  def wordEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val q = 1024.0
+    val counts = df
+      .select(col(idCol), explode(
+        regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0)))
+        .as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+    counts.groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        sum(floor(col("__c") * log(col("__c").cast("double")) * q) / q)
+          .as("__st"))
+      .select(col(idCol), col("n_words"), col("n_distinct"),
+        // the two floors quantize on different grids, so a uniform doc
+        // can land a hair BELOW zero — clamp (entropy is nonnegative)
+        greatest(lit(0.0),
+          floor(log(col("n_words").cast("double")) * q) / q
+            - col("__st") / col("n_words").cast("double")).as("entropy"),
+        (col("n_distinct").cast("double") / col("n_words").cast("double"))
+          .as("ttr"))
+  }
+
   /** Language-ID via stopword hit-rates: fraction of tokens that are
     * high-frequency function words of each language (an n-gram-free
     * variant of the classic heuristic; deterministic). Returns the

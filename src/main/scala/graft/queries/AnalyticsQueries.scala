@@ -272,6 +272,73 @@ object AnalyticsQueries {
         WHERE k <= len(st) AND en[k] > st[k])
       SELECT source, COUNT(*) AS n_chunks, COUNT(DISTINCT ch) AS n_uniq,
         CAST(SUM(len(ch)) AS BIGINT) AS total_chars
-      FROM chunk GROUP BY 1 ORDER BY 1"""))
+      FROM chunk GROUP BY 1 ORDER BY 1""")),
+
+    // Word-entropy + type-token-ratio quality signals (operators.
+    // TextAnalysis.wordEntropy) with a low-entropy gate — the cheap
+    // stand-in for the perplexity filter. The quantized c·ln c terms
+    // make even the entropy DOUBLES hash-comparable: the oracle
+    // recomputes the identical histogram and op sequence.
+    QueryDef("q_entropy", (s, dir) => {
+      graft.operators.TextAnalysis
+        .wordEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("low_entropy", col("entropy") < 3.0)
+    }, Some("""
+      WITH w AS (
+        SELECT doc_id,
+          unnest(regexp_extract_all(lower(text), '\S+')) AS w
+        FROM documents),
+      c AS (SELECT doc_id, w, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+      agg AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+          COUNT(*) AS n_distinct,
+          SUM(floor(cnt * ln(CAST(cnt AS DOUBLE)) * 1024) / 1024.0) AS st
+        FROM c GROUP BY 1)
+      SELECT doc_id, n_words, n_distinct,
+        greatest(0.0, floor(ln(CAST(n_words AS DOUBLE)) * 1024) / 1024.0
+          - st / CAST(n_words AS DOUBLE)) AS entropy,
+        CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr,
+        greatest(0.0, floor(ln(CAST(n_words AS DOUBLE)) * 1024) / 1024.0
+          - st / CAST(n_words AS DOUBLE)) < 3.0 AS low_entropy
+      FROM agg""")),
+
+    // Key-skew report (operators.SkewReport) over lineitem's join key —
+    // the degree histogram + hot keys + headline skew factor you
+    // profile before choosing broadcast/salting at scale. Integer
+    // buckets (length(bin(cnt))-1, no float log) and single-division
+    // shares make every row hash-exact.
+    QueryDef("q_skew_report", (s, dir) => {
+      graft.operators.SkewReport
+        .report(t(s, dir, "lineitem"), "l_orderkey", 10)
+        .orderBy(col("kind"), col("k"))
+    }, Some("""
+      WITH c AS (
+        SELECT l_orderkey AS k, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+          MAX(cnt) AS max_cnt
+        FROM c),
+      b AS (
+        SELECT 'bucket' AS kind,
+          CAST(length(format('{:b}', cnt)) - 1 AS BIGINT) AS k,
+          COUNT(*) AS cnt, CAST(SUM(cnt) AS BIGINT) AS rows_in_bucket
+        FROM c GROUP BY 2),
+      hot AS (
+        SELECT 'hotkey' AS kind, k, cnt
+        FROM c ORDER BY cnt DESC, k ASC LIMIT 10)
+      SELECT kind, k, cnt,
+        CAST(rows_in_bucket AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share
+      FROM b, tot
+      UNION ALL
+      SELECT kind, k, cnt,
+        CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS share
+      FROM hot, tot
+      UNION ALL
+      SELECT 'total' AS kind, CAST(n_keys AS BIGINT) AS k, n_rows AS cnt,
+        CAST(max_cnt AS DOUBLE)
+          / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS share
+      FROM tot
+      ORDER BY kind, k"""))
   )
 }
