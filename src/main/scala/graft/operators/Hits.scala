@@ -46,18 +46,23 @@ object Hits {
     var hub = e.select(col("hub_id")).distinct().withColumn("hub", lit(1.0))
     var auth: DataFrame = null
     for (_ <- 1 to iterations) {
+      // checkpoint the SUM table, not the normalized scores: `asum`
+      // feeds both the max-broadcast subquery and the main select, so
+      // an unmaterialized asum would run the edge join + groupBy twice
+      // per half-iteration. The normalization itself is a node-sized
+      // scan + broadcast scalar — cheap to leave lazy.
       val asum = e.join(hub, Seq("hub_id"))
         .groupBy(col("auth_id")).agg(sum(col("hub")).as("s"))
+        .localCheckpoint(true)
       auth = asum.crossJoin(broadcast(asum.agg(max(col("s")).as("mx"))))
         .select(col("auth_id"),
           (floor(col("s") / col("mx") * Q) / lit(Q.toDouble)).as("auth"))
-        .localCheckpoint(true)
       val hsum = e.join(auth, Seq("auth_id"))
         .groupBy(col("hub_id")).agg(sum(col("auth")).as("s"))
+        .localCheckpoint(true)
       hub = hsum.crossJoin(broadcast(hsum.agg(max(col("s")).as("mx"))))
         .select(col("hub_id"),
           (floor(col("s") / col("mx") * Q) / lit(Q.toDouble)).as("hub"))
-        .localCheckpoint(true)
     }
     val out = auth.select(lit("auth").as("kind"), col("auth_id").as("id"),
         col("auth").as("score"))

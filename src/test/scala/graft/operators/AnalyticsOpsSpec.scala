@@ -88,4 +88,21 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
     want.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-12) }
   }
+
+  test("distributedVocab factorization yields identical join results") {
+    val rnd = new Random(12)
+    // multi-char tokens across many leading chars so bucketed ranks +
+    // offsets genuinely differ from a trivial single-bucket case
+    val vocab = (for (a <- 'a' to 'z'; b <- 'a' to 'd') yield s"$a$b").toIndexedSeq
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).distinct)
+    }
+    val tok = docs.toDF("id", "toks")
+      .select(col("id"), explode(col("toks")).as("token"))
+    def rows(dv: Boolean) =
+      SetSimJoin.jaccardJoinTokens(tok, "id", "token", 0.5, distributedVocab = dv)
+        .orderBy(col("id_a"), col("id_b"))
+        .collect().map(_.toSeq).toSeq
+    assert(rows(dv = false) == rows(dv = true))
+  }
 }
