@@ -273,6 +273,64 @@ object TextDedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs: all (id_a < id_b) whose 64-bit
+    * fingerprints differ in at most `maxDist` bits — the web-scale
+    * near-dup detector of Manku, Jain & Das Sarma, "Detecting
+    * near-duplicates for web crawling", WWW'07 (public). Complements
+    * [[minhashLsh]]: MinHash buckets by set similarity of shingles,
+    * SimHash by bit-proximity of ONE 64-bit fingerprint — 8 bytes of
+    * state per document however long the text, which is what makes a
+    * 10^10-document dedup table fit a cluster.
+    *
+    * Pigeonhole banding makes it exact WITHOUT the all-pairs join:
+    * split the 64 bits into maxDist+1 disjoint bands; two fingerprints
+    * within maxDist differ in at most maxDist bands, so they MATCH on
+    * at least one — bucket-joining per band finds every qualifying
+    * pair, and an 8-byte XOR+popcount verifies each candidate. Scale
+    * shape: fingerprint scan (one compiled pass, no shuffle) ->
+    * explode k bands -> one aggregation per (band, bits) bucket ->
+    * bounded pair expansion -> verification join against the
+    * fingerprint table. `maxBucket` caps a degenerate bucket's k^2/2
+    * blowup (identical boilerplate corpora), trading recall for
+    * survival exactly like [[TextDedup.lshCandidates]].
+    *
+    * Returns (id_a, id_b, dist), id_a < id_b, dist <= maxDist. */
+  def simhashNearDup(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist in [0,64), got $maxDist")
+    require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
+    val k = maxDist + 1
+    // fingerprints materialized once: the banding pass and BOTH sides
+    // of the verification join read this doc-sized table, not the text
+    val fp = docs.select(col(idCol).cast("long").as("id"),
+        simHash64(col(textCol)).as("sh"))
+      .localCheckpoint(true)
+    // k near-equal disjoint bit ranges covering all 64 bits
+    val widths = Array.tabulate(k)(i => 64 / k + (if (i < 64 % k) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandCols = (0 until k).map { b =>
+      val mask = if (widths(b) == 64) -1L else (1L << widths(b)) - 1L
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sh"), offsets(b))
+          .bitwiseAND(lit(mask)).as("bits"))
+    }
+    val cand = fp.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .groupBy(col("bb.band"), col("bb.bits"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    cand
+      .join(fp.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(fp.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sha"), col("shb")).cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Exact dedup key: hash of normalized text (lowercase, collapsed
     * whitespace) — the first pass of any corpus dedup. */
   def normalizedHash(textCol: Column): Column =

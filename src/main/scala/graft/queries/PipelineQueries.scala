@@ -439,6 +439,36 @@ object PipelineQueries {
         CAST(bit_count(${DuckHash.toSigned("fpu")}) AS INTEGER) AS popcount
       FROM fp""")),
 
+    // SimHash near-dup JOIN (Manku et al. WWW'07): all pairs within
+    // Hamming distance 3 via pigeonhole banding (4 disjoint 16-bit
+    // bands — a matching band is guaranteed, so banding is exact, not
+    // probabilistic). The oracle recomputes the fingerprints and runs
+    // the all-pairs join the banding exists to avoid.
+    QueryDef("q_simhash_neardup", (s, dir) => {
+      TextDedup.simhashNearDup(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      WITH ${DuckHash.wordFnv},
+      z0 AS (SELECT doc_id, fnv AS z FROM u),
+      ${DuckHash.mixStages("z0")},
+      hh AS (SELECT doc_id, list_transform(z, x -> xor(x, x >> 31)) AS h
+        FROM m3),
+      fp AS (SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS HUGEINT),
+              list_reverse(list_transform(generate_series(0, 63), b ->
+                CASE WHEN 2 * len(list_filter(h, x -> ((x >> b) & 1) = 1))
+                       > len(h)
+                     THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END))),
+            (a, x) -> a * 2 + x) AS fpu
+        FROM hh),
+      sgn AS (SELECT doc_id, ${DuckHash.toSigned("fpu")} AS sh FROM fp)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS dist
+      FROM sgn a JOIN sgn b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3
+      ORDER BY 1, 2""")),
+
     // ---- similarity search ----
 
     // Brute-force exact cosine top-5 (oracle: DuckDB list functions).

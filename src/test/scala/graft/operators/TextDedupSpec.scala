@@ -177,4 +177,34 @@ class TextDedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") &&
       plan.contains("LeftSemi"), plan)
   }
+
+  test("simhashNearDup equals the all-pairs hamming join (exact banding)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu", "xi", "rho", "sigma", "tau")
+    // 40 base docs + mutated clones (1-2 word edits -> small hamming)
+    val base = (0 until 40).map { i =>
+      i.toLong -> Seq.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val clones = base.take(10).map { case (id, ws) =>
+      (id + 100) -> ws.updated(rnd.nextInt(ws.size), vocab(rnd.nextInt(vocab.size)))
+    }
+    val df = (base ++ clones).map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+    for (maxDist <- Seq(0, 3, 7)) {
+      val got = TextDedup.simhashNearDup(df, "doc_id", "text", maxDist)
+        .select($"id_a", $"id_b", $"dist")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val fps = df.select($"doc_id", TextDedup.simHash64($"text").as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = (for {
+        a <- fps.keys; b <- fps.keys if a < b
+        d = java.lang.Long.bitCount(fps(a) ^ fps(b))
+        if d <= maxDist
+      } yield (a, b) -> d).toMap
+      assert(got == want, s"maxDist=$maxDist " +
+        s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+      if (maxDist == 7) assert(want.nonEmpty) // clones must actually collide
+    }
+  }
 }
