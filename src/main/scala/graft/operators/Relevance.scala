@@ -155,13 +155,22 @@ object Relevance {
       terms: Seq[String], topK: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one term")
-    val withTf = corpus.select(
-      (col(idCol).as("__id") +:
-        size(words(col(textCol))).cast("double").as("dl") +:
-        terms.zipWithIndex.map { case (t, i) =>
-          size(filter(words(col(textCol)), w => w === lit(t)))
-            .cast("double").as(s"tf$i")
-        }): _*)
+    // one native tokenization pass per row (functions.TermStats) instead
+    // of n+1 interpreted regexp passes — see the expression's scaladoc;
+    // then checkpoint the SLIM (id, dl, tf*) table: both the corpus
+    // stats aggregate (a broadcast subquery, i.e. a separate job) and
+    // the scoring projection read it, so an unmaterialized plan would
+    // run the whole upstream DAG (cleaning/chunking/tokenizing) twice.
+    // The checkpoint is numbers-only — no text — so it is O(docs) cells.
+    val ts = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(graft.functions.TermStats(
+        ColumnBridge.expression(col(textCol)), terms))
+    }
+    val withTf = corpus.select(col(idCol).as("__id"), ts.as("__ts"))
+      .select((col("__id") +: col("__ts.dl").as("dl") +:
+        terms.indices.map(i => col("__ts.tf")(i).as(s"tf$i"))): _*)
+      .localCheckpoint(true)
     val stats = withTf.agg(
       count(lit(1)).cast("double").as("N"),
       (sum(col("dl")).as("sum_dl") +:
