@@ -14,15 +14,25 @@ object Tables {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    // reader rejects. The data is µs-precision (ns remainder = 0), so read
-    // nanos as long and rebuild a proper TimestampType column — lossless.
+    // events.ts precision varies across driver testdata generations:
+    // TIMESTAMP(NANOS) (which Spark's vectorized reader rejects — read
+    // nanos as long, rebuild; the data is µs-precision so it's lossless),
+    // or native TIMESTAMP / TIMESTAMP_NTZ micros. Normalize all of them
+    // to TimestampType (session TZ is pinned to UTC, so NTZ → LTZ is the
+    // identity on the wall-clock values).
     if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-        .select(raw.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+      val fixed = raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts",
+          expr("timestamp_micros(ts DIV 1000)"))
+        case TimestampNTZType => raw.withColumn("ts",
+          col("ts").cast(TimestampType))
+        case _ => raw
+      }
+      fixed.select(raw.columns.map(col).toSeq: _*)
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
