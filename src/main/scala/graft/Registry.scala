@@ -22,7 +22,8 @@ object Registry {
     TpchQueries.defs ++
     BpeQueries.defs ++
     GraphQueries.defs ++
-    AnalyticsQueries.defs
+    AnalyticsQueries.defs ++
+    CurationQueries.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val m = all.map(q => q.name -> q).toMap

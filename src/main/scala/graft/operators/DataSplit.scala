@@ -120,6 +120,40 @@ object DataSplit {
     * pages ships only `maxPerKey` rows per input partition, not its
     * whole population, and the single hash shuffle moves at most
     * maxPerKey x mappers rows per key. */
+  /** Deterministic weighted sampling without replacement, per stratum —
+    * the A-ES scheme (Efraimidis & Spirakis 2006, public): each row
+    * draws key u^(1/w); the n largest keys per stratum are the sample.
+    * This is how a curation pipeline biases a fixed-size subsample
+    * toward high-quality / long documents while staying reproducible:
+    * u comes from the md5 hash of the row id (content-addressed, same
+    * stability story as [[sampleByHash]]), never from a RNG.
+    *
+    * We order by ln(u)/w (monotone in u^(1/w)): ln(u) is
+    * floor-quantized to a multiple of 2^-20, leaving one IEEE division
+    * by the weight — a fixed op sequence any engine replays
+    * bit-for-bit. Weights must be strictly positive.
+    *
+    * Scale shape: zero-shuffle projection for the key, then ROW_NUMBER
+    * per stratum — Spark's WindowGroupLimit turns the rank filter into
+    * a map-side partial top-n, so a stratum with 10^9 rows ships only
+    * n rows per input partition. Returns the sampled rows plus their
+    * in-stratum rank `rk`. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+      strataCol: Column, nPerStratum: Int,
+      seed: String = "wsample"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (hashBucket(col(idCol), 1 << 20, seed).cast("double") + 0.5) /
+      lit(1048576.0)
+    val selKey = (floor(log(u) * 1048576) / lit(1048576.0)) /
+      weightCol.cast("double")
+    val rn = Iterator.from(0).map(i => s"__graft_ws_rn$i")
+      .find(n => !df.columns.contains(n)).get
+    df.withColumn(rn, row_number().over(
+        Window.partitionBy(strataCol).orderBy(selKey.desc, col(idCol))))
+      .filter(col(rn) <= nPerStratum)
+      .withColumnRenamed(rn, "rk")
+  }
+
   def capPerKey(df: DataFrame, keyCol: String, orderCol: String,
       maxPerKey: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -139,6 +139,36 @@ object Relevance {
         coalesce(col("lm_score"), lit(0.0)).as("lm_score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009,
+    * public): combine multiple rankings of the same id space into one —
+    * THE standard way a RAG / retrieval pipeline merges a lexical
+    * (BM25) ranking with a semantic (embedding) ranking without score
+    * calibration. Each input must carry (idCol, "rank") with rank
+    * 1-based; the fused score is Σ_r 1/(k + rank_r) over the rankings
+    * that contain the id.
+    *
+    * Float discipline: each 1/(k+rank) contribution is floor-quantized
+    * to a multiple of 2^-20 BEFORE the sum, so the per-id sum of a
+    * handful of exact binary fractions is exact and order-independent —
+    * any engine reproduces the fused scores bit-for-bit.
+    *
+    * Scale shape: union of the (already small, top-k'd) rankings → one
+    * partial-aggregated SUM keyed by id → TakeOrderedAndProject. The
+    * expensive part of hybrid retrieval is the upstream rankers; fusion
+    * itself moves only (id, rank) pairs. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, k: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contribs = rankings.map(_.select(col(idCol),
+      (floor(lit(1.0) / (lit(k) + col("rank")) * 1048576) / lit(1048576.0))
+        .as("__c")))
+    contribs.reduce(_ unionAll _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("rrf_score"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** BM25 ranking of documents against a literal term set (Robertson &
     * Spärck Jones; the k1/b formulation of Robertson et al., TREC-3).
     *

@@ -57,6 +57,69 @@ object Similarity {
         col("rank"))
   }
 
+  /** MMR (Maximal Marginal Relevance) re-ranking — Carbonell & Goldstein,
+    * SIGIR 1998 (public): greedily select k results balancing query
+    * relevance against redundancy with what is already selected,
+    *
+    *   next = argmax_c [ λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) ],
+    *
+    * the standard diversification pass a RAG pipeline runs over its
+    * top-N candidate pool before stuffing a context window (near-dup
+    * passages waste tokens). Candidates carry (qidCol, idCol, relCol,
+    * vecCol); returns the selected rows as (qid, id, rel, mmr,
+    * sel_rank).
+    *
+    * Determinism/portability: rel is expected 6-dp-rounded (as
+    * [[bruteForceTopK]] emits); candidate-candidate cosine is rounded
+    * to 6 dp; the score λ·rel − (1−λ)·maxsim is then floor-quantized
+    * to a multiple of 2^-20 (an engine evaluating the two mults with
+    * FMA contraction differs in the last ulp — the quantization
+    * absorbs it, as everywhere else in this library). Ties break by
+    * id.
+    *
+    * Scale shape: MMR is inherently sequential in k, but each step is
+    * one join + one aggregate over the CANDIDATE pool (top-N per query,
+    * a constant ~10-100 rows/query fixed upstream by the ANN ranker) —
+    * never the corpus. All queries advance in parallel inside each
+    * step; cost is k · O(|pool|) per query with no corpus shuffle. */
+  def mmrRerank(cands: DataFrame, qidCol: String, idCol: String,
+      relCol: String, vecCol: String, k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    val base = cands.select(col(qidCol).as("__qid"), col(idCol).as("__id"),
+      col(relCol).as("__rel"), col(vecCol).as("__vec"))
+    var selected: DataFrame = null
+    var remaining = base
+    for (i <- 1 to k) {
+      def q20(c: Column): Column = floor(c * 1048576) / lit(1048576.0)
+      val scored =
+        if (selected == null)
+          remaining.withColumn("__mmr", q20(lit(lambda) * col("__rel")))
+        else {
+          val sel = selected.select(col("__qid"), col("__vec").as("__sv"))
+          remaining.join(sel, "__qid")
+            .groupBy(col("__qid"), col("__id"))
+            .agg(first(col("__rel")).as("__rel"),
+              first(col("__vec")).as("__vec"),
+              max(round(cosine(col("__vec"), col("__sv")), 6)).as("__ms"))
+            .withColumn("__mmr", q20(
+              lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__ms")))
+        }
+      val w = Window.partitionBy(col("__qid"))
+        .orderBy(col("__mmr").desc, col("__id"))
+      val pick = scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("__qid"), col("__id"), col("__rel"), col("__vec"),
+          col("__mmr"), lit(i).as("__selrank"))
+      selected = if (selected == null) pick else selected.unionByName(pick)
+      remaining = remaining.join(
+        pick.select(col("__qid"), col("__id")), Seq("__qid", "__id"),
+        "left_anti")
+    }
+    selected.select(col("__qid").as(qidCol), col("__id").as(idCol),
+      col("__rel").as(relCol), col("__mmr").as("mmr"),
+      col("__selrank").cast("long").as("sel_rank"))
+  }
+
   /** Sign-random-projection bucket id for one hash table: `planes` sign
     * bits packed into a long — native one-pass expression
     * (graft.functions.SrpBucket). */

@@ -163,6 +163,71 @@ object TextAnalysis {
           .as("ttr"))
   }
 
+  /** The Gopher document-quality rule set (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", Appendix A — public): the canonical cheap pre-filter a
+    * pretraining pipeline runs before any model-based scoring. Emits
+    * the per-document counters, one boolean per rule, and the combined
+    * keep decision:
+    *
+    *  - word count in [50, 100000]
+    *  - mean word length in [3, 10] characters
+    *  - symbol-to-word ratio (# or ellipsis) <= 0.1
+    *  - < 90% of lines start with a bullet (-, *, •)
+    *  - < 30% of lines end with an ellipsis
+    *  - >= 80% of words contain at least one alphabetic character
+    *  - at least 2 distinct required stopwords present
+    *    (the/be/to/of/and/that/have/with)
+    *
+    * Numeric discipline: every ratio threshold is an exact integer
+    * cross-multiplication (e.g. mean word length in [3,10] ⇔
+    * 3·n_words <= n_word_chars <= 10·n_words), so there is no float
+    * anywhere and any engine replays the decision bit-for-bit.
+    *
+    * Scale shape: pure per-row expressions over one scan — zero
+    * shuffle, composes into the single 100-TB curation pass alongside
+    * [[qualityScore]] / [[dupNgramFraction]] / [[redactPii]]. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val base = df.select(col(idCol),
+      regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__w"),
+      split(col(textCol), "\n").as("__l"),
+      col(textCol).as("__t"))
+    val counted = base.select(
+      col(idCol),
+      size(col("__w")).cast("long").as("n_words"),
+      length(regexp_replace(col("__t"), "\\s", "")).cast("long")
+        .as("n_word_chars"),
+      size(regexp_extract_all(col("__t"), lit("#|\\.\\.\\."), lit(0)))
+        .cast("long").as("n_symbols"),
+      size(col("__l")).cast("long").as("n_lines"),
+      size(filter(col("__l"), l => trim(l).rlike("^[-*•]")))
+        .cast("long").as("n_bullet_lines"),
+      size(filter(col("__l"), l => l.rlike("\\.\\.\\.$")))
+        .cast("long").as("n_ellipsis_lines"),
+      size(filter(col("__w"), w => w.rlike("[A-Za-z]")))
+        .cast("long").as("n_alpha_words"),
+      size(array_intersect(transform(col("__w"), w => lower(w)),
+        typedlit(stops))).cast("long").as("n_stop_hits"))
+    val okWords = col("n_words") >= 50 && col("n_words") <= 100000
+    val okWordLen = col("n_word_chars") >= lit(3) * col("n_words") &&
+      col("n_word_chars") <= lit(10) * col("n_words")
+    val okSymbols = lit(10) * col("n_symbols") <= col("n_words")
+    val okBullets = lit(10) * col("n_bullet_lines") < lit(9) * col("n_lines")
+    val okEllipsis = lit(10) * col("n_ellipsis_lines") < lit(3) * col("n_lines")
+    val okAlpha = lit(5) * col("n_alpha_words") >= lit(4) * col("n_words")
+    val okStops = col("n_stop_hits") >= 2
+    counted.select(col(idCol), col("n_words"), col("n_word_chars"),
+      col("n_symbols"), col("n_lines"), col("n_bullet_lines"),
+      col("n_ellipsis_lines"), col("n_alpha_words"), col("n_stop_hits"),
+      okWords.as("ok_word_count"), okWordLen.as("ok_mean_word_len"),
+      okSymbols.as("ok_symbol_ratio"), okBullets.as("ok_bullets"),
+      okEllipsis.as("ok_ellipsis"), okAlpha.as("ok_alpha_words"),
+      okStops.as("ok_stopwords"),
+      (okWords && okWordLen && okSymbols && okBullets && okEllipsis &&
+        okAlpha && okStops).as("keep"))
+  }
+
   /** Language-ID via stopword hit-rates: fraction of tokens that are
     * high-frequency function words of each language (an n-gram-free
     * variant of the classic heuristic; deterministic). Returns the

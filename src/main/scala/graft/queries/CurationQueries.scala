@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.operators.{DataSplit, Relevance, Similarity, TextAnalysis}
+import Q._
+
+/** Curation-layer additions: the Gopher document-quality rule set,
+  * deterministic weighted sampling (A-ES), hybrid lexical+semantic
+  * retrieval fused with RRF, and MMR diversification — each a published
+  * public technique a large-scale training-data / RAG pipeline runs,
+  * each with a full DuckDB value oracle.
+  */
+object CurationQueries {
+
+  /** The raw double cosine used by every proven embedding oracle. */
+  private def cosRaw(a: String, b: String): String =
+    s"""(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST($b AS DOUBLE[]),
+                               CAST($b AS DOUBLE[])))))"""
+
+  /** One BM25 term-score summand in the DuckDB replay (the proven
+    * q_rag_e2e formula: q1024 idf, k1=1.2, b=0.75). */
+  private def bm25Term(i: Int): String =
+    s"""floor(ln((s.n - s.df$i + 0.5) / (s.df$i + 0.5) + 1.0) * 1024) / 1024.0
+      * (t.tf$i * (1.2 + 1.0) / (t.tf$i + 1.2 *
+          (1.0 - 0.75 + 0.75 * (t.dl / (s.sum_dl / s.n)))))"""
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // The Gopher quality rules (Rae et al. 2021, Appendix A): the
+    // canonical pretraining pre-filter. Every ratio threshold is an
+    // exact integer cross-multiplication, so the oracle replays the
+    // decision with no float anywhere. On this corpus the symbol /
+    // bullet / ellipsis counters are legitimately zero (TESTDATA text
+    // has no punctuation or newlines); the word-count, word-length,
+    // alpha-fraction and stopword rules carry real signal.
+    QueryDef("q_gopher_rules", (s, dir) => {
+      TextAnalysis.gopherRules(t(s, dir, "documents"), "doc_id", "text")
+    }, Some("""
+      SELECT doc_id, n_words, n_word_chars, n_symbols, n_lines,
+        n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stop_hits,
+        n_words BETWEEN 50 AND 100000 AS ok_word_count,
+        (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words)
+          AS ok_mean_word_len,
+        10 * n_symbols <= n_words AS ok_symbol_ratio,
+        10 * n_bullet_lines < 9 * n_lines AS ok_bullets,
+        10 * n_ellipsis_lines < 3 * n_lines AS ok_ellipsis,
+        5 * n_alpha_words >= 4 * n_words AS ok_alpha_words,
+        n_stop_hits >= 2 AS ok_stopwords,
+        (n_words BETWEEN 50 AND 100000
+          AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+          AND 10 * n_symbols <= n_words
+          AND 10 * n_bullet_lines < 9 * n_lines
+          AND 10 * n_ellipsis_lines < 3 * n_lines
+          AND 5 * n_alpha_words >= 4 * n_words
+          AND n_stop_hits >= 2) AS keep
+      FROM (
+        SELECT doc_id,
+          len(regexp_extract_all(text, '\S+')) AS n_words,
+          length(regexp_replace(text, '\s', '', 'g')) AS n_word_chars,
+          len(regexp_extract_all(text, '#|\.\.\.')) AS n_symbols,
+          len(string_split(text, chr(10))) AS n_lines,
+          len(list_filter(string_split(text, chr(10)),
+            l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bullet_lines,
+          len(list_filter(string_split(text, chr(10)),
+            l -> regexp_matches(l, '\.\.\.$'))) AS n_ellipsis_lines,
+          len(list_filter(regexp_extract_all(text, '\S+'),
+            w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+          len(list_intersect(
+            list_transform(regexp_extract_all(text, '\S+'), w -> lower(w)),
+            ['the','be','to','of','and','that','have','with']))
+            AS n_stop_hits
+        FROM documents)""")),
+
+    // Deterministic weighted sampling without replacement (A-ES,
+    // Efraimidis & Spirakis 2006): 5 documents per source, selection
+    // probability proportional to n_chars — the reproducible "prefer
+    // long documents" subsample. Content-addressed u from md5(doc_id),
+    // ln(u) floor-quantized to 2^-20, one IEEE division by the weight:
+    // the oracle replays the selection and ranks bit-for-bit.
+    QueryDef("q_weighted_sample", (s, dir) => {
+      DataSplit.weightedSample(t(s, dir, "documents"), "doc_id",
+          col("n_chars"), col("source"), 5)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          col("rk").cast("long").as("rk"))
+    }, Some("""
+      SELECT source, doc_id, n_chars, rk FROM (
+        SELECT source, doc_id, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+            floor(ln(((('0x' || substr(md5(doc_id::VARCHAR || 'wsample'),
+                1, 8))::BIGINT % 1048576) + 0.5) / 1048576.0) * 1048576)
+              / 1048576.0 / CAST(n_chars AS DOUBLE) DESC,
+            doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 5""")),
+
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    // SIGIR 2009): BM25 top-20 (lexical) + exact cosine top-20 against
+    // the vec_id=7 query embedding (semantic), fused by
+    // sum(1/(60+rank)) with 2^-20-quantized contributions. The oracle
+    // replays both rankers (the proven q_rag_e2e BM25 and q_ann_brute
+    // cosine formulas) and the fusion arithmetic.
+    QueryDef("q_hybrid_rrf", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = Relevance.bm25TopK(docs, "doc_id", "text",
+          Seq("spark", "window", "hash"), 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      val qv = emb.filter(col("vec_id") === 7)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val sem = Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 7),
+          qv, "vec_id", "embedding", "qid", "qvec", 20)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      Relevance.rrfFuse(Seq(lex, sem), "doc_id", k = 60, topK = 10)
+    }, Some(s"""
+      WITH w AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws
+        FROM documents),
+      tf AS (
+        SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+          CAST(len(list_filter(ws, x -> x = 'spark')) AS DOUBLE) AS tf0,
+          CAST(len(list_filter(ws, x -> x = 'window')) AS DOUBLE) AS tf1,
+          CAST(len(list_filter(ws, x -> x = 'hash')) AS DOUBLE) AS tf2
+        FROM w),
+      st AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(dl) AS sum_dl,
+          CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+          CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+          CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        FROM tf),
+      lexs AS (
+        SELECT t.doc_id,
+          ${bm25Term(0)} + ${bm25Term(1)} + ${bm25Term(2)} AS score
+        FROM tf t, st s),
+      lex AS (
+        SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM lexs WHERE score > 0.0
+        QUALIFY rank <= 20),
+      qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+      sem AS (
+        SELECT e.vec_id AS doc_id,
+          ROW_NUMBER() OVER (ORDER BY ${cosRaw("e.embedding", "q.qe")}
+            DESC, e.vec_id) AS rank
+        FROM embeddings e, qv q WHERE e.vec_id <> 7
+        QUALIFY rank <= 20),
+      fused AS (
+        SELECT doc_id,
+          floor(1.0 / (60 + rank) * 1048576) / 1048576.0 AS c FROM lex
+        UNION ALL
+        SELECT doc_id,
+          floor(1.0 / (60 + rank) * 1048576) / 1048576.0 AS c FROM sem)
+      SELECT doc_id, SUM(c) AS rrf_score, COUNT(*) AS n_lists
+      FROM fused GROUP BY doc_id
+      ORDER BY rrf_score DESC, doc_id LIMIT 10""")),
+
+    // MMR diversification (Carbonell & Goldstein, SIGIR 1998): top-12
+    // cosine candidates for the vec_id=3 query, then 4 greedy
+    // selections balancing relevance (λ=0.7) against redundancy with
+    // the already-selected set. The oracle unrolls the 4 selection
+    // rounds as chained CTEs with the identical 6-dp-rounded cosines,
+    // the identical (1.0 - 0.7) double for the redundancy weight, and
+    // the operator's 2^-20 score quantization (which absorbs the
+    // 1-ulp FMA-contraction delta between engines).
+    QueryDef("q_mmr_rerank", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cands = Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 3),
+        qv, "vec_id", "embedding", "qid", "qvec", 12)
+      val withVec = cands
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .select(col("qid"), col("vec_id"), col("sim"), col("embedding"))
+      Similarity.mmrRerank(withVec, "qid", "vec_id", "sim", "embedding",
+          k = 4, lambda = 0.7)
+        .select(col("sel_rank"), col("vec_id"), col("sim"), col("mmr"))
+    }, Some(s"""
+      WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 3),
+      c0 AS (
+        SELECT vec_id, embedding, rel FROM (
+          SELECT e.vec_id, e.embedding,
+            ROUND(${cosRaw("e.embedding", "q.qe")}, 6) AS rel,
+            ROW_NUMBER() OVER (ORDER BY ${cosRaw("e.embedding", "q.qe")}
+              DESC, e.vec_id) AS rnk
+          FROM embeddings e, qv q WHERE e.vec_id <> 3)
+        WHERE rnk <= 12),
+      s1 AS (
+        SELECT vec_id, embedding, rel,
+          floor(0.7 * rel * 1048576) / 1048576.0 AS mmr, 1 AS sel_rank
+        FROM c0 ORDER BY floor(0.7 * rel * 1048576) / 1048576.0 DESC,
+          vec_id LIMIT 1),
+      r1 AS (SELECT c.* FROM c0 c
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)),
+      m2 AS (
+        SELECT r.vec_id, r.embedding, r.rel,
+          floor((0.7 * r.rel - (1.0 - 0.7) *
+            MAX(ROUND(${cosRaw("r.embedding", "s.embedding")}, 6)))
+            * 1048576) / 1048576.0 AS mmr
+        FROM r1 r CROSS JOIN s1 s
+        GROUP BY r.vec_id, r.embedding, r.rel),
+      s2 AS (SELECT vec_id, embedding, rel, mmr, 2 AS sel_rank
+        FROM m2 ORDER BY mmr DESC, vec_id LIMIT 1),
+      sel2 AS (SELECT vec_id, embedding FROM s1
+        UNION ALL SELECT vec_id, embedding FROM s2),
+      r2 AS (SELECT r.* FROM r1 r
+        WHERE r.vec_id NOT IN (SELECT vec_id FROM s2)),
+      m3 AS (
+        SELECT r.vec_id, r.embedding, r.rel,
+          floor((0.7 * r.rel - (1.0 - 0.7) *
+            MAX(ROUND(${cosRaw("r.embedding", "s.embedding")}, 6)))
+            * 1048576) / 1048576.0 AS mmr
+        FROM r2 r CROSS JOIN sel2 s
+        GROUP BY r.vec_id, r.embedding, r.rel),
+      s3 AS (SELECT vec_id, embedding, rel, mmr, 3 AS sel_rank
+        FROM m3 ORDER BY mmr DESC, vec_id LIMIT 1),
+      sel3 AS (SELECT vec_id, embedding FROM sel2
+        UNION ALL SELECT vec_id, embedding FROM s3),
+      r3 AS (SELECT r.* FROM r2 r
+        WHERE r.vec_id NOT IN (SELECT vec_id FROM s3)),
+      m4 AS (
+        SELECT r.vec_id, r.embedding, r.rel,
+          floor((0.7 * r.rel - (1.0 - 0.7) *
+            MAX(ROUND(${cosRaw("r.embedding", "s.embedding")}, 6)))
+            * 1048576) / 1048576.0 AS mmr
+        FROM r3 r CROSS JOIN sel3 s
+        GROUP BY r.vec_id, r.embedding, r.rel),
+      s4 AS (SELECT vec_id, embedding, rel, mmr, 4 AS sel_rank
+        FROM m4 ORDER BY mmr DESC, vec_id LIMIT 1),
+      allsel AS (
+        SELECT vec_id, rel, mmr, sel_rank FROM s1
+        UNION ALL SELECT vec_id, rel, mmr, sel_rank FROM s2
+        UNION ALL SELECT vec_id, rel, mmr, sel_rank FROM s3
+        UNION ALL SELECT vec_id, rel, mmr, sel_rank FROM s4)
+      SELECT CAST(sel_rank AS BIGINT) AS sel_rank, vec_id,
+        rel AS sim, mmr
+      FROM allsel"""),
+      bench = false)
+  )
+}

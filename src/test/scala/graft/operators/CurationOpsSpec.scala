@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Gopher rules, A-ES weighted sampling, RRF fusion, MMR re-ranking. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gopher rules: each rule fires on its targeted defect") {
+    val longText = (("the of and that have with " * 10) + "word " * 30).trim
+    val docs = Seq(
+      (1L, longText),                                    // clean → keep
+      (2L, "too short of the and that have with"),       // word count
+      (3L, ("a b c d " * 20 + "the of and that have with").trim), // mean len < 3
+      (4L, (("####### " * 30) + "the of and that have with word word " * 3).trim), // symbols
+      (5L, (("123 456 " * 30) + "the of and that have with").trim), // alpha frac
+      (6L, ("word " * 60).trim)                          // no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("ok_word_count"))
+    assert(!out(3L).getAs[Boolean]("ok_mean_word_len"))
+    assert(!out(4L).getAs[Boolean]("ok_symbol_ratio"))
+    assert(!out(5L).getAs[Boolean]("ok_alpha_words"))
+    assert(!out(6L).getAs[Boolean]("ok_stopwords"))
+  }
+
+  test("gopher rules: bullet and ellipsis line ratios") {
+    val bullety = (1 to 19).map(i => s"- item $i").mkString("\n") +
+      "\nthe of and that have with " + ("word " * 40).trim
+    val elliptical = (1 to 9).map(i => s"line $i trails off...").mkString("\n") +
+      "\nthe of and that have with " + ("word " * 40).trim
+    val docs = Seq((1L, bullety), (2L, elliptical)).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // 19 of 20 lines bulleted = 95% >= 90% → fail
+    assert(!out(1L).getAs[Boolean]("ok_bullets"))
+    assert(out(1L).getAs[Long]("n_bullet_lines") === 19L)
+    // 9 of 10 lines end in ... = 90% >= 30% → fail
+    assert(!out(2L).getAs[Boolean]("ok_ellipsis"))
+    assert(out(2L).getAs[Long]("n_ellipsis_lines") === 9L)
+  }
+
+  test("weighted sample: deterministic, respects stratum size cap") {
+    val df = (1 to 100).map(i => (i.toLong, s"s${i % 3}", i.toLong * 10))
+      .toDF("id", "src", "w")
+    val a = DataSplit.weightedSample(df, "id", col("w"), col("src"), 7)
+    val b = DataSplit.weightedSample(df, "id", col("w"), col("src"), 7)
+    assert(a.collect().toSet === b.collect().toSet)
+    val perSrc = a.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSrc.values.forall(_ === 7L))
+    assert(a.count() === 21L)
+  }
+
+  test("weighted sample: heavier rows win more often") {
+    // two strata where one id has 1000x the weight of the rest: it must
+    // be selected (P(miss) under A-ES is ~(1/1001)^selected, and the
+    // md5-derived u makes the draw deterministic — this asserts the
+    // weight actually biases the key)
+    val df = ((1 to 50).map(i => (i.toLong, "a", 1L)) :+ (99L, "a", 100000L))
+      .toDF("id", "src", "w")
+    val kept = DataSplit.weightedSample(df, "id", col("w"), col("src"), 5)
+      .select("id").as[Long].collect().toSet
+    assert(kept.contains(99L))
+  }
+
+  test("rrf fusion: agreement outranks single-list appearances") {
+    val r1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val r2 = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("id", "rank")
+    val out = Relevance.rrfFuse(Seq(r1, r2), "id", k = 60, topK = 4)
+      .collect()
+    // docs in both lists (10, 20) must beat docs in one list (30, 40)
+    assert(out.take(2).map(_.getLong(0)).toSet === Set(10L, 20L))
+    assert(out.map(r => r.getAs[Long]("n_lists")).take(2).forall(_ == 2L))
+    // 20 (ranks 2+1) ties 10 (ranks 1+3)? 1/62+1/61 > 1/61+1/63 → 20 first
+    assert(out.head.getLong(0) === 20L)
+  }
+
+  test("mmr rerank: k selections, first is most relevant, no dup ids") {
+    // query along e1; candidate 1 is top-rel but OFF the query axis, so
+    // its near-dup (2) loses to the diverse candidate (3) in round 2:
+    // mmr(2) = .7(.79) - .3(~1.0) ≈ .25 < mmr(3) = .7(.70) - .3(.13) ≈ .45
+    val vecs = Map(
+      1L -> Array(0.8f, 0.6f), // rel 0.8 (best)
+      2L -> Array(0.79f, 0.613f), // near-dup of 1 (sim ≈ 1.0)
+      3L -> Array(0.7f, -0.714f), // diverse (sim to 1 ≈ 0.13)
+      4L -> Array(0.0f, 1.0f))
+    val q = Array(1.0f, 0.0f)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val cands = vecs.toSeq.map { case (id, v) =>
+      (0L, id, BigDecimal(cos(v, q)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, v)
+    }.toDF("qid", "id", "rel", "vec")
+    val out = Similarity.mmrRerank(cands, "qid", "id", "rel", "vec", k = 3)
+      .orderBy("sel_rank").collect()
+    assert(out.length === 3)
+    assert(out.map(_.getLong(1)).distinct.length === 3)
+    // first pick = pure relevance
+    assert(out.head.getLong(1) === 1L)
+    // second pick diversifies away from the near-dup of 1: picks 3 or 4,
+    // not 2 (whose sim to 1 is ~0.99)
+    assert(out(1).getLong(1) !== 2L)
+  }
+}
