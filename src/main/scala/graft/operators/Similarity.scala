@@ -636,4 +636,131 @@ object Similarity {
       .select(col(qidCol), col(idCol))
     exactRerank(top, corpus, queries, idCol, vecCol, qidCol, qvecCol, k)
   }
+
+  // ---- distributed PCA (embedding whitening / dim-reduction) ----
+
+  /** Sufficient statistics for PCA: count, per-dim sum, raw second
+    * moment Σ v·vᵀ (row-major d×d). */
+  case class Moments(n: Long, s: Array[Double], m: Array[Double])
+
+  /** One-pass moment accumulation: each partition reduces locally into
+    * a dense (1 + d + d²)-double buffer (map-side combine); merges are
+    * elementwise adds. The corpus is scanned once and never shuffled —
+    * the only traffic is one buffer per partition, the exact
+    * treeAggregate shape a 100-TB PCA fit needs. */
+  private class MomentAgg(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Array[Float], Moments, Moments] {
+    override def zero: Moments =
+      Moments(0L, new Array[Double](dim), new Array[Double](dim * dim))
+    override def reduce(b: Moments, v: Array[Float]): Moments = {
+      var i = 0
+      while (i < dim) {
+        val vi = v(i).toDouble
+        b.s(i) += vi
+        var j = 0
+        while (j < dim) { b.m(i * dim + j) += vi * v(j); j += 1 }
+        i += 1
+      }
+      Moments(b.n + 1, b.s, b.m)
+    }
+    override def merge(x: Moments, y: Moments): Moments = {
+      var i = 0
+      while (i < dim) { x.s(i) += y.s(i); i += 1 }
+      i = 0
+      while (i < dim * dim) { x.m(i) += y.m(i); i += 1 }
+      Moments(x.n + y.n, x.s, x.m)
+    }
+    override def finish(b: Moments): Moments = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Moments] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Moments]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Moments] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Moments]()
+  }
+
+  /** Fitted PCA model — driver-side state (d·k doubles), broadcast into
+    * projections as expression literals. `variances(c)` is the Rayleigh
+    * quotient vᵀΣv of component c — for a converged component, the
+    * variance of the corpus projected onto it. */
+  case class PcaModel(mean: Array[Double], components: Array[Array[Double]],
+      variances: Array[Double])
+
+  /** Distributed PCA fit (public method: orthogonal/power iteration
+    * over the covariance matrix, Golub & Van Loan): one Spark pass
+    * collects (n, Σv, Σvvᵀ); the driver forms Σ = M/n − μμᵀ (d², tiny)
+    * and extracts the top-k eigenvectors by Gram-Schmidt-stabilized
+    * power iteration — deterministic init (e_c + small ridge), fixed
+    * iteration count, no RNG. The standard preprocessing for
+    * embedding-table compaction / whitening before ANN indexing. */
+  def pcaFit(emb: DataFrame, vecCol: String, dim: Int, k: Int,
+      iters: Int = 100): PcaModel = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val mom = emb.select(col(vecCol)).as[Array[Float]]
+      .select(new MomentAgg(dim).toColumn).head()
+    val n = mom.n.toDouble
+    val mean = mom.s.map(_ / n)
+    val cov = Array.tabulate(dim, dim)((i, j) =>
+      mom.m(i * dim + j) / n - mean(i) * mean(j))
+    def matVec(a: Array[Array[Double]], v: Array[Double]): Array[Double] =
+      Array.tabulate(dim)(i => {
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += a(i)(j) * v(j); j += 1 }
+        acc
+      })
+    def dotv(x: Array[Double], y: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < dim) { acc += x(i) * y(i); i += 1 }
+      acc
+    }
+    val comps = Array.ofDim[Double](k, dim)
+    val lambdas = new Array[Double](k)
+    // orthogonal iteration: re-project out the earlier components every
+    // step (Gram-Schmidt), so orthonormality holds BY CONSTRUCTION even
+    // on a near-flat spectrum where pure deflation would need ~1/(1-λ2/λ1)
+    // iterations to push the cross terms below tolerance
+    def orthogonalize(v: Array[Double], upto: Int): Array[Double] = {
+      val out = v.clone()
+      for (p <- 0 until upto) {
+        val d = dotv(out, comps(p))
+        var i = 0
+        while (i < dim) { out(i) -= d * comps(p)(i); i += 1 }
+      }
+      out
+    }
+    for (c <- 0 until k) {
+      var v = Array.tabulate(dim)(i => if (i == c % dim) 1.0 else 1e-4)
+      for (_ <- 0 until iters) {
+        val av = orthogonalize(matVec(cov, v), c)
+        val nm = math.sqrt(dotv(av, av))
+        v = if (nm > 1e-300) av.map(_ / nm) else v
+      }
+      // final Gram-Schmidt + renormalize: orthonormal to machine precision
+      val vo = orthogonalize(v, c)
+      val nm = math.sqrt(dotv(vo, vo))
+      comps(c) = if (nm > 1e-300) vo.map(_ / nm) else vo
+      // Rayleigh quotient on the ORIGINAL covariance: exactly the
+      // variance of the corpus projected on this component, converged
+      // or not — which is what the distributed gate certifies
+      lambdas(c) = dotv(comps(c), matVec(cov, comps(c)))
+    }
+    PcaModel(mean, comps, lambdas)
+  }
+
+  /** Projection onto the fitted components: proj_c = (v − μ)·C_c
+    * = v·C_c − μ·C_c, with the constant μ·C_c folded on the driver so
+    * the row work is k dot products — a pure zero-shuffle projection
+    * (the model rides along as expression literals) that composes into
+    * the single corpus scan. Returns (idCol, proj array<double>). */
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
+      model: PcaModel): DataFrame = {
+    val projs = model.components.map { comp =>
+      val mu = model.mean.zip(comp).map { case (m, c) => m * c }.sum
+      aggregate(
+        zip_with(col(vecCol), typedlit(comp.toSeq),
+          (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x) - lit(mu)
+    }
+    emb.select(col(idCol), array(projs.toSeq: _*).as("proj"))
+  }
 }

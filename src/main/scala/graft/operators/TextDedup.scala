@@ -336,6 +336,33 @@ object TextDedup {
   def normalizedHash(textCol: Column): Column =
     md5(lower(regexp_replace(textCol, "\\s+", " ")))
 
+  /** Incremental exact dedup — the production corpus-maintenance shape:
+    * a NEW batch (today's crawl / feed drop) is deduplicated (1) against
+    * the hash index of the EXISTING corpus and (2) within itself
+    * (keep-first by id). A pipeline that re-deduplicates the whole
+    * corpus on every drop does O(total) work per day; this does
+    * O(batch) + one semi-join against the index, which is the only
+    * shape that survives a corpus that grows by terabytes daily.
+    *
+    * Scale shape: the index side carries ONLY the 16-byte content hash
+    * (never text), so the anti-join shuffles hashes — or broadcasts
+    * them when the index fits (AQE decides). Within-batch keep-first is
+    * ROW_NUMBER over the hash key, which WindowGroupLimit bounds
+    * map-side. Returns the surviving batch rows with their
+    * `content_hash`, ready to append to both corpus and index. */
+  def incrementalDedup(batch: DataFrame, idCol: String, textCol: String,
+      corpusHashes: DataFrame, hashCol: String): DataFrame = {
+    val hashed = batch.withColumn("content_hash", normalizedHash(col(textCol)))
+    val fresh = hashed.join(
+      corpusHashes.select(col(hashCol).as("content_hash")).distinct(),
+      Seq("content_hash"), "left_anti")
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    val rn = Iterator.from(0).map(i => s"__graft_inc_rn$i")
+      .find(n => !batch.columns.contains(n)).get
+    fresh.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1).drop(rn)
+  }
+
   /** Scala-side twin of [[normalizedHash]] for typed key extractors
     * (e.g. streaming keep-first dedup via `StatefulOps.keepFirst`). */
   def normalizedHashString(text: String): String = {

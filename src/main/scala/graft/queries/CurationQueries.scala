@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
-import graft.operators.{DataSplit, Relevance, Similarity, TextAnalysis}
+import graft.operators.{DataSplit, Relevance, Similarity, TextAnalysis, TextDedup}
 import Q._
 
 /** Curation-layer additions: the Gopher document-quality rule set,
@@ -158,6 +158,95 @@ object CurationQueries {
       SELECT doc_id, SUM(c) AS rrf_score, COUNT(*) AS n_lists
       FROM fused GROUP BY doc_id
       ORDER BY rrf_score DESC, doc_id LIMIT 10""")),
+
+    // Incremental exact dedup — the corpus-maintenance shape: dedup a
+    // new feed drop against the existing corpus's hash index (semi-join
+    // on the 16-byte hash, O(batch) not O(corpus)) plus within-batch
+    // keep-first. Scenario: the index holds a deterministic half of the
+    // feed (a re-crawl where half the items were already ingested), so
+    // the anti-join path carries real signal; the within-batch path is
+    // exercised in CurationOpsSpec with planted duplicates.
+    QueryDef("q_incremental_dedup", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val index = docs
+        .filter(DataSplit.hashBucket(col("doc_id"), 2, "corp") === 0)
+        .select(TextDedup.normalizedHash(col("text")).as("h"))
+      TextDedup.incrementalDedup(docs, "doc_id", "text", index, "h")
+        .select(col("doc_id"), col("content_hash"))
+    }, Some("""
+      WITH h AS (
+        SELECT doc_id,
+          md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash
+        FROM documents),
+      idx AS (
+        SELECT DISTINCT content_hash FROM h
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'corp'), 1, 8))::BIGINT
+          % 2 = 0)
+      SELECT doc_id, content_hash FROM (
+        SELECT f.doc_id, f.content_hash,
+          ROW_NUMBER() OVER (PARTITION BY f.content_hash
+            ORDER BY f.doc_id) AS rn
+        FROM h f
+        WHERE f.content_hash NOT IN (SELECT content_hash FROM idx))
+      WHERE rn = 1""")),
+
+    // Distributed PCA over the embedding table: one-pass moment
+    // aggregation (count/Σv/Σvvᵀ, map-side combined — the corpus is
+    // scanned once, never shuffled), driver-side power iteration with
+    // deflation, zero-shuffle projection. Rows-only (eigenvectors are
+    // iteration-count-dependent); the invariants are gate-oracled below.
+    QueryDef("q_pca_project", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val model = Similarity.pcaFit(emb, "embedding", dim = 64, k = 4)
+      Similarity.pcaProject(emb, "vec_id", "embedding", model)
+    }, None),
+
+    // PCA gate oracle (q_semdedup_gate style): (1) components
+    // orthonormal, (2) variances decreasing and non-negative, (3) the
+    // DISTRIBUTED projected second moment E[proj_c²] equals the
+    // driver-side Rayleigh quotient vᵀΣv exactly (this holds whether or
+    // not power iteration converged — it certifies the one-pass moment
+    // aggregation and the projection against the driver model), (4)
+    // captured variance bounded by the trace and top-1 above the
+    // per-dimension average.
+    QueryDef("q_pca_gate", (s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val dim = 64
+      val k = 4
+      val model = Similarity.pcaFit(emb, "embedding", dim, k)
+      def dotArr(x: Array[Double], y: Array[Double]): Double =
+        x.zip(y).map { case (a, b) => a * b }.sum
+      val orth = (for { i <- 0 until k; j <- i until k } yield
+        math.abs(dotArr(model.components(i), model.components(j)) -
+          (if (i == j) 1.0 else 0.0))).max <= 1e-6
+      val dec = (0 until k - 1).forall(c =>
+        model.variances(c) >= model.variances(c + 1) - 1e-9) &&
+        model.variances(k - 1) >= -1e-9
+      val proj = Similarity.pcaProject(emb, "vec_id", "embedding", model)
+      val e2 = proj.select((0 until k).map(c =>
+        avg(pow(element_at(col("proj"), c + 1), 2)).as(s"v$c")): _*).head()
+      val varMatch = (0 until k).forall { c =>
+        math.abs(e2.getDouble(c) - model.variances(c)) <=
+          1e-6 * math.max(1.0, model.variances(c))
+      }
+      val trace = emb.select(avg(Similarity.dot(col("embedding"),
+          col("embedding")))).head().getDouble(0) -
+        model.mean.map(m => m * m).sum
+      val bounded = model.variances.sum <= trace + 1e-9 &&
+        model.variances(0) >= trace / dim
+      Seq(("components_orthonormal", orth),
+        ("variances_decreasing_nonneg", dec),
+        ("projected_variance_matches_model", varMatch),
+        ("captured_variance_bounded", bounded))
+        .toDF("variant", "ok")
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('components_orthonormal', true),
+        ('variances_decreasing_nonneg', true),
+        ('projected_variance_matches_model', true),
+        ('captured_variance_bounded', true)) AS t(variant, ok)"""),
+      bench = false),
 
     // MMR diversification (Carbonell & Goldstein, SIGIR 1998): top-12
     // cosine candidates for the vec_id=3 query, then 4 greedy

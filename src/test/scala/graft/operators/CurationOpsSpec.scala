@@ -67,6 +67,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept.contains(99L))
   }
 
+  test("incremental dedup: drops indexed content, keeps first in batch") {
+    val batch = Seq(
+      (1L, "Already In  Corpus"), // normalizes to an indexed hash
+      (2L, "fresh doc a"),
+      (3L, "Fresh Doc A"),        // within-batch dup of 2 (normalized)
+      (4L, "fresh doc b")
+    ).toDF("id", "text")
+    val index = Seq("already in corpus").toDF("t")
+      .select(TextDedup.normalizedHash(col("t")).as("h"))
+    val kept = TextDedup.incrementalDedup(batch, "id", "text", index, "h")
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L))
+  }
+
   test("rrf fusion: agreement outranks single-list appearances") {
     val r1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
     val r2 = Seq((20L, 1), (40L, 2), (10L, 3)).toDF("id", "rank")
@@ -77,6 +91,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(r => r.getAs[Long]("n_lists")).take(2).forall(_ == 2L))
     // 20 (ranks 2+1) ties 10 (ranks 1+3)? 1/62+1/61 > 1/61+1/63 → 20 first
     assert(out.head.getLong(0) === 20L)
+  }
+
+  test("pca: recovers the dominant axis and centers projections") {
+    // 40 points spread along e1 (sd ~ 10) with small e2 noise: the top
+    // component must align with e1 and explain almost all variance
+    val pts = (0 until 40).map { i =>
+      (i.toLong, Array((i - 20) * 1.0f, (i % 3 - 1) * 0.1f, 0.0f))
+    }
+    val df = pts.toDF("id", "vec")
+    val m = Similarity.pcaFit(df, "vec", dim = 3, k = 2)
+    assert(math.abs(math.abs(m.components(0)(0)) - 1.0) < 1e-3)
+    assert(m.variances(0) > 100 * m.variances(1))
+    val proj = Similarity.pcaProject(df, "id", "vec", m)
+      .select(element_at(col("proj"), 1).as("p1")).as[Double].collect()
+    // projections are centered and preserve the spread
+    assert(math.abs(proj.sum) < 1e-9 * 40)
+    assert(math.abs(proj.map(x => x * x).sum / 40 - m.variances(0)) <
+      1e-6 * m.variances(0))
   }
 
   test("mmr rerank: k selections, first is most relevant, no dup ids") {
