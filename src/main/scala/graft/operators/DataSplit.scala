@@ -96,6 +96,42 @@ object DataSplit {
     mixtureSample(df, keyCol, sourceCol, ratesBp, seed)
   }
 
+  /** Temperature-based mixture sampling (public method: the α-weighted
+    * domain rebalancing of multilingual pretraining — Conneau et al.
+    * 2020 XLM-R §3.1, Xue et al. 2021 mT5): sample domain d with
+    * probability ∝ n_d^α, α<1 flattening the distribution so
+    * low-resource domains are upsampled relative to proportional.
+    * rate(d) = min(1, budget·p_d / n_d) with p_d = n_d^α / Σ n^α,
+    * applied as the same content-addressed hash keep of
+    * [[mixtureSample]].
+    *
+    * Determinism/portability: n_d^α is floor-quantized to a multiple
+    * of 2^-20 before the normalizing sum (so the Σ is exact in any
+    * order and any engine), then one fixed chain of IEEE ops produces
+    * the basis-point rate — DuckDB replays the rate table bit-for-bit
+    * from the same corpus.
+    *
+    * Scale shape: one count aggregate (map-side combined), a
+    * domain-count-sized rate table on the driver (model state), then a
+    * zero-shuffle filter projection. */
+  def temperatureSample(df: DataFrame, keyCol: String, sourceCol: String,
+      alpha: Double, budgetRows: Long,
+      seed: String = "temp"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val q = 1048576.0
+    val totals = df.groupBy(col(sourceCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val qpow = totals.map { case (s, n) =>
+      s -> math.floor(math.pow(n.toDouble, alpha) * q) / q
+    }
+    val sumP = qpow.map(_._2).sum // exact: summands are 2^-20 multiples
+    val ratesBp = qpow.zip(totals).map { case ((s, p), (_, n)) =>
+      s -> math.min(10000.0,
+        math.floor(budgetRows.toDouble * p / sumP / n * 10000.0)).toInt
+    }.toMap
+    mixtureSample(df, keyCol, sourceCol, ratesBp, seed)
+  }
+
   /** Leakage-guarded split: assign train/val/test by hashing a GROUP
     * key instead of the row key, so every member of a duplicate /
     * near-duplicate group lands in the SAME split. Splitting dedup

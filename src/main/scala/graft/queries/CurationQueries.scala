@@ -97,6 +97,32 @@ object CurationQueries {
         FROM documents)
       WHERE rk <= 5""")),
 
+    // Temperature (α=0.5) mixture sampling over the LANGUAGE domains —
+    // the multilingual rebalancing shape (en is ~2.5x the other
+    // languages here, so α<1 upsamples the low-resource ones relative
+    // to proportional). The oracle recomputes the rate table from the
+    // same corpus with the identical quantized arithmetic, then replays
+    // the md5 keep decision.
+    QueryDef("q_temperature_sample", (s, dir) => {
+      DataSplit.temperatureSample(t(s, dir, "documents"), "doc_id", "lang",
+          alpha = 0.5, budgetRows = 200)
+        .select(col("doc_id"), col("lang"))
+    }, Some("""
+      WITH tot AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      qp AS (SELECT lang, n,
+        floor(pow(CAST(n AS DOUBLE), 0.5) * 1048576) / 1048576.0 AS p
+        FROM tot),
+      s AS (SELECT SUM(p) AS sp FROM qp),
+      rates AS (
+        SELECT lang,
+          CAST(least(10000.0,
+            floor(200.0 * p / sp / n * 10000.0)) AS BIGINT) AS bp
+        FROM qp, s)
+      SELECT d.doc_id, d.lang FROM documents d
+      JOIN rates r ON d.lang = r.lang
+      WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'temp'), 1, 8))::BIGINT
+        % 10000 < r.bp""")),
+
     // Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
     // SIGIR 2009): BM25 top-20 (lexical) + exact cosine top-20 against
     // the vec_id=7 query embedding (semantic), fused by
@@ -247,6 +273,86 @@ object CurationQueries {
         ('projected_variance_matches_model', true),
         ('captured_variance_bounded', true)) AS t(variant, ok)"""),
       bench = false),
+
+    // Composed curation DAG v2 over today's operators: Gopher gates
+    // (the three rules with signal on this corpus) → temperature
+    // (α=0.5) language rebalancing → incremental dedup against the
+    // half-feed index → A-ES weighted top-3 per language. One green row
+    // certifies the four-stage composition end-to-end; each stage's
+    // replay is the oracle pattern proven by its standalone query.
+    QueryDef("q_curation_v2", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gated = TextAnalysis.gopherRules(docs, "doc_id", "text")
+        .filter(col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_alpha_words"))
+        .select(col("doc_id"))
+        .join(docs, "doc_id")
+      val rebalanced = DataSplit.temperatureSample(gated, "doc_id", "lang",
+        alpha = 0.5, budgetRows = 150)
+      val index = docs
+        .filter(DataSplit.hashBucket(col("doc_id"), 2, "corp") === 0)
+        .select(TextDedup.normalizedHash(col("text")).as("h"))
+      val deduped = TextDedup.incrementalDedup(rebalanced, "doc_id", "text",
+        index, "h")
+      DataSplit.weightedSample(deduped, "doc_id", col("n_chars"),
+          col("lang"), 3)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          col("rk").cast("long").as("rk"))
+    }, Some("""
+      WITH gated AS (
+        SELECT d.* FROM documents d JOIN (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+              len(regexp_extract_all(text, '\S+')) AS n_words,
+              length(regexp_replace(text, '\s', '', 'g')) AS n_word_chars,
+              len(list_filter(regexp_extract_all(text, '\S+'),
+                w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words
+            FROM documents)
+          WHERE n_words BETWEEN 50 AND 100000
+            AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+            AND 5 * n_alpha_words >= 4 * n_words) g
+        ON d.doc_id = g.doc_id),
+      tot AS (SELECT lang, COUNT(*) AS n FROM gated GROUP BY lang),
+      qp AS (SELECT lang, n,
+        floor(pow(CAST(n AS DOUBLE), 0.5) * 1048576) / 1048576.0 AS p
+        FROM tot),
+      sm AS (SELECT SUM(p) AS sp FROM qp),
+      rates AS (
+        SELECT lang,
+          CAST(least(10000.0,
+            floor(150.0 * p / sp / n * 10000.0)) AS BIGINT) AS bp
+        FROM qp, sm),
+      rebal AS (
+        SELECT g.* FROM gated g JOIN rates r ON g.lang = r.lang
+        WHERE ('0x' || substr(md5(g.doc_id::VARCHAR || 'temp'), 1, 8))::BIGINT
+          % 10000 < r.bp),
+      idx AS (
+        SELECT DISTINCT
+          md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS h
+        FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'corp'), 1, 8))::BIGINT
+          % 2 = 0),
+      hashed AS (
+        SELECT r.*,
+          md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash
+        FROM rebal r),
+      fresh AS (
+        SELECT * FROM (
+          SELECT h.*,
+            ROW_NUMBER() OVER (PARTITION BY h.content_hash
+              ORDER BY h.doc_id) AS dedup_rn
+          FROM hashed h
+          WHERE h.content_hash NOT IN (SELECT h FROM idx))
+        WHERE dedup_rn = 1)
+      SELECT lang, doc_id, n_chars, rk FROM (
+        SELECT lang, doc_id, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+            floor(ln(((('0x' || substr(md5(doc_id::VARCHAR || 'wsample'),
+                1, 8))::BIGINT % 1048576) + 0.5) / 1048576.0) * 1048576)
+              / 1048576.0 / CAST(n_chars AS DOUBLE) DESC,
+            doc_id) AS rk
+        FROM fresh)
+      WHERE rk <= 3""")),
 
     // MMR diversification (Carbonell & Goldstein, SIGIR 1998): top-12
     // cosine candidates for the vec_id=3 query, then 4 greedy

@@ -67,6 +67,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept.contains(99L))
   }
 
+  test("temperature sampling upsamples the low-resource domain") {
+    // 900 vs 100 rows, alpha=0.5: p = 0.75/0.25, so rates are ~8.3% for
+    // the big domain vs ~25% for the small one — the small domain must
+    // keep a higher FRACTION than the big one (and than proportional)
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1001 to 1100).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val kept = DataSplit.temperatureSample(df, "id", "src",
+      alpha = 0.5, budgetRows = 100)
+    val counts = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bigFrac = counts.getOrElse("big", 0L).toDouble / 900
+    val smallFrac = counts.getOrElse("small", 0L).toDouble / 100
+    assert(smallFrac > bigFrac * 1.5)
+    // deterministic under re-evaluation
+    assert(kept.collect().toSet ===
+      DataSplit.temperatureSample(df, "id", "src", 0.5, 100)
+        .collect().toSet)
+  }
+
   test("incremental dedup: drops indexed content, keeps first in batch") {
     val batch = Seq(
       (1L, "Already In  Corpus"), // normalizes to an indexed hash
