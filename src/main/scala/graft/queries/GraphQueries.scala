@@ -208,8 +208,86 @@ object GraphQueries {
           (col("l_suppkey") * 2 + 1).as("dst"))
       LabelPropagation.run(e, "src", "dst", LpaIters)
         .orderBy(col("node"))
-    }, Some(lpaOracle(LpaIters)))
+    }, Some(lpaOracle(LpaIters))),
+
+    // k-core decomposition (operators.KCore): iterative peel of the
+    // part—supplier graph at a DATA-DERIVED k (60th-percentile degree,
+    // floored above the min degree so the peel is never a no-op at any
+    // SF). Rows-only — peel rounds are data-dependent; the gate query
+    // below certifies the result exactly (the k-core is unique).
+    QueryDef("q_kcore", (s, dir) => {
+      val (und, k) = kcoreInput(s, dir)
+      graft.operators.KCore.run(und, "src", "dst", k)
+        .orderBy(col("node"))
+    }, None),
+
+    // k-core gate oracle: (a) every survivor keeps >= k surviving
+    // neighbors, (b) the reported core degrees match a recount over
+    // the surviving subgraph, (c) every REMOVED node has < k surviving
+    // neighbors, (d) the peel removed something (guaranteed by the
+    // k > min-degree floor). (a)+(c) hold only for the true k-core —
+    // together they pin the unique maximal min-degree->=k subgraph.
+    QueryDef("q_kcore_gate", (s, dir) => {
+      import s.implicits._
+      val (und, k) = kcoreInput(s, dir)
+      val core = graft.operators.KCore.run(und, "src", "dst", k)
+        .localCheckpoint(true)
+      val survivors = core.select(col("node"))
+      val coreEdges = und
+        .join(survivors.withColumnRenamed("node", "src"), Seq("src"),
+          "left_semi")
+        .join(survivors.withColumnRenamed("node", "dst"), Seq("dst"),
+          "left_semi")
+      val recount = coreEdges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val nSurv = core.count()
+      val survivorsOk = nSurv == 0 ||
+        recount.agg(min(col("d"))).head().getLong(0) >= k
+      val consistent = nSurv == recount.count() &&
+        core.join(recount, col("node") === col("src"))
+          .filter(col("core_deg") =!= col("d")).count() == 0
+      val allNodes = und.select(col("src").as("node")).distinct()
+      val removed = allNodes.join(survivors, Seq("node"), "left_anti")
+      val removedOverK = und
+        .select(col("src").as("node"), col("dst"))
+        .join(removed, Seq("node"), "left_semi")
+        .join(survivors.withColumnRenamed("node", "dst"), Seq("dst"),
+          "left_semi")
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).count()
+      Seq(("survivors_have_core_degree", survivorsOk),
+        ("core_degrees_consistent", consistent),
+        ("removed_below_k", removedOverK == 0L),
+        ("peel_removed_something", removed.count() > 0))
+        .toDF("variant", "ok")
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('survivors_have_core_degree', true),
+        ('core_degrees_consistent', true),
+        ('removed_below_k', true),
+        ('peel_removed_something', true)) AS t(variant, ok)"""),
+      bench = false)
   )
+
+  /** Symmetrized part—supplier graph + the data-derived peel threshold:
+    * k = max(min_degree + 1, exact 60th-percentile degree). Both stats
+    * come from one tiny degree aggregate (driver model state, like the
+    * k-means centroids). */
+  private def kcoreInput(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, Int) = {
+    val e0 = t(s, dir, "lineitem").select(
+      (col("l_partkey") * 2).as("src"),
+      (col("l_suppkey") * 2 + 1).as("dst"))
+    val und = graft.operators.KCore.symmetrize(e0, "src", "dst")
+      .localCheckpoint(true)
+    val degs = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = degs.count()
+    val idx = ((n - 1) * 6 / 10).toInt
+    val p60 = degs.orderBy(col("deg"), col("src")).limit(idx + 1)
+      .orderBy(col("deg").desc, col("src")).limit(1)
+      .head().getLong(1)
+    val minDeg = degs.agg(min(col("deg"))).head().getLong(0)
+    (und, math.max(minDeg + 1, p60).toInt)
+  }
 
   /** Chained-CTE LPA replay: l_i votes from l_{i-1}, argmax via
     * ROW_NUMBER ordered (cnt DESC, label ASC) — the same total order as
