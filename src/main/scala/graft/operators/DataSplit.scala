@@ -146,6 +146,30 @@ object DataSplit {
       valPct: Int = 10, seed: String = "gsplit"): DataFrame =
     assignSplit(df, groupCol, trainPct, valPct, seed)
 
+  /** Deterministic corpus shuffle + sharding — the materialization step
+    * that turns a curated corpus into N training shards in a
+    * reproducible pseudo-random order (training-data order affects the
+    * model; a retried job must produce byte-identical shards). Each row
+    * gets shard = md5-bucket(key) and a position within its shard by
+    * md5 order — content-addressed like everything here, so the layout
+    * is a pure function of the data.
+    *
+    * Scale shape: the shard assignment is a zero-shuffle projection;
+    * the within-shard ordering is ROW_NUMBER per shard — one hash
+    * shuffle keyed on shard (each reducer sorts ONE shard locally,
+    * which is exactly the file a writer task then emits). No global
+    * sort, no driver involvement. */
+  def shuffleShards(df: DataFrame, keyCol: String, shards: Int,
+      seed: String = "shard"): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val order = md5(concat(col(keyCol).cast("string"), lit(seed), lit("pos")))
+    df.withColumn("shard", hashBucket(col(keyCol), shards, seed))
+      .withColumn("shard_pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(order, col(keyCol)))
+        .cast("long"))
+  }
+
   /** Per-key cap: keeps at most `maxPerKey` rows per key, the first ones
     * in `orderCol` order — the standard per-domain document cap of web
     * corpus curation (no single host may dominate the training mixture).

@@ -123,6 +123,25 @@ object CurationQueries {
       WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'temp'), 1, 8))::BIGINT
         % 10000 < r.bp""")),
 
+    // Deterministic corpus shuffle into 8 training shards: shard and
+    // within-shard position are both pure md5 functions of the doc id,
+    // so a retried job writes byte-identical shards. The oracle replays
+    // bucket and ordering exactly.
+    QueryDef("q_shuffle_shards", (s, dir) => {
+      DataSplit.shuffleShards(t(s, dir, "documents"), "doc_id", 8)
+        .select(col("doc_id"), col("shard"), col("shard_pos"))
+    }, Some("""
+      SELECT doc_id, shard, shard_pos FROM (
+        SELECT doc_id,
+          ('0x' || substr(md5(doc_id::VARCHAR || 'shard'), 1, 8))::BIGINT
+            % 8 AS shard,
+          ROW_NUMBER() OVER (
+            PARTITION BY ('0x' || substr(md5(doc_id::VARCHAR || 'shard'),
+              1, 8))::BIGINT % 8
+            ORDER BY md5(doc_id::VARCHAR || 'shard' || 'pos'), doc_id)
+            AS shard_pos
+        FROM documents)""")),
+
     // Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
     // SIGIR 2009): BM25 top-20 (lexical) + exact cosine top-20 against
     // the vec_id=7 query embedding (semantic), fused by

@@ -111,4 +111,27 @@ class StreamingCurationSpec extends SparkSpec {
       assert(ids.toSeq == Seq(7L))
     } finally q.stop()
   }
+
+  test("streaming gopher gate: the rule projection runs incrementally") {
+    implicit val sq = spark.sqlContext
+    val keeper = (("the of and that have with " * 10) +
+      ("word " * 30)).trim
+    val tooShort = "the of and that have with tiny"
+    val in = MemoryStream[StreamDoc]
+    // gopherRules is a pure per-row projection, so the SAME operator
+    // that gates a 100 TB batch corpus drops into readStream unchanged
+    val gated = TextAnalysis.gopherRules(in.toDS().toDF(), "doc_id", "text")
+      .filter(col("keep"))
+    val q = gated.writeStream.format("memory").queryName("gopher_s")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(StreamDoc(1, keeper), StreamDoc(2, tooShort))
+      q.processAllAvailable()
+      in.addData(StreamDoc(3, keeper))
+      q.processAllAvailable()
+      val ids = spark.table("gopher_s").select("doc_id").as[Long]
+        .collect().toSet
+      assert(ids === Set(1L, 3L))
+    } finally q.stop()
+  }
 }
