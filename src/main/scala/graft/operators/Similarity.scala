@@ -81,7 +81,9 @@ object Similarity {
     * one join + one aggregate over the CANDIDATE pool (top-N per query,
     * a constant ~10-100 rows/query fixed upstream by the ANN ranker) —
     * never the corpus. All queries advance in parallel inside each
-    * step; cost is k · O(|pool|) per query with no corpus shuffle. */
+    * step; cost is k · O(|pool|) per query with no corpus shuffle.
+    * A query whose pool holds fewer than k candidates simply returns
+    * its whole pool (selection stops when nothing remains). */
   def mmrRerank(cands: DataFrame, qidCol: String, idCol: String,
       relCol: String, vecCol: String, k: Int,
       lambda: Double = 0.7): DataFrame = {
@@ -698,6 +700,7 @@ object Similarity {
     import spark.implicits._
     val mom = emb.select(col(vecCol)).as[Array[Float]]
       .select(new MomentAgg(dim).toColumn).head()
+    require(mom.n > 0, "pcaFit needs a non-empty corpus")
     val n = mom.n.toDouble
     val mean = mom.s.map(_ / n)
     val cov = Array.tabulate(dim, dim)((i, j) =>
