@@ -119,7 +119,11 @@ object DataSplit {
       seed: String = "temp"): DataFrame = {
     require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
     val q = 1048576.0
-    val totals = df.groupBy(col(sourceCol)).count().collect()
+    // Contract: rows with a NULL source are excluded from both the rate
+    // table and the sample (a null domain has no n_d; and it would NPE
+    // the driver-side String sort below).
+    val nonNull = df.filter(col(sourceCol).isNotNull)
+    val totals = nonNull.groupBy(col(sourceCol)).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     val qpow = totals.map { case (s, n) =>
       s -> math.floor(math.pow(n.toDouble, alpha) * q) / q
@@ -129,7 +133,7 @@ object DataSplit {
       s -> math.min(10000.0,
         math.floor(budgetRows.toDouble * p / sumP / n * 10000.0)).toInt
     }.toMap
-    mixtureSample(df, keyCol, sourceCol, ratesBp, seed)
+    mixtureSample(nonNull, keyCol, sourceCol, ratesBp, seed)
   }
 
   /** Leakage-guarded split: assign train/val/test by hashing a GROUP
@@ -170,16 +174,6 @@ object DataSplit {
         .cast("long"))
   }
 
-  /** Per-key cap: keeps at most `maxPerKey` rows per key, the first ones
-    * in `orderCol` order — the standard per-domain document cap of web
-    * corpus curation (no single host may dominate the training mixture).
-    *
-    * Scale shape: ROW_NUMBER + rank filter, which Spark's
-    * WindowGroupLimit rule turns into a map-side PARTIAL limit before
-    * the shuffle and a final limit after it — so a hot domain with 10^8
-    * pages ships only `maxPerKey` rows per input partition, not its
-    * whole population, and the single hash shuffle moves at most
-    * maxPerKey x mappers rows per key. */
   /** Deterministic weighted sampling without replacement, per stratum —
     * the A-ES scheme (Efraimidis & Spirakis 2006, public): each row
     * draws key u^(1/w); the n largest keys per stratum are the sample.
@@ -191,7 +185,8 @@ object DataSplit {
     * We order by ln(u)/w (monotone in u^(1/w)): ln(u) is
     * floor-quantized to a multiple of 2^-20, leaving one IEEE division
     * by the weight — a fixed op sequence any engine replays
-    * bit-for-bit. Weights must be strictly positive.
+    * bit-for-bit. Weights must be strictly positive (enforced: a
+    * zero/negative weight raises an error at evaluation time).
     *
     * Scale shape: zero-shuffle projection for the key, then ROW_NUMBER
     * per stratum — Spark's WindowGroupLimit turns the rank filter into
@@ -204,8 +199,14 @@ object DataSplit {
     import org.apache.spark.sql.expressions.Window
     val u = (hashBucket(col(idCol), 1 << 20, seed).cast("double") + 0.5) /
       lit(1048576.0)
-    val selKey = (floor(log(u) * 1048576) / lit(1048576.0)) /
-      weightCol.cast("double")
+    // enforce the strictly-positive-weight precondition loudly: a
+    // zero/negative weight would otherwise yield a ±Infinity selection
+    // key and silently corrupt the ranking
+    val w = when(weightCol.cast("double") > 0.0, weightCol.cast("double"))
+      .otherwise(raise_error(concat(
+        lit("weightedSample: non-positive weight for id "),
+        col(idCol).cast("string"))))
+    val selKey = (floor(log(u) * 1048576) / lit(1048576.0)) / w
     val rn = Iterator.from(0).map(i => s"__graft_ws_rn$i")
       .find(n => !df.columns.contains(n)).get
     df.withColumn(rn, row_number().over(
@@ -214,6 +215,16 @@ object DataSplit {
       .withColumnRenamed(rn, "rk")
   }
 
+  /** Per-key cap: keeps at most `maxPerKey` rows per key, the first ones
+    * in `orderCol` order — the standard per-domain document cap of web
+    * corpus curation (no single host may dominate the training mixture).
+    *
+    * Scale shape: ROW_NUMBER + rank filter, which Spark's
+    * WindowGroupLimit rule turns into a map-side PARTIAL limit before
+    * the shuffle and a final limit after it — so a hot domain with 10^8
+    * pages ships only `maxPerKey` rows per input partition, not its
+    * whole population, and the single hash shuffle moves at most
+    * maxPerKey x mappers rows per key. */
   def capPerKey(df: DataFrame, keyCol: String, orderCol: String,
       maxPerKey: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -52,6 +52,10 @@ object KCore {
       n = m
       rounds += 1
     }
+    require(converged || n == 0,
+      s"k-core peel did not converge within $maxRounds rounds " +
+        s"($n live edges remain); raise maxRounds — the current live " +
+        "set would NOT be a k-core")
     live.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("node"), col("core_deg"))
   }

@@ -112,10 +112,15 @@ object Similarity {
         .filter(col("__rn") === 1)
         .select(col("__qid"), col("__id"), col("__rel"), col("__vec"),
           col("__mmr"), lit(i).as("__selrank"))
-      selected = if (selected == null) pick else selected.unionByName(pick)
+      // localCheckpoint caps lineage: without it `remaining` chains k
+      // left_anti joins and `selected` a k-way union (O(k^2) plan
+      // growth), same discipline as the Pregel-style loops
+      selected = (if (selected == null) pick else selected.unionByName(pick))
+        .localCheckpoint(true)
       remaining = remaining.join(
         pick.select(col("__qid"), col("__id")), Seq("__qid", "__id"),
         "left_anti")
+        .localCheckpoint(true)
     }
     selected.select(col("__qid").as(qidCol), col("__id").as(idCol),
       col("__rel").as(relCol), col("__mmr").as("mmr"),

@@ -173,8 +173,10 @@ object TextAnalysis {
     *  - word count in [50, 100000]
     *  - mean word length in [3, 10] characters
     *  - symbol-to-word ratio (# or ellipsis) <= 0.1
-    *  - < 90% of lines start with a bullet (-, *, •)
-    *  - < 30% of lines end with an ellipsis
+    *  - at most 90% of lines start with a bullet (-, *, •)
+    *  - at most 30% of lines end with an ellipsis
+    *    (Gopher removes documents with MORE than 90%/30%, so the
+    *    exact-boundary document is kept)
     *  - >= 80% of words contain at least one alphabetic character
     *  - at least 2 distinct required stopwords present
     *    (the/be/to/of/and/that/have/with)
@@ -213,8 +215,8 @@ object TextAnalysis {
     val okWordLen = col("n_word_chars") >= lit(3) * col("n_words") &&
       col("n_word_chars") <= lit(10) * col("n_words")
     val okSymbols = lit(10) * col("n_symbols") <= col("n_words")
-    val okBullets = lit(10) * col("n_bullet_lines") < lit(9) * col("n_lines")
-    val okEllipsis = lit(10) * col("n_ellipsis_lines") < lit(3) * col("n_lines")
+    val okBullets = lit(10) * col("n_bullet_lines") <= lit(9) * col("n_lines")
+    val okEllipsis = lit(10) * col("n_ellipsis_lines") <= lit(3) * col("n_lines")
     val okAlpha = lit(5) * col("n_alpha_words") >= lit(4) * col("n_words")
     val okStops = col("n_stop_hits") >= 2
     counted.select(col(idCol), col("n_words"), col("n_word_chars"),

@@ -46,15 +46,15 @@ object CurationQueries {
         (n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words)
           AS ok_mean_word_len,
         10 * n_symbols <= n_words AS ok_symbol_ratio,
-        10 * n_bullet_lines < 9 * n_lines AS ok_bullets,
-        10 * n_ellipsis_lines < 3 * n_lines AS ok_ellipsis,
+        10 * n_bullet_lines <= 9 * n_lines AS ok_bullets,
+        10 * n_ellipsis_lines <= 3 * n_lines AS ok_ellipsis,
         5 * n_alpha_words >= 4 * n_words AS ok_alpha_words,
         n_stop_hits >= 2 AS ok_stopwords,
         (n_words BETWEEN 50 AND 100000
           AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
           AND 10 * n_symbols <= n_words
-          AND 10 * n_bullet_lines < 9 * n_lines
-          AND 10 * n_ellipsis_lines < 3 * n_lines
+          AND 10 * n_bullet_lines <= 9 * n_lines
+          AND 10 * n_ellipsis_lines <= 3 * n_lines
           AND 5 * n_alpha_words >= 4 * n_words
           AND n_stop_hits >= 2) AS keep
       FROM (

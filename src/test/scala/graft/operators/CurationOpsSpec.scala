@@ -35,12 +35,29 @@ class CurationOpsSpec extends SparkSpec {
     val docs = Seq((1L, bullety), (2L, elliptical)).toDF("doc_id", "text")
     val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r).toMap
-    // 19 of 20 lines bulleted = 95% >= 90% → fail
+    // 19 of 20 lines bulleted = 95% > 90% → fail
     assert(!out(1L).getAs[Boolean]("ok_bullets"))
     assert(out(1L).getAs[Long]("n_bullet_lines") === 19L)
-    // 9 of 10 lines end in ... = 90% >= 30% → fail
+    // 9 of 10 lines end in ... = 90% > 30% → fail
     assert(!out(2L).getAs[Boolean]("ok_ellipsis"))
     assert(out(2L).getAs[Long]("n_ellipsis_lines") === 9L)
+  }
+
+  test("gopher rules: exact-boundary documents are kept (> not >=)") {
+    // 9 of 10 lines bulleted = exactly 90% → keep (Gopher drops only MORE than 90%)
+    val boundary = (1 to 9).map(i => s"- item $i").mkString("\n") +
+      "\nthe of and that have with " + ("word " * 40).trim
+    // 3 of 10 lines end in ... = exactly 30% → keep
+    val ell = (1 to 3).map(i => s"line $i trails off...").mkString("\n") +
+      (4 to 9).map(i => s"\nline $i plain").mkString +
+      "\nthe of and that have with " + ("word " * 40).trim
+    val docs = Seq((1L, boundary), (2L, ell)).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_bullet_lines") === 9L)
+    assert(out(1L).getAs[Boolean]("ok_bullets"))
+    assert(out(2L).getAs[Long]("n_ellipsis_lines") === 3L)
+    assert(out(2L).getAs[Boolean]("ok_ellipsis"))
   }
 
   test("weighted sample: deterministic, respects stratum size cap") {
@@ -65,6 +82,27 @@ class CurationOpsSpec extends SparkSpec {
     val kept = DataSplit.weightedSample(df, "id", col("w"), col("src"), 5)
       .select("id").as[Long].collect().toSet
     assert(kept.contains(99L))
+  }
+
+  test("weighted sample: non-positive weight raises instead of silently ranking") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 0L)).toDF("id", "src", "w")
+    val e = intercept[Exception] {
+      DataSplit.weightedSample(df, "id", col("w"), col("src"), 2).collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).mkString("\n")
+    assert(chain.contains("non-positive weight"))
+  }
+
+  test("temperature sampling excludes null-source rows without NPE") {
+    val df = (Seq((1L, null: String), (2L, null: String)) ++
+      (3 to 40).map(i => (i.toLong, if (i % 2 == 0) "a" else "b")))
+      .toDF("id", "src")
+    val kept = DataSplit.temperatureSample(df, "id", "src",
+      alpha = 0.5, budgetRows = 20)
+    val ids = kept.select("id").as[Long].collect().toSet
+    assert(!ids.contains(1L) && !ids.contains(2L))
+    assert(ids.nonEmpty)
   }
 
   test("temperature sampling upsamples the low-resource domain") {

@@ -35,6 +35,19 @@ class KCoreSpec extends SparkSpec {
     assert(got.keySet === Set(1L, 2L, 3L))
   }
 
+  test("non-convergence within maxRounds throws instead of returning a non-core") {
+    // path 1-2-...-12 at k=2: each round peels only the two endpoints,
+    // so 2 rounds cannot drain it — the partial live set is not a 2-core
+    val path = (1L to 11L).map(i => (i, i + 1))
+    val und = KCore.symmetrize(path.toDF("src", "dst"), "src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      KCore.run(und, "src", "dst", 2, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with enough rounds the same input converges to the empty 2-core
+    assert(KCore.run(und, "src", "dst", 2, maxRounds = 100).collect().isEmpty)
+  }
+
   test("symmetrize drops self-loops and dedups both directions") {
     val und = KCore.symmetrize(
       Seq((1L, 2L), (2L, 1L), (3L, 3L)).toDF("src", "dst"), "src", "dst")
