@@ -240,10 +240,17 @@ object CurationQueries {
     // scanned once, never shuffled), driver-side power iteration with
     // deflation, zero-shuffle projection. Rows-only (eigenvectors are
     // iteration-count-dependent); the invariants are gate-oracled below.
+    // The projection array is FLATTENED to one scalar column per
+    // component so the checker can sort the rows (an array-typed
+    // column crashes the pandas Categorical sort in the rows-only
+    // path — CORRECTNESS_r04).
     QueryDef("q_pca_project", (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val model = Similarity.pcaFit(emb, "embedding", dim = 64, k = 4)
+      val k = 4
+      val model = Similarity.pcaFit(emb, "embedding", dim = 64, k = k)
       Similarity.pcaProject(emb, "vec_id", "embedding", model)
+        .select(col("vec_id") +: (0 until k).map(c =>
+          round(element_at(col("proj"), c + 1), 6).as(s"pc${c + 1}")): _*)
     }, None),
 
     // PCA gate oracle (q_semdedup_gate style): (1) components

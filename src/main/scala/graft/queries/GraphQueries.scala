@@ -213,13 +213,59 @@ object GraphQueries {
     // k-core decomposition (operators.KCore): iterative peel of the
     // part—supplier graph at a DATA-DERIVED k (60th-percentile degree,
     // floored above the min degree so the peel is never a no-op at any
-    // SF). Rows-only — peel rounds are data-dependent; the gate query
-    // below certifies the result exactly (the k-core is unique).
+    // SF). The k-core is UNIQUE and all arithmetic is integral, so the
+    // oracle replays the peel as a DuckDB recursive CTE (each level =
+    // the live edge set after one peel round, window-function degrees,
+    // early exit at the fixpoint) and hash-matches (node, core_deg)
+    // exactly — same replay discipline as lpaOracle. The gate query
+    // below stays as belt-and-suspenders.
     QueryDef("q_kcore", (s, dir) => {
       val (und, k) = kcoreInput(s, dir)
       graft.operators.KCore.run(und, "src", "dst", k)
         .orderBy(col("node"))
-    }, None),
+    }, Some("""
+      WITH RECURSIVE und AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+          SELECT 2*l_partkey AS src, 2*l_suppkey+1 AS dst FROM lineitem
+          UNION ALL
+          SELECT 2*l_suppkey+1 AS src, 2*l_partkey AS dst FROM lineitem)
+        WHERE src <> dst),
+      degs AS MATERIALIZED (
+        SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
+      -- k = max(min_degree + 1, exact 60th-percentile degree), the same
+      -- driver-side derivation as kcoreInput (integer division!)
+      kparam AS MATERIALIZED (
+        SELECT GREATEST(
+          (SELECT MIN(deg) FROM degs) + 1,
+          (SELECT deg FROM (
+             SELECT deg, ROW_NUMBER() OVER (ORDER BY deg, src) AS rn
+             FROM degs)
+           WHERE rn = ((SELECT COUNT(*) FROM degs) - 1) * 6 // 10 + 1))
+          AS k),
+      -- level r+1 = edges whose BOTH endpoints keep degree >= k at
+      -- level r (symmetric edge list: partition-by-src counts the src
+      -- degree, partition-by-dst the dst degree); mind >= k is the
+      -- fixpoint — emit nothing and stop
+      peel(src, dst, r) AS (
+        SELECT src, dst, 0 FROM und
+        UNION ALL
+        SELECT src, dst, r + 1 FROM (
+          SELECT src, dst, r, ds, dd, MIN(ds) OVER () AS mind FROM (
+            SELECT src, dst, r,
+              COUNT(*) OVER (PARTITION BY src) AS ds,
+              COUNT(*) OVER (PARTITION BY dst) AS dd
+            FROM peel))
+        WHERE mind < (SELECT k FROM kparam)
+          AND ds >= (SELECT k FROM kparam)
+          AND dd >= (SELECT k FROM kparam)),
+      last AS (SELECT src, dst FROM peel
+               WHERE r = (SELECT MAX(r) FROM peel)),
+      cdeg AS (SELECT src AS node, COUNT(*) AS core_deg
+               FROM last GROUP BY src)
+      -- empty-core guard: if the last non-empty level is not itself a
+      -- k-core (its successor was empty), the true core is empty
+      SELECT node, core_deg FROM cdeg
+      WHERE (SELECT MIN(core_deg) FROM cdeg) >= (SELECT k FROM kparam)""")),
 
     // k-core gate oracle: (a) every survivor keeps >= k surviving
     // neighbors, (b) the reported core degrees match a recount over
