@@ -102,17 +102,11 @@ object TextDedup {
     // 2..maxBucket members: singleton buckets — the vast majority —
     // never reach the pair join, degenerate (boilerplate) buckets are
     // dropped
-    // localCheckpoint(eager): both sides of the pair self-join read
-    // `capped`; without materialization the differing projections defeat
-    // ReuseExchange and the signature+window chain runs twice. The
-    // checkpointed table is skinny (band_idx, band_hash, id) and already
-    // bucket-pruned, so the materialization is tiny next to the scan.
     val capped = banded
       .withColumn("__bucket_n", count(lit(1)).over(
         Window.partitionBy(col("band_idx"), col("band_hash"))))
       .filter(col("__bucket_n").between(2, maxBucket))
       .drop("__bucket_n")
-      .localCheckpoint(true)
     val a = capped.select(col("band_idx"), col("band_hash"),
       col("__id").as("id_a"))
     val b = capped.select(col("band_idx").as("bi"),
