@@ -32,13 +32,13 @@ import graft.operators.{AsyncLookupJoin, LookupJoin}
   *  - a [[TableEnv.registerLookupFunction]] /
   *    [[TableEnv.registerAsyncLookupFunction]] registration for the dim
   *    table is used directly — the external-store case;
-  *  - otherwise the dim's CURRENT snapshot is collected once and
-  *    broadcast, and lookups hit the broadcast map. That is the same
-  *    memory shape as Spark's broadcast hash join — the plan a bounded
-  *    dimension wants at any scale: built once on the driver, probes
-  *    stay put (zero shuffle), each of 1000 executors holds one copy.
+  *  - otherwise the dim's CURRENT snapshot joins as a plan-native
+  *    BROADCAST HASH JOIN: probes stay put (zero shuffle), each of
+  *    1000 executors holds one copy of the build map, and the map is
+  *    built by Spark's broadcast machinery — never `collect()`ed on
+  *    the driver, so a fat dimension cannot OOM the driver.
   *
-  * Execution always goes through the lookup operators (NOT a SQL join):
+  * Registered functions go through the lookup operators:
   * sync → [[LookupJoin.perPartition]] (one LRU cache per partition),
   * async → [[AsyncLookupJoin.ordered]] (per-partition async runner with
   * in-flight capacity, input-order emit, fixed-delay retries) — the
@@ -159,29 +159,37 @@ object LookupJoinSql {
     def combine(probe: Row, hit: Option[Row]): Row =
       Row.fromSeq(probe.toSeq ++ hit.map(_.toSeq).getOrElse(nulls))
 
-    // ---- resolve the lookup function ----
-    lazy val snapshotFn: LookupJoin.LookupFn[Any, Row] = {
-      val dimKeyIdx = dim.schema.fieldIndex(rightKey2)
-      val byKey = dim.collect().groupBy(_.get(dimKeyIdx))
-      byKey.find(_._2.length > 1).foreach { case (k, _) =>
-        throw new IllegalArgumentException(
-          s"lookup join: dimension $rightTable has duplicate key $k on " +
-            s"$rightKey — lookup dimensions must be unique per key")
-      }
-      val bmap = spark.sparkContext.broadcast(byKey.map {
-        case (k, v) => k -> v.head
-      })
-      new LookupJoin.LookupFn[Any, Row] {
-        def lookup(key: Any): Option[Row] = bmap.value.get(key)
-      }
+    // ---- resolve the lookup route ----
+    // Snapshot fallback (no registered lookup function): the dim's
+    // CURRENT snapshot joined as a plan-native broadcast hash join.
+    // The hash map is built by Spark's broadcast machinery — executor
+    // probes, no dim.collect() on the driver — so a fat dimension
+    // cannot OOM the driver the way a driver-built map would at 100×
+    // scale (reference shape: a LookupTableSource backed by a bounded
+    // scan never materializes the dim either; LookupCacheManager.java
+    // probes per row). The PK-dimension uniqueness contract is
+    // asserted with one aggregate over the dim (at most 1 row returns
+    // to the driver).
+    def snapshotJoin(): DataFrame = {
+      val dups = dim.groupBy(dim.col(rightKey2))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).collect()
+      if (dups.nonEmpty) throw new IllegalArgumentException(
+        s"lookup join: dimension $rightTable has duplicate key " +
+          s"${dups.head.get(0)} on $rightKey — lookup dimensions must " +
+          "be unique per key")
+      left.join(org.apache.spark.sql.functions.broadcast(dim),
+        left.col(leftKey) === dim.col(rightKey2), "left_outer")
     }
 
+    val registeredAsync = env.asyncLookupFn(rightTable)
+    val registeredSync = env.lookupFn(rightTable)
     val joined: DataFrame =
-      if (async) {
+      if (async && (registeredAsync.isDefined || registeredSync.isDefined)) {
         val fn: AsyncLookupJoin.AsyncLookupFn[Any, Row] =
-          env.asyncLookupFn(rightTable).getOrElse {
-            // wrap the registered sync fn, else the broadcast snapshot
-            val sync = env.lookupFn(rightTable).getOrElse(snapshotFn)
+          registeredAsync.getOrElse {
+            val sync = registeredSync.get
             new AsyncLookupJoin.AsyncLookupFn[Any, Row] {
               override def open(): Unit = sync.open()
               def asyncLookup(key: Any)(
@@ -194,10 +202,14 @@ object LookupJoinSql {
           left, _.get(keyIdx), fn, combine,
           capacity = capacity, cacheSize = cacheSize, timeout = timeout,
           maxRetries = maxRetries, retryDelayMs = retryDelayMs)(enc).toDF()
-      } else {
-        val fn = env.lookupFn(rightTable).getOrElse(snapshotFn)
+      } else if (registeredSync.isDefined) {
         LookupJoin.perPartition[Row, Any, Row, Row](
-          left, _.get(keyIdx), fn, combine, cacheSize = cacheSize)(enc).toDF()
+          left, _.get(keyIdx), registeredSync.get, combine,
+          cacheSize = cacheSize)(enc).toDF()
+      } else {
+        // async on a static snapshot adds only thread-pool overhead —
+        // the broadcast join IS the async-friendly static plan
+        snapshotJoin()
       }
 
     // inner join drops probe rows with no match; the dim key (non-null

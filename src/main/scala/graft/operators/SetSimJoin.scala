@@ -34,6 +34,12 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   */
 object SetSimJoin {
 
+  /** Auto-switch point for the vocabulary factorization: above this
+    * many distinct tokens the per-bucket distributed rank replaces the
+    * single-task global sort (measured crossover region; the exact
+    * value only matters within ~2×). */
+  val DistributedVocabThreshold: Long = 1000000L
+
   /** All unordered pairs of `docs` ids whose token sets have
     * Jaccard >= tau. `tokensCol` is an array column (dedup'd
     * internally). Returns (id_a, id_b, inter, union_n, jaccard),
@@ -50,27 +56,40 @@ object SetSimJoin {
     * expression trees re-evaluate the tokenizer per element. */
   def jaccardJoinTokens(tok0: DataFrame, idCol: String, tokenCol: String,
       tau: Double, maxBucket: Int = 10000,
-      distributedVocab: Boolean = false): DataFrame = {
+      distributedVocab: Option[Boolean] = None): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
     require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
     val tok = tok0
       .select(col(idCol).as("id"), col(tokenCol).as("token"))
       .distinct()
     val sz = tok.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    val dfreq = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dfreq0 = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // auto-select the factorization: below ~10^6 distinct tokens the
+    // single-task sort is measurably cheaper; above it the vocabulary
+    // is beyond one task's sort budget and the per-bucket rank path
+    // must take over. Callers can still force either path. The auto
+    // probe checkpoints dfreq so the count and the rank scan share one
+    // computation of the distinct+agg.
+    val (dfreq, useDistributed) = distributedVocab match {
+      case Some(dv) => (dfreq0, dv)
+      case None =>
+        val d = dfreq0.localCheckpoint(true)
+        (d, d.count() > DistributedVocabThreshold)
+    }
     // factorize tokens to dense int ids ordered by (string): bijective,
     // so every downstream set op is EXACT, while candidate buckets and
     // verification arrays carry 4-byte ints instead of shingle strings.
     // Ordering by (df, tid) == (df, token) because tid is
     // token-ascending, so the prefix order is unchanged.
     //
-    // Two physically different, value-identical factorizations:
-    //  - default: one global row_number window. The vocabulary sort
+    // Two physically different, value-identical factorizations
+    // (auto-selected on vocabulary size unless the caller forces one):
+    //  - small vocab: one global row_number window. The vocabulary sort
     //    runs on a single task — MEASURED faster up to ~10^6 tokens
     //    (at sf0.1's 27k-shingle vocab the sort is 0.5s; the
     //    distributed variant's two extra shuffles + broadcast cost
     //    ~1.7s more end-to-end).
-    //  - distributedVocab: per-bucket rank + cumulative bucket offsets
+    //  - distributed: per-bucket rank + cumulative bucket offsets
     //    (bucket = first token char, a PREFIX of the sort key, so
     //    concatenating bucket-local ranks in bucket order IS the global
     //    token order); only the alphabet-sized offset table touches a
@@ -78,7 +97,7 @@ object SetSimJoin {
     //    one executor's sort budget (web-scale shingle spaces); widen
     //    the bucket to 2-3 chars if one leading char still skews.
     val vocab =
-      if (!distributedVocab)
+      if (!useDistributed)
         dfreq.withColumn("tid",
           row_number().over(Window.orderBy(col("token"))))
       else {

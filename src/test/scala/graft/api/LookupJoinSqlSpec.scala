@@ -98,6 +98,35 @@ class LookupJoinSqlSpec extends SparkSpec {
     assert(inner.forall(r => r.getLong(1) % 2 == 0 && !r.isNullAt(2)))
   }
 
+  test("snapshot fallback is a plan-native broadcast join, not a driver collect") {
+    val df = env.executeSql("""
+      SELECT o.o_orderkey, o.o_custkey, c.c_name
+      FROM lk_orders AS o
+      JOIN lk_customer FOR SYSTEM_TIME AS OF o.pt AS c
+      ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderkey < 500
+      """)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"snapshot lookup should broadcast-hash-join, got:\n$plan")
+  }
+
+  test("snapshot fallback rejects a non-unique dimension key") {
+    spark.sql(
+      "SELECT c_custkey % 10 AS k, c_name FROM lk_customer").limit(40)
+      .createOrReplaceTempView("lk_cust_dup")
+    val e = intercept[IllegalArgumentException] {
+      env.executeSql("""
+        SELECT o.o_orderkey, c.c_name
+        FROM lk_orders AS o
+        JOIN lk_cust_dup FOR SYSTEM_TIME AS OF o.pt AS c
+        ON o.o_custkey = c.k
+        WHERE o.o_orderkey < 500
+        """)
+    }
+    assert(e.getMessage.contains("unique"))
+  }
+
   test("registered sync LookupFunction is used (external-store case)") {
     // static counters: the fn closure is serialized per partition, so
     // instance fields would count in the deserialized copies only
@@ -159,12 +188,16 @@ class LookupJoinSqlSpec extends SparkSpec {
       FROM lk_orders AS o
       JOIN lk_customer FOR SYSTEM_TIME AS OF o.pt AS c
       ON o.o_custkey = c.c_custkey""")
-    // probes flow scan -> mapPartitions(lookup runner) -> project/filter:
-    // no Exchange anywhere — the dim rides as a broadcast variable
-    // inside the lookup function, exactly the per-subtask runner shape
+    // probes flow scan -> broadcast hash join -> project/filter: the
+    // only Exchange is the dim's BroadcastExchange — the probe side is
+    // never hash-shuffled, and the dim is built executor-side (no
+    // driver collect)
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
-    assert(plan.contains("MapPartitions"), s"lookup runner missing:\n$plan")
+    assert(!plan.contains("ShuffleExchange") &&
+      !plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"unexpected probe shuffle:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"broadcast join missing:\n$plan")
   }
 
   test("hint validation: unknown options and wrong table raise") {

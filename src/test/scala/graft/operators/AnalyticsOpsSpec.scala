@@ -100,7 +100,8 @@ class AnalyticsOpsSpec extends SparkSpec {
     val tok = docs.toDF("id", "toks")
       .select(col("id"), explode(col("toks")).as("token"))
     def rows(dv: Boolean) =
-      SetSimJoin.jaccardJoinTokens(tok, "id", "token", 0.5, distributedVocab = dv)
+      SetSimJoin.jaccardJoinTokens(tok, "id", "token", 0.5,
+        distributedVocab = Some(dv))
         .orderBy(col("id_a"), col("id_b"))
         .collect().map(_.toSeq).toSeq
     assert(rows(dv = false) == rows(dv = true))
