@@ -52,6 +52,52 @@ object ChangelogAgg {
       .filter(col("cnt") > 0)
   }
 
+  /** The per-change UPDATE STREAM of a running grouped COUNT/SUM — the
+    * rows a retractable aggregate EMITS downstream, not just its final
+    * state (reference GroupAggFunction.java emit semantics inside
+    * FlinkChangelogModeInferenceProgram's agg→agg scenario): the first
+    * change of a key emits +I(state); every later change emits
+    * -U(previous state) then +U(new state); a change that drives the
+    * net count to zero emits only the -U (the group died). Feeding
+    * this stream into a second [[materialize]] is the two-stage
+    * retraction chain — the downstream aggregate stays correct ONLY if
+    * it nets the -U/+U pairs.
+    *
+    * Input: a changelog with `keys`, `valCol`, `rowKindCol` and a
+    * deterministic per-key ordering `seqCols`. Output: (keys..., cnt,
+    * sum_val, rowKind) update-stream rows.
+    *
+    * Scale shape: one window shuffle keyed on `keys` (running signed
+    * prefix sums per key), then a 2-element explode — no driver state,
+    * parallel across keys; the inherently-sequential part is the
+    * per-key prefix, exactly the order dependency the semantics
+    * require. */
+  def updateStream(df: DataFrame, keys: Seq[String], valCol: String,
+      seqCols: Seq[Column],
+      rowKindCol: String = ChangelogFormats.RowKindCol): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = weight(col(rowKindCol))
+    val win = Window.partitionBy(keys.map(col): _*).orderBy(seqCols: _*)
+    val run = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = df
+      .withColumn("__rn", row_number().over(win))
+      .withColumn("__cnt", sum(w.cast("long")).over(run))
+      .withColumn("__sum", sum(w.cast("long") * col(valCol)).over(run))
+      .withColumn("__pcnt", lag(col("__cnt"), 1).over(win))
+      .withColumn("__psum", lag(col("__sum"), 1).over(win))
+    val retract = when(col("__rn") > 1 && col("__pcnt") > 0,
+      struct(lit("-U").as("kind"), col("__pcnt").as("cnt"),
+        col("__psum").as("sum_val")))
+    val add = when(col("__cnt") > 0,
+      struct(when(col("__rn") === 1, "+I").otherwise("+U").as("kind"),
+        col("__cnt").as("cnt"), col("__sum").as("sum_val")))
+    staged
+      .select((keys.map(col) :+
+        explode(array_compact(array(retract, add))).as("__e")): _*)
+      .select((keys.map(col) :+ col("__e.cnt") :+ col("__e.sum_val") :+
+        col("__e.kind").as(rowKindCol)): _*)
+  }
+
   /** Streaming retractable aggregate: emits (key, cnt, sum, min, max)
     * per update. Input rows are (key, value, rowKind). */
   def streamingMaterialize[K](ds: Dataset[(K, Double, String)])(

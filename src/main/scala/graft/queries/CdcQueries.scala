@@ -226,6 +226,71 @@ object CdcQueries {
         CAST(SUM(v) AS DOUBLE) AS sum_val,
         CAST(MIN(v) AS DOUBLE) AS min_val,
         CAST(MAX(v) AS DOUBLE) AS max_val
-      FROM live GROUP BY o_custkey"""))
+      FROM live GROUP BY o_custkey""")),
+
+    // TWO-STAGE retraction propagation (reference
+    // FlinkChangelogModeInferenceProgram.java's agg→agg scenario): the
+    // per-customer running COUNT/SUM aggregate emits its UPDATE STREAM
+    // (+I first, then -U(old)/+U(new) per change, bare -U on group
+    // death — ChangelogAgg.updateStream), and a SECOND retraction-aware
+    // aggregate consumes it, bucketing customers by their order count.
+    // A customer walks through buckets 1,2,3,… as its orders arrive, so
+    // every intermediate bucket sees a +U later cancelled by a -U; the
+    // oracle computes the NET state directly (final per-customer count
+    // → bucket histogram) — if stage 2 mishandles a single retraction,
+    // the per-bucket customer counts and sum-of-sums hash-mismatch.
+    // All values are DECIMAL(12,2), so both stages are exact.
+    QueryDef("q_cdc_agg_chain", (s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderkey"), money(col("o_totalprice")).as("v"))
+      val k = ChangelogFormats.RowKindCol
+      // same synthesized changelog as q_cdc_agg, plus a deterministic
+      // per-key sequence: (orderkey, stage) with +I < -U < +U < -D
+      val changelog = o
+        .select(col("o_custkey"), col("v"), lit("+I").as(k),
+          col("o_orderkey").as("seq"), lit(0).as("stage"))
+        .union(o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .select(col("o_custkey"), col("v"), lit("-U").as(k),
+            col("o_orderkey").as("seq"), lit(1).as("stage")))
+        .union(o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .select(col("o_custkey"), (col("v") * 2).as("v"), lit("+U").as(k),
+            col("o_orderkey").as("seq"), lit(2).as("stage")))
+        .union(o.filter(pmod(col("o_orderkey"), lit(10)) === 1)
+          .select(col("o_custkey"), col("v"), lit("-D").as(k),
+            col("o_orderkey").as("seq"), lit(3).as("stage")))
+      val updates = ChangelogAgg.updateStream(changelog, Seq("o_custkey"),
+        "v", Seq(col("seq"), col("stage")))
+      // stage 2: bucket = the stage-1 running count, value = its sum
+      ChangelogAgg.materialize(
+          updates.select(col("cnt").as("n_orders"), col("sum_val").as("s"),
+            col(k)),
+          Seq("n_orders"), "s")
+        .select(col("n_orders"), col("cnt").as("n_cust"),
+          col("sum_val").cast("double").as("sum_sums"),
+          col("min_val").cast("double").as("min_sum"),
+          col("max_val").cast("double").as("max_sum"))
+    }, Some(s"""
+      WITH changes AS (
+        SELECT o_custkey, ${moneySql("o_totalprice")} AS v, 1 AS w
+        FROM orders
+        UNION ALL
+        SELECT o_custkey, ${moneySql("o_totalprice")}, -1
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_custkey, ${moneySql("o_totalprice")} * 2, 1
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_custkey, ${moneySql("o_totalprice")}, -1
+        FROM orders WHERE o_orderkey % 10 = 1),
+      state AS (
+        SELECT o_custkey, CAST(SUM(w) AS BIGINT) AS n_orders,
+          SUM(w * v) AS s
+        FROM changes GROUP BY o_custkey
+        HAVING SUM(w) > 0)
+      SELECT n_orders, COUNT(*) AS n_cust,
+        CAST(SUM(s) AS DOUBLE) AS sum_sums,
+        CAST(MIN(s) AS DOUBLE) AS min_sum,
+        CAST(MAX(s) AS DOUBLE) AS max_sum
+      FROM state GROUP BY n_orders"""))
   )
 }

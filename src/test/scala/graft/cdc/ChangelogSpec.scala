@@ -103,6 +103,43 @@ class ChangelogSpec extends SparkSpec {
     assert(out.getDouble(3) == 10.0)        // one 10 still live
   }
 
+  test("updateStream emits +I then -U/+U pairs, bare -U on group death") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("A", 10.0, "+I", 1), ("A", 20.0, "+I", 2),
+      ("B", 7.0, "+I", 1), ("B", 7.0, "-D", 2),  // B dies...
+      ("B", 9.0, "+I", 3))                       // ...and revives
+      .toDF("k", "v", ChangelogFormats.RowKindCol, "seq")
+    val got = ChangelogAgg.updateStream(df, Seq("k"), "v", Seq(col("seq")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getString(3)))
+    val a = got.filter(_._1 == "A").toSeq
+    assert(a == Seq(("A", 1L, 10.0, "+I"),
+      ("A", 1L, 10.0, "-U"), ("A", 2L, 30.0, "+U")))
+    val b = got.filter(_._1 == "B").toSeq
+    // death emits only the retraction; revival emits without one
+    assert(b == Seq(("B", 1L, 7.0, "+I"),
+      ("B", 1L, 7.0, "-U"), ("B", 1L, 9.0, "+U")))
+  }
+
+  test("two-stage chain: second materialize nets the update stream") {
+    import org.apache.spark.sql.functions._
+    // A ends with 2 orders, B with 1 — the intermediate cnt=1 state of
+    // A must vanish from the bucket histogram via its -U
+    val df = Seq(
+      ("A", 10.0, "+I", 1), ("A", 20.0, "+I", 2),
+      ("B", 5.0, "+I", 1))
+      .toDF("k", "v", ChangelogFormats.RowKindCol, "seq")
+    val upd = ChangelogAgg.updateStream(df, Seq("k"), "v", Seq(col("seq")))
+    val out = ChangelogAgg.materialize(
+        upd.select(col("cnt").as("bucket"), col("sum_val").as("s"),
+          col(ChangelogFormats.RowKindCol)),
+        Seq("bucket"), "s")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out == Map(1L -> ((1L, 5.0)), 2L -> ((1L, 30.0))))
+  }
+
   test("streaming retractable aggregate updates min/max through retractions") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(String, Double, String)]
