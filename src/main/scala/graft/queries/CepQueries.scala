@@ -130,6 +130,44 @@ object CepQueries {
         ON b.user_id = r.user_id AND b.idx = r.buy_idx
       WHERE r.match_idx >= 0"""), bench = true),
 
+    // UNBOUNDED GROUP REPETITION `(A B)+` (reference GroupPattern.java:
+    // Pattern.begin(sub).oneOrMore) at data scale: the group is a
+    // strict click→purchase pair; copies repeat greedily with relaxed
+    // copy contiguity. Closed form that makes it oracle-exact: adjacent
+    // (click, purchase) pairs can never overlap (a pair's second event
+    // is a purchase, so no pair starts there), so the greedy loop from
+    // the FIRST pair binds EVERY pair of the user — one match per user
+    // with n_copies = the lag-test pair count, and SKIP PAST LAST ROW
+    // leaves nothing behind. purchase_id_sum (integral) pins exactly
+    // WHICH events the loop bound, not just how many.
+    QueryDef("q_cep_group_loop", (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .as[Ev]
+      val pair = Pattern.begin[Ev]("c").where(_.event_type == "click")
+        .next("p").where(_.event_type == "purchase")
+      val pattern = Pattern.begin(pair).oneOrMore
+      CEP.matchPattern[Long, Ev](ev, _.user_id, _.ts_us, pattern,
+          tieFn = _.event_id)
+        .map { case (user, idx, b) =>
+          (user, idx, b("c").size, b("p").map(_.event_id).sum)
+        }
+        .toDF("user_id", "match_idx", "n_copies", "purchase_id_sum")
+    }, Some("""
+      SELECT user_id, CAST(0 AS BIGINT) AS match_idx,
+        CAST(COUNT(*) AS INT) AS n_copies,
+        CAST(SUM(p_id) AS BIGINT) AS purchase_id_sum
+      FROM (
+        SELECT user_id, event_id AS p_id,
+          LAG(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev,
+          event_type
+        FROM events)
+      WHERE event_type = 'purchase' AND prev = 'click'
+      GROUP BY user_id""")),
+
     // The same click->purchase pattern through the MATCH_RECOGNIZE SQL
     // surface (graft.cep.MatchRecognize): DEFINE becomes boolean columns,
     // the matcher binds steps, MEASURES compile to array expressions.
