@@ -1,0 +1,167 @@
+package graft
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.api.TableEnv
+
+/** Minimal interactive SQL client over [[graft.api.TableEnv.executeSql]]
+  * — the embedded counterpart of the reference's sql-client
+  * (flink-table/flink-sql-client: read statements terminated by `;`,
+  * execute, render an ASCII result table). This is the surface most
+  * reference users touch first; everything it runs is the library's
+  * existing statement set (DDL WITH connectors, INSERT, statement sets,
+  * SET/RESET, SHOW/DESCRIBE/EXPLAIN, MATCH_RECOGNIZE, lookup/temporal
+  * joins, ...).
+  *
+  * Usage:
+  *   sbt "runMain graft.SqlShell"            # REPL on stdin
+  *   sbt "runMain graft.SqlShell -f q.sql"   # run a script file
+  *
+  * Statement grammar mirrors sql-client: a statement ends at a `;`
+  * outside quotes; `EXECUTE STATEMENT SET BEGIN ... END;` is one
+  * statement (the inner `;` do not terminate). `QUIT;`/`EXIT;` leave
+  * the shell; `HELP;` lists the statement families.
+  */
+object SqlShell {
+
+  /** Max rows rendered per result (the full DataFrame still executes);
+    * overridable per session via SET 'sql-client.display.max-rows'. */
+  val DefaultMaxRows = 100
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-sql-shell")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val in = args match {
+      case Array("-f", path) =>
+        new BufferedReader(new java.io.FileReader(path))
+      case _ => new BufferedReader(new InputStreamReader(System.in))
+    }
+    val out = new PrintWriter(System.out, true)
+    val interactive = args.isEmpty && System.console() != null
+    try run(spark, in, out, prompt = interactive)
+    finally { in.close(); spark.stop() }
+  }
+
+  /** Drive a full session: read statements, execute, render. Factored
+    * for tests — feed any reader/writer. */
+  def run(spark: SparkSession, in: BufferedReader, out: PrintWriter,
+      prompt: Boolean = false): Unit = {
+    val env = TableEnv(spark)
+    if (prompt) out.println(
+      "graft SQL shell — statements end with ';', QUIT; exits, HELP; helps")
+    var done = false
+    while (!done) {
+      if (prompt) { out.print("graft> "); out.flush() }
+      readStatement(in) match {
+        case None => done = true
+        case Some(stmt) =>
+          val trimmed = stmt.trim.stripSuffix(";").trim
+          trimmed.toUpperCase match {
+            case "" => ()
+            case "QUIT" | "EXIT" => done = true
+            case "HELP" => out.println(help)
+            case _ =>
+              try {
+                val t0 = System.nanoTime()
+                val df = env.executeSql(trimmed)
+                render(env, df, out,
+                  ((System.nanoTime() - t0) / 1e6).round)
+              } catch {
+                case NonFatal(e) =>
+                  out.println(s"[ERROR] ${e.getClass.getSimpleName}: " +
+                    s"${Option(e.getMessage).getOrElse("").linesIterator
+                      .take(4).mkString(" / ")}")
+              }
+          }
+      }
+    }
+  }
+
+  /** One `;`-terminated statement (quote-aware; EXECUTE STATEMENT SET
+    * swallows inner `;` until END;). None at EOF. */
+  private[graft] def readStatement(in: BufferedReader): Option[String] = {
+    val buf = new StringBuilder
+    var line = in.readLine()
+    while (line != null) {
+      buf.append(line).append('\n')
+      if (statementComplete(buf.toString)) return Some(buf.toString)
+      line = in.readLine()
+    }
+    if (buf.toString.trim.nonEmpty) Some(buf.toString) else None
+  }
+
+  private[graft] def statementComplete(s: String): Boolean = {
+    if (s.toUpperCase.replaceAll("\\s+", " ").trim
+        .startsWith("EXECUTE STATEMENT SET BEGIN"))
+      return "(?is).*\\bEND\\s*;\\s*$".r.pattern.matcher(s).matches()
+    var inQuote = false
+    var lastMeaning = ' '
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { inQuote = !inQuote; lastMeaning = c }
+      else if (c == ';' && !inQuote) lastMeaning = ';'
+      else if (!c.isWhitespace) lastMeaning = c
+      i += 1
+    }
+    lastMeaning == ';'
+  }
+
+  private def maxRows(df: DataFrame): Int =
+    df.sparkSession.conf.getOption("sql-client.display.max-rows")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse(DefaultMaxRows)
+
+  /** Flink-style ASCII table; empty-schema results print OK (DDL). */
+  private def render(env: TableEnv, df: DataFrame, out: PrintWriter,
+      ms: Long): Unit = {
+    if (df.schema.isEmpty) { out.println(s"[INFO] OK (${ms} ms)"); return }
+    val cap = maxRows(df)
+    val rows = df.limit(cap + 1).collect()
+    val truncated = rows.length > cap
+    val shown = rows.take(cap)
+    val headers = df.schema.fieldNames.toSeq
+    val cells = shown.map(_.toSeq.map {
+      case null => "NULL"
+      case a: Array[_] => a.mkString("[", ", ", "]")
+      case s: Seq[_] => s.mkString("[", ", ", "]")
+      case v => v.toString
+    }.map(c => if (c.length > 64) c.take(61) + "..." else c))
+    val widths = headers.indices.map { i =>
+      (headers(i).length +: cells.map(_(i).length)).max
+    }
+    def line(ch: String) =
+      widths.map(w => ch * (w + 2)).mkString("+", "+", "+")
+    def fmt(vals: Seq[String]) =
+      vals.zip(widths).map { case (v, w) => " " + v.padTo(w, ' ') + " " }
+        .mkString("|", "|", "|")
+    out.println(line("-"))
+    out.println(fmt(headers))
+    out.println(line("-"))
+    cells.foreach(r => out.println(fmt(r)))
+    out.println(line("-"))
+    val n = if (truncated) s"first $cap rows" else s"${shown.length} rows"
+    out.println(s"[INFO] $n (${ms} ms)")
+  }
+
+  private val help: String =
+    """Statements (executed via TableEnv.executeSql):
+      |  CREATE TABLE t (...) WITH ('connector'='filesystem','path'=...,'format'='parquet');
+      |  CREATE VIEW v AS SELECT ...;   DROP TABLE t;   SHOW TABLES;
+      |  DESCRIBE t;   SHOW CREATE TABLE t;   EXPLAIN SELECT ...;
+      |  SELECT ... ;                        -- any query the library supports
+      |  INSERT INTO t SELECT ...;           -- batch sink write
+      |  EXECUTE STATEMENT SET BEGIN INSERT ...; INSERT ...; END;
+      |  SET 'key' = 'value';   RESET 'key';   SET;
+      |  ANALYZE TABLE t COMPUTE STATISTICS;  SHOW JOBS;  QUIT;""".stripMargin
+}

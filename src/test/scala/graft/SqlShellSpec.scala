@@ -1,0 +1,89 @@
+package graft
+
+import java.io.{BufferedReader, PrintWriter, StringReader, StringWriter}
+
+/** Scripted session through the SQL shell: DDL, query, SHOW/DESCRIBE,
+  * SET, error recovery, QUIT — the sql-client surface end-to-end. */
+class SqlShellSpec extends SparkSpec {
+
+  private def runScript(script: String): String = {
+    val sw = new StringWriter()
+    SqlShell.run(spark, new BufferedReader(new StringReader(script)),
+      new PrintWriter(sw, true))
+    sw.toString
+  }
+
+  test("scripted session: DDL, select, shows, error recovery, quit") {
+    val out = runScript(s"""
+      |CREATE TABLE sh_nation (
+      |  n_nationkey BIGINT,
+      |  n_name STRING,
+      |  n_regionkey BIGINT,
+      |  n_comment STRING
+      |) WITH ('connector' = 'filesystem',
+      |        'path' = '$sfDir/nation.parquet',
+      |        'format' = 'parquet');
+      |SET 'sql-client.display.max-rows' = '5';
+      |SELECT n_nationkey, n_name FROM sh_nation
+      |ORDER BY n_nationkey;
+      |SELECT COUNT(*) AS n FROM sh_nation;
+      |SHOW TABLES;
+      |DESCRIBE sh_nation;
+      |SELECT broken FROM nowhere;
+      |SELECT 1 AS still_alive;
+      |QUIT;
+      |SELECT 9 AS after_quit;
+      |""".stripMargin)
+    // ASCII table with the capped first 5 rows
+    assert(out.contains("| n_nationkey | n_name"))
+    assert(out.contains("first 5 rows"))
+    // aggregate result renders
+    assert(out.contains("| n |") || out.contains("| n "))
+    assert(out.contains("| 25"))
+    // SHOW TABLES / DESCRIBE flow through
+    assert(out.contains("sh_nation"))
+    assert(out.contains("n_regionkey"))
+    // a failing statement reports and the session continues
+    assert(out.contains("[ERROR]"))
+    assert(out.contains("still_alive"))
+    // QUIT stops the session before later statements
+    assert(!out.contains("after_quit"))
+    spark.conf.unset("sql-client.display.max-rows")
+  }
+
+  test("multi-line statements split on quote-aware semicolons") {
+    assert(!SqlShell.statementComplete("SELECT 1,\n"))
+    assert(SqlShell.statementComplete("SELECT 1,\n2;\n"))
+    assert(!SqlShell.statementComplete("SELECT ';' AS x\n"))
+    assert(SqlShell.statementComplete("SELECT ';' AS x;\n"))
+    assert(!SqlShell.statementComplete(
+      "EXECUTE STATEMENT SET BEGIN INSERT INTO a SELECT 1;\n"))
+    assert(SqlShell.statementComplete(
+      "EXECUTE STATEMENT SET BEGIN INSERT INTO a SELECT 1; END;\n"))
+  }
+
+  test("statement set executes as one statement") {
+    val tmp = java.nio.file.Files.createTempDirectory("shellset").toString
+    val out = runScript(s"""
+      |CREATE TABLE sh_src (
+      |  r_regionkey BIGINT, r_name STRING, r_comment STRING
+      |) WITH ('connector' = 'filesystem',
+      |        'path' = '$sfDir/region.parquet',
+      |        'format' = 'parquet');
+      |CREATE TABLE sh_out1 (r_regionkey BIGINT)
+      |WITH ('connector' = 'filesystem', 'path' = '$tmp/o1',
+      |      'format' = 'parquet');
+      |CREATE TABLE sh_out2 (r_name STRING)
+      |WITH ('connector' = 'filesystem', 'path' = '$tmp/o2',
+      |      'format' = 'parquet');
+      |EXECUTE STATEMENT SET BEGIN
+      |INSERT INTO sh_out1 SELECT r_regionkey FROM sh_src;
+      |INSERT INTO sh_out2 SELECT r_name FROM sh_src;
+      |END;
+      |QUIT;
+      |""".stripMargin)
+    assert(!out.contains("[ERROR]"), out)
+    assert(spark.read.parquet(s"$tmp/o1").count() == 5)
+    assert(spark.read.parquet(s"$tmp/o2").count() == 5)
+  }
+}
