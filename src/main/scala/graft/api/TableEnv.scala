@@ -227,8 +227,35 @@ final class TableEnv(val spark: SparkSession) {
        |)""".stripMargin
   }
 
+  private val CompilePlanP =
+    ("""(?is)^\s*COMPILE\s+(AND\s+EXECUTE\s+)?PLAN\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      """'([^']+)'\s+FOR\s+((?:INSERT|EXECUTE\s+STATEMENT\s+SET)\b.*)$""").r
+  private val ExecutePlanP =
+    """(?is)^\s*EXECUTE\s+PLAN\s+'([^']+)'\s*;?\s*$""".r
+
   def executeSql(sql: String): DataFrame =
-    if (StatementSet.matches(sql)) {
+    if (CompilePlanP.pattern.matcher(sql).matches()) {
+      // COMPILE [AND EXECUTE] PLAN '<file>' [IF NOT EXISTS] FOR
+      // <insert>|<statement set> (reference exec-plan serde; see
+      // graft.api.CompiledPlan for what is persisted and why)
+      val m = CompilePlanP.findFirstMatchIn(sql).get
+      val (andExec, ifNotExists, path, body) =
+        (m.group(1) != null, m.group(2) != null, m.group(3),
+          m.group(4).trim)
+      val exists = java.nio.file.Files.exists(java.nio.file.Paths.get(
+        if (path.startsWith("file://")) path.stripPrefix("file://") else path))
+      if (!(ifNotExists && exists)) {
+        val (stmts, kind) =
+          if (StatementSet.matches(body))
+            (StatementSet.statements(body), "statement_set")
+          else (Seq(body), "insert")
+        CompiledPlan.compile(this, path, stmts, kind)
+      }
+      if (andExec) CompiledPlan.execute(this, path) else spark.emptyDataFrame
+    } else if (ExecutePlanP.pattern.matcher(sql).matches()) {
+      CompiledPlan.execute(this,
+        ExecutePlanP.findFirstMatchIn(sql).get.group(1))
+    } else if (StatementSet.matches(sql)) {
       // EXECUTE STATEMENT SET BEGIN ...; ...; END → one multi-sink batch
       val set = createStatementSet()
       StatementSet.statements(sql).foreach(set.addInsertSql)
