@@ -231,6 +231,11 @@ object LookupJoinSql {
     val v = s"__lj_${java.util.UUID.randomUUID.toString.replace("-", "")}"
     result.createOrReplaceTempView(v)
     val where = whereClause.map(w => s" WHERE ${rewrite(w)}").getOrElse("")
-    spark.sql(s"SELECT ${rewrite(outerSelect)} FROM $v$where")
+    // analysis resolves the view subtree eagerly, so the scratch view
+    // can be dropped immediately — otherwise every lookup-join statement
+    // leaks a __lj_* entry into SHOW TABLES for the session's lifetime
+    val out = spark.sql(s"SELECT ${rewrite(outerSelect)} FROM $v$where")
+    spark.catalog.dropTempView(v)
+    out
   }
 }

@@ -99,6 +99,10 @@ object TemporalJoinSql {
     val v = s"__tj_${java.util.UUID.randomUUID.toString.replace("-", "")}"
     joined.createOrReplaceTempView(v)
     val where = whereClause.map(w => s" WHERE ${rewrite(w)}").getOrElse("")
-    spark.sql(s"SELECT ${rewrite(outerSelect)} FROM $v$where")
+    // analysis resolves the view subtree eagerly — drop the scratch
+    // view so repeated statements don't grow the session catalog
+    val out = spark.sql(s"SELECT ${rewrite(outerSelect)} FROM $v$where")
+    spark.catalog.dropTempView(v)
+    out
   }
 }

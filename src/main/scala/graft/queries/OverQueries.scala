@@ -108,6 +108,14 @@ object OverQueries {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""")),
 
     // NTILE + CUME_DIST / PERCENT_RANK (unique ordering → deterministic).
+    //
+    // NOTE — deliberate single-partition window: global NTILE/OVER (no
+    // PARTITION BY) is the demonstrated SEMANTICS here, matching the
+    // oracle SQL, and Spark necessarily funnels it through one
+    // WindowExec partition (the "No Partition Defined" warnings in the
+    // test log). Do NOT copy this shape into a pipeline query — at
+    // scale, global ranks want partitioned two-pass tricks (range
+    // repartition + per-partition offsets, as Layout.zorder does).
     QueryDef("q_ntile", (s, dir) => {
       val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
       t(s, dir, "orders")

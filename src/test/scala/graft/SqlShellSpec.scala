@@ -23,12 +23,13 @@ class SqlShellSpec extends SparkSpec {
       |) WITH ('connector' = 'filesystem',
       |        'path' = '$sfDir/nation.parquet',
       |        'format' = 'parquet');
+      |SET 'sql-client.display.max-rows' = '1000';
+      |SHOW TABLES;
+      |DESCRIBE sh_nation;
       |SET 'sql-client.display.max-rows' = '5';
       |SELECT n_nationkey, n_name FROM sh_nation
       |ORDER BY n_nationkey;
       |SELECT COUNT(*) AS n FROM sh_nation;
-      |SHOW TABLES;
-      |DESCRIBE sh_nation;
       |SELECT broken FROM nowhere;
       |SELECT 1 AS still_alive;
       |QUIT;
