@@ -39,6 +39,54 @@ object Watermarks {
       spark: org.apache.spark.sql.SparkSession): Unit =
     spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
 
+  /** Watermark ALIGNMENT (reference: FLIP-182,
+    * WatermarkStrategy.withWatermarkAlignment /
+    * WatermarkAlignmentParams.java): bound how far any source may run
+    * ahead of the group watermark. The reference THROTTLES the fast
+    * source's reads; Spark's micro-batch model has no in-flight
+    * bounding, so this operator delivers the alignment guarantee the
+    * only honest way available: rows whose event time exceeds
+    * `currentWatermark + maxDriftMs` are HELD in keyed state and
+    * released once the group watermark catches up (an event-time
+    * timeout wakes the key even if its source goes quiet). Apply it to
+    * the UNION of per-source watermarked streams keyed by a source tag
+    * — the group watermark is Spark's MIN over the member watermarks,
+    * exactly the reference's combined watermark.
+    *
+    * Documented delta vs the reference: alignment-by-buffering bounds
+    * what DOWNSTREAM sees (windows, joins and aggregates never observe
+    * a drift beyond the bound) but the buffered rows live in the
+    * aligner's state, whereas source throttling keeps them unread —
+    * state here grows with the fast source's excess rate × drift
+    * window. Until the first watermark is computed (Spark initializes
+    * it to 0) everything buffers for one micro-batch — the same
+    * cold-start stall FLIP-182 alignment imposes on unaligned starts. */
+  def alignedBuffer[K, T](ds: Dataset[T], keyFn: T => K, tsFn: T => Long,
+      maxDriftMs: Long)(
+      implicit kEnc: Encoder[K], tEnc: Encoder[T],
+      seqEnc: Encoder[Seq[T]]): Dataset[T] = {
+    require(maxDriftMs > 0, "maxDriftMs must be positive")
+    ds.groupByKey(keyFn).flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+      (_: K, rows: Iterator[T],
+          state: org.apache.spark.sql.streaming.GroupState[Seq[T]]) =>
+        val wm = state.getCurrentWatermarkMs()
+        val limit = wm + maxDriftMs
+        val all = state.getOption.getOrElse(Seq.empty) ++ rows
+        val (release, hold) = all.partition(t => tsFn(t) <= limit)
+        if (hold.isEmpty) {
+          if (state.exists) state.remove()
+        } else {
+          state.update(hold)
+          // wake when the watermark reaches minHeld - drift (strictly
+          // ahead of the current watermark by the hold invariant)
+          state.setTimeoutTimestamp(
+            math.max(hold.map(tsFn).min - maxDriftMs, wm + 1))
+        }
+        release.iterator
+    }
+  }
+
   /** Annotate each row with the watermark the stateful operator observed
     * when processing it — the in-query CURRENT_WATERMARK() analogue
     * (e.g. to measure lateness or route near-late rows). Keyed so state

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Watermark alignment by buffering: a fast source's far-future rows
+  * are held until the group (MIN) watermark allows them within
+  * maxDrift. */
+class AlignedBufferSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    new Timestamp(1700000000000L + min * 60000L)
+
+  test("fast-source rows beyond maxDrift are held until the group watermark catches up") {
+    implicit val sq = spark.sqlContext
+    val slow = MemoryStream[(String, Timestamp)]
+    val fast = MemoryStream[(String, Timestamp)]
+    val union =
+      slow.toDF().toDF("src", "ts").withWatermark("ts", "0 seconds")
+        .union(
+          fast.toDF().toDF("src", "ts").withWatermark("ts", "0 seconds"))
+        .as[(String, Timestamp)]
+    val aligned = Watermarks.alignedBuffer[String, (String, Timestamp)](
+      union, _._1, _._2.getTime, maxDriftMs = 60000L)
+    val q = aligned.toDF().toDF("src", "ts")
+      .writeStream.format("memory").queryName("aligned_sink")
+      .outputMode(OutputMode.Update()).start()
+    def emitted(): Set[(String, Long)] =
+      spark.table("aligned_sink").as[(String, Timestamp)].collect()
+        .map(r => r._1 -> r._2.getTime).toSet
+    try {
+      // batch 1: slow at t0, fast at t0 and t0+20min (20min drift)
+      slow.addData(("s", ts(0)))
+      fast.addData(("f", ts(0)), ("f", ts(20)))
+      q.processAllAvailable()
+      // watermark was uninitialized during batch 1 — everything buffered
+      // batch 2 (empty nudge): group wm = min(t0, t0+20) = t0 →
+      // limit t0+1min: both t0 rows release, f@t0+20 stays held
+      slow.addData(("s", ts(1)))
+      q.processAllAvailable()
+      val afterCatchup = emitted()
+      assert(afterCatchup.contains(("s", ts(0).getTime)))
+      assert(afterCatchup.contains(("f", ts(0).getTime)))
+      assert(!afterCatchup.contains(("f", ts(20).getTime)),
+        "fast row released while group watermark lagged by 20min > 1min drift")
+      // slow source advances to t0+19:30 → wm still short of t0+19 →
+      // f@t0+20 NOT yet within drift... advance to t0+20 → released
+      slow.addData(("s", ts(25)))
+      q.processAllAvailable()
+      slow.addData(("s", ts(30)))
+      q.processAllAvailable()
+      // group wm now min(25, 20) = t0+20 → limit t0+21 → f@t0+20 out
+      val fin = emitted()
+      assert(fin.contains(("f", ts(20).getTime)),
+        s"held row not released after watermark caught up: $fin")
+    } finally q.stop()
+  }
+}
