@@ -65,7 +65,7 @@ object SqlShell {
       readStatement(in) match {
         case None => done = true
         case Some(stmt) =>
-          val trimmed = stmt.trim.stripSuffix(";").trim
+          val trimmed = beforeTerminator(stmt).trim
           trimmed.toUpperCase match {
             case "" => ()
             case "QUIT" | "EXIT" => done = true
@@ -109,12 +109,37 @@ object SqlShell {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'') { inQuote = !inQuote; lastMeaning = c }
-      else if (c == ';' && !inQuote) lastMeaning = ';'
-      else if (!c.isWhitespace) lastMeaning = c
-      i += 1
+      // `--` line comment outside quotes: skip to end of line so a
+      // trailing comment after the ';' doesn't mask the terminator
+      if (!inQuote && c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else {
+        if (c == '\'') { inQuote = !inQuote; lastMeaning = c }
+        else if (c == ';' && !inQuote) lastMeaning = ';'
+        else if (!c.isWhitespace) lastMeaning = c
+        i += 1
+      }
     }
     lastMeaning == ';'
+  }
+
+  /** The statement text up to its terminating `;` (the LAST unquoted,
+    * uncommented one), so trailing comments never reach the executor. */
+  private[graft] def beforeTerminator(s: String): String = {
+    var inQuote = false
+    var cut = -1
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!inQuote && c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else {
+        if (c == '\'') inQuote = !inQuote
+        else if (c == ';' && !inQuote) cut = i
+        i += 1
+      }
+    }
+    if (cut < 0) s else s.substring(0, cut)
   }
 
   private def maxRows(df: DataFrame): Int =

@@ -61,6 +61,11 @@ class SqlShellSpec extends SparkSpec {
       "EXECUTE STATEMENT SET BEGIN INSERT INTO a SELECT 1;\n"))
     assert(SqlShell.statementComplete(
       "EXECUTE STATEMENT SET BEGIN INSERT INTO a SELECT 1; END;\n"))
+    // trailing line comments don't mask the terminator (and a commented
+    // semicolon doesn't create one)
+    assert(SqlShell.statementComplete("SELECT 1; -- done\n"))
+    assert(!SqlShell.statementComplete("SELECT 1 -- not yet;\n"))
+    assert(SqlShell.statementComplete("SELECT '--' AS dash;\n"))
   }
 
   test("statement set executes as one statement") {

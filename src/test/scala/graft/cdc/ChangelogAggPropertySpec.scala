@@ -35,6 +35,49 @@ class ChangelogAggPropertySpec extends SparkSpec {
       }
     }
 
+  test("updateStream chained into materialize nets to the direct running state") {
+    import org.apache.spark.sql.functions.col
+    // only live-state-preserving streams (net count per key stays >= 0
+    // at every prefix — guaranteed by generating +I-heavy mixes)
+    val posOpGen = Gen.zip(Gen.oneOf("a", "b"),
+      Gen.choose(1, 6).map(_.toDouble),
+      Gen.frequency(3 -> Gen.const("+I"), 1 -> Gen.const("-D")))
+    val posOpsGen = Gen.choose(1, 16).flatMap(n => Gen.listOfN(n, posOpGen))
+    check(Prop.forAll(posOpsGen) { ops0 =>
+      // drop deletes that would drive a key's running count negative
+      val seen = scala.collection.mutable.Map.empty[String, Long]
+      val ops = ops0.filter { case (k, _, kind) =>
+        val w = if (kind == "-D") -1L else 1L
+        val n = seen.getOrElse(k, 0L) + w
+        if (n < 0) false else { seen(k) = n; true }
+      }
+      if (ops.isEmpty) true
+      else {
+        val df = ops.zipWithIndex
+          .map { case ((k, v, kind), i) => (k, v, kind, i) }
+          .toDF("k", "v", ChangelogFormats.RowKindCol, "seq")
+        val upd = ChangelogAgg.updateStream(df, Seq("k"), "v",
+          Seq(col("seq")))
+        // stage 2 keyed by the stage-1 key itself: netting the -U/+U
+        // pairs must leave exactly the FINAL (cnt, sum) per key
+        val got = ChangelogAgg.materialize(
+            upd.select(col("k"), col("sum_val").as("s"),
+              col(ChangelogFormats.RowKindCol)),
+            Seq("k"), "s").collect()
+          .map(r => r.getString(0) -> r.getDouble(2)).toMap
+        // model: final running sum per key (only keys with live count)
+        def w(kind: String) = if (kind == "-D") -1L else 1L
+        val want = ops.groupBy(_._1).flatMap { case (k, rows) =>
+          val cnt = rows.map(r => w(r._3)).sum
+          if (cnt <= 0) None
+          else Some(k -> rows.map(r => w(r._3) * r._2).sum)
+        }
+        if (got != want) println(s"MISMATCH ops=$ops got=$got want=$want")
+        got == want
+      }
+    }, n = 12)
+  }
+
   test("materialize matches the signed-multiset model") {
     check(Prop.forAll(opsGen) { ops =>
       val df = ops.toDF("k", "v", ChangelogFormats.RowKindCol)
