@@ -59,87 +59,83 @@ object SqlShell {
     val env = TableEnv(spark)
     if (prompt) out.println(
       "graft SQL shell — statements end with ';', QUIT; exits, HELP; helps")
-    var done = false
-    while (!done) {
-      if (prompt) { out.print("graft> "); out.flush() }
-      readStatement(in) match {
-        case None => done = true
-        case Some(stmt) =>
-          val trimmed = beforeTerminator(stmt).trim
-          trimmed.toUpperCase match {
-            case "" => ()
-            case "QUIT" | "EXIT" => done = true
-            case "HELP" => out.println(help)
-            case _ =>
-              try {
-                val t0 = System.nanoTime()
-                val df = env.executeSql(trimmed)
-                render(env, df, out,
-                  ((System.nanoTime() - t0) / 1e6).round)
-              } catch {
-                case NonFatal(e) =>
-                  out.println(s"[ERROR] ${e.getClass.getSimpleName}: " +
-                    s"${Option(e.getMessage).getOrElse("").linesIterator
-                      .take(4).mkString(" / ")}")
-              }
-          }
-      }
-    }
-  }
-
-  /** One `;`-terminated statement (quote-aware; EXECUTE STATEMENT SET
-    * swallows inner `;` until END;). None at EOF. */
-  private[graft] def readStatement(in: BufferedReader): Option[String] = {
     val buf = new StringBuilder
-    var line = in.readLine()
-    while (line != null) {
-      buf.append(line).append('\n')
-      if (statementComplete(buf.toString)) return Some(buf.toString)
-      line = in.readLine()
-    }
-    if (buf.toString.trim.nonEmpty) Some(buf.toString) else None
-  }
+    var done = false
 
-  private[graft] def statementComplete(s: String): Boolean = {
-    if (s.toUpperCase.replaceAll("\\s+", " ").trim
-        .startsWith("EXECUTE STATEMENT SET BEGIN"))
-      return "(?is).*\\bEND\\s*;\\s*$".r.pattern.matcher(s).matches()
-    var inQuote = false
-    var lastMeaning = ' '
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      // `--` line comment outside quotes: skip to end of line so a
-      // trailing comment after the ';' doesn't mask the terminator
-      if (!inQuote && c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
-        while (i < s.length && s.charAt(i) != '\n') i += 1
+    def exec(stmt: String): Unit = stmt.trim.toUpperCase match {
+      case "" => ()
+      case "QUIT" | "EXIT" => done = true
+      case "HELP" => out.println(help)
+      case _ =>
+        try {
+          val t0 = System.nanoTime()
+          val df = env.executeSql(stmt.trim)
+          render(env, df, out, ((System.nanoTime() - t0) / 1e6).round)
+        } catch {
+          case NonFatal(e) =>
+            out.println(s"[ERROR] ${e.getClass.getSimpleName}: " +
+              s"${Option(e.getMessage).getOrElse("").linesIterator
+                .take(4).mkString(" / ")}")
+        }
+    }
+
+    while (!done) {
+      if (prompt && buf.isEmpty) { out.print("graft> "); out.flush() }
+      val line = in.readLine()
+      if (line == null) {
+        // EOF: whatever remains is one last unterminated statement
+        if (buf.toString.trim.nonEmpty) exec(buf.toString)
+        done = true
       } else {
-        if (c == '\'') { inQuote = !inQuote; lastMeaning = c }
-        else if (c == ';' && !inQuote) lastMeaning = ';'
-        else if (!c.isWhitespace) lastMeaning = c
-        i += 1
+        buf.append(line).append('\n')
+        val (stmts, leftover) = splitStatements(buf.toString)
+        buf.clear(); buf.append(leftover)
+        stmts.foreach(st => if (!done) exec(st))
       }
     }
-    lastMeaning == ';'
   }
 
-  /** The statement text up to its terminating `;` (the LAST unquoted,
-    * uncommented one), so trailing comments never reach the executor. */
-  private[graft] def beforeTerminator(s: String): String = {
-    var inQuote = false
-    var cut = -1
+  /** Split buffered input into complete `;`-terminated statements plus
+    * the unterminated leftover. Quote-aware (single AND double quotes,
+    * backslash escapes), `--` line comments ignored, and a statement
+    * set — bare or wrapped in COMPILE [AND EXECUTE] PLAN ... FOR — only
+    * terminates at the `;` following its END, so inner `;` never split
+    * it. Multiple statements on one line split correctly. */
+  private[graft] def splitStatements(input: String): (Seq[String], String) = {
+    def noComments(t: String): String = t.replaceAll("(?m)--[^\n]*", "")
+    def isSetStart(from: Int): Boolean =
+      ("""(?is)^\s*(COMPILE\s+(AND\s+EXECUTE\s+)?PLAN\s+""" +
+        """(IF\s+NOT\s+EXISTS\s+)?'[^']*'\s+FOR\s+)?""" +
+        """EXECUTE\s+STATEMENT\s+SET\b""").r
+        .findFirstIn(noComments(input.substring(from))).isDefined
+    val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
     var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (!inQuote && c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
-        while (i < s.length && s.charAt(i) != '\n') i += 1
-      } else {
-        if (c == '\'') inQuote = !inQuote
-        else if (c == ';' && !inQuote) cut = i
+    var quote: Char = 0
+    var inSet = isSetStart(0)
+    while (i < input.length) {
+      val c = input.charAt(i)
+      if (quote != 0) {
+        if (c == '\\') i += 1 // escaped char inside a literal
+        else if (c == quote) quote = 0
         i += 1
-      }
+      } else if (c == '\'' || c == '"') { quote = c; i += 1 }
+      else if (c == '-' && i + 1 < input.length && input.charAt(i + 1) == '-') {
+        while (i < input.length && input.charAt(i) != '\n') i += 1
+      } else if (c == ';') {
+        val body = input.substring(start, i)
+        val terminates = !inSet ||
+          "(?is).*\\bEND\\s*$".r.pattern
+            .matcher(noComments(body)).matches()
+        if (terminates) {
+          if (body.trim.nonEmpty) stmts += body
+          start = i + 1
+          inSet = isSetStart(start)
+        }
+        i += 1
+      } else i += 1
     }
-    if (cut < 0) s else s.substring(0, cut)
+    (stmts.toSeq, input.substring(start))
   }
 
   private def maxRows(df: DataFrame): Int =

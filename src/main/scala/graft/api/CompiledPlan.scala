@@ -32,16 +32,42 @@ object CompiledPlan {
 
   private def mapper = new ObjectMapper()
 
+  private def referencedIn(text: String, name: String): Boolean =
+    ("""(?i)\b""" + java.util.regex.Pattern.quote(name) + """\b""").r
+      .findFirstIn(text).isDefined
+
   /** Serialize `statements` (INSERTs, or one statement set) plus every
-    * registered table whose name occurs in them. */
+    * registered table AND tracked view they reference (transitively
+    * through view definitions — a plan file must carry its whole DDL
+    * closure to replay in a fresh session). A referenced temp view
+    * whose defining SQL the TableEnv never saw (created directly on the
+    * SparkSession) cannot be persisted and RAISES rather than writing a
+    * plan that would fail at EXECUTE time. */
   def compile(env: TableEnv, planPath: String, statements: Seq[String],
       kind: String): Unit = {
-    val text = statements.mkString("\n")
-    val touched = env.registeredTables.filter(n =>
-      ("""(?i)\b""" + java.util.regex.Pattern.quote(n) + """\b""").r
-        .findFirstIn(text).isDefined).toSeq.sorted
+    // fixed-point closure over statements + pulled-in view bodies
+    var text = statements.mkString("\n")
+    var views = Map.empty[String, String]
+    var grew = true
+    while (grew) {
+      val add = env.viewSqlMap.toMap
+        .filter { case (n, _) => !views.contains(n) && referencedIn(text, n) }
+      grew = add.nonEmpty
+      views ++= add
+      text += add.values.mkString("\n", "\n", "")
+    }
+    val touched = env.registeredTables.filter(referencedIn(text, _)).toSeq.sorted
     require(touched.nonEmpty,
       "COMPILE PLAN: the statement references no registered table")
+    val untracked = env.spark.catalog.listTables().collect()
+      .map(_.name)
+      .filter(n => !env.registeredTables.contains(n) &&
+        !views.contains(n) && !n.startsWith("__") &&
+        referencedIn(statements.mkString("\n"), n))
+    require(untracked.isEmpty,
+      s"COMPILE PLAN: ${untracked.mkString(", ")} are session temp views " +
+        "created outside executeSql — their definitions cannot be " +
+        "persisted; register them via CREATE VIEW / CREATE TABLE first")
     val root = new java.util.LinkedHashMap[String, Object]()
     root.put("graftPlanVersion", Integer.valueOf(Version))
     root.put("kind", kind)
@@ -61,6 +87,11 @@ object CompiledPlan {
       t
     }
     root.put("tables", tables.asJava)
+    val viewsJ = views.toSeq.sortBy(_._1).map { case (n, q) =>
+      val v = new java.util.LinkedHashMap[String, Object]()
+      v.put("name", n); v.put("sql", q); v
+    }
+    root.put("views", viewsJ.asJava)
     val json = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
     val p = Paths.get(stripScheme(planPath))
     Option(p.getParent).foreach(Files.createDirectories(_))
@@ -98,6 +129,23 @@ object CompiledPlan {
           proctime = Option(t.path("proctime").asText(null))))
       }
     }
+    // views after tables; retry to honor view-on-view dependency order
+    var pending = root.path("views").elements().asScala
+      .map(v => v.path("name").asText() -> v.path("sql").asText()).toSeq
+      .filter { case (n, _) => !env.registeredTables.contains(n) &&
+        !env.spark.catalog.tableExists(n) }
+    var progress = true
+    while (pending.nonEmpty && progress) {
+      val (ok, failed) = pending.partition { case (n, q) =>
+        try {
+          env.executeSql(s"CREATE VIEW $n AS $q"); true
+        } catch { case _: Exception => false }
+      }
+      progress = ok.nonEmpty
+      pending = failed
+    }
+    require(pending.isEmpty,
+      s"EXECUTE PLAN: could not re-create view(s) ${pending.map(_._1).mkString(", ")}")
     val statements =
       root.path("statements").elements().asScala.map(_.asText()).toSeq
     require(statements.nonEmpty, "EXECUTE PLAN: plan has no statements")
@@ -105,6 +153,6 @@ object CompiledPlan {
   }
 
   /** `file:///x/y` → `/x/y` (only the local scheme is supported). */
-  private def stripScheme(path: String): String =
+  private[api] def stripScheme(path: String): String =
     if (path.startsWith("file://")) path.stripPrefix("file://") else path
 }

@@ -34,9 +34,11 @@ import graft.operators.{AsyncLookupJoin, LookupJoin}
   *    table is used directly — the external-store case;
   *  - otherwise the dim's CURRENT snapshot joins as a plan-native
   *    BROADCAST HASH JOIN: probes stay put (zero shuffle), each of
-  *    1000 executors holds one copy of the build map, and the map is
-  *    built by Spark's broadcast machinery — never `collect()`ed on
-  *    the driver, so a fat dimension cannot OOM the driver.
+  *    1000 executors holds one copy of the build map, and the build
+  *    goes through Spark's broadcast machinery (compact
+  *    HashedRelation, maxResultSize / 8GB guard rails) rather than a
+  *    hand-rolled driver map; dims too fat to broadcast belong on a
+  *    registered LookupFunction.
   *
   * Registered functions go through the lookup operators:
   * sync → [[LookupJoin.perPartition]] (one LRU cache per partition),
@@ -162,14 +164,18 @@ object LookupJoinSql {
     // ---- resolve the lookup route ----
     // Snapshot fallback (no registered lookup function): the dim's
     // CURRENT snapshot joined as a plan-native broadcast hash join.
-    // The hash map is built by Spark's broadcast machinery — executor
-    // probes, no dim.collect() on the driver — so a fat dimension
-    // cannot OOM the driver the way a driver-built map would at 100×
-    // scale (reference shape: a LookupTableSource backed by a bounded
-    // scan never materializes the dim either; LookupCacheManager.java
-    // probes per row). The PK-dimension uniqueness contract is
-    // asserted with one aggregate over the dim (at most 1 row returns
-    // to the driver).
+    // Honest memory note: BroadcastExchange still stages the dim
+    // through the driver to build the HashedRelation — what this buys
+    // over the previous hand-rolled collect().groupBy is Spark's own
+    // guard rails (spark.driver.maxResultSize / the 8GB broadcast cap
+    // fail FAST with a tuning message instead of an opaque OOM, the
+    // build is the compact HashedRelation rather than a boxed Scala
+    // Map with 2-3x amplification, and AQE can veto the broadcast) plus
+    // the standard knobs every Spark operator shares. A dimension too
+    // fat to broadcast belongs on the registered-LookupFunction path
+    // (per-partition LRU, reference LookupCacheManager.java shape).
+    // The PK-dimension uniqueness contract is asserted with one
+    // aggregate over the dim (at most 1 row returns to the driver).
     def snapshotJoin(): DataFrame = {
       val dups = dim.groupBy(dim.col(rightKey2))
         .agg(org.apache.spark.sql.functions.count(

@@ -34,6 +34,12 @@ final class TableEnv(val spark: SparkSession) {
 
   private val specs = scala.collection.mutable.Map.empty[String, TableSpec]
 
+  /** CREATE VIEW statements' defining SQL, kept so COMPILE PLAN can
+    * persist views alongside table specs (plan files must replay in a
+    * fresh session). */
+  private[api] val viewSqlMap =
+    scala.collection.mutable.Map.empty[String, String]
+
   // ---- catalogs (reference CatalogManager): the built-in session
   // catalog plus any CREATE CATALOG ('type'='hive') registrations;
   // while a hive catalog is active, DDL tables are ALSO persisted to
@@ -242,8 +248,8 @@ final class TableEnv(val spark: SparkSession) {
       val (andExec, ifNotExists, path, body) =
         (m.group(1) != null, m.group(2) != null, m.group(3),
           m.group(4).trim)
-      val exists = java.nio.file.Files.exists(java.nio.file.Paths.get(
-        if (path.startsWith("file://")) path.stripPrefix("file://") else path))
+      val exists = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(CompiledPlan.stripScheme(path)))
       if (!(ifNotExists && exists)) {
         val (stmts, kind) =
           if (StatementSet.matches(body))
@@ -267,6 +273,7 @@ final class TableEnv(val spark: SparkSession) {
       if (!specs.contains(name) && !spark.catalog.tableExists(name) && !ifExists)
         throw new IllegalArgumentException(s"DROP TABLE: unknown table $name")
       specs.remove(name)
+      viewSqlMap.remove(name)
       spark.catalog.dropTempView(name)
       if (persistToHive) HiveCatalog.unpersist(spark, name)
       spark.emptyDataFrame
@@ -283,7 +290,10 @@ final class TableEnv(val spark: SparkSession) {
       if (exists && !ifNotExists)
         throw new IllegalArgumentException(
           s"CREATE VIEW: $name already exists (use IF NOT EXISTS, or DROP it)")
-      if (!exists) executeSql(query).createOrReplaceTempView(name)
+      if (!exists) {
+        executeSql(query).createOrReplaceTempView(name)
+        viewSqlMap(name) = query // retained for COMPILE PLAN serde
+      }
       spark.emptyDataFrame
     } else if (CreateLikeP.pattern.matcher(sql).matches()) {
       // CREATE TABLE ... [WITH (...)] LIKE base (reference SqlTableLike,

@@ -67,9 +67,13 @@ object SetSimJoin {
     // auto-select the factorization: below ~10^6 distinct tokens the
     // single-task sort is measurably cheaper; above it the vocabulary
     // is beyond one task's sort budget and the per-bucket rank path
-    // must take over. Callers can still force either path. The auto
-    // probe checkpoints dfreq so the count and the rank scan share one
-    // computation of the distinct+agg.
+    // must take over. The auto probe runs ONE eager job (checkpoint +
+    // count of the token-frequency table) at DataFrame-construction
+    // time — the plan shape depends on the measured vocabulary size,
+    // so the measurement cannot be deferred. Callers that need lazy
+    // construction (plan audits, EXPLAIN) pass Some(...) to skip the
+    // probe; the checkpoint is shared with the rank scan either way
+    // the auto path is taken.
     val (dfreq, useDistributed) = distributedVocab match {
       case Some(dv) => (dfreq0, dv)
       case None =>

@@ -34,23 +34,34 @@ object QueryableState {
 
   /** Flattened (key..., value...) view — the QueryableStateClient
     * `getKvState` analogue: one row per live key, columns = key fields
-    * then value fields. */
+    * then value fields (fails loudly if the source schema lacks
+    * key/value structs). */
   def flattened(spark: SparkSession, checkpointDir: String,
-      operatorId: Int = 0): DataFrame = {
-    val df = store(spark, checkpointDir, operatorId)
-    df.select(col("key.*") +: df.columns.filter(_ == "value")
-      .map(_ => col("value.*")): _*)
-  }
+      operatorId: Int = 0): DataFrame =
+    store(spark, checkpointDir, operatorId)
+      .select(col("key.*"), col("value.*"))
 
-  /** Point lookup of one key (string-rendered comparison on the first
-    * key field) — the literal client call shape. Returns the matching
-    * state rows; empty means "state not found", the client's
-    * UnknownKeyOrNamespaceException case. */
+  /** Point lookup of one (possibly composite) key — the literal client
+    * call shape. `key` supplies one value per key field IN ORDER; fewer
+    * values than key fields RAISES (a prefix match would silently
+    * return every key sharing the prefix). Empty result means "state
+    * not found", the client's UnknownKeyOrNamespaceException case. */
   def lookup(spark: SparkSession, checkpointDir: String, key: Any,
-      operatorId: Int = 0): DataFrame = {
+      operatorId: Int = 0): DataFrame =
+    lookupComposite(spark, checkpointDir, Seq(key), operatorId)
+
+  def lookupComposite(spark: SparkSession, checkpointDir: String,
+      key: Seq[Any], operatorId: Int = 0): DataFrame = {
     val df = store(spark, checkpointDir, operatorId)
-    val keyField = df.select(col("key.*")).columns.head
-    df.filter(col(s"key.$keyField") === lit(key)).select(col("key.*"),
-      col("value.*"))
+    val keyFields = df.select(col("key.*")).columns
+    require(key.length == keyFields.length,
+      s"lookup key has ${key.length} value(s) but the state key has " +
+        s"${keyFields.length} field(s) ${keyFields.mkString("(", ", ", ")")} " +
+        "— supply one value per field (prefix lookups would silently " +
+        "match multiple keys)")
+    val cond = keyFields.zip(key)
+      .map { case (f, v) => col(s"key.$f") === lit(v) }
+      .reduce(_ && _)
+    df.filter(cond).select(col("key.*"), col("value.*"))
   }
 }

@@ -60,14 +60,32 @@ object Watermarks {
     * state here grows with the fast source's excess rate × drift
     * window. Until the first watermark is computed (Spark initializes
     * it to 0) everything buffers for one micro-batch — the same
-    * cold-start stall FLIP-182 alignment imposes on unaligned starts. */
+    * cold-start stall FLIP-182 alignment imposes on unaligned starts.
+    *
+    * Composing with downstream stateful operators: the aligner emits in
+    * APPEND mode (the only mode Spark permits upstream of aggregations).
+    * Do NOT re-`withWatermark` after it — Spark's global watermark is
+    * the MIN over every watermark node in the query, a post-aligner
+    * node sees no rows until the aligner releases, so its watermark
+    * pins the global MIN at 0 and the aligner deadlocks (holds
+    * forever). Run downstream aggregations in UPDATE mode off the
+    * upstream (pre-aligner) watermarks; Spark's chained-stateful
+    * correctness checker flags the pattern (released rows can sit
+    * below a jumped watermark — the buffering-vs-throttling delta), so
+    * composing requires
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=
+    * false`, as AlignedBufferSpec demonstrates. */
   def alignedBuffer[K, T](ds: Dataset[T], keyFn: T => K, tsFn: T => Long,
       maxDriftMs: Long)(
       implicit kEnc: Encoder[K], tEnc: Encoder[T],
       seqEnc: Encoder[Seq[T]]): Dataset[T] = {
     require(maxDriftMs > 0, "maxDriftMs must be positive")
+    // Append mode: the only flatMapGroupsWithState mode Spark allows
+    // UPSTREAM of aggregations — which is where an aligner lives
+    // (Update mode here would AnalysisException any downstream
+    // window/agg and defeat the operator's purpose)
     ds.groupByKey(keyFn).flatMapGroupsWithState(
-      OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
       (_: K, rows: Iterator[T],
           state: org.apache.spark.sql.streaming.GroupState[Seq[T]]) =>
         val wm = state.getCurrentWatermarkMs()

