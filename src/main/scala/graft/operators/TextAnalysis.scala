@@ -85,6 +85,58 @@ object TextAnalysis {
     trim(regexp_replace(noCtl, "\\s+", " "))
   }
 
+  /** HTML → text extraction — the front-of-pipeline stage that turns a
+    * raw crawl payload into curable text (the role trafilatura /
+    * jusText play in public curation stacks, reduced to the
+    * deterministic core): (1) drop <script>/<style> subtrees and
+    * comments, (2) block-level closers (</p>, </div>, </li>, </h_>,
+    * </tr>, <br>) become newlines so paragraph structure survives,
+    * (3) strip remaining tags, (4) decode the six ubiquitous entities
+    * (&amp; last, so &amp;lt; decodes to the literal "&lt;"), (5)
+    * collapse intra-line whitespace and 3+ newline runs.
+    *
+    * Every step is one RE2-safe regexp_replace — a chain of codegen'd
+    * projections in the same single 100-TB scan as [[cleanText]] /
+    * [[qualityScore]], zero shuffle, and any engine with regex
+    * replace-all replays it byte-for-byte (the DuckDB oracle does). */
+  def extractHtmlText(htmlCol: Column): Column = {
+    val noScript = regexp_replace(htmlCol,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)>", "")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", "")
+    val blocks = regexp_replace(noComment,
+      "(?i)<br\\s*/?>|</(p|div|li|h[1-6]|tr)>", "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", "")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(from), to) }
+    val oneSpace = regexp_replace(ent, "[ \\t\\x0B\\f\\r]+", " ")
+    trim(regexp_replace(
+      regexp_replace(oneSpace, " ?\\n ?", "\n"), "\\n{3,}", "\n\n"))
+  }
+
+  /** Markup-density signals over the RAW html — the link/tag-density
+    * boilerplate heuristic (jusText's core signal): pages whose text is
+    * mostly anchor text are navigation, not content. Returns
+    * (n_tags, n_links, link_char_fraction·2^-20-quantized) columns to
+    * gate on. */
+  def htmlStats(htmlCol: Column): (Column, Column, Column) = {
+    val nTags = size(regexp_extract_all(htmlCol, lit("(?s)<[^>]*>"), lit(0)))
+      .cast("long")
+    val nLinks = size(regexp_extract_all(htmlCol,
+      lit("(?is)<a\\b[^>]*>"), lit(0))).cast("long")
+    val anchorChars = coalesce(aggregate(
+      transform(
+        regexp_extract_all(htmlCol, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+        a => length(extractHtmlText(a)).cast("long")),
+      lit(0L), (acc, x) => acc + x), lit(0L))
+    val textChars = greatest(length(extractHtmlText(htmlCol)).cast("long"),
+      lit(1L))
+    val frac = floor(anchorChars.cast("double") / textChars * 1048576) /
+      lit(1048576.0)
+    (nTags, nLinks, frac)
+  }
+
   /** Overlapping fixed-size word-window chunking — how a pretraining /
     * RAG pipeline slices documents into model-sized pieces. Each
     * document of n words yields ceil(n / stride) chunks starting at

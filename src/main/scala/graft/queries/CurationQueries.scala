@@ -75,6 +75,83 @@ object CurationQueries {
             AS n_stop_hits
         FROM documents)""")),
 
+    // HTML -> text extraction + markup-density boilerplate signals
+    // (TextAnalysis.extractHtmlText / htmlStats): documents are wrapped
+    // in a deterministic crawl-page template (nav links, script, style,
+    // comment, entities) — same synthesis discipline as the CDC
+    // envelope queries — then extracted back. The oracle replays the
+    // wrap AND the full regex chain in DuckDB, so tag stripping,
+    // entity decoding, block-break normalization and the quantized
+    // link-char fraction must all match byte-for-byte.
+    QueryDef("q_html_extract", (s, dir) => {
+      val html = concat(
+        lit("<html><head><title>d</title><style>body { margin:0 }</style>" +
+          "<script>var x = 1 < 2;</script></head><body>\n" +
+          "<!-- boilerplate -->\n" +
+          "<div class=\"nav\"><a href=\"/\">Home</a> " +
+          "<a href=\"/a\">About &amp; more</a></div>\n<h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1>\n<p>"), col("text"),
+        lit("</p>\n<div class=\"foot\">&nbsp;end&nbsp;</div></body></html>"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), html.as("h"))
+      val (nTags, nLinks, frac) = TextAnalysis.htmlStats(col("h"))
+      docs.select(col("doc_id"),
+        TextAnalysis.extractHtmlText(col("h")).as("text_out"),
+        nTags.as("n_tags"), nLinks.as("n_links"),
+        frac.as("link_char_frac"))
+    }, Some("""
+      WITH wrapped AS (
+        SELECT doc_id,
+          '<html><head><title>d</title><style>body { margin:0 }</style>' ||
+          '<script>var x = 1 < 2;</script></head><body>' || chr(10) ||
+          '<!-- boilerplate -->' || chr(10) ||
+          '<div class="nav"><a href="/">Home</a> ' ||
+          '<a href="/a">About &amp; more</a></div>' || chr(10) ||
+          '<h1>Doc ' || doc_id || '</h1>' || chr(10) ||
+          '<p>' || text || '</p>' || chr(10) ||
+          '<div class="foot">&nbsp;end&nbsp;</div></body></html>' AS h
+        FROM documents),
+      extracted AS (
+        -- DuckDB lateral column aliases: each step references the prior
+        SELECT doc_id, h,
+          regexp_replace(h,
+            '(?is)<(script|style)\b[^>]*>.*?</(script|style)>', '', 'g') AS s1,
+          regexp_replace(s1, '(?s)<!--.*?-->', '', 'g') AS s2,
+          regexp_replace(s2,
+            '(?i)<br\s*/?>|</(p|div|li|h[1-6]|tr)>', chr(10), 'g') AS s3,
+          regexp_replace(s3, '(?s)<[^>]*>', '', 'g') AS s4,
+          regexp_replace(s4, '&lt;', '<', 'g') AS s5,
+          regexp_replace(s5, '&gt;', '>', 'g') AS s6,
+          regexp_replace(s6, '&quot;', '"', 'g') AS s7,
+          regexp_replace(s7, '&#39;', chr(39), 'g') AS s8,
+          regexp_replace(s8, '&nbsp;', ' ', 'g') AS s9,
+          regexp_replace(s9, '&amp;', '&', 'g') AS s10,
+          regexp_replace(s10, '[ \t\x0B\f\r]+', ' ', 'g') AS s11,
+          regexp_replace(s11, ' ?\n ?', chr(10), 'g') AS s12,
+          trim(regexp_replace(s12, '\n{3,}', chr(10) || chr(10), 'g'))
+            AS text_out
+        FROM wrapped),
+      anchors AS (
+        SELECT doc_id,
+          coalesce(SUM(length(trim(regexp_replace(regexp_replace(
+            a, '(?s)<[^>]*>', '', 'g'), '&amp;', '&', 'g')))), 0) AS a_chars
+        FROM (SELECT doc_id,
+                unnest(regexp_extract_all(h, '(?is)<a\b[^>]*>(.*?)</a>', 1))
+                  AS a
+              FROM wrapped)
+        GROUP BY doc_id)
+      SELECT w.doc_id, e.text_out,
+        CAST(len(regexp_extract_all(w.h, '(?s)<[^>]*>')) AS BIGINT)
+          AS n_tags,
+        CAST(len(regexp_extract_all(w.h, '(?is)<a\b[^>]*>')) AS BIGINT)
+          AS n_links,
+        floor(CAST(coalesce(a.a_chars, 0) AS DOUBLE)
+          / greatest(length(e.text_out), 1) * 1048576) / 1048576.0
+          AS link_char_frac
+      FROM wrapped w
+      JOIN extracted e USING (doc_id)
+      LEFT JOIN anchors a USING (doc_id)""")),
+
     // Deterministic weighted sampling without replacement (A-ES,
     // Efraimidis & Spirakis 2006): 5 documents per source, selection
     // probability proportional to n_chars — the reproducible "prefer

@@ -60,6 +60,40 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(2L).getAs[Boolean]("ok_ellipsis"))
   }
 
+  test("html extraction: scripts/comments dropped, blocks break, entities decode") {
+    val html =
+      """<html><head><style>p {color:red}</style><script>if (1<2) alert("x");</script>
+        |</head><body><!-- nav --><div><a href="/">Home &amp; start</a></div>
+        |<h1>Title</h1>
+        |<p>first  para with &lt;tag&gt; &quot;quoted&quot; &#39;s&nbsp;end</p>
+        |<p>second para</p></body></html>""".stripMargin
+    val out = Seq(html).toDF("h")
+      .select(TextAnalysis.extractHtmlText(col("h")).as("t"))
+      .head().getString(0)
+    assert(!out.contains("alert") && !out.contains("color") &&
+      !out.contains("nav"))
+    assert(out.contains("Home & start"))
+    assert(out.contains("first para with <tag> \"quoted\" 's end"))
+    assert(out.linesIterator.toSeq.contains("second para"))
+    assert(!out.contains("<p>") && !out.contains("</h1>"))
+  }
+
+  test("html stats: link-heavy boilerplate scores high link fraction") {
+    val navPage = "<body><div><a href='/'>AAAA</a><a href='/b'>BBBB</a></div>" +
+      "<p>x</p></body>"
+    val article = "<body><a href='/'>hi</a><p>" + ("word " * 50).trim +
+      "</p></body>"
+    val df = Seq((1L, navPage), (2L, article)).toDF("id", "h")
+    val (nTags, nLinks, frac) = TextAnalysis.htmlStats(col("h"))
+    val got = df.select(col("id"), nTags.as("t"), nLinks.as("l"),
+        frac.as("f")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got(1L)._2 == 2L && got(2L)._2 == 1L)
+    assert(got(1L)._3 > 0.6, s"nav page frac ${got(1L)._3}")
+    assert(got(2L)._3 < 0.05, s"article frac ${got(2L)._3}")
+  }
+
   test("weighted sample: deterministic, respects stratum size cap") {
     val df = (1 to 100).map(i => (i.toLong, s"s${i % 3}", i.toLong * 10))
       .toDF("id", "src", "w")
