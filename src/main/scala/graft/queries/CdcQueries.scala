@@ -245,19 +245,21 @@ object CdcQueries {
         col("o_orderkey"), money(col("o_totalprice")).as("v"))
       val k = ChangelogFormats.RowKindCol
       // same synthesized changelog as q_cdc_agg, plus a deterministic
-      // per-key sequence: (orderkey, stage) with +I < -U < +U < -D
+      // per-key sequence: (orderkey, stage) with +I < -U < +U < -D.
+      // ONE scan: each order conditionally explodes into its 1-3 change
+      // rows (vs a 4-way union re-reading the table four times)
+      val m10 = pmod(col("o_orderkey"), lit(10))
+      def ch(vc: org.apache.spark.sql.Column, kind: String, stage: Int) =
+        struct(vc.as("v"), lit(kind).as(k), lit(stage).as("stage"))
       val changelog = o
-        .select(col("o_custkey"), col("v"), lit("+I").as(k),
-          col("o_orderkey").as("seq"), lit(0).as("stage"))
-        .union(o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
-          .select(col("o_custkey"), col("v"), lit("-U").as(k),
-            col("o_orderkey").as("seq"), lit(1).as("stage")))
-        .union(o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
-          .select(col("o_custkey"), (col("v") * 2).as("v"), lit("+U").as(k),
-            col("o_orderkey").as("seq"), lit(2).as("stage")))
-        .union(o.filter(pmod(col("o_orderkey"), lit(10)) === 1)
-          .select(col("o_custkey"), col("v"), lit("-D").as(k),
-            col("o_orderkey").as("seq"), lit(3).as("stage")))
+        .select(col("o_custkey"), col("o_orderkey").as("seq"),
+          explode(array_compact(array(
+            ch(col("v"), "+I", 0),
+            when(m10 === 0, ch(col("v"), "-U", 1)),
+            when(m10 === 0, ch(col("v") * 2, "+U", 2)),
+            when(m10 === 1, ch(col("v"), "-D", 3))))).as("__c"))
+        .select(col("o_custkey"), col("__c.v").as("v"),
+          col(s"__c.$k").as(k), col("seq"), col("__c.stage").as("stage"))
       val updates = ChangelogAgg.updateStream(changelog, Seq("o_custkey"),
         "v", Seq(col("seq"), col("stage")))
       // stage 2: bucket = the stage-1 running count, value = its sum
