@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
-import graft.operators.{DataSplit, Relevance, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{DataSplit, Relevance, Similarity, TextAnalysis, TextDedup, Urls}
 import Q._
 
 /** Curation-layer additions: the Gopher document-quality rule set,
@@ -151,6 +151,83 @@ object CurationQueries {
       FROM wrapped w
       JOIN extracted e USING (doc_id)
       LEFT JOIN anchors a USING (doc_id)""")),
+
+    // URL canonicalization + registrable-domain extraction
+    // (operators.Urls) — the crawl-frontier dedup key and the
+    // per-domain-cap key. Synthesized messy URLs (uppercase host,
+    // default port, unsorted + tracking params, fragment; subdomain
+    // and public-suffix variants derived from doc_id) canonicalize to
+    // a clean form the oracle replays exactly, then the domain
+    // histogram demonstrates the cap key collapsing subdomains.
+    QueryDef("q_url_canonical", (s, dir) => {
+      val tld = when(pmod(col("doc_id"), lit(3)) === 0, "co.uk")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "com")
+        .otherwise("io")
+      val sub = when(pmod(col("doc_id"), lit(2)) === 0, "WWW.")
+        .otherwise("News.")
+      val url = concat(lit("HTTPS://"), sub, col("source"),
+        lit("-site."), tld, lit(":443/Docs/"), col("doc_id"),
+        lit("?utm_source=feed&b=2&a=1&gclid=x#frag"))
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"))
+      docs.select(col("doc_id"),
+          Urls.canonicalizeUrl(col("url")).as("url_canonical"),
+          Urls.registrableDomain(col("url")).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("url_canonical")).as("first_url"))
+    }, Some("""
+      WITH urls AS (
+        SELECT doc_id,
+          'HTTPS://' ||
+          CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE 'News.' END ||
+          source || '-site.' ||
+          CASE WHEN doc_id % 3 = 0 THEN 'co.uk'
+               WHEN doc_id % 3 = 1 THEN 'com' ELSE 'io' END ||
+          ':443/Docs/' || doc_id ||
+          '?utm_source=feed&b=2&a=1&gclid=x#frag' AS url
+        FROM documents),
+      canon AS (
+        SELECT doc_id, url,
+          regexp_replace(
+            lower(regexp_extract(url,
+              '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)),
+            ':(80|443)$', '') AS prefix_lc,
+          regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+          regexp_extract(url, '\?([^#]*)', 1) AS query,
+          list_sort(list_filter(string_split(
+            regexp_extract(url, '\?([^#]*)', 1), '&'),
+            p -> NOT regexp_matches(p,
+              '^(utm_[A-Za-z]+|fbclid|gclid|msclkid|ref|mc_eid)=')
+              AND p <> '')) AS kept,
+          lower(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host
+        FROM urls),
+      out AS (
+        SELECT doc_id,
+          prefix_lc || path ||
+          CASE WHEN len(kept) > 0
+            THEN '?' || array_to_string(kept, '&') ELSE '' END
+            AS url_canonical,
+          CASE
+            WHEN len(string_split(host, '.')) <= 1 THEN host
+            WHEN len(string_split(host, '.')) >= 3 AND
+              (string_split(host, '.')[-2] || '.' ||
+               string_split(host, '.')[-1]) IN
+              ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+               'org.au','co.jp','or.jp','ne.jp','com.br','com.cn',
+               'com.mx','co.in','co.kr','com.tr','com.ar','co.za',
+               'github.io','blogspot.com')
+            THEN string_split(host, '.')[-3] || '.' ||
+                 string_split(host, '.')[-2] || '.' ||
+                 string_split(host, '.')[-1]
+            ELSE string_split(host, '.')[-2] || '.' ||
+                 string_split(host, '.')[-1]
+          END AS domain
+        FROM canon)
+      SELECT domain, COUNT(*) AS n_docs, MIN(url_canonical) AS first_url
+      FROM out GROUP BY domain""")),
 
     // Deterministic weighted sampling without replacement (A-ES,
     // Efraimidis & Spirakis 2006): 5 documents per source, selection

@@ -94,6 +94,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(2L)._3 < 0.05, s"article frac ${got(2L)._3}")
   }
 
+  test("url canonicalization: case, ports, tracking params, fragments, param order") {
+    val cases = Seq(
+      "HTTPS://WWW.Example.COM:443/Path/X?utm_source=a&b=2&a=1#frag" ->
+        "https://www.example.com/Path/X?a=1&b=2",
+      "http://site.org:80/p" -> "http://site.org/p",
+      "http://site.org:8080/p?gclid=z" -> "http://site.org:8080/p",
+      "https://a.b.co.uk/x?z=1&y=2" -> "https://a.b.co.uk/x?y=2&z=1")
+    val df = cases.map(_._1).toDF("url")
+      .select(col("url"), Urls.canonicalizeUrl(col("url")).as("c"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, in) }
+  }
+
+  test("registrable domain: public-suffix aware, subdomains collapse") {
+    val cases = Seq(
+      "https://www.example.com/x" -> "example.com",
+      "https://news.sub.example.co.uk/x" -> "example.co.uk",
+      "https://user.github.io/repo" -> "user.github.io",
+      "https://localhost/x" -> "localhost",
+      "https://deep.a.b.site.io/" -> "site.io")
+    val df = cases.map(_._1).toDF("url")
+      .select(col("url"), Urls.registrableDomain(col("url")).as("d"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) => assert(got(in) == want, in) }
+  }
+
   test("weighted sample: deterministic, respects stratum size cap") {
     val df = (1 to 100).map(i => (i.toLong, s"s${i % 3}", i.toLong * 10))
       .toDF("id", "src", "w")
