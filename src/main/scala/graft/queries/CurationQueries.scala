@@ -229,6 +229,141 @@ object CurationQueries {
       SELECT domain, COUNT(*) AS n_docs, MIN(url_canonical) AS first_url
       FROM out GROUP BY domain""")),
 
+    // END-TO-END CRAWL CURATION DAG — the front half of a web-corpus
+    // pipeline composed from this round's ops plus the existing stack:
+    // raw page (messy URL + HTML) → canonical domain (Urls) → text
+    // (extractHtmlText) → Gopher gate → exact dedup on normalized text
+    // (keep-first) → per-domain cap (capPerKey) → domain histogram.
+    // One green row certifies the five-stage composition: the DuckDB
+    // oracle replays every stage (url normalization, the 13-regex
+    // extraction chain, all seven Gopher rules, the md5 dedup, the
+    // ROW_NUMBER cap) over the same synthesized pages.
+    QueryDef("q_crawl_e2e", (s, dir) => {
+      val tld = when(pmod(col("doc_id"), lit(3)) === 0, "co.uk")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "com")
+        .otherwise("io")
+      val url = concat(lit("HTTPS://WWW."), col("source"), lit("-site."),
+        tld, lit(":443/d/"), col("doc_id"), lit("?utm_source=x&p=1#f"))
+      val html = concat(
+        lit("<html><head><style>body { margin:0 }</style>" +
+          "<script>var x = 1 < 2;</script></head><body>\n" +
+          "<div class=\"nav\"><a href=\"/\">Home</a></div>\n<p>"),
+        col("text"),
+        lit("</p>\n</body></html>"))
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"), html.as("h"))
+      val canon = pages.select(col("doc_id"),
+        Urls.registrableDomain(col("url")).as("domain"),
+        TextAnalysis.extractHtmlText(col("h")).as("text_out"))
+      val gated = TextAnalysis.gopherRules(
+          canon.select(col("doc_id"), col("text_out").as("text")),
+          "doc_id", "text")
+        .filter(col("keep"))
+        .select(col("doc_id"))
+        .join(canon, "doc_id")
+      val deduped = graft.operators.Dedup.keepFirst(
+        gated.withColumn("chash", TextDedup.normalizedHash(col("text_out"))),
+        Seq("chash"), Seq(col("doc_id")))
+      val capped = DataSplit.capPerKey(deduped, "domain", "doc_id", 20)
+      capped.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).as("first_doc"),
+          sum(length(col("text_out"))).cast("long").as("sum_chars"))
+    }, Some("""
+      WITH pages AS (
+        SELECT doc_id,
+          'HTTPS://WWW.' || source || '-site.' ||
+          CASE WHEN doc_id % 3 = 0 THEN 'co.uk'
+               WHEN doc_id % 3 = 1 THEN 'com' ELSE 'io' END ||
+          ':443/d/' || doc_id || '?utm_source=x&p=1#f' AS url,
+          '<html><head><style>body { margin:0 }</style>' ||
+          '<script>var x = 1 < 2;</script></head><body>' || chr(10) ||
+          '<div class="nav"><a href="/">Home</a></div>' || chr(10) ||
+          '<p>' || text || '</p>' || chr(10) || '</body></html>' AS h
+        FROM documents),
+      canon AS (
+        SELECT doc_id,
+          lower(regexp_extract(url,
+            '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+          regexp_replace(h,
+            '(?is)<(script|style)\b[^>]*>.*?</(script|style)>', '', 'g')
+            AS s1,
+          regexp_replace(s1, '(?s)<!--.*?-->', '', 'g') AS s2,
+          regexp_replace(s2,
+            '(?i)<br\s*/?>|</(p|div|li|h[1-6]|tr)>', chr(10), 'g') AS s3,
+          regexp_replace(s3, '(?s)<[^>]*>', '', 'g') AS s4,
+          regexp_replace(s4, '&lt;', '<', 'g') AS s5,
+          regexp_replace(s5, '&gt;', '>', 'g') AS s6,
+          regexp_replace(s6, '&quot;', '"', 'g') AS s7,
+          regexp_replace(s7, '&#39;', chr(39), 'g') AS s8,
+          regexp_replace(s8, '&nbsp;', ' ', 'g') AS s9,
+          regexp_replace(s9, '&amp;', '&', 'g') AS s10,
+          regexp_replace(s10, '[ \t\x0B\f\r]+', ' ', 'g') AS s11,
+          regexp_replace(s11, ' ?\n ?', chr(10), 'g') AS s12,
+          trim(regexp_replace(s12, '\n{3,}', chr(10) || chr(10), 'g'))
+            AS text_out
+        FROM pages),
+      dom AS (
+        SELECT doc_id, text_out,
+          CASE
+            WHEN len(string_split(host, '.')) <= 1 THEN host
+            WHEN len(string_split(host, '.')) >= 3 AND
+              (string_split(host, '.')[-2] || '.' ||
+               string_split(host, '.')[-1]) IN
+              ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+               'org.au','co.jp','or.jp','ne.jp','com.br','com.cn',
+               'com.mx','co.in','co.kr','com.tr','com.ar','co.za',
+               'github.io','blogspot.com')
+            THEN string_split(host, '.')[-3] || '.' ||
+                 string_split(host, '.')[-2] || '.' ||
+                 string_split(host, '.')[-1]
+            ELSE string_split(host, '.')[-2] || '.' ||
+                 string_split(host, '.')[-1]
+          END AS domain
+        FROM canon),
+      counted AS (
+        SELECT doc_id, domain, text_out,
+          len(regexp_extract_all(text_out, '\S+')) AS n_words,
+          length(regexp_replace(text_out, '\s', '', 'g')) AS n_word_chars,
+          len(regexp_extract_all(text_out, '#|\.\.\.')) AS n_symbols,
+          len(string_split(text_out, chr(10))) AS n_lines,
+          len(list_filter(string_split(text_out, chr(10)),
+            l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bullet_lines,
+          len(list_filter(string_split(text_out, chr(10)),
+            l -> regexp_matches(l, '\.\.\.$'))) AS n_ellipsis_lines,
+          len(list_filter(regexp_extract_all(text_out, '\S+'),
+            w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha_words,
+          len(list_intersect(
+            list_transform(regexp_extract_all(text_out, '\S+'),
+              w -> lower(w)),
+            ['the','be','to','of','and','that','have','with']))
+            AS n_stop_hits
+        FROM dom),
+      gated AS (
+        SELECT doc_id, domain, text_out FROM counted
+        WHERE n_words BETWEEN 50 AND 100000
+          AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+          AND 10 * n_symbols <= n_words
+          AND 10 * n_bullet_lines <= 9 * n_lines
+          AND 10 * n_ellipsis_lines <= 3 * n_lines
+          AND 5 * n_alpha_words >= 4 * n_words
+          AND n_stop_hits >= 2),
+      deduped AS (
+        SELECT doc_id, domain, text_out FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY md5(lower(regexp_replace(text_out, '\s+', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+          FROM gated) WHERE rn = 1),
+      capped AS (
+        SELECT doc_id, domain, text_out FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY domain ORDER BY doc_id) AS rn
+          FROM deduped) WHERE rn <= 20)
+      SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        MIN(doc_id) AS first_doc,
+        CAST(SUM(length(text_out)) AS BIGINT) AS sum_chars
+      FROM capped GROUP BY domain""")),
+
     // Deterministic weighted sampling without replacement (A-ES,
     // Efraimidis & Spirakis 2006): 5 documents per source, selection
     // probability proportional to n_chars — the reproducible "prefer
