@@ -119,11 +119,16 @@ object GraphQueries {
       import org.apache.spark.sql.Encoders
       val k = 256
       val docs = t(s, dir, "documents")
+      // materialize the deduped (group, hash) table once for its two
+      // consumers (synopses; exact counts+intersection) — without it
+      // the explode+distinct shuffle re-runs per consumer, which the
+      // 10× scale spot-check surfaced as the query's super-linear term
       val dh = docs.select(
           (substring(col("source"), 4, 10).cast("int") % 2).as("g"),
           explode(TextDedup.shingles(col("text"), 3)).as("gram"))
         .select(col("g"), Sketches.portableHash32(col("gram")).as("h"))
         .distinct()
+        .localCheckpoint(true)
       val kmv = udaf(new Sketches.KmvSketch(k), Encoders.scalaLong)
       val syn = dh.groupBy(col("g")).agg(kmv(col("h")).as("s"))
       val ab = syn.filter(col("g") === 0).select(col("s").as("sa"))
@@ -140,13 +145,18 @@ object GraphQueries {
           .cast("double") / size(col("u")).cast("double")).as("est_jaccard"))
         .select(col("est_union"), col("est_jaccard"),
           (col("est_jaccard") * col("est_union")).as("est_inter"))
-      val counts = dh.groupBy().agg(
-        count(when(col("g") === 0, 1)).as("n_a"),
-        count(when(col("g") === 1, 1)).as("n_b"))
-      val inter = dh.filter(col("g") === 0).select(col("h"))
-        .join(dh.filter(col("g") === 1).select(col("h")), "h")
-        .agg(count(lit(1)).as("inter_exact"))
-      counts.crossJoin(inter).crossJoin(est)
+      // exact counts AND exact intersection from ONE per-hash
+      // aggregate (presence flags per group, then three sums) —
+      // replaces the a⋈b hash join, so dh has two consumers, both
+      // combinable aggregations
+      val counts = dh
+        .groupBy(col("h")).agg(
+          max(when(col("g") === 0, 1).otherwise(0)).as("a"),
+          max(when(col("g") === 1, 1).otherwise(0)).as("b"))
+        .agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+          count(when(col("a") === 1 && col("b") === 1, 1))
+            .as("inter_exact"))
+      counts.crossJoin(est)
     }, Some("""
       WITH sh AS (
         SELECT CAST(substr(source, 4) AS INT) % 2 AS g,
