@@ -23,7 +23,8 @@ object Registry {
     BpeQueries.defs ++
     GraphQueries.defs ++
     AnalyticsQueries.defs ++
-    CurationQueries.defs
+    CurationQueries.defs ++
+    ClusterQueries.defs
 
   lazy val byName: Map[String, QueryDef] = {
     val m = all.map(q => q.name -> q).toMap

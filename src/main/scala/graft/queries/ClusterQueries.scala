@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.operators.{KMeans, Sketches}
+import Q._
+
+/** Clustering + curation-recipe surface: distributed k-means (full
+  * Lloyd's over the corpus, engine-exact by integer quantization),
+  * the DCLM-style cluster-balanced cap, the C4 page/line filters
+  * (Raffel et al. 2020, §2.2 heuristics), and an exact stratified
+  * train/test split (per-stratum exact proportions, not hash-expected).
+  *
+  * Every query is fully value-oracled: the k-means oracle replays each
+  * Lloyd round as chained CTEs (integer squared-L2, floor-quantized
+  * centroid updates — the same bits in both engines), the same
+  * discipline as the LPA / k-core / PageRank oracles.
+  */
+object ClusterQueries {
+
+  private val K = 6        // clusters
+  private val Iters = 2    // Lloyd update rounds
+  private val Scale = 1024 // quantization grid
+  private val Cap = 40     // cluster-balanced cap at sf0.01
+
+  /** Portable hash of an integer id column, DuckDB side. */
+  private def hx(c: String) =
+    s"('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 8))::BIGINT"
+
+  /** Chained-CTE replay of `KMeans.fit(k=K, iters=Iters)`: quantize,
+    * hash-seeded init, then per round assignment (exact integer L2,
+    * ties to the smaller cluster id) and floor-quantized centroid
+    * update. Ends with CTE `af(vec_id, cid, d)` — the assignment under
+    * the final centroids. */
+  private def kmeansCtes: String = {
+    val rounds = (1 to Iters).map { i =>
+      val (prevC, a, c) = (s"c${i - 1}", s"a$i", s"c$i")
+      s"""
+      d$i AS (
+        SELECT x.vec_id, c.cid,
+          CAST(SUM((x.v - c.v) * (x.v - c.v)) AS BIGINT) AS d
+        FROM xq x JOIN $prevC c ON c.pos = x.pos
+        GROUP BY 1, 2),
+      $a AS (
+        SELECT vec_id, cid, d FROM d$i
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+      $c AS (
+        SELECT a.cid, x.pos,
+          CAST(floor(CAST(SUM(x.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+        FROM $a a JOIN xq x ON x.vec_id = a.vec_id
+        GROUP BY 1, 2),"""
+    }.mkString
+    s"""
+      xq AS (
+        SELECT vec_id, i - 1 AS pos, CAST(floor(x * $Scale + 0.5) AS BIGINT) AS v
+        FROM (
+          SELECT vec_id,
+            unnest(CAST(embedding AS DOUBLE[])) AS x,
+            unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings)),
+      seeds AS (
+        SELECT vec_id,
+          CAST(row_number() OVER (ORDER BY ${hx("vec_id")}, vec_id) AS INT) - 1 AS cid
+        FROM embeddings
+        QUALIFY row_number() OVER (ORDER BY ${hx("vec_id")}, vec_id) <= $K),
+      c0 AS (SELECT s.cid, x.pos, x.v FROM seeds s JOIN xq x ON x.vec_id = s.vec_id),
+      $rounds
+      df AS (
+        SELECT x.vec_id, c.cid,
+          CAST(SUM((x.v - c.v) * (x.v - c.v)) AS BIGINT) AS d
+        FROM xq x JOIN c$Iters c ON c.pos = x.pos
+        GROUP BY 1, 2),
+      af AS (
+        SELECT vec_id, cid, d FROM df
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1)"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Distributed k-means: full-corpus Lloyd's, 2 update rounds + final
+    // assignment. The per-row assignment table (cluster AND exact
+    // integer distance) hash-matches the chained-CTE replay.
+    QueryDef("q_kmeans", (s, dir) => {
+      KMeans.fit(t(s, dir, "embeddings"), "vec_id", "embedding",
+        K, Iters, Scale).assignments.orderBy(col("vec_id"))
+    }, Some(s"""
+      WITH $kmeansCtes
+      SELECT vec_id, cid AS cluster, d AS dist FROM af ORDER BY vec_id""")),
+
+    // Cluster-balanced cap (DCLM-style "cluster then cap"): at most
+    // $Cap docs per k-means cluster, chosen by the deterministic
+    // portable-hash sample rank. Compiles to WindowGroupLimit — the
+    // map-side partial top-k ships at most Cap rows per cluster.
+    QueryDef("q_cluster_cap", (s, dir) => {
+      val m = KMeans.fit(t(s, dir, "embeddings"), "vec_id", "embedding",
+        K, Iters, Scale)
+      KMeans.capPerCluster(m.assignments, "vec_id", Cap)
+        .select(col("vec_id"), col("cluster")).orderBy(col("vec_id"))
+    }, Some(s"""
+      WITH $kmeansCtes
+      SELECT vec_id, cid AS cluster FROM af
+      QUALIFY row_number() OVER (PARTITION BY cid
+        ORDER BY ${hx("vec_id")}, vec_id) <= $Cap
+      ORDER BY vec_id""")),
+
+    // C4 page/line heuristics (Raffel et al. 2020 §2.2): keep lines of
+    // >= 5 words ending in terminal punctuation, drop lines mentioning
+    // "javascript", drop pages containing "lorem ipsum" or "{", keep
+    // pages with >= 3 retained lines. One codegen'd scan, no shuffle.
+    QueryDef("q_c4_filters", (s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("__kept", expr("""
+          filter(split(text, '\n'), l ->
+            size(split(trim(l), '\\s+')) >= 5
+            AND right(rtrim(l), 1) IN ('.', '!', '?', '"')
+            AND NOT contains(lower(l), 'javascript'))"""))
+        .filter(size(col("__kept")) >= 3
+          && !lower(col("text")).contains("lorem ipsum")
+          && !col("text").contains("{"))
+        .select(col("doc_id"), size(col("__kept")).as("kept_lines"),
+          length(concat_ws("\n", col("__kept"))).as("clean_chars"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH k AS (
+        SELECT doc_id,
+          list_filter(string_split(text, chr(10)), l ->
+            len(string_split_regex(trim(l), '\s+')) >= 5
+            AND right(rtrim(l), 1) IN ('.', '!', '?', '"')
+            AND NOT contains(lower(l), 'javascript')) AS kept
+        FROM documents
+        WHERE NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{'))
+      SELECT doc_id, CAST(len(kept) AS INT) AS kept_lines,
+        CAST(length(list_aggregate(kept, 'string_agg', chr(10))) AS INT)
+          AS clean_chars
+      FROM k WHERE len(kept) >= 3 ORDER BY doc_id""")),
+
+    // Corpus-wide duplicate-line removal (RefinedWeb/C4-style): every
+    // non-blank trimmed line is kept only at its FIRST occurrence in
+    // (doc_id, position) order; docs report surviving line count and
+    // chars. The keep rule is an argmin aggregate (min(struct(doc,pos))
+    // per line — map-side combinable, no window state), so the only
+    // shuffles are line-hash and doc_id, both O(corpus lines).
+    QueryDef("q_line_dedup", (s, dir) => {
+      val lines = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), "\n"))
+          .as(Seq("pos", "line")))
+        .select(col("doc_id"), col("pos"), trim(col("line")).as("l"))
+        .filter(length(col("l")) > 0)
+      lines.groupBy(col("l"))
+        .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+        .groupBy(col("k.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("kept_lines"),
+          sum(length(col("l")).cast("long")).as("kept_chars"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH l AS (
+        SELECT doc_id, i AS pos, trim(x) AS line
+        FROM (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS x,
+            unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
+          FROM documents)
+        WHERE length(trim(x)) > 0),
+      k AS (
+        SELECT doc_id, line FROM l
+        QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1)
+      SELECT doc_id, COUNT(*) AS kept_lines,
+        CAST(SUM(length(line)) AS BIGINT) AS kept_chars
+      FROM k GROUP BY 1 ORDER BY doc_id""")),
+
+    // Exact stratified split: per-language EXACT floor(n/5) test rows
+    // (hash-bucket splits only hit the ratio in expectation; stratified
+    // eval sets need exact counts). Deterministic sample rank per
+    // stratum; the split is a pure function of the data.
+    QueryDef("q_stratified_split", (s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"), col("lang"))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .withColumn("__r", Sketches.sampleRank(Seq(col("lang")), col("doc_id")))
+        .withColumn("split",
+          when(col("__r") <= expr("__n div 5"), lit("test"))
+            .otherwise(lit("train")))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      SELECT doc_id, lang,
+        CASE WHEN row_number() OVER (PARTITION BY lang
+            ORDER BY ${hx("doc_id")}, doc_id)
+          <= COUNT(*) OVER (PARTITION BY lang) // 5
+        THEN 'test' ELSE 'train' END AS split
+      FROM documents ORDER BY doc_id"""))
+  )
+}
