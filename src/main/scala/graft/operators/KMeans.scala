@@ -89,9 +89,12 @@ object KMeans {
 
       for (_ <- 1 to iters) {
         // One corpus scan: map-side nearest + (cell, pos) partial sums.
+        // assignment in its OWN projection below the explode: inside
+        // the same select as posexplode the expression would re-run
+        // once per exploded element (64x the work)
         val sums = xq
-          .select(nearest(col("__vq"), centroids)._2.as("__c"),
-            posexplode(col("__vq")).as(Seq("__p", "__v")))
+          .select(nearest(col("__vq"), centroids)._2.as("__c"), col("__vq"))
+          .select(col("__c"), posexplode(col("__vq")).as(Seq("__p", "__v")))
           .groupBy(col("__c"), col("__p"))
           .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
           .collect() // bounded: live-cells * dim rows of model state

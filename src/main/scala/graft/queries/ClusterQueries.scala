@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
-import graft.operators.{KMeans, Sketches}
+import graft.operators.{Drift, KMeans, Sketches}
 import Q._
 
 /** Clustering + curation-recipe surface: distributed k-means (full
@@ -168,6 +168,35 @@ object ClusterQueries {
       SELECT doc_id, COUNT(*) AS kept_lines,
         CAST(SUM(length(line)) AS BIGINT) AS kept_chars
       FROM k GROUP BY 1 ORDER BY doc_id""")),
+
+    // Corpus drift (PSI) between two snapshots (even vs odd doc_id —
+    // deterministic halves) over the (lang, source) mix. One map-side
+    // combined groupBy + a broadcast totals row; the single ln per
+    // bucket is floor-quantized to 2^-20 before the exact-integer PSI
+    // term, so the whole table hash-matches DuckDB.
+    QueryDef("q_corpus_drift", (s, dir) => {
+      Drift.psiTable(t(s, dir, "documents"),
+        concat_ws("|", col("lang"), col("source")),
+        col("doc_id") % 2 === 0)
+        .orderBy(col("bucket"))
+    }, Some("""
+      WITH c AS (
+        SELECT lang || '|' || source AS bucket,
+          COUNT(*) FILTER (WHERE doc_id % 2 = 0) + 1 AS cnt_a,
+          COUNT(*) FILTER (WHERE doc_id % 2 = 1) + 1 AS cnt_b
+        FROM documents GROUP BY 1),
+      tt AS (
+        SELECT bucket, cnt_a, cnt_b,
+          CAST(SUM(cnt_a) OVER () AS BIGINT) AS n_a,
+          CAST(SUM(cnt_b) OVER () AS BIGINT) AS n_b
+        FROM c)
+      SELECT bucket, cnt_a, cnt_b,
+        CAST(floor(ln(CAST(cnt_a * n_b AS DOUBLE)
+          / CAST(cnt_b * n_a AS DOUBLE)) * 1048576) AS BIGINT) AS lnq,
+        (cnt_a * n_b - cnt_b * n_a)
+          * CAST(floor(ln(CAST(cnt_a * n_b AS DOUBLE)
+            / CAST(cnt_b * n_a AS DOUBLE)) * 1048576) AS BIGINT) AS psi_term
+      FROM tt ORDER BY bucket""")),
 
     // Exact stratified split: per-language EXACT floor(n/5) test rows
     // (hash-bucket splits only hit the ratio in expectation; stratified
