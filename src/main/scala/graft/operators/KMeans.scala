@@ -117,6 +117,16 @@ object KMeans {
     } finally xq.unpersist()
   }
 
+  /** Assignment projection for NEW data under a trained model:
+    * `(cluster, dist)` columns — a pure zero-shuffle projection
+    * (centroids ride inside the expression), so it runs unchanged in a
+    * Structured Streaming query (streaming cluster routing). */
+  def assignCols(centroids: Seq[(Int, Array[Long])], vec: Column,
+      scale: Int = 1024): (Column, Column) = {
+    val (d, c) = nearest(quantize(vec, scale), centroids)
+    (c, d)
+  }
+
   /** Cluster-balanced cap: keep at most `cap` rows per cluster, chosen
     * by the deterministic portable-hash sample rank (a pure function of
     * the data — the DCLM-style "cluster then cap" curation step).

@@ -169,6 +169,55 @@ object ClusterQueries {
         CAST(SUM(length(line)) AS BIGINT) AS kept_chars
       FROM k GROUP BY 1 ORDER BY doc_id""")),
 
+    // Cross-dataset contamination matrix: for every source pair, the
+    // exact count of shared distinct word-5-grams plus each side's
+    // distinct-gram count (containment = n_overlap/n_b is a ratio of
+    // these exact integers). Grams are hashed to a portable 60-bit
+    // md5 prefix right after the per-source distinct, so the shuffle
+    // and the self-join carry (source, int64) rows — never gram
+    // strings — and the oracle replays the identical hash. The join
+    // key is the gram hash: at 100 TB this is the same banded shape
+    // as the dedup paths (no all-pairs over docs, only over the
+    // source-pair space which is tiny).
+    QueryDef("q_contamination_matrix", (s, dir) => {
+      val g = t(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("ws"))
+        .select(col("source"), explode(expr(
+          """transform(sequence(1, greatest(size(ws) - 4, 1)),
+               i -> array_join(slice(ws, i, 5), ' '))""")).as("g"))
+        .select(col("source"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+        .distinct()
+      val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      g.as("a").join(g.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), Seq("src_a"))
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_overlap"),
+          col("n_a"), col("n_b"))
+        .orderBy(col("src_a"), col("src_b"))
+    }, Some("""
+      WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      g AS (
+        SELECT DISTINCT source,
+          ('0x' || substr(md5(gs), 1, 15))::BIGINT AS h
+        FROM (
+          SELECT source,
+            unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 1)),
+              i -> array_to_string(ws[i:i+4], ' '))) AS gs
+          FROM w)),
+      sz AS (SELECT source, COUNT(*) AS n FROM g GROUP BY 1),
+      ov AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_overlap
+        FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, n_overlap, sa.n AS n_a, sb.n AS n_b
+      FROM ov JOIN sz sa ON sa.source = ov.src_a
+              JOIN sz sb ON sb.source = ov.src_b
+      ORDER BY src_a, src_b""")),
+
     // Corpus drift (PSI) between two snapshots (even vs odd doc_id —
     // deterministic halves) over the (lang, source) mix. One map-side
     // combined groupBy + a broadcast totals row; the single ln per

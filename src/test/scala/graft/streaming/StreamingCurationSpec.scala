@@ -134,4 +134,32 @@ class StreamingCurationSpec extends SparkSpec {
       assert(ids === Set(1L, 3L))
     } finally q.stop()
   }
+
+  test("streaming cluster routing: batch-trained k-means assigns a stream") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.KMeans
+    val corpus = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.1f, 0.1f)),
+      (3L, Array(10.0f, 10.0f)), (4L, Array(10.1f, 9.9f))
+    ).toDF("vec_id", "embedding")
+    val m = KMeans.fit(corpus, "vec_id", "embedding", k = 2, iters = 2)
+    val lowC = m.assignments.filter($"vec_id" === 1L).head.getInt(1)
+    val highC = m.assignments.filter($"vec_id" === 3L).head.getInt(1)
+
+    val in = MemoryStream[(Long, Array[Float])]
+    // assignment is a pure projection (centroids inside the expression)
+    // so the trained model routes an unbounded vector stream as-is
+    val (cl, dist) = KMeans.assignCols(m.centroids, col("_2"))
+    val routed = in.toDS().toDF()
+      .select(col("_1").as("id"), cl.as("cluster"), dist.as("dist"))
+    val q = routed.writeStream.format("memory").queryName("routed")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((100L, Array(0.2f, 0.2f)), (101L, Array(9.5f, 9.5f)))
+      q.processAllAvailable()
+      val rows = spark.table("routed").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(rows(100L) == lowC && rows(101L) == highC)
+    } finally q.stop()
+  }
 }
