@@ -60,6 +60,51 @@ object Multimodal {
       }
   }
 
+  case class FrameFeatures(doc_id: Long, frame_idx: Int,
+      features: Array[Float])
+
+  /** Frame sampling for video payloads: every `stride`-th fixed-width
+    * byte window of the payload is one "frame" — the 1→N explode runs
+    * inside the same once-per-partition batch iterator as
+    * [[decodeFeatures]]. A real implementation demuxes the container
+    * and walks the keyframe index here; the windowing is the STUB. */
+  def frameSample(spark: SparkSession, media: DataFrame, stride: Int = 2,
+      frameBytes: Int = 64, featureDim: Int = 8): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    require(stride >= 1 && frameBytes >= 1, "stride/frameBytes >= 1")
+    media.filter(col("meta.mediaType") === "video")
+      .select(col("doc_id"), col("payload"), col("meta"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val nFrames = math.max(1, r.payload.length / frameBytes)
+          (0 until nFrames by stride).iterator.map { f =>
+            val from = f * frameBytes
+            val slice = java.util.Arrays.copyOfRange(r.payload, from,
+              math.min(from + frameBytes, r.payload.length))
+            FrameFeatures(r.doc_id, f, FakeCodec.decode(slice, featureDim))
+          }
+        }
+      }
+  }
+
+  /** Resize: a pure column transform — no UDF, no iterator. Metadata is
+    * updated for real (target dimensions, recomputed nBytes); the pixel
+    * resample is STUBBED as a deterministic byte-budget truncation
+    * (3 bytes/pixel) of the payload via the codegen'd binary substring. */
+  def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
+    val budget = math.max(1, width * height * 3)
+    val np = substring(col("payload"), 1, budget)
+    media
+      .withColumn("payload", np)
+      .withColumn("meta", struct(
+        col("meta.mediaType").as("mediaType"),
+        lit(width).as("width"),
+        lit(height).as("height"),
+        col("meta.sampleRate").as("sampleRate"),
+        octet_length(col("payload")).cast("long").as("nBytes")))
+  }
+
   /** Deterministic stand-in for a media decoder. */
   private[multimodal] object FakeCodec {
     def decode(payload: Array[Byte], dim: Int): Array[Float] = {
