@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
-import graft.operators.{Drift, KMeans, Sketches}
+import graft.operators.{Drift, HashedTfIdf, KMeans, Sketches}
 import Q._
 
 /** Clustering + curation-recipe surface: distributed k-means (full
@@ -168,6 +168,53 @@ object ClusterQueries {
       SELECT doc_id, COUNT(*) AS kept_lines,
         CAST(SUM(length(line)) AS BIGINT) AS kept_chars
       FROM k GROUP BY 1 ORDER BY doc_id""")),
+
+    // Hashed TF-IDF retrieval: feature-hashed document vectors (64
+    // buckets, exact-integer tf·idf weights, the one ln quantized to
+    // 2^-10) + exact cosine top-5 for each held-out query doc — full
+    // text-to-vector-to-retrieval with no external model. IDF is fit
+    // on the WHOLE corpus, then split into query/corpus sides.
+    QueryDef("q_tfidf_retrieval", (s, dir) => {
+      val w = HashedTfIdf.weights(t(s, dir, "documents"), "doc_id", "text", 64)
+      HashedTfIdf.cosineTopK(
+        w.filter(col("doc_id") % 100 =!= 0),
+        w.filter(col("doc_id") % 100 === 0), "doc_id", 5)
+        .orderBy(col("qid"), col("rk"))
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      tb AS (
+        SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS b
+        FROM toks WHERE length(w) > 0),
+      tf AS (SELECT doc_id, b, COUNT(*) AS tf FROM tb GROUP BY 1, 2),
+      nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+      idf AS (
+        SELECT b, CAST(floor(ln(CAST(n AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+          * 1024) AS BIGINT) AS lnq
+        FROM tf, nn GROUP BY b, n),
+      wt AS (SELECT tf.doc_id, tf.b, tf.tf * idf.lnq AS w
+             FROM tf JOIN idf USING (b)),
+      qv AS (SELECT * FROM wt WHERE doc_id % 100 = 0),
+      cv AS (SELECT * FROM wt WHERE doc_id % 100 <> 0),
+      qn AS (SELECT doc_id, CAST(SUM(w*w) AS BIGINT) AS n2 FROM qv GROUP BY 1),
+      cn AS (SELECT doc_id, CAST(SUM(w*w) AS BIGINT) AS n2 FROM cv GROUP BY 1),
+      dots AS (
+        SELECT q.doc_id AS qid, c.doc_id AS did,
+          CAST(SUM(q.w * c.w) AS BIGINT) AS dot
+        FROM qv q JOIN cv c ON q.b = c.b GROUP BY 1, 2),
+      sims AS (
+        SELECT qid, did,
+          CAST(floor(CAST(dot AS DOUBLE)
+            / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))
+            * 1048576) AS BIGINT) AS simq
+        FROM dots JOIN qn ON qn.doc_id = dots.qid
+                  JOIN cn ON cn.doc_id = dots.did
+        WHERE qn.n2 > 0 AND cn.n2 > 0)
+      SELECT qid, did, simq, CAST(rk AS INT) AS rk FROM (
+        SELECT qid, did, simq,
+          row_number() OVER (PARTITION BY qid ORDER BY simq DESC, did) AS rk
+        FROM sims) WHERE rk <= 5
+      ORDER BY qid, rk""")),
 
     // Cross-dataset contamination matrix: for every source pair, the
     // exact count of shared distinct word-5-grams plus each side's
