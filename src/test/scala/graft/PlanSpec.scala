@@ -122,4 +122,25 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_ann_ivfpq").contains("BroadcastHashJoin"),
       "probe join must broadcast the query side")
   }
+
+  test("q_tfidf_retrieval: idf join broadcasts, top-k gets WindowGroupLimit") {
+    val p = plan("q_tfidf_retrieval")
+    // the dim-row idf table and the per-query norms must broadcast;
+    // the rank filter must plan the map-side partial top-k
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q_contamination_matrix: the per-source size joins broadcast") {
+    val p = plan("q_contamination_matrix")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // the gram self-join key is the 60-bit hash, never the gram string
+    val shuffles = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.forall(l => !l.contains("g#")),
+      s"gram strings shuffled:\n${shuffles.mkString("\n")}")
+  }
+
+  test("q_cluster_cap: the per-cluster cap plans WindowGroupLimit") {
+    assert(plan("q_cluster_cap").contains("WindowGroupLimit"))
+  }
 }
