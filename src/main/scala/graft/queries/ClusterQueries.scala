@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
-import graft.operators.{Drift, HashedTfIdf, KMeans, Sketches}
+import graft.operators.{Drift, HashedTfIdf, KMeans, SequencePacking, Sketches}
 import Q._
 
 /** Clustering + curation-recipe surface: distributed k-means (full
@@ -168,6 +168,39 @@ object ClusterQueries {
       SELECT doc_id, COUNT(*) AS kept_lines,
         CAST(SUM(length(line)) AS BIGINT) AS kept_chars
       FROM k GROUP BY 1 ORDER BY doc_id""")),
+
+    // SFT loss-mask spans: treat the first third of each doc's tokens
+    // as the prompt, the rest as the completion, pack the corpus into
+    // 2048-token context windows (distributed two-phase prefix sum),
+    // and emit each doc's loss-mask span in GLOBAL token space —
+    // [tok_offset + prompt_tok, tok_offset + n_tok). The trainer
+    // masks prompt tokens out of the loss; all arithmetic is integral
+    // so the span table replays exactly against the sequential global
+    // cumsum.
+    QueryDef("q_sft_mask", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("p_tok", expr("n_tok div 3"))
+      SequencePacking.pack(docs, "doc_id", "n_tok", 2048L)
+        .select(col("doc_id"), col("n_tok"), col("p_tok"),
+          (col("tok_offset") + col("p_tok")).as("mask_start"),
+          (col("tok_offset") + col("n_tok")).as("mask_end"),
+          col("seq_first"), col("seq_last"))
+    }, Some("""
+      SELECT doc_id, n_tok, p_tok,
+        off + p_tok AS mask_start,
+        off + n_tok AS mask_end,
+        off // 2048 AS seq_first,
+        (off + n_tok - 1) // 2048 AS seq_last
+      FROM (
+        SELECT doc_id, n_tok, n_tok // 3 AS p_tok,
+          CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS off
+        FROM (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents))""")),
 
     // Hashed TF-IDF retrieval: feature-hashed document vectors (64
     // buckets, exact-integer tf·idf weights, the one ln quantized to
