@@ -206,12 +206,15 @@ object ClusterQueries {
     // buckets, exact-integer tf·idf weights, the one ln quantized to
     // 2^-10) + exact cosine top-5 for each held-out query doc — full
     // text-to-vector-to-retrieval with no external model. IDF is fit
-    // on the WHOLE corpus, then split into query/corpus sides.
+    // on the WHOLE corpus, then split into query/corpus sides. The
+    // query workload is FIXED (the first five doc_id%100==0 docs) so
+    // the benched cost is linear in the corpus, not quadratic — the
+    // realistic retrieval shape: fixed queries, growing corpus.
     QueryDef("q_tfidf_retrieval", (s, dir) => {
       val w = HashedTfIdf.weights(t(s, dir, "documents"), "doc_id", "text", 64)
+      val isQ = col("doc_id") % 100 === 0 && col("doc_id") < 500
       HashedTfIdf.cosineTopK(
-        w.filter(col("doc_id") % 100 =!= 0),
-        w.filter(col("doc_id") % 100 === 0), "doc_id", 5)
+        w.filter(!isQ), w.filter(isQ), "doc_id", 5)
         .orderBy(col("qid"), col("rk"))
     }, Some("""
       WITH toks AS (
@@ -227,8 +230,8 @@ object ClusterQueries {
         FROM tf, nn GROUP BY b, n),
       wt AS (SELECT tf.doc_id, tf.b, tf.tf * idf.lnq AS w
              FROM tf JOIN idf USING (b)),
-      qv AS (SELECT * FROM wt WHERE doc_id % 100 = 0),
-      cv AS (SELECT * FROM wt WHERE doc_id % 100 <> 0),
+      qv AS (SELECT * FROM wt WHERE doc_id % 100 = 0 AND doc_id < 500),
+      cv AS (SELECT * FROM wt WHERE NOT (doc_id % 100 = 0 AND doc_id < 500)),
       qn AS (SELECT doc_id, CAST(SUM(w*w) AS BIGINT) AS n2 FROM qv GROUP BY 1),
       cn AS (SELECT doc_id, CAST(SUM(w*w) AS BIGINT) AS n2 FROM cv GROUP BY 1),
       dots AS (
