@@ -169,6 +169,43 @@ object ClusterQueries {
         CAST(SUM(length(line)) AS BIGINT) AS kept_chars
       FROM k GROUP BY 1 ORDER BY doc_id""")),
 
+    // Contrastive negative sampling: for each of the five pinned
+    // anchor docs, 3 deterministic hard-constraint negatives (docs in
+    // a DIFFERENT language, ranked by the portable md5 of the
+    // (anchor, candidate) pair — a pure function of the data, so the
+    // training triplets are retry/repartition-stable). The anchor set
+    // broadcasts (5 rows); candidate scan is one corpus pass.
+    QueryDef("q_negative_sample", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val anchors = docs
+        .filter(col("doc_id") % 100 === 0 && col("doc_id") < 500)
+        .select(col("doc_id").as("qid"), col("lang").as("qlang"))
+      val h = conv(substring(md5(concat(
+        col("qid").cast("string"), lit("|"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      broadcast(anchors)
+        .join(docs.select(col("doc_id"), col("lang")),
+          col("lang") =!= col("qlang"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid")).orderBy(h, col("doc_id"))))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("doc_id").as("neg_id"), col("rk"))
+        .orderBy(col("qid"), col("rk"))
+    }, Some("""
+      WITH a AS (
+        SELECT doc_id AS qid, lang AS qlang FROM documents
+        WHERE doc_id % 100 = 0 AND doc_id < 500),
+      c AS (
+        SELECT a.qid, d.doc_id AS neg_id,
+          row_number() OVER (PARTITION BY a.qid ORDER BY
+            ('0x' || substr(md5(CAST(a.qid AS VARCHAR) || '|'
+              || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT,
+            d.doc_id) AS rk
+        FROM a JOIN documents d ON d.lang <> a.qlang)
+      SELECT qid, neg_id, CAST(rk AS INT) AS rk
+      FROM c WHERE rk <= 3 ORDER BY qid, rk""")),
+
     // SFT loss-mask spans: treat the first third of each doc's tokens
     // as the prompt, the rest as the completion, pack the corpus into
     // 2048-token context windows (distributed two-phase prefix sum),
