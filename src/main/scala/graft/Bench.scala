@@ -79,11 +79,14 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$shortQs,"failed":$failed,"sf":"$sfDir","detail":"BENCH_QUERIES.json"}"""
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"failed":$failed,"sf":"$sfDir"}"""
-    // complete per-query record — stdout only gets the short line
-    try {
+    // complete per-query record — stdout only gets the short line.
+    // Arg-filtered iteration runs must NOT clobber the durable full
+    // record with a subset snapshot.
+    if (args.isEmpty) try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_QUERIES.json"),
         fullLine.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    else println(s"""{"subset":${toJson(results)}}""")
     spark.stop()
     println(line)
   }

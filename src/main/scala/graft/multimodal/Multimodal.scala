@@ -93,7 +93,9 @@ object Multimodal {
     * resample is STUBBED as a deterministic byte-budget truncation
     * (3 bytes/pixel) of the payload via the codegen'd binary substring. */
   def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
-    val budget = math.max(1, width * height * 3)
+    require(width >= 1 && height >= 1, "width/height >= 1")
+    val budget = // Long arithmetic: 26755^2*3 would overflow Int
+      math.min(width.toLong * height * 3, Int.MaxValue.toLong).toInt
     val np = substring(col("payload"), 1, budget)
     media
       .withColumn("payload", np)

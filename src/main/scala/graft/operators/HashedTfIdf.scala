@@ -56,9 +56,13 @@ object HashedTfIdf {
 
   /** Exact cosine top-k of `corpus` weight rows for each query doc's
     * weight rows (both from [[weights]]): quantized similarity, ties to
-    * the smaller corpus id, rank via WindowGroupLimit. */
+    * the smaller corpus id, rank via WindowGroupLimit.
+    * `broadcastQueries` (default true) hints the query-side norms as a
+    * broadcast — correct for the fixed-small-query-workload shape;
+    * pass false for large query sets (or route those through the
+    * [[Similarity]] LSH/IVF family instead of this exact baseline). */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      k: Int): DataFrame = {
+      k: Int, broadcastQueries: Boolean = true): DataFrame = {
     def norms(w: DataFrame) = w.groupBy(col(idCol))
       .agg(sum(col("w") * col("w")).as("n2"))
     val cn = norms(corpus)
@@ -71,8 +75,9 @@ object HashedTfIdf {
     val sim = floor(col("dot").cast("double") /
       (sqrt(col("qn2").cast("double")) * sqrt(col("cn2").cast("double")))
       * SimQuant).cast("long")
+    val qnSide = qn.select(col(idCol).as("qid"), col("n2").as("qn2"))
     dots
-      .join(broadcast(qn.select(col(idCol).as("qid"), col("n2").as("qn2"))), Seq("qid"))
+      .join(if (broadcastQueries) broadcast(qnSide) else qnSide, Seq("qid"))
       .join(cn.select(col(idCol).as("did"), col("n2").as("cn2")), Seq("did"))
       .filter(col("qn2") > 0 && col("cn2") > 0)
       .select(col("qid"), col("did"), sim.as("simq"))

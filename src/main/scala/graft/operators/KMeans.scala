@@ -61,10 +61,13 @@ object KMeans {
     (d, cid)
   }
 
-  /** Fitted model: per-row assignment plus the final centroid table. */
+  /** Fitted model: per-row assignment, the final centroid table, and
+    * the quantization grid the centroids live on (assignment of new
+    * data MUST quantize at the same scale). */
   final case class Model(
       assignments: DataFrame,              // (idCol, cluster, dist)
-      centroids: Seq[(Int, Array[Long])])  // quantized grid points
+      centroids: Seq[(Int, Array[Long])],  // quantized grid points
+      scale: Int)
 
   /** Run `iters` full Lloyd rounds (assign + update), then return the
     * assignment under the final centroids. Cells that receive no points
@@ -113,17 +116,18 @@ object KMeans {
       val out = xq
         .select(col("__id").as(idCol), cid.as("cluster"), d.as("dist"))
         .localCheckpoint(true) // assignments outlive the persist below
-      Model(out, centroids)
+      Model(out, centroids, scale)
     } finally xq.unpersist()
   }
 
   /** Assignment projection for NEW data under a trained model:
     * `(cluster, dist)` columns — a pure zero-shuffle projection
     * (centroids ride inside the expression), so it runs unchanged in a
-    * Structured Streaming query (streaming cluster routing). */
-  def assignCols(centroids: Seq[(Int, Array[Long])], vec: Column,
-      scale: Int = 1024): (Column, Column) = {
-    val (d, c) = nearest(quantize(vec, scale), centroids)
+    * Structured Streaming query (streaming cluster routing). Takes the
+    * Model so new data is quantized on the SAME grid the centroids
+    * were fit on. */
+  def assignCols(model: Model, vec: Column): (Column, Column) = {
+    val (d, c) = nearest(quantize(vec, model.scale), model.centroids)
     (c, d)
   }
 

@@ -180,9 +180,8 @@ object ClusterQueries {
       val anchors = docs
         .filter(col("doc_id") % 100 === 0 && col("doc_id") < 500)
         .select(col("doc_id").as("qid"), col("lang").as("qlang"))
-      val h = conv(substring(md5(concat(
-        col("qid").cast("string"), lit("|"),
-        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+      val h = Sketches.portableHash32(concat_ws("|",
+        col("qid").cast("string"), col("doc_id").cast("string")))
       broadcast(anchors)
         .join(docs.select(col("doc_id"), col("lang")),
           col("lang") =!= col("qlang"))

@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
 
-  private lazy val media =
-    Multimodal.withFakeMedia(Tables.load(spark, sfDir, "documents").limit(60))
+  private lazy val media = Multimodal.withFakeMedia(
+    // orderBy before limit: a bare limit's row set depends on scan
+    // order and the three actions below must see the SAME 60 docs
+    Tables.load(spark, sfDir, "documents").orderBy("doc_id").limit(60))
 
   test("decodeFeatures: batched decode is total and deterministic") {
     val f1 = Multimodal.decodeFeatures(spark, media).collect()

@@ -149,7 +149,7 @@ class StreamingCurationSpec extends SparkSpec {
     val in = MemoryStream[(Long, Array[Float])]
     // assignment is a pure projection (centroids inside the expression)
     // so the trained model routes an unbounded vector stream as-is
-    val (cl, dist) = KMeans.assignCols(m.centroids, col("_2"))
+    val (cl, dist) = KMeans.assignCols(m, col("_2"))
     val routed = in.toDS().toDF()
       .select(col("_1").as("id"), cl.as("cluster"), dist.as("dist"))
     val q = routed.writeStream.format("memory").queryName("routed")
