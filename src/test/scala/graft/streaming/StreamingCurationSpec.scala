@@ -162,4 +162,36 @@ class StreamingCurationSpec extends SparkSpec {
       assert(rows(100L) == lowC && rows(101L) == highC)
     } finally q.stop()
   }
+
+  test("streaming drift monitor: per-batch PSI against a static reference") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Drift
+    import scala.collection.mutable
+    // reference mix: half "en", half "de"
+    val ref = (1L to 20L).map(i =>
+      (i, if (i <= 10) "en" else "de")).toDF("id", "lang")
+    val in = MemoryStream[(Long, String)]
+    val seen = mutable.ArrayBuffer.empty[Long] // max psi_term per batch
+    // psiTable is a batch aggregate, so the monitor runs per micro-batch
+    // via foreachBatch: union(batch, reference) tagged by side
+    val q = in.toDS().toDF("id", "lang").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val tagged = batch.withColumn("ina", lit(true))
+          .unionByName(ref.withColumn("ina", lit(false)))
+        val psi = Drift.psiTable(tagged, col("lang"), col("ina"))
+        seen += psi.agg(max(col("psi_term"))).head.getLong(0)
+        ()
+      }
+      .start()
+    try {
+      // batch 0 matches the reference mix; batch 1 is all-"zh" drift
+      in.addData((101L, "en"), (102L, "de"))
+      q.processAllAvailable()
+      in.addData((201L, "zh"), (202L, "zh"), (203L, "zh"))
+      q.processAllAvailable()
+      assert(seen.size == 2)
+      // the drifted batch's worst bucket term dwarfs the in-mix batch's
+      assert(seen(1) > seen(0))
+    } finally q.stop()
+  }
 }
