@@ -169,6 +169,73 @@ object ClusterQueries {
         CAST(SUM(length(line)) AS BIGINT) AS kept_chars
       FROM k GROUP BY 1 ORDER BY doc_id""")),
 
+    // Corpus datasheet ("datasheet for datasets", Gebru et al. 2021):
+    // one query, one (metric, key, v) table — doc/token totals, per-
+    // lang and per-source shares, exact-duplicate count, and exact
+    // length deciles (the value at rank ceil(i*N/10) under the total
+    // (n_chars, doc_id) order). Every value is an exact integer; the
+    // whole report replays in DuckDB. Each section is a small
+    // aggregate; the decile section's global sort moves only (n_chars,
+    // doc_id) pairs.
+    QueryDef("q_corpus_datasheet", (s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val totals = d.agg(count(lit(1)).as("v")).select(
+        lit("docs").as("metric"), lit("all").as("k"), col("v"))
+        .unionByName(toks.agg(sum(col("n_tok")).as("v")).select(
+          lit("tokens").as("metric"), lit("all").as("k"), col("v")))
+      val langs = d.groupBy(col("lang")).agg(count(lit(1)).as("v"))
+        .select(lit("lang_share").as("metric"), col("lang").as("k"), col("v"))
+      val sources = d.groupBy(col("source")).agg(count(lit(1)).as("v"))
+        .select(lit("source_share").as("metric"), col("source").as("k"), col("v"))
+      val dups = d.select(md5(col("text")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .agg(coalesce(sum(col("c")), lit(0L)).as("v"))
+        .select(lit("dup_docs").as("metric"), lit("all").as("k"), col("v"))
+      val n = d.count() // driver scalar: rank thresholds are plan literals
+      val ranked = d.select(col("doc_id"), col("n_chars"))
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_chars"), col("doc_id"))))
+      val deciles = {
+        import s.implicits._
+        // ceil(i*N/10); a broadcast spec join evaluates the window ONCE
+        // and emits one row per decile even when ranks collide at tiny N
+        val spec = (1 to 9).map(i => ((i.toLong * n + 9) / 10, i.toString))
+          .toDF("rk", "k")
+        ranked.join(broadcast(spec), col("r") === col("rk"))
+          .select(lit("len_decile").as("metric"), col("k"),
+            col("n_chars").as("v"))
+      }
+      totals.unionByName(langs).unionByName(sources)
+        .unionByName(dups).unionByName(deciles)
+        .orderBy(col("metric"), col("k"))
+    }, Some("""
+      WITH docs AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+      n AS (SELECT COUNT(*) AS n FROM docs),
+      ranked AS (
+        SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS r
+        FROM docs)
+      SELECT 'docs' AS metric, 'all' AS k, COUNT(*) AS v FROM docs
+      UNION ALL
+      SELECT 'tokens', 'all',
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM docs
+      UNION ALL
+      SELECT 'lang_share', lang, COUNT(*) FROM docs GROUP BY lang
+      UNION ALL
+      SELECT 'source_share', source, COUNT(*) FROM docs GROUP BY source
+      UNION ALL
+      SELECT 'dup_docs', 'all', CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM (
+        SELECT COUNT(*) AS c FROM docs GROUP BY md5(text) HAVING COUNT(*) > 1)
+      UNION ALL
+      SELECT 'len_decile', CAST(i AS VARCHAR), r.n_chars
+      FROM (SELECT unnest(generate_series(1, 9)) AS i) g
+      JOIN n ON true
+      JOIN ranked r ON r.r = (i * n.n + 9) // 10
+      ORDER BY metric, k""")),
+
     // Contrastive negative sampling: for each of the five pinned
     // anchor docs, 3 deterministic hard-constraint negatives (docs in
     // a DIFFERENT language, ranked by the portable md5 of the
