@@ -73,6 +73,12 @@ object KMeans {
     * assignment under the final centroids. Cells that receive no points
     * in an update round are dropped (the standard dead-centroid rule),
     * so the result can have fewer than `k` live clusters.
+    *
+    * k bound: the assignment expression inlines one distance fold per
+    * centroid, which is the right shape up to k ≈ a few hundred (the
+    * curation use cases). For k in the thousands use the IVF route
+    * ([[Similarity]]'s `nearestCentroid` native expression) — same
+    * math, single array-literal scan per row instead of k folds.
     */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int, scale: Int = 1024): Model = {

@@ -169,6 +169,68 @@ object ClusterQueries {
         CAST(SUM(length(line)) AS BIGINT) AS kept_chars
       FROM k GROUP BY 1 ORDER BY doc_id""")),
 
+    // Distributed time-series subsequence search (UCR-suite shape, cf.
+    // "Time Series Similarity Search for Streaming Data in Distributed
+    // Systems", EDBT 2019): the query pattern is user 0's first 8
+    // values; candidate windows are EVERY length-8 contiguous window
+    // of every user's value series, formed with lead() over the
+    // (user, time) window — no per-user arrays, state is 8 rows per
+    // partition at any series length. Values are exact integer cents
+    // (decimal-cast discipline), distances exact integer sums, global
+    // top-10 via TakeOrderedAndProject. The pattern rides as 8 plan
+    // literals (bounded driver model state).
+    QueryDef("q_ts_subseq_search", (s, dir) => {
+      val M = 8
+      val ev = t(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("ts"),
+        (money(col("value")) * 100).cast("long").as("v"))
+      val pat = ev.filter(col("user_id") === 0)
+        .orderBy(col("ts"), col("event_id")).limit(M)
+        .select(col("v")).collect().map(_.getLong(0))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val lagged = ev.select(
+        Seq(col("user_id"), col("event_id").as("start_id"),
+          col("v").as("v0")) ++
+        (1 until M).map(i => lead(col("v"), i).over(win).as(s"v$i")): _*)
+      val dist = (0 until M).map { i =>
+        val d = col(s"v$i") - lit(pat(i)); d * d
+      }.reduce(_ + _)
+      lagged.filter(col(s"v${M - 1}").isNotNull)
+        .select(col("user_id"), col("start_id"), dist.as("dist"))
+        .orderBy(col("dist"), col("user_id"), col("start_id"))
+        .limit(10)
+    }, Some("""
+      WITH s AS (
+        SELECT user_id, event_id, ts,
+          CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        FROM events),
+      qp AS (
+        SELECT MAX(CASE WHEN i = 1 THEN v END) AS q0,
+               MAX(CASE WHEN i = 2 THEN v END) AS q1,
+               MAX(CASE WHEN i = 3 THEN v END) AS q2,
+               MAX(CASE WHEN i = 4 THEN v END) AS q3,
+               MAX(CASE WHEN i = 5 THEN v END) AS q4,
+               MAX(CASE WHEN i = 6 THEN v END) AS q5,
+               MAX(CASE WHEN i = 7 THEN v END) AS q6,
+               MAX(CASE WHEN i = 8 THEN v END) AS q7
+        FROM (
+          SELECT v, row_number() OVER (ORDER BY ts, event_id) AS i
+          FROM s WHERE user_id = 0) WHERE i <= 8),
+      w AS (
+        SELECT user_id, event_id AS start_id, v AS v0,
+          lead(v, 1) OVER win AS v1, lead(v, 2) OVER win AS v2,
+          lead(v, 3) OVER win AS v3, lead(v, 4) OVER win AS v4,
+          lead(v, 5) OVER win AS v5, lead(v, 6) OVER win AS v6,
+          lead(v, 7) OVER win AS v7
+        FROM s WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT user_id, start_id,
+        (v0-q0)*(v0-q0) + (v1-q1)*(v1-q1) + (v2-q2)*(v2-q2)
+        + (v3-q3)*(v3-q3) + (v4-q4)*(v4-q4) + (v5-q5)*(v5-q5)
+        + (v6-q6)*(v6-q6) + (v7-q7)*(v7-q7) AS dist
+      FROM w, qp WHERE v7 IS NOT NULL
+      ORDER BY dist, user_id, start_id LIMIT 10""")),
+
     // Corpus datasheet ("datasheet for datasets", Gebru et al. 2021):
     // one query, one (metric, key, v) table — doc/token totals, per-
     // lang and per-source shares, exact-duplicate count, and exact
