@@ -187,6 +187,8 @@ object ClusterQueries {
       val pat = ev.filter(col("user_id") === 0)
         .orderBy(col("ts"), col("event_id")).limit(M)
         .select(col("v")).collect().map(_.getLong(0))
+      require(pat.length == M,
+        s"query pattern needs $M events for user 0, got ${pat.length}")
       val win = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val lagged = ev.select(
