@@ -169,6 +169,39 @@ object ClusterQueries {
         CAST(SUM(length(line)) AS BIGINT) AS kept_chars
       FROM k GROUP BY 1 ORDER BY doc_id""")),
 
+    // User-journey Markov transition matrix: per-user event bigrams
+    // (lag over the time order) → global transition counts and
+    // 2^-20-quantized row-normalized probabilities computed ENTIRELY
+    // in integer arithmetic ((cnt·2^20) div total — no doubles
+    // anywhere). The per-prev totals table is tiny (|event_type|²
+    // rows) and broadcasts.
+    QueryDef("q_markov_transitions", (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val tr = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = tr.groupBy(col("prev")).agg(sum(col("cnt")).as("total"))
+      tr.join(broadcast(tot), Seq("prev"))
+        .select(col("prev"), col("event_type"), col("cnt"),
+          expr("(cnt * 1048576) div total").as("prob_q"))
+        .orderBy(col("prev"), col("event_type"))
+    }, Some("""
+      WITH tr AS (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev,
+               event_type
+        FROM events),
+      c AS (SELECT prev, event_type, COUNT(*) AS cnt FROM tr
+            WHERE prev IS NOT NULL GROUP BY 1, 2),
+      tt AS (SELECT prev, CAST(SUM(cnt) AS BIGINT) AS total FROM c GROUP BY 1)
+      SELECT c.prev, c.event_type, c.cnt,
+        (c.cnt * 1048576) // tt.total AS prob_q
+      FROM c JOIN tt USING (prev) ORDER BY 1, 2""")),
+
     // Distributed time-series subsequence search (UCR-suite shape, cf.
     // "Time Series Similarity Search for Streaming Data in Distributed
     // Systems", EDBT 2019): the query pattern is user 0's first 8
