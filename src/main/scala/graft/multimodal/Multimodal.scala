@@ -96,13 +96,17 @@ object Multimodal {
     require(width >= 1 && height >= 1, "width/height >= 1")
     val budget = // Long arithmetic: 26755^2*3 would overflow Int
       math.min(width.toLong * height * 3, Int.MaxValue.toLong).toInt
-    val np = substring(col("payload"), 1, budget)
+    // image rows only — same convention as frameSample's video filter;
+    // audio/video payloads and metadata pass through untouched
+    val isImg = col("meta.mediaType") === "image"
+    val np = when(isImg, substring(col("payload"), 1, budget))
+      .otherwise(col("payload"))
     media
       .withColumn("payload", np)
       .withColumn("meta", struct(
         col("meta.mediaType").as("mediaType"),
-        lit(width).as("width"),
-        lit(height).as("height"),
+        when(isImg, lit(width)).otherwise(col("meta.width")).as("width"),
+        when(isImg, lit(height)).otherwise(col("meta.height")).as("height"),
         col("meta.sampleRate").as("sampleRate"),
         octet_length(col("payload")).cast("long").as("nBytes")))
   }

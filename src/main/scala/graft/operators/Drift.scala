@@ -40,6 +40,22 @@ object Drift {
         (sum(when(inA, 0L).otherwise(1L)) + 1L).as("cnt_b"))
     val totals = c.agg(
       sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"))
+      .localCheckpoint(true) // 1 row; reused below and by the guard
+    // Exactness bound, checked LOUDLY instead of wrapping: the term is
+    // (cnt_a·n_b − cnt_b·n_a)·lnq with |diff| ≤ n_a·n_b and
+    // |lnq| ≤ 2^20·ln(n_a·n_b); the product must stay under 2^62
+    // (Spark would wrap silently, DuckDB would raise — both wrong).
+    // Holds to ~5·10^7 rows per snapshot; beyond that, pre-aggregate
+    // buckets or shrink the quantization.
+    val t = totals.head()
+    if (t.isNullAt(0)) // empty input: no buckets, empty report
+      return c.select(col("bucket"), col("cnt_a"), col("cnt_b"),
+        lit(0L).as("lnq"), lit(0L).as("psi_term"))
+    val (na, nb) = (t.getLong(0), t.getLong(1))
+    val bound = na.toDouble * nb * (math.log(na.toDouble * nb) * Quant)
+    require(bound < math.pow(2, 62),
+      s"psiTable exactness bound exceeded (n_a=$na, n_b=$nb): " +
+        "pre-aggregate the snapshots or reduce the quantization")
     val j = c.crossJoin(broadcast(totals))
     val lnq = floor(
       log((col("cnt_a") * col("n_b")).cast("double") /

@@ -94,6 +94,7 @@ object KMeans {
           .limit(k).collect().zipWithIndex.map { case (r, i) =>
             i -> r.getSeq[Long](1).toArray
           }.toSeq
+      require(centroids.nonEmpty, "KMeans.fit: corpus has no rows")
       val dim = centroids.head._2.length
 
       for (_ <- 1 to iters) {

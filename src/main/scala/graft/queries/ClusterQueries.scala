@@ -108,29 +108,51 @@ object ClusterQueries {
     // >= 5 words ending in terminal punctuation, drop lines mentioning
     // "javascript", drop pages containing "lorem ipsum" or "{", keep
     // pages with >= 3 retained lines. One codegen'd scan, no shuffle.
+    // The synthetic corpus is single-line and punctuation-free, so the
+    // demo first SYNTHESIZES multi-line pages deterministically (both
+    // engines apply the identical transform): sentence breaks at every
+    // ' value ' token plus injected javascript / lorem-ipsum / brace
+    // lines on doc_id residues — every rule genuinely fires and the
+    // result is a non-empty, non-trivial keep set.
     QueryDef("q_c4_filters", (s, dir) => {
       t(s, dir, "documents")
+        .withColumn("__page", concat(
+          expr("replace(text, ' value ', concat('.', chr(10)))"),
+          when(col("doc_id") % 13 === 0,
+            lit("\nplease enable javascript to continue.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("\nlorem ipsum")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("\nx { y")).otherwise(lit(""))))
         .withColumn("__kept", expr("""
-          filter(split(text, '\n'), l ->
+          filter(split(__page, '\n'), l ->
             size(split(trim(l), '\\s+')) >= 5
             AND right(rtrim(l), 1) IN ('.', '!', '?', '"')
             AND NOT contains(lower(l), 'javascript'))"""))
         .filter(size(col("__kept")) >= 3
-          && !lower(col("text")).contains("lorem ipsum")
-          && !col("text").contains("{"))
+          && !lower(col("__page")).contains("lorem ipsum")
+          && !col("__page").contains("{"))
         .select(col("doc_id"), size(col("__kept")).as("kept_lines"),
           length(concat_ws("\n", col("__kept"))).as("clean_chars"))
         .orderBy(col("doc_id"))
     }, Some("""
-      WITH k AS (
+      WITH pages AS (
         SELECT doc_id,
-          list_filter(string_split(text, chr(10)), l ->
+          replace(text, ' value ', '.' || chr(10))
+          || CASE WHEN doc_id % 13 = 0
+               THEN chr(10) || 'please enable javascript to continue.'
+               ELSE '' END
+          || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum' ELSE '' END
+          || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'x { y' ELSE '' END
+            AS page
+        FROM documents),
+      k AS (
+        SELECT doc_id,
+          list_filter(string_split(page, chr(10)), l ->
             len(string_split_regex(trim(l), '\s+')) >= 5
             AND right(rtrim(l), 1) IN ('.', '!', '?', '"')
             AND NOT contains(lower(l), 'javascript')) AS kept
-        FROM documents
-        WHERE NOT contains(lower(text), 'lorem ipsum')
-          AND NOT contains(text, '{'))
+        FROM pages
+        WHERE NOT contains(lower(page), 'lorem ipsum')
+          AND NOT contains(page, '{'))
       SELECT doc_id, CAST(len(kept) AS INT) AS kept_lines,
         CAST(length(list_aggregate(kept, 'string_agg', chr(10))) AS INT)
           AS clean_chars
@@ -176,7 +198,7 @@ object ClusterQueries {
     // anywhere). The per-prev totals table is tiny (|event_type|²
     // rows) and broadcasts.
     QueryDef("q_markov_transitions", (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
+      val w = Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val tr = t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -222,7 +244,7 @@ object ClusterQueries {
         .select(col("v")).collect().map(_.getLong(0))
       require(pat.length == M,
         s"query pattern needs $M events for user 0, got ${pat.length}")
-      val win = org.apache.spark.sql.expressions.Window
+      val win = Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val lagged = ev.select(
         Seq(col("user_id"), col("event_id").as("start_id"),
@@ -294,8 +316,7 @@ object ClusterQueries {
       val n = d.count() // driver scalar: rank thresholds are plan literals
       val ranked = d.select(col("doc_id"), col("n_chars"))
         .withColumn("r", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("n_chars"), col("doc_id"))))
+          Window.orderBy(col("n_chars"), col("doc_id"))))
       val deciles = {
         import s.implicits._
         // ceil(i*N/10); a broadcast spec join evaluates the window ONCE
@@ -350,8 +371,7 @@ object ClusterQueries {
         .join(docs.select(col("doc_id"), col("lang")),
           col("lang") =!= col("qlang"))
         .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("qid")).orderBy(h, col("doc_id"))))
+          Window.partitionBy(col("qid")).orderBy(h, col("doc_id"))))
         .filter(col("rk") <= 3)
         .select(col("qid"), col("doc_id").as("neg_id"), col("rk"))
         .orderBy(col("qid"), col("rk"))

@@ -42,13 +42,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("resize: metadata tracks the transform, payload within budget") {
+  test("resize: image rows transform, audio/video pass through untouched") {
     val r = Multimodal.resize(media, 32, 16)
-    val rows = r.select(col("meta.width"), col("meta.height"),
-      col("meta.nBytes"), octet_length(col("payload"))).collect()
-    assert(rows.forall(x => x.getInt(0) == 32 && x.getInt(1) == 16))
-    assert(rows.forall(x => x.getLong(2) == x.getInt(3).toLong))
-    assert(rows.forall(_.getInt(3) <= 32 * 16 * 3))
+    val img = r.filter(col("meta.mediaType") === "image")
+      .select(col("meta.width"), col("meta.height"),
+        col("meta.nBytes"), octet_length(col("payload"))).collect()
+    assert(img.nonEmpty)
+    assert(img.forall(x => x.getInt(0) == 32 && x.getInt(1) == 16))
+    assert(img.forall(x => x.getLong(2) == x.getInt(3).toLong))
+    assert(img.forall(_.getInt(3) <= 32 * 16 * 3))
+    // non-image rows keep their payload bytes and dimensions
+    val before = media.filter(col("meta.mediaType") =!= "image")
+      .select(col("doc_id"), octet_length(col("payload")),
+        col("meta.width")).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2)))).toMap
+    r.filter(col("meta.mediaType") =!= "image")
+      .select(col("doc_id"), octet_length(col("payload")),
+        col("meta.width")).collect().foreach { x =>
+        assert(before(x.getLong(0)) == ((x.getInt(1), x.getInt(2))))
+      }
     // resized payloads still decode in the batched stage
     val f = Multimodal.decodeFeatures(spark, r).collect()
     assert(f.length == 60)

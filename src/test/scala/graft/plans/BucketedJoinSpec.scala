@@ -61,6 +61,9 @@ class BucketedJoinSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS bj_orders")
       spark.sql("DROP TABLE IF EXISTS bj_customer")
+      // external tables keep their files: remove the temp dir too
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
     }
   }
 }
