@@ -43,7 +43,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => subset.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A subset run must not clobber a full oracle_sql.json in a reused
+    // outDir (same hazard Bench guards against for BENCH_QUERIES.json).
+    val oracleFile =
+      if (subset.isEmpty) "oracle_sql.json" else "oracle_sql_subset.json"
+    Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
   }
 }

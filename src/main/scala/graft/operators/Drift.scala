@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus drift monitoring: Population Stability Index between two
   * corpus snapshots over a categorical bucket (language, source,
@@ -18,13 +19,23 @@ import org.apache.spark.sql.functions._
   * and ONE ln per bucket, and the ln is floor-quantized to 2^-20
   * before any further arithmetic:
   *
-  *   lnq_b  = floor(2^20 · ln((cnt_a·N_b) / (cnt_b·N_a)))   (BIGINT)
-  *   term_b = (cnt_a·N_b - cnt_b·N_a) · lnq_b               (exact)
-  *   PSI    ≈ Σ term_b / (N_a · N_b · 2^20)
+  *   lnq_b  = floor(2^20 · ln((cnt_a·N_b) / (cnt_b·N_a)))     (BIGINT)
+  *   term_b = ((cnt_a·N_b - cnt_b·N_a) · lnq_b) div (N_a·N_b)
+  *   PSI    ≈ Σ term_b / 2^20
+  *
+  * The term numerator runs in DecimalType(38,0) — exact in Spark,
+  * HUGEINT in the DuckDB replay — so there is no 2^63 wraparound
+  * hazard: |diff·lnq| ≤ N_a·N_b · 2^20·ln(N_a·N_b) stays under 10^38
+  * up to ~10^14 rows PER SNAPSHOT (far past a 100 TB corpus; the
+  * round-5 BIGINT formulation hard-failed at ~4·10^5 balanced rows).
+  * The emitted `psi_term` is the bucket's PSI contribution scaled by
+  * 2^20 and floor-quantized — always ≥ 0 (diff and lnq share a sign),
+  * always BIGINT-sized (≤ 2^20·ln(N_a·N_b) ≈ 10^8), and normalized,
+  * so terms are comparable across snapshots of different sizes.
   *
   * Scale shape: one groupBy on the bucket column (map-side combined
   * conditional counts), then a broadcast of the 1-row totals — the
-  * corpus is scanned once and never reshuffled.
+  * corpus is scanned once, never reshuffled, and no driver action runs.
   */
 object Drift {
 
@@ -32,38 +43,29 @@ object Drift {
 
   /** Per-bucket PSI table between rows where `inA` is true (snapshot A)
     * and the rest (snapshot B). Output: bucket, smoothed counts, the
-    * quantized log-ratio, and the exact integer PSI term. */
+    * quantized log-ratio, and the normalized integer PSI term. */
   def psiTable(df: DataFrame, bucketCol: Column, inA: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast(DecimalType(38, 0))
     val c = df.groupBy(bucketCol.as("bucket"))
       .agg(
         (sum(when(inA, 1L).otherwise(0L)) + 1L).as("cnt_a"),
         (sum(when(inA, 0L).otherwise(1L)) + 1L).as("cnt_b"))
     val totals = c.agg(
       sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"))
-      .localCheckpoint(true) // 1 row; reused below and by the guard
-    // Exactness bound, checked LOUDLY instead of wrapping: the term is
-    // (cnt_a·n_b − cnt_b·n_a)·lnq with |diff| ≤ n_a·n_b and
-    // |lnq| ≤ 2^20·ln(n_a·n_b); the product must stay under 2^62
-    // (Spark would wrap silently, DuckDB would raise — both wrong).
-    // Holds to ~5·10^7 rows per snapshot; beyond that, pre-aggregate
-    // buckets or shrink the quantization.
-    val t = totals.head()
-    if (t.isNullAt(0)) // empty input: no buckets, empty report
-      return c.select(col("bucket"), col("cnt_a"), col("cnt_b"),
-        lit(0L).as("lnq"), lit(0L).as("psi_term"))
-    val (na, nb) = (t.getLong(0), t.getLong(1))
-    val bound = na.toDouble * nb * (math.log(na.toDouble * nb) * Quant)
-    require(bound < math.pow(2, 62),
-      s"psiTable exactness bound exceeded (n_a=$na, n_b=$nb): " +
-        "pre-aggregate the snapshots or reduce the quantization")
+    // empty input → c has no groups → the join output is empty; no
+    // driver-side guard needed.
     val j = c.crossJoin(broadcast(totals))
     val lnq = floor(
       log((col("cnt_a") * col("n_b")).cast("double") /
           (col("cnt_b") * col("n_a")).cast("double")) * Quant)
       .cast("long")
     j.select(col("bucket"), col("cnt_a"), col("cnt_b"),
-      lnq.as("lnq"),
-      ((col("cnt_a") * col("n_b") - col("cnt_b") * col("n_a")) * lnq)
-        .as("psi_term"))
+        lnq.as("lnq"),
+        (dec(col("cnt_a")) * dec(col("n_b")) -
+         dec(col("cnt_b")) * dec(col("n_a"))).as("__diff"),
+        (dec(col("n_a")) * dec(col("n_b"))).as("__den"))
+      .withColumn("psi_term", expr("(__diff * lnq) div __den"))
+      .select(col("bucket"), col("cnt_a"), col("cnt_b"),
+        col("lnq"), col("psi_term"))
   }
 }

@@ -407,6 +407,7 @@ object ClusterQueries {
           (col("tok_offset") + col("p_tok")).as("mask_start"),
           (col("tok_offset") + col("n_tok")).as("mask_end"),
           col("seq_first"), col("seq_last"))
+        .orderBy(col("doc_id"))
     }, Some("""
       SELECT doc_id, n_tok, p_tok,
         off + p_tok AS mask_start,
@@ -420,7 +421,8 @@ object ClusterQueries {
             AS off
         FROM (SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-              FROM documents))""")),
+              FROM documents))
+      ORDER BY doc_id""")),
 
     // Hashed TF-IDF retrieval: feature-hashed document vectors (64
     // buckets, exact-integer tf·idf weights, the one ln quantized to
@@ -524,8 +526,9 @@ object ClusterQueries {
     // Corpus drift (PSI) between two snapshots (even vs odd doc_id —
     // deterministic halves) over the (lang, source) mix. One map-side
     // combined groupBy + a broadcast totals row; the single ln per
-    // bucket is floor-quantized to 2^-20 before the exact-integer PSI
-    // term, so the whole table hash-matches DuckDB.
+    // bucket is floor-quantized to 2^-20, the term numerator runs in
+    // DECIMAL(38,0) (HUGEINT in the replay — no 2^63 wraparound), and
+    // the emitted psi_term is the normalized contribution × 2^20.
     QueryDef("q_corpus_drift", (s, dir) => {
       Drift.psiTable(t(s, dir, "documents"),
         concat_ws("|", col("lang"), col("source")),
@@ -541,14 +544,17 @@ object ClusterQueries {
         SELECT bucket, cnt_a, cnt_b,
           CAST(SUM(cnt_a) OVER () AS BIGINT) AS n_a,
           CAST(SUM(cnt_b) OVER () AS BIGINT) AS n_b
-        FROM c)
-      SELECT bucket, cnt_a, cnt_b,
-        CAST(floor(ln(CAST(cnt_a * n_b AS DOUBLE)
-          / CAST(cnt_b * n_a AS DOUBLE)) * 1048576) AS BIGINT) AS lnq,
-        (cnt_a * n_b - cnt_b * n_a)
-          * CAST(floor(ln(CAST(cnt_a * n_b AS DOUBLE)
-            / CAST(cnt_b * n_a AS DOUBLE)) * 1048576) AS BIGINT) AS psi_term
-      FROM tt ORDER BY bucket""")),
+        FROM c),
+      lq AS (
+        SELECT bucket, cnt_a, cnt_b, n_a, n_b,
+          CAST(floor(ln(CAST(cnt_a * n_b AS DOUBLE)
+            / CAST(cnt_b * n_a AS DOUBLE)) * 1048576) AS BIGINT) AS lnq
+        FROM tt)
+      SELECT bucket, cnt_a, cnt_b, lnq,
+        CAST(((CAST(cnt_a AS HUGEINT) * n_b - CAST(cnt_b AS HUGEINT) * n_a)
+              * lnq)
+          // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS psi_term
+      FROM lq ORDER BY bucket""")),
 
     // Exact stratified split: per-language EXACT floor(n/5) test rows
     // (hash-bucket splits only hit the ratio in expectation; stratified
