@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryDef
-import graft.operators.{Drift, HashedTfIdf, KMeans, SequencePacking, Sketches}
+import graft.operators.{Drift, GlobalRank, HashedTfIdf, KMeans, SequencePacking, Sketches}
 import Q._
 
 /** Clustering + curation-recipe surface: distributed k-means (full
@@ -314,9 +314,11 @@ object ClusterQueries {
         .agg(coalesce(sum(col("c")), lit(0L)).as("v"))
         .select(lit("dup_docs").as("metric"), lit("all").as("k"), col("v"))
       val n = d.count() // driver scalar: rank thresholds are plan literals
-      val ranked = d.select(col("doc_id"), col("n_chars"))
-        .withColumn("r", row_number().over(
-          Window.orderBy(col("n_chars"), col("doc_id"))))
+      // distributed exact rank — a bare row_number().over(orderBy) would
+      // funnel every (n_chars, doc_id) pair through ONE task
+      val ranked = GlobalRank.withRank(
+        d.select(col("doc_id"), col("n_chars")),
+        "r", col("n_chars"), col("doc_id"))
       val deciles = {
         import s.implicits._
         // ceil(i*N/10); a broadcast spec join evaluates the window ONCE

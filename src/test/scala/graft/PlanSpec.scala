@@ -143,4 +143,22 @@ class PlanSpec extends SparkSpec {
   test("q_cluster_cap: the per-cluster cap plans WindowGroupLimit") {
     assert(plan("q_cluster_cap").contains("WindowGroupLimit"))
   }
+
+  test("q_corpus_datasheet: exact deciles plan no single-partition window") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val root = Registry.byName("q_corpus_datasheet").run(spark, sfDir)
+      .queryExecution.executedPlan
+    val wins = flatten(root).collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected the per-partition rank window")
+    // every window is partitioned (by __pid) — a partition-less spec is
+    // the single-task global window this query must never plan again
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      wins.map(_.toString).mkString("\n"))
+  }
 }
