@@ -771,4 +771,137 @@ object Similarity {
     }
     emb.select(col(idCol), array(projs.toSeq: _*).as("proj"))
   }
+
+  // ---- engine-exact quantized PCA (chained-CTE-replayable) ----
+
+  /** Integer sufficient statistics of the QUANTIZED corpus: count,
+    * per-dim sums, raw second moment Σ v·vᵀ — all exact longs, so the
+    * distributed aggregation is order-free (unlike the double-path
+    * [[Moments]], whose partition-merge order perturbs low bits). Long
+    * overflow bound: Σ x_i·x_j ≤ n·(dim·scale)² stays under 2^63 to
+    * ~10^12 rows at scale=1024 — past any single corpus. */
+  case class IntMoments(n: Long, s: Array[Long], m: Array[Long])
+
+  private class IntMomentAgg(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Array[Long], IntMoments, IntMoments] {
+    override def zero: IntMoments =
+      IntMoments(0L, new Array[Long](dim), new Array[Long](dim * dim))
+    override def reduce(b: IntMoments, v: Array[Long]): IntMoments = {
+      var i = 0
+      while (i < dim) {
+        val vi = v(i)
+        b.s(i) += vi
+        var j = 0
+        while (j < dim) { b.m(i * dim + j) += vi * v(j); j += 1 }
+        i += 1
+      }
+      IntMoments(b.n + 1, b.s, b.m)
+    }
+    override def merge(x: IntMoments, y: IntMoments): IntMoments = {
+      var i = 0
+      while (i < dim) { x.s(i) += y.s(i); i += 1 }
+      i = 0
+      while (i < dim * dim) { x.m(i) += y.m(i); i += 1 }
+      IntMoments(x.n + y.n, x.s, x.m)
+    }
+    override def finish(b: IntMoments): IntMoments = b
+    override def bufferEncoder: org.apache.spark.sql.Encoder[IntMoments] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[IntMoments]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[IntMoments] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[IntMoments]()
+  }
+
+  /** Engine-exact PCA model: components are integer points on a 2^15
+    * grid; moments are exact integer sums of the scale-quantized
+    * corpus. A pure function of the data — same bits on any engine,
+    * any partitioning. */
+  case class QPcaModel(n: Long, sums: Array[Long],
+      comps: Array[Array[Long]], scale: Int, grid: Long)
+
+  /** Engine-exact distributed PCA fit — the [[pcaFit]] algorithm
+    * (orthogonal power iteration, fixed count, deterministic init)
+    * restated in the repo's quantized-integer discipline (KMeans-style)
+    * so a DuckDB chained-CTE replay reproduces it bit-for-bit:
+    *
+    *  - ONE corpus pass collects exact integer moments (n, S=Σx_q,
+    *    M=Σx_q·x_qᵀ of the `floor(x·scale+0.5)` grid points) — the
+    *    same map-side-combined, order-free tree shape as [[pcaFit]];
+    *  - the driver iterates on A = n·M − S·Sᵀ (= n² × covariance;
+    *    integral, so NO division error) in BigInt: exact matvec, a
+    *    truncating down-scale by max|w|/grid, exact-integer
+    *    Gram-Schmidt (truncating division — DuckDB `//` semantics),
+    *    then the ONLY double step: floor(u/√(Σu²)·grid + 0.5), whose
+    *    inputs are integers < 2^53 (exactly representable), so the
+    *    IEEE ops land the same bits in every engine.
+    *
+    * Precision: components live on the 2^-15 grid (‖error‖ ≲ 3·10^-5),
+    * plenty for curation/whitening; use [[pcaFit]] when full double
+    * precision matters more than cross-engine exactness. */
+  def pcaFitExact(emb: DataFrame, vecCol: String, dim: Int, k: Int,
+      iters: Int, scale: Int = 1024, grid: Long = 32768L): QPcaModel = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val mom = emb.select(KMeans.quantize(col(vecCol), scale).as("vq"))
+      .as[Array[Long]].select(new IntMomentAgg(dim).toColumn).head()
+    require(mom.n > 0, "pcaFitExact needs a non-empty corpus")
+    val a = Array.tabulate(dim, dim)((i, j) =>
+      BigInt(mom.n) * mom.m(i * dim + j) - BigInt(mom.s(i)) * mom.s(j))
+    val comps = Array.ofDim[Array[Long]](k)
+    for (c <- 0 until k) {
+      var v: Array[Long] =
+        Array.tabulate(dim)(i => if (i == c % dim) grid else 1L)
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(dim) { i =>
+          var acc = BigInt(0); var j = 0
+          while (j < dim) { acc += a(i)(j) * v(j); j += 1 }
+          acc
+        }
+        // truncating down-scale to ~grid magnitude (BigInt `/` and
+        // DuckDB `//` both truncate toward zero)
+        val dv = (w.map(_.abs).max / grid).max(BigInt(1))
+        var u = w.map(_ / dv)
+        for (p <- 0 until c) { // exact-integer Gram-Schmidt
+          val cp = comps(p)
+          val np2 = cp.map(x => BigInt(x) * x).sum
+          var d = BigInt(0); var i = 0
+          while (i < dim) { d += u(i) * cp(i); i += 1 }
+          u = Array.tabulate(dim)(i => u(i) - (d * cp(i)) / np2)
+        }
+        val n2 = u.map(x => x * x).sum
+        if (n2 > 0) {
+          val nrm = math.sqrt(n2.toDouble)
+          v = u.map(x => math.floor(x.toDouble / nrm * grid + 0.5).toLong)
+        }
+      }
+      comps(c) = v
+    }
+    QPcaModel(mom.n, mom.s, comps, scale, grid)
+  }
+
+  /** Zero-shuffle exact projection under a [[QPcaModel]]: per row the
+    * exact integer p_c = n·⟨x_q, C_c⟩ − ⟨S, C_c⟩ (row dot in long,
+    * n-multiply in DECIMAL(38,0) so no 2^63 hazard at corpus scale),
+    * emitted as the physical projection p_c / (n·scale·grid) — one
+    * deterministic integer→double cast and one division, identical in
+    * a DuckDB replay. Columns: idCol, pc1..pck. */
+  def pcaProjectExact(emb: DataFrame, idCol: String, vecCol: String,
+      model: QPcaModel): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val vq = KMeans.quantize(col(vecCol), model.scale)
+    // n·scale·grid in double via the same op order as the SQL replay:
+    // exact at every step (n < 2^53; scale and grid are powers of two)
+    val denom = model.n.toDouble * model.scale * model.grid
+    val projs = model.comps.zipWithIndex.map { case (comp, c) =>
+      val rowDot = aggregate(
+        zip_with(vq, typedlit(comp.toSeq), (x, w) => x * w),
+        lit(0L), (acc, x) => acc + x)
+      val sDot = model.sums.zip(comp).map { case (s, w) => BigInt(s) * w }.sum
+      ((rowDot.cast(DecimalType(38, 0)) *
+          lit(model.n).cast(DecimalType(38, 0)) -
+          lit(new java.math.BigDecimal(sDot.bigInteger)))
+        .cast("double") / lit(denom)).as(s"pc${c + 1}")
+    }
+    emb.select((col(idCol) +: projs.toSeq): _*)
+  }
 }

@@ -28,6 +28,82 @@ object CurationQueries {
       * (t.tf$i * (1.2 + 1.0) / (t.tf$i + 1.2 *
           (1.0 - 0.75 + 0.75 * (t.dl / (s.sum_dl / s.n)))))"""
 
+  private val PcaK = 4       // components
+  private val PcaIters = 8   // fixed power-iteration count
+  private val PcaDim = 64
+  private val PcaScale = 1024  // input quantization grid
+  private val PcaGrid = 32768L // iterate/component grid (2^15)
+
+  /** Chained-CTE DuckDB replay of `Similarity.pcaFitExact` +
+    * `pcaProjectExact` — every CTE MATERIALIZED (the iteration chain
+    * references each step 2-3×; inlining would re-execute the moment
+    * join exponentially and reopen the parquet view hundreds of
+    * times). Arithmetic mirrors the Scala bit-for-bit: HUGEINT sums
+    * (exact), `//` truncating division (= BigInt `/`), and the single
+    * double step floor(u/√n2·grid + 0.5) on <2^53 integers. */
+  private def pcaExactOracle: String = {
+    val (k, t, dim, scale, grid) = (PcaK, PcaIters, PcaDim, PcaScale, PcaGrid)
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += s"""
+      xq AS MATERIALIZED (
+        SELECT vec_id, i - 1 AS pos, CAST(floor(x * $scale + 0.5) AS BIGINT) AS v
+        FROM (SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+              unnest(generate_series(1, len(embedding))) AS i FROM embeddings)),
+      nr AS MATERIALIZED (SELECT COUNT(*) AS n FROM embeddings),
+      sv AS MATERIALIZED (SELECT pos AS i, SUM(v) AS s FROM xq GROUP BY 1),
+      mom AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j, SUM(a.v * b.v) AS m
+        FROM xq a JOIN xq b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      amat AS MATERIALIZED (SELECT m.i, m.j, nr.n * m.m - sa.s * sb.s AS a
+        FROM mom m JOIN sv sa ON sa.i = m.i JOIN sv sb ON sb.i = m.j
+        CROSS JOIN nr)"""
+    for (c <- 0 until k) {
+      ctes += s"""v${c}_0 AS MATERIALIZED (
+        SELECT i - 1 AS i, CASE WHEN i - 1 = $c THEN $grid ELSE 1 END AS v
+        FROM (SELECT unnest(generate_series(1, $dim)) AS i))"""
+      for (it <- 1 to t) {
+        ctes += s"""w${c}_$it AS MATERIALIZED (SELECT a.i, SUM(a.a * v.v) AS w
+          FROM amat a JOIN v${c}_${it - 1} v ON v.i = a.j GROUP BY 1)"""
+        ctes += s"""s${c}_$it AS MATERIALIZED (
+          SELECT greatest(MAX(ABS(w)) // $grid, 1) AS dv FROM w${c}_$it)"""
+        ctes += s"""u${c}_${it}_0 AS MATERIALIZED (
+          SELECT i, w // dv AS u FROM w${c}_$it CROSS JOIN s${c}_$it)"""
+        for (p <- 0 until c) {
+          ctes += s"""d${c}_${it}_$p AS MATERIALIZED (SELECT SUM(u.u * c.v) AS d
+            FROM u${c}_${it}_$p u JOIN comp$p c ON c.i = u.i)"""
+          ctes += s"""u${c}_${it}_${p + 1} AS MATERIALIZED (
+            SELECT u.i, u.u - (d.d * c.v) // np.q AS u
+            FROM u${c}_${it}_$p u JOIN comp$p c ON c.i = u.i
+            CROSS JOIN d${c}_${it}_$p d CROSS JOIN np2_$p np)"""
+        }
+        ctes += s"""n2${c}_$it AS MATERIALIZED (
+          SELECT SUM(u * u) AS q FROM u${c}_${it}_$c)"""
+        ctes += s"""v${c}_$it AS MATERIALIZED (SELECT u.i,
+          CASE WHEN nn.q = 0 THEN p.v
+               ELSE CAST(floor(CAST(u.u AS DOUBLE) / sqrt(CAST(nn.q AS DOUBLE))
+                 * $grid + 0.5) AS BIGINT) END AS v
+          FROM u${c}_${it}_$c u JOIN v${c}_${it - 1} p ON p.i = u.i
+          CROSS JOIN n2${c}_$it nn)"""
+      }
+      ctes += s"comp$c AS MATERIALIZED (SELECT i, v FROM v${c}_$t)"
+      ctes += s"np2_$c AS MATERIALIZED (SELECT SUM(v * v) AS q FROM comp$c)"
+    }
+    for (c <- 0 until k) {
+      ctes += s"""pj$c AS MATERIALIZED (SELECT x.vec_id, SUM(x.v * cp.v) AS t
+        FROM xq x JOIN comp$c cp ON cp.i = x.pos GROUP BY 1)"""
+      ctes += s"""sd$c AS MATERIALIZED (SELECT SUM(s.s * cp.v) AS t
+        FROM sv s JOIN comp$c cp ON cp.i = s.i)"""
+    }
+    val sel = (0 until k).map(c =>
+      s"""CAST(nr.n * pj$c.t - sd$c.t AS DOUBLE)
+        / (CAST(nr.n AS DOUBLE) * $scale * $grid) AS pc${c + 1}""").mkString(", ")
+    val joins = (1 until k).map(c =>
+      s"JOIN pj$c ON pj$c.vec_id = pj0.vec_id").mkString(" ")
+    val crosses = (0 until k).map(c => s"CROSS JOIN sd$c").mkString(" ")
+    s"WITH ${ctes.mkString(",\n")}\n" +
+      s"SELECT pj0.vec_id, $sel FROM pj0 $joins $crosses CROSS JOIN nr " +
+      "ORDER BY pj0.vec_id"
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // The Gopher quality rules (Rae et al. 2021, Appendix A): the
@@ -524,23 +600,23 @@ object CurationQueries {
         WHERE f.content_hash NOT IN (SELECT content_hash FROM idx))
       WHERE rn = 1""")),
 
-    // Distributed PCA over the embedding table: one-pass moment
-    // aggregation (count/Σv/Σvvᵀ, map-side combined — the corpus is
-    // scanned once, never shuffled), driver-side power iteration with
-    // deflation, zero-shuffle projection. Rows-only (eigenvectors are
-    // iteration-count-dependent); the invariants are gate-oracled below.
-    // The projection array is FLATTENED to one scalar column per
-    // component so the checker can sort the rows (an array-typed
-    // column crashes the pandas Categorical sort in the rows-only
-    // path — CORRECTNESS_r04).
+    // Distributed PCA over the embedding table, ENGINE-EXACT: one-pass
+    // integer moment aggregation (n/Σx_q/Σx_q·x_qᵀ, map-side combined,
+    // order-free — the corpus is scanned once, never shuffled),
+    // driver-side quantized orthogonal power iteration on the integral
+    // matrix A = n·M − S·Sᵀ, zero-shuffle exact projection. The full
+    // fixed-count iteration replays in DuckDB as chained MATERIALIZED
+    // CTEs (the q_kmeans Lloyd's-replay discipline applied to an
+    // eigensolver), so the projection table is hash-oracled — the
+    // round-4/5 rows-only status is closed. The double-precision path
+    // (pcaFit) remains invariant-gated by q_pca_gate below.
     QueryDef("q_pca_project", (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val k = 4
-      val model = Similarity.pcaFit(emb, "embedding", dim = 64, k = k)
-      Similarity.pcaProject(emb, "vec_id", "embedding", model)
-        .select(col("vec_id") +: (0 until k).map(c =>
-          round(element_at(col("proj"), c + 1), 6).as(s"pc${c + 1}")): _*)
-    }, None),
+      val model = Similarity.pcaFitExact(emb, "embedding",
+        dim = 64, k = PcaK, iters = PcaIters)
+      Similarity.pcaProjectExact(emb, "vec_id", "embedding", model)
+        .orderBy(col("vec_id"))
+    }, Some(pcaExactOracle)),
 
     // PCA gate oracle (q_semdedup_gate style): (1) components
     // orthonormal, (2) variances decreasing and non-negative, (3) the
