@@ -173,6 +173,10 @@ final class TableEnv(val spark: SparkSession) {
     """(?is)^\s*CREATE\s+CATALOG\s+(\w+)\s+WITH\s*\((.*)\)\s*$""".r
   private val UseCatalogP = """(?is)^\s*USE\s+CATALOG\s+(\w+)\s*;?\s*$""".r
   private val ShowCatalogsP = """(?is)^\s*SHOW\s+CATALOGS\s*;?\s*$""".r
+  private val ShowCurrentCatalogP =
+    """(?is)^\s*SHOW\s+CURRENT\s+CATALOG\s*;?\s*$""".r
+  private val ShowCurrentDatabaseP =
+    """(?is)^\s*SHOW\s+CURRENT\s+DATABASE\s*;?\s*$""".r
   private val DescribeJobP =
     """(?is)^\s*DESCRIBE\s+JOB\s+'([^']+)'\s*;?\s*$""".r
   private val StopJobP =
@@ -462,6 +466,14 @@ final class TableEnv(val spark: SparkSession) {
       import spark.implicits._
       ("default_catalog" +: hiveCatalogNames.toSeq.sorted)
         .toDF("catalog name")
+    } else if (ShowCurrentCatalogP.pattern.matcher(sql).matches()) {
+      // reference show.md: SHOW CURRENT CATALOG
+      import spark.implicits._
+      Seq(activeCatalog).toDF("current catalog name")
+    } else if (ShowCurrentDatabaseP.pattern.matcher(sql).matches()) {
+      // reference show.md: SHOW CURRENT DATABASE
+      import spark.implicits._
+      Seq(spark.catalog.currentDatabase).toDF("current database name")
     } else if (ShowJobsP.pattern.matcher(sql).matches()) {
       // reference job.md SHOW JOBS: the running streaming jobs — here
       // the session's active Structured Streaming queries

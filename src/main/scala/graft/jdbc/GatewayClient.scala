@@ -1,0 +1,137 @@
+package graft.jdbc
+
+import java.net.{HttpURLConnection, URI}
+import java.nio.charset.StandardCharsets
+import java.sql.SQLException
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Minimal REST client for the graft SQL gateway (the same v2 protocol
+  * the reference's JDBC driver speaks to flink-sql-gateway:
+  * flink-sql-jdbc-driver/.../FlinkConnection.java). JDK HTTP only — a
+  * thin client must not drag the engine onto the classpath.
+  *
+  * One instance per JDBC connection; not thread-safe (JDBC objects are
+  * confined to one thread by contract).
+  */
+private[jdbc] final class GatewayClient(host: String, port: Int) {
+
+  private val mapper = new ObjectMapper
+  private val base = s"http://$host:$port"
+
+  // ---- protocol calls ----
+
+  def info(): JsonNode = http("GET", "/v2/info", null)
+
+  def openSession(properties: Map[String, String]): String = {
+    val body = mapper.createObjectNode()
+    val p = body.putObject("properties")
+    properties.foreach { case (k, v) => p.put(k, v) }
+    http("POST", "/v2/sessions", body).get("sessionHandle").asText()
+  }
+
+  def closeSession(session: String): Unit =
+    http("DELETE", s"/v2/sessions/$session", null)
+
+  def submit(session: String, statement: String): String = {
+    val body = mapper.createObjectNode()
+    body.put("statement", statement)
+    http("POST", s"/v2/sessions/$session/statements", body)
+      .get("operationHandle").asText()
+  }
+
+  def status(session: String, op: String): String =
+    http("GET", s"/v2/sessions/$session/operations/$op/status", null)
+      .get("status").asText()
+
+  def cancel(session: String, op: String): Unit =
+    http("POST", s"/v2/sessions/$session/operations/$op/cancel",
+      mapper.createObjectNode())
+
+  def closeOperation(session: String, op: String): Unit =
+    http("DELETE", s"/v2/sessions/$session/operations/$op/close", null)
+
+  def fetch(session: String, op: String, token: Int): JsonNode =
+    http("GET", s"/v2/sessions/$session/operations/$op/result/$token", null)
+
+  /** Submit and drive to completion: poll status, then page results
+    * until EOS. Returns (columns, rows, isQueryResult); throws
+    * SQLException carrying the gateway's error text on ERROR. */
+  def execute(session: String, statement: String):
+      (Seq[(String, String)], Vector[JsonNode], Boolean) = {
+    val op = submit(session, statement)
+    var st = status(session, op)
+    while (st == "RUNNING") {
+      Thread.sleep(10)
+      st = status(session, op)
+    }
+    if (st == "CANCELED")
+      throw new SQLException("statement was canceled")
+    var token = 0
+    var columns = Seq.empty[(String, String)]
+    var rows = Vector.empty[JsonNode]
+    var isQuery = false
+    var done = false
+    while (!done) {
+      val page = fetch(session, op, token)
+      page.get("resultType").asText() match {
+        case "NOT_READY" => Thread.sleep(10)
+        case "EOS" =>
+          if (page.has("errors") && page.get("errors").size() > 0)
+            throw new SQLException(page.get("errors").get(0).asText())
+          done = true
+        case _ => // PAYLOAD
+          val res = page.get("results")
+          if (columns.isEmpty && res.has("columns")) {
+            val it = res.get("columns").elements()
+            val b = Seq.newBuilder[(String, String)]
+            while (it.hasNext) {
+              val c = it.next()
+              b += c.get("name").asText() -> c.get("logicalType").asText()
+            }
+            columns = b.result()
+          }
+          if (page.has("isQueryResult"))
+            isQuery = page.get("isQueryResult").asBoolean()
+          val it = res.get("data").elements()
+          while (it.hasNext) rows :+= it.next()
+          if (!page.has("nextResultUri")) done = true else token += 1
+      }
+    }
+    closeOperation(session, op)
+    (columns, rows, isQuery)
+  }
+
+  // ---- plumbing ----
+
+  private def http(method: String, path: String, body: JsonNode): JsonNode = {
+    val conn = new URI(base + path).toURL
+      .openConnection().asInstanceOf[HttpURLConnection]
+    try {
+      conn.setRequestMethod(method)
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(60000)
+      if (body != null) {
+        conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", "application/json")
+        val bytes = mapper.writeValueAsBytes(body)
+        val os = conn.getOutputStream
+        os.write(bytes); os.close()
+      }
+      val code = conn.getResponseCode
+      val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val text =
+        if (stream == null) "{}"
+        else new String(stream.readAllBytes(), StandardCharsets.UTF_8)
+      val node = mapper.readTree(text)
+      if (code >= 400) {
+        val msg =
+          if (node.has("errors") && node.get("errors").size() > 0)
+            node.get("errors").get(0).asText()
+          else s"HTTP $code"
+        throw new SQLException(s"gateway error: $msg")
+      }
+      node
+    } finally conn.disconnect()
+  }
+}

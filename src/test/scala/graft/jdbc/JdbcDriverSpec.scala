@@ -1,0 +1,122 @@
+package graft.jdbc
+
+import java.sql.{DriverManager, SQLException, Types}
+
+import graft.SparkSpec
+import graft.api.SqlGateway
+
+/** End-to-end JDBC: DriverManager URL → gateway session → DDL + query
+  * through plain java.sql interfaces — the reference's
+  * flink-sql-jdbc-driver usage shape (connect, statement, result set,
+  * metadata), against a live [[SqlGateway]] on an ephemeral port. */
+class JdbcDriverSpec extends SparkSpec {
+
+  private lazy val gw = new SqlGateway(spark).start()
+  private lazy val url = s"jdbc:graft://127.0.0.1:${gw.boundPort}"
+
+  private def connect() = {
+    GraftDriver.ensureRegistered()
+    DriverManager.getConnection(url)
+  }
+
+  test("DriverManager resolves the URL and runs a query end-to-end") {
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      assert(!st.execute(
+        s"CREATE TABLE jt (n_nationkey BIGINT, n_name STRING, " +
+          s"n_regionkey BIGINT, n_comment STRING) WITH (" +
+          s"'connector'='filesystem', 'path'='$sfDir/nation.parquet', " +
+          "'format'='parquet')"))
+      val rs = st.executeQuery(
+        "SELECT n_nationkey, n_name FROM jt ORDER BY n_nationkey LIMIT 3")
+      val md = rs.getMetaData
+      assert(md.getColumnCount == 2)
+      assert(md.getColumnName(1) == "n_nationkey")
+      assert(md.getColumnType(1) == Types.BIGINT)
+      assert(md.getColumnType(2) == Types.VARCHAR)
+      val got = Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => (r.getLong(1), r.getString("n_name")))
+        .toList
+      assert(got == List((0L, "NATION_0"), (1L, "NATION_1"), (2L, "NATION_2")))
+      assert(!rs.next())
+      rs.close(); st.close()
+    } finally conn.close()
+  }
+
+  test("prepared statement substitutes parameters safely") {
+    val conn = connect()
+    try {
+      conn.createStatement().execute(
+        s"CREATE TABLE jn (n_nationkey BIGINT, n_name STRING, " +
+          s"n_regionkey BIGINT, n_comment STRING) WITH ('connector'='filesystem', " +
+          s"'path'='$sfDir/nation.parquet', 'format'='parquet')")
+      val ps = conn.prepareStatement(
+        "SELECT n_name FROM jn WHERE n_nationkey = ? AND n_name <> ? " +
+          "AND '?' = '?'")
+      ps.setLong(1, 3L)
+      ps.setString(2, "it's") // embedded quote must escape
+      val rs = ps.executeQuery()
+      assert(rs.next() && rs.getString(1) == "NATION_3")
+      assert(!rs.next())
+      ps.close()
+    } finally conn.close()
+  }
+
+  test("statement errors surface as SQLException with the gateway message") {
+    val conn = connect()
+    try {
+      val e = intercept[SQLException](
+        conn.createStatement().executeQuery("SELECT * FROM no_such_table_xyz"))
+      assert(e.getMessage.contains("no_such_table_xyz")
+        || e.getMessage.nonEmpty)
+    } finally conn.close()
+  }
+
+  test("database metadata: catalogs, tables, columns via real statements") {
+    val conn = connect()
+    try {
+      conn.createStatement().execute(
+        s"CREATE TABLE jm (r_regionkey BIGINT, r_name STRING, " +
+          s"r_comment STRING) WITH ('connector'='filesystem', " +
+          s"'path'='$sfDir/region.parquet', 'format'='parquet')")
+      val md = conn.getMetaData
+      assert(md.getDatabaseProductName == "graft")
+      val cats = md.getCatalogs
+      assert(cats.next() && cats.getString("TABLE_CAT") == "default_catalog")
+      val tabs = md.getTables(null, null, "jm", null)
+      assert(tabs.next() && tabs.getString("TABLE_NAME") == "jm"
+        && tabs.getString("TABLE_TYPE") == "TABLE")
+      assert(!tabs.next())
+      val cols = md.getColumns(null, null, "jm", null)
+      val names = Iterator.continually(cols).takeWhile(_.next())
+        .map(_.getString("COLUMN_NAME")).toList
+      assert(names.contains("r_regionkey") && names.contains("r_name"))
+    } finally conn.close()
+  }
+
+  test("sessions are isolated between connections") {
+    val c1 = connect(); val c2 = connect()
+    try {
+      c1.createStatement().execute(
+        s"CREATE TABLE iso1 (r_regionkey BIGINT, r_name STRING, " +
+          s"r_comment STRING) WITH ('connector'='filesystem', " +
+          s"'path'='$sfDir/region.parquet', 'format'='parquet')")
+      // visible in c1
+      assert(c1.createStatement().executeQuery(
+        "SELECT COUNT(*) c FROM iso1").next())
+      // invisible in c2
+      intercept[SQLException](
+        c2.createStatement().executeQuery("SELECT COUNT(*) c FROM iso1"))
+    } finally { c1.close(); c2.close() }
+  }
+
+  test("connection lifecycle: isValid, close, post-close raises") {
+    val conn = connect()
+    assert(conn.isValid(1))
+    assert(conn.getAutoCommit)
+    conn.close()
+    assert(conn.isClosed)
+    intercept[SQLException](conn.createStatement())
+  }
+}
