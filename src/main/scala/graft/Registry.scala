@@ -20,6 +20,7 @@ object Registry {
     CepQueries.defs ++
     UdfQueries.defs ++
     TpchQueries.defs ++
+    TpcdsQueries.defs ++
     BpeQueries.defs ++
     GraphQueries.defs ++
     AnalyticsQueries.defs ++
