@@ -74,7 +74,28 @@ object ChangelogAgg {
     * require. */
   def updateStream(df: DataFrame, keys: Seq[String], valCol: String,
       seqCols: Seq[Column],
-      rowKindCol: String = ChangelogFormats.RowKindCol): DataFrame = {
+      rowKindCol: String = ChangelogFormats.RowKindCol): DataFrame =
+    updateStream(df, keys, valCol, seqCols, rowKindCol,
+      emitUpdateBefore = true, emitSeq = false)
+
+  /** As above, with the two knobs [[ChangelogInference]] derives:
+    *
+    *  - `emitUpdateBefore = false` is the DropUpdateBefore optimization
+    *    (reference FlinkChangelogModeInferenceProgram + the
+    *    DropUpdateBefore physical node) applied INSIDE the operator:
+    *    when every downstream consumer keys on this aggregate's group
+    *    key (an upsert sink), the -U rows are never produced at all —
+    *    each change emits one +I/+U, and a group death emits -D(last
+    *    state). Halves the update-stream volume at the source.
+    *  - `emitSeq = true` appends the driving change's sequence columns
+    *    (`__seq_0..n` = seqCols of the input row, `__sub` = 0 for the
+    *    retraction, 1 for the add) so a SECOND stateful stage can order
+    *    this operator's emissions deterministically — the batch
+    *    replay of arrival order.
+    */
+  def updateStream(df: DataFrame, keys: Seq[String], valCol: String,
+      seqCols: Seq[Column], rowKindCol: String,
+      emitUpdateBefore: Boolean, emitSeq: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = weight(col(rowKindCol))
     val win = Window.partitionBy(keys.map(col): _*).orderBy(seqCols: _*)
@@ -85,17 +106,37 @@ object ChangelogAgg {
       .withColumn("__sum", sum(w.cast("long") * col(valCol)).over(run))
       .withColumn("__pcnt", lag(col("__cnt"), 1).over(win))
       .withColumn("__psum", lag(col("__sum"), 1).over(win))
-    val retract = when(col("__rn") > 1 && col("__pcnt") > 0,
-      struct(lit("-U").as("kind"), col("__pcnt").as("cnt"),
-        col("__psum").as("sum_val")))
-    val add = when(col("__cnt") > 0,
-      struct(when(col("__rn") === 1, "+I").otherwise("+U").as("kind"),
-        col("__cnt").as("cnt"), col("__sum").as("sum_val")))
+    def emit(kind: Column, cnt: Column, sm: Column, sub: Int) =
+      struct((kind.as("kind") +: cnt.as("cnt") +: sm.as("sum_val") +:
+        lit(sub).as("__sub") +: Nil): _*)
+    val events =
+      if (emitUpdateBefore) Seq(
+        when(col("__rn") > 1 && col("__pcnt") > 0,
+          emit(lit("-U"), col("__pcnt"), col("__psum"), 0)),
+        when(col("__cnt") > 0,
+          emit(when(col("__rn") === 1, "+I").otherwise("+U"),
+            col("__cnt"), col("__sum"), 1)))
+      else Seq(
+        // upsert mode: one row per change — +I/+U with the new state,
+        // or -D carrying the dying state
+        when(col("__cnt") > 0,
+          emit(when(col("__rn") === 1, "+I").otherwise("+U"),
+            col("__cnt"), col("__sum"), 1)),
+        when(col("__cnt") <= 0 && col("__pcnt") > 0,
+          emit(lit("-D"), col("__pcnt"), col("__psum"), 1)))
+    val seqOut =
+      if (emitSeq) seqCols.zipWithIndex.map { case (c, i) =>
+        c.as(s"__seq_$i") }
+      else Nil
+    val seqNames =
+      if (emitSeq) seqCols.indices.map(i => col(s"__seq_$i")) else Nil
     staged
-      .select((keys.map(col) :+
-        explode(array_compact(array(retract, add))).as("__e")): _*)
-      .select((keys.map(col) :+ col("__e.cnt") :+ col("__e.sum_val") :+
-        col("__e.kind").as(rowKindCol)): _*)
+      .select((keys.map(col) ++ seqOut :+
+        explode(array_compact(array(events: _*))).as("__e")): _*)
+      .select((keys.map(col) ++ seqNames ++
+        Seq(col("__e.cnt"), col("__e.sum_val"),
+          col("__e.kind").as(rowKindCol)) ++
+        (if (emitSeq) Seq(col("__e.__sub").as("__sub")) else Nil)): _*)
   }
 
   /** Streaming retractable aggregate: emits (key, cnt, sum, min, max)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
 import graft.QueryDef
-import graft.cdc.{ChangelogAgg, ChangelogFormats}
+import graft.cdc.{ChangelogAgg, ChangelogFormats, ChangelogInference}
 import Q._
 
 /** CDC ingestion — reference: debezium/canal/maxwell/ogg JSON formats
@@ -333,7 +333,98 @@ object CdcQueries {
         CAST(SUM(s) AS DOUBLE) AS sum_sums,
         CAST(MIN(s) AS DOUBLE) AS min_sum,
         CAST(MAX(s) AS DOUBLE) AS max_sum
-      FROM enriched GROUP BY nationkey"""))
+      FROM enriched GROUP BY nationkey""")),
+
+    // The agg→join→agg→sink scenario DERIVED instead of hand-composed:
+    // ChangelogInference walks the plan tree and decides per stage —
+    // inner agg must emit the full retract stream (-U/+U, its consumer
+    // is another stateful aggregate), outer agg keyed on nationkey
+    // feeds a PK sink on the SAME key, so its UPDATE_BEFORE rows are
+    // dropped at the source (DropUpdateBefore) and the sink compacts
+    // last-writer-wins. The oracle computes the net state directly, so
+    // a wrong mode decision anywhere (dropped -U upstream, kept -U
+    // downstream, mis-compaction) hash-mismatches.
+    QueryDef("q_cdc_infer_chain", (s, dir) => {
+      import ChangelogInference._
+      val plan = Sink(
+        GroupAgg(
+          EnrichJoin(
+            GroupAgg(
+              Source(orderChangelog(s, dir), seqCols = Seq("seq", "stage")),
+              Seq("o_custkey"), "v"),
+            t(s, dir, "customer")
+              .select(col("c_custkey"), col("c_nationkey")),
+            "o_custkey", "c_custkey"),
+          Seq("c_nationkey"), "sum_val"),
+        primaryKey = Some(Seq("c_nationkey")))
+      val inf = infer(plan)
+      require(inf.sinkMode == Upsert, "pk sink must accept upsert")
+      ChangelogInference.execute(plan)
+        .select(col("c_nationkey").cast("int").as("nationkey"),
+          col("cnt").as("n_cust"),
+          col("sum_val").cast("double").as("sum_sums"))
+        .orderBy(col("nationkey"))
+    }, Some(s"""
+      WITH changes AS (
+        SELECT o_custkey, ${moneySql("o_totalprice")} AS v, 1 AS w
+        FROM orders
+        UNION ALL
+        SELECT o_custkey, ${moneySql("o_totalprice")}, -1
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_custkey, ${moneySql("o_totalprice")} * 2, 1
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_custkey, ${moneySql("o_totalprice")}, -1
+        FROM orders WHERE o_orderkey % 10 = 1),
+      state AS (
+        SELECT o_custkey, SUM(w * v) AS s
+        FROM changes GROUP BY o_custkey
+        HAVING SUM(w) > 0),
+      enriched AS (
+        SELECT c.c_nationkey AS nationkey, st.s
+        FROM state st JOIN customer c ON st.o_custkey = c.c_custkey)
+      SELECT nationkey, COUNT(*) AS n_cust,
+        CAST(SUM(s) AS DOUBLE) AS sum_sums
+      FROM enriched GROUP BY nationkey
+      ORDER BY nationkey""")),
+
+    // Single-stage DropUpdateBefore: agg keyed on o_custkey into a PK
+    // sink on o_custkey — the inference decides the aggregate NEVER
+    // produces -U (each change emits one +I/+U; a fully-retracted
+    // customer emits -D) and the sink compaction yields exactly the
+    // net per-customer state. Customers whose every order was deleted
+    // (all keys ≡ 1 mod 10) must be ABSENT — a -D mishandled as an
+    // update would leave them in the store.
+    QueryDef("q_cdc_infer_upsert", (s, dir) => {
+      import ChangelogInference._
+      val plan = Sink(
+        GroupAgg(
+          Source(orderChangelog(s, dir), seqCols = Seq("seq", "stage")),
+          Seq("o_custkey"), "v"),
+        primaryKey = Some(Seq("o_custkey")))
+      ChangelogInference.execute(plan)
+        .select(col("o_custkey"), col("cnt").as("n_orders"),
+          col("sum_val").cast("double").as("total"))
+        .orderBy(col("o_custkey"))
+    }, Some(s"""
+      WITH changes AS (
+        SELECT o_custkey, ${moneySql("o_totalprice")} AS v, 1 AS w
+        FROM orders
+        UNION ALL
+        SELECT o_custkey, ${moneySql("o_totalprice")}, -1
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_custkey, ${moneySql("o_totalprice")} * 2, 1
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_custkey, ${moneySql("o_totalprice")}, -1
+        FROM orders WHERE o_orderkey % 10 = 1)
+      SELECT o_custkey, CAST(SUM(w) AS BIGINT) AS n_orders,
+        CAST(SUM(w * v) AS DOUBLE) AS total
+      FROM changes GROUP BY o_custkey
+      HAVING SUM(w) > 0
+      ORDER BY o_custkey"""))
   )
 
   /** The synthesized order changelog shared by the retraction-chain

@@ -1,0 +1,86 @@
+package graft.cdc
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Mode derivation scenarios mirroring the reference's
+  * ChangelogModeInferenceTest: where UPDATE_BEFORE is required, where
+  * it is dropped, and that execution honors the decision. */
+class ChangelogInferenceSpec extends SparkSpec {
+  import spark.implicits._
+  import ChangelogInference._
+
+  private val K = ChangelogFormats.RowKindCol
+
+  // tiny changelog: key a gets 10 then +5; key b gets 7 then is deleted
+  private def srcDf = Seq(
+    ("a", 10.0, "+I", 1L), ("b", 7.0, "+I", 2L),
+    ("a", 5.0, "+I", 3L), ("b", 7.0, "-D", 4L)
+  ).toDF("k", "v", K, "seq")
+
+  test("agg into keyless sink: full retract stream required and produced") {
+    val agg = GroupAgg(Source(srcDf, seqCols = Seq("seq")), Seq("k"), "v")
+    val inf = infer(Sink(agg, primaryKey = None))
+    assert(inf.sinkMode == Retract)
+    assert(inf.produced(agg) == Retract && inf.emitUpdateBefore(agg))
+    val rows = ChangelogInference.execute(Sink(agg)).select(col("k"), col("cnt"),
+      col("sum_val"), col(K)).as[(String, Long, Double, String)]
+      .collect().toSet
+    // a: +I(1,10) then -U(1,10)/+U(2,15); b: +I(1,7) then bare -U (death)
+    assert(rows == Set(("a", 1L, 10.0, "+I"), ("a", 1L, 10.0, "-U"),
+      ("a", 2L, 15.0, "+U"), ("b", 1L, 7.0, "+I"), ("b", 1L, 7.0, "-U")))
+  }
+
+  test("agg into pk sink: UPDATE_BEFORE dropped, -D on death, compacted") {
+    val agg = GroupAgg(Source(srcDf, seqCols = Seq("seq")), Seq("k"), "v")
+    val sink = Sink(agg, primaryKey = Some(Seq("k")))
+    val inf = infer(sink)
+    assert(inf.sinkMode == Upsert)
+    assert(inf.produced(agg) == Upsert && !inf.emitUpdateBefore(agg))
+    // the stream an upsert consumer would see: no -U anywhere
+    val stream = ChangelogAgg.updateStream(srcDf, Seq("k"), "v",
+      Seq(col("seq")), K, emitUpdateBefore = false, emitSeq = false)
+    val kinds = stream.select(col(K)).as[String].collect().toSeq
+    assert(!kinds.contains("-U") && kinds.contains("-D"))
+    // sink compaction: only a's live state remains
+    val state = ChangelogInference.execute(sink).select(col("k"), col("cnt"), col("sum_val"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(state == Set(("a", 2L, 15.0)))
+  }
+
+  test("agg over agg: inner stage forced to retract even under a pk sink") {
+    val inner = GroupAgg(Source(srcDf, seqCols = Seq("seq")), Seq("k"), "v")
+    val outer = GroupAgg(inner, Seq("cnt"), "sum_val")
+    val inf = infer(Sink(outer, primaryKey = Some(Seq("cnt"))))
+    assert(inf.produced(inner) == Retract && inf.emitUpdateBefore(inner))
+    assert(inf.produced(outer) == Upsert && !inf.emitUpdateBefore(outer))
+  }
+
+  test("pk not matching the update key is rejected") {
+    val agg = GroupAgg(Source(srcDf, seqCols = Seq("seq")), Seq("k"), "v")
+    intercept[IllegalArgumentException](
+      infer(Sink(agg, primaryKey = Some(Seq("v")))))
+  }
+
+  test("insert-only source into insert-only sink needs no kinds at all") {
+    val src = Source(Seq(("a", 1.0)).toDF("k", "v"), insertOnly = true)
+    val inf = infer(Sink(src))
+    assert(inf.sinkMode == InsertOnly)
+  }
+
+  test("executed pk-sink state equals the net materialization") {
+    // chain: agg -> enrich join -> agg -> pk sink, vs direct netting
+    val dim = Seq(("a", "g1"), ("b", "g2")).toDF("dk", "grp")
+    val chain = Sink(
+      GroupAgg(
+        EnrichJoin(
+          GroupAgg(Source(srcDf, seqCols = Seq("seq")), Seq("k"), "v"),
+          dim, "k", "dk"),
+        Seq("grp"), "sum_val"),
+      primaryKey = Some(Seq("grp")))
+    val got = ChangelogInference.execute(chain).select(col("grp"), col("cnt"), col("sum_val"))
+      .as[(String, Long, Double)].collect().toSet
+    // net state: a lives with sum 15 in g1; b died, so g2 has no rows
+    assert(got == Set(("g1", 1L, 15.0)))
+  }
+}
