@@ -72,9 +72,13 @@ object Watermarks {
     * upstream (pre-aligner) watermarks; Spark's chained-stateful
     * correctness checker flags the pattern (released rows can sit
     * below a jumped watermark — the buffering-vs-throttling delta), so
-    * composing requires
+    * composing THIS variant requires
     * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=
-    * false`, as AlignedBufferSpec demonstrates. */
+    * false` — the checker is a static plan-pattern test, so no emission
+    * discipline inside flatMapGroupsWithState can satisfy it. For
+    * checker-ON composition use [[alignedBufferChained]], which
+    * declares its output event-time column through transformWithState's
+    * chaining support. */
   def alignedBuffer[K, T](ds: Dataset[T], keyFn: T => K, tsFn: T => Long,
       maxDriftMs: Long)(
       implicit kEnc: Encoder[K], tEnc: Encoder[T],
@@ -121,5 +125,84 @@ object Watermarks {
           state.update(wm)
           rows.map(r => (r, wm))
       }
+  }
+
+  /** Output row of [[alignedBufferChained]]: the original value plus
+    * the DECLARED event-time column downstream operators key on.
+    * `aligned_ts` = the row's own event time, clamped up to
+    * watermark+1ms when the group watermark jumped past a held row
+    * (the row would otherwise be late-dropped by every downstream
+    * window — with FLIP-182 throttling the same jump makes the same
+    * row late on read, so the clamp is the at-least-as-faithful
+    * translation). */
+  final case class Aligned[T](value: T, aligned_ts: java.sql.Timestamp)
+
+  /** The [[alignedBuffer]] semantics re-expressed on Spark 4's
+    * `transformWithState` with a DECLARED output event-time column —
+    * the engine-sanctioned way to chain stateful operators after a
+    * custom stateful transform (the `eventTimeColumnName` overload
+    * inserts a watermark re-assignment on `aligned_ts`), so downstream
+    * windows/aggregations run WITHOUT disabling
+    * `statefulOperator.checkCorrectness` (the escape hatch
+    * [[alignedBuffer]]'s flatMapGroupsWithState composition needs —
+    * that checker is a static plan-pattern test, so no emission
+    * discipline can satisfy it from inside FMGWS).
+    *
+    * Same hold/release rule: rows with ts > watermark + maxDriftMs are
+    * buffered in keyed state; an event-time timer releases them when
+    * the group watermark catches up. Requires the RocksDB state store
+    * provider (as all transformWithState operators do). */
+  def alignedBufferChained[K, T](ds: Dataset[T], keyFn: T => K,
+      tsFn: T => Long, maxDriftMs: Long)(
+      implicit kEnc: Encoder[K], tEnc: Encoder[T],
+      heldEnc: Encoder[Seq[T]],
+      outEnc: Encoder[Aligned[T]]): Dataset[Aligned[T]] = {
+    require(maxDriftMs > 0, "maxDriftMs must be positive")
+    ds.groupByKey(keyFn)
+      .transformWithState(new AlignerProcessor[K, T](tsFn, maxDriftMs),
+        "aligned_ts", OutputMode.Append())
+  }
+
+  /** StatefulProcessor behind [[alignedBufferChained]]. */
+  private final class AlignerProcessor[K, T](tsFn: T => Long,
+      maxDriftMs: Long)(implicit heldEnc: Encoder[Seq[T]])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        K, T, Aligned[T]] {
+    @transient private var held:
+      org.apache.spark.sql.streaming.ValueState[Seq[T]] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      held = getHandle.getValueState[Seq[T]]("held", heldEnc,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    /** Partition pending rows against wm+drift; emit the releases with
+      * the clamped event-time column, park the rest + a wake-up timer. */
+    private def flush(pending: Seq[T], wm: Long): Iterator[Aligned[T]] = {
+      val limit = wm + maxDriftMs
+      val (release, hold) = pending.partition(t => tsFn(t) <= limit)
+      if (hold.isEmpty) {
+        if (held.exists()) held.clear()
+      } else {
+        held.update(hold)
+        getHandle.registerTimer(
+          math.max(hold.map(tsFn).min - maxDriftMs, wm + 1))
+      }
+      release.iterator.map(t =>
+        Aligned(t, new java.sql.Timestamp(math.max(tsFn(t), wm + 1))))
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[T],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Aligned[T]] =
+      flush(Option(held.get()).getOrElse(Seq.empty) ++ rows,
+        timerValues.getCurrentWatermarkInMs())
+
+    override def handleExpiredTimer(key: K,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[Aligned[T]] =
+      flush(Option(held.get()).getOrElse(Seq.empty),
+        timerValues.getCurrentWatermarkInMs())
   }
 }

@@ -60,6 +60,69 @@ class AlignedBufferSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("alignedBufferChained: downstream aggregation with checkCorrectness ON") {
+    implicit val sq = spark.sqlContext
+    // the checker must be at its default (enabled) — assert it
+    assert(spark.conf.getOption(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+      .forall(_ == "true"))
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val slow = MemoryStream[(String, Timestamp)]
+    val fast = MemoryStream[(String, Timestamp)]
+    val union =
+      slow.toDF().toDF("src", "ts").withWatermark("ts", "0 seconds")
+        .union(
+          fast.toDF().toDF("src", "ts").withWatermark("ts", "0 seconds"))
+        .as[(String, Timestamp)]
+    val aligned = Watermarks.alignedBufferChained[String, (String, Timestamp)](
+      union, _._1, _._2.getTime, maxDriftMs = 60000L)
+    // chained stateful op on the DECLARED aligned_ts column — legal
+    // with the correctness checker on (the whole point of this variant)
+    import org.apache.spark.sql.functions.{col, count, lit, window}
+    val agg = aligned.toDF()
+      .groupBy(col("value._1").as("src"),
+        window(col("aligned_ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("aligned_tws_sink")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("aligner-ckpt").toString)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // fast runs 20min ahead: its row must be held, not aggregated
+      slow.addData(("s", ts(0)))
+      fast.addData(("f", ts(0)), ("f", ts(20)))
+      q.processAllAvailable()
+      slow.addData(("s", ts(1)))
+      q.processAllAvailable()
+      // BOTH sources must keep advancing — the group watermark is the
+      // MIN, so a quiet fast source stalls alignment (by design); with
+      // both at t+60 the held row releases and its window closes
+      slow.addData(("s", ts(25))); fast.addData(("f", ts(25)))
+      q.processAllAvailable()
+      slow.addData(("s", ts(40))); fast.addData(("f", ts(40)))
+      q.processAllAvailable()
+      slow.addData(("s", ts(60))); fast.addData(("f", ts(60)))
+      q.processAllAvailable()
+      slow.addData(("s", ts(80))); fast.addData(("f", ts(80)))
+      q.processAllAvailable()
+      val rows = spark.table("aligned_tws_sink")
+        .select(col("src"), col("n")).as[(String, Long)].collect().toSeq
+      // both fast rows eventually counted, in different windows
+      assert(rows.count(_._1 == "f") >= 2, s"got $rows")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("alignedBuffer composes with a downstream streaming aggregation") {
     implicit val sq = spark.sqlContext
     val src = MemoryStream[(String, Timestamp)]
