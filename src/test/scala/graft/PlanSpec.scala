@@ -144,6 +144,22 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_cluster_cap").contains("WindowGroupLimit"))
   }
 
+  test("q_tpcds_s1: per-nation average joins as a broadcast, not a shuffle") {
+    assert(plan("q_tpcds_s1").contains("BroadcastHashJoin"))
+  }
+
+  test("q_tpcds_s18: dims broadcast under the rollup (no dim-side SMJ)") {
+    val p = plan("q_tpcds_s18")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Expand"), "rollup must plan Expand")
+  }
+
+  test("q_tpcds_s88: band counts are ONE scan, not eight") {
+    val p = plan("q_tpcds_s88")
+    // decorrelated form: a single aggregate over a single lineitem scan
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("q_corpus_datasheet: exact deciles plan no single-partition window") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
