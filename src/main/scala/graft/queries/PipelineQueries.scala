@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.QueryDef
-import graft.operators.{DataSplit, SequencePacking, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{DataSplit, GlobalRank, SequencePacking, Similarity, TextAnalysis, TextDedup}
 import graft.multimodal.Multimodal
 import Q._
 
@@ -2108,6 +2108,39 @@ object PipelineQueries {
           CAST(COALESCE(SUM((n_chars + 3) // 4) OVER (ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
             AS off
-        FROM documents)"""))
+        FROM documents)""")),
+
+    // Length-sorted sequence packing: rank the corpus by descending
+    // token count (distributed two-phase GlobalRank — never a
+    // single-partition window) and pack in RANK order. Sorting before
+    // packing is the standard padding/fragmentation reducer (long
+    // documents land at window starts instead of straddling
+    // boundaries); the emitted per-doc boundary-split flag lets the
+    // oracle certify the whole composition, and the split count is
+    // strictly comparable to q_seq_pack's arrival-order packing.
+    QueryDef("q_pack_sorted", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), expr("(n_chars + 3) div 4").as("n_tok"))
+      val ranked = GlobalRank.withRank(docs, "r",
+        col("n_tok").desc, col("doc_id"))
+      SequencePacking.pack(ranked, "r", "n_tok", 2048L)
+        .select(col("doc_id"), col("n_tok"), col("r"), col("tok_offset"),
+          col("seq_first"), col("seq_last"),
+          (col("seq_last") > col("seq_first")).as("split"))
+        .orderBy(col("r"))
+    }, Some("""
+      SELECT doc_id, n_tok, r,
+        off AS tok_offset,
+        off // 2048 AS seq_first,
+        (off + n_tok - 1) // 2048 AS seq_last,
+        (off + n_tok - 1) // 2048 > off // 2048 AS split
+      FROM (
+        SELECT doc_id, n_tok,
+          row_number() OVER (ORDER BY n_tok DESC, doc_id) AS r,
+          CAST(COALESCE(SUM(n_tok) OVER (ORDER BY n_tok DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS off
+        FROM (SELECT doc_id, (n_chars + 3) // 4 AS n_tok FROM documents))
+      ORDER BY r"""))
   )
 }

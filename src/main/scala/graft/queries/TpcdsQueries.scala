@@ -474,6 +474,170 @@ object TpcdsQueries {
       WHERE web_cum > store_cum
       ORDER BY y, m""")),
 
+    // ---- TPC-DS query97 shape: channel-overlap report — the
+    // (customer, part) pairs seen in the store channel FULL OUTER
+    // JOINed with those seen in the web channel, counted into
+    // store-only / web-only / both. ----
+    QueryDef("q_tpcds_s97", (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      def pairs(st: String, a: String, b: String) =
+        l.join(o.filter(col("o_orderstatus") === st),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as(a), col("l_partkey").as(b))
+          .distinct()
+      pairs("F", "sc", "sp").join(pairs("O", "wc", "wp"),
+          col("sc") === col("wc") && col("sp") === col("wp"), "full_outer")
+        .agg(
+          count(when(col("sc").isNotNull && col("wc").isNull, 1))
+            .as("store_only"),
+          count(when(col("sc").isNull && col("wc").isNotNull, 1))
+            .as("web_only"),
+          count(when(col("sc").isNotNull && col("wc").isNotNull, 1))
+            .as("both_channels"))
+    }, Some("""
+      WITH st AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'),
+      wb AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'O')
+      SELECT
+        COUNT(*) FILTER (WHERE st.c IS NOT NULL AND wb.c IS NULL)
+          AS store_only,
+        COUNT(*) FILTER (WHERE st.c IS NULL AND wb.c IS NOT NULL)
+          AS web_only,
+        COUNT(*) FILTER (WHERE st.c IS NOT NULL AND wb.c IS NOT NULL)
+          AS both_channels
+      FROM st FULL OUTER JOIN wb ON st.c = wb.c AND st.p = wb.p""")),
+
+    // ---- TPC-DS query34/73 shape: frequency-band detail — customers
+    // whose pending-order count lands in [2,4], joined back to the
+    // dimension for per-customer detail rows. ----
+    QueryDef("q_tpcds_s34", (s, dir) => {
+      val band = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt").between(2, 4))
+      band.join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_mktsegment"), col("cnt"))
+        .orderBy(col("cnt").desc, col("c_name"))
+    }, Some("""
+      SELECT c_name, c_mktsegment, cnt
+      FROM (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+            WHERE o_orderstatus = 'P'
+            GROUP BY o_custkey HAVING COUNT(*) BETWEEN 2 AND 4) b
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY cnt DESC, c_name""")),
+
+    // ---- TPC-DS query89 shape: deviation from the windowed average —
+    // monthly brand revenue vs that brand's average month, keeping
+    // months deviating by more than 10%. ----
+    QueryDef("q_tpcds_s89", (s, dir) => {
+      val monthly = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), year(col("l_shipdate")).as("y"),
+          month(col("l_shipdate")).as("m"))
+        .agg(sum(money(col("l_extendedprice"))).as("sales_dec"))
+      val w = Window.partitionBy(col("p_brand"), col("y"))
+      monthly
+        .withColumn("avg_sales",
+          (sum(col("sales_dec")).over(w).cast("double") /
+            count(lit(1)).over(w)))
+        .withColumn("sales", col("sales_dec").cast("double"))
+        .filter(abs(col("sales") - col("avg_sales")) >
+          col("avg_sales") * 0.1)
+        .select(col("p_brand"), col("y"), col("m"), col("sales"),
+          col("avg_sales"))
+        .orderBy(col("p_brand"), col("y"), col("m"))
+    }, Some(s"""
+      WITH monthly AS (
+        SELECT p_brand, year(l_shipdate) AS y, month(l_shipdate) AS m,
+          SUM(${moneySql("l_extendedprice")}) AS sales_dec
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2, 3),
+      win AS (
+        SELECT p_brand, y, m, CAST(sales_dec AS DOUBLE) AS sales,
+          CAST(SUM(sales_dec) OVER (PARTITION BY p_brand, y) AS DOUBLE)
+            / COUNT(*) OVER (PARTITION BY p_brand, y) AS avg_sales
+        FROM monthly)
+      SELECT p_brand, y, m, sales, avg_sales FROM win
+      WHERE abs(sales - avg_sales) > avg_sales * 0.1
+      ORDER BY p_brand, y, m""")),
+
+    // ---- TPC-DS query44 shape: best and worst performers joined on
+    // rank — parts ranked by total revenue ascending AND descending,
+    // the two top-5 lists zipped into (rank, best, worst) rows. ----
+    QueryDef("q_tpcds_s44", (s, dir) => {
+      val byPart = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(money(col("l_extendedprice"))).as("rev_dec"))
+      // item-dimension ranks via the distributed two-phase GlobalRank —
+      // a bare row_number().over(orderBy) would single-task the whole
+      // item dimension, which GROWS with SF
+      val best = graft.operators.GlobalRank.withRank(byPart, "rk",
+          col("rev_dec").desc, col("l_partkey"))
+        .filter(col("rk") <= 5).select(col("rk"), col("l_partkey").as("best"))
+      val worst = graft.operators.GlobalRank.withRank(byPart, "rk",
+          col("rev_dec").asc, col("l_partkey"))
+        .filter(col("rk") <= 5).select(col("rk"), col("l_partkey").as("worst"))
+      best.join(worst, "rk")
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_name").as("best_name")),
+          col("best") === col("p_partkey"))
+        .drop("p_partkey")
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_name").as("worst_name")),
+          col("worst") === col("p_partkey"))
+        .select(col("rk"), col("best_name"), col("worst_name"))
+        .orderBy(col("rk"))
+    }, Some(s"""
+      WITH byp AS (
+        SELECT l_partkey, SUM(${moneySql("l_extendedprice")}) AS rev_dec
+        FROM lineitem GROUP BY 1),
+      best AS (
+        SELECT l_partkey AS best, row_number()
+          OVER (ORDER BY rev_dec DESC, l_partkey) AS rk FROM byp
+        QUALIFY rk <= 5),
+      worst AS (
+        SELECT l_partkey AS worst, row_number()
+          OVER (ORDER BY rev_dec ASC, l_partkey) AS rk FROM byp
+        QUALIFY rk <= 5)
+      SELECT b.rk, pb.p_name AS best_name, pw.p_name AS worst_name
+      FROM best b JOIN worst w ON b.rk = w.rk
+      JOIN part pb ON b.best = pb.p_partkey
+      JOIN part pw ON w.worst = pw.p_partkey
+      ORDER BY b.rk""")),
+
+    // ---- TPC-DS query66 shape: the wide month-pivot report — one
+    // conditional-aggregate pass producing 12 monthly revenue columns
+    // per nation. ----
+    QueryDef("q_tpcds_s66", (s, dir) => {
+      def mSum(m: Int) = sum(when(month(col("o_orderdate")) === m,
+        money(col("o_totalprice"))).otherwise(lit(0).cast(DecimalType(12, 2))))
+        .cast("double").as(f"m$m%02d_sales")
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(mSum(1), (2 to 12).map(mSum): _*)
+        .orderBy(col("n_name"))
+    }, Some {
+      val cols = (1 to 12).map(m =>
+        s"""CAST(SUM(CASE WHEN month(o_orderdate) = $m
+           THEN ${moneySql("o_totalprice")}
+           ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           AS m${f"$m%02d"}_sales""").mkString(", ")
+      s"""
+      SELECT n_name, $cols
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name"""
+    }),
+
     // ---- TPC-DS query88 shape: one wide row of independent band
     // counts. The literal form is eight scalar subqueries CROSS
     // JOINed; the scale-correct decorrelation (used here, noted in the
