@@ -185,6 +185,11 @@ object ChangelogInference {
     sink.primaryKey match {
       case None => fl.df.drop(fl.seq.filter(_.startsWith("__")): _*)
       case Some(pk) =>
+        // clear plan-validation error instead of an empty-ORDER-BY
+        // AnalysisException at runtime: last-writer-wins needs an order
+        require(fl.seq.nonEmpty,
+          "keyed sink needs arrival-order columns to compact " +
+            "last-writer-wins (declare Source.seqCols)")
         // upsert-sink compaction: last writer per key wins; a key whose
         // final row is a delete (or a dangling -U) leaves the store
         import org.apache.spark.sql.expressions.Window

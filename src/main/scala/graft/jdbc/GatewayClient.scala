@@ -56,55 +56,85 @@ private[jdbc] final class GatewayClient(host: String, port: Int) {
 
   /** Submit and drive to completion: poll status, then page results
     * until EOS. Returns (columns, rows, isQueryResult); throws
-    * SQLException carrying the gateway's error text on ERROR. */
-  def execute(session: String, statement: String):
+    * SQLException carrying the gateway's error text on ERROR, and
+    * SQLTimeoutException after `timeoutMs` (0 = unbounded), cancelling
+    * the server-side operation first. The operation is closed on every
+    * path — an errored statement must not leak server-side state. */
+  def execute(session: String, statement: String, timeoutMs: Long = 0L):
       (Seq[(String, String)], Vector[JsonNode], Boolean) = {
-    val op = submit(session, statement)
-    var st = status(session, op)
-    while (st == "RUNNING") {
-      Thread.sleep(10)
-      st = status(session, op)
-    }
-    if (st == "CANCELED")
-      throw new SQLException("statement was canceled")
-    var token = 0
-    var columns = Seq.empty[(String, String)]
-    var rows = Vector.empty[JsonNode]
-    var isQuery = false
-    var done = false
-    while (!done) {
-      val page = fetch(session, op, token)
-      page.get("resultType").asText() match {
-        case "NOT_READY" => Thread.sleep(10)
-        case "EOS" =>
-          if (page.has("errors") && page.get("errors").size() > 0)
-            throw new SQLException(page.get("errors").get(0).asText())
-          done = true
-        case _ => // PAYLOAD
-          val res = page.get("results")
-          if (columns.isEmpty && res.has("columns")) {
-            val it = res.get("columns").elements()
-            val b = Seq.newBuilder[(String, String)]
-            while (it.hasNext) {
-              val c = it.next()
-              b += c.get("name").asText() -> c.get("logicalType").asText()
-            }
-            columns = b.result()
-          }
-          if (page.has("isQueryResult"))
-            isQuery = page.get("isQueryResult").asBoolean()
-          val it = res.get("data").elements()
-          while (it.hasNext) rows :+= it.next()
-          if (!page.has("nextResultUri")) done = true else token += 1
+    val deadline =
+      if (timeoutMs > 0) System.nanoTime() + timeoutMs * 1000000L
+      else Long.MaxValue
+    def checkDeadline(op: String): Unit =
+      if (System.nanoTime() > deadline) {
+        try cancel(session, op) catch { case _: SQLException => () }
+        throw new java.sql.SQLTimeoutException(
+          s"statement exceeded the query timeout (${timeoutMs}ms)")
       }
+    val op = submit(session, statement)
+    try {
+      var st = status(session, op)
+      while (st == "RUNNING") {
+        checkDeadline(op)
+        Thread.sleep(10)
+        st = status(session, op)
+      }
+      if (st == "CANCELED")
+        throw new SQLException("statement was canceled")
+      var token = 0
+      var columns = Seq.empty[(String, String)]
+      var rows = Vector.empty[JsonNode]
+      var isQuery = false
+      var done = false
+      while (!done) {
+        checkDeadline(op)
+        val page = fetch(session, op, token)
+        page.get("resultType").asText() match {
+          case "NOT_READY" => Thread.sleep(10)
+          case "EOS" =>
+            if (page.has("errors") && page.get("errors").size() > 0)
+              throw new SQLException(page.get("errors").get(0).asText())
+            done = true
+          case _ => // PAYLOAD
+            val res = page.get("results")
+            if (columns.isEmpty && res.has("columns")) {
+              val it = res.get("columns").elements()
+              val b = Seq.newBuilder[(String, String)]
+              while (it.hasNext) {
+                val c = it.next()
+                b += c.get("name").asText() -> c.get("logicalType").asText()
+              }
+              columns = b.result()
+            }
+            if (page.has("isQueryResult"))
+              isQuery = page.get("isQueryResult").asBoolean()
+            val it = res.get("data").elements()
+            while (it.hasNext) rows :+= it.next()
+            if (!page.has("nextResultUri")) done = true else token += 1
+        }
+      }
+      (columns, rows, isQuery)
+    } finally {
+      try closeOperation(session, op) catch { case _: SQLException => () }
     }
-    closeOperation(session, op)
-    (columns, rows, isQuery)
   }
 
   // ---- plumbing ----
 
-  private def http(method: String, path: String, body: JsonNode): JsonNode = {
+  /** All transport failures surface as SQLException — the JDBC
+    * contract (Connection.isValid and friends catch SQLException; a
+    * raw ConnectException escaping would break every standard tool's
+    * error handling). */
+  private def http(method: String, path: String, body: JsonNode): JsonNode =
+    try http0(method, path, body)
+    catch {
+      case e: SQLException => throw e
+      case scala.util.control.NonFatal(e) =>
+        throw new SQLException(
+          s"gateway transport failure ($method $path): ${e.getMessage}", e)
+    }
+
+  private def http0(method: String, path: String, body: JsonNode): JsonNode = {
     val conn = new URI(base + path).toURL
       .openConnection().asInstanceOf[HttpURLConnection]
     try {

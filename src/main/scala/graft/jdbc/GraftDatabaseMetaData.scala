@@ -18,6 +18,14 @@ final class GraftDatabaseMetaData(conn: GraftConnection, url: String)
       .map(_.get("fields").get(0).asText())
     catch { case _: SQLException => Vector.empty }
 
+  /** JDBC search pattern ('%' any run, '_' any char; null/"" = all) →
+    * anchored case-insensitive regex. */
+  private def patternRx(pat: String): scala.util.matching.Regex = {
+    val p = Option(pat).filter(_.nonEmpty).getOrElse("%")
+    ("(?i)^" + java.util.regex.Pattern.quote(p)
+      .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "$").r
+  }
+
   // ---- identity ----
   override def getURL: String = url
   override def getUserName: String = ""
@@ -51,9 +59,7 @@ final class GraftDatabaseMetaData(conn: GraftConnection, url: String)
 
   override def getTables(catalog: String, schemaPattern: String,
       tableNamePattern: String, types: scala.Array[String]): ResultSet = {
-    val pat = Option(tableNamePattern).filter(_.nonEmpty).getOrElse("%")
-    val rx = ("(?i)^" + java.util.regex.Pattern.quote(pat)
-      .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "$").r
+    val rx = patternRx(tableNamePattern)
     val views = rowsOf("SHOW VIEWS").toSet
     val wantTables = types == null || types.contains("TABLE")
     val wantViews = types == null || types.contains("VIEW")
@@ -77,18 +83,30 @@ final class GraftDatabaseMetaData(conn: GraftConnection, url: String)
 
   override def getColumns(catalog: String, schemaPattern: String,
       tableNamePattern: String, columnNamePattern: String): ResultSet = {
-    val cols = try {
-      conn.client.execute(conn.session, s"DESCRIBE `$tableNamePattern`")._2
-        .zipWithIndex.map { case (row, i) =>
+    // JDBC patterns ('%'/'_'): enumerate matching tables via SHOW
+    // TABLES, DESCRIBE each, filter columns by the column pattern —
+    // the standard all-tables call getColumns(null,null,"%","%") must
+    // work (BI tools browse schemas exactly this way)
+    val tableRx = patternRx(tableNamePattern)
+    val colRx = patternRx(columnNamePattern)
+    val tables = rowsOf("SHOW TABLES")
+      .filter(t => tableRx.findFirstIn(t).isDefined).sorted
+    val cols = tables.flatMap { table =>
+      val described =
+        try conn.client.execute(conn.session, s"DESCRIBE `$table`")._2
+        catch { case _: SQLException => Vector.empty }
+      described.zipWithIndex.collect {
+        case (row, i)
+            if colRx.findFirstIn(row.get("fields").get(0).asText()).isDefined =>
           val f = row.get("fields")
           val name = f.get(0).asText()
           val typ = f.get(1).asText()
-          Seq[Any](null, null, tableNamePattern, name,
+          Seq[Any](null, null, table, name,
             new GraftResultSetMetaData(Seq(name -> typ)).getColumnType(1),
             typ, 0, 0, 0, 10, DatabaseMetaData.columnNullable, null, null,
             0, 0, 0, i + 1, "YES")
-        }
-    } catch { case _: SQLException => Vector.empty }
+      }
+    }
     GraftResultSet.local(
       Seq("TABLE_CAT" -> "STRING", "TABLE_SCHEM" -> "STRING",
         "TABLE_NAME" -> "STRING", "COLUMN_NAME" -> "STRING",

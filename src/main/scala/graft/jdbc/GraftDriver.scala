@@ -15,9 +15,15 @@ import java.util.logging.Logger
   * become gateway session properties (e.g.
   * `?sql-gateway.max-fetch-rows=500`).
   *
-  * Registration: `Class.forName("graft.jdbc.GraftDriver")` or the
-  * ServiceLoader entry in META-INF/services/java.sql.Driver; then
-  * `DriverManager.getConnection("jdbc:graft://127.0.0.1:8083")`.
+  * Registration: the ServiceLoader entry in
+  * META-INF/services/java.sql.Driver (DriverManager instantiates the
+  * provider, whose constructor registers), or programmatically
+  * `new GraftDriver` / `GraftDriver.ensureRegistered()`. NOTE: bare
+  * `Class.forName("graft.jdbc.GraftDriver")` does NOT register —
+  * Scala places companion initialization in `GraftDriver$`, not a
+  * static initializer of this class, so class-loading alone runs no
+  * code (relevant only for shaded jars that strip META-INF/services).
+  * Then `DriverManager.getConnection("jdbc:graft://127.0.0.1:8083")`.
   */
 final class GraftDriver extends Driver {
   GraftDriver.ensureRegistered()

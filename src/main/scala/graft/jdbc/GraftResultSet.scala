@@ -15,7 +15,8 @@ import com.fasterxml.jackson.databind.JsonNode
 final class GraftResultSet(stmt: Statement, cols: Seq[(String, String)],
     rows: Vector[JsonNode]) extends ResultSet {
 
-  private val byName = cols.map(_._1.toLowerCase).zipWithIndex.toMap
+  // first-wins on duplicate labels (the JDBC findColumn contract)
+  private val byName = cols.map(_._1.toLowerCase).zipWithIndex.reverse.toMap
   private var cursor = -1
   private var nullFlag = false
   @volatile private var closed = false

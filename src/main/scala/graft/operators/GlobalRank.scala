@@ -11,17 +11,17 @@ import org.apache.spark.sql.functions._
   * canonical scale-killer, same failure mode SequencePacking avoids
   * for running sums).
   *
-  * Two-phase prefix-sum discipline (SequencePacking.pack's, lifted to
-  * arbitrary multi-column orders):
+  * Two-phase prefix-sum discipline, shared with [[SequencePacking]]
+  * via [[withBaseOffsets]]:
   *
   *   1. range-repartition by the sort columns — ranges are contiguous
   *      and ordered across partition ids — and materialize ONCE so the
   *      counting pass and the ranking pass see identical boundaries
   *      (range sampling is re-run per action otherwise);
-  *   2. count rows per partition (numPartitions rows → driver cumsum,
-  *      bounded model state) and broadcast the exclusive prefix as a
-  *      map literal;
-  *   3. per-partition row_number (parallel, no cross-partition motion)
+  *   2. aggregate a per-partition weight total (numPartitions rows →
+  *      driver cumsum, bounded model state) and broadcast the
+  *      exclusive prefix as a map literal;
+  *   3. per-partition window (parallel, no cross-partition motion)
   *      plus the partition's base offset.
   *
   * The caller must pass a TOTAL order (include a unique tiebreak column
@@ -30,22 +30,43 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
-  /** Adds `rankName` = global 1-based row number of the total order
-    * given by `sortCols`. */
-  def withRank(df: DataFrame, rankName: String, sortCols: Column*): DataFrame = {
+  /** The shared two-phase machinery: range-repartition `df` by
+    * `sortCols` (materialized once), compute per-partition totals of
+    * `weight`, and return the rows with `__pid` (their partition id)
+    * and `__base` (the exclusive prefix sum of earlier partitions'
+    * totals — a broadcast map literal). Partitions emptied by range
+    * sampling simply contribute 0 to later prefixes. Callers drop
+    * both columns when done. */
+  private[operators] def withBaseOffsets(df: DataFrame, weight: Column,
+      numPartitions: Int, sortCols: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
-    val n = spark.sessionState.conf.numShufflePartitions
+    val n = if (numPartitions > 0) numPartitions
+            else spark.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(n, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
-    val counts = ranged.groupBy(col("__pid")).count()
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(sum(weight).as("__t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val baseOf = typedlit(counts.map(_._1).zip(
-      counts.scanLeft(0L) { case (acc, (_, c)) => acc + c }).toMap)
+    val baseOf = typedlit(totals.map(_._1).zip(
+      totals.scanLeft(0L) { case (acc, (_, t)) => acc + t }).toMap)
+    ranged.withColumn("__base", element_at(baseOf, col("__pid")))
+  }
+
+  /** Adds `rankName` = global 1-based row number of the total order
+    * given by `sortCols`. */
+  def withRank(df: DataFrame, rankName: String, sortCols: Column*): DataFrame =
+    withRank(df, rankName, 0, sortCols: _*)
+
+  /** As above with an explicit partition count (0 = the session's
+    * shuffle parallelism). */
+  def withRank(df: DataFrame, rankName: String, numPartitions: Int,
+      sortCols: Column*): DataFrame = {
+    val based = withBaseOffsets(df, lit(1L), numPartitions, sortCols)
     val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
-    ranged
+    based
       .withColumn(rankName,
-        row_number().over(w).cast("long") + element_at(baseOf, col("__pid")))
-      .drop("__pid")
+        row_number().over(w).cast("long") + col("__base"))
+      .drop("__pid", "__base")
   }
 }

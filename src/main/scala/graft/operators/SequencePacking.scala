@@ -35,37 +35,21 @@ object SequencePacking {
     */
   def pack(df: DataFrame, idCol: String, tokCol: String, ctxLen: Long,
       numPartitions: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    val n = if (numPartitions > 0) numPartitions
-            else spark.sessionState.conf.numShufflePartitions
-    // Materialize the range partitioning once: the totals pass and the
-    // final pass must see the SAME partition boundaries (range sampling
-    // is re-run per action otherwise), and the shuffle shouldn't execute
-    // twice either.
-    val ranged = df.repartitionByRange(n, col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    // Phase 1: per-partition totals — n rows, driver-side cumsum.
-    val totals = ranged.groupBy(col("__pid"))
-      .agg(sum(col(tokCol)).as("__t"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1)))
-      .sortBy(_._1)
-    // base of partition i = sum of totals of partitions before i
-    // (exclusive prefix of the sorted totals), shipped as a map literal.
-    val baseOf = typedlit(totals.map(_._1).zip(
-      totals.scanLeft(0L) { case (acc, (_, t)) => acc + t }).toMap)
+    // Phase 1 (shared machinery, GlobalRank.withBaseOffsets): range
+    // partitioning materialized ONCE + per-partition token totals →
+    // broadcast exclusive-prefix base offsets.
+    val based = GlobalRank.withBaseOffsets(df, col(tokCol), numPartitions,
+      Seq(col(idCol)))
     // Phase 2: parallel per-partition cumsum + broadcast base.
     val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    ranged
+    based
       .withColumn("tok_offset",
-        coalesce(sum(col(tokCol)).over(w), lit(0L)) +
-          element_at(baseOf, col("__pid")))
+        coalesce(sum(col(tokCol)).over(w), lit(0L)) + col("__base"))
       .withColumn("seq_first", floor(col("tok_offset") / ctxLen))
       .withColumn("seq_last",
         floor((col("tok_offset") + col(tokCol) - 1) / ctxLen))
       .withColumn("pos_in_seq", col("tok_offset") % ctxLen)
-      .drop("__pid")
+      .drop("__pid", "__base")
   }
 }

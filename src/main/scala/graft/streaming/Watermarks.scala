@@ -170,23 +170,38 @@ object Watermarks {
         K, T, Aligned[T]] {
     @transient private var held:
       org.apache.spark.sql.streaming.ValueState[Seq[T]] = _
+    @transient private var timerAt:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
 
     override def init(outputMode: OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       held = getHandle.getValueState[Seq[T]]("held", heldEnc,
         org.apache.spark.sql.streaming.TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long]("timerAt",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
 
     /** Partition pending rows against wm+drift; emit the releases with
-      * the clamped event-time column, park the rest + a wake-up timer. */
+      * the clamped event-time column, park the rest + a wake-up timer.
+      * The previous timer is deleted before registering the new one —
+      * a persistently lagging key otherwise accumulates one stale
+      * timer per micro-batch (each firing a redundant flush). */
     private def flush(pending: Seq[T], wm: Long): Iterator[Aligned[T]] = {
       val limit = wm + maxDriftMs
       val (release, hold) = pending.partition(t => tsFn(t) <= limit)
+      val prevTimer = if (timerAt.exists()) Some(timerAt.get()) else None
       if (hold.isEmpty) {
         if (held.exists()) held.clear()
+        prevTimer.foreach { t => getHandle.deleteTimer(t); timerAt.clear() }
       } else {
         held.update(hold)
-        getHandle.registerTimer(
-          math.max(hold.map(tsFn).min - maxDriftMs, wm + 1))
+        val next = math.max(hold.map(tsFn).min - maxDriftMs, wm + 1)
+        if (!prevTimer.contains(next)) {
+          prevTimer.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(next)
+          timerAt.update(next)
+        }
       }
       release.iterator.map(t =>
         Aligned(t, new java.sql.Timestamp(math.max(tsFn(t), wm + 1))))

@@ -41,7 +41,16 @@ def main(sf_dir, out_dir):
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # a subset Verify run writes oracle_sql_subset.json (never
+    # clobbering a full record); prefer it when it is the only file or
+    # strictly newer than the full one (the iteration flow)
+    full, sub = f"{out_dir}/oracle_sql.json", f"{out_dir}/oracle_sql_subset.json"
+    if os.path.exists(sub) and (
+            not os.path.exists(full)
+            or os.path.getmtime(sub) > os.path.getmtime(full)):
+        oracle = json.load(open(sub))
+    else:
+        oracle = json.load(open(full))
     results = {}
     for name in sorted(oracle):
         res_dir = f"{out_dir}/{name}"
