@@ -73,6 +73,7 @@ final class SqlGateway(spark: SparkSession, port: Int = 0) {
     val t = new Thread(r, "sql-gateway-op"); t.setDaemon(true); t
   })
   private var server: HttpServer = _
+  private var reaper: java.util.concurrent.ScheduledExecutorService = _
 
   def start(): SqlGateway = synchronized {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -81,13 +82,36 @@ final class SqlGateway(spark: SparkSession, port: Int = 0) {
     }))
     server.createContext("/", (ex: HttpExchange) => handle(ex))
     server.start()
+    // idle-session reaper — the reference gateway's
+    // sql-gateway.session.idle-timeout: a session untouched (no
+    // statement, heartbeat or any other call) for longer than its
+    // timeout is closed so abandoned clients can't pin temp views and
+    // result buffers forever. Per-session override via the
+    // SessionIdleTimeoutKey property; 0 disables for that session.
+    reaper = Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "sql-gateway-reaper"); t.setDaemon(true); t
+    })
+    reaper.scheduleWithFixedDelay(() => reapIdleSessions(),
+      ReapPeriodMs, ReapPeriodMs, TimeUnit.MILLISECONDS)
     this
+  }
+
+  private[api] def reapIdleSessions(): Unit = {
+    val now = System.nanoTime()
+    sessions.forEach { (handle, s) =>
+      val timeoutMs = s.properties.get(SessionIdleTimeoutKey)
+        .flatMap(v => scala.util.Try(v.toLong).toOption)
+        .getOrElse(DefaultSessionIdleTimeoutMs)
+      if (timeoutMs > 0 && (now - s.lastAccess) / 1000000L > timeoutMs)
+        sessions.remove(handle)
+    }
   }
 
   def boundPort: Int = server.getAddress.getPort
 
   def stop(): Unit = synchronized {
     if (server != null) server.stop(0)
+    if (reaper != null) reaper.shutdownNow()
     exec.shutdownNow()
     exec.awaitTermination(5, TimeUnit.SECONDS)
     sessions.clear()
@@ -353,6 +377,12 @@ object SqlGateway {
   /** Session property: rows per result page. */
   val PageSizeKey = "sql-gateway.page-size"
   val DefaultPageSize = 1000
+
+  /** Session property: close the session after this many ms without
+    * any call (statement, heartbeat, …). 0 disables. */
+  val SessionIdleTimeoutKey = "sql-gateway.session.idle-timeout-ms"
+  val DefaultSessionIdleTimeoutMs: Long = 10L * 60 * 1000
+  private[api] val ReapPeriodMs: Long = 10000
 
   private[api] final class GwSession(
       val env: TableEnv,

@@ -182,6 +182,19 @@ class SqlGatewaySpec extends SparkSpec {
     delete(s"/v2/sessions/$a"); delete(s"/v2/sessions/$b")
   }
 
+  test("idle sessions are reaped per their timeout; heartbeat keeps alive") {
+    val dying = openSession(SqlGateway.SessionIdleTimeoutKey -> "1")
+    val immortal = openSession(SqlGateway.SessionIdleTimeoutKey -> "0")
+    val living = openSession() // default 10 min — untouched by the reap
+    Thread.sleep(10) // > the 1ms timeout
+    post(s"/v2/sessions/$living/heartbeat")
+    gw.reapIdleSessions() // deterministic direct tick (no 10s wait)
+    assert(get(s"/v2/sessions/$dying").has("errors"), "idle session kept")
+    assert(!get(s"/v2/sessions/$immortal").has("errors"), "0 must disable")
+    assert(!get(s"/v2/sessions/$living").has("errors"))
+    delete(s"/v2/sessions/$immortal"); delete(s"/v2/sessions/$living")
+  }
+
   test("operation close removes the handle; unknown handles 404") {
     val sh = openSession()
     val (oh, _) = run(sh, "SELECT 1 AS c")
