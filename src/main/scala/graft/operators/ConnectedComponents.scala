@@ -71,9 +71,9 @@ object ConnectedComponents {
 
   private def iterate(und: DataFrame, nEdges: Long,
       maxIter: Int): DataFrame = {
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    var (labels, release) = Checkpoints.tracked(
+      und.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")))
     // convergence probe: labels only ever DECREASE and the id set is
     // fixed, so the label sum is strictly decreasing until the fixed
     // point — an unchanged sum means converged. One scalar aggregate
@@ -90,21 +90,23 @@ object ConnectedComponents {
       // materialized before the self-joins below — a self-join on one
       // lazy plan makes Catalyst's relation dedup mis-resolve the
       // shared attribute ids
-      val next0 = labels.select(col("id"), col("comp")).union(candidates)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(true)
+      val (next0, releaseNext0) = Checkpoints.tracked(
+        labels.select(col("id"), col("comp")).union(candidates)
+          .groupBy("id").agg(min("comp").as("comp")))
       // pointer jumping (comp <- label(comp)): a label is always itself
       // a vertex id, so chasing one hop per round collapses label
       // chains exponentially — convergence in O(log diameter) rounds
       // instead of O(diameter), the doubling trick of the MapReduce CC
       // literature's star operations
-      val next = next0
+      val (next, releaseNext) = Checkpoints.tracked(next0
         .join(next0.select(col("id").as("__cid"), col("comp").as("__cc")),
           col("comp") === col("__cid"), "left")
-        .select(col("id"), coalesce(col("__cc"), col("comp")).as("comp"))
-        .localCheckpoint(true)
+        .select(col("id"), coalesce(col("__cc"), col("comp")).as("comp")))
+      releaseNext0() // next is materialized; the pre-jump table is dead
+      release()      // and so is round t-1
       val s = labelSum(next)
       labels = next
+      release = releaseNext
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       it += 1

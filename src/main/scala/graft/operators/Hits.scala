@@ -45,21 +45,29 @@ object Hits {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var hub = e.select(col("hub_id")).distinct().withColumn("hub", lit(1.0))
     var auth: DataFrame = null
-    for (_ <- 1 to iterations) {
+    // deterministic block release (Checkpoints.tracked): hsum_{t-1}
+    // frees once asum_t materializes (hub_t is a lazy view over it);
+    // asum_t frees once hsum_t materializes — EXCEPT the final
+    // iteration's, whose lazy auth/hub projections feed the output
+    var releaseHsum: () => Unit = () => ()
+    for (i <- 1 to iterations) {
       // checkpoint the SUM table, not the normalized scores: `asum`
       // feeds both the max-broadcast subquery and the main select, so
       // an unmaterialized asum would run the edge join + groupBy twice
       // per half-iteration. The normalization itself is a node-sized
       // scan + broadcast scalar — cheap to leave lazy.
-      val asum = e.join(hub, Seq("hub_id"))
-        .groupBy(col("auth_id")).agg(sum(col("hub")).as("s"))
-        .localCheckpoint(true)
+      val (asum, releaseAsum) = Checkpoints.tracked(
+        e.join(hub, Seq("hub_id"))
+          .groupBy(col("auth_id")).agg(sum(col("hub")).as("s")))
+      releaseHsum()
       auth = asum.crossJoin(broadcast(asum.agg(max(col("s")).as("mx"))))
         .select(col("auth_id"),
           (floor(col("s") / col("mx") * Q) / lit(Q.toDouble)).as("auth"))
-      val hsum = e.join(auth, Seq("auth_id"))
-        .groupBy(col("hub_id")).agg(sum(col("auth")).as("s"))
-        .localCheckpoint(true)
+      val (hsum, rh) = Checkpoints.tracked(
+        e.join(auth, Seq("auth_id"))
+          .groupBy(col("hub_id")).agg(sum(col("auth")).as("s")))
+      if (i < iterations) releaseAsum()
+      releaseHsum = rh
       hub = hsum.crossJoin(broadcast(hsum.agg(max(col("s")).as("mx"))))
         .select(col("hub_id"),
           (floor(col("s") / col("mx") * Q) / lit(Q.toDouble)).as("hub"))

@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * semi-join to drop edges touching sub-k nodes. Rounds are
   * barrier-synchronous (like every Pregel-style loop here); per-round
   * work is linear in the live edge count and the live set only
-  * shrinks. `localCheckpoint(eager)` after each round caps lineage, so
-  * the plan never re-runs prior rounds. The k-core is UNIQUE (the
+  * shrinks. A tracked eager checkpoint after each round caps lineage
+  * AND releases the previous round's blocks deterministically
+  * ([[Checkpoints.tracked]] — relying on the ContextCleaner retained
+  * R rounds of edge copies). The k-core is UNIQUE (the
   * maximal subgraph with min degree >= k), which is what lets the gate
   * oracle certify the result exactly: (a) every survivor keeps >= k
   * surviving neighbors, (b) every removed node has < k surviving
@@ -33,22 +35,23 @@ object KCore {
   def run(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxRounds: Int = 100): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    var live = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .localCheckpoint(true)
+    var (live, release) = Checkpoints.tracked(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     var n = live.count()
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       val keep = live.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
-      val next = live
+      val (next, releaseNext) = Checkpoints.tracked(live
         .join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
-        .localCheckpoint(true)
+        .select(col("src"), col("dst")))
       val m = next.count()
+      release() // round t-1's blocks: next is materialized, free them
       converged = m == n
       live = next
+      release = releaseNext
       n = m
       rounds += 1
     }

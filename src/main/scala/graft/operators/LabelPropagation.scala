@@ -46,14 +46,18 @@ object LabelPropagation {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var lab = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+    var release: () => Unit = () => ()
     for (_ <- 1 to iterations) {
-      lab = und.join(lab, und("src") === lab("node"))
-        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-        // argmax(cnt, then min label): max over (cnt, -label) pairs
-        .groupBy(col("dst"))
-        .agg(max(struct(col("cnt"), negate(col("label")).as("nl"))).as("m"))
-        .select(col("dst").as("node"), negate(col("m.nl")).as("label"))
-        .localCheckpoint(true)
+      val (next, releaseNext) = Checkpoints.tracked(
+        und.join(lab, und("src") === lab("node"))
+          .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+          // argmax(cnt, then min label): max over (cnt, -label) pairs
+          .groupBy(col("dst"))
+          .agg(max(struct(col("cnt"), negate(col("label")).as("nl"))).as("m"))
+          .select(col("dst").as("node"), negate(col("m.nl")).as("label")))
+      release() // previous iterate's blocks, freed deterministically
+      lab = next
+      release = releaseNext
     }
     und.unpersist()
     lab

@@ -55,6 +55,7 @@ object PageRank {
     // the initial uniform rank is a free projection of the cached node
     // set — no materialization needed before the first iteration
     var pr = nodes.withColumn("pr", lit(1.0))
+    var release: () => Unit = () => ()
     for (_ <- 1 to iterations) {
       val contrib = und
         .join(pr, und("src") === pr("node"))
@@ -62,15 +63,18 @@ object PageRank {
         .select(col("dst"),
           (floor(col("pr") / col("outdeg") * Q) / lit(Q.toDouble)).as("c"))
       val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
-      // eager localCheckpoint: one action materializes the iteration AND
-      // caps lineage (previous iterations' blocks are released by the
-      // context cleaner once unreferenced)
-      pr = nodes
+      // tracked eager checkpoint: one action materializes the iteration
+      // AND caps lineage; the previous iterate's blocks are freed
+      // deterministically (Checkpoints.tracked) instead of waiting on
+      // the context cleaner's next GC
+      val (next, releaseNext) = Checkpoints.tracked(nodes
         .join(sums, nodes("node") === sums("dst"), "left")
         .select(col("node"),
           (lit(1.0 - damping) +
-            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr"))
-        .localCheckpoint(true)
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr")))
+      release()
+      pr = next
+      release = releaseNext
     }
     Seq(und, deg, nodes).foreach(_.unpersist())
     pr
