@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.QueryDef
 import graft.operators.{DataSplit, GlobalRank, SequencePacking, Similarity, TextAnalysis, TextDedup}
 import graft.multimodal.Multimodal
@@ -1149,6 +1150,68 @@ object PipelineQueries {
         SELECT p.dst, r.lbl FROM reach r JOIN pairs p ON p.src = r.id
       )
       SELECT id AS vec_id, MIN(lbl) AS group_id FROM reach GROUP BY id"""),
+      bench = false),
+
+    // Dedup-cluster CANONICAL SELECTION — the keep/drop decision that
+    // follows group resolution in every production dedup (Dolma /
+    // DataComp "fuzzy dedup, keep longest"): exact 3-gram Jaccard
+    // pairs (SetSimJoin, the LSH path's exact counterpart) → connected
+    // components → keep the LONGEST document per cluster (ties to the
+    // smaller doc_id). Every document gets (group_id, keep); exactly
+    // one keep per group. The per-group argmax compiles to
+    // WindowGroupLimit-style partial work, never a global sort.
+    // bench=false: inherits q_dedup_groups' driver-synced CC rounds at
+    // tiny SF (constant overhead, not scaling work).
+    QueryDef("q_dedup_keep_best", (s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val docs = t(s, dir, "documents")
+      val tok = docs.select(col("doc_id"),
+        ColumnBridge.column(graft.functions.NGrams(
+          ColumnBridge.expression(lower(col("text"))), 3)).as("token"))
+      val pairs = graft.operators.SetSimJoin
+        .jaccardJoinTokens(tok, "doc_id", "token", 0.6)
+        .select(col("id_a"), col("id_b"))
+      val groups = graft.operators.ConnectedComponents
+        .withSingletons(docs, "doc_id", pairs, "id_a", "id_b")
+      groups.join(docs, groups("id") === docs("doc_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("comp"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .select(col("doc_id"), col("comp").as("group_id"),
+          (col("rk") === 1).as("keep"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH RECURSIVE w AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      tok AS (
+        SELECT DISTINCT doc_id,
+          unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                  FOR i IN range(1, greatest(len(ws) - 1, 1))]) AS token
+        FROM w),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+      i AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM tok a JOIN tok b ON a.token = b.token
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      p0 AS (
+        SELECT id_a, id_b FROM i
+        JOIN sz sa ON sa.doc_id = i.id_a
+        JOIN sz sb ON sb.doc_id = i.id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.6),
+      pairs AS (
+        SELECT id_a AS src, id_b AS dst FROM p0
+        UNION ALL SELECT id_b, id_a FROM p0),
+      reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT p.dst, r.lbl FROM reach r JOIN pairs p ON p.src = r.id),
+      grp AS (SELECT id AS doc_id, MIN(lbl) AS group_id FROM reach GROUP BY id)
+      SELECT d.doc_id, g.group_id,
+        (row_number() OVER (PARTITION BY g.group_id
+           ORDER BY d.n_chars DESC, d.doc_id) = 1) AS keep
+      FROM documents d JOIN grp g ON g.doc_id = d.doc_id
+      ORDER BY d.doc_id"""),
       bench = false),
 
     // END-TO-END embedding curation: exact near-dup pairs -> connected
