@@ -558,6 +558,51 @@ object ClusterQueries {
           // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS psi_term
       FROM lq ORDER BY bucket""")),
 
+    // Curriculum ordering (Bengio et al. 2009 applied to data prep):
+    // rank the corpus by an exact-integer difficulty score — here the
+    // 2^-20-quantized type-token ratio, richer vocabulary = harder —
+    // and cut the rank order into 4 curriculum phases (exact quartiles
+    // via integer arithmetic on the rank), sharding within each phase
+    // by portable hash. The global rank is the distributed two-phase
+    // GlobalRank; phase and shard are pure projections of it, so a
+    // trainer can stream phase 0 → 3 with no further sort.
+    QueryDef("q_curriculum", (s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        split(lower(col("text")), " ").as("ws"))
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n_tok"),
+          size(array_distinct(col("ws"))).cast("long").as("n_types"))
+      val scored = toks.withColumn("difficulty",
+        expr("(n_types * 1048576) div n_tok"))
+      val n = d.count() // plan literal, same discipline as the datasheet
+      GlobalRank.withRank(scored, "r", col("difficulty"), col("doc_id"))
+        .withColumn("phase", expr(s"((r - 1) * 4) div $n").cast("int"))
+        .withColumn("shard",
+          pmod(Sketches.portableHash32(col("doc_id")), lit(8)).cast("int"))
+        .select(col("doc_id"), col("difficulty"), col("r"),
+          col("phase"), col("shard"))
+        .orderBy(col("r"))
+    }, Some(s"""
+      WITH toks AS (
+        SELECT doc_id,
+          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+          CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+            AS n_types
+        FROM documents),
+      scored AS (
+        SELECT doc_id, (n_types * 1048576) // n_tok AS difficulty
+        FROM toks),
+      ranked AS (
+        SELECT doc_id, difficulty,
+          row_number() OVER (ORDER BY difficulty, doc_id) AS r,
+          COUNT(*) OVER () AS n
+        FROM scored)
+      SELECT doc_id, difficulty, r,
+        CAST(((r - 1) * 4) // n AS INT) AS phase,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+          AS INT) AS shard
+      FROM ranked ORDER BY r""")),
+
     // Exact stratified split: per-language EXACT floor(n/5) test rows
     // (hash-bucket splits only hit the ratio in expectation; stratified
     // eval sets need exact counts). Deterministic sample rank per
