@@ -78,6 +78,50 @@ class ChangelogAggPropertySpec extends SparkSpec {
     }, n = 12)
   }
 
+  test("inference-executed upsert compaction equals the net state") {
+    import org.apache.spark.sql.functions.col
+    // random live-state-preserving changelogs: the DropUpdateBefore
+    // path (no -U ever emitted) + keyed-sink last-writer-wins
+    // compaction must land on exactly the same per-key (cnt, sum) as
+    // the direct net materialization — the semantic claim behind the
+    // inference's "a PK sink doesn't need UPDATE_BEFORE" decision
+    val posOpGen = Gen.zip(Gen.oneOf("a", "b", "c"),
+      Gen.choose(1, 6).map(_.toDouble),
+      Gen.frequency(3 -> Gen.const("+I"), 1 -> Gen.const("-D")))
+    val posOpsGen = Gen.choose(1, 16).flatMap(n => Gen.listOfN(n, posOpGen))
+    check(Prop.forAll(posOpsGen) { ops0 =>
+      val seen = scala.collection.mutable.Map.empty[String, Long]
+      val ops = ops0.filter { case (k, _, kind) =>
+        val w = if (kind == "-D") -1L else 1L
+        val n = seen.getOrElse(k, 0L) + w
+        if (n < 0) false else { seen(k) = n; true }
+      }
+      if (ops.isEmpty) true
+      else {
+        val df = ops.zipWithIndex
+          .map { case ((k, v, kind), i) => (k, v, kind, i.toLong) }
+          .toDF("k", "v", ChangelogFormats.RowKindCol, "seq")
+        val plan = ChangelogInference.Sink(
+          ChangelogInference.GroupAgg(
+            ChangelogInference.Source(df, seqCols = Seq("seq")),
+            Seq("k"), "v"),
+          primaryKey = Some(Seq("k")))
+        val got = ChangelogInference.execute(plan).collect()
+          .map(r => r.getString(0) ->
+            (r.getLong(r.fieldIndex("cnt")),
+              r.getDouble(r.fieldIndex("sum_val")))).toMap
+        def w(kind: String) = if (kind == "-D") -1L else 1L
+        val want = ops.groupBy(_._1).flatMap { case (k, rows) =>
+          val cnt = rows.map(r => w(r._3)).sum
+          if (cnt <= 0) None
+          else Some(k -> ((cnt, rows.map(r => w(r._3) * r._2).sum)))
+        }
+        if (got != want) println(s"MISMATCH ops=$ops got=$got want=$want")
+        got == want
+      }
+    }, n = 12)
+  }
+
   test("materialize matches the signed-multiset model") {
     check(Prop.forAll(opsGen) { ops =>
       val df = ops.toDF("k", "v", ChangelogFormats.RowKindCol)
