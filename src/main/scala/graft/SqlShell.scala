@@ -18,8 +18,13 @@ import graft.api.TableEnv
   * joins, ...).
   *
   * Usage:
-  *   sbt "runMain graft.SqlShell"            # REPL on stdin
+  *   sbt "runMain graft.SqlShell"            # REPL on stdin (embedded)
   *   sbt "runMain graft.SqlShell -f q.sql"   # run a script file
+  *   sbt "runMain graft.SqlShell --endpoint host:port [-f q.sql]"
+  *     # GATEWAY MODE: the reference sql-client's second mode — a thin
+  *     # client of a running graft.api.SqlGateway (no local
+  *     # SparkSession at all; statements run in a remote session,
+  *     # results page back over the REST protocol)
   *
   * Statement grammar mirrors sql-client: a statement ends at a `;`
   * outside quotes; `EXECUTE STATEMENT SET BEGIN ... END;` is one
@@ -33,23 +38,118 @@ object SqlShell {
   val DefaultMaxRows = 100
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .appName("graft-sql-shell")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val in = args match {
-      case Array("-f", path) =>
+    val (endpoint, rest) = args.toList match {
+      case "--endpoint" :: ep :: tail => (Some(ep), tail)
+      case other => (None, other)
+    }
+    val in = rest match {
+      case List("-f", path) =>
         new BufferedReader(new java.io.FileReader(path))
       case _ => new BufferedReader(new InputStreamReader(System.in))
     }
     val out = new PrintWriter(System.out, true)
-    val interactive = args.isEmpty && System.console() != null
-    try run(spark, in, out, prompt = interactive)
-    finally { in.close(); spark.stop() }
+    val interactive = rest.isEmpty && System.console() != null
+    endpoint match {
+      case Some(ep) =>
+        val (host, port) = ep.split(":", 2) match {
+          case Array(h, p) => (h, p.toInt)
+          case Array(h) => (h, 8083)
+        }
+        try runGateway(host, port, in, out, prompt = interactive)
+        finally in.close()
+      case None =>
+        val spark = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+          .appName("graft-sql-shell")
+          .config("spark.sql.shuffle.partitions", 8)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        try run(spark, in, out, prompt = interactive)
+        finally { in.close(); spark.stop() }
+    }
+  }
+
+  /** Gateway mode: one remote session, statements over the REST
+    * protocol, rows rendered from the gateway's JSON. Factored for
+    * tests. */
+  def runGateway(host: String, port: Int, in: BufferedReader,
+      out: PrintWriter, prompt: Boolean = false): Unit = {
+    val client = new graft.jdbc.GatewayClient(host, port)
+    val session = client.openSession(Map.empty)
+    if (prompt) out.println(
+      s"graft SQL shell (gateway $host:$port) — statements end with ';'")
+    try loop(in, out, prompt) { stmt =>
+      val t0 = System.nanoTime()
+      val (cols, rows, _) = client.execute(session, stmt)
+      renderRemote(cols, rows, out, ((System.nanoTime() - t0) / 1e6).round)
+    } finally {
+      try client.closeSession(session)
+      catch { case NonFatal(_) => () }
+    }
+  }
+
+  /** ASCII table over the gateway's (columns, JSON rows); DDL results
+    * (no columns) print OK. A changelog result (any row kind other
+    * than INSERT) gets a leading `op` column with the +I/-U/+U/-D
+    * shorthand, like the reference client's changelog display. */
+  private def renderRemote(cols: Seq[(String, String)],
+      rows: Vector[com.fasterxml.jackson.databind.JsonNode],
+      out: PrintWriter, ms: Long): Unit = {
+    if (cols.isEmpty) { out.println(s"[INFO] OK (${ms} ms)"); return }
+    val kinds = rows.map(r =>
+      Option(r.get("kind")).map(_.asText()).getOrElse("INSERT"))
+    val showKind = kinds.exists(_ != "INSERT")
+    val shorthand = Map("INSERT" -> "+I", "UPDATE_BEFORE" -> "-U",
+      "UPDATE_AFTER" -> "+U", "DELETE" -> "-D")
+    val headers =
+      (if (showKind) Seq("op") else Nil) ++ cols.map(_._1)
+    val cells = rows.zip(kinds).map { case (r, k) =>
+      val fields = (0 until cols.length).map { i =>
+        val n = r.get("fields").get(i)
+        if (n == null || n.isNull) "NULL"
+        else if (n.isTextual) n.asText()
+        else n.toString
+      }
+      ((if (showKind) Seq(shorthand.getOrElse(k, k)) else Nil) ++ fields)
+        .map(c => if (c.length > 64) c.take(61) + "..." else c)
+    }
+    printTable(headers, cells, out)
+    out.println(s"[INFO] ${cells.length} rows (${ms} ms)")
+  }
+
+  /** Shared statement-reading loop (embedded and gateway modes). */
+  private def loop(in: BufferedReader, out: PrintWriter, prompt: Boolean)(
+      execStmt: String => Unit): Unit = {
+    val buf = new StringBuilder
+    var done = false
+    def exec(stmt: String): Unit = stmt.trim.toUpperCase match {
+      case "" => ()
+      case "QUIT" | "EXIT" => done = true
+      case "HELP" => out.println(help)
+      case _ =>
+        try execStmt(stmt.trim)
+        catch {
+          case NonFatal(e) =>
+            out.println(s"[ERROR] ${e.getClass.getSimpleName}: " +
+              s"${Option(e.getMessage).getOrElse("").linesIterator
+                .take(4).mkString(" / ")}")
+        }
+    }
+    while (!done) {
+      if (prompt && buf.isEmpty) { out.print("graft> "); out.flush() }
+      val line = in.readLine()
+      if (line == null) {
+        if (buf.toString.trim.nonEmpty) exec(buf.toString)
+        done = true
+      } else {
+        buf.append(line).append('\n')
+        val (stmts, leftover) = splitStatements(buf.toString)
+        buf.clear(); buf.append(leftover)
+        stmts.foreach(st => if (!done) exec(st))
+      }
+    }
   }
 
   /** Drive a full session: read statements, execute, render. Factored
@@ -59,39 +159,10 @@ object SqlShell {
     val env = TableEnv(spark)
     if (prompt) out.println(
       "graft SQL shell — statements end with ';', QUIT; exits, HELP; helps")
-    val buf = new StringBuilder
-    var done = false
-
-    def exec(stmt: String): Unit = stmt.trim.toUpperCase match {
-      case "" => ()
-      case "QUIT" | "EXIT" => done = true
-      case "HELP" => out.println(help)
-      case _ =>
-        try {
-          val t0 = System.nanoTime()
-          val df = env.executeSql(stmt.trim)
-          render(env, df, out, ((System.nanoTime() - t0) / 1e6).round)
-        } catch {
-          case NonFatal(e) =>
-            out.println(s"[ERROR] ${e.getClass.getSimpleName}: " +
-              s"${Option(e.getMessage).getOrElse("").linesIterator
-                .take(4).mkString(" / ")}")
-        }
-    }
-
-    while (!done) {
-      if (prompt && buf.isEmpty) { out.print("graft> "); out.flush() }
-      val line = in.readLine()
-      if (line == null) {
-        // EOF: whatever remains is one last unterminated statement
-        if (buf.toString.trim.nonEmpty) exec(buf.toString)
-        done = true
-      } else {
-        buf.append(line).append('\n')
-        val (stmts, leftover) = splitStatements(buf.toString)
-        buf.clear(); buf.append(leftover)
-        stmts.foreach(st => if (!done) exec(st))
-      }
+    loop(in, out, prompt) { stmt =>
+      val t0 = System.nanoTime()
+      val df = env.executeSql(stmt)
+      render(env, df, out, ((System.nanoTime() - t0) / 1e6).round)
     }
   }
 
@@ -158,6 +229,13 @@ object SqlShell {
       case s: Seq[_] => s.mkString("[", ", ", "]")
       case v => v.toString
     }.map(c => if (c.length > 64) c.take(61) + "..." else c))
+    printTable(headers, cells, out)
+    val n = if (truncated) s"first $cap rows" else s"${shown.length} rows"
+    out.println(s"[INFO] $n (${ms} ms)")
+  }
+
+  private def printTable(headers: Seq[String], cells: Seq[Seq[String]],
+      out: PrintWriter): Unit = {
     val widths = headers.indices.map { i =>
       (headers(i).length +: cells.map(_(i).length)).max
     }
@@ -171,8 +249,6 @@ object SqlShell {
     out.println(line("-"))
     cells.foreach(r => out.println(fmt(r)))
     out.println(line("-"))
-    val n = if (truncated) s"first $cap rows" else s"${shown.length} rows"
-    out.println(s"[INFO] $n (${ms} ms)")
   }
 
   private val help: String =

@@ -14,7 +14,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * One instance per JDBC connection; not thread-safe (JDBC objects are
   * confined to one thread by contract).
   */
-private[jdbc] final class GatewayClient(host: String, port: Int) {
+private[graft] final class GatewayClient(host: String, port: Int) {
 
   private val mapper = new ObjectMapper
   private val base = s"http://$host:$port"

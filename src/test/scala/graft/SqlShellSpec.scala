@@ -113,4 +113,30 @@ class SqlShellSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/o1").count() == 5)
     assert(spark.read.parquet(s"$tmp/o2").count() == 5)
   }
+
+  test("gateway mode: thin client of a live SqlGateway, remote rendering") {
+    val gw = new graft.api.SqlGateway(spark).start()
+    try {
+      val sw = new StringWriter()
+      val script = s"""
+        |CREATE TABLE gwsh (r_regionkey BIGINT, r_name STRING,
+        |  r_comment STRING) WITH ('connector' = 'filesystem',
+        |  'path' = '$sfDir/region.parquet', 'format' = 'parquet');
+        |SELECT r_regionkey, r_name FROM gwsh ORDER BY r_regionkey;
+        |SELECT broken FROM nowhere;
+        |SELECT 1 AS still_alive;
+        |QUIT;
+        |""".stripMargin
+      SqlShell.runGateway("127.0.0.1", gw.boundPort,
+        new BufferedReader(new StringReader(script)),
+        new PrintWriter(sw, true))
+      val out = sw.toString
+      assert(out.contains("[INFO] OK"), out)           // DDL ack
+      assert(out.contains("| r_regionkey | r_name"), out)
+      assert(out.contains("AFRICA"), out)
+      assert(out.contains("[INFO] 5 rows"), out)
+      assert(out.contains("[ERROR]"), out)             // error recovery
+      assert(out.contains("still_alive"), out)
+    } finally gw.stop()
+  }
 }
