@@ -38,17 +38,34 @@ object SqlShell {
   val DefaultMaxRows = 100
 
   def main(args: Array[String]): Unit = {
-    val (endpoint, rest) = args.toList match {
-      case "--endpoint" :: ep :: tail => (Some(ep), tail)
-      case other => (None, other)
+    // flags mirror the reference client: --endpoint (gateway mode),
+    // -i init-file (runs first, session continues), -f script
+    var endpoint: Option[String] = None
+    var initFile: Option[String] = None
+    var script: Option[String] = None
+    var a = args.toList
+    while (a.nonEmpty) a = a match {
+      case "--endpoint" :: ep :: t => endpoint = Some(ep); t
+      case "-i" :: p :: t => initFile = Some(p); t
+      case "-f" :: p :: t => script = Some(p); t
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unknown argument: $other")
+      case Nil => Nil
     }
-    val in = rest match {
-      case List("-f", path) =>
-        new BufferedReader(new java.io.FileReader(path))
-      case _ => new BufferedReader(new InputStreamReader(System.in))
+    val tail = script match {
+      case Some(path) => new java.io.FileReader(path)
+      case None => new InputStreamReader(System.in)
     }
+    // init statements simply prefix the input stream — same statement
+    // grammar, same error recovery, then the session continues
+    val in = new BufferedReader(initFile match {
+      case Some(p) =>
+        val init = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+        new SeqReader(Seq(new java.io.StringReader(init + "\n"), tail))
+      case None => tail
+    })
     val out = new PrintWriter(System.out, true)
-    val interactive = rest.isEmpty && System.console() != null
+    val interactive = script.isEmpty && System.console() != null
     endpoint match {
       case Some(ep) =>
         val (host, port) = ep.split(":", 2) match {
@@ -232,6 +249,24 @@ object SqlShell {
     printTable(headers, cells, out)
     val n = if (truncated) s"first $cap rows" else s"${shown.length} rows"
     out.println(s"[INFO] $n (${ms} ms)")
+  }
+
+  /** Concatenates readers (init file + interactive/script input). */
+  private final class SeqReader(readers: Seq[java.io.Reader])
+      extends java.io.Reader {
+    private val it = readers.iterator
+    private var cur: java.io.Reader = if (it.hasNext) it.next() else null
+    override def read(cbuf: Array[Char], off: Int, len: Int): Int = {
+      while (cur != null) {
+        val n = cur.read(cbuf, off, len)
+        if (n >= 0) return n
+        cur.close()
+        cur = if (it.hasNext) it.next() else null
+      }
+      -1
+    }
+    override def close(): Unit = readers.foreach(r =>
+      try r.close() catch { case _: java.io.IOException => () })
   }
 
   private def printTable(headers: Seq[String], cells: Seq[Seq[String]],
