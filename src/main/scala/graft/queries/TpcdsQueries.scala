@@ -275,19 +275,31 @@ object TpcdsQueries {
                 AND l3.l_returnflag = 'R')""")),
 
     // ---- TPC-DS query18 shape: ROLLUP over a five-table join with
-    // exact averages per hierarchy level (region → nation → total). ----
+    // exact averages per hierarchy level (region → nation → total).
+    // Two-level aggregation: the fact rows aggregate ONCE at the
+    // finest grain (nation) — so Expand never sees the fact table —
+    // and the ROLLUP runs over the ~|nations| partial sums (decimal
+    // sums + counts re-aggregate exactly; avg = Σsum/Σcount is the
+    // identical double division). A naive rollup pushes 3× the fact
+    // rows through the Expand+partial-agg; this was the worst
+    // round-6 10× slope (6.5×) before the rewrite. ----
     QueryDef("q_tpcds_s18", (s, dir) => {
-      t(s, dir, "lineitem")
+      val fine = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")),
           col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")),
           col("n_regionkey") === col("r_regionkey"))
-        .rollup(col("r_name"), col("n_name"))
-        .agg(davg(col("l_quantity")).as("avg_qty"),
-          davg(col("l_extendedprice")).as("avg_price"),
-          davg(col("c_acctbal")).as("avg_bal"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("sq"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 4))).as("sp"),
+          sum(col("c_acctbal").cast(DecimalType(18, 4))).as("sb"),
+          count(lit(1)).as("n"))
+      fine.rollup(col("r_name"), col("n_name"))
+        .agg((sum(col("sq")).cast("double") / sum(col("n"))).as("avg_qty"),
+          (sum(col("sp")).cast("double") / sum(col("n"))).as("avg_price"),
+          (sum(col("sb")).cast("double") / sum(col("n"))).as("avg_bal"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }, Some(s"""
       SELECT r_name, n_name,
@@ -385,17 +397,24 @@ object TpcdsQueries {
     // nation), lochierarchy = GROUPING()+GROUPING(), and a RANK within
     // each (level, parent) frame by the discount-ratio measure. ----
     QueryDef("q_tpcds_s36", (s, dir) => {
-      val num = sum(money(col("l_extendedprice")) * rate(col("l_discount")))
-      val den = sum(money(col("l_extendedprice")))
-      val agg = t(s, dir, "lineitem")
+      // two-level aggregation, same discipline as q_tpcds_s18: the
+      // fact rows aggregate once per nation; the ROLLUP re-aggregates
+      // the exact decimal partials (ratio = Σnum/Σden is the same
+      // single double division)
+      val fine = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, dir, "nation")),
           col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, dir, "region")),
           col("n_regionkey") === col("r_regionkey"))
-        .rollup(col("r_name"), col("n_name"))
-        .agg((num.cast("double") / den.cast("double")).as("disc_ratio"),
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(money(col("l_extendedprice")) * rate(col("l_discount")))
+            .as("num"),
+          sum(money(col("l_extendedprice"))).as("den"))
+      val agg = fine.rollup(col("r_name"), col("n_name"))
+        .agg((sum(col("num")).cast("double") /
+            sum(col("den")).cast("double")).as("disc_ratio"),
           (grouping(col("r_name")) + grouping(col("n_name")))
             .as("lochierarchy"),
           grouping(col("n_name")).as("gn"))
