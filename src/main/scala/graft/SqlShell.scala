@@ -43,13 +43,17 @@ object SqlShell {
     var endpoint: Option[String] = None
     var initFile: Option[String] = None
     var script: Option[String] = None
+    val usage = "usage: SqlShell [--endpoint host[:port]] [-i init.sql] [-f script.sql]"
     var a = args.toList
     while (a.nonEmpty) a = a match {
       case "--endpoint" :: ep :: t => endpoint = Some(ep); t
       case "-i" :: p :: t => initFile = Some(p); t
+      case flag @ ("--endpoint" | "-i" | "-f") :: Nil =>
+        throw new IllegalArgumentException(
+          s"missing value for ${flag.head}\n$usage")
       case "-f" :: p :: t => script = Some(p); t
       case other :: _ =>
-        throw new IllegalArgumentException(s"unknown argument: $other")
+        throw new IllegalArgumentException(s"unknown argument: $other\n$usage")
       case Nil => Nil
     }
     val tail = script match {
@@ -69,7 +73,12 @@ object SqlShell {
     endpoint match {
       case Some(ep) =>
         val (host, port) = ep.split(":", 2) match {
-          case Array(h, p) => (h, p.toInt)
+          case Array(h, p) =>
+            (h, try p.toInt catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"bad port in --endpoint '$ep'\n$usage")
+            })
           case Array(h) => (h, 8083)
         }
         try runGateway(host, port, in, out, prompt = interactive)
@@ -95,13 +104,17 @@ object SqlShell {
       out: PrintWriter, prompt: Boolean = false): Unit = {
     val client = new graft.jdbc.GatewayClient(host, port)
     val session = client.openSession(Map.empty)
+    // keep-alive: the gateway reaps idle sessions; an interactive
+    // shell must survive user think-time
+    val stopHeartbeat = client.startHeartbeat(session)
     if (prompt) out.println(
       s"graft SQL shell (gateway $host:$port) — statements end with ';'")
     try loop(in, out, prompt) { stmt =>
       val t0 = System.nanoTime()
-      val (cols, rows, _) = client.execute(session, stmt)
-      renderRemote(cols, rows, out, ((System.nanoTime() - t0) / 1e6).round)
+      val fetch = client.execute(session, stmt)
+      renderRemote(fetch, out, ((System.nanoTime() - t0) / 1e6).round)
     } finally {
+      stopHeartbeat()
       try client.closeSession(session)
       catch { case NonFatal(_) => () }
     }
@@ -111,29 +124,35 @@ object SqlShell {
     * (no columns) print OK. A changelog result (any row kind other
     * than INSERT) gets a leading `op` column with the +I/-U/+U/-D
     * shorthand, like the reference client's changelog display. */
-  private def renderRemote(cols: Seq[(String, String)],
-      rows: Vector[com.fasterxml.jackson.databind.JsonNode],
+  private def renderRemote(fetch: graft.jdbc.GwFetch,
       out: PrintWriter, ms: Long): Unit = {
+    val cols = fetch.columns
     if (cols.isEmpty) { out.println(s"[INFO] OK (${ms} ms)"); return }
-    val kinds = rows.map(r =>
+    val shown = fetch.rows.take(DefaultMaxRows)
+    val displayTruncated = fetch.rows.length > DefaultMaxRows
+    val kinds = shown.map(r =>
       Option(r.get("kind")).map(_.asText()).getOrElse("INSERT"))
     val showKind = kinds.exists(_ != "INSERT")
     val shorthand = Map("INSERT" -> "+I", "UPDATE_BEFORE" -> "-U",
       "UPDATE_AFTER" -> "+U", "DELETE" -> "-D")
     val headers =
       (if (showKind) Seq("op") else Nil) ++ cols.map(_._1)
-    val cells = rows.zip(kinds).map { case (r, k) =>
+    val cells = shown.zip(kinds).map { case (r, k) =>
       val fields = (0 until cols.length).map { i =>
         val n = r.get("fields").get(i)
         if (n == null || n.isNull) "NULL"
         else if (n.isTextual) n.asText()
         else n.toString
       }
-      ((if (showKind) Seq(shorthand.getOrElse(k, k)) else Nil) ++ fields)
-        .map(c => if (c.length > 64) c.take(61) + "..." else c)
+      (if (showKind) Seq(shorthand.getOrElse(k, k)) else Nil) ++ fields
     }
     printTable(headers, cells, out)
-    out.println(s"[INFO] ${cells.length} rows (${ms} ms)")
+    val label =
+      if (fetch.truncated)
+        s"first ${shown.length} rows (result truncated at the gateway's fetch cap)"
+      else if (displayTruncated) s"first ${shown.length} rows"
+      else s"${shown.length} rows"
+    out.println(s"[INFO] $label (${ms} ms)")
   }
 
   /** Shared statement-reading loop (embedded and gateway modes). */
@@ -245,7 +264,7 @@ object SqlShell {
       case a: Array[_] => a.mkString("[", ", ", "]")
       case s: Seq[_] => s.mkString("[", ", ", "]")
       case v => v.toString
-    }.map(c => if (c.length > 64) c.take(61) + "..." else c))
+    })
     printTable(headers, cells, out)
     val n = if (truncated) s"first $cap rows" else s"${shown.length} rows"
     out.println(s"[INFO] $n (${ms} ms)")
@@ -269,8 +288,10 @@ object SqlShell {
       try r.close() catch { case _: java.io.IOException => () })
   }
 
-  private def printTable(headers: Seq[String], cells: Seq[Seq[String]],
+  private def printTable(headers: Seq[String], cells0: Seq[Seq[String]],
       out: PrintWriter): Unit = {
+    val cells = cells0.map(_.map(c =>
+      if (c.length > 64) c.take(61) + "..." else c))
     val widths = headers.indices.map { i =>
       (headers(i).length +: cells.map(_(i).length)).max
     }

@@ -102,8 +102,15 @@ final class SqlGateway(spark: SparkSession, port: Int = 0) {
       val timeoutMs = s.properties.get(SessionIdleTimeoutKey)
         .flatMap(v => scala.util.Try(v.toLong).toOption)
         .getOrElse(DefaultSessionIdleTimeoutMs)
-      if (timeoutMs > 0 && (now - s.lastAccess) / 1000000L > timeoutMs)
+      if (timeoutMs > 0 && (now - s.lastAccess) / 1000000L > timeoutMs) {
         sessions.remove(handle)
+        // reclaim in-flight work too: an abandoned session's running
+        // statements must not keep burning cluster resources
+        s.operations.forEach { (oh, op) =>
+          if (op.status.compareAndSet("RUNNING", "CANCELED"))
+            spark.sparkContext.cancelJobGroup(oh)
+        }
+      }
     }
   }
 
@@ -192,6 +199,10 @@ final class SqlGateway(spark: SparkSession, port: Int = 0) {
     exec.submit(new Runnable {
       def run(): Unit =
         try {
+          // per-operation job group: cancel/reap can abort the Spark
+          // jobs, not just flip the status flag
+          s.env.spark.sparkContext.setJobGroup(oh,
+            s"sql-gateway operation $oh", interruptOnCancel = true)
           val df = s.env.executeSql(stmt)
           op.result = collectBounded(df, s)
           // only flip RUNNING → FINISHED; a concurrent cancel wins
@@ -201,7 +212,7 @@ final class SqlGateway(spark: SparkSession, port: Int = 0) {
             op.errorMessage =
               s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
             op.status.compareAndSet("RUNNING", "ERROR")
-        }
+        } finally s.env.spark.sparkContext.clearJobGroup()
     })
     reply(ex, 200, obj(_.put("operationHandle", oh)))
   }
@@ -212,7 +223,8 @@ final class SqlGateway(spark: SparkSession, port: Int = 0) {
       case ("GET", List("status")) =>
         reply(ex, 200, obj(_.put("status", op.status.get())))
       case ("POST", List("cancel")) =>
-        op.status.compareAndSet("RUNNING", "CANCELED")
+        if (op.status.compareAndSet("RUNNING", "CANCELED"))
+          spark.sparkContext.cancelJobGroup(oh) // abort the running jobs
         reply(ex, 200, obj(_.put("status", op.status.get())))
       case ("DELETE", List("close")) =>
         sessions.get(sh).operations.remove(oh)

@@ -13,7 +13,17 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   *
   * One instance per JDBC connection; not thread-safe (JDBC objects are
   * confined to one thread by contract).
-  */
+  *
+  * Results are [[GwFetch]] values. */
+/** One driven-to-completion statement's result: schema, all fetched
+  * rows (bounded by the gateway's max-fetch-rows), whether it was a
+  * query, and whether the gateway truncated the result at its cap. */
+private[graft] final case class GwFetch(
+    columns: Seq[(String, String)],
+    rows: Vector[JsonNode],
+    isQueryResult: Boolean,
+    truncated: Boolean)
+
 private[graft] final class GatewayClient(host: String, port: Int) {
 
   private val mapper = new ObjectMapper
@@ -51,17 +61,34 @@ private[graft] final class GatewayClient(host: String, port: Int) {
   def closeOperation(session: String, op: String): Unit =
     http("DELETE", s"/v2/sessions/$session/operations/$op/close", null)
 
+  def heartbeat(session: String): Unit = {
+    http("POST", s"/v2/sessions/$session/heartbeat",
+      mapper.createObjectNode()); ()
+  }
+
+  /** Daemon keep-alive against the gateway's idle-session reaper — an
+    * interactive client (JDBC connection, shell session) must outlive
+    * user think-time. Returns a canceller. */
+  def startHeartbeat(session: String, periodMs: Long = 60000L): () => Unit = {
+    val t = new java.util.Timer("gateway-heartbeat", true)
+    t.scheduleAtFixedRate(new java.util.TimerTask {
+      def run(): Unit =
+        try heartbeat(session) catch { case _: SQLException => () }
+    }, periodMs, periodMs)
+    () => t.cancel()
+  }
+
   def fetch(session: String, op: String, token: Int): JsonNode =
     http("GET", s"/v2/sessions/$session/operations/$op/result/$token", null)
 
   /** Submit and drive to completion: poll status, then page results
-    * until EOS. Returns (columns, rows, isQueryResult); throws
-    * SQLException carrying the gateway's error text on ERROR, and
-    * SQLTimeoutException after `timeoutMs` (0 = unbounded), cancelling
-    * the server-side operation first. The operation is closed on every
-    * path — an errored statement must not leak server-side state. */
-  def execute(session: String, statement: String, timeoutMs: Long = 0L):
-      (Seq[(String, String)], Vector[JsonNode], Boolean) = {
+    * until EOS. Throws SQLException carrying the gateway's error text
+    * on ERROR, and SQLTimeoutException after `timeoutMs`
+    * (0 = unbounded), cancelling the server-side operation first. The
+    * operation is closed on every path — an errored statement must not
+    * leak server-side state. */
+  def execute(session: String, statement: String, timeoutMs: Long = 0L)
+      : GwFetch = {
     val deadline =
       if (timeoutMs > 0) System.nanoTime() + timeoutMs * 1000000L
       else Long.MaxValue
@@ -85,6 +112,7 @@ private[graft] final class GatewayClient(host: String, port: Int) {
       var columns = Seq.empty[(String, String)]
       var rows = Vector.empty[JsonNode]
       var isQuery = false
+      var truncated = false
       var done = false
       while (!done) {
         checkDeadline(op)
@@ -108,12 +136,14 @@ private[graft] final class GatewayClient(host: String, port: Int) {
             }
             if (page.has("isQueryResult"))
               isQuery = page.get("isQueryResult").asBoolean()
+            if (page.has("truncated") && page.get("truncated").asBoolean())
+              truncated = true
             val it = res.get("data").elements()
             while (it.hasNext) rows :+= it.next()
             if (!page.has("nextResultUri")) done = true else token += 1
         }
       }
-      (columns, rows, isQuery)
+      GwFetch(columns, rows, isQuery, truncated)
     } finally {
       try closeOperation(session, op) catch { case _: SQLException => () }
     }

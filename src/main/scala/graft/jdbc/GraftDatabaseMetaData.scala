@@ -14,7 +14,7 @@ final class GraftDatabaseMetaData(conn: GraftConnection, url: String)
   private def no: Nothing = throw new SQLFeatureNotSupportedException
 
   private def rowsOf(stmt: String): Vector[String] =
-    try conn.client.execute(conn.session, stmt)._2
+    try conn.client.execute(conn.session, stmt).rows
       .map(_.get("fields").get(0).asText())
     catch { case _: SQLException => Vector.empty }
 
@@ -93,7 +93,7 @@ final class GraftDatabaseMetaData(conn: GraftConnection, url: String)
       .filter(t => tableRx.findFirstIn(t).isDefined).sorted
     val cols = tables.flatMap { table =>
       val described =
-        try conn.client.execute(conn.session, s"DESCRIBE `$table`")._2
+        try conn.client.execute(conn.session, s"DESCRIBE `$table`").rows
         catch { case _: SQLException => Vector.empty }
       described.zipWithIndex.collect {
         case (row, i)

@@ -292,14 +292,18 @@ object TpcdsQueries {
         .join(broadcast(t(s, dir, "region")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("sq"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 4))).as("sp"),
-          sum(col("c_acctbal").cast(DecimalType(18, 4))).as("sb"),
-          count(lit(1)).as("n"))
+        // per-measure NON-NULL counts — davg (and the oracle's
+        // davgSql) divide by COUNT(x), not COUNT(*)
+        .agg(sum(col("l_quantity").cast(d184)).as("sq"),
+          count(col("l_quantity")).as("nq"),
+          sum(col("l_extendedprice").cast(d184)).as("sp"),
+          count(col("l_extendedprice")).as("np"),
+          sum(col("c_acctbal").cast(d184)).as("sb"),
+          count(col("c_acctbal")).as("nb"))
       fine.rollup(col("r_name"), col("n_name"))
-        .agg((sum(col("sq")).cast("double") / sum(col("n"))).as("avg_qty"),
-          (sum(col("sp")).cast("double") / sum(col("n"))).as("avg_price"),
-          (sum(col("sb")).cast("double") / sum(col("n"))).as("avg_bal"))
+        .agg((sum(col("sq")).cast("double") / sum(col("nq"))).as("avg_qty"),
+          (sum(col("sp")).cast("double") / sum(col("np"))).as("avg_price"),
+          (sum(col("sb")).cast("double") / sum(col("nb"))).as("avg_bal"))
         .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }, Some(s"""
       SELECT r_name, n_name,

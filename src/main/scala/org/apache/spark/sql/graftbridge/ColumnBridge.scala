@@ -33,4 +33,15 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The persisted RDD backing a localCheckpoint'd DataFrame (its plan
+    * is a LogicalRDD leaf) — the precise unpersist handle
+    * Dataset.localCheckpoint does not expose. None for any other plan
+    * shape. */
+  def backingRdd(df: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
 }
