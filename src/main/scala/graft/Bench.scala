@@ -32,6 +32,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Measurement-environment record (round-6 verdict): heap size alone
+    // moves the same query up to 7× at local[32] (GC geometry), so a
+    // timing is only comparable to another timing AT THE SAME HEAP.
+    // Record the actual JVM heap + version in the JSON line and flag
+    // runs outside the 8 GiB reference window so a driver record and a
+    // builder run can be told apart at a glance instead of silently
+    // disagreeing. (Not fail-fast: a bench record at a flagged heap is
+    // still better than no record.)
+    val heapBytes = Runtime.getRuntime.maxMemory
+    val refHeap = 8L << 30
+    val heapOk = heapBytes >= (refHeap * 3 / 4) && heapBytes <= (refHeap * 3 / 2)
+    val jvm = System.getProperty("java.version", "?")
+    if (!heapOk) System.err.println(
+      s"[bench] WARNING: heap ${heapBytes >> 20} MiB is outside the 8 GiB " +
+        "reference window — timings are NOT comparable to same-query runs " +
+        "at the reference heap (set SPARK_DRIVER_MEM=8g)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -87,10 +103,12 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val headlineSet = headline.toSet
     val shortQs = toJson(results.filter(r => headlineSet.contains(r._1)))
+    val env =
+      s""""heap_bytes":$heapBytes,"heap_ok":$heapOk,"jvm":"$jvm","cpus":$cpus"""
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$shortQs,"failed":$failed,"sf":"$sfDir","detail":"BENCH_QUERIES.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$env,"queries":$shortQs,"failed":$failed,"sf":"$sfDir","detail":"BENCH_QUERIES.json"}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$env,"queries":${toJson(results)},"failed":$failed,"sf":"$sfDir"}"""
     // complete per-query record — stdout only gets the short line.
     // Arg-filtered iteration runs must NOT clobber the durable full
     // record with a subset snapshot.

@@ -158,7 +158,7 @@ final class SqlGateway(spark: SparkSession, port: Int = 0) {
                 case (_, "operations" :: oh :: opRest) =>
                   s.operations.get(oh) match {
                     case null => error(ex, 404, s"unknown operation handle: $oh")
-                    case op => operation(ex, method, op, sh, oh, opRest)
+                    case op => operation(ex, method, s, op, sh, oh, opRest)
                   }
                 case _ => error(ex, 404, "no such endpoint")
               }
@@ -217,8 +217,8 @@ final class SqlGateway(spark: SparkSession, port: Int = 0) {
     reply(ex, 200, obj(_.put("operationHandle", oh)))
   }
 
-  private def operation(ex: HttpExchange, method: String, op: GwOperation,
-      sh: String, oh: String, rest: List[String]): Unit =
+  private def operation(ex: HttpExchange, method: String, s: GwSession,
+      op: GwOperation, sh: String, oh: String, rest: List[String]): Unit =
     (method, rest) match {
       case ("GET", List("status")) =>
         reply(ex, 200, obj(_.put("status", op.status.get())))
@@ -227,7 +227,11 @@ final class SqlGateway(spark: SparkSession, port: Int = 0) {
           spark.sparkContext.cancelJobGroup(oh) // abort the running jobs
         reply(ex, 200, obj(_.put("status", op.status.get())))
       case ("DELETE", List("close")) =>
-        sessions.get(sh).operations.remove(oh)
+        // use the session already resolved in handle() — re-looking it
+        // up raced the idle reaper (or a concurrent DELETE), turning an
+        // idempotent close into a 500 NPE; close must stay CLOSED even
+        // if the session vanished in between
+        s.operations.remove(oh)
         reply(ex, 200, obj(_.put("status", "CLOSED")))
       case ("GET", List("result", tokenStr)) =>
         val token = try tokenStr.toInt catch {

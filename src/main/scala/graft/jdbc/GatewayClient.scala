@@ -114,6 +114,27 @@ private[graft] final class GatewayClient(host: String, port: Int) {
       var isQuery = false
       var truncated = false
       var done = false
+      // schema/flags appear on EVERY result page, including a bare EOS:
+      // a zero-row SELECT gets EOS as its FIRST fetch, and dropping the
+      // metadata there would misclassify the query as an update
+      // (executeQuery() would then throw on a perfectly valid empty
+      // result set). Parse them on both branches.
+      def absorbMeta(page: JsonNode): Unit = {
+        val res = if (page.has("results")) page.get("results") else null
+        if (columns.isEmpty && res != null && res.has("columns")) {
+          val it = res.get("columns").elements()
+          val b = Seq.newBuilder[(String, String)]
+          while (it.hasNext) {
+            val c = it.next()
+            b += c.get("name").asText() -> c.get("logicalType").asText()
+          }
+          columns = b.result()
+        }
+        if (page.has("isQueryResult"))
+          isQuery = page.get("isQueryResult").asBoolean()
+        if (page.has("truncated") && page.get("truncated").asBoolean())
+          truncated = true
+      }
       while (!done) {
         checkDeadline(op)
         val page = fetch(session, op, token)
@@ -122,23 +143,11 @@ private[graft] final class GatewayClient(host: String, port: Int) {
           case "EOS" =>
             if (page.has("errors") && page.get("errors").size() > 0)
               throw new SQLException(page.get("errors").get(0).asText())
+            absorbMeta(page)
             done = true
           case _ => // PAYLOAD
-            val res = page.get("results")
-            if (columns.isEmpty && res.has("columns")) {
-              val it = res.get("columns").elements()
-              val b = Seq.newBuilder[(String, String)]
-              while (it.hasNext) {
-                val c = it.next()
-                b += c.get("name").asText() -> c.get("logicalType").asText()
-              }
-              columns = b.result()
-            }
-            if (page.has("isQueryResult"))
-              isQuery = page.get("isQueryResult").asBoolean()
-            if (page.has("truncated") && page.get("truncated").asBoolean())
-              truncated = true
-            val it = res.get("data").elements()
+            absorbMeta(page)
+            val it = page.get("results").get("data").elements()
             while (it.hasNext) rows :+= it.next()
             if (!page.has("nextResultUri")) done = true else token += 1
         }

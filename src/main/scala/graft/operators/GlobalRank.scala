@@ -36,37 +36,58 @@ object GlobalRank {
     * and `__base` (the exclusive prefix sum of earlier partitions'
     * totals — a broadcast map literal). Partitions emptied by range
     * sampling simply contribute 0 to later prefixes. Callers drop
-    * both columns when done. */
+    * both columns when done.
+    *
+    * RETENTION: the output lazily depends on an eager localCheckpoint
+    * (the two passes must see identical range boundaries), so its
+    * blocks stay persisted until the returned release() is called or
+    * the ContextCleaner eventually notices — they can NOT be freed
+    * before the caller has materialized everything derived from the
+    * frame. Long-lived sessions issuing many ranks should call
+    * release() after their terminal action ([[withRankTracked]]);
+    * one-shot jobs can ignore it. */
   private[operators] def withBaseOffsets(df: DataFrame, weight: Column,
-      numPartitions: Int, sortCols: Seq[Column]): DataFrame = {
+      numPartitions: Int, sortCols: Seq[Column]): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    val (ranged, release) = Checkpoints.tracked(
+      df.repartitionByRange(n, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()))
     val totals = ranged.groupBy(col("__pid"))
       .agg(sum(weight).as("__t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val baseOf = typedlit(totals.map(_._1).zip(
       totals.scanLeft(0L) { case (acc, (_, t)) => acc + t }).toMap)
-    ranged.withColumn("__base", element_at(baseOf, col("__pid")))
+    (ranged.withColumn("__base", element_at(baseOf, col("__pid"))), release)
   }
 
   /** Adds `rankName` = global 1-based row number of the total order
-    * given by `sortCols`. */
+    * given by `sortCols`. The result retains its internal checkpoint's
+    * blocks until driver GC — see [[withRankTracked]] for long-lived
+    * sessions that need deterministic release. */
   def withRank(df: DataFrame, rankName: String, sortCols: Column*): DataFrame =
     withRank(df, rankName, 0, sortCols: _*)
 
   /** As above with an explicit partition count (0 = the session's
     * shuffle parallelism). */
   def withRank(df: DataFrame, rankName: String, numPartitions: Int,
-      sortCols: Column*): DataFrame = {
-    val based = withBaseOffsets(df, lit(1L), numPartitions, sortCols)
+      sortCols: Column*): DataFrame =
+    withRankTracked(df, rankName, numPartitions, sortCols: _*)._1
+
+  /** [[withRank]] plus a release() handle that unpersists the internal
+    * range-partitioned checkpoint. Call it only AFTER materializing
+    * every action derived from the returned frame (write, collect) —
+    * the rank output recomputes from the checkpoint, not the input. */
+  def withRankTracked(df: DataFrame, rankName: String, numPartitions: Int,
+      sortCols: Column*): (DataFrame, () => Unit) = {
+    val (based, release) =
+      withBaseOffsets(df, lit(1L), numPartitions, sortCols)
     val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
-    based
+    val out = based
       .withColumn(rankName,
         row_number().over(w).cast("long") + col("__base"))
       .drop("__pid", "__base")
+    (out, release)
   }
 }

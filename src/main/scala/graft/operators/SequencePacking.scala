@@ -38,8 +38,8 @@ object SequencePacking {
     // Phase 1 (shared machinery, GlobalRank.withBaseOffsets): range
     // partitioning materialized ONCE + per-partition token totals →
     // broadcast exclusive-prefix base offsets.
-    val based = GlobalRank.withBaseOffsets(df, col(tokCol), numPartitions,
-      Seq(col(idCol)))
+    val (based, _) = GlobalRank.withBaseOffsets(df, col(tokCol),
+      numPartitions, Seq(col(idCol)))
     // Phase 2: parallel per-partition cumsum + broadcast base.
     val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -63,6 +63,50 @@ class JdbcDriverSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("zero-row SELECT is still a query: empty result set with schema") {
+    // regression: the gateway answers a zero-row SELECT with EOS as the
+    // FIRST fetch; the client must still absorb the schema/isQueryResult
+    // flags from that page or executeQuery() misclassifies the
+    // statement as an update and throws on a perfectly valid result
+    val conn = connect()
+    try {
+      conn.createStatement().execute(
+        s"CREATE TABLE jz (n_nationkey BIGINT, n_name STRING, " +
+          s"n_regionkey BIGINT, n_comment STRING) WITH ('connector'='filesystem', " +
+          s"'path'='$sfDir/nation.parquet', 'format'='parquet')")
+      val rs = conn.createStatement().executeQuery(
+        "SELECT n_nationkey, n_name FROM jz WHERE false")
+      val md = rs.getMetaData
+      assert(md.getColumnCount == 2)
+      assert(md.getColumnName(1) == "n_nationkey")
+      assert(md.getColumnType(1) == Types.BIGINT)
+      assert(!rs.next())
+      rs.close()
+    } finally conn.close()
+  }
+
+  test("prepared statement: ? in comments and quoted identifiers is literal") {
+    val conn = connect()
+    try {
+      conn.createStatement().execute(
+        s"CREATE TABLE jc (n_nationkey BIGINT, n_name STRING, " +
+          s"n_regionkey BIGINT, n_comment STRING) WITH ('connector'='filesystem', " +
+          s"'path'='$sfDir/nation.parquet', 'format'='parquet')")
+      // the '?' and the apostrophe inside the -- comment must not count
+      // as a placeholder / string-open; the backtick-quoted identifier
+      // likewise; only the two bare ? are parameters
+      val ps = conn.prepareStatement(
+        "SELECT n_name -- what's this ? not a param\n" +
+          "FROM jc WHERE `n_nationkey` = ? AND n_name <> ?")
+      ps.setLong(1, 4L)
+      ps.setString(2, "nope")
+      val rs = ps.executeQuery()
+      assert(rs.next() && rs.getString(1) == "NATION_4")
+      assert(!rs.next())
+      ps.close()
+    } finally conn.close()
+  }
+
   test("statement errors surface as SQLException with the gateway message") {
     val conn = connect()
     try {
