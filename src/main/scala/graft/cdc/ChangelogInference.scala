@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   * q_cdc_agg_join_chain) hand-composed these decisions; this module
   * derives them for an arbitrary tree of the supported operators:
   *
-  *   Source (insert-only | retract changelog)
+  *   Source (insert-only | retract changelog | keyed upsert changelog)
   *   Calc (stateless project/filter — mode transparent)
   *   EnrichJoin (changelog ⋈ static dimension — mode transparent)
+  *   Join (changelog ⋈ changelog, inner/left/right/full — BOTH sides
+  *         update; executed by [[ChangelogJoin]]'s batch-exact replay
+  *         of the reference StreamingJoinOperator)
   *   GroupAgg (retractable COUNT/SUM — consumes its input's changes,
   *             produces an update stream)
   *   Sink (with or without a primary key)
@@ -25,24 +28,39 @@ import org.apache.spark.sql.functions._
   * Inference (two passes, as in the reference):
   *
   *   - bottom-up "produced": Source produces [I] or [I,UB,UA,D];
-  *     Calc/EnrichJoin pass through; GroupAgg produces an updating
-  *     stream whose flavor is decided by the consumer below.
+  *     Calc/EnrichJoin pass through; an inner Join of two insert-only
+  *     inputs stays insert-only, any other Join updates; GroupAgg
+  *     produces an updating stream whose flavor is decided by the
+  *     consumer below.
   *   - top-down "required": a Sink whose primaryKey equals the update
   *     key of its updating input requires only UPSERT [I,UA,D] — its
   *     producing GroupAgg therefore never emits -U (and emits -D on
-  *     group death). A Sink without a primary key requires the full
-  *     RETRACT stream [I,UB,UA,D]. A GroupAgg over an updating input
-  *     ALWAYS requires retract from below (it must subtract the old
-  *     contribution before adding the new one). A GroupAgg over an
-  *     insert-only input requires just [I].
+  *     group death). A keyed Sink whose input updates on a DIFFERENT
+  *     key still accepts the stream but needs UPSERT MATERIALIZATION
+  *     (the reference's SinkUpsertMaterializer,
+  *     table.exec.sink.upsert-materialize=AUTO): per sink key it keeps
+  *     the multiset of live rows and exposes the latest-added survivor.
+  *     A Sink without a primary key requires the full RETRACT stream
+  *     [I,UB,UA,D]. A GroupAgg or Join over an updating input ALWAYS
+  *     requires retract from below (old contributions must be
+  *     subtracted before new ones are added). Over insert-only inputs
+  *     they require just [I].
   *
-  * Execution replays the decided plan with [[ChangelogAgg]]: every
-  * GroupAgg runs `updateStream(emitUpdateBefore = <decided>)`, and a
-  * keyed Sink materializes last-writer-wins state (exactly what an
-  * upsert sink's compaction does). Batch determinism: each Source
-  * declares its arrival-order columns; GroupAgg emissions propagate
-  * them (`__seq_*`, `__sub`) so downstream stages order changes the
-  * way a stream would.
+  * Node identity is REFERENCE identity (eq), not case-class equality:
+  * two structurally identical subtrees in one plan are distinct
+  * operators with possibly different mode decisions, and a genuinely
+  * shared subtree (same instance under two branches) is one operator
+  * whose demands merge (Retract wins over Upsert).
+  *
+  * Execution replays the decided plan with [[ChangelogAgg]] /
+  * [[ChangelogJoin]]: every GroupAgg runs
+  * `updateStream(emitUpdateBefore = <decided>)`, and a keyed Sink
+  * materializes last-writer-wins state (exactly what an upsert sink's
+  * compaction does) or, when the update key differs from the sink key,
+  * the full upsert-materializer multiset state. Batch determinism:
+  * each Source declares its arrival-order columns; GroupAgg and Join
+  * emissions propagate them (`__seq_*`, `__side`, `__eidx`, `__sub`)
+  * so downstream stages order changes the way a stream would.
   */
 object ChangelogInference {
 
@@ -60,17 +78,30 @@ object ChangelogInference {
 
   sealed trait Node
   /** `seqCols`: columns giving the deterministic arrival order of the
-    * changelog (required when any GroupAgg consumes this source). The
-    * DataFrame must carry `__row_kind` unless `insertOnly`. */
+    * changelog (required when any GroupAgg/Join consumes this source).
+    * The DataFrame must carry `__row_kind` unless `insertOnly`.
+    * `key`: declares the changelog KEYED — at most one live row per
+    * key value at any time (an upsert changelog whose -U/+U always
+    * target the current row of that key); lets a Sink with the same
+    * primary key compact last-writer-wins without materialization. */
   final case class Source(df: DataFrame, insertOnly: Boolean = false,
-      seqCols: Seq[String] = Nil) extends Node
+      seqCols: Seq[String] = Nil, key: Option[Seq[String]] = None)
+    extends Node
   /** Stateless row transform; must preserve `__row_kind` and the
-    * sequence columns. */
+    * sequence columns. If the plan's update key flows through this
+    * Calc, the transform must preserve those columns too — validated
+    * at execute time. */
   final case class Calc(child: Node, f: DataFrame => DataFrame) extends Node
   /** Enrichment join against a STATIC (bounded, unchanging) dimension —
     * row kinds pass through; the dim side broadcasts. */
   final case class EnrichJoin(child: Node, dim: DataFrame,
       streamKey: String, dimKey: String) extends Node
+  /** Changelog ⋈ changelog equi-join where BOTH inputs may update.
+    * `joinType`: inner | left | right | full. Executed by
+    * [[ChangelogJoin.updateStream]]; both inputs' sequence columns
+    * must be comparable (same count/types) under one global order. */
+  final case class Join(left: Node, right: Node, leftKey: String,
+      rightKey: String, joinType: String = "inner") extends Node
   /** Retractable grouped COUNT/SUM over `valCol`, keyed by `keys`.
     * Output columns: keys..., cnt, sum_val, __row_kind. */
   final case class GroupAgg(child: Node, keys: Seq[String],
@@ -80,75 +111,115 @@ object ChangelogInference {
   final case class Sink(child: Node, primaryKey: Option[Seq[String]] = None)
     extends Node
 
+  /** eq-based key so structurally equal but distinct operators never
+    * collide (and a shared instance is one operator). */
+  private final class Ref(val n: Node) {
+    override def hashCode: Int = System.identityHashCode(n)
+    override def equals(o: Any): Boolean = o match {
+      case r: Ref => r.n.asInstanceOf[AnyRef] eq n.asInstanceOf[AnyRef]
+      case _ => false
+    }
+  }
+
   /** The derived plan: per-node produced mode, per-GroupAgg
-    * UPDATE_BEFORE decision, and the sink's accepted mode. */
-  final case class Inferred(
-      produced: Map[Node, Mode],
-      emitUpdateBefore: Map[Node, Boolean],
-      sinkMode: Mode)
+    * UPDATE_BEFORE decision, the sink's accepted mode, and whether the
+    * sink needs upsert materialization (sink key ≠ update key). */
+  final class Inferred private[ChangelogInference] (
+      producedMap: Map[Ref, Mode],
+      emitUBMap: Map[Ref, Boolean],
+      val sinkMode: Mode,
+      val sinkMaterialize: Boolean) {
+    def produced(n: Node): Mode = producedMap(new Ref(n))
+    def emitUpdateBefore(n: Node): Boolean = emitUBMap(new Ref(n))
+  }
 
   /** The "update key" a node's updating output is keyed on, if any. */
   private def updateKey(n: Node): Option[Seq[String]] = n match {
     case GroupAgg(_, keys, _) => Some(keys)
-    case Calc(c, _) => updateKey(c) // projection must preserve the key
+    case Calc(c, _) => updateKey(c) // key preservation validated in execute
     case EnrichJoin(c, _, _, _) => updateKey(c)
-    case Source(_, _, _) => None
+    case Join(_, _, _, _, _) => None // join output rows are not keyed
+    case Source(_, _, _, key) => key
     case Sink(c, _) => updateKey(c)
   }
 
   /** Two-pass mode derivation. Throws IllegalArgumentException for
-    * impossible plans (an updating stream into a keyless insert-only
-    * consumer is not one — that is just the retract mode). */
+    * impossible plans. */
   def infer(sink: Sink): Inferred = {
     // bottom-up: what each node WOULD produce, before consumer demands
     def produces(n: Node): Mode = n match {
-      case Source(_, insertOnly, _) => if (insertOnly) InsertOnly else Retract
+      case Source(_, insertOnly, _, _) =>
+        if (insertOnly) InsertOnly else Retract
       case Calc(c, _) => produces(c)
       case EnrichJoin(c, _, _, _) => produces(c)
+      case Join(l, r, _, _, jt) =>
+        // inner join of append inputs is append; everything else
+        // updates (outer joins retract their null-padded rows even
+        // over append inputs)
+        if (jt == "inner" && !produces(l).isUpdating &&
+          !produces(r).isUpdating) InsertOnly
+        else Retract
       case GroupAgg(c, _, _) =>
         // a grouped aggregate over ANY input is an updating stream;
         // flavor (upsert vs retract) is fixed top-down
         Retract
       case s: Sink => produces(s.child)
     }
-    var produced = Map.empty[Node, Mode]
-    var emitUB = Map.empty[Node, Boolean]
-    // top-down: what the consumer requires of `n`
+    var produced = Map.empty[Ref, Mode]
+    var emitUB = Map.empty[Ref, Boolean]
+    // top-down: what the consumer requires of `n`. A node reached by
+    // two consumers (shared subtree) merges demands: Retract wins.
     def walk(n: Node, required: Mode): Unit = {
+      val ref = new Ref(n)
       n match {
-        case src @ Source(_, insertOnly, _) =>
-          produced += (src -> (if (insertOnly) InsertOnly else Retract))
-        case c @ Calc(ch, _) =>
-          walk(ch, required); produced += (c -> produced(ch))
-        case j @ EnrichJoin(ch, _, _, _) =>
-          walk(ch, required); produced += (j -> produced(ch))
+        case src @ Source(_, insertOnly, _, _) =>
+          produced += (ref -> (if (insertOnly) InsertOnly else Retract))
+        case Calc(ch, _) =>
+          walk(ch, required); produced += (ref -> produced(new Ref(ch)))
+        case EnrichJoin(ch, _, _, _) =>
+          walk(ch, required); produced += (ref -> produced(new Ref(ch)))
+        case j @ Join(l, r, _, _, _) =>
+          // the join consumes raw retract streams on updating inputs
+          Seq(l, r).foreach { ch =>
+            walk(ch, if (produces(ch).isUpdating) Retract else InsertOnly)
+            require(!(produces(ch).isUpdating &&
+              produced(new Ref(ch)) != Retract),
+              "Join over an updating input requires the retract stream")
+          }
+          produced += (ref -> produces(j))
         case a @ GroupAgg(ch, _, _) =>
           // the aggregate's own input must carry retractions whenever
           // the input updates; insert-only inputs need nothing more
           val childMode = produces(ch)
           walk(ch, if (childMode.isUpdating) Retract else InsertOnly)
-          require(!(childMode.isUpdating && produced(ch) != Retract),
+          require(!(childMode.isUpdating &&
+            produced(new Ref(ch)) != Retract),
             "GroupAgg over an updating input requires the retract stream")
-          val mode = if (required == Upsert) Upsert else Retract
-          produced += (a -> mode)
-          emitUB += (a -> (mode == Retract))
+          val demanded = if (required == Upsert) Upsert else Retract
+          // merged demand across consumers: Retract wins
+          val mode =
+            if (produced.get(ref).contains(Retract)) Retract else demanded
+          produced += (ref -> mode)
+          emitUB += (ref -> (mode == Retract))
         case s: Sink => throw new IllegalStateException("nested sink")
       }
     }
     val childMode = produces(sink.child)
-    val sinkMode: Mode =
-      if (!childMode.isUpdating) InsertOnly
+    val childKey = updateKey(sink.child)
+    val (sinkMode: Mode, materialize: Boolean) =
+      if (!childMode.isUpdating) (InsertOnly, false)
       else sink.primaryKey match {
-        case Some(pk) if updateKey(sink.child).contains(pk) => Upsert
-        case Some(pk) =>
-          throw new IllegalArgumentException(
-            s"sink primary key $pk does not match the update key " +
-              s"${updateKey(sink.child)} of its input — an upsert sink " +
-              "must be keyed on the update key")
-        case None => Retract
+        case Some(pk) if childKey.contains(pk) => (Upsert, false)
+        case Some(_) =>
+          // sink key ≠ update key (or the stream is unkeyed): accept
+          // the retract stream and materialize — the reference's
+          // SinkUpsertMaterializer AUTO decision
+          (Retract, true)
+        case None => (Retract, false)
       }
-    walk(sink.child, sinkMode)
-    Inferred(produced, emitUB, sinkMode)
+    walk(sink.child, if (materialize) Retract else sinkMode)
+    new Inferred(produced, emitUB,
+      if (materialize) Upsert else sinkMode, materialize)
   }
 
   /** Executed flow: the stream DataFrame plus its arrival-order
@@ -157,18 +228,37 @@ object ChangelogInference {
 
   /** Build the decided plan. Returns the CHANGE STREAM delivered to the
     * sink (kinds as decided), or — for a keyed sink — the MATERIALIZED
-    * last-writer-wins state (what the upsert sink's compaction holds;
-    * no `__row_kind` column). */
+    * state (what the upsert sink holds; no `__row_kind` column). */
   def execute(sink: Sink): DataFrame = {
     val inf = infer(sink)
     def build(n: Node): Flow = n match {
-      case Source(df, insertOnly, seqCols) =>
+      case Source(df, insertOnly, seqCols, _) =>
         Flow(if (insertOnly) df.withColumn(K, lit("+I")) else df, seqCols)
-      case Calc(c, f) =>
-        val fl = build(c); Flow(f(fl.df), fl.seq)
-      case EnrichJoin(c, dim, sk, dk) =>
-        val fl = build(c)
+      case c @ Calc(ch, f) =>
+        val fl = build(ch)
+        val out = f(fl.df)
+        // a Calc on an updating stream must preserve the update key —
+        // silently dropping it would mis-compact an upsert sink
+        if (inf.produced(c).isUpdating) updateKey(ch).foreach { key =>
+          val missing = key.filterNot(out.columns.contains)
+          require(missing.isEmpty,
+            s"Calc dropped update-key column(s) $missing — an updating " +
+              "stream's key must flow through stateless transforms")
+        }
+        Flow(out, fl.seq)
+      case EnrichJoin(ch, dim, sk, dk) =>
+        val fl = build(ch)
         Flow(fl.df.join(broadcast(dim), col(sk) === col(dk)), fl.seq)
+      case Join(l, r, lk, rk, jt) =>
+        val fl = build(l); val fr = build(r)
+        require(fl.seq.nonEmpty && fr.seq.nonEmpty,
+          "Join needs arrival-order columns on both inputs")
+        require(fl.seq.length == fr.seq.length,
+          "Join inputs' sequence columns must be comparable " +
+            s"(got ${fl.seq} vs ${fr.seq})")
+        val out = ChangelogJoin.updateStream(fl.df, fr.df, lk, rk, jt,
+          fl.seq, fr.seq)
+        Flow(out, ChangelogJoin.seqColumns(fl.seq.length))
       case a @ GroupAgg(c, keys, valCol) =>
         val fl = build(c)
         require(fl.seq.nonEmpty,
@@ -190,14 +280,52 @@ object ChangelogInference {
         require(fl.seq.nonEmpty,
           "keyed sink needs arrival-order columns to compact " +
             "last-writer-wins (declare Source.seqCols)")
-        // upsert-sink compaction: last writer per key wins; a key whose
-        // final row is a delete (or a dangling -U) leaves the store
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(pk.map(col): _*)
-          .orderBy(fl.seq.map(c => col(c).desc): _*)
-        fl.df.withColumn("__last", row_number().over(w))
-          .filter(col("__last") === 1 && col(K).isin("+I", "+U"))
-          .drop((fl.seq.filter(_.startsWith("__")) :+ "__last" :+ K): _*)
+        require(pk.forall(fl.df.columns.contains),
+          s"sink primary key $pk not present in the delivered stream " +
+            s"(${fl.df.columns.mkString(", ")})")
+        if (inf.sinkMaterialize) materializeUpsert(fl, pk)
+        else {
+          // upsert-sink compaction: last writer per key wins; a key
+          // whose final row is a delete (or a dangling -U) leaves the
+          // store. Sound because the stream is KEYED on pk: at most one
+          // live row per key at any time.
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(pk.map(col): _*)
+            .orderBy(fl.seq.map(c => col(c).desc): _*)
+          fl.df.withColumn("__last", row_number().over(w))
+            .filter(col("__last") === 1 && col(K).isin("+I", "+U"))
+            .drop((fl.seq.filter(_.startsWith("__")) :+ "__last" :+ K): _*)
+        }
     }
+  }
+
+  /** The reference's SinkUpsertMaterializer
+    * (flink-table-runtime/.../operators/sink/SinkUpsertMaterializer
+    * .java): for a retract stream NOT keyed on the sink's primary key,
+    * last-writer-wins is wrong — a -D retracting an OLD row would
+    * erase a NEWER live one. The materializer keeps the multiset of
+    * live rows per sink key and exposes the LATEST-ADDED survivor.
+    *
+    * Batch replay: per (key, full row content) compute the net weight
+    * and the last accumulate time; contents with net > 0 are live; the
+    * survivor per key is the live content with the greatest last-add
+    * time. Two keyed shuffles (content-level partial agg, then per-key
+    * top-1) — state proportional to live rows, never the changelog. */
+  private def materializeUpsert(fl: Flow, pk: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val content = fl.df.columns.toSeq
+      .filterNot(c => c == K || fl.seq.contains(c))
+    val seqStruct = struct(fl.seq.map(col): _*)
+    val w = ChangelogAgg.weight(col(K)).cast("long")
+    val perContent = fl.df
+      .groupBy(content.map(col): _*)
+      .agg(sum(w).as("__net"),
+        max(when(col(K).isin("+I", "+U"), seqStruct)).as("__lastAdd"))
+      .filter(col("__net") > 0)
+    val win = Window.partitionBy(pk.map(col): _*)
+      .orderBy(col("__lastAdd").desc)
+    perContent.withColumn("__r", row_number().over(win))
+      .filter(col("__r") === 1)
+      .drop("__net", "__lastAdd", "__r")
   }
 }

@@ -1,0 +1,194 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changelog ⋈ changelog join — BOTH sides update. Batch-exact replay
+  * of the reference's streaming join (flink-table-runtime/.../operators/
+  * join/stream/StreamingJoinOperator.java:37, with the outer-join
+  * association counting of OuterJoinRecordStateViews.java:336): every
+  * input change on either side probes the other side's state AS OF ITS
+  * ARRIVAL and emits the corresponding joined changes, so a downstream
+  * retractable aggregate ([[ChangelogAgg]]) or an upsert sink sees the
+  * exact change stream a streaming job would produce.
+  *
+  * Event model: each input row is a change event with a row kind
+  * (+I/-U/+U/-D → weight ±1) and per-side sequence columns giving its
+  * arrival order. Both sides' sequence columns must be comparable
+  * (same count and types); the global processing order is
+  * (seq, side) with the LEFT side winning ties — i.e. at an identical
+  * sequence value the left change is applied first. Within one side the
+  * sequence must be unique per event (it is the event's identity).
+  *
+  * Emissions per event, exactly the reference's operator logic:
+  *
+  *  - an event `e` on one side emits one joined row per LIVE matching
+  *    row of the other side's state at its arrival time (live = net
+  *    weight of that row content > 0, a row appearing k times emits k
+  *    rows), carrying `e`'s own row kind;
+  *  - outer variants (left/right/full) null-pad: an event with NO live
+  *    match on the padded side emits (row, nulls) with its own kind;
+  *    and an event on the OTHER side whose key's association count
+  *    crosses zero (0→n on an insert, n→0 on the last retraction)
+  *    emits the padding transition for every live padded-side row:
+  *    `-U`(row, nulls) when the first association appears, `+U`(row,
+  *    nulls) when the last disappears. The association count per key is
+  *    the batch replay of OuterJoinRecordStateView's per-record
+  *    `numOfAssociations`.
+  *
+  * Output: left payload ++ right payload ++ `__row_kind` ++ the
+  * emission's order columns `__seq_0..n-1` (the driving event's
+  * sequence), `__side` (0 = left-driven, 1 = right-driven) and
+  * `__eidx` (deterministic index among one event's emissions) — a
+  * total order ready to feed [[ChangelogAgg.updateStream]] or an
+  * upsert compaction.
+  *
+  * Scale shape: two shuffle joins keyed on the join key (probe-side
+  * events × state-side events, one per direction) plus per-key window
+  * prefix sums for the association counter — the work is proportional
+  * to the number of (event, live-match) pairs, which is exactly the
+  * number of rows a real streaming join would emit, not all-pairs. Skew
+  * on a hot join key concentrates in that key's partition, as it does
+  * in the reference's keyed state.
+  */
+object ChangelogJoin {
+
+  private val K = ChangelogFormats.RowKindCol
+
+  def updateStream(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, joinType: String,
+      leftSeq: Seq[String], rightSeq: Seq[String]): DataFrame = {
+    require(Set("inner", "left", "right", "full")(joinType),
+      s"unsupported join type: $joinType")
+    val n = leftSeq.length
+    require(n > 0 && rightSeq.length == n,
+      "both sides need the same number of sequence columns")
+    val lp = left.columns.toSeq.filterNot(c => c == K || leftSeq.contains(c))
+    val rp = right.columns.toSeq.filterNot(c => c == K || rightSeq.contains(c))
+    require(lp.intersect(rp).isEmpty,
+      s"payload columns must be disjoint across sides: ${lp.intersect(rp)}")
+
+    // events: payload + signed weight + kind + normalized seq struct
+    // (field names _0.._n-1 so both sides' __t structs are comparable)
+    def events(df: DataFrame, pay: Seq[String], seq: Seq[String]): DataFrame =
+      df.select((pay.map(col) ++ Seq(
+        ChangelogAgg.weight(col(K)).cast("long").as("__w"),
+        col(K).as("__kind"),
+        struct(seq.zipWithIndex.map { case (c, i) => col(c).as(s"_$i") }: _*)
+          .as("__t"))): _*)
+    val le = events(left, lp, leftSeq)
+    val re = events(right, rp, rightSeq)
+
+    def nullPay(src: DataFrame, pay: Seq[String]): Seq[Column] =
+      pay.map(c => lit(null).cast(src.schema(c).dataType).as(c))
+
+    // ---- match emissions: events of `e` probing `s`'s state ----
+    // state of `s` as of event time: s-events strictly before (or at,
+    // when `inclusive` — the left-side-first tie rule) the e-event.
+    // Grouped by (event, state-row content): __m = live multiplicity.
+    def matchGroups(e: DataFrame, s: DataFrame, ek: String, sk: String,
+        ePay: Seq[String], sPay: Seq[String], inclusive: Boolean)
+        : DataFrame = {
+      val before =
+        if (inclusive) col("s.__t") <= col("e.__t")
+        else col("s.__t") < col("e.__t")
+      e.alias("e").join(s.alias("s"),
+          col(s"e.$ek") === col(s"s.$sk") && before, "inner")
+        .groupBy((Seq(col("e.__t").as("__t"), col("e.__kind").as("__kind")) ++
+          ePay.map(c => col(s"e.$c").as(c)) ++
+          sPay.map(c => col(s"s.$c").as(c))): _*)
+        .agg(sum(col("s.__w")).as("__m"))
+        .filter(col("__m") > 0)
+    }
+
+    // ---- padding transitions: events of `e` whose key's association
+    // count crosses zero, probing `s` for the live padded rows ----
+    def transitions(e: DataFrame, s: DataFrame, ek: String, sk: String,
+        sPay: Seq[String], inclusive: Boolean): DataFrame = {
+      val winK = Window.partitionBy(col(ek)).orderBy(col("__t"))
+      val crossed = e
+        .withColumn("__cb", coalesce(
+          sum(col("__w")).over(winK.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .filter((col("__cb") === 0 && col("__w") > 0) ||
+          (col("__cb") + col("__w") === 0 && col("__w") < 0))
+        // first association arrived → RETRACT the null-padded rows;
+        // last association died → re-ADD them
+        .withColumn("__tk",
+          when(col("__w") > 0, lit("-U")).otherwise(lit("+U")))
+      val before =
+        if (inclusive) col("s.__t") <= col("e.__t")
+        else col("s.__t") < col("e.__t")
+      crossed.alias("e").join(s.alias("s"),
+          col(s"e.$ek") === col(s"s.$sk") && before, "inner")
+        .groupBy((Seq(col("e.__t").as("__t"), col("e.__tk").as("__kind")) ++
+          sPay.map(c => col(s"s.$c").as(c))): _*)
+        .agg(sum(col("s.__w")).as("__m"))
+        .filter(col("__m") > 0)
+    }
+
+    // canonical emission schema: lp ++ rp ++ __kind ++ __t ++ __side ++
+    // __ctag ++ __dup (multiplicity exploded)
+    def finish(df: DataFrame, side: Int, ctag: Int): DataFrame =
+      df.select((lp.map(col) ++ rp.map(col) ++ Seq(col("__kind"), col("__t"),
+        lit(side).as("__side"), lit(ctag).as("__ctag"),
+        explode(sequence(lit(1L), col("__m"))).as("__dup"))): _*)
+
+    val aGrp = matchGroups(le, re, leftKey, rightKey, lp, rp,
+      inclusive = false) // right state strictly before a left event
+    val bGrp = matchGroups(re, le, rightKey, leftKey, rp, lp,
+      inclusive = true) // left state at-or-before a right event
+
+    val components = scala.collection.mutable.ArrayBuffer[DataFrame](
+      finish(aGrp, side = 0, ctag = 0),
+      finish(bGrp, side = 1, ctag = 1))
+
+    if (joinType == "left" || joinType == "full") {
+      // left events with no live right match → (l, nulls) in their kind
+      val aPad = le.join(aGrp.select(col("__t")).distinct(), Seq("__t"),
+          "left_anti")
+        .select((lp.map(col) ++ nullPay(right, rp) ++
+          Seq(col("__kind"), col("__t"), lit(1L).as("__m"))): _*)
+      components += finish(aPad, side = 0, ctag = 2)
+      // right events crossing the association boundary → padding
+      // transitions over the live left rows
+      val bTrans = transitions(re, le, rightKey, leftKey, lp,
+          inclusive = true)
+        .select((lp.map(col) ++ nullPay(right, rp) ++
+          Seq(col("__kind"), col("__t"), col("__m"))): _*)
+      components += finish(bTrans, side = 1, ctag = 3)
+    }
+    if (joinType == "right" || joinType == "full") {
+      val bPad = re.join(bGrp.select(col("__t")).distinct(), Seq("__t"),
+          "left_anti")
+        .select((nullPay(left, lp) ++ rp.map(col) ++
+          Seq(col("__kind"), col("__t"), lit(1L).as("__m"))): _*)
+      components += finish(bPad, side = 1, ctag = 4)
+      val aTrans = transitions(le, re, leftKey, rightKey, rp,
+          inclusive = false)
+        .select((nullPay(left, lp) ++ rp.map(col) ++
+          Seq(col("__kind"), col("__t"), col("__m"))): _*)
+      components += finish(aTrans, side = 0, ctag = 5)
+    }
+
+    val all = components.reduce(_ unionByName _)
+    // deterministic per-event emission index: one driving event may emit
+    // through several components (e.g. a right insert emits its matches
+    // AND the null-padding retractions) — number them by content so the
+    // downstream total order (seq, side, eidx) is reproducible
+    val winE = Window.partitionBy(col("__t"), col("__side"))
+      .orderBy((Seq(col("__ctag")) ++ lp.map(col) ++ rp.map(col) :+
+        col("__dup")): _*)
+    val seqFields =
+      (0 until n).map(i => col("__t").getField(s"_$i").as(s"__seq_$i"))
+    all.withColumn("__eidx", row_number().over(winE))
+      .select((lp.map(col) ++ rp.map(col) :+ col("__kind").as(K)) ++
+        seqFields ++ Seq(col("__side"), col("__eidx")): _*)
+  }
+
+  /** The order-column names the emitted stream carries, for wiring into
+    * downstream stages. */
+  def seqColumns(n: Int): Seq[String] =
+    (0 until n).map(i => s"__seq_$i") ++ Seq("__side", "__eidx")
+}

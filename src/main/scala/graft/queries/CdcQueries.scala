@@ -424,7 +424,90 @@ object CdcQueries {
         CAST(SUM(w * v) AS DOUBLE) AS total
       FROM changes GROUP BY o_custkey
       HAVING SUM(w) > 0
-      ORDER BY o_custkey"""))
+      ORDER BY o_custkey""")),
+
+    // Changelog ⋈ changelog with BOTH sides updating (reference
+    // StreamingJoinOperator): the order changelog (price doublings,
+    // deletions) joins the customer changelog (nation reassignments,
+    // deletions); every change on either side probes the other side's
+    // state as of its arrival. The inference decides: Join over two
+    // updating sources → retract stream; GroupAgg over the join →
+    // requires retract; PK sink on the agg key → the agg drops -U.
+    // Oracle: the emitted stream's net must equal joining the two NET
+    // states — a wrong multiplicity, a missed retraction, or a
+    // mis-ordered probe anywhere hash-mismatches.
+    QueryDef("q_cdc_join_infer", (s, dir) => {
+      import ChangelogInference._
+      val plan = Sink(
+        GroupAgg(
+          Join(
+            Source(orderChangelog(s, dir), seqCols = Seq("seq", "stage")),
+            Source(customerChangelog(s, dir), seqCols = Seq("seq", "stage")),
+            "o_custkey", "c_custkey", "inner"),
+          Seq("c_nationkey"), "v"),
+        primaryKey = Some(Seq("c_nationkey")))
+      val inf = infer(plan)
+      require(inf.sinkMode == Upsert && !inf.sinkMaterialize,
+        "agg-keyed pk sink must be plain upsert")
+      ChangelogInference.execute(plan)
+        .select(col("c_nationkey").cast("int").as("nationkey"),
+          col("cnt").as("n_pairs"),
+          col("sum_val").cast("double").as("sum_v"))
+        .orderBy(col("nationkey"))
+    }, Some(s"""
+      WITH olive AS (
+        SELECT o_custkey,
+          CASE WHEN o_orderkey % 10 = 0 THEN ${moneySql("o_totalprice")} * 2
+               ELSE ${moneySql("o_totalprice")} END AS v
+        FROM orders WHERE o_orderkey % 10 <> 1),
+      clive AS (
+        SELECT c_custkey,
+          CAST(CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25
+               ELSE c_nationkey END AS INTEGER) AS nationkey
+        FROM customer WHERE c_custkey % 7 <> 1)
+      SELECT nationkey, COUNT(*) AS n_pairs,
+        CAST(SUM(v) AS DOUBLE) AS sum_v
+      FROM olive JOIN clive ON olive.o_custkey = clive.c_custkey
+      GROUP BY nationkey
+      ORDER BY nationkey""")),
+
+    // LEFT OUTER changelog join: association counting
+    // (OuterJoinRecordStateViews) decides when the null-padded
+    // (customer, NULL) rows appear and disappear — a customer whose
+    // orders all die gets its padding back, a first order retracts it.
+    // The padded rows flow through the same retractable aggregate
+    // (SUM skips the null v, COUNT includes the row).
+    QueryDef("q_cdc_join_outer", (s, dir) => {
+      import ChangelogInference._
+      val plan = Sink(
+        GroupAgg(
+          Join(
+            Source(customerChangelog(s, dir), seqCols = Seq("seq", "stage")),
+            Source(orderChangelog(s, dir), seqCols = Seq("seq", "stage")),
+            "c_custkey", "o_custkey", "left"),
+          Seq("c_nationkey"), "v"),
+        primaryKey = Some(Seq("c_nationkey")))
+      ChangelogInference.execute(plan)
+        .select(col("c_nationkey").cast("int").as("nationkey"),
+          col("cnt").as("n_rows"),
+          col("sum_val").cast("double").as("sum_v"))
+        .orderBy(col("nationkey"))
+    }, Some(s"""
+      WITH olive AS (
+        SELECT o_custkey,
+          CASE WHEN o_orderkey % 10 = 0 THEN ${moneySql("o_totalprice")} * 2
+               ELSE ${moneySql("o_totalprice")} END AS v
+        FROM orders WHERE o_orderkey % 10 <> 1),
+      clive AS (
+        SELECT c_custkey,
+          CAST(CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25
+               ELSE c_nationkey END AS INTEGER) AS nationkey
+        FROM customer WHERE c_custkey % 7 <> 1)
+      SELECT nationkey, COUNT(*) AS n_rows,
+        CAST(SUM(v) AS DOUBLE) AS sum_v
+      FROM clive LEFT JOIN olive ON clive.c_custkey = olive.o_custkey
+      GROUP BY nationkey
+      ORDER BY nationkey"""))
   )
 
   /** The synthesized order changelog shared by the retraction-chain
@@ -448,6 +531,30 @@ object CdcQueries {
           when(m10 === 0, ch(col("v") * 2, "+U", 2)),
           when(m10 === 1, ch(col("v"), "-D", 3))))).as("__c"))
       .select(col("o_custkey"), col("__c.v").as("v"),
+        col(s"__c.$k").as(k), col("seq"), col("__c.stage").as("stage"))
+  }
+
+  /** Customer-side changelog for the two-sided join queries: inserts
+    * for every customer, a nation reassignment (-U/+U) for
+    * custkey%7=0, a deletion for custkey%7=1, sequenced (custkey,
+    * stage). Its (seq, stage) columns are comparable with
+    * [[orderChangelog]]'s — one global arrival order across both
+    * sides (left wins ties, deterministically). */
+  private def customerChangelog(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val k = ChangelogFormats.RowKindCol
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val m7 = pmod(col("c_custkey"), lit(7))
+    def ch(nk: org.apache.spark.sql.Column, kind: String, stage: Int) =
+      struct(nk.cast("int").as("nk"), lit(kind).as(k), lit(stage).as("stage"))
+    c.select(col("c_custkey"), col("c_custkey").as("seq"),
+        explode(array_compact(array(
+          ch(col("c_nationkey"), "+I", 0),
+          when(m7 === 0, ch(col("c_nationkey"), "-U", 1)),
+          when(m7 === 0, ch(pmod(col("c_nationkey") + 1, lit(25)), "+U", 2)),
+          when(m7 === 1, ch(col("c_nationkey"), "-D", 3))))).as("__c"))
+      .select(col("c_custkey"), col("__c.nk").as("c_nationkey"),
         col(s"__c.$k").as(k), col("seq"), col("__c.stage").as("stage"))
   }
 }

@@ -56,10 +56,82 @@ class ChangelogInferenceSpec extends SparkSpec {
     assert(inf.produced(outer) == Upsert && !inf.emitUpdateBefore(outer))
   }
 
-  test("pk not matching the update key is rejected") {
+  test("pk not matching the update key engages the upsert materializer") {
     val agg = GroupAgg(Source(srcDf, seqCols = Seq("seq")), Seq("k"), "v")
-    intercept[IllegalArgumentException](
-      infer(Sink(agg, primaryKey = Some(Seq("v")))))
+    val sink = Sink(agg, primaryKey = Some(Seq("cnt")))
+    val inf = infer(sink)
+    // sink key cnt ≠ update key k: the aggregate must emit the full
+    // retract stream and the sink materializes (SinkUpsertMaterializer)
+    assert(inf.sinkMaterialize && inf.sinkMode == Upsert)
+    assert(inf.produced(agg) == Retract && inf.emitUpdateBefore(agg))
+    val state = ChangelogInference.execute(sink)
+      .select(col("k"), col("cnt"), col("sum_val"))
+      .as[(String, Long, Double)].collect().toSet
+    // live contents: only a's final (2, 15); b's states all netted away
+    assert(state == Set(("a", 2L, 15.0)))
+  }
+
+  test("materializer beats last-writer-wins on out-of-key-order deletes") {
+    // two rows share sink key p; the OLDER one is deleted LAST — naive
+    // last-writer-wins would drop the key entirely, the materializer
+    // keeps the newer live row (the reference SinkUpsertMaterializer
+    // scenario)
+    val df = Seq(
+      ("x", "p", 1.0, "+I", 1L),
+      ("y", "p", 2.0, "+I", 2L),
+      ("x", "p", 1.0, "-D", 3L)
+    ).toDF("id", "pk", "v", K, "seq")
+    val sink = Sink(Source(df, seqCols = Seq("seq")),
+      primaryKey = Some(Seq("pk")))
+    val inf = infer(sink)
+    assert(inf.sinkMaterialize)
+    val state = ChangelogInference.execute(sink)
+      .select(col("id"), col("pk"), col("v"))
+      .as[(String, String, Double)].collect().toSet
+    assert(state == Set(("y", "p", 2.0)))
+  }
+
+  test("source with a declared key compacts last-writer-wins, no materializer") {
+    // a keyed upsert changelog: one live row per id at any time
+    val df = Seq(
+      ("x", 1.0, "+I", 1L),
+      ("x", 2.0, "+U", 2L),
+      ("y", 9.0, "+I", 3L),
+      ("y", 9.0, "-D", 4L)
+    ).toDF("id", "v", K, "seq")
+    val sink = Sink(
+      Source(df, seqCols = Seq("seq"), key = Some(Seq("id"))),
+      primaryKey = Some(Seq("id")))
+    val inf = infer(sink)
+    assert(!inf.sinkMaterialize && inf.sinkMode == Upsert)
+    val state = ChangelogInference.execute(sink)
+      .select(col("id"), col("v")).as[(String, Double)].collect().toSet
+    assert(state == Set(("x", 2.0)))
+  }
+
+  test("calc dropping the update key is rejected at execute") {
+    val agg = GroupAgg(Source(srcDf, seqCols = Seq("seq")), Seq("k"), "v")
+    val calc = Calc(agg, _.drop("k"))
+    val e = intercept[IllegalArgumentException](
+      ChangelogInference.execute(Sink(calc, primaryKey = Some(Seq("k")))))
+    assert(e.getMessage.contains("update-key"))
+  }
+
+  test("join mode inference: inner-append stays append, updating side retracts") {
+    val a = Source(Seq(("a", 1.0, 1L)).toDF("k", "v", "seq"),
+      insertOnly = true, seqCols = Seq("seq"))
+    val b = Source(Seq(("a", 2.0, 2L)).toDF("k2", "w", "seq2"),
+      insertOnly = true, seqCols = Seq("seq2"))
+    val innerAppend = Join(a, b, "k", "k2", "inner")
+    assert(infer(Sink(innerAppend)).sinkMode == InsertOnly)
+    // an updating left side makes the join output a retract stream
+    val upd = Source(srcDf.withColumnRenamed("k", "k1"),
+      seqCols = Seq("seq"))
+    val j = Join(upd, b, "k1", "k2", "inner")
+    val inf = infer(Sink(j))
+    assert(inf.produced(j) == Retract && inf.sinkMode == Retract)
+    // and an outer join updates even over append inputs
+    assert(infer(Sink(Join(a, b, "k", "k2", "left"))).sinkMode == Retract)
   }
 
   test("insert-only source into insert-only sink needs no kinds at all") {
