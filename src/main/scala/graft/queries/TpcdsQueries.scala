@@ -689,6 +689,309 @@ object TpcdsQueries {
         (SELECT COUNT(*) AS h6 FROM lineitem
           WHERE l_quantity > 36 AND l_quantity <= 42) s6,
         (SELECT COUNT(*) AS h7 FROM lineitem
-          WHERE l_quantity > 42 AND l_quantity <= 48) s7"""))
+          WHERE l_quantity > 42 AND l_quantity <= 48) s7""")),
+
+    // ---- TPC-DS query47 shape: monthly brand sales with (1) the
+    // yearly average over a (brand, year) window, (2) the time-ordered
+    // rank, and (3) the PREVIOUS/NEXT month's sales — the original's
+    // v1_lag/v1_lead rank self-joins expressed as LAG/LEAD over the
+    // same (brand) partition ordered by time (identical semantics:
+    // the inner self-join's boundary-dropping behavior is mirrored by
+    // filtering the null lag/lead rows). Deviating months of 1998,
+    // ordered by deviation. ----
+    QueryDef("q_tpcds_s47", (s, dir) => {
+      val monthly = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), year(col("l_shipdate")).as("y"),
+          month(col("l_shipdate")).as("m"))
+        .agg(sum(money(col("l_extendedprice"))).as("sales_dec"))
+      val wYear = Window.partitionBy(col("p_brand"), col("y"))
+      val wTime = Window.partitionBy(col("p_brand"))
+        .orderBy(col("y"), col("m"))
+      val win = monthly
+        .withColumn("avg_monthly_sales",
+          (sum(col("sales_dec")).over(wYear).cast("double") /
+            count(lit(1)).over(wYear)))
+        .withColumn("rn", rank().over(wTime).cast("long"))
+        .withColumn("psum", lag(col("sales_dec"), 1).over(wTime)
+          .cast("double"))
+        .withColumn("nsum", lead(col("sales_dec"), 1).over(wTime)
+          .cast("double"))
+        .withColumn("sum_sales", col("sales_dec").cast("double"))
+      win.filter(col("y") === 1998 && col("avg_monthly_sales") > 0 &&
+          abs(col("sum_sales") - col("avg_monthly_sales")) /
+            col("avg_monthly_sales") > 0.1 &&
+          col("psum").isNotNull && col("nsum").isNotNull)
+        .select(col("p_brand"), col("y"), col("m"), col("sum_sales"),
+          col("avg_monthly_sales"), col("rn"), col("psum"), col("nsum"))
+        .orderBy((col("sum_sales") - col("avg_monthly_sales")).asc,
+          col("p_brand"), col("y"), col("m"))
+        .limit(100)
+    }, Some(s"""
+      WITH monthly AS (
+        SELECT p_brand, year(l_shipdate) AS y, month(l_shipdate) AS m,
+          SUM(${moneySql("l_extendedprice")}) AS sales_dec
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2, 3),
+      win AS (
+        SELECT p_brand, y, m,
+          CAST(sales_dec AS DOUBLE) AS sum_sales,
+          CAST(SUM(sales_dec) OVER (PARTITION BY p_brand, y) AS DOUBLE)
+            / COUNT(*) OVER (PARTITION BY p_brand, y) AS avg_monthly_sales,
+          RANK() OVER (PARTITION BY p_brand ORDER BY y, m) AS rn,
+          CAST(LAG(sales_dec, 1) OVER (PARTITION BY p_brand ORDER BY y, m)
+            AS DOUBLE) AS psum,
+          CAST(LEAD(sales_dec, 1) OVER (PARTITION BY p_brand ORDER BY y, m)
+            AS DOUBLE) AS nsum
+        FROM monthly)
+      SELECT p_brand, y, m, sum_sales, avg_monthly_sales, rn, psum, nsum
+      FROM win
+      WHERE y = 1998 AND avg_monthly_sales > 0
+        AND abs(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1
+        AND psum IS NOT NULL AND nsum IS NOT NULL
+      ORDER BY sum_sales - avg_monthly_sales ASC, p_brand, y, m
+      LIMIT 100""")),
+
+    // ---- TPC-DS query57 shape: the q47 family over a TWO-LEVEL
+    // hierarchy (type, brand) with a QUANTITY measure — moving context
+    // (yearly average + prev/next month) per (p_type, p_brand). ----
+    QueryDef("q_tpcds_s57", (s, dir) => {
+      val monthly = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("p_brand"),
+          year(col("l_shipdate")).as("y"), month(col("l_shipdate")).as("m"))
+        .agg(sum(money(col("l_quantity"))).as("qty_dec"))
+      val wYear = Window.partitionBy(col("p_type"), col("p_brand"), col("y"))
+      val wTime = Window.partitionBy(col("p_type"), col("p_brand"))
+        .orderBy(col("y"), col("m"))
+      monthly
+        .withColumn("avg_monthly_qty",
+          (sum(col("qty_dec")).over(wYear).cast("double") /
+            count(lit(1)).over(wYear)))
+        .withColumn("pqty", lag(col("qty_dec"), 1).over(wTime).cast("double"))
+        .withColumn("nqty", lead(col("qty_dec"), 1).over(wTime).cast("double"))
+        .withColumn("sum_qty", col("qty_dec").cast("double"))
+        .filter(col("y") === 1997 && col("avg_monthly_qty") > 0 &&
+          abs(col("sum_qty") - col("avg_monthly_qty")) /
+            col("avg_monthly_qty") > 0.1 &&
+          col("pqty").isNotNull && col("nqty").isNotNull)
+        .select(col("p_type"), col("p_brand"), col("y"), col("m"),
+          col("sum_qty"), col("avg_monthly_qty"), col("pqty"), col("nqty"))
+        .orderBy((col("sum_qty") - col("avg_monthly_qty")).asc,
+          col("p_type"), col("p_brand"), col("m"))
+        .limit(100)
+    }, Some(s"""
+      WITH monthly AS (
+        SELECT p_type, p_brand, year(l_shipdate) AS y,
+          month(l_shipdate) AS m,
+          SUM(${moneySql("l_quantity")}) AS qty_dec
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2, 3, 4),
+      win AS (
+        SELECT p_type, p_brand, y, m,
+          CAST(qty_dec AS DOUBLE) AS sum_qty,
+          CAST(SUM(qty_dec) OVER (PARTITION BY p_type, p_brand, y)
+            AS DOUBLE) / COUNT(*) OVER (PARTITION BY p_type, p_brand, y)
+            AS avg_monthly_qty,
+          CAST(LAG(qty_dec, 1) OVER (PARTITION BY p_type, p_brand
+            ORDER BY y, m) AS DOUBLE) AS pqty,
+          CAST(LEAD(qty_dec, 1) OVER (PARTITION BY p_type, p_brand
+            ORDER BY y, m) AS DOUBLE) AS nqty
+        FROM monthly)
+      SELECT p_type, p_brand, y, m, sum_qty, avg_monthly_qty, pqty, nqty
+      FROM win
+      WHERE y = 1997 AND avg_monthly_qty > 0
+        AND abs(sum_qty - avg_monthly_qty) / avg_monthly_qty > 0.1
+        AND pqty IS NOT NULL AND nqty IS NOT NULL
+      ORDER BY sum_qty - avg_monthly_qty ASC, p_type, p_brand, m
+      LIMIT 100""")),
+
+    // ---- TPC-DS query67 shape: rank WITHIN a rollup hierarchy —
+    // rollup(type, brand, year) sales ranked per type partition (the
+    // rollup's null type forms its own grand-total partition), top 10
+    // per partition. Two-level discipline as s18/s36: the fact table is
+    // aggregated at the finest grain FIRST, Expand only ever sees
+    // |type × brand × year| partials, and the rank window partitions on
+    // p_type — never a global sort. ----
+    QueryDef("q_tpcds_s67", (s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("p_brand"),
+          year(col("l_shipdate")).as("y"))
+        .agg(sum(money(col("l_extendedprice"))).as("s1"))
+      val rolled = base.rollup(col("p_type"), col("p_brand"), col("y"))
+        .agg(sum(col("s1")).as("sumsales_dec"))
+      val w = Window.partitionBy(col("p_type"))
+        .orderBy(col("sumsales_dec").desc)
+      rolled.withColumn("rk", rank().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+        .select(col("p_type"), col("p_brand"), col("y"),
+          col("sumsales_dec").cast("double").as("sumsales"), col("rk"))
+        .orderBy(col("p_type").asc_nulls_first, col("rk"),
+          col("p_brand").asc_nulls_first, col("y").asc_nulls_first)
+    }, Some(s"""
+      WITH base AS (
+        SELECT p_type, p_brand, year(l_shipdate) AS y,
+          SUM(${moneySql("l_extendedprice")}) AS s1
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2, 3),
+      rolled AS (
+        SELECT p_type, p_brand, y, SUM(s1) AS sumsales_dec
+        FROM base GROUP BY ROLLUP(p_type, p_brand, y)),
+      ranked AS (
+        SELECT p_type, p_brand, y,
+          CAST(sumsales_dec AS DOUBLE) AS sumsales,
+          RANK() OVER (PARTITION BY p_type ORDER BY sumsales_dec DESC)
+            AS rk
+        FROM rolled)
+      SELECT p_type, p_brand, y, sumsales, rk FROM ranked
+      WHERE rk <= 10
+      ORDER BY p_type ASC NULLS FIRST, rk, p_brand ASC NULLS FIRST,
+        y ASC NULLS FIRST""")),
+
+    // ---- TPC-DS query70 shape: rank within the PARENT level of a
+    // (region, nation) rollup — lochierarchy = grouping(region) +
+    // grouping(nation), rank partitioned by (lochierarchy, parent
+    // region) — plus the original's windowed pre-filter subquery:
+    // only regions whose total revenue ranks in the top 3. ----
+    QueryDef("q_tpcds_s70", (s, dir) => {
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(money(col("o_totalprice"))).as("s1"))
+      // windowed pre-filter: top-3 regions by total revenue (the
+      // region dimension is fixed-size — 5 rows — so the unpartitioned
+      // rank window is a constant-cardinality driver-side decision,
+      // not a data-sized sort)
+      val topRegions = base.groupBy(col("r_name").as("tr_name"))
+        .agg(sum(col("s1")).as("rrev"))
+        .withColumn("rrk", rank().over(
+          Window.orderBy(col("rrev").desc, col("tr_name"))))
+        .filter(col("rrk") <= 3).select(col("tr_name"))
+      val rolled = base
+        .join(broadcast(topRegions), col("r_name") === col("tr_name"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(sum(col("s1")).as("total_dec"),
+          grouping(col("r_name")).cast("int").as("gr"),
+          grouping(col("n_name")).cast("int").as("gn"))
+        .withColumn("lochierarchy", (col("gr") + col("gn")).cast("int"))
+      val w = Window.partitionBy(col("lochierarchy"),
+          when(col("gn") === 0, col("r_name")))
+        .orderBy(col("total_dec").desc)
+      rolled.withColumn("rank_within_parent", rank().over(w).cast("long"))
+        .select(col("r_name"), col("n_name"),
+          col("total_dec").cast("double").as("total_sum"),
+          col("lochierarchy"), col("rank_within_parent"))
+        .orderBy(col("lochierarchy").desc, col("r_name").asc_nulls_first,
+          col("rank_within_parent"), col("n_name").asc_nulls_first)
+    }, Some(s"""
+      WITH base AS (
+        SELECT r_name, n_name, SUM(${moneySql("o_totalprice")}) AS s1
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2),
+      top_regions AS (
+        SELECT r_name FROM (
+          SELECT r_name, RANK() OVER (ORDER BY SUM(s1) DESC, r_name)
+            AS rrk
+          FROM base GROUP BY r_name)
+        WHERE rrk <= 3),
+      rolled AS (
+        SELECT r_name, n_name, SUM(s1) AS total_dec,
+          CAST(GROUPING(r_name) AS INTEGER) AS gr,
+          CAST(GROUPING(n_name) AS INTEGER) AS gn,
+          CAST(GROUPING(r_name) + GROUPING(n_name) AS INTEGER)
+            AS lochierarchy
+        FROM base WHERE r_name IN (SELECT r_name FROM top_regions)
+        GROUP BY ROLLUP(r_name, n_name))
+      SELECT r_name, n_name, CAST(total_dec AS DOUBLE) AS total_sum,
+        lochierarchy,
+        RANK() OVER (PARTITION BY lochierarchy,
+          CASE WHEN gn = 0 THEN r_name END
+          ORDER BY total_dec DESC) AS rank_within_parent
+      FROM rolled
+      ORDER BY lochierarchy DESC, r_name ASC NULLS FIRST,
+        rank_within_parent, n_name ASC NULLS FIRST""")),
+
+    // ---- TPC-DS query49 shape: per-channel worst return ratios with
+    // DUAL rankings (quantity ratio + currency ratio), the three
+    // channel subqueries unioned and filtered to either top list. The
+    // original scans three channel tables; the driver schema has one
+    // fact table, so the channels partition one scan (noted) — the
+    // ranking-over-union semantics are identical. ----
+    QueryDef("q_tpcds_s49", (s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("channel",
+          when(col("o_orderstatus") === "F", "store")
+            .when(col("o_orderstatus") === "O", "web")
+            .otherwise("catalog"))
+        .groupBy(col("channel"), col("l_partkey"))
+        .agg(
+          sum(when(col("l_returnflag") === "R", money(col("l_quantity")))
+            .otherwise(lit(0).cast(DecimalType(12, 2)))).as("ret_qty"),
+          sum(money(col("l_quantity"))).as("tot_qty"),
+          sum(when(col("l_returnflag") === "R",
+            money(col("l_extendedprice")))
+            .otherwise(lit(0).cast(DecimalType(12, 2)))).as("ret_amt"),
+          sum(money(col("l_extendedprice"))).as("tot_amt"))
+        .filter(col("ret_qty") > 0 && col("tot_qty") > 0)
+        .withColumn("return_ratio",
+          col("ret_qty").cast("double") / col("tot_qty").cast("double"))
+        .withColumn("currency_ratio",
+          col("ret_amt").cast("double") / col("tot_amt").cast("double"))
+      val wr = Window.partitionBy(col("channel"))
+        .orderBy(col("return_ratio").desc, col("l_partkey"))
+      val wc = Window.partitionBy(col("channel"))
+        .orderBy(col("currency_ratio").desc, col("l_partkey"))
+      base
+        .withColumn("return_rank", rank().over(wr).cast("long"))
+        .withColumn("currency_rank", rank().over(wc).cast("long"))
+        .filter(col("return_rank") <= 10 || col("currency_rank") <= 10)
+        .select(col("channel"), col("l_partkey").as("item"),
+          col("return_ratio"), col("currency_ratio"),
+          col("return_rank"), col("currency_rank"))
+        .orderBy(col("channel"), col("return_rank"), col("currency_rank"),
+          col("item"))
+    }, Some(s"""
+      WITH base AS (
+        SELECT CASE o_orderstatus WHEN 'F' THEN 'store'
+                 WHEN 'O' THEN 'web' ELSE 'catalog' END AS channel,
+          l_partkey,
+          SUM(CASE WHEN l_returnflag = 'R' THEN ${moneySql("l_quantity")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS ret_qty,
+          SUM(${moneySql("l_quantity")}) AS tot_qty,
+          SUM(CASE WHEN l_returnflag = 'R'
+            THEN ${moneySql("l_extendedprice")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS ret_amt,
+          SUM(${moneySql("l_extendedprice")}) AS tot_amt
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+        HAVING ret_qty > 0 AND tot_qty > 0),
+      ratios AS (
+        SELECT channel, l_partkey AS item,
+          CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE)
+            AS return_ratio,
+          CAST(ret_amt AS DOUBLE) / CAST(tot_amt AS DOUBLE)
+            AS currency_ratio
+        FROM base),
+      ranked AS (
+        SELECT channel, item, return_ratio, currency_ratio,
+          RANK() OVER (PARTITION BY channel
+            ORDER BY return_ratio DESC, item) AS return_rank,
+          RANK() OVER (PARTITION BY channel
+            ORDER BY currency_ratio DESC, item) AS currency_rank
+        FROM ratios)
+      SELECT channel, item, return_ratio, currency_ratio,
+        return_rank, currency_rank
+      FROM ranked
+      WHERE return_rank <= 10 OR currency_rank <= 10
+      ORDER BY channel, return_rank, currency_rank, item"""))
   )
 }

@@ -160,7 +160,7 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
   }
 
-  test("q_corpus_datasheet: exact deciles plan no single-partition window") {
+  private def windowExecs(name: String) = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
@@ -168,13 +168,51 @@ class PlanSpec extends SparkSpec {
       case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
       case _ => p +: p.children.flatMap(flatten)
     }
-    val root = Registry.byName("q_corpus_datasheet").run(spark, sfDir)
+    val root = Registry.byName(name).run(spark, sfDir)
       .queryExecution.executedPlan
-    val wins = flatten(root).collect { case w: WindowExec => w }
+    flatten(root).collect { case w: WindowExec => w }
+  }
+
+  test("q_corpus_datasheet: exact deciles plan no single-partition window") {
+    val wins = windowExecs("q_corpus_datasheet")
     assert(wins.nonEmpty, "expected the per-partition rank window")
     // every window is partitioned (by __pid) — a partition-less spec is
     // the single-task global window this query must never plan again
     assert(wins.forall(_.partitionSpec.nonEmpty),
       wins.map(_.toString).mkString("\n"))
+  }
+
+  test("q_tpcds_s67: rank-within-rollup gets WindowGroupLimit over Expand, all windows partitioned") {
+    val p = plan("q_tpcds_s67")
+    assert(p.contains("Expand"), "rollup must plan Expand")
+    assert(p.contains("WindowGroupLimit"),
+      "rk <= 10 must push a partial top-k below the rank window")
+    val wins = windowExecs("q_tpcds_s67")
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "the hierarchy rank must partition by p_type, never a global sort")
+  }
+
+  test("q_tpcds_s47/s57: moving-average windows are all partitioned by the hierarchy") {
+    Seq("q_tpcds_s47", "q_tpcds_s57").foreach { q =>
+      val wins = windowExecs(q)
+      assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+        s"$q: lag/lead and yearly-average windows must partition by brand")
+    }
+  }
+
+  test("q_tpcds_s49: dual rank windows partition by channel") {
+    val wins = windowExecs("q_tpcds_s49")
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("q_tpcds_s70: only the 5-row region pre-filter rank is unpartitioned") {
+    val wins = windowExecs("q_tpcds_s70")
+    // the rollup hierarchy rank MUST be partitioned; the one permitted
+    // unpartitioned window is the constant-cardinality (|region| = 5)
+    // top-regions pre-filter, which never grows with SF
+    assert(wins.count(_.partitionSpec.isEmpty) <= 1,
+      wins.map(_.toString).mkString("\n"))
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "the rank-within-parent window must partition on the hierarchy")
   }
 }
