@@ -111,8 +111,14 @@ object ChangelogAgg {
         lit(sub).as("__sub") +: Nil): _*)
     val events =
       if (emitUpdateBefore) Seq(
+        // the retraction of the previous state: -U when a new state
+        // follows, -D when the group DIES (reference GroupAggFunction
+        // emits RowKind.DELETE at count zero in retract mode too) —
+        // keeping the kinds distinct is what lets a downstream
+        // DropUpdateBefore branch discard -U without losing deaths
         when(col("__rn") > 1 && col("__pcnt") > 0,
-          emit(lit("-U"), col("__pcnt"), col("__psum"), 0)),
+          emit(when(col("__cnt") > 0, "-U").otherwise("-D"),
+            col("__pcnt"), col("__psum"), 0)),
         when(col("__cnt") > 0,
           emit(when(col("__rn") === 1, "+I").otherwise("+U"),
             col("__cnt"), col("__sum"), 1)))

@@ -122,15 +122,23 @@ object ChangelogInference {
   }
 
   /** The derived plan: per-node produced mode, per-GroupAgg
-    * UPDATE_BEFORE decision, the sink's accepted mode, and whether the
-    * sink needs upsert materialization (sink key ≠ update key). */
+    * UPDATE_BEFORE decision, and — per sink of the statement set —
+    * the accepted mode, whether upsert materialization is needed
+    * (sink key ≠ update key), and whether the branch drops -U rows
+    * (this sink is upsert-keyed but a SHARED upstream node was forced
+    * to retract by another branch — the per-branch DropUpdateBefore
+    * of the reference's statement sets). */
   final class Inferred private[ChangelogInference] (
       producedMap: Map[Ref, Mode],
       emitUBMap: Map[Ref, Boolean],
-      val sinkMode: Mode,
-      val sinkMaterialize: Boolean) {
+      val sinkModes: Seq[Mode],
+      val sinkMaterializes: Seq[Boolean],
+      val branchDropsUpdateBefore: Seq[Boolean]) {
     def produced(n: Node): Mode = producedMap(new Ref(n))
     def emitUpdateBefore(n: Node): Boolean = emitUBMap(new Ref(n))
+    /** Single-sink accessors (the common case). */
+    def sinkMode: Mode = sinkModes.head
+    def sinkMaterialize: Boolean = sinkMaterializes.head
   }
 
   /** The "update key" a node's updating output is keyed on, if any. */
@@ -145,7 +153,17 @@ object ChangelogInference {
 
   /** Two-pass mode derivation. Throws IllegalArgumentException for
     * impossible plans. */
-  def infer(sink: Sink): Inferred = {
+  def infer(sink: Sink): Inferred = infer(Seq(sink))
+
+  /** Statement-set derivation: several sinks over (possibly) SHARED
+    * subtrees — a node instance reachable from two sinks is ONE
+    * operator whose demands merge (Retract wins), and a branch whose
+    * own sink would have been satisfied with upsert applies
+    * DropUpdateBefore at its edge instead (the reference's
+    * per-statement changelog modes inside an EXECUTE STATEMENT SET). */
+  def infer(sinks: Seq[Sink]): Inferred = {
+    require(sinks.nonEmpty, "at least one sink")
+    val sink = sinks.head
     // bottom-up: what each node WOULD produce, before consumer demands
     def produces(n: Node): Mode = n match {
       case Source(_, insertOnly, _, _) =>
@@ -204,9 +222,10 @@ object ChangelogInference {
         case s: Sink => throw new IllegalStateException("nested sink")
       }
     }
-    val childMode = produces(sink.child)
-    val childKey = updateKey(sink.child)
-    val (sinkMode: Mode, materialize: Boolean) =
+    // per-sink demanded mode, before cross-branch merging
+    val decisions: Seq[(Mode, Boolean)] = sinks.map { sink =>
+      val childMode = produces(sink.child)
+      val childKey = updateKey(sink.child)
       if (!childMode.isUpdating) (InsertOnly, false)
       else sink.primaryKey match {
         case Some(pk) if childKey.contains(pk) => (Upsert, false)
@@ -217,9 +236,27 @@ object ChangelogInference {
           (Retract, true)
         case None => (Retract, false)
       }
-    walk(sink.child, if (materialize) Retract else sinkMode)
+    }
+    // two passes: pass 1 merges demands at shared stateful nodes
+    // (Retract wins); pass 2 re-propagates the merged modes through
+    // pass-through nodes (Calc/EnrichJoin) on branches walked before
+    // the merge happened. One extra pass suffices — stateful-node
+    // modes are final after pass 1 (each sink's demand is constant).
+    (1 to 2).foreach { _ =>
+      sinks.zip(decisions).foreach { case (sink, (mode, materialize)) =>
+        walk(sink.child, if (materialize) Retract else mode)
+      }
+    }
+    // a branch that wanted upsert but whose (shared) input was forced
+    // to retract by another branch drops -U rows at its own edge — the
+    // shared operator emits the superset, each sink sees its mode
+    val drops = sinks.zip(decisions).map { case (sink, (mode, mat)) =>
+      mode == Upsert && !mat &&
+        produced(new Ref(sink.child)) == Retract
+    }
     new Inferred(produced, emitUB,
-      if (materialize) Upsert else sinkMode, materialize)
+      decisions.map { case (m, mat) => if (mat) Upsert else m },
+      decisions.map(_._2), drops)
   }
 
   /** Executed flow: the stream DataFrame plus its arrival-order
@@ -229,9 +266,18 @@ object ChangelogInference {
   /** Build the decided plan. Returns the CHANGE STREAM delivered to the
     * sink (kinds as decided), or — for a keyed sink — the MATERIALIZED
     * state (what the upsert sink holds; no `__row_kind` column). */
-  def execute(sink: Sink): DataFrame = {
-    val inf = infer(sink)
-    def build(n: Node): Flow = n match {
+  def execute(sink: Sink): DataFrame = execute(Seq(sink)).head
+
+  /** Statement-set execution: one DataFrame per sink. A subtree shared
+    * between branches (same Node INSTANCE) is built exactly once — the
+    * reference's statement sets share sources and intermediate
+    * operators the same way — and each branch then applies its own
+    * decided mode (DropUpdateBefore on upsert-keyed branches whose
+    * shared input was forced to retract). */
+  def execute(sinks: Seq[Sink]): Seq[DataFrame] = {
+    val inf = infer(sinks)
+    val built = scala.collection.mutable.Map.empty[Ref, Flow]
+    def build(n: Node): Flow = built.getOrElseUpdate(new Ref(n), n match {
       case Source(df, insertOnly, seqCols, _) =>
         Flow(if (insertOnly) df.withColumn(K, lit("+I")) else df, seqCols)
       case c @ Calc(ch, f) =>
@@ -270,32 +316,43 @@ object ChangelogInference {
         val renamed = fl.seq.indices.map(i => s"__seq_$i") :+ "__sub"
         Flow(out, renamed)
       case s: Sink => throw new IllegalStateException("nested sink")
-    }
-    val fl = build(sink.child)
-    sink.primaryKey match {
-      case None => fl.df.drop(fl.seq.filter(_.startsWith("__")): _*)
-      case Some(pk) =>
-        // clear plan-validation error instead of an empty-ORDER-BY
-        // AnalysisException at runtime: last-writer-wins needs an order
-        require(fl.seq.nonEmpty,
-          "keyed sink needs arrival-order columns to compact " +
-            "last-writer-wins (declare Source.seqCols)")
-        require(pk.forall(fl.df.columns.contains),
-          s"sink primary key $pk not present in the delivered stream " +
-            s"(${fl.df.columns.mkString(", ")})")
-        if (inf.sinkMaterialize) materializeUpsert(fl, pk)
-        else {
-          // upsert-sink compaction: last writer per key wins; a key
-          // whose final row is a delete (or a dangling -U) leaves the
-          // store. Sound because the stream is KEYED on pk: at most one
-          // live row per key at any time.
-          import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy(pk.map(col): _*)
-            .orderBy(fl.seq.map(c => col(c).desc): _*)
-          fl.df.withColumn("__last", row_number().over(w))
-            .filter(col("__last") === 1 && col(K).isin("+I", "+U"))
-            .drop((fl.seq.filter(_.startsWith("__")) :+ "__last" :+ K): _*)
-        }
+    })
+    sinks.zipWithIndex.map { case (sink, i) =>
+      val fl0 = build(sink.child)
+      // per-branch DropUpdateBefore (reference
+      // StreamExecDropUpdateBefore as a statement-set branch op): the
+      // shared stream carries -U for the retract branches; this branch
+      // is keyed on the update key and never needs them. Deaths stay
+      // visible as -D.
+      val fl =
+        if (inf.branchDropsUpdateBefore(i))
+          Flow(fl0.df.filter(col(K) =!= "-U"), fl0.seq)
+        else fl0
+      sink.primaryKey match {
+        case None => fl.df.drop(fl.seq.filter(_.startsWith("__")): _*)
+        case Some(pk) =>
+          // clear plan-validation error instead of an empty-ORDER-BY
+          // AnalysisException at runtime: last-writer-wins needs an order
+          require(fl.seq.nonEmpty,
+            "keyed sink needs arrival-order columns to compact " +
+              "last-writer-wins (declare Source.seqCols)")
+          require(pk.forall(fl.df.columns.contains),
+            s"sink primary key $pk not present in the delivered stream " +
+              s"(${fl.df.columns.mkString(", ")})")
+          if (inf.sinkMaterializes(i)) materializeUpsert(fl, pk)
+          else {
+            // upsert-sink compaction: last writer per key wins; a key
+            // whose final row is a delete leaves the store. Sound
+            // because the stream is KEYED on pk: at most one live row
+            // per key at any time.
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy(pk.map(col): _*)
+              .orderBy(fl.seq.map(c => col(c).desc): _*)
+            fl.df.withColumn("__last", row_number().over(w))
+              .filter(col("__last") === 1 && col(K).isin("+I", "+U"))
+              .drop((fl.seq.filter(_.startsWith("__")) :+ "__last" :+ K): _*)
+          }
+      }
     }
   }
 

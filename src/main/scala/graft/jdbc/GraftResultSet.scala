@@ -42,6 +42,19 @@ final class GraftResultSet(stmt: Statement, cols: Seq[(String, String)],
     else { cursor = rows.length; false }
   }
 
+  /** Vendor extension (reach it via `unwrap(classOf[GraftResultSet])`):
+    * the changelog kind of the current row — INSERT / UPDATE_BEFORE /
+    * UPDATE_AFTER / DELETE. java.sql has no row-kind concept, so a
+    * streaming/changelog statement's kinds surface out-of-band here
+    * (the gateway sends them on every row; plain batch results are all
+    * INSERT). */
+  def getRowKind: String = {
+    checkOpen()
+    if (cursor < 0 || cursor >= rows.length)
+      throw new SQLException("cursor is not on a row")
+    Option(rows(cursor).get("kind")).map(_.asText()).getOrElse("INSERT")
+  }
+
   override def close(): Unit = closed = true
   override def isClosed: Boolean = closed
   override def wasNull(): Boolean = nullFlag

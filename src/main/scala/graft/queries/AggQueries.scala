@@ -158,6 +158,14 @@ object AggQueries {
 
     // Exact percentiles (reference PERCENTILE) — linear interpolation in
     // both engines.
+    // SCALE BOUND: Spark's exact `percentile` buffers a value -> count
+    // map PER GROUP, so its memory is O(distinct values per group).
+    // Fine for bounded value domains (prices quantized to cents, char
+    // counts, degrees); for unbounded/continuous domains at 100 TB use
+    // approx_percentile (fixed-size sketch) or the deterministic
+    // sampled ranking already shipped (Sketches.sampleRank) to cap the
+    // state first. Same bound applies to q_winsorize and the k-core
+    // degree percentile.
     QueryDef("q_agg_percentile", (s, dir) => {
       // One percentile(…, array(…)) buffer per group, not three: exact
       // percentile materializes a value->count map per aggregate, so the

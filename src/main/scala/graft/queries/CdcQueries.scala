@@ -507,7 +507,93 @@ object CdcQueries {
         CAST(SUM(v) AS DOUBLE) AS sum_v
       FROM clive LEFT JOIN olive ON clive.c_custkey = olive.o_custkey
       GROUP BY nationkey
-      ORDER BY nationkey"""))
+      ORDER BY nationkey""")),
+
+    // STATEMENT SET over ONE shared aggregate feeding two sinks with
+    // DIFFERENT changelog demands (the reference's EXECUTE STATEMENT
+    // SET + per-statement changelog-mode inference): the PK sink alone
+    // would get DropUpdateBefore inside the aggregate, but the retract
+    // sink forces the shared operator to emit the superset, so the
+    // upsert branch drops -U at its OWN edge instead. Output: the
+    // compacted state summarized, plus the retract branch's emission
+    // profile per row kind — the oracle REPLAYS the running aggregate
+    // with window functions, so a -U leaking into the upsert branch, a
+    // death mislabeled, or a missed emission all hash-mismatch.
+    QueryDef("q_cdc_statement_set", (s, dir) => {
+      import ChangelogInference._
+      val k = ChangelogFormats.RowKindCol
+      val shared = GroupAgg(
+        Source(orderChangelog(s, dir), seqCols = Seq("seq", "stage")),
+        Seq("o_custkey"), "v")
+      val up = Sink(shared, primaryKey = Some(Seq("o_custkey")))
+      val ret = Sink(shared)
+      val inf = infer(Seq(up, ret))
+      require(inf.produced(shared) == Retract &&
+        inf.emitUpdateBefore(shared), "shared agg must emit retract")
+      require(inf.branchDropsUpdateBefore == Seq(true, false),
+        "upsert branch drops -U, retract branch keeps it")
+      val results = ChangelogInference.execute(Seq(up, ret))
+      val statePart = results(0).agg(
+          count(lit(1)).as("n"),
+          sum(col("cnt")).as("sum_cnt"),
+          sum(col("sum_val")).cast("double").as("sum_v"))
+        .select(lit("state").as("part"), lit("+S").as("kind"),
+          col("n"), col("sum_cnt"), col("sum_v"))
+      val streamPart = results(1).groupBy(col(k).as("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cnt")).as("sum_cnt"),
+          sum(col("sum_val")).cast("double").as("sum_v"))
+        .select(lit("stream").as("part"), col("kind"), col("n"),
+          col("sum_cnt"), col("sum_v"))
+      statePart.unionByName(streamPart)
+        .orderBy(col("part"), col("kind"))
+    }, Some(s"""
+      WITH changes AS (
+        SELECT o_custkey, ${moneySql("o_totalprice")} AS v, 1 AS w,
+          o_orderkey AS seq, 0 AS stage
+        FROM orders
+        UNION ALL
+        SELECT o_custkey, ${moneySql("o_totalprice")}, -1, o_orderkey, 1
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_custkey, ${moneySql("o_totalprice")} * 2, 1, o_orderkey, 2
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_custkey, ${moneySql("o_totalprice")}, -1, o_orderkey, 3
+        FROM orders WHERE o_orderkey % 10 = 1),
+      run AS (
+        SELECT o_custkey,
+          ROW_NUMBER() OVER w AS rn,
+          SUM(w) OVER w AS cnt,
+          SUM(w * v) OVER w AS s
+        FROM changes
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY seq, stage
+          ROWS UNBOUNDED PRECEDING)),
+      ctx AS (
+        SELECT *, LAG(cnt) OVER w2 AS pcnt, LAG(s) OVER w2 AS ps
+        FROM run
+        WINDOW w2 AS (PARTITION BY o_custkey ORDER BY rn)),
+      em AS (
+        -- the retraction of the previous state: -U mid-life, -D death
+        SELECT CASE WHEN cnt > 0 THEN '-U' ELSE '-D' END AS kind,
+          pcnt AS ecnt, ps AS es
+        FROM ctx WHERE rn > 1 AND pcnt > 0
+        UNION ALL
+        -- the new state: +I on first emission, +U afterwards
+        SELECT CASE WHEN rn = 1 THEN '+I' ELSE '+U' END, cnt, s
+        FROM ctx WHERE cnt > 0),
+      state AS (
+        SELECT o_custkey, SUM(w) AS cnt, SUM(w * v) AS s
+        FROM changes GROUP BY o_custkey HAVING SUM(w) > 0)
+      SELECT 'state' AS part, '+S' AS kind, COUNT(*) AS n,
+        CAST(SUM(cnt) AS BIGINT) AS sum_cnt,
+        CAST(SUM(s) AS DOUBLE) AS sum_v
+      FROM state
+      UNION ALL
+      SELECT 'stream', kind, COUNT(*),
+        CAST(SUM(ecnt) AS BIGINT), CAST(SUM(es) AS DOUBLE)
+      FROM em GROUP BY kind
+      ORDER BY part, kind"""))
   )
 
   /** The synthesized order changelog shared by the retraction-chain

@@ -26,9 +26,9 @@ class ChangelogInferenceSpec extends SparkSpec {
     val rows = ChangelogInference.execute(Sink(agg)).select(col("k"), col("cnt"),
       col("sum_val"), col(K)).as[(String, Long, Double, String)]
       .collect().toSet
-    // a: +I(1,10) then -U(1,10)/+U(2,15); b: +I(1,7) then bare -U (death)
+    // a: +I(1,10) then -U(1,10)/+U(2,15); b: +I(1,7) then -D (death)
     assert(rows == Set(("a", 1L, 10.0, "+I"), ("a", 1L, 10.0, "-U"),
-      ("a", 2L, 15.0, "+U"), ("b", 1L, 7.0, "+I"), ("b", 1L, 7.0, "-U")))
+      ("a", 2L, 15.0, "+U"), ("b", 1L, 7.0, "+I"), ("b", 1L, 7.0, "-D")))
   }
 
   test("agg into pk sink: UPDATE_BEFORE dropped, -D on death, compacted") {
@@ -132,6 +132,36 @@ class ChangelogInferenceSpec extends SparkSpec {
     assert(inf.produced(j) == Retract && inf.sinkMode == Retract)
     // and an outer join updates even over append inputs
     assert(infer(Sink(Join(a, b, "k", "k2", "left"))).sinkMode == Retract)
+  }
+
+  test("statement set: shared agg forced to retract, upsert branch drops -U") {
+    val agg = GroupAgg(Source(srcDf, seqCols = Seq("seq")), Seq("k"), "v")
+    val up = Sink(agg, primaryKey = Some(Seq("k")))
+    val ret = Sink(agg) // keyless retract sink, SAME agg instance
+    val inf = infer(Seq(up, ret))
+    // the shared aggregate must emit the superset (retract) because one
+    // branch needs -U; the upsert branch drops them at its own edge
+    assert(inf.produced(agg) == Retract && inf.emitUpdateBefore(agg))
+    assert(inf.sinkModes == Seq(Upsert, Retract))
+    assert(inf.branchDropsUpdateBefore == Seq(true, false))
+    val results = ChangelogInference.execute(Seq(up, ret))
+    val state = results(0).select(col("k"), col("cnt"), col("sum_val"))
+      .as[(String, Long, Double)].collect().toSet
+    // identical to the single-sink upsert run — the branch drop must
+    // not change the compacted state
+    assert(state == Set(("a", 2L, 15.0)))
+    val kinds = results(1).select(col(K)).as[String].collect().toSeq
+    assert(kinds.contains("-U") && kinds.contains("-D"))
+  }
+
+  test("statement set: pass-through branch re-derives the merged mode") {
+    val agg = GroupAgg(Source(srcDf, seqCols = Seq("seq")), Seq("k"), "v")
+    val calc = Calc(agg, _.withColumn("doubled", col("sum_val") * 2))
+    val inf = infer(Seq(Sink(calc, primaryKey = Some(Seq("k"))), Sink(agg)))
+    // the Calc sits on the upsert branch but its input was merged to
+    // retract by the other branch — pass 2 must re-propagate that
+    assert(inf.produced(calc) == Retract)
+    assert(inf.branchDropsUpdateBefore == Seq(true, false))
   }
 
   test("insert-only source into insert-only sink needs no kinds at all") {

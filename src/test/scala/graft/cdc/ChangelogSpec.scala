@@ -117,9 +117,10 @@ class ChangelogSpec extends SparkSpec {
     assert(a == Seq(("A", 1L, 10.0, "+I"),
       ("A", 1L, 10.0, "-U"), ("A", 2L, 30.0, "+U")))
     val b = got.filter(_._1 == "B").toSeq
-    // death emits only the retraction; revival emits without one
+    // death emits a -D of the dying state (reference GroupAggFunction
+    // DELETE at count zero); revival emits without a retraction
     assert(b == Seq(("B", 1L, 7.0, "+I"),
-      ("B", 1L, 7.0, "-U"), ("B", 1L, 9.0, "+U")))
+      ("B", 1L, 7.0, "-D"), ("B", 1L, 9.0, "+U")))
   }
 
   test("two-stage chain: second materialize nets the update stream") {

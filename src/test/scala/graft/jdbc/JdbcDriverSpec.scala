@@ -155,6 +155,58 @@ class JdbcDriverSpec extends SparkSpec {
     } finally { c1.close(); c2.close() }
   }
 
+  test("changelog statement end-to-end: row kinds page through the gateway") {
+    // the streaming half of the service layer: a changelog-bearing
+    // result (its __row_kind column) must survive the whole stack —
+    // gateway kind mapping, multi-page fetch (page size 2 forces three
+    // PAYLOAD pages + EOS), JDBC result set — with the kinds exposed
+    // through the vendor unwrap and the payload column list EXCLUDING
+    // the kind column, exactly the reference's RowKind-over-REST shape
+    val props = new java.util.Properties()
+    props.setProperty("sql-gateway.page-size", "2")
+    GraftDriver.ensureRegistered()
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    val dir = java.nio.file.Files.createTempDirectory("jdbc_chg").toString
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        s"CREATE TABLE chg (k STRING, v BIGINT, seq BIGINT, " +
+          s"__row_kind STRING) WITH ('connector'='filesystem', " +
+          s"'path'='$dir/chg', 'format'='parquet')")
+      st.execute(
+        "INSERT INTO chg SELECT * FROM VALUES " +
+          "('a', 10, 1, '+I'), ('b', 7, 2, '+I'), ('a', 10, 3, '-U'), " +
+          "('a', 15, 4, '+U'), ('b', 7, 5, '-D') AS t(k, v, seq, __row_kind)")
+      val rs = st.executeQuery(
+        "SELECT k, v, seq, __row_kind FROM chg ORDER BY seq")
+      // the kind column is NOT payload — it rides on the row itself
+      assert(rs.getMetaData.getColumnCount == 3)
+      val graftRs = rs.unwrap(classOf[GraftResultSet])
+      val got = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (r.getString("k"), r.getLong("v"), graftRs.getRowKind))
+        .toList
+      assert(got == List(
+        ("a", 10L, "INSERT"), ("b", 7L, "INSERT"),
+        ("a", 10L, "UPDATE_BEFORE"), ("a", 15L, "UPDATE_AFTER"),
+        ("b", 7L, "DELETE")))
+      rs.close()
+      // and the net state computed over the same changelog via SQL
+      val agg = st.executeQuery(
+        "SELECT k, SUM(CASE WHEN __row_kind IN ('+I','+U') THEN v " +
+          "ELSE -v END) AS net FROM chg GROUP BY k " +
+          "HAVING SUM(CASE WHEN __row_kind IN ('+I','+U') THEN 1 " +
+          "ELSE -1 END) > 0 ORDER BY k")
+      assert(agg.next() && agg.getString(1) == "a" && agg.getLong(2) == 15L)
+      // a plain batch aggregate's rows are all INSERT kind
+      assert(agg.unwrap(classOf[GraftResultSet]).getRowKind == "INSERT")
+      assert(!agg.next())
+      st.close()
+    } finally {
+      conn.close()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("connection lifecycle: isValid, close, post-close raises") {
     val conn = connect()
     assert(conn.isValid(1))

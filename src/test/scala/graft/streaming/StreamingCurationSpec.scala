@@ -93,6 +93,70 @@ class StreamingCurationSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("resume-equals-continuous: interrupted curation equals the uninterrupted run") {
+    implicit val sq = spark.sqlContext
+    // the reference's restore-test claim (RestoreTestBase: plan + state
+    // + resume) for a COMPOSED pipeline: run the same dedup → quality →
+    // decontamination flow (a) uninterrupted and (b) hard-stopped after
+    // every feed and restarted from its checkpoint — the curated output
+    // must be identical, with duplicates dropped ACROSS the restart
+    // boundary (proof the dedup state, not just the offsets, recovered)
+    val benchDocs = Seq(
+      "held out eval question about spark joins and shuffles today ok fine"
+    ).toDF("text")
+    val textA = "the quick brown fox jumps over the lazy dog near the river"
+    val textB = "a completely different sentence with plenty of ordinary words inside it"
+    val textC = "another fine document holding more than ten reasonable english words here"
+    val textD = "final sample text that should sail through every quality gate easily"
+    val junk = "x!! y!! z!!"
+    val contaminated =
+      "held out eval question about spark joins and shuffles today ok sure"
+    val feeds = Seq(
+      Seq(StreamDoc(1, textA), StreamDoc(2, junk), StreamDoc(3, textB)),
+      Seq(StreamDoc(4, textA), // dup of 1 ACROSS the restart
+        StreamDoc(5, textC), StreamDoc(8, contaminated)),
+      Seq(StreamDoc(6, textB), // dup of 3 across the second restart
+        StreamDoc(7, textD)))
+
+    def run(interrupt: Boolean): Set[Long] = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_resume_ckpt").toString
+      val in = MemoryStream[StreamDoc]
+      val seen = scala.collection.mutable.ArrayBuffer[Long]()
+      def start() = {
+        val deduped = StatefulOps.keepFirst[String, StreamDoc](
+          in.toDS(), d => TextDedup.normalizedHashString(d.text))
+        deduped.toDF()
+          .filter(TextAnalysis.qualityScore(col("text")) >= 0.66)
+          .filter(!TextDedup.contaminatedProbe(
+            benchDocs, "text", n = 5)(col("text")))
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val ids = batch.select(col("doc_id")).collect().map(_.getLong(0))
+            seen.synchronized { seen ++= ids }; ()
+          }.start()
+      }
+      var q = start()
+      feeds.foreach { docs =>
+        in.addData(docs: _*)
+        q.processAllAvailable()
+        if (interrupt) { q.stop(); q = start() } // hard stop, cold resume
+      }
+      q.processAllAvailable(); q.stop()
+      seen.synchronized(seen.toSet)
+    }
+
+    val continuous = run(interrupt = false)
+    val resumed = run(interrupt = true)
+    assert(continuous == resumed,
+      s"continuous=$continuous resumed=$resumed")
+    // and both equal the semantic expectation: junk/contaminated gated,
+    // 4 and 6 deduplicated across restarts
+    assert(continuous == Set(1L, 3L, 5L, 7L), s"got $continuous")
+  }
+
   test("keepFirst seqFn overload picks the lowest-seq row within a batch") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[StreamDoc]
