@@ -992,6 +992,246 @@ object TpcdsQueries {
         return_rank, currency_rank
       FROM ranked
       WHERE return_rank <= 10 OR currency_rank <= 10
-      ORDER BY channel, return_rank, currency_rank, item"""))
+      ORDER BY channel, return_rank, currency_rank, item""")),
+
+    // ---- TPC-DS query31 shape: year-over-year growth compared ACROSS
+    // channels per geography — nations where the web channel's 1997→98
+    // growth ratio beats the store channel's. One conditional-aggregate
+    // scan pivots (channel × year); the ratio-of-ratios filter needs
+    // all four cells non-zero. ----
+    QueryDef("q_tpcds_s31", (s, dir) => {
+      val z = lit(0).cast(DecimalType(12, 2))
+      def cell(status: String, y: Int) =
+        sum(when(col("o_orderstatus") === status &&
+          year(col("o_orderdate")) === y, money(col("o_totalprice")))
+          .otherwise(z))
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(cell("O", 1997).as("web97_dec"), cell("O", 1998).as("web98_dec"),
+          cell("F", 1997).as("store97_dec"),
+          cell("F", 1998).as("store98_dec"))
+      base
+        .filter(col("web97_dec") > 0 && col("store97_dec") > 0)
+        .withColumn("web_growth",
+          col("web98_dec").cast("double") / col("web97_dec").cast("double"))
+        .withColumn("store_growth",
+          col("store98_dec").cast("double") /
+            col("store97_dec").cast("double"))
+        .filter(col("web_growth") > col("store_growth"))
+        .select(col("n_name"),
+          col("web97_dec").cast("double").as("web97"),
+          col("web98_dec").cast("double").as("web98"),
+          col("store97_dec").cast("double").as("store97"),
+          col("store98_dec").cast("double").as("store98"),
+          col("web_growth"), col("store_growth"))
+        .orderBy(col("n_name"))
+    }, Some(s"""
+      WITH base AS (
+        SELECT n_name,
+          SUM(CASE WHEN o_orderstatus = 'O' AND year(o_orderdate) = 1997
+            THEN ${moneySql("o_totalprice")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS web97_dec,
+          SUM(CASE WHEN o_orderstatus = 'O' AND year(o_orderdate) = 1998
+            THEN ${moneySql("o_totalprice")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS web98_dec,
+          SUM(CASE WHEN o_orderstatus = 'F' AND year(o_orderdate) = 1997
+            THEN ${moneySql("o_totalprice")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS store97_dec,
+          SUM(CASE WHEN o_orderstatus = 'F' AND year(o_orderdate) = 1998
+            THEN ${moneySql("o_totalprice")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS store98_dec
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name)
+      SELECT n_name,
+        CAST(web97_dec AS DOUBLE) AS web97,
+        CAST(web98_dec AS DOUBLE) AS web98,
+        CAST(store97_dec AS DOUBLE) AS store97,
+        CAST(store98_dec AS DOUBLE) AS store98,
+        CAST(web98_dec AS DOUBLE) / CAST(web97_dec AS DOUBLE)
+          AS web_growth,
+        CAST(store98_dec AS DOUBLE) / CAST(store97_dec AS DOUBLE)
+          AS store_growth
+      FROM base
+      WHERE web97_dec > 0 AND store97_dec > 0
+        AND CAST(web98_dec AS DOUBLE) / CAST(web97_dec AS DOUBLE) >
+            CAST(store98_dec AS DOUBLE) / CAST(store97_dec AS DOUBLE)
+      ORDER BY n_name""")),
+
+    // ---- TPC-DS query93 shape: returns-adjusted revenue — the fact
+    // table LEFT JOINs its returns (here: the R-flagged lines keyed by
+    // (orderkey, linenumber), with a deterministic returned quantity of
+    // half the line) and the measure swaps to (qty − returned) × price
+    // on matched rows. Top customers by adjusted revenue. ----
+    QueryDef("q_tpcds_s93", (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val returns = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("r_okey"),
+          col("l_linenumber").as("r_lnum"),
+          floor(col("l_quantity") / 2).as("ret_qty"))
+      val adjusted = l
+        .join(returns, col("l_orderkey") === col("r_okey") &&
+          col("l_linenumber") === col("r_lnum"), "left")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("act_qty",
+          when(col("ret_qty").isNotNull,
+            col("l_quantity") - col("ret_qty"))
+            .otherwise(col("l_quantity")))
+        // price × surviving quantity, all-decimal (division would round
+        // differently across engines; the product is exact: scale 4,
+        // magnitude ≤ 1e7 ≪ the (18,4) range)
+        .withColumn("adj_dec",
+          (money(col("l_extendedprice")) * money(col("act_qty")))
+            .cast(DecimalType(18, 4)))
+      adjusted.groupBy(col("o_custkey"))
+        .agg(sum(col("adj_dec")).as("rev_dec"))
+        .select(col("o_custkey"), col("rev_dec").cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_custkey")).limit(100)
+    }, Some(s"""
+      WITH returns AS (
+        SELECT l_orderkey AS r_okey, l_linenumber AS r_lnum,
+          FLOOR(l_quantity / 2) AS ret_qty
+        FROM lineitem WHERE l_returnflag = 'R'),
+      adjusted AS (
+        SELECT o_custkey,
+          CAST(${moneySql("l_extendedprice")} *
+            ${moneySql("CASE WHEN ret_qty IS NOT NULL THEN l_quantity - ret_qty ELSE l_quantity END")}
+            AS DECIMAL(18,4)) AS adj_dec
+        FROM lineitem
+        LEFT JOIN returns ON l_orderkey = r_okey AND l_linenumber = r_lnum
+        JOIN orders ON l_orderkey = o_orderkey)
+      SELECT o_custkey, CAST(SUM(adj_dec) AS DOUBLE) AS revenue
+      FROM adjusted GROUP BY o_custkey
+      ORDER BY revenue DESC, o_custkey LIMIT 100""")),
+
+    // ---- TPC-DS query78 shape: per-(customer, year) channel sales
+    // EXCLUDING returned lines (anti-join against the returns subset),
+    // the two channels FULL OUTER merged, web/store ratio ranked. ----
+    QueryDef("q_tpcds_s78", (s, dir) => {
+      val clean = t(s, dir, "lineitem")
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey").as("r_okey"),
+              col("l_linenumber").as("r_lnum")),
+          col("l_orderkey") === col("r_okey") &&
+            col("l_linenumber") === col("r_lnum"), "left_anti")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .withColumn("y", year(col("o_orderdate")))
+      def channel(status: String, out: String) = clean
+        .filter(col("o_orderstatus") === status)
+        .groupBy(col("o_custkey").as(s"${out}_cust"), col("y").as(s"${out}_y"))
+        .agg(sum(money(col("l_extendedprice"))).as(s"${out}_dec"))
+      val web = channel("O", "w")
+      val store = channel("F", "s")
+      web.join(store, col("w_cust") === col("s_cust") &&
+          col("w_y") === col("s_y"), "full")
+        .select(
+          coalesce(col("w_cust"), col("s_cust")).as("custkey"),
+          coalesce(col("w_y"), col("s_y")).as("y"),
+          coalesce(col("w_dec"), lit(0).cast(DecimalType(12, 2)))
+            .cast("double").as("web_sales"),
+          coalesce(col("s_dec"), lit(0).cast(DecimalType(12, 2)))
+            .cast("double").as("store_sales"))
+        .filter(col("store_sales") > 0)
+        .withColumn("ratio", col("web_sales") / col("store_sales"))
+        .orderBy(col("ratio").desc, col("custkey"), col("y")).limit(100)
+    }, Some(s"""
+      WITH returns AS (
+        SELECT l_orderkey AS r_okey, l_linenumber AS r_lnum
+        FROM lineitem WHERE l_returnflag = 'R'),
+      clean AS (
+        SELECT l.*, o.o_custkey, o.o_orderstatus,
+          year(o.o_orderdate) AS y
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE NOT EXISTS (SELECT 1 FROM returns r
+          WHERE l.l_orderkey = r.r_okey AND l.l_linenumber = r.r_lnum)),
+      web AS (
+        SELECT o_custkey AS cust, y,
+          SUM(${moneySql("l_extendedprice")}) AS dec_
+        FROM clean WHERE o_orderstatus = 'O' GROUP BY 1, 2),
+      store AS (
+        SELECT o_custkey AS cust, y,
+          SUM(${moneySql("l_extendedprice")}) AS dec_
+        FROM clean WHERE o_orderstatus = 'F' GROUP BY 1, 2)
+      SELECT COALESCE(w.cust, s.cust) AS custkey,
+        COALESCE(w.y, s.y) AS y,
+        CAST(COALESCE(w.dec_, CAST(0 AS DECIMAL(12,2))) AS DOUBLE)
+          AS web_sales,
+        CAST(COALESCE(s.dec_, CAST(0 AS DECIMAL(12,2))) AS DOUBLE)
+          AS store_sales,
+        CAST(COALESCE(w.dec_, CAST(0 AS DECIMAL(12,2))) AS DOUBLE) /
+          CAST(s.dec_ AS DOUBLE) AS ratio
+      FROM web w
+      FULL OUTER JOIN store s ON w.cust = s.cust AND w.y = s.y
+      WHERE CAST(COALESCE(s.dec_, CAST(0 AS DECIMAL(12,2))) AS DOUBLE) > 0
+      ORDER BY ratio DESC, custkey, y LIMIT 100""")),
+
+    // ---- TPC-DS query83 shape: three-channel return-share equality —
+    // per part, each channel's returned quantity as a share of the
+    // three-channel average, parts where every share sits in a band.
+    // Three per-channel aggregates joined on the item. ----
+    QueryDef("q_tpcds_s83", (s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      def ch(status: String, out: String) = base
+        .filter(col("o_orderstatus") === status)
+        .groupBy(col("l_partkey").as(s"${out}_part"))
+        .agg(sum(money(col("l_quantity"))).as(s"${out}_qty"))
+      val st = ch("F", "st"); val wb = ch("O", "wb"); val ct = ch("P", "ct")
+      st.join(wb, col("st_part") === col("wb_part"))
+        .join(ct, col("st_part") === col("ct_part"))
+        .withColumn("total",
+          col("st_qty") + col("wb_qty") + col("ct_qty"))
+        .withColumn("st_share",
+          col("st_qty").cast("double") / col("total").cast("double"))
+        .withColumn("wb_share",
+          col("wb_qty").cast("double") / col("total").cast("double"))
+        .withColumn("ct_share",
+          col("ct_qty").cast("double") / col("total").cast("double"))
+        .filter(col("st_share").between(0.2, 0.45) &&
+          col("wb_share").between(0.2, 0.45) &&
+          col("ct_share").between(0.2, 0.45))
+        .select(col("st_part").as("item"),
+          col("st_qty").cast("double").as("store_qty"),
+          col("wb_qty").cast("double").as("web_qty"),
+          col("ct_qty").cast("double").as("catalog_qty"),
+          col("st_share"), col("wb_share"), col("ct_share"))
+        .orderBy(col("item"))
+    }, Some(s"""
+      WITH base AS (
+        SELECT l_partkey, o_orderstatus, ${moneySql("l_quantity")} AS q
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'),
+      st AS (SELECT l_partkey, SUM(q) AS qty FROM base
+        WHERE o_orderstatus = 'F' GROUP BY 1),
+      wb AS (SELECT l_partkey, SUM(q) AS qty FROM base
+        WHERE o_orderstatus = 'O' GROUP BY 1),
+      ct AS (SELECT l_partkey, SUM(q) AS qty FROM base
+        WHERE o_orderstatus = 'P' GROUP BY 1),
+      j AS (
+        SELECT st.l_partkey AS item, st.qty AS st_qty, wb.qty AS wb_qty,
+          ct.qty AS ct_qty, st.qty + wb.qty + ct.qty AS total
+        FROM st JOIN wb ON st.l_partkey = wb.l_partkey
+        JOIN ct ON st.l_partkey = ct.l_partkey)
+      SELECT item,
+        CAST(st_qty AS DOUBLE) AS store_qty,
+        CAST(wb_qty AS DOUBLE) AS web_qty,
+        CAST(ct_qty AS DOUBLE) AS catalog_qty,
+        CAST(st_qty AS DOUBLE) / CAST(total AS DOUBLE) AS st_share,
+        CAST(wb_qty AS DOUBLE) / CAST(total AS DOUBLE) AS wb_share,
+        CAST(ct_qty AS DOUBLE) / CAST(total AS DOUBLE) AS ct_share
+      FROM j
+      WHERE CAST(st_qty AS DOUBLE) / CAST(total AS DOUBLE)
+              BETWEEN 0.2 AND 0.45
+        AND CAST(wb_qty AS DOUBLE) / CAST(total AS DOUBLE)
+              BETWEEN 0.2 AND 0.45
+        AND CAST(ct_qty AS DOUBLE) / CAST(total AS DOUBLE)
+              BETWEEN 0.2 AND 0.45
+      ORDER BY item"""))
   )
 }

@@ -164,6 +164,36 @@ class ChangelogInferenceSpec extends SparkSpec {
     assert(inf.branchDropsUpdateBefore == Seq(true, false))
   }
 
+  test("diamond plan: one source instance feeds both join sides") {
+    // the eq-keyed maps + build cache must treat the SHARED source as
+    // one node and the two structurally-identical Calcs as TWO distinct
+    // operators (case-class equality would collide them)
+    val src = Source(Seq(
+      ("a", 1.0, "+I", 1L), ("a", 2.0, "+I", 2L), ("a", 1.0, "-D", 3L)
+    ).toDF("k", "v", K, "seq"), seqCols = Seq("seq"))
+    // both Calcs keep seq + __row_kind (the Calc contract) and rename
+    // only the payload, making the two sides' payloads disjoint; the
+    // self-join's tie rule (left first at equal seq) makes the replay
+    // deterministic
+    val leftC = Calc(src, _.withColumnRenamed("k", "lk")
+      .withColumnRenamed("v", "lv"))
+    val rightC = Calc(src, _.withColumnRenamed("k", "rk")
+      .withColumnRenamed("v", "rv"))
+    val j = Join(leftC, rightC, "lk", "rk", "inner")
+    val inf = infer(Sink(j))
+    assert(inf.produced(j) == Retract)
+    assert(inf.produced(leftC) == Retract && inf.produced(rightC) == Retract)
+    // execution: net left rows {a:2.0} x net right rows {a:2.0} -> one
+    // surviving pair; the emitted stream must net to exactly that
+    val out = ChangelogInference.execute(Sink(j))
+    val net = ChangelogAgg.materialize(
+        out.select(col("lk").as("g"), col("rv").as("s"), col(K)),
+        Seq("g"), "s")
+      .select(col("g"), col("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(net == Set(("a", 1L)))
+  }
+
   test("insert-only source into insert-only sink needs no kinds at all") {
     val src = Source(Seq(("a", 1.0)).toDF("k", "v"), insertOnly = true)
     val inf = infer(Sink(src))
