@@ -28,7 +28,8 @@ object Bench {
     "q_union_all", "q_calc", "q_func_string", "q_cdc_debezium",
     "q_cep_strict", "q_match_recognize", "q_udagg_weighted_avg",
     "q_dedup_exact", "q_minhash_lsh", "q_ann_ivf", "q_embed_neardup_lsh",
-    "q_text_stats", "q_multimodal", "q_tpch_q5", "q_tpch_q21", "q_kmeans")
+    "q_text_stats", "q_multimodal", "q_tpch_q5", "q_tpch_q21", "q_kmeans",
+    "q_cdc_join_infer", "q_tpcds_s67")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -50,7 +50,11 @@ import org.apache.spark.sql.functions._
   * to the number of (event, live-match) pairs, which is exactly the
   * number of rows a real streaming join would emit, not all-pairs. Skew
   * on a hot join key concentrates in that key's partition, as it does
-  * in the reference's keyed state.
+  * in the reference's keyed state. Each input is SCANNED once per role
+  * it plays (probe + state, plus the outer pad/transition passes — up
+  * to 4 for a full outer join); at sizes where recomputing the input
+  * changelog dominates, persist/checkpoint the inputs before calling —
+  * the operator deliberately does not cache on the caller's behalf.
   */
 object ChangelogJoin {
 
