@@ -1232,6 +1232,207 @@ object TpcdsQueries {
               BETWEEN 0.2 AND 0.45
         AND CAST(ct_qty AS DOUBLE) / CAST(total AS DOUBLE)
               BETWEEN 0.2 AND 0.45
-      ORDER BY item"""))
+      ORDER BY item""")),
+
+    // ---- TPC-DS query98 (also 12/20) shape: revenue share WITHIN the
+    // parent class — each brand's 1997 revenue as a percentage of its
+    // type's total, via a sum-over-partition window on the aggregated
+    // frame (the window input is |type × brand|, never the fact
+    // table). ----
+    QueryDef("q_tpcds_s98", (s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1997)
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("p_brand"))
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))
+          .cast(d184)).as("rev_dec"))
+      val w = Window.partitionBy(col("p_type"))
+      base
+        .withColumn("class_total", sum(col("rev_dec")).over(w))
+        .select(col("p_type"), col("p_brand"),
+          col("rev_dec").cast("double").as("itemrevenue"),
+          (col("rev_dec").cast("double") * 100 /
+            col("class_total").cast("double")).as("revenueratio"))
+        .orderBy(col("p_type"), col("revenueratio"), col("p_brand"))
+    }, Some(s"""
+      WITH base AS (
+        SELECT p_type, p_brand,
+          SUM(CAST(${revenueSql("l_extendedprice", "l_discount")}
+            AS DECIMAL(18,4))) AS rev_dec
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE year(l_shipdate) = 1997
+        GROUP BY 1, 2)
+      SELECT p_type, p_brand,
+        CAST(rev_dec AS DOUBLE) AS itemrevenue,
+        CAST(rev_dec AS DOUBLE) * 100 /
+          CAST(SUM(rev_dec) OVER (PARTITION BY p_type) AS DOUBLE)
+          AS revenueratio
+      FROM base
+      ORDER BY p_type, revenueratio, p_brand""")),
+
+    // ---- TPC-DS query50 (also 62/99) shape: fulfillment-latency
+    // bucketing — days between order and ship date banded into 30-day
+    // buckets, counted per order priority. One conditional-aggregate
+    // pass over the join. ----
+    QueryDef("q_tpcds_s50", (s, dir) => {
+      val lat = datediff(col("l_shipdate"), col("o_orderdate"))
+      def band(name: String, cond: org.apache.spark.sql.Column) =
+        count(when(cond, 1)).as(name)
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          band("d30", lat <= 30),
+          band("d60", lat > 30 && lat <= 60),
+          band("d90", lat > 60 && lat <= 90),
+          band("d120", lat > 90 && lat <= 120),
+          band("dmore", lat > 120))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderpriority,
+        COUNT(CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) <= 30
+          THEN 1 END) AS d30,
+        COUNT(CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) > 30
+          AND DATE_DIFF('day', o_orderdate, l_shipdate) <= 60
+          THEN 1 END) AS d60,
+        COUNT(CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) > 60
+          AND DATE_DIFF('day', o_orderdate, l_shipdate) <= 90
+          THEN 1 END) AS d90,
+        COUNT(CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) > 90
+          AND DATE_DIFF('day', o_orderdate, l_shipdate) <= 120
+          THEN 1 END) AS d120,
+        COUNT(CASE WHEN DATE_DIFF('day', o_orderdate, l_shipdate) > 120
+          THEN 1 END) AS dmore
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")),
+
+    // ---- TPC-DS query59 shape: week-over-year comparison — weekly
+    // revenue pivoted by day-of-week for 1997 SELF-JOINed with the
+    // same pivot for 1998 on the week number, emitting the per-day
+    // YoY ratios. ----
+    QueryDef("q_tpcds_s59", (s, dir) => {
+      val z = lit(0).cast(DecimalType(12, 2))
+      def daySum(d: Int, out: String) =
+        sum(when(dayofweek(col("o_orderdate")) === d,
+          money(col("o_totalprice"))).otherwise(z)).as(out)
+      def weekly(y: Int, p: String) = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === y)
+        .groupBy(weekofyear(col("o_orderdate")).as(s"${p}_wk"))
+        .agg(daySum(1, s"${p}_sun"), daySum(2, s"${p}_mon"),
+          daySum(3, s"${p}_tue"), daySum(4, s"${p}_wed"))
+      val a = weekly(1997, "a"); val b = weekly(1998, "b")
+      def ratio(d: String) =
+        when(col(s"a_$d") > 0,
+          col(s"b_$d").cast("double") / col(s"a_$d").cast("double"))
+          .as(s"${d}_ratio")
+      a.join(b, col("a_wk") === col("b_wk"))
+        .select(col("a_wk").as("wk"), ratio("sun"), ratio("mon"),
+          ratio("tue"), ratio("wed"))
+        .orderBy(col("wk"))
+    }, Some(s"""
+      WITH weekly AS (
+        SELECT year(o_orderdate) AS y, weekofyear(o_orderdate) AS wk,
+          SUM(CASE WHEN dayofweek(o_orderdate) + 1 = 1
+            THEN ${moneySql("o_totalprice")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS sun,
+          SUM(CASE WHEN dayofweek(o_orderdate) + 1 = 2
+            THEN ${moneySql("o_totalprice")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS mon,
+          SUM(CASE WHEN dayofweek(o_orderdate) + 1 = 3
+            THEN ${moneySql("o_totalprice")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS tue,
+          SUM(CASE WHEN dayofweek(o_orderdate) + 1 = 4
+            THEN ${moneySql("o_totalprice")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS wed
+        FROM orders GROUP BY 1, 2)
+      SELECT a.wk AS wk,
+        CASE WHEN a.sun > 0
+          THEN CAST(b.sun AS DOUBLE) / CAST(a.sun AS DOUBLE) END
+          AS sun_ratio,
+        CASE WHEN a.mon > 0
+          THEN CAST(b.mon AS DOUBLE) / CAST(a.mon AS DOUBLE) END
+          AS mon_ratio,
+        CASE WHEN a.tue > 0
+          THEN CAST(b.tue AS DOUBLE) / CAST(a.tue AS DOUBLE) END
+          AS tue_ratio,
+        CASE WHEN a.wed > 0
+          THEN CAST(b.wed AS DOUBLE) / CAST(a.wed AS DOUBLE) END
+          AS wed_ratio
+      FROM (SELECT * FROM weekly WHERE y = 1997) a
+      JOIN (SELECT * FROM weekly WHERE y = 1998) b ON a.wk = b.wk
+      ORDER BY wk""")),
+
+    // ---- TPC-DS query17 shape: cross-channel quantity dispersion —
+    // per brand, mean / sample-stdev / coefficient-of-variation of the
+    // quantities in each channel, brands where every channel's cov
+    // clears a floor. The moments are computed as EXACT decimal sums
+    // (Σx, Σx², n — qty is 2-decimal) and only the final stdev/mean
+    // arithmetic is double, so the replay is bit-identical at any
+    // parallelism (a naive stddev_samp aggregates doubles in
+    // nondeterministic order). ----
+    QueryDef("q_tpcds_s17", (s, dir) => {
+      val d186 = DecimalType(18, 6)
+      def cell(status: String, p: String) = Seq(
+        count(when(col("o_orderstatus") === status, 1)).as(s"${p}_n"),
+        sum(when(col("o_orderstatus") === status, money(col("l_quantity")))
+          .otherwise(lit(0).cast(DecimalType(12, 2)))).as(s"${p}_s"),
+        sum(when(col("o_orderstatus") === status,
+          (money(col("l_quantity")) * money(col("l_quantity"))).cast(d186))
+          .otherwise(lit(0).cast(d186))).as(s"${p}_ss"))
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(cell("F", "st").head,
+          (cell("F", "st").tail ++ cell("O", "wb") ++ cell("P", "ct")): _*)
+      def stats(p: String) = {
+        val n = col(s"${p}_n").cast("double")
+        val mean = col(s"${p}_s").cast("double") / n
+        val variance = (col(s"${p}_ss").cast("double") -
+          col(s"${p}_s").cast("double") *
+            col(s"${p}_s").cast("double") / n) / (n - 1)
+        Seq(mean.as(s"${p}_mean"), sqrt(variance).as(s"${p}_std"),
+          (sqrt(variance) / mean).as(s"${p}_cov"))
+      }
+      base.filter(col("st_n") > 1 && col("wb_n") > 1 && col("ct_n") > 1)
+        .select((col("p_brand") +: (stats("st") ++ stats("wb") ++
+          stats("ct"))): _*)
+        .filter(col("st_cov") > 0.4 && col("wb_cov") > 0.4 &&
+          col("ct_cov") > 0.4)
+        .orderBy(col("p_brand"))
+    }, Some {
+      def cellSql(status: String, p: String) = s"""
+        COUNT(CASE WHEN o_orderstatus = '$status' THEN 1 END) AS ${p}_n,
+        SUM(CASE WHEN o_orderstatus = '$status'
+          THEN ${moneySql("l_quantity")}
+          ELSE CAST(0 AS DECIMAL(12,2)) END) AS ${p}_s,
+        SUM(CASE WHEN o_orderstatus = '$status'
+          THEN CAST(${moneySql("l_quantity")} * ${moneySql("l_quantity")}
+            AS DECIMAL(18,6))
+          ELSE CAST(0 AS DECIMAL(18,6)) END) AS ${p}_ss"""
+      def statsSql(p: String) = s"""
+        CAST(${p}_s AS DOUBLE) / ${p}_n AS ${p}_mean,
+        SQRT((CAST(${p}_ss AS DOUBLE) - CAST(${p}_s AS DOUBLE) *
+          CAST(${p}_s AS DOUBLE) / ${p}_n) / (${p}_n - 1)) AS ${p}_std,
+        SQRT((CAST(${p}_ss AS DOUBLE) - CAST(${p}_s AS DOUBLE) *
+          CAST(${p}_s AS DOUBLE) / ${p}_n) / (${p}_n - 1)) /
+          (CAST(${p}_s AS DOUBLE) / ${p}_n) AS ${p}_cov"""
+      s"""
+      WITH base AS (
+        SELECT p_brand, ${cellSql("F", "st")}, ${cellSql("O", "wb")},
+          ${cellSql("P", "ct")}
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand),
+      st AS (
+        SELECT p_brand, ${statsSql("st")}, ${statsSql("wb")},
+          ${statsSql("ct")}
+        FROM base WHERE st_n > 1 AND wb_n > 1 AND ct_n > 1)
+      SELECT * FROM st
+      WHERE st_cov > 0.4 AND wb_cov > 0.4 AND ct_cov > 0.4
+      ORDER BY p_brand"""
+    })
   )
 }
