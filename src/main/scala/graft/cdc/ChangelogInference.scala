@@ -277,7 +277,20 @@ object ChangelogInference {
   def execute(sinks: Seq[Sink]): Seq[DataFrame] = {
     val inf = infer(sinks)
     val built = scala.collection.mutable.Map.empty[Ref, Flow]
-    def build(n: Node): Flow = built.getOrElseUpdate(new Ref(n), n match {
+    // explicit get/put rather than getOrElseUpdate: the default branch
+    // recurses into build() and mutates the same map, which
+    // getOrElseUpdate does not guarantee to survive
+    def build(n: Node): Flow = {
+      val ref = new Ref(n)
+      built.get(ref) match {
+        case Some(f) => f
+        case None =>
+          val f = buildNode(n)
+          built(ref) = f
+          f
+      }
+    }
+    def buildNode(n: Node): Flow = n match {
       case Source(df, insertOnly, seqCols, _) =>
         Flow(if (insertOnly) df.withColumn(K, lit("+I")) else df, seqCols)
       case c @ Calc(ch, f) =>
@@ -316,7 +329,7 @@ object ChangelogInference {
         val renamed = fl.seq.indices.map(i => s"__seq_$i") :+ "__sub"
         Flow(out, renamed)
       case s: Sink => throw new IllegalStateException("nested sink")
-    })
+    }
     sinks.zipWithIndex.map { case (sink, i) =>
       val fl0 = build(sink.child)
       // per-branch DropUpdateBefore (reference
