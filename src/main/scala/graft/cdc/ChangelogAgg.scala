@@ -109,6 +109,12 @@ object ChangelogAgg {
     def emit(kind: Column, cnt: Column, sm: Column, sub: Int) =
       struct((kind.as("kind") +: cnt.as("cnt") +: sm.as("sum_val") +:
         lit(sub).as("__sub") +: Nil): _*)
+    // a group whose previous state was dead (first change, or revival
+    // after a death) INSERTS; a live group UPDATES — the reference
+    // GroupAggFunction clears state at count zero and emits INSERT on
+    // the next change, so a rebirth must not surface as +U
+    val addKind =
+      when(col("__rn") === 1 || col("__pcnt") <= 0, "+I").otherwise("+U")
     val events =
       if (emitUpdateBefore) Seq(
         // the retraction of the previous state: -U when a new state
@@ -120,14 +126,12 @@ object ChangelogAgg {
           emit(when(col("__cnt") > 0, "-U").otherwise("-D"),
             col("__pcnt"), col("__psum"), 0)),
         when(col("__cnt") > 0,
-          emit(when(col("__rn") === 1, "+I").otherwise("+U"),
-            col("__cnt"), col("__sum"), 1)))
+          emit(addKind, col("__cnt"), col("__sum"), 1)))
       else Seq(
         // upsert mode: one row per change — +I/+U with the new state,
         // or -D carrying the dying state
         when(col("__cnt") > 0,
-          emit(when(col("__rn") === 1, "+I").otherwise("+U"),
-            col("__cnt"), col("__sum"), 1)),
+          emit(addKind, col("__cnt"), col("__sum"), 1)),
         when(col("__cnt") <= 0 && col("__pcnt") > 0,
           emit(lit("-D"), col("__pcnt"), col("__psum"), 1)))
     val seqOut =

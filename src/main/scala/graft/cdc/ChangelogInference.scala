@@ -163,9 +163,22 @@ object ChangelogInference {
     * per-statement changelog modes inside an EXECUTE STATEMENT SET). */
   def infer(sinks: Seq[Sink]): Inferred = {
     require(sinks.nonEmpty, "at least one sink")
-    val sink = sinks.head
     // bottom-up: what each node WOULD produce, before consumer demands
-    def produces(n: Node): Mode = n match {
+    // memoized by reference — walk() consults produces() per child at
+    // every stateful node across passes and sinks; without the memo a
+    // plan with d shared diamond layers costs O(2^d) traversals
+    val producesMemo = scala.collection.mutable.Map.empty[Ref, Mode]
+    def produces(n: Node): Mode = {
+      val ref = new Ref(n)
+      producesMemo.get(ref) match {
+        case Some(m) => m
+        case None =>
+          val m = producesNode(n)
+          producesMemo(ref) = m
+          m
+      }
+    }
+    def producesNode(n: Node): Mode = n match {
       case Source(_, insertOnly, _, _) =>
         if (insertOnly) InsertOnly else Retract
       case Calc(c, _) => produces(c)

@@ -179,11 +179,15 @@ object ChangelogJoin {
     val all = components.reduce(_ unionByName _)
     // deterministic per-event emission index: one driving event may emit
     // through several components (e.g. a right insert emits its matches
-    // AND the null-padding retractions) — number them by content so the
-    // downstream total order (seq, side, eidx) is reproducible
+    // AND the null-padding retractions). Retractions sort BEFORE
+    // additions — the reference operator removes the old state rows
+    // first (retract the null padding, then add the joined rows on a
+    // first association; retract the joined rows, then re-add the
+    // padding on the last association's death) — then by component and
+    // content so the total order (seq, side, eidx) is reproducible.
     val winE = Window.partitionBy(col("__t"), col("__side"))
-      .orderBy((Seq(col("__ctag")) ++ lp.map(col) ++ rp.map(col) :+
-        col("__dup")): _*)
+      .orderBy((Seq(ChangelogAgg.weight(col("__kind")), col("__ctag")) ++
+        lp.map(col) ++ rp.map(col) :+ col("__dup")): _*)
     val seqFields =
       (0 until n).map(i => col("__t").getField(s"_$i").as(s"__seq_$i"))
     all.withColumn("__eidx", row_number().over(winE))

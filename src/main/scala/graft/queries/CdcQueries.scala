@@ -579,8 +579,10 @@ object CdcQueries {
           pcnt AS ecnt, ps AS es
         FROM ctx WHERE rn > 1 AND pcnt > 0
         UNION ALL
-        -- the new state: +I on first emission, +U afterwards
-        SELECT CASE WHEN rn = 1 THEN '+I' ELSE '+U' END, cnt, s
+        -- the new state: +I when the previous state was dead (first
+        -- change OR revival after a death), +U for a live group
+        SELECT CASE WHEN rn = 1 OR pcnt <= 0 THEN '+I' ELSE '+U' END,
+          cnt, s
         FROM ctx WHERE cnt > 0),
       state AS (
         SELECT o_custkey, SUM(w) AS cnt, SUM(w * v) AS s

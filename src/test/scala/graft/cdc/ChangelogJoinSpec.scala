@@ -126,6 +126,31 @@ class ChangelogJoinSpec extends SparkSpec {
     assert(got(((3L, 1, Some(("a", 1)), None, "+U"))) == 1)
   }
 
+  test("within one event, retractions precede additions (reference order)") {
+    // first association: the null-padding retraction must come BEFORE
+    // the joined insert; last association's death: the joined retract
+    // must come BEFORE the padding re-insert — the reference operator
+    // removes old state rows first
+    val ev = Seq(
+      (0, "a", 1, "+I", 1L), // pad (a1, null)
+      (1, "a", 7, "+I", 2L), // -U pad, then +I (a1, r7)
+      (1, "a", 7, "-D", 3L)) // -D (a1, r7), then +U pad
+    val l = ev.filter(_._1 == 0)
+      .map(e => (e._2, e._3, e._4, e._5)).toDF("lk", "ltag", K, "lseq")
+    val r = ev.filter(_._1 == 1)
+      .map(e => (e._2, e._3, e._4, e._5)).toDF("rk", "rtag", K, "rseq")
+    val rows = ChangelogJoin.updateStream(l, r, "lk", "rk", "left",
+        Seq("lseq"), Seq("rseq"))
+      .orderBy(col("__seq_0"), col("__side"), col("__eidx"))
+      .select(col("__seq_0"), col(K)).collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(rows == Seq(
+      (1L, "+I"),             // padded insert
+      (2L, "-U"), (2L, "+I"), // retract padding, then the joined row
+      (3L, "-D"), (3L, "+U")  // retract the joined row, then re-pad
+    ), rows.toString)
+  }
+
   test("equal seq across sides: the left event applies first") {
     // same seq value on both sides — the left insert must be visible
     // to the right event's probe, the right insert must NOT be visible

@@ -103,7 +103,7 @@ class ChangelogSpec extends SparkSpec {
     assert(out.getDouble(3) == 10.0)        // one 10 still live
   }
 
-  test("updateStream emits +I then -U/+U pairs, bare -U on group death") {
+  test("updateStream emits +I then -U/+U pairs, -D on death, +I on revival") {
     import org.apache.spark.sql.functions._
     val df = Seq(
       ("A", 10.0, "+I", 1), ("A", 20.0, "+I", 2),
@@ -118,9 +118,10 @@ class ChangelogSpec extends SparkSpec {
       ("A", 1L, 10.0, "-U"), ("A", 2L, 30.0, "+U")))
     val b = got.filter(_._1 == "B").toSeq
     // death emits a -D of the dying state (reference GroupAggFunction
-    // DELETE at count zero); revival emits without a retraction
+    // DELETE at count zero); the revival is an INSERT — the store has
+    // no current row for the key after the delete
     assert(b == Seq(("B", 1L, 7.0, "+I"),
-      ("B", 1L, 7.0, "-D"), ("B", 1L, 9.0, "+U")))
+      ("B", 1L, 7.0, "-D"), ("B", 1L, 9.0, "+I")))
   }
 
   test("two-stage chain: second materialize nets the update stream") {

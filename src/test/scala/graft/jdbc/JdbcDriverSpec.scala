@@ -104,6 +104,15 @@ class JdbcDriverSpec extends SparkSpec {
       assert(rs.next() && rs.getString(1) == "NATION_4")
       assert(!rs.next())
       ps.close()
+      // bracketed comments (nesting included) are not placeholders
+      val ps2 = conn.prepareStatement(
+        "SELECT n_name /* really? /* nested? */ still a comment */ " +
+          "FROM jc WHERE n_nationkey = ?")
+      ps2.setLong(1, 5L)
+      val rs2 = ps2.executeQuery()
+      assert(rs2.next() && rs2.getString(1) == "NATION_5")
+      assert(!rs2.next())
+      ps2.close()
     } finally conn.close()
   }
 
