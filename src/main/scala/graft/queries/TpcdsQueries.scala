@@ -1433,6 +1433,149 @@ object TpcdsQueries {
       SELECT * FROM st
       WHERE st_cov > 0.4 AND wb_cov > 0.4 AND ct_cov > 0.4
       ORDER BY p_brand"""
-    })
+    }),
+
+    // ---- TPC-DS query90 shape: the am/pm traffic ratio — morning-band
+    // vs evening-band event counts per event type, one conditional
+    // aggregate over the events table (the original's two scalar
+    // subqueries cross-joined, decorrelated to one scan). ----
+    QueryDef("q_tpcds_s90", (s, dir) => {
+      val h = hour(col("ts"))
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(when(h >= 8 && h <= 11, 1)).as("am_count"),
+          count(when(h >= 19 && h <= 22, 1)).as("pm_count"))
+        .filter(col("pm_count") > 0)
+        .withColumn("am_pm_ratio",
+          col("am_count").cast("double") / col("pm_count").cast("double"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type,
+        COUNT(CASE WHEN hour(ts) BETWEEN 8 AND 11 THEN 1 END)
+          AS am_count,
+        COUNT(CASE WHEN hour(ts) BETWEEN 19 AND 22 THEN 1 END)
+          AS pm_count,
+        CAST(COUNT(CASE WHEN hour(ts) BETWEEN 8 AND 11 THEN 1 END)
+          AS DOUBLE) /
+        CAST(COUNT(CASE WHEN hour(ts) BETWEEN 19 AND 22 THEN 1 END)
+          AS DOUBLE) AS am_pm_ratio
+      FROM events
+      GROUP BY event_type
+      HAVING COUNT(CASE WHEN hour(ts) BETWEEN 19 AND 22 THEN 1 END) > 0
+      ORDER BY event_type""")),
+
+    // ---- TPC-DS query46/68 shape: cross-role dimension mismatch —
+    // order lines whose SUPPLIER nation differs from the CUSTOMER
+    // nation (the original's current-vs-sales-address city change),
+    // counted and summed per customer, top by mismatched revenue. ----
+    QueryDef("q_tpcds_s46", (s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier").select(col("s_suppkey"),
+          col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .filter(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_cross"),
+          sum(money(col("l_extendedprice"))).as("rev_dec"))
+        .select(col("c_custkey"), col("n_cross"),
+          col("rev_dec").cast("double").as("cross_rev"))
+        .orderBy(col("cross_rev").desc, col("c_custkey")).limit(100)
+    }, Some(s"""
+      SELECT o_custkey AS c_custkey, COUNT(*) AS n_cross,
+        CAST(SUM(${moneySql("l_extendedprice")}) AS DOUBLE) AS cross_rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE s_nationkey <> c_nationkey
+      GROUP BY o_custkey
+      ORDER BY cross_rev DESC, c_custkey LIMIT 100""")),
+
+    // ---- TPC-DS query32/92 shape: the "excess discount" correlated
+    // filter — lines whose discount exceeds 1.3× their part's average
+    // discount, summed into ONE scalar (decorrelated to a broadcast
+    // per-part average join). ----
+    QueryDef("q_tpcds_s32", (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val avgs = l.groupBy(col("l_partkey").as("a_part"))
+        .agg((sum(rate(col("l_discount"))).cast("double") /
+          count(lit(1))).as("avg_disc"))
+      l.join(avgs, col("l_partkey") === col("a_part"))
+        .filter(rate(col("l_discount")).cast("double") >
+          col("avg_disc") * 1.3)
+        .agg(sum(money(col("l_extendedprice"))).cast("double")
+          .as("excess_revenue"))
+    }, Some(s"""
+      WITH avgs AS (
+        SELECT l_partkey AS a_part,
+          CAST(SUM(${rateSql("l_discount")}) AS DOUBLE) / COUNT(*)
+            AS avg_disc
+        FROM lineitem GROUP BY 1)
+      SELECT CAST(SUM(${moneySql("l_extendedprice")}) AS DOUBLE)
+        AS excess_revenue
+      FROM lineitem JOIN avgs ON l_partkey = a_part
+      WHERE CAST(${rateSql("l_discount")} AS DOUBLE) > avg_disc * 1.3""")),
+
+    // ---- TPC-DS query65 shape: under-performing (store, item) pairs —
+    // per (nation, part) revenue joined against that nation's average
+    // part revenue, pairs at most 20% of the average. Two aggregate
+    // levels; the per-nation averages are fixed-cardinality and
+    // broadcast. ----
+    QueryDef("q_tpcds_s65", (s, dir) => {
+      val byPair = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier").select(col("s_suppkey"),
+          col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("l_partkey"))
+        .agg(sum(money(col("l_extendedprice"))).as("rev_dec"))
+      val avgs = byPair.groupBy(col("s_nationkey").as("a_nkey"))
+        .agg((sum(col("rev_dec")).cast("double") / count(lit(1)))
+          .as("avg_rev"))
+      byPair.join(broadcast(avgs), col("s_nationkey") === col("a_nkey"))
+        .filter(col("rev_dec").cast("double") <= col("avg_rev") * 0.2)
+        .select(col("s_nationkey").cast("int").as("nationkey"),
+          col("l_partkey"), col("rev_dec").cast("double").as("revenue"),
+          col("avg_rev"))
+        .orderBy(col("nationkey"), col("l_partkey"))
+    }, Some(s"""
+      WITH by_pair AS (
+        SELECT s_nationkey, l_partkey,
+          SUM(${moneySql("l_extendedprice")}) AS rev_dec
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+      avgs AS (
+        SELECT s_nationkey, CAST(SUM(rev_dec) AS DOUBLE) / COUNT(*)
+          AS avg_rev
+        FROM by_pair GROUP BY 1)
+      SELECT CAST(b.s_nationkey AS INTEGER) AS nationkey, b.l_partkey,
+        CAST(b.rev_dec AS DOUBLE) AS revenue, a.avg_rev
+      FROM by_pair b JOIN avgs a ON b.s_nationkey = a.s_nationkey
+      WHERE CAST(b.rev_dec AS DOUBLE) <= a.avg_rev * 0.2
+      ORDER BY nationkey, b.l_partkey""")),
+
+    // ---- TPC-DS query41 shape: dimension self-EXISTS — distinct part
+    // names that have a SIBLING part (same type, different brand,
+    // size within ±2), the original's manufacturer attribute-combo
+    // existence check as a dimension-only semi join. ----
+    QueryDef("q_tpcds_s41", (s, dir) => {
+      val p = t(s, dir, "part")
+      val sib = p.select(col("p_type").as("s_type"),
+        col("p_brand").as("s_brand"), col("p_size").as("s_size"))
+      p.join(sib,
+          col("p_type") === col("s_type") &&
+            col("p_brand") =!= col("s_brand") &&
+            col("s_size").between(col("p_size") - 2, col("p_size") + 2),
+          "left_semi")
+        .select(col("p_name")).distinct()
+        .orderBy(col("p_name")).limit(100)
+    }, Some("""
+      SELECT DISTINCT p_name FROM part p
+      WHERE EXISTS (
+        SELECT 1 FROM part s
+        WHERE s.p_type = p.p_type AND s.p_brand <> p.p_brand
+          AND s.p_size BETWEEN p.p_size - 2 AND p.p_size + 2)
+      ORDER BY p_name LIMIT 100"""))
   )
 }

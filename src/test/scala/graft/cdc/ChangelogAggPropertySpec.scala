@@ -122,6 +122,53 @@ class ChangelogAggPropertySpec extends SparkSpec {
     }, n = 12)
   }
 
+  test("statement-set branches equal their single-sink runs") {
+    import org.apache.spark.sql.functions.col
+    // the shared-aggregate rewiring (forced retract + branch-side
+    // DropUpdateBefore) must be INVISIBLE per branch: each sink's
+    // result equals running that sink alone
+    val posOpGen = Gen.zip(Gen.oneOf("a", "b", "c"),
+      Gen.choose(1, 6).map(_.toDouble),
+      Gen.frequency(3 -> Gen.const("+I"), 1 -> Gen.const("-D")))
+    val posOpsGen = Gen.choose(1, 14).flatMap(n => Gen.listOfN(n, posOpGen))
+    check(Prop.forAll(posOpsGen) { ops0 =>
+      val seen = scala.collection.mutable.Map.empty[String, Long]
+      val ops = ops0.filter { case (k, _, kind) =>
+        val w = if (kind == "-D") -1L else 1L
+        val n = seen.getOrElse(k, 0L) + w
+        if (n < 0) false else { seen(k) = n; true }
+      }
+      if (ops.isEmpty) true
+      else {
+        import ChangelogInference._
+        val df = ops.zipWithIndex
+          .map { case ((k, v, kind), i) => (k, v, kind, i.toLong) }
+          .toDF("k", "v", ChangelogFormats.RowKindCol, "seq")
+        def agg() = GroupAgg(Source(df, seqCols = Seq("seq")), Seq("k"), "v")
+        val shared = agg()
+        val multi = ChangelogInference.execute(Seq(
+          Sink(shared, primaryKey = Some(Seq("k"))), Sink(shared)))
+        def stateSet(d: org.apache.spark.sql.DataFrame) =
+          d.select(col("k"), col("cnt"), col("sum_val"))
+            .collect().map(r => (r.getString(0), r.getLong(1),
+              r.getDouble(2))).toSet
+        def streamSet(d: org.apache.spark.sql.DataFrame) =
+          d.select(col("k"), col("cnt"), col("sum_val"),
+              col(ChangelogFormats.RowKindCol))
+            .collect().map(r => (r.getString(0), r.getLong(1),
+              r.getDouble(2), r.getString(3))).toSeq
+            .groupBy(identity).view.mapValues(_.size).toMap
+        val soloState = ChangelogInference.execute(
+          Sink(agg(), primaryKey = Some(Seq("k"))))
+        val soloStream = ChangelogInference.execute(Sink(agg()))
+        val ok = stateSet(multi(0)) == stateSet(soloState) &&
+          streamSet(multi(1)) == streamSet(soloStream)
+        if (!ok) println(s"MISMATCH ops=$ops")
+        ok
+      }
+    }, n = 8)
+  }
+
   test("materialize matches the signed-multiset model") {
     check(Prop.forAll(opsGen) { ops =>
       val df = ops.toDF("k", "v", ChangelogFormats.RowKindCol)
