@@ -1576,6 +1576,87 @@ object TpcdsQueries {
         SELECT 1 FROM part s
         WHERE s.p_type = p.p_type AND s.p_brand <> p.p_brand
           AND s.p_size BETWEEN p.p_size - 2 AND p.p_size + 2)
-      ORDER BY p_name LIMIT 100"""))
+      ORDER BY p_name LIMIT 100""")),
+
+    // ---- TPC-DS query87/38 shape: customer-set EXCEPT across
+    // channels — how many customers bought in the store channel but
+    // never in the web channel, and the reverse, as one two-column
+    // row. The set difference is the EXCEPT operator itself, not an
+    // anti-join rewrite. ----
+    QueryDef("q_tpcds_s87", (s, dir) => {
+      val o = t(s, dir, "orders")
+      def custs(status: String) =
+        o.filter(col("o_orderstatus") === status)
+          .select(col("o_custkey")).distinct()
+      // one distributed plan: both EXCEPT branches tagged and pivoted
+      // into the single report row (no driver-side counts)
+      val storeOnly = custs("F").except(custs("O"))
+        .select(lit("s").as("side"))
+      val webOnly = custs("O").except(custs("F"))
+        .select(lit("w").as("side"))
+      storeOnly.unionByName(webOnly)
+        .agg(count(when(col("side") === "s", 1)).as("store_only"),
+          count(when(col("side") === "w", 1)).as("web_only"))
+    }, Some("""
+      SELECT
+        (SELECT COUNT(*) FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          EXCEPT
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+          AS store_only,
+        (SELECT COUNT(*) FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+          EXCEPT
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+          AS web_only""")),
+
+    // ---- TPC-DS query54 shape: customer revenue-band histogram —
+    // per-customer revenue bucketed into fixed-width bands, customers
+    // counted per band (the original's `segment = revenue/50` count
+    // report). ----
+    QueryDef("q_tpcds_s54", (s, dir) => {
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(money(col("o_totalprice"))).as("rev_dec"))
+      perCust
+        .withColumn("band",
+          floor(col("rev_dec").cast("double") / 50000).cast("long"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("band"))
+    }, Some(s"""
+      WITH per_cust AS (
+        SELECT o_custkey, SUM(${moneySql("o_totalprice")}) AS rev_dec
+        FROM orders GROUP BY 1)
+      SELECT CAST(FLOOR(CAST(rev_dec AS DOUBLE) / 50000) AS BIGINT)
+        AS band, COUNT(*) AS n_customers
+      FROM per_cust
+      GROUP BY 1 ORDER BY band""")),
+
+    // ---- TPC-DS query8 shape: prefix-list dimension filter — revenue
+    // per nation restricted to customers whose name carries one of a
+    // literal list of prefixes (the original's 400-zip substr IN
+    // list). ----
+    QueryDef("q_tpcds_s8", (s, dir) => {
+      val prefixes = Seq("Customer#0000000", "Customer#0000001",
+        "Customer#0000002")
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .filter(substring(col("c_name"), 1, 16).isin(prefixes: _*))
+        .groupBy(col("n_name"))
+        .agg(sum(money(col("o_totalprice"))).cast("double").as("net_profit"))
+        .orderBy(col("n_name"))
+    }, Some(s"""
+      SELECT n_name,
+        CAST(SUM(${moneySql("o_totalprice")}) AS DOUBLE) AS net_profit
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE substr(c_name, 1, 16) IN ('Customer#0000000',
+        'Customer#0000001', 'Customer#0000002')
+      GROUP BY n_name
+      ORDER BY n_name"""))
   )
 }
