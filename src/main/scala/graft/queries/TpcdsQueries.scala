@@ -1657,6 +1657,151 @@ object TpcdsQueries {
       WHERE substr(c_name, 1, 16) IN ('Customer#0000000',
         'Customer#0000001', 'Customer#0000002')
       GROUP BY n_name
-      ORDER BY n_name"""))
+      ORDER BY n_name""")),
+
+    // ---- TPC-DS query38 shape: customers present in ALL THREE
+    // channels — a chained INTERSECT of the per-channel distinct
+    // customer sets, counted into one row. ----
+    QueryDef("q_tpcds_s38", (s, dir) => {
+      val o = t(s, dir, "orders")
+      def custs(status: String) =
+        o.filter(col("o_orderstatus") === status)
+          .select(col("o_custkey")).distinct()
+      custs("F").intersect(custs("O")).intersect(custs("P"))
+        .agg(count(lit(1)).as("n_all_three"))
+    }, Some("""
+      SELECT COUNT(*) AS n_all_three FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P')""")),
+
+    // ---- TPC-DS query40 shape: before/after pivot around an event
+    // date — per brand, net quantity (sales minus returns) shipped
+    // before vs after the pivot, one conditional-aggregate pass. ----
+    QueryDef("q_tpcds_s40", (s, dir) => {
+      val z = lit(0).cast(DecimalType(12, 2))
+      val pivot = lit("1998-01-01").cast("date")
+      val before = col("l_shipdate").cast("date") < pivot
+      def cell(cond: org.apache.spark.sql.Column, ret: Boolean) =
+        sum(when(cond && (if (ret) col("l_returnflag") === "R"
+          else col("l_returnflag") =!= "R"),
+          money(col("l_quantity"))).otherwise(z))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          (cell(before, ret = false) - cell(before, ret = true))
+            .cast("double").as("net_before"),
+          (cell(!before, ret = false) - cell(!before, ret = true))
+            .cast("double").as("net_after"))
+        .orderBy(col("p_brand"))
+    }, Some(s"""
+      SELECT p_brand,
+        CAST(SUM(CASE WHEN l_shipdate < DATE '1998-01-01'
+            AND l_returnflag <> 'R' THEN ${moneySql("l_quantity")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) -
+          SUM(CASE WHEN l_shipdate < DATE '1998-01-01'
+            AND l_returnflag = 'R' THEN ${moneySql("l_quantity")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS net_before,
+        CAST(SUM(CASE WHEN l_shipdate >= DATE '1998-01-01'
+            AND l_returnflag <> 'R' THEN ${moneySql("l_quantity")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) -
+          SUM(CASE WHEN l_shipdate >= DATE '1998-01-01'
+            AND l_returnflag = 'R' THEN ${moneySql("l_quantity")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS net_after
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+      ORDER BY p_brand""")),
+
+    // ---- TPC-DS query61 shape: promotional-revenue ratio — one row
+    // comparing promotional (discounted ≥ 5%) revenue to total
+    // revenue. The literal form is two scalar subqueries cross-joined;
+    // decorrelated (as s88) to ONE conditional-aggregate scan. ----
+    QueryDef("q_tpcds_s61", (s, dir) => {
+      val z = lit(0).cast(DecimalType(12, 2))
+      t(s, dir, "lineitem")
+        .agg(
+          sum(when(rate(col("l_discount")) >= 0.05,
+            money(col("l_extendedprice"))).otherwise(z)).as("promo_dec"),
+          sum(money(col("l_extendedprice"))).as("total_dec"))
+        .select(
+          col("promo_dec").cast("double").as("promotions"),
+          col("total_dec").cast("double").as("total"),
+          (col("promo_dec").cast("double") * 100 /
+            col("total_dec").cast("double")).as("promo_pct"))
+    }, Some(s"""
+      SELECT CAST(promo_dec AS DOUBLE) AS promotions,
+        CAST(total_dec AS DOUBLE) AS total,
+        CAST(promo_dec AS DOUBLE) * 100 / CAST(total_dec AS DOUBLE)
+          AS promo_pct
+      FROM (
+        SELECT
+          SUM(CASE WHEN ${rateSql("l_discount")} >= 0.05
+            THEN ${moneySql("l_extendedprice")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS promo_dec,
+          SUM(${moneySql("l_extendedprice")}) AS total_dec
+        FROM lineitem)""")),
+
+    // ---- TPC-DS query25/29 shape: the sales-and-returns grain
+    // report — per (supplier nation, part brand): sales revenue,
+    // returned revenue and net, from one fact pass over the two
+    // dimension joins. ----
+    QueryDef("q_tpcds_s25", (s, dir) => {
+      val z = lit(0).cast(DecimalType(12, 2))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier").select(col("s_suppkey"),
+          col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("n_name"), col("p_brand"))
+        .agg(
+          sum(when(col("l_returnflag") =!= "R",
+            money(col("l_extendedprice"))).otherwise(z)).as("sales_dec"),
+          sum(when(col("l_returnflag") === "R",
+            money(col("l_extendedprice"))).otherwise(z)).as("ret_dec"))
+        .select(col("n_name"), col("p_brand"),
+          col("sales_dec").cast("double").as("sales"),
+          col("ret_dec").cast("double").as("returns"),
+          (col("sales_dec") - col("ret_dec")).cast("double").as("net"))
+        .orderBy(col("n_name"), col("p_brand"))
+    }, Some(s"""
+      SELECT n_name, p_brand,
+        CAST(SUM(CASE WHEN l_returnflag <> 'R'
+          THEN ${moneySql("l_extendedprice")}
+          ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS sales,
+        CAST(SUM(CASE WHEN l_returnflag = 'R'
+          THEN ${moneySql("l_extendedprice")}
+          ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS returns,
+        CAST(SUM(CASE WHEN l_returnflag <> 'R'
+          THEN ${moneySql("l_extendedprice")}
+          ELSE CAST(0 AS DECIMAL(12,2)) END) -
+          SUM(CASE WHEN l_returnflag = 'R'
+          THEN ${moneySql("l_extendedprice")}
+          ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS net
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN part ON l_partkey = p_partkey
+      GROUP BY n_name, p_brand
+      ORDER BY n_name, p_brand""")),
+
+    // ---- TPC-DS query96 shape: the banded COUNT — how many
+    // high-value click events land in the evening rush window, a
+    // single filtered scalar over the events stream table. ----
+    QueryDef("q_tpcds_s96", (s, dir) => {
+      val h = hour(col("ts"))
+      t(s, dir, "events")
+        .filter(h >= 16 && h <= 18 && col("event_type") === "click" &&
+          col("value") > 10.0)
+        .agg(count(lit(1)).as("n_rush"))
+    }, Some("""
+      SELECT COUNT(*) AS n_rush
+      FROM events
+      WHERE hour(ts) BETWEEN 16 AND 18 AND event_type = 'click'
+        AND value > 10.0"""))
   )
 }

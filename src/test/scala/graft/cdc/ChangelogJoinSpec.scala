@@ -173,15 +173,18 @@ class ChangelogJoinSpec extends SparkSpec {
       n <- Gen.choose(1, 14)
       evs <- Gen.listOfN(n, Gen.zip(
         Gen.oneOf(0, 1), Gen.oneOf("a", "b"), Gen.choose(1, 3),
-        Gen.frequency(3 -> Gen.const("+I"), 1 -> Gen.const("-D"))))
+        // all four kinds: -U/+U exercise the update labels through the
+        // probe/pad/transition paths, not just insert/delete weights
+        Gen.frequency(3 -> Gen.const("+I"), 1 -> Gen.const("-D"),
+          1 -> Gen.const("-U"), 1 -> Gen.const("+U"))))
       jt <- Gen.oneOf("inner", "left", "right", "full")
     } yield (evs, jt)
     check(Prop.forAll(evGen) { case (evs0, jt) =>
-      // keep streams consistent: drop deletes of contents not live
+      // keep streams consistent: drop retractions of contents not live
       val liveCount = scala.collection.mutable.Map.empty[(Int, String, Int), Int]
       val evs = evs0.zipWithIndex.flatMap { case ((side, k, tag, kind), i) =>
         val id = (side, k, tag)
-        val w = if (kind == "-D") -1 else 1
+        val w = if (kind == "-D" || kind == "-U") -1 else 1
         val n = liveCount.getOrElse(id, 0) + w
         if (n < 0) None
         else { liveCount(id) = n; Some((side, k, tag, kind, (i + 1).toLong)) }
