@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Unbounded stream-stream equi-join whose inputs are CHANGELOGS —
+  * every input row carries a row kind (+I/-U/+U/-D), both sides may
+  * update, and the operator emits the joined change stream with outer
+  * null-padding driven by association counting. This is the streaming
+  * twin of [[graft.cdc.ChangelogJoin]]'s batch replay (same reference:
+  * StreamingJoinOperator.java:37 + OuterJoinRecordStateViews.java:336);
+  * the batch operator replays arrival order from sequence columns,
+  * this one processes arrival order as it happens.
+  *
+  * Semantics per arriving change (weight w = ±1 by kind):
+  *   - emit one joined row per LIVE matching row of the other side's
+  *     state (live = net count > 0, multiplicity-many emissions),
+  *     carrying the arriving change's kind;
+  *   - outer variants: no live match → the null-padded row in the
+  *     arriving kind; and when this change crosses its key's
+  *     association count through zero (0→1 insert / 1→0 retraction),
+  *     the OTHER side's live rows get their padding retracted (-U) or
+  *     restored (+U) — retract-before-add order within the event;
+  *   - finally the change applies to its own side's multiset.
+  *
+  * Scale: state is the two signed multisets per key — identical to the
+  * reference's JoinRecordStateView (count per distinct row content),
+  * hash-distributed on the join key; one shuffle per side. State never
+  * stores dead contents (net 0 entries are dropped).
+  */
+object StreamingChangelogJoin {
+
+  /** Changelog emission: (rowKind, left, right). */
+  type Out[L, R] = (String, Option[L], Option[R])
+
+  private def weight(kind: String): Int =
+    if (kind == "+I" || kind == "+U") 1 else -1
+
+  /** `joinType`: inner | left | right | full. Input rows are
+    * (payload, rowKind). */
+  def join[K, L, R](left: Dataset[(L, String)], right: Dataset[(R, String)],
+      lKey: L => K, rKey: R => K, joinType: String)(
+      implicit kEnc: Encoder[K],
+      inEnc: Encoder[(Option[(L, String)], Option[(R, String)])],
+      stEnc: Encoder[(Seq[(L, Int)], Seq[(R, Int)])],
+      outEnc: Encoder[Out[L, R]]): Dataset[Out[L, R]] = {
+    require(Set("inner", "left", "right", "full")(joinType),
+      s"unsupported join type: $joinType")
+    val padsLeft = joinType == "left" || joinType == "full"
+    val padsRight = joinType == "right" || joinType == "full"
+    val tagged = left
+      .map(l => (Option(l), Option.empty[(R, String)]))
+      .unionByName(right.map(r => (Option.empty[(L, String)], Option(r))))
+    tagged.groupByKey {
+      case (Some((l, _)), _) => lKey(l)
+      case (_, Some((r, _))) => rKey(r)
+      case _ => throw new IllegalStateException("empty tagged row")
+    }.flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      (_: K, rows: Iterator[(Option[(L, String)], Option[(R, String)])],
+          state: GroupState[(Seq[(L, Int)], Seq[(R, Int)])]) =>
+        var (ls0, rs0) = state.getOption
+          .getOrElse((Seq.empty[(L, Int)], Seq.empty[(R, Int)]))
+        val ls = scala.collection.mutable.LinkedHashMap(ls0: _*)
+        val rs = scala.collection.mutable.LinkedHashMap(rs0: _*)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Out[L, R]]
+        def bump[T](m: scala.collection.mutable.LinkedHashMap[T, Int],
+            c: T, w: Int): Unit = {
+          val n = m.getOrElse(c, 0) + w
+          if (n == 0) m.remove(c) else m(c) = n
+        }
+        rows.foreach { row =>
+          // one arriving change, on either side
+          val (kind, w) = row match {
+            case (Some((_, k)), _) => (k, weight(k))
+            case (_, Some((r, k))) => (k, weight(k))
+            case _ => ("+I", 1)
+          }
+          row match {
+            case (Some((l, _)), _) =>
+              val live = rs.toSeq.filter(_._2 > 0)
+              val cb = ls.valuesIterator.sum
+              // retract-before-add: a left insert that creates the
+              // key's first left association first retracts the
+              // (null, r) paddings, then emits its joined rows
+              if (padsRight && cb == 0 && w > 0)
+                live.foreach { case (r, cnt) =>
+                  (1 to cnt).foreach(_ => out += (("-U", None, Some(r)))) }
+              if (live.nonEmpty)
+                live.foreach { case (r, cnt) =>
+                  (1 to cnt).foreach(_ => out += ((kind, Some(l), Some(r)))) }
+              else if (padsLeft) out += ((kind, Some(l), None))
+              if (padsRight && cb + w == 0 && w < 0)
+                live.foreach { case (r, cnt) =>
+                  (1 to cnt).foreach(_ => out += (("+U", None, Some(r)))) }
+              bump(ls, l, w)
+            case (_, Some((r, _))) =>
+              val live = ls.toSeq.filter(_._2 > 0)
+              val cb = rs.valuesIterator.sum
+              if (padsLeft && cb == 0 && w > 0)
+                live.foreach { case (l, cnt) =>
+                  (1 to cnt).foreach(_ => out += (("-U", Some(l), None))) }
+              if (live.nonEmpty)
+                live.foreach { case (l, cnt) =>
+                  (1 to cnt).foreach(_ => out += ((kind, Some(l), Some(r)))) }
+              else if (padsRight) out += ((kind, None, Some(r)))
+              if (padsLeft && cb + w == 0 && w < 0)
+                live.foreach { case (l, cnt) =>
+                  (1 to cnt).foreach(_ => out += (("+U", Some(l), None))) }
+              bump(rs, r, w)
+            case _ => ()
+          }
+        }
+        if (ls.isEmpty && rs.isEmpty) state.remove()
+        else state.update((ls.toSeq, rs.toSeq))
+        out.iterator
+    }
+  }
+}
