@@ -1802,6 +1802,114 @@ object TpcdsQueries {
       SELECT COUNT(*) AS n_rush
       FROM events
       WHERE hour(ts) BETWEEN 16 AND 18 AND event_type = 'click'
-        AND value > 10.0"""))
+        AND value > 10.0""")),
+
+    // ---- TPC-DS query64 shape: one composed CTE instantiated TWICE
+    // and self-joined across years — per (part, year) a composition of
+    // revenue, distinct-supplier count and average price, year y
+    // joined against year y+1 on the part, parts whose revenue GREW.
+    // The CTE materializes once per instantiation in both engines. ----
+    QueryDef("q_tpcds_s64", (s, dir) => {
+      // Spark-first: the consecutive-year self-join is a LAG over one
+      // aggregate partitioned by the part — ONE fact scan and one
+      // aggregation instead of two (no ReusedExchange fires across the
+      // broadcast/shuffle boundary of the literal self-join form); the
+      // oracle keeps the literal CTE-self-join SQL, so the rewrite is
+      // hash-verified equivalent
+      val comp = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), year(col("l_shipdate")).as("y"))
+        .agg(sum(money(col("l_extendedprice"))).as("rev_dec"),
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          (sum(money(col("l_extendedprice"))).cast("double") /
+            count(lit(1))).as("avg_price"))
+      val w = Window.partitionBy(col("l_partkey")).orderBy(col("y"))
+      comp
+        .withColumn("py", lag(col("y"), 1).over(w))
+        .withColumn("a_rev", lag(col("rev_dec"), 1).over(w))
+        .withColumn("a_supp", lag(col("n_supp"), 1).over(w))
+        .withColumn("a_avg", lag(col("avg_price"), 1).over(w))
+        .filter(col("y") === 1998 && col("py") === 1997 &&
+          col("rev_dec") > col("a_rev"))
+        .select(col("l_partkey").as("partkey"),
+          col("a_rev").cast("double").as("rev_1997"),
+          col("rev_dec").cast("double").as("rev_1998"),
+          col("a_supp").as("supp_1997"), col("n_supp").as("supp_1998"),
+          col("a_avg").as("avg_1997"), col("avg_price").as("avg_1998"))
+        .orderBy(col("partkey"))
+    }, Some(s"""
+      WITH comp AS (
+        SELECT l_partkey, year(l_shipdate) AS y,
+          SUM(${moneySql("l_extendedprice")}) AS rev_dec,
+          COUNT(DISTINCT l_suppkey) AS n_supp,
+          CAST(SUM(${moneySql("l_extendedprice")}) AS DOUBLE) / COUNT(*)
+            AS avg_price
+        FROM lineitem GROUP BY 1, 2)
+      SELECT a.l_partkey AS partkey,
+        CAST(a.rev_dec AS DOUBLE) AS rev_1997,
+        CAST(b.rev_dec AS DOUBLE) AS rev_1998,
+        a.n_supp AS supp_1997, b.n_supp AS supp_1998,
+        a.avg_price AS avg_1997, b.avg_price AS avg_1998
+      FROM comp a JOIN comp b
+        ON a.l_partkey = b.l_partkey AND b.y = a.y + 1
+          AND b.rev_dec > a.rev_dec
+      WHERE a.y = 1997
+      ORDER BY partkey""")),
+
+    // ---- TPC-DS query75 shape: year-over-year DECLINE report with
+    // returns netted — per (brand, year) net quantity and net revenue
+    // (sales minus returned), the two years joined on the brand, brands
+    // whose net quantity fell below 90% of the prior year. ----
+    QueryDef("q_tpcds_s75", (s, dir) => {
+      val z = lit(0).cast(DecimalType(12, 2))
+      def net(m: org.apache.spark.sql.Column) =
+        sum(when(col("l_returnflag") =!= "R", m).otherwise(z)) -
+          sum(when(col("l_returnflag") === "R", m).otherwise(z))
+      // same single-scan LAG discipline as s64 (the oracle stays the
+      // literal self-join)
+      val byYear = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), year(col("l_shipdate")).as("y"))
+        .agg(net(money(col("l_quantity"))).as("qty_dec"),
+          net(money(col("l_extendedprice"))).as("rev_dec"))
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("y"))
+      byYear
+        .withColumn("py", lag(col("y"), 1).over(w))
+        .withColumn("prev_qty", lag(col("qty_dec"), 1).over(w))
+        .withColumn("prev_rev", lag(col("rev_dec"), 1).over(w))
+        .filter(col("y") === 1998 && col("py") === 1997 &&
+          col("prev_qty") > 0 &&
+          col("qty_dec").cast("double") <
+            col("prev_qty").cast("double") * 0.9)
+        .select(col("p_brand"), col("y"),
+          col("prev_qty").cast("double").as("prev_year_qty"),
+          col("qty_dec").cast("double").as("curr_year_qty"),
+          col("prev_rev").cast("double").as("prev_year_rev"),
+          col("rev_dec").cast("double").as("curr_year_rev"))
+        .orderBy(col("p_brand"))
+    }, Some(s"""
+      WITH by_year AS (
+        SELECT p_brand, year(l_shipdate) AS y,
+          SUM(CASE WHEN l_returnflag <> 'R' THEN ${moneySql("l_quantity")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) -
+          SUM(CASE WHEN l_returnflag = 'R' THEN ${moneySql("l_quantity")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS qty_dec,
+          SUM(CASE WHEN l_returnflag <> 'R'
+            THEN ${moneySql("l_extendedprice")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) -
+          SUM(CASE WHEN l_returnflag = 'R'
+            THEN ${moneySql("l_extendedprice")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS rev_dec
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2)
+      SELECT c.p_brand, c.y,
+        CAST(p.qty_dec AS DOUBLE) AS prev_year_qty,
+        CAST(c.qty_dec AS DOUBLE) AS curr_year_qty,
+        CAST(p.rev_dec AS DOUBLE) AS prev_year_rev,
+        CAST(c.rev_dec AS DOUBLE) AS curr_year_rev
+      FROM by_year c JOIN by_year p
+        ON c.p_brand = p.p_brand AND c.y = p.y + 1
+      WHERE c.y = 1998 AND p.qty_dec > 0
+        AND CAST(c.qty_dec AS DOUBLE) < CAST(p.qty_dec AS DOUBLE) * 0.9
+      ORDER BY c.p_brand"""))
   )
 }
