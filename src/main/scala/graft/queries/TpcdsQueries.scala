@@ -1910,6 +1910,466 @@ object TpcdsQueries {
         ON c.p_brand = p.p_brand AND c.y = p.y + 1
       WHERE c.y = 1998 AND p.qty_dec > 0
         AND CAST(c.qty_dec AS DOUBLE) < CAST(p.qty_dec AS DOUBLE) * 0.9
-      ORDER BY c.p_brand"""))
+      ORDER BY c.p_brand""")),
+
+    // ---- TPC-DS query9 shape: the wide CASE-over-scalar-subquery
+    // report — five quantity bands, each picking between two averages
+    // depending on the band's row count. TPC-DS evaluates 15 separate
+    // scans; the Spark-first plan is ONE conditional aggregation over a
+    // single fact scan (each band's count/avg as a filtered aggregate),
+    // the CASE then a projection of the single aggregate row. The
+    // oracle keeps the literal 15-subquery form. ----
+    QueryDef("q_tpcds_s9", (s, dir) => {
+      val bands = Seq((1, 8, 9500L), (9, 16, 9700L), (17, 24, 9500L),
+        (25, 30, 8000L), (31, 50, 20000L))
+      val li = t(s, dir, "lineitem")
+      val aggs = bands.zipWithIndex.flatMap { case ((lo, hi, _), i) =>
+        val in = col("l_quantity") >= lo && col("l_quantity") <= hi
+        Seq(
+          count(when(in, 1)).as(s"n_$i"),
+          (sum(when(in, money(col("l_extendedprice")))).cast("double") /
+            count(when(in, 1))).as(s"avg_price_$i"),
+          (sum(when(in, rate(col("l_tax")))).cast("double") /
+            count(when(in, 1))).as(s"avg_tax_$i"))
+      }
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val out = bands.zipWithIndex.map { case ((_, _, thr), i) =>
+        when(col(s"n_$i") > thr, col(s"avg_price_$i"))
+          .otherwise(col(s"avg_tax_$i")).as(s"bucket${i + 1}")
+      }
+      one.select(out: _*)
+    }, Some {
+      val bands = Seq((1, 8, 9500L), (9, 16, 9700L), (17, 24, 9500L),
+        (25, 30, 8000L), (31, 50, 20000L))
+      val cases = bands.zipWithIndex.map { case ((lo, hi, thr), i) =>
+        val in = s"l_quantity BETWEEN $lo AND $hi"
+        s"""CASE WHEN (SELECT COUNT(*) FROM lineitem WHERE $in) > $thr
+           THEN (SELECT CAST(SUM(${moneySql("l_extendedprice")}) AS DOUBLE)
+                   / COUNT(*) FROM lineitem WHERE $in)
+           ELSE (SELECT CAST(SUM(${rateSql("l_tax")}) AS DOUBLE)
+                   / COUNT(*) FROM lineitem WHERE $in)
+           END AS bucket${i + 1}"""
+      }
+      s"SELECT ${cases.mkString(",\n        ")}"
+    }),
+
+    // ---- TPC-DS query13 shape: one aggregate under an OR-of-AND
+    // predicate bundle spanning three joined tables (each disjunct
+    // constrains segment x status x quantity band differently).
+    // Catalyst can't split the disjunction, so the filter sits above
+    // the join — the scale question is join order, and the plan keeps
+    // dims broadcast so the fact never shuffles. ----
+    QueryDef("q_tpcds_s13", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      val p1 = col("c_mktsegment") === "BUILDING" &&
+        col("o_orderstatus") === "F" &&
+        col("l_quantity") >= 1 && col("l_quantity") <= 15
+      val p2 = col("c_mktsegment") === "AUTOMOBILE" &&
+        col("o_orderstatus") === "O" &&
+        col("l_quantity") >= 16 && col("l_quantity") <= 30
+      val p3 = col("c_mktsegment") === "MACHINERY" &&
+        col("l_quantity") >= 31 && col("l_quantity") <= 50
+      li.filter(p1 || p2 || p3)
+        .agg(davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          dsum(revenue(col("l_extendedprice"), col("l_discount")))
+            .as("net_revenue"))
+    }, Some(s"""
+      SELECT ${davgSql("l_quantity")} AS avg_qty,
+        ${davgSql("l_extendedprice")} AS avg_price,
+        ${dsumSql(revenueSql("l_extendedprice", "l_discount"))}
+          AS net_revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE (c_mktsegment = 'BUILDING' AND o_orderstatus = 'F'
+               AND l_quantity BETWEEN 1 AND 15)
+         OR (c_mktsegment = 'AUTOMOBILE' AND o_orderstatus = 'O'
+               AND l_quantity BETWEEN 16 AND 30)
+         OR (c_mktsegment = 'MACHINERY'
+               AND l_quantity BETWEEN 31 AND 50)""")),
+
+    // ---- TPC-DS query21 shape: before/after pivot-event ratio — per
+    // supplier the quantity shipped in the 30 days before vs after a
+    // pivot date, keeping suppliers whose after/before ratio lies in
+    // [2/3, 3/2]. The ratio bound is evaluated in EXACT decimal
+    // cross-multiplied form (3*after >= 2*before), so no float
+    // boundary can disagree between engines. One conditional aggregate
+    // over the 60-day slice; supplier dim broadcast. ----
+    QueryDef("q_tpcds_s21", (s, dir) => {
+      val z = lit(0).cast(DecimalType(12, 2))
+      val pivot = to_date(lit("1998-06-01"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= date_sub(pivot, 30) &&
+          col("l_shipdate") <= date_add(pivot, 30))
+        .groupBy(col("l_suppkey"))
+        .agg(
+          sum(when(col("l_shipdate") < pivot, money(col("l_quantity")))
+            .otherwise(z)).as("qty_before"),
+          sum(when(col("l_shipdate") >= pivot, money(col("l_quantity")))
+            .otherwise(z)).as("qty_after"))
+      li.filter(col("qty_before") > 0 &&
+          col("qty_after") * 3 >= col("qty_before") * 2 &&
+          col("qty_after") * 2 <= col("qty_before") * 3)
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"),
+          col("qty_before").cast("double").as("qty_before"),
+          col("qty_after").cast("double").as("qty_after"))
+        .orderBy(col("s_name"))
+    }, Some(s"""
+      WITH w AS (
+        SELECT l_suppkey,
+          SUM(CASE WHEN l_shipdate < DATE '1998-06-01'
+            THEN ${moneySql("l_quantity")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS qty_before,
+          SUM(CASE WHEN l_shipdate >= DATE '1998-06-01'
+            THEN ${moneySql("l_quantity")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS qty_after
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1998-06-01' - INTERVAL 30 DAY
+          AND l_shipdate <= DATE '1998-06-01' + INTERVAL 30 DAY
+        GROUP BY 1)
+      SELECT s_name, CAST(qty_before AS DOUBLE) AS qty_before,
+        CAST(qty_after AS DOUBLE) AS qty_after
+      FROM w JOIN supplier ON l_suppkey = s_suppkey
+      WHERE qty_before > 0 AND qty_after * 3 >= qty_before * 2
+        AND qty_after * 2 <= qty_before * 3
+      ORDER BY s_name""")),
+
+    // ---- TPC-DS query28 shape: six quantity buckets, each with its
+    // own OR-of-bands side predicate, reporting (avg list price, row
+    // count, distinct price count) per bucket as ONE wide row. TPC-DS
+    // cross-joins six scalar subqueries (six scans); the Spark-first
+    // plan filters once to rows matching their own bucket's predicate,
+    // aggregates by bucket id (ONE scan, one partial-agg shuffle of 6
+    // rows), then folds the 6-row frame into the wide row with
+    // conditional MAX aggregates. ----
+    QueryDef("q_tpcds_s28", (s, dir) => {
+      val buckets = Seq(
+        (1, 5, 0.00, 0.02, 900.0, 30000.0),
+        (6, 10, 0.02, 0.04, 20000.0, 50000.0),
+        (11, 15, 0.04, 0.06, 40000.0, 70000.0),
+        (16, 20, 0.06, 0.08, 60000.0, 90000.0),
+        (21, 25, 0.08, 0.10, 80000.0, 105000.0),
+        (26, 30, 0.01, 0.03, 10000.0, 40000.0))
+      def pred(b: (Int, Int, Double, Double, Double, Double)) =
+        col("l_quantity") >= b._1 && col("l_quantity") <= b._2 &&
+          (col("l_discount") >= b._3 && col("l_discount") <= b._4 ||
+            col("l_extendedprice") >= b._5 && col("l_extendedprice") <= b._6)
+      val tagged = t(s, dir, "lineitem")
+        .withColumn("bkt",
+          buckets.zipWithIndex.foldLeft(lit(-1)) { case (acc, (b, i)) =>
+            when(pred(b), lit(i)).otherwise(acc)
+          })
+        .filter(col("bkt") >= 0)
+      // NOTE bucket quantity ranges are disjoint, so the fold's
+      // last-match-wins is actually exclusive; per-bucket aggregates
+      // in one scan
+      val per = tagged.groupBy(col("bkt"))
+        .agg((sum(money(col("l_extendedprice"))).cast("double") /
+          count(lit(1))).as("avg_price"),
+          count(lit(1)).as("cnt"),
+          countDistinct(col("l_extendedprice")).as("cnt_distinct"))
+      val wide = buckets.indices.flatMap { i =>
+        Seq(max(when(col("bkt") === i, col("avg_price")))
+          .as(s"b${i + 1}_avg"),
+          coalesce(max(when(col("bkt") === i, col("cnt"))), lit(0L))
+            .as(s"b${i + 1}_cnt"),
+          coalesce(max(when(col("bkt") === i, col("cnt_distinct"))),
+            lit(0L)).as(s"b${i + 1}_cntd"))
+      }
+      per.agg(wide.head, wide.tail: _*)
+    }, Some {
+      val buckets = Seq(
+        (1, 5, 0.00, 0.02, 900.0, 30000.0),
+        (6, 10, 0.02, 0.04, 20000.0, 50000.0),
+        (11, 15, 0.04, 0.06, 40000.0, 70000.0),
+        (16, 20, 0.06, 0.08, 60000.0, 90000.0),
+        (21, 25, 0.08, 0.10, 80000.0, 105000.0),
+        (26, 30, 0.01, 0.03, 10000.0, 40000.0))
+      val cols = buckets.zipWithIndex.map { case ((lo, hi, d1, d2, p1, p2), i) =>
+        val in = s"""l_quantity BETWEEN $lo AND $hi
+          AND (l_discount BETWEEN $d1 AND $d2
+            OR l_extendedprice BETWEEN $p1 AND $p2)"""
+        s"""(SELECT CAST(SUM(${moneySql("l_extendedprice")}) AS DOUBLE)
+             / COUNT(*) FROM lineitem WHERE $in) AS b${i + 1}_avg,
+           (SELECT COUNT(*) FROM lineitem WHERE $in) AS b${i + 1}_cnt,
+           (SELECT COUNT(DISTINCT l_extendedprice) FROM lineitem
+             WHERE $in) AS b${i + 1}_cntd"""
+      }
+      s"SELECT ${cols.mkString(",\n        ")}"
+    }),
+
+    // ---- TPC-DS query39 shape: coefficient-of-variation pairs — per
+    // (supplier, month) the mean and stdev of shipped quantity from
+    // EXACT integer moments (n, decimal sum, decimal sum-of-squares:
+    // the s17 discipline), cov computed in ONE identical double
+    // expression in both engines, then consecutive months paired with
+    // a partitioned LAG (not a self-join) keeping pairs where both
+    // months' cov exceeds the bound. ----
+    QueryDef("q_tpcds_s39", (s, dir) => {
+      val d186 = DecimalType(18, 6)
+      val m = t(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1998)
+        .groupBy(col("l_suppkey"), month(col("l_shipdate")).as("m"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("l_quantity"))).as("s_dec"),
+          sum((money(col("l_quantity")) * money(col("l_quantity")))
+            .cast(d186)).as("ss_dec"))
+        .filter(col("n") > 1)
+      val cov = m.withColumn("mean",
+          col("s_dec").cast("double") / col("n"))
+        .withColumn("cov",
+          sqrt((col("ss_dec").cast("double") -
+            col("s_dec").cast("double") * col("s_dec").cast("double") /
+              col("n")) / (col("n") - 1)) / col("mean"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("m"))
+      cov.withColumn("pm", lag(col("m"), 1).over(w))
+        .withColumn("pcov", lag(col("cov"), 1).over(w))
+        .filter(col("m") === col("pm") + 1 &&
+          col("cov") > 0.55 && col("pcov") > 0.55)
+        .select(col("l_suppkey").as("suppkey"), col("pm").as("m1"),
+          col("pcov").as("cov1"), col("m").as("m2"), col("cov").as("cov2"))
+        .orderBy(col("suppkey"), col("m1"))
+    }, Some(s"""
+      WITH m AS (
+        SELECT l_suppkey, month(l_shipdate) AS m, COUNT(*) AS n,
+          SUM(${moneySql("l_quantity")}) AS s_dec,
+          SUM(CAST(${moneySql("l_quantity")} * ${moneySql("l_quantity")}
+            AS DECIMAL(18,6))) AS ss_dec
+        FROM lineitem WHERE year(l_shipdate) = 1998
+        GROUP BY 1, 2 HAVING COUNT(*) > 1),
+      cov AS (
+        SELECT l_suppkey, m,
+          sqrt((CAST(ss_dec AS DOUBLE) - CAST(s_dec AS DOUBLE)
+              * CAST(s_dec AS DOUBLE) / n) / (n - 1))
+            / (CAST(s_dec AS DOUBLE) / n) AS cov
+        FROM m)
+      SELECT a.l_suppkey AS suppkey, a.m AS m1, a.cov AS cov1,
+        b.m AS m2, b.cov AS cov2
+      FROM cov a JOIN cov b
+        ON a.l_suppkey = b.l_suppkey AND b.m = a.m + 1
+      WHERE a.cov > 0.55 AND b.cov > 0.55
+      ORDER BY suppkey, m1""")),
+
+    // ---- TPC-DS query58 shape: equal-share items across the three
+    // channels — per part the 1998 revenue in each o_orderstatus
+    // channel (F/O/P), keeping parts where EVERY channel's revenue
+    // lies within ±10% of the three-channel average. TPC-DS builds
+    // three per-channel CTEs and joins them; the Spark-first plan is
+    // ONE conditional aggregate per part (one fact scan, one shuffle),
+    // and the ±10% band is evaluated in exact cross-multiplied decimal
+    // (30*rev vs 9*total / 11*total) so no float boundary flips. ----
+    QueryDef("q_tpcds_s58", (s, dir) => {
+      val z = lit(0).cast(DecimalType(12, 2))
+      def chan(st: String) =
+        sum(when(col("o_orderstatus") === st,
+          money(col("l_extendedprice"))).otherwise(z))
+      val per = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(year(col("l_shipdate")) === 1998)
+        .groupBy(col("l_partkey"))
+        .agg(chan("F").as("rev_f"), chan("O").as("rev_o"),
+          chan("P").as("rev_p"))
+      val total = col("rev_f") + col("rev_o") + col("rev_p")
+      def inBand(c: org.apache.spark.sql.Column) =
+        c * 30 >= total * 9 && c * 30 <= total * 11
+      per.filter(total > 0 && inBand(col("rev_f")) &&
+          inBand(col("rev_o")) && inBand(col("rev_p")))
+        .select(col("l_partkey").as("partkey"),
+          col("rev_f").cast("double").as("rev_f"),
+          col("rev_o").cast("double").as("rev_o"),
+          col("rev_p").cast("double").as("rev_p"))
+        .orderBy(col("partkey"))
+    }, Some(s"""
+      WITH per AS (
+        SELECT l_partkey,
+          SUM(CASE WHEN o_orderstatus = 'F'
+            THEN ${moneySql("l_extendedprice")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS rev_f,
+          SUM(CASE WHEN o_orderstatus = 'O'
+            THEN ${moneySql("l_extendedprice")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS rev_o,
+          SUM(CASE WHEN o_orderstatus = 'P'
+            THEN ${moneySql("l_extendedprice")}
+            ELSE CAST(0 AS DECIMAL(12,2)) END) AS rev_p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(l_shipdate) = 1998
+        GROUP BY 1)
+      SELECT l_partkey AS partkey, CAST(rev_f AS DOUBLE) AS rev_f,
+        CAST(rev_o AS DOUBLE) AS rev_o, CAST(rev_p AS DOUBLE) AS rev_p
+      FROM per
+      WHERE rev_f + rev_o + rev_p > 0
+        AND rev_f * 30 >= (rev_f + rev_o + rev_p) * 9
+        AND rev_f * 30 <= (rev_f + rev_o + rev_p) * 11
+        AND rev_o * 30 >= (rev_f + rev_o + rev_p) * 9
+        AND rev_o * 30 <= (rev_f + rev_o + rev_p) * 11
+        AND rev_p * 30 >= (rev_f + rev_o + rev_p) * 9
+        AND rev_p * 30 <= (rev_f + rev_o + rev_p) * 11
+      ORDER BY partkey""")),
+
+    // ---- TPC-DS query77 shape: per-channel profit-and-loss — a sales
+    // aggregate and a RETURNS aggregate built separately per (channel,
+    // nation), FULL OUTER joined on the group key (a channel+nation can
+    // have returns but no sales or vice versa), then a ROLLUP report of
+    // sales / returns / net profit with coalesced zeros. Both
+    // aggregates come off one fact scan each; the outer join is
+    // nation-sized (tiny) and the rollup runs on the JOINED partials,
+    // never the fact table. ----
+    QueryDef("q_tpcds_s77", (s, dir) => {
+      val z = lit(0).cast(DecimalType(12, 2))
+      val base = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+      val sales = base.filter(col("l_returnflag") =!= "R")
+        .groupBy(col("o_orderstatus").as("s_chan"),
+          col("c_nationkey").as("s_nat"))
+        .agg(sum(money(col("l_extendedprice"))).as("sales_dec"))
+      val rets = base.filter(col("l_returnflag") === "R")
+        .groupBy(col("o_orderstatus").as("r_chan"),
+          col("c_nationkey").as("r_nat"))
+        .agg(sum(money(col("l_extendedprice"))).as("ret_dec"))
+      sales.join(rets, col("s_chan") === col("r_chan") &&
+          col("s_nat") === col("r_nat"), "full_outer")
+        .select(coalesce(col("s_chan"), col("r_chan")).as("channel"),
+          coalesce(col("s_nat"), col("r_nat")).as("nationkey"),
+          coalesce(col("sales_dec"), z).as("sales_dec"),
+          coalesce(col("ret_dec"), z).as("ret_dec"))
+        .rollup(col("channel"), col("nationkey"))
+        .agg(sum(col("sales_dec")).cast("double").as("sales"),
+          sum(col("ret_dec")).cast("double").as("returns"),
+          (sum(col("sales_dec")) - sum(col("ret_dec"))).cast("double")
+            .as("profit"))
+        .orderBy(col("channel").asc_nulls_first,
+          col("nationkey").asc_nulls_first)
+    }, Some(s"""
+      WITH base AS (
+        SELECT o_orderstatus, c_nationkey, l_returnflag,
+          ${moneySql("l_extendedprice")} AS price_dec
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey),
+      sales AS (
+        SELECT o_orderstatus AS chan, c_nationkey AS nat,
+          SUM(price_dec) AS sales_dec
+        FROM base WHERE l_returnflag <> 'R' GROUP BY 1, 2),
+      rets AS (
+        SELECT o_orderstatus AS chan, c_nationkey AS nat,
+          SUM(price_dec) AS ret_dec
+        FROM base WHERE l_returnflag = 'R' GROUP BY 1, 2),
+      joined AS (
+        SELECT COALESCE(s.chan, r.chan) AS channel,
+          COALESCE(s.nat, r.nat) AS nationkey,
+          COALESCE(s.sales_dec, CAST(0 AS DECIMAL(12,2))) AS sales_dec,
+          COALESCE(r.ret_dec, CAST(0 AS DECIMAL(12,2))) AS ret_dec
+        FROM sales s FULL OUTER JOIN rets r
+          ON s.chan = r.chan AND s.nat = r.nat)
+      SELECT channel, nationkey,
+        CAST(SUM(sales_dec) AS DOUBLE) AS sales,
+        CAST(SUM(ret_dec) AS DOUBLE) AS returns,
+        CAST(SUM(sales_dec) - SUM(ret_dec) AS DOUBLE) AS profit
+      FROM joined
+      GROUP BY ROLLUP(channel, nationkey)
+      ORDER BY channel NULLS FIRST, nationkey NULLS FIRST""")),
+
+    // ---- TPC-DS query95 shape: DISTINCT-entity semi-join chain — the
+    // CTE of orders whose lineitems came from AT LEAST TWO distinct
+    // suppliers (TPC-DS: shipped from two warehouses, as a self-join
+    // with inequality; here as a countDistinct HAVING — same set, one
+    // scan instead of a quadratic self-join), then urgent orders
+    // SEMI-joined against that set AND against the set with a returned
+    // line, reporting distinct-order count and total revenue. ----
+    QueryDef("q_tpcds_s95", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val multiSupp = li.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+        .filter(col("n_supp") >= 2).select(col("l_orderkey"))
+      val returned = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey")).distinct()
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .join(multiSupp, col("o_orderkey") === multiSupp("l_orderkey"),
+          "left_semi")
+        .join(returned, col("o_orderkey") === returned("l_orderkey"),
+          "left_semi")
+      ord.agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+    }, Some(s"""
+      WITH multi AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY 1 HAVING COUNT(DISTINCT l_suppkey) >= 2)
+      SELECT COUNT(*) AS n_orders,
+        ${dsumSql("o_totalprice")} AS total_price
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderkey IN (SELECT l_orderkey FROM multi)
+        AND o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           WHERE l_returnflag = 'R')""")),
+
+    // ---- TPC-DS query35 shape: EXISTS-gated demographic statistics —
+    // customers with at least one open 1998+ order (any channel), then
+    // per (nation, segment) the count and min/max/avg account-balance
+    // stats. The EXISTS is a LEFT SEMI join on the customer key; stats
+    // use the exact-decimal average discipline. ----
+    QueryDef("q_tpcds_s35", (s, dir) => {
+      val active = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" &&
+          year(col("o_orderdate")) >= 1998)
+        .select(col("o_custkey")).distinct()
+      t(s, dir, "customer")
+        .join(active, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"),
+          davg(col("c_acctbal")).as("avg_bal"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }, Some(s"""
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_cust,
+        MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+        ${davgSql("c_acctbal")} AS avg_bal
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+          AND year(o_orderdate) >= 1998)
+      GROUP BY 1, 2
+      ORDER BY 1, 2""")),
+
+    // ---- TPC-DS query82 shape: dimension band filter + date-window
+    // fact + HAVING quantity range — parts in a retail-price band whose
+    // total quantity shipped inside a 60-day window lands in a target
+    // range, listing the part attributes. The filtered part dim is
+    // small → broadcast; the fact is pre-filtered by the date window
+    // before the join, so the shuffle carries only the window slice. ----
+    QueryDef("q_tpcds_s82", (s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_retailprice") >= 1200 && col("p_retailprice") <= 1600)
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_date(lit("1998-03-01")) &&
+          col("l_shipdate") < to_date(lit("1998-05-01")))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_retailprice"))
+        .agg(sum(money(col("l_quantity"))).as("qty_dec"))
+        .filter(col("qty_dec") >= 40 && col("qty_dec") <= 500)
+        .select(col("p_partkey").as("partkey"), col("p_name"),
+          col("p_brand"), col("p_retailprice"),
+          col("qty_dec").cast("double").as("window_qty"))
+        .orderBy(col("partkey"))
+    }, Some(s"""
+      SELECT p_partkey AS partkey, p_name, p_brand, p_retailprice,
+        CAST(SUM(${moneySql("l_quantity")}) AS DOUBLE) AS window_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_retailprice BETWEEN 1200 AND 1600
+        AND l_shipdate >= DATE '1998-03-01'
+        AND l_shipdate < DATE '1998-05-01'
+      GROUP BY 1, 2, 3, 4
+      HAVING SUM(${moneySql("l_quantity")}) >= 40
+         AND SUM(${moneySql("l_quantity")}) <= 500
+      ORDER BY partkey"""))
   )
 }
