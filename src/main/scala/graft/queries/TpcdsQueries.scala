@@ -2220,25 +2220,23 @@ object TpcdsQueries {
     // nation-sized (tiny) and the rollup runs on the JOINED partials,
     // never the fact table. ----
     QueryDef("q_tpcds_s77", (s, dir) => {
+      // Spark-first: the sales-agg FULL OUTER returns-agg of the
+      // literal shape is ONE conditional aggregate over one fact scan
+      // — a (chan, nat) group with only returns coalesces its sales to
+      // zero exactly as the outer join would (the oracle keeps the
+      // literal two-CTE FULL OUTER form, so the rewrite is
+      // hash-verified equivalent); halves the 100 TB fact I/O
       val z = lit(0).cast(DecimalType(12, 2))
-      val base = t(s, dir, "lineitem")
+      t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer").select(col("c_custkey"),
           col("c_nationkey")), col("o_custkey") === col("c_custkey"))
-      val sales = base.filter(col("l_returnflag") =!= "R")
-        .groupBy(col("o_orderstatus").as("s_chan"),
-          col("c_nationkey").as("s_nat"))
-        .agg(sum(money(col("l_extendedprice"))).as("sales_dec"))
-      val rets = base.filter(col("l_returnflag") === "R")
-        .groupBy(col("o_orderstatus").as("r_chan"),
-          col("c_nationkey").as("r_nat"))
-        .agg(sum(money(col("l_extendedprice"))).as("ret_dec"))
-      sales.join(rets, col("s_chan") === col("r_chan") &&
-          col("s_nat") === col("r_nat"), "full_outer")
-        .select(coalesce(col("s_chan"), col("r_chan")).as("channel"),
-          coalesce(col("s_nat"), col("r_nat")).as("nationkey"),
-          coalesce(col("sales_dec"), z).as("sales_dec"),
-          coalesce(col("ret_dec"), z).as("ret_dec"))
+        .groupBy(col("o_orderstatus").as("channel"),
+          col("c_nationkey").as("nationkey"))
+        .agg(sum(when(col("l_returnflag") =!= "R",
+            money(col("l_extendedprice"))).otherwise(z)).as("sales_dec"),
+          sum(when(col("l_returnflag") === "R",
+            money(col("l_extendedprice"))).otherwise(z)).as("ret_dec"))
         .rollup(col("channel"), col("nationkey"))
         .agg(sum(col("sales_dec")).cast("double").as("sales"),
           sum(col("ret_dec")).cast("double").as("returns"),
