@@ -2368,6 +2368,63 @@ object TpcdsQueries {
       GROUP BY 1, 2, 3, 4
       HAVING SUM(${moneySql("l_quantity")}) >= 40
          AND SUM(${moneySql("l_quantity")}) <= 500
-      ORDER BY partkey"""))
+      ORDER BY partkey""")),
+
+    // ---- TPC-DS query45 shape: disjunction of a LOCAL predicate and
+    // an IN-subquery — customers in a named nation set OR who bought a
+    // part from a designated item list. Catalyst can't turn an OR'd
+    // IN-subquery into a semi join, so the Spark side decorrelates by
+    // hand: LEFT join against the (distinct, broadcast) item-buyer set
+    // and filter (local OR marker IS NOT NULL) — the same plan a
+    // native engine's decorrelator would emit. ----
+    QueryDef("q_tpcds_s45", (s, dir) => {
+      val itemBuyers = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 500 === 0)
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("buyer_key")).distinct()
+      t(s, dir, "customer")
+        .join(broadcast(itemBuyers),
+          col("c_custkey") === col("buyer_key"), "left")
+        .filter(col("c_nationkey").isin(1, 3, 7) ||
+          col("buyer_key").isNotNull)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    }, Some(s"""
+      SELECT c_mktsegment, COUNT(*) AS n_cust,
+        ${dsumSql("c_acctbal")} AS total_bal
+      FROM customer
+      WHERE c_nationkey IN (1, 3, 7)
+         OR c_custkey IN (
+           SELECT o_custkey FROM orders JOIN lineitem
+             ON l_orderkey = o_orderkey
+           WHERE l_partkey % 500 = 0)
+      GROUP BY 1 ORDER BY 1""")),
+
+    // ---- TPC-DS query72 shape: equi-join with a residual DATE-OFFSET
+    // inequality — lines shipped more than 90 days after their order
+    // date ("promise missed"), counted per order priority and year.
+    // The date arithmetic is a residual predicate on the single
+    // orderkey shuffle join (never a join condition that would force a
+    // nested loop); both sides prune to the two join+date columns. ----
+    QueryDef("q_tpcds_s72", (s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("o_orderpriority"),
+          year(col("o_orderdate")).as("y"))
+        .agg(count(lit(1)).as("n_late"))
+        .orderBy(col("o_orderpriority"), col("y"))
+    }, Some("""
+      SELECT o_orderpriority, year(o_orderdate) AS y,
+        COUNT(*) AS n_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }
