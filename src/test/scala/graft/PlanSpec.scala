@@ -215,4 +215,47 @@ class PlanSpec extends SparkSpec {
     assert(wins.exists(_.partitionSpec.nonEmpty),
       "the rank-within-parent window must partition on the hierarchy")
   }
+
+  test("q_tpcds_s9: the 15-subquery report is ONE scan + one aggregate") {
+    val p = plan("q_tpcds_s9")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("Exchange".r.findAllIn(p).size == 1,
+      "a single partial/final aggregate pair, no per-band scans")
+  }
+
+  test("q_tpcds_s28: six bucket subqueries fold into ONE scan") {
+    val p = plan("q_tpcds_s28")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_tpcds_s77: P&L outer-join shape is one fact scan, Expand over partials") {
+    val p = plan("q_tpcds_s77")
+    // one lineitem scan + the two broadcast dims — never a second
+    // fact pass for the returns side
+    assert("Scan parquet".r.findAllIn(p).size == 3, p)
+    // the rollup Expand must sit above the (chan, nation) partial
+    // aggregate, not the fact join
+    val expandIdx = p.indexOf("Expand")
+    val firstAggIdx = p.indexOf("HashAggregate")
+    assert(expandIdx >= 0 && firstAggIdx >= 0 && firstAggIdx < expandIdx,
+      "Expand must consume aggregated partials")
+  }
+
+  test("q_tpcds_s21/s58/s64/s75: consecutive-period compare is lag/conditional-agg, one fact scan") {
+    Seq("q_tpcds_s21", "q_tpcds_s58", "q_tpcds_s64", "q_tpcds_s75")
+      .foreach { q =>
+        val facts = "Scan parquet".r.findAllIn(plan(q)).size
+        // s21/s58/s64 read lineitem once (+joined dims for s58/s75);
+        // none may instantiate the fact twice for a self-join
+        assert(facts <= 3, s"$q plans $facts scans")
+        val wins = windowExecs(q)
+        assert(wins.forall(_.partitionSpec.nonEmpty),
+          s"$q: every lag window must be partitioned")
+      }
+  }
+
+  test("q_tpcds_s45: OR'd IN-subquery decorrelates to a broadcast left join") {
+    val p = plan("q_tpcds_s45")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p)
+  }
 }
