@@ -426,6 +426,59 @@ object ClusterQueries {
               FROM documents))
       ORDER BY doc_id""")),
 
+    // Preference-pair (DPO/RLHF) construction: per prompt the
+    // (chosen, rejected) response pair = the reward-argmax vs
+    // reward-argmin with DETERMINISTIC tie-breaks (higher/lower id
+    // respectively), kept only when the reward margin clears a
+    // threshold. The Spark-first shape is ONE aggregation of
+    // max(struct)/min(struct) per prompt — no rank windows, no
+    // self-join, map-side combinable, so a 100 TB response pool
+    // shuffles one struct per prompt. Rewards compare in exact
+    // DECIMAL(12,2) so the margin gate replays bit-identically.
+    // (events stands in: user_id = prompt, event_id = response,
+    // value = reward.)
+    QueryDef("q_pref_pairs", (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          money(col("value")).as("v"))
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_resp"),
+          max(struct(col("v"), col("event_id"))).as("best"),
+          min(struct(col("v"), col("event_id"))).as("worst"))
+        .filter(col("n_resp") >= 2 &&
+          col("best.v") - col("worst.v") >= 50)
+        .select(col("user_id").as("prompt_id"),
+          col("best.event_id").as("chosen_id"),
+          col("worst.event_id").as("rejected_id"),
+          col("best.v").cast("double").as("chosen_reward"),
+          col("worst.v").cast("double").as("rejected_reward"),
+          (col("best.v") - col("worst.v")).cast("double").as("margin"))
+        .orderBy(col("prompt_id"))
+    }, Some(s"""
+      WITH r AS (
+        SELECT user_id, event_id, ${moneySql("value")} AS v FROM events),
+      ranked AS (
+        SELECT user_id, event_id, v,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY v DESC, event_id DESC) AS rb,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY v ASC, event_id ASC) AS rw,
+          COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM r)
+      SELECT user_id AS prompt_id,
+        MAX(CASE WHEN rb = 1 THEN event_id END) AS chosen_id,
+        MAX(CASE WHEN rw = 1 THEN event_id END) AS rejected_id,
+        CAST(MAX(CASE WHEN rb = 1 THEN v END) AS DOUBLE) AS chosen_reward,
+        CAST(MAX(CASE WHEN rw = 1 THEN v END) AS DOUBLE) AS rejected_reward,
+        CAST(MAX(CASE WHEN rb = 1 THEN v END)
+          - MAX(CASE WHEN rw = 1 THEN v END) AS DOUBLE) AS margin
+      FROM ranked
+      GROUP BY user_id
+      HAVING MAX(n) >= 2
+        AND MAX(CASE WHEN rb = 1 THEN v END)
+          - MAX(CASE WHEN rw = 1 THEN v END) >= 50
+      ORDER BY prompt_id""")),
+
     // Hashed TF-IDF retrieval: feature-hashed document vectors (64
     // buckets, exact-integer tf·idf weights, the one ln quantized to
     // 2^-10) + exact cosine top-5 for each held-out query doc — full

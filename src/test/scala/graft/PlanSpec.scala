@@ -258,4 +258,11 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_tpcds_s45")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p)
   }
+
+  test("q_pref_pairs: argmax/argmin pairing is one aggregation, zero rank windows") {
+    val p = plan("q_pref_pairs")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(windowExecs("q_pref_pairs").isEmpty,
+      "chosen/rejected must come from max/min(struct), not rank windows")
+  }
 }
