@@ -509,6 +509,66 @@ object CdcQueries {
       GROUP BY nationkey
       ORDER BY nationkey""")),
 
+    // Aggregate ⋈ aggregate: BOTH join inputs are themselves derived
+    // retract streams (per-customer order totals on the left, the
+    // per-customer live dimension value recovered through a
+    // retractable SUM on the right), the join re-pairs on every
+    // upstream -U/+U, and the outer aggregate re-groups by a VALUE
+    // that itself updates (a nation reassignment retracts the
+    // customer's totals from the old nation and adds them to the new
+    // one). This is the deepest inference chain the reference plans:
+    // GroupAgg → Join ← GroupAgg, then GroupAgg → upsert sink. The
+    // oracle is the batch query over the NET live states — any
+    // mis-netted association count or leaked retraction
+    // hash-mismatches the compacted sink.
+    QueryDef("q_cdc_agg_join_agg", (s, dir) => {
+      import ChangelogInference._
+      val ordersAgg = Calc(
+        GroupAgg(
+          Source(orderChangelog(s, dir), seqCols = Seq("seq", "stage")),
+          Seq("o_custkey"), "v"),
+        df => df.withColumnRenamed("cnt", "n_ord")
+          .withColumnRenamed("sum_val", "sum_v"))
+      // the right aggregate recovers each customer's LIVE nationkey:
+      // one live row per customer, so SUM(nationkey) IS the value
+      val custAgg = Calc(
+        GroupAgg(
+          Source(customerChangelog(s, dir), seqCols = Seq("seq", "stage")),
+          Seq("c_custkey"), "c_nationkey"),
+        df => df.withColumn("nationkey", col("sum_val").cast("int"))
+          .drop("cnt", "sum_val"))
+      val plan = Sink(
+        GroupAgg(
+          Join(ordersAgg, custAgg, "o_custkey", "c_custkey", "inner"),
+          Seq("nationkey"), "sum_v"),
+        primaryKey = Some(Seq("nationkey")))
+      val inf = infer(plan)
+      require(inf.sinkMode == Upsert && !inf.sinkMaterialize,
+        "agg-keyed pk sink must be plain upsert")
+      ChangelogInference.execute(plan)
+        .select(col("nationkey"), col("cnt").as("n_cust"),
+          col("sum_val").cast("double").as("total_v"))
+        .orderBy(col("nationkey"))
+    }, Some(s"""
+      WITH olive AS (
+        SELECT o_custkey,
+          CASE WHEN o_orderkey % 10 = 0 THEN ${moneySql("o_totalprice")} * 2
+               ELSE ${moneySql("o_totalprice")} END AS v
+        FROM orders WHERE o_orderkey % 10 <> 1),
+      oagg AS (
+        SELECT o_custkey, COUNT(*) AS n_ord, SUM(v) AS sum_v
+        FROM olive GROUP BY 1),
+      clive AS (
+        SELECT c_custkey,
+          CAST(CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25
+               ELSE c_nationkey END AS INTEGER) AS nationkey
+        FROM customer WHERE c_custkey % 7 <> 1)
+      SELECT nationkey, COUNT(*) AS n_cust,
+        CAST(SUM(sum_v) AS DOUBLE) AS total_v
+      FROM oagg JOIN clive ON o_custkey = c_custkey
+      GROUP BY nationkey
+      ORDER BY nationkey""")),
+
     // STATEMENT SET over ONE shared aggregate feeding two sinks with
     // DIFFERENT changelog demands (the reference's EXECUTE STATEMENT
     // SET + per-statement changelog-mode inference): the PK sink alone
