@@ -569,6 +569,78 @@ object CdcQueries {
       GROUP BY nationkey
       ORDER BY nationkey""")),
 
+    // DIAMOND statement set: ONE shared changelog-join INSTANCE
+    // feeding two DIFFERENT aggregates (per-nation and per-order-count
+    // band) into two upsert sinks — the reference's multi-statement
+    // plan reuse where an expensive stream-stream join materializes
+    // once and each branch derives its own mode from it. The join is
+    // built exactly once (Ref-keyed shared-subtree map); both
+    // aggregates consume its retract stream. Each branch is
+    // independently ORACLE-checked against the net-state batch query,
+    // so a shared-instance rebuild or a cross-branch demand leak shows
+    // up as a hash mismatch on either branch.
+    QueryDef("q_cdc_join_diamond", (s, dir) => {
+      import ChangelogInference._
+      val shared = Join(
+        Calc(
+          GroupAgg(
+            Source(orderChangelog(s, dir), seqCols = Seq("seq", "stage")),
+            Seq("o_custkey"), "v"),
+          df => df.withColumnRenamed("cnt", "n_ord")
+            .withColumnRenamed("sum_val", "sum_v")),
+        Calc(
+          GroupAgg(
+            Source(customerChangelog(s, dir), seqCols = Seq("seq", "stage")),
+            Seq("c_custkey"), "c_nationkey"),
+          df => df.withColumn("nationkey", col("sum_val").cast("int"))
+            .drop("cnt", "sum_val")),
+        "o_custkey", "c_custkey", "inner")
+      val byNation = Sink(
+        GroupAgg(shared, Seq("nationkey"), "sum_v"),
+        primaryKey = Some(Seq("nationkey")))
+      val byBand = Sink(
+        GroupAgg(
+          Calc(shared, df => df.withColumn("ord_band",
+            least(col("n_ord"), lit(5L)))),
+          Seq("ord_band"), "sum_v"),
+        primaryKey = Some(Seq("ord_band")))
+      val inf = infer(Seq(byNation, byBand))
+      require(inf.produced(shared) == Retract,
+        "the shared join must feed both branches the retract stream")
+      val Seq(nat, band) = ChangelogInference.execute(Seq(byNation, byBand))
+      nat.select(lit("nation").as("part"),
+          col("nationkey").cast("long").as("key"),
+          col("cnt").as("n"), col("sum_val").cast("double").as("total_v"))
+        .unionByName(band.select(lit("band").as("part"),
+          col("ord_band").as("key"), col("cnt").as("n"),
+          col("sum_val").cast("double").as("total_v")))
+        .orderBy(col("part"), col("key"))
+    }, Some(s"""
+      WITH olive AS (
+        SELECT o_custkey,
+          CASE WHEN o_orderkey % 10 = 0 THEN ${moneySql("o_totalprice")} * 2
+               ELSE ${moneySql("o_totalprice")} END AS v
+        FROM orders WHERE o_orderkey % 10 <> 1),
+      oagg AS (
+        SELECT o_custkey, COUNT(*) AS n_ord, SUM(v) AS sum_v
+        FROM olive GROUP BY 1),
+      clive AS (
+        SELECT c_custkey,
+          CAST(CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25
+               ELSE c_nationkey END AS INTEGER) AS nationkey
+        FROM customer WHERE c_custkey % 7 <> 1),
+      j AS (
+        SELECT nationkey, n_ord, sum_v
+        FROM oagg JOIN clive ON o_custkey = c_custkey)
+      SELECT 'nation' AS part, CAST(nationkey AS BIGINT) AS key,
+        COUNT(*) AS n, CAST(SUM(sum_v) AS DOUBLE) AS total_v
+      FROM j GROUP BY 2
+      UNION ALL
+      SELECT 'band', LEAST(n_ord, 5), COUNT(*),
+        CAST(SUM(sum_v) AS DOUBLE)
+      FROM j GROUP BY 2
+      ORDER BY part, key""")),
+
     // STATEMENT SET over ONE shared aggregate feeding two sinks with
     // DIFFERENT changelog demands (the reference's EXECUTE STATEMENT
     // SET + per-statement changelog-mode inference): the PK sink alone
