@@ -286,8 +286,56 @@ object ChangelogInference {
     * reference's statement sets share sources and intermediate
     * operators the same way — and each branch then applies its own
     * decided mode (DropUpdateBefore on upsert-keyed branches whose
-    * shared input was forced to retract). */
-  def execute(sinks: Seq[Sink]): Seq[DataFrame] = {
+    * shared input was forced to retract).
+    *
+    * A STATEFUL node (Join/GroupAgg) referenced by more than one
+    * branch is materialized eagerly (tracked localCheckpoint) so the
+    * expensive replay runs ONCE, not once per consuming branch — the
+    * reference executes a statement set as one job with the shared
+    * operator physically single. The checkpoint blocks stay alive for
+    * the returned lazy outputs; this overload retains them until the
+    * session's cache is cleared — use [[executeReleasable]] for a
+    * deterministic release handle once the outputs are materialized. */
+  def execute(sinks: Seq[Sink]): Seq[DataFrame] = executeReleasable(sinks)._1
+
+  /** [[execute]] plus a release() that unpersists the shared-subtree
+    * checkpoints. Call release only after every returned output has
+    * been materialized (written/collected) — the outputs read the
+    * checkpointed blocks lazily. */
+  def executeReleasable(sinks: Seq[Sink]): (Seq[DataFrame], () => Unit) = {
+    // reference counts by node INSTANCE across all branches: a node
+    // reached through two parents is counted per path (each path is a
+    // consumer of the materialized stream)
+    val refs = scala.collection.mutable.Map.empty[Ref, Int]
+    def countRefs(n: Node): Unit = {
+      val r = new Ref(n)
+      refs(r) = refs.getOrElse(r, 0) + 1
+      if (refs(r) == 1) n match {
+        case Source(_, _, _, _) => ()
+        case Calc(c, _) => countRefs(c)
+        case EnrichJoin(c, _, _, _) => countRefs(c)
+        case Join(l, rt, _, _, _) => countRefs(l); countRefs(rt)
+        case GroupAgg(c, _, _) => countRefs(c)
+        case s: Sink => countRefs(s.child)
+      }
+    }
+    sinks.foreach(s => countRefs(s.child))
+    val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    val out = executeImpl(sinks, { (n, fl) =>
+      n match {
+        case _: Join | _: GroupAgg
+            if refs.getOrElse(new Ref(n), 0) >= 2 =>
+          val (df, rel) = graft.operators.Checkpoints.tracked(fl.df)
+          releases += rel
+          Flow(df, fl.seq)
+        case _ => fl
+      }
+    })
+    (out, () => releases.foreach(_.apply()))
+  }
+
+  private def executeImpl(sinks: Seq[Sink],
+      shareHook: (Node, Flow) => Flow): Seq[DataFrame] = {
     val inf = infer(sinks)
     val built = scala.collection.mutable.Map.empty[Ref, Flow]
     // explicit get/put rather than getOrElseUpdate: the default branch
@@ -298,7 +346,7 @@ object ChangelogInference {
       built.get(ref) match {
         case Some(f) => f
         case None =>
-          val f = buildNode(n)
+          val f = shareHook(n, buildNode(n))
           built(ref) = f
           f
       }
