@@ -154,6 +154,38 @@ class ChangelogInferenceSpec extends SparkSpec {
     assert(kinds.contains("-U") && kinds.contains("-D"))
   }
 
+  test("executeReleasable: shared agg checkpoints once, release drops the blocks") {
+    val agg = GroupAgg(Source(srcDf, seqCols = Seq("seq")), Seq("k"), "v")
+    val up = Sink(agg, primaryKey = Some(Seq("k")))
+    val ret = Sink(agg)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (results, release) = ChangelogInference.executeReleasable(Seq(up, ret))
+    // the shared stateful node materialized eagerly as a tracked
+    // localCheckpoint — new persisted blocks exist before any sink runs
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.nonEmpty, "shared agg must be checkpointed at execute()")
+    // outputs (reading the checkpoint) stay correct
+    val state = results(0).select(col("k"), col("cnt"), col("sum_val"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(state == Set(("a", 2L, 15.0)))
+    assert(results(1).count() > 0)
+    release()
+    // eventually consistent (unpersist is async); poll briefly
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (System.nanoTime() < deadline &&
+      (spark.sparkContext.getPersistentRDDs.keySet & added).nonEmpty)
+      Thread.sleep(50)
+    assert((spark.sparkContext.getPersistentRDDs.keySet & added).isEmpty,
+      "release() must unpersist exactly the shared checkpoints")
+    // single-sink runs keep their lazy, checkpoint-free shape
+    val b2 = spark.sparkContext.getPersistentRDDs.keySet
+    ChangelogInference.execute(Sink(
+      GroupAgg(Source(srcDf, seqCols = Seq("seq")), Seq("k"), "v"),
+      primaryKey = Some(Seq("k"))))
+    assert(spark.sparkContext.getPersistentRDDs.keySet == b2,
+      "unshared plans must not checkpoint")
+  }
+
   test("statement set: pass-through branch re-derives the merged mode") {
     val agg = GroupAgg(Source(srcDf, seqCols = Seq("seq")), Seq("k"), "v")
     val calc = Calc(agg, _.withColumn("doubled", col("sum_val") * 2))
