@@ -33,6 +33,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle partitions default to the core count (the driver-record
+    // setting); scale sweeps above sf0.1 override this the way a real
+    // cluster sizes partitions with the data — the value is recorded
+    // in the JSON line so no two runs are silently incomparable
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     // Measurement-environment record (round-6 verdict): heap size alone
     // moves the same query up to 7× at local[32] (GC geometry), so a
     // timing is only comparable to another timing AT THE SAME HEAP.
@@ -51,7 +56,7 @@ object Bench {
         "at the reference heap (set SPARK_DRIVER_MEM=8g)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
@@ -105,7 +110,7 @@ object Bench {
     val headlineSet = headline.toSet
     val shortQs = toJson(results.filter(r => headlineSet.contains(r._1)))
     val env =
-      s""""heap_bytes":$heapBytes,"heap_ok":$heapOk,"jvm":"$jvm","cpus":$cpus"""
+      s""""heap_bytes":$heapBytes,"heap_ok":$heapOk,"jvm":"$jvm","cpus":$cpus,"shuffle_partitions":$shuffleParts"""
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},$env,"queries":$shortQs,"failed":$failed,"sf":"$sfDir","detail":"BENCH_QUERIES.json"}"""
     val fullLine =
