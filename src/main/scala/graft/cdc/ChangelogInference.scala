@@ -103,9 +103,17 @@ object ChangelogInference {
   final case class Join(left: Node, right: Node, leftKey: String,
       rightKey: String, joinType: String = "inner") extends Node
   /** Retractable grouped COUNT/SUM over `valCol`, keyed by `keys`.
-    * Output columns: keys..., cnt, sum_val, __row_kind. */
+    * Output columns: keys..., cnt, sum_val, __row_kind.
+    *
+    * `localBuckets = Some(b)`: run as the reference's mini-batch
+    * LOCAL/GLOBAL split ([[ChangelogAgg.updateStreamLocalGlobal]]) —
+    * parallel per-(key, bucket) partial nets, then a bucket-granular
+    * global replay. Use when `keys` is low-cardinality and a DOWNSTREAM
+    * consumer needs the update stream (an upsert sink keyed on `keys`
+    * needs nothing declared: execute() collapses that case to the
+    * order-free net aggregate automatically). */
   final case class GroupAgg(child: Node, keys: Seq[String],
-      valCol: String) extends Node
+      valCol: String, localBuckets: Option[Int] = None) extends Node
   /** Terminal sink. `primaryKey = Some(keys)` declares an upsert sink
     * keyed on those columns. */
   final case class Sink(child: Node, primaryKey: Option[Seq[String]] = None)
@@ -143,7 +151,7 @@ object ChangelogInference {
 
   /** The "update key" a node's updating output is keyed on, if any. */
   private def updateKey(n: Node): Option[Seq[String]] = n match {
-    case GroupAgg(_, keys, _) => Some(keys)
+    case GroupAgg(_, keys, _, _) => Some(keys)
     case Calc(c, _) => updateKey(c) // key preservation validated in execute
     case EnrichJoin(c, _, _, _) => updateKey(c)
     case Join(_, _, _, _, _) => None // join output rows are not keyed
@@ -190,7 +198,7 @@ object ChangelogInference {
         if (jt == "inner" && !produces(l).isUpdating &&
           !produces(r).isUpdating) InsertOnly
         else Retract
-      case GroupAgg(c, _, _) =>
+      case GroupAgg(c, _, _, _) =>
         // a grouped aggregate over ANY input is an updating stream;
         // flavor (upsert vs retract) is fixed top-down
         Retract
@@ -218,7 +226,7 @@ object ChangelogInference {
               "Join over an updating input requires the retract stream")
           }
           produced += (ref -> produces(j))
-        case a @ GroupAgg(ch, _, _) =>
+        case a @ GroupAgg(ch, _, _, _) =>
           // the aggregate's own input must carry retractions whenever
           // the input updates; insert-only inputs need nothing more
           val childMode = produces(ch)
@@ -303,23 +311,7 @@ object ChangelogInference {
     * been materialized (written/collected) — the outputs read the
     * checkpointed blocks lazily. */
   def executeReleasable(sinks: Seq[Sink]): (Seq[DataFrame], () => Unit) = {
-    // reference counts by node INSTANCE across all branches: a node
-    // reached through two parents is counted per path (each path is a
-    // consumer of the materialized stream)
-    val refs = scala.collection.mutable.Map.empty[Ref, Int]
-    def countRefs(n: Node): Unit = {
-      val r = new Ref(n)
-      refs(r) = refs.getOrElse(r, 0) + 1
-      if (refs(r) == 1) n match {
-        case Source(_, _, _, _) => ()
-        case Calc(c, _) => countRefs(c)
-        case EnrichJoin(c, _, _, _) => countRefs(c)
-        case Join(l, rt, _, _, _) => countRefs(l); countRefs(rt)
-        case GroupAgg(c, _, _) => countRefs(c)
-        case s: Sink => countRefs(s.child)
-      }
-    }
-    sinks.foreach(s => countRefs(s.child))
+    val refs = refCounts(sinks)
     val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     val out = executeImpl(sinks, { (n, fl) =>
       n match {
@@ -334,9 +326,32 @@ object ChangelogInference {
     (out, () => releases.foreach(_.apply()))
   }
 
+  /** Per-path reference counts by node INSTANCE across all branches: a
+    * node reached through two parents is counted per path (each path is
+    * a consumer of the materialized stream). */
+  private def refCounts(sinks: Seq[Sink])
+      : scala.collection.mutable.Map[Ref, Int] = {
+    val refs = scala.collection.mutable.Map.empty[Ref, Int]
+    def countRefs(n: Node): Unit = {
+      val r = new Ref(n)
+      refs(r) = refs.getOrElse(r, 0) + 1
+      if (refs(r) == 1) n match {
+        case Source(_, _, _, _) => ()
+        case Calc(c, _) => countRefs(c)
+        case EnrichJoin(c, _, _, _) => countRefs(c)
+        case Join(l, rt, _, _, _) => countRefs(l); countRefs(rt)
+        case GroupAgg(c, _, _, _) => countRefs(c)
+        case s: Sink => countRefs(s.child)
+      }
+    }
+    sinks.foreach(s => countRefs(s.child))
+    refs
+  }
+
   private def executeImpl(sinks: Seq[Sink],
       shareHook: (Node, Flow) => Flow): Seq[DataFrame] = {
     val inf = infer(sinks)
+    val refs = refCounts(sinks)
     val built = scala.collection.mutable.Map.empty[Ref, Flow]
     // explicit get/put rather than getOrElseUpdate: the default branch
     // recurses into build() and mutates the same map, which
@@ -379,19 +394,53 @@ object ChangelogInference {
         val out = ChangelogJoin.updateStream(fl.df, fr.df, lk, rk, jt,
           fl.seq, fr.seq)
         Flow(out, ChangelogJoin.seqColumns(fl.seq.length))
-      case a @ GroupAgg(c, keys, valCol) =>
+      case a @ GroupAgg(c, keys, valCol, localBuckets) =>
         val fl = build(c)
         require(fl.seq.nonEmpty,
           "GroupAgg needs arrival-order columns (Source.seqCols)")
-        val out = ChangelogAgg.updateStream(fl.df, keys, valCol,
-          fl.seq.map(col), K,
-          emitUpdateBefore = inf.emitUpdateBefore(a), emitSeq = true)
-        // emitted order: the driving change's seq, then retract-before-add
-        val renamed = fl.seq.indices.map(i => s"__seq_$i") :+ "__sub"
-        Flow(out, renamed)
+        localBuckets match {
+          case Some(b) =>
+            // mini-batch LOCAL/GLOBAL split: parallel per-(key, bucket)
+            // partial nets, bucket-granular global replay — the emitted
+            // order is (bucket, __sub)
+            val out = ChangelogAgg.updateStreamLocalGlobal(fl.df, keys,
+              valCol, fl.seq.map(col), K,
+              emitUpdateBefore = inf.emitUpdateBefore(a), emitSeq = true,
+              localBuckets = b)
+            Flow(out, Seq("__seq_0", "__sub"))
+          case None =>
+            val out = ChangelogAgg.updateStream(fl.df, keys, valCol,
+              fl.seq.map(col), K,
+              emitUpdateBefore = inf.emitUpdateBefore(a), emitSeq = true)
+            // emitted order: the driving change's seq, then
+            // retract-before-add
+            val renamed = fl.seq.indices.map(i => s"__seq_$i") :+ "__sub"
+            Flow(out, renamed)
+        }
       case s: Sink => throw new IllegalStateException("nested sink")
     }
     sinks.zipWithIndex.map { case (sink, i) =>
+      // Full local/global collapse (reference TwoStageOptimizedAggregate
+      // Rule + the changelog-inference upsert decision): a GroupAgg
+      // whose ONLY consumer is an upsert sink keyed on its own group
+      // key never needs per-change emissions — last-writer-wins
+      // compaction of its update stream telescopes to the order-free
+      // NET aggregate, which runs as a parallel partial/final hash
+      // aggregate instead of a per-key sequential window replay. At a
+      // low-cardinality group key this removes the key-cardinality
+      // parallelism ceiling entirely (25 nations no longer mean
+      // 25-way-parallel replay).
+      val netShortcut: Option[DataFrame] = (sink.primaryKey, sink.child) match {
+        case (Some(pk), a @ GroupAgg(ch, keys, valCol, _))
+            if keys == pk && !inf.sinkMaterializes(i) &&
+              refs.getOrElse(new Ref(a), 1) <= 1 =>
+          val fl = build(ch)
+          require(fl.seq.nonEmpty,
+            "GroupAgg needs arrival-order columns (Source.seqCols)")
+          Some(ChangelogAgg.netState(fl.df, keys, valCol, K))
+        case _ => None
+      }
+      netShortcut.getOrElse {
       val fl0 = build(sink.child)
       // per-branch DropUpdateBefore (reference
       // StreamExecDropUpdateBefore as a statement-set branch op): the
@@ -426,6 +475,7 @@ object ChangelogInference {
               .filter(col("__last") === 1 && col(K).isin("+I", "+U"))
               .drop((fl.seq.filter(_.startsWith("__")) :+ "__last" :+ K): _*)
           }
+      }
       }
     }
   }

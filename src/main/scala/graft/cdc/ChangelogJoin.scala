@@ -37,6 +37,15 @@ import org.apache.spark.sql.functions._
   *    the batch replay of OuterJoinRecordStateView's per-record
   *    `numOfAssociations`.
   *
+  * DELIBERATE kind deviation: padding transitions emit -U/+U and
+  * outer-side emissions forward the input's +U/-U, whereas the
+  * reference's JoinHelper normalizes outer-join emissions to -D/+I.
+  * The two encodings are weight-equivalent (the reference's own
+  * FLINK-17337 note says so) and every in-repo consumer
+  * ([[ChangelogAgg]], upsert compaction) is weight-based; only a
+  * byte-exact comparison of changelog KINDS against reference output
+  * would see the difference.
+  *
   * Output: left payload ++ right payload ++ `__row_kind` ++ the
   * emission's order columns `__seq_0..n-1` (the driving event's
   * sequence), `__side` (0 = left-driven, 1 = right-driven) and

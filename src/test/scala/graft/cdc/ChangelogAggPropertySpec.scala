@@ -169,6 +169,81 @@ class ChangelogAggPropertySpec extends SparkSpec {
     }, n = 8)
   }
 
+  test("local/global update stream nets like the per-change stream") {
+    import org.apache.spark.sql.functions.col
+    // the mini-batch local/global split changes emission GRANULARITY
+    // (one transition per (key, bucket) instead of per change) but any
+    // weight-based consumer must land on the same net: compare a
+    // downstream materialize over both streams, across random bucket
+    // counts (1 = one giant mini-batch, large = nearly per-change)
+    val caseGen = Gen.zip(opsGen, Gen.choose(1, 9))
+    check(Prop.forAll(caseGen) { case (ops, buckets) =>
+      if (ops.isEmpty) true
+      else {
+        val df = ops.zipWithIndex
+          .map { case ((k, v, kind), i) => (k, v, kind, i.toLong) }
+          .toDF("k", "v", ChangelogFormats.RowKindCol, "seq")
+        def net(upd: org.apache.spark.sql.DataFrame) =
+          ChangelogAgg.materialize(
+              upd.select(col("k"), col("sum_val").as("s"),
+                col(ChangelogFormats.RowKindCol)),
+              Seq("k"), "s").collect()
+            .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+            .toMap
+        val classic = net(ChangelogAgg.updateStream(df, Seq("k"), "v",
+          Seq(col("seq"))))
+        val lg = net(ChangelogAgg.updateStreamLocalGlobal(df, Seq("k"),
+          "v", Seq(col("seq")), ChangelogFormats.RowKindCol,
+          emitUpdateBefore = true, emitSeq = false, localBuckets = buckets))
+        if (classic != lg)
+          println(s"MISMATCH ops=$ops buckets=$buckets classic=$classic lg=$lg")
+        classic == lg
+      }
+    }, n = 12)
+  }
+
+  test("local/global mid-chain inference equals the per-change chain") {
+    import org.apache.spark.sql.functions.col
+    import ChangelogInference._
+    // GroupAgg(localBuckets) feeding a SECOND GroupAgg: the bucketed
+    // emissions must telescope so the outer aggregate's compacted
+    // state matches the unbucketed chain exactly
+    val posOpGen = Gen.zip(Gen.oneOf("a", "b", "c"),
+      Gen.choose(1, 6).map(_.toDouble),
+      Gen.frequency(3 -> Gen.const("+I"), 1 -> Gen.const("-D")))
+    val posOpsGen = Gen.choose(1, 16).flatMap(n => Gen.listOfN(n, posOpGen))
+    val caseGen = Gen.zip(posOpsGen, Gen.choose(1, 5))
+    check(Prop.forAll(caseGen) { case (ops0, buckets) =>
+      val seen = scala.collection.mutable.Map.empty[String, Long]
+      val ops = ops0.filter { case (k, _, kind) =>
+        val w = if (kind == "-D") -1L else 1L
+        val n = seen.getOrElse(k, 0L) + w
+        if (n < 0) false else { seen(k) = n; true }
+      }
+      if (ops.isEmpty) true
+      else {
+        val df = ops.zipWithIndex
+          .map { case ((k, v, kind), i) => (k, v, kind, i.toLong) }
+          .toDF("k", "v", ChangelogFormats.RowKindCol, "seq")
+        def chain(lb: Option[Int]) = ChangelogInference.execute(Sink(
+          GroupAgg(
+            Calc(
+              GroupAgg(Source(df, seqCols = Seq("seq")), Seq("k"), "v", lb),
+              d => d.withColumnRenamed("cnt", "n")
+                .withColumnRenamed("sum_val", "s")),
+            Seq("n"), "s"),
+          primaryKey = Some(Seq("n"))))
+        def stateSet(d: org.apache.spark.sql.DataFrame) =
+          d.collect().map(r => (r.getLong(0),
+            r.getLong(r.fieldIndex("cnt")),
+            r.getDouble(r.fieldIndex("sum_val")))).toSet
+        val ok = stateSet(chain(Some(buckets))) == stateSet(chain(None))
+        if (!ok) println(s"MISMATCH ops=$ops buckets=$buckets")
+        ok
+      }
+    }, n = 8)
+  }
+
   test("materialize matches the signed-multiset model") {
     check(Prop.forAll(opsGen) { ops =>
       val df = ops.toDF("k", "v", ChangelogFormats.RowKindCol)
