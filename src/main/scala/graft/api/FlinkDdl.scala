@@ -37,8 +37,51 @@ object FlinkDdl {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"CREATE TABLE: $msg")
 
-  def sqlType(t: String): DataType = {
-    val up = t.trim.toUpperCase
+  /** Split `s` on commas at nesting depth 0 (w.r.t. `<>` and `()`). */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case c @ ('<' | '(') => depth += 1; cur += c
+      case c @ ('>' | ')') => depth -= 1; cur += c
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** The full §1.2 type lattice incl. constructed types — reference
+    * grammar flink-sql-parser (SqlTableColumn.java) over the lattice in
+    * flink-table-common/.../logical/LogicalTypeRoot.java:53-141.
+    * ARRAY/MAP/ROW/MULTISET nest arbitrarily; `NOT NULL` is honored on
+    * ROW fields (elsewhere Spark's read-path nullability governs).
+    * Documented deltas (SURVEY §1.2): TIME → IntegerType millis-of-day;
+    * MULTISET<T> → MapType(T, IntegerType) count-map convention. */
+  def sqlType(t: String): DataType = sqlTypeNullable(t)._1
+
+  private def sqlTypeNullable(t0: String): (DataType, Boolean) = {
+    val t = t0.trim
+    // trailing nullability marker (Flink: nullable unless NOT NULL)
+    val notNullP = """(?is)^(.*?)\s+NOT\s+NULL\s*$""".r
+    val nullP = """(?is)^(.*?)\s+NULL\s*$""".r
+    t match {
+      case notNullP(inner) => (sqlType(inner), false)
+      case nullP(inner) => (sqlType(inner), true)
+      case _ => (sqlTypeBase(t), true)
+    }
+  }
+
+  private def sqlTypeBase(t: String): DataType = {
+    val up = t.toUpperCase
+    def inner(prefix: String): String = {
+      val open = t.indexOf('<')
+      val close = t.lastIndexOf('>')
+      if (open < 0 || close <= open)
+        fail(s"malformed $prefix type: $t (expected $prefix<...>)")
+      t.substring(open + 1, close)
+    }
     val decP = """DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
     up match {
       case "BIGINT" => LongType
@@ -52,9 +95,41 @@ object FlinkDdl {
       case "BYTES" | "VARBINARY" | "BINARY" => BinaryType
       case "STRING" => StringType
       case decP(p, s) => DecimalType(p.toInt, s.toInt)
+      case _ if up.startsWith("ARRAY") && up.contains("<") =>
+        val (et, en) = sqlTypeNullable(inner("ARRAY"))
+        ArrayType(et, containsNull = en)
+      case _ if up.startsWith("MULTISET") && up.contains("<") =>
+        // SURVEY §1.2: multiset as element → count map
+        MapType(sqlType(inner("MULTISET")), IntegerType,
+          valueContainsNull = false)
+      case _ if up.startsWith("MAP") && up.contains("<") =>
+        splitTop(inner("MAP")) match {
+          case Seq(k, v) =>
+            val (vt, vn) = sqlTypeNullable(v)
+            MapType(sqlType(k), vt, valueContainsNull = vn)
+          case other =>
+            fail(s"MAP needs exactly two type arguments, got $other")
+        }
+      case _ if up.startsWith("ROW") && (up.contains("<") || up.contains("(")) =>
+        // ROW<name type, ...> (also accepts the ROW(name type, ...)
+        // paren form the reference grammar allows)
+        val body =
+          if (t.contains("<")) inner("ROW")
+          else t.substring(t.indexOf('(') + 1, t.lastIndexOf(')'))
+        val fieldP = """(?s)^`?(\w+)`?\s+(.+)$""".r
+        StructType(splitTop(body).map {
+          case fieldP(fname, ftype) =>
+            val (ft, fn) = sqlTypeNullable(ftype)
+            StructField(fname, ft, nullable = fn)
+          case other => fail(s"malformed ROW field: $other")
+        })
       case _ if up.startsWith("VARCHAR") || up.startsWith("CHAR") => StringType
       case _ if up.startsWith("TIMESTAMP_LTZ") => TimestampType
       case _ if up.startsWith("TIMESTAMP") => TimestampType
+      case _ if up.startsWith("TIME") =>
+        // documented delta (SURVEY §1.2): no Spark time-of-day type —
+        // millis-of-day as INT
+        IntegerType
       case other => fail(s"unsupported type $other")
     }
   }

@@ -27,6 +27,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * reference's JoinRecordStateView (count per distinct row content),
   * hash-distributed on the join key; one shuffle per side. State never
   * stores dead contents (net 0 entries are dropped).
+  *
+  * Ordering: every input row carries an explicit SEQUENCE number, and
+  * a key's buffered rows are applied in (seq, side) order (left wins
+  * ties) inside each trigger — flatMapGroupsWithState gives no
+  * intra-micro-batch ordering guarantee, so when several changes for
+  * one key (possibly from both sides) land in a single trigger, the
+  * group iterator would otherwise apply them in arbitrary shuffle
+  * order. The (seq, side) rule is exactly the batch twin's global
+  * processing order, so the two operators stay emission-equivalent at
+  * ANY micro-batch granularity, not just one-event-per-trigger.
   */
 object StreamingChangelogJoin {
 
@@ -37,11 +47,14 @@ object StreamingChangelogJoin {
     if (kind == "+I" || kind == "+U") 1 else -1
 
   /** `joinType`: inner | left | right | full. Input rows are
-    * (payload, rowKind). */
-  def join[K, L, R](left: Dataset[(L, String)], right: Dataset[(R, String)],
+    * (payload, rowKind, seq) — `seq` totally orders each side's
+    * changes and is comparable across sides (the batch twin's
+    * contract, [[graft.cdc.ChangelogJoin.updateStream]]). */
+  def join[K, L, R](left: Dataset[(L, String, Long)],
+      right: Dataset[(R, String, Long)],
       lKey: L => K, rKey: R => K, joinType: String)(
       implicit kEnc: Encoder[K],
-      inEnc: Encoder[(Option[(L, String)], Option[(R, String)])],
+      inEnc: Encoder[(Option[(L, String, Long)], Option[(R, String, Long)])],
       stEnc: Encoder[(Seq[(L, Int)], Seq[(R, Int)])],
       outEnc: Encoder[Out[L, R]]): Dataset[Out[L, R]] = {
     require(Set("inner", "left", "right", "full")(joinType),
@@ -49,14 +62,14 @@ object StreamingChangelogJoin {
     val padsLeft = joinType == "left" || joinType == "full"
     val padsRight = joinType == "right" || joinType == "full"
     val tagged = left
-      .map(l => (Option(l), Option.empty[(R, String)]))
-      .unionByName(right.map(r => (Option.empty[(L, String)], Option(r))))
+      .map(l => (Option(l), Option.empty[(R, String, Long)]))
+      .unionByName(right.map(r => (Option.empty[(L, String, Long)], Option(r))))
     tagged.groupByKey {
-      case (Some((l, _)), _) => lKey(l)
-      case (_, Some((r, _))) => rKey(r)
+      case (Some((l, _, _)), _) => lKey(l)
+      case (_, Some((r, _, _))) => rKey(r)
       case _ => throw new IllegalStateException("empty tagged row")
     }.flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-      (_: K, rows: Iterator[(Option[(L, String)], Option[(R, String)])],
+      (_: K, rows0: Iterator[(Option[(L, String, Long)], Option[(R, String, Long)])],
           state: GroupState[(Seq[(L, Int)], Seq[(R, Int)])]) =>
         var (ls0, rs0) = state.getOption
           .getOrElse((Seq.empty[(L, Int)], Seq.empty[(R, Int)]))
@@ -68,15 +81,22 @@ object StreamingChangelogJoin {
           val n = m.getOrElse(c, 0) + w
           if (n == 0) m.remove(c) else m(c) = n
         }
+        // apply in the global (seq, side) order — left wins seq ties —
+        // regardless of how the shuffle interleaved this trigger's rows
+        val rows = rows0.toSeq.sortBy {
+          case (Some((_, _, s)), _) => (s, 0)
+          case (_, Some((_, _, s))) => (s, 1)
+          case _ => (Long.MaxValue, 2)
+        }
         rows.foreach { row =>
           // one arriving change, on either side
           val (kind, w) = row match {
-            case (Some((_, k)), _) => (k, weight(k))
-            case (_, Some((r, k))) => (k, weight(k))
+            case (Some((_, k, _)), _) => (k, weight(k))
+            case (_, Some((_, k, _))) => (k, weight(k))
             case _ => ("+I", 1)
           }
           row match {
-            case (Some((l, _)), _) =>
+            case (Some((l, _, _)), _) =>
               val live = rs.toSeq.filter(_._2 > 0)
               val cb = ls.valuesIterator.sum
               // retract-before-add: a left insert that creates the
@@ -93,7 +113,7 @@ object StreamingChangelogJoin {
                 live.foreach { case (r, cnt) =>
                   (1 to cnt).foreach(_ => out += (("+U", None, Some(r)))) }
               bump(ls, l, w)
-            case (_, Some((r, _))) =>
+            case (_, Some((r, _, _))) =>
               val live = ls.toSeq.filter(_._2 > 0)
               val cb = rs.valuesIterator.sum
               if (padsLeft && cb == 0 && w > 0)

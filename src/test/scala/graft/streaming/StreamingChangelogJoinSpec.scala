@@ -48,21 +48,26 @@ class StreamingChangelogJoinSpec extends SparkSpec {
       }.groupBy(identity).view.mapValues(_.size).toMap
   }
 
-  private def streamEmissions(jt: String): Map[Emit, Int] = {
+  /** `batchSizes`: how many events to feed per micro-batch — 1 is the
+    * original one-event-per-trigger feed; larger batches exercise the
+    * intra-trigger (seq, side) reordering, where several changes for
+    * one key (from both sides) land in a single group iterator. */
+  private def streamEmissions(jt: String, batchSize: Int): Map[Emit, Int] = {
     implicit val sq = spark.sqlContext
-    val lIn = MemoryStream[(P, String)]
-    val rIn = MemoryStream[(P, String)]
+    val lIn = MemoryStream[(P, String, Long)]
+    val rIn = MemoryStream[(P, String, Long)]
     val joined = StreamingChangelogJoin.join[String, P, P](
       lIn.toDS(), rIn.toDS(), _._1, _._1, jt)
-    val name = s"scj_$jt"
+    val name = s"scj_${jt}_$batchSize"
     val q = joined.toDF("kind", "l", "r").writeStream
       .format("memory").queryName(name)
       .outputMode(OutputMode.Update()).start()
     try {
-      // one micro-batch per event: the arrival order is the semantics
-      events.foreach { case (side, k, tag, kind) =>
-        if (side == 0) lIn.addData(((k, tag), kind))
-        else rIn.addData(((k, tag), kind))
+      events.zipWithIndex.grouped(batchSize).foreach { batch =>
+        batch.foreach { case ((side, k, tag, kind), i) =>
+          if (side == 0) lIn.addData(((k, tag), kind, i.toLong))
+          else rIn.addData(((k, tag), kind, i.toLong))
+        }
         q.processAllAvailable()
       }
       spark.table(name)
@@ -75,26 +80,35 @@ class StreamingChangelogJoinSpec extends SparkSpec {
 
   Seq("inner", "left", "full").foreach { jt =>
     test(s"streaming $jt join emits exactly the batch replay's multiset") {
-      val got = streamEmissions(jt)
+      val got = streamEmissions(jt, batchSize = 1)
+      val want = batchEmissions(jt)
+      assert(got == want, s"\n got=$got\n want=$want")
+    }
+    test(s"streaming $jt join: whole history in ONE trigger still " +
+        "matches the batch replay") {
+      val got = streamEmissions(jt, batchSize = events.size)
       val want = batchEmissions(jt)
       assert(got == want, s"\n got=$got\n want=$want")
     }
   }
+  test("streaming full join at mixed trigger granularity matches") {
+    assert(streamEmissions("full", batchSize = 4) == batchEmissions("full"))
+  }
 
   test("state drops dead contents (net-zero entries leave the multiset)") {
     implicit val sq = spark.sqlContext
-    val lIn = MemoryStream[(P, String)]
-    val rIn = MemoryStream[(P, String)]
+    val lIn = MemoryStream[(P, String, Long)]
+    val rIn = MemoryStream[(P, String, Long)]
     val joined = StreamingChangelogJoin.join[String, P, P](
       lIn.toDS(), rIn.toDS(), _._1, _._1, "inner")
     val q = joined.toDF("kind", "l", "r").writeStream
       .format("memory").queryName("scj_state")
       .outputMode(OutputMode.Update()).start()
     try {
-      lIn.addData((("a", 1), "+I")); q.processAllAvailable()
-      lIn.addData((("a", 1), "-D")); q.processAllAvailable()
+      lIn.addData((("a", 1), "+I", 0L)); q.processAllAvailable()
+      lIn.addData((("a", 1), "-D", 1L)); q.processAllAvailable()
       // the left side is empty again: a right insert must emit nothing
-      rIn.addData((("a", 9), "+I")); q.processAllAvailable()
+      rIn.addData((("a", 9), "+I", 2L)); q.processAllAvailable()
       assert(spark.table("scj_state").count() == 0)
     } finally q.stop()
   }
