@@ -84,6 +84,10 @@ object CompiledPlan {
       t.put("primaryKey", spec.primaryKey.asJava)
       t.put("partitions", spec.partitions.asJava)
       t.put("proctime", spec.proctime.orNull)
+      t.put("computed",
+        spec.computed.map(c => Seq(c._1, c._2).asJava).asJava)
+      t.put("metadataCols",
+        spec.metadataCols.map(c => Seq(c._1, c._2).asJava).asJava)
       t
     }
     root.put("tables", tables.asJava)
@@ -126,7 +130,11 @@ object CompiledPlan {
             t.path("primaryKey").elements().asScala.map(_.asText()).toSeq,
           partitions =
             t.path("partitions").elements().asScala.map(_.asText()).toSeq,
-          proctime = Option(t.path("proctime").asText(null))))
+          proctime = Option(t.path("proctime").asText(null)),
+          computed = t.path("computed").elements().asScala
+            .map(n => (n.get(0).asText(), n.get(1).asText())).toSeq,
+          metadataCols = t.path("metadataCols").elements().asScala
+            .map(n => (n.get(0).asText(), n.get(1).asText())).toSeq))
       }
     }
     // views after tables; retry to honor view-on-view dependency order

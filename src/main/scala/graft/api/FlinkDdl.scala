@@ -37,6 +37,16 @@ object FlinkDdl {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"CREATE TABLE: $msg")
 
+  /** Plain `name TYPE` column definitions, comma-separated (ALTER
+    * TABLE ADD/MODIFY bodies). */
+  private[api] def parseColumnDefs(body: String): Seq[StructField] = {
+    val colP = """(?s)^`?(\w+)`?\s+(.+)$""".r
+    splitTop(body).map {
+      case colP(cname, ctype) => StructField(cname, sqlType(ctype))
+      case other => fail(s"malformed column definition: $other")
+    }
+  }
+
   /** Split `s` on commas at nesting depth 0 (w.r.t. `<>` and `()`). */
   private def splitTop(s: String): Seq[String] = {
     val out = Vector.newBuilder[String]
@@ -112,10 +122,16 @@ object FlinkDdl {
         }
       case _ if up.startsWith("ROW") && (up.contains("<") || up.contains("(")) =>
         // ROW<name type, ...> (also accepts the ROW(name type, ...)
-        // paren form the reference grammar allows)
+        // paren form the reference grammar allows); the OUTER delimiter
+        // is whichever bracket immediately follows ROW — the body may
+        // nest the other kind
+        val afterRow = t.substring(3).trim
         val body =
-          if (t.contains("<")) inner("ROW")
-          else t.substring(t.indexOf('(') + 1, t.lastIndexOf(')'))
+          if (afterRow.startsWith("<"))
+            afterRow.substring(1, afterRow.lastIndexOf('>'))
+          else if (afterRow.startsWith("("))
+            afterRow.substring(1, afterRow.lastIndexOf(')'))
+          else fail(s"malformed ROW type: $t")
         val fieldP = """(?s)^`?(\w+)`?\s+(.+)$""".r
         StructType(splitTop(body).map {
           case fieldP(fname, ftype) =>
@@ -158,16 +174,24 @@ object FlinkDdl {
     val colsBody = sql.substring(openAt + 1, closeAt)
     val tail = sql.substring(closeAt + 1)
 
-    // split column list on top-level commas
+    // split column list on top-level commas. Angle brackets nest type
+    // arguments (MAP<STRING, INT> must not split) — but ONLY outside
+    // computed-column expressions, where `<` is the comparison operator
+    // (`flag AS v < 10`); a computed item is recognized by an ` AS `
+    // already accumulated in the current item.
     val items = {
       val out = Vector.newBuilder[String]
       val cur = new StringBuilder
       var d = 0
       var q = false
+      def inComputedExpr: Boolean =
+        """(?is)^\s*\w+\s+AS\s""".r.findFirstIn(cur).isDefined
       colsBody.foreach {
         case '\'' => q = !q; cur += '\''
         case '(' if !q => d += 1; cur += '('
         case ')' if !q => d -= 1; cur += ')'
+        case '<' if !q && !inComputedExpr => d += 1; cur += '<'
+        case '>' if !q && !inComputedExpr => d -= 1; cur += '>'
         case ',' if !q && d == 0 => out += cur.toString; cur.clear()
         case c => cur += c
       }
@@ -175,21 +199,40 @@ object FlinkDdl {
       out.result().map(_.trim).filter(_.nonEmpty)
     }
 
-    val wmP = ("""(?is)^WATERMARK\s+FOR\s+(\w+)\s+AS\s+\w+\s*-\s*""" +
+    val wmP = ("""(?is)^WATERMARK\s+FOR\s+(\w+)\s+AS\s+(\w+)\s*-\s*""" +
       """INTERVAL\s+'(\d+)'\s+(\w+)$""").r
     val pkP = """(?is)^PRIMARY\s+KEY\s*\(([\w,\s]+)\)\s*(?:NOT\s+ENFORCED)?$""".r
     // computed processing-time attribute (reference: proctime attribute
     // in SqlCreateTable computed columns) — virtual, not stored; feeds
     // the lookup-join route (FOR SYSTEM_TIME AS OF <proctime>)
     val ptP = """(?is)^(\w+)\s+AS\s+PROCTIME\s*\(\s*\)$""".r
+    // general computed column `c AS <expr>` (reference SqlComputedColumn,
+    // SqlCreateTable.java:237) — any Spark SQL expression; virtual,
+    // evaluated on read, may reference earlier columns (incl. other
+    // computed ones in declaration order)
+    val compP = """(?is)^(\w+)\s+AS\s+(.+)$""".r
+    // METADATA column (reference SqlMetadataColumn, SqlTableColumn
+    // .java:136): `c TYPE METADATA [FROM 'key'] [VIRTUAL]` — key
+    // defaults to the column name
+    val metaP = ("""(?is)^(\w+)\s+(.+?)\s+METADATA""" +
+      """(?:\s+FROM\s+'([^']+)')?(?:\s+VIRTUAL)?$""").r
     val colP = """(?s)^(\w+)\s+(.+)$""".r
 
     var fields = Vector.empty[StructField]
     var watermark: Option[(String, String)] = None
     var primaryKey: Seq[String] = Nil
     var proctime: Option[String] = None
+    var computed = Vector.empty[(String, String)]
+    var metaCols = Vector.empty[(String, String)]
     items.foreach {
-      case wmP(c, n, unit) =>
+      case wmP(c, src, n, unit) =>
+        // the watermark expression column must be the watermarked
+        // column itself (Spark's withWatermark model: col + delay); the
+        // COLUMN may be computed — declared earlier via `c AS expr`
+        if (!c.equalsIgnoreCase(src)) fail(
+          s"WATERMARK FOR $c AS $src: the watermark expression must be " +
+            s"on $c itself (declare a computed column for derived " +
+            "event time, then watermark that column)")
         val u = unit.toLowerCase
         watermark = Some((c, s"$n $u" + (if (n == "1") "" else
           if (u.endsWith("s")) "" else "s")))
@@ -197,6 +240,13 @@ object FlinkDdl {
         primaryKey = cols.split(",").map(_.trim).toSeq
       case ptP(c) =>
         proctime = Some(c)
+      case metaP(cname, ctype, key) =>
+        // the declared type documents intent; the materialized value
+        // takes Spark's _metadata field type (validated in TableEnv)
+        sqlType(ctype) // raises early on a malformed type
+        metaCols :+= (cname, Option(key).getOrElse(cname))
+      case compP(cname, expr0) =>
+        computed :+= (cname, expr0.trim)
       case colP(cname, ctype) =>
         fields :+= StructField(cname, sqlType(ctype))
       case other => fail(s"unrecognized table element: $other")
@@ -210,7 +260,8 @@ object FlinkDdl {
       path = path, format = format,
       schema = if (fields.isEmpty) None else Some(StructType(fields)),
       watermark = watermark, primaryKey = primaryKey,
-      partitions = partitions, proctime = proctime))
+      partitions = partitions, proctime = proctime,
+      computed = computed, metadataCols = metaCols))
   }
 
   /** `PARTITIONED BY (c1, c2)` — reference filesystem-connector

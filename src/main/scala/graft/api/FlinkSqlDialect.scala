@@ -137,8 +137,9 @@ object FlinkSqlDialect {
     val hintBlock = """(?s)/\*\+.*?\*/""".r
     hintBlock.findAllIn(out).foreach { block =>
       require(!"""(?i)\bOPTIONS\s*\(""".r.findFirstIn(block).isDefined,
-        "OPTIONS hint: dynamic table options are not supported — set " +
-          "connector options in CREATE TABLE ... WITH (...)")
+        "OPTIONS hint: dynamic table options are applied by " +
+          "TableEnv.executeSql (table-registry context) — route the " +
+          "query through a TableEnv instead of FlinkSqlDialect.translate")
       require(!"""(?i)\bLOOKUP\s*\(""".r.findFirstIn(block).isDefined,
         "LOOKUP hint: supported only on a lookup join — SELECT /*+ " +
           "LOOKUP(...) */ ... JOIN dim FOR SYSTEM_TIME AS OF o.<proctime> " +

@@ -22,7 +22,16 @@ final case class TableSpec(
     watermark: Option[(String, String)] = None, // (eventTimeCol, delay)
     primaryKey: Seq[String] = Nil,
     partitions: Seq[String] = Nil, // PARTITIONED BY columns (hive-style dirs)
-    proctime: Option[String] = None) // computed col declared AS PROCTIME()
+    proctime: Option[String] = None, // computed col declared AS PROCTIME()
+    // general computed columns `c AS <expr>` (reference SqlComputedColumn,
+    // SqlCreateTable.java:237) — virtual, evaluated on read in
+    // declaration order (later exprs may reference earlier columns)
+    computed: Seq[(String, String)] = Nil,
+    // METADATA columns `c TYPE METADATA [FROM 'key'] [VIRTUAL]`
+    // (reference SqlMetadataColumn, SqlTableColumn.java:136) — for the
+    // filesystem connector the keys map onto Spark's _metadata struct:
+    // file.path / file.name / file.size / file.modification-time
+    metadataCols: Seq[(String, String)] = Nil) // (colName, metadataKey)
 
 /** ANALYZE TABLE output: row count plus per-column (nullCount, ndv). */
 final case class TableStats(rowCount: Long,
@@ -135,12 +144,15 @@ final class TableEnv(val spark: SparkSession) {
   def fromStreaming(name: String): DataFrame = {
     val spec = specs.getOrElse(name,
       throw new IllegalArgumentException(s"unknown table $name"))
+    val virtual = TableEnv.virtualCols(spec)
     val schema = spec.schema.getOrElse(StructType(batchRead(spec).schema
-      .filterNot(f => spec.proctime.contains(f.name))))
+      .filterNot(f => virtual.contains(f.name))))
     val df0 = spark.readStream.schema(schema).format(spec.format)
       .load(spec.path)
-    val df = spec.proctime.fold(df0)(pt =>
-      df0.withColumn(pt, org.apache.spark.sql.functions.current_timestamp()))
+    // virtual columns first (a computed column may BE the watermarked
+    // event-time column — the reference's computed-watermark idiom),
+    // then the watermark
+    val df = TableEnv.applyVirtual(df0, spec)
     spec.watermark.fold(df) { case (c, d) => df.withWatermark(c, d) }
   }
 
@@ -159,7 +171,26 @@ final class TableEnv(val spark: SparkSession) {
     """(?is)^\s*ALTER\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*$""".r
   private val AlterSetP =
     """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+SET\s*\((.*)\)\s*$""".r
+  private val AlterAddP =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s*\((.+)\)\s*$""".r
+  private val AlterAdd1P =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?!\()(\w+\s+[^,]+?)\s*$""".r
+  private val AlterModifyP =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+MODIFY\s*\((.+)\)\s*$""".r
+  private val AlterModify1P =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+MODIFY\s+(?!\()(\w+\s+[^,]+?)\s*$""".r
+  private val AlterDropColP =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s*\(([\w,\s]+)\)\s*$""".r
+  private val AlterDropCol1P =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?!\()(\w+)\s*$""".r
   private val AlterOtherP = """(?is)^\s*ALTER\s+TABLE\b.*$""".r
+  private val CreateFunctionP =
+    ("""(?is)^\s*CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+""" +
+      """(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+'([^']+)'""" +
+      """(?:\s+LANGUAGE\s+(?:JAVA|SCALA))?\s*;?\s*$""").r
+  private val DropFunctionP =
+    ("""(?is)^\s*DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+""" +
+      """(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$""").r
   private val SetP = """(?is)^\s*SET\s+'([^']+)'\s*=\s*'([^']*)'\s*;?\s*$""".r
   private val SetListP = """(?is)^\s*SET\s*;?\s*$""".r
   private val ResetP = """(?is)^\s*RESET\s+'([^']+)'\s*;?\s*$""".r
@@ -214,10 +245,14 @@ final class TableEnv(val spark: SparkSession) {
       case other => other.sql
     }
     // an inferred schema (no DDL schema) already contains the virtual
-    // proctime column — keep it out of the physical column list
-    val cols = schema.fields.filterNot(f => spec.proctime.contains(f.name))
+    // columns (proctime/computed/metadata) — keep them out of the
+    // physical column list
+    val cols = schema.fields
+      .filterNot(f => TableEnv.virtualCols(spec).contains(f.name))
       .map(f => s"  ${f.name} ${ddlType(f.dataType)}")
-    val pt = spec.proctime.map(c => s"  $c AS PROCTIME()")
+    val pt = spec.proctime.map(c => s"  $c AS PROCTIME()") ++
+      spec.metadataCols.map { case (c, k) => s"  $c STRING METADATA FROM '$k'" } ++
+      spec.computed.map { case (c, e) => s"  $c AS $e" }
     val wm = spec.watermark.map { case (c, d) =>
       val (n, u) = d.split(" ") match { case Array(a, b) => (a, b.stripSuffix("s").toUpperCase) }
       s"  WATERMARK FOR $c AS $c - INTERVAL '$n' $u"
@@ -243,7 +278,63 @@ final class TableEnv(val spark: SparkSession) {
   private val ExecutePlanP =
     """(?is)^\s*EXECUTE\s+PLAN\s+'([^']+)'\s*;?\s*$""".r
 
-  def executeSql(sql: String): DataFrame =
+  // `FROM t /*+ OPTIONS('k'='v') */` — the reference's dynamic table
+  // options hint (flink-table-planner/.../hint/FlinkHints.java:51,
+  // HINT_NAME_OPTIONS): per-query connector-option overrides on one
+  // table reference. Rewritten BEFORE dispatch: each hinted ref becomes
+  // a temp view reading the table with the overridden options.
+  private val OptionsHintP =
+    """(?is)\b(FROM|JOIN)\s+([\w.]+)\s*/\*\+\s*OPTIONS\s*\(([^)]*)\)\s*\*/""".r
+  private val optionsViewCounter =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Flink format-option names → Spark reader options (the common CSV
+    * surface); unknown keys pass through as Spark reader options. */
+  private def readerOption(key: String, value: String): (String, String) =
+    key match {
+      case "field-delimiter" => ("sep", value)
+      case "ignore-parse-errors" =>
+        ("mode", if (value == "true") "DROPMALFORMED" else "FAILFAST")
+      case "null-literal" => ("nullValue", value)
+      case "allow-comments" => ("comment", if (value == "true") "#" else "")
+      case other => (other, value)
+    }
+
+  private def optionsView(table: String, optsBody: String): String = {
+    val spec = specs.getOrElse(table, throw new IllegalArgumentException(
+      s"OPTIONS hint: $table is not a DDL-registered table"))
+    val opts = """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(optsBody)
+      .map(o => o.group(1) -> o.group(2)).toMap
+    require(opts.get("connector").forall(_ == "filesystem"),
+      "OPTIONS hint: only the filesystem connector is supported")
+    val path = opts.getOrElse("path", spec.path)
+    val fmt = opts.getOrElse("format", spec.format)
+    val reader = (opts -- Seq("path", "format", "connector")).map {
+      case (k, v) =>
+        // 'csv.field-delimiter'-style keys strip their format prefix
+        val key = if (k.startsWith(fmt + ".")) k.substring(fmt.length + 1)
+          else k
+        readerOption(key, v)
+    }
+    val r0 = spark.read.format(fmt).options(reader)
+    // the declared schema only applies while the format is unchanged
+    val r = if (fmt == spec.format) spec.schema.fold(r0)(s => r0.schema(s))
+      else r0
+    val df = TableEnv.applyVirtual(r.load(path), spec)
+    val vname = s"${table.replace('.', '_')}__options_" +
+      optionsViewCounter.incrementAndGet()
+    df.createOrReplaceTempView(vname)
+    vname
+  }
+
+  def executeSql(sql: String): DataFrame = {
+    val rewritten = OptionsHintP.replaceAllIn(sql, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        s"${m.group(1)} ${optionsView(m.group(2), m.group(3))}"))
+    executeSqlDispatch(rewritten)
+  }
+
+  private def executeSqlDispatch(sql: String): DataFrame =
     if (CompilePlanP.pattern.matcher(sql).matches()) {
       // COMPILE [AND EXECUTE] PLAN '<file>' [IF NOT EXISTS] FOR
       // <insert>|<statement set> (reference exec-plan serde; see
@@ -373,11 +464,105 @@ final class TableEnv(val spark: SparkSession) {
         path = opts.getOrElse("path", spec.path),
         format = opts.getOrElse("format", spec.format)))
       spark.emptyDataFrame
+    } else if (AlterAddP.pattern.matcher(sql).matches() ||
+        AlterAdd1P.pattern.matcher(sql).matches()) {
+      // ALTER TABLE t ADD (c TYPE, ...) — reference SqlAlterTableAdd
+      // .java:51. Filesystem semantics: schema merge on read — rows in
+      // files written before the ADD read the new column as NULL
+      // (parquet/orc missing-column fill), new INSERTs carry it.
+      val m = AlterAddP.findFirstMatchIn(sql)
+        .getOrElse(AlterAdd1P.findFirstMatchIn(sql).get)
+      alterSchema(m.group(1)) { (spec, schema) =>
+        val added = parseColumnDefs(m.group(2))
+        val clash = added.map(_.name).filter(c =>
+          schema.fieldNames.contains(c) ||
+            TableEnv.virtualCols(spec).contains(c))
+        require(clash.isEmpty, s"ALTER TABLE ADD: column(s) " +
+          s"${clash.mkString(", ")} already exist")
+        StructType(schema.fields ++ added)
+      }
+      spark.emptyDataFrame
+    } else if (AlterModifyP.pattern.matcher(sql).matches() ||
+        AlterModify1P.pattern.matcher(sql).matches()) {
+      // ALTER TABLE t MODIFY (c TYPE, ...) — reference
+      // SqlAlterTableSchema. Type changes apply on read; the new type
+      // must be one the format can read the stored values as (parquet:
+      // widening INT->BIGINT, FLOAT->DOUBLE, precision growth) — an
+      // incompatible change fails at the next read, not silently.
+      val m = AlterModifyP.findFirstMatchIn(sql)
+        .getOrElse(AlterModify1P.findFirstMatchIn(sql).get)
+      alterSchema(m.group(1)) { (_, schema) =>
+        val mods = parseColumnDefs(m.group(2))
+        val missing = mods.map(_.name).filterNot(schema.fieldNames.contains)
+        require(missing.isEmpty, s"ALTER TABLE MODIFY: unknown column(s) " +
+          s"${missing.mkString(", ")}")
+        val byName = mods.map(f => f.name -> f).toMap
+        StructType(schema.fields.map(f => byName.getOrElse(f.name, f)))
+      }
+      spark.emptyDataFrame
+    } else if (AlterDropColP.pattern.matcher(sql).matches() ||
+        AlterDropCol1P.pattern.matcher(sql).matches()) {
+      // ALTER TABLE t DROP (c, ...) — projection on read; the stored
+      // files keep the data (the reference's filesystem tables behave
+      // the same: DDL is metadata-only)
+      val m = AlterDropColP.findFirstMatchIn(sql)
+        .getOrElse(AlterDropCol1P.findFirstMatchIn(sql).get)
+      val dropped = m.group(2).split(",").map(_.trim).toSeq.filter(_.nonEmpty)
+      alterSchema(m.group(1)) { (spec, schema) =>
+        val missing = dropped.filterNot(schema.fieldNames.contains)
+        require(missing.isEmpty, s"ALTER TABLE DROP: unknown column(s) " +
+          s"${missing.mkString(", ")}")
+        val load = dropped.filter(c => spec.primaryKey.contains(c) ||
+          spec.partitions.contains(c) ||
+          spec.watermark.exists(_._1 == c))
+        require(load.isEmpty, s"ALTER TABLE DROP: column(s) " +
+          s"${load.mkString(", ")} are load-bearing (primary key / " +
+          "partition / watermark) — drop those declarations first")
+        StructType(schema.fields.filterNot(f => dropped.contains(f.name)))
+      }
+      spark.emptyDataFrame
     } else if (AlterOtherP.pattern.matcher(sql).matches()) {
       throw new IllegalArgumentException(
-        "ALTER TABLE: only RENAME TO and SET ('k'='v') are supported — " +
-          "for schema changes use CREATE TABLE ... LIKE / CTAS and " +
-          "INSERT the reshaped data")
+        "ALTER TABLE: supported forms are RENAME TO, SET ('k'='v'), " +
+          "ADD (c TYPE, ...), MODIFY (c TYPE, ...), DROP (c, ...)")
+    } else if (CreateFunctionP.pattern.matcher(sql).matches()) {
+      // CREATE [TEMPORARY] [SYSTEM] FUNCTION name AS 'identifier' —
+      // reference SqlCreateFunction.java:40. The identifier must name
+      // an ALREADY-REGISTERED session function (a graft built-in from
+      // graft.functions.register or a Spark built-in): a documented
+      // allowlist binding instead of the reference's arbitrary
+      // class loading (no user classpath exists in this environment).
+      val m = CreateFunctionP.findFirstMatchIn(sql).get
+      val (ifNotExists, name, ident) =
+        (m.group(1) != null, m.group(2), m.group(3))
+      val registry = spark.sessionState.functionRegistry
+      val target = org.apache.spark.sql.catalyst.FunctionIdentifier(
+        name.toLowerCase)
+      if (!(ifNotExists && registry.functionExists(target))) {
+        val src = org.apache.spark.sql.catalyst.FunctionIdentifier(
+          ident.toLowerCase)
+        val builder = registry.lookupFunctionBuilder(src).getOrElse(
+          throw new IllegalArgumentException(
+            s"CREATE FUNCTION: '$ident' is not a registered function — " +
+              "the identifier must name a session function (graft " +
+              "built-ins or Spark built-ins; see SHOW FUNCTIONS). " +
+              "Arbitrary class loading is not supported here."))
+        val info = registry.lookupFunction(src).getOrElse(
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            getClass.getName, name.toLowerCase))
+        registry.registerFunction(target, info, builder)
+      }
+      spark.emptyDataFrame
+    } else if (DropFunctionP.pattern.matcher(sql).matches()) {
+      val m = DropFunctionP.findFirstMatchIn(sql).get
+      val (ifExists, name) = (m.group(1) != null, m.group(2))
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(
+        name.toLowerCase)
+      val registry = spark.sessionState.functionRegistry
+      if (!registry.dropFunction(id) && !ifExists)
+        throw new IllegalArgumentException(
+          s"DROP FUNCTION: unknown function $name")
+      spark.emptyDataFrame
     } else if (TruncateP.pattern.matcher(sql).matches()) {
       // TRUNCATE TABLE (reference truncate.md, batch-only): delete all
       // rows, keep the table registered
@@ -386,7 +571,8 @@ final class TableEnv(val spark: SparkSession) {
         s"TRUNCATE TABLE: $name is not a registered table"))
       val schema = spec.schema.getOrElse(spark.table(name).schema)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-          StructType(schema.filterNot(f => spec.proctime.contains(f.name))))
+          StructType(schema.filterNot(f =>
+            TableEnv.virtualCols(spec).contains(f.name))))
         .write.format(spec.format).mode("overwrite").save(spec.path)
       refreshTable(name)
       spark.emptyDataFrame
@@ -643,13 +829,27 @@ final class TableEnv(val spark: SparkSession) {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toList), schema)
 
+  /** ALTER TABLE schema-evolution core: transform the declared (or
+    * inferred-physical) schema and re-register — metadata-only, the
+    * stored files are untouched; reads apply the merge. */
+  private def alterSchema(name: String)(
+      f: (TableSpec, StructType) => StructType): Unit = {
+    val spec = specs.getOrElse(name, throw new IllegalArgumentException(
+      s"ALTER TABLE: unknown table $name"))
+    val base = spec.schema.getOrElse(StructType(
+      batchRead(spec).schema.filterNot(fld =>
+        TableEnv.virtualCols(spec).contains(fld.name))))
+    createTable(name, spec.copy(schema = Some(f(spec, base))))
+  }
+
+  private def parseColumnDefs(body: String) = FlinkDdl.parseColumnDefs(body)
+
   private def batchRead(spec: TableSpec): DataFrame = {
     import org.apache.spark.sql.functions.{col, row_number}
-    // the declared PROCTIME() attribute is virtual — materialized on
-    // read as the current processing time, never stored
+    // virtual columns (PROCTIME attribute, computed columns, METADATA
+    // columns) are materialized on read, never stored
     def withProctime(df: DataFrame): DataFrame =
-      spec.proctime.fold(df)(pt =>
-        df.withColumn(pt, org.apache.spark.sql.functions.current_timestamp()))
+      TableEnv.applyVirtual(df, spec)
     def forced: DataFrame = withProctime {
       val r = spark.read.format(spec.format)
       spec.schema.fold(r)(s => r.schema(s)).load(spec.path)
@@ -684,6 +884,42 @@ object TableEnv {
   /** Internal storage columns of the upsert-sink changelog store. */
   val EpochCol = "__upsert_epoch"
   val SeqCol = "__upsert_seq"
+
+  /** Names of a spec's virtual (never-stored) columns. */
+  private[api] def virtualCols(spec: TableSpec): Set[String] =
+    spec.proctime.toSet ++ spec.computed.map(_._1) ++
+      spec.metadataCols.map(_._1)
+
+  /** Filesystem-connector metadata keys → Spark's `_metadata` struct
+    * fields (the hidden file-source metadata column). */
+  private[api] def metadataExpr(key: String): org.apache.spark.sql.Column = {
+    val field = key match {
+      case "file.path" | "filepath" => "file_path"
+      case "file.name" => "file_name"
+      case "file.size" => "file_size"
+      case "file.modification-time" | "timestamp" => "file_modification_time"
+      case other => throw new IllegalArgumentException(
+        s"METADATA FROM '$other': the filesystem connector exposes " +
+          "file.path, file.name, file.size, file.modification-time")
+    }
+    org.apache.spark.sql.functions.col(s"_metadata.$field")
+  }
+
+  /** Materialize a spec's virtual columns on a freshly-read DataFrame:
+    * PROCTIME attribute, then METADATA columns, then computed columns
+    * in declaration order (later expressions may reference earlier
+    * columns, including other virtual ones). */
+  private[api] def applyVirtual(df: DataFrame, spec: TableSpec): DataFrame = {
+    import org.apache.spark.sql.functions.{current_timestamp, expr}
+    val withPt = spec.proctime.fold(df)(pt =>
+      df.withColumn(pt, current_timestamp()))
+    val withMeta = spec.metadataCols.foldLeft(withPt) {
+      case (d, (cname, key)) => d.withColumn(cname, metadataExpr(key))
+    }
+    spec.computed.foldLeft(withMeta) {
+      case (d, (cname, e)) => d.withColumn(cname, expr(e))
+    }
+  }
 
   // strictly increasing batch epochs even when two INSERTs land within
   // the same millisecond (wall time is only the starting point); cross-

@@ -309,7 +309,12 @@ object ChangelogInference {
   /** [[execute]] plus a release() that unpersists the shared-subtree
     * checkpoints. Call release only after every returned output has
     * been materialized (written/collected) — the outputs read the
-    * checkpointed blocks lazily. */
+    * checkpointed blocks lazily, localCheckpoint truncates lineage, and
+    * a released block CANNOT be recomputed: re-reading an output after
+    * release() fails with Spark's "cannot be recomputed after
+    * unpersisting" job error, not a silent recompute. If the outputs'
+    * lifetime is open-ended, prefer [[execute]] (blocks retained until
+    * the session's cache is cleared). */
   def executeReleasable(sinks: Seq[Sink]): (Seq[DataFrame], () => Unit) = {
     val refs = refCounts(sinks)
     val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]

@@ -162,6 +162,37 @@ object CalcQueries {
         .select(col("l_returnflag"), col("l_linestatus"))
         .distinct()
     }, Some("""
-      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"""))
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""")),
+
+    // DDL-declared complex types (reference SqlCreateTable grammar over
+    // the LogicalTypeRoot lattice; FlinkDdl ARRAY/MAP/ROW support) plus
+    // computed columns (SqlComputedColumn): the embeddings table is
+    // declared with ARRAY<FLOAT> and two computed columns, read through
+    // TableEnv SQL, and aggregated. FLOOR-quantized per row before the
+    // sum so float->double totals stay order-independent.
+    QueryDef("q_ddl_complex_types", (s, dir) => {
+      val env = graft.api.TableEnv(s)
+      env.executeSql(s"""
+        CREATE TABLE emb_ddl (
+          vec_id BIGINT,
+          embedding ARRAY<FLOAT>,
+          label INT,
+          dim AS size(embedding),
+          e0q AS CAST(FLOOR(CAST(element_at(embedding, 1) AS DOUBLE)
+            * 100) AS BIGINT)
+        ) WITH ('connector' = 'filesystem',
+                'path' = '$dir/embeddings.parquet',
+                'format' = 'parquet')""")
+      env.executeSql("""
+        SELECT label, COUNT(*) AS n,
+          CAST(SUM(dim) AS BIGINT) AS sum_dim,
+          CAST(SUM(e0q) AS BIGINT) AS sum_e0q
+        FROM emb_ddl GROUP BY label""")
+    }, Some("""
+      SELECT label, COUNT(*) AS n,
+        CAST(SUM(len(embedding)) AS BIGINT) AS sum_dim,
+        CAST(SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 100) AS BIGINT))
+          AS BIGINT) AS sum_e0q
+      FROM embeddings GROUP BY label"""))
   )
 }

@@ -509,6 +509,47 @@ object CdcQueries {
       GROUP BY nationkey
       ORDER BY nationkey""")),
 
+    // Mid-chain LOCAL/GLOBAL aggregate (reference
+    // StreamExecLocalGroupAggregate + StreamExecGlobalGroupAggregate,
+    // mini-batch MiniBatchGlobalGroupAggFunction): the INNER aggregate
+    // keys on the 25-value c_nationkey — exactly the low-cardinality
+    // shape whose per-change replay caps parallelism at 25 — and runs
+    // with localBuckets=64: parallel per-(nation, bucket) partial nets,
+    // then a 64-events-per-key global replay. Its mini-batched update
+    // stream feeds a SECOND aggregate whose compacted state is oracled:
+    // the bucketed emissions must telescope to the same nets as the
+    // per-change stream, or the hash breaks.
+    QueryDef("q_cdc_agg_local_global", (s, dir) => {
+      import ChangelogInference._
+      val plan = Sink(
+        GroupAgg(
+          Calc(
+            GroupAgg(
+              Source(customerChangelog(s, dir), seqCols = Seq("seq", "stage")),
+              Seq("c_nationkey"), "c_custkey", localBuckets = Some(64)),
+            df => df.withColumnRenamed("cnt", "n")
+              .withColumnRenamed("sum_val", "s")),
+          Seq("n"), "s"),
+        primaryKey = Some(Seq("n")))
+      ChangelogInference.execute(plan)
+        .select(col("n").as("nation_size"), col("cnt").as("n_nations"),
+          col("sum_val").cast("long").as("sum_custkeys"))
+        .orderBy(col("nation_size"))
+    }, Some("""
+      WITH clive AS (
+        SELECT c_custkey,
+          CAST(CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25
+               ELSE c_nationkey END AS INTEGER) AS nationkey
+        FROM customer WHERE c_custkey % 7 <> 1),
+      inner_net AS (
+        SELECT nationkey, COUNT(*) AS n, SUM(c_custkey) AS s
+        FROM clive GROUP BY nationkey)
+      SELECT CAST(n AS BIGINT) AS nation_size,
+        CAST(COUNT(*) AS BIGINT) AS n_nations,
+        CAST(SUM(s) AS BIGINT) AS sum_custkeys
+      FROM inner_net GROUP BY n
+      ORDER BY nation_size""")),
+
     // Aggregate ⋈ aggregate: BOTH join inputs are themselves derived
     // retract streams (per-customer order totals on the left, the
     // per-customer live dimension value recovered through a

@@ -360,7 +360,7 @@ class FlinkDdlSpec extends SparkSpec {
     assert(env.from("misc_t2").count() == 2)
     // unsupported ALTER forms raise with a pointer
     val e = intercept[IllegalArgumentException](
-      env.executeSql("ALTER TABLE misc_t2 ADD c INT"))
+      env.executeSql("ALTER TABLE misc_t2 RESET ('format')"))
     assert(e.getMessage.contains("RENAME"))
     // TRUNCATE deletes rows, keeps the table
     env.executeSql("TRUNCATE TABLE misc_t2")
@@ -411,6 +411,228 @@ class FlinkDdlSpec extends SparkSpec {
         env.executeSql("DESCRIBE JOB 'graft_job_q'"))
       assert(e.getMessage.contains("no active job"))
     } finally if (q.isActive) q.stop()
+  }
+
+  test("complex types: ARRAY/MAP/ROW/MULTISET nest arbitrarily") {
+    assert(FlinkDdl.sqlType("ARRAY<STRING>") == ArrayType(StringType))
+    assert(FlinkDdl.sqlType("MAP<STRING, INT>") ==
+      MapType(StringType, IntegerType))
+    assert(FlinkDdl.sqlType("ROW<a INT, b STRING>") == StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType))))
+    // nesting + NOT NULL on a ROW field + the paren ROW form
+    assert(FlinkDdl.sqlType("ARRAY<MAP<STRING, ARRAY<INT>>>") ==
+      ArrayType(MapType(StringType, ArrayType(IntegerType))))
+    assert(FlinkDdl.sqlType(
+      "ROW<id BIGINT NOT NULL, tags ARRAY<STRING>, kv MAP<STRING, DOUBLE>>")
+      == StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("tags", ArrayType(StringType)),
+        StructField("kv", MapType(StringType, DoubleType)))))
+    assert(FlinkDdl.sqlType("ROW(a INT, b ROW<c STRING>)") == StructType(Seq(
+      StructField("a", IntegerType),
+      StructField("b", StructType(Seq(StructField("c", StringType)))))))
+    // MULTISET → count map; TIME → millis-of-day INT (documented deltas)
+    assert(FlinkDdl.sqlType("MULTISET<STRING>") ==
+      MapType(StringType, IntegerType, valueContainsNull = false))
+    assert(FlinkDdl.sqlType("TIME") == IntegerType)
+    assert(FlinkDdl.sqlType("DECIMAL(10, 2) NOT NULL") == DecimalType(10, 2))
+    val e = intercept[IllegalArgumentException](
+      FlinkDdl.sqlType("MAP<STRING>"))
+    assert(e.getMessage.contains("two type arguments"))
+  }
+
+  test("a declared ARRAY/MAP/ROW table reads back through SQL") {
+    val env = TableEnv(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ddl_complex").toString
+    import spark.implicits._
+    Seq(
+      (1L, Seq("a", "b"), Map("x" -> 1.0), ("n1", 10)),
+      (2L, Seq("c"), Map("y" -> 2.0), ("n2", 20)))
+      .toDF("id", "tags", "props", "nested")
+      .write.mode("overwrite").parquet(s"$dir/t")
+    env.executeSql(s"""
+      CREATE TABLE complex_t (
+        id BIGINT,
+        tags ARRAY<STRING>,
+        props MAP<STRING, DOUBLE>,
+        nested ROW<_1 STRING, _2 INT>
+      ) WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+              'format' = 'parquet')""")
+    val got = env.executeSql(
+      "SELECT id, size(tags) AS nt, props['x'] AS px, nested._2 AS nv " +
+        "FROM complex_t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        Option(r.get(2)), r.getInt(3))).toSeq
+    assert(got == Seq((1L, 2, Some(1.0), 10), (2L, 1, None, 20)))
+  }
+
+  test("computed and METADATA columns materialize on read") {
+    val env = TableEnv(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ddl_virtual").toString
+    import spark.implicits._
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val ddl = s"""
+      CREATE TABLE virt_t (
+        id BIGINT,
+        v DOUBLE,
+        v2 AS v * 2,
+        v3 AS v2 + id,
+        fname STRING METADATA FROM 'file.name',
+        fsize BIGINT METADATA FROM 'file.size'
+      ) WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+              'format' = 'parquet')"""
+    // parse surface
+    val spec = FlinkDdl.parse(ddl).spec
+    assert(spec.computed == Seq("v2" -> "v * 2", "v3" -> "v2 + id"))
+    assert(spec.metadataCols ==
+      Seq("fname" -> "file.name", "fsize" -> "file.size"))
+    assert(spec.schema.get.fieldNames.toSeq == Seq("id", "v"))
+    // read surface: computed chain + file metadata
+    env.executeSql(ddl)
+    val rows = env.executeSql(
+      "SELECT id, v2, v3, fname, fsize FROM virt_t ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .toSeq == Seq((1L, 20.0, 21.0), (2L, 40.0, 42.0)))
+    assert(rows.forall(r => r.getString(3).endsWith(".parquet") &&
+      r.getLong(4) > 0))
+    // virtual columns stay out of SHOW CREATE's physical list
+    val show = env.showCreateTable("virt_t")
+    assert(show.contains("v2 AS v * 2") &&
+      show.contains("fname STRING METADATA FROM 'file.name'"))
+    val e = intercept[IllegalArgumentException](
+      env.createTable("bad_meta", TableSpec(path = s"$dir/t",
+        metadataCols = Seq("m" -> "no.such.key"))))
+    assert(e.getMessage.contains("file.path"))
+  }
+
+  test("watermark on a computed event-time column (streaming read)") {
+    val env = TableEnv(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ddl_wm").toString
+    import spark.implicits._
+    Seq((1L, 1700000000L), (2L, 1700000005L)).toDF("id", "epoch")
+      .write.mode("overwrite").parquet(s"$dir/t")
+    env.executeSql(s"""
+      CREATE TABLE wm_t (
+        id BIGINT,
+        epoch BIGINT,
+        ets AS timestamp_seconds(epoch),
+        WATERMARK FOR ets AS ets - INTERVAL '10' SECOND
+      ) WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+              'format' = 'parquet')""")
+    val sdf = env.fromStreaming("wm_t")
+    assert(sdf.isStreaming)
+    assert(sdf.schema("ets").dataType == TimestampType)
+    // the watermark landed on the COMPUTED column
+    assert(sdf.queryExecution.analyzed.toString
+      .contains("EventTimeWatermark"))
+    // and a windowed aggregate over it runs to completion
+    val q = sdf.groupBy(window(col("ets"), "10 seconds"))
+      .count().writeStream.format("memory").queryName("wm_t_q")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("wm_t_q").count() > 0)
+    } finally q.stop()
+    // a watermark expression on a DIFFERENT column raises at parse
+    val e = intercept[IllegalArgumentException](FlinkDdl.parse("""
+      CREATE TABLE bad_wm (ts TIMESTAMP(3), o TIMESTAMP(3),
+        WATERMARK FOR ts AS o - INTERVAL '5' SECOND
+      ) WITH ('path' = '/tmp/x')"""))
+    assert(e.getMessage.contains("computed column"))
+  }
+
+  test("CREATE FUNCTION binds registered names; DROP removes them") {
+    val env = TableEnv(spark)
+    // graft-registered function under a user alias
+    env.executeSql("CREATE TEMPORARY FUNCTION my_split AS 'split_index'")
+    assert(env.executeSql("SELECT my_split('a-b-c', '-', 1) AS r")
+      .collect().head.getString(0) == "b")
+    // Spark built-in under an alias; IF NOT EXISTS is idempotent
+    env.executeSql("CREATE FUNCTION IF NOT EXISTS my_up AS 'upper'")
+    env.executeSql("CREATE FUNCTION IF NOT EXISTS my_up AS 'upper'")
+    assert(env.executeSql("SELECT my_up('ab') AS r")
+      .collect().head.getString(0) == "AB")
+    // allowlist: arbitrary class identifiers raise with the policy
+    val e = intercept[IllegalArgumentException](env.executeSql(
+      "CREATE FUNCTION evil AS 'com.example.NotAllowed'"))
+    assert(e.getMessage.contains("not a registered function"))
+    env.executeSql("DROP FUNCTION my_up")
+    val e2 = intercept[Exception](
+      env.executeSql("SELECT my_up('ab') AS r").collect())
+    assert(e2.getMessage.toLowerCase.contains("my_up"))
+    env.executeSql("DROP FUNCTION IF EXISTS my_up") // idempotent
+    val e3 = intercept[IllegalArgumentException](
+      env.executeSql("DROP FUNCTION my_up"))
+    assert(e3.getMessage.contains("unknown function"))
+  }
+
+  test("ALTER TABLE ADD/MODIFY/DROP COLUMN: schema merge on read") {
+    val env = TableEnv(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ddl_evolve").toString
+    env.executeSql(s"""
+      CREATE TABLE ev_t (id BIGINT, v INT)
+      WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+            'format' = 'parquet')""")
+    env.executeSql("INSERT INTO ev_t SELECT 1L, 10")
+    // ADD: rows written before the column read it as NULL
+    env.executeSql("ALTER TABLE ev_t ADD (tag STRING, score DOUBLE)")
+    assert(env.tableSpec("ev_t").get.schema.get.fieldNames.toSeq ==
+      Seq("id", "v", "tag", "score"))
+    val r1 = env.executeSql("SELECT id, v, tag, score FROM ev_t")
+      .collect().head
+    assert(r1.getLong(0) == 1L && r1.isNullAt(2) && r1.isNullAt(3))
+    // new INSERTs carry the added columns (positional, full arity)
+    env.executeSql("INSERT INTO ev_t SELECT 2L, 20, 'x', 0.5")
+    assert(env.executeSql(
+      "SELECT COUNT(*) AS n FROM ev_t WHERE tag = 'x'")
+      .collect().head.getLong(0) == 1L)
+    // MODIFY: widening INT -> BIGINT applies on read
+    env.executeSql("ALTER TABLE ev_t MODIFY v BIGINT")
+    assert(env.from("ev_t").schema("v").dataType == LongType)
+    assert(env.executeSql("SELECT SUM(v) AS s FROM ev_t")
+      .collect().head.getLong(0) == 30L)
+    // DROP: projection on read; load-bearing columns are protected
+    env.executeSql("ALTER TABLE ev_t DROP (score)")
+    assert(!env.from("ev_t").columns.contains("score"))
+    val e = intercept[Exception](
+      env.executeSql("ALTER TABLE ev_t DROP nope"))
+    assert(e.getMessage.contains("unknown column"))
+    env.executeSql(s"""
+      CREATE TABLE ev_pk (k BIGINT, v INT, PRIMARY KEY (k) NOT ENFORCED)
+      WITH ('path' = '$dir/pk')""")
+    val e2 = intercept[Exception](
+      env.executeSql("ALTER TABLE ev_pk DROP k"))
+    assert(e2.getMessage.contains("load-bearing"))
+  }
+
+  test("OPTIONS hint overrides CSV parse options for one query") {
+    val env = TableEnv(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ddl_opts").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/c"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/c/part.csv"), "1;alpha\n2;beta\n")
+    env.executeSql(s"""
+      CREATE TABLE opt_t (id BIGINT, name STRING)
+      WITH ('connector' = 'filesystem', 'path' = '$dir/c',
+            'format' = 'csv')""")
+    // default comma delimiter cannot split the rows: name stays null
+    assert(env.executeSql(
+      "SELECT COUNT(*) AS n FROM opt_t WHERE name IS NOT NULL")
+      .collect().head.getLong(0) == 0L)
+    // per-query delimiter override via the reference's OPTIONS hint
+    val got = env.executeSql("""
+      SELECT id, name FROM opt_t /*+ OPTIONS('csv.field-delimiter'=';') */
+      WHERE name IS NOT NULL ORDER BY id""").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "alpha"), (2L, "beta")))
+    // the base table is untouched after the hinted query
+    assert(env.executeSql(
+      "SELECT COUNT(*) AS n FROM opt_t WHERE name IS NOT NULL")
+      .collect().head.getLong(0) == 0L)
+    val e = intercept[IllegalArgumentException](env.executeSql(
+      "SELECT * FROM nowhere_t /*+ OPTIONS('a'='b') */"))
+    assert(e.getMessage.contains("not a DDL-registered table"))
   }
 
   test("createTable falls back to an empty view only on path-not-found") {
