@@ -68,7 +68,7 @@ object StreamingChangelogJoin {
       case (Some((l, _, _)), _) => lKey(l)
       case (_, Some((r, _, _))) => rKey(r)
       case _ => throw new IllegalStateException("empty tagged row")
-    }.flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+    }.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
       (_: K, rows0: Iterator[(Option[(L, String, Long)], Option[(R, String, Long)])],
           state: GroupState[(Seq[(L, Int)], Seq[(R, Int)])]) =>
         var (ls0, rs0) = state.getOption

@@ -61,7 +61,7 @@ class StreamingChangelogJoinSpec extends SparkSpec {
     val name = s"scj_${jt}_$batchSize"
     val q = joined.toDF("kind", "l", "r").writeStream
       .format("memory").queryName(name)
-      .outputMode(OutputMode.Update()).start()
+      .outputMode(OutputMode.Append()).start()
     try {
       events.zipWithIndex.grouped(batchSize).foreach { batch =>
         batch.foreach { case ((side, k, tag, kind), i) =>
@@ -103,7 +103,7 @@ class StreamingChangelogJoinSpec extends SparkSpec {
       lIn.toDS(), rIn.toDS(), _._1, _._1, "inner")
     val q = joined.toDF("kind", "l", "r").writeStream
       .format("memory").queryName("scj_state")
-      .outputMode(OutputMode.Update()).start()
+      .outputMode(OutputMode.Append()).start()
     try {
       lIn.addData((("a", 1), "+I", 0L)); q.processAllAvailable()
       lIn.addData((("a", 1), "-D", 1L)); q.processAllAvailable()
