@@ -15,8 +15,13 @@ object Registry {
     CalcQueries.defs ++
     FuncQueries.defs ++
     FuncQueries2.defs ++
-    PipelineQueries.defs ++
-    CdcQueries.defs ++
+    TextDedupQueries.defs ++
+    AnnQueries.defs ++
+    TextAnalysisQueries.defs ++
+    SamplingPackQueries.defs ++
+    CdcFormatQueries.defs ++
+    CdcAggQueries.defs ++
+    CdcJoinQueries.defs ++
     CepQueries.defs ++
     UdfQueries.defs ++
     TpchQueries.defs ++

@@ -1,0 +1,389 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryDef
+import graft.operators.{DataSplit, GlobalRank, SequencePacking, Similarity, TextAnalysis, TextDedup}
+import graft.multimodal.Multimodal
+import Q._
+
+/** Splits, sampling, packing, layout, multimodal plumbing — md5/
+  * group/stratified splits, DSIR resampling, temperature mixtures,
+  * domain caps, Z-order layout, sequence packing with loss masks, and
+  * the curation pipeline DAG.
+  */
+object SamplingPackQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+
+    // ---- multimodal plumbing ----
+
+    // Binary payload + metadata + batched decode stub. The stub decoder
+    // is deterministic (FakeCodec: float32 accumulation of payload
+    // bytes), so even the feature value is oracled — DuckDB replays the
+    // same IEEE single-precision adds in the same order via REAL casts;
+    // the corpus is ASCII so payload bytes == code points == length.
+    QueryDef("q_multimodal", (s, dir) => {
+      val media = Multimodal.withFakeMedia(t(s, dir, "documents"))
+      Multimodal.decodeFeatures(s, media)
+        .toDF()
+        .select(col("doc_id"), col("mediaType").as("media_type"),
+          col("nBytes").as("n_bytes"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+    }, Some("""
+      WITH cs AS (
+        SELECT doc_id, text,
+          list_transform(generate_series(1, length(text)),
+            i -> unicode(text[i])) AS codes
+        FROM documents)
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+          ELSE 'video' END AS media_type,
+        CAST(length(text) AS BIGINT) AS n_bytes,
+        ROUND(CAST(list_reduce(
+          list_prepend(CAST(0 AS REAL),
+            list_transform(list_filter(generate_series(1, len(codes)),
+                i -> (i - 1) % 8 = 0),
+              i -> CAST(codes[i] AS REAL) / CAST(255 AS REAL))),
+          (a, x) -> CAST(a + x AS REAL)) AS DOUBLE), 4) AS f0
+      FROM cs""")),
+
+
+    QueryDef("q_multimodal_meta", (s, dir) => {
+      Multimodal.withFakeMedia(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          col("meta.mediaType").as("media_type"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.nBytes").as("n_bytes"))
+    }, Some("""
+      SELECT doc_id,
+        ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        CAST(doc_id % 4 AS INT) * 160 + 320 AS width,
+        CAST(doc_id % 4 AS INT) * 90 + 180 AS height,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents""")),
+
+
+    // Per-domain cap: URL host extraction (parse_url) + keep-first-K per
+    // domain — row-level output so the oracle checks the exact kept set.
+    QueryDef("q_domain_cap", (s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("__url",
+        concat(lit("https://w"), col("doc_id") % 2, lit("."), col("source"),
+          lit(".example.com/p/"), col("doc_id")))
+      val dom = docs.withColumn("domain",
+        parse_url(col("__url"), lit("HOST")))
+      DataSplit.capPerKey(dom, "domain", "doc_id", 8)
+        .select(col("doc_id"), col("domain"))
+    }, Some("""
+      SELECT doc_id, domain FROM (
+        SELECT doc_id, domain,
+          ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+        FROM (SELECT doc_id,
+                'w' || (doc_id % 2)::VARCHAR || '.' || source ||
+                  '.example.com' AS domain
+              FROM documents))
+      WHERE rn <= 8""")),
+
+
+    // Z-order (Morton) layout key: the write-side clustering value that
+    // makes parquet min/max stats prune multi-dimensional filters
+    // (operators.Layout). Row-level oracle: DuckDB recomputes the
+    // bit interleave arithmetically, proving the codegen'd expression
+    // bit-exact.
+    QueryDef("q_zorder", (s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          graft.operators.Layout.zorder(16,
+            col("l_orderkey"), col("l_partkey")).as("z"))
+    }, Some("""
+      SELECT l_orderkey, l_partkey,
+        CAST(list_sum(list_transform(generate_series(0, 15),
+          i -> ((((l_orderkey & 65535) >> i) & 1) << (2*i))
+             + ((((l_partkey  & 65535) >> i) & 1) << (2*i + 1))))
+          AS BIGINT) AS z
+      FROM lineitem""")),
+
+
+    // DSIR importance resampling (Xie et al. 2023, public): select the
+    // documents whose unigram distribution is closest to a target domain
+    // (here: the lang='en' slice) by log-likelihood-ratio score, sampled
+    // without replacement via deterministic hash-Gumbel top-k. Every ln
+    // is floor-quantized to k/1024 so the score SUM is exact and
+    // order-free; the DuckDB oracle replays the full DAG (vocab cap, raw
+    // counts, weights, scoring, Gumbel key, top-k) and checks the exact
+    // kept set and scores.
+    QueryDef("q_importance_resample", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Relevance.importanceResample(
+        docs, "doc_id", "text", docs.filter(col("lang") === "en"), "text",
+        keepN = 200, dim = 1024)
+    }, Some("""
+      WITH tb AS (
+        SELECT ('0x' || substr(md5(word || 'dsir_feat'), 1, 8))::BIGINT
+                 % 1024 AS b,
+               COUNT(*) AS tcnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS word
+              FROM documents WHERE lang = 'en')
+        GROUP BY 1),
+      cw AS (
+        SELECT doc_id,
+          ('0x' || substr(md5(word || 'dsir_feat'), 1, 8))::BIGINT
+            % 1024 AS b
+        FROM (SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '\S+')) AS word
+              FROM documents)),
+      raw AS (SELECT b, COUNT(*) AS rcnt FROM cw GROUP BY b),
+      base AS (
+        SELECT COALESCE(r.b, t.b) AS b, COALESCE(t.tcnt, 0) AS tcnt,
+               COALESCE(r.rcnt, 0) AS rcnt
+        FROM raw r FULL OUTER JOIN tb t ON r.b = t.b),
+      tot AS (SELECT SUM(tcnt) AS t, SUM(rcnt) AS r FROM base),
+      wts AS (
+        SELECT b,
+          floor((ln(CAST(tcnt + 1 AS DOUBLE) / CAST(t + 1024 AS DOUBLE))
+               - ln(CAST(rcnt + 1 AS DOUBLE) / CAST(r + 1024 AS DOUBLE)))
+            * 1024) / 1024.0 AS weight
+        FROM base, tot),
+      sc AS (
+        SELECT c.doc_id, SUM(w.weight) AS score
+        FROM cw c JOIN wts w ON c.b = w.b GROUP BY c.doc_id)
+      SELECT doc_id, score, sel_key FROM (
+        SELECT d.doc_id, COALESCE(s.score, 0.0) AS score,
+          COALESCE(s.score, 0.0) + floor(-ln(-ln(
+            (CAST(('0x' || substr(md5(d.doc_id::VARCHAR || 'dsir'), 1, 8))
+               ::BIGINT % 1048576 AS DOUBLE) + 0.5) / 1048576.0)) * 1024)
+            / 1024.0 AS sel_key
+        FROM documents d LEFT JOIN sc s ON d.doc_id = s.doc_id)
+      ORDER BY sel_key DESC, doc_id LIMIT 200""")),
+
+
+    // ---- splitting / sampling / packing ----
+
+    // Deterministic train/val/test split: content-addressed md5 buckets
+    // (operators.DataSplit) — pure projection, stable under reruns and
+    // repartitioning. The oracle recomputes the same md5-mod in DuckDB,
+    // proving the assignment is engine-portable.
+    QueryDef("q_split_hash", (s, dir) => {
+      DataSplit.assignSplit(t(s, dir, "documents"), "doc_id")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"))
+    }, Some("""
+      SELECT CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+        COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        MIN(doc_id) AS min_id
+      FROM (SELECT doc_id, n_chars,
+              ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8))::BIGINT
+                % 100 AS b
+            FROM documents)
+      GROUP BY 1""")),
+
+
+    // Leakage-guarded split: hash the dedup-GROUP key (normalized-text
+    // md5), not the row id, so exact-duplicate documents can never
+    // straddle train/test (the eval-contamination bug). Row-level
+    // output: the oracle checks the exact assignment of every doc.
+    QueryDef("q_group_split", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("gkey", TextDedup.normalizedHash(col("text")))
+      DataSplit.groupAwareSplit(docs, "gkey")
+        .select(col("doc_id"), col("gkey"), col("split"))
+    }, Some("""
+      SELECT doc_id, gkey,
+        CASE WHEN b < 80 THEN 'train'
+             WHEN b < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+              md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS gkey,
+              ('0x' || substr(md5(
+                md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+                  || 'gsplit'), 1, 8))::BIGINT % 100 AS b
+            FROM documents)""")),
+
+
+    // Deterministic ~5% hash sample — row-level output so the oracle
+    // verifies the exact membership, not just the count.
+    QueryDef("q_sample_hash", (s, dir) => {
+      DataSplit.sampleByHash(t(s, dir, "documents"), "doc_id", 500)
+        .select(col("doc_id"), col("lang"))
+    }, Some("""
+      SELECT doc_id, lang FROM documents
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'sample'), 1, 8))::BIGINT
+              % 10000 < 500""")),
+
+
+    // Domain-mixture reweighting: per-source keep rates, deterministic
+    // by content hash. Row-level output so the oracle checks exact
+    // membership under the target mixture.
+    QueryDef("q_mixture_sample", (s, dir) => {
+      val rates = (0 until 20).map { i =>
+        s"src$i" -> (if (i < 5) 10000 else if (i < 10) 5000 else 1000)
+      }.toMap
+      DataSplit.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
+          rates)
+        .select(col("doc_id"), col("source"))
+    }, Some("""
+      SELECT doc_id, source FROM documents
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'mixture'), 1, 8))::BIGINT
+              % 10000
+        < CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                 THEN 10000
+               WHEN source IN ('src5','src6','src7','src8','src9')
+                 THEN 5000
+               ELSE 1000 END""")),
+
+
+    // END-TO-END curation pipeline: exact-dedup keep-first -> quality
+    // gate -> repetition gate -> benchmark decontamination -> train
+    // split -> sequence packing, all as ONE composed Spark plan over
+    // the operator layer. The oracle replays the identical DAG as a
+    // DuckDB CTE chain, so a green row proves the operators compose
+    // (each is also oracled individually). At scale the whole thing is
+    // one scan + the dedup/pack shuffles — the gates and split are
+    // zero-shuffle projections fused into the scan stage.
+    QueryDef("q_pipeline_e2e", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val deduped = DataSplit.capPerKey(
+        docs.withColumn("__h", TextDedup.normalizedHash(col("text"))),
+        "__h", "doc_id", 1).drop("__h")
+      val filtered = deduped
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.66)
+        .filter(round(TextAnalysis.dupNgramFraction(col("text"), 2), 6)
+          <= 0.2)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val contam = TextDedup.contaminated(
+        filtered, "doc_id", "text", bench, "text", 5)
+      val clean = filtered.join(contam, Seq("doc_id"), "left_anti")
+      val train = DataSplit.assignSplit(clean, "doc_id")
+        .filter(col("split") === "train")
+        .select(col("doc_id"), expr("(n_chars + 3) div 4").as("n_tok"))
+      SequencePacking.pack(train, "doc_id", "n_tok", 2048L)
+        .select(col("doc_id"), col("n_tok"), col("tok_offset"),
+          col("seq_first"), col("pos_in_seq"))
+    }, Some("""
+      WITH dedup AS (
+        SELECT doc_id, text, n_chars FROM (
+          SELECT doc_id, text, n_chars,
+            ROW_NUMBER() OVER (
+              PARTITION BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+              ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1),
+      quality AS (
+        SELECT doc_id, text, n_chars FROM dedup
+        WHERE ROUND((
+            (CASE WHEN LEN(regexp_extract_all(text, '\S+'))
+                BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN (LENGTH(text) - LEN(regexp_extract_all(text, '\S+'))
+                  + 1.0) / LEN(regexp_extract_all(text, '\S+'))
+                BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.0 END) +
+            (CASE WHEN CAST(LEN(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                  AS DOUBLE) / LENGTH(text) <= 0.2
+              THEN 1.0 ELSE 0.0 END)) / 3.0, 4) >= 0.66
+          AND ROUND(1 - CAST(len(list_distinct(list_transform(
+                generate_series(1,
+                  greatest(len(string_split(text,' ')) - 1, 1)),
+                i -> array_to_string(string_split(text,' ')[i:i+1], ' '))))
+                AS DOUBLE)
+              / len(list_transform(
+                generate_series(1,
+                  greatest(len(string_split(text,' ')) - 1, 1)),
+                i -> array_to_string(string_split(text,' ')[i:i+1], ' '))),
+              6) <= 0.2),
+      qgrams AS (
+        SELECT doc_id,
+          list_transform(
+            generate_series(1, greatest(len(string_split(text,' ')) - 4, 1)),
+            i -> array_to_string(string_split(text,' ')[i:i+4], ' '))
+            AS grams
+        FROM quality),
+      bgrams AS (
+        SELECT list_transform(
+            generate_series(1, greatest(len(string_split(text,' ')) - 4, 1)),
+            i -> array_to_string(string_split(text,' ')[i:i+4], ' '))
+            AS grams
+        FROM documents WHERE doc_id % 50 = 0),
+      contam AS (
+        SELECT DISTINCT q.doc_id
+        FROM qgrams q, bgrams b
+        WHERE len(list_intersect(q.grams, b.grams)) > 0),
+      train AS (
+        SELECT doc_id, (n_chars + 3) // 4 AS n_tok FROM quality
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+          AND ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 8))::BIGINT
+                % 100 < 80)
+      SELECT doc_id, n_tok,
+        off AS tok_offset,
+        off // 2048 AS seq_first,
+        off % 2048 AS pos_in_seq
+      FROM (
+        SELECT doc_id, n_tok,
+          CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS off
+        FROM train)""")),
+
+
+    // GPT-style sequence packing: global token offsets via the
+    // distributed two-phase prefix sum (operators.SequencePacking).
+    // The oracle is the SEQUENTIAL definition — DuckDB's global window
+    // cumsum — so a green row proves the distributed decomposition is
+    // exact. Token proxy: (n_chars+3) div 4, integer in both engines.
+    QueryDef("q_seq_pack", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), expr("(n_chars + 3) div 4").as("n_tok"))
+      SequencePacking.pack(docs, "doc_id", "n_tok", 2048L)
+        .select(col("doc_id"), col("n_tok"), col("tok_offset"),
+          col("seq_first"), col("seq_last"), col("pos_in_seq"))
+    }, Some("""
+      SELECT doc_id, n_tok,
+        off AS tok_offset,
+        off // 2048 AS seq_first,
+        (off + n_tok - 1) // 2048 AS seq_last,
+        off % 2048 AS pos_in_seq
+      FROM (
+        SELECT doc_id, (n_chars + 3) // 4 AS n_tok,
+          CAST(COALESCE(SUM((n_chars + 3) // 4) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS off
+        FROM documents)""")),
+
+
+    // Length-sorted sequence packing: rank the corpus by descending
+    // token count (distributed two-phase GlobalRank — never a
+    // single-partition window) and pack in RANK order. Sorting before
+    // packing is the standard padding/fragmentation reducer (long
+    // documents land at window starts instead of straddling
+    // boundaries); the emitted per-doc boundary-split flag lets the
+    // oracle certify the whole composition, and the split count is
+    // strictly comparable to q_seq_pack's arrival-order packing.
+    QueryDef("q_pack_sorted", (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), expr("(n_chars + 3) div 4").as("n_tok"))
+      val ranked = GlobalRank.withRank(docs, "r",
+        col("n_tok").desc, col("doc_id"))
+      SequencePacking.pack(ranked, "r", "n_tok", 2048L)
+        .select(col("doc_id"), col("n_tok"), col("r"), col("tok_offset"),
+          col("seq_first"), col("seq_last"),
+          (col("seq_last") > col("seq_first")).as("split"))
+        .orderBy(col("r"))
+    }, Some("""
+      SELECT doc_id, n_tok, r,
+        off AS tok_offset,
+        off // 2048 AS seq_first,
+        (off + n_tok - 1) // 2048 AS seq_last,
+        (off + n_tok - 1) // 2048 > off // 2048 AS split
+      FROM (
+        SELECT doc_id, n_tok,
+          row_number() OVER (ORDER BY n_tok DESC, doc_id) AS r,
+          CAST(COALESCE(SUM(n_tok) OVER (ORDER BY n_tok DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS off
+        FROM (SELECT doc_id, (n_chars + 3) // 4 AS n_tok FROM documents))
+      ORDER BY r"""))
+  )
+}
