@@ -328,9 +328,15 @@ final class TableEnv(val spark: SparkSession) {
   }
 
   def executeSql(sql: String): DataFrame = {
-    val rewritten = OptionsHintP.replaceAllIn(sql, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        s"${m.group(1)} ${optionsView(m.group(2), m.group(3))}"))
+    // COMPILE PLAN keeps its statements verbatim — an OPTIONS hint in a
+    // compiled statement must resolve at EXECUTE PLAN time (in the
+    // executing session), not bake this session's temp view name into
+    // the durable plan file
+    val rewritten =
+      if (CompilePlanP.pattern.matcher(sql).matches()) sql
+      else OptionsHintP.replaceAllIn(sql, m =>
+        scala.util.matching.Regex.quoteReplacement(
+          s"${m.group(1)} ${optionsView(m.group(2), m.group(3))}"))
     executeSqlDispatch(rewritten)
   }
 

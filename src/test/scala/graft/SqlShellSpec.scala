@@ -52,6 +52,18 @@ class SqlShellSpec extends SparkSpec {
     spark.conf.unset("sql-client.display.max-rows")
   }
 
+  test("CREATE FUNCTION round-trips through a shell session") {
+    val out = runScript("""
+      |CREATE TEMPORARY FUNCTION shell_split AS 'split_index';
+      |SELECT shell_split('x-y-z', '-', 2) AS piece;
+      |DROP FUNCTION shell_split;
+      |SELECT 1 AS done;
+      |""".stripMargin)
+    assert(out.contains("| z"))
+    assert(out.contains("done"))
+    assert(!out.contains("[ERROR]"))
+  }
+
   test("statement splitting: quotes, comments, sets, multi-per-line") {
     def split(s: String) = SqlShell.splitStatements(s)
     assert(split("SELECT 1,\n") == (Seq(), "SELECT 1,\n"))
