@@ -2425,6 +2425,205 @@ object TpcdsQueries {
         COUNT(*) AS n_late
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- TPC-DS query2 shape: day-of-week PIVOT of weekly revenue,
+    // then a cross-year self-join of consecutive years' same-numbered
+    // weeks producing per-day ratios. Week/day are derived with
+    // engine-neutral arithmetic (days since 1992-01-01) instead of ISO
+    // week functions, whose year-boundary semantics differ across
+    // engines. One scan builds the weekly pivot; the self-join is
+    // week-keyed (52 rows/year side — AQE broadcasts it). ----
+    QueryDef("q_tpcds_s2", (s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("dsince",
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date")))
+        .withColumn("wk", (col("dsince") / 7).cast("long"))
+        .withColumn("dow", pmod(col("dsince"), lit(7)))
+      val weekly = o.groupBy(col("wk"))
+        .agg(
+          dsum(when(col("dow") === 0, col("o_totalprice"))).as("d0"),
+          dsum(when(col("dow") === 3, col("o_totalprice"))).as("d3"),
+          dsum(when(col("dow") === 6, col("o_totalprice"))).as("d6"))
+      val y1 = weekly.select(col("wk").as("wk1"), col("d0").as("a0"),
+        col("d3").as("a3"), col("d6").as("a6"))
+      val y2 = weekly.select((col("wk") - 52).as("wk2"), col("d0").as("b0"),
+        col("d3").as("b3"), col("d6").as("b6"))
+      y1.join(y2, col("wk1") === col("wk2"))
+        .filter(col("wk1") < 52) // first year vs second year
+        .select(col("wk1").as("wk"),
+          round(col("a0") / col("b0"), 4).as("r0"),
+          round(col("a3") / col("b3"), 4).as("r3"),
+          round(col("a6") / col("b6"), 4).as("r6"))
+        .orderBy(col("wk"))
+    }, Some(s"""
+      WITH weekly AS (
+        SELECT CAST(datediff('day', DATE '1992-01-01', o_orderdate) / 7
+            AS BIGINT) AS wk,
+          ${dsumSql("CASE WHEN datediff('day', DATE '1992-01-01', o_orderdate) % 7 = 0 THEN o_totalprice END")} AS d0,
+          ${dsumSql("CASE WHEN datediff('day', DATE '1992-01-01', o_orderdate) % 7 = 3 THEN o_totalprice END")} AS d3,
+          ${dsumSql("CASE WHEN datediff('day', DATE '1992-01-01', o_orderdate) % 7 = 6 THEN o_totalprice END")} AS d6
+        FROM orders GROUP BY 1)
+      SELECT y1.wk AS wk,
+        ROUND(y1.d0 / y2.d0, 4) AS r0,
+        ROUND(y1.d3 / y2.d3, 4) AS r3,
+        ROUND(y1.d6 / y2.d6, 4) AS r6
+      FROM weekly y1 JOIN weekly y2 ON y2.wk = y1.wk + 52
+      WHERE y1.wk < 52
+      ORDER BY wk""")),
+
+    // ---- TPC-DS query6 shape: an UNCORRELATED scalar subquery anchors
+    // the reporting month, a correlated per-class average prices the
+    // comparison, and a HAVING floors the group size — nations whose
+    // customers placed >= 10 anchored-month orders priced above 1.2x
+    // their priority class's average. Both subqueries decorrelate to
+    // broadcast joins (5-row class averages, 1-row anchor). ----
+    QueryDef("q_tpcds_s6", (s, dir) => {
+      val o = t(s, dir, "orders")
+      // anchor: the first month with orders in 1995 (scalar, uncorrelated)
+      val anchor = o.filter(year(col("o_orderdate")) === 1995)
+        .agg(min(trunc(col("o_orderdate"), "month")).as("m"))
+      val classAvg = o.groupBy(col("o_orderpriority").as("cp"))
+        .agg(davg(col("o_totalprice")).as("class_avg"))
+      o.join(broadcast(anchor),
+          trunc(col("o_orderdate"), "month") === col("m"))
+        .join(broadcast(classAvg), col("o_orderpriority") === col("cp"))
+        .filter(col("o_totalprice") > col("class_avg") * 1.2)
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("int").as("nationkey"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 10)
+        .orderBy(col("cnt"), col("nationkey"))
+    }, Some(s"""
+      WITH anchor AS (
+        SELECT MIN(date_trunc('month', o_orderdate)) AS m FROM orders
+        WHERE year(o_orderdate) = 1995),
+      class_avg AS (
+        SELECT o_orderpriority AS cp, ${davgSql("o_totalprice")} AS class_avg
+        FROM orders GROUP BY 1)
+      SELECT CAST(c_nationkey AS INTEGER) AS nationkey, COUNT(*) AS cnt
+      FROM orders
+      JOIN anchor ON date_trunc('month', o_orderdate) = anchor.m
+      JOIN class_avg ON o_orderpriority = cp
+      JOIN customer ON o_custkey = c_custkey
+      WHERE o_totalprice > class_avg * 1.2
+      GROUP BY 1 HAVING COUNT(*) >= 10
+      ORDER BY cnt, nationkey""")),
+
+    // ---- TPC-DS query24 shape: one CTE consumed TWICE — once as the
+    // report's base rows, once inside an uncorrelated scalar average —
+    // with a HAVING comparing each group's sum against 0.05x that
+    // scalar. Per-(supplier, returnflag) revenue; suppliers whose flag
+    // bucket exceeds 5% of the average supplier total. ----
+    QueryDef("q_tpcds_s24", (s, dir) => {
+      val cte = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_returnflag"))
+        .agg(sum(revenue(col("l_extendedprice"), col("l_discount")))
+          .as("rev_dec"))
+      val avgTotal = cte.groupBy(col("l_suppkey"))
+        .agg(sum(col("rev_dec")).as("tot"))
+        .agg(davg(col("tot").cast("double")).as("avg_tot"))
+      cte.join(broadcast(avgTotal))
+        .filter(col("rev_dec").cast("double") > col("avg_tot") * 0.05)
+        .select(col("l_suppkey"), col("l_returnflag"),
+          col("rev_dec").cast("double").as("revenue"))
+        .orderBy(col("l_suppkey"), col("l_returnflag"))
+    }, Some(s"""
+      WITH cte AS MATERIALIZED (
+        SELECT l_suppkey, l_returnflag,
+          SUM(${revenueSql("l_extendedprice", "l_discount")}) AS rev_dec
+        FROM lineitem GROUP BY 1, 2),
+      avg_tot AS (
+        SELECT ${davgSql("CAST(tot AS DOUBLE)")} AS avg_tot FROM (
+          SELECT l_suppkey, SUM(rev_dec) AS tot FROM cte GROUP BY 1))
+      SELECT l_suppkey, l_returnflag, CAST(rev_dec AS DOUBLE) AS revenue
+      FROM cte, avg_tot
+      WHERE CAST(rev_dec AS DOUBLE) > avg_tot * 0.05
+      ORDER BY l_suppkey, l_returnflag""")),
+
+    // ---- TPC-DS query48 shape: a single SUM guarded by DISJUNCTIVE
+    // band predicates (OR of AND-groups pairing a category with a
+    // value band and a geography band) — the optimizer must keep the
+    // whole disjunction as one scan filter, not three scans. ----
+    QueryDef("q_tpcds_s48", (s, dir) => {
+      val j = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      j.filter(
+          (col("o_orderpriority") === "1-URGENT" &&
+            col("o_totalprice").between(50000, 150000) &&
+            col("c_nationkey").between(0, 9)) ||
+          (col("o_orderpriority") === "2-HIGH" &&
+            col("o_totalprice").between(100000, 250000) &&
+            col("c_nationkey").between(5, 19)) ||
+          (col("o_orderpriority") === "5-LOW" &&
+            col("o_totalprice").between(150000, 400000) &&
+            col("c_nationkey").between(10, 24)))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    }, Some(s"""
+      SELECT COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE (o_orderpriority = '1-URGENT'
+             AND o_totalprice BETWEEN 50000 AND 150000
+             AND c_nationkey BETWEEN 0 AND 9)
+         OR (o_orderpriority = '2-HIGH'
+             AND o_totalprice BETWEEN 100000 AND 250000
+             AND c_nationkey BETWEEN 5 AND 19)
+         OR (o_orderpriority = '5-LOW'
+             AND o_totalprice BETWEEN 150000 AND 400000
+             AND c_nationkey BETWEEN 10 AND 24)""")),
+
+    // ---- TPC-DS query62/99 shape: a CASE-bucket LATENCY MATRIX — one
+    // scan counting shipments into 30/60/90/120+-day buckets of
+    // (l_shipdate - o_orderdate), grouped by priority (the suite's
+    // warehouse x ship-mode matrix adapted to the TPC-H schema). All
+    // buckets come from ONE conditional aggregation pass. ----
+    QueryDef("q_tpcds_s62", (s, dir) => {
+      val lat = datediff(col("l_shipdate"), col("o_orderdate"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(lat <= 30, 1).otherwise(0)).as("d30"),
+          sum(when(lat > 30 && lat <= 60, 1).otherwise(0)).as("d60"),
+          sum(when(lat > 60 && lat <= 90, 1).otherwise(0)).as("d90"),
+          sum(when(lat > 90, 1).otherwise(0)).as("d120"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderpriority,
+        CAST(SUM(CASE WHEN lat <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+        CAST(SUM(CASE WHEN lat > 30 AND lat <= 60 THEN 1 ELSE 0 END)
+          AS BIGINT) AS d60,
+        CAST(SUM(CASE WHEN lat > 60 AND lat <= 90 THEN 1 ELSE 0 END)
+          AS BIGINT) AS d90,
+        CAST(SUM(CASE WHEN lat > 90 THEN 1 ELSE 0 END) AS BIGINT) AS d120
+      FROM (
+        SELECT o_orderpriority,
+          datediff('day', o_orderdate, l_shipdate) AS lat
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      GROUP BY 1 ORDER BY 1""")),
+
+    // ---- TPC-DS query73 shape: per-ticket (order) item counts with a
+    // HAVING band, then a join back to the customer for the report —
+    // customers holding orders of 5-7 line items. The grouped fact
+    // aggregates BEFORE joining the dimension (partial-agg shrinks the
+    // shuffle), and the count band prunes pre-join. ----
+    QueryDef("q_tpcds_s73", (s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+        .filter(col("n_items").between(5, 7))
+      counts
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("n_items"))
+        .orderBy(col("n_items").desc, col("c_name"), col("o_orderkey"))
+        .limit(200)
+    }, Some("""
+      SELECT c_name, o_orderkey, n_items FROM (
+        SELECT l_orderkey, COUNT(*) AS n_items
+        FROM lineitem GROUP BY 1 HAVING COUNT(*) BETWEEN 5 AND 7)
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY n_items DESC, c_name, o_orderkey LIMIT 200"""))
   )
 }

@@ -265,4 +265,30 @@ class PlanSpec extends SparkSpec {
     assert(windowExecs("q_pref_pairs").isEmpty,
       "chosen/rejected must come from max/min(struct), not rank windows")
   }
+
+  test("q_tpcds_s2: day pivot is ONE orders scan; week self-join broadcasts") {
+    val p = plan("q_tpcds_s2")
+    // the weekly pivot must come from one conditional-aggregation scan
+    // per join side (2 total), not one scan per day-of-week column
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_tpcds_s6: anchor + class-average subqueries broadcast, no extra shuffle joins") {
+    val p = plan("q_tpcds_s6")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_tpcds_s62: the latency bucket matrix is ONE pass (single aggregate over the join)") {
+    val p = plan("q_tpcds_s62")
+    assert("Scan parquet".r.findAllIn(p).size == 2, p) // lineitem + orders once each
+  }
+
+  test("q_tpcds_s73: item counts aggregate BEFORE the dimension joins") {
+    val p = plan("q_tpcds_s73")
+    // partial+final pair on l_orderkey, and the count-band filter sits
+    // under the joins (the grouped fact shrinks before joining)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("n_items"), p)
+  }
 }
