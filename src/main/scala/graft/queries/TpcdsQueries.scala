@@ -2624,6 +2624,70 @@ object TpcdsQueries {
         FROM lineitem GROUP BY 1 HAVING COUNT(*) BETWEEN 5 AND 7)
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
-      ORDER BY n_items DESC, c_name, o_orderkey LIMIT 200"""))
+      ORDER BY n_items DESC, c_name, o_orderkey LIMIT 200""")),
+
+    // ---- TPC-DS query22 shape: AVERAGE (not sum) under a multi-level
+    // ROLLUP hierarchy, reported with grouping_id so every subtotal
+    // level is distinguishable. Inventory avg-quantity-on-hand adapted
+    // to avg line quantity over the (brand, type, size-band) part
+    // hierarchy. davg keeps the division the single inexact op. ----
+    QueryDef("q_tpcds_s22", (s, dir) => {
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("size_band", floor(col("p_size") / 10).cast("int"))
+        .rollup(col("p_brand"), col("p_type"), col("size_band"))
+        .agg(grouping_id().as("gid"), davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .select(col("gid"), col("p_brand"), col("p_type"),
+          col("size_band"), round(col("avg_qty"), 6).as("avg_qty"),
+          col("n"))
+    }, Some(s"""
+      SELECT CAST(GROUPING(p_brand, p_type, size_band) AS BIGINT) AS gid,
+        p_brand, p_type, size_band,
+        ROUND(${dsumSql("l_quantity")} / COUNT(l_quantity), 6) AS avg_qty,
+        COUNT(*) AS n
+      FROM (
+        SELECT l_quantity, p_brand, p_type,
+          CAST(FLOOR(p_size / 10) AS INTEGER) AS size_band
+        FROM lineitem JOIN part ON l_partkey = p_partkey)
+      GROUP BY ROLLUP(p_brand, p_type, size_band)""")),
+
+    // ---- TPC-DS query76 shape: UNION ALL of per-channel branches each
+    // selecting the rows whose channel-specific attribute is NULL,
+    // counted per (channel, year) — the suite's "sales with a missing
+    // dimension key" report. NULLs are derived with NULLIF on the
+    // TPC-H columns (the schema has no nullable FKs). ----
+    QueryDef("q_tpcds_s76", (s, dir) => {
+      val o = t(s, dir, "orders")
+      val b1 = o.filter(expr("nullif(o_orderpriority, '3-MEDIUM')").isNull)
+        .select(lit("store").as("channel"),
+          year(col("o_orderdate")).as("y"), col("o_totalprice").as("amt"))
+      val b2 = o.filter(expr("nullif(o_orderstatus, 'O')").isNull)
+        .select(lit("web").as("channel"),
+          year(col("o_orderdate")).as("y"), col("o_totalprice").as("amt"))
+      val b3 = t(s, dir, "lineitem")
+        .filter(expr("nullif(l_returnflag, 'N')").isNull)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(lit("catalog").as("channel"),
+          year(col("o_orderdate")).as("y"),
+          col("l_extendedprice").as("amt"))
+      b1.unionByName(b2).unionByName(b3)
+        .groupBy(col("channel"), col("y"))
+        .agg(count(lit(1)).as("n"), dsum(col("amt")).as("total"))
+    }, Some(s"""
+      SELECT channel, y, COUNT(*) AS n, ${dsumSql("amt")} AS total
+      FROM (
+        SELECT 'store' AS channel, year(o_orderdate) AS y,
+          o_totalprice AS amt
+        FROM orders WHERE NULLIF(o_orderpriority, '3-MEDIUM') IS NULL
+        UNION ALL
+        SELECT 'web', year(o_orderdate), o_totalprice
+        FROM orders WHERE NULLIF(o_orderstatus, 'O') IS NULL
+        UNION ALL
+        SELECT 'catalog', year(o_orderdate), l_extendedprice
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE NULLIF(l_returnflag, 'N') IS NULL)
+      GROUP BY 1, 2"""))
   )
 }
