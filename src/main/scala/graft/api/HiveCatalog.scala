@@ -51,13 +51,18 @@ object HiveCatalog {
 
   /** Persist a filesystem table into the metastore as an EXTERNAL table
     * (schema + format + location) — the reference HiveCatalog's
-    * createTable. The virtual proctime column is excluded (computed on
-    * read, never stored). */
+    * createTable. Virtual columns (proctime, computed, metadata) are
+    * excluded: computed on read, never stored. (The metastore entry
+    * carries the PHYSICAL table only — virtual-column definitions are
+    * session state; re-declare them via DDL or a compiled plan in a new
+    * session, as the reference's catalog-stored computed columns do via
+    * their own DDL replay.) */
   def persist(spark: SparkSession, name: String, spec: TableSpec): Unit = {
     val schema = spec.schema.getOrElse(
       spark.read.format(spec.format).load(spec.path).schema)
+    val virtual = TableEnv.virtualCols(spec)
     val physical = org.apache.spark.sql.types.StructType(
-      schema.filterNot(f => spec.proctime.contains(f.name)))
+      schema.filterNot(f => virtual.contains(f.name)))
     val part = if (spec.partitions.nonEmpty)
       s" PARTITIONED BY (${spec.partitions.mkString(", ")})" else ""
     spark.sql(s"CREATE TABLE IF NOT EXISTS `$name` (${physical.toDDL}) " +

@@ -441,6 +441,37 @@ class FlinkDdlSpec extends SparkSpec {
     assert(e.getMessage.contains("two type arguments"))
   }
 
+  test("sqlType round-trips randomly nested DDL types (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val scalarGen: Gen[(String, DataType)] = Gen.oneOf(
+      "BIGINT" -> LongType, "INT" -> IntegerType, "SMALLINT" -> ShortType,
+      "TINYINT" -> ByteType, "DOUBLE" -> DoubleType, "FLOAT" -> FloatType,
+      "BOOLEAN" -> BooleanType, "DATE" -> DateType, "STRING" -> StringType,
+      "BYTES" -> BinaryType, "DECIMAL(10, 2)" -> DecimalType(10, 2))
+    def typeGen(depth: Int): Gen[(String, DataType)] =
+      if (depth <= 0) scalarGen
+      else Gen.frequency(
+        3 -> scalarGen,
+        1 -> typeGen(depth - 1).map { case (s, t) =>
+          (s"ARRAY<$s>", ArrayType(t)) },
+        1 -> Gen.zip(scalarGen, typeGen(depth - 1)).map { case ((ks, kt), (vs, vt)) =>
+          (s"MAP<$ks, $vs>", MapType(kt, vt)) },
+        1 -> Gen.zip(typeGen(depth - 1), typeGen(depth - 1), Gen.oneOf(true, false))
+          .map { case ((as, at), (bs, bt), bn) =>
+            val bNull = if (bn) "" else " NOT NULL"
+            (s"ROW<f1 $as, f2 $bs$bNull>", StructType(Seq(
+              StructField("f1", at), StructField("f2", bt, nullable = bn))))
+          })
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200),
+      Prop.forAll(typeGen(3)) { case (ddl, want) =>
+        val got = FlinkDdl.sqlType(ddl)
+        if (got != want) println(s"MISMATCH ddl=$ddl got=$got want=$want")
+        got == want
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("a declared ARRAY/MAP/ROW table reads back through SQL") {
     val env = TableEnv(spark)
     val dir = java.nio.file.Files.createTempDirectory("ddl_complex").toString
