@@ -331,6 +331,16 @@ object ChangelogInference {
     (out, () => releases.foreach(_.apply()))
   }
 
+  /** The first stateful (Join/GroupAgg) node reachable through
+    * stateless pass-throughs, if any. */
+  private def statefulCore(n: Node): Option[Node] = n match {
+    case Calc(c, _) => statefulCore(c)
+    case EnrichJoin(c, _, _, _) => statefulCore(c)
+    case j: Join => Some(j)
+    case a: GroupAgg => Some(a)
+    case _ => None
+  }
+
   /** Per-path reference counts by node INSTANCE across all branches: a
     * node reached through two parents is counted per path (each path is
     * a consumer of the materialized stream). */
@@ -344,7 +354,20 @@ object ChangelogInference {
         case Source(_, _, _, _) => ()
         case Calc(c, _) => countRefs(c)
         case EnrichJoin(c, _, _, _) => countRefs(c)
-        case Join(l, rt, _, _, _) => countRefs(l); countRefs(rt)
+        case Join(l, rt, _, _, _) =>
+          countRefs(l); countRefs(rt)
+          // a changelog join SCANS each input at least twice (probe +
+          // state passes; up to four for outer pads/transitions), so a
+          // STATEFUL child subtree would replay its expensive
+          // window/join work once per scan — give each input's stateful
+          // core (through Calc/EnrichJoin pass-throughs) an extra
+          // reference so the share hook materializes it once. Plain
+          // Source children stay uncounted: a parquet rescan is cheaper
+          // than a checkpoint write.
+          Seq(l, rt).foreach(ch => statefulCore(ch).foreach { c =>
+            val rc = new Ref(c)
+            refs(rc) = refs.getOrElse(rc, 0) + 1
+          })
         case GroupAgg(c, _, _, _) => countRefs(c)
         case s: Sink => countRefs(s.child)
       }

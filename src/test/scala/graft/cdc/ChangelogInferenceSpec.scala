@@ -186,6 +186,41 @@ class ChangelogInferenceSpec extends SparkSpec {
       "unshared plans must not checkpoint")
   }
 
+  test("stateful subtrees under a changelog join materialize once") {
+    // the changelog join scans each input 2-4 times (probe + state
+    // passes); a GroupAgg child would replay its window work per scan.
+    // refCounts gives each input's stateful core an extra reference so
+    // the share hook checkpoints it once — even in a single-sink plan.
+    val l = Calc(GroupAgg(Source(srcDf, seqCols = Seq("seq")), Seq("k"), "v"),
+      _.withColumnRenamed("cnt", "lc").withColumnRenamed("sum_val", "lv"))
+    val rDf = Seq(("a", 1.0, "+I", 1L), ("b", 2.0, "+I", 2L))
+      .toDF("k2", "w", K, "seq")
+    val r = Calc(GroupAgg(Source(rDf, seqCols = Seq("seq")), Seq("k2"), "w"),
+      _.withColumnRenamed("cnt", "rc").withColumnRenamed("sum_val", "rv"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (results, release) =
+      ChangelogInference.executeReleasable(Seq(Sink(Join(l, r, "k", "k2", "inner"))))
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size >= 2,
+      s"both join inputs' aggregates must checkpoint once (got ${added.size})")
+    assert(results.head.count() > 0)
+    release()
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (System.nanoTime() < deadline &&
+      (spark.sparkContext.getPersistentRDDs.keySet & added).nonEmpty)
+      Thread.sleep(50)
+    assert((spark.sparkContext.getPersistentRDDs.keySet & added).isEmpty)
+    // a join over PLAIN sources must not checkpoint: a parquet/local
+    // rescan is cheaper than a checkpoint write
+    val b2 = spark.sparkContext.getPersistentRDDs.keySet
+    val pl = Source(srcDf.withColumnRenamed("k", "k1"), seqCols = Seq("seq"))
+    val pr = Source(rDf.withColumnRenamed("k2", "k3")
+      .withColumnRenamed("seq", "seq2"), seqCols = Seq("seq2"))
+    ChangelogInference.execute(Sink(Join(pl, pr, "k1", "k3", "inner")))
+    assert(spark.sparkContext.getPersistentRDDs.keySet == b2,
+      "source-fed joins must stay lazy")
+  }
+
   test("statement set: pass-through branch re-derives the merged mode") {
     val agg = GroupAgg(Source(srcDf, seqCols = Seq("seq")), Seq("k"), "v")
     val calc = Calc(agg, _.withColumn("doubled", col("sum_val") * 2))
