@@ -31,6 +31,10 @@ object ChangelogAgg {
   def weight(rowKind: Column): Column =
     when(rowKind.isin("+I", "+U"), lit(1)).otherwise(lit(-1))
 
+  /** Scala-side twin of [[weight]] for row-at-a-time operators. */
+  def weightOf(rowKind: String): Long =
+    if (rowKind == "+I" || rowKind == "+U") 1L else -1L
+
   /** Batch materialization: net COUNT/SUM/AVG/MIN/MAX per key over a
     * changelog with a `__row_kind` column. */
   def materialize(df: DataFrame, keys: Seq[String], valCol: String,

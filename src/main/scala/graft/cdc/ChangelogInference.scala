@@ -99,9 +99,15 @@ object ChangelogInference {
   /** Changelog ⋈ changelog equi-join where BOTH inputs may update.
     * `joinType`: inner | left | right | full. Executed by
     * [[ChangelogJoin.updateStream]]; both inputs' sequence columns
-    * must be comparable (same count/types) under one global order. */
+    * must be comparable (same count/types) under one global order.
+    * `replay = true` switches to the per-key sequential replay
+    * ([[ChangelogJoin.updateStreamReplay]], byte-identical output) —
+    * choose it when individual keys carry heavy churn (thousands of
+    * changes per key), where the relational form's per-key join
+    * intermediate is quadratic. */
   final case class Join(left: Node, right: Node, leftKey: String,
-      rightKey: String, joinType: String = "inner") extends Node
+      rightKey: String, joinType: String = "inner",
+      replay: Boolean = false) extends Node
   /** Retractable grouped COUNT/SUM over `valCol`, keyed by `keys`.
     * Output columns: keys..., cnt, sum_val, __row_kind.
     *
@@ -154,7 +160,7 @@ object ChangelogInference {
     case GroupAgg(_, keys, _, _) => Some(keys)
     case Calc(c, _) => updateKey(c) // key preservation validated in execute
     case EnrichJoin(c, _, _, _) => updateKey(c)
-    case Join(_, _, _, _, _) => None // join output rows are not keyed
+    case Join(_, _, _, _, _, _) => None // join output rows are not keyed
     case Source(_, _, _, key) => key
     case Sink(c, _) => updateKey(c)
   }
@@ -191,7 +197,7 @@ object ChangelogInference {
         if (insertOnly) InsertOnly else Retract
       case Calc(c, _) => produces(c)
       case EnrichJoin(c, _, _, _) => produces(c)
-      case Join(l, r, _, _, jt) =>
+      case Join(l, r, _, _, jt, _) =>
         // inner join of append inputs is append; everything else
         // updates (outer joins retract their null-padded rows even
         // over append inputs)
@@ -217,7 +223,7 @@ object ChangelogInference {
           walk(ch, required); produced += (ref -> produced(new Ref(ch)))
         case EnrichJoin(ch, _, _, _) =>
           walk(ch, required); produced += (ref -> produced(new Ref(ch)))
-        case j @ Join(l, r, _, _, _) =>
+        case j @ Join(l, r, _, _, _, _) =>
           // the join consumes raw retract streams on updating inputs
           Seq(l, r).foreach { ch =>
             walk(ch, if (produces(ch).isUpdating) Retract else InsertOnly)
@@ -354,7 +360,7 @@ object ChangelogInference {
         case Source(_, _, _, _) => ()
         case Calc(c, _) => countRefs(c)
         case EnrichJoin(c, _, _, _) => countRefs(c)
-        case Join(l, rt, _, _, _) =>
+        case Join(l, rt, _, _, _, _) =>
           countRefs(l); countRefs(rt)
           // a changelog join SCANS each input at least twice (probe +
           // state passes; up to four for outer pads/transitions), so a
@@ -412,15 +418,18 @@ object ChangelogInference {
       case EnrichJoin(ch, dim, sk, dk) =>
         val fl = build(ch)
         Flow(fl.df.join(broadcast(dim), col(sk) === col(dk)), fl.seq)
-      case Join(l, r, lk, rk, jt) =>
+      case Join(l, r, lk, rk, jt, replay) =>
         val fl = build(l); val fr = build(r)
         require(fl.seq.nonEmpty && fr.seq.nonEmpty,
           "Join needs arrival-order columns on both inputs")
         require(fl.seq.length == fr.seq.length,
           "Join inputs' sequence columns must be comparable " +
             s"(got ${fl.seq} vs ${fr.seq})")
-        val out = ChangelogJoin.updateStream(fl.df, fr.df, lk, rk, jt,
-          fl.seq, fr.seq)
+        val out =
+          if (replay) ChangelogJoin.updateStreamReplay(fl.df, fr.df, lk, rk,
+            jt, fl.seq, fr.seq)
+          else ChangelogJoin.updateStream(fl.df, fr.df, lk, rk, jt,
+            fl.seq, fr.seq)
         Flow(out, ChangelogJoin.seqColumns(fl.seq.length))
       case a @ GroupAgg(c, keys, valCol, localBuckets) =>
         val fl = build(c)

@@ -103,6 +103,47 @@ object CdcJoinQueries {
       ORDER BY nationkey""")),
 
 
+    // The SAME left-outer chain executed through the per-key
+    // sequential REPLAY formulation (ChangelogJoin.updateStreamReplay
+    // — one shuffle per side onto the join key, spill-safe sort, the
+    // streaming operator's state machine per key; linear in per-key
+    // churn where the relational form's join intermediate is
+    // quadratic). Identical oracle: a divergence between the two
+    // formulations anywhere in the pad/transition logic
+    // hash-mismatches this query against q_cdc_join_outer's answer.
+    QueryDef("q_cdc_join_replay", (s, dir) => {
+      import ChangelogInference._
+      val plan = Sink(
+        GroupAgg(
+          Join(
+            Source(CdcData.customerChangelog(s, dir), seqCols = Seq("seq", "stage")),
+            Source(CdcData.orderChangelog(s, dir), seqCols = Seq("seq", "stage")),
+            "c_custkey", "o_custkey", "left", replay = true),
+          Seq("c_nationkey"), "v"),
+        primaryKey = Some(Seq("c_nationkey")))
+      ChangelogInference.execute(plan)
+        .select(col("c_nationkey").cast("int").as("nationkey"),
+          col("cnt").as("n_rows"),
+          col("sum_val").cast("double").as("sum_v"))
+        .orderBy(col("nationkey"))
+    }, Some(s"""
+      WITH olive AS (
+        SELECT o_custkey,
+          CASE WHEN o_orderkey % 10 = 0 THEN ${moneySql("o_totalprice")} * 2
+               ELSE ${moneySql("o_totalprice")} END AS v
+        FROM orders WHERE o_orderkey % 10 <> 1),
+      clive AS (
+        SELECT c_custkey,
+          CAST(CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25
+               ELSE c_nationkey END AS INTEGER) AS nationkey
+        FROM customer WHERE c_custkey % 7 <> 1)
+      SELECT nationkey, COUNT(*) AS n_rows,
+        CAST(SUM(v) AS DOUBLE) AS sum_v
+      FROM clive LEFT JOIN olive ON clive.c_custkey = olive.o_custkey
+      GROUP BY nationkey
+      ORDER BY nationkey""")),
+
+
     // Aggregate ⋈ aggregate: BOTH join inputs are themselves derived
     // retract streams (per-customer order totals on the left, the
     // per-customer live dimension value recovered through a
