@@ -53,12 +53,17 @@ object Watermarks {
     * — the group watermark is Spark's MIN over the member watermarks,
     * exactly the reference's combined watermark.
     *
-    * Documented delta vs the reference: alignment-by-buffering bounds
-    * what DOWNSTREAM sees (windows, joins and aggregates never observe
-    * a drift beyond the bound) but the buffered rows live in the
-    * aligner's state, whereas source throttling keeps them unread —
-    * state here grows with the fast source's excess rate × drift
-    * window. Until the first watermark is computed (Spark initializes
+    * Alignment-by-buffering bounds what DOWNSTREAM sees (windows,
+    * joins and aggregates never observe a drift beyond the bound) but
+    * the buffered rows live in the aligner's state, whereas source
+    * throttling keeps them unread — state here grows with the fast
+    * source's excess rate × drift window. For genuine source-side
+    * throttling (held rows stay UNREAD, zero executor state) use
+    * [[graft.sources.AlignedFileSource]], a DataSourceV2 micro-batch
+    * source whose `SupportsAdmissionControl.latestOffset` stops
+    * advancing past the alignment bound; this operator remains the
+    * right tool when the source is not admission-controllable (e.g. a
+    * MemoryStream or an external connector you cannot wrap). Until the first watermark is computed (Spark initializes
     * it to 0) everything buffers for one micro-batch — the same
     * cold-start stall FLIP-182 alignment imposes on unaligned starts.
     *
