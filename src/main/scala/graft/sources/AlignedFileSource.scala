@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.types.{StringType, StructField, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -19,44 +19,68 @@ import org.apache.spark.unsafe.types.UTF8String
   * FLIP-182 (reference: flink-core/.../eventtime/WatermarkStrategy.java
   * `withWatermarkAlignment(group, maxDrift, interval)` and
   * flink-runtime/.../source/coordinator/SourceCoordinator.java's
-  * alignment announcements): sources that share a group name observe a
-  * combined watermark and PAUSE reading once they run more than
-  * `maxDrift` ahead of it.
+  * `WatermarkAggregator`, whose combined watermark is the SMALLEST
+  * watermark across all registered keys).
   *
-  * In Spark's micro-batch model the combined watermark of one query is
-  * its global watermark (the MIN over watermark nodes — exactly the
-  * reference's group minimum). [[attach]] bridges it here through a
-  * `StreamingQueryListener`; [[publish]] sets it directly (cross-query
-  * groups, tests, or an external coordinator). Values are monotonic
-  * per group, like the reference's combined watermark. */
+  * Each publisher is a named MEMBER; the group watermark is the MIN
+  * over the members' (individually monotonic) watermarks — a fast
+  * member can never drag the group forward past a slow one, which is
+  * what makes pausing the fast member sound. [[attach]] bridges one
+  * running query's global watermark in as one member, filtering the
+  * session-wide listener bus down to that query by name. */
 object AlignmentGroups {
-  private val groups = new ConcurrentHashMap[String, java.lang.Long]()
+  /** group -> (member -> monotonic-max watermark millis). */
+  private val groups =
+    new ConcurrentHashMap[String, ConcurrentHashMap[String, java.lang.Long]]()
 
-  /** Current group watermark in epoch millis, if any member published. */
-  def get(group: String): Option[Long] = Option(groups.get(group)).map(_.longValue)
+  /** Combined group watermark: the MIN over member watermarks
+    * (reference: SourceCoordinator.WatermarkAggregator#aggregate).
+    * None until at least one member has published. */
+  def get(group: String): Option[Long] = {
+    val m = groups.get(group)
+    if (m == null) None
+    else {
+      val vs = m.values.asScala
+      if (vs.isEmpty) None else Some(vs.map(_.longValue).min)
+    }
+  }
 
-  /** Monotonic publish (stale/smaller values are ignored). */
+  /** Monotonic publish for one member (stale/smaller values ignored).
+    * The GROUP value may still be smaller — it is the min over members. */
+  def publish(group: String, member: String, watermarkMs: Long): Unit =
+    groups.computeIfAbsent(group,
+        _ => new ConcurrentHashMap[String, java.lang.Long]())
+      .merge(member, java.lang.Long.valueOf(watermarkMs),
+        (a, b) => if (a.longValue >= b.longValue) a else b)
+
+  /** Single-publisher convenience (tests, an external coordinator that
+    * already aggregated its members). */
   def publish(group: String, watermarkMs: Long): Unit =
-    groups.merge(group, java.lang.Long.valueOf(watermarkMs),
-      (a, b) => if (a.longValue >= b.longValue) a else b)
+    publish(group, "__default", watermarkMs)
 
   /** Forget a group (tests / teardown). */
   def clear(group: String): Unit = groups.remove(group)
 
-  /** Feed a running query's global watermark into `group` after every
-    * progress event. Returns the listener so callers can detach. */
-  def attach(spark: SparkSession, group: String): StreamingQueryListener = {
+  /** Feed the named query's global watermark into `group` as member
+    * `queryName` after every progress event. The listener bus is
+    * session-wide, so events are filtered to `queryName` — without the
+    * filter every query on the session would publish into the group
+    * and the min would be meaningless. Returns the listener so callers
+    * can detach. */
+  def attach(spark: SparkSession, group: String,
+      queryName: String): StreamingQueryListener = {
     val l = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryTerminated(
           e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       override def onQueryProgress(
-          e: StreamingQueryListener.QueryProgressEvent): Unit = {
-        val wm = Option(e.progress.eventTime.get("watermark"))
-        wm.foreach(ts => publish(group,
-          java.time.Instant.parse(ts).toEpochMilli))
-      }
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == queryName) {
+          val wm = Option(e.progress.eventTime.get("watermark"))
+          wm.foreach(ts => publish(group, queryName,
+            java.time.Instant.parse(ts).toEpochMilli))
+        }
     }
     spark.streams.addListener(l)
     l
@@ -101,14 +125,37 @@ object AlignmentGroups {
   * `withWatermark` delay so the comparison happens in watermark space,
   * not raw-event-time space.
   *
+  * Offsets are COMPACTED: once a batch commits, admitted files older
+  * than `alignment.compactRetentionMs` below the max committed event
+  * time fold into a single high-watermark `hw` field instead of being
+  * re-serialized into every subsequent offset forever (the same shape
+  * as FileStreamSource's compacted metadata log + maxFileAge). Files
+  * whose name-time is <= hw are treated as already admitted; a
+  * straggler arriving with an event time that far in the past is
+  * dropped by policy — identical to FileStreamSource discarding files
+  * older than maxFileAge. Because only COMMITTED names fold into hw,
+  * any (start, end) range the engine can ever replan still lists the
+  * batch's files explicitly. Event times come from the file NAME, so
+  * deleting an already-committed admitted file neither corrupts the
+  * source watermark nor breaks restarts.
+  *
+  * `reportLatestOffset` reports what is AVAILABLE (the full current
+  * listing), not what admission has allowed: it feeds backlog metrics
+  * and `Trigger.AvailableNow`'s target snapshot, both of which are
+  * about data that exists, not data alignment has released. Under
+  * AvailableNow the engine drains to that snapshot directly (alignment
+  * is a pacing mechanism for continuous triggers; a drain-and-stop run
+  * has no peer sources to stay aligned with).
+  *
   * Options: `path` (required), `alignment.group`,
   * `alignment.maxDriftMs` (default 5000), `alignment.watermarkDelayMs`
-  * (default 0). `ReadLimit.maxFiles` is honored on top of the
-  * alignment bound. Scale note: this source demonstrates the alignment
-  * mechanics end-to-end; a production deployment would put the same
-  * `latestOffset` admission rule on a Hadoop-FS listing with a
-  * compacted metadata log, as Spark's FileStreamSource does — the
-  * throttling logic is listing-layer and carries over unchanged. */
+  * (default 0), `alignment.compactRetentionMs` (default 7 days).
+  * `ReadLimit.maxFiles` is honored on top of the alignment bound.
+  * Scale note: this source demonstrates the alignment mechanics
+  * end-to-end; a production deployment would put the same
+  * `latestOffset` admission rule on a Hadoop-FS listing, as Spark's
+  * FileStreamSource does — the throttling logic is listing-layer and
+  * carries over unchanged. */
 class AlignedFileSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = false
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -134,6 +181,10 @@ object AlignedFileSource {
       .map(n => (n.takeWhile(_ != '-').toLong, n))
       .sortBy(identity)
   }
+
+  /** The max event time encoded in the file name. */
+  private[sources] def nameTs(name: String): Long =
+    name.takeWhile(_ != '-').toLong
 }
 
 private final class AlignedFileTable extends Table with SupportsRead {
@@ -152,41 +203,80 @@ private final class AlignedFileTable extends Table with SupportsRead {
           Option(options.get("alignment.maxDriftMs"))
             .map(_.toLong).getOrElse(5000L),
           Option(options.get("alignment.watermarkDelayMs"))
-            .map(_.toLong).getOrElse(0L))
+            .map(_.toLong).getOrElse(0L),
+          Option(options.get("alignment.compactRetentionMs"))
+            .map(_.toLong).getOrElse(7L * 24 * 3600 * 1000))
       }
     }
 }
 
-/** Offset = the event-time-sorted list of admitted file names. A set
-  * (not a count) because a straggler file with a SMALL event time may
-  * appear after larger ones were admitted — it joins the pending list
-  * and is admitted next trigger without disturbing prior offsets. */
-private final case class AlignedOffset(files: Seq[String]) extends Offset {
+/** Offset = a compaction high-watermark `hw` plus the event-time-sorted
+  * list of admitted file names NOT covered by it. A file is admitted
+  * iff its name-time is <= hw OR its name is listed. Names (not a
+  * count) because a straggler file with a SMALL event time may appear
+  * after larger ones were admitted — it joins the pending list and is
+  * admitted next trigger without disturbing prior offsets. Invariant
+  * maintained by the stream: only names present in a COMMITTED offset
+  * ever fold into hw, so for any replannable (start, end) pair the
+  * batch's files are all explicit in `end.files`. */
+private final case class AlignedOffset(hw: Long, files: Seq[String])
+    extends Offset {
   override def json(): String =
-    files.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+    s"""{"hw":$hw,"files":${files.map(f => "\"" + f + "\"")
+      .mkString("[", ",", "]")}}"""
 }
 
 private object AlignedOffset {
+  val initial: AlignedOffset = AlignedOffset(Long.MinValue, Nil)
+
+  private def names(body: String): Seq[String] = {
+    val b = body.trim.stripPrefix("[").stripSuffix("]").trim
+    if (b.isEmpty) Nil
+    else b.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+  }
+
   def fromJson(json: String): AlignedOffset = {
-    val body = json.trim.stripPrefix("[").stripSuffix("]").trim
-    if (body.isEmpty) AlignedOffset(Nil)
-    else AlignedOffset(body.split(",").toSeq
-      .map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+    val t = json.trim
+    if (t.startsWith("[")) AlignedOffset(Long.MinValue, names(t)) // legacy
+    else {
+      val hw = t.split("\"hw\":")(1).takeWhile(c =>
+        c == '-' || c.isDigit).toLong
+      val fs = names(t.substring(t.indexOf('[')).stripSuffix("}"))
+      AlignedOffset(hw, fs)
+    }
   }
 }
 
 private final class AlignedMicroBatchStream(path: String,
-    group: Option[String], maxDriftMs: Long, watermarkDelayMs: Long)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    group: Option[String], maxDriftMs: Long, watermarkDelayMs: Long,
+    compactRetentionMs: Long)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   require(path != null && path.nonEmpty, "path option is required")
   require(maxDriftMs > 0, "alignment.maxDriftMs must be positive")
+  require(compactRetentionMs >= 0,
+    "alignment.compactRetentionMs must be non-negative")
 
-  @volatile private var lastAdmitted: AlignedOffset = AlignedOffset(Nil)
+  /** The most recently COMMITTED offset — the compaction frontier.
+    * Only names durably in here may fold into the hw of later offsets. */
+  @volatile private var committed: AlignedOffset = AlignedOffset.initial
 
-  override def initialOffset(): Offset = AlignedOffset(Nil)
+  /** Trigger.AvailableNow: the prepare-time listing snapshot. While
+    * set, admission DRAINS exactly this set — alignment is suspended
+    * (a drain-and-stop run has no peer sources to stay aligned with)
+    * and files that appear after prepare wait for the next run, per
+    * the SupportsTriggerAvailableNow contract. */
+  @volatile private var availableNowTarget: Option[Set[String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(AlignedFileSource.listFiles(path).map(_._2).toSet)
+
+  override def initialOffset(): Offset = AlignedOffset.initial
   override def deserializeOffset(json: String): Offset =
     AlignedOffset.fromJson(json)
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    committed = AlignedOffset.fromJson(end.json())
   override def stop(): Unit = ()
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
@@ -196,22 +286,38 @@ private final class AlignedMicroBatchStream(path: String,
   override def latestOffset(): Offset = throw new IllegalStateException(
     "latestOffset(start, limit) is the admission-controlled entry point")
 
-  override def reportLatestOffset(): Offset = lastAdmitted
+  /** What is AVAILABLE right now — the full listing, independent of
+    * the admission bound (see class scaladoc). Computed fresh so the
+    * AvailableNow prepare-time snapshot and backlog metrics are valid
+    * even before the first latestOffset(start, limit) poll. */
+  override def reportLatestOffset(): Offset = {
+    val all = AlignedFileSource.listFiles(path)
+    val base = committed
+    AlignedOffset(base.hw,
+      all.collect { case (ts, n) if ts > base.hw => n }.sorted)
+  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val admitted = Option(start).map(o =>
-      AlignedOffset.fromJson(o.json()).files).getOrElse(Nil)
-    val admittedSet = admitted.toSet
+    val startOff = Option(start).map(o => AlignedOffset.fromJson(o.json()))
+      .getOrElse(AlignedOffset.initial)
+    val admittedSet = startOff.files.toSet
     val all = AlignedFileSource.listFiles(path)
     all.foreach { case (_, n) => require(!n.contains("\"") && !n.contains(","),
       s"file name '$n' would corrupt the offset json") }
-    var sourceMaxTs = all.collect {
-      case (ts, n) if admittedSet(n) => ts }.foldLeft(Long.MinValue)(math.max)
+    // Source watermark from the OFFSET's own names (event time is in
+    // the file name), never the listing — deleting an already-committed
+    // file must not regress the watermark and re-open the bound.
+    var sourceMaxTs = (startOff.hw +: startOff.files.map(
+      AlignedFileSource.nameTs)).max
     val fileCap = limit match {
       case mf: ReadMaxFiles => mf.maxFiles()
       case _ => Int.MaxValue
     }
-    val groupWm = group.flatMap(AlignmentGroups.get)
+    val target = availableNowTarget
+    // drain mode suspends alignment and pins the file set to the
+    // prepare-time snapshot
+    val groupWm =
+      if (target.isDefined) None else group.flatMap(AlignmentGroups.get)
     val out = Seq.newBuilder[String]
     var n = 0
     var blocked = false
@@ -220,24 +326,46 @@ private final class AlignedMicroBatchStream(path: String,
     // The bound is checked against the watermark ALREADY admitted (see
     // class scaladoc): a source at/below the bound always admits the
     // next file, then pauses if that file pushed it past.
-    for ((ts, name) <- all if !admittedSet(name) && !blocked && n < fileCap) {
+    for ((ts, name) <- all
+         if ts > startOff.hw && !admittedSet(name) && !blocked && n < fileCap
+           && target.forall(_(name))) {
       val ok = groupWm.forall(wm =>
         sourceMaxTs == Long.MinValue ||
         sourceMaxTs - watermarkDelayMs <= wm + maxDriftMs)
       if (ok) { out += name; sourceMaxTs = math.max(sourceMaxTs, ts); n += 1 }
       else blocked = true
     }
-    val res = AlignedOffset((admitted ++ out.result()).distinct.sorted)
-    lastAdmitted = res
-    res
+    // Compaction: fold names into hw once they are (a) committed and
+    // (b) older than the retention window below the max committed event
+    // time. A straggler with an event time under the new hw is dropped
+    // by policy — FileStreamSource's maxFileAge makes the same trade.
+    val base = committed
+    val committedNames = base.files.toSet
+    val maxCommittedTs = (base.hw +: base.files.map(
+      AlignedFileSource.nameTs)).max
+    val newHw =
+      if (maxCommittedTs == Long.MinValue) startOff.hw // nothing committed yet
+      else math.max(startOff.hw, maxCommittedTs - compactRetentionMs)
+    val allNames = startOff.files ++ out.result()
+    // Fold a name only when it is durably committed (explicitly or via
+    // base.hw); an admitted-but-uncommitted name stays explicit even
+    // under newHw so the in-flight batch remains replannable.
+    val kept = allNames.distinct.filter(nm =>
+      AlignedFileSource.nameTs(nm) > newHw ||
+        !(committedNames(nm) || AlignedFileSource.nameTs(nm) <= base.hw))
+    AlignedOffset(newHw, kept.sorted)
   }
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
-    val s = AlignedOffset.fromJson(start.json()).files.toSet
+    val s = AlignedOffset.fromJson(start.json())
     val e = AlignedOffset.fromJson(end.json()).files
-    e.filterNot(s).map(n =>
-      AlignedFilePartition(new java.io.File(path, n).getPath)
+    val sNames = s.files.toSet
+    // Everything admitted by `end` but not by `start` is explicit in
+    // end.files (only committed names — necessarily already in start —
+    // fold into hw; see AlignedOffset scaladoc).
+    e.filter(n => !sNames(n) && AlignedFileSource.nameTs(n) > s.hw)
+      .map(n => AlignedFilePartition(new java.io.File(path, n).getPath)
         : InputPartition).toArray
   }
 
