@@ -26,6 +26,7 @@ object Registry {
     UdfQueries.defs ++
     TpchQueries.defs ++
     TpcdsQueries.defs ++
+    TpcdsQueries2.defs ++
     BpeQueries.defs ++
     GraphQueries.defs ++
     AnalyticsQueries.defs ++
