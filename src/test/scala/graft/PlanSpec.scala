@@ -291,4 +291,48 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert(p.contains("n_items"), p)
   }
+
+  test("q_tpcds_s3: partial top-k and partial aggregation, no global sort") {
+    val p = plan("q_tpcds_s3")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_tpcds_s4: the six (channel, year) totals come from ONE fact scan") {
+    val p = plan("q_tpcds_s4")
+    assert("Scan parquet \\[l_".r.findAllIn(p).size == 1,
+      "the pivot must be conditional aggregates, not per-cell self-joins\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_tpcds_s7: four averages in one partial/final aggregate pair") {
+    val p = plan("q_tpcds_s7")
+    assert("Scan parquet \\[l_".r.findAllIn(p).size == 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_tpcds_s15: the cross-table OR is NOT pushed into any scan") {
+    val p = plan("q_tpcds_s15")
+    // the price branch of the disjunction must not reach the lineitem
+    // scan as a pushed filter (it would wrongly drop rows the other
+    // branches admit); the quarter gate, conjunctive, MUST push
+    assert(!p.contains("GreaterThan(l_extendedprice"), p)
+    assert(p.contains("substring"), p) // residual disjunction above the joins
+  }
+
+  test("q_tpcds_s71: the three-channel union is ONE events scan with a pushed IN") {
+    val p = plan("q_tpcds_s71")
+    assert("Scan parquet \\[event_id".r.findAllIn(p).size == 1,
+      "the literal UNION ALL must collapse to a single filtered scan\n" + p)
+    assert(p.contains("In(event_type"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // capped 200-key part dim
+  }
+
+  test("q_tpcds_s84: dimension-chain lookup has zero data shuffles") {
+    val p = plan("q_tpcds_s84")
+    assert(!p.contains("Exchange hashpartitioning") &&
+      !p.contains("Exchange rangepartitioning"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
