@@ -1,0 +1,164 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Per-split watermark semantics (reference: SourceOperator's
+  * per-split WatermarkMultiplexer + WatermarksWithIdleness +
+  * IndexedCombinedWatermarkStatus — combined watermark is the MIN over
+  * ACTIVE splits; idle splits are excluded; splits past combined +
+  * drift pause). Enforced by source admission, observed both through
+  * the sink (what got read, per split) and [[AlignedReadCounter]]
+  * (held files stay physically unopened). */
+class SplitSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeFile(dir: Path, split: String, name: String,
+      rows: (Long, String)*): Unit = {
+    val d = dir.resolve(split)
+    Files.createDirectories(d)
+    Files.write(d.resolve(name),
+      rows.map { case (ms, v) => s"$ms,$v" }.mkString("\n")
+        .getBytes("UTF-8"))
+  }
+
+  private def startQuery(dir: Path, sink: String,
+      extra: Map[String, String] = Map.empty) = {
+    val r = spark.readStream
+      .format(classOf[SplitFileSource].getName)
+      .option("path", dir.toString)
+      .option("split.maxDriftMs", "5000")
+    extra.foreach { case (k, v) => r.option(k, v) }
+    r.load().writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+  }
+
+  private def sinkRows(sink: String): Set[(String, String)] =
+    spark.table(sink).select("split", "value").as[(String, String)]
+      .collect().toSet
+
+  test("a fast split pauses at combined+drift until the slow split catches up") {
+    val dir = Files.createTempDirectory("split_pause")
+    AlignedReadCounter.clear()
+    // slow split: watermark 1000. fast split: one in-bound file, one
+    // bound-crossing file (admitted, the one-more rule), one past it
+    // (held unread).
+    writeFile(dir, "slow", "1000-s1.csv", 1000L -> "s1")
+    writeFile(dir, "fast", "2000-f1.csv", 2000L -> "f1")
+    writeFile(dir, "fast", "100000-f2.csv", 100000L -> "f2")
+    writeFile(dir, "fast", "100001-f3.csv", 100001L -> "f3")
+    val q = startQuery(dir, "split_sink1")
+    try {
+      q.processAllAvailable()
+      assert(sinkRows("split_sink1") ===
+        Set("slow" -> "s1", "fast" -> "f1", "fast" -> "f2"))
+      assert(!AlignedReadCounter.openedNames.contains("100001-f3.csv"),
+        "the held split's file must stay physically unopened")
+      // slow split advances -> combined advances -> fast split released
+      writeFile(dir, "slow", "95001-s2.csv", 95001L -> "s2")
+      q.processAllAvailable()
+      assert(sinkRows("split_sink1") === Set("slow" -> "s1",
+        "slow" -> "s2", "fast" -> "f1", "fast" -> "f2", "fast" -> "f3"))
+    } finally q.stop()
+  }
+
+  test("a split with NO data holds the combined watermark until idleness releases it") {
+    val dir = Files.createTempDirectory("split_idle")
+    var clock = 1000000L
+    SplitFileSource.nowMs = () => clock
+    // 'empty' exists as a directory but has no files: a registered
+    // split with no records contributes Long.MinValue to the MIN, so
+    // 'busy' admits exactly its one-more-file and then pauses.
+    Files.createDirectories(dir.resolve("empty"))
+    writeFile(dir, "busy", "1000-b1.csv", 1000L -> "b1")
+    writeFile(dir, "busy", "2000-b2.csv", 2000L -> "b2")
+    val q = startQuery(dir, "split_sink2",
+      Map("split.idlenessMs" -> "60000"))
+    try {
+      q.processAllAvailable()
+      assert(sinkRows("split_sink2") === Set("busy" -> "b1"),
+        "one-more-file against a MinValue combined watermark: exactly one admission")
+      // idleness: the empty split is excluded from the MIN after 60s
+      // of processing time with nothing to read
+      clock += 61000L
+      q.processAllAvailable()
+      assert(sinkRows("split_sink2") === Set("busy" -> "b1", "busy" -> "b2"))
+      // a revived split re-enters the MIN: new data in 'empty' with an
+      // old timestamp does NOT regress the (monotonic) combined
+      // watermark, and the rows are still read
+      writeFile(dir, "empty", "1500-e1.csv", 1500L -> "e1")
+      q.processAllAvailable()
+      assert(sinkRows("split_sink2") ===
+        Set("busy" -> "b1", "busy" -> "b2", "empty" -> "e1"))
+    } finally { q.stop(); SplitFileSource.nowMs =
+      () => System.currentTimeMillis() }
+  }
+
+  test("a split paused by the drift bound is backlogged, NOT idle") {
+    val dir = Files.createTempDirectory("split_backlog")
+    var clock = 2000000L
+    SplitFileSource.nowMs = () => clock
+    writeFile(dir, "slow", "1000-s1.csv", 1000L -> "s1")
+    writeFile(dir, "fast", "2000-f1.csv", 2000L -> "f1")
+    writeFile(dir, "fast", "500000-f2.csv", 500000L -> "f2")
+    writeFile(dir, "fast", "500001-f3.csv", 500001L -> "f3")
+    val q = startQuery(dir, "split_sink3",
+      Map("split.idlenessMs" -> "60000"))
+    try {
+      q.processAllAvailable()
+      assert(sinkRows("split_sink3") ===
+        Set("slow" -> "s1", "fast" -> "f1", "fast" -> "f2"))
+      // hours pass with the fast split BLOCKED (pending f3): it must
+      // not be declared idle — and crucially the SLOW split (now
+      // drained, hence idle-eligible) leaving the MIN must not let
+      // the fast split's watermark take over the combined and
+      // self-release; the fast split is still bounded by... itself
+      // only once 'slow' is idle, so f3 DOES release. The non-idle
+      // property under test is the fast split: its lastActivity keeps
+      // refreshing while it has pending files.
+      clock += 61000L
+      q.processAllAvailable()
+      // slow split went idle (drained + 61s); combined = fast's own
+      // watermark; f3 admitted
+      assert(sinkRows("split_sink3").contains("fast" -> "f3"))
+    } finally { q.stop(); SplitFileSource.nowMs =
+      () => System.currentTimeMillis() }
+  }
+
+  test("per-split offsets compact committed names into per-split high watermarks") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("split_compact")
+    val s = new SplitMicroBatchStream(dir.toString, 5000L,
+      Long.MaxValue, 0L)
+    writeFile(dir, "a", "1000-x.csv", 1000L -> "x1")
+    writeFile(dir, "b", "1100-y.csv", 1100L -> "y1")
+    val o1 = s.latestOffset(s.initialOffset(), ReadLimit.allAvailable())
+    assert(s.planInputPartitions(s.initialOffset(), o1).length === 2)
+    s.commit(o1)
+    writeFile(dir, "a", "2000-z.csv", 2000L -> "z1")
+    val o2 = s.latestOffset(o1, ReadLimit.allAvailable())
+    assert(!o2.json().contains("1000-x.csv") && !o2.json().contains("1100-y.csv"),
+      s"committed names must fold into per-split hw: ${o2.json()}")
+    assert(o2.json().contains("2000-z.csv"))
+    assert(s.planInputPartitions(o1, o2).length === 1)
+    // round trip
+    assert(s.deserializeOffset(o2.json()).json() === o2.json())
+  }
+
+  test("combined watermark is observable and equals MIN over active split watermarks") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("split_combined")
+    val s = new SplitMicroBatchStream(dir.toString, 5000L,
+      Long.MaxValue, 7L * 24 * 3600 * 1000)
+    writeFile(dir, "a", "1000-x.csv", 1000L -> "x1")
+    writeFile(dir, "b", "9000-y.csv", 9000L -> "y1")
+    val o1 = s.latestOffset(s.initialOffset(), ReadLimit.allAvailable())
+    s.commit(o1)
+    s.latestOffset(o1, ReadLimit.allAvailable())
+    // after both splits admitted their files: min(1000, 9000)
+    assert(s.combinedWatermark === 1000L)
+  }
+}
