@@ -363,6 +363,100 @@ object TextDedup {
       .filter(col(rn) === 1).drop(rn)
   }
 
+  /** (band_idx, band_hash, minhash_sig) rows per document — bands per
+    * doc — shared by the incremental near-dup paths. Band hash =
+    * xxhash64 over the band's signature slice, the same key
+    * [[lshCandidates]] buckets on. */
+  private def bandedSig(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    withSignature(df, textCol, n, numHashes)
+      .select(col(idCol), col("minhash_sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            transform(slice(col("minhash_sig"), lit(b * r + 1), lit(r)),
+              x => x.cast("string"))))))
+          .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Estimated Jaccard from two MinHash signatures: the fraction of
+    * agreeing positions (the unbiased MinHash estimator). */
+  private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+      .cast("double") / numHashes
+
+  /** Corpus-side NEAR-dup index: (band_idx, band_hash, minhash_sig)
+    * rows, `bands` per document. This is what a growing corpus
+    * persists instead of re-scanning text: fixed `bands x (8B key +
+    * numHashes x 8B signature)` per document (~4 KB at the defaults),
+    * independent of document size — never text. Degenerate buckets
+    * (boilerplate that hashes millions of docs into one band bucket)
+    * are capped at `maxBucket` members, the same quadratic-blowup
+    * guard as [[lshCandidates]] (documented recall trade: a new doc
+    * matching ONLY a capped bucket is not flagged). */
+  def nearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      maxBucket: Int = 1000): DataFrame =
+    bandedSig(corpus, idCol, textCol, n, numHashes, bands)
+      .select(col("band_idx"), col("band_hash"), col("minhash_sig"))
+      .withColumn("__bucket_n", count(lit(1)).over(
+        Window.partitionBy(col("band_idx"), col("band_hash"))))
+      .filter(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
+
+  /** Incremental NEAR-dup — [[incrementalDedup]]'s MinHash-LSH twin,
+    * the corpus-maintenance shape for fuzzy duplicates: a new batch is
+    * (1) dropped against the EXISTING corpus wherever any of its LSH
+    * bands collides with an index bucket AND the signature-estimated
+    * Jaccard clears `estThreshold`, then (2) near-deduplicated within
+    * itself keep-first: a doc is dropped when ANY smaller-`idCol`
+    * corpus-surviving batch doc is its near-dup, so a transitive
+    * near-dup cluster collapses to its smallest id. Corpus check
+    * first: within-batch pairs are computed among corpus-survivors.
+    *
+    * Scale shape: O(batch x bands) rows join the index on
+    * (band_idx, band_hash) — hash-partitioned or broadcast when the
+    * index fits (AQE decides); the corpus is never re-scanned and no
+    * text moves. The signature verify is 32 integer compares per
+    * colliding band row, map-side. Returns surviving batch rows with
+    * `minhash_sig`, ready to append to corpus and (banded) index.
+    *
+    * Reference counterpart: the reference has no fuzzy-dedup operator;
+    * this extends its streaming-upsert maintenance idiom
+    * (flink-table-runtime deduplicate functions) to the MinHash-LSH
+    * curation op the training-data pipeline needs. */
+  def incrementalNearDup(batch: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, n: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      estThreshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    val banded = bandedSig(batch, idCol, textCol, n, numHashes, bands)
+    val dupVsCorpus = banded
+      .join(index.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
+        col("minhash_sig").as("corpus_sig")),
+        col("band_idx") === col("bi") && col("band_hash") === col("bh"))
+      .filter(estJaccard(col("minhash_sig"), col("corpus_sig"),
+        numHashes) >= estThreshold)
+      .select(col(idCol)).distinct()
+    val surv = banded.join(dupVsCorpus, Seq(idCol), "left_anti")
+      .withColumn("__bucket_n", count(lit(1)).over(
+        Window.partitionBy(col("band_idx"), col("band_hash"))))
+      .filter(col("__bucket_n").between(2, maxBucket))
+      .drop("__bucket_n")
+    val droppedInBatch = surv
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"),
+        col("minhash_sig").as("sig_a"))
+      .join(surv.select(col("band_idx").as("bi"), col("band_hash").as("bh"),
+        col(idCol).as("id_b"), col("minhash_sig").as("sig_b")),
+        col("band_idx") === col("bi") && col("band_hash") === col("bh") &&
+          col("id_a") < col("id_b"))
+      .filter(estJaccard(col("sig_a"), col("sig_b"),
+        numHashes) >= estThreshold)
+      .select(col("id_b").as(idCol)).distinct()
+    withSignature(batch, textCol, n, numHashes)
+      .join(dupVsCorpus, Seq(idCol), "left_anti")
+      .join(droppedInBatch, Seq(idCol), "left_anti")
+  }
+
   /** Scala-side twin of [[normalizedHash]] for typed key extractors
     * (e.g. streaming keep-first dedup via `StatefulOps.keepFirst`). */
   def normalizedHashString(text: String): String = {

@@ -600,6 +600,79 @@ object CurationQueries {
         WHERE f.content_hash NOT IN (SELECT content_hash FROM idx))
       WHERE rn = 1""")),
 
+    // Incremental NEAR-dup — q_incremental_dedup's MinHash-LSH twin: a
+    // new feed drop is dropped wherever an LSH band collides with the
+    // EXISTING corpus's band index AND the signature-estimated jaccard
+    // clears 0.5 (>= 16 of 32 positions agree — exactly representable,
+    // no float boundary), then near-deduplicated within itself (a doc
+    // drops when any smaller-id corpus-survivor is its near-dup, so a
+    // transitive cluster collapses to its smallest id). The corpus is
+    // the deterministic half of the feed, so corpus docs re-arriving in
+    // the batch are dropped by their own index entries (est = 1). The
+    // oracle replays the full chain: signatures (DuckHash.minhashSig),
+    // banding on the raw slice (bucket-equivalent to the engine's
+    // xxhash64 band key), index bucket cap, the est>=16/32 verify on
+    // both paths, and the smallest-id-survives within-batch rule.
+    QueryDef("q_incremental_neardup", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs
+        .filter(DataSplit.hashBucket(col("doc_id"), 2, "nd") === 0)
+      val index = TextDedup.nearDupIndex(corpus, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 16)
+      TextDedup.incrementalNearDup(docs, "doc_id", "text", index,
+        n = 3, numHashes = 32, bands = 16, estThreshold = 0.5)
+        .select(col("doc_id"),
+          md5(concat_ws(",", transform(col("minhash_sig"),
+            x => x.cast("string")))).as("sig_hash"))
+    }, Some(s"""
+      WITH ${DuckHash.minhashSig},
+      corp AS (
+        SELECT doc_id FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'nd'), 1, 8))::BIGINT
+          % 2 = 0),
+      idx AS (
+        SELECT b AS band_idx,
+          array_to_string(sig[b*2+1 : b*2+2], ',') AS band_key, sig
+        FROM sig JOIN corp USING (doc_id), generate_series(0, 15) AS gs(b)),
+      idx_capped AS (
+        SELECT band_idx, band_key, sig FROM (
+          SELECT idx.*,
+            COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bn
+          FROM idx)
+        WHERE bn <= 1000),
+      batch AS (
+        SELECT doc_id, b AS band_idx,
+          array_to_string(sig[b*2+1 : b*2+2], ',') AS band_key, sig
+        FROM sig, generate_series(0, 15) AS gs(b)),
+      drop_corpus AS (
+        SELECT DISTINCT ba.doc_id
+        FROM batch ba
+        JOIN idx_capped ix
+          ON ba.band_idx = ix.band_idx AND ba.band_key = ix.band_key
+        WHERE len(list_filter(generate_series(1, 32),
+          i -> ba.sig[i] = ix.sig[i])) >= 16),
+      surv AS (
+        SELECT * FROM batch
+        WHERE doc_id NOT IN (SELECT doc_id FROM drop_corpus)),
+      surv_capped AS (
+        SELECT doc_id, band_idx, band_key, sig FROM (
+          SELECT surv.*,
+            COUNT(*) OVER (PARTITION BY band_idx, band_key) AS bn
+          FROM surv)
+        WHERE bn BETWEEN 2 AND 1000),
+      drop_batch AS (
+        SELECT DISTINCT b.doc_id
+        FROM surv_capped a
+        JOIN surv_capped b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+        WHERE len(list_filter(generate_series(1, 32),
+          i -> a.sig[i] = b.sig[i])) >= 16)
+      SELECT doc_id, md5(array_to_string(sig, ',')) AS sig_hash
+      FROM sig
+      WHERE doc_id NOT IN (SELECT doc_id FROM drop_corpus)
+        AND doc_id NOT IN (SELECT doc_id FROM drop_batch)""")),
+
     // Distributed PCA over the embedding table, ENGINE-EXACT: one-pass
     // integer moment aggregation (n/Σx_q/Σx_q·x_qᵀ, map-side combined,
     // order-free — the corpus is scanned once, never shuffled),

@@ -257,4 +257,38 @@ class CurationOpsSpec extends SparkSpec {
     // not 2 (whose sim to 1 is ~0.99)
     assert(out(1).getLong(1) !== 2L)
   }
+
+  test("incremental near-dup: planted fuzzy dups drop vs corpus and within batch, smallest id survives") {
+    val base = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank while birds sing in the tall green trees every morning"
+    val nearBase = base.replace("lazy", "sleepy") // 1-word edit: near-dup
+    val fresh = "completely different content about distributed query " +
+      "engines shuffling partitioned data across executor nodes at scale"
+    val nearFresh = fresh.replace("data", "rows")
+    val distinct2 = "another unrelated document describing tokenizer " +
+      "vocabularies byte pair merges and unigram language model pruning"
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    val index = TextDedup.nearDupIndex(corpus, "doc_id", "text",
+      n = 3, numHashes = 32, bands = 16)
+    val batch = Seq(
+      (1L, nearBase),   // near-dup of the CORPUS doc → dropped vs index
+      (2L, fresh),      // survives (smallest id of its cluster)
+      (3L, nearFresh),  // within-batch near-dup of 2 → dropped
+      (4L, distinct2)   // survives
+    ).toDF("doc_id", "text")
+    val out = TextDedup.incrementalNearDup(batch, "doc_id", "text", index,
+      n = 3, numHashes = 32, bands = 16, estThreshold = 0.5)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(2L, 4L))
+    // survivors carry their signature, ready to append to the index
+    assert(out.columns.contains("minhash_sig"))
+    // an empty index passes everything except within-batch dups
+    val noIdx = TextDedup.nearDupIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, numHashes = 32, bands = 16)
+    val out2 = TextDedup.incrementalNearDup(batch, "doc_id", "text", noIdx,
+      n = 3, numHashes = 32, bands = 16, estThreshold = 0.5)
+    assert(out2.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 4L))
+  }
 }

@@ -258,4 +258,51 @@ class StreamingCurationSpec extends SparkSpec {
       assert(seen(1) > seen(0))
     } finally q.stop()
   }
+
+  test("streaming incremental NEAR-dup: the band index grows per batch, later fuzzy dups drop") {
+    implicit val sq = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank while birds sing in the tall green trees every morning"
+    val fresh = "completely different content about distributed query " +
+      "engines shuffling partitioned data across executor nodes at scale"
+
+    val in = MemoryStream[StreamDoc]
+    // the corpus band index lives OUTSIDE the query (a table a real
+    // pipeline would keep in storage); each micro-batch dedups against
+    // it and appends its survivors' bands — the O(batch) incremental
+    // contract, no corpus re-scan
+    var index = TextDedup.nearDupIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, numHashes = 32, bands = 16).localCheckpoint(true)
+    val survived = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = in.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamDoc],
+          _: Long) =>
+        val surv = TextDedup.incrementalNearDup(batch.toDF(), "doc_id",
+          "text", index, n = 3, numHashes = 32, bands = 16,
+          estThreshold = 0.5)
+        survived.synchronized {
+          survived ++= surv.select("doc_id").as[Long](
+            org.apache.spark.sql.Encoders.scalaLong).collect().sorted }
+        index = index.unionByName(TextDedup.nearDupIndex(
+          surv.select("doc_id", "text"), "doc_id", "text",
+          n = 3, numHashes = 32, bands = 16)).localCheckpoint(true)
+        ()
+      }.start()
+    try {
+      in.addData(StreamDoc(1, base), StreamDoc(2, fresh))
+      q.processAllAvailable()
+      // batch 2: a near-dup of batch-1's base (1-word edit) must drop
+      // against the grown index; a new doc survives and is indexed
+      in.addData(StreamDoc(3, base.replace("lazy", "sleepy")),
+        StreamDoc(4, "tokenizer vocabularies byte pair merges and " +
+          "unigram language model pruning for large corpora explained"))
+      q.processAllAvailable()
+      // batch 3: near-dup of batch-2's survivor also drops
+      in.addData(StreamDoc(5, ("tokenizer vocabularies byte pair merges " +
+        "and unigram language model pruning for huge corpora explained")))
+      q.processAllAvailable()
+      assert(survived.synchronized(survived.toSeq) === Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
 }
