@@ -31,6 +31,7 @@ object Registry {
     GraphQueries.defs ++
     AnalyticsQueries.defs ++
     CurationQueries.defs ++
+    ClassifierQueries.defs ++
     ClusterQueries.defs
 
   lazy val byName: Map[String, QueryDef] = {
