@@ -89,7 +89,7 @@ object ClassifierQueries {
     // Train on the full table (the rule label rides along), score every
     // row with the exact integer margin. rows = documents; columns:
     // doc_id, score_fx (fixed-point margin at 2^20), pred, y.
-    QueryDef("q_quality_classifier", (s, dir) => {
+    QueryDef("q_quality_classifier_train", (s, dir) => {
       val docs = t(s, dir, "documents")
         .withColumn("words", split(col("text"), " "))
         .withColumn("y", when(array_contains(col("words"), "spark") &&
