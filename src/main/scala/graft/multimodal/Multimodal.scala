@@ -17,6 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** REAL image metadata from raw bytes (no codec): format sniffing +
+    * header-walk dimensions — see [[ImageMetaExpr]]. Returns
+    * struct<format, width, height>; unknown/truncated -> ("unknown",
+    * -1, -1). This is the corpus-inventory pass that runs long before
+    * any pixel decode. */
+  def imageMeta(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(ImageMetaExpr(ColumnBridge.expression(payload)))
+  }
+
   case class MediaMeta(mediaType: String, width: Int, height: Int,
       sampleRate: Int, nBytes: Long)
 

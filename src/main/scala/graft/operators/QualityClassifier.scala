@@ -59,33 +59,27 @@ object QualityClassifier {
   /** Fixed-point model: weights at `scale` (index dim = intercept). */
   final case class Model(w: Array[Long], dim: Int, scale: Long)
 
-  /** Integer moments A = XᵀX, b = Xᵀy, n — one corpus pass. */
+  /** Integer moments A = XᵀX, b = Xᵀy, n — ONE corpus pass via the
+    * [[Similarity.IntMomentAgg]] typed aggregator (map-side combined,
+    * shuffle = partitions x (dim+2)² longs, never the corpus — the PCA
+    * moment shape). The label rides as an extra trailing coordinate,
+    * so b falls out of the same Gram matrix as its cross-row. Integer
+    * sums are order-free, so this is value-identical to any per-cell
+    * formulation — the DuckDB oracle needs no knowledge of the
+    * aggregation layout. */
   private def moments(docs: DataFrame, textCol: String, labelCol: String,
       dim: Int): (Array[Array[Long]], Array[Long], Long) = {
     val d1 = dim + 1
-    val base = docs.select(featurize(col(textCol), dim).as("x"),
-      col(labelCol).cast("long").as("y"))
-    val rows = base
-      .select(col("y"), col("x"), posexplode(col("x")).as(Seq("i", "xi")))
-      .select(col("y"), col("i"), col("xi"),
-        posexplode(col("x")).as(Seq("j", "xj")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("xi") * col("xj")).as("a"),
-        sum(when(col("j") === 0, col("xi") * col("y"))
-          .otherwise(lit(0L))).as("b"),
-        sum(when(col("i") === 0 && col("j") === 0, lit(1L))
-          .otherwise(lit(0L))).as("n"))
-      .collect()
-    val a = Array.ofDim[Long](d1, d1)
-    val b = new Array[Long](d1)
-    var n = 0L
-    rows.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      a(i)(j) = r.getLong(2)
-      if (j == 0) b(i) = r.getLong(3)
-      if (i == 0 && j == 0) n = r.getLong(4)
-    }
-    (a, b, n)
+    val d2 = d1 + 1
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val v = concat(featurize(col(textCol), dim),
+      array(col(labelCol).cast("long")))
+    val mom = docs.select(v.as("v")).as[Array[Long]]
+      .select(new Similarity.IntMomentAgg(d2).toColumn).head()
+    val a = Array.tabulate(d1, d1)((i, j) => mom.m(i * d2 + j))
+    val b = Array.tabulate(d1)(i => mom.m(i * d2 + d1))
+    (a, b, mom.n)
   }
 
   /** Fit by `iters` exact fixed-point ridge-GD steps (class doc). */

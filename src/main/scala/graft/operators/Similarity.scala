@@ -782,7 +782,7 @@ object Similarity {
     * ~10^12 rows at scale=1024 — past any single corpus. */
   case class IntMoments(n: Long, s: Array[Long], m: Array[Long])
 
-  private class IntMomentAgg(dim: Int)
+  private[operators] class IntMomentAgg(dim: Int)
       extends org.apache.spark.sql.expressions.Aggregator[
         Array[Long], IntMoments, IntMoments] {
     override def zero: IntMoments =

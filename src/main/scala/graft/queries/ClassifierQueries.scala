@@ -99,8 +99,9 @@ object ClassifierQueries {
         lambdaFx = LambdaFx, scale = Scale)
       docs.select(col("doc_id"),
         QualityClassifier.score(col("text"), model).as("score_fx"),
-        (QualityClassifier.score(col("text"), model) > 0).as("pred"),
         col("y"))
+        .withColumn("pred", col("score_fx") > 0)
+        .select(col("doc_id"), col("score_fx"), col("pred"), col("y"))
     }, Some(qcOracle))
   )
 }

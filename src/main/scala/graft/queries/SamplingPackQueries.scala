@@ -66,6 +66,48 @@ object SamplingPackQueries {
       FROM documents""")),
 
 
+    // REAL image metadata extraction (ImageMetaExpr): per doc a minimal
+    // VALID png/jpeg/gif/bmp payload is synthesized from doc_id with
+    // pure builtins (hex/lpad/unhex byte building — big- and
+    // little-endian as each container demands, the JPEG variant with an
+    // APP1 segment BEFORE the SOF so the marker walk is exercised), and
+    // the expression parses format + dimensions back out of the BYTES.
+    // The oracle computes the expected values from doc_id arithmetic —
+    // a parse-inverts-synthesis end-to-end value check. Only pixel
+    // decode remains stubbed in Multimodal; this header pass is real.
+    QueryDef("q_image_meta", (s, dir) => {
+      def be16(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+      def be32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+      def le16(c: org.apache.spark.sql.Column) =
+        concat(substring(be16(c), 3, 2), substring(be16(c), 1, 2))
+      def le32(c: org.apache.spark.sql.Column) =
+        concat(substring(be32(c), 7, 2), substring(be32(c), 5, 2),
+          substring(be32(c), 3, 2), substring(be32(c), 1, 2))
+      val w = (col("doc_id") % 13 * 16 + 320).cast("int")
+      val h = (col("doc_id") % 7 * 32 + 180).cast("int")
+      val pngHex = concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        be32(w), be32(h))
+      val jpegHex = concat(lit("FFD8" + "FFE1" + "0008" + "457869660000" +
+        "FFC0" + "000B" + "08"), be16(h), be16(w), lit("0000"))
+      val gifHex = concat(lit("474946383961"), le16(w), le16(h))
+      val bmpHex = concat(lit("424D" + "0" * 32), le32(w), le32(h))
+      val payload = unhex(
+        when(col("doc_id") % 4 === 0, pngHex)
+          .when(col("doc_id") % 4 === 1, jpegHex)
+          .when(col("doc_id") % 4 === 2, gifHex)
+          .otherwise(bmpHex))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.imageMeta(payload).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"))
+    }, Some("""
+      SELECT doc_id,
+        ['png','jpeg','gif','bmp'][CAST(doc_id % 4 AS INT) + 1] AS format,
+        CAST(doc_id % 13 * 16 + 320 AS INT) AS width,
+        CAST(doc_id % 7 * 32 + 180 AS INT) AS height
+      FROM documents""")),
+
+
     // Per-domain cap: URL host extraction (parse_url) + keep-first-K per
     // domain — row-level output so the oracle checks the exact kept set.
     QueryDef("q_domain_cap", (s, dir) => {

@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Golden-byte tests for [[ImageMetaExpr]]: each container's header
+  * layout, the JPEG marker walk, and the must-not-fail policy on
+  * malformed input (a corrupt file yields ("unknown",-1,-1); it must
+  * never kill a corpus-wide scan). */
+class ImageMetaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def meta(bytes: Array[Byte]): (String, Int, Int) = {
+    val r = Seq(Tuple1(bytes)).toDF("p")
+      .select(Multimodal.imageMeta(col("p")).as("m"))
+      .select("m.format", "m.width", "m.height").head()
+    (r.getString(0), r.getInt(1), r.getInt(2))
+  }
+
+  private def hexBytes(h: String): Array[Byte] =
+    h.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("png: IHDR big-endian dimensions") {
+    // 800x600
+    assert(meta(hexBytes(
+      "89504E470D0A1A0A 0000000D 49484452 00000320 00000258")) ===
+      ("png", 800, 600))
+  }
+
+  test("png signature with a non-IHDR first chunk is unknown") {
+    assert(meta(hexBytes(
+      "89504E470D0A1A0A 0000000D 58585858 00000320 00000258"))._1 ===
+      "unknown")
+  }
+
+  test("gif87a and gif89a: little-endian logical screen") {
+    assert(meta(hexBytes("474946383761 4001 F000")) === ("gif", 320, 240))
+    assert(meta(hexBytes("474946383961 0005 0003")) === ("gif", 1280, 768))
+  }
+
+  test("bmp: little-endian dims; top-down (negative height) normalized") {
+    val filler = "00" * 16
+    assert(meta(hexBytes(s"424D $filler 80020000 E0010000")) ===
+      ("bmp", 640, 480))
+    // height -480 stored two's complement little-endian
+    assert(meta(hexBytes(s"424D $filler 80020000 20FEFFFF")) ===
+      ("bmp", 640, 480))
+  }
+
+  test("jpeg: marker walk skips APPn/DQT segments to the first SOF") {
+    // FFD8, APP0 (len 16), DQT (len 4), SOF0 precision 8, 1080x1920
+    val jpeg = "FFD8" +
+      "FFE0 0010 4A46494600 0101 00 0048 0048 00 00" + // APP0, 16 bytes
+      "FFDB 0004 0000" +                                // DQT, 4 bytes
+      "FFC0 000B 08 0438 0780 00"                       // SOF0 h=1080 w=1920
+    assert(meta(hexBytes(jpeg)) === ("jpeg", 1920, 1080))
+  }
+
+  test("jpeg: progressive SOF2 and standalone RST/TEM markers are handled") {
+    val jpeg = "FFD8" + "FFD0" + "FF01" + // RST0 + TEM: no length field
+      "FFC2 000B 08 0100 0200 00"         // SOF2 h=256 w=512
+    assert(meta(hexBytes(jpeg)) === ("jpeg", 512, 256))
+    // EOI before any SOF ends the walk: no frame header exists
+    assert(meta(hexBytes("FFD8 FFD9"))._1 === "unknown")
+  }
+
+  test("malformed and truncated payloads degrade to unknown, never throw") {
+    assert(meta(Array[Byte]())._1 === "unknown")
+    assert(meta("not an image".getBytes("UTF-8"))._1 === "unknown")
+    assert(meta(hexBytes("89504E47"))._1 === "unknown") // truncated png
+    assert(meta(hexBytes("FFD8 FFE0 FFFF"))._1 === "unknown") // bad length
+    assert(meta(hexBytes("FFD8 00C0 000B"))._1 === "unknown") // lost sync
+    assert(meta(hexBytes("FFD8 FFC0 0005 08 01"))._1 === "unknown") // cut SOF
+  }
+}
