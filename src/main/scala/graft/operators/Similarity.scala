@@ -286,6 +286,58 @@ object Similarity {
       .distinct()
   }
 
+  /** Corpus-side EMBEDDING near-dup index — the vector twin of
+    * [[TextDedup.nearDupIndex]]: (tbl, bucket, corpus_vec) rows,
+    * `tables` per vector, SRP-bucketed. What a growing corpus persists
+    * instead of re-scanning embeddings: fixed `tables x (bucket key +
+    * dim floats)` per row. Degenerate buckets capped at `maxBucket`
+    * (the [[cosineNearDup]] guard; documented recall trade). */
+  def embedNearDupIndex(corpus: DataFrame, vecCol: String, dim: Int,
+      planes: Int = 8, tables: Int = 8, maxBucket: Int = 2000): DataFrame =
+    bucketed(corpus.select(col(vecCol)), vecCol, dim, planes, tables)
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("tbl"), col("bucket"))))
+      .filter(col("__n") <= maxBucket).drop("__n")
+      .select(col("tbl"), col("bucket"), col(vecCol).as("corpus_vec"))
+
+  /** Incremental EMBEDDING near-dup — [[TextDedup.incrementalNearDup]]
+    * for vectors: a new batch is (1) dropped wherever any of its SRP
+    * buckets collides with the corpus index AND the EXACT cosine clears
+    * `threshold` (verification is exact here, not estimated — the
+    * vectors are right there), then (2) near-deduplicated within
+    * itself: a row drops when any smaller-`idCol` corpus-surviving
+    * batch row is its near-dup, so a transitive cluster collapses to
+    * its smallest id.
+    *
+    * Scale shape: O(batch x tables) bucket rows join the index on
+    * (tbl, bucket) — the corpus is never re-scanned; the cosine verify
+    * runs only on colliding rows, map-side after the join. Returns
+    * surviving batch rows, ready to append to corpus and index. */
+  def incrementalEmbedNearDup(batch: DataFrame, idCol: String,
+      vecCol: String, index: DataFrame, threshold: Double, dim: Int,
+      planes: Int = 8, tables: Int = 8, maxBucket: Int = 2000): DataFrame = {
+    val banded = bucketed(batch.select(col(idCol), col(vecCol)),
+      vecCol, dim, planes, tables)
+    val dupVsCorpus = banded.join(index, Seq("tbl", "bucket"))
+      .filter(round(cosine(col(vecCol), col("corpus_vec")), 6) >= threshold)
+      .select(col(idCol)).distinct()
+    val surv = banded.join(dupVsCorpus, Seq(idCol), "left_anti")
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("tbl"), col("bucket"))))
+      .filter(col("__n").between(2, maxBucket)).drop("__n")
+    val droppedInBatch = surv
+      .select(col("tbl"), col("bucket"), col(idCol).as("id_a"),
+        col(vecCol).as("__va"))
+      .join(surv.select(col("tbl").as("t2"), col("bucket").as("b2"),
+        col(idCol).as("id_b"), col(vecCol).as("__vb")),
+        col("tbl") === col("t2") && col("bucket") === col("b2") &&
+          col("id_a") < col("id_b"))
+      .filter(round(cosine(col("__va"), col("__vb")), 6) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    batch.join(dupVsCorpus, Seq(idCol), "left_anti")
+      .join(droppedInBatch, Seq(idCol), "left_anti")
+  }
+
   /** SemDeDup (Abbas et al. 2023, public): semantic near-duplicate
     * removal by clustering embeddings with the coarse k-means quantizer
     * and deduplicating WITHIN each cluster — pairwise cosine is only

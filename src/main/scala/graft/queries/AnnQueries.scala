@@ -555,6 +555,94 @@ object AnnQueries {
     }),
 
 
+    // Incremental EMBEDDING near-dup — the vector twin of
+    // q_incremental_neardup: a new batch joins the corpus's persisted
+    // SRP bucket index on (tbl, bucket), EXACT cosine >= 0.4 verifies
+    // each collision, then within-batch near-dup clusters collapse to
+    // the smallest id (computed among corpus-survivors). The corpus is
+    // the deterministic md5 half of the table, so re-arriving corpus
+    // vectors drop against their own index entries (cos = 1). The
+    // oracle replays SRP planes, the bucket caps, both drop sets, and
+    // the exact-cosine verify.
+    QueryDef("q_incremental_embed_neardup", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb
+        .filter(DataSplit.hashBucket(col("vec_id"), 2, "nd") === 0)
+      val index = Similarity.embedNearDupIndex(corpus, "embedding",
+        dim = 64, planes = 6, tables = 16)
+      Similarity.incrementalEmbedNearDup(emb, "vec_id", "embedding",
+        index, threshold = 0.4, dim = 64, planes = 6, tables = 16)
+        .select(col("vec_id"))
+    }, Some {
+      val planeRows = (0 until 16).flatMap { tbl =>
+        graft.functions.SrpBucket.weights(64, 6, tbl).zipWithIndex.map {
+          case (w, p) => s"($tbl, $p, [${w.mkString(",")}])"
+        }
+      }.mkString(",\n        ")
+      def cosSql(a: String, b: String): String =
+        s"""ROUND(list_dot_product(CAST($a AS DOUBLE[]),
+                                   CAST($b AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST($a AS DOUBLE[]),
+                                   CAST($a AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST($b AS DOUBLE[]),
+                                   CAST($b AS DOUBLE[])))), 6)"""
+      s"""
+      WITH planes(tbl, plane, w) AS (VALUES
+        $planeRows),
+      bits AS (
+        SELECT e.vec_id, p.tbl, p.plane,
+          CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(generate_series(1, 64),
+                i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i])),
+              (a, x) -> a + x) > 0
+            THEN CAST(1 AS BIGINT) << p.plane
+            ELSE CAST(0 AS BIGINT) END AS bit
+        FROM embeddings e, planes p),
+      buckets AS (
+        SELECT vec_id, tbl, CAST(SUM(bit) AS BIGINT) AS bucket
+        FROM bits GROUP BY 1, 2),
+      corp AS (
+        SELECT vec_id FROM embeddings
+        WHERE ('0x' || substr(md5(vec_id::VARCHAR || 'nd'), 1, 8))::BIGINT
+          % 2 = 0),
+      idx AS (
+        SELECT b.tbl, b.bucket, b.vec_id AS cid
+        FROM buckets b JOIN corp ON b.vec_id = corp.vec_id),
+      idx_capped AS (
+        SELECT tbl, bucket, cid FROM (
+          SELECT idx.*, COUNT(*) OVER (PARTITION BY tbl, bucket) AS n
+          FROM idx)
+        WHERE n <= 2000),
+      drop_corpus AS (
+        SELECT DISTINCT b.vec_id
+        FROM buckets b
+        JOIN idx_capped i ON b.tbl = i.tbl AND b.bucket = i.bucket
+        JOIN embeddings ea ON ea.vec_id = b.vec_id
+        JOIN embeddings eb ON eb.vec_id = i.cid
+        WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.4),
+      surv AS (
+        SELECT * FROM buckets
+        WHERE vec_id NOT IN (SELECT vec_id FROM drop_corpus)),
+      surv_capped AS (
+        SELECT vec_id, tbl, bucket FROM (
+          SELECT surv.*, COUNT(*) OVER (PARTITION BY tbl, bucket) AS n
+          FROM surv)
+        WHERE n BETWEEN 2 AND 2000),
+      drop_batch AS (
+        SELECT DISTINCT b.vec_id
+        FROM surv_capped a
+        JOIN surv_capped b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket
+            AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.4)
+      SELECT vec_id FROM embeddings
+      WHERE vec_id NOT IN (SELECT vec_id FROM drop_corpus)
+        AND vec_id NOT IN (SELECT vec_id FROM drop_batch)"""
+    }),
+
+
     // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — the
     // published scale path where pairwise cosine is confined to k-means
     // cells. Depends on the trained quantizer → rows-only check; the

@@ -233,4 +233,40 @@ class SimilaritySpec extends SparkSpec {
     val recall = (planted & lsh).size.toDouble / planted.size
     assert(recall >= 0.9, s"near-dup recall $recall")
   }
+
+  test("incremental embed near-dup: planted dups drop vs corpus and within batch") {
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val rnd = new scala.util.Random(11)
+    val v = unit(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val u = unit(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val w = unit(Array.fill(16)(rnd.nextGaussian().toFloat))
+    def near(x: Array[Float]) =
+      unit(x.map(c => c + 0.01f * rnd.nextGaussian().toFloat))
+    val corpus = Seq(100L -> v).toDF("vec_id", "embedding")
+    val index = Similarity.embedNearDupIndex(corpus, "embedding",
+      dim = 16, planes = 4, tables = 8)
+    val batch = Seq(
+      1L -> near(v), // near-dup of the CORPUS vector -> dropped vs index
+      2L -> u,       // survives (smallest id of its cluster)
+      3L -> near(u), // within-batch near-dup of 2 -> dropped
+      4L -> w        // survives
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.incrementalEmbedNearDup(batch, "vec_id",
+      "embedding", index, threshold = 0.95, dim = 16,
+      planes = 4, tables = 8)
+    assert(out.select("vec_id").as[Long].collect().sorted.toSeq ===
+      Seq(2L, 4L))
+    // empty index: only the within-batch rule applies
+    val noIdx = Similarity.embedNearDupIndex(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      "embedding", dim = 16, planes = 4, tables = 8)
+    val out2 = Similarity.incrementalEmbedNearDup(batch, "vec_id",
+      "embedding", noIdx, threshold = 0.95, dim = 16,
+      planes = 4, tables = 8)
+    assert(out2.select("vec_id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 2L, 4L))
+  }
 }
