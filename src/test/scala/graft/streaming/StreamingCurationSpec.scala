@@ -305,4 +305,49 @@ class StreamingCurationSpec extends SparkSpec {
       assert(survived.synchronized(survived.toSeq) === Seq(1L, 2L, 4L))
     } finally q.stop()
   }
+
+  test("streaming incremental EMBED near-dup: SRP index grows per batch, later vector dups drop") {
+    import graft.operators.Similarity
+    implicit val sq = spark.sqlContext
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val rnd = new scala.util.Random(13)
+    val v = unit(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val u = unit(Array.fill(16)(rnd.nextGaussian().toFloat))
+    def near(x: Array[Float]) =
+      unit(x.map(c => c + 0.01f * rnd.nextGaussian().toFloat))
+
+    val in = MemoryStream[(Long, Array[Float])]
+    var index = Similarity.embedNearDupIndex(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      "embedding", dim = 16, planes = 4, tables = 8).localCheckpoint(true)
+    val survived = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = in.toDS().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val surv = Similarity.incrementalEmbedNearDup(batch, "vec_id",
+          "embedding", index, threshold = 0.95, dim = 16,
+          planes = 4, tables = 8)
+        survived.synchronized {
+          survived ++= surv.select("vec_id").as[Long](
+            org.apache.spark.sql.Encoders.scalaLong).collect().sorted }
+        index = index.unionByName(Similarity.embedNearDupIndex(
+          surv.select("vec_id", "embedding"), "embedding",
+          dim = 16, planes = 4, tables = 8)).localCheckpoint(true)
+        ()
+      }.start()
+    try {
+      in.addData(1L -> v)
+      q.processAllAvailable()
+      // batch 2: a perturbation of batch-1's vector drops against the
+      // grown index; a fresh vector survives and is indexed
+      in.addData(2L -> near(v), 3L -> u)
+      q.processAllAvailable()
+      // batch 3: near-dup of batch-2's survivor also drops
+      in.addData(4L -> near(u))
+      q.processAllAvailable()
+      assert(survived.synchronized(survived.toSeq) === Seq(1L, 3L))
+    } finally q.stop()
+  }
 }
