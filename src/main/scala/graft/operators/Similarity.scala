@@ -291,7 +291,17 @@ object Similarity {
     * `tables` per vector, SRP-bucketed. What a growing corpus persists
     * instead of re-scanning embeddings: fixed `tables x (bucket key +
     * dim floats)` per row. Degenerate buckets capped at `maxBucket`
-    * (the [[cosineNearDup]] guard; documented recall trade). */
+    * (the [[cosineNearDup]] guard; documented recall trade).
+    *
+    * SIZE `planes` TO THE CORPUS: a table has 2^planes buckets, so
+    * expected occupancy is N/2^planes — keep it well under `maxBucket`
+    * or saturated buckets get capped away (recall collapse) and the
+    * cap's window shuffle carries the whole banded corpus (measured:
+    * planes=6 at a 500k-vector corpus turns the second scale decade
+    * super-linear, 27.9x; planes=12 restores 6.4x — BENCH_NOTES round
+    * 9). The TEXT twin has no such knob because MinHash band keys are
+    * effectively unbounded-cardinality; SRP bucket cardinality is a
+    * chosen parameter. */
   def embedNearDupIndex(corpus: DataFrame, vecCol: String, dim: Int,
       planes: Int = 8, tables: Int = 8, maxBucket: Int = 2000): DataFrame =
     bucketed(corpus.select(col(vecCol)), vecCol, dim, planes, tables)
