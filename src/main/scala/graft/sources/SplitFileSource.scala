@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -153,12 +153,27 @@ private object SplitOffset {
 
 private final class SplitMicroBatchStream(path: String, maxDriftMs: Long,
     idlenessMs: Long, compactRetentionMs: Long)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
   require(path != null && path.nonEmpty, "path option is required")
   require(maxDriftMs > 0, "split.maxDriftMs must be positive")
   require(idlenessMs > 0, "split.idlenessMs must be positive")
 
   @volatile private var committed: SplitOffset = SplitOffset.initial
+
+  /** Trigger.AvailableNow: drain the prepare-time snapshot with the
+    * alignment bound suspended — a drain-and-stop run has no live
+    * sibling splits to pace against, and a paused split would
+    * otherwise make the single-batch fallback TERMINATE with admitted
+    * data missing (the AlignedFileSource drain-mode rationale). Files
+    * appearing after prepare wait for the next run. */
+  @volatile private var availableNowTarget
+      : Option[Map[String, Set[String]]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(SplitFileSource.listSplits(path).map(sp =>
+      sp -> AlignedFileSource.listFiles(s"$path/$sp").map(_._2).toSet)
+      .toMap)
 
   /** split -> processing time of the last NEW file admitted (or first
     * sighting). Transient — see class scaladoc on idleness recovery. */
@@ -229,18 +244,24 @@ private final class SplitMicroBatchStream(path: String, maxDriftMs: Long,
       if (active.isEmpty) combinedWatermark
       else math.max(combinedWatermark, active.map(splitWm).min)
     combinedWatermark = combined
+    val target = availableNowTarget
+    // drain mode: alignment suspended, file set pinned to the snapshot
+    val drift = if (target.isDefined) Long.MaxValue else maxDriftMs
     var n = 0
     val out = splits.map { sp =>
       var wm = splitWm(sp)
       val adm = Seq.newBuilder[String]
       var blocked = false
-      for ((ts, name) <- st(sp).pending if !blocked && n < fileCap) {
+      for ((ts, name) <- st(sp).pending
+           if !blocked && n < fileCap &&
+             target.forall(_.getOrElse(sp, Set.empty)(name))) {
         // one-more-file rule: bound checked on the split's CURRENT
         // watermark, so the slowest split (wm == combined) always
         // progresses; a fast split admits the bound-crossing file then
         // pauses (see AlignedFileSource scaladoc for the liveness
         // argument)
-        if (wm == Long.MinValue || wm <= combined + maxDriftMs) {
+        if (wm == Long.MinValue || drift == Long.MaxValue ||
+            wm <= combined + drift) {
           adm += name; wm = math.max(wm, ts); n += 1
           lastActivity.update(sp, now)
         } else blocked = true

@@ -128,6 +128,31 @@ class SplitSourceSpec extends SparkSpec {
       () => System.currentTimeMillis() }
   }
 
+  test("Trigger.AvailableNow drains every split even when alignment would pause them") {
+    val dir = Files.createTempDirectory("split_avail_now")
+    // 'empty' would hold the combined watermark at MinValue forever
+    // under a continuous trigger — drain mode must suspend alignment or
+    // the single-batch fallback terminates with b2/b3 unread
+    Files.createDirectories(dir.resolve("empty"))
+    writeFile(dir, "busy", "1000-b1.csv", 1000L -> "b1")
+    writeFile(dir, "busy", "2000-b2.csv", 2000L -> "b2")
+    writeFile(dir, "busy", "900000-b3.csv", 900000L -> "b3")
+    val q = spark.readStream
+      .format(classOf[SplitFileSource].getName)
+      .option("path", dir.toString)
+      .option("split.maxDriftMs", "5000")
+      .load()
+      .writeStream.format("memory").queryName("split_avail_now_sink")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(60000), "AvailableNow query must terminate")
+      assert(sinkRows("split_avail_now_sink") ===
+        Set("busy" -> "b1", "busy" -> "b2", "busy" -> "b3"))
+    } finally q.stop()
+  }
+
   test("per-split offsets compact committed names into per-split high watermarks") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val dir = Files.createTempDirectory("split_compact")
