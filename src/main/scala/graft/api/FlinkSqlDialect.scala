@@ -157,15 +157,48 @@ object FlinkSqlDialect {
     // CROSS JOIN UNNEST (reference docs .../sql/queries/joins.md "Array
     // Expansion"): Spark spells it LATERAL VIEW — explode for a single
     // output column, inline for array-of-row expanded to n columns.
-    // WITH ORDINALITY has no direct LATERAL VIEW form (posexplode's pos
-    // is 0-based and column-first) — raise with the pointer, scoped to
-    // actual UNNEST clauses so string literals/comments containing the
-    // words can't trip it.
     val unnestArgs = """UNNEST\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)"""
+    // WITH ORDINALITY (reference: value column first, 1-BASED ordinal
+    // last) has no direct LATERAL VIEW form — posexplode's pos is
+    // 0-based and column-first, and its alias can't re-order columns.
+    // Rewrite instead to inline over the array zipped with a 1-based
+    // index: arrays_zip(e, sequence(1, size(e))) pairs each element
+    // with its ordinal in (value, ord) order, which inline expands into
+    // two named columns. sequence(1, 0) would DESCEND for an empty
+    // array (arrays_zip null-pads to the longer side), so the sequence
+    // is floored at one element and the zip sliced back to size(e) —
+    // empty arrays and NULL arrays both yield zero rows, matching
+    // CROSS JOIN UNNEST.
+    val UnnestOrd =
+      ("""(?is)CROSS\s+JOIN\s+""" + unnestArgs +
+        """\s+WITH\s+ORDINALITY\s+AS\s+(\w+)\s*\((\w+(?:\s*,\s*\w+)*)\)""").r
+    UnnestOrd.findAllMatchIn(out).foreach { m =>
+      val cols = m.group(3).split(",").map(_.trim)
+      require(cols.length == 2,
+        s"UNNEST WITH ORDINALITY AS ${m.group(2)}(${m.group(3)}): " +
+          "supported for single-column arrays — AS alias(value, ord); " +
+          "for array-of-row expansion use posexplode + field access " +
+          "directly")
+      val rest = out.substring(m.end)
+      require(!"""(?is)^\s*(?:(?:LEFT|RIGHT|FULL|INNER|CROSS)\s+)*(?:OUTER\s+)?JOIN\b"""
+          .r.findFirstIn(rest).isDefined,
+        "CROSS JOIN UNNEST followed by another JOIN: Spark's LATERAL " +
+          "VIEW must come after all join relations — move the UNNEST " +
+          "clause after the other joins")
+    }
+    out = UnnestOrd.replaceAllIn(out, m => {
+      val (expr, alias) = (m.group(1), m.group(2))
+      val Array(v, ord) = m.group(3).split(",").map(_.trim)
+      Regex.quoteReplacement(
+        s"LATERAL VIEW inline(slice(arrays_zip($expr, " +
+          s"sequence(1, greatest(size($expr), 1))), 1, " +
+          s"greatest(size($expr), 0))) $alias AS $v, $ord")
+    })
+    // any surviving ordinality form (no column list) cannot be rewritten
     require(!("""(?is)""" + unnestArgs + """\s+WITH\s+ORDINALITY""").r
         .findFirstIn(out).isDefined,
-      "UNNEST WITH ORDINALITY: use posexplode(...) (0-based pos) via the " +
-        "DataFrame API or SELECT posexplode(...)")
+      "UNNEST WITH ORDINALITY: add a column list — AS alias(value, ord) " +
+        "— so the rewrite can name the exploded and ordinal columns")
     val Unnest =
       ("""(?is)CROSS\s+JOIN\s+""" + unnestArgs +
         """\s+AS\s+(\w+)\s*\((\w+(?:\s*,\s*\w+)*)\)""").r

@@ -78,8 +78,17 @@ case class ImageMetaExpr(child: Expression)
         if (marker == 0xd8 || marker == 0x01 ||
             (marker >= 0xd0 && marker <= 0xd7)) {
           i += 2 // standalone markers (RSTn/TEM) carry no length
-        } else if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
-          // SOF: len(2) precision(1) height(2) width(2)
+        } else if (marker == 0xda) {
+          // SOS before any SOF: entropy-coded data follows and stray
+          // FF Cx byte pairs inside it would parse as bogus dimensions
+          // — stop rather than walk past it.
+          return unknown
+        } else if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+          // Any SOFn (baseline/progressive/lossless/arithmetic; C4=DHT,
+          // C8=JPG, CC=DAC are not frames): len(2) precision(1)
+          // height(2) width(2) — the frame header layout is shared by
+          // all SOFn variants.
           if (i + 8 < b.length)
             return out("jpeg", be16(b, i + 7), be16(b, i + 5))
           else return unknown

@@ -65,12 +65,20 @@ object AsyncLookupJoin {
       }
       val pending = scala.collection.mutable.Map.empty[K, Future[Option[V]]]
       def withRetry(k: K, attempt: Int): Future[Option[V]] =
-        fn.asyncLookup(k).recoverWith {
+        fn.asyncLookup(k).transformWith {
+          case scala.util.Success(hit @ Some(_)) => Future.successful(hit)
           case _ if attempt < maxRetries =>
             // fixed-delay retry on the pool thread (reference
-            // FIXED_DELAY strategy; delay bounded by the caller)
+            // FIXED_DELAY strategy; delay bounded by the caller).
+            // Retried outcomes: a MISS (None — the reference's
+            // 'lookup_miss' predicate: the row may not have reached the
+            // store yet) and a thrown failure alike; a miss that
+            // survives all attempts is a legitimate no-match, a
+            // surviving failure propagates.
             if (retryDelayMs > 0) Thread.sleep(retryDelayMs)
             withRetry(k, attempt + 1)
+          case scala.util.Success(none) => Future.successful(none)
+          case scala.util.Failure(e) => Future.failed(e)
         }
       // duplicate keys already in flight share one future (the
       // reference's LookupCacheManager semantics) — a hot probe key

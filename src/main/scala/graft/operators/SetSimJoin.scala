@@ -64,21 +64,34 @@ object SetSimJoin {
       .distinct()
     val sz = tok.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val dfreq0 = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    // auto-select the factorization: below ~10^6 distinct tokens the
-    // single-task sort is measurably cheaper; above it the vocabulary
-    // is beyond one task's sort budget and the per-bucket rank path
-    // must take over. The auto probe runs ONE eager job (checkpoint +
-    // count of the token-frequency table) at DataFrame-construction
-    // time — the plan shape depends on the measured vocabulary size,
-    // so the measurement cannot be deferred. Callers that need lazy
-    // construction (plan audits, EXPLAIN) pass Some(...) to skip the
-    // probe; the checkpoint is shared with the rank scan either way
-    // the auto path is taken.
+    // Factorization selection. The plan shape depends on the
+    // vocabulary size, which only a job can measure — so by DEFAULT
+    // construction stays lazy (EXPLAIN/audit flows run no job) and the
+    // single-task sort is used; the measured auto-switch is opt-in via
+    // conf `spark.graft.setSimJoin.vocab`:
+    //  - "sort" (default): global row_number; correct at any size,
+    //    single-task vocabulary sort — fine up to ~10^6 tokens.
+    //  - "distributed": per-bucket rank; pay ~2 extra shuffles, scale
+    //    past one task's sort budget. Set this for web-scale shingle
+    //    spaces.
+    //  - "probe": restore the eager auto-switch — ONE job (checkpoint
+    //    + count of the token-frequency table) at construction picks
+    //    the path; the checkpoint is then shared with the rank scan.
+    // Callers that know their vocabulary pass Some(...) and skip all
+    // of this.
     val (dfreq, useDistributed) = distributedVocab match {
       case Some(dv) => (dfreq0, dv)
       case None =>
-        val d = dfreq0.localCheckpoint(true)
-        (d, d.count() > DistributedVocabThreshold)
+        tok0.sparkSession.conf
+          .getOption("spark.graft.setSimJoin.vocab").getOrElse("sort") match {
+          case "sort" => (dfreq0, false)
+          case "distributed" => (dfreq0, true)
+          case "probe" =>
+            val d = dfreq0.localCheckpoint(true)
+            (d, d.count() > DistributedVocabThreshold)
+          case other => throw new IllegalArgumentException(
+            s"spark.graft.setSimJoin.vocab must be sort|distributed|probe, got '$other'")
+        }
     }
     // factorize tokens to dense int ids ordered by (string): bijective,
     // so every downstream set op is EXACT, while candidate buckets and

@@ -494,7 +494,12 @@ object AnnQueries {
                                    CAST(a.embedding AS DOUBLE[])))
            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])))), 6)
-          >= 0.4""")),
+          >= 0.4"""),
+      // Exact all-pairs oracle anchor (O(N²) theta-join by design, like
+      // q_set_simjoin's brute twin) — out of the bench set per the
+      // repo's all-pairs-anchor convention; q_embed_neardup_lsh is the
+      // benched scale path.
+      bench = false),
 
 
     // The LSH-bucketed near-dup scale path. Fully oracled: the SRP

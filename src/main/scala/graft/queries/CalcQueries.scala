@@ -118,6 +118,27 @@ object CalcQueries {
       FROM documents, generate_series(1, 3) t(i)
       WHERE doc_id < 20 AND i <= len(string_split(text, ' '))""")),
 
+    // UNNEST WITH ORDINALITY via the SQL dialect rewrite (reference
+    // docs .../sql/queries/joins.md "Array Expansion"): value column
+    // first, 1-BASED ordinal last — rewritten by FlinkSqlDialect into
+    // inline over a 1-based-index zip.
+    QueryDef("q_unnest_ordinality", (s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .createOrReplaceTempView("unnest_ord_docs")
+      s.sql(graft.api.FlinkSqlDialect.translate("""
+        SELECT doc_id, word, CAST(ord AS BIGINT) AS ord
+        FROM unnest_ord_docs
+        CROSS JOIN UNNEST(words) WITH ORDINALITY AS u(word, ord)"""))
+        .filter(col("ord") <= 5)
+    }, Some("""
+      SELECT doc_id, words[i] AS word, CAST(i AS BIGINT) AS ord
+      FROM (SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents WHERE doc_id < 20),
+           generate_series(1, 5) g(i)
+      WHERE i <= len(words)""")),
+
     // Pivot-style conditional aggregation.
     QueryDef("q_pivot", (s, dir) => {
       t(s, dir, "events")

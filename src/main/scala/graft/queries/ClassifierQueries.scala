@@ -20,7 +20,9 @@ object ClassifierQueries {
 
   private val Dim = 32
   private val Iters = 160
-  private val EtaShift = 4
+  // Operator default; satisfies the documented sufficient stability
+  // bound (dim+1)/2^etaShift < 2 (33/64 < 2 — etaShift=4 did not).
+  private val EtaShift = 6
   private val LambdaFx = 1024L
   private val Scale = 1L << 20
 

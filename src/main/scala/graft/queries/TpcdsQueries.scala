@@ -86,13 +86,16 @@ object TpcdsQueries {
             .otherwise("catalog channel"))
       val rev = revenue(col("l_extendedprice"), col("l_discount")).cast(d184)
       val zero = lit(0).cast(d184)
-      val sales = base.filter(col("l_returnflag") =!= "R")
-        .select(col("channel"), col("n_name"),
-          rev.as("sales_amt"), zero.as("return_amt"))
-      val returns = base.filter(col("l_returnflag") === "R")
-        .select(col("channel"), col("n_name"),
-          zero.as("sales_amt"), rev.as("return_amt"))
-      sales.unionByName(returns)
+      // ONE scan with conditional measures (the s77/s9 pattern): every
+      // base row is sales XOR returns, so a union of two filtered
+      // branches computes the identical multiset while duplicating the
+      // whole 3-way join subtree in the physical plan (Spark does not
+      // materialize shared subtrees) — 2× the join work at any scale.
+      base.select(col("channel"), col("n_name"),
+          when(col("l_returnflag") =!= "R", rev).otherwise(zero)
+            .as("sales_amt"),
+          when(col("l_returnflag") === "R", rev).otherwise(zero)
+            .as("return_amt"))
         .rollup(col("channel"), col("n_name"))
         .agg(sum(col("sales_amt")).cast("double").as("sales"),
           sum(col("return_amt")).cast("double").as("returns"))

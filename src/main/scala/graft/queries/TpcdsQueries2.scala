@@ -56,10 +56,18 @@ object TpcdsQueries2 {
     // o_orderstatus (F=store, O=web, P=catalog). ----
     QueryDef("q_tpcds_s4", (s, dir) => {
       val zero = lit(0).cast(d184)
+      // The sum is cast back to DECIMAL(18,4) so the cross-multiplied
+      // ratio compare below stays EXACT: 18+18+1 = 37 digits fits
+      // DECIMAL(38,8) on both engines, whereas sum-typed DECIMAL(28,4)
+      // products overflow 38 digits (Spark rounds to (38,6), DuckDB
+      // promotes to DOUBLE — boundary customers could flip). Range
+      // bound: a single customer's per-channel-year revenue must be
+      // < 10^14; TPC-H order totals are bounded in the low 10^5, so
+      // this holds with ~9 digits of headroom at any SF.
       val spend = (st: String, y: Int) => sum(when(
         col("o_orderstatus") === st && year(col("o_orderdate")) === y,
         revenue(col("l_extendedprice"), col("l_discount")).cast(d184))
-        .otherwise(zero))
+        .otherwise(zero)).cast(d184)
       t(s, dir, "lineitem")
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
@@ -83,24 +91,18 @@ object TpcdsQueries2 {
     }, Some(s"""
       WITH y AS (
         SELECT c_custkey, c_name,
-          SUM(CASE WHEN o_orderstatus = 'F' AND year(o_orderdate) = 1996
-            THEN CAST(${revenueSql("l_extendedprice", "l_discount")}
-              AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS f96,
-          SUM(CASE WHEN o_orderstatus = 'F' AND year(o_orderdate) = 1997
-            THEN CAST(${revenueSql("l_extendedprice", "l_discount")}
-              AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS f97,
-          SUM(CASE WHEN o_orderstatus = 'O' AND year(o_orderdate) = 1996
-            THEN CAST(${revenueSql("l_extendedprice", "l_discount")}
-              AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS o96,
-          SUM(CASE WHEN o_orderstatus = 'O' AND year(o_orderdate) = 1997
-            THEN CAST(${revenueSql("l_extendedprice", "l_discount")}
-              AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS o97,
-          SUM(CASE WHEN o_orderstatus = 'P' AND year(o_orderdate) = 1996
-            THEN CAST(${revenueSql("l_extendedprice", "l_discount")}
-              AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS p96,
-          SUM(CASE WHEN o_orderstatus = 'P' AND year(o_orderdate) = 1997
-            THEN CAST(${revenueSql("l_extendedprice", "l_discount")}
-              AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS p97
+          ${Seq("F" -> "f", "O" -> "o", "P" -> "p").flatMap {
+            case (st, pre) => Seq(1996, 1997).map { yr =>
+              // CAST(SUM(...) AS DECIMAL(18,4)) mirrors the engine-side
+              // narrowing so the cross-multiply below is exact decimal
+              // on both engines (see the Spark-side comment).
+              s"""CAST(SUM(CASE WHEN o_orderstatus = '$st'
+                AND year(o_orderdate) = $yr
+                THEN CAST(${revenueSql("l_extendedprice", "l_discount")}
+                AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
+                AS DECIMAL(18,4)) AS $pre${yr - 1900}"""
+            }
+          }.mkString(",\n          ")}
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -111,8 +113,12 @@ object TpcdsQueries2 {
         CAST(f97 AS DOUBLE) / CAST(f96 AS DOUBLE) AS store_growth
       FROM y
       WHERE f96 > 0 AND o96 > 0 AND p96 > 0
-        AND o97 * f96 > f97 * o96
-        AND p97 * f96 > f97 * p96
+        -- one operand widened to DECIMAL(19,4): DuckDB executes an
+        -- int64 x int64 decimal multiply in int64 (raising on overflow);
+        -- a hugeint-backed operand forces exact int128 math, matching
+        -- Spark's exact DECIMAL(37,8) product
+        AND CAST(o97 AS DECIMAL(19,4)) * f96 > CAST(f97 AS DECIMAL(19,4)) * o96
+        AND CAST(p97 AS DECIMAL(19,4)) * f96 > CAST(f97 AS DECIMAL(19,4)) * p96
       ORDER BY c_name LIMIT 100""")),
 
     // ---- TPC-DS query7 shape (q26 is the catalog twin): four exact

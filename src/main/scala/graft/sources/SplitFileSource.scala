@@ -208,7 +208,14 @@ private final class SplitMicroBatchStream(path: String, maxDriftMs: Long,
     val now = SplitFileSource.nowMs()
     val startOff = Option(start).map(o => SplitOffset.fromJson(o.json()))
       .getOrElse(SplitOffset.initial)
-    val splits = SplitFileSource.listSplits(path)
+    // Union in splits known only from offset state: a split directory
+    // that is deleted (or transiently missing from a listing) must
+    // carry its (hw, files) state forward unchanged, not be erased —
+    // erasing it would re-admit every file (duplicate rows) when the
+    // directory reappears. A carried split has no pending files, so it
+    // ages into idleness like any drained split.
+    val splits = (SplitFileSource.listSplits(path) ++
+      startOff.splits.keys ++ committed.splits.keys).distinct.sorted
     splits.foreach(s => require(s.forall(c =>
       c.isLetterOrDigit || c == '_' || c == '-'),
       s"split name '$s' would corrupt the offset json"))

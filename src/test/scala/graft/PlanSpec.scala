@@ -228,6 +228,15 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("q_tpcds_s5: sales/returns report is ONE fact scan with conditional measures") {
+    val p = plan("q_tpcds_s5")
+    // lineitem + orders + customer + nation, each scanned exactly once —
+    // the former sales/returns unionByName duplicated the whole 3-way
+    // join subtree (2× the join work at any scale)
+    assert("Scan parquet".r.findAllIn(p).size == 4, p)
+    assert(!p.contains("Union"), "s5 must not union two fact passes")
+  }
+
   test("q_tpcds_s77: P&L outer-join shape is one fact scan, Expand over partials") {
     val p = plan("q_tpcds_s77")
     // one lineitem scan + the two broadcast dims — never a second

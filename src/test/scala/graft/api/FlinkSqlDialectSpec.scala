@@ -261,12 +261,36 @@ class FlinkSqlDialectSpec extends SparkSpec {
       CROSS JOIN UNNEST(kvs) AS u(k, v)""")
       .collect().map(r => (r.getString(1), r.getInt(2))).toSet
     assert(kvs == Set(("x", 1), ("y", 2)))
-    // WITH ORDINALITY raises with a pointer
-    intercept[IllegalArgumentException] {
-      env.executeSql("""
-        SELECT id, tag, o FROM unnest_t
-        CROSS JOIN UNNEST(tags) WITH ORDINALITY AS u(tag, o)""")
+    // WITH ORDINALITY -> inline over the 1-based-index zip: value
+    // column first, 1-BASED ordinal last (reference semantics)
+    val ord = env.executeSql("""
+      SELECT id, tag, o FROM unnest_t
+      CROSS JOIN UNNEST(tags) WITH ORDINALITY AS u(tag, o)""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(ord == Set((1L, "a", 1), (1L, "b", 2)))
+    // empty and NULL arrays yield zero rows (CROSS JOIN semantics) —
+    // the sequence floor must not leak a padded row
+    spark.sql("""SELECT * FROM VALUES
+        (1L, array('x')), (2L, array()), (3L, CAST(NULL AS ARRAY<STRING>))
+        AS t(id, tags)""").createOrReplaceTempView("unnest_edge")
+    val edge = env.executeSql("""
+      SELECT id, tag, o FROM unnest_edge
+      CROSS JOIN UNNEST(tags) WITH ORDINALITY AS u(tag, o)""")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(edge == Set((1L, "x", 1)))
+    // ordinality over array-of-row raises with a pointer (no posinline)
+    val eOrd = intercept[IllegalArgumentException] {
+      FlinkSqlDialect.translate("""
+        SELECT id, k, v, o FROM unnest_t
+        CROSS JOIN UNNEST(kvs) WITH ORDINALITY AS u(k, v, o)""")
     }
+    assert(eOrd.getMessage.contains("single-column"))
+    // ordinality without a column list raises, not silent pass-through
+    val eOrd2 = intercept[IllegalArgumentException] {
+      FlinkSqlDialect.translate(
+        "SELECT id FROM unnest_t CROSS JOIN UNNEST(tags) WITH ORDINALITY AS u")
+    }
+    assert(eOrd2.getMessage.contains("column list"))
     // ...but only when attached to an UNNEST clause — a string literal
     // containing the words is fine
     assert(env.executeSql(

@@ -74,6 +74,49 @@ class LookupJoinSqlSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("LOOKUP hint routes through AsyncLookupJoin with retry options applied") {
+    // the registered async function, NOT the snapshot join, must serve
+    // the hinted query — proven by invocation counting; the first
+    // attempt per key is a simulated miss, so complete results also
+    // prove retry-predicate='lookup_miss' + max-attempts='2' were bound
+    val cmap = { env; spark.table("lk_customer").collect()
+      .map(r => r.getLong(0) -> r).toMap }
+    LookupJoinSqlSpec.invocations.set(0)
+    LookupJoinSqlSpec.attempts.clear()
+    env.registerAsyncLookupFunction("lk_customer",
+      new AsyncLookupJoin.AsyncLookupFn[Any, Row] {
+        def asyncLookup(key: Any)(
+            implicit ec: ExecutionContext): Future[Option[Row]] = Future {
+          LookupJoinSqlSpec.invocations.incrementAndGet()
+          val n = LookupJoinSqlSpec.attempts
+            .computeIfAbsent(key, _ => new AtomicInteger(0))
+            .incrementAndGet()
+          if (n == 1) None // first attempt misses -> retry must fire
+          else cmap.get(key.asInstanceOf[Long])
+        }
+      })
+    try {
+      val got = env.executeSql("""
+        SELECT /*+ LOOKUP('table'='c', 'async'='true', 'capacity'='4',
+                   'retry-predicate'='lookup_miss',
+                   'retry-strategy'='fixed_delay',
+                   'fixed-delay'='1ms', 'max-attempts'='2') */
+          o.o_orderkey, o.o_custkey, c.c_name
+        FROM lk_orders AS o
+        JOIN lk_customer FOR SYSTEM_TIME AS OF o.pt AS c
+        ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey < 500
+        """).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == expected && got.nonEmpty)
+      assert(LookupJoinSqlSpec.invocations.get() > 0,
+        "registered async function was never invoked — snapshot fallback ran instead")
+      import scala.collection.JavaConverters._
+      val perKey = LookupJoinSqlSpec.attempts.values().asScala.map(_.get())
+      assert(perKey.forall(_ == 2),
+        s"every key should see exactly miss+retry (2 attempts), got ${perKey.toSet}")
+    } finally env.registerAsyncLookupFunction("lk_customer", null)
+  }
+
   test("LEFT lookup join null-pads misses; inner drops them") {
     // dim covering only even customer keys
     spark.sql("SELECT c_custkey, c_name FROM lk_customer WHERE c_custkey % 2 = 0")
@@ -236,4 +279,8 @@ class LookupJoinSqlSpec extends SparkSpec {
 object LookupJoinSqlSpec {
   val opens = new AtomicInteger(0)
   val lookups = new AtomicInteger(0)
+  // retry test: per-key attempt counts + total async invocations
+  val invocations = new AtomicInteger(0)
+  val attempts =
+    new java.util.concurrent.ConcurrentHashMap[Any, AtomicInteger]()
 }
