@@ -23,9 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * rather than failing the scan: at corpus scale a malformed file must
   * never kill the job (it gets filtered by the format column instead).
   *
-  * Output: struct<format: string, width: int, height: int>. Only the
-  * pixel DECODE remains stubbed in [[Multimodal]] (no codecs in this
-  * container); the byte-level metadata pass here is the real thing. */
+  * Output: struct<format: string, width: int, height: int>. The pixel
+  * decode for the byte-level formats (PNG/BMP) is [[ImageDecodeExpr]];
+  * this metadata pass covers JPEG/GIF too, whose entropy-coded pixels
+  * stay out of scope. */
 case class ImageMetaExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
 

@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus a partition-batched decode /
   * feature-extract stage.
   *
-  * The Spark-side shape is the real thing — binary payload column,
-  * metadata struct, `mapPartitions` batching (one decoder init per
-  * partition, not per row), fixed-width float features out. The decode
-  * itself is a STUB (this container has no image/audio codecs): a
-  * deterministic fake that hashes payload bytes into a feature vector,
-  * clearly marked below. Swap `FakeCodec.decode` for a real JNI/codec
-  * call and nothing else changes.
+  * What is REAL vs stand-in:
+  *  - image metadata ([[imageMeta]]) and PNG/BMP pixel decode
+  *    ([[decodeImage]] / [[ImageDecodeExpr]]) are real byte-level
+  *    codecs, and [[resizeDecoded]] is a real nearest-neighbor
+  *    resample over decoded pixels;
+  *  - audio/video decode and the entropy-coded image formats
+  *    (JPEG DCT, GIF LZW) remain behind `FakeCodec`, a deterministic
+  *    stand-in clearly marked below — the `mapPartitions` batching
+  *    shape (one decoder init per partition, fixed-width float
+  *    features out) is what a JNI codec would slot into unchanged.
   */
 object Multimodal {
 
@@ -26,6 +29,46 @@ object Multimodal {
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(ImageMetaExpr(ColumnBridge.expression(payload)))
+  }
+
+  /** REAL pixel decode for PNG and BMP payloads — see
+    * [[ImageDecodeExpr]] (scanline filters, palette/alpha, zlib
+    * inflate, bomb guard). Returns struct<format, width, height,
+    * pixels: array<int>> with packed ARGB row-major pixels;
+    * unsupported/malformed -> ("unknown", -1, -1, NULL). */
+  def decodeImage(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(ImageDecodeExpr(ColumnBridge.expression(payload)))
+  }
+
+  /** REAL nearest-neighbor resize over a [[decodeImage]] result — pure
+    * Catalyst higher-order functions (sequence + transform +
+    * element_at), fully codegen'd, no UDF: target pixel (x, y) samples
+    * source pixel (x*sw/tw, y*sh/th). Rows whose decode failed (NULL
+    * pixels) pass through as NULL. This replaces the former byte-
+    * truncation stand-in for image rows: the resample is now real. */
+  def resizeDecoded(decoded: org.apache.spark.sql.Column,
+      width: Int, height: Int): org.apache.spark.sql.Column = {
+    require(width >= 1 && height >= 1, "width/height >= 1")
+    val sw = decoded.getField("width").cast("long")
+    val sh = decoded.getField("height").cast("long")
+    val px = decoded.getField("pixels")
+    val resized = transform(
+      sequence(lit(0L), lit(width.toLong * height - 1)), i => {
+        // floor division via double is exact here: every operand stays
+        // below 2^39 (pixel counts are bomb-capped at 2^26), well under
+        // the 2^53 double-integer limit
+        val ty = floor((i - (i % width)).cast("double") / width).cast("long")
+        val tx = i % width
+        val sy = floor((ty * sh).cast("double") / height).cast("long")
+        val sx = floor((tx * sw).cast("double") / width).cast("long")
+        element_at(px, (sy * sw + sx + 1L).cast("int"))
+      })
+    when(px.isNotNull, struct(
+      decoded.getField("format").as("format"),
+      lit(width).as("width"), lit(height).as("height"),
+      resized.as("pixels")))
   }
 
   case class MediaMeta(mediaType: String, width: Int, height: Int,

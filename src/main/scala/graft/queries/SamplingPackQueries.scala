@@ -73,8 +73,8 @@ object SamplingPackQueries {
     // APP1 segment BEFORE the SOF so the marker walk is exercised), and
     // the expression parses format + dimensions back out of the BYTES.
     // The oracle computes the expected values from doc_id arithmetic —
-    // a parse-inverts-synthesis end-to-end value check. Only pixel
-    // decode remains stubbed in Multimodal; this header pass is real.
+    // a parse-inverts-synthesis end-to-end value check. Pixel decode is
+    // also real now (q_image_decode below); this is the header pass.
     QueryDef("q_image_meta", (s, dir) => {
       def be16(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
       def be32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
@@ -107,6 +107,63 @@ object SamplingPackQueries {
         CAST(doc_id % 7 * 32 + 180 AS INT) AS height
       FROM documents""")),
 
+
+    // REAL pixel decode (ImageDecodeExpr): per doc a complete VALID
+    // 2x2 image is synthesized from doc_id with pure builtins — evens
+    // get a 24bpp bottom-up BMP (padded stride), odds a PNG whose IDAT
+    // is a STORED-deflate zlib block (so the pixel bytes are
+    // byte-addressable from SQL; the decoder's inflate handles it like
+    // any compressed stream) — and the expression decodes the exact
+    // packed-ARGB pixel values back out. The oracle recomputes each
+    // pixel int from the same doc_id arithmetic: decode-inverts-
+    // synthesis, value-exact, both container layouts + the zlib path
+    // covered. Pixel byte formula: v(i,c) = (doc_id*7 + i*13 + c*29) %
+    // 256 for pixel i (row-major), channel c (0=R,1=G,2=B).
+    QueryDef("q_image_decode", (s, dir) => {
+      def hx(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def v(i: Int, c: Int) = pmod(col("doc_id") * 7 + i * 13 + c * 29,
+        lit(256)).cast("int")
+      // one pixel as RGB hex (png scanline order) / BGR hex (bmp order)
+      def rgb(i: Int) = concat(hx(v(i, 0)), hx(v(i, 1)), hx(v(i, 2)))
+      def bgr(i: Int) = concat(hx(v(i, 2)), hx(v(i, 1)), hx(v(i, 0)))
+      // BMP: 54-byte header, 2x2 @24bpp, 6-byte rows padded to 8,
+      // bottom-up (pixels 2,3 = row y=1 stored first)
+      val bmpHex = concat(
+        lit("424D" + "46000000" + "00000000" + "36000000" + // file header
+          "28000000" + "02000000" + "02000000" + "0100" + "1800" +
+          "00000000" + "10000000" + "00000000" + "00000000" +
+          "00000000" + "00000000"),
+        bgr(2), bgr(3), lit("0000"), bgr(0), bgr(1), lit("0000"))
+      // PNG: IHDR(2x2, depth 8, color 2) + IDAT carrying one STORED
+      // zlib block of the 14 raw scanline bytes (2 rows x (filter 0 +
+      // 6 px bytes)); chunk CRCs and the Adler trailer are dummies —
+      // the decoder is documented to tolerate both
+      val pngHex = concat(
+        lit("89504E470D0A1A0A" + "0000000D" + "49484452" +
+          "00000002" + "00000002" + "08" + "02" + "000000" + "00000000" +
+          "00000015" + "49444154" + "7801" + "01" + "0E00" + "F1FF" + "00"),
+        rgb(0), rgb(1), lit("00"), rgb(2), rgb(3),
+        lit("00000000" + "00000000" + "49454E44" + "00000000"))
+      val payload = unhex(
+        when(col("doc_id") % 2 === 0, bmpHex).otherwise(pngHex))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.decodeImage(payload).as("d"))
+        .select(col("doc_id"), col("d.format").as("format"),
+          col("d.width").as("width"), col("d.height").as("height"),
+          element_at(col("d.pixels"), 1).as("p0"),
+          element_at(col("d.pixels"), 2).as("p1"),
+          element_at(col("d.pixels"), 3).as("p2"),
+          element_at(col("d.pixels"), 4).as("p3"))
+    }, Some("""
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
+        2 AS width, 2 AS height,
+        """ + (0 to 3).map(i =>
+          s"""CAST((doc_id*7 + $i*13) % 256 * 65536
+            + (doc_id*7 + $i*13 + 29) % 256 * 256
+            + (doc_id*7 + $i*13 + 58) % 256
+            - 16777216 AS INTEGER) AS p$i""").mkString(",\n        ") + """
+      FROM documents""")),
 
     // Per-domain cap: URL host extraction (parse_url) + keep-first-K per
     // domain — row-level output so the oracle checks the exact kept set.

@@ -1,0 +1,208 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[ImageDecodeExpr]] against an INDEPENDENT codec: images are encoded
+  * with the JDK's javax.imageio writers (and by a hand-rolled PNG
+  * encoder that forces each scanline filter type), decoded with the
+  * expression, and compared pixel-exact. Plus the corpus-safety
+  * policy: truncated/corrupt/bomb payloads yield ("unknown",-1,-1,NULL)
+  * and never throw. */
+class ImageDecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  System.setProperty("java.awt.headless", "true")
+
+  private def decode(bytes: Array[Byte]): (String, Int, Int, Seq[Int]) = {
+    val r = Seq(Tuple1(bytes)).toDF("p")
+      .select(Multimodal.decodeImage(col("p")).as("d"))
+      .select("d.format", "d.width", "d.height", "d.pixels").head()
+    (r.getString(0), r.getInt(1), r.getInt(2),
+      if (r.isNullAt(3)) null else r.getSeq[Int](3))
+  }
+
+  /** Deterministic test raster. */
+  private def testImage(w: Int, h: Int, imgType: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, imgType)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 37 + y * 11) % 256
+      val g = (x * 5 + y * 73) % 256
+      val b = (x * 97 + y * 3) % 256
+      val a = if (imgType == BufferedImage.TYPE_INT_ARGB)
+        (128 + (x + y) * 17 % 128) else 255
+      img.setRGB(x, y, (a << 24) | (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  private def encodeJdk(img: BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, bos), s"JDK has no $fmt writer")
+    bos.toByteArray
+  }
+
+  private def argb(img: BufferedImage): Seq[Int] =
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      yield img.getRGB(x, y)
+
+  test("png rgb round-trips pixel-exact against the JDK encoder") {
+    val img = testImage(23, 17, BufferedImage.TYPE_INT_RGB)
+    val (f, w, h, px) = decode(encodeJdk(img, "png"))
+    assert((f, w, h) == ("png", 23, 17))
+    assert(px == argb(img))
+  }
+
+  test("png rgba keeps the alpha channel") {
+    val img = testImage(9, 14, BufferedImage.TYPE_INT_ARGB)
+    val (f, w, h, px) = decode(encodeJdk(img, "png"))
+    assert((f, w, h) == ("png", 9, 14))
+    assert(px == argb(img))
+    assert(px.exists(p => (p >>> 24) != 0xff), "alpha must vary")
+  }
+
+  test("png gray decodes to replicated-channel ARGB") {
+    val img = testImage(12, 8, BufferedImage.TYPE_BYTE_GRAY)
+    val (f, w, h, px) = decode(encodeJdk(img, "png"))
+    assert((f, w, h) == ("png", 12, 8))
+    // compare against the RAW gray samples (getRGB would run the
+    // gray->sRGB colorspace transform, which is not plain replication)
+    val want = for (y <- 0 until 8; x <- 0 until 12) yield {
+      val g = img.getRaster.getSample(x, y, 0)
+      0xff000000 | (g << 16) | (g << 8) | g
+    }
+    assert(px == want)
+  }
+
+  test("png palette (indexed) resolves through PLTE") {
+    val img = testImage(16, 16, BufferedImage.TYPE_BYTE_INDEXED)
+    val (f, w, h, px) = decode(encodeJdk(img, "png"))
+    assert((f, w, h) == ("png", 16, 16))
+    assert(px == argb(img))
+  }
+
+  test("bmp 24bpp round-trips pixel-exact (bottom-up rows, padded stride)") {
+    // width 7: a 21-byte row pads to 24 — exercises the stride math
+    val img = testImage(7, 5, BufferedImage.TYPE_INT_RGB)
+    val (f, w, h, px) = decode(encodeJdk(img, "bmp"))
+    assert((f, w, h) == ("bmp", 7, 5))
+    assert(px == argb(img))
+  }
+
+  // ---- hand-rolled PNG encoder: forces ONE filter type on every
+  // scanline (the JDK writer picks adaptively, so alone it cannot
+  // guarantee coverage of Sub/Up/Average/Paeth)
+  private def crc32(b: Array[Byte]): Int = {
+    val c = new java.util.zip.CRC32(); c.update(b); c.getValue.toInt
+  }
+  private def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+    bb.putInt(crc32(typ.getBytes("US-ASCII") ++ data))
+    bb.array()
+  }
+  private def pngWithFilter(pix: Array[Array[Int]], filter: Int)
+      : Array[Byte] = {
+    val h = pix.length; val w = pix(0).length
+    val stride = w * 3
+    val raw = new Array[Byte]((stride + 1) * h)
+    val prev = new Array[Byte](stride)
+    for (y <- 0 until h) {
+      val cur = new Array[Byte](stride)
+      for (x <- 0 until w) {
+        cur(x * 3) = ((pix(y)(x) >> 16) & 0xff).toByte
+        cur(x * 3 + 1) = ((pix(y)(x) >> 8) & 0xff).toByte
+        cur(x * 3 + 2) = (pix(y)(x) & 0xff).toByte
+      }
+      raw(y * (stride + 1)) = filter.toByte
+      for (x <- 0 until stride) {
+        val a = if (x >= 3) cur(x - 3) & 0xff else 0
+        val b = prev(x) & 0xff
+        val c = if (x >= 3) prev(x - 3) & 0xff else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 =>
+            val p = a + b - c
+            val (pa, pb, pc) =
+              (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw(y * (stride + 1) + 1 + x) = ((cur(x) & 0xff) - pred).toByte
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+    }
+    val z = { // zlib-compress the filtered scanlines
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", z) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  test("every scanline filter type (None/Sub/Up/Average/Paeth) unfilters exactly") {
+    val rnd = new scala.util.Random(42)
+    val pix = Array.fill(6, 11)(rnd.nextInt() & 0xffffff)
+    val want = pix.flatten.map(0xff000000 | _).toSeq
+    for (filter <- 0 to 4) {
+      val (f, w, h, px) = decode(pngWithFilter(pix, filter))
+      assert((f, w, h) == ("png", 11, 6), s"filter $filter")
+      assert(px == want, s"filter $filter")
+    }
+  }
+
+  test("corpus-safety: corrupt, truncated, bomb, and unsupported payloads are unknown") {
+    val good = encodeJdk(testImage(8, 8, BufferedImage.TYPE_INT_RGB), "png")
+    assert(decode(good.take(30))._1 == "unknown") // truncated mid-chunk
+    assert(decode(Array.fill[Byte](64)(0x55))._1 == "unknown") // garbage
+    // declared 100k x 100k canvas in a 50-byte file: the bomb guard
+    // must refuse BEFORE allocating 40 GB
+    val bombIhdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(100000).putInt(100000).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val bomb =
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        chunk("IHDR", bombIhdr) ++ chunk("IEND", Array.empty[Byte])
+    assert(decode(bomb)._1 == "unknown")
+    // interlace flag set -> unsupported, not wrong pixels
+    val inter = good.clone()
+    inter(28) = 1 // IHDR interlace byte (8 sig + 8 hdr + 12 data)
+    assert(decode(inter)._1 == "unknown")
+    // JPEG pixels are out of scope (metadata pass handles them)
+    val jpeg = encodeJdk(testImage(8, 8, BufferedImage.TYPE_INT_RGB), "jpg")
+    assert(decode(jpeg)._1 == "unknown")
+    assert(decode(Array.empty[Byte])._1 == "unknown")
+  }
+
+  test("resizeDecoded: nearest-neighbor downsample matches the direct computation") {
+    val img = testImage(16, 12, BufferedImage.TYPE_INT_RGB)
+    val r = Seq(Tuple1(encodeJdk(img, "png"))).toDF("p")
+      .select(Multimodal.resizeDecoded(
+        Multimodal.decodeImage(col("p")), 4, 3).as("d"))
+      .select("d.width", "d.height", "d.pixels").head()
+    assert((r.getInt(0), r.getInt(1)) == (4, 3))
+    val want = for (y <- 0 until 3; x <- 0 until 4)
+      yield img.getRGB(x * 16 / 4, y * 12 / 3)
+    assert(r.getSeq[Int](2) == want)
+    // a failed decode resizes to NULL, not an error
+    val bad = Seq(Tuple1(Array.fill[Byte](16)(1))).toDF("p")
+      .select(Multimodal.resizeDecoded(
+        Multimodal.decodeImage(col("p")), 4, 3).as("d")).head()
+    assert(bad.isNullAt(0))
+  }
+}
