@@ -80,7 +80,7 @@ object AvroFormat {
     }(Encoders.row(outSchema))
   }
 
-  private def toAvroValue(v: Any): AnyRef = v match {
+  private[core] def toAvroValue(v: Any): AnyRef = v match {
     case null => null
     case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
     case o => o.asInstanceOf[AnyRef]
@@ -107,7 +107,7 @@ object AvroFormat {
     }(Encoders.row(outSchema))
   }
 
-  private def fromAvroValue(v: AnyRef): Any = v match {
+  private[core] def fromAvroValue(v: AnyRef): Any = v match {
     case null => null
     case u: org.apache.avro.util.Utf8 => u.toString
     case bb: java.nio.ByteBuffer =>

@@ -68,6 +68,48 @@ object CalcQueries {
         CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
       FROM orders GROUP BY o_orderpriority""")),
 
+    // avro-confluent wire format against a LIVE (embedded) schema
+    // registry over real HTTP (graft.core.AvroRegistryFormat; reference
+    // flink-avro-confluent-registry): rows are encoded under TWO
+    // registered schema generations — v1 without o_totalprice, v2 with
+    // it (defaulted) — and decoded under the v2 reader, so the hash
+    // only matches if the magic+id framing, the per-id registry
+    // resolution, AND avro writer->reader schema evolution (default
+    // fill) all work. The oracle replays the default arithmetic on the
+    // raw table.
+    QueryDef("q_format_avro_registry", (s, dir) => {
+      val reg = graft.core.EmbeddedSchemaRegistry.shared
+      val v1 = """{"type":"record","name":"ord","fields":[
+        {"name":"o_orderkey","type":"long"},
+        {"name":"o_orderpriority","type":["null","string"]}]}"""
+      val v2 = """{"type":"record","name":"ord","fields":[
+        {"name":"o_orderkey","type":"long"},
+        {"name":"o_orderpriority","type":["null","string"]},
+        {"name":"o_totalprice","type":"double","default":-1.0}]}"""
+      val o = t(s, dir, "orders")
+      val oldGen = graft.core.AvroRegistryFormat.toAvro(
+        o.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        v1, reg.url, "graft-orders-value")
+      val newGen = graft.core.AvroRegistryFormat.toAvro(
+        o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice")),
+        v2, reg.url, "graft-orders-value")
+      graft.core.AvroRegistryFormat.fromAvro(
+          oldGen.unionByName(newGen), "value", v2, reg.url)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_key"),
+          dsum(col("o_totalprice")).as("sum_price"))
+    }, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        ${dsumSql(
+          "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice ELSE -1.0 END")}
+          AS sum_price
+      FROM orders GROUP BY o_orderpriority""")),
+
     // Protobuf payload format roundtrip (graft.core.ProtoFormat — pure
     // wire-format codec; reference flink-protobuf Pb(De|Se)rializationSchema):
     // encode an orders projection to proto binary, decode, aggregate; the
