@@ -110,6 +110,31 @@ object CalcQueries {
           AS sum_price
       FROM orders GROUP BY o_orderpriority""")),
 
+    // Hadoop SequenceFile format + block-gzip compression
+    // (graft.core.SequenceFiles; reference flink-sequence-file +
+    // flink-compress): an orders projection is written as
+    // SequenceFile<LongWritable, Text> with the gzip codec, read back
+    // with header-sniffed types, and aggregated — the hash only matches
+    // if the writable mapping, the codec, and the sniffing all work.
+    // The write is an eager filesystem round-trip by nature (the one
+    // format query that must touch disk; CTAS queries already do).
+    QueryDef("q_format_sequence_file", (s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_seqfile_${Integer.toHexString(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.core.SequenceFiles.write(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        path, codec = "gzip")
+      graft.core.SequenceFiles.read(s, path)
+        .groupBy(col("value"))
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("sum_key"))
+    }, Some("""
+      SELECT o_orderpriority AS value, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+      FROM orders GROUP BY 1""")),
+
     // Protobuf payload format roundtrip (graft.core.ProtoFormat — pure
     // wire-format codec; reference flink-protobuf Pb(De|Se)rializationSchema):
     // encode an orders projection to proto binary, decode, aggregate; the
