@@ -7,15 +7,17 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** image_decode(payload): REAL pixel decode for the stored-image
-  * formats whose codecs are pure byte/bit manipulation — PNG (all five
+/** image_decode(payload): REAL pixel decode for the image formats
+  * whose codecs are exact byte/bit manipulation — PNG (all five
   * scanline filters, gray / RGB / palette / gray-alpha / RGBA at bit
-  * depth 8, zlib inflate via the JDK's java.util.zip.Inflater) and BMP
-  * (BITMAPINFOHEADER, 24/32 bpp uncompressed, bottom-up and top-down).
-  * This closes the one stub the metadata pass ([[ImageMetaExpr]]) left
-  * open: resize / crop / feature pipelines downstream of this
-  * expression operate on real pixels with plain Spark higher-order
-  * functions (see [[Multimodal.resizeDecoded]]).
+  * depth 8, zlib inflate via the JDK's java.util.zip.Inflater), BMP
+  * (BITMAPINFOHEADER, 24/32 bpp uncompressed, bottom-up and top-down),
+  * and GIF (full variable-width LZW, 87a/89a, local/global color
+  * tables, interlace, GCE transparency — first frame composed onto the
+  * logical screen). This closes the stub the metadata pass
+  * ([[ImageMetaExpr]]) left open: resize / crop / feature pipelines
+  * downstream of this expression operate on real pixels with plain
+  * Spark higher-order functions (see [[Multimodal.resizeDecoded]]).
   *
   * Output: struct<format string, width int, height int,
   * pixels array<int>> — pixels are packed ARGB ints (alpha in the top
@@ -31,9 +33,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    executor;
   *  - entirely per-row map-side work — no shuffle, no driver state.
   *
-  * Deliberately unsupported (→ unknown): JPEG/GIF pixels (DCT and LZW
-  * entropy coders — use the metadata pass + an external transcoder),
-  * PNG interlace (Adam7), bit depths other than 8. PNG chunk CRCs are
+  * Deliberately unsupported (→ unknown): JPEG pixels (the DCT decode
+  * is approximate by nature — IDCT rounding differs per decoder — so
+  * it belongs to an external transcoder, not an exact-oracle engine;
+  * the metadata pass covers JPEG), PNG interlace (Adam7), PNG bit
+  * depths other than 8, GIF frames past the first. PNG chunk CRCs are
   * not verified and a missing/garbled zlib Adler trailer is tolerated:
   * the decode is over when the expected scanline bytes are produced —
   * corpus reality is truncated files, and the strict-checksum policy
@@ -78,6 +82,8 @@ case class ImageDecodeExpr(child: Expression)
         (b(4) & 0xff) == 0x0d && (b(5) & 0xff) == 0x0a &&
         (b(6) & 0xff) == 0x1a && (b(7) & 0xff) == 0x0a) png(b)
     else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') bmp(b)
+    else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') gif(b)
     else unknown
   }
 
@@ -234,6 +240,189 @@ case class ImageDecodeExpr(child: Expression)
     } catch {
       case _: java.util.zip.DataFormatException => null
     } finally inf.end()
+  }
+
+  // ---------------------------------------------------------------- GIF
+  /** First frame of a GIF87a/89a, composed onto the logical screen
+    * (background-filled when the frame is smaller/offset), GCE
+    * transparency applied, interlace supported. LZW here is the full
+    * variable-width decoder (clear/end codes, 4096-entry dictionary) —
+    * GIF's entropy coding is lossless, unlike JPEG's, so an exact
+    * decode is implementable and testable byte-for-byte. */
+  private def gif(b: Array[Byte]): InternalRow = {
+    val w = le16(b, 6); val h = le16(b, 8)
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return unknown
+    val packed = b(10) & 0xff
+    var i = 13
+    var gct: Array[Int] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      gct = readColorTable(b, i, n); i += n * 3
+    }
+    val bgIndex = b(11) & 0xff
+    var transparent = -1
+    val px = new Array[Int](w * h)
+    while (i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x21 => // extension: label + sub-blocks
+          val label = b(i + 1) & 0xff
+          if (label == 0xf9 && i + 6 < b.length) {
+            // graphic control: packed(1) delay(2) transIdx(1)
+            val gcePacked = b(i + 3) & 0xff
+            transparent =
+              if ((gcePacked & 1) != 0) b(i + 6) & 0xff else -1
+          }
+          i += 2
+          while (i < b.length && (b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
+          i += 1 // block terminator
+        case 0x2c => // image descriptor: the first frame
+          val left = le16(b, i + 1); val top = le16(b, i + 3)
+          val fw = le16(b, i + 5); val fh = le16(b, i + 7)
+          val ipacked = b(i + 9) & 0xff
+          i += 10
+          var ct = gct
+          if ((ipacked & 0x80) != 0) {
+            val n = 2 << (ipacked & 7)
+            ct = readColorTable(b, i, n); i += n * 3
+          }
+          if (ct == null || fw <= 0 || fh <= 0 ||
+              left + fw > w || top + fh > h) return unknown
+          val interlaced = (ipacked & 0x40) != 0
+          val minCode = b(i) & 0xff; i += 1
+          // concatenate the data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (i < b.length && (b(i) & 0xff) != 0) {
+            val n = b(i) & 0xff
+            if (i + 1 + n > b.length) return unknown
+            data.write(b, i + 1, n); i += 1 + n
+          }
+          val indices = lzw(data.toByteArray, minCode, fw * fh)
+          if (indices == null) return unknown
+          // canvas fill outside/under the frame: transparent when the
+          // GCE declares transparency (what standalone decoders
+          // report), else the logical-screen background color
+          val fill =
+            if (transparent >= 0) 0
+            else if (gct != null && bgIndex < gct.length) gct(bgIndex)
+            else 0
+          java.util.Arrays.fill(px, fill)
+          // interlace pass row order: 0,8,16.. 4,12.. 2,6.. 1,3,5..
+          val rowOrder: Array[Int] =
+            if (!interlaced) Array.tabulate(fh)(identity)
+            else ((0 until fh by 8) ++ (4 until fh by 8) ++
+              (2 until fh by 4) ++ (1 until fh by 2)).toArray
+          var r = 0
+          while (r < fh) {
+            val y = rowOrder(r)
+            var x = 0
+            while (x < fw) {
+              val idx = indices(r * fw + x) & 0xff
+              if (idx != transparent) {
+                if (idx >= ct.length) return unknown
+                px((top + y) * w + (left + x)) = ct(idx)
+              }
+              x += 1
+            }
+            r += 1
+          }
+          return out("gif", w, h, px)
+        case 0x3b => return unknown // trailer before any image data
+        case _ => return unknown
+      }
+    }
+    unknown
+  }
+
+  private def readColorTable(b: Array[Byte], off: Int, n: Int): Array[Int] = {
+    val t = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      t(i) = 0xff000000 | ((b(off + i * 3) & 0xff) << 16) |
+        ((b(off + i * 3 + 1) & 0xff) << 8) | (b(off + i * 3 + 2) & 0xff)
+      i += 1
+    }
+    t
+  }
+
+  /** GIF LZW: little-endian bit packing, variable code width starting
+    * at minCode+1, clear = 2^minCode, end = clear+1, dictionary capped
+    * at 4096. Returns exactly `expected` indices or null. */
+  private def lzw(data: Array[Byte], minCode: Int, expected: Int)
+      : Array[Byte] = {
+    if (minCode < 2 || minCode > 11) return null
+    val clear = 1 << minCode
+    val end = clear + 1
+    // dictionary as (prefix link, last byte): entry k < clear is the
+    // literal k; suffix chains unwind into `stack`
+    val prefix = new Array[Int](4096)
+    val last = new Array[Byte](4096)
+    var dictSize = end + 1
+    var width = minCode + 1
+    val outB = new Array[Byte](expected)
+    var got = 0
+    val stack = new Array[Byte](4096)
+    var bitPos = 0L
+    val nBits = data.length.toLong * 8
+    var prev = -1
+    def read(): Int = {
+      if (bitPos + width > nBits) return -1
+      var v = 0; var k = 0
+      while (k < width) {
+        val p = bitPos + k
+        if ((data((p >> 3).toInt) >> (p & 7).toInt & 1) != 0) v |= 1 << k
+        k += 1
+      }
+      bitPos += width
+      v
+    }
+    def emit(code: Int): Boolean = {
+      var sp = 0
+      var c = code
+      while (c >= clear) { // unwind the suffix chain
+        if (sp >= stack.length || c >= dictSize) return false
+        stack(sp) = last(c); sp += 1; c = prefix(c)
+      }
+      if (got + sp + 1 > expected) return false
+      outB(got) = c.toByte; got += 1
+      while (sp > 0) { sp -= 1; outB(got) = stack(sp); got += 1 }
+      true
+    }
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c.toByte
+    }
+    while (got < expected) {
+      val code = read()
+      if (code < 0 || code == end) return if (got == expected) outB else null
+      if (code == clear) {
+        dictSize = end + 1; width = minCode + 1; prev = -1
+      } else if (prev < 0) {
+        if (code >= clear) return null // first code must be a literal
+        if (!emit(code)) return null
+        prev = code
+      } else {
+        val valid = code < dictSize
+        if (!valid && code != dictSize) return null
+        val emitCode = if (valid) code else prev
+        if (!emit(emitCode)) return null
+        if (!valid) { // KwKwK case: emit first byte of prev again
+          if (got >= expected) return null
+          outB(got) = firstByte(prev); got += 1
+        }
+        if (dictSize < 4096) {
+          prefix(dictSize) = prev
+          // the new entry's last byte is the first byte of THIS code's
+          // expansion (for the KwKwK case, that of prev)
+          last(dictSize) = if (valid) firstByte(code) else firstByte(prev)
+          dictSize += 1
+          if (dictSize < 4096 && (dictSize & (dictSize - 1)) == 0 &&
+              dictSize > clear) width += 1
+        }
+        prev = if (valid) code else dictSize - 1
+      }
+    }
+    outB
   }
 
   // ---------------------------------------------------------------- BMP

@@ -166,6 +166,54 @@ class ImageDecodeSpec extends SparkSpec {
     }
   }
 
+  test("gif round-trips pixel-exact against the JDK encoder (LZW is lossless)") {
+    // indexed input: the gif writer's palette derivation is then exact
+    val img = testImage(21, 13, BufferedImage.TYPE_BYTE_INDEXED)
+    val bytes = encodeJdk(img, "gif")
+    val (f, w, h, px) = decode(bytes)
+    assert((f, w, h) == ("gif", 21, 13))
+    // compare against the JDK's OWN reading of the same bytes — two
+    // independent LZW decoders must agree exactly
+    val jdk = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(px == argb(jdk))
+  }
+
+  test("interlaced gif reorders the 4-pass rows correctly") {
+    val img = testImage(19, 17, BufferedImage.TYPE_BYTE_INDEXED)
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    val bytes = bos.toByteArray
+    // confirm the interlace flag is actually set in the image descriptor
+    val desc = bytes.indexWhere(_ == 0x2c)
+    assert(desc > 0 && (bytes(desc + 9) & 0x40) != 0, "writer not interlaced")
+    val (f, w, h, px) = decode(bytes)
+    assert((f, w, h) == ("gif", 19, 17))
+    val jdk = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(px == argb(jdk))
+  }
+
+  test("gif transparency: GCE transparent index decodes to alpha 0") {
+    // 4-color palette with index 3 fully transparent
+    val cmap = Array(0xff102030, 0xff405060, 0xff708090, 0x00000000)
+    val icm = new java.awt.image.IndexColorModel(
+      2, 4, cmap, 0, true, 3, java.awt.image.DataBuffer.TYPE_BYTE)
+    val img = new BufferedImage(8, 6, BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until 6; x <- 0 until 8)
+      img.getRaster.setSample(x, y, 0, (x + y) % 4)
+    val bytes = encodeJdk(img, "gif")
+    val (f, w, h, px) = decode(bytes)
+    assert((f, w, h) == ("gif", 8, 6))
+    val want = for (y <- 0 until 6; x <- 0 until 8)
+      yield if ((x + y) % 4 == 3) 0 else cmap((x + y) % 4)
+    assert(px == want)
+  }
+
   test("corpus-safety: corrupt, truncated, bomb, and unsupported payloads are unknown") {
     val good = encodeJdk(testImage(8, 8, BufferedImage.TYPE_INT_RGB), "png")
     assert(decode(good.take(30))._1 == "unknown") // truncated mid-chunk
