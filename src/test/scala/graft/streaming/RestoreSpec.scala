@@ -141,6 +141,57 @@ class RestoreSpec extends SparkSpec {
     assert(resumed.keys.exists(_.contains("-D")), resumed.toString)
   }
 
+  test("count-window buffer restores: a window started before the restart completes after it") {
+    val feeds = Seq(
+      Seq(("g", 1), ("g", 2)), // buffer 2 of 3 — window MUST NOT fire yet
+      Seq(("g", 3)), // completes window 0 only if the buffer survived
+      Seq(("g", 4), ("g", 5), ("g", 6))) // window 1 entirely post-restart
+    val pipe = (ds: org.apache.spark.sql.Dataset[(String, Int)]) =>
+      StatefulOps.countWindow[String, (String, Int)](ds, _._1, 3)
+    val continuous = runFeeds(feeds, interrupt = false, pipe)
+    val resumed = runFeeds(feeds, interrupt = true, pipe)
+    assert(continuous == resumed, s"continuous=$continuous\nresumed=$resumed")
+    // window 0 carries the two PRE-restart elements + the post-restart
+    // third; the window index counter also survived (window 1 next)
+    assert(resumed.keys.exists(r => r.contains("0,") &&
+      r.contains("(g,1)") && r.contains("(g,3)")), resumed.toString)
+    assert(resumed.keys.exists(_.contains("1,")), resumed.toString)
+  }
+
+  test("streaming-limit count restores: the cap holds across restarts") {
+    val feeds = Seq(
+      Seq(("g", 1), ("g", 2)), // 2 of 3 emitted
+      Seq(("g", 3), ("g", 4)), // only 3 may pass if the count survived
+      Seq(("g", 5))) // must emit nothing
+    val pipe = (ds: org.apache.spark.sql.Dataset[(String, Int)]) =>
+      StatefulOps.streamingLimit[String, (String, Int)](ds, _._1, 3L)
+    val continuous = runFeeds(feeds, interrupt = false, pipe)
+    val resumed = runFeeds(feeds, interrupt = true, pipe)
+    assert(continuous == resumed, s"continuous=$continuous\nresumed=$resumed")
+    assert(resumed.values.sum == 3, s"cap must survive the restart: $resumed")
+    assert(!resumed.keys.exists(_.contains("(g,4)")) &&
+      !resumed.keys.exists(_.contains("(g,5)")), resumed.toString)
+  }
+
+  test("event-time OVER buffer + watermark restore: immature rows mature after the restart") {
+    import java.sql.Timestamp
+    def wev(k: String, ts: Long, v: Double) = WEv(k, ts, v, new Timestamp(ts))
+    val feeds = Seq(
+      Seq(wev("a", 2000, 2.0), wev("a", 1000, 1.0)), // buffered, immature
+      Seq(wev("a", 3000, 4.0)), // watermark 3000: matures 1000+2000 —
+      // their trailing-2 sums are only right if the buffer AND the
+      // recovered watermark both survived the restart
+      Seq(wev("a", 9000, 8.0))) // matures ts=3000
+    val pipe = (ds: org.apache.spark.sql.Dataset[WEv]) =>
+      StatefulOps.rowsBoundedSum[String, WEv](
+        ds.withWatermark("ets", "0 seconds"), _.k, _.ts, _.v, n = 2)
+    val continuous = runFeeds(feeds, interrupt = false, pipe)
+    val resumed = runFeeds(feeds, interrupt = true, pipe)
+    assert(continuous == resumed, s"continuous=$continuous\nresumed=$resumed")
+    assert(resumed.keySet == Set("(a,1000,1.0)", "(a,2000,3.0)", "(a,3000,6.0)"),
+      resumed.toString)
+  }
+
   test("topN rank state restores: a post-restart score must displace the recovered ranking") {
     val feeds = Seq(
       Seq(("g", 5.0), ("g", 3.0), ("g", 8.0)), // top2 after feed 1: 8, 5
