@@ -192,6 +192,28 @@ class RestoreSpec extends SparkSpec {
       resumed.toString)
   }
 
+  test("CEP partial-match buffer restores: a pattern started before the restart completes after it") {
+    import graft.cep.{CEP, Pattern}
+    import graft.cep.CES
+    def ev(ts: Long, typ: String) =
+      CES("k", ts, typ, new java.sql.Timestamp(ts))
+    val pattern = Pattern.begin[CES]("a").where(_.typ == "a")
+      .followedBy("b").where(_.typ == "b").within(5000)
+    val feeds = Seq(
+      Seq(ev(1000, "a")), // pattern OPEN: 'a' buffered, undecidable
+      Seq(ev(2000, "b")), // completes [a@1000, b@2000] — only if the
+      // buffered 'a' survived the restart (window not yet closed)
+      Seq(ev(20000, "x"))) // watermark past 6000: finalize and emit
+    val pipe = (ds: org.apache.spark.sql.Dataset[CES]) =>
+      CEP.matchPatternStream[String, CES](
+        ds.withWatermark("ets", "0 seconds"), _.k, _.ts, pattern)
+        .map { case (k, i, m) => (k, i, m("a").head.ts, m("b").head.ts) }
+    val continuous = runFeeds(feeds, interrupt = false, pipe)
+    val resumed = runFeeds(feeds, interrupt = true, pipe)
+    assert(continuous == resumed, s"continuous=$continuous\nresumed=$resumed")
+    assert(resumed.keySet == Set("(k,0,1000,2000)"), resumed.toString)
+  }
+
   test("topN rank state restores: a post-restart score must displace the recovered ranking") {
     val feeds = Seq(
       Seq(("g", 5.0), ("g", 3.0), ("g", 8.0)), // top2 after feed 1: 8, 5
