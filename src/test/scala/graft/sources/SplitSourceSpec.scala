@@ -186,4 +186,41 @@ class SplitSourceSpec extends SparkSpec {
     // after both splits admitted their files: min(1000, 9000)
     assert(s.combinedWatermark === 1000L)
   }
+
+  test("a deleted split carries its offset state; reappearing files are NOT re-admitted") {
+    val dir = Files.createTempDirectory("split_carry")
+    writeFile(dir, "a", "1000-a1.csv", 1000L -> "a1")
+    writeFile(dir, "b", "1000-b1.csv", 1000L -> "b1")
+    val q = startQuery(dir, "split_sink_carry")
+    try {
+      q.processAllAvailable()
+      assert(sinkRows("split_sink_carry") ===
+        Set("a" -> "a1", "b" -> "b1"))
+      // split b's directory disappears (deletion, or a transient
+      // listing failure) — its (hw, files) state must carry forward,
+      // not be erased from the offset
+      val bDir = dir.resolve("b")
+      Files.delete(bDir.resolve("1000-b1.csv"))
+      Files.delete(bDir)
+      writeFile(dir, "a", "2000-a2.csv", 2000L -> "a2")
+      q.processAllAvailable()
+      assert(sinkRows("split_sink_carry") ===
+        Set("a" -> "a1", "a" -> "a2", "b" -> "b1"))
+      // the directory reappears with the SAME file: erased state would
+      // re-admit it here and deliver the row twice (the memory sink
+      // appends, so a duplicate would surface as a 4th b-row)
+      writeFile(dir, "b", "1000-b1.csv", 1000L -> "b1")
+      writeFile(dir, "a", "2500-a3.csv", 2500L -> "a3")
+      q.processAllAvailable()
+      val afterReappear = spark.table("split_sink_carry")
+        .groupBy("split", "value").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(afterReappear(("b", "b1")) === 1L,
+        s"b1 must not be re-admitted: $afterReappear")
+      // genuinely NEW data in the reappeared split is admitted
+      writeFile(dir, "b", "3000-b2.csv", 3000L -> "b2")
+      q.processAllAvailable()
+      assert(sinkRows("split_sink_carry").contains("b" -> "b2"))
+    } finally q.stop()
+  }
 }
