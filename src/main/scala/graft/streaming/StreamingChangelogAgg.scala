@@ -30,17 +30,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingChangelogAgg {
 
+  /** `stateTtlMs`: idle state retention (table.exec.state.ttl) — a
+    * key's accumulator untouched for the TTL (processing time) is
+    * dropped; a later change starts from zero and re-emits +I, the
+    * reference's documented expired-state behavior. Default
+    * Long.MaxValue = keep forever.
+    * Spark runs batches continuously while processing-time timeouts
+    * are registered (shouldRunAnotherBatch) — pair a TTL with a
+    * processing-time trigger to bound the idle batch rate. */
   def updateStream[K](ds: Dataset[(K, Double, String, Long)],
-      emitUpdateBefore: Boolean = true)(
+      emitUpdateBefore: Boolean = true,
+      stateTtlMs: Long = Long.MaxValue)(
       implicit kEnc: Encoder[K],
       inEnc: Encoder[(K, Double, String, Long)],
       stEnc: Encoder[(Long, Double)],
       outEnc: Encoder[(K, Long, Double, String, Long)])
       : Dataset[(K, Long, Double, String, Long)] = {
+    val timeoutConf =
+      if (stateTtlMs == Long.MaxValue) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
     ds.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (key: K, rows: Iterator[(K, Double, String, Long)],
             state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
           var (cnt, sum) = state.getOption.getOrElse((0L, 0.0))
           val out =
             scala.collection.mutable.ArrayBuffer
@@ -61,8 +75,14 @@ object StreamingChangelogAgg {
               out += ((key, cnt, sum, addKind, seq * 2 + 1))
             }
           }
-          if (cnt == 0L) state.remove() else state.update((cnt, sum))
+          if (cnt == 0L) state.remove()
+          else {
+            state.update((cnt, sum))
+            if (stateTtlMs != Long.MaxValue)
+              state.setTimeoutDuration(stateTtlMs)
+          }
           out.iterator
+          }
       }
   }
 }

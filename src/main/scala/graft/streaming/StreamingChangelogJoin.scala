@@ -49,10 +49,24 @@ object StreamingChangelogJoin {
   /** `joinType`: inner | left | right | full. Input rows are
     * (payload, rowKind, seq) — `seq` totally orders each side's
     * changes and is comparable across sides (the batch twin's
-    * contract, [[graft.cdc.ChangelogJoin.updateStream]]). */
+    * contract, [[graft.cdc.ChangelogJoin.updateStream]]).
+    *
+    * `stateTtlMs`: idle state retention — the reference's
+    * table.exec.state.ttl applied to the regular streaming join
+    * (StreamingJoinOperator's StateTtlConfig): a key whose state sees
+    * no change for the TTL (processing time) is DROPPED, so unbounded
+    * two-sided state stays bounded by key churn instead of key
+    * cardinality. As in the reference, this deliberately trades
+    * correctness for boundedness: a change arriving after its key
+    * expired joins against EMPTY state (documented Flink behavior).
+    * Default Long.MaxValue = keep state forever.
+    * Spark runs batches continuously while processing-time timeouts
+    * are registered (shouldRunAnotherBatch) — pair a TTL with a
+    * processing-time trigger to bound the idle batch rate. */
   def join[K, L, R](left: Dataset[(L, String, Long)],
       right: Dataset[(R, String, Long)],
-      lKey: L => K, rKey: R => K, joinType: String)(
+      lKey: L => K, rKey: R => K, joinType: String,
+      stateTtlMs: Long = Long.MaxValue)(
       implicit kEnc: Encoder[K],
       inEnc: Encoder[(Option[(L, String, Long)], Option[(R, String, Long)])],
       stEnc: Encoder[(Seq[(L, Int)], Seq[(R, Int)])],
@@ -64,13 +78,20 @@ object StreamingChangelogJoin {
     val tagged = left
       .map(l => (Option(l), Option.empty[(R, String, Long)]))
       .unionByName(right.map(r => (Option.empty[(L, String, Long)], Option(r))))
+    val timeoutConf =
+      if (stateTtlMs == Long.MaxValue) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
     tagged.groupByKey {
       case (Some((l, _, _)), _) => lKey(l)
       case (_, Some((r, _, _))) => rKey(r)
       case _ => throw new IllegalStateException("empty tagged row")
-    }.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+    }.flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
       (_: K, rows0: Iterator[(Option[(L, String, Long)], Option[(R, String, Long)])],
           state: GroupState[(Seq[(L, Int)], Seq[(R, Int)])]) =>
+        if (state.hasTimedOut) { // TTL expiry: drop silently (reference
+          state.remove()         // StateTtlConfig semantics — no
+          Iterator.empty         // retractions for expired state)
+        } else {
         var (ls0, rs0) = state.getOption
           .getOrElse((Seq.empty[(L, Int)], Seq.empty[(R, Int)]))
         val ls = scala.collection.mutable.LinkedHashMap(ls0: _*)
@@ -131,8 +152,13 @@ object StreamingChangelogJoin {
           }
         }
         if (ls.isEmpty && rs.isEmpty) state.remove()
-        else state.update((ls.toSeq, rs.toSeq))
+        else {
+          state.update((ls.toSeq, rs.toSeq))
+          if (stateTtlMs != Long.MaxValue)
+            state.setTimeoutDuration(stateTtlMs)
+        }
         out.iterator
+        }
     }
   }
 }
