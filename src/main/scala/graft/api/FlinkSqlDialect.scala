@@ -146,8 +146,11 @@ object FlinkSqlDialect {
           "via TableEnv.executeSql (api.LookupJoinSql); or use " +
           "graft.operators.LookupJoin / AsyncLookupJoin directly")
       require(!"""(?i)\bSTATE_TTL\s*\(""".r.findFirstIn(block).isDefined,
-        "STATE_TTL hint: use graft.streaming.StatefulOps.keepLastWithTtl " +
-          "/ TwsOps TTLConfig")
+        "STATE_TTL hint: this SQL surface executes batch semantics " +
+          "where state TTL has no meaning; on streams use the operator " +
+          "knobs — StreamingChangelogJoin.join(stateTtlMs=...), " +
+          "StreamingChangelogAgg.updateStream(stateTtlMs=...), " +
+          "StatefulOps.keepLastWithTtl, TwsOps TTLConfig")
     }
     out = hintBlock.replaceAllIn(out, m =>
       Regex.quoteReplacement(m.matched
