@@ -165,6 +165,45 @@ object SamplingPackQueries {
             - 16777216 AS INTEGER) AS p$i""").mkString(",\n        ") + """
       FROM documents""")),
 
+    // REAL nearest-neighbor resize over decoded pixels
+    // (Multimodal.resizeDecoded — pure Catalyst sequence/transform/
+    // element_at, no UDF): the q_image_decode payloads are decoded,
+    // upsampled 2x2 -> 4x4 and downsampled -> 1x1, and EVERY output
+    // pixel is replayed by the oracle from the synthesis arithmetic
+    // (out(x,y) samples src(x*sw/tw, y*sh/th)). Pixel arrays compare
+    // as comma-joined strings (the q_agg_array convention).
+    QueryDef("q_image_resize", (s, dir) => {
+      def hx(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def v(i: Int, c: Int) = pmod(col("doc_id") * 7 + i * 13 + c * 29,
+        lit(256)).cast("int")
+      def bgr(i: Int) = concat(hx(v(i, 2)), hx(v(i, 1)), hx(v(i, 0)))
+      val bmpHex = concat(
+        lit("424D" + "46000000" + "00000000" + "36000000" +
+          "28000000" + "02000000" + "02000000" + "0100" + "1800" +
+          "00000000" + "10000000" + "00000000" + "00000000" +
+          "00000000" + "00000000"),
+        bgr(2), bgr(3), lit("0000"), bgr(0), bgr(1), lit("0000"))
+      val d = Multimodal.decodeImage(unhex(bmpHex))
+      val up = Multimodal.resizeDecoded(d, 4, 4)
+      val down = Multimodal.resizeDecoded(d, 1, 1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), up.as("u"), down.as("d1"))
+        .select(col("doc_id"),
+          col("u.width").as("width"), col("u.height").as("height"),
+          concat_ws(",", col("u.pixels").cast("array<string>")).as("px4"),
+          element_at(col("d1.pixels"), 1).as("p1"))
+    }, Some("""
+      SELECT doc_id, 4 AS width, 4 AS height,
+        ARRAY_TO_STRING(list_transform(generate_series(0, 15), j ->
+          CAST(CAST(
+            (doc_id*7 + (((j // 4) // 2) * 2 + ((j % 4) // 2)) * 13) % 256 * 65536
+            + (doc_id*7 + (((j // 4) // 2) * 2 + ((j % 4) // 2)) * 13 + 29) % 256 * 256
+            + (doc_id*7 + (((j // 4) // 2) * 2 + ((j % 4) // 2)) * 13 + 58) % 256
+            - 16777216 AS INTEGER) AS VARCHAR)), ',') AS px4,
+        CAST((doc_id*7) % 256 * 65536 + (doc_id*7 + 29) % 256 * 256
+          + (doc_id*7 + 58) % 256 - 16777216 AS INTEGER) AS p1
+      FROM documents""")),
+
     // Per-domain cap: URL host extraction (parse_url) + keep-first-K per
     // domain — row-level output so the oracle checks the exact kept set.
     QueryDef("q_domain_cap", (s, dir) => {
