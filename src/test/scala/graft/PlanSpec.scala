@@ -12,6 +12,15 @@ class PlanSpec extends SparkSpec {
     Registry.byName(name).run(spark, sfDir)
       .queryExecution.executedPlan.toString
 
+  test("q_image_decode / q_image_resize are single-scan zero-shuffle projections") {
+    Seq("q_image_decode", "q_image_resize").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"),
+        s"$q must be a pure map-side projection, got:\n$p")
+      assert("Scan parquet".r.findAllIn(p).size == 1, s"$q: one documents scan")
+    }
+  }
+
   test("q_scan_pushdown pushes filters and prunes columns at the scan") {
     val p = plan("q_scan_pushdown")
     assert(p.contains("PushedFilters: [IsNotNull(p_size), IsNotNull(p_brand)")
