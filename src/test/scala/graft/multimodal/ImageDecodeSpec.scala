@@ -214,6 +214,31 @@ class ImageDecodeSpec extends SparkSpec {
     assert(px == want)
   }
 
+  test("gif property: 25 random indexed images round-trip exactly") {
+    // random sizes/contents force varied LZW code streams (dictionary
+    // growth, width bumps, clear codes from the JDK encoder)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 25) {
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(30)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, rnd.nextInt() | 0xff000000)
+      val bytes = encodeJdk(img, "gif")
+      val (f, dw, dh, px) = decode(bytes)
+      assert((f, dw, dh) == ("gif", w, h), s"trial $trial")
+      // reference = the ORIGINAL raster, not ImageIO.read: the JDK's
+      // GIF reader demonstrably fails to read back its own writer's
+      // output for some small sizes (e.g. 26x2 drops row 1 to black),
+      // while this decoder recovers the written pixels exactly
+      assert(px == argb(img), s"trial $trial ($w x $h)")
+      // truncating mid-stream yields unknown (or, if the cut landed
+      // after the complete image block, the identical full decode) —
+      // never WRONG pixels
+      val cut = decode(bytes.take(bytes.length / 2))
+      assert(cut._1 == "unknown" || cut._4 == px, s"trial $trial cut")
+    }
+  }
+
   test("corpus-safety: corrupt, truncated, bomb, and unsupported payloads are unknown") {
     val good = encodeJdk(testImage(8, 8, BufferedImage.TYPE_INT_RGB), "png")
     assert(decode(good.take(30))._1 == "unknown") // truncated mid-chunk

@@ -187,6 +187,44 @@ class SplitSourceSpec extends SparkSpec {
     assert(s.combinedWatermark === 1000L)
   }
 
+  test("checkpointed restart resumes from committed split offsets — no re-reads, no gaps") {
+    val dir = Files.createTempDirectory("split_restart")
+    val ckpt = Files.createTempDirectory("split_restart_ckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    def start() = spark.readStream
+      .format(classOf[SplitFileSource].getName)
+      .option("path", dir.toString)
+      .option("split.maxDriftMs", "500000")
+      .load().writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.select("split", "value")
+          .collect().map(r => (r.getString(0), r.getString(1)))
+        seen.synchronized { seen ++= rows }; ()
+      }.start()
+    writeFile(dir, "a", "1000-a1.csv", 1000L -> "a1")
+    writeFile(dir, "b", "2000-b1.csv", 2000L -> "b1")
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(seen.synchronized(seen.toSet) === Set("a" -> "a1", "b" -> "b1"))
+    // files arriving while the query is DOWN are picked up on restart;
+    // committed files are not re-read (the offset log carries the
+    // per-split (hw, files) state across the restart)
+    writeFile(dir, "a", "3000-a2.csv", 3000L -> "a2")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      writeFile(dir, "b", "4000-b2.csv", 4000L -> "b2")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val all = seen.synchronized(seen.toList)
+    assert(all.size === all.distinct.size,
+      s"restart must not re-deliver committed files: $all")
+    assert(all.toSet === Set("a" -> "a1", "b" -> "b1",
+      "a" -> "a2", "b" -> "b2"))
+  }
+
   test("a deleted split carries its offset state; reappearing files are NOT re-admitted") {
     val dir = Files.createTempDirectory("split_carry")
     writeFile(dir, "a", "1000-a1.csv", 1000L -> "a1")
