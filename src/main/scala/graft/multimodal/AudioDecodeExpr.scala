@@ -1,0 +1,106 @@
+package graft.multimodal
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** audio_decode(payload): REAL audio decode for RIFF/WAVE PCM — the
+  * audio analogue of [[ImageDecodeExpr]]: WAV's PCM payload is exact
+  * byte manipulation (no psychoacoustic codec), so corpus-scale sample
+  * extraction (silence/clipping detection, loudness stats, resampling
+  * prep) runs as a pure map-side projection with oracle-exact results.
+  *
+  * Supported: RIFF/WAVE with an fmt chunk of audio format 1 (integer
+  * PCM) at 8 or 16 bits per sample, any channel count / sample rate.
+  * Output: struct<format, channels, sample_rate, bits, n_samples,
+  * samples array<int>> — samples are interleaved frames in channel
+  * order (the canonical layout); 8-bit WAV (unsigned, biased 128)
+  * normalizes to signed [-128, 127], 16-bit is signed little-endian.
+  * `n_samples` counts frames per channel.
+  *
+  * Scale discipline (same policy as the image decode):
+  *  - malformed / truncated / non-PCM (float, ADPCM, extensible) →
+  *    ("unknown", -1, -1, -1, -1, NULL), never a thrown error;
+  *  - declared sample count capped at 2^26 ints before allocation;
+  *  - chunk walk skips unknown chunks (LIST/INFO/fact/cue) like any
+  *    real parser; a data chunk longer than the payload is truncated
+  *    decode → unknown.
+  *
+  * Reference: the multimodal preprocessing stage of the table API; the
+  * byte layout follows the public RIFF/WAVE specification. */
+case class AudioDecodeExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  import ImageDecodeExpr.MaxPixels // shared 2^26 allocation cap
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("samples", ArrayType(IntegerType, containsNull = false),
+      nullable = true)))
+  override def prettyName: String = "audio_decode"
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  private val unknown = InternalRow(
+    UTF8String.fromString("unknown"), -1, -1, -1, -1, null)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    try decode(b) catch { case _: Exception => unknown }
+  }
+
+  private def decode(b: Array[Byte]): InternalRow = {
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+        b(11) != 'E') return unknown
+    var i = 12
+    var channels = -1; var rate = -1; var bits = -1; var fmtCode = -1
+    var dataOff = -1; var dataLen = -1
+    while (i + 8 <= b.length && (dataOff < 0 || channels < 0)) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val len = le32(b, i + 4)
+      if (len < 0 || i + 8 + len > b.length) return unknown
+      id match {
+        case "fmt " =>
+          if (len < 16) return unknown
+          fmtCode = le16(b, i + 8)
+          channels = le16(b, i + 10)
+          rate = le32(b, i + 12)
+          bits = le16(b, i + 22)
+        case "data" => dataOff = i + 8; dataLen = len
+        case _ => () // LIST / fact / cue / bext ... skipped
+      }
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (fmtCode != 1 || channels <= 0 || rate <= 0 ||
+        (bits != 8 && bits != 16) || dataOff < 0) return unknown
+    val bytesPer = bits / 8
+    val total = dataLen / bytesPer // interleaved sample count
+    if (total.toLong > MaxPixels) return unknown // allocation bomb
+    if (total % channels != 0) return unknown // ragged final frame
+    val out = new Array[Int](total)
+    var s = 0
+    while (s < total) {
+      out(s) =
+        if (bits == 8) (b(dataOff + s) & 0xff) - 128 // unsigned+bias
+        else le16(b, dataOff + s * 2).toShort.toInt // signed LE
+      s += 1
+    }
+    InternalRow(UTF8String.fromString("wav"), channels, rate, bits,
+      total / channels, new GenericArrayData(out))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   *    ([[decodeImage]] / [[ImageDecodeExpr]]) are real byte-level
   *    codecs, and [[resizeDecoded]] is a real nearest-neighbor
   *    resample over decoded pixels;
-  *  - audio/video decode and the entropy-coded image formats
-  *    (JPEG DCT, GIF LZW) remain behind `FakeCodec`, a deterministic
-  *    stand-in clearly marked below — the `mapPartitions` batching
-  *    shape (one decoder init per partition, fixed-width float
-  *    features out) is what a JNI codec would slot into unchanged.
+  *  - audio: RIFF/WAVE integer PCM decodes for real
+  *    ([[decodeAudio]] / [[AudioDecodeExpr]]); GIF decodes for real
+  *    too ([[ImageDecodeExpr]]'s LZW);
+  *  - psychoacoustic audio (MP3/AAC), JPEG's DCT, and video remain
+  *    behind `FakeCodec`, a deterministic stand-in clearly marked
+  *    below — the `mapPartitions` batching shape (one decoder init per
+  *    partition, fixed-width float features out) is what a JNI codec
+  *    would slot into unchanged.
   */
 object Multimodal {
 
@@ -40,6 +43,16 @@ object Multimodal {
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(ImageDecodeExpr(ColumnBridge.expression(payload)))
+  }
+
+  /** REAL audio decode for RIFF/WAVE PCM — see [[AudioDecodeExpr]]
+    * (8/16-bit integer PCM, chunk walk, bomb guard). Returns
+    * struct<format, channels, sample_rate, bits, n_samples,
+    * samples: array<int>>; non-PCM/malformed -> ("unknown", …, NULL). */
+  def decodeAudio(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(AudioDecodeExpr(ColumnBridge.expression(payload)))
   }
 
   /** REAL nearest-neighbor resize over a [[decodeImage]] result — pure

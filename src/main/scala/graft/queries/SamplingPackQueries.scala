@@ -204,6 +204,42 @@ object SamplingPackQueries {
           + (doc_id*7 + 58) % 256 - 16777216 AS INTEGER) AS p1
       FROM documents""")),
 
+    // REAL audio decode (AudioDecodeExpr): per doc a complete VALID
+    // RIFF/WAVE (16-bit stereo PCM, 2 frames) is synthesized from
+    // doc_id with pure builtins and decoded back to the exact signed
+    // samples — the oracle replays the two's-complement arithmetic.
+    // Sample formula: u(i) = (doc_id*11 + i*17) % 65536, stored
+    // little-endian; decoded s(i) = u(i) - 65536 when u >= 32768.
+    QueryDef("q_audio_decode", (s, dir) => {
+      def hx4(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+      def le16(c: org.apache.spark.sql.Column) =
+        concat(substring(hx4(c), 3, 2), substring(hx4(c), 1, 2))
+      def u(i: Int) = pmod(col("doc_id") * 11 + i * 17, lit(65536)).cast("int")
+      val wavHex = concat(
+        lit("52494646" + "2C000000" + "57415645" + // RIFF size=44 WAVE
+          "666D7420" + "10000000" + "0100" + "0200" + // fmt: pcm, 2ch
+          "401F0000" + "007D0000" + "0400" + "1000" + // 8000Hz 16-bit
+          "64617461" + "08000000"), // data, 8 bytes
+        le16(u(0)), le16(u(1)), le16(u(2)), le16(u(3)))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.decodeAudio(unhex(wavHex)).as("a"))
+        .select(col("doc_id"), col("a.format").as("format"),
+          col("a.channels").as("channels"),
+          col("a.sample_rate").as("sample_rate"),
+          col("a.n_samples").as("n_samples"),
+          concat_ws(",", col("a.samples").cast("array<string>"))
+            .as("samples"))
+    }, Some("""
+      SELECT doc_id, 'wav' AS format, 2 AS channels,
+        8000 AS sample_rate, 2 AS n_samples,
+        ARRAY_TO_STRING(list_transform(generate_series(0, 3), i ->
+          CAST(CAST((doc_id*11 + i*17) % 65536
+            - CASE WHEN (doc_id*11 + i*17) % 65536 >= 32768
+              THEN 65536 ELSE 0 END AS INTEGER) AS VARCHAR)), ',')
+          AS samples
+      FROM documents""")),
+
     // Per-domain cap: URL host extraction (parse_url) + keep-first-K per
     // domain — row-level output so the oracle checks the exact kept set.
     QueryDef("q_domain_cap", (s, dir) => {
