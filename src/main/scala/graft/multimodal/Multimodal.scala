@@ -55,6 +55,15 @@ object Multimodal {
     ColumnBridge.column(AudioDecodeExpr(ColumnBridge.expression(payload)))
   }
 
+  /** REAL video-container metadata (ISO BMFF / MP4 box walk) — see
+    * [[VideoMetaExpr]]. Returns struct<format, duration_ms, width,
+    * height, tracks>; non-BMFF/malformed -> ("unknown", -1, …). */
+  def videoMeta(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(VideoMetaExpr(ColumnBridge.expression(payload)))
+  }
+
   /** REAL nearest-neighbor resize over a [[decodeImage]] result — pure
     * Catalyst higher-order functions (sequence + transform +
     * element_at), fully codegen'd, no UDF: target pixel (x, y) samples

@@ -1,0 +1,135 @@
+package graft.multimodal
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** video_meta(payload): REAL video-container metadata from raw bytes —
+  * the video analogue of [[ImageMetaExpr]]: an ISO BMFF (MP4/MOV) box
+  * walk to the movie header and track headers, no codec. Corpus
+  * inventory over a video column (duration histograms, resolution
+  * filters, track counts, decode-cost estimation) runs as a map-side
+  * projection long before any frame decode.
+  *
+  * Parsed boxes (public ISO/IEC 14496-12 layout):
+  *  - `ftyp` → major brand ("isom", "mp42", "qt  ", …) reported as the
+  *    format string (trimmed);
+  *  - `moov`/`mvhd` (version 0 and 1) → timescale + duration →
+  *    duration_ms;
+  *  - every `moov`/`trak`/`tkhd` (version 0 and 1) → width/height as
+  *    16.16 fixed point; the reported dimensions are the MAX over
+  *    tracks (audio tracks carry 0×0), `tracks` counts the trak boxes.
+  *
+  * 64-bit largesize boxes are followed; size-0 (to-EOF) boxes are
+  * bounded by the payload. Malformed / truncated / non-BMFF payloads
+  * yield ("unknown", -1, -1, -1, -1) — the never-throw corpus policy
+  * shared with the other byte-level parsers. Frame DECODE is out of
+  * scope by design (H.264/HEVC entropy coding — external transcoder
+  * territory, like JPEG's DCT). */
+case class VideoMetaExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("tracks", IntegerType, nullable = false)))
+  override def prettyName: String = "video_meta"
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  private val unknown =
+    InternalRow(UTF8String.fromString("unknown"), -1L, -1, -1, -1)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    try walk(b) catch { case _: Exception => unknown }
+  }
+
+  /** (payload offset, header length, body end) of each box in
+    * [from, to), streamed to `f`; returns false on malformed sizes. */
+  private def boxes(b: Array[Byte], from: Int, to: Int)(
+      f: (String, Int, Int) => Unit): Boolean = {
+    var i = from
+    while (i + 8 <= to) {
+      val size32 = be32(b, i)
+      val typ = new String(b, i + 4, 4, "ISO-8859-1")
+      val (bodyStart, end) =
+        if (size32 == 1L) {
+          if (i + 16 > to) return false
+          val sz = be64(b, i + 8)
+          if (sz < 16 || i + sz > to) return false
+          (i + 16, i + sz.toInt)
+        } else if (size32 == 0L) (i + 8, to) // to end of enclosing box
+        else {
+          if (size32 < 8 || i + size32 > to) return false
+          (i + 8, i + size32.toInt)
+        }
+      f(typ, bodyStart, end)
+      i = end
+    }
+    true
+  }
+
+  private def walk(b: Array[Byte]): InternalRow = {
+    if (b.length < 12) return unknown
+    // the first box must be ftyp (BMFF requirement for files)
+    if (be32(b, 0) < 16 || new String(b, 4, 4, "ISO-8859-1") != "ftyp")
+      return unknown
+    var brand: String = null
+    var durationMs = -1L
+    var w = 0; var h = 0; var tracks = 0
+    var sawMvhd = false
+    val ok = boxes(b, 0, b.length) { (typ, s, e) =>
+      typ match {
+        case "ftyp" =>
+          if (brand == null && e - s >= 4)
+            brand = new String(b, s, 4, "ISO-8859-1").trim
+        case "moov" =>
+          boxes(b, s, e) { (t2, s2, e2) =>
+            t2 match {
+              case "mvhd" if e2 - s2 >= 24 =>
+                val v = b(s2) & 0xff
+                val (timescale, duration) =
+                  if (v == 1 && e2 - s2 >= 32)
+                    (be32(b, s2 + 20), be64(b, s2 + 24))
+                  else (be32(b, s2 + 12), be32(b, s2 + 16))
+                if (timescale > 0) {
+                  durationMs = duration * 1000L / timescale
+                  sawMvhd = true
+                }
+              case "trak" =>
+                tracks += 1
+                boxes(b, s2, e2) { (t3, s3, e3) =>
+                  if (t3 == "tkhd" && e3 - s3 >= 84) {
+                    val v = b(s3) & 0xff
+                    val off = if (v == 1) 88 else 76
+                    if (e3 - s3 >= off + 8) {
+                      // 16.16 fixed point; integer part only
+                      w = math.max(w, be16(b, s3 + off))
+                      h = math.max(h, be16(b, s3 + off + 4))
+                    }
+                  }
+                }
+              case _ => ()
+            }
+          }
+        case _ => () // mdat / free / skipped boxes
+      }
+    }
+    if (!ok || brand == null || !sawMvhd) unknown
+    else InternalRow(UTF8String.fromString(brand), durationMs, w, h, tracks)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

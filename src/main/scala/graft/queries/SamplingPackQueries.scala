@@ -240,6 +240,45 @@ object SamplingPackQueries {
           AS samples
       FROM documents""")),
 
+    // REAL video-container metadata (VideoMetaExpr — ISO BMFF box
+    // walk): per doc a minimal VALID mp4 (ftyp + moov(mvhd + trak/
+    // tkhd)) is synthesized from doc_id with pure builtins — big-endian
+    // box sizes, a version-0 movie header at timescale 1000 (so
+    // duration_ms = the stored duration), 16.16 fixed-point track
+    // dimensions — and the expression walks the boxes back out. The
+    // oracle recomputes everything from doc_id arithmetic.
+    QueryDef("q_video_meta", (s, dir) => {
+      def hx4(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+      def be32(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+      val dur = (col("doc_id") % 9000 + 1000).cast("int")
+      val w = (col("doc_id") % 13 * 16 + 320).cast("int")
+      val h = (col("doc_id") % 7 * 32 + 180).cast("int")
+      val mp4Hex = concat(
+        // ftyp(20): major 'isom', minor 0, one compatible brand
+        lit("00000014" + "66747970" + "69736F6D" + "00000000" + "69736F6D" +
+          // moov(216) { mvhd(108): v0, times 0, timescale 1000, duration,
+          // 80 pad; trak(100) { tkhd(92): v0 + 72 pad + w.16 + h.16 } }
+          "000000D8" + "6D6F6F76" +
+          "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000" +
+          "000003E8"),
+        be32(dur), lit("00" * 80),
+        lit("00000064" + "7472616B" + "0000005C" + "746B6864" +
+          "00000000" + "00" * 72),
+        hx4(w), lit("0000"), hx4(h), lit("0000"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.videoMeta(unhex(mp4Hex)).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.tracks").as("tracks"))
+    }, Some("""
+      SELECT doc_id, 'isom' AS format,
+        CAST(doc_id % 9000 + 1000 AS BIGINT) AS duration_ms,
+        CAST(doc_id % 13 * 16 + 320 AS INT) AS width,
+        CAST(doc_id % 7 * 32 + 180 AS INT) AS height,
+        1 AS tracks
+      FROM documents""")),
+
     // Per-domain cap: URL host extraction (parse_url) + keep-first-K per
     // domain — row-level output so the oracle checks the exact kept set.
     QueryDef("q_domain_cap", (s, dir) => {
