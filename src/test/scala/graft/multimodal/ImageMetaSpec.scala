@@ -66,6 +66,24 @@ class ImageMetaSpec extends SparkSpec {
     assert(meta(hexBytes("FFD8 FFD9"))._1 === "unknown")
   }
 
+  test("jpeg: full SOFn range parses; the walk stops at SOS") {
+    // lossless SOF3 and arithmetic SOF9 share the frame-header layout
+    assert(meta(hexBytes("FFD8 FFC3 000B 08 0040 0080 00")) ===
+      ("jpeg", 128, 64))
+    assert(meta(hexBytes("FFD8 FFC9 000B 08 0010 0020 00")) ===
+      ("jpeg", 32, 16))
+    // DHT (C4) is NOT a frame: it must be skipped as length-prefixed,
+    // with the real SOF0 after it
+    assert(meta(hexBytes(
+      "FFD8 FFC4 0004 0000 FFC0 000B 08 0100 0200 00")) ===
+      ("jpeg", 512, 256))
+    // SOS before any SOF: entropy-coded data follows — a stray FF C0
+    // byte pair inside it must NOT parse as bogus dimensions
+    assert(meta(hexBytes(
+      "FFD8 FFDA 0008 01 01 00 00 3F 00" + // SOS header
+        "FFC0 000B 08 0438 0780 00"))._1 === "unknown")
+  }
+
   test("malformed and truncated payloads degrade to unknown, never throw") {
     assert(meta(Array[Byte]())._1 === "unknown")
     assert(meta("not an image".getBytes("UTF-8"))._1 === "unknown")
