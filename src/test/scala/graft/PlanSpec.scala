@@ -12,8 +12,9 @@ class PlanSpec extends SparkSpec {
     Registry.byName(name).run(spark, sfDir)
       .queryExecution.executedPlan.toString
 
-  test("q_image_decode / q_image_resize are single-scan zero-shuffle projections") {
-    Seq("q_image_decode", "q_image_resize").foreach { q =>
+  test("decode/meta queries are single-scan zero-shuffle projections") {
+    Seq("q_image_decode", "q_image_resize", "q_audio_decode",
+      "q_video_meta", "q_image_meta").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"),
         s"$q must be a pure map-side projection, got:\n$p")
