@@ -279,6 +279,66 @@ object SamplingPackQueries {
         1 AS tracks
       FROM documents""")),
 
+    // Multimodal QUALITY FILTERS over REAL decoded content — the
+    // corpus-curation pass the decode family exists for: per doc the
+    // q_image_decode BMP and the q_audio_decode WAV are decoded and
+    // the standard gate metrics computed in pure Catalyst higher-order
+    // functions (no UDF): integer luma sum (too-dark/too-bright image
+    // gates), peak |sample| and a clipping flag (broken-audio gates).
+    // Every metric is integer-exact and replayed by the oracle from
+    // the synthesis arithmetic.
+    QueryDef("q_media_quality", (s, dir) => {
+      def hx(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def v(i: Int, c: Int) = pmod(col("doc_id") * 7 + i * 13 + c * 29,
+        lit(256)).cast("int")
+      def bgr(i: Int) = concat(hx(v(i, 2)), hx(v(i, 1)), hx(v(i, 0)))
+      val bmpHex = concat(
+        lit("424D" + "46000000" + "00000000" + "36000000" +
+          "28000000" + "02000000" + "02000000" + "0100" + "1800" +
+          "00000000" + "10000000" + "00000000" + "00000000" +
+          "00000000" + "00000000"),
+        bgr(2), bgr(3), lit("0000"), bgr(0), bgr(1), lit("0000"))
+      def hx4(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+      def le16(c: org.apache.spark.sql.Column) =
+        concat(substring(hx4(c), 3, 2), substring(hx4(c), 1, 2))
+      def u(i: Int) = pmod(col("doc_id") * 11 + i * 17, lit(65536)).cast("int")
+      val wavHex = concat(
+        lit("52494646" + "2C000000" + "57415645" +
+          "666D7420" + "10000000" + "0100" + "0200" +
+          "401F0000" + "007D0000" + "0400" + "1000" +
+          "64617461" + "08000000"),
+        le16(u(0)), le16(u(1)), le16(u(2)), le16(u(3)))
+      val px = Multimodal.decodeImage(unhex(bmpHex)).getField("pixels")
+      val smp = Multimodal.decodeAudio(unhex(wavHex)).getField("samples")
+      // ITU-R 601 integer luma (x1000): 299*R + 587*G + 114*B
+      val lumaSum = aggregate(px, lit(0L), (acc, p) =>
+        acc + shiftright(p, 16).bitwiseAND(255).cast("long") * 299L +
+          shiftright(p, 8).bitwiseAND(255).cast("long") * 587L +
+          p.bitwiseAND(255).cast("long") * 114L)
+      val peak = aggregate(smp, lit(0L), (acc, x) =>
+        greatest(acc, abs(x.cast("long"))))
+      t(s, dir, "documents")
+        .select(col("doc_id"), lumaSum.as("luma_sum"), peak.as("peak"))
+        .withColumn("img_ok", // 4 px * 255000 max; gate the extremes
+          col("luma_sum").between(102000L, 918000L))
+        .withColumn("audio_clipped", col("peak") >= 32700L)
+    }, Some("""
+      WITH m AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(generate_series(0, 3), i ->
+            (doc_id*7 + i*13) % 256 * 299
+            + (doc_id*7 + i*13 + 29) % 256 * 587
+            + (doc_id*7 + i*13 + 58) % 256 * 114)) AS BIGINT) AS luma_sum,
+          CAST(list_max(list_transform(generate_series(0, 3), i ->
+            abs((doc_id*11 + i*17) % 65536
+              - CASE WHEN (doc_id*11 + i*17) % 65536 >= 32768
+                THEN 65536 ELSE 0 END))) AS BIGINT) AS peak
+        FROM documents)
+      SELECT doc_id, luma_sum, peak,
+        luma_sum BETWEEN 102000 AND 918000 AS img_ok,
+        peak >= 32700 AS audio_clipped
+      FROM m""")),
+
     // Per-domain cap: URL host extraction (parse_url) + keep-first-K per
     // domain — row-level output so the oracle checks the exact kept set.
     QueryDef("q_domain_cap", (s, dir) => {

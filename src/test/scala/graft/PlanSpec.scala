@@ -14,7 +14,7 @@ class PlanSpec extends SparkSpec {
 
   test("decode/meta queries are single-scan zero-shuffle projections") {
     Seq("q_image_decode", "q_image_resize", "q_audio_decode",
-      "q_video_meta", "q_image_meta").foreach { q =>
+      "q_video_meta", "q_image_meta", "q_media_quality").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"),
         s"$q must be a pure map-side projection, got:\n$p")
