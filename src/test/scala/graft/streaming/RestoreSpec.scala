@@ -214,6 +214,28 @@ class RestoreSpec extends SparkSpec {
     assert(resumed.keySet == Set("(k,0,1000,2000)"), resumed.toString)
   }
 
+  test("streaming CUMULATE bucket state restores: pre-restart rows count in post-restart slices") {
+    import java.sql.Timestamp
+    def wev(k: String, ts: Long, v: Double) = WEv(k, ts, v, new Timestamp(ts))
+    val feeds = Seq(
+      Seq(wev("k", 500, 1.0), wev("k", 1500, 2.0)), // buckets open, no slice fired
+      Seq(wev("k", 2600, 4.0)), // watermark 2600: slices 1000, 2000 fire —
+      // slice 2000's cumulative sum (1+2=3) needs the RECOVERED buckets
+      Seq(wev("k", 9000, 0.0))) // flush the remaining [0,4000) slices
+    val pipe = (ds: org.apache.spark.sql.Dataset[WEv]) =>
+      CumulateOps.cumulateAppendSum[String, WEv](
+        ds.withWatermark("ets", "0 seconds"), _.k, _.ts, _.v,
+        stepMs = 1000, maxMs = 4000)
+    val continuous = runFeeds(feeds, interrupt = false, pipe)
+    val resumed = runFeeds(feeds, interrupt = true, pipe)
+    assert(continuous == resumed, s"continuous=$continuous\nresumed=$resumed")
+    // window [0,4000): cumulative sums 1 (slice 1000), 3 (2000), 7
+    // (3000 — includes the post-restart 2600 row), 7 (4000)
+    Seq("1000,1,1.0", "2000,2,3.0", "3000,3,7.0", "4000,3,7.0")
+      .foreach(frag => assert(
+        resumed.keys.exists(_.contains(frag)), s"missing $frag: $resumed"))
+  }
+
   test("topN rank state restores: a post-restart score must displace the recovered ranking") {
     val feeds = Seq(
       Seq(("g", 5.0), ("g", 3.0), ("g", 8.0)), // top2 after feed 1: 8, 5
