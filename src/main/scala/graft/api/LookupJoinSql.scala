@@ -139,6 +139,9 @@ object LookupJoinSql {
     val maxRetries = opts.get("max-attempts").map(_.toInt - 1).getOrElse(0)
     val retryDelayMs = opts.get("fixed-delay").map(parseDuration(_).toMillis)
       .getOrElse(0L)
+    // miss-retry only when the hint explicitly asks for the lookup_miss
+    // predicate; bare max-attempts retries thrown failures only
+    val retryOnMiss = opts.contains("retry-predicate")
 
     val left = spark.table(leftTable)
     val dim0 = spark.table(rightTable)
@@ -207,7 +210,8 @@ object LookupJoinSql {
         AsyncLookupJoin.ordered[Row, Any, Row, Row](
           left, _.get(keyIdx), fn, combine,
           capacity = capacity, cacheSize = cacheSize, timeout = timeout,
-          maxRetries = maxRetries, retryDelayMs = retryDelayMs)(enc).toDF()
+          maxRetries = maxRetries, retryDelayMs = retryDelayMs,
+          retryOnMiss = retryOnMiss)(enc).toDF()
       } else if (registeredSync.isDefined) {
         LookupJoin.perPartition[Row, Any, Row, Row](
           left, _.get(keyIdx), registeredSync.get, combine,

@@ -33,6 +33,7 @@ final class SchemaRegistryClient(baseUrl: String) extends Serializable {
     // each fire the HTTP call; registry traffic is rare enough that a
     // coarse lock is the right trade
     idCache.synchronized {
+      if (idCache.size >= MaxCacheEntries) idCache.clear()
       idCache.getOrElseUpdate((baseUrl, subject, schemaJson), {
         val mapper = new ObjectMapper
         val body = mapper.createObjectNode()
@@ -48,6 +49,7 @@ final class SchemaRegistryClient(baseUrl: String) extends Serializable {
     * fetch per schema per executor, NOT per record. */
   def schemaById(id: Int): String =
     schemaCache.synchronized {
+      if (schemaCache.size >= MaxCacheEntries) schemaCache.clear()
       schemaCache.getOrElseUpdate((baseUrl, id), {
         val mapper = new ObjectMapper
         val resp = http("GET", s"/schemas/ids/$id", null)
@@ -81,7 +83,11 @@ final class SchemaRegistryClient(baseUrl: String) extends Serializable {
 }
 
 object SchemaRegistryClient {
-  // JVM-wide caches (shared by all tasks in an executor)
+  // JVM-wide caches (shared by all tasks in an executor). Bounded with
+  // a cap-and-clear (entries are small strings but the registry key
+  // space is open-ended — a long-lived executor over many topics must
+  // not grow them without limit; a clear just re-fetches once).
+  private val MaxCacheEntries = 10000
   private val idCache = TrieMap.empty[(String, String, String), Int]
   private val schemaCache = TrieMap.empty[(String, Int), String]
   /** Test hook: drop caches so a spec observes real HTTP traffic. */

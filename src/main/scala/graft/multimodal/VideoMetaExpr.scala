@@ -89,13 +89,17 @@ case class VideoMetaExpr(child: Expression)
     var durationMs = -1L
     var w = 0; var h = 0; var tracks = 0
     var sawMvhd = false
+    // Interior corruption (a malformed size inside moov/trak) must map
+    // to the same unknown row as top-level corruption — one error
+    // policy per payload, so nested boxes() results accumulate here.
+    var nestedOk = true
     val ok = boxes(b, 0, b.length) { (typ, s, e) =>
       typ match {
         case "ftyp" =>
           if (brand == null && e - s >= 4)
             brand = new String(b, s, 4, "ISO-8859-1").trim
         case "moov" =>
-          boxes(b, s, e) { (t2, s2, e2) =>
+          nestedOk &&= boxes(b, s, e) { (t2, s2, e2) =>
             t2 match {
               case "mvhd" if e2 - s2 >= 24 =>
                 val v = b(s2) & 0xff
@@ -104,12 +108,16 @@ case class VideoMetaExpr(child: Expression)
                     (be32(b, s2 + 20), be64(b, s2 + 24))
                   else (be32(b, s2 + 12), be32(b, s2 + 16))
                 if (timescale > 0) {
-                  durationMs = duration * 1000L / timescale
+                  // all-ones duration = "unknown" per ISO 14496-12 §8.2.2
+                  val unknownDur =
+                    if (v == 1) duration == -1L else duration == 0xffffffffL
+                  durationMs =
+                    if (unknownDur) -1L else duration * 1000L / timescale
                   sawMvhd = true
                 }
               case "trak" =>
                 tracks += 1
-                boxes(b, s2, e2) { (t3, s3, e3) =>
+                nestedOk &&= boxes(b, s2, e2) { (t3, s3, e3) =>
                   if (t3 == "tkhd" && e3 - s3 >= 84) {
                     val v = b(s3) & 0xff
                     val off = if (v == 1) 88 else 76
@@ -126,7 +134,7 @@ case class VideoMetaExpr(child: Expression)
         case _ => () // mdat / free / skipped boxes
       }
     }
-    if (!ok || brand == null || !sawMvhd) unknown
+    if (!ok || !nestedOk || brand == null || !sawMvhd) unknown
     else InternalRow(UTF8String.fromString(brand), durationMs, w, h, tracks)
   }
 

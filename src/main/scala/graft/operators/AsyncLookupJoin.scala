@@ -32,12 +32,20 @@ object AsyncLookupJoin {
     def close(): Unit = ()
   }
 
-  /** Ordered async cached lookup join (left outer via Option). */
+  /** Ordered async cached lookup join (left outer via Option).
+    *
+    * `maxRetries` always re-attempts thrown failures (transient store
+    * errors); a lookup MISS (`Success(None)`) is re-attempted only when
+    * `retryOnMiss` is set — the reference's explicit 'lookup_miss'
+    * retry predicate. Callers retrying for transient failures only must
+    * not pay maxRetries×retryDelayMs for every legitimately-absent key,
+    * the common case in lookup joins. */
   def ordered[T, K, V, O](ds: Dataset[T], keyFn: T => K,
       fn: AsyncLookupFn[K, V], combine: (T, Option[V]) => O,
       capacity: Int = 16, cacheSize: Int = 10000,
       timeout: Duration = Duration.Inf,
-      maxRetries: Int = 0, retryDelayMs: Long = 0)(
+      maxRetries: Int = 0, retryDelayMs: Long = 0,
+      retryOnMiss: Boolean = false)(
       implicit oEnc: Encoder[O]): Dataset[O] = {
     ds.mapPartitions { rows =>
       fn.open()
@@ -67,14 +75,18 @@ object AsyncLookupJoin {
       def withRetry(k: K, attempt: Int): Future[Option[V]] =
         fn.asyncLookup(k).transformWith {
           case scala.util.Success(hit @ Some(_)) => Future.successful(hit)
-          case _ if attempt < maxRetries =>
-            // fixed-delay retry on the pool thread (reference
-            // FIXED_DELAY strategy; delay bounded by the caller).
-            // Retried outcomes: a MISS (None — the reference's
-            // 'lookup_miss' predicate: the row may not have reached the
-            // store yet) and a thrown failure alike; a miss that
-            // survives all attempts is a legitimate no-match, a
-            // surviving failure propagates.
+          case scala.util.Success(None) if retryOnMiss && attempt < maxRetries =>
+            // fixed-delay miss retry (reference 'lookup_miss' retry
+            // predicate: the row may not have reached the store yet);
+            // gated behind retryOnMiss so failure-only retry users don't
+            // pay the delay for every legitimately-absent key. A miss
+            // that survives all attempts is a legitimate no-match.
+            if (retryDelayMs > 0) Thread.sleep(retryDelayMs)
+            withRetry(k, attempt + 1)
+          case scala.util.Failure(_) if attempt < maxRetries =>
+            // fixed-delay retry of thrown (transient) failures — the
+            // reference FIXED_DELAY strategy; a surviving failure
+            // propagates.
             if (retryDelayMs > 0) Thread.sleep(retryDelayMs)
             withRetry(k, attempt + 1)
           case scala.util.Success(none) => Future.successful(none)

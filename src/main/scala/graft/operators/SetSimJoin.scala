@@ -40,6 +40,51 @@ object SetSimJoin {
     * value only matters within ~2×). */
   val DistributedVocabThreshold: Long = 1000000L
 
+  // ---- oversized-vocab visibility on the lazy sort path ----
+  // The default factorization is the lazy single-task sort (no job at
+  // construction), so a vocabulary past the distributed crossover is a
+  // silent bottleneck. An `observe` metric rides the query's own
+  // execution (zero extra jobs, plan unchanged below the window) and a
+  // one-time QueryExecutionListener logs the regression when it fires.
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  private val listenerSessions = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        java.lang.Boolean]()))
+  private[operators] val warnedVocab =
+    new java.util.concurrent.atomic.AtomicLong(-1L) // test observability
+
+  private def observeVocab(dfreq: DataFrame): DataFrame = {
+    val spark = dfreq.sparkSession
+    if (listenerSessions.add(spark)) {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft_setsim_vocab_") && !row.isNullAt(0)) {
+                val n = row.getLong(0)
+                if (n > DistributedVocabThreshold) {
+                  warnedVocab.set(n)
+                  log.warn(
+                    s"SetSimJoin: vocabulary of $n distinct tokens exceeds " +
+                      s"the single-task sort crossover ($DistributedVocabThreshold); " +
+                      "set spark.graft.setSimJoin.vocab=distributed (or pass " +
+                      "distributedVocab=Some(true)) to avoid the sort bottleneck")
+                }
+              }
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+    }
+    dfreq.observe(s"graft_setsim_vocab_${obsCounter.incrementAndGet()}",
+      count(lit(1)).as("n"))
+  }
+
   /** All unordered pairs of `docs` ids whose token sets have
     * Jaccard >= tau. `tokensCol` is an array column (dedup'd
     * internally). Returns (id_a, id_b, inter, union_n, jaccard),
@@ -115,7 +160,7 @@ object SetSimJoin {
     //    the bucket to 2-3 chars if one leading char still skews.
     val vocab =
       if (!useDistributed)
-        dfreq.withColumn("tid",
+        observeVocab(dfreq).withColumn("tid",
           row_number().over(Window.orderBy(col("token"))))
       else {
         val bucketed = dfreq.withColumn("b", substring(col("token"), 1, 1))

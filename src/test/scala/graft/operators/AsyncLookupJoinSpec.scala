@@ -97,6 +97,33 @@ class AsyncLookupJoinSpec extends SparkSpec {
       s"expected 1 close after drain, got ${FakeStore.closes.get()}")
   }
 
+  test("a miss is NOT retried unless retryOnMiss is set (failure-only retry)") {
+    // keys ≡ 9 (mod 10) always miss; with maxRetries=2 but
+    // retryOnMiss=false each missing key must cost exactly ONE fetch —
+    // failure-only retry users don't pay the delay for absent keys
+    FakeStore.fetches.set(0)
+    val ds = Seq((0L, 9L), (1L, 19L)).toDS().coalesce(1)
+    val out = AsyncLookupJoin.ordered[(Long, Long), Long, String, String](
+      ds, _._2, new FakeStore.Fn(failFirst = false),
+      (_, v) => v.getOrElse("MISS"),
+      capacity = 2, timeout = 10.seconds, maxRetries = 2, retryDelayMs = 5)
+      .collect()
+    assert(out.toSeq == Seq("MISS", "MISS"))
+    assert(FakeStore.fetches.get() == 2,
+      s"miss must not retry without retryOnMiss: ${FakeStore.fetches.get()} fetches")
+    // and WITH retryOnMiss each missing key is attempted 1+maxRetries times
+    FakeStore.fetches.set(0)
+    val out2 = AsyncLookupJoin.ordered[(Long, Long), Long, String, String](
+      ds, _._2, new FakeStore.Fn(failFirst = false),
+      (_, v) => v.getOrElse("MISS"),
+      capacity = 2, timeout = 10.seconds, maxRetries = 2, retryDelayMs = 5,
+      retryOnMiss = true)
+      .collect()
+    assert(out2.toSeq == Seq("MISS", "MISS"))
+    assert(FakeStore.fetches.get() == 6,
+      s"lookup_miss predicate should retry misses: ${FakeStore.fetches.get()} fetches")
+  }
+
   test("no retry propagates the failure") {
     FakeStore.failures.set(0)
     val ds = Seq((1L, 1L)).toDS().coalesce(1)
