@@ -7,17 +7,20 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** image_decode(payload): REAL pixel decode for the image formats
-  * whose codecs are exact byte/bit manipulation — PNG (all five
+/** image_decode(payload): REAL pixel decode — PNG (all five
   * scanline filters, gray / RGB / palette / gray-alpha / RGBA at bit
   * depth 8, zlib inflate via the JDK's java.util.zip.Inflater), BMP
   * (BITMAPINFOHEADER, 24/32 bpp uncompressed, bottom-up and top-down),
-  * and GIF (full variable-width LZW, 87a/89a, local/global color
+  * GIF (full variable-width LZW, 87a/89a, local/global color
   * tables, interlace, GCE transparency — first frame composed onto the
-  * logical screen). This closes the stub the metadata pass
-  * ([[ImageMetaExpr]]) left open: resize / crop / feature pipelines
-  * downstream of this expression operate on real pixels with plain
-  * Spark higher-order functions (see [[Multimodal.resizeDecoded]]).
+  * logical screen), and baseline JPEG (sequential Huffman with the
+  * PINNED integer pipeline in [[JpegDecode]]: IJG islow IDCT, fancy
+  * chroma upsampling, fixed-point color convert — bit-deterministic,
+  * so the exact-oracle contract holds for JPEG too). This closes the
+  * stub the metadata pass ([[ImageMetaExpr]]) left open: resize / crop
+  * / feature pipelines downstream of this expression operate on real
+  * pixels with plain Spark higher-order functions (see
+  * [[Multimodal.resizeDecoded]]).
   *
   * Output: struct<format string, width int, height int,
   * pixels array<int>> — pixels are packed ARGB ints (alpha in the top
@@ -33,11 +36,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    executor;
   *  - entirely per-row map-side work — no shuffle, no driver state.
   *
-  * Deliberately unsupported (→ unknown): JPEG pixels (the DCT decode
-  * is approximate by nature — IDCT rounding differs per decoder — so
-  * it belongs to an external transcoder, not an exact-oracle engine;
-  * the metadata pass covers JPEG), PNG interlace (Adam7), PNG bit
-  * depths other than 8, GIF frames past the first. PNG chunk CRCs are
+  * Deliberately unsupported (→ unknown): progressive / arithmetic /
+  * 12-bit JPEG (SOF2+ — see [[JpegDecode]]), PNG interlace (Adam7),
+  * PNG bit depths other than 8, GIF frames past the first. PNG chunk
+  * CRCs are
   * not verified and a missing/garbled zlib Adler trailer is tolerated:
   * the decode is over when the expected scanline bytes are produced —
   * corpus reality is truncated files, and the strict-checksum policy
@@ -84,7 +86,19 @@ case class ImageDecodeExpr(child: Expression)
     else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') bmp(b)
     else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') gif(b)
+    else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      jpeg(b)
     else unknown
+  }
+
+  // --------------------------------------------------------------- JPEG
+  /** Baseline/extended-sequential Huffman JPEG via [[JpegDecode]] — the
+    * pinned-integer pipeline (IJG islow IDCT, fancy upsampling,
+    * fixed-point YCbCr->RGB), bit-deterministic by construction.
+    * Progressive/arithmetic/12-bit streams stay unknown. */
+  private def jpeg(b: Array[Byte]): InternalRow = {
+    val d = JpegDecode.decode(b, MaxPixels)
+    if (d == null) unknown else out("jpeg", d.width, d.height, d.pixels)
   }
 
   private def out(fmt: String, w: Int, h: Int, px: Array[Int]): InternalRow =

@@ -1,0 +1,643 @@
+package graft.multimodal
+
+/** Baseline JPEG pixel decode with PINNED integer arithmetic.
+  *
+  * Closes the largest FakeCodec gap: real-corpus images are
+  * overwhelmingly JPEG, and "JPEG is approximate" only holds across
+  * decoders that choose different IDCT/upsampling arithmetic. This
+  * decoder pins ONE published integer pipeline end-to-end, so the
+  * decode is bit-deterministic — the same fixed-point discipline as the
+  * oracled gradient-descent training in
+  * [[graft.operators.QualityClassifier]]:
+  *
+  *  - entropy decode: baseline sequential Huffman per ISO/IEC 10918-1
+  *    Annex F (canonical DECODE/RECEIVE/EXTEND), byte stuffing, DNL-free
+  *    scans, restart markers;
+  *  - dequantize + inverse DCT: the public IJG "islow" integer IDCT
+  *    (jidctint.c shape — Loeffler/Ligtenberg/Moshytz factorization at
+  *    CONST_BITS=13, PASS1_BITS=2, DESCALE round-half-up, int32
+  *    wraparound semantics), including both all-zero-AC shortcuts;
+  *  - chroma upsampling: IJG "fancy" (triangular) h2v1/h2v2 filters —
+  *    the libjpeg decode default — with replication for other ratios;
+  *  - color: the IJG fixed-point YCbCr→RGB tables
+  *    (SCALEBITS=16: 91881/116130/-46802/-22554 with the ONE_HALF bias).
+  *
+  * Supported: SOF0/SOF1 (baseline + extended sequential Huffman), 8-bit
+  * precision, 1 or 3 components, sampling factors 1-2, 8/16-bit DQT,
+  * DRI/RSTn. Unsupported (→ null, the never-throw corpus policy):
+  * progressive (SOF2), arithmetic coding (SOF9+), 12-bit precision,
+  * 4-component CMYK/Adobe-transform streams. Range limiting is a plain
+  * clamp of (idct + 128) to [0,255] — identical to the IJG mask-table
+  * on every value a conforming stream can produce (|val| ≤ 512); only
+  * deliberately-corrupt coefficient overflow can differ, and such
+  * payloads have no exactness contract anyway.
+  *
+  * Reference analogue: the decode stage of table-API multimodal
+  * preprocessing (the reference ships no image codecs — provenance is
+  * the public ISO 10918-1 spec and the IJG algorithm descriptions).
+  * Scale shape: pure per-row map-side compute, zero shuffle; the
+  * [[ImageDecodeExpr.MaxPixels]] bomb guard applies before any
+  * allocation. */
+object JpegDecode {
+
+  final class Decoded(val width: Int, val height: Int, val pixels: Array[Int])
+
+  // zigzag index -> natural (row-major) index, ISO 10918-1 Figure A.6
+  private val NaturalOrder: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  // ---- IJG islow IDCT constants (CONST_BITS=13 fixed point) ----
+  private final val ConstBits = 13
+  private final val Pass1Bits = 2
+  private final val F_0_298631336 = 2446
+  private final val F_0_390180644 = 3196
+  private final val F_0_541196100 = 4433
+  private final val F_0_765366865 = 6270
+  private final val F_0_899976223 = 7373
+  private final val F_1_175875602 = 9633
+  private final val F_1_501321110 = 12299
+  private final val F_1_847759065 = 15137
+  private final val F_1_961570560 = 16069
+  private final val F_2_053119869 = 16819
+  private final val F_2_562915447 = 20995
+  private final val F_3_072711026 = 25172
+
+  // round-half-up arithmetic shift (IJG DESCALE); int32 wraparound on
+  // purpose — matches the C arithmetic bit for bit
+  @inline private def descale(x: Int, n: Int): Int = (x + (1 << (n - 1))) >> n
+
+  @inline private def clamp(v: Int): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v
+
+  // ---- IJG fixed-point YCbCr->RGB (jdcolor.c build_ycc_rgb_table) ----
+  // FIX(1.40200)=91881 FIX(1.77200)=116130 FIX(0.71414)=46802
+  // FIX(0.34414)=22554, ONE_HALF = 1<<15, SCALEBITS = 16
+  private val CrR = Array.tabulate(256)(i => (91881 * (i - 128) + 32768) >> 16)
+  private val CbB = Array.tabulate(256)(i => (116130 * (i - 128) + 32768) >> 16)
+  private val CrG = Array.tabulate(256)(i => -46802 * (i - 128))
+  private val CbG = Array.tabulate(256)(i => -22554 * (i - 128) + 32768)
+
+  private final class Huff(bits: Array[Int], vals: Array[Int]) {
+    val mincode = new Array[Int](17)
+    val maxcode = new Array[Int](17)
+    val valptr = new Array[Int](17)
+    val values: Array[Int] = vals
+    val counts: Array[Int] = bits
+    locally { // canonical code assignment (Annex F.2.2.3 / jdhuff.c)
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valptr(l) = k
+        mincode(l) = code
+        code += bits(l); k += bits(l)
+        maxcode(l) = code - 1
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  private final class Comp(val id: Int, val h: Int, val v: Int, val tq: Int) {
+    var dcTbl = 0
+    var acTbl = 0
+    var pred = 0
+    var plane: Array[Byte] = _ // paddedW x paddedH samples
+    var paddedW = 0
+    var paddedH = 0
+  }
+
+  /** Decode, or null for anything malformed/unsupported. `maxPixels`
+    * is checked against declared width*height BEFORE any allocation. */
+  def decode(b: Array[Byte], maxPixels: Long): Decoded = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return null
+    val qt = Array.ofDim[Int](4, 64) // natural order
+    val dcTabs = new Array[Huff](4)
+    val acTabs = new Array[Huff](4)
+    var comps: Array[Comp] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+    var i = 2
+    var scanStart = -1
+
+    def u16(p: Int): Int = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+
+    // ---- marker walk to SOS ----
+    while (scanStart < 0) {
+      // a marker must follow (fill bytes: any number of FFs tolerated)
+      if (i >= b.length || (b(i) & 0xff) != 0xff) return null
+      while (i < b.length && (b(i) & 0xff) == 0xff) i += 1
+      if (i >= b.length) return null
+      val marker = b(i) & 0xff; i += 1
+      marker match {
+        case 0xd9 => return null // EOI before SOS
+        case m if m >= 0xd0 && m <= 0xd7 => () // stray RST: skip
+        case 0x01 => () // TEM: no payload
+        case _ =>
+          if (i + 2 > b.length) return null
+          val len = u16(i)
+          if (len < 2 || i + len > b.length) return null
+          val seg = i + 2
+          val segEnd = i + len
+          marker match {
+            case 0xdb => // DQT: one or more tables
+              var p = seg
+              while (p < segEnd) {
+                val pq = (b(p) & 0xff) >> 4
+                val tq = b(p) & 0x0f
+                if (tq > 3 || pq > 1) return null
+                p += 1
+                val need = if (pq == 0) 64 else 128
+                if (p + need > segEnd) return null
+                var k = 0
+                while (k < 64) {
+                  val v = if (pq == 0) b(p + k) & 0xff
+                    else u16(p + k * 2)
+                  qt(tq)(NaturalOrder(k)) = v
+                  k += 1
+                }
+                p += need
+              }
+            case 0xc0 | 0xc1 => // SOF0/SOF1: baseline-decodable frames
+              if (comps != null) return null
+              if (seg + 6 > segEnd) return null
+              if ((b(seg) & 0xff) != 8) return null // precision
+              h = u16(seg + 1); w = u16(seg + 3)
+              val nf = b(seg + 5) & 0xff
+              if (w <= 0 || h <= 0 || (nf != 1 && nf != 3)) return null
+              if (w.toLong * h > maxPixels) return null // bomb guard
+              if (seg + 6 + nf * 3 > segEnd) return null
+              comps = Array.tabulate(nf) { c =>
+                val p = seg + 6 + c * 3
+                val hv = b(p + 1) & 0xff
+                // A single-component scan is NON-interleaved (ISO
+                // 10918-1 A.2.2): one data unit per MCU at the
+                // component's full resolution, declared sampling
+                // factors irrelevant (the JDK encoder writes 2x2 for
+                // grayscale) — normalize to 1x1.
+                val (ch, cv) = if (nf == 1) (1, 1) else (hv >> 4, hv & 0x0f)
+                new Comp(b(p) & 0xff, ch, cv, b(p + 2) & 0x0f)
+              }
+              if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 ||
+                  c.v > 2 || c.tq > 3)) return null
+            case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+                 0xcd | 0xce | 0xcf =>
+              return null // progressive / lossless / arithmetic
+            case 0xc4 => // DHT: one or more tables
+              var p = seg
+              while (p < segEnd) {
+                if (p + 17 > segEnd) return null
+                val tc = (b(p) & 0xff) >> 4
+                val th = b(p) & 0x0f
+                if (tc > 1 || th > 3) return null
+                val bits = new Array[Int](17)
+                var total = 0
+                var l = 1
+                while (l <= 16) {
+                  bits(l) = b(p + l) & 0xff; total += bits(l); l += 1
+                }
+                if (total > 256 || p + 17 + total > segEnd) return null
+                val vals = new Array[Int](total)
+                var k = 0
+                while (k < total) { vals(k) = b(p + 17 + k) & 0xff; k += 1 }
+                val t = new Huff(bits, vals)
+                if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+                p += 17 + total
+              }
+            case 0xdd => // DRI
+              if (len != 4) return null
+              restartInterval = u16(seg)
+            case 0xda => // SOS
+              if (comps == null) return null
+              val ns = b(seg) & 0xff
+              if (ns != comps.length || seg + 1 + ns * 2 + 3 > segEnd)
+                return null
+              var c = 0
+              while (c < ns) {
+                val cid = b(seg + 1 + c * 2) & 0xff
+                val tt = b(seg + 2 + c * 2) & 0xff
+                val comp = comps.find(_.id == cid).orNull
+                if (comp == null) return null
+                comp.dcTbl = tt >> 4
+                comp.acTbl = tt & 0x0f
+                c += 1
+              }
+              // Ss/Se/AhAl must be the baseline full-scan values
+              val p = seg + 1 + ns * 2
+              if ((b(p) & 0xff) != 0 || (b(p + 1) & 0xff) != 63 ||
+                  (b(p + 2) & 0xff) != 0) return null
+              scanStart = segEnd
+            case _ => () // APPn / COM / others: skip
+          }
+          i = segEnd
+      }
+    }
+
+    // ---- geometry ----
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    comps.foreach { c =>
+      c.paddedW = mcusX * 8 * c.h
+      c.paddedH = mcusY * 8 * c.v
+      // padded planes are bounded by ~4x the bomb guard (hMax,vMax<=2)
+      c.plane = new Array[Byte](c.paddedW * c.paddedH)
+    }
+    comps.foreach { c =>
+      if (dcTabs(c.dcTbl) == null || acTabs(c.acTbl) == null) return null
+    }
+
+    // ---- entropy decode + IDCT per MCU ----
+    val reader = new BitReader(b, scanStart)
+    val coef = new Array[Int](64)
+    val ws = new Array[Int](64)
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    var nextRst = 0
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!reader.restart(nextRst)) return null
+        nextRst = (nextRst + 1) & 7
+        comps.foreach(_.pred = 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val q = qt(c.tq)
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            if (!decodeBlock(reader, c, dcTabs(c.dcTbl), acTabs(c.acTbl),
+                q, coef)) return null
+            idctBlock(coef, ws, c.plane, c.paddedW,
+              (mx * c.h + bx) * 8, (my * c.v + by) * 8)
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+
+    // ---- upsample + color ----
+    val px = new Array[Int](w * h)
+    if (comps.length == 1) {
+      val c = comps(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = c.plane(y * c.paddedW + x) & 0xff
+          px(y * w + x) = 0xff000000 | (g << 16) | (g << 8) | g
+          x += 1
+        }
+        y += 1
+      }
+    } else {
+      val yP = full(comps(0), w, h, hMax, vMax)
+      val cbP = full(comps(1), w, h, hMax, vMax)
+      val crP = full(comps(2), w, h, hMax, vMax)
+      var p = 0
+      val n = w * h
+      while (p < n) {
+        val yy = yP(p) & 0xff
+        val cb = cbP(p) & 0xff
+        val cr = crP(p) & 0xff
+        val r = clamp(yy + CrR(cr))
+        val g = clamp(yy + ((CbG(cb) + CrG(cr)) >> 16))
+        val bl = clamp(yy + CbB(cb))
+        px(p) = 0xff000000 | (r << 16) | (g << 8) | bl
+        p += 1
+      }
+    }
+    new Decoded(w, h, px)
+  }
+
+  /** Upsample a component plane to full (w x h) resolution. Factor-2
+    * axes use the IJG fancy (triangular) filter over the component's
+    * DOWNSAMPLED extent (edge samples replicate); identity axes copy. */
+  private def full(c: Comp, w: Int, h: Int, hMax: Int, vMax: Int)
+      : Array[Byte] = {
+    val sx = hMax / c.h // 1 or 2 (h in 1..2 enforced at SOF)
+    val sy = vMax / c.v
+    if (sx == 1 && sy == 1) {
+      if (c.paddedW == w && c.paddedH == h) return c.plane
+      val outp = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(c.plane, y * c.paddedW, outp, y * w, w)
+        y += 1
+      }
+      return outp
+    }
+    // downsampled logical extent (ceil division per A.1.1)
+    val dw = (w * c.h + hMax - 1) / hMax
+    val dh = (h * c.v + vMax - 1) / vMax
+    val src = c.plane
+    val sw = c.paddedW
+    if (sx == 2 && sy == 2) {
+      // h2v2_fancy_upsample: vertical 3:1 column sums against the
+      // nearer adjacent row, then horizontal 3:1 with the jdsample.c
+      // bias split (+8 toward the near sample, +7 toward the far one)
+      val outp = new Array[Byte](w * h)
+      var oy = 0
+      while (oy < h) {
+        val iy = oy >> 1
+        val ny = math.min(math.max(if ((oy & 1) == 0) iy - 1 else iy + 1,
+          0), dh - 1)
+        @inline def colsum(x: Int): Int =
+          (src(iy * sw + x) & 0xff) * 3 + (src(ny * sw + x) & 0xff)
+        var ox = 0
+        while (ox < w) {
+          val ix = ox >> 1
+          val v =
+            if ((ox & 1) == 0) {
+              if (ix == 0) (colsum(0) * 4 + 8) >> 4
+              else (colsum(ix) * 3 + colsum(ix - 1) + 8) >> 4
+            } else {
+              if (ix == dw - 1) (colsum(ix) * 4 + 7) >> 4
+              else (colsum(ix) * 3 + colsum(ix + 1) + 7) >> 4
+            }
+          outp(oy * w + ox) = v.toByte
+          ox += 1
+        }
+        oy += 1
+      }
+      outp
+    } else if (sx == 2 && sy == 1) {
+      // h2v1_fancy_upsample
+      val outp = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        val row = math.min(y, dh - 1) * sw
+        var ox = 0
+        while (ox < w) {
+          val ix = ox >> 1
+          val cur = src(row + ix) & 0xff
+          val v =
+            if ((ox & 1) == 0) {
+              if (ix == 0) cur
+              else (cur * 3 + (src(row + ix - 1) & 0xff) + 1) >> 2
+            } else {
+              if (ix == dw - 1) cur
+              else (cur * 3 + (src(row + ix + 1) & 0xff) + 2) >> 2
+            }
+          outp(y * w + ox) = v.toByte
+          ox += 1
+        }
+        y += 1
+      }
+      outp
+    } else {
+      // v-only (4:4:0) and any remaining ratio: plain replication — the
+      // jdsample.c int_upsample fallback (libjpeg has no fancy filter
+      // for these either)
+      val outp = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        val iy = math.min(y / sy, dh - 1)
+        var x = 0
+        while (x < w) {
+          outp(y * w + x) = src(iy * sw + math.min(x / sx, dw - 1))
+          x += 1
+        }
+        y += 1
+      }
+      outp
+    }
+  }
+
+  /** One block: DC diff + AC run-lengths into dequantized natural-order
+    * `coef`. Returns false on any bitstream error. */
+  private def decodeBlock(r: BitReader, c: Comp, dc: Huff, ac: Huff,
+      q: Array[Int], coef: Array[Int]): Boolean = {
+    java.util.Arrays.fill(coef, 0)
+    val s = decodeHuff(r, dc)
+    if (s < 0 || s > 15) return false
+    var diff = 0
+    if (s > 0) {
+      val v = r.receive(s)
+      if (v < 0) return false
+      diff = extend(v, s)
+    }
+    c.pred += diff
+    coef(0) = c.pred * q(0)
+    var k = 1
+    var done = false
+    while (!done && k < 64) {
+      val rs = decodeHuff(r, ac)
+      if (rs < 0) return false
+      val run = rs >> 4
+      val size = rs & 15
+      if (size == 0) {
+        if (run == 15) k += 16 // ZRL
+        else done = true // EOB
+      } else {
+        k += run
+        if (k > 63) return false
+        val v = r.receive(size)
+        if (v < 0) return false
+        val nat = NaturalOrder(k)
+        coef(nat) = extend(v, size) * q(nat)
+        k += 1
+      }
+    }
+    true
+  }
+
+  @inline private def extend(v: Int, s: Int): Int =
+    if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private def decodeHuff(r: BitReader, t: Huff): Int = {
+    var code = r.nextBit()
+    if (code < 0) return -1
+    var l = 1
+    while (l <= 16) {
+      if (t.counts(l) > 0 && code >= t.mincode(l) && code <= t.maxcode(l))
+        return t.values(t.valptr(l) + code - t.mincode(l))
+      val bit = r.nextBit()
+      if (bit < 0) return -1
+      code = (code << 1) | bit
+      l += 1
+    }
+    -1
+  }
+
+  /** IJG islow IDCT (jidctint.c algorithm): pass 1 down columns into
+    * ws (scaled by PASS1_BITS), pass 2 across rows, final descale by
+    * CONST_BITS+PASS1_BITS+3, +128 level shift, clamp. Both all-AC-zero
+    * shortcuts included (they change ROUNDING-free paths only — the
+    * shortcut value equals the full computation exactly). Input `coef`
+    * is already dequantized, natural order. */
+  private def idctBlock(coef: Array[Int], ws: Array[Int],
+      plane: Array[Byte], stride: Int, ox: Int, oy: Int): Unit = {
+    // pass 1: columns
+    var ctr = 0
+    while (ctr < 8) {
+      if (coef(ctr + 8) == 0 && coef(ctr + 16) == 0 && coef(ctr + 24) == 0 &&
+          coef(ctr + 32) == 0 && coef(ctr + 40) == 0 && coef(ctr + 48) == 0 &&
+          coef(ctr + 56) == 0) {
+        val dcval = coef(ctr) << Pass1Bits
+        var k = 0
+        while (k < 8) { ws(ctr + 8 * k) = dcval; k += 1 }
+      } else {
+        var z2 = coef(ctr + 16)
+        var z3 = coef(ctr + 48)
+        var z1 = (z2 + z3) * F_0_541196100
+        val t2 = z1 - z3 * F_1_847759065
+        val t3 = z1 + z2 * F_0_765366865
+        z2 = coef(ctr)
+        z3 = coef(ctr + 32)
+        val t0 = (z2 + z3) << ConstBits
+        val t1 = (z2 - z3) << ConstBits
+        val t10 = t0 + t3; val t13 = t0 - t3
+        val t11 = t1 + t2; val t12 = t1 - t2
+        var o0 = coef(ctr + 56)
+        var o1 = coef(ctr + 40)
+        var o2 = coef(ctr + 24)
+        var o3 = coef(ctr + 8)
+        z1 = o0 + o3
+        z2 = o1 + o2
+        z3 = o0 + o2
+        var z4 = o1 + o3
+        val z5 = (z3 + z4) * F_1_175875602
+        o0 *= F_0_298631336
+        o1 *= F_2_053119869
+        o2 *= F_3_072711026
+        o3 *= F_1_501321110
+        z1 *= -F_0_899976223
+        z2 *= -F_2_562915447
+        z3 = z3 * -F_1_961570560 + z5
+        z4 = z4 * -F_0_390180644 + z5
+        o0 += z1 + z3
+        o1 += z2 + z4
+        o2 += z2 + z3
+        o3 += z1 + z4
+        val sh = ConstBits - Pass1Bits
+        ws(ctr) = descale(t10 + o3, sh)
+        ws(ctr + 56) = descale(t10 - o3, sh)
+        ws(ctr + 8) = descale(t11 + o2, sh)
+        ws(ctr + 48) = descale(t11 - o2, sh)
+        ws(ctr + 16) = descale(t12 + o1, sh)
+        ws(ctr + 40) = descale(t12 - o1, sh)
+        ws(ctr + 24) = descale(t13 + o0, sh)
+        ws(ctr + 32) = descale(t13 - o0, sh)
+      }
+      ctr += 1
+    }
+    // pass 2: rows
+    var row = 0
+    while (row < 8) {
+      val base = row * 8
+      val outBase = (oy + row) * stride + ox
+      if (ws(base + 1) == 0 && ws(base + 2) == 0 && ws(base + 3) == 0 &&
+          ws(base + 4) == 0 && ws(base + 5) == 0 && ws(base + 6) == 0 &&
+          ws(base + 7) == 0) {
+        val dcval = clamp(descale(ws(base), Pass1Bits + 3) + 128).toByte
+        var k = 0
+        while (k < 8) { plane(outBase + k) = dcval; k += 1 }
+      } else {
+        var z2 = ws(base + 2)
+        var z3 = ws(base + 6)
+        var z1 = (z2 + z3) * F_0_541196100
+        val t2 = z1 - z3 * F_1_847759065
+        val t3 = z1 + z2 * F_0_765366865
+        val t0 = (ws(base) + ws(base + 4)) << ConstBits
+        val t1 = (ws(base) - ws(base + 4)) << ConstBits
+        val t10 = t0 + t3; val t13 = t0 - t3
+        val t11 = t1 + t2; val t12 = t1 - t2
+        var o0 = ws(base + 7)
+        var o1 = ws(base + 5)
+        var o2 = ws(base + 3)
+        var o3 = ws(base + 1)
+        z1 = o0 + o3
+        z2 = o1 + o2
+        z3 = o0 + o2
+        var z4 = o1 + o3
+        val z5 = (z3 + z4) * F_1_175875602
+        o0 *= F_0_298631336
+        o1 *= F_2_053119869
+        o2 *= F_3_072711026
+        o3 *= F_1_501321110
+        z1 *= -F_0_899976223
+        z2 *= -F_2_562915447
+        z3 = z3 * -F_1_961570560 + z5
+        z4 = z4 * -F_0_390180644 + z5
+        o0 += z1 + z3
+        o1 += z2 + z4
+        o2 += z2 + z3
+        o3 += z1 + z4
+        val sh = ConstBits + Pass1Bits + 3
+        plane(outBase) = clamp(descale(t10 + o3, sh) + 128).toByte
+        plane(outBase + 7) = clamp(descale(t10 - o3, sh) + 128).toByte
+        plane(outBase + 1) = clamp(descale(t11 + o2, sh) + 128).toByte
+        plane(outBase + 6) = clamp(descale(t11 - o2, sh) + 128).toByte
+        plane(outBase + 2) = clamp(descale(t12 + o1, sh) + 128).toByte
+        plane(outBase + 5) = clamp(descale(t12 - o1, sh) + 128).toByte
+        plane(outBase + 3) = clamp(descale(t13 + o0, sh) + 128).toByte
+        plane(outBase + 4) = clamp(descale(t13 - o0, sh) + 128).toByte
+      }
+      row += 1
+    }
+  }
+
+  /** MSB-first bit reader over entropy-coded data: FF00 unstuffing;
+    * any other marker ends the readable stream (a read past it fails,
+    * which fails the decode — truncation policy). */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var bitBuf = 0
+    private var bitCnt = 0
+
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (pos >= b.length) return -1
+        var v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length) return -1
+          val m = b(pos) & 0xff
+          if (m == 0) pos += 1 // stuffed FF
+          else { pos -= 1; return -1 } // a real marker: stop
+        }
+        bitBuf = v
+        bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+
+    /** RECEIVE: n bits MSB-first; negative on underrun. */
+    def receive(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) {
+        val bit = nextBit()
+        if (bit < 0) return -1
+        v = (v << 1) | bit
+        k += 1
+      }
+      v
+    }
+
+    /** Byte-align and consume the expected RSTn marker. */
+    def restart(n: Int): Boolean = {
+      bitCnt = 0
+      if (pos + 2 > b.length) return false
+      if ((b(pos) & 0xff) != 0xff || (b(pos + 1) & 0xff) != (0xd0 | n))
+        return false
+      pos += 2
+      true
+    }
+  }
+}

@@ -1,0 +1,266 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[JpegDecode]] against the INDEPENDENT IJG-derived codec in the JDK
+  * (javax.imageio's JPEG plugin wraps the libjpeg6b algorithms): real
+  * JPEGs are written by the JDK encoder and decoded by BOTH decoders —
+  * the pinned integer pipeline must match the JDK pixel-for-pixel
+  * (grayscale + 4:2:0 color, partial MCUs, several qualities). Plus
+  * hand-built streams covering restart markers, 16-bit DQT, negative
+  * coefficients, and the corpus-safety policy (progressive / truncated
+  * / bomb payloads yield unknown, never a throw). */
+class JpegDecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  System.setProperty("java.awt.headless", "true")
+
+  private def decode(bytes: Array[Byte]): (String, Int, Int, Seq[Int]) = {
+    val r = Seq(Tuple1(bytes)).toDF("p")
+      .select(Multimodal.decodeImage(col("p")).as("d"))
+      .select("d.format", "d.width", "d.height", "d.pixels").head()
+    (r.getString(0), r.getInt(1), r.getInt(2),
+      if (r.isNullAt(3)) null else r.getSeq[Int](3))
+  }
+
+  /** Smooth-ish deterministic raster (JPEG-friendly content: gradients
+    * plus mild texture, so every AC path is exercised without the
+    * pathological noise a quality-0.8 encode would crush anyway). */
+  private def raster(w: Int, h: Int, gray: Boolean): BufferedImage = {
+    val img = new BufferedImage(w, h,
+      if (gray) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 3 + y * 2 + ((x * y) % 7)) % 256
+      val g = (255 - x * 2 + y + ((x + y * 3) % 5)) % 256
+      val b = (x + y * 4 + ((x * 2 + y) % 11)) % 256
+      val rgb = if (gray) {
+        val v = (r + g + b) / 3
+        (v << 16) | (v << 8) | v
+      } else (r << 16) | (g << 8) | b
+      img.setRGB(x, y, 0xff000000 | rgb)
+    }
+    img
+  }
+
+  private def encode(img: BufferedImage, quality: Float): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose(); ios.close()
+    out.toByteArray
+  }
+
+  /** Max per-channel abs diff vs the JDK decode + where. Grayscale
+    * compares RAW raster samples (getRGB on TYPE_BYTE_GRAY routes
+    * through Java's linear-gray ColorSpace and applies a gamma
+    * transform that has nothing to do with the JPEG decode). */
+  private def vsJdk(payload: Array[Byte]): (Int, String) = {
+    val jdk = ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val (fmt, w, h, px) = decode(payload)
+    assert(fmt == "jpeg", s"expected jpeg decode, got $fmt")
+    assert(w == jdk.getWidth && h == jdk.getHeight)
+    val gray = jdk.getRaster.getNumBands == 1
+    var worst = 0; var where = ""
+    for (y <- 0 until h; x <- 0 until w) {
+      val b = px(y * w + x)
+      if (gray) {
+        val a = jdk.getRaster.getSample(x, y, 0)
+        val d = math.abs(a - (b & 0xff))
+        if (d > worst) { worst = d; where = s"($x,$y) jdk=$a got=${b & 0xff}" }
+      } else {
+        val a = jdk.getRGB(x, y)
+        for (sh <- Seq(16, 8, 0)) {
+          val d = math.abs(((a >> sh) & 0xff) - ((b >> sh) & 0xff))
+          if (d > worst) { worst = d; where = s"($x,$y) ch>>$sh jdk=${(a>>sh)&0xff} got=${(b>>sh)&0xff}" }
+        }
+      }
+    }
+    (worst, where)
+  }
+
+  test("grayscale JPEG matches the JDK decoder bit-exactly (odd dims)") {
+    for ((w, h, q) <- Seq((17, 13, 0.85f), (32, 24, 0.5f), (9, 25, 0.95f))) {
+      val (worst, where) = vsJdk(encode(raster(w, h, gray = true), q))
+      assert(worst == 0, s"gray ${w}x$h q=$q: max diff $worst at $where")
+    }
+  }
+
+  test("4:2:0 color JPEG matches the JDK decoder bit-exactly") {
+    for ((w, h, q) <- Seq((16, 16, 0.75f), (19, 11, 0.9f), (40, 28, 0.6f))) {
+      val (worst, where) = vsJdk(encode(raster(w, h, gray = false), q))
+      assert(worst == 0, s"color ${w}x$h q=$q: max diff $worst at $where")
+    }
+  }
+
+  // ---- hand-built streams: the byte-level features the JDK encoder
+  // won't emit on demand ----
+
+  private def hx(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** The q_jpeg_decode synthesis shape (see SamplingPackQueries):
+    * 8x8, DC-only blocks, two quant tables (17 luma / 23 chroma),
+    * custom 2-entry DC table (cat0='0', cat5='10') and 1-entry AC
+    * table (EOB='0') — each component's scan data is exactly one byte
+    * 0x80|(field<<1) where field = dc (positive) or dc+31 (negative). */
+  private def dcOnlyColor(dcY: Int, dcCb: Int, dcCr: Int): Array[Byte] = {
+    def scanByte(dc: Int): String =
+      f"${0x80 | ((if (dc >= 0) dc else dc + 31) << 1)}%02X"
+    hx("FFD8" +
+      "FFDB0043" + "00" + "11" * 64 + // DQT 0: all 17
+      "FFDB0043" + "01" + "17" * 64 + // DQT 1: all 23
+      "FFC0001108" + "0008" + "0008" + "03" + // SOF0 8x8 3 comps 4:4:4
+      "011100" + "021101" + "031101" +
+      "FFC40015" + "00" + "0101" + "00" * 14 + "0005" + // DC: cat0,cat5
+      "FFC40014" + "10" + "01" + "00" * 15 + "00" + // AC: EOB only
+      "FFDA000C03" + "0100" + "0200" + "0300" + "003F00" +
+      scanByte(dcY) + scanByte(dcCb) + scanByte(dcCr) +
+      "FFD9")
+  }
+
+  /** The IJG arithmetic the oracle replays (DC-only block):
+    * sample = clamp(128 + floor((dc*q + 4) / 8)), then the fixed-point
+    * YCbCr->RGB tables. */
+  private def expectedRgb(dcY: Int, dcCb: Int, dcCr: Int): Int = {
+    def flat(dc: Int, q: Int): Int = {
+      val s = dc * q
+      math.min(255, math.max(0, 128 + Math.floorDiv(s + 4, 8)))
+    }
+    val y = flat(dcY, 17); val cb = flat(dcCb, 23); val cr = flat(dcCr, 23)
+    def cl(v: Int) = math.min(255, math.max(0, v))
+    val r = cl(y + ((91881 * (cr - 128) + 32768) >> 16))
+    val g = cl(y + ((-22554 * (cb - 128) + 32768 + -46802 * (cr - 128)) >> 16))
+    val b = cl(y + ((116130 * (cb - 128) + 32768) >> 16))
+    0xff000000 | (r << 16) | (g << 8) | b
+  }
+
+  test("DC-only 4:4:4 color stream decodes to the exact IJG arithmetic") {
+    for ((dy, db, dr) <- Seq((16, 20, 25), (31, 16, -31), (24, 31, -16))) {
+      val (fmt, w, h, px) = decode(dcOnlyColor(dy, db, dr))
+      assert((fmt, w, h) == ("jpeg", 8, 8))
+      val want = expectedRgb(dy, db, dr)
+      assert(px.forall(_ == want),
+        s"dc=($dy,$db,$dr): got ${px.head.toHexString}, want ${want.toHexString}")
+    }
+  }
+
+  test("4:2:2 MCU layout: two Y blocks with DC prediction, h2v1 chroma") {
+    // 16x8 4:2:2 (Y h=2 v=1): one MCU = Y(0) Y(1) Cb Cr. The second Y
+    // block's DC is DIFFERENTIAL; flat chroma upsamples to itself under
+    // the fancy filter, so expected pixels split left/right on Y only.
+    val dcY1 = 18; val dY2 = 20; val dcCb = 22; val dcCr = -19
+    def sb(v: Int): String =
+      f"${0x80 | ((if (v >= 0) v else v + 31) << 1)}%02X"
+    val p = hx("FFD8" +
+      "FFDB0043" + "00" + "11" * 64 +
+      "FFDB0043" + "01" + "17" * 64 +
+      "FFC0001108" + "0008" + "0010" + "03" + // 16 wide, 8 high
+      "012100" + "021101" + "031101" + // Y 2x1, Cb/Cr 1x1
+      "FFC40015" + "00" + "0101" + "00" * 14 + "0005" +
+      "FFC40014" + "10" + "01" + "00" * 15 + "00" +
+      "FFDA000C03" + "0100" + "0200" + "0300" + "003F00" +
+      sb(dcY1) + sb(dY2) + sb(dcCb) + sb(dcCr) +
+      "FFD9")
+    val (fmt, w, h, px) = decode(p)
+    assert((fmt, w, h) == ("jpeg", 16, 8))
+    def flat(dc: Int, q: Int) =
+      math.min(255, math.max(0, 128 + Math.floorDiv(dc * q + 4, 8)))
+    def cl(v: Int) = math.min(255, math.max(0, v))
+    def rgb(y: Int): Int = {
+      val cb = flat(dcCb, 23); val cr = flat(dcCr, 23)
+      val r = cl(y + ((91881 * (cr - 128) + 32768) >> 16))
+      val g = cl(y + ((-22554 * (cb - 128) + 32768 + -46802 * (cr - 128)) >> 16))
+      val b = cl(y + ((116130 * (cb - 128) + 32768) >> 16))
+      0xff000000 | (r << 16) | (g << 8) | b
+    }
+    val left = rgb(flat(dcY1, 17)); val right = rgb(flat(dcY1 + dY2, 17))
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val want = if (x < 8) left else right
+      assert(px(y * 16 + x) == want,
+        s"($x,$y): got ${px(y * 16 + x).toHexString}, want ${want.toHexString}")
+    }
+  }
+
+  test("restart markers: DRI resets DC prediction per interval") {
+    // grayscale 8x16 (two MCUs), DRI=1: each MCU is its own interval,
+    // so the second block's DC is NOT differential off the first.
+    // Scan: block(dc=20) FFD0 block(dc=-17); flat values must be
+    // clamp(128 + floor((dc*17+4)/8)) per block independently.
+    val p = hx("FFD8" +
+      "FFDB0043" + "00" + "11" * 64 +
+      "FFC0000B08" + "0010" + "0008" + "01" + "011100" + // 8 wide, 16 high
+      "FFC40015" + "00" + "0101" + "00" * 14 + "0005" +
+      "FFC40014" + "10" + "01" + "00" * 15 + "00" +
+      "FFDD0004" + "0001" + // DRI = 1
+      "FFDA000801" + "0100" + "003F00" +
+      f"${0x80 | (20 << 1)}%02X" + "FFD0" + f"${0x80 | ((-17 + 31) << 1)}%02X" +
+      "FFD9")
+    val (fmt, w, h, px) = decode(p)
+    assert((fmt, w, h) == ("jpeg", 8, 16))
+    def flat(dc: Int) =
+      math.min(255, math.max(0, 128 + Math.floorDiv(dc * 17 + 4, 8)))
+    val top = flat(20); val bot = flat(-17)
+    assert((0 until 64).forall(i => (px(i) & 0xff) == top), s"top=$top ${px.head & 0xff}")
+    assert((64 until 128).forall(i => (px(i) & 0xff) == bot), s"bot=$bot")
+  }
+
+  test("16-bit DQT entries are honored") {
+    // same DC-only grayscale shape but Pq=1 with q0 = 300 (> 255):
+    // sample = clamp(128 + floor((16*300+4)/8)) = clamp(128+600) = 255
+    val q16 = (0 until 64).map(_ => "012C").mkString // 300 each
+    val p = hx("FFD8" +
+      "FFDB0083" + "10" + q16 + // len = 2+1+128 = 131 = 0x83
+      "FFC0000B08" + "0008" + "0008" + "01" + "011100" +
+      "FFC40015" + "00" + "0101" + "00" * 14 + "0005" +
+      "FFC40014" + "10" + "01" + "00" * 15 + "00" +
+      "FFDA000801" + "0100" + "003F00" +
+      f"${0x80 | (16 << 1)}%02X" + "FFD9")
+    val (fmt, _, _, px) = decode(p)
+    assert(fmt == "jpeg")
+    assert(px.forall(p => (p & 0xff) == 255))
+  }
+
+  test("corpus-safety: progressive, truncated, non-JPEG, bomb -> unknown") {
+    val good = dcOnlyColor(16, 16, 16)
+    // progressive: flip SOF0 -> SOF2
+    val prog = good.clone()
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(decode(prog)._1 == "unknown")
+    // truncated mid-scan
+    assert(decode(good.dropRight(3))._1 == "unknown")
+    // garbage after SOI
+    assert(decode(hx("FFD8DEADBEEF"))._1 == "unknown")
+    // bomb: declared 30000x30000 (> 2^26 pixels) must die BEFORE alloc
+    val bomb = good.clone()
+    // SOF0 height/width at sofAt+5..8
+    bomb(sofAt + 5) = 0x75.toByte; bomb(sofAt + 6) = 0x30.toByte
+    bomb(sofAt + 7) = 0x75.toByte; bomb(sofAt + 8) = 0x30.toByte
+    assert(decode(bomb)._1 == "unknown")
+  }
+
+  test("resize composes over decoded JPEG pixels") {
+    val p = dcOnlyColor(20, 18, 22)
+    val want = expectedRgb(20, 18, 22)
+    val r = Seq(Tuple1(p)).toDF("p")
+      .select(Multimodal.resizeDecoded(
+        Multimodal.decodeImage(col("p")), 2, 2).as("d"))
+      .select("d.width", "d.height", "d.pixels").head()
+    assert(r.getInt(0) == 2 && r.getInt(1) == 2)
+    assert(r.getSeq[Int](2).forall(_ == want))
+  }
+}
