@@ -14,12 +14,17 @@ import org.apache.spark.sql.functions._
   *    resample over decoded pixels;
   *  - audio: RIFF/WAVE integer PCM decodes for real
   *    ([[decodeAudio]] / [[AudioDecodeExpr]]); GIF decodes for real
-  *    too ([[ImageDecodeExpr]]'s LZW);
-  *  - psychoacoustic audio (MP3/AAC), JPEG's DCT, and video remain
-  *    behind `FakeCodec`, a deterministic stand-in clearly marked
-  *    below — the `mapPartitions` batching shape (one decoder init per
-  *    partition, fixed-width float features out) is what a JNI codec
-  *    would slot into unchanged.
+  *    too ([[ImageDecodeExpr]]'s LZW); baseline JPEG pixels decode for
+  *    real as well ([[JpegDecode]] — the pinned integer IDCT makes the
+  *    "DCT is approximate" objection moot: ONE published fixed-point
+  *    pipeline, bit-exact vs the JDK's IJG codec in JpegDecodeSpec);
+  *  - psychoacoustic audio (MP3/AAC) and video FRAMES remain behind
+  *    `FakeCodec`, a deterministic stand-in clearly marked below —
+  *    their entropy decode feeds perceptual synthesis filterbanks with
+  *    no canonical integer reference, unlike JPEG's. The
+  *    `mapPartitions` batching shape (one decoder init per partition,
+  *    fixed-width float features out) is what a JNI codec would slot
+  *    into unchanged.
   */
 object Multimodal {
 

@@ -204,6 +204,85 @@ object SamplingPackQueries {
           + (doc_id*7 + 58) % 256 - 16777216 AS INTEGER) AS p1
       FROM documents""")),
 
+    // REAL JPEG pixel decode (JpegDecode via ImageDecodeExpr): per doc
+    // a complete VALID baseline JPEG is synthesized from doc_id with
+    // pure builtins — evens a grayscale 8x8, odds a 4:4:4 color 8x8
+    // (negative chroma DC when doc_id%4==3) — with REAL Huffman tables
+    // (DC: cat0='0', cat5='10'; AC: EOB='0'), two quant tables (17
+    // luma / 23 chroma) and DC-only blocks, so each component's scan
+    // data is exactly one byte 0x80|(field<<1). The decoder runs the
+    // full pipeline (marker walk, canonical Huffman, dequant, islow
+    // IDCT incl. its DESCALE round-half-up — q=17/23 make the rounding
+    // bite — level shift, fixed-point YCbCr->RGB) and the oracle
+    // replays the pinned integer arithmetic:
+    //   sample = clamp(128 + floor((dc*q + 4)/8))
+    //   R = clamp(Y + (91881*(Cr-128)+32768 >> 16)), etc. (IJG tables)
+    // p0/p63 are the first/last pixels of the flat raster (equal by
+    // construction — proves the full 64-pixel surface was written).
+    // The full-AC / 4:2:0 / restart surfaces are proven bit-exact
+    // against the JDK's IJG codec in JpegDecodeSpec.
+    QueryDef("q_jpeg_decode", (s, dir) => {
+      def hx1(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      val dcY = (pmod(col("doc_id"), lit(16)) + 16).cast("int")
+      val dcCb = (pmod(col("doc_id") * 3, lit(16)) + 16).cast("int")
+      val mag = (pmod(col("doc_id") * 5, lit(16)) + 16).cast("int")
+      val dcCr = when(pmod(col("doc_id"), lit(4)) === 3, -mag).otherwise(mag)
+      def sb(dc: org.apache.spark.sql.Column) =
+        hx1(lit(128) + (when(dc >= 0, dc).otherwise(dc + 31)) * 2)
+      val dhtDc = "FFC40015" + "00" + "0101" + "00" * 14 + "0005"
+      val dhtAc = "FFC40014" + "10" + "01" + "00" * 15 + "00"
+      val grayHex = concat(
+        lit("FFD8" + "FFDB0043" + "00" + "11" * 64 +
+          "FFC0000B08" + "0008" + "0008" + "01" + "011100" +
+          dhtDc + dhtAc + "FFDA000801" + "0100" + "003F00"),
+        sb(dcY), lit("FFD9"))
+      val colorHex = concat(
+        lit("FFD8" + "FFDB0043" + "00" + "11" * 64 +
+          "FFDB0043" + "01" + "17" * 64 +
+          "FFC0001108" + "0008" + "0008" + "03" +
+          "011100" + "021101" + "031101" +
+          dhtDc + dhtAc +
+          "FFDA000C03" + "0100" + "0200" + "0300" + "003F00"),
+        sb(dcY), sb(dcCb), sb(dcCr), lit("FFD9"))
+      val payload = unhex(
+        when(col("doc_id") % 2 === 0, grayHex).otherwise(colorHex))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.decodeImage(payload).as("d"))
+        .select(col("doc_id"), col("d.format").as("format"),
+          col("d.width").as("width"), col("d.height").as("height"),
+          element_at(col("d.pixels"), 1).as("p0"),
+          element_at(col("d.pixels"), 64).as("p63"))
+    }, Some("""
+      WITH dc AS (
+        SELECT doc_id,
+          16 + doc_id % 16 AS dcy,
+          16 + (doc_id * 3) % 16 AS dcb,
+          CASE WHEN doc_id % 4 = 3 THEN -(16 + (doc_id * 5) % 16)
+               ELSE 16 + (doc_id * 5) % 16 END AS dcr
+        FROM documents),
+      planes AS (
+        SELECT doc_id,
+          LEAST(255, GREATEST(0, 128 + CAST(FLOOR((dcy * 17 + 4) / 8.0) AS INT))) AS ypix,
+          LEAST(255, GREATEST(0, 128 + CAST(FLOOR((dcb * 23 + 4) / 8.0) AS INT))) AS cb,
+          LEAST(255, GREATEST(0, 128 + CAST(FLOOR((dcr * 23 + 4) / 8.0) AS INT))) AS cr
+        FROM dc),
+      rgb AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN ypix
+            ELSE LEAST(255, GREATEST(0, ypix +
+              CAST(FLOOR((91881 * (cr - 128) + 32768) / 65536.0) AS INT))) END AS r,
+          CASE WHEN doc_id % 2 = 0 THEN ypix
+            ELSE LEAST(255, GREATEST(0, ypix +
+              CAST(FLOOR((-22554 * (cb - 128) + 32768 + -46802 * (cr - 128)) / 65536.0) AS INT))) END AS g,
+          CASE WHEN doc_id % 2 = 0 THEN ypix
+            ELSE LEAST(255, GREATEST(0, ypix +
+              CAST(FLOOR((116130 * (cb - 128) + 32768) / 65536.0) AS INT))) END AS b
+        FROM planes)
+      SELECT doc_id, 'jpeg' AS format, 8 AS width, 8 AS height,
+        CAST(r * 65536 + g * 256 + b - 16777216 AS INTEGER) AS p0,
+        CAST(r * 65536 + g * 256 + b - 16777216 AS INTEGER) AS p63
+      FROM rgb""")),
+
     // REAL audio decode (AudioDecodeExpr): per doc a complete VALID
     // RIFF/WAVE (16-bit stereo PCM, 2 frames) is synthesized from
     // doc_id with pure builtins and decoded back to the exact signed
