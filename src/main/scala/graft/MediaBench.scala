@@ -1,0 +1,154 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Decode-throughput sweep at corpus-realistic payload sizes.
+  *
+  * The decode family's correctness is proven on tiny synthesized
+  * payloads (exact oracles); this main measures the other claim — that
+  * per-row decode cost scales linearly in payload size and sustains
+  * corpus-scan throughput. For each (format, size) cell it generates
+  * deterministic payloads ON THE EXECUTORS (PNG and baseline JPEG via
+  * the JDK encoder, WAV PCM bytes directly), persists them so encode
+  * cost is out of the measurement, then times a full decode pass
+  * (sum over a decoded pixel/sample forces the whole codec) and
+  * reports MB/s aggregate and per core.
+  *
+  * Usage: runMain graft.MediaBench [cpus]  (default 8)
+  */
+object MediaBench {
+
+  private def pngBytes(id: Long, size: Int): Array[Byte] = {
+    val img = new BufferedImage(size, size, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    var s = id * 6364136223846793005L + 1442695040888963407L
+    while (y < size) {
+      var x = 0
+      while (x < size) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        // noisy content: PNG's deflate can't cheat the measurement
+        img.setRGB(x, y, (s >>> 24).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def jpegBytes(id: Long, size: Int): Array[Byte] = {
+    val img = new BufferedImage(size, size, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < size) {
+      var x = 0
+      while (x < size) {
+        // smooth gradients + texture: realistic JPEG entropy
+        val r = (x * 3 + y * 2 + ((x * y + id).toInt % 7)) & 0xff
+        val g = (255 - x * 2 + y + ((x + y * 3) % 5)) & 0xff
+        val b = (x + y * 4 + ((x * 2 + y) % 11)) & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    w.setOutput(ios)
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.8f)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    w.dispose(); ios.close()
+    out.toByteArray
+  }
+
+  /** 1-second 44.1 kHz 16-bit stereo RIFF/WAVE (176,444 bytes). */
+  private def wavBytes(id: Long): Array[Byte] = {
+    val frames = 44100
+    val data = new Array[Byte](44 + frames * 4)
+    val hdr = Array[Int](
+      0x52, 0x49, 0x46, 0x46, 0, 0, 0, 0, 0x57, 0x41, 0x56, 0x45,
+      0x66, 0x6d, 0x74, 0x20, 16, 0, 0, 0, 1, 0, 2, 0,
+      0x44, 0xac, 0, 0, 0x10, 0xb1, 2, 0, 4, 0, 16, 0,
+      0x64, 0x61, 0x74, 0x61, 0, 0, 0, 0)
+    var i = 0
+    while (i < 44) { data(i) = hdr(i).toByte; i += 1 }
+    def le32(off: Int, v: Int): Unit = {
+      data(off) = v.toByte; data(off + 1) = (v >> 8).toByte
+      data(off + 2) = (v >> 16).toByte; data(off + 3) = (v >> 24).toByte
+    }
+    le32(4, 36 + frames * 4)
+    le32(40, frames * 4)
+    var f = 0
+    var s = id
+    while (f < frames) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      le32(44 + f * 4, (s >>> 16).toInt)
+      f += 1
+    }
+    data
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = args.headOption.map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    println(s"heap=${Runtime.getRuntime.maxMemory >> 20}MiB cpus=$cpus")
+    val cells = Seq(
+      ("png", 64, 2000), ("png", 128, 800), ("png", 256, 240),
+      ("png", 512, 64), ("png", 2048, 8),
+      ("jpeg", 64, 4000), ("jpeg", 128, 1600), ("jpeg", 256, 480),
+      ("jpeg", 512, 128), ("jpeg", 2048, 16),
+      ("wav", 44100, 400))
+    val rows = cells.map { case (fmt, size, n) =>
+      val payloads = spark.range(n).repartition(cpus)
+        .map { id =>
+          fmt match {
+            case "png" => pngBytes(id, size)
+            case "jpeg" => jpegBytes(id, size)
+            case _ => wavBytes(id)
+          }
+        }.toDF("p").persist()
+      val totalBytes = payloads.select(sum(length(col("p")))).head().getLong(0)
+      def timeDecode(): Double = {
+        val t0 = System.nanoTime()
+        val d =
+          if (fmt == "wav")
+            payloads.select(graft.multimodal.Multimodal.decodeAudio(col("p"))
+              .as("d")).select(sum(element_at(col("d.samples"), 1))).head()
+          else
+            payloads.select(graft.multimodal.Multimodal.decodeImage(col("p"))
+              .as("d")).select(sum(element_at(col("d.pixels"), 1)),
+                sum(col("d.width"))).head()
+        require(!d.isNullAt(0), s"$fmt/$size decode produced nulls")
+        (System.nanoTime() - t0) / 1e9
+      }
+      timeDecode() // warm
+      val dt = math.min(timeDecode(), timeDecode())
+      payloads.unpersist()
+      val mb = totalBytes / 1e6
+      val mpx = if (fmt == "wav") n * 44100.0 / 1e6 // samples, for symmetry
+        else n.toDouble * size * size / 1e6
+      val label = if (fmt == "wav") "wav 1s" else s"$fmt ${size}x$size"
+      (label, n, mb, dt, mb / dt, mb / dt / cpus, mpx / dt)
+    }
+    println("| payload | rows | MB | sec | MB/s | MB/s/core | Mpx/s |")
+    println("|---|---|---|---|---|---|---|")
+    rows.foreach { case (l, n, mb, dt, r, rc, mp) =>
+      println(f"| $l | $n | $mb%.1f | $dt%.2f | $r%.0f | $rc%.1f | $mp%.0f |")
+    }
+    spark.stop()
+  }
+}
