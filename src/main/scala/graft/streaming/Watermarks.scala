@@ -132,6 +132,41 @@ object Watermarks {
       }
   }
 
+  /** CURRENT_WATERMARK() as a true PER-ROW expression — reference:
+    * BuiltInFunctionDefinitions.CURRENT_WATERMARK (flink-table-common):
+    * every processed row is annotated with the event-time watermark the
+    * operator held while processing it. This is the Spark-4-sanctioned
+    * materialization the progress surface above cannot give:
+    * `StatefulProcessor`'s TimerValues exposes
+    * `getCurrentWatermarkInMs` inside the query, per micro-batch, so
+    * the annotation is computed where the reference computes it — in
+    * the operator, not the driver. A pass-through processor with ZERO
+    * state: one shuffle on the key (the reference's CURRENT_WATERMARK
+    * also only materializes inside keyed operators), no buffering, no
+    * timers. Requires the RocksDB state store provider (as all
+    * transformWithState operators do). */
+  def withCurrentWatermarkTws[K, T](ds: Dataset[T], keyFn: T => K)(
+      implicit kEnc: Encoder[K], tEnc: Encoder[T],
+      outEnc: Encoder[(T, Long)]): Dataset[(T, Long)] =
+    ds.groupByKey(keyFn)
+      .transformWithState(new WatermarkAnnotator[K, T](),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+
+  /** Stateless pass-through behind [[withCurrentWatermarkTws]]. */
+  private final class WatermarkAnnotator[K, T]
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        K, T, (T, Long)] {
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = ()
+    override def handleInputRows(key: K, rows: Iterator[T],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(T, Long)] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      rows.map(r => (r, wm))
+    }
+  }
+
   /** Output row of [[alignedBufferChained]]: the original value plus
     * the DECLARED event-time column downstream operators key on.
     * `aligned_ts` = the row's own event time, clamped up to

@@ -38,6 +38,39 @@ class RangeOverWatermarkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("withCurrentWatermarkTws: per-row CURRENT_WATERMARK equals the " +
+      "per-batch progress watermark") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sq = spark.sqlContext
+    try {
+      val in = MemoryStream[WEv]
+      val src = in.toDS().withWatermark("ets", "0 seconds")
+      val out = Watermarks.withCurrentWatermarkTws[String, WEv](src, _.k)
+        .map { case (e, wm) => (e.ts, wm) }
+      val q = out.writeStream.format("memory").queryName("wm_tws")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(wev("k", 5000, 1)); q.processAllAvailable()
+        in.addData(wev("k", 6000, 2), wev("k", 5500, 3)); q.processAllAvailable()
+        in.addData(wev("k", 7000, 4)); q.processAllAvailable()
+        val rows = spark.table("wm_tws").as[(Long, Long)].collect().toMap
+        // the operator's watermark per batch: 0, then max(prev batches)
+        assert(rows(5000L) == 0L)
+        assert(rows(6000L) == 5000L && rows(5500L) == 5000L)
+        assert(rows(7000L) == 6000L)
+        // and the annotation MATCHES the engine's own per-batch progress
+        // record (eventTime.watermark of each input-carrying batch)
+        val progressWms = q.recentProgress.toSeq
+          .filter(_.numInputRows > 0)
+          .flatMap(p => Option(p.eventTime.get("watermark")))
+          .map(ts => java.time.Instant.parse(ts).toEpochMilli)
+        assert(progressWms == Seq(0L, 5000L, 6000L),
+          s"progress watermarks: $progressWms")
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("withCurrentWatermark annotates rows with the observed watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[WEv]
