@@ -30,6 +30,24 @@ class RestoreSpec extends SparkSpec {
 
   private type P = (String, Int)
 
+  /** Register each restore family against BOTH state store providers —
+    * the default HDFS-backed store and RocksDB (the reference gates
+    * state compatibility across backends the same way,
+    * flink-state-backends). The provider is read at query start, so
+    * setting the session conf around the body covers every
+    * start/restart inside it. */
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  private def restoreTest(name: String)(body: => Unit): Unit = {
+    test(name)(body)
+    test(s"$name [RocksDB provider]") {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        RocksProvider)
+      try body
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   /** Run `feeds` through `pipe`, hard-stopping + cold-restarting from
     * the same checkpoint after each feed when `interrupt`; returns the
     * emission multiset. */
@@ -92,7 +110,7 @@ class RestoreSpec extends SparkSpec {
     seen.synchronized(seen.groupBy(identity).view.mapValues(_.size).toMap)
   }
 
-  test("changelog join state restores: resume equals continuous, padding transitions cross the restart") {
+  restoreTest("changelog join state restores: resume equals continuous, padding transitions cross the restart") {
     // Each feed touches ONE side: an addData call is atomic, so every
     // feed lands in exactly one trigger in both runs — feeding both
     // MemoryStreams in one step would let the engine's trigger race
@@ -125,7 +143,7 @@ class RestoreSpec extends SparkSpec {
       resumed.toString)
   }
 
-  test("changelog agg accumulator restores: post-restart -U carries the pre-restart (cnt,sum)") {
+  restoreTest("changelog agg accumulator restores: post-restart -U carries the pre-restart (cnt,sum)") {
     val feeds = Seq(
       Seq(("k", 2.0, "+I", 0L), ("k", 3.0, "+I", 1L)), // state (2, 5.0)
       Seq(("k", 7.0, "+U", 2L)), // -U(2,5.0) proves the accumulator survived
@@ -141,7 +159,7 @@ class RestoreSpec extends SparkSpec {
     assert(resumed.keys.exists(_.contains("-D")), resumed.toString)
   }
 
-  test("count-window buffer restores: a window started before the restart completes after it") {
+  restoreTest("count-window buffer restores: a window started before the restart completes after it") {
     val feeds = Seq(
       Seq(("g", 1), ("g", 2)), // buffer 2 of 3 — window MUST NOT fire yet
       Seq(("g", 3)), // completes window 0 only if the buffer survived
@@ -158,7 +176,7 @@ class RestoreSpec extends SparkSpec {
     assert(resumed.keys.exists(_.contains("1,")), resumed.toString)
   }
 
-  test("streaming-limit count restores: the cap holds across restarts") {
+  restoreTest("streaming-limit count restores: the cap holds across restarts") {
     val feeds = Seq(
       Seq(("g", 1), ("g", 2)), // 2 of 3 emitted
       Seq(("g", 3), ("g", 4)), // only 3 may pass if the count survived
@@ -173,7 +191,7 @@ class RestoreSpec extends SparkSpec {
       !resumed.keys.exists(_.contains("(g,5)")), resumed.toString)
   }
 
-  test("event-time OVER buffer + watermark restore: immature rows mature after the restart") {
+  restoreTest("event-time OVER buffer + watermark restore: immature rows mature after the restart") {
     import java.sql.Timestamp
     def wev(k: String, ts: Long, v: Double) = WEv(k, ts, v, new Timestamp(ts))
     val feeds = Seq(
@@ -192,7 +210,7 @@ class RestoreSpec extends SparkSpec {
       resumed.toString)
   }
 
-  test("CEP partial-match buffer restores: a pattern started before the restart completes after it") {
+  restoreTest("CEP partial-match buffer restores: a pattern started before the restart completes after it") {
     import graft.cep.{CEP, Pattern}
     import graft.cep.CES
     def ev(ts: Long, typ: String) =
@@ -214,7 +232,7 @@ class RestoreSpec extends SparkSpec {
     assert(resumed.keySet == Set("(k,0,1000,2000)"), resumed.toString)
   }
 
-  test("streaming CUMULATE bucket state restores: pre-restart rows count in post-restart slices") {
+  restoreTest("streaming CUMULATE bucket state restores: pre-restart rows count in post-restart slices") {
     import java.sql.Timestamp
     def wev(k: String, ts: Long, v: Double) = WEv(k, ts, v, new Timestamp(ts))
     val feeds = Seq(
@@ -236,7 +254,7 @@ class RestoreSpec extends SparkSpec {
         resumed.keys.exists(_.contains(frag)), s"missing $frag: $resumed"))
   }
 
-  test("topN rank state restores: a post-restart score must displace the recovered ranking") {
+  restoreTest("topN rank state restores: a post-restart score must displace the recovered ranking") {
     val feeds = Seq(
       Seq(("g", 5.0), ("g", 3.0), ("g", 8.0)), // top2 after feed 1: 8, 5
       Seq(("g", 6.0)), // displaces 5 ONLY if the recovered state held (8, 5)
