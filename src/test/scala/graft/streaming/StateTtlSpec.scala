@@ -16,9 +16,12 @@ import graft.SparkSpec
   * Test discipline: with ProcessingTimeTimeout Spark re-runs batches
   * continuously (shouldRunAnotherBatch is always true while timeouts
   * are registered), so processAllAvailable never quiesces — these
-  * tests poll the memory sink with a deadline instead, and bound the
-  * negative assertions by a fixed observation window several times the
-  * trigger interval. */
+  * tests poll the memory sink with a deadline instead. NO fixed sleeps
+  * gate any assertion: expiry is confirmed by polling the state-store
+  * metrics for the batch where the timeout actually fired
+  * (numRowsTotal drops to 0 when the operator removes the key), and
+  * the negative windows are bounded by OBSERVED batch count, not wall
+  * time — a loaded box merely slows the test, it cannot flake it. */
 class StateTtlSpec extends SparkSpec {
   import spark.implicits._
 
@@ -30,6 +33,30 @@ class StateTtlSpec extends SparkSpec {
       Thread.sleep(50)
     assert(spark.table(table).count() >= n,
       s"$table never reached $n rows")
+  }
+
+  /** Poll the query's progress until `pred` holds (30s deadline). */
+  private def awaitProgress(q: org.apache.spark.sql.streaming.StreamingQuery,
+      what: String)(
+      pred: org.apache.spark.sql.streaming.StreamingQueryProgress => Boolean)
+      : Unit = {
+    val deadline = System.nanoTime() + 30000000000L
+    def ok = Option(q.lastProgress).exists(pred)
+    while (!ok && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(ok, s"never observed: $what (last=${Option(q.lastProgress)})")
+  }
+
+  /** State rows currently held by the (single) stateful operator. */
+  private def stateRows(
+      p: org.apache.spark.sql.streaming.StreamingQueryProgress): Long =
+    if (p.stateOperators.isEmpty) -1 else p.stateOperators(0).numRowsTotal
+
+  /** Let `n` more batches run (timeout-registered queries batch
+    * continuously) — the batch-count-bounded negative window. */
+  private def awaitBatches(q: org.apache.spark.sql.streaming.StreamingQuery,
+      n: Long): Unit = {
+    val from = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+    awaitProgress(q, s"$n further batches")(_.batchId >= from + n)
   }
 
   test("join state expires after the TTL: a late insert finds empty opposite state") {
@@ -46,12 +73,18 @@ class StateTtlSpec extends SparkSpec {
       lIn.addData((("a", 1), "+I", 0L))
       rIn.addData((("a", 10), "+I", 1L))
       awaitCount("ttl_join", 1) // state alive: the insert pair joins
-      // let 'a' state expire (continuous batches fire the timeout)
-      Thread.sleep(1500)
+      // confirm the timeout batch actually FIRED before the late
+      // insert: the operator's state row count drops to zero when the
+      // key is removed (no fixed sleep — the TTL may take arbitrarily
+      // long on a loaded box)
+      awaitProgress(q, "join state expired")(stateRows(_) == 0)
       // a fresh right insert for 'a' must find EMPTY left state: the
-      // inner join emits nothing for it — observe for 3s to be sure
+      // inner join emits nothing for it
       rIn.addData((("a", 11), "+I", 500L))
-      Thread.sleep(3000)
+      // the insert is processed once its state row reappears...
+      awaitProgress(q, "late insert processed")(stateRows(_) >= 1)
+      // ...and the negative window is 3 OBSERVED batches after that
+      awaitBatches(q, 3)
       val rows = spark.table("ttl_join").collect()
       assert(rows.length == 1,
         s"expired key must join against empty state, got ${rows.toSeq}")
@@ -70,7 +103,8 @@ class StateTtlSpec extends SparkSpec {
     try {
       in.addData(("k", 5.0, "+I", 0L))
       awaitCount("ttl_agg", 1) // +I(1, 5.0)
-      Thread.sleep(1500) // expire
+      // poll for the timeout batch, not the wall clock
+      awaitProgress(q, "agg state expired")(stateRows(_) == 0)
       in.addData(("k", 7.0, "+I", 500L))
       awaitCount("ttl_agg", 2)
       val kRows = spark.table("ttl_agg")
