@@ -75,15 +75,6 @@ object TpcdsQueries {
     // report over (channel, nation) with a grand-total row. Channels
     // are mapped onto o_orderstatus (F=store, O=web, P=catalog). ----
     QueryDef("q_tpcds_s5", (s, dir) => {
-      val base = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t(s, dir, "nation")),
-          col("c_nationkey") === col("n_nationkey"))
-        .withColumn("channel",
-          when(col("o_orderstatus") === "F", "store channel")
-            .when(col("o_orderstatus") === "O", "web channel")
-            .otherwise("catalog channel"))
       val rev = revenue(col("l_extendedprice"), col("l_discount")).cast(d184)
       val zero = lit(0).cast(d184)
       // ONE scan with conditional measures (the s77/s9 pattern): every
@@ -91,14 +82,37 @@ object TpcdsQueries {
       // branches computes the identical multiset while duplicating the
       // whole 3-way join subtree in the physical plan (Spark does not
       // materialize shared subtrees) — 2× the join work at any scale.
-      base.select(col("channel"), col("n_name"),
-          when(col("l_returnflag") =!= "R", rev).otherwise(zero)
-            .as("sales_amt"),
-          when(col("l_returnflag") === "R", rev).otherwise(zero)
-            .as("return_amt"))
+      // Round-11 profile (BENCH_NOTES): with all dims broadcast the
+      // remaining cost was per-fact-row work, so everything that does
+      // not NEED fact rows moved past the aggregate — the fact side is
+      // reduced by (o_orderstatus, c_nationkey) with `rev` materialized
+      // once per row, then the nation name join, the channel mapping
+      // and the ROLLUP run over ~|status|x|nation| rows. Rollup re-
+      // groups by the mapped channel, so the status->channel CASE being
+      // many-to-one is still correct; rollup-of-sums == sum by decimal
+      // associativity. The irreducible per-row floor is the exact
+      // decimal multiply the oracle contract requires.
+      val perKey = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderstatus"), col("c_nationkey"),
+          col("l_returnflag"), rev.as("rev"))
+        .groupBy(col("o_orderstatus"), col("c_nationkey"))
+        .agg(
+          sum(when(col("l_returnflag") =!= "R", col("rev")).otherwise(zero))
+            .as("sales_part"),
+          sum(when(col("l_returnflag") === "R", col("rev")).otherwise(zero))
+            .as("return_part"))
+      perKey
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .withColumn("channel",
+          when(col("o_orderstatus") === "F", "store channel")
+            .when(col("o_orderstatus") === "O", "web channel")
+            .otherwise("catalog channel"))
         .rollup(col("channel"), col("n_name"))
-        .agg(sum(col("sales_amt")).cast("double").as("sales"),
-          sum(col("return_amt")).cast("double").as("returns"))
+        .agg(sum(col("sales_part")).cast("double").as("sales"),
+          sum(col("return_part")).cast("double").as("returns"))
         .orderBy(col("channel").asc_nulls_first, col("n_name").asc_nulls_first)
     }, Some(s"""
       WITH base AS (
