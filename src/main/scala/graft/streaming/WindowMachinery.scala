@@ -223,4 +223,154 @@ object WindowMachinery {
           out.iterator
       }
   }
+
+  /** (key, windowStart, windowEnd, firing, accumulator) */
+  type AggFire[K, A] = (K, Long, Long, String, A)
+
+  /** Tumbling variant of [[slidingAgg]] (slide == size). */
+  def tumblingAgg[K, T, A](ds: Dataset[T], keyFn: T => K, tsFn: T => Long,
+      sizeMs: Long, zero: A, add: (A, T) => A,
+      trigger: Trigger = Trigger.EventTime, allowedLatenessMs: Long = 0L,
+      watermarkLagMs: Long = 0L)(
+      implicit kEnc: Encoder[K], tEnc: Encoder[T],
+      stateEnc: Encoder[Seq[(Long, A, Boolean, Long)]],
+      outEnc: Encoder[(K, Long, Long, String, A)]): Dataset[AggFire[K, A]] =
+    slidingAgg(ds, keyFn, tsFn, sizeMs, sizeMs, zero, add, trigger,
+      allowedLatenessMs, watermarkLagMs)
+
+  /** The SCALE PATH for triggers/lateness on tumble and hop windows —
+    * the reference's incremental-accumulator window operator
+    * (AggregateWindowOperator: WindowOperator.java specialized to an
+    * internal AggregatingState instead of ListState). [[tumbling]]
+    * buffers whole panes because evictors and arbitrary user functions
+    * need the elements; when the window function is an incremental
+    * aggregate (the overwhelmingly common case), state per open
+    * (key, window) is ONE accumulator of constant size — a wide pane
+    * costs the same bytes as an empty one. Same firing surface as
+    * [[tumbling]]: count/continuous "early" fires, "onTime" at the
+    * watermark, "late" re-fires within the allowed-lateness horizon
+    * (the accumulator keeps absorbing late elements — the reference's
+    * fire-by-accumulator re-emission), "droppedLate" side output (the
+    * dropped element aggregated alone), cleanup at end+lateness.
+    * Evictors are deliberately ABSENT: evict-at-fire needs the element
+    * buffer by definition — that semantics stays on [[tumbling]].
+    *
+    * Hop windows: each element lands in every window whose
+    * `start ≡ 0 (mod slideMs)` and `start <= ts < start+sizeMs` —
+    * the accumulator replaces the reference's per-pane ListState
+    * slices. `watermarkLagMs` composes exactly as on [[tumbling]]. */
+  def slidingAgg[K, T, A](ds: Dataset[T], keyFn: T => K, tsFn: T => Long,
+      sizeMs: Long, slideMs: Long, zero: A, add: (A, T) => A,
+      trigger: Trigger = Trigger.EventTime, allowedLatenessMs: Long = 0L,
+      watermarkLagMs: Long = 0L)(
+      implicit kEnc: Encoder[K], tEnc: Encoder[T],
+      stateEnc: Encoder[Seq[(Long, A, Boolean, Long)]],
+      outEnc: Encoder[(K, Long, Long, String, A)]): Dataset[AggFire[K, A]] = {
+    require(sizeMs > 0 && slideMs > 0 && slideMs <= sizeMs,
+      s"need 0 < slideMs <= sizeMs, got size=$sizeMs slide=$slideMs")
+
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: K, rows: Iterator[T],
+            state: GroupState[Seq[(Long, A, Boolean, Long)]]) =>
+          val wm = state.getCurrentWatermarkMs() + watermarkLagMs
+          val wins = scala.collection.mutable.LinkedHashMap.empty[
+            Long, (A, Boolean, Long)]
+          state.getOption.getOrElse(Seq.empty).foreach { case (s, a, f, x) =>
+            wins(s) = (a, f, x)
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[AggFire[K, A]]
+          val lateTouched = scala.collection.mutable.Set.empty[Long]
+
+          rows.foreach { r =>
+            val ts = tsFn(r)
+            // all hop windows containing ts, newest start first
+            var ws = math.floorDiv(ts, slideMs) * slideMs
+            while (ws + sizeMs > ts) {
+              val we = ws + sizeMs
+              if (we + allowedLatenessMs <= wm) {
+                out += ((key, ws, we, "droppedLate", add(zero, r)))
+              } else {
+                val (acc0, fired0, aux0) = wins.getOrElse(ws,
+                  (zero, false,
+                    trigger match {
+                      case Trigger.ContinuousEventTime(i) => ws + i
+                      case _ => 0L
+                    }))
+                var acc = add(acc0, r)
+                var aux = aux0
+                trigger match {
+                  case Trigger.Count(n, purge) =>
+                    aux += 1
+                    if (aux >= n) {
+                      out += ((key, ws, we, "early", acc))
+                      if (purge) acc = zero
+                      aux = 0
+                    }
+                  case _ => ()
+                }
+                if (fired0 && we <= wm) lateTouched += ws
+                wins(ws) = (acc, fired0, aux)
+              }
+              ws -= slideMs
+            }
+          }
+
+          trigger match {
+            case Trigger.EventTime =>
+              wins.foreach { case (ws, (acc, fired, _)) =>
+                val we = ws + sizeMs
+                if (!fired && we <= wm) {
+                  out += ((key, ws, we, "onTime", acc))
+                  wins(ws) = (acc, true, 0L)
+                } else if (fired && lateTouched(ws)) {
+                  out += ((key, ws, we, "late", acc))
+                }
+              }
+            case Trigger.ContinuousEventTime(interval) =>
+              wins.foreach { case (ws, (acc, fired, aux0)) =>
+                val we = ws + sizeMs
+                var aux = aux0
+                while (aux <= math.min(wm, we - 1)) {
+                  out += ((key, ws, we, "early", acc))
+                  aux += interval
+                }
+                var f = fired
+                if (!f && we <= wm) {
+                  out += ((key, ws, we, "onTime", acc))
+                  f = true
+                } else if (f && lateTouched(ws)) {
+                  out += ((key, ws, we, "late", acc))
+                }
+                wins(ws) = (acc, f, aux)
+              }
+            case Trigger.Count(_, _) => ()
+          }
+
+          val live = wins.filter { case (ws, _) =>
+            ws + sizeMs + allowedLatenessMs > wm
+          }
+          if (live.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(live.map { case (s, (a, f, x)) => (s, a, f, x) }.toSeq)
+            val nexts = live.flatMap { case (ws, (_, fired, aux)) =>
+              val we = ws + sizeMs
+              trigger match {
+                case Trigger.Count(_, _) => Seq(we + allowedLatenessMs)
+                case Trigger.ContinuousEventTime(_) =>
+                  (if (fired) Seq.empty else Seq(aux, we)) :+
+                    (we + allowedLatenessMs)
+                case Trigger.EventTime =>
+                  (if (fired) Seq.empty else Seq(we)) :+
+                    (we + allowedLatenessMs)
+              }
+            }
+            state.setTimeoutTimestamp(
+              math.max(wm - watermarkLagMs + 1, nexts.min - watermarkLagMs))
+          }
+          out.iterator
+      }
+  }
 }

@@ -121,6 +121,151 @@ class WindowMachinerySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ---- incremental-accumulator scale path (tumblingAgg/slidingAgg) ----
+  // accumulator functions live in the companion: a spec-method closure
+  // would capture the (non-serializable) suite instance
+  import WindowMachinerySpec.{CS, csZero, csAdd}
+
+  private def aggFires(name: String) =
+    spark.table(name).as[(String, Long, Long, String, CS)].collect()
+
+  test("tumblingAgg parity with tumbling: onTime, late re-fire, droppedLate") {
+    // the event-time test's exact feed sequence through BOTH operators;
+    // the buffer variant's fires reduced by (count,sum) must equal the
+    // accumulator variant's fires as multisets
+    implicit val sq = spark.sqlContext
+    val inB = MemoryStream[WmEv]
+    val inA = MemoryStream[WmEv]
+    val buffered = WindowMachinery.tumbling[String, WmEv](
+      inB.toDS().withWatermark("ts", "20 seconds").as[WmEv],
+      _.k, _.ts.getTime, sizeMs = 10000L,
+      allowedLatenessMs = 10000L, watermarkLagMs = 20000L)
+    val agged = WindowMachinery.tumblingAgg[String, WmEv, CS](
+      inA.toDS().withWatermark("ts", "20 seconds").as[WmEv],
+      _.k, _.ts.getTime, sizeMs = 10000L, zero = csZero, add = csAdd,
+      allowedLatenessMs = 10000L, watermarkLagMs = 20000L)
+    val qB = buffered.writeStream.format("memory").queryName("par_buf")
+      .outputMode(OutputMode.Append()).start()
+    val qA = agged.writeStream.format("memory").queryName("par_agg")
+      .outputMode(OutputMode.Append()).start()
+    val W = 1000L
+    val feeds = Seq(
+      Seq(ev("a", W + 1, 1.0), ev("a", W + 2, 2.0)),
+      Seq(ev("a", W + 15, 0.5)),
+      Seq(ev("a", W + 16, 0.25)),
+      Seq(ev("a", W + 5, 5.0)),   // allowed-late -> re-fire
+      Seq(ev("a", W + 25, 0.125)),
+      Seq(ev("a", W + 26, 0.0625)),
+      Seq(ev("a", W + 8, 8.0)))   // beyond horizon -> droppedLate
+    try {
+      feeds.foreach { f =>
+        inB.addData(f: _*); qB.processAllAvailable()
+        inA.addData(f: _*); qA.processAllAvailable()
+      }
+      def multiset(rows: Seq[(String, Long, Long, String, CS)]) =
+        rows.groupBy(identity).view.mapValues(_.size).toMap
+      val reduced = fires("par_buf").toSeq.map { case (k, ws, we, fi, els) =>
+        (k, ws, we, fi, els.foldLeft(csZero)(csAdd))
+      }
+      assert(multiset(reduced) == multiset(aggFires("par_agg").toSeq),
+        s"buffer-reduced=${reduced.sorted}\nagg=${aggFires("par_agg").toSeq.sorted}")
+      // the cases themselves occurred (parity with a trivially-empty
+      // board would be vacuous)
+      val kinds = aggFires("par_agg").map(_._4).toSet
+      assert(Set("onTime", "late", "droppedLate").subsetOf(kinds), kinds)
+      // spot semantics: the late re-fire carries the absorbed element
+      assert(aggFires("par_agg").exists(f =>
+        f._4 == "late" && f._5 == ((3L, 8.0))))
+    } finally { qB.stop(); qA.stop() }
+  }
+
+  test("tumblingAgg count trigger: accumulating and purging early fires") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[WmEv]
+    val agged = WindowMachinery.tumblingAgg[String, WmEv, CS](
+      in.toDS().withWatermark("ts", "0 seconds").as[WmEv],
+      _.k, _.ts.getTime, sizeMs = 60000L, zero = csZero, add = csAdd,
+      trigger = WindowMachinery.Trigger.Count(2))
+    val q = agged.writeStream.format("memory").queryName("agg_cnt")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev("a", 1, 1.0), ev("a", 2, 2.0), ev("a", 3, 3.0),
+        ev("a", 4, 4.0))
+      q.processAllAvailable()
+      val early = aggFires("agg_cnt").filter(_._4 == "early").sortBy(_._5._1)
+      assert(early.map(_._5).toSeq == Seq((2L, 3.0), (4L, 10.0)))
+    } finally q.stop()
+
+    val in2 = MemoryStream[WmEv]
+    val purged = WindowMachinery.tumblingAgg[String, WmEv, CS](
+      in2.toDS().withWatermark("ts", "0 seconds").as[WmEv],
+      _.k, _.ts.getTime, sizeMs = 60000L, zero = csZero, add = csAdd,
+      trigger = WindowMachinery.Trigger.Count(2, purge = true))
+    val q2 = purged.writeStream.format("memory").queryName("agg_cntp")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in2.addData(ev("a", 1, 1.0), ev("a", 2, 2.0), ev("a", 3, 3.0),
+        ev("a", 4, 4.0))
+      q2.processAllAvailable()
+      val early = aggFires("agg_cntp").filter(_._4 == "early")
+      assert(early.map(_._5).toSeq == Seq((2L, 3.0), (2L, 7.0)))
+    } finally q2.stop()
+  }
+
+  test("slidingAgg: hop elements land in every covering window") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[WmEv]
+    // size 20s slide 10s: ts=15s belongs to [0,20) and [10,30)
+    val agged = WindowMachinery.slidingAgg[String, WmEv, CS](
+      in.toDS().withWatermark("ts", "0 seconds").as[WmEv],
+      _.k, _.ts.getTime, sizeMs = 20000L, slideMs = 10000L,
+      zero = csZero, add = csAdd)
+    val q = agged.writeStream.format("memory").queryName("agg_hop")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev("a", 15, 3.0), ev("a", 5, 1.0))
+      q.processAllAvailable()
+      in.addData(ev("a", 35, 0.0)) // wm -> 35s: both windows fire
+      q.processAllAvailable()
+      in.addData(ev("a", 36, 0.0))
+      q.processAllAvailable()
+      val onTime = aggFires("agg_hop").filter(_._4 == "onTime")
+        .map(f => (f._2 / 1000, f._5)).toMap
+      assert(onTime(0L) == ((2L, 4.0)), onTime.toString)  // 5s + 15s
+      assert(onTime(10L) == ((1L, 3.0)), onTime.toString) // 15s only
+    } finally q.stop()
+  }
+
+  test("accumulator state is constant-size: wide panes cost what empty ones do") {
+    // 5000 elements into ONE open window: the buffer variant's state
+    // grows with the pane; the accumulator variant's does not — the
+    // scale-path claim, asserted on the engine's own state metrics.
+    implicit val sq = spark.sqlContext
+    def stateBytes(pipe: MemoryStream[WmEv] => org.apache.spark.sql.Dataset[_],
+        name: String): Long = {
+      val in = MemoryStream[WmEv]
+      val q = pipe(in).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val evs = (1 to 5000).map(i => ev("a", 10 + i % 40, i.toDouble))
+        in.addData(evs: _*)
+        q.processAllAvailable()
+        q.lastProgress.stateOperators(0).memoryUsedBytes
+      } finally q.stop()
+    }
+    val bufBytes = stateBytes(in => WindowMachinery.tumbling[String, WmEv](
+      in.toDS().withWatermark("ts", "0 seconds").as[WmEv],
+      _.k, _.ts.getTime, sizeMs = 60000L), "sz_buf")
+    val aggBytes = stateBytes(in =>
+      WindowMachinery.tumblingAgg[String, WmEv, CS](
+        in.toDS().withWatermark("ts", "0 seconds").as[WmEv],
+        _.k, _.ts.getTime, sizeMs = 60000L, zero = csZero, add = csAdd),
+      "sz_agg")
+    assert(aggBytes * 4 < bufBytes,
+      s"accumulator state ($aggBytes B) must be far below the " +
+        s"element buffer's ($bufBytes B)")
+  }
+
   test("continuous event-time trigger fires periodically before the end") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[WmEv]
@@ -223,4 +368,10 @@ class WindowMachinerySpec extends SparkSpec {
       }
     }
   }
+}
+
+object WindowMachinerySpec {
+  type CS = (Long, Double) // (count, sum) accumulator
+  val csZero: CS = (0L, 0.0)
+  val csAdd: (CS, WmEv) => CS = (a, e) => (a._1 + 1, a._2 + e.v)
 }
