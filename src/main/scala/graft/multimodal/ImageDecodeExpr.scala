@@ -36,8 +36,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    executor;
   *  - entirely per-row map-side work — no shuffle, no driver state.
   *
-  * Deliberately unsupported (→ unknown): progressive / arithmetic /
-  * 12-bit JPEG (SOF2+ — see [[JpegDecode]]), PNG interlace (Adam7),
+  * Deliberately unsupported (→ unknown): arithmetic-coded / 12-bit /
+  * lossless JPEG (see [[JpegDecode]]), PNG interlace (Adam7),
   * PNG bit depths other than 8, GIF frames past the first. PNG chunk
   * CRCs are
   * not verified and a missing/garbled zlib Adler trailer is tolerated:

@@ -12,7 +12,10 @@ package graft.multimodal
   *
   *  - entropy decode: baseline sequential Huffman per ISO/IEC 10918-1
   *    Annex F (canonical DECODE/RECEIVE/EXTEND), byte stuffing, DNL-free
-  *    scans, restart markers;
+  *    scans, restart markers — AND progressive Huffman per Annex G
+  *    (spectral selection + successive approximation: DC first/refine,
+  *    AC first/refine with EOB runs, whole-image coefficient buffering
+  *    until EOI, exactly libjpeg's jdphuff.c discipline);
   *  - dequantize + inverse DCT: the public IJG "islow" integer IDCT
   *    (jidctint.c shape — Loeffler/Ligtenberg/Moshytz factorization at
   *    CONST_BITS=13, PASS1_BITS=2, DESCALE round-half-up, int32
@@ -22,11 +25,14 @@ package graft.multimodal
   *  - color: the IJG fixed-point YCbCr→RGB tables
   *    (SCALEBITS=16: 91881/116130/-46802/-22554 with the ONE_HALF bias).
   *
-  * Supported: SOF0/SOF1 (baseline + extended sequential Huffman), 8-bit
-  * precision, 1 or 3 components, sampling factors 1-2, 8/16-bit DQT,
-  * DRI/RSTn. Unsupported (→ null, the never-throw corpus policy):
-  * progressive (SOF2), arithmetic coding (SOF9+), 12-bit precision,
-  * 4-component CMYK/Adobe-transform streams. Range limiting is a plain
+  * Supported: SOF0/SOF1/SOF2 (baseline, extended sequential, and
+  * progressive Huffman), 8-bit precision, 1 or 3 components, sampling
+  * factors 1-2, 8/16-bit DQT, DRI/RSTn. Unsupported (→ null, the
+  * never-throw corpus policy): arithmetic coding (SOF9+), lossless/
+  * hierarchical, 12-bit precision, 4-component CMYK/Adobe-transform
+  * streams. Progressive frames buffer whole-image coefficients until
+  * EOI (as libjpeg must), so their bomb guard is 4x tighter than the
+  * baseline pixel cap. Range limiting is a plain
   * clamp of (idct + 128) to [0,255] — identical to the IJG mask-table
   * on every value a conforming stream can produce (|val| ≤ 512); only
   * deliberately-corrupt coefficient overflow can differ, and such
@@ -110,7 +116,21 @@ object JpegDecode {
     var plane: Array[Byte] = _ // paddedW x paddedH samples
     var paddedW = 0
     var paddedH = 0
+    // progressive only: whole-image coefficient buffer (JCOEF = short,
+    // libjpeg's wraparound semantics) over the PADDED block grid
+    var coef: Array[Short] = _
+    var dw = 0 // downsampled logical width/height (A.1.1 ceil division)
+    var dh = 0
+    var bwPad = 0 // padded grid dims in blocks
+    var bhPad = 0
   }
+
+  /** One SOS header: indices into the frame's component array plus the
+    * scan's table selectors and spectral/approximation parameters. */
+  private final class Scan(val comps: Array[Comp], val ss: Int, val se: Int,
+    val ah: Int, val al: Int)
+
+  private final class ProgState { var eobrun = 0 }
 
   /** Decode, or null for anything malformed/unsupported. `maxPixels`
     * is checked against declared width*height BEFORE any allocation. */
@@ -122,21 +142,26 @@ object JpegDecode {
     val acTabs = new Array[Huff](4)
     var comps: Array[Comp] = null
     var w = 0; var h = 0
+    var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0
     var restartInterval = 0
+    var progressive = false
+    var scannedAny = false
     var i = 2
-    var scanStart = -1
+    var baselineScanAt = -1
+    var sawEoi = false
 
     def u16(p: Int): Int = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
 
-    // ---- marker walk to SOS ----
-    while (scanStart < 0) {
+    // ---- marker walk; progressive scans decode IN the walk ----
+    while (baselineScanAt < 0 && !sawEoi) {
       // a marker must follow (fill bytes: any number of FFs tolerated)
       if (i >= b.length || (b(i) & 0xff) != 0xff) return null
       while (i < b.length && (b(i) & 0xff) == 0xff) i += 1
       if (i >= b.length) return null
       val marker = b(i) & 0xff; i += 1
       marker match {
-        case 0xd9 => return null // EOI before SOS
+        case 0xd9 => // EOI: completes a progressive frame, else malformed
+          if (progressive && scannedAny) sawEoi = true else return null
         case m if m >= 0xd0 && m <= 0xd7 => () // stray RST: skip
         case 0x01 => () // TEM: no payload
         case _ =>
@@ -145,6 +170,7 @@ object JpegDecode {
           if (len < 2 || i + len > b.length) return null
           val seg = i + 2
           val segEnd = i + len
+          var nextI = segEnd
           marker match {
             case 0xdb => // DQT: one or more tables
               var p = seg
@@ -164,14 +190,19 @@ object JpegDecode {
                 }
                 p += need
               }
-            case 0xc0 | 0xc1 => // SOF0/SOF1: baseline-decodable frames
+            case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 baseline, SOF2 progressive
               if (comps != null) return null
+              progressive = marker == 0xc2
               if (seg + 6 > segEnd) return null
               if ((b(seg) & 0xff) != 8) return null // precision
               h = u16(seg + 1); w = u16(seg + 3)
               val nf = b(seg + 5) & 0xff
               if (w <= 0 || h <= 0 || (nf != 1 && nf != 3)) return null
-              if (w.toLong * h > maxPixels) return null // bomb guard
+              // bomb guard — tighter for progressive, which must buffer
+              // whole-image coefficients until EOI (libjpeg does the
+              // same): ~6 bytes/pixel of JCOEFs on a 3-component frame
+              if (w.toLong * h > (if (progressive) maxPixels / 4
+                else maxPixels)) return null
               if (seg + 6 + nf * 3 > segEnd) return null
               comps = Array.tabulate(nf) { c =>
                 val p = seg + 6 + c * 3
@@ -186,9 +217,23 @@ object JpegDecode {
               }
               if (comps.exists(c => c.h < 1 || c.h > 2 || c.v < 1 ||
                   c.v > 2 || c.tq > 3)) return null
-            case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+              hMax = comps.map(_.h).max
+              vMax = comps.map(_.v).max
+              mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+              mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+              comps.foreach { c =>
+                c.paddedW = mcusX * 8 * c.h
+                c.paddedH = mcusY * 8 * c.v
+                c.dw = (w * c.h + hMax - 1) / hMax
+                c.dh = (h * c.v + vMax - 1) / vMax
+                c.bwPad = mcusX * c.h
+                c.bhPad = mcusY * c.v
+                if (progressive)
+                  c.coef = new Array[Short](c.bwPad * c.bhPad * 64)
+              }
+            case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                  0xcd | 0xce | 0xcf =>
-              return null // progressive / lossless / arithmetic
+              return null // lossless / hierarchical / arithmetic
             case 0xc4 => // DHT: one or more tables
               var p = seg
               while (p < segEnd) {
@@ -216,8 +261,9 @@ object JpegDecode {
             case 0xda => // SOS
               if (comps == null) return null
               val ns = b(seg) & 0xff
-              if (ns != comps.length || seg + 1 + ns * 2 + 3 > segEnd)
-                return null
+              if (ns < 1 || ns > comps.length ||
+                  seg + 1 + ns * 2 + 3 > segEnd) return null
+              val scanComps = new Array[Comp](ns)
               var c = 0
               while (c < ns) {
                 val cid = b(seg + 1 + c * 2) & 0xff
@@ -226,68 +272,94 @@ object JpegDecode {
                 if (comp == null) return null
                 comp.dcTbl = tt >> 4
                 comp.acTbl = tt & 0x0f
+                scanComps(c) = comp
                 c += 1
               }
-              // Ss/Se/AhAl must be the baseline full-scan values
               val p = seg + 1 + ns * 2
-              if ((b(p) & 0xff) != 0 || (b(p + 1) & 0xff) != 63 ||
-                  (b(p + 2) & 0xff) != 0) return null
-              scanStart = segEnd
+              val scan = new Scan(scanComps, b(p) & 0xff, b(p + 1) & 0xff,
+                (b(p + 2) & 0xff) >> 4, b(p + 2) & 0x0f)
+              if (!progressive) {
+                // baseline: one full-band interleaved scan
+                if (ns != comps.length || scan.ss != 0 || scan.se != 63 ||
+                    scan.ah != 0 || scan.al != 0) return null
+                baselineScanAt = segEnd
+              } else {
+                val reader = new BitReader(b, segEnd)
+                if (!progressiveScan(reader, scan, dcTabs, acTabs,
+                    restartInterval, mcusX, mcusY)) return null
+                scannedAny = true
+                nextI = skipEntropy(b, reader.pos)
+              }
             case _ => () // APPn / COM / others: skip
           }
-          i = segEnd
+          i = nextI
       }
     }
+    if (comps == null) return null
 
-    // ---- geometry ----
-    val hMax = comps.map(_.h).max
-    val vMax = comps.map(_.v).max
-    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
-    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
     comps.foreach { c =>
-      c.paddedW = mcusX * 8 * c.h
-      c.paddedH = mcusY * 8 * c.v
       // padded planes are bounded by ~4x the bomb guard (hMax,vMax<=2)
       c.plane = new Array[Byte](c.paddedW * c.paddedH)
     }
-    comps.foreach { c =>
-      if (dcTabs(c.dcTbl) == null || acTabs(c.acTbl) == null) return null
-    }
 
-    // ---- entropy decode + IDCT per MCU ----
-    val reader = new BitReader(b, scanStart)
-    val coef = new Array[Int](64)
-    val ws = new Array[Int](64)
-    var mcu = 0
-    val totalMcus = mcusX * mcusY
-    var nextRst = 0
-    while (mcu < totalMcus) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
-        if (!reader.restart(nextRst)) return null
-        nextRst = (nextRst + 1) & 7
-        comps.foreach(_.pred = 0)
-      }
-      val mx = mcu % mcusX
-      val my = mcu / mcusX
-      var ci = 0
-      while (ci < comps.length) {
-        val c = comps(ci)
+    if (progressive) {
+      // ---- final pass: dequantize the buffered coefficients + IDCT ----
+      val deq = new Array[Int](64)
+      val ws = new Array[Int](64)
+      comps.foreach { c =>
         val q = qt(c.tq)
         var by = 0
-        while (by < c.v) {
+        while (by < c.bhPad) {
           var bx = 0
-          while (bx < c.h) {
-            if (!decodeBlock(reader, c, dcTabs(c.dcTbl), acTabs(c.acTbl),
-                q, coef)) return null
-            idctBlock(coef, ws, c.plane, c.paddedW,
-              (mx * c.h + bx) * 8, (my * c.v + by) * 8)
+          while (bx < c.bwPad) {
+            val off = (by * c.bwPad + bx) * 64
+            var j = 0
+            while (j < 64) { deq(j) = c.coef(off + j) * q(j); j += 1 }
+            idctBlock(deq, ws, c.plane, c.paddedW, bx * 8, by * 8)
             bx += 1
           }
           by += 1
         }
-        ci += 1
       }
-      mcu += 1
+    } else {
+      // ---- baseline: entropy decode + IDCT per MCU, single scan ----
+      comps.foreach { c =>
+        if (dcTabs(c.dcTbl) == null || acTabs(c.acTbl) == null) return null
+      }
+      val reader = new BitReader(b, baselineScanAt)
+      val coef = new Array[Int](64)
+      val ws = new Array[Int](64)
+      var mcu = 0
+      val totalMcus = mcusX * mcusY
+      var nextRst = 0
+      while (mcu < totalMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!reader.restart(nextRst)) return null
+          nextRst = (nextRst + 1) & 7
+          comps.foreach(_.pred = 0)
+        }
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          val q = qt(c.tq)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              if (!decodeBlock(reader, c, dcTabs(c.dcTbl), acTabs(c.acTbl),
+                  q, coef)) return null
+              idctBlock(coef, ws, c.plane, c.paddedW,
+                (mx * c.h + bx) * 8, (my * c.v + by) * 8)
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
     }
 
     // ---- upsample + color ----
@@ -458,6 +530,235 @@ object JpegDecode {
 
   @inline private def extend(v: Int, s: Int): Int =
     if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Position of the next true marker after entropy data starting at
+    * `from`: stuffed FF00s and RSTn markers are part of the data. */
+  private def skipEntropy(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 1 < b.length) {
+      if ((b(i) & 0xff) == 0xff) {
+        val m = b(i + 1) & 0xff
+        if (m == 0x00 || (m >= 0xd0 && m <= 0xd7)) i += 2
+        else return i
+      } else i += 1
+    }
+    b.length
+  }
+
+  /** One progressive scan (ISO 10918-1 Annex G / the public jdphuff.c
+    * algorithm): DC-first, DC-refinement, AC-first and AC-refinement
+    * passes accumulate into the per-component coefficient buffers.
+    * Interleaved (Ns>1, DC only) scans walk the frame MCU grid; single-
+    * component scans walk the component's own non-padded block grid. */
+  private def progressiveScan(r: BitReader, scan: Scan,
+      dcTabs: Array[Huff], acTabs: Array[Huff], restartInterval: Int,
+      mcusX: Int, mcusY: Int): Boolean = {
+    val ss = scan.ss; val se = scan.se; val ah = scan.ah; val al = scan.al
+    if (ss < 0 || se > 63 || ss > se || al > 13) return false
+    val dcScan = ss == 0
+    if (dcScan && se != 0) return false // progressive DC band is {0}
+    if (!dcScan && scan.comps.length != 1) return false // G.1.1.1.1
+    val st = new ProgState
+    scan.comps.foreach(_.pred = 0)
+    var nextRst = 0
+
+    def block(c: Comp, off: Int): Boolean =
+      if (dcScan) {
+        if (ah == 0) dcFirst(r, dcTabs(c.dcTbl), c, al, c.coef, off)
+        else dcRefine(r, al, c.coef, off)
+      } else {
+        if (ah == 0) acFirst(r, acTabs(c.acTbl), ss, se, al, c.coef, off, st)
+        else acRefine(r, acTabs(c.acTbl), ss, se, al, c.coef, off, st)
+      }
+    // table presence per scan kind (refinement DC scans read raw bits)
+    if (dcScan && ah == 0 && scan.comps.exists(c => dcTabs(c.dcTbl) == null))
+      return false
+    if (!dcScan && acTabs(scan.comps(0).acTbl) == null) return false
+
+    if (scan.comps.length == 1) {
+      // non-interleaved: the component's ceil(dw/8) x ceil(dh/8) grid
+      val c = scan.comps(0)
+      val bw = (c.dw + 7) / 8
+      val bh = (c.dh + 7) / 8
+      var idx = 0
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          if (restartInterval > 0 && idx > 0 && idx % restartInterval == 0) {
+            if (!r.restart(nextRst)) return false
+            nextRst = (nextRst + 1) & 7
+            c.pred = 0; st.eobrun = 0
+          }
+          if (!block(c, (by * c.bwPad + bx) * 64)) return false
+          idx += 1
+          bx += 1
+        }
+        by += 1
+      }
+    } else {
+      // interleaved DC scan over the frame MCU grid
+      var mcu = 0
+      val total = mcusX * mcusY
+      while (mcu < total) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (!r.restart(nextRst)) return false
+          nextRst = (nextRst + 1) & 7
+          scan.comps.foreach(_.pred = 0); st.eobrun = 0
+        }
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var ci = 0
+        while (ci < scan.comps.length) {
+          val c = scan.comps(ci)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              val gx = mx * c.h + bx
+              val gy = my * c.v + by
+              if (!block(c, (gy * c.bwPad + gx) * 64)) return false
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+    }
+    true
+  }
+
+  /** Progressive DC first pass: differential DC, value scaled by Al. */
+  private def dcFirst(r: BitReader, dc: Huff, c: Comp, al: Int,
+      coef: Array[Short], off: Int): Boolean = {
+    val s = decodeHuff(r, dc)
+    if (s < 0 || s > 15) return false
+    var diff = 0
+    if (s > 0) {
+      val v = r.receive(s)
+      if (v < 0) return false
+      diff = extend(v, s)
+    }
+    c.pred += diff
+    coef(off) = (c.pred << al).toShort
+    true
+  }
+
+  /** Progressive DC refinement: one raw bit per block ORs in bit Al. */
+  private def dcRefine(r: BitReader, al: Int, coef: Array[Short],
+      off: Int): Boolean = {
+    val bit = r.nextBit()
+    if (bit < 0) return false
+    if (bit != 0) coef(off) = (coef(off) | (1 << al)).toShort
+    true
+  }
+
+  /** Progressive AC first pass with EOB runs (jdphuff
+    * decode_mcu_AC_first shape). */
+  private def acFirst(r: BitReader, ac: Huff, ss: Int, se: Int, al: Int,
+      coef: Array[Short], off: Int, st: ProgState): Boolean = {
+    if (st.eobrun > 0) { st.eobrun -= 1; return true }
+    var k = ss
+    while (k <= se) {
+      val rs = decodeHuff(r, ac)
+      if (rs < 0) return false
+      val run = rs >> 4
+      val s = rs & 15
+      if (s != 0) {
+        k += run
+        if (k > se) return false
+        val v = r.receive(s)
+        if (v < 0) return false
+        coef(off + NaturalOrder(k)) = (extend(v, s) << al).toShort
+        k += 1
+      } else {
+        if (run != 15) { // EOBn: run of end-of-bands (this block included)
+          st.eobrun = (1 << run) - 1
+          if (run > 0) {
+            val v = r.receive(run)
+            if (v < 0) return false
+            st.eobrun += v
+          }
+          return true
+        }
+        k += 16 // ZRL
+      }
+    }
+    true
+  }
+
+  /** Progressive AC refinement (jdphuff decode_mcu_AC_refine shape):
+    * correction bits for already-nonzero coefficients, new +-1<<Al
+    * coefficients placed after `run` ZERO-HISTORY positions, EOB runs
+    * that still carry correction bits for the band's tail. */
+  private def acRefine(r: BitReader, ac: Huff, ss: Int, se: Int, al: Int,
+      coef: Array[Short], off: Int, st: ProgState): Boolean = {
+    val p1 = 1 << al
+    val m1 = -1 << al
+    @inline def correct(pos: Int): Boolean = {
+      val bit = r.nextBit()
+      if (bit < 0) return false
+      if (bit != 0 && (coef(pos) & p1) == 0)
+        coef(pos) =
+          (coef(pos) + (if (coef(pos) >= 0) p1 else m1)).toShort
+      true
+    }
+    var k = ss
+    if (st.eobrun == 0) {
+      var atEob = false
+      while (k <= se && !atEob) {
+        val rs = decodeHuff(r, ac)
+        if (rs < 0) return false
+        var run = rs >> 4
+        val s = rs & 15
+        var newval = 0
+        if (s == 0) {
+          if (run != 15) { // EOBn starts here; tail handled below
+            st.eobrun = 1 << run
+            if (run > 0) {
+              val v = r.receive(run)
+              if (v < 0) return false
+              st.eobrun += v
+            }
+            atEob = true
+          }
+          // run == 15 (ZRL): skip 16 zero-history positions below
+        } else {
+          if (s != 1) return false // refinement magnitudes are +-1
+          val bit = r.nextBit()
+          if (bit < 0) return false
+          newval = if (bit != 0) p1 else m1
+        }
+        if (!atEob) {
+          var placed = false
+          while (k <= se && !placed) {
+            val pos = off + NaturalOrder(k)
+            if (coef(pos) != 0) {
+              if (!correct(pos)) return false
+            } else {
+              if (run == 0) {
+                if (s != 0) coef(pos) = newval.toShort
+                placed = true
+              } else run -= 1
+            }
+            k += 1
+          }
+          if (!placed && s != 0) return false // ran off the band
+        }
+      }
+    }
+    if (st.eobrun > 0) {
+      while (k <= se) { // correction bits for the rest of this block
+        val pos = off + NaturalOrder(k)
+        if (coef(pos) != 0 && !correct(pos)) return false
+        k += 1
+      }
+      st.eobrun -= 1
+    }
+    true
+  }
 
   private def decodeHuff(r: BitReader, t: Huff): Int = {
     var code = r.nextBit()

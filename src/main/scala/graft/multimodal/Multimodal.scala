@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   *    resample over decoded pixels;
   *  - audio: RIFF/WAVE integer PCM decodes for real
   *    ([[decodeAudio]] / [[AudioDecodeExpr]]); GIF decodes for real
-  *    too ([[ImageDecodeExpr]]'s LZW); baseline JPEG pixels decode for
-  *    real as well ([[JpegDecode]] — the pinned integer IDCT makes the
-  *    "DCT is approximate" objection moot: ONE published fixed-point
-  *    pipeline, bit-exact vs the JDK's IJG codec in JpegDecodeSpec);
+  *    too ([[ImageDecodeExpr]]'s LZW); JPEG pixels decode for real as
+  *    well — baseline AND progressive ([[JpegDecode]] — the pinned
+  *    integer IDCT makes the "DCT is approximate" objection moot: ONE
+  *    published fixed-point pipeline, bit-exact vs the JDK's IJG codec
+  *    in JpegDecodeSpec on sequential and SOF2 streams alike);
   *  - psychoacoustic audio (MP3/AAC) and video FRAMES remain behind
   *    `FakeCodec`, a deterministic stand-in clearly marked below —
   *    their entropy decode feeds perceptual synthesis filterbanks with

@@ -256,9 +256,10 @@ class ImageDecodeSpec extends SparkSpec {
     val inter = good.clone()
     inter(28) = 1 // IHDR interlace byte (8 sig + 8 hdr + 12 data)
     assert(decode(inter)._1 == "unknown")
-    // JPEG pixels are out of scope (metadata pass handles them)
+    // baseline JPEG decodes for real since round 11 (JpegDecodeSpec
+    // proves pixel parity with the JDK) — here just the dispatch
     val jpeg = encodeJdk(testImage(8, 8, BufferedImage.TYPE_INT_RGB), "jpg")
-    assert(decode(jpeg)._1 == "unknown")
+    assert(decode(jpeg)._1 == "jpeg")
     assert(decode(Array.empty[Byte])._1 == "unknown")
   }
 

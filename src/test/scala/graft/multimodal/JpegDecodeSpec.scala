@@ -49,7 +49,8 @@ class JpegDecodeSpec extends SparkSpec {
     img
   }
 
-  private def encode(img: BufferedImage, quality: Float): Array[Byte] = {
+  private def encode(img: BufferedImage, quality: Float,
+      progressive: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
     val ios = ImageIO.createImageOutputStream(out)
@@ -57,6 +58,8 @@ class JpegDecodeSpec extends SparkSpec {
     val p = writer.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(quality)
+    if (progressive)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
     writer.dispose(); ios.close()
     out.toByteArray
@@ -102,6 +105,37 @@ class JpegDecodeSpec extends SparkSpec {
       val (worst, where) = vsJdk(encode(raster(w, h, gray = false), q))
       assert(worst == 0, s"color ${w}x$h q=$q: max diff $worst at $where")
     }
+  }
+
+  test("progressive JPEG (SOF2) matches the JDK decoder bit-exactly") {
+    // the JDK encoder's progressive mode emits real spectral-selection
+    // + successive-approximation scan scripts (DC first/refine, AC
+    // first/refine with EOB runs) — decoded by BOTH decoders
+    for ((w, h, q, gray) <- Seq(
+        (17, 13, 0.85f, true), (32, 24, 0.5f, true),
+        (16, 16, 0.75f, false), (19, 11, 0.9f, false),
+        (40, 28, 0.6f, false))) {
+      val payload = encode(raster(w, h, gray), q, progressive = true)
+      // confirm the payload really is SOF2
+      val isProg = payload.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2)
+      assert(isProg, "JDK writer did not produce a progressive stream")
+      val (worst, where) = vsJdk(payload)
+      assert(worst == 0,
+        s"progressive gray=$gray ${w}x$h q=$q: max diff $worst at $where")
+    }
+  }
+
+  test("progressive bomb guard is 4x tighter (coefficient buffering)") {
+    val prog = encode(raster(16, 16, gray = true), 0.8f, progressive = true)
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc2).get
+    // declare 5000x5000 = 25M px: legal for baseline (2^26), over the
+    // progressive cap (2^24)
+    val bomb = prog.clone()
+    bomb(sofAt + 5) = 0x13.toByte; bomb(sofAt + 6) = 0x88.toByte
+    bomb(sofAt + 7) = 0x13.toByte; bomb(sofAt + 8) = 0x88.toByte
+    assert(decode(bomb)._1 == "unknown")
   }
 
   // ---- hand-built streams: the byte-level features the JDK encoder
@@ -235,7 +269,8 @@ class JpegDecodeSpec extends SparkSpec {
 
   test("corpus-safety: progressive, truncated, non-JPEG, bomb -> unknown") {
     val good = dcOnlyColor(16, 16, 16)
-    // progressive: flip SOF0 -> SOF2
+    // flip SOF0 -> SOF2: the full-band interleaved scan is malformed
+    // AS progressive (DC scans must have Se=0) -> unknown, not a throw
     val prog = good.clone()
     val sofAt = (0 until prog.length - 1).find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
