@@ -41,7 +41,8 @@ object MediaBench {
     out.toByteArray
   }
 
-  private def jpegBytes(id: Long, size: Int): Array[Byte] = {
+  private def jpegBytes(id: Long, size: Int,
+      progressive: Boolean = false): Array[Byte] = {
     val img = new BufferedImage(size, size, BufferedImage.TYPE_3BYTE_BGR)
     var y = 0
     while (y < size) {
@@ -63,6 +64,8 @@ object MediaBench {
     val p = w.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(0.8f)
+    if (progressive)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     w.write(null, new javax.imageio.IIOImage(img, null, null), p)
     w.dispose(); ios.close()
     out.toByteArray
@@ -111,6 +114,7 @@ object MediaBench {
       ("png", 512, 64), ("png", 2048, 8),
       ("jpeg", 64, 4000), ("jpeg", 128, 1600), ("jpeg", 256, 480),
       ("jpeg", 512, 128), ("jpeg", 2048, 16),
+      ("jpeg-prog", 256, 480), ("jpeg-prog", 512, 128),
       ("wav", 44100, 400))
     val rows = cells.map { case (fmt, size, n) =>
       val payloads = spark.range(n).repartition(cpus)
@@ -118,6 +122,7 @@ object MediaBench {
           fmt match {
             case "png" => pngBytes(id, size)
             case "jpeg" => jpegBytes(id, size)
+            case "jpeg-prog" => jpegBytes(id, size, progressive = true)
             case _ => wavBytes(id)
           }
         }.toDF("p").persist()
