@@ -8,8 +8,10 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** image_decode(payload): REAL pixel decode — PNG (all five
-  * scanline filters, gray / RGB / palette / gray-alpha / RGBA at bit
-  * depth 8, zlib inflate via the JDK's java.util.zip.Inflater), BMP
+  * scanline filters, gray / RGB / palette / gray-alpha / RGBA at every
+  * legal bit depth — 1/2/4 sub-byte gray+palette scaled to full range,
+  * 8, and 16 folded to the MSB — plus Adam7 interlace, zlib inflate
+  * via the JDK's java.util.zip.Inflater), BMP
   * (BITMAPINFOHEADER, 24/32 bpp uncompressed, bottom-up and top-down),
   * GIF (full variable-width LZW, 87a/89a, local/global color
   * tables, interlace, GCE transparency — first frame composed onto the
@@ -37,9 +39,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - entirely per-row map-side work — no shuffle, no driver state.
   *
   * Deliberately unsupported (→ unknown): arithmetic-coded / 12-bit /
-  * lossless JPEG (see [[JpegDecode]]), PNG interlace (Adam7),
-  * PNG bit depths other than 8, GIF frames past the first. PNG chunk
-  * CRCs are
+  * lossless JPEG (see [[JpegDecode]]), GIF frames past the first.
+  * PNG chunk CRCs are
   * not verified and a missing/garbled zlib Adler trailer is tolerated:
   * the decode is over when the expected scanline bytes are produced —
   * corpus reality is truncated files, and the strict-checksum policy
@@ -142,7 +143,8 @@ case class ImageDecodeExpr(child: Expression)
       }
       i += 12 + len
     }
-    if (w <= 0 || h <= 0 || depth != 8 || interlace != 0) return unknown
+    if (w <= 0 || h <= 0 || (interlace != 0 && interlace != 1))
+      return unknown
     if (w.toLong * h > MaxPixels) return unknown // decompression bomb
     val channels = colorType match {
       case 0 => 1 // gray
@@ -152,6 +154,14 @@ case class ImageDecodeExpr(child: Expression)
       case 6 => 4 // rgba
       case _ => return unknown
     }
+    // legal depth/color-type combinations (PNG §11.2.2): sub-byte
+    // depths only for gray and palette; 16-bit never for palette
+    val depthOk = colorType match {
+      case 0 => Set(1, 2, 4, 8, 16)(depth)
+      case 3 => Set(1, 2, 4, 8)(depth)
+      case _ => depth == 8 || depth == 16
+    }
+    if (!depthOk) return unknown
     if (colorType == 3 && palette == null) return unknown
     if (colorType == 3 && trns != null) {
       var p = 0
@@ -160,78 +170,125 @@ case class ImageDecodeExpr(child: Expression)
         p += 1
       }
     }
-    val stride = w * channels
-    val rawLen = (stride + 1) * h // +1 filter byte per scanline
-    val raw = inflate(idat.toByteArray, rawLen)
+    val bitsPerPx = channels * depth
+    val bppFilter = math.max(1, bitsPerPx / 8) // filter step (§6.2)
+    def rowBytes(pxw: Int): Int = (pxw.toLong * bitsPerPx / 8 +
+      (if (pxw.toLong * bitsPerPx % 8 != 0) 1 else 0)).toInt
+    // Adam7 passes as (xStart, yStart, xStep, yStep); non-interlaced is
+    // the single full pass
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = (
+      if (w > p._1) (w - p._1 + p._3 - 1) / p._3 else 0,
+      if (h > p._2) (h - p._2 + p._4 - 1) / p._4 else 0)
+    val rawLen = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (1 + rowBytes(pw))
+    }.sum
+    if (rawLen > Int.MaxValue) return unknown
+    val raw = inflate(idat.toByteArray, rawLen.toInt)
     if (raw == null) return unknown
-    // undo per-scanline filters in place (RFC 2083 §6)
+
     val px = new Array[Int](w * h)
-    val prev = new Array[Byte](stride)
-    val cur = new Array[Byte](stride)
-    var y = 0
-    while (y < h) {
-      val off = y * (stride + 1)
-      val filter = raw(off) & 0xff
-      System.arraycopy(raw, off + 1, cur, 0, stride)
-      filter match {
-        case 0 => ()
-        case 1 => // Sub: + left (bpp back)
-          var x = channels
-          while (x < stride) {
-            cur(x) = (cur(x) + cur(x - channels)).toByte; x += 1
-          }
-        case 2 => // Up
-          var x = 0
-          while (x < stride) { cur(x) = (cur(x) + prev(x)).toByte; x += 1 }
-        case 3 => // Average
-          var x = 0
-          while (x < stride) {
-            val left = if (x >= channels) cur(x - channels) & 0xff else 0
-            cur(x) = (cur(x) + ((left + (prev(x) & 0xff)) >> 1)).toByte
-            x += 1
-          }
-        case 4 => // Paeth
-          var x = 0
-          while (x < stride) {
-            val a = if (x >= channels) cur(x - channels) & 0xff else 0
-            val bb = prev(x) & 0xff
-            val c = if (x >= channels) prev(x - channels) & 0xff else 0
-            val p = a + bb - c
-            val pa = math.abs(p - a); val pb = math.abs(p - bb)
-            val pc = math.abs(p - c)
-            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
-            cur(x) = (cur(x) + pred).toByte
-            x += 1
-          }
-        case _ => return unknown
-      }
-      var x = 0
-      while (x < w) {
-        val o = x * channels
-        px(y * w + x) = colorType match {
-          case 0 =>
-            val g = cur(o) & 0xff
-            0xff000000 | (g << 16) | (g << 8) | g
-          case 2 =>
-            0xff000000 | ((cur(o) & 0xff) << 16) |
-              ((cur(o + 1) & 0xff) << 8) | (cur(o + 2) & 0xff)
-          case 3 =>
-            val idx = cur(o) & 0xff
-            if (idx >= palette.length) return unknown
-            palette(idx)
-          case 4 =>
-            val g = cur(o) & 0xff
-            ((cur(o + 1) & 0xff) << 24) | (g << 16) | (g << 8) | g
-          case _ => // 6
-            ((cur(o + 3) & 0xff) << 24) | ((cur(o) & 0xff) << 16) |
-              ((cur(o + 1) & 0xff) << 8) | (cur(o + 2) & 0xff)
-        }
-        x += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, stride)
-      y += 1
+    // 16-bit samples fold to their MSB (the pinned 8-bit reduction);
+    // sub-byte gray scales to full range (x255/85/17)
+    val grayScale = depth match {
+      case 1 => 255
+      case 2 => 85
+      case 4 => 17
+      case _ => 1
     }
-    out("png", w, h, px)
+    var rawOff = 0
+    var failed = false
+    passes.foreach { case pass @ (x0, y0, xs, ys) =>
+      val (pw, ph) = passDims(pass)
+      if (!failed && pw > 0 && ph > 0) {
+        val stride = rowBytes(pw)
+        val prev = new Array[Byte](stride)
+        val cur = new Array[Byte](stride)
+        java.util.Arrays.fill(prev, 0.toByte)
+        var y = 0
+        while (y < ph && !failed) {
+          val off = rawOff + y * (stride + 1)
+          val filter = raw(off) & 0xff
+          System.arraycopy(raw, off + 1, cur, 0, stride)
+          // undo per-scanline filters in place (RFC 2083 §6); filters
+          // operate on BYTES with step bppFilter regardless of depth
+          filter match {
+            case 0 => ()
+            case 1 => // Sub
+              var x = bppFilter
+              while (x < stride) {
+                cur(x) = (cur(x) + cur(x - bppFilter)).toByte; x += 1
+              }
+            case 2 => // Up
+              var x = 0
+              while (x < stride) {
+                cur(x) = (cur(x) + prev(x)).toByte; x += 1
+              }
+            case 3 => // Average
+              var x = 0
+              while (x < stride) {
+                val left = if (x >= bppFilter) cur(x - bppFilter) & 0xff else 0
+                cur(x) = (cur(x) + ((left + (prev(x) & 0xff)) >> 1)).toByte
+                x += 1
+              }
+            case 4 => // Paeth
+              var x = 0
+              while (x < stride) {
+                val a = if (x >= bppFilter) cur(x - bppFilter) & 0xff else 0
+                val bb = prev(x) & 0xff
+                val c = if (x >= bppFilter) prev(x - bppFilter) & 0xff else 0
+                val p = a + bb - c
+                val pa = math.abs(p - a); val pb = math.abs(p - bb)
+                val pc = math.abs(p - c)
+                val pred =
+                  if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
+                cur(x) = (cur(x) + pred).toByte
+                x += 1
+              }
+            case _ => failed = true
+          }
+          // sample channel `c` of pass-pixel `x`
+          def sample(x: Int, c: Int): Int =
+            if (depth == 16) cur((x * channels + c) * 2) & 0xff // MSB
+            else if (depth == 8) cur(x * channels + c) & 0xff
+            else { // sub-byte: gray or palette index, MSB-first packing
+              val bit = x * depth
+              (cur(bit >> 3) >> (8 - depth - (bit & 7))) & ((1 << depth) - 1)
+            }
+          var x = 0
+          while (x < pw && !failed) {
+            val argb = colorType match {
+              case 0 =>
+                val g = sample(x, 0) * grayScale
+                0xff000000 | (g << 16) | (g << 8) | g
+              case 2 =>
+                0xff000000 | (sample(x, 0) << 16) |
+                  (sample(x, 1) << 8) | sample(x, 2)
+              case 3 =>
+                val idx = sample(x, 0)
+                if (idx >= palette.length) { failed = true; 0 }
+                else palette(idx)
+              case 4 =>
+                val g = sample(x, 0)
+                (sample(x, 1) << 24) | (g << 16) | (g << 8) | g
+              case _ => // 6
+                (sample(x, 3) << 24) | (sample(x, 0) << 16) |
+                  (sample(x, 1) << 8) | sample(x, 2)
+            }
+            if (!failed) px((y0 + y * ys) * w + (x0 + x * xs)) = argb
+            x += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, stride)
+          y += 1
+        }
+        rawOff += ph * (stride + 1)
+      }
+    }
+    if (failed) unknown else out("png", w, h, px)
   }
 
   /** Inflate exactly `expected` bytes; tolerant of a missing/garbled

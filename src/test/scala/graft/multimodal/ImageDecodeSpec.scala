@@ -67,6 +67,68 @@ class ImageDecodeSpec extends SparkSpec {
     assert(px.exists(p => (p >>> 24) != 0xff), "alpha must vary")
   }
 
+  test("png Adam7 interlace round-trips pixel-exact (JDK progressive writer)") {
+    // 13x11 exercises partial passes (empty columns in late passes)
+    for ((w, h) <- Seq((13, 11), (8, 8), (3, 2), (1, 1), (16, 9))) {
+      val img = testImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val out = new ByteArrayOutputStream()
+      val writer = ImageIO.getImageWritersByFormatName("png").next()
+      val ios = ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      writer.dispose(); ios.close()
+      val bytes = out.toByteArray
+      assert(bytes(28) == 1, "writer did not set the IHDR interlace flag")
+      val (f, dw, dh, px) = decode(bytes)
+      assert((f, dw, dh) == ("png", w, h))
+      assert(px == argb(img), s"${w}x$h Adam7 mismatch")
+    }
+  }
+
+  test("png 16-bit gray folds each sample to its MSB") {
+    val img = new BufferedImage(9, 7, BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 7; x <- 0 until 9)
+      img.getRaster.setSample(x, y, 0, (x * 8191 + y * 257) % 65536)
+    val bytes = encodeJdk(img, "png")
+    // confirm the JDK wrote depth 16 (IHDR bit-depth byte)
+    assert(bytes(24) == 16, s"expected depth 16, got ${bytes(24)}")
+    val (f, w, h, px) = decode(bytes)
+    assert((f, w, h) == ("png", 9, 7))
+    val want = for (y <- 0 until 7; x <- 0 until 9) yield {
+      val g = img.getRaster.getSample(x, y, 0) >> 8
+      0xff000000 | (g << 16) | (g << 8) | g
+    }
+    assert(px == want)
+  }
+
+  test("png sub-byte depths: 1-bit gray and 4-bit palette") {
+    val bin = new BufferedImage(19, 5, BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until 5; x <- 0 until 19)
+      bin.setRGB(x, y, if ((x * 3 + y * 7) % 5 < 2) 0xffffff else 0)
+    val binBytes = encodeJdk(bin, "png")
+    assert(binBytes(24) == 1, s"expected depth 1, got ${binBytes(24)}")
+    val (f1, w1, h1, px1) = decode(binBytes)
+    assert((f1, w1, h1) == ("png", 19, 5))
+    assert(px1 == argb(bin)) // 0/255 scaling == the JDK's binary raster
+
+    // 4-bit palette: an IndexColorModel with 16 entries
+    val cm = new java.awt.image.IndexColorModel(4, 16,
+      Array.tabulate(16)(i => (i * 17).toByte),
+      Array.tabulate(16)(i => (255 - i * 17).toByte),
+      Array.tabulate(16)(i => ((i * 53) % 256).toByte))
+    val pal = new BufferedImage(11, 6, BufferedImage.TYPE_BYTE_BINARY, cm)
+    for (y <- 0 until 6; x <- 0 until 11)
+      pal.getRaster.setSample(x, y, 0, (x * 5 + y * 3) % 16)
+    val palBytes = encodeJdk(pal, "png")
+    assert(palBytes(24) == 4 && palBytes(25) == 3,
+      s"expected depth-4 palette, got depth ${palBytes(24)} ct ${palBytes(25)}")
+    val (f2, w2, h2, px2) = decode(palBytes)
+    assert((f2, w2, h2) == ("png", 11, 6))
+    assert(px2 == argb(pal))
+  }
+
   test("png gray decodes to replicated-channel ARGB") {
     val img = testImage(12, 8, BufferedImage.TYPE_BYTE_GRAY)
     val (f, w, h, px) = decode(encodeJdk(img, "png"))
@@ -252,7 +314,9 @@ class ImageDecodeSpec extends SparkSpec {
       Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
         chunk("IHDR", bombIhdr) ++ chunk("IEND", Array.empty[Byte])
     assert(decode(bomb)._1 == "unknown")
-    // interlace flag set -> unsupported, not wrong pixels
+    // interlace flag LIED onto a sequential stream: the Adam7 raw
+    // length no longer matches the deflate payload -> unknown, not
+    // garbage pixels
     val inter = good.clone()
     inter(28) = 1 // IHDR interlace byte (8 sig + 8 hdr + 12 data)
     assert(decode(inter)._1 == "unknown")
