@@ -204,6 +204,59 @@ object SamplingPackQueries {
           + (doc_id*7 + 58) % 256 - 16777216 AS INTEGER) AS p1
       FROM documents""")),
 
+    // PNG Adam7 interlace + 16-bit depth decode (round-11
+    // ImageDecodeExpr surfaces): evens an INTERLACED 2x2 RGB8 PNG
+    // whose three non-empty Adam7 passes carry the pixels in pass
+    // order (pass1: (0,0); pass6: (1,0); pass7: (0,1),(1,1)) inside a
+    // STORED-deflate block — the decoder must scatter them back to
+    // raster order; odds a non-interlaced 2x2 gray16 PNG where each
+    // sample's MSB is v(i,0) and the LSB is v(i,1) — the decoder must
+    // fold to the MSB. Oracle replays both from the doc_id arithmetic
+    // (same v() formula as q_image_decode).
+    QueryDef("q_png_advanced", (s, dir) => {
+      def hx(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def v(i: Int, c: Int) = pmod(col("doc_id") * 7 + i * 13 + c * 29,
+        lit(256)).cast("int")
+      def rgb(i: Int) = concat(hx(v(i, 0)), hx(v(i, 1)), hx(v(i, 2)))
+      def g16(i: Int) = concat(hx(v(i, 0)), hx(v(i, 1))) // MSB, LSB
+      // interlaced RGB8: IHDR(2x2, d8, ct2, interlace 1); raw stream =
+      // pass1 row [00 px0] + pass6 row [00 px1] + pass7 row [00 px2 px3]
+      val ilaceHex = concat(
+        lit("89504E470D0A1A0A" + "0000000D" + "49484452" +
+          "00000002" + "00000002" + "08" + "02" + "0000" + "01" +
+          "00000000" +
+          "00000016" + "49444154" + "7801" + "01" + "0F00" + "F0FF" + "00"),
+        rgb(0), lit("00"), rgb(1), lit("00"), rgb(2), rgb(3),
+        lit("00000000" + "00000000" + "49454E44" + "00000000"))
+      // gray16: IHDR(2x2, d16, ct0); rows [00 s0 s1] [00 s2 s3], 2B each
+      val g16Hex = concat(
+        lit("89504E470D0A1A0A" + "0000000D" + "49484452" +
+          "00000002" + "00000002" + "10" + "00" + "0000" + "00" +
+          "00000000" +
+          "00000011" + "49444154" + "7801" + "01" + "0A00" + "F5FF" + "00"),
+        g16(0), g16(1), lit("00"), g16(2), g16(3),
+        lit("00000000" + "00000000" + "49454E44" + "00000000"))
+      val payload = unhex(
+        when(col("doc_id") % 2 === 0, ilaceHex).otherwise(g16Hex))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.decodeImage(payload).as("d"))
+        .select(col("doc_id"), col("d.format").as("format"),
+          col("d.width").as("width"), col("d.height").as("height"),
+          element_at(col("d.pixels"), 1).as("p0"),
+          element_at(col("d.pixels"), 2).as("p1"),
+          element_at(col("d.pixels"), 3).as("p2"),
+          element_at(col("d.pixels"), 4).as("p3"))
+    }, Some("""
+      SELECT doc_id, 'png' AS format, 2 AS width, 2 AS height,
+        """ + (0 to 3).map(i =>
+          s"""CAST(CASE WHEN doc_id % 2 = 0 THEN
+              (doc_id*7 + $i*13) % 256 * 65536
+              + (doc_id*7 + $i*13 + 29) % 256 * 256
+              + (doc_id*7 + $i*13 + 58) % 256
+            ELSE (doc_id*7 + $i*13) % 256 * 65793 END
+            - 16777216 AS INTEGER) AS p$i""").mkString(",\n        ") + """
+      FROM documents""")),
+
     // REAL JPEG pixel decode (JpegDecode via ImageDecodeExpr): per doc
     // a complete VALID baseline JPEG is synthesized from doc_id with
     // pure builtins — evens a grayscale 8x8, odds a 4:4:4 color 8x8
