@@ -126,6 +126,33 @@ class JpegDecodeSpec extends SparkSpec {
     }
   }
 
+  test("progressive DC first + refinement scans with restart markers") {
+    // 8x16 grayscale SOF2, DRI=1, two successive-approximation DC
+    // scans (Al=1 then Ah=1/Al=0), RST0 between blocks in BOTH scans
+    // (marker numbering restarts per scan), byte-aligned at restarts.
+    // Block1: dc=20 at Al=1 -> 40, refine bit 1 -> DC=41.
+    // Block2 (prediction reset by RST): dc=-17 -> -34, bit 0 -> DC=-34.
+    val p = hx("FFD8" +
+      "FFDB0043" + "00" + "11" * 64 +
+      "FFC2000B08" + "0010" + "0008" + "01" + "011100" + // SOF2 8x16
+      "FFC40015" + "00" + "0101" + "00" * 14 + "0005" +
+      "FFDD0004" + "0001" + // DRI = 1
+      "FFDA000801" + "0100" + "000001" + // scan 1: Ss=0 Se=0 Ah=0 Al=1
+      f"${0x80 | (20 << 1)}%02X" + "FFD0" + f"${0x80 | ((-17 + 31) << 1)}%02X" +
+      "FFDA000801" + "0100" + "000010" + // scan 2: Ah=1 Al=0 (raw bits)
+      "80" + "FFD0" + "00" +
+      "FFD9")
+    val (fmt, w, h, px) = decode(p)
+    assert((fmt, w, h) == ("jpeg", 8, 16))
+    def flat(dc: Int) =
+      math.min(255, math.max(0, 128 + Math.floorDiv(dc * 17 + 4, 8)))
+    val top = flat(41); val bot = flat(-34)
+    assert((0 until 64).forall(i => (px(i) & 0xff) == top),
+      s"top want $top got ${px.head & 0xff}")
+    assert((64 until 128).forall(i => (px(i) & 0xff) == bot),
+      s"bot want $bot got ${px(64) & 0xff}")
+  }
+
   test("progressive bomb guard is 4x tighter (coefficient buffering)") {
     val prog = encode(raster(16, 16, gray = true), 0.8f, progressive = true)
     val sofAt = (0 until prog.length - 1).find(i =>
