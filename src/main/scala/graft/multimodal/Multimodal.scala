@@ -40,6 +40,15 @@ object Multimodal {
     ColumnBridge.column(ImageMetaExpr(ColumnBridge.expression(payload)))
   }
 
+  /** EXIF orientation (1-8; 0 when absent/unreadable) from a JPEG's
+    * APP1 segment — see [[ExifOrientationExpr]]. The pre-decode
+    * rotation signal an image-curation pass reads before any resize. */
+  def exifOrientation(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(ExifOrientationExpr(ColumnBridge.expression(payload)))
+  }
+
   /** REAL pixel decode for PNG and BMP payloads — see
     * [[ImageDecodeExpr]] (scanline filters, palette/alpha, zlib
     * inflate, bomb guard). Returns struct<format, width, height,

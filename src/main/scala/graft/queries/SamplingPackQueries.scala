@@ -204,6 +204,41 @@ object SamplingPackQueries {
           + (doc_id*7 + 58) % 256 - 16777216 AS INTEGER) AS p1
       FROM documents""")),
 
+    // EXIF orientation (ExifOrientationExpr): per doc a JPEG APP1
+    // segment with a real TIFF 6.0 IFD0 carrying tag 0x0112 is
+    // synthesized from doc_id — little-endian (II) for doc_id%3==0,
+    // big-endian (MM) for %3==1 (the SHORT value is left-justified in
+    // the entry's 4-byte value field per the TIFF spec, so the two
+    // layouts differ), and an EXIF-less JFIF stream for %3==2 (-> 0).
+    // The oracle replays the orientation arithmetic.
+    QueryDef("q_exif_orientation", (s, dir) => {
+      def hx1(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      val o = (pmod(col("doc_id"), lit(8)) + 1).cast("int")
+      val exifLe = concat(
+        lit("FFD8" + "FFE10022" + "457869660000" +
+          "49492A00" + "08000000" + "0100" +
+          "12010300" + "01000000"),
+        hx1(o), lit("000000" + "00000000" + "FFD9"))
+      val exifBe = concat(
+        lit("FFD8" + "FFE10022" + "457869660000" +
+          "4D4D002A" + "00000008" + "0001" +
+          "01120003" + "00000001" + "00"),
+        hx1(o), lit("0000" + "00000000" + "FFD9"))
+      val plain = lit("FFD8" +
+        "FFE000104A46494600010100000100010000" + "FFD9")
+      val payload = unhex(
+        when(pmod(col("doc_id"), lit(3)) === 0, exifLe)
+          .when(pmod(col("doc_id"), lit(3)) === 1, exifBe)
+          .otherwise(plain))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.exifOrientation(payload).as("orientation"))
+    }, Some("""
+      SELECT doc_id,
+        CAST(CASE WHEN doc_id % 3 = 2 THEN 0
+          ELSE 1 + doc_id % 8 END AS INT) AS orientation
+      FROM documents""")),
+
     // PNG Adam7 interlace + 16-bit depth decode (round-11
     // ImageDecodeExpr surfaces): evens an INTERLACED 2x2 RGB8 PNG
     // whose three non-empty Adam7 passes carry the pixels in pass

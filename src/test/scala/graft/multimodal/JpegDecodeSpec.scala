@@ -315,6 +315,41 @@ class JpegDecodeSpec extends SparkSpec {
     assert(decode(bomb)._1 == "unknown")
   }
 
+  private def orient(bytes: Array[Byte]): Int =
+    Seq(Tuple1(bytes)).toDF("p")
+      .select(Multimodal.exifOrientation(col("p")).as("o"))
+      .head().getInt(0)
+
+  test("exif orientation: both TIFF endians, multi-entry IFDs, corpus safety") {
+    def le(o: Int) = hx("FFD8" + "FFE10022" + "457869660000" +
+      "49492A00" + "08000000" + "0100" + "12010300" + "01000000" +
+      f"$o%02X" + "000000" + "00000000" + "FFD9")
+    def be(o: Int) = hx("FFD8" + "FFE10022" + "457869660000" +
+      "4D4D002A" + "00000008" + "0001" + "01120003" + "00000001" +
+      "00" + f"$o%02X" + "0000" + "00000000" + "FFD9")
+    (1 to 8).foreach { o =>
+      assert(orient(le(o)) == o, s"LE orientation $o")
+      assert(orient(be(o)) == o, s"BE orientation $o")
+    }
+    // APP0 before APP1, and the orientation tag NOT first in the IFD
+    // (preceded by an ImageDescription entry; tag order per TIFF spec)
+    val multi = hx("FFD8" +
+      "FFE000104A46494600010100000100010000" + // JFIF APP0
+      "FFE1002E" + "457869660000" +
+      "49492A00" + "08000000" + "0200" + // 2 entries
+      "0E010200" + "04000000" + "41424300" + // 0x010E ASCII "ABC\0"
+      "12010300" + "01000000" + "06000000" + // orientation 6
+      "00000000" + "FFD9")
+    assert(orient(multi) == 6)
+    // EXIF-less, truncated, non-JPEG, out-of-range value -> 0
+    assert(orient(hx("FFD8" +
+      "FFE000104A46494600010100000100010000" + "FFD9")) == 0)
+    assert(orient(le(3).dropRight(6)) == 0 ||
+      orient(le(3).dropRight(6)) == 3) // truncation after the IFD is fine
+    assert(orient(hx("89504E47")) == 0)
+    assert(orient(le(9)) == 0) // 9 is outside the legal 1-8 range
+  }
+
   test("resize composes over decoded JPEG pixels") {
     val p = dcOnlyColor(20, 18, 22)
     val want = expectedRgb(20, 18, 22)
