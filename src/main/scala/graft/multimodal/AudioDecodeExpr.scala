@@ -14,11 +14,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * prep) runs as a pure map-side projection with oracle-exact results.
   *
   * Supported: RIFF/WAVE with an fmt chunk of audio format 1 (integer
-  * PCM) at 8 or 16 bits per sample, any channel count / sample rate.
+  * PCM) at 8, 16, 24 or 32 bits per sample, any channel count /
+  * sample rate (float WAVs — format 3 — stay unsupported: their
+  * int mapping has no canonical rounding, unlike integer PCM).
   * Output: struct<format, channels, sample_rate, bits, n_samples,
   * samples array<int>> — samples are interleaved frames in channel
   * order (the canonical layout); 8-bit WAV (unsigned, biased 128)
-  * normalizes to signed [-128, 127], 16-bit is signed little-endian.
+  * normalizes to signed [-128, 127]; 16/24/32-bit are signed
+  * little-endian two's complement at full width.
   * `n_samples` counts frames per channel.
   *
   * Scale discipline (same policy as the image decode):
@@ -84,7 +87,8 @@ case class AudioDecodeExpr(child: Expression)
       i += 8 + len + (len & 1) // chunks are word-aligned
     }
     if (fmtCode != 1 || channels <= 0 || rate <= 0 ||
-        (bits != 8 && bits != 16) || dataOff < 0) return unknown
+        (bits != 8 && bits != 16 && bits != 24 && bits != 32) ||
+        dataOff < 0) return unknown
     val bytesPer = bits / 8
     val total = dataLen / bytesPer // interleaved sample count
     if (total.toLong > MaxPixels) return unknown // allocation bomb
@@ -92,9 +96,15 @@ case class AudioDecodeExpr(child: Expression)
     val out = new Array[Int](total)
     var s = 0
     while (s < total) {
-      out(s) =
-        if (bits == 8) (b(dataOff + s) & 0xff) - 128 // unsigned+bias
-        else le16(b, dataOff + s * 2).toShort.toInt // signed LE
+      val o = dataOff + s * bytesPer
+      out(s) = bits match {
+        case 8 => (b(o) & 0xff) - 128 // unsigned + bias
+        case 16 => le16(b, o).toShort.toInt // signed LE
+        case 24 => // signed LE 3 bytes: shift-extend the sign
+          (((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+            ((b(o + 2) & 0xff) << 16)) << 8) >> 8
+        case _ => le32(b, o) // signed LE int32
+      }
       s += 1
     }
     InternalRow(UTF8String.fromString("wav"), channels, rate, bits,

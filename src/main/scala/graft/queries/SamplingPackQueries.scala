@@ -204,6 +204,56 @@ object SamplingPackQueries {
           + (doc_id*7 + 58) % 256 - 16777216 AS INTEGER) AS p1
       FROM documents""")),
 
+    // Wide-sample PCM decode (round-11 AudioDecodeExpr surfaces): evens
+    // a 24-bit mono WAV (2 frames, sample u(i) = (doc_id*13 + i*31) %
+    // 2^24 stored LE, decoded via sign extension), odds a 32-bit mono
+    // WAV (u(i) = (doc_id*9 + i*17) % 2^32, full-width two's
+    // complement). The oracle replays the signed reinterpretation.
+    QueryDef("q_audio_decode_wide", (s, dir) => {
+      def le(c: org.apache.spark.sql.Column, hexDigits: Int) = {
+        val hh = lpad(hex(c), hexDigits, "0")
+        concat((hexDigits - 1 to 1 by -2).map(i => substring(hh, i, 2)): _*)
+      }
+      def u24(i: Int) =
+        pmod(col("doc_id") * 13 + i * 31, lit(16777216L)).cast("long")
+      def u32(i: Int) =
+        pmod(col("doc_id") * 9 + i * 17, lit(4294967296L)).cast("long")
+      val wav24 = concat(
+        lit("52494646" + "2A000000" + "57415645" +
+          "666D7420" + "10000000" + "0100" + "0100" +
+          "401F0000" + "C05D0000" + "0300" + "1800" +
+          "64617461" + "06000000"),
+        le(u24(0), 6), le(u24(1), 6))
+      val wav32 = concat(
+        lit("52494646" + "2C000000" + "57415645" +
+          "666D7420" + "10000000" + "0100" + "0100" +
+          "401F0000" + "007D0000" + "0400" + "2000" +
+          "64617461" + "08000000"),
+        le(u32(0), 8), le(u32(1), 8))
+      val payload = unhex(
+        when(col("doc_id") % 2 === 0, wav24).otherwise(wav32))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.decodeAudio(payload).as("a"))
+        .select(col("doc_id"), col("a.bits").as("bits"),
+          col("a.n_samples").as("n_samples"),
+          element_at(col("a.samples"), 1).as("s0"),
+          element_at(col("a.samples"), 2).as("s1"))
+    }, Some("""
+      WITH u AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN (doc_id*13) % 16777216
+               ELSE (doc_id*9) % 4294967296 END AS u0,
+          CASE WHEN doc_id % 2 = 0 THEN (doc_id*13 + 31) % 16777216
+               ELSE (doc_id*9 + 17) % 4294967296 END AS u1,
+          CASE WHEN doc_id % 2 = 0 THEN 8388608 ELSE 2147483648 END AS half,
+          CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 32 END AS bits
+        FROM documents)
+      SELECT doc_id, CAST(bits AS INT) AS bits, 2 AS n_samples,
+        CAST(CASE WHEN u0 >= half THEN u0 - 2*half ELSE u0 END AS INT) AS s0,
+        CAST(CASE WHEN u1 >= half THEN u1 - 2*half ELSE u1 END AS INT) AS s1
+      FROM u""")),
+
     // EXIF orientation (ExifOrientationExpr): per doc a JPEG APP1
     // segment with a real TIFF 6.0 IFD0 carrying tag 0x0112 is
     // synthesized from doc_id — little-endian (II) for doc_id%3==0,

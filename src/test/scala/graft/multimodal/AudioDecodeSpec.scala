@@ -70,6 +70,34 @@ class AudioDecodeSpec extends SparkSpec {
     "RIFF".getBytes ++ le32b(body.length) ++ body
   }
 
+  test("24-bit PCM round-trips sample-exact against the JDK writer") {
+    // javax.sound writes a real 24-bit WAV container around raw LE
+    // 3-byte frames; values cover both signs and the extremes
+    val vals = Array(0, 1, -1, 8388607, -8388608, 123456, -654321, 42)
+    val raw = new Array[Byte](vals.length * 3)
+    vals.zipWithIndex.foreach { case (v, i) =>
+      raw(i * 3) = (v & 0xff).toByte
+      raw(i * 3 + 1) = ((v >> 8) & 0xff).toByte
+      raw(i * 3 + 2) = ((v >> 16) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 24, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, vals.length)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val (f, ch, rate, bits, n, got) = decode(bos.toByteArray)
+    assert((f, ch, rate, bits, n) == ("wav", 1, 8000, 24, vals.length))
+    assert(got == vals.toSeq)
+  }
+
+  test("32-bit PCM decodes full-width two's complement") {
+    val vals = Array(0, Int.MaxValue, Int.MinValue, -19088744, 305419896)
+    val data = vals.flatMap(le32b)
+    val (f, ch, rate, bits, n, got) = decode(wav(1, 1, 48000, 32, data))
+    assert((f, ch, rate, bits, n) == ("wav", 1, 48000, 32, vals.length))
+    assert(got == vals.toSeq)
+  }
+
   test("8-bit PCM normalizes the 128 bias; unknown chunks (odd length) are skipped") {
     // a 5-byte LIST chunk before fmt exercises word-aligned skipping
     val junk = "LIST".getBytes ++ le32b(5) ++ Array[Byte](1, 2, 3, 4, 5, 0)
