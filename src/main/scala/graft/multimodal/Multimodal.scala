@@ -40,6 +40,16 @@ object Multimodal {
     ColumnBridge.column(ImageMetaExpr(ColumnBridge.expression(payload)))
   }
 
+  /** The n-th frame of an animated GIF composed per the GIF89a
+    * disposal model, plus the frame count — the real frame-sampling
+    * path; see [[GifFramesExpr]]. */
+  def gifFrame(payload: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(GifFramesExpr(
+      ColumnBridge.expression(payload), ColumnBridge.expression(n)))
+  }
+
   /** EXIF orientation (1-8; 0 when absent/unreadable) from a JPEG's
     * APP1 segment — see [[ExifOrientationExpr]]. The pre-decode
     * rotation signal an image-curation pass reads before any resize. */

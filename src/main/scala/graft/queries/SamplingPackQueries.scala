@@ -204,6 +204,45 @@ object SamplingPackQueries {
           + (doc_id*7 + 58) % 256 - 16777216 AS INTEGER) AS p1
       FROM documents""")),
 
+    // Animated-GIF frame sampling (GifFramesExpr): a 2-frame 2x2 GIF89a
+    // whose LZW streams are CONSTANT bytes (indices [0,1,2,3] then a
+    // 1x1 [0] overlay at (1,1), literal-code LZW verified in
+    // GifFramesSpec) while the GLOBAL COLOR TABLE carries the doc_id
+    // arithmetic — so frame composition (disposal keep + overlay) is
+    // exercised and every decoded pixel is replayable: frame 1 =
+    // [c0, c1, c2, c0] with c_k = v(k,*) packed ARGB.
+    QueryDef("q_gif_frames", (s, dir) => {
+      def hx(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def v(i: Int, c: Int) = pmod(col("doc_id") * 7 + i * 13 + c * 29,
+        lit(256)).cast("int")
+      def rgb(i: Int) = concat(hx(v(i, 0)), hx(v(i, 1)), hx(v(i, 2)))
+      val gifHex = concat(
+        lit("474946383961" + "0200" + "0200" + "81" + "00" + "00"),
+        rgb(0), rgb(1), rgb(2), rgb(3),
+        lit("21F9040400000000" + // GCE frame 0: disposal keep
+          "2C000000000200020000" + "02" + "03" + "443405" + "00" +
+          "21F9040000000000" + // GCE frame 1
+          "2C010001000100010000" + "02" + "02" + "4401" + "00" +
+          "3B"))
+      val payload = unhex(gifHex)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.gifFrame(payload, lit(1)).as("f"))
+        .select(col("doc_id"), col("f.format").as("format"),
+          col("f.frames").as("frames"),
+          element_at(col("f.pixels"), 1).as("p0"),
+          element_at(col("f.pixels"), 2).as("p1"),
+          element_at(col("f.pixels"), 3).as("p2"),
+          element_at(col("f.pixels"), 4).as("p3"))
+    }, Some("""
+      SELECT doc_id, 'gif' AS format, 2 AS frames,
+        """ + Seq(0, 1, 2, 0).zipWithIndex.map { case (k, p) =>
+          s"""CAST((doc_id*7 + $k*13) % 256 * 65536
+            + (doc_id*7 + $k*13 + 29) % 256 * 256
+            + (doc_id*7 + $k*13 + 58) % 256
+            - 16777216 AS INTEGER) AS p$p""" }.mkString(",\n        ") + """
+      FROM documents""")),
+
     // Wide-sample PCM decode (round-11 AudioDecodeExpr surfaces): evens
     // a 24-bit mono WAV (2 frames, sample u(i) = (doc_id*13 + i*31) %
     // 2^24 stored LE, decoded via sign extension), odds a 32-bit mono
