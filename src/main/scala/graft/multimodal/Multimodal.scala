@@ -40,6 +40,16 @@ object Multimodal {
     ColumnBridge.column(ImageMetaExpr(ColumnBridge.expression(payload)))
   }
 
+  /** The n-th video frame of an MJPEG AVI decoded to real pixels via
+    * the pinned JPEG pipeline, plus the frame count — the real VIDEO
+    * frame-sampling path; see [[VideoFrameExpr]]. */
+  def videoFrame(payload: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(VideoFrameExpr(
+      ColumnBridge.expression(payload), ColumnBridge.expression(n)))
+  }
+
   /** The n-th frame of an animated GIF composed per the GIF89a
     * disposal model, plus the frame count — the real frame-sampling
     * path; see [[GifFramesExpr]]. */

@@ -204,6 +204,49 @@ object SamplingPackQueries {
           + (doc_id*7 + 58) % 256 - 16777216 AS INTEGER) AS p1
       FROM documents""")),
 
+    // MJPEG video frame sampling (VideoFrameExpr): a 2-frame AVI whose
+    // '00dc' chunks carry the q_jpeg_decode grayscale DC-only JPEGs
+    // (142 bytes each, container sizes constant, only the scan byte
+    // varies) — frame 1 is selected and its flat gray replayed by the
+    // oracle through the same pinned IDCT arithmetic:
+    //   gray = clamp(128 + floor((dc*17 + 4)/8)), dc = 16+(doc_id*5)%16
+    QueryDef("q_video_frames", (s, dir) => {
+      def hx1(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      val dc0 = (pmod(col("doc_id"), lit(16)) + 16).cast("int")
+      val dc1 = (pmod(col("doc_id") * 5, lit(16)) + 16).cast("int")
+      def sb(dc: org.apache.spark.sql.Column) = hx1(lit(128) + dc * 2)
+      val gp = "FFD8" + "FFDB0043" + "00" + "11" * 64 +
+        "FFC0000B08" + "0008" + "0008" + "01" + "011100" +
+        "FFC40015" + "00" + "0101" + "00" * 14 + "0005" +
+        "FFC40014" + "10" + "01" + "00" * 15 + "00" +
+        "FFDA000801" + "0100" + "003F00" // 139 bytes; +scan+EOI = 142
+      val aviHex = concat(
+        lit("52494646" + "88010000" + "41564920" + // RIFF 392 'AVI '
+          "4C495354" + "44000000" + "6864726C" + // LIST 68 'hdrl'
+          "61766968" + "38000000" + "00" * 56 + // avih stub (56 B)
+          "4C495354" + "30010000" + "6D6F7669" + // LIST 304 'movi'
+          "30306463" + "8E000000" + gp), sb(dc0), lit("FFD9" +
+          "30306463" + "8E000000" + gp), sb(dc1), lit("FFD9"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.videoFrame(unhex(aviHex), lit(1)).as("f"))
+        .select(col("doc_id"), col("f.format").as("format"),
+          col("f.width").as("width"), col("f.height").as("height"),
+          col("f.frames").as("frames"),
+          element_at(col("f.pixels"), 1).as("p0"),
+          element_at(col("f.pixels"), 64).as("p63"))
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id,
+          LEAST(255, GREATEST(0, 128 + CAST(
+            FLOOR(((16 + (doc_id*5) % 16) * 17 + 4) / 8.0) AS INT))) AS v
+        FROM documents)
+      SELECT doc_id, 'mjpeg' AS format, 8 AS width, 8 AS height,
+        2 AS frames,
+        CAST(v * 65793 - 16777216 AS INTEGER) AS p0,
+        CAST(v * 65793 - 16777216 AS INTEGER) AS p63
+      FROM g""")),
+
     // Animated-GIF frame sampling (GifFramesExpr): a 2-frame 2x2 GIF89a
     // whose LZW streams are CONSTANT bytes (indices [0,1,2,3] then a
     // 1x1 [0] overlay at (1,1), literal-code LZW verified in
