@@ -40,6 +40,14 @@ object Multimodal {
     ColumnBridge.column(ImageMetaExpr(ColumnBridge.expression(payload)))
   }
 
+  /** REAL audio metadata (WAV fmt/data chunks; MP3 full frame-header
+    * walk with exact VBR duration) — see [[AudioMetaExpr]]. */
+  def audioMeta(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(AudioMetaExpr(ColumnBridge.expression(payload)))
+  }
+
   /** The n-th video frame of an MJPEG AVI decoded to real pixels via
     * the pinned JPEG pipeline, plus the frame count — the real VIDEO
     * frame-sampling path; see [[VideoFrameExpr]]. */

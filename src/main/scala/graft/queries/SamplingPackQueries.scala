@@ -204,6 +204,56 @@ object SamplingPackQueries {
           + (doc_id*7 + 58) % 256 - 16777216 AS INTEGER) AS p1
       FROM documents""")),
 
+    // REAL audio metadata (AudioMetaExpr): evens an MP3 of
+    // 3 + doc_id%5 CBR frames (128 kbps / 44.1 kHz stereo, 417-byte
+    // frames of zero payload — the walker reads only headers) behind an
+    // ID3v2 tag of doc_id%8 syncsafe bytes; odds a 16-bit stereo 8 kHz
+    // WAV whose data length makes duration_ms = doc_id%50 + 1 exactly.
+    // Oracle replays the frame-count and byte-rate arithmetic.
+    QueryDef("q_audio_meta", (s, dir) => {
+      def hx1(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def le32h(c: org.apache.spark.sql.Column) = {
+        val hh = lpad(hex(c), 8, "0")
+        concat(substring(hh, 7, 2), substring(hh, 5, 2),
+          substring(hh, 3, 2), substring(hh, 1, 2))
+      }
+      val frameHex = "FFFB9000" + "00" * 413 // 417-byte 128k/44.1k frame
+      val id3Sz = pmod(col("doc_id"), lit(8)).cast("int")
+      val mp3Hex = concat(
+        lit("494433" + "0400" + "00" + "000000"), hx1(id3Sz),
+        expr("repeat('00', cast(doc_id % 8 as int))"),
+        expr(s"repeat('$frameHex', cast(doc_id % 5 + 3 as int))"))
+      val dataLen = ((pmod(col("doc_id"), lit(50)) + 1) * 32).cast("int")
+      val wavHex = concat(
+        lit("52494646"), le32h(dataLen + 36), lit("57415645" +
+          "666D7420" + "10000000" + "0100" + "0200" +
+          "401F0000" + "007D0000" + "0400" + "1000" + "64617461"),
+        le32h(dataLen), expr("repeat('00', cast((doc_id % 50 + 1) * 32 as int))"))
+      val payload = unhex(
+        when(col("doc_id") % 2 === 0, mp3Hex).otherwise(wavHex))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.audioMeta(payload).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.bitrate_kbps").as("bitrate_kbps"),
+          col("m.frames").as("frames"))
+    }, Some("""
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'wav' END AS format,
+        2 AS channels,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 8000 END AS INT)
+          AS sample_rate,
+        CAST(CASE WHEN doc_id % 2 = 0
+          THEN FLOOR((doc_id % 5 + 3) * 1152 * 1000 / 44100.0)
+          ELSE doc_id % 50 + 1 END AS BIGINT) AS duration_ms,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN 128 ELSE 256 END AS INT)
+          AS bitrate_kbps,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 5 + 3 ELSE -1 END
+          AS INT) AS frames
+      FROM documents""")),
+
     // MJPEG video frame sampling (VideoFrameExpr): a 2-frame AVI whose
     // '00dc' chunks carry the q_jpeg_decode grayscale DC-only JPEGs
     // (142 bytes each, container sizes constant, only the scan byte
