@@ -101,6 +101,69 @@ case class ImageMetaExpr(child: Expression)
         }
       }
       unknown
+    } else if (b.length >= 30 && b(0) == 'R' && b(1) == 'I' &&
+        b(2) == 'F' && b(3) == 'F' && b(8) == 'W' && b(9) == 'E' &&
+        b(10) == 'B' && b(11) == 'P') {
+      // WebP (public RIFF container spec): the first chunk decides
+      val tag = new String(b, 12, 4, "ISO-8859-1")
+      tag match {
+        case "VP8 " => // lossy: 3B frame tag, 9D012A sync, 14-bit dims
+          if ((b(23) & 0xff) != 0x9d || (b(24) & 0xff) != 0x01 ||
+              (b(25) & 0xff) != 0x2a) unknown
+          else out("webp", le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff)
+        case "VP8L" => // lossless: 0x2F sig, 14-bit w-1/h-1 LSB-packed
+          if ((b(20) & 0xff) != 0x2f) unknown
+          else {
+            val w = ((b(21) & 0xff) | ((b(22) & 0x3f) << 8)) + 1
+            val h = (((b(22) & 0xff) >> 6) | ((b(23) & 0xff) << 2) |
+              ((b(24) & 0x0f) << 10)) + 1
+            out("webp", w, h)
+          }
+        case "VP8X" => // extended: canvas w-1/h-1 as 24-bit LE
+          val w = ((b(24) & 0xff) | ((b(25) & 0xff) << 8) |
+            ((b(26) & 0xff) << 16)) + 1
+          val h = ((b(27) & 0xff) | ((b(28) & 0xff) << 8) |
+            ((b(29) & 0xff) << 16)) + 1
+          out("webp", w, h)
+        case _ => unknown
+      }
+    } else if (b.length >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 42 && b(3) == 0) ||
+         (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xff) == 42))) {
+      // TIFF 6.0: IFD0 tags 256 (ImageWidth) / 257 (ImageLength),
+      // SHORT or LONG, either byte order — the scanned-doc corpus
+      // format (and the container EXIF rides in)
+      val little = b(0) == 'I'
+      def u16(i: Int): Int =
+        if (little) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+        else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+      def u32(i: Int): Long =
+        if (little) (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+          ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+        else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+          ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      val ifd = u32(4)
+      if (ifd < 8 || ifd + 2 > b.length) return unknown
+      val base = ifd.toInt
+      val n = u16(base)
+      var w = -1; var h = -1
+      var e = 0
+      while (e < n && (w < 0 || h < 0)) {
+        val entry = base + 2 + e * 12
+        if (entry + 12 > b.length) return unknown
+        val tagId = u16(entry)
+        if (tagId == 256 || tagId == 257) {
+          val typ = u16(entry + 2)
+          val v = typ match {
+            case 3 => u16(entry + 8) // SHORT, left-justified
+            case 4 => u32(entry + 8).toInt // LONG
+            case _ => -1
+          }
+          if (tagId == 256) w = v else h = v
+        }
+        e += 1
+      }
+      if (w > 0 && h > 0) out("tiff", w, h) else unknown
     } else unknown
   }
 

@@ -108,6 +108,61 @@ object SamplingPackQueries {
       FROM documents""")),
 
 
+    // WebP + TIFF metadata (round-11 ImageMetaExpr surfaces): all three
+    // public WebP first-chunk layouts — lossy VP8 (sync 9D012A + 14-bit
+    // dims), lossless VP8L (0x2F + LSB-packed w-1/h-1), extended VP8X
+    // (24-bit LE canvas) — and TIFF 6.0 IFD0 tag-256/257 dims in BOTH
+    // byte orders. Dims from the q_image_meta arithmetic; the oracle
+    // replays them.
+    QueryDef("q_image_meta_ext", (s, dir) => {
+      def be16h(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+      def le16h(c: org.apache.spark.sql.Column) =
+        concat(substring(be16h(c), 3, 2), substring(be16h(c), 1, 2))
+      def hx1(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      val w = (col("doc_id") % 13 * 16 + 320).cast("int")
+      val h = (col("doc_id") % 7 * 32 + 180).cast("int")
+      val wm = w - 1; val hm = h - 1
+      val vp8 = concat(
+        lit("52494646" + "24000000" + "57454250" + "56503820" +
+          "10000000" + "000000" + "9D012A"), le16h(w), le16h(h))
+      val vp8l = concat(
+        lit("52494646" + "20000000" + "57454250" + "5650384C" +
+          "0C000000" + "2F"),
+        hx1(pmod(wm, lit(256))),
+        hx1(shiftright(wm, 8) + pmod(hm, lit(4)) * 64),
+        hx1(pmod(shiftright(hm, 2), lit(256))),
+        hx1(shiftright(hm, 10)),
+        lit("0000000000")) // pad to the 30-byte sniff minimum
+      val vp8x = concat(
+        lit("52494646" + "20000000" + "57454250" + "56503858" +
+          "0A000000" + "00000000"),
+        hx1(pmod(wm, lit(256))), hx1(shiftright(wm, 8)), lit("00"),
+        hx1(pmod(hm, lit(256))), hx1(shiftright(hm, 8)), lit("00"))
+      val tiffIi = concat(
+        lit("49492A00" + "08000000" + "0200" +
+          "00010300" + "01000000"), le16h(w), lit("0000" +
+          "01010300" + "01000000"), le16h(h), lit("0000" + "00000000"))
+      val tiffMm = concat(
+        lit("4D4D002A" + "00000008" + "0002" +
+          "01000003" + "00000001"), be16h(w), lit("0000" +
+          "01010003" + "00000001"), be16h(h), lit("0000" + "00000000"))
+      val payload = unhex(
+        when(col("doc_id") % 5 === 0, vp8)
+          .when(col("doc_id") % 5 === 1, vp8l)
+          .when(col("doc_id") % 5 === 2, vp8x)
+          .when(col("doc_id") % 5 === 3, tiffIi)
+          .otherwise(tiffMm))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.imageMeta(payload).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"))
+    }, Some("""
+      SELECT doc_id,
+        CASE WHEN doc_id % 5 <= 2 THEN 'webp' ELSE 'tiff' END AS format,
+        CAST(doc_id % 13 * 16 + 320 AS INT) AS width,
+        CAST(doc_id % 7 * 32 + 180 AS INT) AS height
+      FROM documents""")),
+
     // REAL pixel decode (ImageDecodeExpr): per doc a complete VALID
     // 2x2 image is synthesized from doc_id with pure builtins — evens
     // get a 24bpp bottom-up BMP (padded stride), odds a PNG whose IDAT

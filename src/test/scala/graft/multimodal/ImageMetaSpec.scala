@@ -84,6 +84,48 @@ class ImageMetaSpec extends SparkSpec {
         "FFC0 000B 08 0438 0780 00"))._1 === "unknown")
   }
 
+  test("tiff: IFD0 dims in both byte orders; JDK-written TIFF parses") {
+    // hand-built: II with SHORT dims, MM with LONG dims
+    val ii = hexBytes("49492A00" + "08000000" + "0200" +
+      "00010300" + "01000000" + "4001" + "0000" + // width 320 (LE short)
+      "01010400" + "01000000" + "B4000000" + // height 180 (LE long)
+      "00000000")
+    assert(meta(ii) == (("tiff", 320, 180)))
+    val mm = hexBytes("4D4D002A" + "00000008" + "0002" +
+      "01000003" + "00000001" + "0140" + "0000" +
+      "01010003" + "00000001" + "00B4" + "0000" + "00000000")
+    assert(meta(mm) == (("tiff", 320, 180)))
+    // the JDK ships a real TIFF writer: cross-check the walk on its
+    // output (dims only; content irrelevant)
+    val img = new java.awt.image.BufferedImage(37, 23,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "tiff", bos))
+    assert(meta(bos.toByteArray) == (("tiff", 37, 23)))
+  }
+
+  test("webp: VP8 lossy, VP8L lossless, and VP8X extended layouts") {
+    // lossy: sync 9D012A then 14-bit LE dims (320x180)
+    val vp8 = hexBytes("52494646" + "24000000" + "57454250" + "56503820" +
+      "10000000" + "000000" + "9D012A" + "4001" + "B400")
+    assert(meta(vp8) == (("webp", 320, 180)))
+    // lossless: 0x2F, w-1=319, h-1=179 LSB-packed
+    // b1=319&255=0x3F b2=(319>>8)|((179&3)<<6)=0x01|0xC0=0xC1
+    // b3=(179>>2)=0x2C b4=0
+    val vp8l = hexBytes("52494646" + "20000000" + "57454250" + "5650384C" +
+      "0C000000" + "2F" + "3F" + "C1" + "2C" + "00" + "0000000000")
+    assert(meta(vp8l) == (("webp", 320, 180)))
+    // extended: 24-bit LE canvas minus one
+    val vp8x = hexBytes("52494646" + "20000000" + "57454250" + "56503858" +
+      "0A000000" + "00000000" + "3F0100" + "B30000")
+    assert(meta(vp8x) == (("webp", 320, 180)))
+    // bad VP8 sync / unknown first chunk degrade to unknown
+    val badSync = vp8.clone(); badSync(23) = 0x00
+    assert(meta(badSync)._1 == "unknown")
+    assert(meta(hexBytes("52494646" + "20000000" + "57454250" +
+      "414C5048" + "0A000000" + "00" * 10))._1 == "unknown")
+  }
+
   test("malformed and truncated payloads degrade to unknown, never throw") {
     assert(meta(Array[Byte]())._1 === "unknown")
     assert(meta("not an image".getBytes("UTF-8"))._1 === "unknown")
