@@ -89,7 +89,153 @@ case class ImageDecodeExpr(child: Expression)
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') gif(b)
     else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
       jpeg(b)
+    else if (b.length >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 42 && b(3) == 0) ||
+         (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xff) == 42)))
+      tiff(b)
     else unknown
+  }
+
+  // --------------------------------------------------------------- TIFF
+  /** Baseline TIFF 6.0 raster decode — the scanned-document corpus
+    * format: 8-bit gray (photometric 0/1) / RGB / RGBA, contiguous
+    * planar, strip-organized, compression none (1) or PackBits (32773),
+    * both byte orders. Tiled, LZW/Deflate/CCITT, planar=2, and sub-byte
+    * TIFFs stay unknown. */
+  private def tiff(b: Array[Byte]): InternalRow = {
+    val little = b(0) == 'I'
+    def u16(i: Int): Int =
+      if (little) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def u32(i: Int): Long =
+      if (little) (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+      else ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return unknown
+    val base = ifd.toInt
+    val n = u16(base)
+    if (base + 2 + n * 12 > b.length) return unknown
+    // entry lookup: tag -> entry offset
+    var w = -1; var h = -1; var compression = 1; var photometric = -1
+    var spp = 1; var rps = -1
+    var bpsEntry = -1; var offsetsEntry = -1; var countsEntry = -1
+    var planar = 1
+    var e = 0
+    while (e < n) {
+      val entry = base + 2 + e * 12
+      val tag = u16(entry)
+      val typ = u16(entry + 2)
+      def scalar(): Int = typ match {
+        case 3 => u16(entry + 8)
+        case 4 => u32(entry + 8).toInt
+        case _ => -1
+      }
+      tag match {
+        case 256 => w = scalar()
+        case 257 => h = scalar()
+        case 258 => bpsEntry = entry
+        case 259 => compression = scalar()
+        case 262 => photometric = scalar()
+        case 273 => offsetsEntry = entry
+        case 277 => spp = scalar()
+        case 278 => rps = scalar()
+        case 279 => countsEntry = entry
+        case 284 => planar = scalar()
+        case _ => ()
+      }
+      e += 1
+    }
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return unknown
+    if ((compression != 1 && compression != 32773) || planar != 1)
+      return unknown
+    if (photometric < 0 || photometric > 2) return unknown
+    if (spp != 1 && spp != 3 && spp != 4) return unknown
+    if (photometric == 2 && spp < 3) return unknown
+    if (offsetsEntry < 0) return unknown
+    // array-valued entries: count*size <= 4 inline, else at the offset
+    def values(entry: Int): Array[Long] = {
+      if (entry < 0) return null
+      val typ = u16(entry + 2)
+      val cnt = u32(entry + 4).toInt
+      val size = typ match { case 3 => 2; case 4 => 4; case _ => return null }
+      if (cnt <= 0 || cnt > (1 << 20)) return null
+      val at =
+        if (cnt * size <= 4) entry + 8
+        else {
+          val off = u32(entry + 8)
+          if (off + cnt.toLong * size > b.length) return null
+          off.toInt
+        }
+      Array.tabulate(cnt)(k =>
+        if (size == 2) u16(at + k * 2).toLong else u32(at + k * 4))
+    }
+    // all sample depths must be 8
+    if (bpsEntry >= 0) {
+      val bps = values(bpsEntry)
+      if (bps == null || bps.exists(_ != 8L)) return unknown
+    }
+    val offs = values(offsetsEntry)
+    val cnts = values(countsEntry)
+    if (offs == null) return unknown
+    val rowsPer = if (rps <= 0) h else rps
+    val strips = (h + rowsPer - 1) / rowsPer
+    if (offs.length < strips) return unknown
+    val rowBytes = w * spp
+    val raster = new Array[Byte](rowBytes * h)
+    var s = 0
+    while (s < strips) {
+      val rows = math.min(rowsPer, h - s * rowsPer)
+      val need = rows * rowBytes
+      val dst = s * rowsPer * rowBytes
+      val off = offs(s)
+      if (off < 0 || off > b.length) return unknown
+      if (compression == 1) {
+        if (off + need > b.length) return unknown
+        System.arraycopy(b, off.toInt, raster, dst, need)
+      } else { // PackBits (public TIFF 6.0 §9)
+        var src = off.toInt
+        val srcEnd =
+          if (cnts != null && cnts.length > s)
+            math.min(b.length.toLong, off + cnts(s)).toInt
+          else b.length
+        var got = 0
+        while (got < need) {
+          if (src >= srcEnd) return unknown
+          val c = b(src); src += 1
+          if (c >= 0) {
+            val len = c + 1
+            if (src + len > srcEnd || got + len > need) return unknown
+            System.arraycopy(b, src, raster, dst + got, len)
+            src += len; got += len
+          } else if (c != -128) {
+            val len = 1 - c
+            if (src >= srcEnd || got + len > need) return unknown
+            java.util.Arrays.fill(raster, dst + got, dst + got + len, b(src))
+            src += 1; got += len
+          } // -128: noop
+        }
+      }
+      s += 1
+    }
+    val px = new Array[Int](w * h)
+    var p = 0
+    while (p < w * h) {
+      val o = p * spp
+      px(p) =
+        if (spp == 1) {
+          val g0 = raster(o) & 0xff
+          val g = if (photometric == 0) 255 - g0 else g0 // WhiteIsZero
+          0xff000000 | (g << 16) | (g << 8) | g
+        } else {
+          val a = if (spp == 4) (raster(o + 3) & 0xff) << 24 else 0xff000000
+          a | ((raster(o) & 0xff) << 16) | ((raster(o + 1) & 0xff) << 8) |
+            (raster(o + 2) & 0xff)
+        }
+      p += 1
+    }
+    out("tiff", w, h, px)
   }
 
   // --------------------------------------------------------------- JPEG

@@ -108,6 +108,63 @@ object SamplingPackQueries {
       FROM documents""")),
 
 
+    // TIFF raster decode (round-11 ImageDecodeExpr surface): evens a
+    // little-endian uncompressed 2x2 RGB TIFF (9-entry IFD, the
+    // BitsPerSample triple stored OUT-of-line — count*size > 4 — so the
+    // offset-vs-inline rule is exercised), odds a big-endian PACKBITS
+    // gray 2x2 (one literal run). Pixels carry the q_image_decode v()
+    // arithmetic; the oracle replays them.
+    QueryDef("q_tiff_decode", (s, dir) => {
+      def hx(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def v(i: Int, c: Int) = pmod(col("doc_id") * 7 + i * 13 + c * 29,
+        lit(256)).cast("int")
+      def rgb(i: Int) = concat(hx(v(i, 0)), hx(v(i, 1)), hx(v(i, 2)))
+      val tiffRgb = concat(
+        lit("49492A00" + "08000000" + "0900" +
+          "00010300" + "01000000" + "02000000" +
+          "01010300" + "01000000" + "02000000" +
+          "02010300" + "03000000" + "7A000000" + // bps -> offset 122
+          "03010300" + "01000000" + "01000000" +
+          "06010300" + "01000000" + "02000000" +
+          "11010400" + "01000000" + "80000000" + // strip at 128
+          "15010300" + "01000000" + "03000000" +
+          "16010300" + "01000000" + "02000000" +
+          "17010400" + "01000000" + "0C000000" +
+          "00000000" + "080008000800"),
+        rgb(0), rgb(1), rgb(2), rgb(3))
+      val tiffGray = concat(
+        lit("4D4D002A" + "00000008" + "0009" +
+          "01000003" + "00000001" + "00020000" +
+          "01010003" + "00000001" + "00020000" +
+          "01020003" + "00000001" + "00080000" +
+          "01030003" + "00000001" + "80050000" + // PackBits
+          "01060003" + "00000001" + "00010000" +
+          "01110004" + "00000001" + "0000007A" + // strip at 122
+          "01150003" + "00000001" + "00010000" +
+          "01160003" + "00000001" + "00020000" +
+          "01170004" + "00000001" + "00000005" +
+          "00000000" + "03"), // literal run of 4
+        hx(v(0, 0)), hx(v(1, 0)), hx(v(2, 0)), hx(v(3, 0)))
+      val payload = unhex(
+        when(col("doc_id") % 2 === 0, tiffRgb).otherwise(tiffGray))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.decodeImage(payload).as("d"))
+        .select(col("doc_id"), col("d.format").as("format"),
+          col("d.width").as("width"), col("d.height").as("height"),
+          element_at(col("d.pixels"), 1).as("p0"),
+          element_at(col("d.pixels"), 4).as("p3"))
+    }, Some("""
+      SELECT doc_id, 'tiff' AS format, 2 AS width, 2 AS height,
+        """ + Seq(0, 3).map(i =>
+          s"""CAST(CASE WHEN doc_id % 2 = 0 THEN
+              (doc_id*7 + $i*13) % 256 * 65536
+              + (doc_id*7 + $i*13 + 29) % 256 * 256
+              + (doc_id*7 + $i*13 + 58) % 256
+            ELSE (doc_id*7 + $i*13) % 256 * 65793 END
+            - 16777216 AS INTEGER) AS p${if (i == 0) 0 else 3}""")
+          .mkString(",\n        ") + """
+      FROM documents""")),
+
     // WebP + TIFF metadata (round-11 ImageMetaExpr surfaces): all three
     // public WebP first-chunk layouts — lossy VP8 (sync 9D012A + 14-bit
     // dims), lossless VP8L (0x2F + LSB-packed w-1/h-1), extended VP8X

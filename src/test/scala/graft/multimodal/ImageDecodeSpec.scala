@@ -129,6 +129,43 @@ class ImageDecodeSpec extends SparkSpec {
     assert(px2 == argb(pal))
   }
 
+  test("tiff: uncompressed and PackBits round-trip against the JDK codec") {
+    def encodeTiff(img: BufferedImage, compression: String): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+      val ios = ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      if (compression != null) {
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionType(compression)
+      }
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      writer.dispose(); ios.close()
+      out.toByteArray
+    }
+    // RGB uncompressed + PackBits, odd dims (multi-strip territory)
+    for (comp <- Seq(null, "PackBits")) {
+      val img = testImage(21, 17, BufferedImage.TYPE_3BYTE_BGR)
+      val (f, w, h, px) = decode(encodeTiff(img, comp))
+      assert((f, w, h) == ("tiff", 21, 17), s"compression=$comp")
+      assert(px == argb(img), s"tiff rgb compression=$comp")
+    }
+    // gray (photometric BlackIsZero) — compare raw raster samples
+    val gray = testImage(11, 9, BufferedImage.TYPE_BYTE_GRAY)
+    val (fg, _, _, pxg) = decode(encodeTiff(gray, "PackBits"))
+    assert(fg == "tiff")
+    val want = for (y <- 0 until 9; x <- 0 until 11) yield {
+      val g = gray.getRaster.getSample(x, y, 0)
+      0xff000000 | (g << 16) | (g << 8) | g
+    }
+    assert(pxg == want)
+    // LZW-compressed -> unknown (documented unsupported), never a throw
+    val lzwTiff = encodeTiff(testImage(8, 8, BufferedImage.TYPE_3BYTE_BGR),
+      "LZW")
+    assert(decode(lzwTiff)._1 == "unknown")
+  }
+
   test("png gray decodes to replicated-channel ARGB") {
     val img = testImage(12, 8, BufferedImage.TYPE_BYTE_GRAY)
     val (f, w, h, px) = decode(encodeJdk(img, "png"))
