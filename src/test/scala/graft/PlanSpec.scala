@@ -14,7 +14,12 @@ class PlanSpec extends SparkSpec {
 
   test("decode/meta queries are single-scan zero-shuffle projections") {
     Seq("q_image_decode", "q_image_resize", "q_audio_decode",
-      "q_video_meta", "q_image_meta", "q_media_quality").foreach { q =>
+      "q_video_meta", "q_image_meta", "q_media_quality",
+      // round-11 decode family: JPEG, PNG-advanced, EXIF, wide PCM,
+      // GIF/MJPEG frame sampling, audio/image metadata, TIFF
+      "q_jpeg_decode", "q_png_advanced", "q_exif_orientation",
+      "q_audio_decode_wide", "q_gif_frames", "q_video_frames",
+      "q_audio_meta", "q_image_meta_ext", "q_tiff_decode").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"),
         s"$q must be a pure map-side projection, got:\n$p")
