@@ -96,11 +96,28 @@ object JpegDecode {
     val valptr = new Array[Int](17)
     val values: Array[Int] = vals
     val counts: Array[Int] = bits
+    // 8-bit lookahead table (the jdhuff.c HUFF_LOOKAHEAD discipline):
+    // lut(v) = (codeLength << 8) | symbol for every 8-bit prefix whose
+    // top bits are a code of length <= 8; 0 = fall back to the
+    // length-by-length walk. Purely a fast path — decode is identical.
+    val lut = new Array[Int](256)
     locally { // canonical code assignment (Annex F.2.2.3 / jdhuff.c)
       var code = 0; var k = 0; var l = 1
       while (l <= 16) {
         valptr(l) = k
         mincode(l) = code
+        var j = 0
+        while (j < bits(l)) {
+          if (l <= 8) {
+            val base = (code + j) << (8 - l)
+            var fill = 0
+            while (fill < (1 << (8 - l))) {
+              lut(base | fill) = (l << 8) | vals(k + j)
+              fill += 1
+            }
+          }
+          j += 1
+        }
         code += bits(l); k += bits(l)
         maxcode(l) = code - 1
         code <<= 1
@@ -761,6 +778,13 @@ object JpegDecode {
   }
 
   private def decodeHuff(r: BitReader, t: Huff): Int = {
+    // fast path: 8-bit lookahead (identical decode, one table probe)
+    val e = t.lut(r.peek8())
+    if (e != 0 && (e >> 8) <= r.avail) {
+      r.consume(e >> 8)
+      return e & 0xff
+    }
+    // slow path: codes longer than 8 bits (or stream tail)
     var code = r.nextBit()
     if (code < 0) return -1
     var l = 1
@@ -893,47 +917,74 @@ object JpegDecode {
     }
   }
 
-  /** MSB-first bit reader over entropy-coded data: FF00 unstuffing;
-    * any other marker ends the readable stream (a read past it fails,
-    * which fails the decode — truncation policy). */
+  /** MSB-first BUFFERED bit reader over entropy-coded data: FF00
+    * unstuffing; any other marker ends the readable stream (a read
+    * past it fails, which fails the decode — truncation policy). The
+    * buffer holds the valid bits in its LOW `bitCnt` positions (oldest
+    * at bitCnt-1); fill never consumes past a marker, so byte-aligned
+    * restarts see `pos` sitting exactly on the RSTn. */
   private final class BitReader(b: Array[Byte], var pos: Int) {
-    private var bitBuf = 0
+    private var bitBuf = 0L
     private var bitCnt = 0
+    private var hitMarker = false
+
+    private def fill(): Unit = {
+      while (bitCnt <= 24 && !hitMarker) {
+        if (pos >= b.length) hitMarker = true
+        else {
+          val v = b(pos) & 0xff
+          if (v == 0xff) {
+            if (pos + 1 >= b.length) hitMarker = true
+            else if ((b(pos + 1) & 0xff) == 0) { // stuffed FF
+              pos += 2
+              bitBuf = (bitBuf << 8) | v
+              bitCnt += 8
+            } else hitMarker = true // a real marker: stop at it
+          } else {
+            pos += 1
+            bitBuf = (bitBuf << 8) | v
+            bitCnt += 8
+          }
+        }
+      }
+    }
 
     def nextBit(): Int = {
       if (bitCnt == 0) {
-        if (pos >= b.length) return -1
-        var v = b(pos) & 0xff
-        pos += 1
-        if (v == 0xff) {
-          if (pos >= b.length) return -1
-          val m = b(pos) & 0xff
-          if (m == 0) pos += 1 // stuffed FF
-          else { pos -= 1; return -1 } // a real marker: stop
-        }
-        bitBuf = v
-        bitCnt = 8
+        fill()
+        if (bitCnt == 0) return -1
       }
       bitCnt -= 1
-      (bitBuf >> bitCnt) & 1
+      ((bitBuf >>> bitCnt) & 1L).toInt
     }
 
-    /** RECEIVE: n bits MSB-first; negative on underrun. */
+    /** Next 8 bits without consuming, zero-padded past the stream end
+      * (padding can only produce a LUT hit longer than what is
+      * available — the caller checks `avail` before consuming). */
+    def peek8(): Int = {
+      if (bitCnt < 8) fill()
+      if (bitCnt >= 8) ((bitBuf >>> (bitCnt - 8)) & 0xffL).toInt
+      else ((bitBuf << (8 - bitCnt)) & 0xffL).toInt
+    }
+
+    def avail: Int = bitCnt
+
+    def consume(n: Int): Unit = bitCnt -= n
+
+    /** RECEIVE: n bits MSB-first (n <= 16); negative on underrun. */
     def receive(n: Int): Int = {
-      var v = 0
-      var k = 0
-      while (k < n) {
-        val bit = nextBit()
-        if (bit < 0) return -1
-        v = (v << 1) | bit
-        k += 1
+      if (bitCnt < n) {
+        fill()
+        if (bitCnt < n) return -1
       }
-      v
+      bitCnt -= n
+      ((bitBuf >>> bitCnt) & ((1L << n) - 1)).toInt
     }
 
     /** Byte-align and consume the expected RSTn marker. */
     def restart(n: Int): Boolean = {
-      bitCnt = 0
+      bitCnt = 0 // discard padding bits buffered before the marker
+      hitMarker = false
       if (pos + 2 > b.length) return false
       if ((b(pos) & 0xff) != 0xff || (b(pos + 1) & 0xff) != (0xd0 | n))
         return false
