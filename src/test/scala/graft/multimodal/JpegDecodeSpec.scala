@@ -107,6 +107,28 @@ class JpegDecodeSpec extends SparkSpec {
     }
   }
 
+  test("property: 25 random rasters/sizes/qualities match the JDK bit-exactly") {
+    // deterministic seed: sequential + progressive, gray + color,
+    // random dims incl. 1-pixel edges and partial MCUs
+    val rnd = new scala.util.Random(0x4A504547L)
+    for (trial <- 0 until 25) {
+      val w = 1 + rnd.nextInt(48)
+      val h = 1 + rnd.nextInt(40)
+      val gray = rnd.nextBoolean()
+      val prog = rnd.nextBoolean()
+      val q = 0.3f + rnd.nextFloat() * 0.65f
+      val img = new BufferedImage(w, h,
+        if (gray) BufferedImage.TYPE_BYTE_GRAY
+        else BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, 0xff000000 | rnd.nextInt(0x1000000))
+      val payload = encode(img, q, progressive = prog)
+      val (worst, where) = vsJdk(payload)
+      assert(worst == 0,
+        s"trial $trial ${w}x$h gray=$gray prog=$prog q=$q: diff $worst at $where")
+    }
+  }
+
   test("progressive JPEG (SOF2) matches the JDK decoder bit-exactly") {
     // the JDK encoder's progressive mode emits real spectral-selection
     // + successive-approximation scan scripts (DC first/refine, AC
