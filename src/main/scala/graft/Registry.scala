@@ -27,6 +27,8 @@ object Registry {
     TpchQueries.defs ++
     TpcdsQueries.defs ++
     TpcdsQueries2.defs ++
+    TpcdsTwinQueries.defs ++
+    TpcdsTwinQueries2.defs ++
     BpeQueries.defs ++
     GraphQueries.defs ++
     AnalyticsQueries.defs ++

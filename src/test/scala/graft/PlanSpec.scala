@@ -290,6 +290,48 @@ class PlanSpec extends SparkSpec {
       "chosen/rejected must come from max/min(struct), not rank windows")
   }
 
+  test("tpcds twins: q80/q27 roll up over partials from one fact scan") {
+    // q80 (s5/s77 twin): lineitem + orders + part each scanned once,
+    // sales/returns/tax from conditional measures, never a union of
+    // three channel passes
+    val p80 = plan("q_tpcds_q80")
+    assert("Scan parquet".r.findAllIn(p80).size == 3, p80)
+    assert(!p80.contains("Union"), "q80 must not union channel passes")
+    // q27 (s7+s22 twin): the four-average rollup's Expand must consume
+    // the (nation, brand) partial aggregate, not raw fact rows — a
+    // HashAggregate must sit BELOW the Expand in the plan
+    val p27 = plan("q_tpcds_q27")
+    assert("Scan parquet".r.findAllIn(p27).size == 5, p27)
+    val expandIdx = p27.indexOf("Expand")
+    assert(expandIdx >= 0 &&
+      p27.indexOf("HashAggregate", expandIdx) > expandIdx,
+      "q27: Expand must sit above the fine-grain aggregate")
+  }
+
+  test("tpcds twins: every share/deviation/rank window is partitioned") {
+    // q12/q20 (s98 twins): class-share windows partition by p_type;
+    // q53/q63 (s89 twins): deviation windows partition by the report
+    // grain; q86 (s70 twin): rank-within-parent partitions by the
+    // hierarchy — none may plan a data-sized global window
+    Seq("q_tpcds_q12", "q_tpcds_q20", "q_tpcds_q53", "q_tpcds_q63",
+      "q_tpcds_q86").foreach { q =>
+      val wins = windowExecs(q)
+      assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+        s"$q: unpartitioned window\n" + wins.mkString("\n"))
+    }
+  }
+
+  test("tpcds twins: q68/q79 aggregate the ticket BEFORE the dimension joins") {
+    // the per-order aggregate must sit below the orders/customer joins
+    // (partial-agg shrinks the shuffle; the count band prunes pre-join)
+    Seq("q_tpcds_q68", "q_tpcds_q79").foreach { q =>
+      val p = plan(q)
+      val joinIdx = p.indexOf("Join")
+      assert(joinIdx >= 0 && p.indexOf("HashAggregate", joinIdx) > joinIdx,
+        s"$q: ticket aggregate must run below the dimension joins")
+    }
+  }
+
   test("q_tpcds_s2: day pivot is ONE orders scan; week self-join broadcasts") {
     val p = plan("q_tpcds_s2")
     // the weekly pivot must come from one conditional-aggregation scan
