@@ -16,13 +16,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * Supported: RIFF/WAVE with an fmt chunk of audio format 1 (integer
   * PCM) at 8, 16, 24 or 32 bits per sample, any channel count /
   * sample rate (float WAVs — format 3 — stay unsupported: their
-  * int mapping has no canonical rounding, unlike integer PCM).
+  * int mapping has no canonical rounding, unlike integer PCM), plus
+  * the two G.711 companded telephony codecs: format 6 (A-law) and
+  * format 7 (mu-law), both 8 bits stored. G.711 expansion is a pure
+  * integer table map (ITU-T G.711 / the public-domain g711.c
+  * reference: sign + 3-bit segment + 4-bit quantization), so the
+  * decode is bit-deterministic like integer PCM — samples expand to
+  * the canonical 16-bit linear values.
   * Output: struct<format, channels, sample_rate, bits, n_samples,
   * samples array<int>> — samples are interleaved frames in channel
   * order (the canonical layout); 8-bit WAV (unsigned, biased 128)
   * normalizes to signed [-128, 127]; 16/24/32-bit are signed
-  * little-endian two's complement at full width.
-  * `n_samples` counts frames per channel.
+  * little-endian two's complement at full width; formats "wav-ulaw" /
+  * "wav-alaw" report bits = 8 (the stored width) with 16-bit linear
+  * sample values. `n_samples` counts frames per channel.
   *
   * Scale discipline (same policy as the image decode):
   *  - malformed / truncated / non-PCM (float, ADPCM, extensible) →
@@ -86,8 +93,10 @@ case class AudioDecodeExpr(child: Expression)
       }
       i += 8 + len + (len & 1) // chunks are word-aligned
     }
-    if (fmtCode != 1 || channels <= 0 || rate <= 0 ||
-        (bits != 8 && bits != 16 && bits != 24 && bits != 32) ||
+    val g711 = fmtCode == 6 || fmtCode == 7
+    if ((fmtCode != 1 && !g711) || channels <= 0 || rate <= 0 ||
+        (g711 && bits != 8) ||
+        (!g711 && bits != 8 && bits != 16 && bits != 24 && bits != 32) ||
         dataOff < 0) return unknown
     val bytesPer = bits / 8
     val total = dataLen / bytesPer // interleaved sample count
@@ -97,20 +106,52 @@ case class AudioDecodeExpr(child: Expression)
     var s = 0
     while (s < total) {
       val o = dataOff + s * bytesPer
-      out(s) = bits match {
-        case 8 => (b(o) & 0xff) - 128 // unsigned + bias
-        case 16 => le16(b, o).toShort.toInt // signed LE
-        case 24 => // signed LE 3 bytes: shift-extend the sign
-          (((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
-            ((b(o + 2) & 0xff) << 16)) << 8) >> 8
-        case _ => le32(b, o) // signed LE int32
-      }
+      out(s) =
+        if (fmtCode == 7) AudioDecodeExpr.ulaw2linear(b(o) & 0xff)
+        else if (fmtCode == 6) AudioDecodeExpr.alaw2linear(b(o) & 0xff)
+        else bits match {
+          case 8 => (b(o) & 0xff) - 128 // unsigned + bias
+          case 16 => le16(b, o).toShort.toInt // signed LE
+          case 24 => // signed LE 3 bytes: shift-extend the sign
+            (((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+              ((b(o + 2) & 0xff) << 16)) << 8) >> 8
+          case _ => le32(b, o) // signed LE int32
+        }
       s += 1
     }
-    InternalRow(UTF8String.fromString("wav"), channels, rate, bits,
+    val fmt = fmtCode match {
+      case 7 => "wav-ulaw"
+      case 6 => "wav-alaw"
+      case _ => "wav"
+    }
+    InternalRow(UTF8String.fromString(fmt), channels, rate, bits,
       total / channels, new GenericArrayData(out))
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+object AudioDecodeExpr {
+  /** ITU-T G.711 mu-law expansion (the public-domain g711.c reference:
+    * complement, rebuild mantissa+bias, shift by the 3-bit segment,
+    * un-bias with the sign). Pure integer — identical on any engine. */
+  def ulaw2linear(code: Int): Int = {
+    val u = ~code & 0xff
+    var t = ((u & 0x0f) << 3) + 0x84
+    t <<= (u & 0x70) >>> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law expansion (g711.c: XOR 0x55, then the segment
+    * piecewise linear map; sign bit SET means positive). */
+  def alaw2linear(code: Int): Int = {
+    val a = code ^ 0x55
+    var t = (a & 0x0f) << 4
+    val seg = (a & 0x70) >>> 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else { t += 0x108; t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
 }

@@ -498,6 +498,61 @@ object SamplingPackQueries {
         CAST(CASE WHEN u1 >= half THEN u1 - 2*half ELSE u1 END AS INT) AS s1
       FROM u""")),
 
+    // G.711 companded audio decode (round-11 AudioDecodeExpr surfaces):
+    // per doc a mono mu-law WAV (fmt code 7, codes c(i) = (doc_id*7 +
+    // i*31) % 256) and a mono A-law WAV (fmt code 6, codes (doc_id*13 +
+    // i*29) % 256) are synthesized with pure builtins and expanded to
+    // 16-bit linear via the ITU-T G.711 piecewise map (sign + 3-bit
+    // segment + 4-bit quantization — the public-domain g711.c
+    // reference, bit-identical to the JDK codec per AudioDecodeSpec).
+    // The oracle replays the integer formula per code.
+    QueryDef("q_audio_g711", (s, dir) => {
+      def hx2(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def uc(i: Int) = pmod(col("doc_id") * 7 + i * 31, lit(256)).cast("int")
+      def ac(i: Int) = pmod(col("doc_id") * 13 + i * 29, lit(256)).cast("int")
+      def wavHex(fmtLe: String, c0: org.apache.spark.sql.Column,
+          c1: org.apache.spark.sql.Column, c2: org.apache.spark.sql.Column,
+          c3: org.apache.spark.sql.Column) = concat(
+        lit("52494646" + "28000000" + "57415645" +
+          "666D7420" + "10000000" + fmtLe + "0100" +
+          "401F0000" + "401F0000" + "0100" + "0800" +
+          "64617461" + "04000000"),
+        hx2(c0), hx2(c1), hx2(c2), hx2(c3))
+      val ulaw = Multimodal.decodeAudio(
+        unhex(wavHex("0700", uc(0), uc(1), uc(2), uc(3))))
+      val alaw = Multimodal.decodeAudio(
+        unhex(wavHex("0600", ac(0), ac(1), ac(2), ac(3))))
+      t(s, dir, "documents")
+        .select(col("doc_id"), ulaw.as("u"), alaw.as("a"))
+        .select(col("doc_id"),
+          col("u.format").as("u_format"), col("a.format").as("a_format"),
+          concat_ws(",", col("u.samples").cast("array<string>"))
+            .as("u_samples"),
+          concat_ws(",", col("a.samples").cast("array<string>"))
+            .as("a_samples"))
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id, i,
+          255 - (doc_id*7 + i*31) % 256 AS u,
+          xor((doc_id*13 + i*29) % 256, 85) AS a
+        FROM documents CROSS JOIN generate_series(0, 3) AS t(i)),
+      v AS (
+        SELECT doc_id, i,
+          CASE WHEN u >= 128
+            THEN 132 - ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))
+            ELSE ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+          END AS us,
+          (CASE WHEN a >= 128 THEN 1 ELSE -1 END) *
+            (CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+                  WHEN (a // 16) % 8 = 1 THEN (a % 16) * 16 + 264
+                  ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1))
+             END) AS asamp
+        FROM g)
+      SELECT doc_id, 'wav-ulaw' AS u_format, 'wav-alaw' AS a_format,
+        STRING_AGG(CAST(us AS VARCHAR), ',' ORDER BY i) AS u_samples,
+        STRING_AGG(CAST(asamp AS VARCHAR), ',' ORDER BY i) AS a_samples
+      FROM v GROUP BY doc_id""")),
+
     // EXIF orientation (ExifOrientationExpr): per doc a JPEG APP1
     // segment with a real TIFF 6.0 IFD0 carrying tag 0x0112 is
     // synthesized from doc_id — little-endian (II) for doc_id%3==0,

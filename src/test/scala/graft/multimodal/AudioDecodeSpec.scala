@@ -108,6 +108,39 @@ class AudioDecodeSpec extends SparkSpec {
     assert(got == Seq(-128, 0, 127, 72))
   }
 
+  private def g711ToPcmJdk(codes: Array[Byte],
+      enc: AudioFormat.Encoding): Seq[Int] = {
+    val src = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(codes), src, codes.length)
+    val dst = new AudioFormat(8000f, 16, 1, true, false) // signed LE
+    val pcm = AudioSystem.getAudioInputStream(dst, ais)
+    val out = pcm.readAllBytes()
+    Seq.tabulate(out.length / 2)(i =>
+      ((out(2 * i) & 0xff) | (out(2 * i + 1) << 8)).toShort.toInt)
+  }
+
+  test("G.711 mu-law: all 256 codes expand exactly like the JDK codec") {
+    val codes = Array.tabulate[Byte](256)(_.toByte)
+    val jdk = g711ToPcmJdk(codes, AudioFormat.Encoding.ULAW)
+    val (f, ch, rate, bits, n, got) = decode(wav(7, 1, 8000, 8, codes))
+    assert((f, ch, rate, bits, n) == ("wav-ulaw", 1, 8000, 8, 256))
+    assert(got == jdk)
+  }
+
+  test("G.711 A-law: all 256 codes expand exactly like the JDK codec") {
+    val codes = Array.tabulate[Byte](256)(_.toByte)
+    val jdk = g711ToPcmJdk(codes, AudioFormat.Encoding.ALAW)
+    val (f, ch, rate, bits, n, got) = decode(wav(6, 1, 8000, 8, codes))
+    assert((f, ch, rate, bits, n) == ("wav-alaw", 1, 8000, 8, 256))
+    assert(got == jdk)
+  }
+
+  test("G.711 at a non-8 stored width is unknown (spec requires 8-bit codes)") {
+    assert(decode(wav(7, 1, 8000, 16, new Array[Byte](8)))._1 == "unknown")
+    assert(decode(wav(6, 1, 8000, 16, new Array[Byte](8)))._1 == "unknown")
+  }
+
   test("corpus-safety: float PCM, truncated data, ragged frames, bombs are unknown") {
     // IEEE float (format 3) is not integer PCM
     assert(decode(wav(3, 1, 8000, 16, new Array[Byte](8)))._1 == "unknown")
