@@ -22,18 +22,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * integer table map (ITU-T G.711 / the public-domain g711.c
   * reference: sign + 3-bit segment + 4-bit quantization), so the
   * decode is bit-deterministic like integer PCM — samples expand to
-  * the canonical 16-bit linear values.
+  * the canonical 16-bit linear values. Format 17 (IMA/DVI ADPCM, the
+  * common compressed WAV codec) is decoded via the IMA 1992 integer
+  * recursion — again float-free, so corpus decode stays oracle-exact.
   * Output: struct<format, channels, sample_rate, bits, n_samples,
   * samples array<int>> — samples are interleaved frames in channel
   * order (the canonical layout); 8-bit WAV (unsigned, biased 128)
   * normalizes to signed [-128, 127]; 16/24/32-bit are signed
   * little-endian two's complement at full width; formats "wav-ulaw" /
-  * "wav-alaw" report bits = 8 (the stored width) with 16-bit linear
-  * sample values. `n_samples` counts frames per channel.
+  * "wav-alaw" report bits = 8 and "wav-ima" bits = 4 (the stored
+  * widths) with 16-bit linear sample values. `n_samples` counts
+  * frames per channel.
   *
   * Scale discipline (same policy as the image decode):
-  *  - malformed / truncated / non-PCM (float, ADPCM, extensible) →
-  *    ("unknown", -1, -1, -1, -1, NULL), never a thrown error;
+  *  - malformed / truncated / unsupported codecs (float, MS-ADPCM,
+  *    extensible) → ("unknown", -1, -1, -1, -1, NULL), never thrown;
   *  - declared sample count capped at 2^26 ints before allocation;
   *  - chunk walk skips unknown chunks (LIST/INFO/fact/cue) like any
   *    real parser; a data chunk longer than the payload is truncated
@@ -76,6 +79,7 @@ case class AudioDecodeExpr(child: Expression)
         b(11) != 'E') return unknown
     var i = 12
     var channels = -1; var rate = -1; var bits = -1; var fmtCode = -1
+    var blockAlign = -1
     var dataOff = -1; var dataLen = -1
     while (i + 8 <= b.length && (dataOff < 0 || channels < 0)) {
       val id = new String(b, i, 4, "US-ASCII")
@@ -87,12 +91,16 @@ case class AudioDecodeExpr(child: Expression)
           fmtCode = le16(b, i + 8)
           channels = le16(b, i + 10)
           rate = le32(b, i + 12)
+          blockAlign = le16(b, i + 20)
           bits = le16(b, i + 22)
         case "data" => dataOff = i + 8; dataLen = len
         case _ => () // LIST / fact / cue / bext ... skipped
       }
       i += 8 + len + (len & 1) // chunks are word-aligned
     }
+    if (fmtCode == 17) // IMA/DVI ADPCM: block-structured 4-bit codes
+      return decodeImaAdpcm(b, dataOff, dataLen, channels, rate,
+        bits, blockAlign)
     val g711 = fmtCode == 6 || fmtCode == 7
     if ((fmtCode != 1 && !g711) || channels <= 0 || rate <= 0 ||
         (g711 && bits != 8) ||
@@ -128,6 +136,72 @@ case class AudioDecodeExpr(child: Expression)
       total / channels, new GenericArrayData(out))
   }
 
+  /** IMA/DVI ADPCM (RIFF fmt code 17): per block a 4-byte header per
+    * channel (int16 LE initial predictor = sample 0, uint8 step index,
+    * reserved), then 4-byte code words alternating across channels
+    * (8 nibbles each, low nibble first). The nibble update is the IMA
+    * 1992 integer recursion (step>>3 cascade, clamp to int16, index
+    * table) — bit-deterministic, no floats anywhere. Strict corpus
+    * policy: a trailing partial block, a block align not filling whole
+    * words per channel, or an out-of-range step index → unknown. */
+  private def decodeImaAdpcm(b: Array[Byte], dataOff: Int, dataLen: Int,
+      channels: Int, rate: Int, bits: Int, blockAlign: Int): InternalRow = {
+    import AudioDecodeExpr.{ImaStep, ImaIndex}
+    if (channels <= 0 || rate <= 0 || bits != 4 || dataOff < 0 ||
+        blockAlign < 4 * channels ||
+        (blockAlign - 4 * channels) % (4 * channels) != 0 ||
+        dataLen % blockAlign != 0) return unknown
+    val nBlocks = dataLen / blockAlign
+    // frames per block: header sample + 2 per code byte per channel
+    val spb = 1 + (blockAlign - 4 * channels) / channels * 2
+    val total = nBlocks.toLong * spb * channels
+    if (total > MaxPixels) return unknown // allocation bomb
+    val out = new Array[Int](total.toInt)
+    val pred = new Array[Int](channels)
+    val idx = new Array[Int](channels)
+    var blk = 0
+    while (blk < nBlocks) {
+      val bo = dataOff + blk * blockAlign
+      var c = 0
+      while (c < channels) {
+        pred(c) = le16(b, bo + 4 * c).toShort.toInt
+        idx(c) = b(bo + 4 * c + 2) & 0xff
+        if (idx(c) > 88) return unknown
+        out(blk * spb * channels + c) = pred(c)
+        c += 1
+      }
+      val words = (blockAlign - 4 * channels) / 4
+      var w = 0
+      while (w < words) {
+        val ch = w % channels
+        val g = w / channels
+        val base = bo + 4 * channels + 4 * w
+        var k = 0
+        while (k < 8) {
+          val by = b(base + (k >> 1)) & 0xff
+          val n = if ((k & 1) == 0) by & 0xf else by >>> 4
+          val step = ImaStep(idx(ch))
+          var diff = step >> 3
+          if ((n & 1) != 0) diff += step >> 2
+          if ((n & 2) != 0) diff += step >> 1
+          if ((n & 4) != 0) diff += step
+          var p = if ((n & 8) != 0) pred(ch) - diff else pred(ch) + diff
+          if (p > 32767) p = 32767 else if (p < -32768) p = -32768
+          pred(ch) = p
+          var ni = idx(ch) + ImaIndex(n)
+          if (ni < 0) ni = 0 else if (ni > 88) ni = 88
+          idx(ch) = ni
+          out((blk * spb + 1 + g * 8 + k) * channels + ch) = p
+          k += 1
+        }
+        w += 1
+      }
+      blk += 1
+    }
+    InternalRow(UTF8String.fromString("wav-ima"), channels, rate, bits,
+      nBlocks * spb, new GenericArrayData(out))
+  }
+
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -142,6 +216,23 @@ object AudioDecodeExpr {
     t <<= (u & 0x70) >>> 4
     if ((u & 0x80) != 0) 0x84 - t else t - 0x84
   }
+
+  /** IMA ADPCM step-size table (IMA Digital Audio Pocket Compendium,
+    * 1992 — 89 entries, the canonical integer table). */
+  val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  /** IMA ADPCM index-adjust table (per 4-bit code). */
+  val ImaIndex: Array[Int] = Array(
+    -1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
 
   /** ITU-T G.711 A-law expansion (g711.c: XOR 0x55, then the segment
     * piecewise linear map; sign bit SET means positive). */

@@ -553,6 +553,79 @@ object SamplingPackQueries {
         STRING_AGG(CAST(asamp AS VARCHAR), ',' ORDER BY i) AS a_samples
       FROM v GROUP BY doc_id""")),
 
+    // IMA ADPCM decode (round-11 AudioDecodeExpr surfaces): per doc a
+    // mono single-block IMA WAV (fmt code 17, block align 8 = 4-byte
+    // header + 8 nibbles) is synthesized from doc_id — initial
+    // predictor (doc_id*31) % 2^16 as int16, initial step index
+    // doc_id % 89, nibbles n(k) = (doc_id*3 + k*5) % 16 — and decoded
+    // through the IMA 1992 integer recursion (proven bit-exact against
+    // a hand-derived vector and a reference encoder in
+    // AudioDecodeSpec). The oracle replays the 8-step recursion as a
+    // chained-CTE state machine over the literal step/index tables.
+    QueryDef("q_audio_ima", (s, dir) => {
+      def hx2(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def le16h(c: org.apache.spark.sql.Column) = {
+        val hh = lpad(hex(c), 4, "0")
+        concat(substring(hh, 3, 2), substring(hh, 1, 2))
+      }
+      val p0 = pmod(col("doc_id") * 31, lit(65536)).cast("int")
+      val i0 = pmod(col("doc_id"), lit(89)).cast("int")
+      def nib(k: Int) = pmod(col("doc_id") * 3 + k * 5, lit(16)).cast("int")
+      def codeByte(j: Int) = hx2(nib(2 * j) + nib(2 * j + 1) * 16)
+      val wavHex = concat(
+        lit("52494646" + "30000000" + "57415645" +
+          "666D7420" + "14000000" + "1100" + "0100" +
+          "401F0000" + "C71B0000" + "0800" + "0400" + "0200" + "0900" +
+          "64617461" + "08000000"),
+        le16h(p0), hx2(i0), lit("00"),
+        codeByte(0), codeByte(1), codeByte(2), codeByte(3))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.decodeAudio(unhex(wavHex)).as("a"))
+        .select(col("doc_id"), col("a.format").as("format"),
+          col("a.n_samples").as("n_samples"),
+          concat_ws(",", col("a.samples").cast("array<string>"))
+            .as("samples"))
+    }, Some {
+      val stepTab = "[" + graft.multimodal.AudioDecodeExpr.ImaStep
+        .mkString(",") + "]"
+      val idxTab = "[" + graft.multimodal.AudioDecodeExpr.ImaIndex
+        .mkString(",") + "]"
+      val init = """
+      s0 AS (
+        SELECT doc_id,
+          (doc_id*31) % 65536 - CASE WHEN (doc_id*31) % 65536 >= 32768
+            THEN 65536 ELSE 0 END AS p,
+          doc_id % 89 AS ix,
+          CAST((doc_id*31) % 65536 - CASE WHEN (doc_id*31) % 65536 >= 32768
+            THEN 65536 ELSE 0 END AS VARCHAR) AS acc
+        FROM documents)"""
+      val steps = (1 to 8).map { k =>
+        s"""
+      s$k AS (
+        SELECT doc_id,
+          LEAST(32767, GREATEST(-32768,
+            p + CASE WHEN nk >= 8 THEN -d ELSE d END)) AS p,
+          LEAST(88, GREATEST(0, ix + list_extract($idxTab, nk + 1))) AS ix,
+          acc || ',' || CAST(LEAST(32767, GREATEST(-32768,
+            p + CASE WHEN nk >= 8 THEN -d ELSE d END)) AS VARCHAR) AS acc
+        FROM (
+          SELECT doc_id, p, ix, acc, nk,
+            st // 8 + CASE WHEN nk % 2 = 1 THEN st // 4 ELSE 0 END
+                    + CASE WHEN (nk // 2) % 2 = 1 THEN st // 2 ELSE 0 END
+                    + CASE WHEN (nk // 4) % 2 = 1 THEN st ELSE 0 END AS d
+          FROM (
+            SELECT doc_id, p, ix, acc,
+              (doc_id*3 + ${k - 1}*5) % 16 AS nk,
+              list_extract($stepTab, ix + 1) AS st
+            FROM s${k - 1})))"""
+      }.mkString(",")
+      s"""
+      WITH$init,$steps
+      SELECT doc_id, 'wav-ima' AS format, 9 AS n_samples, acc AS samples
+      FROM s8"""
+    }),
+
     // EXIF orientation (ExifOrientationExpr): per doc a JPEG APP1
     // segment with a real TIFF 6.0 IFD0 carrying tag 0x0112 is
     // synthesized from doc_id — little-endian (II) for doc_id%3==0,

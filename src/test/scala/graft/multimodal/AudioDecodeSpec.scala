@@ -141,6 +141,129 @@ class AudioDecodeSpec extends SparkSpec {
     assert(decode(wav(6, 1, 8000, 16, new Array[Byte](8)))._1 == "unknown")
   }
 
+  // IMA ADPCM reference ENCODER (the standard IMA 1992 forward path:
+  // pick the nibble by successive step comparisons, then advance the
+  // state with the same integer recursion the decoder runs). The
+  // roundtrip invariant is exact: the decoder must reproduce the
+  // encoder's reconstructed predictor sequence bit-for-bit — this is
+  // the independent check (the encoder is forward/quantizing, the
+  // decoder inverse), and it exercises the MS IMA block layout.
+  private def imaEncode(samples: Array[Int], channels: Int,
+      blockAlign: Int): (Array[Byte], Array[Int]) = {
+    val spb = 1 + (blockAlign - 4 * channels) / channels * 2
+    val frames = samples.length / channels
+    require(frames % spb == 0, "test data must fill whole blocks")
+    val nBlocks = frames / spb
+    val bytes = new Array[Byte](nBlocks * blockAlign)
+    val recon = new Array[Int](samples.length)
+    val pred = new Array[Int](channels)
+    val idx = new Array[Int](channels)
+    for (blk <- 0 until nBlocks) {
+      val bo = blk * blockAlign
+      for (c <- 0 until channels) {
+        // header: current predictor snapped to the block's first sample
+        pred(c) = samples((blk * spb) * channels + c)
+        bytes(bo + 4 * c) = (pred(c) & 0xff).toByte
+        bytes(bo + 4 * c + 1) = ((pred(c) >> 8) & 0xff).toByte
+        bytes(bo + 4 * c + 2) = idx(c).toByte
+        recon((blk * spb) * channels + c) = pred(c)
+      }
+      val words = (blockAlign - 4 * channels) / 4
+      for (w <- 0 until words) {
+        val ch = w % channels
+        val g = w / channels
+        for (k <- 0 until 8) {
+          val f = 1 + g * 8 + k
+          val target = samples((blk * spb + f) * channels + ch)
+          val step = AudioDecodeExpr.ImaStep(idx(ch))
+          var delta = target - pred(ch)
+          var n = 0
+          if (delta < 0) { n = 8; delta = -delta }
+          var d = step
+          if (delta >= d) { n |= 4; delta -= d }
+          d >>= 1
+          if (delta >= d) { n |= 2; delta -= d }
+          d >>= 1
+          if (delta >= d) { n |= 1 }
+          // decoder-identical state advance
+          var diff = step >> 3
+          if ((n & 1) != 0) diff += step >> 2
+          if ((n & 2) != 0) diff += step >> 1
+          if ((n & 4) != 0) diff += step
+          var p = if ((n & 8) != 0) pred(ch) - diff else pred(ch) + diff
+          if (p > 32767) p = 32767 else if (p < -32768) p = -32768
+          pred(ch) = p
+          var ni = idx(ch) + AudioDecodeExpr.ImaIndex(n)
+          if (ni < 0) ni = 0 else if (ni > 88) ni = 88
+          idx(ch) = ni
+          recon((blk * spb + f) * channels + ch) = p
+          val bi = bo + 4 * channels + 4 * w + (k >> 1)
+          if ((k & 1) == 0) bytes(bi) = (n & 0xf).toByte
+          else bytes(bi) = (bytes(bi) | (n << 4)).toByte
+        }
+      }
+    }
+    (bytes, recon)
+  }
+
+  private def imaWav(data: Array[Byte], channels: Int, rate: Int,
+      blockAlign: Int): Array[Byte] = {
+    val spb = 1 + (blockAlign - 4 * channels) / channels * 2
+    val fmt = "fmt ".getBytes ++ le32b(20) ++ le16b(17) ++
+      le16b(channels) ++ le32b(rate) ++
+      le32b(rate * blockAlign / spb) ++ le16b(blockAlign) ++
+      le16b(4) ++ le16b(2) ++ le16b(spb)
+    val dataCh = "data".getBytes ++ le32b(data.length) ++ data
+    val body = "WAVE".getBytes ++ fmt ++ dataCh
+    "RIFF".getBytes ++ le32b(body.length) ++ body
+  }
+
+  test("IMA ADPCM: hand-derived mono block decodes exactly") {
+    // p0=0, i0=0, nibbles 7,3,1,15,0,8,12,9 — derived by hand with the
+    // IMA recursion:
+    //   n=7:  step=7,  diff=0+1+3+7=11  -> p=11,  i=8
+    //   n=3:  step=16, diff=2+4+8=14    -> p=25,  i=7
+    //   n=1:  step=14, diff=1+3=4       -> p=29,  i=6
+    //   n=15: step=13, diff=1+3+6+13=23 -> p=6,   i=14
+    //   n=0:  step=28, diff=3           -> p=9,   i=13
+    //   n=8:  step=25, diff=3           -> p=6,   i=12
+    //   n=12: step=23, diff=2+23=25     -> p=-19, i=14
+    //   n=9:  step=28, diff=3+7=10      -> p=-29, i=13
+    val data = Array[Byte](0, 0, 0, 0, // header: pred 0, index 0
+      0x37, 0xF1.toByte, 0x80.toByte, 0x9C.toByte) // low nibble first
+    val (f, ch, rate, bits, n, got) = decode(imaWav(data, 1, 8000, 8))
+    assert((f, ch, rate, bits, n) == ("wav-ima", 1, 8000, 4, 9))
+    assert(got == Seq(0, 11, 25, 29, 6, 9, 6, -19, -29))
+  }
+
+  test("IMA ADPCM: decoder tracks the reference encoder bit-exactly (mono + stereo, multi-block)") {
+    val rnd = new scala.util.Random(20260816)
+    for ((channels, blockAlign, blocks) <- Seq((1, 12, 3), (2, 16, 2),
+        (2, 24, 3), (1, 256, 2))) {
+      val spb = 1 + (blockAlign - 4 * channels) / channels * 2
+      val samples = Array.fill(blocks * spb * channels)(
+        rnd.nextInt(65536) - 32768)
+      val (data, recon) = imaEncode(samples, channels, blockAlign)
+      val (f, ch, rate, bits, n, got) =
+        decode(imaWav(data, channels, 16000, blockAlign))
+      assert((f, ch, rate, bits, n) ==
+        ("wav-ima", channels, 16000, 4, blocks * spb))
+      assert(got == recon.toSeq, s"ch=$channels align=$blockAlign")
+    }
+  }
+
+  test("IMA ADPCM corpus-safety: ragged block, bad index, misaligned words are unknown") {
+    // trailing partial block (data length not a multiple of block align)
+    val (data, _) = imaEncode(new Array[Int](9), 1, 8)
+    assert(decode(imaWav(data ++ Array[Byte](1, 2), 1, 8000, 8))._1
+      == "unknown")
+    // step index beyond 88 in the block header
+    val bad = data.clone(); bad(2) = 90.toByte
+    assert(decode(imaWav(bad, 1, 8000, 8))._1 == "unknown")
+    // block align that does not fill whole 4-byte words per channel
+    assert(decode(imaWav(new Array[Byte](10), 1, 8000, 10))._1 == "unknown")
+  }
+
   test("corpus-safety: float PCM, truncated data, ragged frames, bombs are unknown") {
     // IEEE float (format 3) is not integer PCM
     assert(decode(wav(3, 1, 8000, 16, new Array[Byte](8)))._1 == "unknown")
