@@ -99,8 +99,11 @@ case class ImageDecodeExpr(child: Expression)
   // --------------------------------------------------------------- TIFF
   /** Baseline TIFF 6.0 raster decode — the scanned-document corpus
     * format: 8-bit gray (photometric 0/1) / RGB / RGBA, contiguous
-    * planar, strip-organized, compression none (1) or PackBits (32773),
-    * both byte orders. Tiled, LZW/Deflate/CCITT, planar=2, and sub-byte
+    * planar, strip-organized, compression none (1), LZW (5, TIFF 6.0
+    * §13 MSB-first with the spec's early width change), Deflate
+    * (8 / 32946, via the shared zlib inflater) or PackBits (32773),
+    * with the horizontal-differencing predictor (tag 317 = 2) applied
+    * per row — both byte orders. Tiled, CCITT, planar=2 and sub-byte
     * TIFFs stay unknown. */
   private def tiff(b: Array[Byte]): InternalRow = {
     val little = b(0) == 'I'
@@ -121,7 +124,7 @@ case class ImageDecodeExpr(child: Expression)
     var w = -1; var h = -1; var compression = 1; var photometric = -1
     var spp = 1; var rps = -1
     var bpsEntry = -1; var offsetsEntry = -1; var countsEntry = -1
-    var planar = 1
+    var planar = 1; var predictor = 1
     var e = 0
     while (e < n) {
       val entry = base + 2 + e * 12
@@ -143,13 +146,18 @@ case class ImageDecodeExpr(child: Expression)
         case 278 => rps = scalar()
         case 279 => countsEntry = entry
         case 284 => planar = scalar()
+        case 317 => predictor = scalar()
         case _ => ()
       }
       e += 1
     }
     if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return unknown
-    if ((compression != 1 && compression != 32773) || planar != 1)
+    if ((compression != 1 && compression != 5 && compression != 8 &&
+        compression != 32773 && compression != 32946) || planar != 1)
       return unknown
+    if (predictor != 1 && predictor != 2) return unknown
+    if (predictor == 2 && compression != 5 && compression != 8 &&
+        compression != 32946) return unknown // §14: predictor rides LZW/deflate
     if (photometric < 0 || photometric > 2) return unknown
     if (spp != 1 && spp != 3 && spp != 4) return unknown
     if (photometric == 2 && spp < 3) return unknown
@@ -191,15 +199,23 @@ case class ImageDecodeExpr(child: Expression)
       val dst = s * rowsPer * rowBytes
       val off = offs(s)
       if (off < 0 || off > b.length) return unknown
+      val srcEnd =
+        if (cnts != null && cnts.length > s)
+          math.min(b.length.toLong, off + cnts(s)).toInt
+        else b.length
       if (compression == 1) {
         if (off + need > b.length) return unknown
         System.arraycopy(b, off.toInt, raster, dst, need)
+      } else if (compression == 5) { // LZW, TIFF 6.0 §13
+        if (!tiffLzw(b, off.toInt, srcEnd, raster, dst, need))
+          return unknown
+      } else if (compression == 8 || compression == 32946) { // Deflate
+        val z = inflate(
+          java.util.Arrays.copyOfRange(b, off.toInt, srcEnd), need)
+        if (z == null) return unknown
+        System.arraycopy(z, 0, raster, dst, need)
       } else { // PackBits (public TIFF 6.0 §9)
         var src = off.toInt
-        val srcEnd =
-          if (cnts != null && cnts.length > s)
-            math.min(b.length.toLong, off + cnts(s)).toInt
-          else b.length
         var got = 0
         while (got < need) {
           if (src >= srcEnd) return unknown
@@ -218,6 +234,18 @@ case class ImageDecodeExpr(child: Expression)
         }
       }
       s += 1
+    }
+    if (predictor == 2) { // §14 horizontal differencing, per row/sample
+      var y = 0
+      while (y < h) {
+        var i = y * rowBytes + spp
+        val rowEnd = (y + 1) * rowBytes
+        while (i < rowEnd) {
+          raster(i) = (raster(i) + raster(i - spp)).toByte
+          i += 1
+        }
+        y += 1
+      }
     }
     val px = new Array[Int](w * h)
     var p = 0
@@ -440,6 +468,80 @@ case class ImageDecodeExpr(child: Expression)
   /** Inflate exactly `expected` bytes; tolerant of a missing/garbled
     * Adler32 trailer (decode is complete once the scanlines are out).
     * Returns null on a short or corrupt stream. */
+  /** TIFF 6.0 §13 LZW: MSB-first bit packing, fixed ClearCode = 256 /
+    * EOI = 257, first dynamic entry 258, 9→12-bit codes with the
+    * spec's EARLY width change (bump when the next code to assign
+    * reaches 2^width - 1 — one earlier than GIF's LZW). Writes exactly
+    * `need` bytes into `raster` at `dst` reading from b[off, end);
+    * false on any malformation. */
+  private def tiffLzw(b: Array[Byte], off: Int, end: Int,
+      raster: Array[Byte], dst: Int, need: Int): Boolean = {
+    val Clear = 256; val Eoi = 257
+    val prefix = new Array[Int](4096)
+    val last = new Array[Byte](4096)
+    var next = 258; var width = 9
+    var got = 0
+    val stack = new Array[Byte](4096)
+    var bitPos = off.toLong * 8
+    val nBits = math.min(end, b.length).toLong * 8
+    var prev = -1
+    def read(): Int = {
+      if (bitPos + width > nBits) return -1
+      var v = 0; var k = 0
+      while (k < width) {
+        val p = bitPos + k
+        v = (v << 1) | ((b((p >> 3).toInt) >> (7 - (p & 7).toInt)) & 1)
+        k += 1
+      }
+      bitPos += width
+      v
+    }
+    def firstByte(code: Int): Byte = {
+      var c = code
+      while (c >= 258) c = prefix(c)
+      c.toByte
+    }
+    def emit(code: Int): Boolean = {
+      var sp = 0; var c = code
+      while (c >= 258) { // unwind the suffix chain
+        if (c >= next || sp >= stack.length) return false
+        stack(sp) = last(c); sp += 1; c = prefix(c)
+      }
+      if (c >= 256) return false // control code inside a chain
+      if (got + sp + 1 > need) return false
+      raster(dst + got) = c.toByte; got += 1
+      while (sp > 0) { sp -= 1; raster(dst + got) = stack(sp); got += 1 }
+      true
+    }
+    while (got < need) {
+      val code = read()
+      if (code < 0 || code == Eoi) return got == need
+      if (code == Clear) { next = 258; width = 9; prev = -1 }
+      else if (prev < 0) {
+        if (code >= 256) return false // first code must be a literal
+        if (!emit(code)) return false
+        prev = code
+      } else {
+        val valid = code < next
+        if (!valid && code != next) return false
+        if (valid) { if (!emit(code)) return false }
+        else { // KwKwK: prev's expansion + its own first byte
+          if (!emit(prev)) return false
+          if (got >= need) return false
+          raster(dst + got) = firstByte(prev); got += 1
+        }
+        if (next < 4096) {
+          prefix(next) = prev
+          last(next) = if (valid) firstByte(code) else firstByte(prev)
+          next += 1
+          if (width < 12 && next == (1 << width) - 1) width += 1
+        }
+        prev = code
+      }
+    }
+    true
+  }
+
   private def inflate(z: Array[Byte], expected: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     try {

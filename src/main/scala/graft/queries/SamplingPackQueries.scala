@@ -165,6 +165,59 @@ object SamplingPackQueries {
           .mkString(",\n        ") + """
       FROM documents""")),
 
+    // TIFF Deflate + horizontal-differencing predictor (round-11
+    // ImageDecodeExpr surfaces): a little-endian gray 4x2 TIFF whose
+    // strip is a STORED-deflate zlib block (the q_image_decode trick)
+    // of the DIFFERENCED bytes d(i) = (doc_id*5 + i*19) % 256, with
+    // predictor tag 317 = 2 — so the decoder must run the per-row
+    // cumulative sum mod 256 (TIFF 6.0 §14), which the oracle replays
+    // literally. LZW strips are proven against the JDK encoder in
+    // ImageDecodeSpec (no SQL-expressible LZW synthesis exists).
+    QueryDef("q_tiff_predictor", (s, dir) => {
+      def hx(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def dv(i: Int) = pmod(col("doc_id") * 5 + i * 19, lit(256)).cast("int")
+      val tiffHex = concat(
+        lit("49492A00" + "08000000" + "0A00" +
+          "00010300" + "01000000" + "04000000" +
+          "01010300" + "01000000" + "02000000" +
+          "02010300" + "01000000" + "08000000" +
+          "03010300" + "01000000" + "08000000" + // Deflate
+          "06010300" + "01000000" + "01000000" +
+          "11010400" + "01000000" + "86000000" + // strip at 134
+          "15010300" + "01000000" + "01000000" +
+          "16010300" + "01000000" + "02000000" +
+          "17010400" + "01000000" + "0F000000" + // 15 strip bytes
+          "3D010300" + "01000000" + "02000000" + // predictor 2
+          "00000000" +
+          "7801" + "01" + "0800" + "F7FF"), // zlib STORED, len 8
+        hx(dv(0)), hx(dv(1)), hx(dv(2)), hx(dv(3)),
+        hx(dv(4)), hx(dv(5)), hx(dv(6)), hx(dv(7)),
+        // 4 trailing junk bytes OUTSIDE the declared strip: the strip
+        // count stops at the stored data so the inflater never parses
+        // a zlib trailer (the q_image_decode IDAT discipline)
+        lit("00000000"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.decodeImage(unhex(tiffHex)).as("d"))
+        .select(col("doc_id"), col("d.format").as("format"),
+          col("d.width").as("width"), col("d.height").as("height"),
+          element_at(col("d.pixels"), 1).as("p0"),
+          element_at(col("d.pixels"), 4).as("p3"),
+          element_at(col("d.pixels"), 5).as("p4"),
+          element_at(col("d.pixels"), 8).as("p7"))
+    }, Some {
+      def d(i: Int) = s"(doc_id*5 + $i*19) % 256"
+      def cum(is: Seq[Int]) = is.map(d).mkString("(", " + ", ") % 256")
+      def px(name: String, g: String) =
+        s"CAST(($g) * 65793 - 16777216 AS INTEGER) AS $name"
+      s"""
+      SELECT doc_id, 'tiff' AS format, 4 AS width, 2 AS height,
+        ${px("p0", d(0))},
+        ${px("p3", cum(0 to 3))},
+        ${px("p4", d(4))},
+        ${px("p7", cum(4 to 7))}
+      FROM documents"""
+    }),
+
     // WebP + TIFF metadata (round-11 ImageMetaExpr surfaces): all three
     // public WebP first-chunk layouts — lossy VP8 (sync 9D012A + 14-bit
     // dims), lossless VP8L (0x2F + LSB-packed w-1/h-1), extended VP8X

@@ -129,21 +129,23 @@ class ImageDecodeSpec extends SparkSpec {
     assert(px2 == argb(pal))
   }
 
-  test("tiff: uncompressed and PackBits round-trip against the JDK codec") {
-    def encodeTiff(img: BufferedImage, compression: String): Array[Byte] = {
-      val out = new ByteArrayOutputStream()
-      val writer = ImageIO.getImageWritersByFormatName("tiff").next()
-      val ios = ImageIO.createImageOutputStream(out)
-      writer.setOutput(ios)
-      val p = writer.getDefaultWriteParam
-      if (compression != null) {
-        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-        p.setCompressionType(compression)
-      }
-      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
-      writer.dispose(); ios.close()
-      out.toByteArray
+  private def encodeTiff(img: BufferedImage,
+      compression: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    if (compression != null) {
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType(compression)
     }
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose(); ios.close()
+    out.toByteArray
+  }
+
+  test("tiff: uncompressed and PackBits round-trip against the JDK codec") {
     // RGB uncompressed + PackBits, odd dims (multi-strip territory)
     for (comp <- Seq(null, "PackBits")) {
       val img = testImage(21, 17, BufferedImage.TYPE_3BYTE_BGR)
@@ -160,10 +162,81 @@ class ImageDecodeSpec extends SparkSpec {
       0xff000000 | (g << 16) | (g << 8) | g
     }
     assert(pxg == want)
-    // LZW-compressed -> unknown (documented unsupported), never a throw
-    val lzwTiff = encodeTiff(testImage(8, 8, BufferedImage.TYPE_3BYTE_BGR),
-      "LZW")
-    assert(decode(lzwTiff)._1 == "unknown")
+  }
+
+  test("tiff: LZW and Deflate round-trip against the JDK codec") {
+    for (comp <- Seq("LZW", "ZLib", "Deflate")) {
+      val img = testImage(21, 17, BufferedImage.TYPE_3BYTE_BGR)
+      val (f, w, h, px) = decode(encodeTiff(img, comp))
+      assert((f, w, h) == ("tiff", 21, 17), s"compression=$comp")
+      assert(px == argb(img), s"tiff rgb compression=$comp")
+      // a taller gray image crosses the writer's strip boundary, so
+      // the per-strip decoder state reset is exercised
+      val gray = testImage(64, 48, BufferedImage.TYPE_BYTE_GRAY)
+      val (fg, wg, hg, pxg) = decode(encodeTiff(gray, comp))
+      assert((fg, wg, hg) == ("tiff", 64, 48), s"compression=$comp")
+      val want = for (y <- 0 until 48; x <- 0 until 64) yield {
+        val g = gray.getRaster.getSample(x, y, 0)
+        0xff000000 | (g << 16) | (g << 8) | g
+      }
+      assert(pxg == want, s"tiff gray compression=$comp")
+    }
+  }
+
+  test("tiff LZW property: 8 random noise images force every code width") {
+    // random rasters grow the dictionary ~1 entry/byte: a 96x64 RGB
+    // strip is ~18k bytes, driving the code width through all of
+    // 9->10->11->12 and the encoder's 4096-entry Clear reset — the
+    // early-change off-by-one shows up immediately if wrong
+    val rnd = new scala.util.Random(11161992)
+    for (t <- 0 until 8) {
+      val (w, h) = (96, 64)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, rnd.nextInt(1 << 24))
+      val (f, ww, hh, px) = decode(encodeTiff(img, "LZW"))
+      assert((f, ww, hh) == ("tiff", w, h), s"trial $t")
+      assert(px == argb(img), s"trial $t")
+    }
+  }
+
+  test("tiff: deflate with horizontal-differencing predictor (hand-built)") {
+    // the JDK writer does not emit predictor 2, so build the TIFF by
+    // hand: gray 13x7, rows differenced then zlib-deflated, tag 317=2
+    val (w, h) = (13, 7)
+    val raster = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val diffed = raster.clone()
+    for (y <- 0 until h; x <- (w - 1) until 0 by -1)
+      diffed(y * w + x) = (raster(y * w + x) - raster(y * w + x - 1)).toByte
+    val defl = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(diffed); d.finish()
+      val buf = new Array[Byte](diffed.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    def le16t(v: Int) = Array[Byte]((v & 0xff).toByte, (v >> 8).toByte)
+    def le32t(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def entry(tag: Int, typ: Int, cnt: Int, v: Int) =
+      le16t(tag) ++ le16t(typ) ++ le32t(cnt) ++ le32t(v)
+    val nE = 10
+    val dataOff = 8 + 2 + nE * 12 + 4
+    val ifd = le16t(nE) ++
+      entry(256, 3, 1, w) ++ entry(257, 3, 1, h) ++
+      entry(258, 3, 1, 8) ++ entry(259, 3, 1, 8) ++ // Deflate
+      entry(262, 3, 1, 1) ++ entry(273, 4, 1, dataOff) ++
+      entry(277, 3, 1, 1) ++ entry(278, 3, 1, h) ++
+      entry(279, 4, 1, defl.length) ++ entry(317, 3, 1, 2) ++
+      le32t(0) // next-IFD terminator
+    val bytes = "II".getBytes ++ le16t(42) ++ le32t(8) ++ ifd ++ defl
+    val (f, ww, hh, px) = decode(bytes)
+    assert((f, ww, hh) == ("tiff", w, h))
+    val want = for (i <- 0 until w * h) yield {
+      val g = raster(i) & 0xff
+      0xff000000 | (g << 16) | (g << 8) | g
+    }
+    assert(px == want)
   }
 
   test("png gray decodes to replicated-channel ARGB") {
