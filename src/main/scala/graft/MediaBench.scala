@@ -98,6 +98,98 @@ object MediaBench {
     data
   }
 
+  /** Noise-content LZW TIFF via the JDK writer (the independent
+    * encoder the decode spec pins against): random pixels defeat the
+    * dictionary, so this measures the worst-case code-width path. */
+  private def tiffLzwBytes(id: Long, size: Int): Array[Byte] = {
+    val img = new BufferedImage(size, size, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    var s = id * 6364136223846793005L + 1442695040888963407L
+    while (y < size) {
+      var x = 0
+      while (x < size) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(x, y, (s >>> 24).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("tiff").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionType("LZW")
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose(); ios.close()
+    out.toByteArray
+  }
+
+  /** ~1 s mono G.711 mu-law WAV of random codes. */
+  private def ulawBytes(id: Long): Array[Byte] = {
+    val frames = 44100
+    val data = new Array[Byte](44 + frames)
+    val hdr = Array[Int](
+      0x52, 0x49, 0x46, 0x46, 0, 0, 0, 0, 0x57, 0x41, 0x56, 0x45,
+      0x66, 0x6d, 0x74, 0x20, 16, 0, 0, 0, 7, 0, 1, 0,
+      0x44, 0xac, 0, 0, 0x44, 0xac, 0, 0, 1, 0, 8, 0,
+      0x64, 0x61, 0x74, 0x61, 0, 0, 0, 0)
+    var i = 0
+    while (i < 44) { data(i) = hdr(i).toByte; i += 1 }
+    def le32(off: Int, v: Int): Unit = {
+      data(off) = v.toByte; data(off + 1) = (v >> 8).toByte
+      data(off + 2) = (v >> 16).toByte; data(off + 3) = (v >> 24).toByte
+    }
+    le32(4, 36 + frames); le32(40, frames)
+    var f = 0; var s = id
+    while (f < frames) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      data(44 + f) = (s >>> 40).toByte
+      f += 1
+    }
+    data
+  }
+
+  /** ~1 s mono IMA ADPCM WAV (1024-byte blocks = 2041 frames each,
+    * 22 blocks) of random code nibbles — maximal state churn. */
+  private def imaBytes(id: Long): Array[Byte] = {
+    val blockAlign = 1024
+    val blocks = 22 // 22 x 2041 frames/block ~ 1.02 s at 44.1 kHz
+    val dataLen = blocks * blockAlign
+    val data = new Array[Byte](44 + dataLen)
+    val hdr = Array[Int](
+      0x52, 0x49, 0x46, 0x46, 0, 0, 0, 0, 0x57, 0x41, 0x56, 0x45,
+      0x66, 0x6d, 0x74, 0x20, 16, 0, 0, 0, 17, 0, 1, 0,
+      0x44, 0xac, 0, 0, 0x22, 0x56, 0, 0, 0, 4, 4, 0,
+      0x64, 0x61, 0x74, 0x61, 0, 0, 0, 0)
+    var i = 0
+    while (i < 44) { data(i) = hdr(i).toByte; i += 1 }
+    def le32(off: Int, v: Int): Unit = {
+      data(off) = v.toByte; data(off + 1) = (v >> 8).toByte
+      data(off + 2) = (v >> 16).toByte; data(off + 3) = (v >> 24).toByte
+    }
+    le32(4, 36 + dataLen); le32(40, dataLen)
+    var s = id
+    var blk = 0
+    while (blk < blocks) {
+      val bo = 44 + blk * blockAlign
+      s = s * 6364136223846793005L + 1442695040888963407L
+      data(bo) = (s >>> 24).toByte // predictor int16
+      data(bo + 1) = (s >>> 32).toByte
+      data(bo + 2) = (((s >>> 40) & 0x7fffffffL) % 89).toByte // index
+      var j = 4
+      while (j < blockAlign) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        data(bo + j) = (s >>> 36).toByte
+        j += 1
+      }
+      blk += 1
+    }
+    data
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = args.headOption.map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -115,7 +207,9 @@ object MediaBench {
       ("jpeg", 64, 4000), ("jpeg", 128, 1600), ("jpeg", 256, 480),
       ("jpeg", 512, 128), ("jpeg", 2048, 16),
       ("jpeg-prog", 256, 480), ("jpeg-prog", 512, 128),
-      ("wav", 44100, 400))
+      ("tiff-lzw", 256, 240), ("tiff-lzw", 512, 64),
+      ("wav", 44100, 400), ("wav-ulaw", 44100, 400),
+      ("wav-ima", 44100, 400))
     val rows = cells.map { case (fmt, size, n) =>
       val payloads = spark.range(n).repartition(cpus)
         .map { id =>
@@ -123,6 +217,9 @@ object MediaBench {
             case "png" => pngBytes(id, size)
             case "jpeg" => jpegBytes(id, size)
             case "jpeg-prog" => jpegBytes(id, size, progressive = true)
+            case "tiff-lzw" => tiffLzwBytes(id, size)
+            case "wav-ulaw" => ulawBytes(id)
+            case "wav-ima" => imaBytes(id)
             case _ => wavBytes(id)
           }
         }.toDF("p").persist()
@@ -130,7 +227,7 @@ object MediaBench {
       def timeDecode(): Double = {
         val t0 = System.nanoTime()
         val d =
-          if (fmt == "wav")
+          if (fmt.startsWith("wav"))
             payloads.select(graft.multimodal.Multimodal.decodeAudio(col("p"))
               .as("d")).select(sum(element_at(col("d.samples"), 1))).head()
           else
@@ -144,9 +241,12 @@ object MediaBench {
       val dt = math.min(timeDecode(), timeDecode())
       payloads.unpersist()
       val mb = totalBytes / 1e6
-      val mpx = if (fmt == "wav") n * 44100.0 / 1e6 // samples, for symmetry
+      val mpx =
+        if (fmt == "wav-ima") n * (22.0 * 2041) / 1e6 // decoded frames
+        else if (fmt.startsWith("wav")) n * 44100.0 / 1e6
         else n.toDouble * size * size / 1e6
-      val label = if (fmt == "wav") "wav 1s" else s"$fmt ${size}x$size"
+      val label =
+        if (fmt.startsWith("wav")) s"$fmt 1s" else s"$fmt ${size}x$size"
       (label, n, mb, dt, mb / dt, mb / dt / cpus, mpx / dt)
     }
     println("| payload | rows | MB | sec | MB/s | MB/s/core | Mpx/s |")

@@ -1,0 +1,90 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Corpus-safety fuzz sweep across the WHOLE decode family: at 100 TB a
+  * binary column contains every possible malformation, so every decode
+  * expression must map arbitrary bytes to its unknown row — never throw,
+  * never allocate past the bomb guard. Three adversarial classes:
+  * pure random bytes, random bytes behind REAL format magics (so the
+  * parsers walk deep before hitting garbage), and every proper prefix
+  * of a small VALID payload per format (truncation at every byte
+  * boundary — the classic parser-overread trigger). */
+class FuzzSafetySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val exprs: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
+    ("image_decode", Multimodal.decodeImage),
+    ("image_meta", Multimodal.imageMeta),
+    ("audio_decode", Multimodal.decodeAudio),
+    ("audio_meta", Multimodal.audioMeta),
+    ("video_meta", Multimodal.videoMeta),
+    ("exif_orientation", Multimodal.exifOrientation),
+    ("gif_frame", c => Multimodal.gifFrame(c, lit(0))),
+    ("video_frame", c => Multimodal.videoFrame(c, lit(0))))
+
+  private def sweep(payloads: Seq[Array[Byte]], label: String): Unit = {
+    val df = payloads.map(Tuple1(_)).toDF("p")
+    exprs.foreach { case (name, fn) =>
+      // collect() forces full evaluation of every row; any throw from
+      // the expression fails the spark job and thus the assertion
+      val n = df.select(fn(col("p")).as("r")).collect().length
+      assert(n == payloads.length, s"$label: $name dropped rows")
+    }
+  }
+
+  test("random bytes never throw in any decode expression") {
+    val rnd = new scala.util.Random(42)
+    val payloads = Seq.tabulate(200) { i =>
+      val len = rnd.nextInt(300)
+      val b = new Array[Byte](len); rnd.nextBytes(b); b
+    }
+    sweep(payloads, "random")
+  }
+
+  test("random bytes behind real format magics never throw") {
+    val rnd = new scala.util.Random(43)
+    val magics = Seq[Array[Byte]](
+      Array(0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      Array('B', 'M'),
+      Array('G', 'I', 'F', '8', '9', 'a'),
+      Array(0xff.toByte, 0xd8.toByte, 0xff.toByte), // JPEG SOI
+      Array('I', 'I', 42, 0), Array('M', 'M', 0, 42), // TIFF
+      "RIFF....WAVE".getBytes, "RIFF....WEBP".getBytes,
+      "RIFF....AVI ".getBytes,
+      Array(0, 0, 0, 0x14, 'f', 't', 'y', 'p'), // BMFF
+      Array('I', 'D', '3'), Array(0xff.toByte, 0xfb.toByte)) // MP3
+    val payloads = for (m <- magics; _ <- 0 until 12) yield {
+      val tail = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(tail)
+      m ++ tail
+    }
+    sweep(payloads, "magic+garbage")
+  }
+
+  test("every truncation of a valid payload per format never throws") {
+    // small VALID payloads (the oracle-query synthesis shapes), then
+    // every proper prefix of each
+    def hex(s: String) = s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val valid = Seq(
+      // 2x2 BMP (q_image_resize shape)
+      hex("424D46000000000000003600000028000000020000000200000001001800" +
+        "0000000010000000000000000000000000000000000000000000" +
+        "0102030405060000" + "0708090A0B0C0000"),
+      // mono 16-bit WAV, 2 samples
+      hex("52494646" + "28000000" + "57415645" + "666D7420" + "10000000" +
+        "0100" + "0100" + "401F0000" + "803E0000" + "0200" + "1000" +
+        "64617461" + "04000000" + "11223344"),
+      // minimal mp4 ftyp+moov shell (q_video_meta shape, no trak)
+      hex("000000146674797069736F6D0000000069736F6D" +
+        "0000007C6D6F6F760000006C6D766864" + "00" * 100),
+      // 1-frame GIF, 2x2, 2-entry palette
+      hex("474946383961" + "02000200" + "80" + "00" + "00" +
+        "000000" + "FFFFFF" +
+        "2C" + "00000000" + "02000200" + "00" +
+        "02" + "02" + "4C01" + "00" + "3B"))
+    val payloads = valid.flatMap(v => (0 until v.length).map(v.take))
+    sweep(payloads, "truncation")
+  }
+}
