@@ -79,7 +79,7 @@ case class AudioDecodeExpr(child: Expression)
         b(11) != 'E') return unknown
     var i = 12
     var channels = -1; var rate = -1; var bits = -1; var fmtCode = -1
-    var blockAlign = -1
+    var blockAlign = -1; var factFrames = -1
     var dataOff = -1; var dataLen = -1
     while (i + 8 <= b.length && (dataOff < 0 || channels < 0)) {
       val id = new String(b, i, 4, "US-ASCII")
@@ -94,13 +94,15 @@ case class AudioDecodeExpr(child: Expression)
           blockAlign = le16(b, i + 20)
           bits = le16(b, i + 22)
         case "data" => dataOff = i + 8; dataLen = len
-        case _ => () // LIST / fact / cue / bext ... skipped
+        case "fact" if len >= 4 => // true frame count (compressed fmts)
+          factFrames = le32(b, i + 8)
+        case _ => () // LIST / cue / bext ... skipped
       }
       i += 8 + len + (len & 1) // chunks are word-aligned
     }
     if (fmtCode == 17) // IMA/DVI ADPCM: block-structured 4-bit codes
       return decodeImaAdpcm(b, dataOff, dataLen, channels, rate,
-        bits, blockAlign)
+        bits, blockAlign, factFrames)
     val g711 = fmtCode == 6 || fmtCode == 7
     if ((fmtCode != 1 && !g711) || channels <= 0 || rate <= 0 ||
         (g711 && bits != 8) ||
@@ -141,11 +143,17 @@ case class AudioDecodeExpr(child: Expression)
     * reserved), then 4-byte code words alternating across channels
     * (8 nibbles each, low nibble first). The nibble update is the IMA
     * 1992 integer recursion (step>>3 cascade, clamp to int16, index
-    * table) — bit-deterministic, no floats anywhere. Strict corpus
-    * policy: a trailing partial block, a block align not filling whole
-    * words per channel, or an out-of-range step index → unknown. */
+    * table) — bit-deterministic, no floats anywhere. A fact chunk's
+    * frame count truncates the final block (standard encoders pad the
+    * last block to a full blockAlign and record the true count there —
+    * emitting the pad frames would diverge from every reference
+    * decoder). Strict corpus policy: a trailing partial block, a block
+    * align not filling whole words per channel, an out-of-range step
+    * index, or a fact count that is not within the final block →
+    * unknown. */
   private def decodeImaAdpcm(b: Array[Byte], dataOff: Int, dataLen: Int,
-      channels: Int, rate: Int, bits: Int, blockAlign: Int): InternalRow = {
+      channels: Int, rate: Int, bits: Int, blockAlign: Int,
+      factFrames: Int): InternalRow = {
     import AudioDecodeExpr.{ImaStep, ImaIndex}
     if (channels <= 0 || rate <= 0 || bits != 4 || dataOff < 0 ||
         blockAlign < 4 * channels ||
@@ -198,8 +206,18 @@ case class AudioDecodeExpr(child: Expression)
       }
       blk += 1
     }
+    // fact-chunk truncation: the true count must land in the final
+    // block (anything shorter means dropped whole blocks — malformed)
+    val frames =
+      if (factFrames < 0) nBlocks * spb
+      else if (factFrames <= nBlocks * spb &&
+          factFrames > (nBlocks - 1) * spb) factFrames
+      else return unknown
+    val trimmed =
+      if (frames == nBlocks * spb) out
+      else java.util.Arrays.copyOf(out, frames * channels)
     InternalRow(UTF8String.fromString("wav-ima"), channels, rate, bits,
-      nBlocks * spb, new GenericArrayData(out))
+      frames, new GenericArrayData(trimmed))
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -210,10 +210,8 @@ case class ImageDecodeExpr(child: Expression)
         if (!tiffLzw(b, off.toInt, srcEnd, raster, dst, need))
           return unknown
       } else if (compression == 8 || compression == 32946) { // Deflate
-        val z = inflate(
-          java.util.Arrays.copyOfRange(b, off.toInt, srcEnd), need)
-        if (z == null) return unknown
-        System.arraycopy(z, 0, raster, dst, need)
+        if (!inflateInto(b, off.toInt, srcEnd - off.toInt,
+            raster, dst, need)) return unknown
       } else { // PackBits (public TIFF 6.0 §9)
         var src = off.toInt
         var got = 0
@@ -479,28 +477,27 @@ case class ImageDecodeExpr(child: Expression)
     val Clear = 256; val Eoi = 257
     val prefix = new Array[Int](4096)
     val last = new Array[Byte](4096)
+    val first = new Array[Byte](4096) // O(1) first byte per entry
     var next = 258; var width = 9
     var got = 0
     val stack = new Array[Byte](4096)
-    var bitPos = off.toLong * 8
-    val nBits = math.min(end, b.length).toLong * 8
+    val stop = math.min(end, b.length)
+    var pos = off
+    // buffered MSB-first reader: bytes refill a 64-bit accumulator, each
+    // code is one shift+mask (the jdhuff-style discipline the JPEG path
+    // uses) instead of a per-bit loop
+    var acc = 0L; var nAcc = 0
     var prev = -1
     def read(): Int = {
-      if (bitPos + width > nBits) return -1
-      var v = 0; var k = 0
-      while (k < width) {
-        val p = bitPos + k
-        v = (v << 1) | ((b((p >> 3).toInt) >> (7 - (p & 7).toInt)) & 1)
-        k += 1
+      while (nAcc < width) {
+        if (pos >= stop) return -1
+        acc = (acc << 8) | (b(pos) & 0xff); pos += 1; nAcc += 8
       }
-      bitPos += width
-      v
+      nAcc -= width
+      ((acc >>> nAcc) & ((1 << width) - 1)).toInt
     }
-    def firstByte(code: Int): Byte = {
-      var c = code
-      while (c >= 258) c = prefix(c)
-      c.toByte
-    }
+    def firstByte(code: Int): Byte =
+      if (code < 256) code.toByte else first(code)
     def emit(code: Int): Boolean = {
       var sp = 0; var c = code
       while (c >= 258) { // unwind the suffix chain
@@ -533,6 +530,7 @@ case class ImageDecodeExpr(child: Expression)
         if (next < 4096) {
           prefix(next) = prev
           last(next) = if (valid) firstByte(code) else firstByte(prev)
+          first(next) = firstByte(prev) // entry = prev-string + 1 byte
           next += 1
           if (width < 12 && next == (1 << width) - 1) width += 1
         }
@@ -543,21 +541,31 @@ case class ImageDecodeExpr(child: Expression)
   }
 
   private def inflate(z: Array[Byte], expected: Int): Array[Byte] = {
+    val outB = new Array[Byte](expected)
+    if (inflateInto(z, 0, z.length, outB, 0, expected)) outB else null
+  }
+
+  /** Zero-copy inflate: decompresses `need` bytes from b[off, off+len)
+    * straight into dest at destOff (no input slice copy, no output
+    * staging array — the corpus hot path runs one allocation-free
+    * inflate per strip). */
+  private def inflateInto(b: Array[Byte], off: Int, len: Int,
+      dest: Array[Byte], destOff: Int, need: Int): Boolean = {
+    if (off < 0 || len < 0 || off + len > b.length) return false
     val inf = new java.util.zip.Inflater()
     try {
-      inf.setInput(z)
-      val outB = new Array[Byte](expected)
+      inf.setInput(b, off, len)
       var got = 0
       var stalled = false
-      while (got < expected && !stalled) {
-        val n = inf.inflate(outB, got, expected - got)
+      while (got < need && !stalled) {
+        val n = inf.inflate(dest, destOff + got, need - got)
         if (n == 0 && (inf.finished() || inf.needsInput() ||
             inf.needsDictionary())) stalled = true
         got += n
       }
-      if (got == expected) outB else null
+      got == need
     } catch {
-      case _: java.util.zip.DataFormatException => null
+      case _: java.util.zip.DataFormatException => false
     } finally inf.end()
   }
 

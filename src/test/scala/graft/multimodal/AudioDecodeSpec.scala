@@ -207,14 +207,17 @@ class AudioDecodeSpec extends SparkSpec {
   }
 
   private def imaWav(data: Array[Byte], channels: Int, rate: Int,
-      blockAlign: Int): Array[Byte] = {
+      blockAlign: Int, factFrames: Int = -1): Array[Byte] = {
     val spb = 1 + (blockAlign - 4 * channels) / channels * 2
     val fmt = "fmt ".getBytes ++ le32b(20) ++ le16b(17) ++
       le16b(channels) ++ le32b(rate) ++
       le32b(rate * blockAlign / spb) ++ le16b(blockAlign) ++
       le16b(4) ++ le16b(2) ++ le16b(spb)
+    val fact =
+      if (factFrames < 0) Array.empty[Byte]
+      else "fact".getBytes ++ le32b(4) ++ le32b(factFrames)
     val dataCh = "data".getBytes ++ le32b(data.length) ++ data
-    val body = "WAVE".getBytes ++ fmt ++ dataCh
+    val body = "WAVE".getBytes ++ fmt ++ fact ++ dataCh
     "RIFF".getBytes ++ le32b(body.length) ++ body
   }
 
@@ -234,6 +237,41 @@ class AudioDecodeSpec extends SparkSpec {
     val (f, ch, rate, bits, n, got) = decode(imaWav(data, 1, 8000, 8))
     assert((f, ch, rate, bits, n) == ("wav-ima", 1, 8000, 4, 9))
     assert(got == Seq(0, 11, 25, 29, 6, 9, 6, -19, -29))
+  }
+
+  test("IMA ADPCM: hand-derived block exercising both int16 clamps and the index ceiling") {
+    // p0=32000, i0=88 (step 32767), nibbles 7,15,8,8,0,0,0,0 — derived
+    // by hand, INDEPENDENT of the encoder-roundtrip test (which shares
+    // the recursion code with the decoder):
+    //   n=7:  diff=4095+8191+16383=28669 -> 60669 CLAMPS to 32767, i=96->88
+    //   n=15: diff=28669+32767=61436     -> -28669,               i=88
+    //   n=8:  diff=4095                  -> -32764,               i=87
+    //   n=8:  step=29794, diff=3724      -> -36488 CLAMPS -32768, i=86
+    //   n=0:  step=27086, diff=3385      -> -29383,               i=85
+    //   n=0:  step=24623, diff=3077      -> -26306,               i=84
+    //   n=0:  step=22385, diff=2798      -> -23508,               i=83
+    //   n=0:  step=20350, diff=2543      -> -20965,               i=82
+    val data = Array[Byte](0x00, 0x7D, 88.toByte, 0, // pred 32000, idx 88
+      0xF7.toByte, 0x88.toByte, 0x00, 0x00)
+    val (f, ch, rate, bits, n, got) = decode(imaWav(data, 1, 8000, 8))
+    assert((f, ch, rate, bits, n) == ("wav-ima", 1, 8000, 4, 9))
+    assert(got == Seq(32000, 32767, -28669, -32764, -32768,
+      -29383, -26306, -23508, -20965))
+  }
+
+  test("IMA ADPCM: a fact chunk truncates the padded final block") {
+    val samples = Array.tabulate(18)(i => i * 1000 - 9000)
+    val (data, recon) = imaEncode(samples, 1, 8) // 2 blocks x 9 frames
+    // true count 13: the last block carries 4 real + 5 pad frames
+    val (f, _, _, _, n, got) = decode(imaWav(data, 1, 8000, 8,
+      factFrames = 13))
+    assert(f == "wav-ima" && n == 13)
+    assert(got == recon.take(13).toSeq)
+    // a fact count that drops a whole block is malformed
+    assert(decode(imaWav(data, 1, 8000, 8, factFrames = 9))._1
+      == "unknown")
+    assert(decode(imaWav(data, 1, 8000, 8, factFrames = 99))._1
+      == "unknown")
   }
 
   test("IMA ADPCM: decoder tracks the reference encoder bit-exactly (mono + stereo, multi-block)") {
