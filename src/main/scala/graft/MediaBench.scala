@@ -152,6 +152,43 @@ object MediaBench {
     data
   }
 
+  /** ~1 s mono MS ADPCM WAV (512-byte blocks = 1012 frames each,
+    * 44 blocks) of random code nibbles. */
+  private def msBytes(id: Long): Array[Byte] = {
+    val blockAlign = 512
+    val blocks = 44 // 44 x 1012 frames ~ 1.01 s at 44.1 kHz
+    val dataLen = blocks * blockAlign
+    val data = new Array[Byte](44 + dataLen)
+    val hdr = Array[Int](
+      0x52, 0x49, 0x46, 0x46, 0, 0, 0, 0, 0x57, 0x41, 0x56, 0x45,
+      0x66, 0x6d, 0x74, 0x20, 16, 0, 0, 0, 2, 0, 1, 0,
+      0x44, 0xac, 0, 0, 0x22, 0x56, 0, 0, 0, 2, 4, 0,
+      0x64, 0x61, 0x74, 0x61, 0, 0, 0, 0)
+    var i = 0
+    while (i < 44) { data(i) = hdr(i).toByte; i += 1 }
+    def le32(off: Int, v: Int): Unit = {
+      data(off) = v.toByte; data(off + 1) = (v >> 8).toByte
+      data(off + 2) = (v >> 16).toByte; data(off + 3) = (v >> 24).toByte
+    }
+    le32(4, 36 + dataLen); le32(40, dataLen)
+    var s = id
+    var blk = 0
+    while (blk < blocks) {
+      val bo = 44 + blk * blockAlign
+      s = s * 6364136223846793005L + 1442695040888963407L
+      data(bo) = (((s >>> 24) & 0x7fffffffL) % 7).toByte // predictor
+      data(bo + 1) = 64 // initial delta 64
+      var j = 3
+      while (j < blockAlign) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        data(bo + j) = (s >>> 36).toByte
+        j += 1
+      }
+      blk += 1
+    }
+    data
+  }
+
   /** ~1 s mono IMA ADPCM WAV (1024-byte blocks = 2041 frames each,
     * 22 blocks) of random code nibbles — maximal state churn. */
   private def imaBytes(id: Long): Array[Byte] = {
@@ -209,7 +246,7 @@ object MediaBench {
       ("jpeg-prog", 256, 480), ("jpeg-prog", 512, 128),
       ("tiff-lzw", 256, 240), ("tiff-lzw", 512, 64),
       ("wav", 44100, 400), ("wav-ulaw", 44100, 400),
-      ("wav-ima", 44100, 400))
+      ("wav-ima", 44100, 400), ("wav-ms", 44100, 400))
     val rows = cells.map { case (fmt, size, n) =>
       val payloads = spark.range(n).repartition(cpus)
         .map { id =>
@@ -220,6 +257,7 @@ object MediaBench {
             case "tiff-lzw" => tiffLzwBytes(id, size)
             case "wav-ulaw" => ulawBytes(id)
             case "wav-ima" => imaBytes(id)
+            case "wav-ms" => msBytes(id)
             case _ => wavBytes(id)
           }
         }.toDF("p").persist()
@@ -243,6 +281,7 @@ object MediaBench {
       val mb = totalBytes / 1e6
       val mpx =
         if (fmt == "wav-ima") n * (22.0 * 2041) / 1e6 // decoded frames
+        else if (fmt == "wav-ms") n * (44.0 * 1012) / 1e6
         else if (fmt.startsWith("wav")) n * 44100.0 / 1e6
         else n.toDouble * size * size / 1e6
       val label =

@@ -22,9 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * integer table map (ITU-T G.711 / the public-domain g711.c
   * reference: sign + 3-bit segment + 4-bit quantization), so the
   * decode is bit-deterministic like integer PCM — samples expand to
-  * the canonical 16-bit linear values. Format 17 (IMA/DVI ADPCM, the
-  * common compressed WAV codec) is decoded via the IMA 1992 integer
-  * recursion — again float-free, so corpus decode stays oracle-exact.
+  * the canonical 16-bit linear values. Formats 17 (IMA/DVI ADPCM) and
+  * 2 (MS ADPCM), the two common compressed WAV codecs, are decoded via
+  * their public integer recursions — again float-free, so corpus
+  * decode stays oracle-exact.
   * Output: struct<format, channels, sample_rate, bits, n_samples,
   * samples array<int>> — samples are interleaved frames in channel
   * order (the canonical layout); 8-bit WAV (unsigned, biased 128)
@@ -103,6 +104,9 @@ case class AudioDecodeExpr(child: Expression)
     if (fmtCode == 17) // IMA/DVI ADPCM: block-structured 4-bit codes
       return decodeImaAdpcm(b, dataOff, dataLen, channels, rate,
         bits, blockAlign, factFrames)
+    if (fmtCode == 2) // MS ADPCM: coefficient-pair predictor blocks
+      return decodeMsAdpcm(b, dataOff, dataLen, channels, rate,
+        bits, blockAlign, factFrames)
     val g711 = fmtCode == 6 || fmtCode == 7
     if ((fmtCode != 1 && !g711) || channels <= 0 || rate <= 0 ||
         (g711 && bits != 8) ||
@@ -136,6 +140,80 @@ case class AudioDecodeExpr(child: Expression)
     }
     InternalRow(UTF8String.fromString(fmt), channels, rate, bits,
       total / channels, new GenericArrayData(out))
+  }
+
+  /** MS ADPCM (RIFF fmt code 2): per block, per channel, a predictor
+    * index into the 7 STANDARD coefficient pairs, an int16 initial
+    * delta and the first two int16 samples (emitted as frames 0 and
+    * 1), then 4-bit codes interleaved per sample across channels, HIGH
+    * nibble first. The recursion is the public Microsoft algorithm —
+    * pred = ((s1*c1 + s2*c2) >> 8) + signed(n)*delta, int16 clamp,
+    * delta = (Adapt[n]*delta) >> 8 floored at 16 — all integer
+    * arithmetic (>> is the arithmetic shift, so the oracle replays it
+    * exactly). Files using nonstandard coefficient tables (predictor
+    * index > 6) map to unknown; the fact chunk truncates the padded
+    * final block like the IMA path. */
+  private def decodeMsAdpcm(b: Array[Byte], dataOff: Int, dataLen: Int,
+      channels: Int, rate: Int, bits: Int, blockAlign: Int,
+      factFrames: Int): InternalRow = {
+    import AudioDecodeExpr.{MsCoef1, MsCoef2, MsAdapt}
+    if (channels <= 0 || rate <= 0 || bits != 4 || dataOff < 0 ||
+        blockAlign < 7 * channels ||
+        ((blockAlign - 7 * channels) * 2) % channels != 0 ||
+        dataLen % blockAlign != 0) return unknown
+    val nBlocks = dataLen / blockAlign
+    val nibbles = (blockAlign - 7 * channels) * 2
+    val spb = 2 + nibbles / channels
+    val total = nBlocks.toLong * spb * channels
+    if (total > MaxPixels) return unknown // allocation bomb
+    val out = new Array[Int](total.toInt)
+    val c1 = new Array[Int](channels); val c2 = new Array[Int](channels)
+    val delta = new Array[Int](channels)
+    val s1 = new Array[Int](channels); val s2 = new Array[Int](channels)
+    var blk = 0
+    while (blk < nBlocks) {
+      val bo = dataOff + blk * blockAlign
+      var c = 0
+      while (c < channels) {
+        val idx = b(bo + c) & 0xff
+        if (idx > 6) return unknown // nonstandard coefficient table
+        c1(c) = MsCoef1(idx); c2(c) = MsCoef2(idx)
+        delta(c) = le16(b, bo + channels + 2 * c).toShort.toInt
+        s1(c) = le16(b, bo + 3 * channels + 2 * c).toShort.toInt
+        s2(c) = le16(b, bo + 5 * channels + 2 * c).toShort.toInt
+        // the two header samples are the first two frames, older first
+        out(blk * spb * channels + c) = s2(c)
+        out((blk * spb + 1) * channels + c) = s1(c)
+        c += 1
+      }
+      val base = bo + 7 * channels
+      var k = 0
+      while (k < nibbles) {
+        val by = b(base + (k >> 1)) & 0xff
+        val n = if ((k & 1) == 0) by >>> 4 else by & 0xf // HIGH first
+        val ch = k % channels
+        val sn = if (n >= 8) n - 16 else n
+        var p = ((s1(ch) * c1(ch) + s2(ch) * c2(ch)) >> 8) + sn * delta(ch)
+        if (p > 32767) p = 32767 else if (p < -32768) p = -32768
+        s2(ch) = s1(ch); s1(ch) = p
+        var d = (MsAdapt(n) * delta(ch)) >> 8
+        if (d < 16) d = 16
+        delta(ch) = d
+        out((blk * spb + 2 + k / channels) * channels + ch) = p
+        k += 1
+      }
+      blk += 1
+    }
+    val frames =
+      if (factFrames < 0) nBlocks * spb
+      else if (factFrames <= nBlocks * spb &&
+          factFrames > (nBlocks - 1) * spb) factFrames
+      else return unknown
+    val trimmed =
+      if (frames == nBlocks * spb) out
+      else java.util.Arrays.copyOf(out, frames * channels)
+    InternalRow(UTF8String.fromString("wav-ms"), channels, rate, bits,
+      frames, new GenericArrayData(trimmed))
   }
 
   /** IMA/DVI ADPCM (RIFF fmt code 17): per block a 4-byte header per
@@ -251,6 +329,15 @@ object AudioDecodeExpr {
   /** IMA ADPCM index-adjust table (per 4-bit code). */
   val ImaIndex: Array[Int] = Array(
     -1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** MS ADPCM standard coefficient pairs (the 7 the format defines). */
+  val MsCoef1: Array[Int] = Array(256, 512, 0, 192, 240, 460, 392)
+  val MsCoef2: Array[Int] = Array(0, -256, 0, 64, 0, -208, -232)
+
+  /** MS ADPCM delta adaptation table (per 4-bit code). */
+  val MsAdapt: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230)
 
   /** ITU-T G.711 A-law expansion (g711.c: XOR 0x55, then the segment
     * piecewise linear map; sign bit SET means positive). */

@@ -679,6 +679,85 @@ object SamplingPackQueries {
       FROM s8"""
     }),
 
+    // MS ADPCM decode (round-11 AudioDecodeExpr surfaces): per doc a
+    // mono single-block MS-ADPCM WAV (fmt code 2, block align 9 =
+    // 7-byte header + 4 nibbles) — predictor pair doc_id % 7, initial
+    // delta (doc_id*3) % 256 + 16, header samples from doc_id
+    // arithmetic, nibbles n(k) = (doc_id*3 + k*7) % 16 — decoded via
+    // the public Microsoft recursion (hand vector + reference-encoder
+    // tracking in AudioDecodeSpec). The oracle replays the 4-step
+    // recursion as a chained-CTE state machine; >> is the arithmetic
+    // (floor) shift in BOTH engines, so the predictor base is exact.
+    QueryDef("q_audio_ms", (s, dir) => {
+      def hx2(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def le16h(c: org.apache.spark.sql.Column) = {
+        val hh = lpad(hex(c), 4, "0")
+        concat(substring(hh, 3, 2), substring(hh, 1, 2))
+      }
+      val pidx = pmod(col("doc_id"), lit(7)).cast("int")
+      val d0 = (pmod(col("doc_id") * 3, lit(256)) + 16).cast("int")
+      val u1 = pmod(col("doc_id") * 31, lit(65536)).cast("int")
+      val u2 = pmod(col("doc_id") * 17, lit(65536)).cast("int")
+      def nib(k: Int) = pmod(col("doc_id") * 3 + k * 7, lit(16)).cast("int")
+      val wavHex = concat(
+        lit("52494646" + "2D000000" + "57415645" +
+          "666D7420" + "10000000" + "0200" + "0100" +
+          "401F0000" + "401F0000" + "0900" + "0400" +
+          "64617461" + "09000000"),
+        hx2(pidx), le16h(d0), le16h(u1), le16h(u2),
+        hx2(nib(0) * 16 + nib(1)), hx2(nib(2) * 16 + nib(3)))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.decodeAudio(unhex(wavHex)).as("a"))
+        .select(col("doc_id"), col("a.format").as("format"),
+          col("a.n_samples").as("n_samples"),
+          concat_ws(",", col("a.samples").cast("array<string>"))
+            .as("samples"))
+    }, Some {
+      val c1Tab = "[" + graft.multimodal.AudioDecodeExpr.MsCoef1
+        .mkString(",") + "]"
+      val c2Tab = "[" + graft.multimodal.AudioDecodeExpr.MsCoef2
+        .mkString(",") + "]"
+      val adTab = "[" + graft.multimodal.AudioDecodeExpr.MsAdapt
+        .mkString(",") + "]"
+      val init = s"""
+      s0 AS (
+        SELECT doc_id,
+          (doc_id*31) % 65536 - CASE WHEN (doc_id*31) % 65536 >= 32768
+            THEN 65536 ELSE 0 END AS p1,
+          (doc_id*17) % 65536 - CASE WHEN (doc_id*17) % 65536 >= 32768
+            THEN 65536 ELSE 0 END AS p2,
+          (doc_id*3) % 256 + 16 AS dl,
+          list_extract($c1Tab, doc_id % 7 + 1) AS c1,
+          list_extract($c2Tab, doc_id % 7 + 1) AS c2,
+          CAST((doc_id*17) % 65536 - CASE WHEN (doc_id*17) % 65536 >= 32768
+            THEN 65536 ELSE 0 END AS VARCHAR) || ',' ||
+          CAST((doc_id*31) % 65536 - CASE WHEN (doc_id*31) % 65536 >= 32768
+            THEN 65536 ELSE 0 END AS VARCHAR) AS acc
+        FROM documents)"""
+      val steps = (1 to 4).map { k =>
+        s"""
+      s$k AS (
+        SELECT doc_id, p AS p1, p1 AS p2,
+          GREATEST(16, (list_extract($adTab, nk + 1) * dl) >> 8) AS dl,
+          c1, c2,
+          acc || ',' || CAST(p AS VARCHAR) AS acc
+        FROM (
+          SELECT doc_id, p1, p2, dl, c1, c2, acc, nk,
+            LEAST(32767, GREATEST(-32768,
+              ((p1*c1 + p2*c2) >> 8) +
+              (nk - CASE WHEN nk >= 8 THEN 16 ELSE 0 END) * dl)) AS p
+          FROM (
+            SELECT doc_id, p1, p2, dl, c1, c2, acc,
+              (doc_id*3 + ${k - 1}*7) % 16 AS nk
+            FROM s${k - 1})))"""
+      }.mkString(",")
+      s"""
+      WITH$init,$steps
+      SELECT doc_id, 'wav-ms' AS format, 6 AS n_samples, acc AS samples
+      FROM s4"""
+    }),
+
     // EXIF orientation (ExifOrientationExpr): per doc a JPEG APP1
     // segment with a real TIFF 6.0 IFD0 carrying tag 0x0112 is
     // synthesized from doc_id — little-endian (II) for doc_id%3==0,

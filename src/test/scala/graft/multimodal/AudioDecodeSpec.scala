@@ -290,6 +290,125 @@ class AudioDecodeSpec extends SparkSpec {
     }
   }
 
+  private def msWav(data: Array[Byte], channels: Int, rate: Int,
+      blockAlign: Int, factFrames: Int = -1): Array[Byte] = {
+    val fmt = "fmt ".getBytes ++ le32b(16) ++ le16b(2) ++
+      le16b(channels) ++ le32b(rate) ++ le32b(rate) ++
+      le16b(blockAlign) ++ le16b(4)
+    val fact =
+      if (factFrames < 0) Array.empty[Byte]
+      else "fact".getBytes ++ le32b(4) ++ le32b(factFrames)
+    val dataCh = "data".getBytes ++ le32b(data.length) ++ data
+    val body = "WAVE".getBytes ++ fmt ++ fact ++ dataCh
+    "RIFF".getBytes ++ le32b(body.length) ++ body
+  }
+
+  // MS ADPCM reference encoder: standard nibble selection (ideal
+  // delta-scaled error, truncated and clamped to [-8, 7]) + the same
+  // state recursion the decoder runs — the roundtrip invariant is
+  // exact on the reconstruction.
+  private def msEncode(samples: Array[Int], channels: Int,
+      blockAlign: Int): (Array[Byte], Array[Int]) = {
+    import AudioDecodeExpr.{MsCoef1, MsCoef2, MsAdapt}
+    val nibbles = (blockAlign - 7 * channels) * 2
+    val spb = 2 + nibbles / channels
+    val frames = samples.length / channels
+    require(frames % spb == 0, "test data must fill whole blocks")
+    val nBlocks = frames / spb
+    val bytes = new Array[Byte](nBlocks * blockAlign)
+    val recon = new Array[Int](samples.length)
+    for (blk <- 0 until nBlocks) {
+      val bo = blk * blockAlign
+      val predIdx = blk % 7 // exercise every coefficient pair
+      val delta = new Array[Int](channels)
+      val s1 = new Array[Int](channels); val s2 = new Array[Int](channels)
+      for (c <- 0 until channels) {
+        bytes(bo + c) = predIdx.toByte
+        delta(c) = 16 + 8 * c + blk
+        s2(c) = samples((blk * spb) * channels + c)
+        s1(c) = samples((blk * spb + 1) * channels + c)
+        def le16w(off: Int, v: Int): Unit = {
+          bytes(off) = (v & 0xff).toByte; bytes(off + 1) = (v >> 8).toByte
+        }
+        le16w(bo + channels + 2 * c, delta(c))
+        le16w(bo + 3 * channels + 2 * c, s1(c))
+        le16w(bo + 5 * channels + 2 * c, s2(c))
+        recon((blk * spb) * channels + c) = s2(c)
+        recon((blk * spb + 1) * channels + c) = s1(c)
+      }
+      for (k <- 0 until nibbles) {
+        val ch = k % channels
+        val f = 2 + k / channels
+        val target = samples((blk * spb + f) * channels + ch)
+        val base = (s1(ch) * MsCoef1(predIdx) +
+          s2(ch) * MsCoef2(predIdx)) >> 8
+        var sn = (target - base) / delta(ch)
+        if (sn > 7) sn = 7 else if (sn < -8) sn = -8
+        val n = sn & 0xf
+        // decoder-identical advance
+        var p = base + sn * delta(ch)
+        if (p > 32767) p = 32767 else if (p < -32768) p = -32768
+        s2(ch) = s1(ch); s1(ch) = p
+        var d = (MsAdapt(n) * delta(ch)) >> 8
+        if (d < 16) d = 16
+        delta(ch) = d
+        recon((blk * spb + f) * channels + ch) = p
+        val bi = bo + 7 * channels + (k >> 1)
+        if ((k & 1) == 0) bytes(bi) = (n << 4).toByte // HIGH first
+        else bytes(bi) = (bytes(bi) | n).toByte
+      }
+    }
+    (bytes, recon)
+  }
+
+  test("MS ADPCM: hand-derived mono block decodes exactly") {
+    // predIdx=1 (512,-256), delta=16, s1=100, s2=50, nibbles 3,12,0,9:
+    //   n=3:  base=(100*512+50*-256)>>8=150, p=150+48=198, d=max(16,(230*16)>>8)=16
+    //   n=12: base=(198*512+100*-256)>>8=296, sn=-4, p=296-64=232, d=(307*16)>>8=19
+    //   n=0:  base=(232*512+198*-256)>>8=266, p=266, d=max(16,(230*19)>>8)=17
+    //   n=9:  base=(266*512+232*-256)>>8=300, sn=-7, p=300-119=181
+    val data = Array[Byte](1, 16, 0, 100, 0, 50, 0, // header
+      0x3C.toByte, 0x09.toByte) // nibbles HIGH first: (3,12) (0,9)
+    val (f, ch, rate, bits, n, got) = decode(msWav(data, 1, 8000, 9))
+    assert((f, ch, rate, bits, n) == ("wav-ms", 1, 8000, 4, 6))
+    assert(got == Seq(50, 100, 198, 232, 266, 181))
+  }
+
+  test("MS ADPCM: decoder tracks the reference encoder bit-exactly (mono + stereo, multi-block)") {
+    val rnd = new scala.util.Random(20260817)
+    for ((channels, blockAlign, blocks) <- Seq((1, 11, 7), (2, 18, 3),
+        (2, 30, 2), (1, 128, 2))) {
+      val nibbles = (blockAlign - 7 * channels) * 2
+      val spb = 2 + nibbles / channels
+      val samples = Array.fill(blocks * spb * channels)(
+        rnd.nextInt(65536) - 32768)
+      val (data, recon) = msEncode(samples, channels, blockAlign)
+      val (f, ch, rate, bits, n, got) =
+        decode(msWav(data, channels, 22050, blockAlign))
+      assert((f, ch, rate, bits, n) ==
+        ("wav-ms", channels, 22050, 4, blocks * spb))
+      assert(got == recon.toSeq, s"ch=$channels align=$blockAlign")
+    }
+  }
+
+  test("MS ADPCM: fact truncation and corpus safety") {
+    val samples = Array.tabulate(12)(i => i * 500 - 3000)
+    val (data, recon) = msEncode(samples, 1, 9) // 2 blocks x 6 frames
+    val (f, _, _, _, n, got) = decode(msWav(data, 1, 8000, 9,
+      factFrames = 8))
+    assert(f == "wav-ms" && n == 8)
+    assert(got == recon.take(8).toSeq)
+    // whole-block drop or over-claim -> unknown
+    assert(decode(msWav(data, 1, 8000, 9, factFrames = 6))._1 == "unknown")
+    assert(decode(msWav(data, 1, 8000, 9, factFrames = 13))._1 == "unknown")
+    // nonstandard predictor index -> unknown
+    val bad = data.clone(); bad(0) = 7
+    assert(decode(msWav(bad, 1, 8000, 9))._1 == "unknown")
+    // trailing partial block -> unknown
+    assert(decode(msWav(data ++ Array[Byte](1, 2), 1, 8000, 9))._1
+      == "unknown")
+  }
+
   test("IMA ADPCM corpus-safety: ragged block, bad index, misaligned words are unknown") {
     // trailing partial block (data length not a multiple of block align)
     val (data, _) = imaEncode(new Array[Int](9), 1, 8)
