@@ -25,7 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the canonical 16-bit linear values. Formats 17 (IMA/DVI ADPCM) and
   * 2 (MS ADPCM), the two common compressed WAV codecs, are decoded via
   * their public integer recursions — again float-free, so corpus
-  * decode stays oracle-exact.
+  * decode stays oracle-exact. Beyond RIFF, the Sun/NeXT .au container
+  * (G.711 + big-endian PCM encodings) and AIFF (COMM/SSND walk, the
+  * 80-bit extended sample rate decoded with exact integer arithmetic)
+  * are handled with the same sample decoders.
   * Output: struct<format, channels, sample_rate, bits, n_samples,
   * samples array<int>> — samples are interleaved frames in channel
   * order (the canonical layout); 8-bit WAV (unsigned, biased 128)
@@ -75,6 +78,11 @@ case class AudioDecodeExpr(child: Expression)
   }
 
   private def decode(b: Array[Byte]): InternalRow = {
+    if (b.length >= 24 && b(0) == '.' && b(1) == 's' && b(2) == 'n' &&
+        b(3) == 'd') return au(b)
+    if (b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' &&
+        b(3) == 'M' && b(8) == 'A' && b(9) == 'I' && b(10) == 'F' &&
+        b(11) == 'F') return aiff(b)
     if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
         b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
         b(11) != 'E') return unknown
@@ -140,6 +148,140 @@ case class AudioDecodeExpr(child: Expression)
     }
     InternalRow(UTF8String.fromString(fmt), channels, rate, bits,
       total / channels, new GenericArrayData(out))
+  }
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  /** Big-endian signed PCM block → interleaved int samples (the AU and
+    * AIFF payload layout; 8-bit is SIGNED in both, unlike WAV). */
+  private def bePcm(b: Array[Byte], off: Int, total: Int,
+      bytesPer: Int): Array[Int] = {
+    val out = new Array[Int](total)
+    var s = 0
+    while (s < total) {
+      val o = off + s * bytesPer
+      out(s) = bytesPer match {
+        case 1 => b(o).toInt // signed
+        case 2 => be16(b, o).toShort.toInt
+        case 3 => (((b(o) & 0xff) << 16) | ((b(o + 1) & 0xff) << 8) |
+          (b(o + 2) & 0xff)) << 8 >> 8
+        case _ => be32(b, o)
+      }
+      s += 1
+    }
+    out
+  }
+
+  /** Sun/NeXT .au (the public AU header): 24-byte big-endian header
+    * (magic, data offset, data size or ~0, encoding, rate, channels),
+    * then samples. Encodings 1/27 are G.711 mu-law/A-law (expanded to
+    * 16-bit linear like the WAV path), 2-5 are signed big-endian
+    * linear PCM at 8/16/24/32 bits. */
+  private def au(b: Array[Byte]): InternalRow = {
+    val dataOff = be32(b, 4)
+    val declared = be32(b, 8)
+    val enc = be32(b, 12)
+    val rate = be32(b, 16)
+    val channels = be32(b, 20)
+    if (dataOff < 24 || dataOff > b.length || rate <= 0 ||
+        channels <= 0) return unknown
+    val dataLen =
+      if (declared == -1) b.length - dataOff // ~0: stream of unknown size
+      else declared
+    if (dataLen < 0 || dataOff + dataLen.toLong > b.length) return unknown
+    val (bytesPer, bits) = enc match {
+      case 1 | 27 => (1, 8)
+      case 2 => (1, 8)
+      case 3 => (2, 16)
+      case 4 => (3, 24)
+      case 5 => (4, 32)
+      case _ => return unknown // floats / G.72x stay unsupported
+    }
+    val total = dataLen / bytesPer
+    if (total.toLong > MaxPixels) return unknown
+    if (total % channels != 0) return unknown
+    val out =
+      if (enc == 1 || enc == 27) {
+        val o = new Array[Int](total)
+        var s = 0
+        while (s < total) {
+          o(s) = if (enc == 1) AudioDecodeExpr.ulaw2linear(b(dataOff + s) & 0xff)
+          else AudioDecodeExpr.alaw2linear(b(dataOff + s) & 0xff)
+          s += 1
+        }
+        o
+      } else bePcm(b, dataOff, total, bytesPer)
+    val fmt = enc match {
+      case 1 => "au-ulaw"
+      case 27 => "au-alaw"
+      case _ => "au"
+    }
+    InternalRow(UTF8String.fromString(fmt), channels, rate, bits,
+      total / channels, new GenericArrayData(out))
+  }
+
+  /** AIFF (EA IFF 85 / Apple AIFF 1.3): FORM/AIFF chunk walk — COMM
+    * carries channels, frame count, sample size and the rate as an
+    * 80-bit extended float (decoded with EXACT integer arithmetic:
+    * mantissa >> (16446 - exp), non-integer rates → unknown), SSND
+    * carries big-endian signed PCM after its offset field. */
+  private def aiff(b: Array[Byte]): InternalRow = {
+    var i = 12
+    var channels = -1; var frames = -1; var sampleSize = -1; var rate = -1
+    var dataOff = -1; var dataAvail = -1
+    while (i + 8 <= b.length && (dataOff < 0 || channels < 0)) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val len = be32(b, i + 4)
+      if (len < 0 || i + 8 + len > b.length) return unknown
+      id match {
+        case "COMM" =>
+          if (len < 18) return unknown
+          channels = be16(b, i + 8)
+          frames = be32(b, i + 10)
+          sampleSize = be16(b, i + 14)
+          // 80-bit extended float at i+16: 1 sign + 15 exp + 64 mantissa
+          val se = be16(b, i + 16)
+          if ((se & 0x8000) != 0) return unknown // negative rate
+          var mant = 0L
+          var k = 0
+          while (k < 8) { mant = (mant << 8) | (b(i + 18 + k) & 0xffL); k += 1 }
+          val shift = 16383 + 63 - se
+          if (se == 0 && mant == 0L) return unknown // rate 0
+          if (shift < 0 || shift > 63 ||
+              (shift > 0 && (mant & ((1L << shift) - 1)) != 0L))
+            return unknown // non-integer or out-of-range rate
+          val r = mant >>> shift
+          if (r <= 0 || r > Int.MaxValue) return unknown
+          rate = r.toInt
+        case "SSND" =>
+          if (len < 8) return unknown
+          val off = be32(b, i + 8) // alignment offset into the chunk
+          if (off < 0 || off > len - 8) return unknown
+          dataOff = i + 16 + off
+          dataAvail = len - 8 - off
+        case _ => () // MARK / INST / annotations ... skipped
+      }
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || frames < 0 || rate <= 0 || dataOff < 0)
+      return unknown
+    val bytesPer = sampleSize match {
+      case 8 => 1
+      case 16 => 2
+      case 24 => 3
+      case 32 => 4
+      case _ => return unknown // sub-byte / float AIFC unsupported
+    }
+    val total = frames.toLong * channels
+    if (total > MaxPixels) return unknown
+    if (total * bytesPer > dataAvail) return unknown // truncated
+    val out = bePcm(b, dataOff, total.toInt, bytesPer)
+    InternalRow(UTF8String.fromString("aiff"), channels, rate, sampleSize,
+      frames, new GenericArrayData(out))
   }
 
   /** MS ADPCM (RIFF fmt code 2): per block, per channel, a predictor

@@ -758,6 +758,65 @@ object SamplingPackQueries {
       FROM s4"""
     }),
 
+    // AU + AIFF container decode (round-11 AudioDecodeExpr surfaces):
+    // evens a Sun/NeXT .au carrying G.711 mu-law codes (the
+    // q_audio_g711 arithmetic, so the oracle replays the same
+    // expansion), odds an AIFF whose COMM carries the 8 kHz rate as an
+    // 80-bit extended float (constant 0x400B FA00...) and whose SSND
+    // holds 2 big-endian int16 samples u(i) = (doc_id*11 + i*17) %
+    // 2^16. One schema across both containers; the oracle branches on
+    // parity.
+    QueryDef("q_audio_containers", (s, dir) => {
+      def hx2(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def be16h(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+      def uc(i: Int) = pmod(col("doc_id") * 7 + i * 31, lit(256)).cast("int")
+      def u16(i: Int) =
+        pmod(col("doc_id") * 11 + i * 17, lit(65536)).cast("int")
+      val auHex = concat(
+        lit("2E736E64" + "00000018" + "00000004" + "00000001" +
+          "00001F40" + "00000001"),
+        hx2(uc(0)), hx2(uc(1)), hx2(uc(2)), hx2(uc(3)))
+      val aiffHex = concat(
+        lit("464F524D" + "00000032" + "41494646" +
+          "434F4D4D" + "00000012" + "0001" + "00000002" + "0010" +
+          "400BFA00000000000000" +
+          "53534E44" + "0000000C" + "00000000" + "00000000"),
+        be16h(u16(0)), be16h(u16(1)))
+      val payload = unhex(
+        when(col("doc_id") % 2 === 0, auHex).otherwise(aiffHex))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.decodeAudio(payload).as("a"))
+        .select(col("doc_id"), col("a.format").as("format"),
+          col("a.sample_rate").as("sample_rate"),
+          col("a.n_samples").as("n_samples"),
+          concat_ws(",", col("a.samples").cast("array<string>"))
+            .as("samples"))
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id, i, 255 - (doc_id*7 + i*31) % 256 AS u
+        FROM documents CROSS JOIN generate_series(0, 3) AS t(i)
+        WHERE doc_id % 2 = 0),
+      ul AS (
+        SELECT doc_id,
+          STRING_AGG(CAST(CASE WHEN u >= 128
+            THEN 132 - ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))
+            ELSE ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132
+          END AS VARCHAR), ',' ORDER BY i) AS samples
+        FROM g GROUP BY doc_id)
+      SELECT doc_id, 'au-ulaw' AS format, 8000 AS sample_rate,
+        4 AS n_samples, samples
+      FROM ul
+      UNION ALL
+      SELECT doc_id, 'aiff' AS format, 8000 AS sample_rate,
+        2 AS n_samples,
+        CAST((doc_id*11) % 65536 - CASE WHEN (doc_id*11) % 65536 >= 32768
+          THEN 65536 ELSE 0 END AS VARCHAR) || ',' ||
+        CAST((doc_id*11 + 17) % 65536 -
+          CASE WHEN (doc_id*11 + 17) % 65536 >= 32768
+          THEN 65536 ELSE 0 END AS VARCHAR) AS samples
+      FROM documents WHERE doc_id % 2 = 1""")),
+
     // EXIF orientation (ExifOrientationExpr): per doc a JPEG APP1
     // segment with a real TIFF 6.0 IFD0 carrying tag 0x0112 is
     // synthesized from doc_id — little-endian (II) for doc_id%3==0,

@@ -409,6 +409,93 @@ class AudioDecodeSpec extends SparkSpec {
       == "unknown")
   }
 
+  private def jdkContainer(samples: Array[Short], channels: Int,
+      rate: Float, fileType: AudioFileFormat.Type): Array[Byte] = {
+    val raw = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) => // big-endian payload
+      raw(i * 2) = ((s >> 8) & 0xff).toByte
+      raw(i * 2 + 1) = (s & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, channels, true, true) // signed BE
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt,
+      samples.length / channels)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, fileType, bos)
+    bos.toByteArray
+  }
+
+  test("au: 16-bit stereo round-trips sample-exact against the JDK writer") {
+    val samples = Array.tabulate[Short](64)(i => ((i * 523 - 7000) % 32768).toShort)
+    val (f, ch, rate, bits, n, got) =
+      decode(jdkContainer(samples, 2, 8000f, AudioFileFormat.Type.AU))
+    assert((f, ch, rate, bits, n) == ("au", 2, 8000, 16, 32))
+    assert(got == samples.map(_.toInt).toSeq)
+  }
+
+  test("au: mu-law payload decodes exactly like the JDK codec") {
+    val codes = Array.tabulate[Byte](256)(_.toByte)
+    val src = new AudioFormat(AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(codes), src, codes.length)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.AU, bos)
+    val (f, ch, rate, bits, n, got) = decode(bos.toByteArray)
+    assert((f, ch, rate, bits, n) == ("au-ulaw", 1, 8000, 8, 256))
+    assert(got == g711ToPcmJdk(codes, AudioFormat.Encoding.ULAW))
+  }
+
+  test("aiff: 16-bit mono round-trips sample-exact against the JDK writer (80-bit rate)") {
+    for (rate <- Seq(8000f, 44100f, 48000f)) {
+      val samples = Array.tabulate[Short](31)(i => (i * -997).toShort)
+      val (f, ch, r, bits, n, got) =
+        decode(jdkContainer(samples, 1, rate, AudioFileFormat.Type.AIFF))
+      assert((f, ch, r, bits, n) == ("aiff", 1, rate.toInt, 16, 31))
+      assert(got == samples.map(_.toInt).toSeq)
+    }
+  }
+
+  test("aiff: 8-bit signed PCM via the JDK writer") {
+    val vals = Array[Byte](0, 1, -1, 127, -128, 42, -42)
+    val fmt = new AudioFormat(8000f, 8, 1, true, true)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(vals), fmt, vals.length)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.AIFF, bos)
+    val (f, ch, r, bits, n, got) = decode(bos.toByteArray)
+    assert((f, ch, r, bits, n) == ("aiff", 1, 8000, 8, vals.length))
+    assert(got == vals.map(_.toInt).toSeq)
+  }
+
+  test("au/aiff corpus-safety: truncation and malformed rates are unknown") {
+    val au = jdkContainer(Array.tabulate[Short](8)(_.toShort), 1, 8000f,
+      AudioFileFormat.Type.AU)
+    assert(decode(au.dropRight(3))._1 == "unknown")
+    val aiff = jdkContainer(Array.tabulate[Short](8)(_.toShort), 1, 8000f,
+      AudioFileFormat.Type.AIFF)
+    assert(decode(aiff.dropRight(3))._1 == "unknown")
+    // AIFF with a non-integer 80-bit rate (8000.5 Hz) -> unknown:
+    // patch the COMM rate field of a valid file
+    val idx = {
+      var i = 12; var at = -1
+      while (at < 0 && i + 8 <= aiff.length) {
+        if (new String(aiff, i, 4, "US-ASCII") == "COMM") at = i
+        else i += 8 + ((aiff(i + 4) & 0xff) << 24 |
+          (aiff(i + 5) & 0xff) << 16 | (aiff(i + 6) & 0xff) << 8 |
+          (aiff(i + 7) & 0xff)) + 1 & ~1
+      }
+      at
+    }
+    assert(idx > 0)
+    val bad = aiff.clone()
+    // 8000.5 = 0x1F41 / 2 -> exp 16394, mantissa 0xFA10... <<; simplest:
+    // keep exp for 8000 (16395) and set a low mantissa bit that the
+    // shift (16446-16395=51) would lose
+    bad(idx + 18 + 7) = 1
+    assert(decode(bad)._1 == "unknown")
+  }
+
   test("IMA ADPCM corpus-safety: ragged block, bad index, misaligned words are unknown") {
     // trailing partial block (data length not a multiple of block align)
     val (data, _) = imaEncode(new Array[Int](9), 1, 8)
