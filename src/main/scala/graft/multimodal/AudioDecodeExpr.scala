@@ -78,6 +78,14 @@ case class AudioDecodeExpr(child: Expression)
   }
 
   private def decode(b: Array[Byte]): InternalRow = {
+    if (b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' &&
+        b(3) == 'C')
+      return FlacDecode.decode(b, MaxPixels) match {
+        case Some(r) => InternalRow(UTF8String.fromString("flac"),
+          r.channels, r.sampleRate, r.bits, r.frames,
+          new GenericArrayData(r.samples))
+        case None => unknown
+      }
     if (b.length >= 24 && b(0) == '.' && b(1) == 's' && b(2) == 'n' &&
         b(3) == 'd') return au(b)
     if (b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' &&

@@ -817,6 +817,54 @@ object SamplingPackQueries {
           THEN 65536 ELSE 0 END AS VARCHAR) AS samples
       FROM documents WHERE doc_id % 2 = 1""")),
 
+
+    // FLAC decode (round-11 FlacDecode): 16 distinct mono fixed-order-1
+    // FLAC streams produced by the INDEPENDENT reference encoder
+    // (tools/gen_flac_fixtures.py --variants; cross-language, so a
+    // shared spec misreading cannot hide), selected per doc by
+    // doc_id % 16 — rice-coded residuals, CRC-8/CRC-16 verified, the
+    // STREAMINFO rate varying per variant. The oracle replays the
+    // expected rate and sample vector from the same generator run.
+    // Full variable-content coverage (LPC, stereo modes, rice2
+    // escapes, wasted bits, depths) is pinned in FlacDecodeSpec.
+    QueryDef("q_audio_flac", (s, dir) => {
+      val variants = Seq(
+        "664c6143800000220010ffff00000000000001f400f00000000800000000000000000000000000000000fff87000000007bf12ff3800f2d55a883997",
+        "664c6143800000220010ffff0000000000000203a0f00000000800000000000000000000000000000000fff87000000007bf12ff5d00d11fd29ca202",
+        "664c6143800000220010ffff000000000000021340f00000000800000000000000000000000000000000fff87000000007bf12ff8200d396aad4005195",
+        "664c6143800000220010ffff0000000000000222e0f00000000800000000000000000000000000000000fff87000000007bf12ffa700f511fd29a39d",
+        "664c6143800000220010ffff000000000000023280f00000000800000000000000000000000000000000fff87000000007bf12ffcc00e5396aadd8c5",
+        "664c6143800000220010ffff000000000000024220f00000000800000000000000000000000000000000fff87000000007bf12fff100eb511fd2e0dd",
+        "664c6143800000220010ffff0000000000000251c0f00000000800000000000000000000000000000000fff87000000007bf12001600fa5396aa1bf1",
+        "664c6143800000220010ffff000000000000026160f00000000800000000000000000000000000000000fff87000000007bf12003b00d55a88fe4a9f",
+        "664c6143800000220010ffff000000000000027100f00000000800000000000000000000000000000000fff87000000007bf12006000ffa5396aa3b2",
+        "664c6143800000220010ffff0000000000000280a0f00000000800000000000000000000000000000000fff87000000007bf12008500ed55a88fbbcb",
+        "664c6143800000220010ffff000000000000029040f00000000800000000000000000000000000000000fff87000000007bf1200aa00e3fa5396d9f3",
+        "664c6143800000220010ffff000000000000029fe0f00000000800000000000000000000000000000000fff87000000007bf1200cf00f2d55a88a19e",
+        "664c6143800000220010ffff00000000000002af80f00000000800000000000000000000000000000000fff87000000007bf1200f400d11fd29cea52",
+        "664c6143800000220010ffff00000000000002bf20f00000000800000000000000000000000000000000fff87000000007bf12011900d396aad400a100",
+        "664c6143800000220010ffff00000000000002cec0f00000000800000000000000000000000000000000fff87000000007bf12013e00f511fd296aed",
+        "664c6143800000220010ffff00000000000002de60f00000000800000000000000000000000000000000fff87000000007bf12016300e5396aad8183")
+      val pick = element_at(
+        array(variants.map(lit): _*),
+        (pmod(col("doc_id"), lit(16)) + 1).cast("int"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.decodeAudio(unhex(pick)).as("a"))
+        .select(col("doc_id"), col("a.format").as("format"),
+          col("a.sample_rate").as("sample_rate"),
+          col("a.n_samples").as("n_samples"),
+          concat_ws(",", col("a.samples").cast("array<string>"))
+            .as("samples"))
+    }, Some("""
+      SELECT doc_id, 'flac' AS format,
+        CAST(list_extract([8000,8250,8500,8750,9000,9250,9500,9750,10000,10250,10500,10750,11000,11250,11500,11750],
+          CAST(doc_id % 16 + 1 AS INT)) AS INT) AS sample_rate,
+        8 AS n_samples,
+        ARRAY_TO_STRING(list_extract([[-200,-198,-200,-195,-194,-197,-193,-193], [-163,-159,-159,-163,-160,-161,-166,-164], [-126,-131,-129,-131,-126,-125,-128,-124], [-89,-92,-88,-88,-92,-89,-90,-95], [-52,-53,-58,-56,-58,-53,-52,-55], [-15,-14,-17,-13,-13,-17,-14,-15], [22,25,24,19,21,19,24,25], [59,64,65,62,66,66,62,65], [96,92,95,94,89,91,89,94], [133,131,136,137,134,138,138,134], [170,170,166,169,168,163,165,163], [207,209,207,212,213,210,214,214], [244,248,248,244,247,246,241,243], [281,276,278,276,281,282,279,283], [318,315,319,319,315,318,317,312], [355,354,349,351,349,354,355,352]],
+          CAST(doc_id % 16 + 1 AS INT)), ',') AS samples
+      FROM documents""")),
+
     // EXIF orientation (ExifOrientationExpr): per doc a JPEG APP1
     // segment with a real TIFF 6.0 IFD0 carrying tag 0x0112 is
     // synthesized from doc_id — little-endian (II) for doc_id%3==0,

@@ -54,7 +54,7 @@ class FuzzSafetySpec extends SparkSpec {
       Array('I', 'I', 42, 0), Array('M', 'M', 0, 42), // TIFF
       "RIFF....WAVE".getBytes, "RIFF....WEBP".getBytes,
       "RIFF....AVI ".getBytes,
-      ".snd".getBytes, "FORM....AIFF".getBytes,
+      ".snd".getBytes, "FORM....AIFF".getBytes, "fLaC".getBytes,
       Array(0, 0, 0, 0x14, 'f', 't', 'y', 'p'), // BMFF
       Array('I', 'D', '3'), Array(0xff.toByte, 0xfb.toByte)) // MP3
     val payloads = for (m <- magics; _ <- 0 until 12) yield {
