@@ -20,7 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    samplerate per frame, frame length 144*bitrate/samplerate(+pad)
   *    (72* for the halved-rate MPEG-2/2.5 side) — so VBR duration is
   *    EXACT (sum of per-frame samples/rate), not a first-frame
-  *    estimate; reported bitrate_kbps is the first frame's.
+  *    estimate; reported bitrate_kbps is the first frame's;
+  *  - FLAC: STREAMINFO (rate/channels/total samples → exact duration);
+  *  - Sun/NeXT .au and AIFF COMM: header fields, integer-exact 80-bit
+  *    extended rate (AIFF), PCM duration from the data/frame counts.
   *
   * Output: struct<format, channels, sample_rate, duration_ms,
   * bitrate_kbps, frames>. Malformed / truncated / other formats yield
@@ -53,6 +56,13 @@ case class AudioMetaExpr(child: Expression)
       if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
           b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' &&
           b(11) == 'E') wav(b)
+      else if (b.length >= 42 && b(0) == 'f' && b(1) == 'L' &&
+          b(2) == 'a' && b(3) == 'C') flacMeta(b)
+      else if (b.length >= 24 && b(0) == '.' && b(1) == 's' &&
+          b(2) == 'n' && b(3) == 'd') auMeta(b)
+      else if (b.length >= 12 && b(0) == 'F' && b(1) == 'O' &&
+          b(2) == 'R' && b(3) == 'M' && b(8) == 'A' && b(9) == 'I' &&
+          b(10) == 'F' && b(11) == 'F') aiffMeta(b)
       else mp3(b)
     } catch { case _: Exception => unknown }
   }
@@ -90,6 +100,87 @@ case class AudioMetaExpr(child: Expression)
   private val BrV2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
     128, 144, 160)
   private val SrV1 = Array(44100, 48000, 32000)
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  /** FLAC STREAMINFO: rate/channels/total-samples → exact duration.
+    * bitrate/frames are not header facts for FLAC → -1. */
+  private def flacMeta(b: Array[Byte]): InternalRow = {
+    val hdr = b(4) & 0x7f
+    if (hdr != 0) return unknown // STREAMINFO must be first
+    val len = ((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) | (b(7) & 0xff)
+    if (len < 34 || 8 + len > b.length) return unknown
+    val o = 8
+    val packed = (0 until 8).foldLeft(0L)((a, k) =>
+      (a << 8) | (b(o + 10 + k) & 0xffL))
+    val rate = (packed >>> 44).toInt
+    val ch = ((packed >>> 41) & 0x7).toInt + 1
+    val total = packed & 0xfffffffffL
+    if (rate <= 0) return unknown
+    val durMs = if (total == 0) -1L else total * 1000L / rate
+    InternalRow(UTF8String.fromString("flac"), ch, rate, durMs, -1, -1)
+  }
+
+  /** Sun/NeXT .au header: duration from the data size for the
+    * fixed-width encodings (G.711 = 1, PCM 2-5). */
+  private def auMeta(b: Array[Byte]): InternalRow = {
+    val dataOff = be32(b, 4)
+    val declared = be32(b, 8)
+    val enc = be32(b, 12)
+    val rate = be32(b, 16)
+    val ch = be32(b, 20)
+    if (dataOff < 24 || rate <= 0 || ch <= 0) return unknown
+    val bytesPer = enc match {
+      case 1 | 2 | 27 => 1
+      case 3 => 2
+      case 4 => 3
+      case 5 => 4
+      case _ => return unknown
+    }
+    val dataLen =
+      if (declared == -1) b.length - dataOff else declared
+    if (dataLen < 0) return unknown
+    val frames = dataLen / bytesPer / ch
+    InternalRow(UTF8String.fromString("au"), ch, rate,
+      frames.toLong * 1000L / rate,
+      rate * ch * bytesPer * 8 / 1000, -1)
+  }
+
+  /** AIFF COMM: channels/frames/rate (80-bit extended, exact). */
+  private def aiffMeta(b: Array[Byte]): InternalRow = {
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val len = be32(b, i + 4)
+      if (len < 0 || i + 8 + len > b.length) return unknown
+      if (id == "COMM") {
+        if (len < 18) return unknown
+        val ch = be16(b, i + 8)
+        val frames = be32(b, i + 10)
+        val bits = be16(b, i + 14)
+        val se = be16(b, i + 16)
+        if ((se & 0x8000) != 0) return unknown
+        var mant = 0L
+        var k = 0
+        while (k < 8) { mant = (mant << 8) | (b(i + 18 + k) & 0xffL); k += 1 }
+        val shift = 16383 + 63 - se
+        if (shift < 0 || shift > 63 ||
+            (shift > 0 && (mant & ((1L << shift) - 1)) != 0L))
+          return unknown
+        val rate = mant >>> shift
+        if (ch <= 0 || rate <= 0 || rate > Int.MaxValue) return unknown
+        return InternalRow(UTF8String.fromString("aiff"), ch, rate.toInt,
+          frames.toLong * 1000L / rate,
+          (rate * ch * bits / 1000L).toInt, frames)
+      }
+      i += 8 + len + (len & 1)
+    }
+    unknown
+  }
 
   private def mp3(b: Array[Byte]): InternalRow = {
     var i = 0

@@ -94,6 +94,34 @@ class AudioMetaSpec extends SparkSpec {
     assert((f, ch, sr, dur, br, n) == ("wav", 2, 8000, 10L, 256, -1))
   }
 
+  test("FLAC metadata: STREAMINFO rate/channels/exact duration") {
+    // the q_audio_flac variant-0 stream: 8000 Hz, mono, 8 samples
+    val flac = ("664c6143800000220010ffff00000000000001f400f0000000080000" +
+      "0000000000000000000000000000fff87000000007bf12ff3800f2d55a883997")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val (f, ch, rate, dur, _, _) = meta(flac)
+    assert((f, ch, rate, dur) == ("flac", 1, 8000, 8L * 1000 / 8000))
+  }
+
+  test("AU and AIFF metadata via the JDK writers") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def enc(t: AudioFileFormat.Type, rate: Float): Array[Byte] = {
+      val raw = new Array[Byte](2 * 100) // 100 frames of 16-bit mono
+      val fmt = new AudioFormat(rate, 16, 1, true, true)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, 100)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, t, bos)
+      bos.toByteArray
+    }
+    val (fa, cha, ra, da, _, _) = meta(enc(AudioFileFormat.Type.AU, 8000f))
+    assert((fa, cha, ra, da) == ("au", 1, 8000, 100L * 1000 / 8000))
+    val (fi, chi, ri, di, _, fr) =
+      meta(enc(AudioFileFormat.Type.AIFF, 44100f))
+    assert((fi, chi, ri, fr) == ("aiff", 1, 44100, 100))
+    assert(di == 100L * 1000 / 44100)
+  }
+
   test("corpus-safety: truncated frame, free-format, garbage -> unknown") {
     val good = mp3Frame(true, 9, 0, 0, false)
     assert(meta(good.dropRight(10))._1 == "unknown") // truncated
