@@ -281,3 +281,68 @@ if "--variants" in sys.argv:
     print("DUCK_SAMPLES = [" + ", ".join(
         "[" + ",".join(map(str, e)) + "]" for e in exp) + "]")
     print("DUCK_RATES = [" + ",".join(str(8000 + v * 250) for v in range(16)) + "]")
+
+# ---- header-path fixtures: natural blocksize codes, explicit rate and
+# sample-size codes, multi-byte UTF-8 frame numbers.
+if "--headers" in sys.argv:
+    def utf8_wide(w, n):
+        if n < 0x80:
+            w.w(n, 8)
+        elif n < 0x800:
+            w.w(0xC0 | (n >> 6), 8); w.w(0x80 | (n & 0x3F), 8)
+        else:
+            w.w(0xE0 | (n >> 12), 8)
+            w.w(0x80 | ((n >> 6) & 0x3F), 8)
+            w.w(0x80 | (n & 0x3F), 8)
+
+    def frame2(frame_idx, chans, bps, ch_asgn, sub_specs,
+               bs_code, sr_code, ss_code, sr_follow=None):
+        bs = len(chans[0])
+        w = BitW()
+        w.w(0x3FFE, 14); w.w(0, 1); w.w(0, 1)
+        w.w(bs_code, 4)
+        w.w(sr_code, 4)
+        w.w(ch_asgn, 4)
+        w.w(ss_code, 3)
+        w.w(0, 1)
+        utf8_wide(w, frame_idx)
+        if bs_code == 6: w.w(bs - 1, 8)
+        if bs_code == 7: w.w(bs - 1, 16)
+        if sr_code == 12: w.w(sr_follow, 8)
+        if sr_code in (13, 14): w.w(sr_follow, 16)
+        hdr = w.bytes()
+        hdr += bytes([crc8(hdr)])
+        w2 = BitW()
+        for c, spec in enumerate(sub_specs):
+            subframe(w2, samples=chans[c], bps=bps, **spec)
+        w2.align()
+        whole = hdr + w2.bytes()
+        whole += crc16(whole).to_bytes(2, "big")
+        return whole
+
+    def emit2(name, rate, bps, nframes, bsize, bs_code, sr_code, ss_code,
+              sr_follow=None):
+        out = b"fLaC" + streaminfo(rate, 1, bps, nframes * bsize)
+        expected = []
+        for i in range(nframes):
+            s = [((i * 37 + k * 13) % 256) - 128 for k in range(bsize)]
+            # force a multi-byte UTF-8 frame number on later frames
+            idx = i if i == 0 else 200 + i
+            out += frame2(idx, [s], bps, 0,
+                          [dict(kind="fixed", order=1, param=5)],
+                          bs_code, sr_code, ss_code, sr_follow)
+            expected += s
+        print(f'  // {name}')
+        print(f'  ("{out.hex()}",')
+        print(f'   Seq({", ".join(map(str, expected))}), 1, {rate}, {bps}),')
+
+    emit2("bsCode 1 (192) x2 frames, utf8 frame number 201", 8000, 16,
+          2, 192, 1, 0, 0)
+    emit2("bsCode 2 (576), srCode 9 (44100) explicit, ssCode 4 (16)",
+          44100, 16, 1, 576, 2, 9, 4)
+    emit2("bsCode 8 (256), srCode 12 (8-bit kHz)", 8000, 16,
+          1, 256, 8, 12, 0, sr_follow=8)
+    emit2("bsCode 6 (8-bit size), srCode 13 (16-bit Hz)", 12345, 16,
+          1, 100, 6, 13, 0, sr_follow=12345)
+    emit2("srCode 14 (16-bit x10)", 44100, 16, 1, 192, 1, 14, 0,
+          sr_follow=4410)
