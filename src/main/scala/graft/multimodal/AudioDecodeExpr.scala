@@ -98,7 +98,9 @@ case class AudioDecodeExpr(child: Expression)
     var channels = -1; var rate = -1; var bits = -1; var fmtCode = -1
     var blockAlign = -1; var factFrames = -1
     var dataOff = -1; var dataLen = -1
-    while (i + 8 <= b.length && (dataOff < 0 || channels < 0)) {
+    // walk EVERY chunk: RIFF does not mandate chunk order, and the
+    // ADPCM fact-chunk truncation must see a fact placed after data
+    while (i + 8 <= b.length) {
       val id = new String(b, i, 4, "US-ASCII")
       val len = le32(b, i + 4)
       if (len < 0 || i + 8 + len > b.length) return unknown

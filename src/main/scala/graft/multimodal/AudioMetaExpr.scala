@@ -133,7 +133,10 @@ case class AudioMetaExpr(child: Expression)
     val enc = be32(b, 12)
     val rate = be32(b, 16)
     val ch = be32(b, 20)
-    if (dataOff < 24 || rate <= 0 || ch <= 0) return unknown
+    // same bounds discipline as the decode twin (AudioDecodeExpr.au):
+    // a declared size past the payload is a truncated file -> unknown
+    if (dataOff < 24 || dataOff > b.length || rate <= 0 || ch <= 0)
+      return unknown
     val bytesPer = enc match {
       case 1 | 2 | 27 => 1
       case 3 => 2
@@ -143,11 +146,12 @@ case class AudioMetaExpr(child: Expression)
     }
     val dataLen =
       if (declared == -1) b.length - dataOff else declared
-    if (dataLen < 0) return unknown
+    if (dataLen < 0 || dataOff + dataLen.toLong > b.length) return unknown
     val frames = dataLen / bytesPer / ch
+    val kbps = rate.toLong * ch * bytesPer * 8 / 1000 // Long: no overflow
+    if (kbps > Int.MaxValue) return unknown
     InternalRow(UTF8String.fromString("au"), ch, rate,
-      frames.toLong * 1000L / rate,
-      rate * ch * bytesPer * 8 / 1000, -1)
+      frames.toLong * 1000L / rate, kbps.toInt, -1)
   }
 
   /** AIFF COMM: channels/frames/rate (80-bit extended, exact). */
@@ -172,10 +176,14 @@ case class AudioMetaExpr(child: Expression)
             (shift > 0 && (mant & ((1L << shift) - 1)) != 0L))
           return unknown
         val rate = mant >>> shift
-        if (ch <= 0 || rate <= 0 || rate > Int.MaxValue) return unknown
+        // frames is a u32 field: a sign-flipped read is malformed (the
+        // decode twin rejects it via its frames < 0 check)
+        if (ch <= 0 || frames < 0 || rate <= 0 || rate > Int.MaxValue)
+          return unknown
+        val kbps = rate * ch * bits / 1000L
+        if (kbps > Int.MaxValue) return unknown
         return InternalRow(UTF8String.fromString("aiff"), ch, rate.toInt,
-          frames.toLong * 1000L / rate,
-          (rate * ch * bits / 1000L).toInt, frames)
+          frames.toLong * 1000L / rate, kbps.toInt, frames)
       }
       i += 8 + len + (len & 1)
     }

@@ -151,7 +151,6 @@ object FlacDecode {
     var outBuf = new Array[Int](
       if (expected > 0) expected.toInt else math.min(maxSamples, 1 << 16).toInt)
     var got = 0 // interleaved samples written
-    var frames = 0L
     while (bits.remaining >= 16) {
       val frameStart = bits.bytePos
       if (!bits.aligned) return None
@@ -218,7 +217,7 @@ object FlacDecode {
       val hdrCrc = bits.u(8).toInt
       if (crc8(b, frameStart, crcHdrEnd) != hdrCrc) return None
       // ---- subframes
-      val chans = new Array[Array[Int]](channels)
+      val chans = new Array[Array[Long]](channels)
       var c = 0
       while (c < channels) {
         // side channel carries one extra bit
@@ -252,7 +251,7 @@ object FlacDecode {
           while (k < blockSize) {
             val side = chans(1)(k)
             var mid = chans(0)(k) << 1
-            mid |= side & 1
+            mid |= side & 1L
             chans(0)(k) = (mid + side) >> 1
             chans(1)(k) = (mid - side) >> 1
             k += 1
@@ -271,10 +270,12 @@ object FlacDecode {
       var k = 0
       while (k < blockSize) {
         c = 0
-        while (c < channels) { outBuf(got) = chans(c)(k); got += 1; c += 1 }
+        while (c < channels) {
+          outBuf(got) = chans(c)(k).toInt // final samples are <= 32-bit
+          got += 1; c += 1
+        }
         k += 1
       }
-      frames += blockSize
       if (expected >= 0 && got >= expected) {
         // trailing bytes after the declared total are tolerated (padding)
         return Some(Result(siCh, siRate, siBits, (expected / siCh).toInt,
@@ -287,7 +288,7 @@ object FlacDecode {
   }
 
   /** One subframe → blockSize samples, or null. */
-  private def subframe(bits: Bits, blockSize: Int, bps: Int): Array[Int] = {
+  private def subframe(bits: Bits, blockSize: Int, bps: Int): Array[Long] = {
     if (bits.u(1) != 0) return null // pad bit
     val typ = bits.u(6).toInt
     val wasted =
@@ -295,33 +296,33 @@ object FlacDecode {
       else 0
     val eff = bps - wasted
     if (eff <= 0 || eff > 33) return null
-    val out = new Array[Int](blockSize)
+    val out = new Array[Long](blockSize)
     if (typ == 0) { // CONSTANT
-      val v = bits.s(eff)
+      val v = bits.sLong(eff)
       java.util.Arrays.fill(out, v)
     } else if (typ == 1) { // VERBATIM
       var k = 0
-      while (k < blockSize) { out(k) = bits.s(eff); k += 1 }
+      while (k < blockSize) { out(k) = bits.sLong(eff); k += 1 }
     } else if (typ >= 8 && typ <= 12) { // FIXED order 0-4
       val order = typ - 8
       if (order > blockSize) return null
       var k = 0
-      while (k < order) { out(k) = bits.s(eff); k += 1 }
+      while (k < order) { out(k) = bits.sLong(eff); k += 1 }
       if (!residual(bits, blockSize, order, out)) return null
       val coefs = FixedCoefs(order)
       k = order
       while (k < blockSize) {
-        var acc = out(k).toLong // residual
+        var acc = out(k) // residual
         var j = 0
         while (j < order) { acc += coefs(j).toLong * out(k - 1 - j); j += 1 }
-        out(k) = acc.toInt
+        out(k) = acc
         k += 1
       }
     } else if (typ >= 32) { // LPC order typ-31
       val order = typ - 31
       if (order > blockSize) return null
       var k = 0
-      while (k < order) { out(k) = bits.s(eff); k += 1 }
+      while (k < order) { out(k) = bits.sLong(eff); k += 1 }
       val precision = bits.u(4).toInt + 1
       if (precision == 16) return null // 1111 invalid
       val shift = bits.s(5)
@@ -335,7 +336,7 @@ object FlacDecode {
         var acc = 0L
         var j = 0
         while (j < order) { acc += coefs(j).toLong * out(k - 1 - j); j += 1 }
-        out(k) = (out(k) + (acc >> shift)).toInt
+        out(k) = out(k) + (acc >> shift)
         k += 1
       }
     } else return null // reserved types
@@ -348,7 +349,7 @@ object FlacDecode {
 
   /** Rice-coded residual into out(order until blockSize); zigzag. */
   private def residual(bits: Bits, blockSize: Int, order: Int,
-      out: Array[Int]): Boolean = {
+      out: Array[Long]): Boolean = {
     val method = bits.u(2).toInt
     if (method > 1) return false
     val pBits = if (method == 0) 4 else 5
@@ -357,7 +358,7 @@ object FlacDecode {
     val parts = 1 << partOrder
     if (blockSize % parts != 0) return false
     val perPart = blockSize >> partOrder
-    if (perPart <= order && parts == 1) return false
+    if (perPart <= order) return false // RFC: bs >> order must exceed pred
     var p = 0
     var k = order
     while (p < parts) {
@@ -368,7 +369,7 @@ object FlacDecode {
         val raw = bits.u(5).toInt
         var n = 0
         while (n < count) {
-          out(k) = if (raw == 0) 0 else bits.s(raw)
+          out(k) = if (raw == 0) 0L else bits.sLong(raw)
           k += 1; n += 1
         }
       } else {
@@ -377,7 +378,7 @@ object FlacDecode {
           val q = bits.unary()
           val low = if (param == 0) 0L else bits.u(param)
           val v = (q.toLong << param) | low
-          out(k) = ((v >>> 1) ^ -(v & 1L)).toInt // zigzag
+          out(k) = (v >>> 1) ^ -(v & 1L) // zigzag
           k += 1; n += 1
         }
       }

@@ -259,6 +259,23 @@ class AudioDecodeSpec extends SparkSpec {
       -29383, -26306, -23508, -20965))
   }
 
+  test("IMA ADPCM: a fact chunk placed AFTER data still truncates (RIFF order-free)") {
+    val samples = Array.tabulate(18)(i => i * 1000 - 9000)
+    val (data, recon) = imaEncode(samples, 1, 8)
+    // hand-assemble with chunk order [fmt, data, fact]
+    val spb = 9
+    val fmt = "fmt ".getBytes ++ le32b(20) ++ le16b(17) ++ le16b(1) ++
+      le32b(8000) ++ le32b(8000 * 8 / spb) ++ le16b(8) ++
+      le16b(4) ++ le16b(2) ++ le16b(spb)
+    val dataCh = "data".getBytes ++ le32b(data.length) ++ data
+    val fact = "fact".getBytes ++ le32b(4) ++ le32b(13)
+    val body = "WAVE".getBytes ++ fmt ++ dataCh ++ fact
+    val wavBytes = "RIFF".getBytes ++ le32b(body.length) ++ body
+    val (f, _, _, _, n, got) = decode(wavBytes)
+    assert(f == "wav-ima" && n == 13)
+    assert(got == recon.take(13).toSeq)
+  }
+
   test("IMA ADPCM: a fact chunk truncates the padded final block") {
     val samples = Array.tabulate(18)(i => i * 1000 - 9000)
     val (data, recon) = imaEncode(samples, 1, 8) // 2 blocks x 9 frames

@@ -89,6 +89,27 @@ class FlacDecodeSpec extends SparkSpec {
    Seq(-128, -115, -102, -89, -76, -63, -50, -37, -24, -11, 2, 15, 28, 41, 54, 67, 80, 93, 106, 119, -124, -111, -98, -85, -72, -59, -46, -33, -20, -7, 6, 19, 32, 45, 58, 71, 84, 97, 110, 123, -120, -107, -94, -81, -68, -55, -42, -29, -16, -3, 10, 23, 36, 49, 62, 75, 88, 101, 114, 127, -116, -103, -90, -77, -64, -51, -38, -25, -12, 1, 14, 27, 40, 53, 66, 79, 92, 105, 118, -125, -112, -99, -86, -73, -60, -47, -34, -21, -8, 5, 18, 31, 44, 57, 70, 83, 96, 109, 122, -121, -108, -95, -82, -69, -56, -43, -30, -17, -4, 9, 22, 35, 48, 61, 74, 87, 100, 113, 126, -117, -104, -91, -78, -65, -52, -39, -26, -13, 0, 13, 26, 39, 52, 65, 78, 91, 104, 117, -126, -113, -100, -87, -74, -61, -48, -35, -22, -9, 4, 17, 30, 43, 56, 69, 82, 95, 108, 121, -122, -109, -96, -83, -70, -57, -44, -31, -18, -5, 8, 21, 34, 47, 60, 73, 86, 99, 112, 125, -118, -105, -92, -79, -66, -53, -40, -27, -14, -1, 12, 25, 38, 51), 1, 44100, 16)
   )
 
+  // 32-bit extremes: the side channel needs 33 bits and the mid/side
+  // reconstruction sum needs 33 — exact only because the decode
+  // pipeline runs in Long (generator --wide)
+  private val wideFixtures: Seq[(String, Seq[Int], Int, Int, Int)] = Seq(
+  // 32-bit mid/side extremes
+  ("664c6143800000220010ffff00000000000001f403f00000000800000000000000000000000000000000fff870a00000074002ffffffffffffffff7ffffffe80000000ffffffff000000003b9ac9fdc4653602027fffffffc0000000400000003ffffffff3b9aca00e2329affcee6b280b88ca6bfba47e",
+   Seq(2147483647, -2147483648, -2147483648, 2147483647, 2147483647, 2147483646, -2147483648, -2147483647, 1000000000, -1000000001, -1000000000, 1000000001, 2000000000, -5, -2000000000, 5), 2, 8000, 32),
+  // 32-bit left/side extremes
+  ("664c6143800000220010ffff00000000000001f403f00000000800000000000000000000000000000000fff870800000078e027fffffff800000007fffffff800000003b9aca00c46536007735940088ca6c00027fffffffc0000000400000003ffffffff3b9aca00e2329affcee6b280b88ca6bfb47df",
+   Seq(2147483647, -2147483648, -2147483648, 2147483647, 2147483647, 2147483646, -2147483648, -2147483647, 1000000000, -1000000001, -1000000000, 1000000001, 2000000000, -5, -2000000000, 5), 2, 8000, 32)
+  )
+
+  test("32-bit stereo decorrelation at int32 extremes decodes exactly") {
+    wideFixtures.zipWithIndex.foreach { case ((h, want, ch, rate, bits), i) =>
+      val (f, gotCh, gotRate, gotBits, n, got) = decode(hex(h))
+      assert(f == "flac", s"wide fixture $i")
+      assert((gotCh, gotRate, gotBits) == (ch, rate, bits), s"wide fixture $i")
+      assert(n == want.length / ch && got == want, s"wide fixture $i")
+    }
+  }
+
   test("header paths: blocksize/rate/size codes and wide frame numbers decode exactly") {
     headerFixtures.zipWithIndex.foreach { case ((h, want, ch, rate, bits), i) =>
       val (f, gotCh, gotRate, gotBits, n, got) = decode(hex(h))

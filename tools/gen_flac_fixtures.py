@@ -102,14 +102,11 @@ def subframe(w, kind, samples, bps, wasted=0, order=None, param=6,
     if kind == "constant":
         w.w(0, 6)
         w.w(1 if wasted else 0, 1)
-        if wasted: w.w(0, wasted - 1); w.w(1, 1) if False else None
         if wasted:
-            pass
+            w.w(0, wasted - 1); w.w(1, 1)  # unary wasted count
         assert all(v == vals[0] for v in vals)
         w.ws(vals[0], eff)
         return
-    if wasted:
-        pass
     if kind == "verbatim":
         w.w(1, 6)
         w.w(1 if wasted else 0, 1)
@@ -346,3 +343,19 @@ if "--headers" in sys.argv:
           1, 100, 6, 13, 0, sr_follow=12345)
     emit2("srCode 14 (16-bit x10)", 44100, 16, 1, 192, 1, 14, 0,
           sr_follow=4410)
+
+# ---- 32-bit stereo mid/side with extreme values (33-bit side channel):
+# the case a 32-bit-int decode pipeline gets wrong.
+if "--wide" in sys.argv:
+    L = [2147483647, -2147483648, 2147483647, -2147483648,
+         1000000000, -1000000000, 2000000000, -2000000000]
+    R = [-2147483648, 2147483647, 2147483646, -2147483647,
+         -1000000001, 1000000001, -5, 5]
+    side = [l - r for l, r in zip(L, R)]
+    mid = [(l + r) >> 1 for l, r in zip(L, R)]
+    emit("32-bit mid/side extremes", 8000, 32,
+         [(10, [mid, side], [L, R],
+           [dict(kind="verbatim"), dict(kind="verbatim")])])
+    emit("32-bit left/side extremes", 8000, 32,
+         [(8, [L, side], [L, R],
+           [dict(kind="verbatim"), dict(kind="verbatim")])])
