@@ -186,113 +186,61 @@ case class AudioDecodeExpr(child: Expression)
     out
   }
 
-  /** Sun/NeXT .au (the public AU header): 24-byte big-endian header
-    * (magic, data offset, data size or ~0, encoding, rate, channels),
-    * then samples. Encodings 1/27 are G.711 mu-law/A-law (expanded to
-    * 16-bit linear like the WAV path), 2-5 are signed big-endian
-    * linear PCM at 8/16/24/32 bits. */
-  private def au(b: Array[Byte]): InternalRow = {
-    val dataOff = be32(b, 4)
-    val declared = be32(b, 8)
-    val enc = be32(b, 12)
-    val rate = be32(b, 16)
-    val channels = be32(b, 20)
-    if (dataOff < 24 || dataOff > b.length || rate <= 0 ||
-        channels <= 0) return unknown
-    val dataLen =
-      if (declared == -1) b.length - dataOff // ~0: stream of unknown size
-      else declared
-    if (dataLen < 0 || dataOff + dataLen.toLong > b.length) return unknown
-    val (bytesPer, bits) = enc match {
-      case 1 | 27 => (1, 8)
-      case 2 => (1, 8)
-      case 3 => (2, 16)
-      case 4 => (3, 24)
-      case 5 => (4, 32)
-      case _ => return unknown // floats / G.72x stay unsupported
-    }
-    val total = dataLen / bytesPer
-    if (total.toLong > MaxPixels) return unknown
-    if (total % channels != 0) return unknown
-    val out =
-      if (enc == 1 || enc == 27) {
-        val o = new Array[Int](total)
-        var s = 0
-        while (s < total) {
-          o(s) = if (enc == 1) AudioDecodeExpr.ulaw2linear(b(dataOff + s) & 0xff)
-          else AudioDecodeExpr.alaw2linear(b(dataOff + s) & 0xff)
-          s += 1
+  /** Sun/NeXT .au (the public AU header; parsed by the shared
+    * [[AudioHeaders.parseAu]]): encodings 1/27 are G.711 mu-law/A-law
+    * (expanded to 16-bit linear like the WAV path), 2-5 are signed
+    * big-endian linear PCM at 8/16/24/32 bits. */
+  private def au(b: Array[Byte]): InternalRow =
+    AudioHeaders.parseAu(b) match {
+      case None => unknown
+      case Some(h) =>
+        val total = h.dataLen / h.bytesPer
+        if (total.toLong > MaxPixels) return unknown
+        if (total % h.channels != 0) return unknown
+        val out =
+          if (h.enc == 1 || h.enc == 27) {
+            val o = new Array[Int](total)
+            var s = 0
+            while (s < total) {
+              o(s) =
+                if (h.enc == 1)
+                  AudioDecodeExpr.ulaw2linear(b(h.dataOff + s) & 0xff)
+                else AudioDecodeExpr.alaw2linear(b(h.dataOff + s) & 0xff)
+              s += 1
+            }
+            o
+          } else bePcm(b, h.dataOff, total, h.bytesPer)
+        val fmt = h.enc match {
+          case 1 => "au-ulaw"
+          case 27 => "au-alaw"
+          case _ => "au"
         }
-        o
-      } else bePcm(b, dataOff, total, bytesPer)
-    val fmt = enc match {
-      case 1 => "au-ulaw"
-      case 27 => "au-alaw"
-      case _ => "au"
+        InternalRow(UTF8String.fromString(fmt), h.channels, h.rate, h.bits,
+          total / h.channels, new GenericArrayData(out))
     }
-    InternalRow(UTF8String.fromString(fmt), channels, rate, bits,
-      total / channels, new GenericArrayData(out))
-  }
 
-  /** AIFF (EA IFF 85 / Apple AIFF 1.3): FORM/AIFF chunk walk — COMM
-    * carries channels, frame count, sample size and the rate as an
-    * 80-bit extended float (decoded with EXACT integer arithmetic:
-    * mantissa >> (16446 - exp), non-integer rates → unknown), SSND
-    * carries big-endian signed PCM after its offset field. */
-  private def aiff(b: Array[Byte]): InternalRow = {
-    var i = 12
-    var channels = -1; var frames = -1; var sampleSize = -1; var rate = -1
-    var dataOff = -1; var dataAvail = -1
-    while (i + 8 <= b.length && (dataOff < 0 || channels < 0)) {
-      val id = new String(b, i, 4, "US-ASCII")
-      val len = be32(b, i + 4)
-      if (len < 0 || i + 8 + len > b.length) return unknown
-      id match {
-        case "COMM" =>
-          if (len < 18) return unknown
-          channels = be16(b, i + 8)
-          frames = be32(b, i + 10)
-          sampleSize = be16(b, i + 14)
-          // 80-bit extended float at i+16: 1 sign + 15 exp + 64 mantissa
-          val se = be16(b, i + 16)
-          if ((se & 0x8000) != 0) return unknown // negative rate
-          var mant = 0L
-          var k = 0
-          while (k < 8) { mant = (mant << 8) | (b(i + 18 + k) & 0xffL); k += 1 }
-          val shift = 16383 + 63 - se
-          if (se == 0 && mant == 0L) return unknown // rate 0
-          if (shift < 0 || shift > 63 ||
-              (shift > 0 && (mant & ((1L << shift) - 1)) != 0L))
-            return unknown // non-integer or out-of-range rate
-          val r = mant >>> shift
-          if (r <= 0 || r > Int.MaxValue) return unknown
-          rate = r.toInt
-        case "SSND" =>
-          if (len < 8) return unknown
-          val off = be32(b, i + 8) // alignment offset into the chunk
-          if (off < 0 || off > len - 8) return unknown
-          dataOff = i + 16 + off
-          dataAvail = len - 8 - off
-        case _ => () // MARK / INST / annotations ... skipped
-      }
-      i += 8 + len + (len & 1) // chunks are word-aligned
+  /** AIFF (EA IFF 85 / Apple AIFF 1.3; COMM/SSND walk + exact 80-bit
+    * rate via the shared [[AudioHeaders.parseAiff]]): SSND carries
+    * big-endian signed PCM after its offset field. */
+  private def aiff(b: Array[Byte]): InternalRow =
+    AudioHeaders.parseAiff(b) match {
+      case None => unknown
+      case Some(h) =>
+        if (h.dataOff < 0) return unknown // metadata-only file
+        val bytesPer = h.bits match {
+          case 8 => 1
+          case 16 => 2
+          case 24 => 3
+          case 32 => 4
+          case _ => return unknown // sub-byte / float AIFC unsupported
+        }
+        val total = h.frames.toLong * h.channels
+        if (total > MaxPixels) return unknown
+        if (total * bytesPer > h.dataAvail) return unknown // truncated
+        val out = bePcm(b, h.dataOff, total.toInt, bytesPer)
+        InternalRow(UTF8String.fromString("aiff"), h.channels, h.rate,
+          h.bits, h.frames, new GenericArrayData(out))
     }
-    if (channels <= 0 || frames < 0 || rate <= 0 || dataOff < 0)
-      return unknown
-    val bytesPer = sampleSize match {
-      case 8 => 1
-      case 16 => 2
-      case 24 => 3
-      case 32 => 4
-      case _ => return unknown // sub-byte / float AIFC unsupported
-    }
-    val total = frames.toLong * channels
-    if (total > MaxPixels) return unknown
-    if (total * bytesPer > dataAvail) return unknown // truncated
-    val out = bePcm(b, dataOff, total.toInt, bytesPer)
-    InternalRow(UTF8String.fromString("aiff"), channels, rate, sampleSize,
-      frames, new GenericArrayData(out))
-  }
 
   /** MS ADPCM (RIFF fmt code 2): per block, per channel, a predictor
     * index into the 7 STANDARD coefficient pairs, an int16 initial

@@ -101,94 +101,45 @@ case class AudioMetaExpr(child: Expression)
     128, 144, 160)
   private val SrV1 = Array(44100, 48000, 32000)
 
-  private def be16(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
-  private def be32(b: Array[Byte], i: Int): Int =
-    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
-      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
-
-  /** FLAC STREAMINFO: rate/channels/total-samples → exact duration.
-    * bitrate/frames are not header facts for FLAC → -1. */
+  /** FLAC STREAMINFO (shared field unpack [[AudioHeaders.flacStreamInfo]]):
+    * rate/channels/total-samples → exact duration. bitrate/frames are
+    * not header facts for FLAC → -1. */
   private def flacMeta(b: Array[Byte]): InternalRow = {
     val hdr = b(4) & 0x7f
     if (hdr != 0) return unknown // STREAMINFO must be first
     val len = ((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) | (b(7) & 0xff)
     if (len < 34 || 8 + len > b.length) return unknown
-    val o = 8
-    val packed = (0 until 8).foldLeft(0L)((a, k) =>
-      (a << 8) | (b(o + 10 + k) & 0xffL))
-    val rate = (packed >>> 44).toInt
-    val ch = ((packed >>> 41) & 0x7).toInt + 1
-    val total = packed & 0xfffffffffL
-    if (rate <= 0) return unknown
-    val durMs = if (total == 0) -1L else total * 1000L / rate
-    InternalRow(UTF8String.fromString("flac"), ch, rate, durMs, -1, -1)
+    val si = AudioHeaders.flacStreamInfo(b, 8)
+    if (si.rate <= 0) return unknown
+    val durMs = if (si.total == 0) -1L else si.total * 1000L / si.rate
+    InternalRow(UTF8String.fromString("flac"), si.channels, si.rate,
+      durMs, -1, -1)
   }
 
-  /** Sun/NeXT .au header: duration from the data size for the
-    * fixed-width encodings (G.711 = 1, PCM 2-5). */
-  private def auMeta(b: Array[Byte]): InternalRow = {
-    val dataOff = be32(b, 4)
-    val declared = be32(b, 8)
-    val enc = be32(b, 12)
-    val rate = be32(b, 16)
-    val ch = be32(b, 20)
-    // same bounds discipline as the decode twin (AudioDecodeExpr.au):
-    // a declared size past the payload is a truncated file -> unknown
-    if (dataOff < 24 || dataOff > b.length || rate <= 0 || ch <= 0)
-      return unknown
-    val bytesPer = enc match {
-      case 1 | 2 | 27 => 1
-      case 3 => 2
-      case 4 => 3
-      case 5 => 4
-      case _ => return unknown
-    }
-    val dataLen =
-      if (declared == -1) b.length - dataOff else declared
-    if (dataLen < 0 || dataOff + dataLen.toLong > b.length) return unknown
-    val frames = dataLen / bytesPer / ch
-    val kbps = rate.toLong * ch * bytesPer * 8 / 1000 // Long: no overflow
-    if (kbps > Int.MaxValue) return unknown
-    InternalRow(UTF8String.fromString("au"), ch, rate,
-      frames.toLong * 1000L / rate, kbps.toInt, -1)
-  }
-
-  /** AIFF COMM: channels/frames/rate (80-bit extended, exact). */
-  private def aiffMeta(b: Array[Byte]): InternalRow = {
-    var i = 12
-    while (i + 8 <= b.length) {
-      val id = new String(b, i, 4, "US-ASCII")
-      val len = be32(b, i + 4)
-      if (len < 0 || i + 8 + len > b.length) return unknown
-      if (id == "COMM") {
-        if (len < 18) return unknown
-        val ch = be16(b, i + 8)
-        val frames = be32(b, i + 10)
-        val bits = be16(b, i + 14)
-        val se = be16(b, i + 16)
-        if ((se & 0x8000) != 0) return unknown
-        var mant = 0L
-        var k = 0
-        while (k < 8) { mant = (mant << 8) | (b(i + 18 + k) & 0xffL); k += 1 }
-        val shift = 16383 + 63 - se
-        if (shift < 0 || shift > 63 ||
-            (shift > 0 && (mant & ((1L << shift) - 1)) != 0L))
-          return unknown
-        val rate = mant >>> shift
-        // frames is a u32 field: a sign-flipped read is malformed (the
-        // decode twin rejects it via its frames < 0 check)
-        if (ch <= 0 || frames < 0 || rate <= 0 || rate > Int.MaxValue)
-          return unknown
-        val kbps = rate * ch * bits / 1000L
+  /** Sun/NeXT .au header (shared [[AudioHeaders.parseAu]]): duration
+    * from the data size for the fixed-width encodings. */
+  private def auMeta(b: Array[Byte]): InternalRow =
+    AudioHeaders.parseAu(b) match {
+      case None => unknown
+      case Some(h) =>
+        val frames = h.dataLen / h.bytesPer / h.channels
+        val kbps = h.rate.toLong * h.channels * h.bytesPer * 8 / 1000
         if (kbps > Int.MaxValue) return unknown
-        return InternalRow(UTF8String.fromString("aiff"), ch, rate.toInt,
-          frames.toLong * 1000L / rate, kbps.toInt, frames)
-      }
-      i += 8 + len + (len & 1)
+        InternalRow(UTF8String.fromString("au"), h.channels, h.rate,
+          frames.toLong * 1000L / h.rate, kbps.toInt, -1)
     }
-    unknown
-  }
+
+  /** AIFF COMM (shared [[AudioHeaders.parseAiff]]): channels/frames/
+    * rate — no SSND required for metadata. */
+  private def aiffMeta(b: Array[Byte]): InternalRow =
+    AudioHeaders.parseAiff(b) match {
+      case None => unknown
+      case Some(h) =>
+        val kbps = h.rate.toLong * h.channels * h.bits / 1000L
+        if (kbps > Int.MaxValue) return unknown
+        InternalRow(UTF8String.fromString("aiff"), h.channels, h.rate,
+          h.frames.toLong * 1000L / h.rate, kbps.toInt, h.frames)
+    }
 
   private def mp3(b: Array[Byte]): InternalRow = {
     var i = 0

@@ -126,17 +126,12 @@ object FlacDecode {
       val len = ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) |
         (b(i + 3) & 0xff)
       if (i + 4 + len > b.length) return None
-      if (typ == 0) { // STREAMINFO
+      if (typ == 0) { // STREAMINFO (shared field unpack: AudioHeaders)
         if (len < 34 || sawStreamInfo) return None
         sawStreamInfo = true
-        val o = i + 4
-        // 16+16 block sizes, 24+24 frame sizes, then the packed fields
-        val packed = // 64 bits at o+10: rate(20) ch(3) bits(5) total(36)
-          (0 until 8).foldLeft(0L)((a, k) => (a << 8) | (b(o + 10 + k) & 0xffL))
-        siRate = (packed >>> 44).toInt
-        siCh = ((packed >>> 41) & 0x7).toInt + 1
-        siBits = ((packed >>> 36) & 0x1f).toInt + 1
-        siTotal = packed & 0xfffffffffL
+        val si = AudioHeaders.flacStreamInfo(b, i + 4)
+        siRate = si.rate; siCh = si.channels
+        siBits = si.bits; siTotal = si.total
       } else if (typ == 127) return None // invalid block type
       i += 4 + len
     }
