@@ -23,7 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    estimate; reported bitrate_kbps is the first frame's;
   *  - FLAC: STREAMINFO (rate/channels/total samples → exact duration);
   *  - Sun/NeXT .au and AIFF COMM: header fields, integer-exact 80-bit
-  *    extended rate (AIFF), PCM duration from the data/frame counts.
+  *    extended rate (AIFF), PCM duration from the data/frame counts;
+  *  - Ogg (Vorbis + Opus): identification header on the first page
+  *    (channels/rate/Opus pre-skip), exact duration from the final
+  *    EOS page's granule position (Vorbis: PCM frames at the stream
+  *    rate; Opus: 48 kHz ticks minus pre-skip per RFC 7845).
   *
   * Output: struct<format, channels, sample_rate, duration_ms,
   * bitrate_kbps, frames>. Malformed / truncated / other formats yield
@@ -63,6 +67,8 @@ case class AudioMetaExpr(child: Expression)
       else if (b.length >= 12 && b(0) == 'F' && b(1) == 'O' &&
           b(2) == 'R' && b(3) == 'M' && b(8) == 'A' && b(9) == 'I' &&
           b(10) == 'F' && b(11) == 'F') aiffMeta(b)
+      else if (b.length >= 28 && b(0) == 'O' && b(1) == 'g' &&
+          b(2) == 'g' && b(3) == 'S') oggMeta(b)
       else mp3(b)
     } catch { case _: Exception => unknown }
   }
@@ -140,6 +146,76 @@ case class AudioMetaExpr(child: Expression)
         InternalRow(UTF8String.fromString("aiff"), h.channels, h.rate,
           h.frames.toLong * 1000L / h.rate, kbps.toInt, h.frames)
     }
+
+  private def le64(b: Array[Byte], i: Int): Long = {
+    var v = 0L
+    var k = 7
+    while (k >= 0) { v = (v << 8) | (b(i + k) & 0xffL); k -= 1 }
+    v
+  }
+
+  /** Ogg page walk (the public Ogg framing spec): the first page's
+    * payload carries the codec identification header — Vorbis
+    * ("vorbis": channels u8, rate u32 LE) or Opus ("OpusHead":
+    * channels u8, pre-skip u16 LE; output clock fixed at 48 kHz per
+    * RFC 7845) — and the final EOS page's granule position gives the
+    * exact stream duration. Multiplexed (multi-serial) streams and
+    * other codecs map to unknown. */
+  private def oggMeta(b: Array[Byte]): InternalRow = {
+    var i = 0
+    var serial = 0
+    var ch = -1; var rate = -1; var preSkip = 0; var codec: String = null
+    var lastGranule = -1L
+    var sawEos = false
+    var first = true
+    while (i + 27 <= b.length) {
+      if (!(b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' &&
+          b(i + 3) == 'S') || b(i + 4) != 0) return unknown
+      val flags = b(i + 5) & 0xff
+      val granule = le64(b, i + 6)
+      val pageSerial = le32(b, i + 14)
+      val nSegs = b(i + 26) & 0xff
+      if (i + 27 + nSegs > b.length) return unknown
+      var payloadLen = 0
+      var k = 0
+      while (k < nSegs) { payloadLen += b(i + 27 + k) & 0xff; k += 1 }
+      val payloadOff = i + 27 + nSegs
+      if (payloadOff + payloadLen > b.length) return unknown
+      if (first) {
+        serial = pageSerial
+        if ((flags & 0x02) == 0) return unknown // first page must be BOS
+        // identification header at the payload start
+        if (payloadLen >= 30 && b(payloadOff) == 1 &&
+            new String(b, payloadOff + 1, 6, "US-ASCII") == "vorbis") {
+          codec = "ogg-vorbis"
+          ch = b(payloadOff + 11) & 0xff
+          rate = le32(b, payloadOff + 12)
+        } else if (payloadLen >= 19 &&
+            new String(b, payloadOff, 8, "US-ASCII") == "OpusHead") {
+          codec = "ogg-opus"
+          ch = b(payloadOff + 9) & 0xff
+          preSkip = le16(b, payloadOff + 10)
+          rate = 48000 // RFC 7845: granule clock is always 48 kHz
+        } else return unknown
+        first = false
+      } else if (pageSerial != serial) {
+        return unknown // multiplexed streams unsupported
+      }
+      if (granule != -1L) lastGranule = granule
+      if ((flags & 0x04) != 0) { sawEos = true }
+      i = payloadOff + payloadLen
+      if (sawEos) {
+        if (ch <= 0 || rate <= 0 || lastGranule < 0) return unknown
+        val samples = codec match {
+          case "ogg-opus" => math.max(0L, lastGranule - preSkip)
+          case _ => lastGranule
+        }
+        return InternalRow(UTF8String.fromString(codec), ch, rate,
+          samples * 1000L / rate, -1, -1)
+      }
+    }
+    unknown // no EOS page: truncated stream
+  }
 
   private def mp3(b: Array[Byte]): InternalRow = {
     var i = 0

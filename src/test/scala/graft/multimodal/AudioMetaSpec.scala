@@ -122,6 +122,60 @@ class AudioMetaSpec extends SparkSpec {
     assert(di == 100L * 1000 / 44100)
   }
 
+  private def le16o(v: Int) = Array[Byte]((v & 0xff).toByte, (v >> 8).toByte)
+  private def le32o(v: Int) = Array[Byte]((v & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 24) & 0xff).toByte)
+  private def le64o(v: Long) = Array.tabulate[Byte](8)(k =>
+    ((v >> (8 * k)) & 0xff).toByte)
+
+  private def oggPage(serial: Int, granule: Long, flags: Int, seq: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val segs = scala.collection.mutable.ArrayBuffer[Byte]()
+    var rem = payload.length
+    while (rem >= 255) { segs += 255.toByte; rem -= 255 }
+    segs += rem.toByte
+    "OggS".getBytes ++ Array[Byte](0, flags.toByte) ++ le64o(granule) ++
+      le32o(serial) ++ le32o(seq) ++ le32o(0) ++ // CRC not verified
+      Array(segs.length.toByte) ++ segs ++ payload
+  }
+
+  private def vorbisId(ch: Int, rate: Int): Array[Byte] =
+    Array[Byte](1) ++ "vorbis".getBytes ++ le32o(0) ++
+      Array(ch.toByte) ++ le32o(rate) ++ le32o(0) ++ le32o(0) ++
+      le32o(0) ++ Array[Byte](0x66.toByte, 1)
+
+  private def opusHead(ch: Int, preSkip: Int): Array[Byte] =
+    "OpusHead".getBytes ++ Array[Byte](1, ch.toByte) ++ le16o(preSkip) ++
+      le32o(48000) ++ le16o(0) ++ Array[Byte](0)
+
+  test("Ogg Vorbis: id header + EOS granule give exact duration") {
+    val stream = oggPage(7, -1L, 0x02, 0, vorbisId(2, 44100)) ++
+      oggPage(7, 22050L, 0x00, 1, Array[Byte](1, 2, 3)) ++
+      oggPage(7, 88200L, 0x04, 2, Array[Byte](4, 5))
+    val (f, ch, rate, dur, _, _) = meta(stream)
+    assert((f, ch, rate, dur) == ("ogg-vorbis", 2, 44100, 2000L))
+  }
+
+  test("Ogg Opus: 48 kHz granule clock minus pre-skip (RFC 7845)") {
+    val stream = oggPage(9, -1L, 0x02, 0, opusHead(1, 312)) ++
+      oggPage(9, 48000L + 312, 0x04, 1, Array[Byte](1))
+    val (f, ch, rate, dur, _, _) = meta(stream)
+    assert((f, ch, rate, dur) == ("ogg-opus", 1, 48000, 1000L))
+  }
+
+  test("Ogg corpus-safety: multiplexed serials, missing EOS, other codecs -> unknown") {
+    val v = oggPage(7, -1L, 0x02, 0, vorbisId(2, 44100))
+    // second page with a different serial = multiplexed
+    assert(meta(v ++ oggPage(8, 100L, 0x04, 1, Array[Byte](1)))._1
+      == "unknown")
+    // truncated: no EOS page
+    assert(meta(v)._1 == "unknown")
+    // unknown codec id packet
+    assert(meta(oggPage(7, -1L, 0x02, 0,
+      "theora-stuff-goes-here-padding".getBytes))._1 == "unknown")
+  }
+
   test("corpus-safety: truncated frame, free-format, garbage -> unknown") {
     val good = mp3Frame(true, 9, 0, 0, false)
     assert(meta(good.dropRight(10))._1 == "unknown") // truncated
