@@ -865,6 +865,44 @@ object SamplingPackQueries {
           CAST(doc_id % 16 + 1 AS INT)), ',') AS samples
       FROM documents""")),
 
+    // Ogg metadata (round-11 AudioMetaExpr surfaces): per doc a
+    // two-page Ogg stream — BOS page carrying a Vorbis identification
+    // header with rate 8000 + doc_id % 32000, EOS page whose granule
+    // position is doc_id % 100000 + 4096 PCM frames — synthesized with
+    // pure builtins (the page CRC is not part of the metadata
+    // contract) and walked back out; the oracle replays the
+    // granule-to-duration arithmetic.
+    QueryDef("q_audio_ogg_meta", (s, dir) => {
+      def leN(c: org.apache.spark.sql.Column, hexDigits: Int) = {
+        val hh = lpad(hex(c), hexDigits, "0")
+        concat((hexDigits - 1 to 1 by -2).map(i => substring(hh, i, 2)): _*)
+      }
+      val rate = (lit(8000) + pmod(col("doc_id"), lit(32000))).cast("int")
+      val granule = (pmod(col("doc_id"), lit(100000)) + 4096).cast("long")
+      val vorbisId = concat(
+        lit("01" + "766F72626973" + "00000000" + "02"),
+        leN(rate, 8), lit("00" * 12 + "66" + "01"))
+      val page1 = concat(
+        lit("4F676753" + "00" + "02" + "FF" * 8 +
+          "07000000" + "00000000" + "00000000" + "01" + "1E"),
+        vorbisId)
+      val page2 = concat(
+        lit("4F676753" + "00" + "04"), leN(granule, 16),
+        lit("07000000" + "01000000" + "00000000" + "01" + "01" + "AA"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.audioMeta(unhex(concat(page1, page2))).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.channels").as("channels"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.duration_ms").as("duration_ms"))
+    }, Some("""
+      SELECT doc_id, 'ogg-vorbis' AS format, 2 AS channels,
+        CAST(8000 + doc_id % 32000 AS INT) AS sample_rate,
+        CAST((doc_id % 100000 + 4096) * 1000
+          // (8000 + doc_id % 32000) AS BIGINT) AS duration_ms
+      FROM documents""")),
+
     // EXIF orientation (ExifOrientationExpr): per doc a JPEG APP1
     // segment with a real TIFF 6.0 IFD0 carrying tag 0x0112 is
     // synthesized from doc_id — little-endian (II) for doc_id%3==0,
