@@ -661,6 +661,11 @@ case class ImageDecodeExpr(child: Expression)
   }
 
   // ---------------------------------------------------------------- BMP
+  /** BMP: 24/32bpp BI_RGB plus the legacy palette formats — 1/4/8-bit
+    * indexed through the BGRA color table, and RLE8/RLE4 compression
+    * (BI_RLE8/BI_RLE4 escapes: 0 = end-of-line, 1 = end-of-bitmap,
+    * 2 = delta, n = word-aligned absolute run). 16bpp/BI_BITFIELDS
+    * stay unknown (mask layouts vary by writer). */
   private def bmp(b: Array[Byte]): InternalRow = {
     if (b.length < 54) return unknown
     val dataOff = le32(b, 10)
@@ -672,27 +677,106 @@ case class ImageDecodeExpr(child: Expression)
     val h = math.abs(hRaw)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
-    if (w <= 0 || h <= 0 || compression != 0 ||
-        (bpp != 24 && bpp != 32)) return unknown
+    val colorsUsed = le32(b, 46)
+    if (w <= 0 || h <= 0) return unknown
     if (w.toLong * h > MaxPixels) return unknown
-    val bytesPerPx = bpp / 8
-    val stride = ((w * bytesPerPx + 3) / 4) * 4 // rows pad to 4 bytes
-    if (dataOff < 0 || dataOff.toLong + stride.toLong * h > b.length)
-      return unknown
+    if (dataOff < 0 || dataOff > b.length) return unknown
+    val paletted = bpp == 1 || bpp == 4 || bpp == 8
+    if (!paletted && bpp != 24 && bpp != 32) return unknown
+    if (compression != 0 && !(compression == 1 && bpp == 8) &&
+        !(compression == 2 && bpp == 4)) return unknown
+    if (compression != 0 && topDown) return unknown // RLE is bottom-up
+    // palette: BGRA quads right after the DIB header
+    val palette: Array[Int] =
+      if (!paletted) null
+      else {
+        val at = 14 + dibSize
+        // colorsUsed = 0 means "full palette", but writers (the JDK
+        // included) store only the entries they use — the table is
+        // additionally bounded by the pixel-data offset
+        val room = math.max(0, (math.min(dataOff, b.length) - at) / 4)
+        val declared = math.min(
+          if (colorsUsed > 0) colorsUsed else 1 << bpp, room)
+        if (declared <= 0 || declared > (1 << bpp)) return unknown
+        Array.tabulate(declared)(k => 0xff000000 |
+          ((b(at + k * 4 + 2) & 0xff) << 16) |
+          ((b(at + k * 4 + 1) & 0xff) << 8) | (b(at + k * 4) & 0xff))
+      }
     val px = new Array[Int](w * h)
+    if (compression != 0) { // RLE8 / RLE4, bottom-up
+      var src = dataOff
+      var x = 0; var row = h - 1 // destination in image coordinates
+      def put(idx: Int): Boolean = {
+        if (x >= w || row < 0 || idx >= palette.length) return false
+        px(row * w + x) = palette(idx); x += 1; true
+      }
+      var doneAll = false
+      while (!doneAll) {
+        if (src + 2 > b.length) return unknown
+        val n = b(src) & 0xff; val v = b(src + 1) & 0xff; src += 2
+        if (n > 0) { // encoded run: n pixels of v (RLE4: two nibbles)
+          var k = 0
+          while (k < n) {
+            val idx = if (compression == 1) v
+              else if ((k & 1) == 0) v >>> 4 else v & 0xf
+            if (!put(idx)) return unknown
+            k += 1
+          }
+        } else v match {
+          case 0 => x = 0; row -= 1 // end of line
+          case 1 => doneAll = true // end of bitmap
+          case 2 => // delta: move right/up
+            if (src + 2 > b.length) return unknown
+            x += b(src) & 0xff; row -= b(src + 1) & 0xff; src += 2
+            if (x > w || row < -1) return unknown
+          case cnt => // absolute run, word-aligned
+            val bytes =
+              if (compression == 1) cnt else (cnt + 1) / 2
+            val padded = bytes + (bytes & 1)
+            if (src + padded > b.length) return unknown
+            var k = 0
+            while (k < cnt) {
+              val by = b(src + (if (compression == 1) k else k >> 1)) & 0xff
+              val idx = if (compression == 1) by
+                else if ((k & 1) == 0) by >>> 4 else by & 0xf
+              if (!put(idx)) return unknown
+              k += 1
+            }
+            src += padded
+        }
+      }
+      // pixels never written stay 0 (transparent) — RLE deltas may
+      // legally skip regions; real viewers show background there
+      return out("bmp", w, h, px)
+    }
+    val stride = ((w * bpp + 31) / 32) * 4 // rows pad to 4 bytes
+    if (dataOff.toLong + stride.toLong * h > b.length) return unknown
     var y = 0
     while (y < h) {
       val srcRow = if (topDown) y else h - 1 - y
       val off = dataOff + srcRow * stride
       var x = 0
       while (x < w) {
-        val o = off + x * bytesPerPx
-        // stored order B,G,R[,A]; the 24bpp alpha is opaque, the 32bpp
-        // 4th byte is taken as alpha (writers that leave the reserved
-        // byte zero should be routed through the 24bpp path)
-        val a = if (bpp == 32) (b(o + 3) & 0xff) << 24 else 0xff000000
-        px(y * w + x) = a | ((b(o + 2) & 0xff) << 16) |
-          ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+        px(y * w + x) =
+          if (paletted) {
+            val bit = x * bpp
+            val by = b(off + (bit >> 3)) & 0xff
+            val idx = bpp match {
+              case 8 => by
+              case 4 => if ((x & 1) == 0) by >>> 4 else by & 0xf
+              case _ => (by >>> (7 - (bit & 7))) & 1
+            }
+            if (idx >= palette.length) return unknown
+            palette(idx)
+          } else {
+            val o = off + x * (bpp / 8)
+            // stored order B,G,R[,A]; the 24bpp alpha is opaque, the
+            // 32bpp 4th byte is taken as alpha (writers that leave the
+            // reserved byte zero should use the 24bpp path)
+            val a = if (bpp == 32) (b(o + 3) & 0xff) << 24 else 0xff000000
+            a | ((b(o + 2) & 0xff) << 16) |
+              ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+          }
         x += 1
       }
       y += 1

@@ -259,6 +259,62 @@ class ImageDecodeSpec extends SparkSpec {
     assert(px == argb(img))
   }
 
+  test("bmp palette formats round-trip against the JDK writer (8/1-bit, gray)") {
+    // 8-bit indexed with a non-trivial palette
+    val cm = new java.awt.image.IndexColorModel(8, 64,
+      Array.tabulate(64)(i => (i * 4).toByte),
+      Array.tabulate(64)(i => (255 - i * 3).toByte),
+      Array.tabulate(64)(i => ((i * 37) % 256).toByte))
+    val idx = new BufferedImage(23, 9, BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until 9; x <- 0 until 23)
+      idx.getRaster.setSample(x, y, 0, (x * 7 + y * 3) % 64)
+    val (f1, w1, h1, px1) = decode(encodeJdk(idx, "bmp"))
+    assert((f1, w1, h1) == ("bmp", 23, 9))
+    assert(px1 == argb(idx))
+    // 1-bit binary (stride/bit-order edge: width 19)
+    val bin = new BufferedImage(19, 5, BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until 5; x <- 0 until 19)
+      bin.setRGB(x, y, if ((x * 3 + y * 7) % 5 < 2) 0xffffff else 0)
+    val (f2, w2, h2, px2) = decode(encodeJdk(bin, "bmp"))
+    assert((f2, w2, h2) == ("bmp", 19, 5))
+    assert(px2 == argb(bin))
+    // 8-bit gray goes through a linear 256-entry gray palette — compare
+    // against the RAW samples (argb()/getRGB would apply the gray->sRGB
+    // transform; same rationale as the PNG gray test)
+    val gray = testImage(11, 7, BufferedImage.TYPE_BYTE_GRAY)
+    val (f3, w3, h3, px3) = decode(encodeJdk(gray, "bmp"))
+    assert((f3, w3, h3) == ("bmp", 11, 7))
+    val want = for (y <- 0 until 7; x <- 0 until 11) yield {
+      val g = gray.getRaster.getSample(x, y, 0)
+      0xff000000 | (g << 16) | (g << 8) | g
+    }
+    assert(px3 == want)
+  }
+
+  test("bmp BI_RLE8 compression round-trips against the JDK writer") {
+    def encodeRle(img: BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val writer = ImageIO.getImageWritersByFormatName("bmp").next()
+      val ios = ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType("BI_RLE8")
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      writer.dispose(); ios.close()
+      out.toByteArray
+    }
+    // runs of equal pixels + noise stretches exercise encoded AND
+    // absolute RLE modes
+    val img = new BufferedImage(37, 11, BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 11; x <- 0 until 37)
+      img.getRaster.setSample(x, y, 0,
+        if (x < 15) y * 3 else (x * 31 + y * 17) % 256)
+    val (f, w, h, px) = decode(encodeRle(img))
+    assert((f, w, h) == ("bmp", 37, 11))
+    assert(px == argb(img))
+  }
+
   test("bmp 24bpp round-trips pixel-exact (bottom-up rows, padded stride)") {
     // width 7: a 21-byte row pads to 24 — exercises the stride math
     val img = testImage(7, 5, BufferedImage.TYPE_INT_RGB)
