@@ -903,6 +903,58 @@ object SamplingPackQueries {
           // (8000 + doc_id % 32000) AS BIGINT) AS duration_ms
       FROM documents""")),
 
+    // BMP palette + RLE decode (round-11 ImageDecodeExpr surfaces):
+    // evens a 2x2 8bpp palette BMP (4 BGRA table entries from doc_id
+    // arithmetic, indices 0..3, bottom-up rows), odds a 4x2 BI_RLE8
+    // BMP (2-entry palette, one encoded run per row with EOL/EOF
+    // escapes). The oracle replays the palette arithmetic.
+    QueryDef("q_bmp_palette", (s, dir) => {
+      def hx(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def v(k: Int, c: Int) = pmod(col("doc_id") * 7 + k * 13 + c * 29,
+        lit(256)).cast("int")
+      def quad(k: Int) = // palette entry: B,G,R,reserved
+        concat(hx(v(k, 2)), hx(v(k, 1)), hx(v(k, 0)), lit("00"))
+      val pal8 = concat(
+        lit("424D" + "4E000000" + "00000000" + "46000000" + // data at 70
+          "28000000" + "02000000" + "02000000" + "0100" + "0800" +
+          "00000000" + "08000000" + "00000000" + "00000000" +
+          "04000000" + "00000000"), // colorsUsed = 4
+        quad(0), quad(1), quad(2), quad(3),
+        // bottom-up: indices (2,3) then (0,1), rows pad to 4 bytes
+        lit("0203" + "0000" + "0001" + "0000"))
+      val rle8 = concat(
+        lit("424D" + "4A000000" + "00000000" + "3E000000" + // data at 62
+          "28000000" + "04000000" + "02000000" + "0100" + "0800" +
+          "01000000" + "0C000000" + "00000000" + "00000000" + // BI_RLE8
+          "02000000" + "00000000"), // colorsUsed = 2
+        quad(0), quad(1),
+        // bottom row: 4 x index0, EOL; top row: 4 x index1, EOF
+        lit("0400" + "0000" + "0401" + "0001"))
+      val payload = unhex(
+        when(col("doc_id") % 2 === 0, pal8).otherwise(rle8))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.decodeImage(payload).as("d"))
+        .select(col("doc_id"), col("d.format").as("format"),
+          col("d.width").as("width"), col("d.height").as("height"),
+          element_at(col("d.pixels"), 1).as("p_first"),
+          when(col("doc_id") % 2 === 0, element_at(col("d.pixels"), 4))
+            .otherwise(element_at(col("d.pixels"), 8)).as("p_last"))
+    }, Some {
+      def pix(k: String) =
+        s"""(doc_id*7 + $k*13) % 256 * 65536
+           + (doc_id*7 + $k*13 + 29) % 256 * 256
+           + (doc_id*7 + $k*13 + 58) % 256 - 16777216"""
+      s"""
+      SELECT doc_id, 'bmp' AS format,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 4 END AS INT) AS width,
+        2 AS height,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN ${pix("0")}
+             ELSE ${pix("1")} END AS INTEGER) AS p_first,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN ${pix("3")}
+             ELSE ${pix("0")} END AS INTEGER) AS p_last
+      FROM documents"""
+    }),
+
     // EXIF orientation (ExifOrientationExpr): per doc a JPEG APP1
     // segment with a real TIFF 6.0 IFD0 carrying tag 0x0112 is
     // synthesized from doc_id — little-endian (II) for doc_id%3==0,
