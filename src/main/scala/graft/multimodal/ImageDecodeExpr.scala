@@ -93,7 +93,85 @@ case class ImageDecodeExpr(child: Expression)
         ((b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 42 && b(3) == 0) ||
          (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xff) == 42)))
       tiff(b)
+    else if (b.length >= 2 && b(0) == 'P' && b(1) >= '4' && b(1) <= '6')
+      pnm(b)
     else unknown
+  }
+
+  // ---------------------------------------------------------------- PNM
+  /** Binary netpbm rasters (the public PNM formats — the CV-dataset
+    * interchange family): P4 bitmap (MSB-first packed rows, 1 = black
+    * per the spec), P5 gray and P6 RGB at maxval <= 255 or two-byte
+    * big-endian 16-bit (folded to the MSB, the PNG-16 discipline).
+    * Headers allow arbitrary whitespace and # comments. The ASCII
+    * variants P1-P3 stay unknown (rare as corpus payloads). */
+  private def pnm(b: Array[Byte]): InternalRow = {
+    val kind = b(1) - '0'
+    var i = 2
+    // token reader: skips whitespace and # comments
+    def nextInt(): Int = {
+      var v = -1
+      var done = false
+      while (!done) {
+        if (i >= b.length) return -1
+        val c = b(i)
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') i += 1
+        else if (c >= '0' && c <= '9') {
+          v = 0
+          while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+            v = v * 10 + (b(i) - '0')
+            if (v > (1 << 28)) return -1
+            i += 1
+          }
+          done = true
+        } else return -1
+      }
+      v
+    }
+    val w = nextInt()
+    val h = nextInt()
+    val maxval = if (kind == 4) 1 else nextInt()
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return unknown
+    if (kind != 4 && (maxval <= 0 || maxval >= 65536)) return unknown
+    // exactly ONE whitespace byte separates the header from the raster
+    if (i >= b.length || !(b(i) == ' ' || b(i) == '\t' || b(i) == '\r' ||
+        b(i) == '\n')) return unknown
+    i += 1
+    val two = maxval > 255
+    val spp = if (kind == 6) 3 else 1
+    val px = new Array[Int](w * h)
+    if (kind == 4) { // packed bitmap, rows byte-aligned; 1 = black
+      val rowBytes = (w + 7) / 8
+      if (i.toLong + rowBytes.toLong * h > b.length) return unknown
+      var p = 0
+      while (p < w * h) {
+        val x = p % w
+        val bit = (b(i + (p / w) * rowBytes + (x >> 3)) >>> (7 - (x & 7))) & 1
+        val g = if (bit == 1) 0 else 255
+        px(p) = 0xff000000 | (g << 16) | (g << 8) | g
+        p += 1
+      }
+    } else {
+      val bytesPer = (if (two) 2 else 1) * spp
+      if (i.toLong + w.toLong * h * bytesPer > b.length) return unknown
+      def sample(o: Int): Int =
+        if (two) b(o) & 0xff // fold 16-bit to the MSB (PNG-16 rule)
+        else b(o) & 0xff
+      var p = 0
+      while (p < w * h) {
+        val o = i + p * bytesPer
+        val step = if (two) 2 else 1
+        px(p) =
+          if (kind == 5) {
+            val g = sample(o)
+            0xff000000 | (g << 16) | (g << 8) | g
+          } else 0xff000000 | (sample(o) << 16) |
+            (sample(o + step) << 8) | sample(o + 2 * step)
+        p += 1
+      }
+    }
+    out("pnm", w, h, px)
   }
 
   // --------------------------------------------------------------- TIFF

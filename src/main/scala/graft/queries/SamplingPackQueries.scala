@@ -955,6 +955,33 @@ object SamplingPackQueries {
       FROM documents"""
     }),
 
+    // PNM decode (round-11 ImageDecodeExpr surfaces): per doc a binary
+    // P6 2x2 RGB raster ("P6\\n2 2\\n255\\n" + 12 bytes of the
+    // q_image_decode v() arithmetic); the oracle replays the pixels.
+    QueryDef("q_pnm_decode", (s, dir) => {
+      def hx(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def v(i: Int, c: Int) = pmod(col("doc_id") * 7 + i * 13 + c * 29,
+        lit(256)).cast("int")
+      def rgb(i: Int) = concat(hx(v(i, 0)), hx(v(i, 1)), hx(v(i, 2)))
+      val pnmHex = concat(
+        lit("50360A3220320A3235350A"), // "P6\n2 2\n255\n"
+        rgb(0), rgb(1), rgb(2), rgb(3))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.decodeImage(unhex(pnmHex)).as("d"))
+        .select(col("doc_id"), col("d.format").as("format"),
+          col("d.width").as("width"), col("d.height").as("height"),
+          element_at(col("d.pixels"), 1).as("p0"),
+          element_at(col("d.pixels"), 4).as("p3"))
+    }, Some("""
+      SELECT doc_id, 'pnm' AS format, 2 AS width, 2 AS height,
+        """ + Seq(0, 3).map(i =>
+          s"""CAST((doc_id*7 + $i*13) % 256 * 65536
+            + (doc_id*7 + $i*13 + 29) % 256 * 256
+            + (doc_id*7 + $i*13 + 58) % 256
+            - 16777216 AS INTEGER) AS p${if (i == 0) 0 else 3}""")
+          .mkString(",\n        ") + """
+      FROM documents""")),
+
     // EXIF orientation (ExifOrientationExpr): per doc a JPEG APP1
     // segment with a real TIFF 6.0 IFD0 carrying tag 0x0112 is
     // synthesized from doc_id — little-endian (II) for doc_id%3==0,

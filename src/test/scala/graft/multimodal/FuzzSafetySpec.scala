@@ -55,7 +55,7 @@ class FuzzSafetySpec extends SparkSpec {
       "RIFF....WAVE".getBytes, "RIFF....WEBP".getBytes,
       "RIFF....AVI ".getBytes,
       ".snd".getBytes, "FORM....AIFF".getBytes, "fLaC".getBytes,
-      "OggS".getBytes,
+      "OggS".getBytes, "P6\n".getBytes, "P5 ".getBytes,
       Array(0, 0, 0, 0x14, 'f', 't', 'y', 'p'), // BMFF
       Array('I', 'D', '3'), Array(0xff.toByte, 0xfb.toByte)) // MP3
     val payloads = for (m <- magics; _ <- 0 until 12) yield {

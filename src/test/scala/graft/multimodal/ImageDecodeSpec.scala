@@ -259,6 +259,38 @@ class ImageDecodeSpec extends SparkSpec {
     assert(px == argb(img))
   }
 
+  test("pnm: P6/P5/P4 binary rasters decode exactly (comments, 16-bit fold)") {
+    // P6 RGB with a comment and odd whitespace in the header
+    val rgb = Array.tabulate(2 * 3 * 3)(i => ((i * 41 + 7) % 256).toByte)
+    val p6 = "P6 # a comment\n 3\t2\n255\n".getBytes ++ rgb
+    val (f1, w1, h1, px1) = decode(p6)
+    assert((f1, w1, h1) == ("pnm", 3, 2))
+    val want1 = for (p <- 0 until 6) yield 0xff000000 |
+      ((rgb(p * 3) & 0xff) << 16) | ((rgb(p * 3 + 1) & 0xff) << 8) |
+      (rgb(p * 3 + 2) & 0xff)
+    assert(px1 == want1)
+    // P5 gray, 16-bit (maxval 65535) folds to the MSB
+    val g16 = Array[Byte](0x12, 0x34, 0xFF.toByte, 0x00, 0x00, 0x01,
+      0x80.toByte, 0x7F)
+    val p5 = "P5\n2 2\n65535\n".getBytes ++ g16
+    val (f2, w2, h2, px2) = decode(p5)
+    assert((f2, w2, h2) == ("pnm", 2, 2))
+    assert(px2 == Seq(0x12, 0xFF, 0x00, 0x80).map(g =>
+      0xff000000 | (g << 16) | (g << 8) | g))
+    // P4 bitmap: width 10 = 2 bytes/row, 1 = black
+    val bits = Array[Byte](0xA5.toByte, 0x80.toByte, 0x5A, 0x40)
+    val p4 = "P4\n10 2\n".getBytes ++ bits
+    val (f3, w3, h3, px3) = decode(p4)
+    assert((f3, w3, h3) == ("pnm", 10, 2))
+    val want3 = "1010010110" + "0101101001"
+    assert(px3 == want3.map(c => if (c == '1') 0xff000000
+      else 0xffffffff))
+    // corpus-safety: truncated raster / ASCII P3 / bad maxval
+    assert(decode(p6.dropRight(2))._1 == "unknown")
+    assert(decode("P3\n1 1\n255\n1 2 3\n".getBytes)._1 == "unknown")
+    assert(decode("P5\n2 2\n0\nxxxx".getBytes)._1 == "unknown")
+  }
+
   test("bmp palette formats round-trip against the JDK writer (8/1-bit, gray)") {
     // 8-bit indexed with a non-trivial palette
     val cm = new java.awt.image.IndexColorModel(8, 64,
