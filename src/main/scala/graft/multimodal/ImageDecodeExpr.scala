@@ -95,7 +95,132 @@ case class ImageDecodeExpr(child: Expression)
       tiff(b)
     else if (b.length >= 2 && b(0) == 'P' && b(1) >= '4' && b(1) <= '6')
       pnm(b)
+    else if (isTgaV2(b)) tga(b)
     else unknown
+  }
+
+  // ---------------------------------------------------------------- TGA
+  /** TGA has NO leading magic, so blind detection would misread other
+    * binaries; only TGA v2 files are accepted, identified by the
+    * mandatory v2 footer signature ("TRUEVISION-XFILE.\0" in the last
+    * 18 bytes) — the same discipline real corpus routers use. */
+  private def isTgaV2(b: Array[Byte]): Boolean = {
+    val sig = "TRUEVISION-XFILE"
+    if (b.length < 18 + 26) return false
+    val at = b.length - 18
+    var k = 0
+    while (k < 16) { if (b(at + k) != sig.charAt(k)) return false; k += 1 }
+    b(at + 16) == '.' && b(at + 17) == 0
+  }
+
+  /** Truevision TGA (the public TGA 2.0 spec): types 1/9 (8-bit
+    * palette via a 24/32-bit color map), 2/10 (truecolor 16/24/32 —
+    * 16-bit is 5-5-5 with the canonical (v<<3)|(v>>2) channel
+    * replication) and 3/11 (8-bit gray), each in both uncompressed and
+    * RLE form (run/raw packets may cross row boundaries); bottom-up by
+    * default, top-down via descriptor bit 5; right-to-left layouts are
+    * rejected. */
+  private def tga(b: Array[Byte]): InternalRow = {
+    val idLen = b(0) & 0xff
+    val cmType = b(1) & 0xff
+    val imgType = b(2) & 0xff
+    val cmLen = le16(b, 5)
+    val cmBits = b(7) & 0xff
+    val w = le16(b, 12)
+    val h = le16(b, 14)
+    val depth = b(16) & 0xff
+    val desc = b(17) & 0xff
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return unknown
+    if ((desc & 0x10) != 0) return unknown // right-to-left: rejected
+    val topDown = (desc & 0x20) != 0
+    val rle = imgType >= 9 && imgType <= 11
+    val base = if (rle) imgType - 8 else imgType
+    val paletted = base == 1
+    if (base != 1 && base != 2 && base != 3) return unknown
+    if (paletted && (cmType != 1 || depth != 8 ||
+        (cmBits != 24 && cmBits != 32))) return unknown
+    if (base == 2 && depth != 16 && depth != 24 && depth != 32)
+      return unknown
+    if (base == 3 && depth != 8) return unknown
+    val cmBytes = if (cmType == 1) cmLen * ((cmBits + 7) / 8) else 0
+    var i = 18 + idLen
+    val palette: Array[Int] =
+      if (!paletted) null
+      else {
+        if (i + cmBytes > b.length) return unknown
+        val per = (cmBits + 7) / 8
+        Array.tabulate(cmLen) { k =>
+          val o = i + k * per
+          val a = if (cmBits == 32) (b(o + 3) & 0xff) << 24 else 0xff000000
+          a | ((b(o + 2) & 0xff) << 16) | ((b(o + 1) & 0xff) << 8) |
+            (b(o) & 0xff)
+        }
+      }
+    i += cmBytes
+    val bytesPer = (depth + 7) / 8
+    def pixelAt(o: Int): Int = {
+      if (paletted) {
+        val idx = b(o) & 0xff
+        if (idx >= palette.length) throw PixErr
+        palette(idx)
+      } else if (base == 3) {
+        val g = b(o) & 0xff
+        0xff000000 | (g << 16) | (g << 8) | g
+      } else depth match {
+        case 16 => // ARRRRRGG GGGBBBBB little-endian
+          val v = le16(b, o)
+          def c5(x: Int) = (x << 3) | (x >> 2)
+          0xff000000 | (c5((v >> 10) & 0x1f) << 16) |
+            (c5((v >> 5) & 0x1f) << 8) | c5(v & 0x1f)
+        case 24 => 0xff000000 | ((b(o + 2) & 0xff) << 16) |
+          ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+        case _ => ((b(o + 3) & 0xff) << 24) | ((b(o + 2) & 0xff) << 16) |
+          ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+      }
+    }
+    val raster = new Array[Int](w * h) // in STORED row order
+    val end = b.length - 26 // footer block
+    if (!rle) {
+      if (i.toLong + w.toLong * h * bytesPer > end) return unknown
+      var p = 0
+      try while (p < w * h) { raster(p) = pixelAt(i + p * bytesPer); p += 1 }
+      catch { case PixErr => return unknown }
+    } else {
+      var p = 0
+      try while (p < w * h) {
+        if (i >= end) return unknown
+        val ctrl = b(i) & 0xff; i += 1
+        val n = (ctrl & 0x7f) + 1
+        if (p + n > w * h) return unknown
+        if ((ctrl & 0x80) != 0) { // run packet: one pixel repeated
+          if (i + bytesPer > end) return unknown
+          val v = pixelAt(i); i += bytesPer
+          var k = 0
+          while (k < n) { raster(p) = v; p += 1; k += 1 }
+        } else { // raw packet
+          if (i + n * bytesPer > end) return unknown
+          var k = 0
+          while (k < n) { raster(p) = pixelAt(i + k * bytesPer); p += 1; k += 1 }
+          i += n * bytesPer
+        }
+      } catch { case PixErr => return unknown }
+    }
+    val px =
+      if (topDown) raster
+      else { // default origin is bottom-left: flip rows
+        val f = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          System.arraycopy(raster, (h - 1 - y) * w, f, y * w, w)
+          y += 1
+        }
+        f
+      }
+    out("tga", w, h, px)
+  }
+
+  private object PixErr extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
   }
 
   // ---------------------------------------------------------------- PNM

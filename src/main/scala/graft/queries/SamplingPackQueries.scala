@@ -982,6 +982,36 @@ object SamplingPackQueries {
           .mkString(",\n        ") + """
       FROM documents""")),
 
+    // TGA decode (round-11 ImageDecodeExpr surfaces): per doc a v2
+    // (footer-signed) truecolor 24-bit 2x2 TGA, bottom-up rows stored
+    // BGR (pixels 2,3 first); the q_image_decode v() arithmetic, the
+    // oracle replays it.
+    QueryDef("q_tga_decode", (s, dir) => {
+      def hx(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def v(i: Int, c: Int) = pmod(col("doc_id") * 7 + i * 13 + c * 29,
+        lit(256)).cast("int")
+      def bgr(i: Int) = concat(hx(v(i, 2)), hx(v(i, 1)), hx(v(i, 0)))
+      val tgaHex = concat(
+        lit("00" + "00" + "02" + "0000" + "0000" + "00" +
+          "00000000" + "0200" + "0200" + "18" + "00"),
+        bgr(2), bgr(3), bgr(0), bgr(1), // bottom-up storage
+        lit("00" * 8 + "5452554556495349" + "4F4E2D5846494C45" + "2E00"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.decodeImage(unhex(tgaHex)).as("d"))
+        .select(col("doc_id"), col("d.format").as("format"),
+          col("d.width").as("width"), col("d.height").as("height"),
+          element_at(col("d.pixels"), 1).as("p0"),
+          element_at(col("d.pixels"), 4).as("p3"))
+    }, Some("""
+      SELECT doc_id, 'tga' AS format, 2 AS width, 2 AS height,
+        """ + Seq(0, 3).map(i =>
+          s"""CAST((doc_id*7 + $i*13) % 256 * 65536
+            + (doc_id*7 + $i*13 + 29) % 256 * 256
+            + (doc_id*7 + $i*13 + 58) % 256
+            - 16777216 AS INTEGER) AS p${if (i == 0) 0 else 3}""")
+          .mkString(",\n        ") + """
+      FROM documents""")),
+
     // EXIF orientation (ExifOrientationExpr): per doc a JPEG APP1
     // segment with a real TIFF 6.0 IFD0 carrying tag 0x0112 is
     // synthesized from doc_id — little-endian (II) for doc_id%3==0,

@@ -291,6 +291,59 @@ class ImageDecodeSpec extends SparkSpec {
     assert(decode("P5\n2 2\n0\nxxxx".getBytes)._1 == "unknown")
   }
 
+  private def tgaFile(imgType: Int, w: Int, h: Int, depth: Int,
+      data: Array[Byte], desc: Int = 0, palette: Array[Byte] = null,
+      cmBits: Int = 24): Array[Byte] = {
+    val cmType = if (palette != null) 1 else 0
+    val cmLen = if (palette != null) palette.length / ((cmBits + 7) / 8) else 0
+    val hdr = Array[Byte](0, cmType.toByte, imgType.toByte,
+      0, 0, (cmLen & 0xff).toByte, ((cmLen >> 8) & 0xff).toByte,
+      cmBits.toByte, 0, 0, 0, 0,
+      (w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
+      (h & 0xff).toByte, ((h >> 8) & 0xff).toByte,
+      depth.toByte, desc.toByte)
+    val footer = new Array[Byte](8) ++ "TRUEVISION-XFILE".getBytes ++
+      Array[Byte]('.', 0)
+    hdr ++ (if (palette != null) palette else Array.empty[Byte]) ++
+      data ++ footer
+  }
+
+  test("tga: truecolor/gray/palette, RLE packets, origins, 5-5-5 replication") {
+    // 24-bit bottom-up 2x2: stored rows are (bottom, top)
+    val bgr = Array[Byte](1, 2, 3, 4, 5, 6, /*row y=1*/ 7, 8, 9, 10, 11, 12)
+    val (f1, w1, h1, px1) = decode(tgaFile(2, 2, 2, 24, bgr))
+    assert((f1, w1, h1) == ("tga", 2, 2))
+    assert(px1 == Seq(0xff090807, 0xff0c0b0a, 0xff030201, 0xff060504))
+    // RLE truecolor top-down: run of 3 + raw of 1
+    val rle = Array[Byte](0x82.toByte, 10, 20, 30, 0x00, 40, 50, 60)
+    val (f2, w2, h2, px2) = decode(tgaFile(10, 2, 2, 24, rle, desc = 0x20))
+    assert((f2, w2, h2) == ("tga", 2, 2))
+    assert(px2 == Seq(0xff1e140a, 0xff1e140a, 0xff1e140a, 0xff3c3228))
+    // 8-bit palette (BGR map), top-down
+    val pal = Array[Byte](10, 20, 30, 40, 50, 60) // entries 0,1
+    val (f3, _, _, px3) = decode(
+      tgaFile(1, 2, 1, 8, Array[Byte](1, 0), desc = 0x20, palette = pal))
+    assert(f3 == "tga")
+    assert(px3 == Seq(0xff3c3228, 0xff1e140a))
+    // gray + 16-bit 5-5-5 with (v<<3)|(v>>2) replication, top-down
+    val (f4, _, _, px4) = decode(
+      tgaFile(3, 2, 1, 8, Array[Byte](0, 255.toByte), desc = 0x20))
+    assert(f4 == "tga" && px4 == Seq(0xff000000, 0xffffffff))
+    val v555 = (31 << 10) | (16 << 5) | 1 // R=31 G=16 B=1
+    val (f5, _, _, px5) = decode(tgaFile(2, 1, 1, 16,
+      Array[Byte]((v555 & 0xff).toByte, (v555 >> 8).toByte), desc = 0x20))
+    def c5(x: Int) = (x << 3) | (x >> 2)
+    assert(f5 == "tga" &&
+      px5 == Seq(0xff000000 | (c5(31) << 16) | (c5(16) << 8) | c5(1)))
+    // corpus-safety: no v2 footer -> not even detected; truncated RLE;
+    // palette index out of range
+    val noFooter = tgaFile(2, 2, 2, 24, bgr).dropRight(26)
+    assert(decode(noFooter)._1 == "unknown")
+    assert(decode(tgaFile(10, 4, 4, 24, rle, desc = 0x20))._1 == "unknown")
+    assert(decode(tgaFile(1, 2, 1, 8, Array[Byte](5, 0), desc = 0x20,
+      palette = pal))._1 == "unknown")
+  }
+
   test("bmp palette formats round-trip against the JDK writer (8/1-bit, gray)") {
     // 8-bit indexed with a non-trivial palette
     val cm = new java.awt.image.IndexColorModel(8, 64,
