@@ -210,6 +210,9 @@ case class AudioMetaExpr(child: Expression)
           case "ogg-opus" => math.max(0L, lastGranule - preSkip)
           case _ => lastGranule
         }
+        // untrusted 64-bit granule: cap so samples * 1000 cannot wrap
+        // (the au/aiff paths guard their overflows the same way)
+        if (samples > Long.MaxValue / 1000) return unknown
         return InternalRow(UTF8String.fromString(codec), ch, rate,
           samples * 1000L / rate, -1, -1)
       }

@@ -124,6 +124,7 @@ case class ImageDecodeExpr(child: Expression)
     val idLen = b(0) & 0xff
     val cmType = b(1) & 0xff
     val imgType = b(2) & 0xff
+    val cmFirst = le16(b, 3) // first palette index the map covers
     val cmLen = le16(b, 5)
     val cmBits = b(7) & 0xff
     val w = le16(b, 12)
@@ -158,10 +159,14 @@ case class ImageDecodeExpr(child: Expression)
       }
     i += cmBytes
     val bytesPer = (depth + 7) / 8
+    // 32bpp alpha comes from the descriptor's attribute-bit count: a
+    // writer declaring 0 attribute bits left the 4th byte as padding
+    // (the BMP-reserved-byte hazard), so it must read opaque
+    val alphaBits = desc & 0x0f
     def pixelAt(o: Int): Int = {
       if (paletted) {
-        val idx = b(o) & 0xff
-        if (idx >= palette.length) throw PixErr
+        val idx = (b(o) & 0xff) - cmFirst // map covers [cmFirst, +cmLen)
+        if (idx < 0 || idx >= palette.length) throw PixErr
         palette(idx)
       } else if (base == 3) {
         val g = b(o) & 0xff
@@ -174,8 +179,11 @@ case class ImageDecodeExpr(child: Expression)
             (c5((v >> 5) & 0x1f) << 8) | c5(v & 0x1f)
         case 24 => 0xff000000 | ((b(o + 2) & 0xff) << 16) |
           ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
-        case _ => ((b(o + 3) & 0xff) << 24) | ((b(o + 2) & 0xff) << 16) |
-          ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+        case _ =>
+          val a = if (alphaBits == 8) (b(o + 3) & 0xff) << 24
+            else 0xff000000
+          a | ((b(o + 2) & 0xff) << 16) |
+            ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
       }
     }
     val raster = new Array[Int](w * h) // in STORED row order
@@ -258,7 +266,10 @@ case class ImageDecodeExpr(child: Expression)
     val h = nextInt()
     val maxval = if (kind == 4) 1 else nextInt()
     if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return unknown
-    if (kind != 4 && (maxval <= 0 || maxval >= 65536)) return unknown
+    // only the two canonical depths: other maxvals require a scaling
+    // convention (255/maxval rounding) no two tools agree on — decoding
+    // them unscaled would be confidently wrong, so they map to unknown
+    if (kind != 4 && maxval != 255 && maxval != 65535) return unknown
     // exactly ONE whitespace byte separates the header from the raster
     if (i >= b.length || !(b(i) == ' ' || b(i) == '\t' || b(i) == '\r' ||
         b(i) == '\n')) return unknown
@@ -278,11 +289,11 @@ case class ImageDecodeExpr(child: Expression)
         p += 1
       }
     } else {
+      // two-byte samples fold to the MSB via the step-2 offsets below
+      // (the PNG-16 rule; maxval is exactly 65535 here)
       val bytesPer = (if (two) 2 else 1) * spp
       if (i.toLong + w.toLong * h * bytesPer > b.length) return unknown
-      def sample(o: Int): Int =
-        if (two) b(o) & 0xff // fold 16-bit to the MSB (PNG-16 rule)
-        else b(o) & 0xff
+      def sample(o: Int): Int = b(o) & 0xff
       var p = 0
       while (p < w * h) {
         val o = i + p * bytesPer

@@ -400,6 +400,72 @@ class ImageDecodeSpec extends SparkSpec {
     assert(px == argb(img))
   }
 
+  test("bmp 4bpp palette round-trips against the JDK writer; RLE4 decodes hand-built runs") {
+    // 4bpp via the JDK writer (16-entry palette)
+    val cm = new java.awt.image.IndexColorModel(4, 16,
+      Array.tabulate(16)(i => (i * 17).toByte),
+      Array.tabulate(16)(i => (255 - i * 17).toByte),
+      Array.tabulate(16)(i => ((i * 53) % 256).toByte))
+    val img = new BufferedImage(11, 6, BufferedImage.TYPE_BYTE_BINARY, cm)
+    for (y <- 0 until 6; x <- 0 until 11)
+      img.getRaster.setSample(x, y, 0, (x * 5 + y * 3) % 16)
+    val (f1, w1, h1, px1) = decode(encodeJdk(img, "bmp"))
+    assert((f1, w1, h1) == ("bmp", 11, 6))
+    assert(px1 == argb(img))
+    // hand-built BI_RLE4 5x2: bottom row one encoded run (nibbles
+    // alternate 0,1), top row one absolute run of 5 nibbles (padded
+    // to a word boundary)
+    def le32x(v: Int) = Array[Byte]((v & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 24) & 0xff).toByte)
+    def le16x(v: Int) = Array[Byte]((v & 0xff).toByte, (v >> 8).toByte)
+    val pal = Array[Byte](10, 20, 30, 0, 40, 50, 60, 0, 70, 80, 90, 0)
+    val rle = Array[Byte](5, 0x01, // run: 0,1,0,1,0
+      0, 0, // end of line
+      0, 5, 0x20, 0x12, 0x00, 0, // absolute: 2,0,1,2,0 (+pad byte)
+      0, 1) // end of bitmap
+    val bmp = "BM".getBytes ++ le32x(0) ++ le32x(0) ++ le32x(66) ++
+      le32x(40) ++ le32x(5) ++ le32x(2) ++ le16x(1) ++ le16x(4) ++
+      le32x(2) ++ le32x(rle.length) ++ le32x(0) ++ le32x(0) ++
+      le32x(3) ++ le32x(0) ++ pal ++ rle
+    val (f2, w2, h2, px2) = decode(bmp)
+    assert((f2, w2, h2) == ("bmp", 5, 2))
+    def p(k: Int) = 0xff000000 | ((pal(k * 4 + 2) & 0xff) << 16) |
+      ((pal(k * 4 + 1) & 0xff) << 8) | (pal(k * 4) & 0xff)
+    assert(px2 == Seq(p(2), p(0), p(1), p(2), p(0), // top (image row 0)
+      p(0), p(1), p(0), p(1), p(0))) // bottom (image row 1)
+  }
+
+  test("tga: nonzero color-map first-entry offset and 0-attribute-bit 32bpp alpha") {
+    // palette covering indices 2..3 (cmFirst = 2)
+    val pal = Array[Byte](10, 20, 30, 40, 50, 60)
+    val hdr = Array[Byte](0, 1, 1, 2, 0, 2, 0, 24, 0, 0, 0, 0,
+      2, 0, 1, 0, 8, 0x20)
+    val footer = new Array[Byte](8) ++ "TRUEVISION-XFILE".getBytes ++
+      Array[Byte]('.', 0)
+    val withOffset = hdr ++ pal ++ Array[Byte](3, 2) ++ footer
+    val (f1, _, _, px1) = decode(withOffset)
+    assert(f1 == "tga")
+    assert(px1 == Seq(0xff3c3228, 0xff1e140a)) // entries 1 then 0
+    // an index below cmFirst is out of map range
+    val below = hdr ++ pal ++ Array[Byte](1, 2) ++ footer
+    assert(decode(below)._1 == "unknown")
+    // 32bpp with 0 attribute bits: 4th byte is padding, alpha opaque
+    val t32 = tgaFile(2, 1, 1, 32, Array[Byte](5, 6, 7, 0), desc = 0x20)
+    assert(decode(t32)._4 == Seq(0xff070605))
+    // 32bpp declaring 8 attribute bits: 4th byte IS alpha
+    val t32a = tgaFile(2, 1, 1, 32,
+      Array[Byte](5, 6, 7, 0x80.toByte), desc = 0x28)
+    assert(decode(t32a)._4 == Seq(0x80070605))
+  }
+
+  test("pnm: non-canonical maxval is rejected, not decoded unscaled") {
+    assert(decode(("P5\n2 1\n15\n".getBytes ++
+      Array[Byte](15, 0)))._1 == "unknown")
+    assert(decode(("P6\n1 1\n1000\n".getBytes ++
+      Array[Byte](3, -24, 0, 0, 0, 0)))._1 == "unknown")
+  }
+
   test("bmp 24bpp round-trips pixel-exact (bottom-up rows, padded stride)") {
     // width 7: a 21-byte row pads to 24 — exercises the stride math
     val img = testImage(7, 5, BufferedImage.TYPE_INT_RGB)
