@@ -164,6 +164,39 @@ case class ImageMetaExpr(child: Expression)
         e += 1
       }
       if (w > 0 && h > 0) out("tiff", w, h) else unknown
+    } else if (b.length >= 10 && b(0) == 'P' && b(1) >= '4' &&
+        b(1) <= '6') {
+      // binary netpbm: two whitespace/comment-separated header ints
+      var i = 2
+      def nextInt(): Int = {
+        var v = -1
+        var done = false
+        while (!done) {
+          if (i >= b.length) return -1
+          val c = b(i)
+          if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+          else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') i += 1
+          else if (c >= '0' && c <= '9') {
+            v = 0
+            while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+              v = v * 10 + (b(i) - '0')
+              if (v > (1 << 28)) return -1
+              i += 1
+            }
+            done = true
+          } else return -1
+        }
+        v
+      }
+      val w = nextInt(); val h = nextInt()
+      if (w > 0 && h > 0) out("pnm", w, h) else unknown
+    } else if (b.length >= 18 + 26 && {
+      val sig = "TRUEVISION-XFILE"; val at = b.length - 18
+      (0 until 16).forall(k => b(at + k) == sig.charAt(k)) &&
+        b(at + 16) == '.' && b(at + 17) == 0
+    }) { // TGA v2 (footer-signed; no leading magic exists)
+      val w = le16(b, 12); val h = le16(b, 14)
+      if (w > 0 && h > 0) out("tga", w, h) else unknown
     } else unknown
   }
 

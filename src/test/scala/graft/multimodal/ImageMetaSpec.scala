@@ -126,6 +126,20 @@ class ImageMetaSpec extends SparkSpec {
       "414C5048" + "0A000000" + "00" * 10))._1 == "unknown")
   }
 
+  test("pnm and tga dims (footer-signed TGA; netpbm header ints)") {
+    val p6 = "P6 # c\n 37\t21\n255\n".getBytes ++ new Array[Byte](37 * 21 * 3)
+    val r1 = meta(p6)
+    assert(r1 == ("pnm", 37, 21))
+    val hdr = Array[Byte](0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      5, 1, 7, 0, 24, 0x20) // w=261 h=7
+    val footer = new Array[Byte](8) ++ "TRUEVISION-XFILE".getBytes ++
+      Array[Byte]('.', 0)
+    val tga = hdr ++ new Array[Byte](261 * 7 * 3) ++ footer
+    assert(meta(tga) == ("tga", 261, 7))
+    // footer-less TGA is NOT detected (no leading magic exists)
+    assert(meta(hdr ++ new Array[Byte](261 * 7 * 3))._1 == "unknown")
+  }
+
   test("malformed and truncated payloads degrade to unknown, never throw") {
     assert(meta(Array[Byte]())._1 === "unknown")
     assert(meta("not an image".getBytes("UTF-8"))._1 === "unknown")
