@@ -99,11 +99,19 @@ case class AudioDecodeExpr(child: Expression)
     var blockAlign = -1; var factFrames = -1
     var dataOff = -1; var dataLen = -1
     // walk EVERY chunk: RIFF does not mandate chunk order, and the
-    // ADPCM fact-chunk truncation must see a fact placed after data
-    while (i + 8 <= b.length) {
+    // ADPCM fact-chunk truncation must see a fact placed after data.
+    // Real-world WAVs commonly carry junk after the data chunk, so a
+    // malformed TRAILING chunk (bad id/length once fmt+data are in
+    // hand) ends the walk instead of failing the file; a bad chunk
+    // before the required pair still maps to unknown.
+    var walking = true
+    while (walking && i + 8 <= b.length) {
       val id = new String(b, i, 4, "US-ASCII")
       val len = le32(b, i + 4)
-      if (len < 0 || i + 8 + len > b.length) return unknown
+      if (len < 0 || i + 8 + len > b.length) {
+        if (fmtCode >= 0 && dataOff >= 0) { walking = false }
+        else return unknown
+      } else {
       id match {
         case "fmt " =>
           if (len < 16) return unknown
@@ -118,6 +126,7 @@ case class AudioDecodeExpr(child: Expression)
         case _ => () // LIST / cue / bext ... skipped
       }
       i += 8 + len + (len & 1) // chunks are word-aligned
+      }
     }
     if (fmtCode == 17) // IMA/DVI ADPCM: block-structured 4-bit codes
       return decodeImaAdpcm(b, dataOff, dataLen, channels, rate,
@@ -247,10 +256,15 @@ case class AudioDecodeExpr(child: Expression)
     * delta and the first two int16 samples (emitted as frames 0 and
     * 1), then 4-bit codes interleaved per sample across channels, HIGH
     * nibble first. The recursion is the public Microsoft algorithm —
-    * pred = ((s1*c1 + s2*c2) >> 8) + signed(n)*delta, int16 clamp,
+    * pred = (s1*c1 + s2*c2) / 256 + signed(n)*delta, int16 clamp,
     * delta = (Adapt[n]*delta) >> 8 floored at 16 — all integer
-    * arithmetic (>> is the arithmetic shift, so the oracle replays it
-    * exactly). Files using nonstandard coefficient tables (predictor
+    * arithmetic. The predictor base uses TRUNCATING division toward
+    * zero, matching the MS spec pseudocode and ffmpeg: an arithmetic
+    * floor shift (>> 8) differs by 1 on every negative coefficient
+    * sum not divisible by 256, and the error compounds through the
+    * s1/s2 feedback. (The delta update stays >> 8: delta is always
+    * positive, so floor and truncation agree.) Files using
+    * nonstandard coefficient tables (predictor
     * index > 6) map to unknown; the fact chunk truncates the padded
     * final block like the IMA path. */
   private def decodeMsAdpcm(b: Array[Byte], dataOff: Int, dataLen: Int,
@@ -293,7 +307,8 @@ case class AudioDecodeExpr(child: Expression)
         val n = if ((k & 1) == 0) by >>> 4 else by & 0xf // HIGH first
         val ch = k % channels
         val sn = if (n >= 8) n - 16 else n
-        var p = ((s1(ch) * c1(ch) + s2(ch) * c2(ch)) >> 8) + sn * delta(ch)
+        // truncating /256, NOT >>8: negative sums round toward zero
+        var p = (s1(ch) * c1(ch) + s2(ch) * c2(ch)) / 256 + sn * delta(ch)
         if (p > 32767) p = 32767 else if (p < -32768) p = -32768
         s2(ch) = s1(ch); s1(ch) = p
         var d = (MsAdapt(n) * delta(ch)) >> 8

@@ -128,6 +128,9 @@ case class AudioMetaExpr(child: Expression)
     AudioHeaders.parseAu(b) match {
       case None => unknown
       case Some(h) =>
+        // decode parity: audio_decode rejects a ragged trailing frame
+        // (sample count not divisible by channels) — so does meta
+        if ((h.dataLen / h.bytesPer) % h.channels != 0) return unknown
         val frames = h.dataLen / h.bytesPer / h.channels
         val kbps = h.rate.toLong * h.channels * h.bytesPer * 8 / 1000
         if (kbps > Int.MaxValue) return unknown

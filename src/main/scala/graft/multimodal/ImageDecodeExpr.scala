@@ -100,18 +100,7 @@ case class ImageDecodeExpr(child: Expression)
   }
 
   // ---------------------------------------------------------------- TGA
-  /** TGA has NO leading magic, so blind detection would misread other
-    * binaries; only TGA v2 files are accepted, identified by the
-    * mandatory v2 footer signature ("TRUEVISION-XFILE.\0" in the last
-    * 18 bytes) — the same discipline real corpus routers use. */
-  private def isTgaV2(b: Array[Byte]): Boolean = {
-    val sig = "TRUEVISION-XFILE"
-    if (b.length < 18 + 26) return false
-    val at = b.length - 18
-    var k = 0
-    while (k < 16) { if (b(at + k) != sig.charAt(k)) return false; k += 1 }
-    b(at + 16) == '.' && b(at + 17) == 0
-  }
+  private def isTgaV2(b: Array[Byte]): Boolean = ImageDecodeExpr.isTgaV2(b)
 
   /** Truevision TGA (the public TGA 2.0 spec): types 1/9 (8-bit
     * palette via a 24/32-bit color map), 2/10 (truecolor 16/24/32 —
@@ -131,18 +120,15 @@ case class ImageDecodeExpr(child: Expression)
     val h = le16(b, 14)
     val depth = b(16) & 0xff
     val desc = b(17) & 0xff
-    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return unknown
-    if ((desc & 0x10) != 0) return unknown // right-to-left: rejected
+    // the full structural gate set is shared with image_meta
+    // ([[ImageDecodeExpr.tgaHeaderOk]]) so the surfaces cannot drift;
+    // only the allocation bomb guard is decode-specific
+    if (!ImageDecodeExpr.tgaHeaderOk(b)) return unknown
+    if (w.toLong * h > MaxPixels) return unknown
     val topDown = (desc & 0x20) != 0
     val rle = imgType >= 9 && imgType <= 11
     val base = if (rle) imgType - 8 else imgType
     val paletted = base == 1
-    if (base != 1 && base != 2 && base != 3) return unknown
-    if (paletted && (cmType != 1 || depth != 8 ||
-        (cmBits != 24 && cmBits != 32))) return unknown
-    if (base == 2 && depth != 16 && depth != 24 && depth != 32)
-      return unknown
-    if (base == 3 && depth != 8) return unknown
     val cmBytes = if (cmType == 1) cmLen * ((cmBits + 7) / 8) else 0
     var i = 18 + idLen
     val palette: Array[Int] =
@@ -1006,4 +992,50 @@ object ImageDecodeExpr {
   /** Decompression-bomb cap: declared pixel count above this (256 MiB
     * of ARGB) decodes as unknown rather than allocating. */
   val MaxPixels: Long = 1L << 26
+
+  /** TGA has NO leading magic, so blind detection would misread other
+    * binaries; only TGA v2 files are accepted, identified by the
+    * mandatory v2 footer signature ("TRUEVISION-XFILE.\0" in the last
+    * 18 bytes) — the same discipline real corpus routers use. Shared
+    * by image_decode and image_meta so detection cannot drift. */
+  private[multimodal] def isTgaV2(b: Array[Byte]): Boolean = {
+    val sig = "TRUEVISION-XFILE"
+    if (b.length < 18 + 26) return false
+    val at = b.length - 18
+    var k = 0
+    while (k < 16) { if (b(at + k) != sig.charAt(k)) return false; k += 1 }
+    b(at + 16) == '.' && b(at + 17) == 0
+  }
+
+  /** Structural validity of the 18-byte TGA header — the SINGLE gate
+    * set both image_decode and image_meta apply, so a file one
+    * surface rejects never yields dimensions from the other:
+    * positive dims; left-to-right layout; image type 1/2/3 (+RLE
+    * 9/10/11); color-map type 0/1 only, and a present map must carry
+    * a spec entry width (15/16/24/32) — any other stride would make
+    * the map-skip offset garbage; paletted images need an 8-bit
+    * index into a 24/32-bit map; truecolor needs depth 16/24/32;
+    * gray needs depth 8. (The MaxPixels bomb guard stays decode-only:
+    * it is a resource cap, not file invalidity, and reporting the
+    * dimensions of an oversized image is exactly image_meta's job.) */
+  private[multimodal] def tgaHeaderOk(b: Array[Byte]): Boolean = {
+    val cmType = b(1) & 0xff
+    val imgType = b(2) & 0xff
+    val cmBits = b(7) & 0xff
+    val w = (b(12) & 0xff) | ((b(13) & 0xff) << 8)
+    val h = (b(14) & 0xff) | ((b(15) & 0xff) << 8)
+    val depth = b(16) & 0xff
+    val desc = b(17) & 0xff
+    val base = if (imgType >= 9 && imgType <= 11) imgType - 8 else imgType
+    w > 0 && h > 0 &&
+      (desc & 0x10) == 0 && // right-to-left: rejected
+      (base == 1 || base == 2 || base == 3) &&
+      cmType <= 1 &&
+      (cmType == 0 || cmBits == 15 || cmBits == 16 || cmBits == 24 ||
+        cmBits == 32) &&
+      (base != 1 || (cmType == 1 && depth == 8 &&
+        (cmBits == 24 || cmBits == 32))) &&
+      (base != 2 || depth == 16 || depth == 24 || depth == 32) &&
+      (base != 3 || depth == 8)
+  }
 }

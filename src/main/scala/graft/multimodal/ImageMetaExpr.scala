@@ -190,13 +190,15 @@ case class ImageMetaExpr(child: Expression)
       }
       val w = nextInt(); val h = nextInt()
       if (w > 0 && h > 0) out("pnm", w, h) else unknown
-    } else if (b.length >= 18 + 26 && {
-      val sig = "TRUEVISION-XFILE"; val at = b.length - 18
-      (0 until 16).forall(k => b(at + k) == sig.charAt(k)) &&
-        b(at + 16) == '.' && b(at + 17) == 0
-    }) { // TGA v2 (footer-signed; no leading magic exists)
-      val w = le16(b, 12); val h = le16(b, 14)
-      if (w > 0 && h > 0) out("tga", w, h) else unknown
+    } else if (ImageDecodeExpr.isTgaV2(b)) {
+      // TGA v2 (footer-signed; no leading magic exists). Decode
+      // parity: the shared structural gates (image type, depth,
+      // color-map consistency) run here too, so a file image_decode
+      // rejects — e.g. footer-signed with imgType 0 — never reports
+      // dimensions from the meta surface.
+      if (ImageDecodeExpr.tgaHeaderOk(b))
+        out("tga", le16(b, 12), le16(b, 14))
+      else unknown
     } else unknown
   }
 

@@ -686,8 +686,13 @@ object SamplingPackQueries {
     // arithmetic, nibbles n(k) = (doc_id*3 + k*7) % 16 — decoded via
     // the public Microsoft recursion (hand vector + reference-encoder
     // tracking in AudioDecodeSpec). The oracle replays the 4-step
-    // recursion as a chained-CTE state machine; >> is the arithmetic
-    // (floor) shift in BOTH engines, so the predictor base is exact.
+    // recursion as a chained-CTE state machine. The predictor base is
+    // TRUNCATING division toward zero (MS spec / ffmpeg), spelled out
+    // sign-split in SQL so it cannot depend on an engine's floor vs
+    // trunc convention; the u1/u2 header samples span both signs, so
+    // about half the rows exercise negative predictor sums where
+    // trunc and floor-shift genuinely diverge. The delta update stays
+    // >> 8 (delta is always positive: floor == trunc).
     QueryDef("q_audio_ms", (s, dir) => {
       def hx2(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
       def le16h(c: org.apache.spark.sql.Column) = {
@@ -745,7 +750,9 @@ object SamplingPackQueries {
         FROM (
           SELECT doc_id, p1, p2, dl, c1, c2, acc, nk,
             LEAST(32767, GREATEST(-32768,
-              ((p1*c1 + p2*c2) >> 8) +
+              CASE WHEN p1*c1 + p2*c2 < 0
+                   THEN -((-(p1*c1 + p2*c2)) // 256)
+                   ELSE (p1*c1 + p2*c2) // 256 END +
               (nk - CASE WHEN nk >= 8 THEN 16 ELSE 0 END) * dl)) AS p
           FROM (
             SELECT doc_id, p1, p2, dl, c1, c2, acc,

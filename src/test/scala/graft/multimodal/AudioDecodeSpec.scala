@@ -108,6 +108,25 @@ class AudioDecodeSpec extends SparkSpec {
     assert(got == Seq(-128, 0, 127, 72))
   }
 
+  test("malformed TRAILING chunk after fmt+data is tolerated; before them it is not") {
+    // real-world WAVs commonly carry junk after the data chunk: a
+    // trailing chunk whose declared length overruns EOF ends the walk
+    // instead of failing the file once the required chunks are in hand
+    val data = Array[Byte](10, 0, 246.toByte, 0xff.toByte) // 10, -10
+    val good = wav(1, 1, 8000, 16, data)
+    val junkTail = "LIST".getBytes ++ le32b(1000) ++ Array[Byte](1, 2)
+    val (f, ch, rate, bits, n, got) = decode(good ++ junkTail)
+    assert((f, ch, rate, bits, n) == ("wav", 1, 8000, 16, 2))
+    assert(got == Seq(10, -10))
+    // bare trailing garbage that is not even a chunk header (< 8
+    // bytes) is ignored by the walk loop condition
+    assert(decode(good ++ Array[Byte](7))._1 == "wav")
+    // the same malformed chunk BEFORE fmt/data still fails the file:
+    // skipping it blind could jump past real chunks
+    val bad = wav(1, 1, 8000, 16, data, preChunks = junkTail)
+    assert(decode(bad)._1 == "unknown")
+  }
+
   private def g711ToPcmJdk(codes: Array[Byte],
       enc: AudioFormat.Encoding): Seq[Int] = {
     val src = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
@@ -357,8 +376,10 @@ class AudioDecodeSpec extends SparkSpec {
         val ch = k % channels
         val f = 2 + k / channels
         val target = samples((blk * spb + f) * channels + ch)
+        // MS-spec truncating division (NOT >>8): negative coefficient
+        // sums round toward zero, matching ffmpeg and the decoder
         val base = (s1(ch) * MsCoef1(predIdx) +
-          s2(ch) * MsCoef2(predIdx)) >> 8
+          s2(ch) * MsCoef2(predIdx)) / 256
         var sn = (target - base) / delta(ch)
         if (sn > 7) sn = 7 else if (sn < -8) sn = -8
         val n = sn & 0xf
@@ -389,6 +410,21 @@ class AudioDecodeSpec extends SparkSpec {
     val (f, ch, rate, bits, n, got) = decode(msWav(data, 1, 8000, 9))
     assert((f, ch, rate, bits, n) == ("wav-ms", 1, 8000, 4, 6))
     assert(got == Seq(50, 100, 198, 232, 266, 181))
+  }
+
+  test("MS ADPCM: negative predictor sums truncate toward zero (MS spec), not floor-shift") {
+    // predIdx=4 (240,0), delta=16, s1=-101, s2=7 — every base is a
+    // negative sum NOT divisible by 256, so /256 and >>8 differ by 1
+    // and the error compounds through the s1/s2 feedback:
+    //   n=1:  base=(-101*240)/256=-94 (>>8 gives -95), p=-94+16=-78
+    //   n=15: base=(-78*240)/256=-73,  p=-73-16=-89
+    //   n=2:  base=(-89*240)/256=-83,  p=-83+32=-51
+    //   n=8:  base=(-51*240)/256=-47,  p=-47-128=-175
+    val data = Array[Byte](4, 16, 0, 0x9B.toByte, 0xFF.toByte, 7, 0,
+      0x1F.toByte, 0x28.toByte) // nibbles HIGH first: (1,15) (2,8)
+    val (f, ch, rate, bits, n, got) = decode(msWav(data, 1, 8000, 9))
+    assert((f, ch, rate, bits, n) == ("wav-ms", 1, 8000, 4, 6))
+    assert(got == Seq(7, -101, -78, -89, -51, -175))
   }
 
   test("MS ADPCM: decoder tracks the reference encoder bit-exactly (mono + stereo, multi-block)") {

@@ -122,6 +122,18 @@ class AudioMetaSpec extends SparkSpec {
     assert(di == 100L * 1000 / 44100)
   }
 
+  test("AU: ragged trailing frame is unknown (decode parity)") {
+    // 16-bit stereo with a 6-byte payload = 3 samples = 1.5 frames;
+    // audio_decode rejects the ragged frame, so meta must too
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def au(dataLen: Int, channels: Int) =
+      ".snd".getBytes ++ be32(24) ++ be32(dataLen) ++ be32(3) ++
+        be32(8000) ++ be32(channels) ++ new Array[Byte](dataLen)
+    assert(meta(au(6, 2))._1 == "unknown")
+    assert(meta(au(8, 2))._1 == "au") // whole frames: fine
+  }
+
   private def le16o(v: Int) = Array[Byte]((v & 0xff).toByte, (v >> 8).toByte)
   private def le32o(v: Int) = Array[Byte]((v & 0xff).toByte,
     ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte,

@@ -342,6 +342,18 @@ class ImageDecodeSpec extends SparkSpec {
     assert(decode(tgaFile(10, 4, 4, 24, rle, desc = 0x20))._1 == "unknown")
     assert(decode(tgaFile(1, 2, 1, 8, Array[Byte](5, 0), desc = 0x20,
       palette = pal))._1 == "unknown")
+    // color-map gates hold for truecolor too: a present-but-unused
+    // map is skipped correctly, while nonstandard map types/strides
+    // are rejected rather than reading pixels at a garbage offset
+    val tcMap = tgaFile(2, 1, 1, 24, Array[Byte](40, 50, 60),
+      desc = 0x20, palette = pal) // cmType=1, 2x24-bit entries skipped
+    assert(decode(tcMap)._4 == Seq(0xff3c3228))
+    val cm2 = tcMap.clone(); cm2(1) = 2 // cmType 2: stride unknowable
+    assert(decode(cm2)._1 == "unknown")
+    val cm0 = tcMap.clone(); cm0(7) = 0 // cmType 1 + 0-bit entries
+    assert(decode(cm0)._1 == "unknown")
+    val cm13 = tcMap.clone(); cm13(7) = 13 // non-spec entry width
+    assert(decode(cm13)._1 == "unknown")
   }
 
   test("bmp palette formats round-trip against the JDK writer (8/1-bit, gray)") {

@@ -138,6 +138,16 @@ class ImageMetaSpec extends SparkSpec {
     assert(meta(tga) == ("tga", 261, 7))
     // footer-less TGA is NOT detected (no leading magic exists)
     assert(meta(hdr ++ new Array[Byte](261 * 7 * 3))._1 == "unknown")
+    // decode parity: files image_decode rejects yield no dimensions
+    def withHdr(edit: Array[Byte] => Unit): Array[Byte] = {
+      val h2 = hdr.clone(); edit(h2)
+      h2 ++ new Array[Byte](261 * 7 * 3) ++ footer
+    }
+    assert(meta(withHdr(_(2) = 0))._1 == "unknown") // imgType 0: no data
+    assert(meta(withHdr(_(1) = 2))._1 == "unknown") // cmType 2: nonstd
+    assert(meta(withHdr(_(16) = 9))._1 == "unknown") // depth 9 truecolor
+    assert(meta(withHdr(_(17) = 0x30))._1 == "unknown") // right-to-left
+    assert(meta(withHdr { h => h(1) = 1; h(7) = 13 })._1 == "unknown")
   }
 
   test("malformed and truncated payloads degrade to unknown, never throw") {

@@ -126,12 +126,19 @@ class StateTtlSpec extends SparkSpec {
     try {
       in.addData(("k", 5.0, "+I", 0L))
       q.processAllAvailable()
-      Thread.sleep(800)
-      in.addData(("k", 7.0, "+U", 1L))
+      // negative window bounded by OBSERVED batches, not wall time
+      // (no timeouts are registered without a TTL, so batches only
+      // run on data): push several real batches of other-key traffic
+      // between the two k-changes — k's state must survive them all
+      for (i <- 1 to 3) {
+        in.addData(("other", i.toDouble, "+I", i.toLong))
+        q.processAllAvailable()
+      }
+      in.addData(("k", 7.0, "+U", 10L))
       q.processAllAvailable()
       val kinds = spark.table("ttl_agg_off")
         .as[(String, Long, Double, String, Long)].collect()
-        .map(_._4).toSeq.sorted
+        .filter(_._1 == "k").map(_._4).toSeq.sorted
       assert(kinds == Seq("+I", "+U", "-U"), kinds.toString)
     } finally q.stop()
   }
