@@ -227,6 +227,79 @@ object MediaBench {
     data
   }
 
+  /** Noise-content VP8L WebP: literal-only stream under full canonical
+    * prefix codes (greens 232x8-bit + 48x9-bit, R/B/A 256x8-bit — both
+    * exactly complete), ~33 coded bits per pixel. No LZ77 and no
+    * cache hits on noise, so this is the honest worst case for the
+    * decoder's per-symbol path; there is no JDK WebP encoder, so the
+    * payloads come from this minimal spec-conformant writer (decoded
+    * exactly by the fixture-proven [[graft.multimodal.WebpDecode]]). */
+  private[graft] def webpBytes(id: Long, size: Int): Array[Byte] = {
+    val bits = new java.util.BitSet(size * size * 34 + 1024)
+    var n = 0
+    def putVal(v: Int, w: Int): Unit = { // LSB-first value field
+      var k = 0
+      while (k < w) { if (((v >> k) & 1) == 1) bits.set(n); n += 1; k += 1 }
+    }
+    def putCode(c: Int, w: Int): Unit = { // MSB-first prefix code
+      var k = w - 1
+      while (k >= 0) { if (((c >> k) & 1) == 1) bits.set(n); n += 1; k -= 1 }
+    }
+    putVal(size - 1, 14); putVal(size - 1, 14); putVal(0, 1); putVal(0, 3)
+    putVal(0, 1); putVal(0, 1); putVal(0, 1) // no transform/cache/meta
+    // green: code-length-coded; CL symbols 8 and 9 (transmission
+    // order indices 11 and 12) both get length 1
+    putVal(0, 1) // not simple
+    putVal(9, 4) // num_code_lengths = 13 (covers order indices 11, 12)
+    var k = 0
+    while (k < 13) { putVal(if (k == 11 || k == 12) 1 else 0, 3); k += 1 }
+    putVal(0, 1) // no max-symbol field
+    k = 0
+    while (k < 280) { putCode(if (k < 232) 0 else 1, 1); k += 1 }
+    // red / blue / alpha: all 256 symbols at length 8 via a 0-bit CL
+    // tree (only CL symbol 8, order index 11, coded) — the 256
+    // per-symbol reads cost nothing
+    var c = 0
+    while (c < 3) {
+      putVal(0, 1); putVal(8, 4) // 12 code lengths: index 11 = sym 8
+      k = 0
+      while (k < 12) { putVal(if (k == 11) 1 else 0, 3); k += 1 }
+      putVal(0, 1)
+      c += 1
+    }
+    putVal(1, 1); putVal(0, 1); putVal(0, 1); putVal(0, 1) // dist: single 0
+    var s = id * 6364136223846793005L + 1442695040888963407L
+    var px = 0
+    while (px < size * size) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      val g = ((s >>> 24) & 0xff).toInt
+      if (g < 232) putCode(g, 8) else putCode(464 + (g - 232), 9)
+      putCode(((s >>> 32) & 0xff).toInt, 8) // red
+      putCode(((s >>> 40) & 0xff).toInt, 8) // blue
+      putCode(((s >>> 48) & 0xff).toInt, 8) // alpha
+      px += 1
+    }
+    val payload = new Array[Byte]((n + 7) / 8)
+    k = 0
+    while (k < n) {
+      if (bits.get(k)) payload(k / 8) = (payload(k / 8) | (1 << (k % 8))).toByte
+      k += 1
+    }
+    val vp8l = 0x2f.toByte +: payload
+    val pad = vp8l.length & 1
+    val out = new Array[Byte](20 + vp8l.length + pad)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    "RIFF".getBytes.copyToArray(out, 0)
+    le32(4, out.length - 8)
+    "WEBPVP8L".getBytes.copyToArray(out, 8)
+    le32(16, vp8l.length)
+    vp8l.copyToArray(out, 20)
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = args.headOption.map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -245,6 +318,8 @@ object MediaBench {
       ("jpeg", 512, 128), ("jpeg", 2048, 16),
       ("jpeg-prog", 256, 480), ("jpeg-prog", 512, 128),
       ("tiff-lzw", 256, 240), ("tiff-lzw", 512, 64),
+      ("webp", 128, 800), ("webp", 256, 240), ("webp", 512, 64),
+      ("webp", 2048, 8),
       ("wav", 44100, 400), ("wav-ulaw", 44100, 400),
       ("wav-ima", 44100, 400), ("wav-ms", 44100, 400))
     val rows = cells.map { case (fmt, size, n) =>
@@ -255,6 +330,7 @@ object MediaBench {
             case "jpeg" => jpegBytes(id, size)
             case "jpeg-prog" => jpegBytes(id, size, progressive = true)
             case "tiff-lzw" => tiffLzwBytes(id, size)
+            case "webp" => webpBytes(id, size)
             case "wav-ulaw" => ulawBytes(id)
             case "wav-ima" => imaBytes(id)
             case "wav-ms" => msBytes(id)

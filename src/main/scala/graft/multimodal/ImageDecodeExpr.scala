@@ -95,9 +95,22 @@ case class ImageDecodeExpr(child: Expression)
       tiff(b)
     else if (b.length >= 2 && b(0) == 'P' && b(1) >= '4' && b(1) <= '6')
       pnm(b)
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P') webp(b)
     else if (isTgaV2(b)) tga(b)
     else unknown
   }
+
+  /** WebP: VP8L (lossless) decodes fully ([[WebpDecode]], RFC 9649);
+    * lossy VP8 remains metadata-only (image_meta reports its
+    * dimensions) — the documented float-adjacent boundary. */
+  private def webp(b: Array[Byte]): InternalRow =
+    WebpDecode.decode(b, MaxPixels) match {
+      case Some(r) => InternalRow(UTF8String.fromString("webp"),
+        r.width, r.height, new GenericArrayData(r.pixels))
+      case None => unknown
+    }
 
   // ---------------------------------------------------------------- TGA
   private def isTgaV2(b: Array[Byte]): Boolean = ImageDecodeExpr.isTgaV2(b)

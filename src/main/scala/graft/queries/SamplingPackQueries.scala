@@ -1019,6 +1019,57 @@ object SamplingPackQueries {
           .mkString(",\n        ") + """
       FROM documents""")),
 
+    // WebP VP8L lossless decode (round-12 WebpDecode, RFC 9649): per
+    // doc an 8x1 VP8L stream is synthesized from doc_id — the green
+    // prefix code is the simple 2-symbol form over g0 = doc_id % 128
+    // and g1 = (doc_id*7) % 128 + 128 (g0 < 128 <= g1, so canonical
+    // symbol-sorted assignment puts g0 on code 0 unconditionally),
+    // red/blue/alpha/distance are single-symbol codes, and the 8
+    // selection bits come from (doc_id*5) % 256 read LSB-first. All
+    // field boundaries in the byte assembly are non-overlapping, so
+    // plain add/mod arithmetic builds each byte. The oracle replays
+    // the pixels from the same doc_id arithmetic. (Fixture-level
+    // correctness against the reference libwebp encoder is pinned in
+    // WebpDecodeSpec; this query certifies the Catalyst surface.)
+    QueryDef("q_webp_decode", (s, dir) => {
+      def hx(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def div(c: org.apache.spark.sql.Column, n: Int) =
+        floor(c / n).cast("int")
+      val g0 = pmod(col("doc_id"), lit(128)).cast("int")
+      val g1 = (pmod(col("doc_id") * 7, lit(128)) + 128).cast("int")
+      val r = pmod(col("doc_id") * 13, lit(256)).cast("int")
+      val bl = pmod(col("doc_id") * 29, lit(256)).cast("int")
+      val sel = pmod(col("doc_id") * 5, lit(256)).cast("int")
+      val webpHex = concat(
+        lit("52494646" + "1C000000" + "57454250" +
+          "5650384C" + "0F000000" + "2F" + "07000000"),
+        hx(lit(56) + pmod(g0, lit(4)) * 64), // simple/2sym/8bit + g0 lo
+        hx(div(g0, 4) + pmod(g1, lit(4)) * 64), // g0 hi + g1 lo
+        hx(div(g1, 4) + 64), // g1 hi + red simple bit
+        hx(lit(1) + pmod(r, lit(128)) * 2), // red 8-bit flag + value lo
+        hx(div(r, 128) + 10 + pmod(bl, lit(16)) * 16), // blue code + lo
+        hx(div(bl, 16) + 208), // bl hi + alpha code + alpha bit0 (255)
+        lit("FF" + "02"), // alpha bits 1-7 + dist simple; dist sym 0
+        hx(pmod(sel, lit(64)) * 4), // selection bits 0-5
+        hx(div(sel, 64)), // selection bits 6-7, rest zero padding
+        lit("00")) // RIFF pad (odd chunk length)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.decodeImage(unhex(webpHex)).as("d"))
+        .select(Seq(col("doc_id"), col("d.format").as("format"),
+          col("d.width").as("width"), col("d.height").as("height")) ++
+          (0 to 7).map(i =>
+            element_at(col("d.pixels"), i + 1).as(s"p$i")): _*)
+    }, Some("""
+      SELECT doc_id, 'webp' AS format, 8 AS width, 1 AS height,
+        """ + (0 to 7).map(i =>
+          s"""CAST((doc_id*13) % 256 * 65536
+            + (CASE WHEN ((doc_id*5) % 256 // ${1 << i}) % 2 = 1
+               THEN (doc_id*7) % 128 + 128 ELSE doc_id % 128 END) * 256
+            + (doc_id*29) % 256 - 16777216 AS INTEGER) AS p$i""")
+          .mkString(",\n        ") + """
+      FROM documents""")),
+
     // EXIF orientation (ExifOrientationExpr): per doc a JPEG APP1
     // segment with a real TIFF 6.0 IFD0 carrying tag 0x0112 is
     // synthesized from doc_id — little-endian (II) for doc_id%3==0,

@@ -22,7 +22,8 @@ class PlanSpec extends SparkSpec {
       "q_audio_meta", "q_image_meta_ext", "q_tiff_decode",
       "q_audio_g711", "q_audio_ima", "q_audio_ms", "q_audio_containers",
       "q_audio_flac", "q_audio_ogg_meta", "q_tiff_predictor",
-      "q_bmp_palette", "q_pnm_decode", "q_tga_decode").foreach { q =>
+      "q_bmp_palette", "q_pnm_decode", "q_tga_decode",
+      "q_webp_decode").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"),
         s"$q must be a pure map-side projection, got:\n$p")

@@ -85,7 +85,11 @@ class FuzzSafetySpec extends SparkSpec {
       hex("474946383961" + "02000200" + "80" + "00" + "00" +
         "000000" + "FFFFFF" +
         "2C" + "00000000" + "02000200" + "00" +
-        "02" + "02" + "4C01" + "00" + "3B"))
+        "02" + "02" + "4C01" + "00" + "3B"),
+      // 8x1 WebP VP8L (q_webp_decode shape, doc_id=0 instance)
+      hex("52494646" + "1C000000" + "57454250" + "5650384C" +
+        "0F000000" + "2F" + "07000000" +
+        "380060010AD0FF020000" + "00"))
     val payloads = valid.flatMap(v => (0 until v.length).map(v.take))
     sweep(payloads, "truncation")
   }
