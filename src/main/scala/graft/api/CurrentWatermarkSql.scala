@@ -1,0 +1,84 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.functions.col
+
+/** SQL-text binding for `CURRENT_WATERMARK(rowtime)` — reference:
+  * BuiltInFunctionDefinitions.CURRENT_WATERMARK (flink-table-common)
+  * and the docs' systemFunctions.md entry. The reference evaluates it
+  * per row inside the operator that processes the row; the Spark
+  * materialization is [[graft.streaming.Watermarks.withCurrentWatermarkTws]]
+  * (a zero-state `transformWithState` pass-through whose TimerValues
+  * expose the operator-held watermark per micro-batch).
+  *
+  * Rewrite shape: the FROM table's streaming read is annotated with a
+  * `__wm_ms` column by the pass-through operator and registered as a
+  * temp view; `CURRENT_WATERMARK(rowtime)` becomes a CASE over that
+  * column (watermark 0 — Spark's "not yet advanced" — maps to NULL,
+  * the reference's no-watermark-yet value), and the rest of the query
+  * runs unchanged through the dialect translator against the view.
+  *
+  * Boundaries, enforced with pointed errors exactly like the
+  * reference's validator: the argument must be the table's declared
+  * WATERMARK column (the reference requires a rowtime attribute), and
+  * the table must be a registered streaming table — batch tables have
+  * no watermark to observe. Requires the RocksDB state store provider
+  * (as all transformWithState operators do); the single-table FROM is
+  * the supported scope (joins would need one annotation per input,
+  * which the reference also materializes per-operator).
+  */
+object CurrentWatermarkSql {
+
+  private val Fn = """(?i)\bCURRENT_WATERMARK\s*\(\s*([\w.]+)\s*\)""".r
+  private val From = """(?is)\bFROM\s+([A-Za-z_]\w*)""".r
+
+  def matches(sql: String): Boolean = Fn.findFirstIn(sql).isDefined
+
+  def execute(env: TableEnv, sql: String): DataFrame = {
+    val argRaw = Fn.findFirstMatchIn(sql).get.group(1)
+    val arg = argRaw.substring(argRaw.lastIndexOf('.') + 1)
+    val table = From.findFirstMatchIn(sql).map(_.group(1)).getOrElse(
+      throw new IllegalArgumentException(
+        "CURRENT_WATERMARK: no FROM <table> found — the function " +
+          "observes a streaming table's operator watermark"))
+    val spec = env.tableSpec(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"CURRENT_WATERMARK: $table is not a registered table (batch " +
+          "views carry no watermark; reference requires a rowtime " +
+          "attribute)"))
+    val wmCol = spec.watermark.map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"CURRENT_WATERMARK: table $table declares no WATERMARK — " +
+          "the argument must be a rowtime attribute (reference " +
+          "CurrentWatermarkTypeStrategy)"))
+    if (arg != wmCol)
+      throw new IllegalArgumentException(
+        s"CURRENT_WATERMARK($argRaw): the argument must be $table's " +
+          s"declared watermark column $wmCol")
+
+    val base = env.fromStreaming(table)
+    val schema = base.schema
+    implicit val rowEnc: Encoder[Row] = Encoders.row(schema)
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[(Row, Long)] =
+      Encoders.tuple(rowEnc, Encoders.scalaLong)
+    val idx = schema.fieldIndex(wmCol)
+    // key by event time: semantically any key works (the annotation is
+    // operator-global), event time spreads the shuffle at scale
+    val annotated = graft.streaming.Watermarks
+      .withCurrentWatermarkTws[Long, Row](base, { r =>
+        val ts = r.getAs[java.sql.Timestamp](idx)
+        if (ts == null) 0L else ts.getTime
+      })
+    val view = s"${table}__current_wm"
+    annotated.toDF("value", "__wm_ms")
+      .select(col("value.*"), col("__wm_ms"))
+      .createOrReplaceTempView(view)
+    val wmExpr = "(CASE WHEN __wm_ms <= 0 THEN CAST(NULL AS TIMESTAMP) " +
+      "ELSE timestamp_millis(__wm_ms) END)"
+    val rewritten = Fn
+      .replaceAllIn(sql, scala.util.matching.Regex.quoteReplacement(wmExpr))
+      .replaceAll(s"(?i)\\bFROM\\s+$table\\b", s"FROM $view")
+    env.spark.sql(FlinkSqlDialect.translate(rewritten))
+  }
+}

@@ -824,7 +824,12 @@ final class TableEnv(val spark: SparkSession) {
         LookupJoinSql.execute(this, sql)
       else TemporalJoinSql.execute(spark, sql,
         name => specs.get(name).flatMap(_.watermark).map(_._1))
-    } else spark.sql(FlinkSqlDialect.translate(sql))
+    } else if (CurrentWatermarkSql.matches(sql))
+      // CURRENT_WATERMARK(rowtime): per-row operator watermark via the
+      // zero-state transformWithState pass-through (reference
+      // BuiltInFunctionDefinitions.CURRENT_WATERMARK)
+      CurrentWatermarkSql.execute(this, sql)
+    else spark.sql(FlinkSqlDialect.translate(sql))
 
   /** Reference Table.createTemporaryView. */
   def createTemporaryView(name: String, df: DataFrame): Unit =

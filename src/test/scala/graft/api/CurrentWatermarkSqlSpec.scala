@@ -1,0 +1,79 @@
+package graft.api
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** `CURRENT_WATERMARK(rowtime)` bound into SQL text
+  * ([[CurrentWatermarkSql]]): a DDL streaming table's rows are
+  * annotated with the operator-held watermark, NULL before the first
+  * advancement — and the validator rejects the same shapes the
+  * reference rejects (non-rowtime argument, unregistered table). */
+class CurrentWatermarkSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SELECT CURRENT_WATERMARK(ets) annotates each batch with the prior batch's watermark") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val env = TableEnv(spark)
+      val dir = java.nio.file.Files.createTempDirectory("cw_sql").toString
+      Seq((1L, 1000L)).toDF("id", "epoch")
+        .write.mode("append").parquet(s"$dir/t")
+      env.executeSql(s"""
+        CREATE TABLE cw_t (
+          id BIGINT,
+          epoch BIGINT,
+          ets AS timestamp_millis(epoch),
+          WATERMARK FOR ets AS ets - INTERVAL '0' SECOND
+        ) WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+                'format' = 'parquet')""")
+      val df = env.executeSql(
+        "SELECT id, CURRENT_WATERMARK(ets) AS wm FROM cw_t")
+      assert(df.isStreaming)
+      val q = df.writeStream.format("memory").queryName("cw_sql_q")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // batch 2: a later file — its rows see watermark = batch-1 max
+        Seq((2L, 5000L)).toDF("id", "epoch")
+          .write.mode("append").parquet(s"$dir/t")
+        q.processAllAvailable()
+        Seq((3L, 9000L)).toDF("id", "epoch")
+          .write.mode("append").parquet(s"$dir/t")
+        q.processAllAvailable()
+        val rows = spark.table("cw_sql_q")
+          .select(col("id"), col("wm")).collect()
+          .map(r => r.getLong(0) ->
+            Option(r.getAs[Timestamp](1)).map(_.getTime)).toMap
+        assert(rows(1L).isEmpty) // watermark not yet advanced -> NULL
+        assert(rows(2L).contains(1000L))
+        assert(rows(3L).contains(5000L))
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("validator: non-rowtime argument and unknown table raise pointed errors") {
+    val env = TableEnv(spark)
+    val dir = java.nio.file.Files.createTempDirectory("cw_err").toString
+    Seq((1L, 1000L)).toDF("id", "epoch")
+      .write.mode("append").parquet(s"$dir/t")
+    env.executeSql(s"""
+      CREATE TABLE cw_e (
+        id BIGINT,
+        epoch BIGINT,
+        ets AS timestamp_millis(epoch),
+        WATERMARK FOR ets AS ets - INTERVAL '0' SECOND
+      ) WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+              'format' = 'parquet')""")
+    val e1 = intercept[IllegalArgumentException](
+      env.executeSql("SELECT CURRENT_WATERMARK(epoch) FROM cw_e"))
+    assert(e1.getMessage.contains("watermark column"))
+    val e2 = intercept[IllegalArgumentException](
+      env.executeSql("SELECT CURRENT_WATERMARK(ts) FROM nope"))
+    assert(e2.getMessage.contains("not a registered table"))
+  }
+}
