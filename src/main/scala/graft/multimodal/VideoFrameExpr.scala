@@ -7,28 +7,38 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** video_frame(payload, n): the n-th (0-based) video frame of an
-  * MJPEG AVI, decoded to real pixels, plus the total frame count — the
-  * REAL video frame-sampling path. Motion-JPEG stores every frame as a
-  * standalone JPEG, so the pinned-integer [[JpegDecode]] pipeline
-  * applies per frame and the exact-decode contract extends to a true
-  * video container; only INTER-coded video (H.264/HEVC motion
+/** video_frame(payload, n): the n-th (0-based) video frame of a
+  * Motion-JPEG video, decoded to real pixels, plus the total frame
+  * count — the REAL video frame-sampling path. MJPEG stores every
+  * frame as a standalone JPEG, so the pinned-integer [[JpegDecode]]
+  * pipeline applies per frame and the exact-decode contract extends to
+  * true video containers; only INTER-coded video (H.264/HEVC motion
   * compensation) remains behind the FakeCodec boundary.
   *
-  * Container walk (public AVI RIFF layout): 'RIFF'+'AVI ', nested LIST
-  * chunks to 'movi', video frames in '..dc'/'..db' chunks (stream 00,
-  * word-aligned). The stream header's codec is verified per frame by
-  * the JPEG SOI magic rather than trusting the fourcc — corpus files
-  * lie. Frame n is decoded with the full baseline/progressive pipeline;
-  * non-JPEG payloads in the chosen chunk, out-of-range n, or malformed
+  * Three container walks, all public layouts:
+  *  - AVI (RIFF): nested LISTs to 'movi', frames in '..dc'/'..db'
+  *    chunks (word-aligned), 'rec ' grouping LISTs descended in order.
+  *  - MP4/MOV (ISO/IEC 14496-12 BMFF): the sample-table route —
+  *    moov/trak/mdia/minf/stbl with an stsd whose first entry is a
+  *    'jpeg' visual sample entry selects the track; stsc chunk runs ×
+  *    stco/co64 absolute chunk offsets × stsz sizes enumerate the
+  *    samples in media order; frame n is sample n.
+  *  - MKV (Matroska EBML): Tracks/TrackEntry with CodecID "V_MJPEG"
+  *    selects the track number; Cluster SimpleBlocks (and Blocks in
+  *    BlockGroups) of that track, in cluster order, are the frames.
+  *    Laced blocks map to unknown (MJPEG writers do not lace).
+  *
+  * In every container the chosen frame is verified by the JPEG SOI
+  * magic rather than trusting the declared codec — corpus files lie.
+  * Non-JPEG payloads in the chosen slot, out-of-range n, or malformed
   * containers yield the unknown row (never-throw corpus policy). The
   * [[ImageDecodeExpr.MaxPixels]] bomb guard applies to the decoded
   * frame.
   *
   * Output: struct<format, width, height, frames, pixels> with format
-  * "mjpeg". Scale shape: single-scan map-side projection — a stride
-  * frame-sample stage is `video_frame(payload, k * stride)` per row,
-  * zero shuffle.
+  * "mjpeg" (the codec — container-independent). Scale shape:
+  * single-scan map-side projection — a stride frame-sample stage is
+  * `video_frame(payload, k * stride)` per row, zero shuffle.
   *
   * Reference analogue: the frame-sample stage of table-API multimodal
   * preprocessing. */
@@ -58,7 +68,28 @@ case class VideoFrameExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(payload: Any, idx: Any): Any = {
     val b = payload.asInstanceOf[Array[Byte]]
     val n = idx.asInstanceOf[Int]
-    try walk(b, n) catch { case _: Exception => unknown }
+    try {
+      if (n >= 0 && b.length >= 12 &&
+          fourcc(b, 4) == "ftyp") mp4Walk(b, n)
+      else if (n >= 0 && b.length >= 4 && (b(0) & 0xff) == 0x1a &&
+          (b(1) & 0xff) == 0x45 && (b(2) & 0xff) == 0xdf &&
+          (b(3) & 0xff) == 0xa3) mkvWalk(b, n)
+      else walk(b, n)
+    } catch { case _: Exception => unknown }
+  }
+
+  /** Decode + emit once the frame slot is located (shared tail of all
+    * three container walks): SOI check, full JPEG pipeline. */
+  private def emit(b: Array[Byte], off: Int, len: Int,
+      frames: Int): InternalRow = {
+    if (len < 4 || off < 0 || off.toLong + len > b.length ||
+        (b(off) & 0xff) != 0xff || (b(off + 1) & 0xff) != 0xd8)
+      return unknown
+    val frame = java.util.Arrays.copyOfRange(b, off, off + len)
+    val r = JpegDecode.decode(frame, MaxPixels)
+    if (r == null) unknown
+    else InternalRow(UTF8String.fromString("mjpeg"), r.width,
+      r.height, frames, new GenericArrayData(r.pixels))
   }
 
   private def walk(b: Array[Byte], want: Int): InternalRow = {
@@ -117,6 +148,215 @@ case class VideoFrameExpr(left: Expression, right: Expression)
     if (result == null) unknown
     else InternalRow(UTF8String.fromString("mjpeg"), result.width,
       result.height, frames, new GenericArrayData(result.pixels))
+  }
+
+  // ---------------------------------------------------------------- MP4
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  /** BMFF box iteration over [from, to): f(type, payloadStart,
+    * payloadEnd); malformed sizes throw (outer catch → unknown).
+    * Size-1 largesize and size-0 to-end boxes follow ISO 14496-12. */
+  private def boxes(b: Array[Byte], from: Int, to: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    def bad(): Nothing = throw new IllegalStateException("malformed box")
+    var i = from
+    while (i + 8 <= to) {
+      val size32 = be32(b, i)
+      val typ = fourcc(b, i + 4)
+      val (start, end) =
+        if (size32 == 1L) {
+          if (i + 16 > to) bad()
+          val sz = be64(b, i + 8)
+          if (sz < 16 || i + sz > to) bad()
+          (i + 16, (i + sz).toInt)
+        } else if (size32 == 0L) (i + 8, to)
+        else {
+          if (size32 < 8 || i + size32 > to) bad()
+          (i + 8, (i + size32).toInt)
+        }
+      f(typ, start, end)
+      i = end
+    }
+  }
+
+  /** MP4/MOV: select the trak whose stsd leads with a 'jpeg' visual
+    * sample entry, then enumerate samples via stsc runs × stco/co64
+    * chunk offsets × stsz sizes — sample n is frame n. */
+  private def mp4Walk(b: Array[Byte], want: Int): InternalRow = {
+    // committed sample-table payload spans of the selected jpeg track
+    var SZs = -1; var SZe = -1; var SCs = -1; var SCe = -1
+    var COs = -1; var COe = -1; var co64 = false
+    boxes(b, 0, b.length) { (t, s, e) =>
+      if (t == "moov") boxes(b, s, e) { (t2, s2, e2) =>
+        if (t2 == "trak" && SZs < 0) {
+          var jpeg = false
+          var szS = -1; var szE = -1; var scS = -1; var scE = -1
+          var coS = -1; var coE = -1; var is64 = false
+          boxes(b, s2, e2) { (t3, s3, e3) => if (t3 == "mdia")
+            boxes(b, s3, e3) { (t4, s4, e4) => if (t4 == "minf")
+              boxes(b, s4, e4) { (t5, s5, e5) => if (t5 == "stbl")
+                boxes(b, s5, e5) { (t6, s6, e6) => t6 match {
+                  // stsd fullbox: ver/flags + entry_count, then the
+                  // first entry's size32 + format fourcc
+                  case "stsd" =>
+                    if (e6 - s6 >= 16 && be32(b, s6 + 4) >= 1 &&
+                        fourcc(b, s6 + 12) == "jpeg") jpeg = true
+                  case "stsz" => szS = s6; szE = e6
+                  case "stsc" => scS = s6; scE = e6
+                  case "stco" => coS = s6; coE = e6
+                  case "co64" => coS = s6; coE = e6; is64 = true
+                  case _ => ()
+                } } } } }
+          if (jpeg && szS >= 0 && scS >= 0 && coS >= 0) {
+            SZs = szS; SZe = szE; SCs = scS; SCe = scE
+            COs = coS; COe = coE; co64 = is64
+          }
+        }
+      }
+    }
+    if (SZs < 0) return unknown
+    // stsz: ver/flags, uniform sample_size (0 = per-sample table),
+    // sample_count
+    if (SZe - SZs < 12) return unknown
+    val uniform = be32(b, SZs + 4)
+    val count = be32(b, SZs + 8)
+    if (count <= 0 || count > 1000000 || want >= count) return unknown
+    if (uniform == 0 && SZe - SZs < 12 + 4L * count) return unknown
+    def sampleSize(i: Int): Long =
+      if (uniform != 0) uniform else be32(b, SZs + 12 + 4 * i)
+    if (COe - COs < 8) return unknown
+    val nChunks = be32(b, COs + 4)
+    val coW = if (co64) 8 else 4
+    if (nChunks <= 0 || nChunks > 1000000 ||
+        COe - COs < 8 + coW.toLong * nChunks) return unknown
+    def chunkOff(c: Int): Long = // 0-based chunk index
+      if (co64) be64(b, COs + 8 + 8 * c) else be32(b, COs + 8 + 4 * c)
+    if (SCe - SCs < 8) return unknown
+    val nRuns = be32(b, SCs + 4).toInt
+    if (nRuns <= 0 || nRuns > 1000000 ||
+        SCe - SCs < 8 + 12L * nRuns) return unknown
+    var sample = 0
+    var run = 0
+    while (run < nRuns) {
+      val firstChunk = be32(b, SCs + 8 + 12 * run).toInt // 1-based
+      val perChunk = be32(b, SCs + 8 + 12 * run + 4).toInt
+      val lastExcl =
+        if (run + 1 < nRuns) be32(b, SCs + 8 + 12 * (run + 1)).toInt
+        else nChunks.toInt + 1
+      if (firstChunk < 1 || perChunk <= 0 || perChunk > 1000000 ||
+          lastExcl <= firstChunk || lastExcl > nChunks + 1) return unknown
+      var c = firstChunk
+      while (c < lastExcl) {
+        if (want < sample + perChunk) { // want >= sample always holds
+          var off = chunkOff(c - 1)
+          var k = sample
+          while (k < want) { off += sampleSize(k); k += 1 }
+          val len = sampleSize(want)
+          if (len <= 0 || len > Int.MaxValue || off < 0 ||
+              off > Int.MaxValue) return unknown
+          return emit(b, off.toInt, len.toInt, count.toInt)
+        }
+        sample += perChunk
+        c += 1
+      }
+      run += 1
+    }
+    unknown
+  }
+
+  // ---------------------------------------------------------------- MKV
+  /** EBML vint at i: (value, byteLength); element IDs keep the length
+    * marker (the conventional ID value), sizes strip it. */
+  private def vint(b: Array[Byte], i: Int, strip: Boolean): (Long, Int) = {
+    if (i >= b.length) return (-1L, -1)
+    val first = b(i) & 0xff
+    if (first == 0) return (-1L, -1)
+    val n = Integer.numberOfLeadingZeros(first) - 23 // 1..8
+    if (i + n > b.length) return (-1L, -1)
+    var v: Long = if (strip) (first & (0xff >>> n)).toLong else first.toLong
+    var k = 1
+    while (k < n) { v = (v << 8) | (b(i + k) & 0xff); k += 1 }
+    (v, n)
+  }
+
+  /** Matroska: Tracks/TrackEntry with CodecID "V_MJPEG" picks the
+    * track number (a dedicated pass — SeekHead layouts may order
+    * Tracks after Clusters); then Cluster SimpleBlocks and
+    * BlockGroup/Blocks of that track, in order, are the frames. A
+    * laced block of the selected track aborts to unknown. */
+  private def mkvWalk(b: Array[Byte], want: Int): InternalRow = {
+    def bad(): Nothing = throw new IllegalStateException("malformed mkv")
+    def walkRange(from: Int, to: Int)(h: (Long, Int, Int) => Unit): Unit = {
+      var i = from
+      while (i + 2 <= to) {
+        val (id, idLen) = vint(b, i, strip = false)
+        if (idLen < 0) bad()
+        val (sz, szLen) = vint(b, i + idLen, strip = true)
+        if (szLen < 0) bad()
+        val start = i + idLen + szLen
+        val end: Long = // all-ones size = unknown: runs to parent end
+          if (sz == (1L << (7 * szLen)) - 1) to.toLong else start.toLong + sz
+        if (end > to || end < start) bad()
+        h(id, start, end.toInt)
+        i = end.toInt
+      }
+    }
+    def uintAt(s: Int, e: Int): Long = {
+      if (e - s > 8 || e <= s) bad()
+      var v = 0L; var k = s
+      while (k < e) { v = (v << 8) | (b(k) & 0xff); k += 1 }
+      v
+    }
+    var track = -1L
+    var frames = 0
+    var foundOff = -1
+    var foundLen = -1
+    walkRange(0, b.length) { (id, s, e) =>
+      if (id == 0x18538067L) { // Segment
+        walkRange(s, e) { (id2, s2, e2) => // pass 1: Tracks
+          if (id2 == 0x1654AE6BL) walkRange(s2, e2) { (id3, s3, e3) =>
+            if (id3 == 0xAEL) { // TrackEntry
+              var num = -1L
+              var mjpeg = false
+              walkRange(s3, e3) { (id4, s4, e4) =>
+                if (id4 == 0xD7L) num = uintAt(s4, e4) // TrackNumber
+                else if (id4 == 0x86L) // CodecID
+                  mjpeg = new String(b, s4, e4 - s4, "ISO-8859-1")
+                    .takeWhile(_ != '\u0000') == "V_MJPEG"
+              }
+              if (mjpeg && num > 0 && track < 0) track = num
+            }
+          }
+        }
+        if (track > 0) walkRange(s, e) { (id2, s2, e2) => // pass 2
+          if (id2 == 0x1F43B675L) { // Cluster
+            def block(bs: Int, be: Int): Unit = {
+              val (tn, tl) = vint(b, bs, strip = true)
+              if (tl < 0 || bs + tl + 3 > be) bad()
+              if (tn == track) {
+                if ((b(bs + tl + 2) & 0x06) != 0) bad() // laced
+                if (frames == want) {
+                  foundOff = bs + tl + 3 // past int16 timecode + flags
+                  foundLen = be - foundOff
+                }
+                frames += 1
+              }
+            }
+            walkRange(s2, e2) { (id3, s3, e3) =>
+              if (id3 == 0xA3L) block(s3, e3) // SimpleBlock
+              else if (id3 == 0xA0L) walkRange(s3, e3) { (id4, s4, e4) =>
+                if (id4 == 0xA1L) block(s4, e4) // BlockGroup/Block
+              }
+            }
+          }
+        }
+      }
+    }
+    if (foundOff < 0) unknown else emit(b, foundOff, foundLen, frames)
   }
 
   override protected def withNewChildrenInternal(

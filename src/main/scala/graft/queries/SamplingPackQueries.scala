@@ -462,6 +462,107 @@ object SamplingPackQueries {
         CAST(v * 65793 - 16777216 AS INTEGER) AS p63
       FROM g""")),
 
+    // MJPEG-in-MP4 frame sampling (round-12 VideoFrameExpr BMFF walk):
+    // the same 2-frame DC-only JPEG payloads as q_video_frames, but
+    // addressed through a real ISO 14496-12 sample table — stsd 'jpeg'
+    // entry, uniform stsz (142 B), one stsc run (chunk 1, 2 samples),
+    // stco absolute offset 24 into mdat. Same oracle arithmetic.
+    QueryDef("q_video_frames_mp4", (s, dir) => {
+      def hx1(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      val dc0 = (pmod(col("doc_id"), lit(16)) + 16).cast("int")
+      val dc1 = (pmod(col("doc_id") * 5, lit(16)) + 16).cast("int")
+      def sb(dc: org.apache.spark.sql.Column) = hx1(lit(128) + dc * 2)
+      val gp = "FFD8" + "FFDB0043" + "00" + "11" * 64 +
+        "FFC0000B08" + "0008" + "0008" + "01" + "011100" +
+        "FFC40015" + "00" + "0101" + "00" * 14 + "0005" +
+        "FFC40014" + "10" + "01" + "00" * 15 + "00" +
+        "FFDA000801" + "0100" + "003F00" // 139 bytes; +scan+EOI = 142
+      val mp4Hex = concat(
+        lit("00000010" + "66747970" + "69736F6D" + "00000000" + // ftyp
+          "00000124" + "6D646174" + gp), sb(dc0), lit("FFD9" + gp),
+        sb(dc1), lit("FFD9" +
+          "0000008C" + "6D6F6F76" + // moov
+          "00000084" + "7472616B" + // trak
+          "0000007C" + "6D646961" + // mdia
+          "00000074" + "6D696E66" + // minf
+          "0000006C" + "7374626C" + // stbl
+          "00000020" + "73747364" + "00000000" + "00000001" + // stsd
+          "00000010" + "6A706567" + "00" * 8 + // 'jpeg' entry
+          "00000014" + "7374737A" + "00000000" + "0000008E" +
+          "00000002" + // stsz: uniform 142, count 2
+          "0000001C" + "73747363" + "00000000" + "00000001" +
+          "00000001" + "00000002" + "00000001" + // stsc: 1 run
+          "00000014" + "7374636F" + "00000000" + "00000001" +
+          "00000018")) // stco: chunk at offset 24
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.videoFrame(unhex(mp4Hex), lit(1)).as("f"))
+        .select(col("doc_id"), col("f.format").as("format"),
+          col("f.width").as("width"), col("f.height").as("height"),
+          col("f.frames").as("frames"),
+          element_at(col("f.pixels"), 1).as("p0"),
+          element_at(col("f.pixels"), 64).as("p63"))
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id,
+          LEAST(255, GREATEST(0, 128 + CAST(
+            FLOOR(((16 + (doc_id*5) % 16) * 17 + 4) / 8.0) AS INT))) AS v
+        FROM documents)
+      SELECT doc_id, 'mjpeg' AS format, 8 AS width, 8 AS height,
+        2 AS frames,
+        CAST(v * 65793 - 16777216 AS INTEGER) AS p0,
+        CAST(v * 65793 - 16777216 AS INTEGER) AS p63
+      FROM g""")),
+
+    // MJPEG-in-MKV frame sampling (round-12 VideoFrameExpr EBML walk):
+    // same frames behind a Matroska layout — unknown-size Segment (the
+    // streaming-writer shape), Tracks/TrackEntry with CodecID V_MJPEG,
+    // one Cluster with two SimpleBlocks (track vint, int16 timecode,
+    // keyframe flags, no lacing). Same oracle arithmetic.
+    QueryDef("q_video_frames_mkv", (s, dir) => {
+      def hx1(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      val dc0 = (pmod(col("doc_id"), lit(16)) + 16).cast("int")
+      val dc1 = (pmod(col("doc_id") * 5, lit(16)) + 16).cast("int")
+      def sb(dc: org.apache.spark.sql.Column) = hx1(lit(128) + dc * 2)
+      val gp = "FFD8" + "FFDB0043" + "00" + "11" * 64 +
+        "FFC0000B08" + "0008" + "0008" + "01" + "011100" +
+        "FFC40015" + "00" + "0101" + "00" * 14 + "0005" +
+        "FFC40014" + "10" + "01" + "00" * 15 + "00" +
+        "FFDA000801" + "0100" + "003F00"
+      val mkvHex = concat(
+        lit("1A45DFA3" + "80" + // EBML header, empty
+          "18538067" + "FF" + // Segment, UNKNOWN size (to EOF)
+          "1654AE6B" + "91" + // Tracks (17 B)
+          "AE" + "8F" + // TrackEntry (15 B)
+          "D7" + "81" + "01" + // TrackNumber 1
+          "83" + "81" + "01" + // TrackType video
+          "86" + "87" + "565F4D4A504547" + // CodecID V_MJPEG
+          "1F43B675" + "412D" + // Cluster (301 B)
+          "E7" + "81" + "00" + // cluster timestamp 0
+          "A3" + "4092" + "81" + "0000" + "80" + gp), sb(dc0),
+        lit("FFD9" +
+          "A3" + "4092" + "81" + "0000" + "80" + gp), sb(dc1),
+        lit("FFD9"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.videoFrame(unhex(mkvHex), lit(1)).as("f"))
+        .select(col("doc_id"), col("f.format").as("format"),
+          col("f.width").as("width"), col("f.height").as("height"),
+          col("f.frames").as("frames"),
+          element_at(col("f.pixels"), 1).as("p0"),
+          element_at(col("f.pixels"), 64).as("p63"))
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id,
+          LEAST(255, GREATEST(0, 128 + CAST(
+            FLOOR(((16 + (doc_id*5) % 16) * 17 + 4) / 8.0) AS INT))) AS v
+        FROM documents)
+      SELECT doc_id, 'mjpeg' AS format, 8 AS width, 8 AS height,
+        2 AS frames,
+        CAST(v * 65793 - 16777216 AS INTEGER) AS p0,
+        CAST(v * 65793 - 16777216 AS INTEGER) AS p63
+      FROM g""")),
+
     // Animated-GIF frame sampling (GifFramesExpr): a 2-frame 2x2 GIF89a
     // whose LZW streams are CONSTANT bytes (indices [0,1,2,3] then a
     // 1x1 [0] overlay at (1,1), literal-code LZW verified in

@@ -57,6 +57,7 @@ class FuzzSafetySpec extends SparkSpec {
       ".snd".getBytes, "FORM....AIFF".getBytes, "fLaC".getBytes,
       "OggS".getBytes, "P6\n".getBytes, "P5 ".getBytes,
       Array(0, 0, 0, 0x14, 'f', 't', 'y', 'p'), // BMFF
+      Array(0x1a, 0x45, 0xdf.toByte, 0xa3.toByte), // Matroska EBML
       Array('I', 'D', '3'), Array(0xff.toByte, 0xfb.toByte)) // MP3
     val payloads = for (m <- magics; _ <- 0 until 12) yield {
       val tail = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(tail)

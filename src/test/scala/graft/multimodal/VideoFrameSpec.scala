@@ -97,6 +97,149 @@ class VideoFrameSpec extends SparkSpec {
     assert(frame(payload, 1)._1 == "mjpeg")
   }
 
+  // ---------------------------------------------------------------- MP4
+  private def be32b(v: Int) = Array[Byte]((v >>> 24).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def mbox(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32b(payload.length + 8) ++ typ.getBytes("ISO-8859-1") ++ payload
+
+  /** MP4: ftyp + mdat(frames) + moov with a full sample table. Chunk
+    * split: first chunk gets `split` samples, second the rest. An
+    * optional decoy trak (audio stsd) precedes the jpeg trak. */
+  private def mp4(frames: Seq[Array[Byte]], split: Int,
+      decoy: Boolean = false, codec: String = "jpeg"): Array[Byte] = {
+    val ftyp = mbox("ftyp", "isom".getBytes ++ be32b(0) ++ "isom".getBytes)
+    val mdatPayload = frames.reduce(_ ++ _)
+    val frameOffsets = frames.scanLeft(ftyp.length + 8)(_ + _.length)
+    def stbl(fmt: String, off: Seq[Int], sizes: Seq[Int],
+        chunkRuns: Seq[(Int, Int)]): Array[Byte] = {
+      val entry = be32b(86) ++ fmt.getBytes ++ new Array[Byte](78)
+      val stsd = mbox("stsd", be32b(0) ++ be32b(1) ++ entry)
+      val stsz = mbox("stsz", be32b(0) ++ be32b(0) ++ be32b(sizes.length) ++
+        sizes.flatMap(be32b).toArray)
+      val stsc = mbox("stsc", be32b(0) ++ be32b(chunkRuns.length) ++
+        chunkRuns.flatMap { case (fc, spc) =>
+          be32b(fc) ++ be32b(spc) ++ be32b(1) }.toArray)
+      val stco = mbox("stco", be32b(0) ++ be32b(off.length) ++
+        off.flatMap(be32b).toArray)
+      mbox("stbl", stsd ++ stsz ++ stsc ++ stco)
+    }
+    def trak(s: Array[Byte]) = mbox("trak", mbox("mdia", mbox("minf", s)))
+    val chunkOffs = Seq(frameOffsets(0), frameOffsets(split))
+    val runs =
+      if (split >= frames.length) Seq((1, frames.length))
+      else Seq((1, split), (2, frames.length - split))
+    val jpegTrak = trak(stbl(codec, chunkOffs.take(
+      if (split >= frames.length) 1 else 2),
+      frames.map(_.length), runs))
+    val decoyTrak = if (decoy)
+      trak(stbl("mp4a", Seq(ftyp.length + 8), Seq(4), Seq((1, 1))))
+    else Array.empty[Byte]
+    ftyp ++ mbox("mdat", mdatPayload) ++
+      mbox("moov", decoyTrak ++ jpegTrak)
+  }
+
+  test("MJPEG MP4: sample table route — chunk runs, sizes, offsets; decoy trak skipped") {
+    val jpegs = (0 until 3).map(s => jpegOf(s + 20, 11, 9))
+    val payload = mp4(jpegs, split = 2, decoy = true)
+    for (n <- 0 until 3) {
+      val (f, w, h, cnt, px) = frame(payload, n)
+      assert((f, w, h, cnt) == ("mjpeg", 11, 9, 3), s"frame $n")
+      val direct = Seq(Tuple1(jpegs(n))).toDF("p")
+        .select(Multimodal.decodeImage(col("p")).as("d"))
+        .select("d.pixels").head().getSeq[Int](0)
+      assert(px == direct, s"mp4 frame $n must equal the raw JPEG decode")
+    }
+    assert(frame(payload, 3)._1 == "unknown") // out of range
+  }
+
+  test("MP4 corpus-safety: non-jpeg stsd, truncation, h264-looking sample") {
+    val jpegs = Seq(jpegOf(31, 8, 8))
+    // declared codec avc1 -> no jpeg trak selected
+    assert(frame(mp4(jpegs, 1, codec = "avc1"), 0)._1 == "unknown")
+    // declared jpeg but the sample bytes are not a JPEG (corpus lies)
+    val lying = mp4(Seq(Array[Byte](0, 0, 0, 1, 0x67, 42, 42, 1)), 1)
+    assert(frame(lying, 0)._1 == "unknown")
+    val good = mp4(jpegs, 1)
+    assert(frame(good, 0)._1 == "mjpeg")
+    for (cut <- Seq(10, good.length / 2, good.length - 5))
+      assert(frame(good.take(cut), 0)._1 == "unknown")
+  }
+
+  // ---------------------------------------------------------------- MKV
+  private def ebmlSize(n: Long): Array[Byte] =
+    if (n < 0x7f) Array((0x80 | n).toByte)
+    else if (n < 0x3fff) Array((0x40 | (n >> 8)).toByte, (n & 0xff).toByte)
+    else Array((0x20 | (n >> 16)).toByte, ((n >> 8) & 0xff).toByte,
+      (n & 0xff).toByte)
+  private def ebmlIdBytes(id: Long): Array[Byte] = {
+    val n = if (id <= 0xff) 1 else if (id <= 0xffff) 2
+      else if (id <= 0xffffff) 3 else 4
+    (1 to n).map(k => ((id >> (8 * (n - k))) & 0xff).toByte).toArray
+  }
+  private def elem(id: Long, payload: Array[Byte]): Array[Byte] =
+    ebmlIdBytes(id) ++ ebmlSize(payload.length) ++ payload
+
+  private def mkvTrackEntry(num: Int, codecId: String): Array[Byte] =
+    elem(0xAE, elem(0xD7, Array(num.toByte)) ++
+      elem(0x83, Array[Byte](1)) ++ // TrackType video
+      elem(0x86, codecId.getBytes("ISO-8859-1")))
+
+  private def simpleBlock(track: Int, f: Array[Byte],
+      flags: Int = 0x80): Array[Byte] =
+    elem(0xA3, Array[Byte]((0x80 | track).toByte, 0, 0, flags.toByte) ++ f)
+
+  private def mkv(segmentPayload: Array[Byte],
+      unknownSize: Boolean = false): Array[Byte] = {
+    val header = elem(0x1A45DFA3, Array.empty[Byte])
+    val seg =
+      if (unknownSize) ebmlIdBytes(0x18538067) ++ Array(0xff.toByte) ++
+        segmentPayload
+      else elem(0x18538067, segmentPayload)
+    header ++ seg
+  }
+
+  test("MJPEG MKV: SimpleBlocks + BlockGroup/Block across clusters; other track skipped") {
+    val jpegs = (0 until 3).map(s => jpegOf(s + 40, 10, 6))
+    val tracks = elem(0x1654AE6B,
+      mkvTrackEntry(1, "V_MJPEG") ++ mkvTrackEntry(2, "A_PCM/INT/LIT"))
+    val cluster1 = elem(0x1F43B675,
+      elem(0xE7, Array[Byte](0)) ++ // cluster timestamp
+        simpleBlock(1, jpegs(0)) ++
+        simpleBlock(2, Array.fill[Byte](17)(3)) ++ // audio: skipped
+        elem(0xA0, elem(0xA1, // BlockGroup/Block form
+          Array[Byte](0x81.toByte, 0, 0, 0) ++ jpegs(1))))
+    val cluster2 = elem(0x1F43B675, simpleBlock(1, jpegs(2)))
+    // segment with UNKNOWN size (the streaming-writer shape)
+    val payload = mkv(tracks ++ cluster1 ++ cluster2, unknownSize = true)
+    for (n <- 0 until 3) {
+      val (f, w, h, cnt, px) = frame(payload, n)
+      assert((f, w, h, cnt) == ("mjpeg", 10, 6, 3), s"frame $n")
+      val direct = Seq(Tuple1(jpegs(n))).toDF("p")
+        .select(Multimodal.decodeImage(col("p")).as("d"))
+        .select("d.pixels").head().getSeq[Int](0)
+      assert(px == direct, s"mkv frame $n must equal the raw JPEG decode")
+    }
+    assert(frame(payload, 3)._1 == "unknown")
+  }
+
+  test("MKV corpus-safety: lacing, wrong codec, truncation") {
+    val j = jpegOf(50, 8, 8)
+    val tracks = elem(0x1654AE6B, mkvTrackEntry(1, "V_MJPEG"))
+    // a laced block of the selected track aborts the payload
+    val laced = mkv(tracks ++ elem(0x1F43B675,
+      simpleBlock(1, j, flags = 0x82)))
+    assert(frame(laced, 0)._1 == "unknown")
+    // no V_MJPEG track -> nothing to sample
+    val h264 = mkv(elem(0x1654AE6B, mkvTrackEntry(1, "V_MPEG4/ISO/AVC")) ++
+      elem(0x1F43B675, simpleBlock(1, j)))
+    assert(frame(h264, 0)._1 == "unknown")
+    val good = mkv(tracks ++ elem(0x1F43B675, simpleBlock(1, j)))
+    assert(frame(good, 0)._1 == "mjpeg")
+    for (cut <- Seq(3, good.length / 2, good.length - 4))
+      assert(frame(good.take(cut), 0)._1 == "unknown")
+  }
+
   test("corpus-safety: out of range, truncated, non-JPEG frames, non-AVI") {
     val payload = avi(chunk("00dc", jpegOf(1, 8, 8)))
     assert(frame(payload, 1)._1 == "unknown") // only frame 0 exists
