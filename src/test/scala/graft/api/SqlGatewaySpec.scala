@@ -205,4 +205,62 @@ class SqlGatewaySpec extends SparkSpec {
     assert(get(s"/v2/sessions/nope/operations/x/status").has("errors"))
     delete(s"/v2/sessions/$sh")
   }
+
+  test("N parallel sessions: interleaved DDL + paged fetches stay isolated under load") {
+    // the reference gateway is a multi-session service
+    // (flink-sql-gateway): drive 8 concurrent sessions over real HTTP,
+    // each creating session-local views, paging multi-page results
+    // (page-size 7 forces pagination), heartbeating, and probing the
+    // OTHER sessions' views — every cross-session probe must ERROR and
+    // every own-view read must return the session's private value.
+    val n = 8
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val handles = new java.util.concurrent.CopyOnWriteArrayList[String]
+    val ready = new java.util.concurrent.CountDownLatch(n)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    def check(cond: Boolean, msg: => String): Unit =
+      if (!cond) errors.add(msg)
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        try {
+          val sh = openSession(SqlGateway.PageSizeKey -> "7")
+          handles.add(sh)
+          ready.countDown()
+          go.await() // maximize interleaving: all sessions start together
+          val (_, stDdl) = run(sh,
+            s"CREATE VIEW secret_$i AS SELECT ${i * 1000} AS v")
+          check(stDdl == "FINISHED", s"[$i] DDL: $stDdl")
+          // multi-page fetch: 30 rows / page-size 7 -> 5 pages
+          val (ohR, stR) = run(sh,
+            s"SELECT id + ${i * 100} AS x FROM range(30) ORDER BY id")
+          check(stR == "FINISHED", s"[$i] range: $stR")
+          val (cols, rows, pages) = fetchAll(sh, ohR)
+          check(cols == Seq("x"), s"[$i] cols: $cols")
+          check(pages >= 5, s"[$i] expected >=5 pages, got $pages")
+          check(rows.map(_._2.head.toInt) == (0 until 30).map(_ + i * 100),
+            s"[$i] paged rows wrong/interleaved")
+          post(s"/v2/sessions/$sh/heartbeat")
+          // own view: private value; every OTHER session's view: ERROR
+          val (ohV, stV) = run(sh, s"SELECT v FROM secret_$i")
+          check(stV == "FINISHED", s"[$i] own view: $stV")
+          check(fetchAll(sh, ohV)._2.map(_._2.head) == Seq(s"${i * 1000}"),
+            s"[$i] own view value")
+          for (j <- 0 until n if j != i) {
+            val (_, stX) = run(sh, s"SELECT v FROM secret_$j")
+            check(stX == "ERROR", s"[$i] sees session $j's view")
+          }
+          check(delete(s"/v2/sessions/$sh").get("status").asText()
+            == "CLOSED", s"[$i] close")
+        } catch {
+          case t: Throwable => errors.add(s"[$i] threw: $t")
+        }
+      })
+    }
+    threads.foreach(_.start())
+    ready.await()
+    go.countDown()
+    threads.foreach(_.join(120000))
+    check(threads.forall(!_.isAlive), "worker threads hung")
+    assert(errors.isEmpty, errors.toArray.mkString("\n"))
+  }
 }
