@@ -77,6 +77,18 @@ object Multimodal {
     ColumnBridge.column(ExifOrientationExpr(ColumnBridge.expression(payload)))
   }
 
+  /** Column-level payload decompression (gzip/zlib/zstd/lz4/snappy/
+    * bzip2/xz, magic-sniffed or forced via `codec`) — the corpus
+    * ingestion primitive for WARC/WET record bodies and compressed
+    * shard members; see [[DecompressExpr]]. Returns
+    * struct<format, data: binary>; malformed/bomb -> ("unknown", NULL). */
+  def decompress(payload: org.apache.spark.sql.Column,
+      codec: String = "auto"): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(DecompressExpr(ColumnBridge.expression(payload),
+      ColumnBridge.expression(org.apache.spark.sql.functions.lit(codec))))
+  }
+
   /** REAL pixel decode for PNG and BMP payloads — see
     * [[ImageDecodeExpr]] (scanline filters, palette/alpha, zlib
     * inflate, bomb guard). Returns struct<format, width, height,

@@ -462,6 +462,52 @@ object SamplingPackQueries {
         CAST(v * 65793 - 16777216 AS INTEGER) AS p63
       FROM g""")),
 
+    // Column-level payload decompression (round-12 DecompressExpr —
+    // the WARC/WET ingestion primitive): per doc the text
+    // 'wet-record-<doc_id>' is wrapped by doc_id % 4 in one of four
+    // REAL container layouts built from stored/raw blocks so the
+    // whole payload is constructible in pure column arithmetic:
+    // zlib stored-deflate (dummy Adler — tolerated like PNG IDAT),
+    // gzip stored-deflate with a truncated trailer (tolerated; the
+    // corpus-tail policy), a zstd single-segment raw-block frame
+    // (RFC 8878), and an lz4 frame with one uncompressed block
+    // (FLG 0x60/BD 0x40, header checksum 0x82 = xxh32 of the
+    // descriptor, verified against liblz4 output). The oracle
+    // replays format + text directly.
+    QueryDef("q_decompress_text", (s, dir) => {
+      def hx2(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def le16h(c: org.apache.spark.sql.Column) = {
+        val hh = lpad(hex(c), 4, "0")
+        concat(substring(hh, 3, 2), substring(hh, 1, 2))
+      }
+      val txt = concat(lit("wet-record-"), col("doc_id"))
+      val dataHex = hex(txt.cast("binary"))
+      val len = length(txt)
+      val stored = concat(lit("01"), le16h(len), le16h(lit(65535) - len),
+        dataHex)
+      val zlibHex = concat(lit("7801"), stored, lit("00000000"))
+      val gzipHex = concat(lit("1F8B08" + "00" * 7), stored)
+      val zstdHex = concat(lit("28B52FFD" + "20"), hx2(len),
+        hx2(pmod(len * 8 + 1, lit(256))),
+        hx2(floor((len * 8 + 1) / 256).cast("int")), lit("00"), dataHex)
+      val lz4Hex = concat(lit("04224D18" + "6040" + "82"),
+        hx2(len), lit("000080"), dataHex, lit("00000000"))
+      val payload = unhex(
+        when(pmod(col("doc_id"), lit(4)) === 0, zlibHex)
+          .when(pmod(col("doc_id"), lit(4)) === 1, gzipHex)
+          .when(pmod(col("doc_id"), lit(4)) === 2, zstdHex)
+          .otherwise(lz4Hex))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.decompress(payload).as("d"))
+        .select(col("doc_id"), col("d.format").as("format"),
+          col("d.data").cast("string").as("text"))
+    }, Some("""
+      SELECT doc_id,
+        CASE doc_id % 4 WHEN 0 THEN 'zlib' WHEN 1 THEN 'gzip'
+          WHEN 2 THEN 'zstd' ELSE 'lz4' END AS format,
+        'wet-record-' || doc_id AS text
+      FROM documents""")),
+
     // MJPEG-in-MP4 frame sampling (round-12 VideoFrameExpr BMFF walk):
     // the same 2-frame DC-only JPEG payloads as q_video_frames, but
     // addressed through a real ISO 14496-12 sample table — stsd 'jpeg'

@@ -23,7 +23,8 @@ class FuzzSafetySpec extends SparkSpec {
     ("video_meta", Multimodal.videoMeta),
     ("exif_orientation", Multimodal.exifOrientation),
     ("gif_frame", c => Multimodal.gifFrame(c, lit(0))),
-    ("video_frame", c => Multimodal.videoFrame(c, lit(0))))
+    ("video_frame", c => Multimodal.videoFrame(c, lit(0))),
+    ("decompress", c => Multimodal.decompress(c)))
 
   private def sweep(payloads: Seq[Array[Byte]], label: String): Unit = {
     val df = payloads.map(Tuple1(_)).toDF("p")
@@ -54,6 +55,11 @@ class FuzzSafetySpec extends SparkSpec {
       Array('I', 'I', 42, 0), Array('M', 'M', 0, 42), // TIFF
       "RIFF....WAVE".getBytes, "RIFF....WEBP".getBytes,
       "RIFF....AVI ".getBytes,
+      Array(0x1f, 0x8b.toByte, 8), // gzip
+      Array(0x28, 0xb5.toByte, 0x2f, 0xfd.toByte), // zstd
+      Array(0x04, 0x22, 0x4d, 0x18), // lz4 frame
+      "BZh9".getBytes, Array(0xfd.toByte, '7', 'z', 'X', 'Z', 0), // xz
+      Array[Byte](0x78, 0x9c.toByte), // zlib
       ".snd".getBytes, "FORM....AIFF".getBytes, "fLaC".getBytes,
       "OggS".getBytes, "P6\n".getBytes, "P5 ".getBytes,
       Array(0, 0, 0, 0x14, 'f', 't', 'y', 'p'), // BMFF
