@@ -89,6 +89,17 @@ object Multimodal {
       ColumnBridge.expression(org.apache.spark.sql.functions.lit(codec))))
   }
 
+  /** ISO 28500 WARC/WET record parsing — see [[WarcRecordsExpr]].
+    * Returns array<struct<warc_type, record_id, target_uri, date,
+    * content_type, content: binary>> (NULL when the payload is not a
+    * WARC file); `explode(warcRecords(decompress(p)("data")))` is the
+    * Common Crawl ingestion front. */
+  def warcRecords(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(WarcRecordsExpr(ColumnBridge.expression(payload)))
+  }
+
   /** REAL pixel decode for PNG and BMP payloads — see
     * [[ImageDecodeExpr]] (scanline filters, palette/alpha, zlib
     * inflate, bomb guard). Returns struct<format, width, height,

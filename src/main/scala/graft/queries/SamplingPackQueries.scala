@@ -508,6 +508,38 @@ object SamplingPackQueries {
         'wet-record-' || doc_id AS text
       FROM documents""")),
 
+    // WARC/WET record parsing (round-12 WarcRecordsExpr — the ISO
+    // 28500 container Common Crawl ships): per doc a 2-record WET
+    // file is synthesized in pure string arithmetic (record bodies
+    // and URIs carry doc_id; Content-Length computed per body),
+    // exploded, and every extracted field + body replayed by the
+    // oracle. The layering partner of q_decompress_text: together
+    // they certify explode(warc_records(decompress(p).data)).
+    QueryDef("q_warc_records", (s, dir) => {
+      val crlf = "\r\n"
+      def rec(idx: Int) = {
+        val body = concat(lit(s"text-$idx-"), col("doc_id"))
+        concat(
+          lit("WARC/1.0" + crlf + "WARC-Type: conversion" + crlf +
+            "WARC-Target-URI: http://cc.example/"),
+          col("doc_id"), lit(s"/$idx$crlf" + "Content-Length: "),
+          length(body).cast("string"), lit(crlf + crlf),
+          body, lit(crlf + crlf))
+      }
+      val payload = concat(rec(0), rec(1)).cast("binary")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Multimodal.warcRecords(payload)).as(Seq("idx", "r")))
+        .select(col("doc_id"), col("idx"),
+          col("r.warc_type").as("warc_type"),
+          col("r.target_uri").as("target_uri"),
+          col("r.content").cast("string").as("text"))
+    }, Some("""
+      SELECT doc_id, idx, 'conversion' AS warc_type,
+        'http://cc.example/' || doc_id || '/' || idx AS target_uri,
+        'text-' || idx || '-' || doc_id AS text
+      FROM documents, (VALUES (0), (1)) AS t(idx)""")),
+
     // MJPEG-in-MP4 frame sampling (round-12 VideoFrameExpr BMFF walk):
     // the same 2-frame DC-only JPEG payloads as q_video_frames, but
     // addressed through a real ISO 14496-12 sample table — stsd 'jpeg'
