@@ -1,0 +1,229 @@
+package graft.multimodal
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** http_response(payload): split the HTTP/1.x response message a WARC
+  * `response` record carries (Content-Type: application/http;
+  * msgtype=response) into struct<status: int, content_type: string,
+  * charset: string, body: binary, text: string> — the step between
+  * [[WarcRecordsExpr]] and clean text in a crawl pipeline:
+  * `http_response(r.content).text` after
+  * `explode(warc_records(decompress(p).data))`.
+  *
+  * Parse rules (RFC 9112 message framing): status line
+  * "HTTP/<v> <code> [reason]", header lines to the first blank line
+  * (names case-insensitive, bare-LF tolerated), body = the rest of
+  * the record verbatim — WARC blocks are captured wire bytes, so
+  * Content-Length inside the message is NOT re-applied (truncated
+  * fetches keep what was captured; the record's own length already
+  * framed the block). A `Transfer-Encoding: chunked` body is
+  * de-chunked (hex sizes + CRLF framing, trailers dropped); a gzip/
+  * deflate/br Content-Encoding body is surfaced as raw `body` bytes
+  * with NULL `text` — route through [[DecompressExpr]] explicitly.
+  *
+  * `charset` comes from the Content-Type parameter when present, else
+  * a BOM, else NULL. `text` decodes the body for the charsets a web
+  * corpus actually carries — utf-8 (with a strict validity scan:
+  * invalid sequences fall back to latin-1 rather than emitting
+  * replacement garbage), latin-1/iso-8859-1, us-ascii, windows-1252,
+  * utf-16 via BOM — and is NULL for binary or unsupported-charset
+  * payloads. Non-HTTP payloads yield the unknown row; never throws.
+  *
+  * Scale shape: per-row map-side parse, single scan, zero shuffle
+  * (PlanSpec-pinned via q_http_response). */
+case class HttpResponseExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("status", IntegerType, nullable = false),
+    StructField("content_type", StringType, nullable = true),
+    StructField("charset", StringType, nullable = true),
+    StructField("body", BinaryType, nullable = true),
+    StructField("text", StringType, nullable = true)))
+  override def prettyName: String = "http_response"
+
+  private val unknown = InternalRow(-1, null, null, null, null)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    try parse(b) catch { case _: Exception => unknown }
+  }
+
+  private def line(b: Array[Byte], i: Int): (String, Int) = {
+    if (i >= b.length) return null
+    var j = i
+    while (j < b.length && b(j) != '\n') j += 1
+    if (j >= b.length) return null
+    val end = if (j > i && b(j - 1) == '\r') j - 1 else j
+    (new String(b, i, end - i, "ISO-8859-1"), j + 1)
+  }
+
+  private def parse(b: Array[Byte]): InternalRow = {
+    val sl = line(b, 0)
+    if (sl == null) return unknown
+    val parts = sl._1.split(" ", 3)
+    if (parts.length < 2 || !parts(0).startsWith("HTTP/")) return unknown
+    val status = try parts(1).toInt catch {
+      case _: NumberFormatException => return unknown
+    }
+    if (status < 100 || status > 599) return unknown
+    var i = sl._2
+    var contentType: String = null
+    var contentEncoding: String = null
+    var chunked = false
+    var blank = false
+    while (!blank) {
+      val hl = line(b, i)
+      if (hl == null) return unknown // truncated inside headers
+      else if (hl._1.isEmpty) { blank = true; i = hl._2 }
+      else {
+        i = hl._2
+        val colon = hl._1.indexOf(':')
+        if (colon > 0) {
+          val name = hl._1.substring(0, colon).trim.toLowerCase
+          val value = hl._1.substring(colon + 1).trim
+          name match {
+            case "content-type" => contentType = value
+            case "content-encoding" => contentEncoding = value.toLowerCase
+            case "transfer-encoding" =>
+              chunked = value.toLowerCase.contains("chunked")
+            case _ => ()
+          }
+        }
+      }
+    }
+    val rawBody = java.util.Arrays.copyOfRange(b, i, b.length)
+    val body = if (chunked) dechunk(rawBody) else rawBody
+    if (body == null) return unknown
+    val charset = charsetOf(contentType, body)
+    val encoded = contentEncoding != null && contentEncoding != "identity"
+    val text = if (encoded) null else decodeText(body, charset, contentType)
+    InternalRow(status,
+      if (contentType == null) null else UTF8String.fromString(contentType),
+      if (charset == null) null else UTF8String.fromString(charset),
+      body,
+      if (text == null) null else UTF8String.fromString(text))
+  }
+
+  /** RFC 9112 chunked framing: hex size [;ext] CRLF data CRLF ...,
+    * 0-size terminator; trailers dropped. A truncated final chunk
+    * keeps the complete prefix (the WARC capture policy). */
+  private def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var i = 0
+    var done = false
+    while (!done) {
+      val hl = line(b, i)
+      if (hl == null) done = true // truncated at a chunk boundary
+      else {
+        val sizeStr = hl._1.takeWhile(c => c != ';').trim
+        val size = try java.lang.Long.parseLong(sizeStr, 16) catch {
+          case _: NumberFormatException => return null // corrupt framing
+        }
+        if (size == 0) done = true
+        else if (hl._2 + size > b.length) { // truncated chunk: keep prefix
+          out.write(b, hl._2, b.length - hl._2)
+          done = true
+        } else {
+          out.write(b, hl._2, size.toInt)
+          i = hl._2 + size.toInt
+          // consume the CRLF after the chunk data
+          if (i < b.length && b(i) == '\r') i += 1
+          if (i < b.length && b(i) == '\n') i += 1
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  private def charsetOf(contentType: String, body: Array[Byte]): String = {
+    if (contentType != null) {
+      val lower = contentType.toLowerCase
+      val at = lower.indexOf("charset=")
+      if (at >= 0) {
+        var v = lower.substring(at + 8).trim
+        val semi = v.indexOf(';')
+        if (semi >= 0) v = v.substring(0, semi)
+        return v.stripPrefix("\"").stripSuffix("\"").trim
+      }
+    }
+    if (body.length >= 3 && (body(0) & 0xff) == 0xef &&
+      (body(1) & 0xff) == 0xbb && (body(2) & 0xff) == 0xbf) "utf-8"
+    else if (body.length >= 2 && (body(0) & 0xff) == 0xff &&
+      (body(1) & 0xff) == 0xfe) "utf-16le"
+    else if (body.length >= 2 && (body(0) & 0xff) == 0xfe &&
+      (body(1) & 0xff) == 0xff) "utf-16be"
+    else null
+  }
+
+  /** Body → text for textual content types; NULL for binary. The
+    * utf-8 path validates first: a declared-utf-8 body that is not
+    * valid utf-8 (mislabeled, the web's favorite lie) decodes as
+    * latin-1 — byte-preserving — instead of emitting U+FFFD noise. */
+  private def decodeText(body: Array[Byte], charset: String,
+      contentType: String): String = {
+    val textual = contentType == null ||
+      contentType.toLowerCase.startsWith("text/") ||
+      contentType.toLowerCase.contains("json") ||
+      contentType.toLowerCase.contains("xml") ||
+      contentType.toLowerCase.contains("javascript") ||
+      contentType.toLowerCase.contains("x-www-form")
+    if (!textual) return null
+    val cs = if (charset == null) "utf-8" else charset
+    cs match {
+      case "utf-8" | "utf8" =>
+        if (validUtf8(body)) {
+          val skip = if (body.length >= 3 && (body(0) & 0xff) == 0xef &&
+            (body(1) & 0xff) == 0xbb && (body(2) & 0xff) == 0xbf) 3 else 0
+          new String(body, skip, body.length - skip, "UTF-8")
+        } else new String(body, "ISO-8859-1")
+      case "iso-8859-1" | "latin-1" | "latin1" | "us-ascii" | "ascii" =>
+        new String(body, "ISO-8859-1")
+      case "windows-1252" | "cp1252" =>
+        new String(body, java.nio.charset.Charset.forName("windows-1252"))
+      case "utf-16le" => new String(body, 2, body.length - 2,
+        java.nio.charset.StandardCharsets.UTF_16LE)
+      case "utf-16be" => new String(body, 2, body.length - 2,
+        java.nio.charset.StandardCharsets.UTF_16BE)
+      case _ => null // unsupported declared charset: no silent garbage
+    }
+  }
+
+  /** Strict UTF-8 validity scan (RFC 3629: no overlongs, no
+    * surrogates, max U+10FFFF). */
+  private def validUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c < 0xc2) return false // continuation / overlong lead
+      else {
+        val n = if (c < 0xe0) 1 else if (c < 0xf0) 2
+          else if (c < 0xf5) 3 else return false
+        if (i + n > b.length - 1) return false // truncated sequence
+        var k = 1
+        var cp = c & (0x3f >> n)
+        while (k <= n) {
+          val cc = b(i + k) & 0xff
+          if ((cc & 0xc0) != 0x80) return false
+          cp = (cp << 6) | (cc & 0x3f)
+          k += 1
+        }
+        // overlongs / surrogates / range
+        if (n == 1 && cp < 0x80) return false
+        if (n == 2 && (cp < 0x800 || (cp >= 0xd800 && cp <= 0xdfff)))
+          return false
+        if (n == 3 && (cp < 0x10000 || cp > 0x10ffff)) return false
+        i += n + 1
+      }
+    }
+    true
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

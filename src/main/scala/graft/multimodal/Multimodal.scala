@@ -100,6 +100,16 @@ object Multimodal {
     ColumnBridge.column(WarcRecordsExpr(ColumnBridge.expression(payload)))
   }
 
+  /** HTTP/1.x response parsing for WARC `response` record blocks —
+    * see [[HttpResponseExpr]]. Returns struct<status, content_type,
+    * charset, body: binary, text: string> with de-chunking and
+    * charset-aware text decode; (-1, NULL…) when not HTTP. */
+  def httpResponse(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(HttpResponseExpr(ColumnBridge.expression(payload)))
+  }
+
   /** REAL pixel decode for PNG and BMP payloads — see
     * [[ImageDecodeExpr]] (scanline filters, palette/alpha, zlib
     * inflate, bomb guard). Returns struct<format, width, height,

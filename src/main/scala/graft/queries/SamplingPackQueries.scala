@@ -540,6 +540,39 @@ object SamplingPackQueries {
         'text-' || idx || '-' || doc_id AS text
       FROM documents, (VALUES (0), (1)) AS t(idx)""")),
 
+    // HTTP response parsing (round-12 HttpResponseExpr — the step
+    // between a WARC `response` record and clean text): per doc one
+    // of three RFC 9112 message shapes — plain utf-8, chunked
+    // transfer coding (hex chunk size computed from the body length),
+    // and a declared latin-1 404 — parsed to (status, charset, text).
+    // The oracle replays all three fields from the doc_id arithmetic.
+    QueryDef("q_http_response", (s, dir) => {
+      val body = concat(lit("page-"), col("doc_id"))
+      val plain = concat(lit("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/plain; charset=utf-8\r\n\r\n"), body)
+      val chunked = concat(lit("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/plain\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n"),
+        lower(hex(length(body))), lit("\r\n"), body, lit("\r\n0\r\n\r\n"))
+      val latin = concat(lit("HTTP/1.1 404 Not Found\r\n" +
+        "Content-Type: text/html; charset=iso-8859-1\r\n\r\n"), body)
+      val payload = when(pmod(col("doc_id"), lit(3)) === 0, plain)
+        .when(pmod(col("doc_id"), lit(3)) === 1, chunked)
+        .otherwise(latin).cast("binary")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.httpResponse(payload).as("h"))
+        .select(col("doc_id"), col("h.status").as("status"),
+          col("h.charset").as("charset"), col("h.text").as("text"))
+    }, Some("""
+      SELECT doc_id,
+        CAST(CASE WHEN doc_id % 3 = 2 THEN 404 ELSE 200 END AS INT)
+          AS status,
+        CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 2 THEN 'iso-8859-1'
+          ELSE NULL END AS charset,
+        'page-' || doc_id AS text
+      FROM documents""")),
+
     // MJPEG-in-MP4 frame sampling (round-12 VideoFrameExpr BMFF walk):
     // the same 2-frame DC-only JPEG payloads as q_video_frames, but
     // addressed through a real ISO 14496-12 sample table — stsd 'jpeg'

@@ -25,7 +25,8 @@ class FuzzSafetySpec extends SparkSpec {
     ("gif_frame", c => Multimodal.gifFrame(c, lit(0))),
     ("video_frame", c => Multimodal.videoFrame(c, lit(0))),
     ("decompress", c => Multimodal.decompress(c)),
-    ("warc_records", Multimodal.warcRecords))
+    ("warc_records", Multimodal.warcRecords),
+    ("http_response", Multimodal.httpResponse))
 
   private def sweep(payloads: Seq[Array[Byte]], label: String): Unit = {
     val df = payloads.map(Tuple1(_)).toDF("p")
@@ -61,7 +62,7 @@ class FuzzSafetySpec extends SparkSpec {
       Array(0x04, 0x22, 0x4d, 0x18), // lz4 frame
       "BZh9".getBytes, Array(0xfd.toByte, '7', 'z', 'X', 'Z', 0), // xz
       Array[Byte](0x78, 0x9c.toByte), // zlib
-      "WARC/1.0\r\n".getBytes,
+      "WARC/1.0\r\n".getBytes, "HTTP/1.1 200 OK\r\n".getBytes,
       ".snd".getBytes, "FORM....AIFF".getBytes, "fLaC".getBytes,
       "OggS".getBytes, "P6\n".getBytes, "P5 ".getBytes,
       Array(0, 0, 0, 0x14, 'f', 't', 'y', 'p'), // BMFF

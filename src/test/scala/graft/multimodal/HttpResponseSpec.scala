@@ -1,0 +1,125 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[HttpResponseExpr]] over hand-built RFC 9112 messages: framing,
+  * chunked transfer decoding, charset selection (declared, BOM,
+  * mislabeled-utf-8 fallback), binary/encoded body policy, and the
+  * full WARC→HTTP→text pipeline shape. */
+class HttpResponseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parse(bytes: Array[Byte])
+      : (Int, String, String, Array[Byte], String) = {
+    val r = Seq(Tuple1(bytes)).toDF("p")
+      .select(Multimodal.httpResponse(col("p")).as("h"))
+      .select("h.status", "h.content_type", "h.charset", "h.body", "h.text")
+      .head()
+    (r.getInt(0), r.getString(1), r.getString(2),
+      if (r.isNullAt(3)) null else r.getAs[Array[Byte]](3),
+      r.getString(4))
+  }
+
+  private def msg(status: Int, headers: Seq[String],
+      body: Array[Byte]): Array[Byte] =
+    (s"HTTP/1.1 $status OK\r\n" + headers.map(_ + "\r\n").mkString +
+      "\r\n").getBytes("ISO-8859-1") ++ body
+
+  test("plain utf-8 page: status, content type, charset, text") {
+    val body = "héllo wörld 中文".getBytes("UTF-8")
+    val (st, ct, cs, b, txt) = parse(msg(200,
+      Seq("Content-Type: text/html; charset=UTF-8",
+        s"Content-Length: ${body.length}"), body))
+    assert(st == 200 && ct == "text/html; charset=UTF-8" && cs == "utf-8")
+    assert(b.sameElements(body))
+    assert(txt == "héllo wörld 中文")
+  }
+
+  test("chunked transfer decoding (hex sizes, extensions, terminator)") {
+    val body = "5;ext=1\r\nhello\r\n6\r\n world\r\n0\r\n\r\n".getBytes
+    val (st, _, _, _, txt) = parse(msg(200,
+      Seq("Content-Type: text/plain", "Transfer-Encoding: chunked"), body))
+    assert(st == 200 && txt == "hello world")
+    // truncated mid-chunk keeps the captured prefix
+    val cut = msg(200, Seq("Content-Type: text/plain",
+      "Transfer-Encoding: chunked"),
+      "5\r\nhello\r\nA\r\nwor".getBytes)
+    assert(parse(cut)._5 == "hellowor")
+  }
+
+  test("mislabeled utf-8 falls back to latin-1; BOMs select the charset") {
+    // declared utf-8 but carries a bare 0xE9 (latin-1 é): NOT valid
+    // utf-8 — byte-preserving latin-1, no U+FFFD noise
+    val lied = msg(200, Seq("Content-Type: text/plain; charset=utf-8"),
+      Array[Byte]('c', 'a', 'f', 0xe9.toByte))
+    assert(parse(lied)._5 == "café")
+    // undeclared charset + utf-8 BOM
+    val bom = msg(200, Seq("Content-Type: text/plain"),
+      Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ "ok".getBytes)
+    val (_, _, cs, _, txt) = parse(bom)
+    assert(cs == "utf-8" && txt == "ok")
+    // utf-16le BOM
+    val u16 = msg(200, Seq("Content-Type: text/plain"),
+      Array[Byte](0xff.toByte, 0xfe.toByte) ++
+        "hi".flatMap(c => Seq(c.toByte, 0.toByte)).toArray)
+    assert(parse(u16)._5 == "hi")
+  }
+
+  test("binary and content-encoded bodies surface bytes, not text") {
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G')
+    val (st, _, _, b, txt) = parse(msg(200,
+      Seq("Content-Type: image/png"), png))
+    assert(st == 200 && b.sameElements(png) && txt == null)
+    // gzip content-encoding: raw bytes out, text null — route through
+    // decompress explicitly
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write("compressed page".getBytes); g.close()
+      bos.toByteArray
+    }
+    val (st2, _, _, b2, txt2) = parse(msg(200,
+      Seq("Content-Type: text/html", "Content-Encoding: gzip"), gz))
+    assert(st2 == 200 && txt2 == null)
+    val viaDecompress = Seq(Tuple1(b2)).toDF("p")
+      .select(Multimodal.decompress(col("p"))("data").cast("string"))
+      .head().getString(0)
+    assert(viaDecompress == "compressed page")
+  }
+
+  test("non-HTTP, truncated headers, absurd status: unknown; never throws") {
+    assert(parse("<html>not http</html>".getBytes)._1 == -1)
+    assert(parse("HTTP/1.1 abc OK\r\n\r\n".getBytes)._1 == -1)
+    assert(parse("HTTP/1.1 999999 OK\r\n\r\n".getBytes)._1 == -1)
+    assert(parse("HTTP/1.1 200 OK\r\nHeader: v".getBytes)._1 == -1)
+    assert(parse(Array.empty[Byte])._1 == -1)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val junk = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(junk)
+      parse("HTTP/1.1 200 OK\r\n".getBytes ++ junk) // must not throw
+    }
+  }
+
+  test("the full crawl chain: decompress -> warc_records -> http_response -> text") {
+    val http = msg(200, Seq("Content-Type: text/html; charset=utf-8"),
+      "<p>page body</p>".getBytes("UTF-8"))
+    val warc = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: http://x/\r\nContent-Length: ${http.length}" +
+      "\r\n\r\n").getBytes ++ http ++ "\r\n\r\n".getBytes
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(warc); g.close()
+      bos.toByteArray
+    }
+    val got = Seq(Tuple1(gz)).toDF("p")
+      .select(explode(Multimodal.warcRecords(
+        Multimodal.decompress(col("p"))("data"))).as("r"))
+      .select(Multimodal.httpResponse(col("r.content")).as("h"))
+      .select(col("h.status"), col("h.text")).head()
+    assert(got.getInt(0) == 200 && got.getString(1) == "<p>page body</p>")
+  }
+}
