@@ -73,20 +73,36 @@ object WebpDecode {
   // ------------------------------------------------------------ bit reader
 
   /** LSB-first bit reader over [start, end) — bit k of the stream is
-    * bit (k % 8) of byte (k / 8), exactly the VP8L convention. */
+    * bit (k % 8) of byte (k / 8), exactly the VP8L convention.
+    * Buffered: `peek` exposes the next (up to 24) bits from a 32-bit
+    * little-endian window without consuming — the table-decode hot
+    * path — zero-filled past the end of the stream; `skip`/`bits`
+    * bail once consumption passes the end. */
   private final class BitReader(b: Array[Byte], start: Int, end: Int) {
-    private var pos = start
-    private var bit = 0
-    def bits(n: Int): Int = {
-      var v = 0
+    private var bitPos = 0L
+    private val totalBits = (end - start).toLong * 8
+
+    def peek(n: Int): Int = {
+      val byteIdx = start + (bitPos >> 3).toInt
+      val sh = (bitPos & 7).toInt
+      var word = 0L
       var k = 0
-      while (k < n) {
-        if (pos >= end) bail()
-        v |= ((b(pos) >> bit) & 1) << k
-        bit += 1
-        if (bit == 8) { bit = 0; pos += 1 }
+      while (k < 4) {
+        val idx = byteIdx + k
+        if (idx < end) word |= (b(idx) & 0xffL) << (8 * k)
         k += 1
       }
+      ((word >>> sh) & ((1L << n) - 1)).toInt
+    }
+
+    def skip(n: Int): Unit = {
+      bitPos += n
+      if (bitPos > totalBits) bail()
+    }
+
+    def bits(n: Int): Int = {
+      val v = peek(n)
+      skip(n)
       v
     }
   }
@@ -95,16 +111,22 @@ object WebpDecode {
 
   /** Canonical prefix code (DEFLATE-style assignment: shorter codes
     * first, ties broken by symbol order). `single >= 0` marks the
-    * 0-bit one-symbol degenerate code. Decode walks the code
-    * MSB-first one bit at a time (the puff.c canonical loop) — VP8L
-    * codes are at most 15 bits so the walk is short, and building no
-    * lookup table keeps per-row allocation zero. */
+    * 0-bit one-symbol degenerate code. Decode is a two-level lookup
+    * table over bit-REVERSED codes (the zlib/libwebp construction:
+    * stream bits arrive LSB-first, codes read MSB-first, so the table
+    * indexes on reversed codes filled at every suffix): an 8-bit root
+    * resolves codes up to 8 bits in one probe; longer codes (≤ 15)
+    * resolve through a per-prefix sub-table sized to the group's
+    * deepest code. Entries pack (length << 16) | symbol; root entries
+    * for long-code prefixes are negative (base << 4 | subBits). */
   private final class Prefix(lengths: Array[Int]) {
     var single: Int = -1
-    val count = new Array[Int](16)
-    var sorted: Array[Int] = null
+    private val RootBits = 8
+    private var root: Array[Int] = null
+    private var sub: Array[Int] = null
 
     locally {
+      val count = new Array[Int](16)
       var n = 0
       var onlySym = -1
       var i = 0
@@ -123,14 +145,57 @@ object WebpDecode {
         var l = 1
         while (l <= 15) { left = (left << 1) - count(l); if (left < 0) bail(); l += 1 }
         if (left != 0) bail()
-        sorted = new Array[Int](n)
-        val offs = new Array[Int](16)
-        var acc = 0
+        // canonical first-code per length
+        val first = new Array[Int](16)
+        var code = 0
         l = 1
-        while (l <= 15) { offs(l) = acc; acc += count(l); l += 1 }
+        while (l <= 15) { first(l) = code; code = (code + count(l)) << 1; l += 1 }
+        val next = first.clone()
+        root = new Array[Int](1 << RootBits)
+        // pass 1: size the sub-tables (deepest code per root prefix)
+        val subBits = new Array[Int](1 << RootBits)
         i = 0
         while (i < lengths.length) {
-          if (lengths(i) > 0) { sorted(offs(lengths(i))) = i; offs(lengths(i)) += 1 }
+          val len = lengths(i)
+          if (len > RootBits) {
+            val c = next(len); next(len) += 1
+            val r = Integer.reverse(c) >>> (32 - len)
+            val idx = r & ((1 << RootBits) - 1)
+            if (len - RootBits > subBits(idx)) subBits(idx) = len - RootBits
+          } else if (len > 0) next(len) += 1
+          i += 1
+        }
+        var subTotal = 0
+        i = 0
+        while (i < root.length) {
+          if (subBits(i) > 0) {
+            root(i) = -((subTotal << 4) | subBits(i))
+            subTotal += 1 << subBits(i)
+          }
+          i += 1
+        }
+        sub = if (subTotal > 0) new Array[Int](subTotal) else null
+        // pass 2: fill every suffix of every reversed code
+        System.arraycopy(first, 0, next, 0, 16)
+        i = 0
+        while (i < lengths.length) {
+          val len = lengths(i)
+          if (len > 0) {
+            val c = next(len); next(len) += 1
+            val r = Integer.reverse(c) >>> (32 - len)
+            val entry = (len << 16) | i
+            if (len <= RootBits) {
+              var m = r
+              while (m < root.length) { root(m) = entry; m += 1 << len }
+            } else {
+              val idx = r & ((1 << RootBits) - 1)
+              val e = -root(idx)
+              val base = e >>> 4
+              val gBits = e & 0xf
+              var m = r >>> RootBits
+              while (m < (1 << gBits)) { sub(base + m) = entry; m += 1 << (len - RootBits) }
+            }
+          }
           i += 1
         }
       }
@@ -138,20 +203,16 @@ object WebpDecode {
 
     def read(br: BitReader): Int = {
       if (single >= 0) return single
-      var code = 0
-      var first = 0
-      var index = 0
-      var len = 1
-      while (len <= 15) {
-        code |= br.bits(1)
-        val c = count(len)
-        if (code - first < c) return sorted(index + (code - first))
-        index += c
-        first = (first + c) << 1
-        code <<= 1
-        len += 1
+      val v = br.peek(15)
+      var e = root(v & ((1 << RootBits) - 1))
+      if (e < 0) {
+        val gBits = (-e) & 0xf
+        val base = (-e) >>> 4
+        e = sub(base + ((v >>> RootBits) & ((1 << gBits) - 1)))
       }
-      bail()
+      if (e <= 0) bail()
+      br.skip(e >>> 16)
+      e & 0xffff
     }
   }
 
