@@ -110,6 +110,17 @@ object Multimodal {
     ColumnBridge.column(HttpResponseExpr(ColumnBridge.expression(payload)))
   }
 
+  /** RFC 9309 robots.txt evaluation — see [[RobotsCheckExpr]]. The
+    * crawl-compliance gate: struct<allowed, matched_rule,
+    * crawl_delay> for (robots_txt, user_agent, path). */
+  def robotsCheck(robotsTxt: org.apache.spark.sql.Column,
+      userAgent: org.apache.spark.sql.Column,
+      path: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(RobotsCheckExpr(ColumnBridge.expression(robotsTxt),
+      ColumnBridge.expression(userAgent), ColumnBridge.expression(path)))
+  }
+
   /** REAL pixel decode for PNG and BMP payloads — see
     * [[ImageDecodeExpr]] (scanline filters, palette/alpha, zlib
     * inflate, bomb guard). Returns struct<format, width, height,

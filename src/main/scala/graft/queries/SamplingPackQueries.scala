@@ -540,6 +540,45 @@ object SamplingPackQueries {
         'text-' || idx || '-' || doc_id AS text
       FROM documents, (VALUES (0), (1)) AS t(idx)""")),
 
+    // robots.txt evaluation (round-12 RobotsCheckExpr, RFC 9309): a
+    // FIXED rule file (specific group with a prefix disallow, a
+    // longer allow override, a *$-anchored wildcard, crawl-delay,
+    // and a deny-all * fallback group) evaluated against doc_id-built
+    // paths — every branch of the longest-match decision is hit and
+    // the oracle replays the verdicts as a CASE.
+    QueryDef("q_robots_check", (s, dir) => {
+      val robots = lit(Seq(
+        "User-agent: corpusbot",
+        "Disallow: /private/",
+        "Allow: /private/override/",
+        "Disallow: /*.php$",
+        "Crawl-delay: 3",
+        "User-agent: *",
+        "Disallow: /").mkString("\n"))
+      val path = when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit("/private/"), col("doc_id")))
+        .when(pmod(col("doc_id"), lit(4)) === 1,
+          concat(lit("/private/override/"), col("doc_id")))
+        .when(pmod(col("doc_id"), lit(4)) === 2,
+          concat(lit("/data/"), col("doc_id"), lit(".php")))
+        .otherwise(concat(lit("/open/"), col("doc_id")))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.robotsCheck(robots, lit("corpusbot/1.0"), path)
+            .as("c"))
+        .select(col("doc_id"), col("c.allowed").as("allowed"),
+          col("c.matched_rule").as("matched_rule"),
+          col("c.crawl_delay").as("crawl_delay"))
+    }, Some("""
+      SELECT doc_id,
+        CASE doc_id % 4 WHEN 0 THEN false WHEN 2 THEN false
+          ELSE true END AS allowed,
+        CASE doc_id % 4 WHEN 0 THEN '/private/'
+          WHEN 1 THEN '/private/override/'
+          WHEN 2 THEN '/*.php$' ELSE NULL END AS matched_rule,
+        3 AS crawl_delay
+      FROM documents""")),
+
     // HTTP response parsing (round-12 HttpResponseExpr — the step
     // between a WARC `response` record and clean text): per doc one
     // of three RFC 9112 message shapes — plain utf-8, chunked

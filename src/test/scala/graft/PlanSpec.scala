@@ -25,7 +25,8 @@ class PlanSpec extends SparkSpec {
       "q_bmp_palette", "q_pnm_decode", "q_tga_decode",
       "q_webp_decode", "q_video_frames_mp4",
       "q_video_frames_mkv", "q_decompress_text",
-      "q_warc_records", "q_http_response").foreach { q =>
+      "q_warc_records", "q_http_response",
+      "q_robots_check").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"),
         s"$q must be a pure map-side projection, got:\n$p")
