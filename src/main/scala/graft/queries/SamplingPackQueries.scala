@@ -540,6 +540,54 @@ object SamplingPackQueries {
         'text-' || idx || '-' || doc_id AS text
       FROM documents, (VALUES (0), (1)) AS t(idx)""")),
 
+    // Crawl-ingestion E2E certification (round-12): the full chain a
+    // web-corpus pipeline runs per crawl member — gzip(WARC(HTTP(
+    // text))) built per doc in pure column arithmetic (stored-deflate
+    // gzip with truncated-trailer tolerance, WARC Content-Length from
+    // the live HTTP-message length, HTTP charset header) and then
+    // decompress -> warc_records -> http_response -> text in ONE
+    // map-side projection. Every stage is individually oracled
+    // (q_decompress_text / q_warc_records / q_http_response); this
+    // query certifies the COMPOSITION, like q_crawl_e2e does for the
+    // text-curation DAG. The oracle replays every surfaced field.
+    QueryDef("q_crawl_ingest_e2e", (s, dir) => {
+      def le16h(c: org.apache.spark.sql.Column) = {
+        val hh = lpad(hex(c), 4, "0")
+        concat(substring(hh, 3, 2), substring(hh, 1, 2))
+      }
+      val body = concat(lit("crawl page "), col("doc_id"))
+      val http = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+          "charset=utf-8\r\n\r\n"), body)
+      val warc = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: http://site.example/"), col("doc_id"),
+        lit("\r\nContent-Length: "), length(http).cast("string"),
+        lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+      val warcHex = hex(warc.cast("binary"))
+      val wlen = length(warc)
+      val gzHex = concat(lit("1F8B08" + "00" * 7), // header, FLG 0
+        lit("01"), le16h(wlen), le16h(lit(65535) - wlen), // stored blk
+        warcHex) // no trailer: the tolerated truncated-tail shape
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.decompress(unhex(gzHex)).as("d"))
+        .select(col("doc_id"), col("d.format").as("format"),
+          explode(Multimodal.warcRecords(col("d.data"))).as("r"))
+        .select(col("doc_id"), col("format"),
+          col("r.warc_type").as("warc_type"),
+          col("r.target_uri").as("target_uri"),
+          Multimodal.httpResponse(col("r.content")).as("h"))
+        .select(col("doc_id"), col("format"), col("warc_type"),
+          col("target_uri"), col("h.status").as("status"),
+          col("h.charset").as("charset"), col("h.text").as("text"))
+    }, Some("""
+      SELECT doc_id, 'gzip' AS format, 'response' AS warc_type,
+        'http://site.example/' || doc_id AS target_uri,
+        CAST(200 AS INT) AS status, 'utf-8' AS charset,
+        'crawl page ' || doc_id AS text
+      FROM documents""")),
+
     // robots.txt evaluation (round-12 RobotsCheckExpr, RFC 9309): a
     // FIXED rule file (specific group with a prefix disallow, a
     // longer allow override, a *$-anchored wildcard, crawl-delay,
