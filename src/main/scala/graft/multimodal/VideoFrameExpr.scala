@@ -269,48 +269,17 @@ case class VideoFrameExpr(left: Expression, right: Expression)
   }
 
   // ---------------------------------------------------------------- MKV
-  /** EBML vint at i: (value, byteLength); element IDs keep the length
-    * marker (the conventional ID value), sizes strip it. */
-  private def vint(b: Array[Byte], i: Int, strip: Boolean): (Long, Int) = {
-    if (i >= b.length) return (-1L, -1)
-    val first = b(i) & 0xff
-    if (first == 0) return (-1L, -1)
-    val n = Integer.numberOfLeadingZeros(first) - 23 // 1..8
-    if (i + n > b.length) return (-1L, -1)
-    var v: Long = if (strip) (first & (0xff >>> n)).toLong else first.toLong
-    var k = 1
-    while (k < n) { v = (v << 8) | (b(i + k) & 0xff); k += 1 }
-    (v, n)
-  }
-
-  /** Matroska: Tracks/TrackEntry with CodecID "V_MJPEG" picks the
-    * track number (a dedicated pass — SeekHead layouts may order
-    * Tracks after Clusters); then Cluster SimpleBlocks and
-    * BlockGroup/Blocks of that track, in order, are the frames. A
-    * laced block of the selected track aborts to unknown. */
+  /** Matroska ([[Ebml]] primitives): Tracks/TrackEntry with CodecID
+    * "V_MJPEG" picks the track number (a dedicated pass — SeekHead
+    * layouts may order Tracks after Clusters); then Cluster
+    * SimpleBlocks and BlockGroup/Blocks of that track, in order, are
+    * the frames. A laced block of the selected track aborts to
+    * unknown. */
   private def mkvWalk(b: Array[Byte], want: Int): InternalRow = {
     def bad(): Nothing = throw new IllegalStateException("malformed mkv")
-    def walkRange(from: Int, to: Int)(h: (Long, Int, Int) => Unit): Unit = {
-      var i = from
-      while (i + 2 <= to) {
-        val (id, idLen) = vint(b, i, strip = false)
-        if (idLen < 0) bad()
-        val (sz, szLen) = vint(b, i + idLen, strip = true)
-        if (szLen < 0) bad()
-        val start = i + idLen + szLen
-        val end: Long = // all-ones size = unknown: runs to parent end
-          if (sz == (1L << (7 * szLen)) - 1) to.toLong else start.toLong + sz
-        if (end > to || end < start) bad()
-        h(id, start, end.toInt)
-        i = end.toInt
-      }
-    }
-    def uintAt(s: Int, e: Int): Long = {
-      if (e - s > 8 || e <= s) bad()
-      var v = 0L; var k = s
-      while (k < e) { v = (v << 8) | (b(k) & 0xff); k += 1 }
-      v
-    }
+    def walkRange(from: Int, to: Int)(h: (Long, Int, Int) => Unit): Unit =
+      Ebml.walk(b, from, to)(h)
+    def uintAt(s: Int, e: Int): Long = Ebml.uint(b, s, e)
     var track = -1L
     var frames = 0
     var foundOff = -1
@@ -335,7 +304,7 @@ case class VideoFrameExpr(left: Expression, right: Expression)
         if (track > 0) walkRange(s, e) { (id2, s2, e2) => // pass 2
           if (id2 == 0x1F43B675L) { // Cluster
             def block(bs: Int, be: Int): Unit = {
-              val (tn, tl) = vint(b, bs, strip = true)
+              val (tn, tl) = Ebml.vint(b, bs, strip = true)
               if (tl < 0 || bs + tl + 3 > be) bad()
               if (tn == track) {
                 if ((b(bs + tl + 2) & 0x06) != 0) bad() // laced

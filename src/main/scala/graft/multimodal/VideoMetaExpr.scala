@@ -52,7 +52,70 @@ case class VideoMetaExpr(child: Expression)
 
   override protected def nullSafeEval(input: Any): Any = {
     val b = input.asInstanceOf[Array[Byte]]
-    try walk(b) catch { case _: Exception => unknown }
+    try {
+      if (b.length >= 4 && (b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
+          (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3) mkvMeta(b)
+      else walk(b)
+    } catch { case _: Exception => unknown }
+  }
+
+  /** Matroska/WebM metadata ([[Ebml]] primitives, RFC 8794 + the
+    * public Matroska element registry): format = the EBML header's
+    * DocType ("webm"/"matroska"); duration_ms = Info/Duration (an
+    * EBML FLOAT counted in TimestampScale units, default 1 ms) —
+    * absent duration reports -1 (live/streamed captures); dimensions
+    * = MAX over TrackEntry/Video PixelWidth/PixelHeight; `tracks`
+    * counts TrackEntry elements. A payload without a parseable Info
+    * element is unknown (the same one-error policy as the BMFF walk —
+    * mvhd there, Info here). */
+  private def mkvMeta(b: Array[Byte]): InternalRow = {
+    var docType = "matroska" // the registry default when DocType absent
+    var durationMs = -1L
+    var w = 0
+    var h = 0
+    var tracks = 0
+    var sawInfo = false
+    Ebml.walk(b, 0, b.length) { (id, s, e) =>
+      if (id == 0x1a45dfa3L) { // EBML header
+        Ebml.walk(b, s, e) { (id2, s2, e2) =>
+          if (id2 == 0x4282L) // DocType
+            docType = new String(b, s2, e2 - s2, "ISO-8859-1")
+              .takeWhile(_ != 0.toChar)
+        }
+      } else if (id == 0x18538067L) { // Segment
+        Ebml.walk(b, s, e) { (id2, s2, e2) =>
+          if (id2 == 0x1549a966L) { // Info
+            var tsScale = 1000000L // default: 1 ms per unit
+            var dur = -1.0
+            Ebml.walk(b, s2, e2) { (id3, s3, e3) =>
+              if (id3 == 0x2ad7b1L) tsScale = Ebml.uint(b, s3, e3)
+              else if (id3 == 0x4489L) dur = Ebml.float(b, s3, e3)
+            }
+            sawInfo = true
+            if (dur >= 0 && tsScale > 0)
+              durationMs = (dur * tsScale / 1e6).toLong
+          } else if (id2 == 0x1654ae6bL) { // Tracks
+            Ebml.walk(b, s2, e2) { (id3, s3, e3) =>
+              if (id3 == 0xaeL) { // TrackEntry
+                tracks += 1
+                Ebml.walk(b, s3, e3) { (id4, s4, e4) =>
+                  if (id4 == 0xe0L) // Video settings
+                    Ebml.walk(b, s4, e4) { (id5, s5, e5) =>
+                      if (id5 == 0xb0L)
+                        w = math.max(w, Ebml.uint(b, s5, e5).toInt)
+                      else if (id5 == 0xbaL)
+                        h = math.max(h, Ebml.uint(b, s5, e5).toInt)
+                    }
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    if (!sawInfo) unknown
+    else InternalRow(UTF8String.fromString(docType), durationMs, w, h,
+      tracks)
   }
 
   /** (payload offset, header length, body end) of each box in

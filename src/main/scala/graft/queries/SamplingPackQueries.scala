@@ -540,6 +540,36 @@ object SamplingPackQueries {
         'text-' || idx || '-' || doc_id AS text
       FROM documents, (VALUES (0), (1)) AS t(idx)""")),
 
+    // Matroska/WebM metadata (round-12 VideoMetaExpr MKV path): per
+    // doc a minimal webm — EBML header with DocType, unknown-size
+    // Segment, Info with a 4-byte FLOAT Duration (2500.0 at the
+    // default 1 ms TimestampScale, constant bytes 451C4000), one
+    // video TrackEntry whose PixelWidth/Height carry the doc_id
+    // arithmetic. The oracle replays every field.
+    QueryDef("q_video_meta_mkv", (s, dir) => {
+      def hx2(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      val w = (pmod(col("doc_id"), lit(200)) + 1).cast("int")
+      val h = (pmod(col("doc_id"), lit(150)) + 1).cast("int")
+      val mkvHex = concat(
+        lit("1A45DFA3" + "87" + "4282" + "84" + "7765626D" + // webm
+          "18538067" + "FF" + // Segment, unknown size
+          "1549A966" + "87" + "4489" + "84" + "451C4000" + // 2500.0f
+          "1654AE6B" + "90" + "AE" + "8E" +
+          "D78101" + "838101" + "E0" + "86" + "B081"),
+        hx2(w), lit("BA81"), hx2(h))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.videoMeta(unhex(mkvHex)).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.tracks").as("tracks"))
+    }, Some("""
+      SELECT doc_id, 'webm' AS format, CAST(2500 AS BIGINT) AS duration_ms,
+        CAST(doc_id % 200 + 1 AS INT) AS width,
+        CAST(doc_id % 150 + 1 AS INT) AS height, 1 AS tracks
+      FROM documents""")),
+
     // Crawl-ingestion E2E certification (round-12): the full chain a
     // web-corpus pipeline runs per crawl member — gzip(WARC(HTTP(
     // text))) built per doc in pure column arithmetic (stored-deflate

@@ -26,7 +26,8 @@ class PlanSpec extends SparkSpec {
       "q_webp_decode", "q_video_frames_mp4",
       "q_video_frames_mkv", "q_decompress_text",
       "q_warc_records", "q_http_response",
-      "q_robots_check", "q_crawl_ingest_e2e").foreach { q =>
+      "q_robots_check", "q_crawl_ingest_e2e",
+      "q_video_meta_mkv").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"),
         s"$q must be a pure map-side projection, got:\n$p")

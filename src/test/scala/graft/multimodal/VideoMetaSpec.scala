@@ -69,6 +69,57 @@ class VideoMetaSpec extends SparkSpec {
     assert(meta(mp4) == ("qt", 5000L, 320, 240, 1))
   }
 
+  // ---------------------------------------------------------------- MKV
+  private def ebmlSize(n: Long): Array[Byte] =
+    if (n < 0x7f) Array((0x80 | n).toByte)
+    else Array((0x40 | (n >> 8)).toByte, (n & 0xff).toByte)
+  private def ebmlId(id: Long): Array[Byte] = {
+    val n = if (id <= 0xff) 1 else if (id <= 0xffff) 2
+      else if (id <= 0xffffff) 3 else 4
+    (1 to n).map(k => ((id >> (8 * (n - k))) & 0xff).toByte).toArray
+  }
+  private def elem(id: Long, body: Array[Byte]): Array[Byte] =
+    ebmlId(id) ++ ebmlSize(body.length) ++ body
+
+  test("mkv/webm metadata: DocType, float Duration x TimestampScale, dims, tracks") {
+    def track(w: Int, h: Int) = elem(0xAE,
+      elem(0xD7, Array[Byte](1)) ++
+        elem(0xE0, elem(0xB0, Array[Byte]((w >> 8).toByte, w.toByte)) ++
+          elem(0xBA, Array[Byte]((h >> 8).toByte, h.toByte))))
+    def audioTrack = elem(0xAE, elem(0xD7, Array[Byte](2)))
+    // 4-byte float 2500.0 at the default 1 ms scale -> 2500 ms
+    val dur4 = java.lang.Float.floatToIntBits(2500.0f)
+    val info = elem(0x1549A966, elem(0x4489, Array[Byte](
+      (dur4 >> 24).toByte, (dur4 >> 16).toByte, (dur4 >> 8).toByte,
+      dur4.toByte)))
+    val header = elem(0x1A45DFA3, elem(0x4282, "webm".getBytes))
+    val seg = elem(0x18538067,
+      info ++ elem(0x1654AE6B, track(1280, 720) ++ audioTrack))
+    assert(meta(header ++ seg) == ("webm", 2500L, 1280, 720, 2))
+    // 8-byte float duration + explicit TimestampScale (1,000,000 ns)
+    val dur8 = java.lang.Double.doubleToLongBits(1234.0)
+    val info8 = elem(0x1549A966,
+      elem(0x2AD7B1, Array[Byte](0x0F, 0x42, 0x40)) ++ // 1e6
+        elem(0x4489, (0 until 8).map(k =>
+          ((dur8 >> (8 * (7 - k))) & 0xff).toByte).toArray))
+    val plain = elem(0x1A45DFA3, Array.empty[Byte]) ++
+      elem(0x18538067, info8 ++ elem(0x1654AE6B, track(640, 480)))
+    assert(meta(plain) == ("matroska", 1234L, 640, 480, 1))
+    // no Info -> unknown; absent Duration -> -1
+    val noInfo = header ++ elem(0x18538067,
+      elem(0x1654AE6B, track(2, 2)))
+    assert(meta(noInfo)._1 == "unknown")
+    val noDur = header ++ elem(0x18538067,
+      elem(0x1549A966, Array.empty[Byte]) ++
+        elem(0x1654AE6B, track(2, 2)))
+    assert(meta(noDur)._2 == -1L && meta(noDur)._3 == 2)
+    // truncation sweep never throws
+    val whole = header ++ seg
+    for (cut <- 1 until whole.length)
+      assert(meta(whole.take(cut))._1 == "unknown" ||
+        meta(whole.take(cut))._1 == "webm")
+  }
+
   test("malformed payloads are unknown, never an error") {
     val good = ftyp("isom") ++ box("moov",
       mvhd0(600, 600) ++ trak(tkhd0(10, 10)))
