@@ -35,8 +35,7 @@ object CurrentWatermarkSql {
   def matches(sql: String): Boolean = Fn.findFirstIn(sql).isDefined
 
   def execute(env: TableEnv, sql: String): DataFrame = {
-    val argRaw = Fn.findFirstMatchIn(sql).get.group(1)
-    val arg = argRaw.substring(argRaw.lastIndexOf('.') + 1)
+    val argsRaw = Fn.findAllMatchIn(sql).map(_.group(1)).toList
     val table = From.findFirstMatchIn(sql).map(_.group(1)).getOrElse(
       throw new IllegalArgumentException(
         "CURRENT_WATERMARK: no FROM <table> found — the function " +
@@ -51,10 +50,17 @@ object CurrentWatermarkSql {
         s"CURRENT_WATERMARK: table $table declares no WATERMARK — " +
           "the argument must be a rowtime attribute (reference " +
           "CurrentWatermarkTypeStrategy)"))
-    if (arg != wmCol)
-      throw new IllegalArgumentException(
-        s"CURRENT_WATERMARK($argRaw): the argument must be $table's " +
-          s"declared watermark column $wmCol")
+    // EVERY occurrence must name the watermark column (Spark
+    // identifiers resolve case-insensitively, so the check does too) —
+    // a second call on a different column would otherwise be silently
+    // rewritten to the same annotation
+    for (argRaw <- argsRaw) {
+      val arg = argRaw.substring(argRaw.lastIndexOf('.') + 1)
+      if (!arg.equalsIgnoreCase(wmCol))
+        throw new IllegalArgumentException(
+          s"CURRENT_WATERMARK($argRaw): the argument must be $table's " +
+            s"declared watermark column $wmCol")
+    }
 
     val base = env.fromStreaming(table)
     val schema = base.schema

@@ -155,7 +155,11 @@ case class DecompressExpr(left: Expression, right: Expression)
       }
       if ((flg & 2) != 0) j += 2 // FHCRC
       if (j >= b.length) return null
-      val memberStart = total.size()
+      // per-member CRC and length accumulate INCREMENTALLY from the
+      // inflate buffer — no re-walk of the output per member, so a
+      // thousand-member warc.gz stays linear in total bytes
+      val crc = new java.util.zip.CRC32()
+      var memberLen = 0L
       val inf = new java.util.zip.Inflater(true)
       try {
         inf.setInput(b, j, b.length - j)
@@ -167,18 +171,16 @@ case class DecompressExpr(left: Expression, right: Expression)
             return null // truncated mid-stream / preset dictionary
           if (total.size().toLong + n > MaxBytes) return null // bomb
           total.write(buf, 0, n)
+          crc.update(buf, 0, n)
+          memberLen += n
         }
         val trailerAt = j + inf.getBytesRead.toInt
         if (trailerAt + 8 <= b.length) { // intact trailer: VERIFY
-          val data = total.toByteArray
-          val crc = new java.util.zip.CRC32()
-          crc.update(data, memberStart, data.length - memberStart)
           def le32(k: Int): Long = (b(k) & 0xffL) |
             ((b(k + 1) & 0xffL) << 8) | ((b(k + 2) & 0xffL) << 16) |
             ((b(k + 3) & 0xffL) << 24)
           if (le32(trailerAt) != crc.getValue ||
-              le32(trailerAt + 4) !=
-                ((data.length - memberStart) & 0xffffffffL)) return null
+              le32(trailerAt + 4) != (memberLen & 0xffffffffL)) return null
           i = trailerAt + 8
         } else i = b.length // truncated trailer: tolerated (tails)
       } catch { case _: java.util.zip.DataFormatException => return null }

@@ -20,10 +20,22 @@ private[multimodal] object Ebml {
     (v, n)
   }
 
+  /** Matroska Level-1 (Segment-child) element IDs — the resync set an
+    * unknown-size Cluster terminates on. */
+  private val Level1Ids = Array(0x1f43b675L /*Cluster*/ ,
+    0x114d9b74L /*SeekHead*/ , 0x1549a966L /*Info*/ ,
+    0x1654ae6bL /*Tracks*/ , 0x1c53bb6bL /*Cues*/ ,
+    0x1941a469L /*Attachments*/ , 0x1043a770L /*Chapters*/ ,
+    0x1254c367L /*Tags*/ )
+
   /** Walk the elements of [from, to): handler(id, payloadStart,
-    * payloadEnd). An all-ones (unknown) size runs to the parent end.
-    * Malformed structure throws IllegalStateException — callers map
-    * it to their unknown row. */
+    * payloadEnd). An all-ones (unknown) size on the Segment runs to
+    * the parent end; on a Cluster it runs to the NEXT Level-1 element
+    * (RFC 8794 §6.2 / the Matroska rule — streaming muxers emit
+    * unknown-size Clusters back to back, so parent-end would swallow
+    * every following sibling); on anything else it runs to the parent
+    * end (vanishingly rare in real files). Malformed structure throws
+    * IllegalStateException — callers map it to their unknown row. */
   def walk(b: Array[Byte], from: Int, to: Int)(
       h: (Long, Int, Int) => Unit): Unit = {
     var i = from
@@ -34,12 +46,32 @@ private[multimodal] object Ebml {
       if (szLen < 0) throw new IllegalStateException("malformed ebml size")
       val start = i + idLen + szLen
       val end: Long =
-        if (sz == (1L << (7 * szLen)) - 1) to.toLong else start.toLong + sz
+        if (sz == (1L << (7 * szLen)) - 1) {
+          if (id == 0x1f43b675L) nextLevel1(b, start, to).toLong
+          else to.toLong
+        } else start.toLong + sz
       if (end > to || end < start)
         throw new IllegalStateException("ebml element overruns parent")
       h(id, start, end.toInt)
       i = end.toInt
     }
+  }
+
+  /** First offset in [from, to) where a Level-1 ID begins (the
+    * demuxer resync scan), or `to` when none follows. */
+  private def nextLevel1(b: Array[Byte], from: Int, to: Int): Int = {
+    var i = from
+    while (i + 4 <= to) {
+      val v = ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      var k = 0
+      while (k < Level1Ids.length) {
+        if (v == Level1Ids(k)) return i
+        k += 1
+      }
+      i += 1
+    }
+    to
   }
 
   /** Big-endian unsigned integer element payload (1-8 bytes). */

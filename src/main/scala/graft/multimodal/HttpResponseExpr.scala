@@ -53,14 +53,8 @@ case class HttpResponseExpr(child: Expression)
     try parse(b) catch { case _: Exception => unknown }
   }
 
-  private def line(b: Array[Byte], i: Int): (String, Int) = {
-    if (i >= b.length) return null
-    var j = i
-    while (j < b.length && b(j) != '\n') j += 1
-    if (j >= b.length) return null
-    val end = if (j > i && b(j - 1) == '\r') j - 1 else j
-    (new String(b, i, end - i, "ISO-8859-1"), j + 1)
-  }
+  private def line(b: Array[Byte], i: Int): (String, Int) =
+    TextFraming.line(b, i)
 
   private def parse(b: Array[Byte]): InternalRow = {
     val sl = line(b, 0)
@@ -185,10 +179,20 @@ case class HttpResponseExpr(child: Expression)
         new String(body, "ISO-8859-1")
       case "windows-1252" | "cp1252" =>
         new String(body, java.nio.charset.Charset.forName("windows-1252"))
-      case "utf-16le" => new String(body, 2, body.length - 2,
-        java.nio.charset.StandardCharsets.UTF_16LE)
-      case "utf-16be" => new String(body, 2, body.length - 2,
-        java.nio.charset.StandardCharsets.UTF_16BE)
+      case "utf-16le" | "utf-16be" | "utf-16" =>
+        // strip the BOM only when actually present — the charset may
+        // come from the header with a BOM-less body (and a 0/1-byte
+        // body must not make a parsed response collapse to unknown);
+        // bare "utf-16" resolves its byte order from the BOM, else LE
+        val beBom = body.length >= 2 && (body(0) & 0xff) == 0xfe &&
+          (body(1) & 0xff) == 0xff
+        val leBom = body.length >= 2 && (body(0) & 0xff) == 0xff &&
+          (body(1) & 0xff) == 0xfe
+        val be = cs == "utf-16be" || (cs == "utf-16" && beBom)
+        val skip = if (beBom || leBom) 2 else 0
+        new String(body, skip, body.length - skip,
+          if (be) java.nio.charset.StandardCharsets.UTF_16BE
+          else java.nio.charset.StandardCharsets.UTF_16LE)
       case _ => null // unsupported declared charset: no silent garbage
     }
   }

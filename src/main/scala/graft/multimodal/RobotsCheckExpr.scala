@@ -13,11 +13,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * newer robots rules. Returns struct<allowed: boolean,
   * matched_rule: string, crawl_delay: int>.
   *
-  * Group selection (RFC 9309 §2.2.1): the group whose user-agent
-  * product token is the LONGEST case-insensitive prefix-token match
-  * for the crawler's name; `*` groups apply when no specific group
-  * matches; multiple user-agent lines stack onto one group;
-  * groups with the same agent merge.
+  * Group selection (RFC 9309 §2.2.1): the crawler's PRODUCT TOKEN
+  * (its name up to the first '/' or space) must equal a group's
+  * user-agent token case-insensitively — a prefix is NOT a match
+  * ("fish" does not govern "fishbot"); `*` groups apply when no
+  * specific group matches; multiple user-agent lines stack onto one
+  * group; groups with the same agent merge.
   *
   * Rule evaluation (§2.2.2): longest-match wins across allow and
   * disallow octet-wise; on a length tie allow wins (the
@@ -96,17 +97,17 @@ case class RobotsCheckExpr(first: Expression, second: Expression,
       }
     }
     flush()
-    // group selection: the LONGEST specific agent token that prefixes
-    // the crawler name (case-insensitive); '*' as fallback — and all
-    // groups carrying the selected token MERGE (RFC 9309 §2.2.1)
+    // group selection (RFC 9309 §2.2.1): the crawler's product token
+    // — its name up to the first '/' or space — must EQUAL a group
+    // token case-insensitively (prefix matching would let a 'fish'
+    // group govern 'fishbot'); '*' as fallback; all groups carrying
+    // the selected token MERGE
+    val product = agentLower.takeWhile(c => c != '/' && c != ' ')
     var bestTok: String = null
-    var bestLen = -1
     var hasStar = false
     for (g <- groups; a <- g._1) {
       if (a == "*") hasStar = true
-      else if (agentLower.startsWith(a) && a.length > bestLen) {
-        bestLen = a.length; bestTok = a
-      }
+      else if (a == product) bestTok = a
     }
     val tok = if (bestTok != null) bestTok else if (hasStar) "*" else null
     if (tok == null) return InternalRow(true, null, -1)

@@ -56,16 +56,8 @@ case class WarcRecordsExpr(child: Expression)
     try parse(b) catch { case _: Exception => null }
   }
 
-  /** ASCII line starting at i up to (not incl.) the CR/LF; returns
-    * (line, next index past the terminator) or null at EOF. */
-  private def line(b: Array[Byte], i: Int): (String, Int) = {
-    if (i >= b.length) return null
-    var j = i
-    while (j < b.length && b(j) != '\n') j += 1
-    if (j >= b.length) return null // unterminated: truncated header
-    val end = if (j > i && b(j - 1) == '\r') j - 1 else j
-    (new String(b, i, end - i, "ISO-8859-1"), j + 1)
-  }
+  private def line(b: Array[Byte], i: Int): (String, Int) =
+    TextFraming.line(b, i)
 
   private def parse(b: Array[Byte]): GenericArrayData = {
     val out = ArrayBuffer.empty[InternalRow]

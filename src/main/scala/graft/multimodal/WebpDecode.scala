@@ -119,13 +119,13 @@ object WebpDecode {
     * resolve through a per-prefix sub-table sized to the group's
     * deepest code. Entries pack (length << 16) | symbol; root entries
     * for long-code prefixes are negative (base << 4 | subBits). */
-  private final class Prefix(lengths: Array[Int]) {
-    var single: Int = -1
+  private final class Prefix(lengths: Array[Int], singleSym: Int = -1) {
+    var single: Int = singleSym
     private val RootBits = 8
     private var root: Array[Int] = null
     private var sub: Array[Int] = null
 
-    locally {
+    locally { if (singleSym < 0) {
       val count = new Array[Int](16)
       var n = 0
       var onlySym = -1
@@ -199,7 +199,7 @@ object WebpDecode {
           i += 1
         }
       }
-    }
+    } }
 
     def read(br: BitReader): Int = {
       if (single >= 0) return single
@@ -216,11 +216,8 @@ object WebpDecode {
     }
   }
 
-  private def singlePrefix(sym: Int): Prefix = {
-    val p = new Prefix(Array(1, 1)) // throwaway complete shape
-    p.single = sym
-    p
-  }
+  private def singlePrefix(sym: Int): Prefix =
+    new Prefix(null, singleSym = sym) // 0-bit code: no tables built
 
   /** RFC 9649: the order code-length-code lengths are transmitted in. */
   private val ClOrder =
@@ -416,6 +413,11 @@ object WebpDecode {
         if (code + 1 > nGroups) nGroups = code + 1
         i += 1
       }
+      // allocation bomb guard: a legitimate encoder references at most
+      // one distinct group per entropy-image cell, while the raw
+      // 16-bit meta code could demand 65536 eagerly-built 5-code
+      // groups from a tiny stream — reject codes beyond the cell count
+      if (nGroups > metaImage.length) bail()
     }
 
     // prefix-code groups: 5 codes each

@@ -75,5 +75,13 @@ class CurrentWatermarkSqlSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       env.executeSql("SELECT CURRENT_WATERMARK(ts) FROM nope"))
     assert(e2.getMessage.contains("not a registered table"))
+    // case-insensitive identifiers resolve like everywhere in Spark
+    assert(env.executeSql(
+      "SELECT id, CURRENT_WATERMARK(ETS) AS wm FROM cw_e").isStreaming)
+    // EVERY occurrence is validated, not just the first
+    val e3 = intercept[IllegalArgumentException](env.executeSql(
+      "SELECT CURRENT_WATERMARK(ets) AS a, CURRENT_WATERMARK(epoch) AS b" +
+        " FROM cw_e"))
+    assert(e3.getMessage.contains("watermark column"))
   }
 }

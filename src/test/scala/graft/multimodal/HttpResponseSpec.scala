@@ -67,6 +67,22 @@ class HttpResponseSpec extends SparkSpec {
     assert(parse(u16)._5 == "hi")
   }
 
+  test("header-declared utf-16 without a BOM keeps every character; short bodies survive") {
+    // charset from the header, no BOM in the body: nothing stripped
+    val noBom = msg(200, Seq("Content-Type: text/plain; charset=utf-16le"),
+      "hi".flatMap(c => Seq(c.toByte, 0.toByte)).toArray)
+    assert(parse(noBom)._5 == "hi")
+    // bare 'utf-16' resolves byte order from the BOM
+    val beBom = msg(200, Seq("Content-Type: text/plain; charset=utf-16"),
+      Array[Byte](0xfe.toByte, 0xff.toByte, 0, 'o', 0, 'k'))
+    assert(parse(beBom)._5 == "ok")
+    // a 0-byte declared-utf-16 body must not collapse the row
+    val empty = msg(204, Seq("Content-Type: text/plain; charset=utf-16le"),
+      Array.empty[Byte])
+    val (st, _, _, _, txt) = parse(empty)
+    assert(st == 204 && txt == "")
+  }
+
   test("binary and content-encoded bodies surface bytes, not text") {
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G')
     val (st, _, _, b, txt) = parse(msg(200,

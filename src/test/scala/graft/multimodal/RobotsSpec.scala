@@ -49,7 +49,7 @@ class RobotsSpec extends SparkSpec {
     assert(!check(robots, "bot", "/tmp/keep/a.htmlx")._1) // anchor fails
   }
 
-  test("agent groups: longest specific token, * fallback, stacking, merge") {
+  test("agent groups: exact product-token match, * fallback, stacking, merge") {
     val robots =
       """User-agent: crawler
         |Disallow: /a
@@ -71,6 +71,10 @@ class RobotsSpec extends SparkSpec {
     // unknown agent falls to *
     assert(!check(robots, "otherbot", "/c")._1)
     assert(check(robots, "otherbot", "/a")._1)
+    // RFC 9309: the match is the product TOKEN, never a prefix — a
+    // 'crawler' group must not govern 'crawlerx'
+    assert(!check(robots, "crawlerx/1.0", "/c")._1) // falls to *
+    assert(check(robots, "crawlerx/1.0", "/a")._1)
   }
 
   test("crawl-delay reported from the selected group; -1 when absent") {

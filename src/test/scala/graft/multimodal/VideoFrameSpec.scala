@@ -223,6 +223,22 @@ class VideoFrameSpec extends SparkSpec {
     assert(frame(payload, 3)._1 == "unknown")
   }
 
+  test("MKV unknown-size CLUSTERS (streaming muxers) end at the next cluster") {
+    // two back-to-back unknown-size clusters: the RFC 8794 rule — the
+    // first ends where the second's ID begins, so frames in BOTH are
+    // visible (parent-end semantics would swallow cluster 2)
+    val j0 = jpegOf(60, 8, 8); val j1 = jpegOf(61, 8, 8)
+    val tracks = elem(0x1654AE6B, mkvTrackEntry(1, "V_MJPEG"))
+    def openCluster(payload: Array[Byte]) =
+      ebmlIdBytes(0x1F43B675) ++ Array(0xff.toByte) ++ payload
+    val payload = mkv(tracks ++
+      openCluster(simpleBlock(1, j0)) ++
+      openCluster(simpleBlock(1, j1)), unknownSize = true)
+    val (f0, _, _, cnt, _) = frame(payload, 0)
+    assert((f0, cnt) == ("mjpeg", 2))
+    assert(frame(payload, 1)._1 == "mjpeg")
+  }
+
   test("MKV corpus-safety: lacing, wrong codec, truncation") {
     val j = jpegOf(50, 8, 8)
     val tracks = elem(0x1654AE6B, mkvTrackEntry(1, "V_MJPEG"))

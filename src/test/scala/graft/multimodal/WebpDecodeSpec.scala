@@ -140,6 +140,40 @@ class WebpDecodeSpec extends SparkSpec {
       assert(decode(simple.take(cut))._1 == "unknown")
   }
 
+  test("meta-group bomb: an entropy-image code beyond the cell count is rejected") {
+    // 1x1 image whose meta bit is set and whose 1x1 entropy image
+    // claims group 65535 — honoring it would eagerly build 65536
+    // five-code groups from a tiny stream; the guard rejects codes
+    // beyond the entropy-image cell count (a legit encoder references
+    // at most one distinct group per cell)
+    val bits = new scala.collection.mutable.ArrayBuffer[Int]
+    def put(v: Int, n: Int): Unit =
+      (0 until n).foreach(k => bits += ((v >> k) & 1))
+    put(0, 1) // no transform
+    put(0, 1) // no cache
+    put(1, 1) // meta-prefix present
+    put(0, 3) // huffman bits = 2
+    // entropy image (1x1, no recursion/cache): its own stream —
+    // no cache bit, then 5 simple codes; the green code's two symbols
+    // set (red<<8)|green = 0xFFFF -> meta code 65535
+    put(0, 1) // entropy image: no color cache
+    // green: simple, 1 symbol, 8-bit = 255
+    put(1, 1); put(0, 1); put(1, 1); put(255, 8)
+    // red: simple, 1 symbol, 8-bit = 255
+    put(1, 1); put(0, 1); put(1, 1); put(255, 8)
+    // blue / alpha / distance: single symbol 0
+    for (_ <- 1 to 3) { put(1, 1); put(0, 1); put(1, 1); put(0, 8) }
+    // (the single entropy pixel then decodes with zero further bits)
+    val payload = bits.grouped(8).map(g =>
+      g.zipWithIndex.map { case (b, i) => b << i }.sum.toByte).toArray
+    val vp8l = Array[Byte](0x2f, 0, 0, 0, 0) ++ payload // 1x1, ver 0
+    val chunk = "VP8L".getBytes ++ le32(vp8l.length) ++ vp8l ++
+      (if (vp8l.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val body = "WEBP".getBytes ++ chunk
+    assert(decode("RIFF".getBytes ++ le32(body.length) ++ body)._1
+      == "unknown")
+  }
+
   test("decompression bomb: huge declared dimensions are rejected before allocation") {
     // 16384x16384 header (the VP8L maximum) = 268M pixels > the cap;
     // last byte 0x0f keeps alpha-hint and version bits zero so the
