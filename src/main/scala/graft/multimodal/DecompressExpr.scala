@@ -196,6 +196,9 @@ case class DecompressExpr(left: Expression, right: Expression)
       ((b(2) & 0xff) << 8) | (b(3) & 0xff)
     if ((m >>> 16) == 0x1f8b && (b(2) & 0xff) == 8) "gzip"
     else if (m == 0x28b52ffdL) "zstd" // LE magic 0xFD2FB528 on disk
+    else if ((b(0) & 0xf0) == 0x50 && (b(1) & 0xff) == 0x2a &&
+      (b(2) & 0xff) == 0x4d && (b(3) & 0xff) == 0x18)
+      "zstd" // leading SKIPPABLE frame (LE magic 0x184D2A50..5F)
     else if (m == 0x04224d18L) "lz4"
     else if (b.length >= 10 && (b(0) & 0xff) == 0xff && b(1) == 0x06 &&
       b(2) == 0 && b(3) == 0 && b(4) == 's' && b(5) == 'N' && b(6) == 'a' &&

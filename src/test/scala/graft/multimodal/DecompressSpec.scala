@@ -74,6 +74,18 @@ class DecompressSpec extends SparkSpec {
     assert(f2 == "snappy-raw" && d2.sameElements(raw))
   }
 
+  test("zstd payloads led by a skippable frame sniff and decode") {
+    // real .zst shards may open with a skippable frame (magic
+    // 0x184D2A50-5F LE); the sniffer routes it to zstd and the codec
+    // skips it per RFC 8878
+    val raw = resource("ascii.raw")
+    val skippable = Array[Byte](0x50, 0x2a, 0x4d, 0x18, // magic
+      4, 0, 0, 0, // frame size 4
+      1, 2, 3, 4) // skipped payload
+    val (f, d) = dec(skippable ++ resource("ascii.zstd"))
+    assert(f == "zstd" && d != null && d.sameElements(raw))
+  }
+
   test("gzip trailer: intact is VERIFIED, truncated is tolerated") {
     val raw = resource("ascii.raw")
     val gz = resource("ascii.gzip")
