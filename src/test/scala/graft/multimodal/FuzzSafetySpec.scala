@@ -59,6 +59,7 @@ class FuzzSafetySpec extends SparkSpec {
       "RIFF....AVI ".getBytes,
       Array(0x1f, 0x8b.toByte, 8), // gzip
       Array(0x28, 0xb5.toByte, 0x2f, 0xfd.toByte), // zstd
+      Array(0x53, 0x2a, 0x4d, 0x18), // zstd skippable frame
       Array(0x04, 0x22, 0x4d, 0x18), // lz4 frame
       "BZh9".getBytes, Array(0xfd.toByte, '7', 'z', 'X', 'Z', 0), // xz
       Array[Byte](0x78, 0x9c.toByte), // zlib
