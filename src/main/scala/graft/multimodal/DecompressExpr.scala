@@ -106,8 +106,8 @@ case class DecompressExpr(left: Expression, right: Expression)
     * bytes (Adler/CRC) are not consumed here. Returns null on bombs,
     * corrupt streams, or a stream that never finishes. */
   private def inflate(b: Array[Byte], off: Int): Array[Byte] = {
-    if (off > 0) { // zlib header gate: CM=8, FCHECK divisibility
-      if (b.length < 2 || (b(0) & 0x0f) != 8 ||
+    if (off > 0) { // zlib header gate: CM=8, no FDICT, FCHECK divisibility
+      if (b.length < 2 || (b(0) & 0x0f) != 8 || (b(1) & 0x20) != 0 ||
           ((b(0) & 0xff) * 256 + (b(1) & 0xff)) % 31 != 0) return null
     }
     val inf = new java.util.zip.Inflater(true)
@@ -198,7 +198,11 @@ case class DecompressExpr(left: Expression, right: Expression)
     else if (m == 0x28b52ffdL) "zstd" // LE magic 0xFD2FB528 on disk
     else if ((b(0) & 0xf0) == 0x50 && (b(1) & 0xff) == 0x2a &&
       (b(2) & 0xff) == 0x4d && (b(3) & 0xff) == 0x18)
-      "zstd" // leading SKIPPABLE frame (LE magic 0x184D2A50..5F)
+      // leading SKIPPABLE frame(s): magic 0x184D2A50..5F is SHARED by
+      // the zstd and lz4 frame formats, so the payload's identity is
+      // the first NON-skippable frame — walk past each (4-byte LE size
+      // follows the magic) and sniff what it precedes
+      afterSkippable(b)
     else if (m == 0x04224d18L) "lz4"
     else if (b.length >= 10 && (b(0) & 0xff) == 0xff && b(1) == 0x06 &&
       b(2) == 0 && b(3) == 0 && b(4) == 's' && b(5) == 'N' && b(6) == 'a' &&
@@ -208,7 +212,30 @@ case class DecompressExpr(left: Expression, right: Expression)
     else if (b.length >= 6 && (b(0) & 0xff) == 0xfd && b(1) == '7' &&
       b(2) == 'z' && b(3) == 'X' && b(4) == 'Z' && b(5) == 0) "xz"
     else if ((b(0) & 0x0f) == 8 && (b(0) & 0xf0) <= 0x70 &&
+      (b(1) & 0x20) == 0 && // FDICT: preset-dictionary streams are
+      // undecodable without the dictionary — not sniffed as zlib
       ((b(0) & 0xff) * 256 + (b(1) & 0xff)) % 31 == 0) "zlib"
+    else "unknown"
+  }
+
+  /** Walk past leading skippable frames (magic 0x184D2A50..5F LE +
+    * LE32 size + payload — identical framing in zstd and lz4) and
+    * sniff the first real frame's magic; all-skippable or truncated
+    * payloads are unknown (both decoders would emit zero bytes). */
+  private def afterSkippable(b: Array[Byte]): String = {
+    def le32(k: Int): Long = (b(k) & 0xffL) | ((b(k + 1) & 0xffL) << 8) |
+      ((b(k + 2) & 0xffL) << 16) | ((b(k + 3) & 0xffL) << 24)
+    var i = 0
+    while (i + 8 <= b.length && (b(i) & 0xf0) == 0x50 &&
+        (b(i + 1) & 0xff) == 0x2a && (b(i + 2) & 0xff) == 0x4d &&
+        (b(i + 3) & 0xff) == 0x18) {
+      val size = le32(i + 4)
+      if (i + 8 + size > b.length) return "unknown" // truncated frame
+      i += 8 + size.toInt
+    }
+    if (i + 4 > b.length) "unknown"
+    else if (le32(i) == 0xfd2fb528L) "zstd"
+    else if (le32(i) == 0x184d2204L) "lz4"
     else "unknown"
   }
 

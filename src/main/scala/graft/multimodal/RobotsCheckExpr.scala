@@ -113,7 +113,10 @@ case class RobotsCheckExpr(first: Expression, second: Expression,
     if (tok == null) return InternalRow(true, null, -1)
     var mergedRules = List.empty[Rule]
     var mergedDelay = -1
-    for (g <- groups if g._1.contains(tok)) {
+    // groups accumulated by prepending — reverse to DOCUMENT order so
+    // the first declared crawl-delay wins when several groups carry
+    // the selected token (and merged rules keep their file order)
+    for (g <- groups.reverse if g._1.contains(tok)) {
       mergedRules = mergedRules ++ g._2
       if (mergedDelay < 0) mergedDelay = g._3
     }

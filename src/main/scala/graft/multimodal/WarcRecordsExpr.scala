@@ -30,7 +30,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * begin with a WARC version line at all yields NULL (unknown).
   * Bomb guard: the record count is capped (the array is bounded by
   * the input size already — content slices reference-copy from the
-  * payload — but a hostile zero-length-record loop must not spin).
+  * payload — but a hostile zero-length-record loop must not spin);
+  * a payload with MORE records than the cap yields NULL (unknown)
+  * rather than a silently truncated set downstream counts would
+  * mistake for the complete file.
   *
   * Scale shape: per-row map-side parse, single scan, zero shuffle
   * (PlanSpec-pinned via q_warc_records). Reference analogue: the
@@ -133,6 +136,14 @@ case class WarcRecordsExpr(child: Expression)
           i += contentLength.toInt
         }
       }
+    }
+    if (!done && out.size >= MaxRecords) {
+      // the record-count cap stopped the walk: only return the array
+      // if nothing but blank lines remains — a silently truncated
+      // record set must read as unknown, not as the complete file
+      var l = line(b, i)
+      while (l != null && l._1.isEmpty) { i = l._2; l = line(b, i) }
+      if (l != null) return null // more records follow: cap hit
     }
     // zero complete records (empty payload, blank-only, or a file
     // that never yielded one) is not a WARC file: unknown

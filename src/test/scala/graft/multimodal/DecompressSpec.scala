@@ -86,6 +86,42 @@ class DecompressSpec extends SparkSpec {
     assert(f == "zstd" && d != null && d.sameElements(raw))
   }
 
+  test("a skippable frame followed by an lz4 frame sniffs as lz4") {
+    // magic 0x184D2A50..5F is SHARED by zstd and lz4: the payload's
+    // identity is the first non-skippable frame, and lz4-java skips
+    // leading skippable frames just like libzstd does
+    val raw = resource("ascii.raw")
+    val skippable = Array[Byte](0x5a, 0x2a, 0x4d, 0x18, // magic (..5A)
+      4, 0, 0, 0, // frame size 4
+      9, 9, 9, 9) // skipped payload
+    val (f, d) = dec(skippable ++ resource("ascii.lz4"))
+    assert(f == "lz4" && d != null && d.sameElements(raw))
+    // two stacked skippable frames still resolve the real one behind
+    val (f2, d2) = dec(skippable ++ skippable ++ resource("ascii.zstd"))
+    assert(f2 == "zstd" && d2.sameElements(raw))
+    // all-skippable and truncated-skippable payloads are unknown
+    assert(dec(skippable)._1 == "unknown")
+    assert(dec(skippable.take(6))._1 == "unknown")
+  }
+
+  test("zlib preset-dictionary (FDICT) streams are rejected, not misread") {
+    // CMF=0x78 FLG=0x20: CM=8, FDICT set, FCHECK valid ((30720+32)%31
+    // == 0) — undecodable without the external dictionary, so neither
+    // the sniffer nor the explicit-codec gate may raw-inflate the
+    // 4-byte DICTID as deflate data
+    val body = {
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput("dict stream".getBytes); d.finish()
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    val withDict = Array[Byte](0x78, 0x20, 1, 2, 3, 4) ++ body
+    assert(dec(withDict)._1 == "unknown") // sniff: not zlib
+    assert(dec(withDict, "zlib")._1 == "unknown") // explicit: rejected
+  }
+
   test("gzip trailer: intact is VERIFIED, truncated is tolerated") {
     val raw = resource("ascii.raw")
     val gz = resource("ascii.gzip")

@@ -89,6 +89,29 @@ class RobotsSpec extends SparkSpec {
     assert(check(robots, "fastbot", "/ok")._3 == -1)
   }
 
+  test("crawl-delay: first declaring group in DOCUMENT order wins on merge") {
+    val robots =
+      """User-agent: bot
+        |Crawl-delay: 3
+        |Disallow: /a
+        |User-agent: bot
+        |Crawl-delay: 9
+        |Disallow: /b
+        |""".stripMargin
+    val r = check(robots, "bot", "/a")
+    assert(r._3 == 3) // not the document-LAST group's 9
+    assert(!r._1 && !check(robots, "bot", "/b")._1) // rules still merge
+    // a delay-less first group defers to the first group that has one
+    val robots2 =
+      """User-agent: bot
+        |Disallow: /a
+        |User-agent: bot
+        |Crawl-delay: 5
+        |Disallow: /b
+        |""".stripMargin
+    assert(check(robots2, "bot", "/x")._3 == 5)
+  }
+
   test("allow-by-default edges: empty file, comments, empty Disallow, garbage") {
     assert(check("", "bot", "/anything")._1)
     assert(check("# comments only\n", "bot", "/x")._1)

@@ -84,6 +84,20 @@ class WarcRecordsSpec extends SparkSpec {
     assert(junk.size == 2)
   }
 
+  test("record-count cap yields unknown, never a silent truncation") {
+    // 100k+1 zero-length records: the bomb cap must stop the walk AND
+    // surface it as NULL — a truncated set returned as complete would
+    // poison every downstream count
+    val one = "WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    val sb = new StringBuilder(one.length * 100001)
+    for (_ <- 0 until 100001) sb.append(one)
+    assert(recs(sb.toString.getBytes("ISO-8859-1")) == null)
+    // exactly at the cap with only blank tail: the complete file parses
+    val atCap = new StringBuilder(one.length * 100000)
+    for (_ <- 0 until 100000) atCap.append(one)
+    assert(recs(atCap.toString.getBytes("ISO-8859-1")).size == 100000)
+  }
+
   test("decompress -> warc_records: the Common Crawl member pipeline") {
     val wet = record("conversion", "http://cc.example/p",
       "extracted page text".getBytes)
