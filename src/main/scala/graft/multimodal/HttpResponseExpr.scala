@@ -25,13 +25,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * deflate/br Content-Encoding body is surfaced as raw `body` bytes
   * with NULL `text` — route through [[DecompressExpr]] explicitly.
   *
-  * `charset` comes from the Content-Type parameter when present, else
-  * a BOM, else NULL. `text` decodes the body for the charsets a web
-  * corpus actually carries — utf-8 (with a strict validity scan:
-  * invalid sequences fall back to latin-1 rather than emitting
-  * replacement garbage), latin-1/iso-8859-1, us-ascii, windows-1252,
-  * utf-16 via BOM — and is NULL for binary or unsupported-charset
-  * payloads. Non-HTTP payloads yield the unknown row; never throws.
+  * `charset` resolves in the WHATWG precedence order: the
+  * Content-Type parameter when present, else a BOM, else an HTML
+  * `<meta charset>` / `<meta http-equiv>` prescan over the first
+  * 1024 body bytes (html-typed bodies only), else NULL. `text`
+  * decodes the body for the charsets a web corpus actually carries —
+  * utf-8 (with a strict validity scan: invalid sequences fall back to
+  * latin-1 rather than emitting replacement garbage),
+  * latin-1/iso-8859-1, us-ascii, windows-1252, utf-16 via BOM, and
+  * the CJK/legacy multibyte families a multilingual crawl is full of
+  * (gbk/gb2312/gb18030, big5, shift_jis/windows-31j, euc-jp, euc-kr,
+  * iso-2022-jp — all JDK-shipped decoders, run STRICT: a body that
+  * is not valid in its declared charset falls back to latin-1,
+  * byte-preserving, the same mislabel policy as utf-8) — and is NULL
+  * for binary or unsupported-charset payloads. Non-HTTP payloads
+  * yield the unknown row; never throws.
   *
   * Scale shape: per-row map-side parse, single scan, zero shuffle
   * (PlanSpec-pinned via q_http_response). */
@@ -93,8 +101,10 @@ case class HttpResponseExpr(child: Expression)
     val rawBody = java.util.Arrays.copyOfRange(b, i, b.length)
     val body = if (chunked) dechunk(rawBody) else rawBody
     if (body == null) return unknown
-    val charset = charsetOf(contentType, body)
     val encoded = contentEncoding != null && contentEncoding != "identity"
+    // an encoded body is compressed bytes: prescanning it for a meta
+    // tag would read noise, so the prescan only runs on identity bodies
+    val charset = charsetOf(contentType, body, allowMeta = !encoded)
     val text = if (encoded) null else decodeText(body, charset, contentType)
     InternalRow(status,
       if (contentType == null) null else UTF8String.fromString(contentType),
@@ -134,7 +144,8 @@ case class HttpResponseExpr(child: Expression)
     out.toByteArray
   }
 
-  private def charsetOf(contentType: String, body: Array[Byte]): String = {
+  private def charsetOf(contentType: String, body: Array[Byte],
+      allowMeta: Boolean): String = {
     if (contentType != null) {
       val lower = contentType.toLowerCase
       val at = lower.indexOf("charset=")
@@ -151,7 +162,27 @@ case class HttpResponseExpr(child: Expression)
       (body(1) & 0xff) == 0xfe) "utf-16le"
     else if (body.length >= 2 && (body(0) & 0xff) == 0xfe &&
       (body(1) & 0xff) == 0xff) "utf-16be"
+    else if (allowMeta) metaCharset(body, contentType)
     else null
+  }
+
+  private val MetaPattern = java.util.regex.Pattern.compile(
+    "<meta[^>]*charset\\s*=\\s*[\"']?([a-z0-9._:-]+)")
+
+  /** WHATWG-style prescan: when neither the header nor a BOM names a
+    * charset, html-typed bodies get their first 1024 bytes scanned
+    * (latin-1 view — the prescan only reads ASCII syntax) for
+    * `<meta charset=...>` or the `charset=` parameter inside
+    * `<meta http-equiv=content-type content=...>`; both collapse to
+    * one charset= search, the order browsers resolve silent servers. */
+  private def metaCharset(body: Array[Byte], contentType: String): String = {
+    val html = contentType == null ||
+      contentType.toLowerCase.contains("html")
+    if (!html || body.length == 0) return null
+    val head = new String(body, 0, math.min(body.length, 1024),
+      "ISO-8859-1").toLowerCase
+    val m = MetaPattern.matcher(head)
+    if (m.find()) m.group(1) else null
   }
 
   /** Body → text for textual content types; NULL for binary. The
@@ -179,6 +210,25 @@ case class HttpResponseExpr(child: Expression)
         new String(body, "ISO-8859-1")
       case "windows-1252" | "cp1252" =>
         new String(body, java.nio.charset.Charset.forName("windows-1252"))
+      // CJK / legacy multibyte: JDK-shipped decoders, run strict with
+      // the latin-1 mislabel fallback. Label→charset follows the
+      // WHATWG encoding registry where the JDK carries the exact
+      // repertoire (gb2312 label → GBK, the web's de-facto meaning);
+      // shift_jis stays JIS X 0208 and windows-31j/cp932 labels get
+      // the NEC/IBM superset — the two differ at 0x5C/wave-dash, so
+      // collapsing them would silently remap real characters.
+      case "gbk" | "gb2312" | "csgb2312" | "x-gbk" | "gb_2312-80" =>
+        strictJdk(body, "GBK")
+      case "gb18030" => strictJdk(body, "GB18030")
+      case "big5" => strictJdk(body, "Big5")
+      case "big5-hkscs" => strictJdk(body, "Big5-HKSCS")
+      case "shift_jis" | "shift-jis" | "sjis" | "x-sjis" | "ms_kanji" =>
+        strictJdk(body, "Shift_JIS")
+      case "windows-31j" | "cp932" => strictJdk(body, "windows-31j")
+      case "euc-jp" | "x-euc-jp" => strictJdk(body, "EUC-JP")
+      case "euc-kr" | "ks_c_5601-1987" | "ksc_5601" | "korean" =>
+        strictJdk(body, "EUC-KR")
+      case "iso-2022-jp" | "csiso2022jp" => strictJdk(body, "ISO-2022-JP")
       case "utf-16le" | "utf-16be" | "utf-16" =>
         // strip the BOM only when actually present — the charset may
         // come from the header with a BOM-less body (and a 0/1-byte
@@ -196,6 +246,21 @@ case class HttpResponseExpr(child: Expression)
       case _ => null // unsupported declared charset: no silent garbage
     }
   }
+
+  /** Decode with the named JDK charset REPORTING malformed input and
+    * unmappable sequences; a body that is not valid in its declared
+    * charset (the mislabeled-page case) decodes as latin-1 instead —
+    * byte-preserving, the same fallback the utf-8 path applies. */
+  private def strictJdk(body: Array[Byte], jdkName: String): String =
+    try {
+      val dec = java.nio.charset.Charset.forName(jdkName).newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      dec.decode(java.nio.ByteBuffer.wrap(body)).toString
+    } catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        new String(body, "ISO-8859-1")
+    }
 
   /** Strict UTF-8 validity scan (RFC 3629: no overlongs, no
     * surrogates, max U+10FFFF). */

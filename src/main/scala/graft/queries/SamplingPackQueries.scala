@@ -659,23 +659,50 @@ object SamplingPackQueries {
 
     // HTTP response parsing (round-12 HttpResponseExpr — the step
     // between a WARC `response` record and clean text): per doc one
-    // of three RFC 9112 message shapes — plain utf-8, chunked
-    // transfer coding (hex chunk size computed from the body length),
-    // and a declared latin-1 404 — parsed to (status, charset, text).
-    // The oracle replays all three fields from the doc_id arithmetic.
+    // of NINE RFC 9112 message shapes — plain utf-8, chunked transfer
+    // coding (hex chunk size computed from the body length), a
+    // declared latin-1 404, five CJK/legacy multibyte pages
+    // (gbk/big5/shift_jis/euc-jp/euc-kr bodies built from
+    // python-encoded hex constants + the doc's ASCII digits, which
+    // every one of these charsets passes through unchanged), and a
+    // header-silent HTML page whose charset comes from the
+    // `<meta charset>` prescan (round-13, the WHATWG order). The
+    // oracle replays status/charset/text from the doc_id arithmetic —
+    // DuckDB emits the expected CJK strings as plain utf-8 literals.
     QueryDef("q_http_response", (s, dir) => {
+      def hx(str: String) =
+        str.getBytes("ISO-8859-1").map("%02X".format(_)).mkString
       val body = concat(lit("page-"), col("doc_id"))
       val plain = concat(lit("HTTP/1.1 200 OK\r\n" +
         "Content-Type: text/plain; charset=utf-8\r\n\r\n"), body)
+        .cast("binary")
       val chunked = concat(lit("HTTP/1.1 200 OK\r\n" +
         "Content-Type: text/plain\r\n" +
         "Transfer-Encoding: chunked\r\n\r\n"),
         lower(hex(length(body))), lit("\r\n"), body, lit("\r\n0\r\n\r\n"))
+        .cast("binary")
       val latin = concat(lit("HTTP/1.1 404 Not Found\r\n" +
         "Content-Type: text/html; charset=iso-8859-1\r\n\r\n"), body)
-      val payload = when(pmod(col("doc_id"), lit(3)) === 0, plain)
-        .when(pmod(col("doc_id"), lit(3)) === 1, chunked)
-        .otherwise(latin).cast("binary")
+        .cast("binary")
+      val digitsHex = hex(col("doc_id").cast("string").cast("binary"))
+      // (charset label, python-encoded body prefix hex) — ASCII-safe
+      def cjk(label: String, prefixHex: String) = unhex(concat(
+        lit(hx(s"HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+          s"charset=$label\r\n\r\n") + prefixHex), digitsHex))
+      val meta = unhex(concat(
+        lit(hx("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          "<html><head><meta charset=\"gbk\"></head><body>") +
+          "CAFDBEDD2D"), digitsHex))
+      val m = pmod(col("doc_id"), lit(9))
+      val payload = when(m === 0, plain)
+        .when(m === 1, chunked)
+        .when(m === 2, latin)
+        .when(m === 3, cjk("gbk", "CAFDBEDD2D")) // 数据-
+        .when(m === 4, cjk("big5", "B8EAAEC62D")) // 資料-
+        .when(m === 5, cjk("shift_jis", "8366815B835E2D")) // データ-
+        .when(m === 6, cjk("euc-jp", "A5C7A1BCA5BF2D")) // データ-
+        .when(m === 7, cjk("euc-kr", "B5A5C0CCC5CD2D")) // 데이터-
+        .otherwise(meta)
       t(s, dir, "documents")
         .select(col("doc_id"),
           Multimodal.httpResponse(payload).as("h"))
@@ -683,11 +710,21 @@ object SamplingPackQueries {
           col("h.charset").as("charset"), col("h.text").as("text"))
     }, Some("""
       SELECT doc_id,
-        CAST(CASE WHEN doc_id % 3 = 2 THEN 404 ELSE 200 END AS INT)
+        CAST(CASE WHEN doc_id % 9 = 2 THEN 404 ELSE 200 END AS INT)
           AS status,
-        CASE doc_id % 3 WHEN 0 THEN 'utf-8' WHEN 2 THEN 'iso-8859-1'
+        CASE doc_id % 9 WHEN 0 THEN 'utf-8' WHEN 2 THEN 'iso-8859-1'
+          WHEN 3 THEN 'gbk' WHEN 4 THEN 'big5' WHEN 5 THEN 'shift_jis'
+          WHEN 6 THEN 'euc-jp' WHEN 7 THEN 'euc-kr' WHEN 8 THEN 'gbk'
           ELSE NULL END AS charset,
-        'page-' || doc_id AS text
+        CASE doc_id % 9
+          WHEN 3 THEN '数据-' || doc_id
+          WHEN 4 THEN '資料-' || doc_id
+          WHEN 5 THEN 'データ-' || doc_id
+          WHEN 6 THEN 'データ-' || doc_id
+          WHEN 7 THEN '데이터-' || doc_id
+          WHEN 8 THEN '<html><head><meta charset="gbk"></head><body>数据-'
+            || doc_id
+          ELSE 'page-' || doc_id END AS text
       FROM documents""")),
 
     // MJPEG-in-MP4 frame sampling (round-12 VideoFrameExpr BMFF walk):

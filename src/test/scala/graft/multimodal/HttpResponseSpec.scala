@@ -83,6 +83,72 @@ class HttpResponseSpec extends SparkSpec {
     assert(st == 204 && txt == "")
   }
 
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("CJK / legacy multibyte charsets decode (python-encoded fixtures)") {
+    // every hex body below was produced by PYTHON's codecs
+    // (tools-free: the bytes are pinned in-line), so the JDK decoder
+    // the expression uses is cross-implementation-verified
+    val cases = Seq(
+      ("gbk", "CAFDBEDD2D", "数据-"),
+      ("gb2312", "CAFDBEDD2D", "数据-"), // web label: GBK repertoire
+      ("gb18030", "953085322D", "🙂-"), // 4-byte GB18030 sequence
+      ("big5", "B8EAAEC62D", "資料-"),
+      ("shift_jis", "8366815B835E2D", "データ-"),
+      ("sjis", "8366815B835E2D", "データ-"),
+      ("euc-jp", "A5C7A1BCA5BF2D", "データ-"),
+      ("euc-kr", "B5A5C0CCC5CD2D", "데이터-"),
+      ("iso-2022-jp", "1B24422547213C253F1B28422D", "データ-"))
+    for ((label, hexBody, want) <- cases) {
+      val body = unhex(hexBody) ++ "tail".getBytes("US-ASCII")
+      val (st, _, cs, _, txt) = parse(msg(200,
+        Seq(s"Content-Type: text/html; charset=$label"), body))
+      assert(st == 200 && cs == label, s"$label charset")
+      assert(txt == want + "tail", s"$label: got $txt")
+    }
+  }
+
+  test("mislabeled CJK body falls back to latin-1, byte-preserving") {
+    // declared gbk but 0x81 0x20 is not a valid GBK sequence (trail
+    // byte out of range): strict decode fails -> latin-1, no U+FFFD
+    val lied = msg(200, Seq("Content-Type: text/plain; charset=gbk"),
+      Array[Byte](0x81.toByte, 0x20, 'A'))
+    assert(parse(lied)._5 == " A")
+    // truly unknown charset labels still yield NULL text, not noise
+    val alien = msg(200,
+      Seq("Content-Type: text/plain; charset=klingon-8"), "x".getBytes)
+    assert(parse(alien)._5 == null && parse(alien)._3 == "klingon-8")
+  }
+
+  test("meta-charset prescan: header silent, no BOM -> <meta> wins (WHATWG order)") {
+    val gbkText = unhex("CAFDBEDD2D")
+    // <meta charset=...> form
+    val m1 = "<html><head><meta charset=\"gbk\"></head><body>"
+      .getBytes("US-ASCII") ++ gbkText ++ "</body>".getBytes("US-ASCII")
+    val (_, _, cs1, _, txt1) = parse(msg(200,
+      Seq("Content-Type: text/html"), m1))
+    assert(cs1 == "gbk" && txt1.contains("数据-"))
+    // <meta http-equiv=content-type content="text/html; charset=..."> form
+    val m2 = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=euc-kr\"></head>").getBytes("US-ASCII") ++
+      unhex("B5A5C0CCC5CD2D")
+    val (_, _, cs2, _, txt2) = parse(msg(200,
+      Seq("Content-Type: text/html"), m2))
+    assert(cs2 == "euc-kr" && txt2.contains("데이터-"))
+    // the header OUTRANKS the meta tag when both are present
+    val m3 = "<meta charset=\"gbk\">café".getBytes("ISO-8859-1")
+    val (_, _, cs3, _, txt3) = parse(msg(200,
+      Seq("Content-Type: text/html; charset=iso-8859-1"), m3))
+    assert(cs3 == "iso-8859-1" && txt3.endsWith("café"))
+    // non-html bodies are never prescanned
+    val m4 = "<meta charset=\"gbk\">plain".getBytes("US-ASCII")
+    assert(parse(msg(200, Seq("Content-Type: text/plain"), m4))._3 == null)
+    // the prescan window is 1024 bytes: a meta tag beyond it is unseen
+    val far = ("x" * 1100 + "<meta charset=\"gbk\">").getBytes("US-ASCII")
+    assert(parse(msg(200, Seq("Content-Type: text/html"), far))._3 == null)
+  }
+
   test("binary and content-encoded bodies surface bytes, not text") {
     val png = Array[Byte](0x89.toByte, 'P', 'N', 'G')
     val (st, _, _, b, txt) = parse(msg(200,
