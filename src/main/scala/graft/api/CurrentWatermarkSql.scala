@@ -36,6 +36,23 @@ object CurrentWatermarkSql {
 
   def execute(env: TableEnv, sql: String): DataFrame = {
     val argsRaw = Fn.findAllMatchIn(sql).map(_.group(1)).toList
+    // single-table scope, enforced POINTEDLY: a query with several
+    // FROM clauses (scalar subquery, derived table) or a JOIN would
+    // otherwise have its first textual FROM picked by accident — the
+    // reference materializes the watermark per-operator, and this
+    // binding supports exactly one streaming input
+    val fromCount = """(?i)\bFROM\b""".r.findAllIn(sql).size
+    if (fromCount > 1)
+      throw new IllegalArgumentException(
+        "CURRENT_WATERMARK: the SQL binding supports a single-table " +
+          s"FROM, but the query has $fromCount FROM clauses " +
+          "(subquery/derived table) — materialize the watermark on " +
+          "the one streaming input and join afterwards")
+    if ("""(?i)\bJOIN\b""".r.findFirstIn(sql).isDefined)
+      throw new IllegalArgumentException(
+        "CURRENT_WATERMARK: the SQL binding supports a single-table " +
+          "FROM — JOIN inputs each hold their own operator watermark; " +
+          "annotate the streaming side first, then join the views")
     val table = From.findFirstMatchIn(sql).map(_.group(1)).getOrElse(
       throw new IllegalArgumentException(
         "CURRENT_WATERMARK: no FROM <table> found — the function " +

@@ -84,4 +84,39 @@ class CurrentWatermarkSqlSpec extends SparkSpec {
         " FROM cw_e"))
     assert(e3.getMessage.contains("watermark column"))
   }
+
+  test("validator: multi-FROM and JOIN shapes are rejected pointedly; aliases work") {
+    val env = TableEnv(spark)
+    val dir = java.nio.file.Files.createTempDirectory("cw_scope").toString
+    Seq((1L, 1000L)).toDF("id", "epoch")
+      .write.mode("append").parquet(s"$dir/t")
+    env.executeSql(s"""
+      CREATE TABLE cw_s (
+        id BIGINT,
+        epoch BIGINT,
+        ets AS timestamp_millis(epoch),
+        WATERMARK FOR ets AS ets - INTERVAL '0' SECOND
+      ) WITH ('connector' = 'filesystem', 'path' = '$dir/t',
+              'format' = 'parquet')""")
+    // a scalar subquery whose FROM comes FIRST textually: without the
+    // multi-FROM gate the rewrite would target the inner table
+    val e1 = intercept[IllegalArgumentException](env.executeSql(
+      "SELECT (SELECT max(id) FROM cw_s), CURRENT_WATERMARK(ets) FROM cw_s"))
+    assert(e1.getMessage.contains("FROM clauses"))
+    // a derived-table FROM
+    val e2 = intercept[IllegalArgumentException](env.executeSql(
+      "SELECT CURRENT_WATERMARK(ets) FROM (SELECT * FROM cw_s)"))
+    assert(e2.getMessage.contains("FROM clauses"))
+    // JOIN inputs each hold their own watermark: rejected, not guessed
+    val e3 = intercept[IllegalArgumentException](env.executeSql(
+      "SELECT CURRENT_WATERMARK(ets) FROM cw_s JOIN cw_s ON 1=1"))
+    assert(e3.getMessage.contains("JOIN"))
+    // FROM t AS alias: supported — the rewrite keeps the alias intact
+    assert(env.executeSql(
+      "SELECT a.id, CURRENT_WATERMARK(a.ets) AS wm FROM cw_s AS a")
+      .isStreaming)
+    assert(env.executeSql(
+      "SELECT b.id, CURRENT_WATERMARK(ets) AS wm FROM cw_s b")
+      .isStreaming)
+  }
 }
