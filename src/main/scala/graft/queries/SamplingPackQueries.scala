@@ -618,6 +618,106 @@ object SamplingPackQueries {
         'crawl page ' || doc_id AS text
       FROM documents""")),
 
+    // Chunked + Content-Encoding COMPOSITION (round-13): the
+    // documented route — http_response de-chunks the transfer coding
+    // and surfaces a Content-Encoding body as raw bytes with NULL
+    // text; decompress() then opens it explicitly. This query builds
+    // chunked(gzip(text)) per doc (stored-deflate gzip, one chunk
+    // whose ASCII-hex size is computed from the gzip byte length) and
+    // certifies BOTH stages compose: header_text replays NULL, the
+    // decompressed text replays the original page.
+    QueryDef("q_crawl_chunked_gzip", (s, dir) => {
+      def le16h(c: org.apache.spark.sql.Column) = {
+        val hh = lpad(hex(c), 4, "0")
+        concat(substring(hh, 3, 2), substring(hh, 1, 2))
+      }
+      val text = concat(lit("compressed page "), col("doc_id"))
+      val tlen = length(text)
+      // stored-deflate gzip member, trailer-less (tolerated tail)
+      val gz = unhex(concat(lit("1F8B08" + "00" * 7),
+        lit("01"), le16h(tlen), le16h(lit(65535) - tlen),
+        hex(text.cast("binary"))))
+      val msg = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8" +
+          "\r\nContent-Encoding: gzip\r\nTransfer-Encoding: chunked" +
+          "\r\n\r\n").cast("binary"),
+        concat(lower(hex(length(gz))), lit("\r\n")).cast("binary"),
+        gz, lit("\r\n0\r\n\r\n").cast("binary"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.httpResponse(msg).as("h"))
+        .select(col("doc_id"), col("h.status").as("status"),
+          col("h.text").as("header_text"),
+          Multimodal.decompress(col("h.body")).as("d"))
+        .select(col("doc_id"), col("status"), col("header_text"),
+          col("d.format").as("format"),
+          col("d.data").cast("string").as("text"))
+    }, Some("""
+      SELECT doc_id, CAST(200 AS INT) AS status,
+        CAST(NULL AS VARCHAR) AS header_text, 'gzip' AS format,
+        'compressed page ' || doc_id AS text
+      FROM documents""")),
+
+    // robots.txt ∘ crawl chain (round-13): the reprocessing-under-
+    // new-rules shape — fetched pages come out of the full
+    // decompress → warc_records → http_response chain, their site is
+    // extracted from the WARC target URI, and a per-site robots.txt
+    // TABLE joins in by host (broadcast: the robots side is one row
+    // per site, dwarfed by the page corpus at any scale) before
+    // robots_check filters the pages the site's CURRENT rules allow.
+    // Site 0 disallows /private/, site 1 disallows everything, site 2
+    // disallows everything EXCEPT for corpusbot — so the surviving
+    // set exercises path rules, deny-all, and agent-specific override
+    // across the keyed join. The oracle replays chain + verdict.
+    QueryDef("q_crawl_robots_join", (s, dir) => {
+      val site = pmod(col("doc_id"), lit(3))
+      val path = when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("/private/"), col("doc_id")))
+        .otherwise(concat(lit("/public/"), col("doc_id")))
+      val body = concat(lit("page "), col("doc_id"))
+      val http = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+          "charset=utf-8\r\n\r\n"), body)
+      val warc = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: http://site"), site,
+        lit(".example"), path,
+        lit("\r\nContent-Length: "), length(http).cast("string"),
+        lit("\r\n\r\n"), http, lit("\r\n\r\n")).cast("binary")
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Multimodal.warcRecords(warc)).as("r"))
+        .select(col("doc_id"), col("r.target_uri").as("target_uri"),
+          Multimodal.httpResponse(col("r.content")).as("h"))
+        .select(col("doc_id"), col("target_uri"),
+          regexp_extract(col("target_uri"), "//([^/]+)", 1).as("host"),
+          regexp_extract(col("target_uri"), "//[^/]+(/.*)", 1).as("path"),
+          col("h.text").as("text"))
+      val robots = t(s, dir, "documents")
+        .select(concat(lit("site"), pmod(col("doc_id"), lit(3)),
+          lit(".example")).as("host")).distinct()
+        .withColumn("robots_txt",
+          when(col("host") === "site0.example",
+            lit("User-agent: *\nDisallow: /private/"))
+          .when(col("host") === "site1.example",
+            lit("User-agent: *\nDisallow: /"))
+          .otherwise(lit(
+            "User-agent: corpusbot\nAllow: /\nUser-agent: *\nDisallow: /")))
+      pages.join(broadcast(robots), "host")
+        .withColumn("c", Multimodal.robotsCheck(col("robots_txt"),
+          lit("corpusbot/1.0"), col("path")))
+        .where(col("c.allowed"))
+        .select(col("doc_id"), col("host"), col("path"),
+          col("c.matched_rule").as("matched_rule"), col("text"))
+    }, Some("""
+      SELECT doc_id, 'site' || (doc_id % 3) || '.example' AS host,
+        CASE WHEN doc_id % 2 = 0 THEN '/private/' || doc_id
+             ELSE '/public/' || doc_id END AS path,
+        CASE WHEN doc_id % 3 = 2 THEN '/' ELSE NULL END AS matched_rule,
+        'page ' || doc_id AS text
+      FROM documents
+      WHERE (doc_id % 3 = 0 AND doc_id % 2 = 1) OR doc_id % 3 = 2""")),
+
     // robots.txt evaluation (round-12 RobotsCheckExpr, RFC 9309): a
     // FIXED rule file (specific group with a prefix disallow, a
     // longer allow override, a *$-anchored wildcard, crawl-delay,

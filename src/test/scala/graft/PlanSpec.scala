@@ -27,12 +27,20 @@ class PlanSpec extends SparkSpec {
       "q_video_frames_mkv", "q_decompress_text",
       "q_warc_records", "q_http_response",
       "q_robots_check", "q_crawl_ingest_e2e",
+      "q_crawl_chunked_gzip",
       "q_video_meta_mkv").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"),
         s"$q must be a pure map-side projection, got:\n$p")
       assert("Scan parquet".r.findAllIn(p).size == 1, s"$q: one documents scan")
     }
+  }
+
+  test("q_crawl_robots_join broadcasts the robots side; pages never shuffle") {
+    val p = plan("q_crawl_robots_join")
+    assert(p.contains("BroadcastHashJoin"), s"robots join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the page corpus must not shuffle for a per-site rules join")
   }
 
   test("q_scan_pushdown pushes filters and prunes columns at the scan") {
