@@ -300,6 +300,59 @@ object MediaBench {
     out
   }
 
+  /** Noise-content brotli (RFC 7932): one LAST compressed meta-block,
+    * single block types, one 4-symbol literal code (2 bits/literal),
+    * a degenerate single-command code whose one command inserts the
+    * whole MLEN — so the measured loop is the decoder's per-symbol
+    * canonical walk, the honest hot path (real corpus streams do
+    * fewer, bigger copy steps). No encoder exists on the JVM; this
+    * minimal spec-conformant writer pairs with the fixture-proven
+    * [[graft.multimodal.BrotliDecode]] exactly like webpBytes/VP8L. */
+  private[graft] def brotliBytes(id: Long, n: Int): Array[Byte] = {
+    require(n > 22594 && n <= 65536)
+    val bits = new java.util.BitSet(n * 2 + 512)
+    var bn = 0
+    def putVal(v: Int, w: Int): Unit = { // LSB-first value field
+      var k = 0
+      while (k < w) { if (((v >> k) & 1) == 1) bits.set(bn); bn += 1; k += 1 }
+    }
+    def putCode(c: Int, w: Int): Unit = { // MSB-first prefix code
+      var k = w - 1
+      while (k >= 0) { if (((c >> k) & 1) == 1) bits.set(bn); bn += 1; k -= 1 }
+    }
+    putVal(0, 1) // WBITS 16
+    putVal(1, 1); putVal(0, 1) // ISLAST, not empty
+    putVal(0, 2); putVal(n - 1, 16) // 4 nibbles, MLEN
+    putVal(0, 1); putVal(0, 1); putVal(0, 1) // NBLTYPES L/I/D = 1
+    putVal(0, 2); putVal(0, 4) // NPOSTFIX, NDIRECT
+    putVal(0, 2) // literal context mode LSB6 (1 tree: unused)
+    putVal(0, 1); putVal(0, 1) // NTREES_L = NTREES_D = 1
+    // literal code: simple, 4 symbols 'a'..'d', flat 2-bit
+    putVal(1, 2); putVal(3, 2)
+    putVal('a', 8); putVal('b', 8); putVal('c', 8); putVal('d', 8)
+    putVal(0, 1) // tree-select: 2,2,2,2
+    // command code: simple, 1 symbol = 504 (insert code 23, copy 0)
+    putVal(1, 2); putVal(0, 2); putVal(504, 10)
+    // distance code: simple, 1 symbol (alphabet 64 -> 6 bits); unread
+    putVal(1, 2); putVal(0, 2); putVal(0, 6)
+    // body: the one (degenerate, 0-bit) command; insert extra bits
+    putVal(n - 22594, 24)
+    var s = id * 6364136223846793005L + 1442695040888963407L
+    var k = 0
+    while (k < n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      putCode(((s >>> 33) & 3).toInt, 2)
+      k += 1
+    }
+    val out = new Array[Byte]((bn + 7) / 8)
+    k = 0
+    while (k < bn) {
+      if (bits.get(k)) out(k / 8) = (out(k / 8) | (1 << (k % 8))).toByte
+      k += 1
+    }
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = args.headOption.map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -321,7 +374,8 @@ object MediaBench {
       ("webp", 128, 800), ("webp", 256, 240), ("webp", 512, 64),
       ("webp", 2048, 8),
       ("wav", 44100, 400), ("wav-ulaw", 44100, 400),
-      ("wav-ima", 44100, 400), ("wav-ms", 44100, 400))
+      ("wav-ima", 44100, 400), ("wav-ms", 44100, 400),
+      ("br", 60000, 400), ("br", 60000, 1600))
     val rows = cells.map { case (fmt, size, n) =>
       val payloads = spark.range(n).repartition(cpus)
         .map { id =>
@@ -331,6 +385,7 @@ object MediaBench {
             case "jpeg-prog" => jpegBytes(id, size, progressive = true)
             case "tiff-lzw" => tiffLzwBytes(id, size)
             case "webp" => webpBytes(id, size)
+            case "br" => brotliBytes(id, size)
             case "wav-ulaw" => ulawBytes(id)
             case "wav-ima" => imaBytes(id)
             case "wav-ms" => msBytes(id)
@@ -341,7 +396,11 @@ object MediaBench {
       def timeDecode(): Double = {
         val t0 = System.nanoTime()
         val d =
-          if (fmt.startsWith("wav"))
+          if (fmt == "br")
+            payloads.select(graft.multimodal.Multimodal
+              .decompress(col("p"), "br").as("d"))
+              .select(sum(length(col("d.data"))), lit(0)).head()
+          else if (fmt.startsWith("wav"))
             payloads.select(graft.multimodal.Multimodal.decodeAudio(col("p"))
               .as("d")).select(sum(element_at(col("d.samples"), 1))).head()
           else
@@ -356,12 +415,14 @@ object MediaBench {
       payloads.unpersist()
       val mb = totalBytes / 1e6
       val mpx =
-        if (fmt == "wav-ima") n * (22.0 * 2041) / 1e6 // decoded frames
+        if (fmt == "br") n.toDouble * size / 1e6 // decoded MB
+        else if (fmt == "wav-ima") n * (22.0 * 2041) / 1e6 // decoded frames
         else if (fmt == "wav-ms") n * (44.0 * 1012) / 1e6
         else if (fmt.startsWith("wav")) n * 44100.0 / 1e6
         else n.toDouble * size * size / 1e6
       val label =
-        if (fmt.startsWith("wav")) s"$fmt 1s" else s"$fmt ${size}x$size"
+        if (fmt == "br") s"br ${size}B x$n"
+        else if (fmt.startsWith("wav")) s"$fmt 1s" else s"$fmt ${size}x$size"
       (label, n, mb, dt, mb / dt, mb / dt / cpus, mpx / dt)
     }
     println("| payload | rows | MB | sec | MB/s | MB/s/core | Mpx/s |")

@@ -23,8 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    because corpus members routinely lose their tails.
   *  - zlib (RFC 1950): header-validated (CM=8, FCHECK), raw DEFLATE
   *    body, Adler trailer tolerated like PNG.
-  *  - raw deflate: no magic exists — reachable only via the explicit
-  *    codec argument.
+  *  - raw deflate and brotli (RFC 7932, [[BrotliDecode]] — the
+  *    `Content-Encoding: br` route): no magic exists — reachable only
+  *    via the explicit codec argument.
   *  - zstd (RFC 8878), lz4 frame, snappy (framed and raw), bzip2, xz:
   *    via the codecs Spark itself ships (zstd-jni, lz4-java,
   *    snappy-java, commons-compress, xz) — the engineering-correct
@@ -72,6 +73,11 @@ case class DecompressExpr(left: Expression, right: Expression)
         case "snappy" => viaStream(fmt,
           new org.xerial.snappy.SnappyFramedInputStream(
             new ByteArrayInputStream(b)))
+        case "br" | "brotli" =>
+          // RFC 7932 (graft.multimodal.BrotliDecode): like raw
+          // deflate, brotli has no magic bytes — explicit codec only
+          // (the Content-Encoding: br route of the crawl chain)
+          BrotliDecode.decode(b, MaxBytes)
         case "snappy-raw" =>
           val len = org.xerial.snappy.Snappy.uncompressedLength(b)
           if (len < 0 || len > MaxBytes) null

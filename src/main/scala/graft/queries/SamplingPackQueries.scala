@@ -470,10 +470,14 @@ object SamplingPackQueries {
     // zlib stored-deflate (dummy Adler — tolerated like PNG IDAT),
     // gzip stored-deflate with a truncated trailer (tolerated; the
     // corpus-tail policy), a zstd single-segment raw-block frame
-    // (RFC 8878), and an lz4 frame with one uncompressed block
+    // (RFC 8878), an lz4 frame with one uncompressed block
     // (FLG 0x60/BD 0x40, header checksum 0x82 = xxh32 of the
-    // descriptor, verified against liblz4 output). The oracle
-    // replays format + text directly.
+    // descriptor, verified against liblz4 output), and — round-13 —
+    // a brotli stream (RFC 7932: WBITS-16 fast path, one
+    // uncompressed meta-block with 4-nibble MLEN, ISLASTEMPTY
+    // terminator 0x03) through the explicit 'br' codec route, since
+    // brotli carries no magic to sniff. The oracle replays
+    // format + text directly.
     QueryDef("q_decompress_text", (s, dir) => {
       def hx2(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
       def le16h(c: org.apache.spark.sql.Column) = {
@@ -492,19 +496,33 @@ object SamplingPackQueries {
         hx2(floor((len * 8 + 1) / 256).cast("int")), lit("00"), dataHex)
       val lz4Hex = concat(lit("04224D18" + "6040" + "82"),
         hx2(len), lit("000080"), dataHex, lit("00000000"))
+      // brotli, bits LSB-first with M = MLEN-1: byte0 = wbits-16 '0',
+      // ISLAST 0, MNIBBLES 00, M low nibble; byte1 = M>>4; byte2 =
+      // M>>12 | ISUNCOMPRESSED<<4; then raw bytes; then 0x03 (ISLAST
+      // + ISLASTEMPTY)
+      val m1 = len - 1
+      val brHex = concat(hx2(pmod(m1, lit(16)) * 16),
+        hx2(pmod(floor(m1 / 16).cast("int"), lit(256))),
+        hx2(floor(m1 / 4096).cast("int") + 16),
+        dataHex, lit("03"))
+      val m = pmod(col("doc_id"), lit(5))
       val payload = unhex(
-        when(pmod(col("doc_id"), lit(4)) === 0, zlibHex)
-          .when(pmod(col("doc_id"), lit(4)) === 1, gzipHex)
-          .when(pmod(col("doc_id"), lit(4)) === 2, zstdHex)
-          .otherwise(lz4Hex))
+        when(m === 0, zlibHex)
+          .when(m === 1, gzipHex)
+          .when(m === 2, zstdHex)
+          .when(m === 3, lz4Hex)
+          .otherwise(brHex))
+      val dec = when(m === 4,
+          Multimodal.decompress(payload, "br"))
+        .otherwise(Multimodal.decompress(payload))
       t(s, dir, "documents")
-        .select(col("doc_id"), Multimodal.decompress(payload).as("d"))
+        .select(col("doc_id"), dec.as("d"))
         .select(col("doc_id"), col("d.format").as("format"),
           col("d.data").cast("string").as("text"))
     }, Some("""
       SELECT doc_id,
-        CASE doc_id % 4 WHEN 0 THEN 'zlib' WHEN 1 THEN 'gzip'
-          WHEN 2 THEN 'zstd' ELSE 'lz4' END AS format,
+        CASE doc_id % 5 WHEN 0 THEN 'zlib' WHEN 1 THEN 'gzip'
+          WHEN 2 THEN 'zstd' WHEN 3 THEN 'lz4' ELSE 'br' END AS format,
         'wet-record-' || doc_id AS text
       FROM documents""")),
 

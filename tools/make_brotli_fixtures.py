@@ -87,12 +87,11 @@ triples = bytes(ctypes.cast(
 
 
 def pooled(idx):
-    # prefix_suffix_map maps string id -> pool offset; strings are
-    # length-prefixed? No: pool holds NUL-terminated segments; map
-    # gives start offsets.
+    # prefix_suffix pool holds LENGTH-PREFIXED segments; the map gives
+    # the offset of each segment's length byte
     off = t.prefix_suffix_map[idx]
-    end = pool.index(0, off)
-    return pool[off:end]
+    n = pool[off]
+    return pool[off + 1:off + 1 + n]
 
 
 OPS = {0: "ID"}
@@ -111,7 +110,8 @@ with open(f"{TEST_RES}/transforms.txt", "w") as f:
 print("transforms: wrote", t.num_transforms, "triples")
 
 # ground truth: every transform applied to probe words via the system lib
-probes = [b"abcdefgh", b"work", b"sensitive communication"]
+probes = [b"abcdefgh", b"work", b"sensitive communication",
+          b"\xc3\xa9t\xc3\xa9 time", b"\xe4\xb8\xad\xe6\x96\x87 page"]
 with open(f"{TEST_RES}/transform_probes.txt", "w") as f:
     for w in probes:
         src = (ctypes.c_uint8 * len(w))(*w)
