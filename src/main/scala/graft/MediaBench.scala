@@ -300,6 +300,151 @@ object MediaBench {
     out
   }
 
+  /** Lossy-VP8 keyframe (RFC 6386): spec-forward bool ENCODER (the
+    * RFC's reference write_bool/flush, carry-propagating) driving two
+    * partitions — a header+mode partition (default coeff probs, no
+    * segmentation, normal loop filter, mode mix DC/V/H/TM varied per
+    * MB) and a token partition where every MB codes a ONE token in
+    * its Y2 block (so the WHT, all 16 per-block IDCTs, prediction and
+    * the loop filter all run) with EOB everywhere else, contexts
+    * tracked exactly as the decoder does. No VP8 encoder exists on
+    * the JVM; this minimal writer pairs with the 48-fixture
+    * libwebp-pinned [[graft.multimodal.Vp8Decode]] exactly like
+    * webpBytes/VP8L and brotliBytes. */
+  private[graft] def vp8Bytes(id: Long, size: Int): Array[Byte] = {
+    import graft.multimodal.Vp8Decode
+    final class BoolEnc {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      private var range = 255
+      private var low = 0
+      private var count = -24
+      def bit(prob: Int, b: Int): Unit = {
+        val split = 1 + (((range - 1) * prob) >> 8)
+        if (b != 0) { low += split; range -= split } else range = split
+        var shift = Integer.numberOfLeadingZeros(range) - 24
+        range <<= shift
+        count += shift
+        if (count >= 0) { // emit the ripe byte (offset >= 1 always:
+          val offset = shift - count // count was < 0 before this bit)
+          if (((low << (offset - 1)) & 0x80000000) != 0) {
+            var x = buf.length - 1
+            while (x >= 0 && buf(x) == 0xff.toByte) { buf(x) = 0; x -= 1 }
+            if (x >= 0) buf(x) = (buf(x) + 1).toByte
+          }
+          buf += ((low >> (24 - offset)) & 0xff).toByte
+          low = (low << offset) & 0xffffff
+          shift = count
+          count -= 8
+        }
+        low <<= shift
+      }
+      def literal(v: Int, n: Int): Unit = {
+        var k = n - 1
+        while (k >= 0) { bit(128, (v >> k) & 1); k -= 1 }
+      }
+      /** walk `tree` to the leaf -token, emitting path bits with
+        * probs(pOff + node/2) — the encoder mirror of treeB. */
+      def tok(tree: Array[Int], probs: Array[Byte], pOff: Int,
+          token: Int): Unit = {
+        def dfs(node: Int, path: List[(Int, Int)]): List[(Int, Int)] = {
+          var b = 0
+          while (b < 2) {
+            val v = tree(node + b)
+            val p = (node >> 1, b) :: path
+            if (v <= 0) { if (-v == token) return p.reverse }
+            else { val r = dfs(v, p); if (r != null) return r }
+            b += 1
+          }
+          null
+        }
+        for ((pi, b) <- dfs(0, Nil)) bit(probs(pOff + pi) & 0xff, b)
+      }
+      /** reference stop_encode: 32 zero bits push everything out. */
+      def result(): Array[Byte] = {
+        var i = 0
+        while (i < 32) { bit(128, 0); i += 1 }
+        buf.toArray
+      }
+    }
+    val mbs = (size + 15) >> 4
+    val hdr = new BoolEnc
+    hdr.literal(0, 1); hdr.literal(0, 1) // color space, clamping
+    hdr.bit(128, 0) // no segmentation
+    hdr.literal(0, 1) // normal (not simple) filter
+    hdr.literal(20 + (id % 20).toInt, 6) // filter level
+    hdr.literal((id % 8).toInt, 3) // sharpness
+    hdr.bit(128, 0) // no lf deltas
+    hdr.literal(0, 2) // 1 token partition
+    hdr.literal(20 + (id % 60).toInt, 7) // yac quant index
+    var i = 0
+    while (i < 5) { hdr.bit(128, 0); i += 1 } // no quant deltas
+    hdr.literal(1, 1) // refresh entropy probs
+    var k = 0
+    while (k < 1056) { hdr.bit(Vp8Decode.CoeffUpdate(k) & 0xff, 0); k += 1 }
+    hdr.bit(128, 1); hdr.literal(128, 8) // skip prob coded, = 128
+    val tok = new BoolEnc
+    val aboveY2 = new Array[Int](mbs)
+    var mbY = 0
+    while (mbY < mbs) {
+      var leftY2 = 0
+      var mbX = 0
+      while (mbX < mbs) {
+        hdr.bit(128, 0) // not skipped
+        val ym = ((id + mbX * 7 + mbY * 13) % 4).toInt // DC/V/H/TM
+        hdr.tok(Vp8Decode.KfYModeTree,
+          Vp8Decode.KfYModeProb.map(_.toByte), 0, ym)
+        hdr.tok(Vp8Decode.UvModeTree,
+          Vp8Decode.KfUvModeProb.map(_.toByte), 0, 0) // uv DC
+        // tokens: Y2 = ONE,+,EOB; 16 Y (type 0, from coeff 1) = EOB;
+        // 8 chroma = EOB. probs offset = (type*8 + band)*33 + ctx*11.
+        val ctxY2 = leftY2 + aboveY2(mbX)
+        tok.tok(Vp8Decode.CoeffTree, Vp8Decode.CoeffProbs0,
+          (1 * 8 + Vp8Decode.Bands(0)) * 33 + ctxY2 * 11, 1)
+        tok.bit(128, 0) // positive sign
+        tok.tok(Vp8Decode.CoeffTree, Vp8Decode.CoeffProbs0,
+          (1 * 8 + Vp8Decode.Bands(1)) * 33 + 1 * 11, 11)
+        leftY2 = 1; aboveY2(mbX) = 1
+        var blk = 0
+        while (blk < 16) { // luma, zero ctx stays zero
+          tok.tok(Vp8Decode.CoeffTree, Vp8Decode.CoeffProbs0,
+            (0 * 8 + Vp8Decode.Bands(1)) * 33, 11)
+          blk += 1
+        }
+        blk = 0
+        while (blk < 8) { // chroma
+          tok.tok(Vp8Decode.CoeffTree, Vp8Decode.CoeffProbs0,
+            (2 * 8 + Vp8Decode.Bands(0)) * 33, 11)
+          blk += 1
+        }
+        mbX += 1
+      }
+      mbY += 1
+    }
+    val part0 = hdr.result()
+    val part1 = tok.result()
+    val frame = new Array[Byte](10 + part0.length + part1.length)
+    val tag = part0.length << 5 | 0x10 // keyframe, version 0, shown
+    frame(0) = tag.toByte; frame(1) = (tag >> 8).toByte
+    frame(2) = (tag >> 16).toByte
+    frame(3) = 0x9d.toByte; frame(4) = 0x01; frame(5) = 0x2a
+    frame(6) = size.toByte; frame(7) = ((size >> 8) & 0x3f).toByte
+    frame(8) = size.toByte; frame(9) = ((size >> 8) & 0x3f).toByte
+    part0.copyToArray(frame, 10)
+    part1.copyToArray(frame, 10 + part0.length)
+    val pad = frame.length & 1
+    val out = new Array[Byte](20 + frame.length + pad)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    "RIFF".getBytes.copyToArray(out, 0)
+    le32(4, out.length - 8)
+    "WEBPVP8 ".getBytes.copyToArray(out, 8)
+    le32(16, frame.length)
+    frame.copyToArray(out, 20)
+    out
+  }
+
   /** Noise-content brotli (RFC 7932): one LAST compressed meta-block,
     * single block types, one 4-symbol literal code (2 bits/literal),
     * a degenerate single-command code whose one command inserts the
@@ -373,6 +518,7 @@ object MediaBench {
       ("tiff-lzw", 256, 240), ("tiff-lzw", 512, 64),
       ("webp", 128, 800), ("webp", 256, 240), ("webp", 512, 64),
       ("webp", 2048, 8),
+      ("vp8", 128, 800), ("vp8", 256, 240), ("vp8", 512, 64),
       ("wav", 44100, 400), ("wav-ulaw", 44100, 400),
       ("wav-ima", 44100, 400), ("wav-ms", 44100, 400),
       ("br", 60000, 400), ("br", 60000, 1600))
@@ -385,6 +531,7 @@ object MediaBench {
             case "jpeg-prog" => jpegBytes(id, size, progressive = true)
             case "tiff-lzw" => tiffLzwBytes(id, size)
             case "webp" => webpBytes(id, size)
+            case "vp8" => vp8Bytes(id, size)
             case "br" => brotliBytes(id, size)
             case "wav-ulaw" => ulawBytes(id)
             case "wav-ima" => imaBytes(id)

@@ -102,9 +102,9 @@ case class ImageDecodeExpr(child: Expression)
     else unknown
   }
 
-  /** WebP: VP8L (lossless) decodes fully ([[WebpDecode]], RFC 9649);
-    * lossy VP8 remains metadata-only (image_meta reports its
-    * dimensions) — the documented float-adjacent boundary. */
+  /** WebP: VP8L (lossless, [[WebpDecode]], RFC 9649) and lossy VP8
+    * keyframes ([[Vp8Decode]], RFC 6386, reference-exact YUV +
+    * point-sampled RGB conversion) both decode fully. */
   private def webp(b: Array[Byte]): InternalRow =
     WebpDecode.decode(b, MaxPixels) match {
       case Some(r) => InternalRow(UTF8String.fromString("webp"),

@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** video_frame(payload, n): the n-th (0-based) video frame of a
-  * Motion-JPEG video, decoded to real pixels, plus the total frame
-  * count — the REAL video frame-sampling path. MJPEG stores every
-  * frame as a standalone JPEG, so the pinned-integer [[JpegDecode]]
-  * pipeline applies per frame and the exact-decode contract extends to
-  * true video containers; only INTER-coded video (H.264/HEVC motion
-  * compensation) remains behind the FakeCodec boundary.
+  * Motion-JPEG or VP8/WebM video, decoded to real pixels, plus the
+  * total frame count — the REAL video frame-sampling path. MJPEG
+  * stores every frame as a standalone JPEG, so the pinned-integer
+  * [[JpegDecode]] pipeline applies per frame; VP8 keyframes route to
+  * the libwebp-pinned [[Vp8Decode]], covering WebM stills and the
+  * keyframe slots of real WebM videos. Only INTER-coded frames
+  * (H.264/HEVC/VP8-interframe motion compensation) remain behind the
+  * temporal-prediction boundary — a sampled interframe yields the
+  * unknown row.
   *
   * Three container walks, all public layouts:
   *  - AVI (RIFF): nested LISTs to 'movi', frames in '..dc'/'..db'
@@ -23,20 +26,21 @@ import org.apache.spark.unsafe.types.UTF8String
   *    'jpeg' visual sample entry selects the track; stsc chunk runs ×
   *    stco/co64 absolute chunk offsets × stsz sizes enumerate the
   *    samples in media order; frame n is sample n.
-  *  - MKV (Matroska EBML): Tracks/TrackEntry with CodecID "V_MJPEG"
-  *    selects the track number; Cluster SimpleBlocks (and Blocks in
-  *    BlockGroups) of that track, in cluster order, are the frames.
-  *    Laced blocks map to unknown (MJPEG writers do not lace).
+  *  - MKV/WebM (Matroska EBML): Tracks/TrackEntry with CodecID
+  *    "V_MJPEG" or "V_VP8" selects the track number; Cluster
+  *    SimpleBlocks (and Blocks in BlockGroups) of that track, in
+  *    cluster order, are the frames. Laced blocks map to unknown.
   *
-  * In every container the chosen frame is verified by the JPEG SOI
-  * magic rather than trusting the declared codec — corpus files lie.
-  * Non-JPEG payloads in the chosen slot, out-of-range n, or malformed
+  * In every container the chosen frame is verified by its bitstream
+  * magic (JPEG SOI / VP8 keyframe tag + sync code) rather than
+  * trusting the declared codec — corpus files lie. Unrecognized
+  * payloads in the chosen slot, out-of-range n, or malformed
   * containers yield the unknown row (never-throw corpus policy). The
   * [[ImageDecodeExpr.MaxPixels]] bomb guard applies to the decoded
   * frame.
   *
   * Output: struct<format, width, height, frames, pixels> with format
-  * "mjpeg" (the codec — container-independent). Scale shape:
+  * "mjpeg"/"vp8" (the codec — container-independent). Scale shape:
   * single-scan map-side projection — a stride frame-sample stage is
   * `video_frame(payload, k * stride)` per row, zero shuffle.
   *
@@ -82,14 +86,26 @@ case class VideoFrameExpr(left: Expression, right: Expression)
     * three container walks): SOI check, full JPEG pipeline. */
   private def emit(b: Array[Byte], off: Int, len: Int,
       frames: Int): InternalRow = {
-    if (len < 4 || off < 0 || off.toLong + len > b.length ||
-        (b(off) & 0xff) != 0xff || (b(off + 1) & 0xff) != 0xd8)
-      return unknown
-    val frame = java.util.Arrays.copyOfRange(b, off, off + len)
-    val r = JpegDecode.decode(frame, MaxPixels)
-    if (r == null) unknown
-    else InternalRow(UTF8String.fromString("mjpeg"), r.width,
-      r.height, frames, new GenericArrayData(r.pixels))
+    if (len < 4 || off < 0 || off.toLong + len > b.length) return unknown
+    if ((b(off) & 0xff) == 0xff && (b(off + 1) & 0xff) == 0xd8) {
+      val frame = java.util.Arrays.copyOfRange(b, off, off + len)
+      val r = JpegDecode.decode(frame, MaxPixels)
+      if (r == null) unknown
+      else InternalRow(UTF8String.fromString("mjpeg"), r.width,
+        r.height, frames, new GenericArrayData(r.pixels))
+    } else if (len >= 10 && (b(off) & 1) == 0 &&
+        (b(off + 3) & 0xff) == 0x9d && (b(off + 4) & 0xff) == 0x01 &&
+        (b(off + 5) & 0xff) == 0x2a) {
+      // VP8 keyframe (RFC 6386 frame tag + sync code) — the WebM
+      // still/keyframe route; interframes fail the tag's keyframe
+      // bit above and stay unknown (temporal prediction boundary)
+      Vp8Decode.decode(b, off, len, MaxPixels) match {
+        case Some(yuv) => InternalRow(UTF8String.fromString("vp8"),
+          yuv.width, yuv.height, frames,
+          new GenericArrayData(Vp8Decode.toArgb(yuv)))
+        case None => unknown
+      }
+    } else unknown
   }
 
   private def walk(b: Array[Byte], want: Int): InternalRow = {
@@ -270,7 +286,7 @@ case class VideoFrameExpr(left: Expression, right: Expression)
 
   // ---------------------------------------------------------------- MKV
   /** Matroska ([[Ebml]] primitives): Tracks/TrackEntry with CodecID
-    * "V_MJPEG" picks the track number (a dedicated pass — SeekHead
+    * "V_MJPEG" or "V_VP8" picks the track number (a dedicated pass — SeekHead
     * layouts may order Tracks after Clusters); then Cluster
     * SimpleBlocks and BlockGroup/Blocks of that track, in order, are
     * the frames. A laced block of the selected track aborts to
@@ -293,9 +309,11 @@ case class VideoFrameExpr(left: Expression, right: Expression)
               var mjpeg = false
               walkRange(s3, e3) { (id4, s4, e4) =>
                 if (id4 == 0xD7L) num = uintAt(s4, e4) // TrackNumber
-                else if (id4 == 0x86L) // CodecID
-                  mjpeg = new String(b, s4, e4 - s4, "ISO-8859-1")
-                    .takeWhile(_ != '\u0000') == "V_MJPEG"
+                else if (id4 == 0x86L) { // CodecID
+                  val codec = new String(b, s4, e4 - s4, "ISO-8859-1")
+                    .takeWhile(_ != '\u0000')
+                  mjpeg = codec == "V_MJPEG" || codec == "V_VP8"
+                }
               }
               if (mjpeg && num > 0 && track < 0) track = num
             }

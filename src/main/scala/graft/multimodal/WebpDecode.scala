@@ -10,11 +10,10 @@ package graft.multimodal
   * libwebp (the format's reference implementation).
   *
   * Surface: the RIFF container ("WEBP" form), both the simple layout
-  * (a bare "VP8L" chunk) and the extended layout ("VP8X" followed by
-  * "VP8L"). Lossy VP8 streams stay a documented boundary —
-  * [[ImageMetaExpr]] reports their dimensions, decode maps them to
-  * unknown (the lossy path's float-adjacent loop filter is the same
-  * boundary class as inter-coded video).
+  * (a bare "VP8L" or "VP8 " chunk) and the extended layout ("VP8X"
+  * followed by the stream chunk). Lossy VP8 keyframes route to
+  * [[Vp8Decode]] (RFC 6386, integer-exact) with the reference
+  * point-sampling YUV->RGB conversion.
   *
   * Stream features implemented in full: LSB-first bit reading;
   * simple (1/2-symbol) and DEFLATE-style canonical prefix codes with
@@ -49,8 +48,11 @@ object WebpDecode {
 
   // ------------------------------------------------------------ container
 
-  /** RIFF walk: find the VP8L chunk ("VP8X" metadata is skipped, a
-    * lossy "VP8 " stream maps to None). */
+  /** RIFF walk: a "VP8L" chunk decodes losslessly here; a lossy
+    * "VP8 " chunk routes to [[Vp8Decode]] (RFC 6386 keyframe) with
+    * the YUV planes converted by [[Vp8Decode.toArgb]]'s
+    * reference-exact point-sampling path ("VP8X" metadata is
+    * skipped). */
   def decode(b: Array[Byte], maxPixels: Long): Option[Result] = {
     try {
       if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
@@ -64,6 +66,10 @@ object WebpDecode {
         if (b(i) == 'V' && b(i + 1) == 'P' && b(i + 2) == '8' &&
             b(i + 3) == 'L')
           return decodeVp8l(b, i + 8, len, maxPixels)
+        if (b(i) == 'V' && b(i + 1) == 'P' && b(i + 2) == '8' &&
+            b(i + 3) == ' ')
+          return Vp8Decode.decode(b, i + 8, len, maxPixels).map(yuv =>
+            Result(yuv.width, yuv.height, Vp8Decode.toArgb(yuv)))
         i += 8 + len + (len & 1)
       }
       None

@@ -1554,6 +1554,133 @@ object SamplingPackQueries {
           .mkString(",\n        ") + """
       FROM documents""")),
 
+    // WebP lossy VP8 decode (round-13 Vp8Decode, RFC 6386): unlike
+    // every other decode query, a VP8 keyframe's first partition is
+    // BOOL-CODED (arithmetic coding), so a stream cannot be assembled
+    // from doc_id column arithmetic — instead each doc selects one of
+    // four complete system-libwebp-ENCODED streams (the q10-q75 /
+    // flat-gradient-blocks corners of the Vp8DecodeSpec fixture
+    // matrix, incl. odd 17x31 dims) and the oracle carries the pixel
+    // values of the system libwebp DECODER's own no-fancy RGB output
+    // for those streams (tools/make_vp8_fixtures.py provenance) — an
+    // independent-implementation oracle rather than an arithmetic
+    // replay. Bit-exactness over the full 48-fixture matrix is pinned
+    // in Vp8DecodeSpec; this query certifies the Catalyst surface.
+    QueryDef("q_webp_lossy", (s, dir) => {
+      val streams = Seq(
+        // flat_16x16_q75
+        "5249464634000000574542505650382028000000B001009D012A100010000" +
+          "2003425A00274BA0005D400009BFFC439D0E74397FEFEB6BDB786140000",
+        // gradient_16x16_q50
+        "524946464800000057454250565038203C000000F001009D012A100010000" +
+          "2C04C25B00274010F0C12F2E44000FEF9527D589C0276F91644594E47952B" +
+          "FDAE2A6D5FB0FFFD310DAFEEDB7E6084000000",
+        // gradient_8x8_q75
+        "524946464E0000005745425056503820420000005002009D012A080008000" +
+          "2003425B00274BA01F80002D17D2CB40000FEFAA10F00F91A35BB13AF7D31" +
+          "FDB357723D32F9C79CF27FD47EC1EECD67FCFFA2FFB1288000",
+        // blocks_17x31_q10
+        "524946465E0000005745425056503820520000005003009D012A11001F003" +
+          "F5196C058B0ABA723B7E802102A0968009D2E95817F08EE8000F629FFF31D" +
+          "3945C17FF20C7729E29F3E2DF74B3424D9CFAC02FC7FFE818F8733C6EE2AC" +
+          "17F2BDE216C2386400000")
+      val sel = pmod(col("doc_id"), lit(4))
+      val payload = unhex(streams.zipWithIndex.tail.foldLeft(
+        when(sel === 0, streams.head)) { case (w, (hx, i)) =>
+          w.when(sel === i, hx) })
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.decodeImage(payload).as("d"))
+        .select(col("doc_id"), col("d.format").as("format"),
+          col("d.width").as("width"), col("d.height").as("height"),
+          element_at(col("d.pixels"), 1).as("p0"),
+          element_at(col("d.pixels"),
+            (col("d.width") * col("d.height") / 2).cast("int") + 1)
+            .as("pmid"),
+          element_at(col("d.pixels"), size(col("d.pixels"))).as("plast"))
+    }, Some("""
+      SELECT doc_id, 'webp' AS format,
+        CAST(CASE doc_id % 4 WHEN 0 THEN 16 WHEN 1 THEN 16
+          WHEN 2 THEN 8 ELSE 17 END AS INT) AS width,
+        CAST(CASE doc_id % 4 WHEN 0 THEN 16 WHEN 1 THEN 16
+          WHEN 2 THEN 8 ELSE 31 END AS INT) AS height,
+        CAST(CASE doc_id % 4 WHEN 0 THEN -10843190 WHEN 1 THEN -16775680
+          WHEN 2 THEN -16776448 ELSE -14100617 END AS INT) AS p0,
+        CAST(CASE doc_id % 4 WHEN 0 THEN -10843190 WHEN 1 THEN -16741353
+          WHEN 2 THEN -16738784 ELSE -15417481 END AS INT) AS pmid,
+        CAST(CASE doc_id % 4 WHEN 0 THEN -10842940 WHEN 1 THEN -2165
+          WHEN 2 THEN -1910 ELSE -1816453 END AS INT) AS plast
+      FROM documents""")),
+
+    // WebM V_VP8 frame sampling (round-13 VideoFrameExpr route): each
+    // doc selects one of four complete WebM containers — the
+    // q_webp_lossy VP8 keyframes muxed into a Matroska V_VP8 track as
+    // two SimpleBlocks (tools-side mux, same EBML layout the MJPEG-MKV
+    // spec pins) — and samples frame doc_id%2, so both block slots are
+    // exercised and the frame count is certified. Pixel expectations
+    // are the same system-libwebp decode constants as q_webp_lossy
+    // (identical streams); the oracle replays the CASE mapping.
+    QueryDef("q_video_frames_webm", (s, dir) => {
+      val streams = Seq(
+        // flat_16x16_q75 x2 blocks
+        "1A45DFA38018538067F51654AE6B8FAE8DD781018381018685565F5650381" +
+          "F43B675DCA3AC81000080B001009D012A1000100002003425A00274BA000" +
+          "5D400009BFFC439D0E74397FEFEB6BDB786140000A3AC81000080B001009" +
+          "D012A1000100002003425A00274BA0005D400009BFFC439D0E74397FEFEB" +
+          "6BDB786140000",
+        // gradient_16x16_q50 x2
+        "1A45DFA38018538067409E1654AE6B8FAE8DD781018381018685565F56503" +
+          "81F43B6754084A3C081000080F001009D012A1000100002C04C25B002740" +
+          "10F0C12F2E44000FEF9527D589C0276F91644594E47952BFDAE2A6D5FB0F" +
+          "FFD310DAFEEDB7E6084000000A3C081000080F001009D012A10001000" +
+          "02C04C25B00274010F0C12F2E44000FEF9527D589C0276F91644594E4795" +
+          "2BFDAE2A6D5FB0FFFD310DAFEEDB7E6084000000",
+        // gradient_8x8_q75 x2
+        "1A45DFA3801853806740AA1654AE6B8FAE8DD781018381018685565F56503" +
+          "81F43B6754090A3C6810000805002009D012A0800080002003425B002" +
+          "74BA01F80002D17D2CB40000FEFAA10F00F91A35BB13AF7D31FDB357723D" +
+          "32F9C79CF27FD47EC1EECD67FCFFA2FFB1288000A3C681000080500200" +
+          "9D012A0800080002003425B00274BA01F80002D17D2CB40000FEFAA10F00" +
+          "F91A35BB13AF7D31FDB357723D32F9C79CF27FD47EC1EECD67FCFFA2FFB1" +
+          "288000",
+        // blocks_17x31_q10 x2
+        "1A45DFA3801853806740CA1654AE6B8FAE8DD781018381018685565F56503" +
+          "81F43B67540B0A3D6810000805003009D012A11001F003F5196C058B0A" +
+          "BA723B7E802102A0968009D2E95817F08EE8000F629FFF31D3945C17FF20" +
+          "C7729E29F3E2DF74B3424D9CFAC02FC7FFE818F8733C6EE2AC17F2BDE216" +
+          "C2386400000A3D6810000805003009D012A11001F003F5196C058B0ABA72" +
+          "3B7E802102A0968009D2E95817F08EE8000F629FFF31D3945C17FF20C772" +
+          "9E29F3E2DF74B3424D9CFAC02FC7FFE818F8733C6EE2AC17F2BDE216C238" +
+          "6400000")
+      val sel = pmod(col("doc_id"), lit(4))
+      val payload = unhex(streams.zipWithIndex.tail.foldLeft(
+        when(sel === 0, streams.head)) { case (w, (hx, i)) =>
+          w.when(sel === i, hx) })
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.videoFrame(payload,
+          pmod(col("doc_id"), lit(2)).cast("int")).as("f"))
+        .select(col("doc_id"), col("f.format").as("format"),
+          col("f.width").as("width"), col("f.height").as("height"),
+          col("f.frames").as("frames"),
+          element_at(col("f.pixels"), 1).as("p0"),
+          element_at(col("f.pixels"),
+            (col("f.width") * col("f.height") / 2).cast("int") + 1)
+            .as("pmid"),
+          element_at(col("f.pixels"), size(col("f.pixels"))).as("plast"))
+    }, Some("""
+      SELECT doc_id, 'vp8' AS format,
+        CAST(CASE doc_id % 4 WHEN 0 THEN 16 WHEN 1 THEN 16
+          WHEN 2 THEN 8 ELSE 17 END AS INT) AS width,
+        CAST(CASE doc_id % 4 WHEN 0 THEN 16 WHEN 1 THEN 16
+          WHEN 2 THEN 8 ELSE 31 END AS INT) AS height,
+        CAST(2 AS INT) AS frames,
+        CAST(CASE doc_id % 4 WHEN 0 THEN -10843190 WHEN 1 THEN -16775680
+          WHEN 2 THEN -16776448 ELSE -14100617 END AS INT) AS p0,
+        CAST(CASE doc_id % 4 WHEN 0 THEN -10843190 WHEN 1 THEN -16741353
+          WHEN 2 THEN -16738784 ELSE -15417481 END AS INT) AS pmid,
+        CAST(CASE doc_id % 4 WHEN 0 THEN -10842940 WHEN 1 THEN -2165
+          WHEN 2 THEN -1910 ELSE -1816453 END AS INT) AS plast
+      FROM documents""")),
+
     // EXIF orientation (ExifOrientationExpr): per doc a JPEG APP1
     // segment with a real TIFF 6.0 IFD0 carrying tag 0x0112 is
     // synthesized from doc_id — little-endian (II) for doc_id%3==0,

@@ -100,7 +100,11 @@ class FuzzSafetySpec extends SparkSpec {
       // 8x1 WebP VP8L (q_webp_decode shape, doc_id=0 instance)
       hex("52494646" + "1C000000" + "57454250" + "5650384C" +
         "0F000000" + "2F" + "07000000" +
-        "380060010AD0FF020000" + "00"))
+        "380060010AD0FF020000" + "00"),
+      // lossy VP8 keyframe (q_webp_lossy's flat_16x16_q75 fixture)
+      hex("5249464634000000574542505650382028000000B001009D012A1000" +
+        "100002003425A00274BA0005D400009BFFC439D0E74397FEFEB6BDB78" +
+        "6140000"))
     val payloads = valid.flatMap(v => (0 until v.length).map(v.take))
     sweep(payloads, "truncation")
   }

@@ -239,6 +239,37 @@ class VideoFrameSpec extends SparkSpec {
     assert(frame(payload, 1)._1 == "mjpeg")
   }
 
+  test("WebM V_VP8: keyframes decode via Vp8Decode, interframes unknown") {
+    // the libwebp-encoded lossy fixture supplies a REAL VP8 keyframe;
+    // muxed into a Matroska V_VP8 track it must decode to exactly the
+    // container-path RGB of the same stream
+    def resource(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/vp8/$name")
+      assert(in != null, s"missing fixture $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val webp = resource("gradient_16x16_q50.webp")
+    var i = 12; var off = -1; var len = -1
+    while (off < 0 && i + 8 <= webp.length) {
+      val l = (webp(i + 4) & 0xff) | ((webp(i + 5) & 0xff) << 8) |
+        ((webp(i + 6) & 0xff) << 16) | ((webp(i + 7) & 0xff) << 24)
+      if (webp(i) == 'V' && webp(i + 1) == 'P' && webp(i + 2) == '8' &&
+        webp(i + 3) == ' ') { off = i + 8; len = l }
+      i += 8 + l + (l & 1)
+    }
+    val vp8 = webp.slice(off, off + len)
+    val tracks = elem(0x1654AE6B, mkvTrackEntry(1, "V_VP8"))
+    // frame 0: the keyframe; frame 1: a fake interframe (tag bit0=1)
+    val inter = vp8.clone(); inter(0) = (inter(0) | 1).toByte
+    val payload = mkv(tracks ++
+      elem(0x1F43B675, simpleBlock(1, vp8) ++ simpleBlock(1, inter)))
+    val (f, w, h, cnt, px) = frame(payload, 0)
+    assert((f, w, h, cnt) == ("vp8", 16, 16, 2))
+    val want = WebpDecode.decode(webp, 1L << 26).get.pixels.toSeq
+    assert(px == want, "muxed keyframe must equal the container decode")
+    assert(frame(payload, 1)._1 == "unknown") // interframe boundary
+  }
+
   test("MKV corpus-safety: lacing, wrong codec, truncation") {
     val j = jpegOf(50, 8, 8)
     val tracks = elem(0x1654AE6B, mkvTrackEntry(1, "V_MJPEG"))

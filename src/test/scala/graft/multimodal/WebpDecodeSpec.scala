@@ -126,7 +126,8 @@ class WebpDecodeSpec extends SparkSpec {
     val wrapped = "RIFF".getBytes ++ le32(body.length) ++ body
     val (f, w, h, px) = decode(wrapped)
     assert((f, w, h) == (("webp", 11, 7)) && px != null)
-    // lossy VP8 chunk -> unknown (metadata-only boundary)
+    // malformed lossy VP8 chunk (no sync code) -> unknown; valid
+    // lossy streams decode via Vp8Decode (Vp8DecodeSpec)
     val lossyBody = "WEBP".getBytes ++ "VP8 ".getBytes ++ le32(4) ++
       Array[Byte](1, 2, 3, 4)
     assert(decode("RIFF".getBytes ++ le32(lossyBody.length) ++
