@@ -30,6 +30,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    "V_MJPEG" or "V_VP8" selects the track number; Cluster
   *    SimpleBlocks (and Blocks in BlockGroups) of that track, in
   *    cluster order, are the frames. Laced blocks map to unknown.
+  *  - Animated WebP (RIFF): ANMF chunks in container order are the
+  *    frames, each decoded standalone from its ALPH?+VP8/VP8L
+  *    sub-chunks (no canvas compositing).
   *
   * In every container the chosen frame is verified by its bitstream
   * magic (JPEG SOI / VP8 keyframe tag + sync code) rather than
@@ -78,8 +81,41 @@ case class VideoFrameExpr(left: Expression, right: Expression)
       else if (n >= 0 && b.length >= 4 && (b(0) & 0xff) == 0x1a &&
           (b(1) & 0xff) == 0x45 && (b(2) & 0xff) == 0xdf &&
           (b(3) & 0xff) == 0xa3) mkvWalk(b, n)
+      else if (n >= 0 && b.length >= 12 && fourcc(b, 0) == "RIFF" &&
+          fourcc(b, 8) == "WEBP") webpAnimWalk(b, n)
       else walk(b, n)
     } catch { case _: Exception => unknown }
+  }
+
+  /** Animated WebP: each ANMF chunk carries one frame as a 16-byte
+    * position/size/duration/flags header followed by the frame's own
+    * ALPH?+VP8/VP8L sub-chunks — frame n decodes STANDALONE through
+    * [[WebpDecode.decodeChunks]] (canvas compositing of partial
+    * frames with blending/disposal is out of scope; the dominant
+    * corpus shape is full-canvas frames). Non-animated WebP (no ANMF)
+    * is an image, not a video — unknown here, image_decode's job. */
+  private def webpAnimWalk(b: Array[Byte], want: Int): InternalRow = {
+    val riffEnd = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
+    var i = 12
+    var frames = 0
+    var foundOff = -1
+    var foundEnd = -1
+    while (i + 8 <= riffEnd) {
+      val len = le32(b, i + 4)
+      if (len < 0 || i + 8 + len > riffEnd) return unknown
+      if (fourcc(b, i) == "ANMF") {
+        if (len < 16) return unknown
+        if (frames == want) { foundOff = i + 8 + 16; foundEnd = i + 8 + len }
+        frames += 1
+      }
+      i += 8 + len + (len & 1)
+    }
+    if (foundOff < 0) return unknown
+    WebpDecode.decodeChunks(b, foundOff, foundEnd, MaxPixels) match {
+      case Some(r) => InternalRow(UTF8String.fromString("webp"),
+        r.width, r.height, frames, new GenericArrayData(r.pixels))
+      case None => unknown
+    }
   }
 
   /** Decode + emit once the frame slot is located (shared tail of all

@@ -58,22 +58,119 @@ object WebpDecode {
       if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
           b(3) != 'F' || b(8) != 'W' || b(9) != 'E' || b(10) != 'B' ||
           b(11) != 'P') return None
-      var i = 12
-      while (i + 8 <= b.length) {
+      decodeChunks(b, 12, b.length, maxPixels)
+    } catch { case _: Exception => None }
+  }
+
+  /** Decode a chunk list — the container body after "WEBP", or an
+    * ANMF animation frame's sub-chunk data (same grammar: optional
+    * ALPH preceding a VP8/VP8L bitstream chunk). */
+  private[multimodal] def decodeChunks(b: Array[Byte], from: Int, to: Int,
+      maxPixels: Long): Option[Result] = {
+    try {
+      var i = from
+      var alphOff = -1
+      var alphLen = -1
+      while (i + 8 <= to) {
         val len = (b(i + 4) & 0xff) | ((b(i + 5) & 0xff) << 8) |
           ((b(i + 6) & 0xff) << 16) | ((b(i + 7) & 0xff) << 24)
-        if (len < 0 || i + 8 + len > b.length) return None
+        if (len < 0 || i + 8 + len > to) return None
         if (b(i) == 'V' && b(i + 1) == 'P' && b(i + 2) == '8' &&
             b(i + 3) == 'L')
           return decodeVp8l(b, i + 8, len, maxPixels)
+        if (b(i) == 'A' && b(i + 1) == 'L' && b(i + 2) == 'P' &&
+            b(i + 3) == 'H') { alphOff = i + 8; alphLen = len }
+        if (b(i) == 'A' && b(i + 1) == 'N' && b(i + 2) == 'M' &&
+            b(i + 3) == 'F' && len >= 16)
+          // animation: the image decode of an animated WebP is its
+          // first frame (the GIF symmetry); all frames via video_frame
+          return decodeChunks(b, i + 8 + 16, i + 8 + len, maxPixels)
         if (b(i) == 'V' && b(i + 1) == 'P' && b(i + 2) == '8' &&
             b(i + 3) == ' ')
-          return Vp8Decode.decode(b, i + 8, len, maxPixels).map(yuv =>
-            Result(yuv.width, yuv.height, Vp8Decode.toArgb(yuv)))
+          return Vp8Decode.decode(b, i + 8, len, maxPixels).flatMap { yuv =>
+            val px = Vp8Decode.toArgb(yuv)
+            if (alphOff < 0) Some(Result(yuv.width, yuv.height, px))
+            else decodeAlpha(b, alphOff, alphLen, yuv.width, yuv.height,
+              maxPixels).map { a =>
+              var k = 0
+              while (k < px.length) {
+                px(k) = (px(k) & 0xffffff) | ((a(k) & 0xff) << 24)
+                k += 1
+              }
+              Result(yuv.width, yuv.height, px)
+            }
+          }
         i += 8 + len + (len & 1)
       }
       None
     } catch { case _: Exception => None }
+  }
+
+  /** ALPH chunk (the extended-container alpha plane for lossy VP8):
+    * 1 header byte — compression method in bits 0-1 (0 raw, 1 a
+    * HEADERLESS VP8L stream with alpha in the green channel),
+    * filtering method in bits 2-3 (none/horizontal/vertical/gradient,
+    * inverted row-wise after decompression with the reference's
+    * column-0 fallbacks), pre-processing in bits 4-5. Pre-processed
+    * (level-reduced) planes are produced only by alpha_quality < 100
+    * encodes and require the reference's smoothing reconstruction —
+    * mapped to None rather than decoded approximately. */
+  private def decodeAlpha(b: Array[Byte], off: Int, len: Int, w: Int,
+      h: Int, maxPixels: Long): Option[Array[Byte]] = {
+    if (len < 1) return None
+    val hdr = b(off) & 0xff
+    if ((hdr & 0xc0) != 0) return None // reserved bits
+    if (((hdr >> 4) & 3) != 0) return None // pre-processed: see header
+    val method = hdr & 3
+    val filter = (hdr >> 2) & 3
+    val a: Array[Byte] = method match {
+      case 0 =>
+        if (len - 1 < w * h) return None
+        java.util.Arrays.copyOfRange(b, off + 1, off + 1 + w * h)
+      case 1 =>
+        val px =
+          try decodeImageStream(w, h, isLevel0 = true,
+            new BitReader(b, off + 1, off + len), maxPixels)
+          catch { case _: Exception => return None }
+        if (px.length != w * h) return None
+        val out = new Array[Byte](w * h)
+        var k = 0
+        while (k < out.length) { out(k) = (px(k) >> 8).toByte; k += 1 }
+        out
+      case _ => return None
+    }
+    if (filter > 0) unfilterAlpha(a, w, h, filter)
+    Some(a)
+  }
+
+  /** Invert the ALPH row filters in place. Column-0 semantics follow
+    * the reference: horizontal predicts from ABOVE on rows > 0;
+    * vertical and gradient treat row 0 as horizontal. */
+  private def unfilterAlpha(a: Array[Byte], w: Int, h: Int,
+      f: Int): Unit = {
+    @inline def grad(l: Int, t: Int, tl: Int): Int = {
+      val v = l + t - tl
+      if (v < 0) 0 else if (v > 255) 255 else v
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pred =
+          if (y == 0) { if (x == 0) 0 else a((y * w + x - 1)) & 0xff }
+          else if (f == 1) {
+            if (x == 0) a((y - 1) * w) & 0xff else a(y * w + x - 1) & 0xff
+          } else if (f == 2) a((y - 1) * w + x) & 0xff
+          else { // gradient
+            val l = if (x == 0) 0 else a(y * w + x - 1) & 0xff
+            val tl = if (x == 0) 0 else a((y - 1) * w + x - 1) & 0xff
+            grad(l, a((y - 1) * w + x) & 0xff, tl)
+          }
+        a(y * w + x) = ((a(y * w + x) & 0xff) + pred).toByte
+        x += 1
+      }
+      y += 1
+    }
   }
 
   // ------------------------------------------------------------ bit reader

@@ -1681,6 +1681,144 @@ object SamplingPackQueries {
           WHEN 2 THEN -1910 ELSE -1816453 END AS INT) AS plast
       FROM documents""")),
 
+    // Transparent lossy WebP (round-13 ALPH chunk decode): each doc
+    // selects one of four complete containers — two encoder-produced
+    // (WebPEncodeRGBA: VP8X + compressed headerless-VP8L alpha + VP8,
+    // incl. a filtered compressed plane) and two hand-built raw-alpha
+    // variants exercising the horizontal and gradient row filters —
+    // with pixel expectations from the system libwebp's MODE_RGBA
+    // no-fancy decode (tools/make_webp_alpha_fixtures.py), the same
+    // independent-implementation oracle pattern as q_webp_lossy.
+    QueryDef("q_webp_alpha", (s, dir) => {
+      val streams = Seq(
+        // alphagrad_16x16_q75
+        "524946468A00000057454250565038580A000000100000000F00000F0000" +
+          "414C504824000000017F20104852D81F788588481DCC0240A3104B2CB1C4" +
+          "124B2CB1CC607F44FF0394D3DD5F5650382040000000D001009D012A1000" +
+          "100002003425B0027400D8BC90C8C000C749A4A60F627C8E30007EF8065F" +
+          "59FFD3606FFF86937EFF35590EC47FF8C4F2EB8FF02E85E00000",
+        // alphanoise_20x12_q50
+        "524946463601000057454250565038580A000000100000001300000B0000" +
+          "414C50481A00000001990A44F43F40266D33FF2252C97B23262017200001" +
+          "0290B90656503820F60000003005009D012A14000C003ED154A34BA824A3" +
+          "21B00801001A096C009D3281E0039ECEC8BC88439C97CD002CD96C3EB5FE" +
+          "51A800FA093162F40B1378049344C1A4E764C9233EA99FD3963091AE9B0B" +
+          "44D49ED8E3BBDDFEDCF54E7E7C41F0C9BEC244788ACA8441E5B2AA72D96F" +
+          "A7C8469E13408CB9A30E0A636E7D8B87D00FBF5D52F166862302BEC944FC" +
+          "6A85AFD7E3E891AA6171F8F7857B8017E3832F00A85018B312D9133F3E5B" +
+          "F9876FF1E5B6748FEB0D7DEE4185019AC0F20C3FAA0C832BDA56EF4F85F4" +
+          "C0624DAF1B74E6E6671BEA8FD909BBF837A8B783ACBBE67E0CAA260BB3D5" +
+          "D2DD2AAC1AC79B251C1FB0CF11D8A9BB0000",
+        // rawalpha_f1_16x16
+        "524946466801000057454250565038580A000000100000000F00000F0000" +
+          "414C50480101000004001111111111111111111111111111110011111111" +
+          "111111111111111111111100111111111111111111111111111111001111" +
+          "111111111111111111111111110011111111111111111111111111111100" +
+          "111111111111111111111111111111001111111111111111111111111111" +
+          "110011111111111111111111111111111100111111111111111111111111" +
+          "111111001111111111111111111111111111110011111111111111111111" +
+          "111111111100111111111111111111111111111111001111111111111111" +
+          "111111111111110011111111111111111111111111111100111111111111" +
+          "111111111111111111001111111111111111111111111111110056503820" +
+          "40000000D001009D012A1000100002003425B0027400D8BC90C8C000C749" +
+          "A4A60F627C8E30007EF8065F59FFD3606FFF86937EFF35590EC47FF8C4F2" +
+          "EB8FF02E85E00000",
+        // rawalpha_f3_16x16
+        "524946466801000057454250565038580A000000100000000F00000F0000" +
+          "414C5048010100000C001111111111111111111111111111110000000000" +
+          "000000000000000000000000000000000000000000000000000000000000" +
+          "000000000000000000000000000000000000000000000000000000000000" +
+          "000000000000000000000000000000000000000000000000000000000000" +
+          "000000000000000000000000000000000000000000000000000000000000" +
+          "000000000000000000000000000000000000000000000000000000000000" +
+          "000000000000000000000000000000000000000000000000000000000000" +
+          "000000000000000000000000000000000000000000000000000000000000" +
+          "000000000000000000000000000000000000000000000000000056503820" +
+          "40000000D001009D012A1000100002003425B0027400D8BC90C8C000C749" +
+          "A4A60F627C8E30007EF8065F59FFD3606FFF86937EFF35590EC47FF8C4F2" +
+          "EB8FF02E85E00000")
+      val sel = pmod(col("doc_id"), lit(4))
+      val payload = unhex(streams.zipWithIndex.tail.foldLeft(
+        when(sel === 0, streams.head)) { case (w, (hx, i)) =>
+          w.when(sel === i, hx) })
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.decodeImage(payload).as("d"))
+        .select(col("doc_id"), col("d.format").as("format"),
+          col("d.width").as("width"), col("d.height").as("height"),
+          element_at(col("d.pixels"), 1).as("p0"),
+          element_at(col("d.pixels"),
+            (col("d.width") * col("d.height") / 2).cast("int") + 1)
+            .as("pmid"),
+          element_at(col("d.pixels"), size(col("d.pixels"))).as("plast"))
+    }, Some("""
+      SELECT doc_id, 'webp' AS format,
+        CAST(CASE doc_id % 4 WHEN 0 THEN 16 WHEN 1 THEN 20
+          WHEN 2 THEN 16 ELSE 16 END AS INT) AS width,
+        CAST(CASE doc_id % 4 WHEN 0 THEN 16 WHEN 1 THEN 12
+          WHEN 2 THEN 16 ELSE 16 END AS INT) AS height,
+        CAST(CASE doc_id % 4 WHEN 0 THEN 3065601 WHEN 1 THEN 13718096
+          WHEN 2 THEN 3065601 ELSE 3065601 END AS INT) AS p0,
+        CAST(CASE doc_id % 4 WHEN 0 THEN 3514122 WHEN 1 THEN 12091205
+          WHEN 2 THEN 3514122 ELSE 3514122 END AS INT) AS pmid,
+        CAST(CASE doc_id % 4 WHEN 0 THEN -6191934 WHEN 1 THEN -1096961683
+          WHEN 2 THEN -6191934 ELSE -6191934 END AS INT) AS plast
+      FROM documents""")),
+
+    // Animated WebP frame sampling (round-13 VideoFrameExpr route):
+    // each doc selects one of two hand-muxed animations — ANIM/ANMF
+    // containers whose frames are the q_webp_lossy VP8 keyframe
+    // streams — and samples frame doc_id%2, a period-4 cycle over the
+    // same four system-libwebp-decoded pixel expectations. Frames
+    // decode standalone from their ANMF sub-chunks (no compositing).
+    QueryDef("q_webp_anim", (s, dir) => {
+      val streams = Seq(
+        // animation 0: flat_16x16_q75 + gradient_16x16_q50
+        "52494646C800000057454250565038580A000000020000001000001E0000" +
+          "414E494D06000000000000000000414E4D46400000000000000000000F00" +
+          "000F0000280000005650382028000000B001009D012A1000100002003425" +
+          "A00274BA0005D400009BFFC439D0E74397FEFEB6BDB786140000414E4D46" +
+          "540000000000000000000F00000F000028000000565038203C000000F001" +
+          "009D012A1000100002C04C25B00274010F0C12F2E44000FEF9527D589C02" +
+          "76F91644594E47952BFDAE2A6D5FB0FFFD310DAFEEDB7E6084000000",
+        // animation 1: gradient_8x8_q75 + blocks_17x31_q10
+        "52494646F800000057454250565038580A000000020000001000001E0000" +
+          "414E494D06000000000000000000414E4D465A0000000000000000000700" +
+          "000700002800000056503820420000005002009D012A0800080002003425" +
+          "B00274BA01F80002D17D2CB40000FEFAA10F00F91A35BB13AF7D31FDB357" +
+          "723D32F9C79CF27FD47EC1EECD67FCFFA2FFB1288000414E4D466A000000" +
+          "0000000000001000001E00002800000056503820520000005003009D012A" +
+          "11001F003F5196C058B0ABA723B7E802102A0968009D2E95817F08EE8000" +
+          "F629FFF31D3945C17FF20C7729E29F3E2DF74B3424D9CFAC02FC7FFE818F" +
+          "8733C6EE2AC17F2BDE216C2386400000")
+      val sel = pmod(floor(col("doc_id") / 2), lit(2)).cast("int")
+      val payload = unhex(when(sel === 0, streams.head)
+        .when(sel === 1, streams(1)))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.videoFrame(payload,
+          pmod(col("doc_id"), lit(2)).cast("int")).as("f"))
+        .select(col("doc_id"), col("f.format").as("format"),
+          col("f.width").as("width"), col("f.height").as("height"),
+          col("f.frames").as("frames"),
+          element_at(col("f.pixels"), 1).as("p0"),
+          element_at(col("f.pixels"),
+            (col("f.width") * col("f.height") / 2).cast("int") + 1)
+            .as("pmid"),
+          element_at(col("f.pixels"), size(col("f.pixels"))).as("plast"))
+    }, Some("""
+      SELECT doc_id, 'webp' AS format,
+        CAST(CASE doc_id % 4 WHEN 0 THEN 16 WHEN 1 THEN 16
+          WHEN 2 THEN 8 ELSE 17 END AS INT) AS width,
+        CAST(CASE doc_id % 4 WHEN 0 THEN 16 WHEN 1 THEN 16
+          WHEN 2 THEN 8 ELSE 31 END AS INT) AS height,
+        CAST(2 AS INT) AS frames,
+        CAST(CASE doc_id % 4 WHEN 0 THEN -10843190 WHEN 1 THEN -16775680
+          WHEN 2 THEN -16776448 ELSE -14100617 END AS INT) AS p0,
+        CAST(CASE doc_id % 4 WHEN 0 THEN -10843190 WHEN 1 THEN -16741353
+          WHEN 2 THEN -16738784 ELSE -15417481 END AS INT) AS pmid,
+        CAST(CASE doc_id % 4 WHEN 0 THEN -10842940 WHEN 1 THEN -2165
+          WHEN 2 THEN -1910 ELSE -1816453 END AS INT) AS plast
+      FROM documents""")),
+
     // EXIF orientation (ExifOrientationExpr): per doc a JPEG APP1
     // segment with a real TIFF 6.0 IFD0 carrying tag 0x0112 is
     // synthesized from doc_id — little-endian (II) for doc_id%3==0,

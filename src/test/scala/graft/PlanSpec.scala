@@ -23,7 +23,8 @@ class PlanSpec extends SparkSpec {
       "q_audio_g711", "q_audio_ima", "q_audio_ms", "q_audio_containers",
       "q_audio_flac", "q_audio_ogg_meta", "q_tiff_predictor",
       "q_bmp_palette", "q_pnm_decode", "q_tga_decode",
-      "q_webp_decode", "q_webp_lossy", "q_video_frames_webm",
+      "q_webp_decode", "q_webp_lossy", "q_webp_alpha", "q_webp_anim",
+      "q_video_frames_webm",
       "q_video_frames_mp4",
       "q_video_frames_mkv", "q_decompress_text",
       "q_warc_records", "q_http_response",

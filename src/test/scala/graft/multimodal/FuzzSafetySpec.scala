@@ -104,7 +104,24 @@ class FuzzSafetySpec extends SparkSpec {
       // lossy VP8 keyframe (q_webp_lossy's flat_16x16_q75 fixture)
       hex("5249464634000000574542505650382028000000B001009D012A1000" +
         "100002003425A00274BA0005D400009BFFC439D0E74397FEFEB6BDB78" +
-        "6140000"))
+        "6140000"),
+      // animated WebP (q_webp_anim's 2-frame VP8 animation)
+      hex("52494646C800000057454250565038580A000000020000001000001E" +
+        "0000414E494D06000000000000000000414E4D464000000000000000" +
+        "00000F00000F0000280000005650382028000000B001009D012A1000" +
+        "100002003425A00274BA0005D400009BFFC439D0E74397FEFEB6BDB7" +
+        "86140000414E4D46540000000000000000000F00000F000028000000" +
+        "565038203C000000F001009D012A1000100002C04C25B00274010F0C" +
+        "12F2E44000FEF9527D589C0276F91644594E47952BFDAE2A6D5FB0FF" +
+        "FD310DAFEEDB7E6084000000"),
+      // transparent lossy WebP (q_webp_alpha's alphagrad_16x16_q75:
+      // VP8X + compressed-alpha ALPH + VP8)
+      hex("524946468A00000057454250565038580A000000100000000F00000F" +
+        "0000414C504824000000017F20104852D81F788588481DCC0240A310" +
+        "4B2CB1C4124B2CB1CC607F44FF0394D3DD5F5650382040000000D001" +
+        "009D012A1000100002003425B0027400D8BC90C8C000C749A4A60F62" +
+        "7C8E30007EF8065F59FFD3606FFF86937EFF35590EC47FF8C4F2EB8F" +
+        "F02E85E00000"))
     val payloads = valid.flatMap(v => (0 until v.length).map(v.take))
     sweep(payloads, "truncation")
   }

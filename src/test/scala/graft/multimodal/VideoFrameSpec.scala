@@ -270,6 +270,63 @@ class VideoFrameSpec extends SparkSpec {
     assert(frame(payload, 1)._1 == "unknown") // interframe boundary
   }
 
+  test("animated WebP: ANMF frames decode standalone, VP8 and VP8L alike") {
+    def res(path: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(path)
+      assert(in != null, s"missing fixture $path")
+      try in.readAllBytes() finally in.close()
+    }
+    // frame 0: the lossy VP8 fixture's chunks; frame 1: a lossless
+    // VP8L fixture's — an animation mixing both codecs
+    def body(webp: Array[Byte]): Array[Byte] = {
+      val riffEnd = math.min(webp.length.toLong,
+        8L + ((webp(4) & 0xff) | ((webp(5) & 0xff) << 8) |
+          ((webp(6) & 0xff) << 16) | ((webp(7) & 0xff) << 24))).toInt
+      webp.slice(12, riffEnd)
+    }
+    def le24(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if ((data.length & 1) == 1) Array[Byte](0) else Array[Byte]()
+      tag.getBytes ++ Array[Byte](data.length.toByte,
+        (data.length >> 8).toByte, (data.length >> 16).toByte,
+        (data.length >> 24).toByte) ++ data ++ pad
+    }
+    def anmf(w: Int, h: Int, sub: Array[Byte]): Array[Byte] =
+      chunk("ANMF", le24(0) ++ le24(0) ++ le24(w - 1) ++ le24(h - 1) ++
+        le24(40) ++ Array[Byte](0) ++ sub)
+    val lossy = res("/vp8/gradient_16x16_q50.webp")
+    val lossless = res("/webp/noise_small.webp")
+    val f0sub = body(lossy)
+    val losslessDec = WebpDecode.decode(lossless, 1L << 26).get
+    val f1sub = body(lossless)
+    val vp8x = chunk("VP8X", Array[Byte](0x12, 0, 0, 0) ++
+      le24(15) ++ le24(15))
+    val anim = chunk("ANIM", Array[Byte](0, 0, 0, 0, 0, 0))
+    val payload0 = vp8x ++ anim ++ anmf(16, 16, f0sub) ++
+      anmf(losslessDec.width, losslessDec.height, f1sub)
+    val full = "RIFF".getBytes ++ Array[Byte](payload0.length.toByte,
+      ((payload0.length + 4) >> 8).toByte, 0, 0) ++ "WEBP".getBytes ++
+      payload0
+    // fix the RIFF size properly (4 for "WEBP" + payload)
+    val sz = payload0.length + 4
+    full(4) = sz.toByte; full(5) = (sz >> 8).toByte
+    full(6) = (sz >> 16).toByte; full(7) = (sz >> 24).toByte
+    val (f0, w0, h0, cnt0, px0) = frame(full, 0)
+    assert((f0, w0, h0, cnt0) == ("webp", 16, 16, 2))
+    assert(px0 == WebpDecode.decode(lossy, 1L << 26).get.pixels.toSeq)
+    val (f1, w1, h1, cnt1, px1) = frame(full, 1)
+    assert((f1, w1, h1, cnt1) ==
+      ("webp", losslessDec.width, losslessDec.height, 2))
+    assert(px1 == losslessDec.pixels.toSeq)
+    assert(frame(full, 2)._1 == "unknown") // out of range
+    // a still (no ANMF) is an image, not a video
+    assert(frame(lossy, 0)._1 == "unknown")
+    // and symmetrically, image_decode of the ANIMATION is frame 0
+    // (the GIF convention)
+    val asImage = WebpDecode.decode(full, 1L << 26)
+    assert(asImage.nonEmpty && asImage.get.pixels.toSeq == px0)
+  }
+
   test("MKV corpus-safety: lacing, wrong codec, truncation") {
     val j = jpegOf(50, 8, 8)
     val tracks = elem(0x1654AE6B, mkvTrackEntry(1, "V_MJPEG"))

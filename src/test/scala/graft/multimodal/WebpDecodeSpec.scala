@@ -44,6 +44,48 @@ class WebpDecodeSpec extends SparkSpec {
         (p(0), p(1).toInt, p(2).toInt)
       }.toSeq
 
+  test("lossy+ALPH fixtures decode to libwebp's no-fancy RGBA, pixel-exact") {
+    // transparent lossy WebP: VP8X + ALPH (compressed headerless-VP8L
+    // and hand-built raw variants across all 4 filters) + VP8, each
+    // pinned against the system libwebp's MODE_RGBA no-fancy decode
+    // (tools/make_webp_alpha_fixtures.py)
+    def res(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/webp_alpha/$name")
+      assert(in != null, s"missing fixture $name")
+      try in.readAllBytes() finally in.close()
+    }
+    val alphaManifest = new String(res("manifest.txt"), "UTF-8")
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val p = l.split(" "); (p(0), p(1).toInt, p(2).toInt)
+      }.toSeq
+    assert(alphaManifest.size >= 8, "alpha fixture corpus went missing")
+    for ((name, w, h) <- alphaManifest) {
+      val enc = res(s"$name.webp")
+      val rgba = res(s"$name.rgba")
+      val expected = Seq.tabulate(w * h) { i =>
+        ((rgba(4 * i + 3) & 0xff) << 24) | ((rgba(4 * i) & 0xff) << 16) |
+          ((rgba(4 * i + 1) & 0xff) << 8) | (rgba(4 * i + 2) & 0xff)
+      }
+      val (f, gw, gh, px) = decode(enc)
+      assert((f, gw, gh) == (("webp", w, h)), name)
+      assert(px == expected, name)
+    }
+    // pre-processed alpha (level reduction) is a documented None:
+    // flipping the P bits on a raw-alpha fixture must yield unknown
+    val enc = res("rawalpha_f0_16x16.webp").clone()
+    var i = 12
+    var alph = -1
+    while (alph < 0 && i + 8 <= enc.length) {
+      val len = (enc(i + 4) & 0xff) | ((enc(i + 5) & 0xff) << 8) |
+        ((enc(i + 6) & 0xff) << 16) | ((enc(i + 7) & 0xff) << 24)
+      if (enc(i) == 'A' && enc(i + 1) == 'L' && enc(i + 2) == 'P' &&
+        enc(i + 3) == 'H') alph = i + 8
+      i += 8 + len + (len & 1)
+    }
+    enc(alph) = (enc(alph) | 0x10).toByte
+    assert(decode(enc)._1 == "unknown")
+  }
+
   test("libwebp-encoded fixtures decode to the encoder's input, pixel-exact") {
     assert(manifest.size >= 15, "fixture corpus went missing")
     for ((name, w, h) <- manifest) {
