@@ -34,26 +34,65 @@ object CurrentWatermarkSql {
 
   def matches(sql: String): Boolean = Fn.findFirstIn(sql).isDefined
 
+  /** Blank out string literals ('…' with '' escapes) and comments
+    * (-- … EOL, bracketed) so keyword scans don't fire inside them —
+    * a literal like 'copied from x' is not a FROM clause. Lengths are
+    * preserved so match positions stay valid against the original. */
+  private def maskLiterals(sql: String): String = {
+    val out = sql.toCharArray
+    var i = 0
+    while (i < out.length) {
+      out(i) match {
+        case '\'' =>
+          out(i) = ' '; i += 1
+          var done = false
+          while (!done && i < out.length) {
+            if (out(i) == '\'') {
+              if (i + 1 < out.length && out(i + 1) == '\'') {
+                out(i) = ' '; out(i + 1) = ' '; i += 2 // '' escape
+              } else { out(i) = ' '; i += 1; done = true }
+            } else { out(i) = ' '; i += 1 }
+          }
+        case '-' if i + 1 < out.length && out(i + 1) == '-' =>
+          while (i < out.length && out(i) != '\n') { out(i) = ' '; i += 1 }
+        case '/' if i + 1 < out.length && out(i + 1) == '*' =>
+          out(i) = ' '; out(i + 1) = ' '; i += 2
+          var done = false
+          while (!done && i < out.length) {
+            if (out(i) == '*' && i + 1 < out.length &&
+                out(i + 1) == '/') { out(i) = ' '; out(i + 1) = ' '
+              i += 2; done = true }
+            else { out(i) = ' '; i += 1 }
+          }
+        case _ => i += 1
+      }
+    }
+    new String(out)
+  }
+
   def execute(env: TableEnv, sql: String): DataFrame = {
     val argsRaw = Fn.findAllMatchIn(sql).map(_.group(1)).toList
     // single-table scope, enforced POINTEDLY: a query with several
     // FROM clauses (scalar subquery, derived table) or a JOIN would
     // otherwise have its first textual FROM picked by accident — the
     // reference materializes the watermark per-operator, and this
-    // binding supports exactly one streaming input
-    val fromCount = """(?i)\bFROM\b""".r.findAllIn(sql).size
+    // binding supports exactly one streaming input. Keywords are
+    // counted over the literal/comment-masked text so 'copied from
+    // legacy' or -- join notes don't trip the validator.
+    val masked = maskLiterals(sql)
+    val fromCount = """(?i)\bFROM\b""".r.findAllIn(masked).size
     if (fromCount > 1)
       throw new IllegalArgumentException(
         "CURRENT_WATERMARK: the SQL binding supports a single-table " +
           s"FROM, but the query has $fromCount FROM clauses " +
           "(subquery/derived table) — materialize the watermark on " +
           "the one streaming input and join afterwards")
-    if ("""(?i)\bJOIN\b""".r.findFirstIn(sql).isDefined)
+    if ("""(?i)\bJOIN\b""".r.findFirstIn(masked).isDefined)
       throw new IllegalArgumentException(
         "CURRENT_WATERMARK: the SQL binding supports a single-table " +
           "FROM — JOIN inputs each hold their own operator watermark; " +
           "annotate the streaming side first, then join the views")
-    val table = From.findFirstMatchIn(sql).map(_.group(1)).getOrElse(
+    val table = From.findFirstMatchIn(masked).map(_.group(1)).getOrElse(
       throw new IllegalArgumentException(
         "CURRENT_WATERMARK: no FROM <table> found — the function " +
           "observes a streaming table's operator watermark"))

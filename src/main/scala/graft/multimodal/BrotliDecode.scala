@@ -206,7 +206,10 @@ object BrotliDecode {
       while (i < n) { v |= readBit() << i; i += 1 }
       v
     }
-    def alignByte(): Unit = bitPos = (bitPos + 7) & ~7L
+    /** Jump to the next byte boundary; the reference decoder rejects
+      * nonzero padding bits ("corrupted padding bits"), so we do too. */
+    def alignByte(): Unit =
+      while ((bitPos & 7) != 0) { if (readBit() != 0) throw Malformed }
     def bytePos: Int = (bitPos >> 3).toInt
     def skipBytes(n: Int): Unit = {
       bitPos += n.toLong << 3
@@ -322,8 +325,8 @@ object BrotliDecode {
           return java.util.Arrays.copyOf(out, pos)
         }
         val nibbles = r.readBits(2)
-        if (nibbles == 3) { // metadata block: skip
-          if (isLast) throw Malformed
+        if (nibbles == 3) { // metadata block: skip (may be ISLAST —
+          // the reference accepts a final metadata block)
           if (r.readBit() != 0) throw Malformed // reserved
           val skipBytes = r.readBits(2)
           var skipLen = 0

@@ -166,23 +166,87 @@ case class HttpResponseExpr(child: Expression)
     else null
   }
 
-  private val MetaPattern = java.util.regex.Pattern.compile(
-    "<meta[^>]*charset\\s*=\\s*[\"']?([a-z0-9._:-]+)")
-
   /** WHATWG-style prescan: when neither the header nor a BOM names a
     * charset, html-typed bodies get their first 1024 bytes scanned
-    * (latin-1 view — the prescan only reads ASCII syntax) for
-    * `<meta charset=...>` or the `charset=` parameter inside
-    * `<meta http-equiv=content-type content=...>`; both collapse to
-    * one charset= search, the order browsers resolve silent servers. */
+    * (latin-1 view — the prescan only reads ASCII syntax). Each
+    * `<meta>` tag's ATTRIBUTES are tokenized and, per the WHATWG
+    * algorithm, only a `charset` attribute or the `charset=` parameter
+    * INSIDE an `http-equiv=content-type` tag's `content` value counts —
+    * a "charset=" substring in some other attribute's value (a
+    * description mentioning encodings) must not hijack the charset. */
   private def metaCharset(body: Array[Byte], contentType: String): String = {
     val html = contentType == null ||
       contentType.toLowerCase.contains("html")
     if (!html || body.length == 0) return null
     val head = new String(body, 0, math.min(body.length, 1024),
       "ISO-8859-1").toLowerCase
-    val m = MetaPattern.matcher(head)
-    if (m.find()) m.group(1) else null
+    var i = head.indexOf("<meta")
+    while (i >= 0) {
+      val close = head.indexOf('>', i)
+      val end = if (close < 0) head.length else close
+      val attrs = parseAttrs(head.substring(i + 5, end))
+      val direct = attrs.get("charset").map(_.trim).filter(_.nonEmpty)
+      if (direct.isDefined) return charsetToken(direct.get)
+      if (attrs.get("http-equiv").exists(_.trim == "content-type")) {
+        for (content <- attrs.get("content")) {
+          val at = content.indexOf("charset=")
+          if (at >= 0) {
+            val t = charsetToken(content.substring(at + 8))
+            if (t != null) return t
+          }
+        }
+      }
+      i = head.indexOf("<meta", end)
+    }
+    null
+  }
+
+  /** Leading charset token ([a-z0-9._:-]+, optional quotes). */
+  private def charsetToken(s0: String): String = {
+    var s = s0.trim
+    if (s.nonEmpty && (s.head == '"' || s.head == '\'')) s = s.tail
+    var e = 0
+    while (e < s.length && (s(e).isLetterOrDigit || s(e) == '.' ||
+      s(e) == '_' || s(e) == ':' || s(e) == '-')) e += 1
+    if (e == 0) null else s.substring(0, e)
+  }
+
+  /** Tokenize `key=value` attributes inside one tag: bare keys,
+    * optional whitespace around `=`, single/double-quoted or unquoted
+    * values. First occurrence of a key wins (the WHATWG rule). */
+  private def parseAttrs(tag: String): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, String]()
+    var i = 0
+    val n = tag.length
+    def skipWs(): Unit = while (i < n && tag(i).isWhitespace) i += 1
+    while (i < n) {
+      skipWs()
+      val k0 = i
+      while (i < n && !tag(i).isWhitespace && tag(i) != '=' &&
+        tag(i) != '/') i += 1
+      val key = tag.substring(k0, i)
+      skipWs()
+      if (i < n && tag(i) == '=') {
+        i += 1
+        skipWs()
+        val value =
+          if (i < n && (tag(i) == '"' || tag(i) == '\'')) {
+            val q = tag(i); i += 1
+            val v0 = i
+            while (i < n && tag(i) != q) i += 1
+            val v = tag.substring(v0, i)
+            if (i < n) i += 1
+            v
+          } else {
+            val v0 = i
+            while (i < n && !tag(i).isWhitespace) i += 1
+            tag.substring(v0, i)
+          }
+        if (key.nonEmpty && !out.contains(key)) out(key) = value
+      } else if (key.nonEmpty && !out.contains(key)) out(key) = ""
+      else if (i < n && (tag(i) == '/' || key.isEmpty)) i += 1
+    }
+    out.toMap
   }
 
   /** Body → text for textual content types; NULL for binary. The

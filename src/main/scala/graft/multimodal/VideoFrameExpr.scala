@@ -96,21 +96,21 @@ case class VideoFrameExpr(left: Expression, right: Expression)
     * is an image, not a video — unknown here, image_decode's job. */
   private def webpAnimWalk(b: Array[Byte], want: Int): InternalRow = {
     val riffEnd = math.min(b.length.toLong, 8L + le32(b, 4)).toInt
-    var i = 12
     var frames = 0
     var foundOff = -1
     var foundEnd = -1
-    while (i + 8 <= riffEnd) {
-      val len = le32(b, i + 4)
-      if (len < 0 || i + 8 + len > riffEnd) return unknown
-      if (fourcc(b, i) == "ANMF") {
-        if (len < 16) return unknown
-        if (frames == want) { foundOff = i + 8 + 16; foundEnd = i + 8 + len }
-        frames += 1
-      }
-      i += 8 + len + (len & 1)
+    var bad = false
+    val ok = WebpDecode.riffWalk(b, 12, riffEnd) { (tag, off, len) =>
+      if (WebpDecode.tagIs(b, tag, "ANMF")) {
+        if (len < 16) { bad = true; false }
+        else {
+          if (frames == want) { foundOff = off + 16; foundEnd = off + len }
+          frames += 1
+          true
+        }
+      } else true
     }
-    if (foundOff < 0) return unknown
+    if (!ok || bad || foundOff < 0) return unknown
     WebpDecode.decodeChunks(b, foundOff, foundEnd, MaxPixels) match {
       case Some(r) => InternalRow(UTF8String.fromString("webp"),
         r.width, r.height, frames, new GenericArrayData(r.pixels))

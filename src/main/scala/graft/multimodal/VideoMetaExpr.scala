@@ -55,8 +55,39 @@ case class VideoMetaExpr(child: Expression)
     try {
       if (b.length >= 4 && (b(0) & 0xff) == 0x1a && (b(1) & 0xff) == 0x45 &&
           (b(2) & 0xff) == 0xdf && (b(3) & 0xff) == 0xa3) mkvMeta(b)
+      else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' &&
+          b(2) == 'F' && b(3) == 'F' && b(8) == 'W' && b(9) == 'E' &&
+          b(10) == 'B' && b(11) == 'P') webpAnimMeta(b)
       else walk(b)
     } catch { case _: Exception => unknown }
+  }
+
+  /** Animated WebP: format "webp"; width/height = the VP8X canvas
+    * (24-bit minus-one fields); duration_ms = the sum of ANMF frame
+    * durations; tracks = 1 (one video stream — the frame count is
+    * video_frame's `frames` output). A WebP without ANMF chunks is a
+    * still image (image_meta's domain) → unknown. */
+  private def webpAnimMeta(b: Array[Byte]): InternalRow = {
+    def le24(i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+    val riffEnd = math.min(b.length.toLong,
+      8L + (le24(4) | ((b(7) & 0xff).toLong << 24))).toInt
+    var w = -1
+    var h = -1
+    var frames = 0
+    var durationMs = 0L
+    val ok = WebpDecode.riffWalk(b, 12, riffEnd) { (tag, off, len) =>
+      if (WebpDecode.tagIs(b, tag, "VP8X") && len >= 10) {
+        w = le24(off + 4) + 1
+        h = le24(off + 7) + 1
+      } else if (WebpDecode.tagIs(b, tag, "ANMF") && len >= 16) {
+        frames += 1
+        durationMs += le24(off + 12)
+      }
+      true
+    }
+    if (!ok || frames == 0) unknown
+    else InternalRow(UTF8String.fromString("webp"), durationMs, w, h, 1)
   }
 
   /** Matroska/WebM metadata ([[Ebml]] primitives, RFC 8794 + the

@@ -62,32 +62,50 @@ object WebpDecode {
     } catch { case _: Exception => None }
   }
 
+  /** Walk RIFF sub-chunks in [from, to): visit(tagOff, payloadOff,
+    * len) per chunk until it returns false (early stop — reported as
+    * true). Returns false only on malformed framing (negative or
+    * overflowing length). The word-alignment padding rule lives here,
+    * once, for every WebP chunk walker. */
+  private[multimodal] def riffWalk(b: Array[Byte], from: Int, to: Int)(
+      visit: (Int, Int, Int) => Boolean): Boolean = {
+    var i = from
+    while (i + 8 <= to) {
+      val len = (b(i + 4) & 0xff) | ((b(i + 5) & 0xff) << 8) |
+        ((b(i + 6) & 0xff) << 16) | ((b(i + 7) & 0xff) << 24)
+      if (len < 0 || i + 8 + len > to) return false
+      if (!visit(i, i + 8, len)) return true
+      i += 8 + len + (len & 1)
+    }
+    true
+  }
+
+  private[multimodal] def tagIs(b: Array[Byte], i: Int, t: String): Boolean =
+    b(i) == t.charAt(0) && b(i + 1) == t.charAt(1) &&
+      b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
+
   /** Decode a chunk list — the container body after "WEBP", or an
     * ANMF animation frame's sub-chunk data (same grammar: optional
     * ALPH preceding a VP8/VP8L bitstream chunk). */
   private[multimodal] def decodeChunks(b: Array[Byte], from: Int, to: Int,
       maxPixels: Long): Option[Result] = {
     try {
-      var i = from
       var alphOff = -1
       var alphLen = -1
-      while (i + 8 <= to) {
-        val len = (b(i + 4) & 0xff) | ((b(i + 5) & 0xff) << 8) |
-          ((b(i + 6) & 0xff) << 16) | ((b(i + 7) & 0xff) << 24)
-        if (len < 0 || i + 8 + len > to) return None
-        if (b(i) == 'V' && b(i + 1) == 'P' && b(i + 2) == '8' &&
-            b(i + 3) == 'L')
-          return decodeVp8l(b, i + 8, len, maxPixels)
-        if (b(i) == 'A' && b(i + 1) == 'L' && b(i + 2) == 'P' &&
-            b(i + 3) == 'H') { alphOff = i + 8; alphLen = len }
-        if (b(i) == 'A' && b(i + 1) == 'N' && b(i + 2) == 'M' &&
-            b(i + 3) == 'F' && len >= 16)
+      var result: Option[Result] = None
+      riffWalk(b, from, to) { (tag, off, len) =>
+        if (tagIs(b, tag, "VP8L")) {
+          result = decodeVp8l(b, off, len, maxPixels)
+          false
+        } else if (tagIs(b, tag, "ALPH")) {
+          alphOff = off; alphLen = len; true
+        } else if (tagIs(b, tag, "ANMF") && len >= 16) {
           // animation: the image decode of an animated WebP is its
           // first frame (the GIF symmetry); all frames via video_frame
-          return decodeChunks(b, i + 8 + 16, i + 8 + len, maxPixels)
-        if (b(i) == 'V' && b(i + 1) == 'P' && b(i + 2) == '8' &&
-            b(i + 3) == ' ')
-          return Vp8Decode.decode(b, i + 8, len, maxPixels).flatMap { yuv =>
+          result = decodeChunks(b, off + 16, off + len, maxPixels)
+          false
+        } else if (tagIs(b, tag, "VP8 ")) {
+          result = Vp8Decode.decode(b, off, len, maxPixels).flatMap { yuv =>
             val px = Vp8Decode.toArgb(yuv)
             if (alphOff < 0) Some(Result(yuv.width, yuv.height, px))
             else decodeAlpha(b, alphOff, alphLen, yuv.width, yuv.height,
@@ -100,9 +118,10 @@ object WebpDecode {
               Result(yuv.width, yuv.height, px)
             }
           }
-        i += 8 + len + (len & 1)
+          false
+        } else true
       }
-      None
+      result
     } catch { case _: Exception => None }
   }
 

@@ -1819,6 +1819,44 @@ object SamplingPackQueries {
           WHEN 2 THEN -1910 ELSE -1816453 END AS INT) AS plast
       FROM documents""")),
 
+    // Animated-WebP metadata (round-13 VideoMetaExpr route): the
+    // q_webp_anim animation-0 container with frame 0's ANMF duration
+    // field SPLICED from doc_id column arithmetic (24-bit LE at a
+    // fixed container offset — non-overlapping hex concat), so the
+    // oracle replays duration_ms = 40 + (doc_id % 500) + 40 along
+    // with the VP8X canvas and the chunk walk.
+    QueryDef("q_video_meta_webp", (s, dir) => {
+      def hx1(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      val d = (pmod(col("doc_id"), lit(500)) + 40).cast("int")
+      def div(c: org.apache.spark.sql.Column, n: Int) =
+        floor(c / n).cast("int")
+      val webmHex = concat(
+        lit("52494646C800000057454250565038580A000000020000001000001E00" +
+          "00414E494D06000000000000000000414E4D4640000000000000000000" +
+          "0F00000F0000"),
+        hx1(pmod(d, lit(256))), hx1(pmod(div(d, 256), lit(256))),
+        hx1(div(d, 65536)),
+        lit("005650382028000000B001009D012A1000100002003425A00274BA0005" +
+          "D400009BFFC439D0E74397FEFEB6BDB786140000414E4D465400000000" +
+          "00000000000F00000F0000"),
+        lit("280000"), // frame 1 duration stays 40 ms
+        lit("00565038203C000000F001009D012A1000100002C04C25B00274010F0C" +
+          "12F2E44000FEF9527D589C0276F91644594E47952BFDAE2A6D5FB0FFFD" +
+          "310DAFEEDB7E6084000000"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.videoMeta(unhex(webmHex)).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.tracks").as("tracks"))
+    }, Some("""
+      SELECT doc_id, 'webp' AS format,
+        CAST(80 + doc_id % 500 AS BIGINT) AS duration_ms,
+        CAST(17 AS INT) AS width, CAST(31 AS INT) AS height,
+        CAST(1 AS INT) AS tracks
+      FROM documents""")),
+
     // EXIF orientation (ExifOrientationExpr): per doc a JPEG APP1
     // segment with a real TIFF 6.0 IFD0 carrying tag 0x0112 is
     // synthesized from doc_id — little-endian (II) for doc_id%3==0,

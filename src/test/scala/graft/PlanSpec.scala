@@ -30,7 +30,7 @@ class PlanSpec extends SparkSpec {
       "q_warc_records", "q_http_response",
       "q_robots_check", "q_crawl_ingest_e2e",
       "q_crawl_chunked_gzip",
-      "q_video_meta_mkv").foreach { q =>
+      "q_video_meta_mkv", "q_video_meta_webp").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Exchange"),
         s"$q must be a pure map-side projection, got:\n$p")

@@ -118,5 +118,20 @@ class CurrentWatermarkSqlSpec extends SparkSpec {
     assert(env.executeSql(
       "SELECT b.id, CURRENT_WATERMARK(ets) AS wm FROM cw_s b")
       .isStreaming)
+    // keywords INSIDE string literals and comments are not clauses:
+    // these are single-input queries and must pass the validator
+    assert(env.executeSql(
+      "SELECT id, 'copied from legacy join' AS src, " +
+        "CURRENT_WATERMARK(ets) AS wm FROM cw_s").isStreaming)
+    assert(env.executeSql(
+      "SELECT id, CURRENT_WATERMARK(ets) AS wm -- join notes from ops\n" +
+        "FROM cw_s").isStreaming)
+    assert(env.executeSql(
+      "SELECT id, /* from a review */ CURRENT_WATERMARK(ets) AS wm " +
+        "FROM cw_s").isStreaming)
+    // an escaped quote inside the literal does not unbalance the mask
+    assert(env.executeSql(
+      "SELECT id, 'it''s from x' AS n, CURRENT_WATERMARK(ets) AS wm " +
+        "FROM cw_s").isStreaming)
   }
 }

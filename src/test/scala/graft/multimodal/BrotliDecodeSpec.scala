@@ -86,6 +86,21 @@ class BrotliDecodeSpec extends SparkSpec {
       == null || true) // any verdict, just must not throw
   }
 
+  test("metadata meta-blocks: final is accepted, nonzero padding rejected") {
+    // 0x1A = WBITS 16, ISLAST=1, MNIBBLES=0 metadata, skip 0 — the
+    // reference returns SUCCESS with empty output (verified against
+    // libbrotlidec), so a final metadata block is legal
+    val last = BrotliDecode.decode(Array[Byte](0x1a), 1L << 26)
+    assert(last != null && last.length == 0)
+    // mid-stream metadata then last-empty block
+    val mid = BrotliDecode.decode(Array[Byte](0x0c, 0x03), 1L << 26)
+    assert(mid != null && mid.length == 0)
+    // same stream with a nonzero bit in the byte-alignment padding:
+    // the reference rejects ("corrupted padding bits"), so null here
+    assert(BrotliDecode.decode(Array[Byte](0x8c.toByte, 0x03),
+      1L << 26) == null)
+  }
+
   test("truncation and bit flips never throw (decode or null)") {
     val rnd = new scala.util.Random(20260816)
     for (name <- Seq("english.q11w22.br", "rep.q5w22.br", "utf8.q1w22.br")) {

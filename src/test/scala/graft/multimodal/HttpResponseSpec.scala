@@ -147,6 +147,21 @@ class HttpResponseSpec extends SparkSpec {
     // the prescan window is 1024 bytes: a meta tag beyond it is unseen
     val far = ("x" * 1100 + "<meta charset=\"gbk\">").getBytes("US-ASCII")
     assert(parse(msg(200, Seq("Content-Type: text/html"), far))._3 == null)
+    // "charset=" inside ANOTHER attribute's VALUE is not a
+    // declaration (the WHATWG rule: only a charset attribute, or the
+    // content value of an http-equiv=content-type meta, counts)
+    val decoy = ("<html><head><meta name=\"description\" " +
+      "content=\"how charset=big5 encoding works\"></head>" +
+      "<body>cafÃ©</body>").getBytes("ISO-8859-1")
+    val (_, _, csD, _, txtD) = parse(msg(200,
+      Seq("Content-Type: text/html"), decoy))
+    assert(csD == null && txtD.contains("café")) // utf-8 default held
+    // ...and a decoy followed by a REAL declaration resolves to the
+    // real one, not the decoy
+    val both = ("<meta content=\"charset=big5\" name=\"x\">" +
+      "<meta charset=\"gbk\">").getBytes("US-ASCII") ++ unhex("CAFDBEDD")
+    assert(parse(msg(200, Seq("Content-Type: text/html"), both))._3
+      == "gbk")
   }
 
   test("binary and content-encoded bodies surface bytes, not text") {

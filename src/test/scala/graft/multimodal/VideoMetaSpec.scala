@@ -120,6 +120,31 @@ class VideoMetaSpec extends SparkSpec {
         meta(whole.take(cut))._1 == "webm")
   }
 
+  test("animated WebP metadata: canvas, summed durations; stills unknown") {
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if ((data.length & 1) == 1) Array[Byte](0) else Array[Byte]()
+      tag.getBytes ++ Array[Byte](data.length.toByte,
+        (data.length >> 8).toByte, (data.length >> 16).toByte,
+        (data.length >> 24).toByte) ++ data ++ pad
+    }
+    def le24(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+    def anmf(dur: Int) = chunk("ANMF",
+      le24(0) ++ le24(0) ++ le24(7) ++ le24(5) ++ le24(dur) ++
+        Array[Byte](0) ++ Array.fill[Byte](6)(0x42))
+    val payload = chunk("VP8X", Array[Byte](0x02, 0, 0, 0) ++
+      le24(63) ++ le24(47)) ++ chunk("ANIM", new Array[Byte](6)) ++
+      anmf(100) ++ anmf(250) ++ anmf(16777215)
+    val full = "RIFF".getBytes ++ Array[Byte](
+      (payload.length + 4).toByte, ((payload.length + 4) >> 8).toByte,
+      0, 0) ++ "WEBP".getBytes ++ payload
+    assert(meta(full) == (("webp", 100L + 250 + 16777215, 64, 48, 1)))
+    // a still WebP (no ANMF) is image territory -> unknown
+    val still = "RIFF".getBytes ++ Array[Byte](12, 0, 0, 0) ++
+      "WEBP".getBytes ++ chunk("VP8X", Array[Byte](0x10, 0, 0, 0) ++
+        le24(1) ++ le24(1))
+    assert(meta(still)._1 == "unknown")
+  }
+
   test("malformed payloads are unknown, never an error") {
     val good = ftyp("isom") ++ box("moov",
       mvhd0(600, 600) ++ trak(tkhd0(10, 10)))
