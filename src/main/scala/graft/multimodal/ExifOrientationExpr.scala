@@ -5,14 +5,16 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, IntegerType}
 
 /** exif_orientation(payload): the EXIF orientation tag (1-8) from a
-  * JPEG's APP1 segment, or 0 when absent/unreadable — the pre-decode
-  * metadata a real image-curation pass needs before any resize (web
-  * JPEGs from phones are routinely stored rotated with orientation
-  * 3/6/8; training on them un-rotated silently skews every visual
-  * model downstream).
+  * JPEG's APP1 segment or a WebP extended container's EXIF chunk, or
+  * 0 when absent/unreadable — the pre-decode metadata a real
+  * image-curation pass needs before any resize (web JPEGs from phones
+  * are routinely stored rotated with orientation 3/6/8; training on
+  * them un-rotated silently skews every visual model downstream).
   *
   * Pure byte walk (public JPEG + TIFF 6.0 + EXIF 2.3 layouts): marker
-  * scan to APP1 with the "Exif\0\0" header, TIFF endianness from the
+  * scan to APP1 with the "Exif\0\0" header (WebP: RIFF walk to the
+  * EXIF chunk, whose raw TIFF blob may or may not keep that prefix),
+  * TIFF endianness from the
   * II/MM byte-order mark, IFD0 entry scan for tag 0x0112 (SHORT).
   * Both endians supported; never throws (corpus policy) — malformed /
   * non-JPEG / EXIF-less payloads yield 0. Single-scan map-side
@@ -36,6 +38,24 @@ case class ExifOrientationExpr(child: Expression)
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
 
   private def walk(b: Array[Byte]): Int = {
+    // WebP extended container: the EXIF chunk holds the same raw TIFF
+    // blob as a JPEG APP1 (minus the "Exif\0\0" prefix, though some
+    // writers include it) — route it to the shared TIFF walk
+    if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P') {
+      var result = 0
+      WebpDecode.riffWalk(b, 12, b.length) { (tag, off, len) =>
+        if (WebpDecode.tagIs(b, tag, "EXIF") && len >= 8) {
+          val skip = if (len >= 14 && b(off) == 'E' && b(off + 1) == 'x' &&
+            b(off + 2) == 'i' && b(off + 3) == 'f' && b(off + 4) == 0 &&
+            b(off + 5) == 0) 6 else 0
+          result = tiffOrientation(b, off + skip, off + len)
+          false
+        } else true
+      }
+      return result
+    }
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
       return 0
     var i = 2

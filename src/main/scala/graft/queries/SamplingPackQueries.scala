@@ -1857,6 +1857,34 @@ object SamplingPackQueries {
         CAST(1 AS INT) AS tracks
       FROM documents""")),
 
+    // WebP EXIF orientation (round-13 ExifOrientationExpr route): per
+    // doc a WebP extended container with an EXIF chunk carrying the
+    // same TIFF IFD0 blob is synthesized from doc_id — raw TIFF for
+    // doc_id%2==0, "Exif\0\0"-prefixed (the JPEG-style variant some
+    // muxers keep) for %2==1. The oracle replays the orientation
+    // arithmetic.
+    QueryDef("q_exif_webp", (s, dir) => {
+      def hx1(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      val o = (pmod(col("doc_id"), lit(8)) + 1).cast("int")
+      val tiff = concat(
+        lit("49492A00" + "08000000" + "0100" +
+          "12010300" + "01000000"),
+        hx1(o), lit("000000" + "00000000"))
+      val raw = concat(
+        lit("52494646" + "26000000" + "57454250" +
+          "45584946" + "1A000000"), tiff)
+      val prefixed = concat(
+        lit("52494646" + "2C000000" + "57454250" +
+          "45584946" + "20000000" + "457869660000"), tiff)
+      val payload = unhex(
+        when(pmod(col("doc_id"), lit(2)) === 0, raw).otherwise(prefixed))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.exifOrientation(payload).as("orientation"))
+    }, Some("""
+      SELECT doc_id, CAST(1 + doc_id % 8 AS INT) AS orientation
+      FROM documents""")),
+
     // EXIF orientation (ExifOrientationExpr): per doc a JPEG APP1
     // segment with a real TIFF 6.0 IFD0 carrying tag 0x0112 is
     // synthesized from doc_id — little-endian (II) for doc_id%3==0,

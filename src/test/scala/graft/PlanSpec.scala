@@ -18,6 +18,7 @@ class PlanSpec extends SparkSpec {
       // round-11 decode family: JPEG, PNG-advanced, EXIF, wide PCM,
       // GIF/MJPEG frame sampling, audio/image metadata, TIFF
       "q_jpeg_decode", "q_png_advanced", "q_exif_orientation",
+      "q_exif_webp",
       "q_audio_decode_wide", "q_gif_frames", "q_video_frames",
       "q_audio_meta", "q_image_meta_ext", "q_tiff_decode",
       "q_audio_g711", "q_audio_ima", "q_audio_ms", "q_audio_containers",

@@ -372,6 +372,24 @@ class JpegDecodeSpec extends SparkSpec {
     assert(orient(le(9)) == 0) // 9 is outside the legal 1-8 range
   }
 
+  test("exif orientation: WebP EXIF chunk routes to the same TIFF walk") {
+    // raw TIFF blob in the EXIF chunk (the libwebp mux shape)
+    def webp(o: Int) = hx("52494646" + "26000000" + "57454250" +
+      "45584946" + "1A000000" +
+      "49492A00" + "08000000" + "0100" + "12010300" + "01000000" +
+      f"$o%02X" + "000000" + "00000000")
+    (1 to 8).foreach(o => assert(orient(webp(o)) == o, s"webp raw $o"))
+    // some writers keep the JPEG-style "Exif\0\0" prefix: skipped
+    val prefixed = hx("52494646" + "2C000000" + "57454250" +
+      "45584946" + "20000000" + "457869660000" +
+      "49492A00" + "08000000" + "0100" + "12010300" + "01000000" +
+      "06000000" + "00000000")
+    assert(orient(prefixed) == 6)
+    // EXIF-less WebP (a plain VP8L still) -> 0
+    assert(orient(hx("52494646" + "1C000000" + "57454250" + "5650384C" +
+      "0F000000" + "2F" + "07000000" + "380060010AD0FF020000" + "00")) == 0)
+  }
+
   test("resize composes over decoded JPEG pixels") {
     val p = dcOnlyColor(20, 18, 22)
     val want = expectedRgb(20, 18, 22)
