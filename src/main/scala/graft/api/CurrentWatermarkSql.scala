@@ -70,6 +70,43 @@ object CurrentWatermarkSql {
     new String(out)
   }
 
+  private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** Positions of CLAUSE-level FROM keywords in the masked text. A
+    * FROM whose innermost enclosing paren is a function call —
+    * SUBSTRING(x FROM 1 FOR 2), EXTRACT(HOUR FROM ts),
+    * TRIM(BOTH ' ' FROM x) — is expression syntax, not a table
+    * clause, and must not trip the single-input gate; a paren whose
+    * first token is SELECT opens a subquery, whose FROM IS a clause
+    * (scalar subqueries and derived tables still count and reject). */
+  private def clauseFromPositions(masked: String): List[Int] = {
+    val out = scala.collection.mutable.ListBuffer[Int]()
+    var stack = List.empty[Boolean] // true = function-call paren
+    var i = 0
+    val n = masked.length
+    while (i < n) {
+      val c = masked(i)
+      if (c == '(') {
+        var j = i + 1
+        while (j < n && masked(j).isWhitespace) j += 1
+        val subquery = masked.regionMatches(true, j, "select", 0, 6) &&
+          (j + 6 >= n || !isWordChar(masked(j + 6)))
+        stack = !subquery :: stack
+        i += 1
+      } else if (c == ')') {
+        if (stack.nonEmpty) stack = stack.tail
+        i += 1
+      } else if ((c == 'f' || c == 'F') &&
+          masked.regionMatches(true, i, "from", 0, 4) &&
+          (i == 0 || !isWordChar(masked(i - 1))) &&
+          (i + 4 >= n || !isWordChar(masked(i + 4)))) {
+        if (stack.isEmpty || !stack.head) out += i
+        i += 4
+      } else i += 1
+    }
+    out.toList
+  }
+
   def execute(env: TableEnv, sql: String): DataFrame = {
     val argsRaw = Fn.findAllMatchIn(sql).map(_.group(1)).toList
     // single-table scope, enforced POINTEDLY: a query with several
@@ -78,13 +115,14 @@ object CurrentWatermarkSql {
     // reference materializes the watermark per-operator, and this
     // binding supports exactly one streaming input. Keywords are
     // counted over the literal/comment-masked text so 'copied from
-    // legacy' or -- join notes don't trip the validator.
+    // legacy' or -- join notes don't trip the validator, and only
+    // clause-level FROMs count (scalar-function FROM syntax passes).
     val masked = maskLiterals(sql)
-    val fromCount = """(?i)\bFROM\b""".r.findAllIn(masked).size
-    if (fromCount > 1)
+    val fromPositions = clauseFromPositions(masked)
+    if (fromPositions.size > 1)
       throw new IllegalArgumentException(
         "CURRENT_WATERMARK: the SQL binding supports a single-table " +
-          s"FROM, but the query has $fromCount FROM clauses " +
+          s"FROM, but the query has ${fromPositions.size} FROM clauses " +
           "(subquery/derived table) — materialize the watermark on " +
           "the one streaming input and join afterwards")
     if ("""(?i)\bJOIN\b""".r.findFirstIn(masked).isDefined)
@@ -92,7 +130,9 @@ object CurrentWatermarkSql {
         "CURRENT_WATERMARK: the SQL binding supports a single-table " +
           "FROM — JOIN inputs each hold their own operator watermark; " +
           "annotate the streaming side first, then join the views")
-    val table = From.findFirstMatchIn(masked).map(_.group(1)).getOrElse(
+    val table = fromPositions.headOption.flatMap { p =>
+      From.findPrefixMatchOf(masked.substring(p)).map(_.group(1))
+    }.getOrElse(
       throw new IllegalArgumentException(
         "CURRENT_WATERMARK: no FROM <table> found — the function " +
           "observes a streaming table's operator watermark"))

@@ -28,7 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `charset` resolves in the WHATWG precedence order: the
   * Content-Type parameter when present, else a BOM, else an HTML
   * `<meta charset>` / `<meta http-equiv>` prescan over the first
-  * 1024 body bytes (html-typed bodies only), else NULL. `text`
+  * 1024 body bytes (html-typed bodies, or — when the header is
+  * silent — bodies whose head sniffs as HTML markup), else NULL. `text`
   * decodes the body for the charsets a web corpus actually carries —
   * utf-8 (with a strict validity scan: invalid sequences fall back to
   * latin-1 rather than emitting replacement garbage),
@@ -175,15 +176,22 @@ case class HttpResponseExpr(child: Expression)
     * a "charset=" substring in some other attribute's value (a
     * description mentioning encodings) must not hijack the charset. */
   private def metaCharset(body: Array[Byte], contentType: String): String = {
-    val html = contentType == null ||
-      contentType.toLowerCase.contains("html")
-    if (!html || body.length == 0) return null
+    if (body.length == 0) return null
     val head = new String(body, 0, math.min(body.length, 1024),
       "ISO-8859-1").toLowerCase
+    // WHATWG scopes the prescan to HTML documents: an html content
+    // type qualifies, and a silent header only qualifies when the
+    // body itself sniffs as HTML markup — a plain-text/binary body
+    // that merely CONTAINS the literal "<meta charset=...>" (a blog
+    // post about encodings) must not have that charset applied.
+    val html =
+      if (contentType != null) contentType.toLowerCase.contains("html")
+      else head.contains("<!doctype") || head.contains("<html") ||
+        head.contains("<head") || head.contains("<body")
+    if (!html) return null
     var i = head.indexOf("<meta")
     while (i >= 0) {
-      val close = head.indexOf('>', i)
-      val end = if (close < 0) head.length else close
+      val end = tagEnd(head, i)
       val attrs = parseAttrs(head.substring(i + 5, end))
       val direct = attrs.get("charset").map(_.trim).filter(_.nonEmpty)
       if (direct.isDefined) return charsetToken(direct.get)
@@ -199,6 +207,25 @@ case class HttpResponseExpr(child: Expression)
       i = head.indexOf("<meta", end)
     }
     null
+  }
+
+  /** Find the end of the tag opened at `start` ('<'): the first '>'
+    * OUTSIDE quoted attribute values — a '>' inside content="a > b"
+    * must not truncate the tag and hide a later charset attribute
+    * (the WHATWG prescan's quote-skipping tag-end rule). */
+  private def tagEnd(head: String, start: Int): Int = {
+    var i = start
+    while (i < head.length) {
+      head(i) match {
+        case '>' => return i
+        case q @ ('"' | '\'') =>
+          i += 1
+          while (i < head.length && head(i) != q) i += 1
+          if (i < head.length) i += 1 // closing quote
+        case _ => i += 1
+      }
+    }
+    head.length
   }
 
   /** Leading charset token ([a-z0-9._:-]+, optional quotes). */

@@ -86,7 +86,9 @@ case class VideoMetaExpr(child: Expression)
       }
       true
     }
-    if (!ok || frames == 0) unknown
+    // ANMF frames with no (spec-mandatory) VP8X canvas header is a
+    // malformed container — the unknown row, not -1×-1 dimensions
+    if (!ok || frames == 0 || w < 0) unknown
     else InternalRow(UTF8String.fromString("webp"), durationMs, w, h, 1)
   }
 

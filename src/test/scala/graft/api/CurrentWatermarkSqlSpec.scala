@@ -133,5 +133,28 @@ class CurrentWatermarkSqlSpec extends SparkSpec {
     assert(env.executeSql(
       "SELECT id, 'it''s from x' AS n, CURRENT_WATERMARK(ets) AS wm " +
         "FROM cw_s").isStreaming)
+    // scalar-function FROM syntax is expression syntax, not a table
+    // clause: SUBSTRING(x FROM n FOR m), EXTRACT(unit FROM ts) and
+    // TRIM(... FROM x) are all single-input queries and must pass
+    assert(env.executeSql(
+      "SELECT SUBSTRING(CAST(id AS STRING) FROM 1 FOR 2) AS s, " +
+        "CURRENT_WATERMARK(ets) AS wm FROM cw_s").isStreaming)
+    assert(env.executeSql(
+      "SELECT EXTRACT(HOUR FROM ets) AS hh, " +
+        "CURRENT_WATERMARK(ets) AS wm FROM cw_s").isStreaming)
+    assert(env.executeSql(
+      "SELECT TRIM(BOTH 'x' FROM CAST(id AS STRING)) AS t, " +
+        "CURRENT_WATERMARK(ets) AS wm FROM cw_s").isStreaming)
+    // ...but a scalar subquery INSIDE a function call is still a
+    // second FROM clause and still rejects
+    val e4 = intercept[IllegalArgumentException](env.executeSql(
+      "SELECT COALESCE((SELECT max(id) FROM cw_s), 0) AS m, " +
+        "CURRENT_WATERMARK(ets) AS wm FROM cw_s"))
+    assert(e4.getMessage.contains("FROM clauses"))
+    // a function FROM appearing BEFORE the clause FROM must not be
+    // picked as the table name by the rewriter
+    assert(env.executeSql(
+      "SELECT EXTRACT(HOUR FROM ets) AS hh, CURRENT_WATERMARK(ets) AS wm " +
+        "FROM cw_s WHERE id > 0").isStreaming)
   }
 }

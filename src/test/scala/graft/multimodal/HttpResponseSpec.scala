@@ -162,6 +162,28 @@ class HttpResponseSpec extends SparkSpec {
       "<meta charset=\"gbk\">").getBytes("US-ASCII") ++ unhex("CAFDBEDD")
     assert(parse(msg(200, Seq("Content-Type: text/html"), both))._3
       == "gbk")
+    // a '>' INSIDE a quoted attribute value does not truncate the tag:
+    // the charset attribute after it must still be seen (WHATWG tag-end
+    // scanning skips quoted values)
+    val gtInQuote = ("<html><meta content=\"if a > b then\" " +
+      "charset=\"gbk\">").getBytes("US-ASCII") ++ unhex("CAFDBEDD")
+    assert(parse(msg(200, Seq("Content-Type: text/html"), gtInQuote))._3
+      == "gbk")
+  }
+
+  test("prescan is scoped to HTML: silent header needs an HTML-sniffing body") {
+    // header silent + body that does NOT sniff as HTML: a plain-text
+    // body merely CONTAINING '<meta charset=...>' is not prescanned
+    val prose = ("the tag <meta charset=\"gbk\"> sets the encoding"
+      ).getBytes("US-ASCII")
+    val (st, ct, cs, _, txt) = parse(msg(200, Seq.empty, prose))
+    assert(st == 200 && ct == null && cs == null)
+    assert(txt != null) // still decodes (utf-8 default), just no hijack
+    // header silent + HTML-sniffing body: prescan runs
+    val page = "<!doctype html><html><meta charset=\"gbk\">"
+      .getBytes("US-ASCII") ++ unhex("CAFDBEDD")
+    val (_, _, cs2, _, txt2) = parse(msg(200, Seq.empty, page))
+    assert(cs2 == "gbk" && txt2.contains("数据"))
   }
 
   test("binary and content-encoded bodies surface bytes, not text") {

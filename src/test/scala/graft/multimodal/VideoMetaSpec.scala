@@ -143,6 +143,13 @@ class VideoMetaSpec extends SparkSpec {
       "WEBP".getBytes ++ chunk("VP8X", Array[Byte](0x10, 0, 0, 0) ++
         le24(1) ++ le24(1))
     assert(meta(still)._1 == "unknown")
+    // ANMF frames with the (spec-mandatory) VP8X missing is a
+    // malformed container -> unknown, not -1×-1 dimensions
+    val noVp8x = anmf(100) ++ anmf(50)
+    val headless = "RIFF".getBytes ++ Array[Byte](
+      (noVp8x.length + 4).toByte, ((noVp8x.length + 4) >> 8).toByte,
+      0, 0) ++ "WEBP".getBytes ++ noVp8x
+    assert(meta(headless)._1 == "unknown")
   }
 
   test("malformed payloads are unknown, never an error") {
