@@ -38,7 +38,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * (gbk/gb2312/gb18030, big5, shift_jis/windows-31j, euc-jp, euc-kr,
   * iso-2022-jp — all JDK-shipped decoders, run STRICT: a body that
   * is not valid in its declared charset falls back to latin-1,
-  * byte-preserving, the same mislabel policy as utf-8) — and is NULL
+  * byte-preserving, the same mislabel policy as utf-8) plus the
+  * single-byte non-Latin families under their WHATWG labels
+  * (windows-1250..1258, KOI8-R/U, ISO-8859-2..8/13/15/16, thai
+  * windows-874, IBM866, mac-roman/cyrillic — see
+  * [[HttpResponseExpr.SingleByteCharsets]]) — and is NULL
   * for binary or unsupported-charset payloads. Non-HTTP payloads
   * yield the unknown row; never throws.
   *
@@ -320,6 +324,14 @@ case class HttpResponseExpr(child: Expression)
       case "euc-kr" | "ks_c_5601-1987" | "ksc_5601" | "korean" =>
         strictJdk(body, "EUC-KR")
       case "iso-2022-jp" | "csiso2022jp" => strictJdk(body, "ISO-2022-JP")
+      // Single-byte non-Latin families (Cyrillic, Central European,
+      // Greek, Turkish, Hebrew, Arabic, Thai, Baltic, Vietnamese,
+      // Romanian, legacy Mac/DOS): WHATWG-registry labels routed to
+      // the JDK charset carrying the registry's repertoire — see
+      // [[HttpResponseExpr.SingleByteCharsets]]. Same strict decode +
+      // latin-1 mislabel fallback as the multibyte families.
+      case sb if HttpResponseExpr.SingleByteCharsets.contains(sb) =>
+        strictJdk(body, HttpResponseExpr.SingleByteCharsets(sb))
       case "utf-16le" | "utf-16be" | "utf-16" =>
         // strip the BOM only when actually present — the charset may
         // come from the header with a BOM-less body (and a 0/1-byte
@@ -386,4 +398,68 @@ case class HttpResponseExpr(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+object HttpResponseExpr {
+
+  /** WHATWG Encoding registry label → JDK charset for the single-byte
+    * non-Latin families a multilingual crawl carries (the multibyte
+    * CJK families live in the match above). The registry's folds are
+    * honored where the web's de-facto repertoire is the windows
+    * superset — `iso-8859-9`/`latin5` → windows-1254 and
+    * `tis-620`/`iso-8859-11` → windows-874: real pages under those
+    * labels use the C1 range for smart quotes/ellipses, which the ISO
+    * tables map to control characters — while families the registry
+    * keeps distinct stay distinct (iso-8859-2 vs windows-1250 differ
+    * on letter positions, koi8-r vs -u on box-drawing rows). Every
+    * value is a JDK-shipped decoder, run strict with the
+    * byte-preserving latin-1 mislabel fallback. */
+  private[multimodal] val SingleByteCharsets: Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    def add(jdk: String, labels: String*): Unit =
+      labels.foreach(l => m += (l -> jdk))
+    add("windows-1250", "windows-1250", "cp1250", "x-cp1250")
+    add("windows-1251", "windows-1251", "cp1251", "x-cp1251")
+    add("windows-1253", "windows-1253", "cp1253", "x-cp1253")
+    add("windows-1254", "windows-1254", "cp1254", "x-cp1254",
+      "iso-8859-9", "iso8859-9", "iso88599", "iso_8859-9",
+      "iso_8859-9:1989", "iso-ir-148", "csisolatin5", "l5", "latin5")
+    add("windows-1255", "windows-1255", "cp1255", "x-cp1255")
+    add("windows-1256", "windows-1256", "cp1256", "x-cp1256")
+    add("windows-1257", "windows-1257", "cp1257", "x-cp1257")
+    add("windows-1258", "windows-1258", "cp1258", "x-cp1258")
+    add("KOI8-R", "koi8-r", "koi", "koi8", "koi8_r", "cskoi8r")
+    add("KOI8-U", "koi8-u", "koi8-ru")
+    add("ISO-8859-2", "iso-8859-2", "iso8859-2", "iso88592",
+      "iso_8859-2", "iso_8859-2:1987", "iso-ir-101", "csisolatin2",
+      "l2", "latin2")
+    add("ISO-8859-3", "iso-8859-3", "iso8859-3", "iso88593",
+      "iso_8859-3", "iso_8859-3:1988", "iso-ir-109", "csisolatin3",
+      "l3", "latin3")
+    add("ISO-8859-4", "iso-8859-4", "iso8859-4", "iso88594",
+      "iso_8859-4", "iso_8859-4:1988", "iso-ir-110", "csisolatin4",
+      "l4", "latin4")
+    add("ISO-8859-5", "iso-8859-5", "iso8859-5", "iso88595",
+      "iso_8859-5", "iso_8859-5:1988", "iso-ir-144", "cyrillic",
+      "csisolatincyrillic")
+    add("ISO-8859-6", "iso-8859-6", "iso8859-6", "iso88596",
+      "iso_8859-6", "iso_8859-6:1987", "iso-8859-6-e", "iso-8859-6-i",
+      "iso-ir-127", "arabic", "asmo-708", "ecma-114", "csisolatinarabic")
+    add("ISO-8859-7", "iso-8859-7", "iso8859-7", "iso88597",
+      "iso_8859-7", "iso_8859-7:1987", "iso-ir-126", "greek", "greek8",
+      "elot_928", "ecma-118", "sun_eu_greek", "csisolatingreek")
+    add("ISO-8859-8", "iso-8859-8", "iso8859-8", "iso88598",
+      "iso_8859-8", "iso_8859-8:1988", "iso-8859-8-e", "iso-8859-8-i",
+      "iso-ir-138", "hebrew", "visual", "csisolatinhebrew")
+    add("ISO-8859-13", "iso-8859-13", "iso8859-13", "iso885913")
+    add("ISO-8859-15", "iso-8859-15", "iso8859-15", "iso885915",
+      "iso_8859-15", "latin9", "l9", "csisolatin9")
+    add("ISO-8859-16", "iso-8859-16")
+    add("x-windows-874", "windows-874", "dos-874", "tis-620", "tis620",
+      "iso-8859-11", "iso8859-11", "iso885911")
+    add("IBM866", "ibm866", "866", "cp866", "csibm866")
+    add("x-MacCyrillic", "x-mac-cyrillic", "x-mac-ukrainian")
+    add("x-MacRoman", "macintosh", "csmacintosh", "mac", "x-mac-roman")
+    m.result()
+  }
 }

@@ -845,6 +845,77 @@ object SamplingPackQueries {
           ELSE 'page-' || doc_id END AS text
       FROM documents""")),
 
+    // Single-byte non-Latin charsets (round-14 — the long tail of the
+    // multilingual web after round-13's CJK families): per doc one of
+    // SIXTEEN declared-charset pages — Cyrillic under four encodings
+    // (windows-1251 / koi8-r / iso-8859-5 / ibm866) plus koi8-u,
+    // Central European ×2 (windows-1250 / iso-8859-2), Greek ×2
+    // (windows-1253 / iso-8859-7), Hebrew (windows-1255), Arabic
+    // (windows-1256), Baltic (windows-1257), Vietnamese
+    // (windows-1258), the euro latin9 (iso-8859-15), and the two
+    // WHATWG label FOLDS pinned with a C1 byte the ISO tables lack:
+    // iso-8859-9 → windows-1254 (0x92 = ’) and tis-620 → windows-874
+    // (0x85 = …). Bodies are python-encoded hex constants + the doc's
+    // ASCII digits (every family passes ASCII through unchanged); the
+    // oracle replays charset/text as utf-8 literals off the doc_id
+    // arithmetic.
+    QueryDef("q_http_charsets", (s, dir) => {
+      def hx(str: String) =
+        str.getBytes("ISO-8859-1").map("%02X".format(_)).mkString
+      val digitsHex = hex(col("doc_id").cast("string").cast("binary"))
+      def page(label: String, prefixHex: String) = unhex(concat(
+        lit(hx(s"HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+          s"charset=$label\r\n\r\n") + prefixHex), digitsHex))
+      val shapes = Seq(
+        "windows-1251" -> "CFF0E8E2E5F22D", // Привет-
+        "koi8-r" -> "F0D2C9D7C5D42D", // Привет-
+        "iso-8859-5" -> "BFE0D8D2D5E22D", // Привет-
+        "ibm866" -> "8FE0A8A2A5E22D", // Привет-
+        "windows-1250" -> "C8659A74696E612D", // Čeština-
+        "iso-8859-2" -> "C865B974696E612D", // Čeština-
+        "windows-1253" -> "C5EBEBDCE4E12D", // Ελλάδα-
+        "iso-8859-7" -> "C5EBEBDCE4E12D", // Ελλάδα-
+        "iso-8859-9" -> "54FC726BE765922D", // Türkçe’- (cp1254 fold)
+        "windows-1255" -> "F9ECE5ED2D", // שלום-
+        "windows-1256" -> "E3D1CDC8C72D", // مرحبا-
+        "tis-620" -> "C0D2C9D2E4B7C2852D", // ภาษาไทย…- (cp874 fold)
+        "windows-1257" -> "4C6174766965F0752D", // Latviešu-
+        "windows-1258" -> "F0F56E2D", // đơn-
+        "iso-8859-15" -> "A475726F2D", // €uro-
+        "koi8-u" -> "EBC9A7D72D") // Київ-
+      val m = pmod(col("doc_id"), lit(16))
+      val payload = shapes.zipWithIndex.tail.foldLeft(
+        when(m === 0, page(shapes.head._1, shapes.head._2))) {
+        case (acc, ((label, prefix), i)) =>
+          acc.when(m === i, page(label, prefix))
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.httpResponse(payload).as("h"))
+        .select(col("doc_id"), col("h.status").as("status"),
+          col("h.charset").as("charset"), col("h.text").as("text"))
+    }, Some("""
+      SELECT doc_id, CAST(200 AS INT) AS status,
+        CASE doc_id % 16
+          WHEN 0 THEN 'windows-1251' WHEN 1 THEN 'koi8-r'
+          WHEN 2 THEN 'iso-8859-5' WHEN 3 THEN 'ibm866'
+          WHEN 4 THEN 'windows-1250' WHEN 5 THEN 'iso-8859-2'
+          WHEN 6 THEN 'windows-1253' WHEN 7 THEN 'iso-8859-7'
+          WHEN 8 THEN 'iso-8859-9' WHEN 9 THEN 'windows-1255'
+          WHEN 10 THEN 'windows-1256' WHEN 11 THEN 'tis-620'
+          WHEN 12 THEN 'windows-1257' WHEN 13 THEN 'windows-1258'
+          WHEN 14 THEN 'iso-8859-15' ELSE 'koi8-u' END AS charset,
+        CASE doc_id % 16
+          WHEN 0 THEN 'Привет-' WHEN 1 THEN 'Привет-'
+          WHEN 2 THEN 'Привет-' WHEN 3 THEN 'Привет-'
+          WHEN 4 THEN 'Čeština-' WHEN 5 THEN 'Čeština-'
+          WHEN 6 THEN 'Ελλάδα-' WHEN 7 THEN 'Ελλάδα-'
+          WHEN 8 THEN 'Türkçe’-' WHEN 9 THEN 'שלום-'
+          WHEN 10 THEN 'مرحبا-' WHEN 11 THEN 'ภาษาไทย…-'
+          WHEN 12 THEN 'Latviešu-' WHEN 13 THEN 'đơn-'
+          WHEN 14 THEN '€uro-' ELSE 'Київ-' END || doc_id AS text
+      FROM documents""")),
+
     // MJPEG-in-MP4 frame sampling (round-12 VideoFrameExpr BMFF walk):
     // the same 2-frame DC-only JPEG payloads as q_video_frames, but
     // addressed through a real ISO 14496-12 sample table — stsd 'jpeg'

@@ -109,6 +109,59 @@ class HttpResponseSpec extends SparkSpec {
     }
   }
 
+  test("single-byte non-Latin charsets decode under their WHATWG labels") {
+    // (label, python-encoded hex, expected text) — every family in
+    // HttpResponseExpr.SingleByteCharsets, ASCII digits pass through
+    val cases = Seq(
+      ("windows-1251", "CFF0E8E2E5F22D", "Привет-"),
+      ("koi8-r", "F0D2C9D7C5D42D", "Привет-"),
+      ("koi8-u", "EBC9A7D72D", "Київ-"),
+      ("iso-8859-5", "BFE0D8D2D5E22D", "Привет-"),
+      ("ibm866", "8FE0A8A2A5E22D", "Привет-"),
+      ("x-mac-cyrillic", "8FF0E8E2E5F22D", "Привет-"),
+      ("windows-1250", "C8659A74696E612D", "Čeština-"),
+      ("iso-8859-2", "C865B974696E612D", "Čeština-"),
+      ("windows-1253", "C5EBEBDCE4E12D", "Ελλάδα-"),
+      ("iso-8859-7", "C5EBEBDCE4E12D", "Ελλάδα-"),
+      ("windows-1255", "F9ECE5ED2D", "שלום-"),
+      ("iso-8859-8", "F9ECE5ED2D", "שלום-"),
+      ("windows-1256", "E3D1CDC8C72D", "مرحبا-"),
+      ("iso-8859-6", "E5D1CDC8C72D", "مرحبا-"),
+      ("windows-1257", "4C6174766965F0752D", "Latviešu-"),
+      ("windows-1258", "F0F56E2D", "đơn-"),
+      ("iso-8859-15", "A475726F2D", "€uro-"),
+      ("iso-8859-4", "E02D", "ā-"),
+      ("iso-8859-13", "E22D", "ā-"),
+      ("iso-8859-3", "F86F6A752D", "ĝoju-"),
+      ("iso-8859-16", "BA2D", "ș-"),
+      ("macintosh", "6361668EAA2D", "café™-"),
+      // WHATWG folds: the ISO label's de-facto repertoire is the
+      // windows superset — C1 bytes carry real characters
+      ("iso-8859-9", "54FC726BE765922D", "Türkçe’-"), // 0x92 = ’ (cp1254)
+      ("latin5", "54FC726BE765922D", "Türkçe’-"),
+      ("tis-620", "C0D2C9D2E4B7C2852D", "ภาษาไทย…-"), // 0x85 = … (cp874)
+      ("windows-874", "C0D2C9D2E4B7C2852D", "ภาษาไทย…-"),
+      ("iso-8859-11", "C0D2C9D2E4B7C2852D", "ภาษาไทย…-"),
+      // alias labels route to the same family
+      ("cp1251", "CFF0E8E2E5F22D", "Привет-"),
+      ("cyrillic", "BFE0D8D2D5E22D", "Привет-"),
+      ("latin2", "C865B974696E612D", "Čeština-"),
+      ("greek", "C5EBEBDCE4E12D", "Ελλάδα-"))
+    for ((label, hexBody, want) <- cases) {
+      val body = unhex(hexBody) ++ "tail".getBytes("US-ASCII")
+      val (st, _, cs, _, txt) = parse(msg(200,
+        Seq(s"Content-Type: text/html; charset=$label"), body))
+      assert(st == 200 && cs == label, s"$label charset")
+      assert(txt == want + "tail", s"$label: got $txt")
+    }
+    // mislabel fallback: windows-1253 leaves 0xAA undefined — strict
+    // decode fails, latin-1 byte-preserving fallback, no U+FFFD
+    val lied = msg(200,
+      Seq("Content-Type: text/plain; charset=windows-1253"),
+      Array[Byte](0xaa.toByte, 'A'))
+    assert(parse(lied)._5 == "ªA")
+  }
+
   test("mislabeled CJK body falls back to latin-1, byte-preserving") {
     // declared gbk but 0x81 0x20 is not a valid GBK sequence (trail
     // byte out of range): strict decode fails -> latin-1, no U+FFFD
