@@ -19,7 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * logical screen), BMP (BITMAPINFOHEADER little-endian, top-down
   * negative heights normalized), JPEG (marker walk to the first SOF0/
   * 1/2 frame header — skips APPn/EXIF/quant tables like any real
-  * parser). Unknown or truncated payloads yield ("unknown", -1, -1)
+  * parser), WebP, TIFF, netpbm, TGA, and the ISO-BMFF still images
+  * AVIF/HEIC/HEIF (ftyp brand sniff + meta/iprp/ipco `ispe` walk —
+  * see [[bmffImage]]). Unknown or truncated payloads yield
+  * ("unknown", -1, -1)
   * rather than failing the scan: at corpus scale a malformed file must
   * never kill the job (it gets filtered by the format column instead).
   *
@@ -190,6 +193,9 @@ case class ImageMetaExpr(child: Expression)
       }
       val w = nextInt(); val h = nextInt()
       if (w > 0 && h > 0) out("pnm", w, h) else unknown
+    } else if (b.length >= 16 && b(4) == 'f' && b(5) == 't' &&
+        b(6) == 'y' && b(7) == 'p') {
+      try bmffImage(b) catch { case _: Exception => unknown }
     } else if (ImageDecodeExpr.isTgaV2(b)) {
       // TGA v2 (footer-signed; no leading magic exists). Decode
       // parity: the shared structural gates (image type, depth,
@@ -200,6 +206,114 @@ case class ImageMetaExpr(child: Expression)
         out("tga", le16(b, 12), le16(b, 14))
       else unknown
     } else unknown
+  }
+
+  /** AVIF/HEIC metadata (ISO-BMFF still images, public ISO/IEC
+    * 23008-12 HEIF layout — the modern web's fastest-growing image
+    * formats): the `ftyp` brands sniff the family (avif/avis →
+    * "avif"; heic/heix/heim/heis/hevc/hevx → "heic"; a bare
+    * mif1/msf1 with no codec brand reports generic "heif"), and
+    * dimensions come from the `meta`→`iprp`→`ipco` `ispe` property
+    * (ImageSpatialExtents: u32 width/height after the fullbox word)
+    * selected for the `pitm` primary item through the `ipma`
+    * association table; when the association chain is absent or
+    * doesn't resolve, the MAX over ispe boxes is reported (the
+    * [[VideoMetaExpr]] max-over-tracks convention — thumbnails and
+    * alpha planes are never larger than the primary image). Pixel
+    * DECODE stays out of scope by design: the payload is AV1/HEVC
+    * inter-prediction territory, the documented boundary class. */
+  private def bmffImage(b: Array[Byte]): InternalRow = {
+    var fmt: String = null
+    var genericHeif = false
+    var metaS = -1
+    var metaE = -1
+    val ok = Bmff.boxes(b, 0, b.length) { (typ, s, e) =>
+      typ match {
+        case "ftyp" =>
+          // word 0 = major brand, word 1 = minor version (skipped),
+          // words 2.. = compatible brands; a specific codec brand
+          // anywhere in the list beats the generic heif brands
+          var j = s
+          var k = 0
+          while (j + 4 <= e && fmt == null) {
+            if (k != 1) {
+              val brand = new String(b, j, 4, "ISO-8859-1")
+              if (brand == "avif" || brand == "avis") fmt = "avif"
+              else if (brand.startsWith("hei") || brand.startsWith("hev"))
+                fmt = "heic"
+              else if (brand == "mif1" || brand == "msf1")
+                genericHeif = true
+            }
+            j += 4; k += 1
+          }
+        case "meta" if metaS < 0 && e - s >= 4 =>
+          metaS = s + 4 // meta is a fullbox: skip version/flags
+          metaE = e
+        case _ => ()
+      }
+    }
+    if (!ok || (fmt == null && !genericHeif) || metaS < 0) return unknown
+    val format = if (fmt == null) "heif" else fmt
+    var pitm = -1L
+    var ipcoS = -1; var ipcoE = -1
+    var ipmaS = -1; var ipmaE = -1
+    var nestedOk = true
+    nestedOk &&= Bmff.boxes(b, metaS, metaE) { (t2, s2, e2) =>
+      t2 match {
+        case "pitm" if e2 - s2 >= 6 =>
+          val v = b(s2) & 0xff
+          pitm = if (v == 0) Bmff.be16(b, s2 + 4).toLong
+          else if (e2 - s2 >= 8) Bmff.be32(b, s2 + 4)
+          else -1L
+        case "iprp" =>
+          nestedOk &&= Bmff.boxes(b, s2, e2) { (t3, s3, e3) =>
+            if (t3 == "ipco") { ipcoS = s3; ipcoE = e3 }
+            else if (t3 == "ipma") { ipmaS = s3; ipmaE = e3 }
+          }
+        case _ => ()
+      }
+    }
+    if (!nestedOk || ipcoS < 0) return unknown
+    // ipco children in order = properties, 1-indexed by ipma
+    val props = scala.collection.mutable.ArrayBuffer[Option[(Int, Int)]]()
+    if (!Bmff.boxes(b, ipcoS, ipcoE) { (t3, s3, e3) =>
+      props += (if (t3 == "ispe" && e3 - s3 >= 12)
+        Some((Bmff.be32(b, s3 + 4).toInt, Bmff.be32(b, s3 + 8).toInt))
+      else None)
+    }) return unknown
+    var w = -1; var h = -1
+    if (pitm >= 0 && ipmaS >= 0 && ipmaE - ipmaS >= 8) {
+      val v = b(ipmaS) & 0xff
+      val flags = ((b(ipmaS + 1) & 0xff) << 16) |
+        ((b(ipmaS + 2) & 0xff) << 8) | (b(ipmaS + 3) & 0xff)
+      val entryCount = Bmff.be32(b, ipmaS + 4)
+      val idWidth = if (v < 1) 2 else 4
+      val assocWidth = if ((flags & 1) == 1) 2 else 1
+      var p = ipmaS + 8
+      var entry = 0L
+      while (entry < entryCount && p + idWidth + 1 <= ipmaE) {
+        val itemId = if (v < 1) Bmff.be16(b, p).toLong else Bmff.be32(b, p)
+        p += idWidth
+        val assocCount = b(p) & 0xff
+        p += 1
+        var a = 0
+        while (a < assocCount && p + assocWidth <= ipmaE) {
+          val idx = if (assocWidth == 2) Bmff.be16(b, p) & 0x7fff
+            else b(p) & 0x7f
+          p += assocWidth
+          if (w < 0 && itemId == pitm && idx >= 1 && idx <= props.length)
+            props(idx - 1).foreach { case (pw, ph) => w = pw; h = ph }
+          a += 1
+        }
+        entry += 1
+      }
+    }
+    if (w < 0) // association chain absent/unresolved: MAX over ispe
+      props.flatten.foreach { case (pw, ph) =>
+        if (w < 0 || pw.toLong * ph > w.toLong * h) { w = pw; h = ph }
+      }
+    if (w <= 0 || h <= 0) unknown
+    else InternalRow(UTF8String.fromString(format), w, h)
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -273,6 +273,57 @@ object SamplingPackQueries {
         CAST(doc_id % 7 * 32 + 180 AS INT) AS height
       FROM documents""")),
 
+    // AVIF/HEIC metadata (round-14 ImageMetaExpr BMFF route — the
+    // modern web's fastest-growing image formats): per doc an
+    // ISO/IEC 23008-12 HEIF payload built from hex builtins — ftyp
+    // brand (avif / heic / mif1-with-avif-compat), meta/pitm/iprp/
+    // ipco with TWO ispe properties (a fixed 160x90 thumbnail and the
+    // parametric primary), the primary resolved through the ipma
+    // association chain on two shapes and through the max-over-ispe
+    // fallback (no ipma) on the third. Dims from the q_image_meta
+    // arithmetic; the oracle replays them. Pixel decode stays out of
+    // scope (AV1/HEVC inter-prediction — the documented boundary).
+    QueryDef("q_image_meta_bmff", (s, dir) => {
+      def be32h(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+      val w = (col("doc_id") % 13 * 16 + 320).cast("int")
+      val h = (col("doc_id") % 7 * 32 + 180).cast("int")
+      val ispeThumb = "00000014" + "69737065" + "00000000" +
+        "000000A0" + "0000005A" // 160x90
+      def ispeMain = concat(lit("00000014" + "69737065" + "00000000"),
+        be32h(w), be32h(h))
+      // pitm item 1 -> ipma association -> property 2 (the primary)
+      val pitm = "0000000E" + "7069746D" + "00000000" + "0001"
+      val ipma = "00000014" + "69706D61" + "00000000" + "00000001" +
+        "0001" + "01" + "02"
+      def metaChain = concat(
+        lit("00000066" + "6D657461" + "00000000" + pitm +
+          "0000004C" + "69707270" + "00000030" + "6970636F" + ispeThumb),
+        ispeMain, lit(ipma))
+      def metaFallback = concat( // no pitm/ipma: MAX over ispe
+        lit("00000044" + "6D657461" + "00000000" +
+          "00000038" + "69707270" + "00000030" + "6970636F" + ispeThumb),
+        ispeMain)
+      def ftyp(major: String, compat: String) =
+        "00000014" + "66747970" + major + "00000000" + compat
+      val avif = concat(lit(ftyp("61766966", "6D696631")), metaChain)
+      val heic = concat(lit(ftyp("68656963", "6D696631")), metaChain)
+      val mif = concat(lit(ftyp("6D696631", "61766966")), metaFallback)
+      val payload = unhex(
+        when(col("doc_id") % 3 === 0, avif)
+          .when(col("doc_id") % 3 === 1, heic)
+          .otherwise(mif))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.imageMeta(payload).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.width").as("width"), col("m.height").as("height"))
+    }, Some("""
+      SELECT doc_id,
+        CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN 'heic' ELSE 'avif' END
+          AS format,
+        CAST(doc_id % 13 * 16 + 320 AS INT) AS width,
+        CAST(doc_id % 7 * 32 + 180 AS INT) AS height
+      FROM documents""")),
+
     // REAL pixel decode (ImageDecodeExpr): per doc a complete VALID
     // 2x2 image is synthesized from doc_id with pure builtins — evens
     // get a 24bpp bottom-up BMP (padded stride), odds a PNG whose IDAT

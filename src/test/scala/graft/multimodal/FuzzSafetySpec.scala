@@ -114,6 +114,13 @@ class FuzzSafetySpec extends SparkSpec {
         "565038203C000000F001009D012A1000100002C04C25B00274010F0C" +
         "12F2E44000FEF9527D589C0276F91644594E47952BFDAE2A6D5FB0FF" +
         "FD310DAFEEDB7E6084000000"),
+      // AVIF (round-14 BMFF image route: ftyp + meta/pitm/iprp/ipco
+      // with two ispe properties + the ipma association table)
+      hex("000000146674797061766966000000006D696631000000766D65746100" +
+        "0000000000000E7069746D0000000000010000005C697072700000003C" +
+        "6970636F000000146973706500000000000000A00000005A0000001469" +
+        "7370650000000000000500000002D00000000C61763143810000000000" +
+        "001869706D6100000000000000020001010200020101"),
       // transparent lossy WebP (q_webp_alpha's alphagrad_16x16_q75:
       // VP8X + compressed-alpha ALPH + VP8)
       hex("524946468A00000057454250565038580A000000100000000F00000F" +

@@ -150,6 +150,54 @@ class ImageMetaSpec extends SparkSpec {
     assert(meta(withHdr { h => h(1) = 1; h(7) = 13 })._1 == "unknown")
   }
 
+  test("avif/heic: ftyp brands + meta/iprp/ipco ispe via the ipma chain") {
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8) ++ typ.getBytes("ISO-8859-1") ++ body
+    def full(typ: String, ver: Int, flags: Int, body: Array[Byte]) =
+      box(typ, Array[Byte](ver.toByte, (flags >> 16).toByte,
+        (flags >> 8).toByte, flags.toByte) ++ body)
+    def ispe(w: Int, h: Int) = full("ispe", 0, 0, be32(w) ++ be32(h))
+    def ftyp(major: String, compat: String*) = box("ftyp",
+      major.getBytes ++ be32(0) ++ compat.flatMap(_.getBytes))
+    // primary item 1 -> property 2 (1280x720); item 2 (thumbnail)
+    // -> property 1 (160x90); property 3 is an opaque codec config
+    val ipco = box("ipco", ispe(160, 90) ++ ispe(1280, 720) ++
+      box("av1C", Array[Byte](0x81.toByte, 0, 0, 0)))
+    val ipmaV0 = full("ipma", 0, 0, be32(2) ++
+      (be16(1) ++ Array[Byte](1, 2)) ++ (be16(2) ++ Array[Byte](1, 1)))
+    val metaBox = full("meta", 0, 0,
+      full("pitm", 0, 0, be16(1)) ++ box("iprp", ipco ++ ipmaV0))
+    assert(meta(ftyp("avif") ++ metaBox) == ("avif", 1280, 720))
+    // heic brands; specific codec brand in the compatible list wins
+    assert(meta(ftyp("heic") ++ metaBox) == ("heic", 1280, 720))
+    assert(meta(ftyp("mif1", "miaf", "avif") ++ metaBox)
+      == ("avif", 1280, 720))
+    // bare mif1 with no codec brand reports generic heif
+    assert(meta(ftyp("mif1", "miaf") ++ metaBox) == ("heif", 1280, 720))
+    // ipma version 1 (u32 item ids) + flags&1 (15-bit property index)
+    val ipmaV1 = full("ipma", 1, 1, be32(1) ++
+      be32(1) ++ Array[Byte](1) ++ be16(0x8002))
+    val metaV1 = full("meta", 0, 0,
+      full("pitm", 1, 0, be32(1)) ++ box("iprp", ipco ++ ipmaV1))
+    assert(meta(ftyp("avif") ++ metaV1) == ("avif", 1280, 720))
+    // association chain absent: MAX over ispe (thumbnails never win)
+    val metaNoAssoc = full("meta", 0, 0, box("iprp", ipco))
+    assert(meta(ftyp("avis") ++ metaNoAssoc) == ("avif", 1280, 720))
+    // a VIDEO mp4 (no image brand) stays out of image_meta's domain
+    assert(meta(ftyp("isom", "mp42") ++ metaBox)._1 == "unknown")
+    // no ispe anywhere -> unknown; truncation sweep never throws
+    val noIspe = ftyp("avif") ++ full("meta", 0, 0,
+      box("iprp", box("ipco", box("av1C", be32(0)))))
+    assert(meta(noIspe)._1 == "unknown")
+    val whole = ftyp("heic") ++ metaBox
+    for (cut <- 1 until whole.length)
+      assert(meta(whole.take(cut))._1 == "unknown" ||
+        meta(whole.take(cut))._2 > 0)
+  }
+
   test("malformed and truncated payloads degrade to unknown, never throw") {
     assert(meta(Array[Byte]())._1 === "unknown")
     assert(meta("not an image".getBytes("UTF-8"))._1 === "unknown")
