@@ -98,8 +98,92 @@ case class ImageDecodeExpr(child: Expression)
     else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
         b(11) == 'P') webp(b)
+    else if (ImageDecodeExpr.icoEntries(b) != null) ico(b)
     else if (isTgaV2(b)) tga(b)
     else unknown
+  }
+
+  /** ICO favicon container (public ICONDIR layout — web corpora are
+    * saturated with these): picks the best entry (largest area,
+    * deepest bitCount on ties) and routes its payload to the existing
+    * decoders — a complete PNG stream, or a BMP *sans* file header
+    * whose DIB declares DOUBLED height (XOR pixel plane + 1bpp AND
+    * mask). For sub-32bpp BMP entries the AND mask drives
+    * transparency (set bit → fully transparent pixel); 32bpp entries
+    * carry their own alpha and the mask is ignored (the Vista+
+    * convention). Cursor files (type 2) are not icons and stay
+    * unknown. */
+  private def ico(b: Array[Byte]): InternalRow = {
+    val entries = ImageDecodeExpr.icoEntries(b)
+    if (entries == null) return unknown
+    var best: Array[Int] = null
+    for (e <- entries) {
+      val better = best == null ||
+        e(0).toLong * e(1) > best(0).toLong * best(1) ||
+        (e(0).toLong * e(1) == best(0).toLong * best(1) && e(2) > best(2))
+      if (better) best = e
+    }
+    val d = java.util.Arrays.copyOfRange(b, best(4), best(4) + best(3))
+    val r =
+      if (d.length >= 8 && (d(0) & 0xff) == 0x89 && d(1) == 'P' &&
+          d(2) == 'N' && d(3) == 'G') png(d)
+      else icoBmp(d)
+    if (r.getUTF8String(0).toString == "unknown") unknown
+    else InternalRow(UTF8String.fromString("ico"),
+      r.getInt(1), r.getInt(2), r.getArray(3))
+  }
+
+  /** A headerless ICO BMP entry: synthesize the 14-byte
+    * BITMAPFILEHEADER in front (pixel-data offset = header + DIB +
+    * palette), un-double the DIB height, decode through [[bmp]], then
+    * apply the AND mask (1bpp, bottom-up, 32-bit-padded rows, stored
+    * right after the XOR plane). */
+  private def icoBmp(d: Array[Byte]): InternalRow = {
+    if (d.length < 40) return unknown
+    val dibSize = le32(d, 0)
+    if (dibSize < 40 || dibSize > d.length) return unknown
+    val w = le32(d, 4)
+    val h2 = le32(d, 8)
+    if (w <= 0 || h2 <= 0 || (h2 & 1) == 1) return unknown
+    val h = h2 / 2
+    if (w.toLong * h > MaxPixels) return unknown
+    val bpp = le16(d, 14)
+    val colorsUsed = le32(d, 32)
+    val palEntries =
+      if (bpp == 1 || bpp == 4 || bpp == 8) {
+        if (colorsUsed > 0) colorsUsed else 1 << bpp
+      } else 0
+    if (palEntries < 0 || palEntries > 256) return unknown
+    val dataOff = 14 + dibSize + palEntries * 4
+    val synth = new Array[Byte](14 + d.length)
+    synth(0) = 'B'; synth(1) = 'M'
+    // only the pixel-data offset (at 10) is read by bmp()
+    synth(10) = dataOff.toByte; synth(11) = (dataOff >> 8).toByte
+    synth(12) = (dataOff >> 16).toByte; synth(13) = (dataOff >> 24).toByte
+    System.arraycopy(d, 0, synth, 14, d.length)
+    synth(22) = h.toByte; synth(23) = (h >> 8).toByte
+    synth(24) = (h >> 16).toByte; synth(25) = (h >> 24).toByte
+    val r = bmp(synth)
+    if (r.getUTF8String(0).toString == "unknown") return unknown
+    if (bpp >= 32) return r
+    val xorStride = ((w * bpp + 31) / 32) * 4
+    val andStride = ((w + 31) / 32) * 4
+    val andOff = dibSize + palEntries * 4 + xorStride * h
+    if (andOff.toLong + andStride.toLong * h > d.length) return unknown
+    val px = r.getArray(3).toIntArray
+    var y = 0
+    while (y < h) {
+      val rowOff = andOff + (h - 1 - y) * andStride
+      var x = 0
+      while (x < w) {
+        if (((d(rowOff + (x >> 3)) >> (7 - (x & 7))) & 1) == 1)
+          px(y * w + x) = 0
+        x += 1
+      }
+      y += 1
+    }
+    InternalRow(UTF8String.fromString("bmp"), w, h,
+      new GenericArrayData(px))
   }
 
   /** WebP: VP8L (lossless, [[WebpDecode]], RFC 9649) and lossy VP8
@@ -1005,6 +1089,39 @@ object ImageDecodeExpr {
   /** Decompression-bomb cap: declared pixel count above this (256 MiB
     * of ARGB) decodes as unknown rather than allocating. */
   val MaxPixels: Long = 1L << 26
+
+  /** ICO directory parse (the public ICONDIR/ICONDIRENTRY layout):
+    * (width, height, bitCount, size, offset) per entry — the 0-means-
+    * 256 dimension convention already normalized — or null when the
+    * payload is not a plausible .ico. The magic is weak (just
+    * 00 00 01 00 + a count), so EVERY directory entry must be
+    * in-bounds past the directory before the route is taken — the
+    * same discipline as the TGA footer gate. Shared by image_decode
+    * and image_meta so detection cannot drift. */
+  private[multimodal] def icoEntries(b: Array[Byte]): Array[Array[Int]] = {
+    if (b.length < 22 || b(0) != 0 || b(1) != 0 || b(2) != 1 || b(3) != 0)
+      return null
+    val count = (b(4) & 0xff) | ((b(5) & 0xff) << 8)
+    if (count < 1 || b.length < 6 + 16 * count) return null
+    val dirEnd = 6 + 16 * count
+    def le32(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    val out = new Array[Array[Int]](count)
+    var k = 0
+    while (k < count) {
+      val e = 6 + 16 * k
+      val w = { val v = b(e) & 0xff; if (v == 0) 256 else v }
+      val h = { val v = b(e + 1) & 0xff; if (v == 0) 256 else v }
+      val bpp = (b(e + 6) & 0xff) | ((b(e + 7) & 0xff) << 8)
+      val size = le32(e + 8)
+      val off = le32(e + 12)
+      if (size <= 0 || off < dirEnd || off.toLong + size > b.length)
+        return null
+      out(k) = Array(w, h, bpp, size, off)
+      k += 1
+    }
+    out
+  }
 
   /** TGA has NO leading magic, so blind detection would misread other
     * binaries; only TGA v2 files are accepted, identified by the

@@ -196,6 +196,18 @@ case class ImageMetaExpr(child: Expression)
     } else if (b.length >= 16 && b(4) == 'f' && b(5) == 't' &&
         b(6) == 'y' && b(7) == 'p') {
       try bmffImage(b) catch { case _: Exception => unknown }
+    } else if (ImageDecodeExpr.icoEntries(b) != null) {
+      // ICO favicon: the directory's largest entry (area, then
+      // bitCount — the entry image_decode picks), 0-means-256 already
+      // normalized by the shared parser
+      val entries = ImageDecodeExpr.icoEntries(b)
+      var bw = 0; var bh = 0; var bbpp = -1
+      for (e <- entries) {
+        val better = e(0).toLong * e(1) > bw.toLong * bh ||
+          (e(0).toLong * e(1) == bw.toLong * bh && e(2) > bbpp)
+        if (better) { bw = e(0); bh = e(1); bbpp = e(2) }
+      }
+      out("ico", bw, bh)
     } else if (ImageDecodeExpr.isTgaV2(b)) {
       // TGA v2 (footer-signed; no leading magic exists). Decode
       // parity: the shared structural gates (image type, depth,

@@ -381,6 +381,63 @@ object SamplingPackQueries {
             - 16777216 AS INTEGER) AS p$i""").mkString(",\n        ") + """
       FROM documents""")),
 
+    // ICO favicon decode (round-14 ImageDecodeExpr route — web corpora
+    // are saturated with favicons): evens a TWO-entry ICO (a 1x1
+    // zero-pixel loser, then the 2x2 24bpp winner whose headerless BMP
+    // carries the q_image_decode XOR arithmetic and an AND mask that
+    // blanks display pixel 0 — largest-entry selection AND mask
+    // transparency both oracled), odds a single entry wrapping the
+    // stored-deflate 2x2 PNG stream verbatim. Oracle replays pixels
+    // from the shared v(i,c) arithmetic; even p0 is the transparent 0.
+    QueryDef("q_ico_decode", (s, dir) => {
+      def hx(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def v(i: Int, c: Int) = pmod(col("doc_id") * 7 + i * 13 + c * 29,
+        lit(256)).cast("int")
+      def rgb(i: Int) = concat(hx(v(i, 0)), hx(v(i, 1)), hx(v(i, 2)))
+      def bgr(i: Int) = concat(hx(v(i, 2)), hx(v(i, 1)), hx(v(i, 0)))
+      def dib(w: Int, h2: Int) = "28000000" +
+        s"0${w}000000" + s"0${h2}000000" + "0100" + "1800" +
+        "00000000" * 6
+      // dir(38) + bmp1(48) @38 + bmp2(64) @86
+      val icoBmpHex = concat(
+        lit("00000100" + "0200" +
+          "01010000" + "0100" + "1800" + "30000000" + "26000000" +
+          "02020000" + "0100" + "1800" + "40000000" + "56000000" +
+          dib(1, 2) + "00000000" + "00000000" + // 1x1 xor + and
+          dib(2, 4)),
+        bgr(2), bgr(3), lit("0000"), bgr(0), bgr(1), lit("0000" +
+          "00000000" + "80000000")) // and: row1 opaque, (0,0) masked
+      // dir(22) + the q_image_decode stored-deflate PNG (78 B) @22
+      val icoPngHex = concat(
+        lit("00000100" + "0100" +
+          "02020000" + "0100" + "2000" + "4E000000" + "16000000" +
+          "89504E470D0A1A0A" + "0000000D" + "49484452" +
+          "00000002" + "00000002" + "08" + "02" + "000000" + "00000000" +
+          "00000015" + "49444154" + "7801" + "01" + "0E00" + "F1FF" + "00"),
+        rgb(0), rgb(1), lit("00"), rgb(2), rgb(3),
+        lit("00000000" + "00000000" + "49454E44" + "00000000"))
+      val payload = unhex(
+        when(col("doc_id") % 2 === 0, icoBmpHex).otherwise(icoPngHex))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.decodeImage(payload).as("d"))
+        .select(col("doc_id"), col("d.format").as("format"),
+          col("d.width").as("width"), col("d.height").as("height"),
+          element_at(col("d.pixels"), 1).as("p0"),
+          element_at(col("d.pixels"), 2).as("p1"),
+          element_at(col("d.pixels"), 3).as("p2"),
+          element_at(col("d.pixels"), 4).as("p3"))
+    }, Some("""
+      SELECT doc_id, 'ico' AS format, 2 AS width, 2 AS height,
+        CASE WHEN doc_id % 2 = 0 THEN 0 ELSE
+          CAST((doc_id*7) % 256 * 65536 + (doc_id*7 + 29) % 256 * 256
+            + (doc_id*7 + 58) % 256 - 16777216 AS INTEGER) END AS p0,
+        """ + (1 to 3).map(i =>
+          s"""CAST((doc_id*7 + $i*13) % 256 * 65536
+            + (doc_id*7 + $i*13 + 29) % 256 * 256
+            + (doc_id*7 + $i*13 + 58) % 256
+            - 16777216 AS INTEGER) AS p$i""").mkString(",\n        ") + """
+      FROM documents""")),
+
     // REAL nearest-neighbor resize over decoded pixels
     // (Multimodal.resizeDecoded — pure Catalyst sequence/transform/
     // element_at, no UDF): the q_image_decode payloads are decoded,

@@ -67,6 +67,7 @@ class FuzzSafetySpec extends SparkSpec {
       ".snd".getBytes, "FORM....AIFF".getBytes, "fLaC".getBytes,
       "OggS".getBytes, "P6\n".getBytes, "P5 ".getBytes,
       Array(0, 0, 0, 0x14, 'f', 't', 'y', 'p'), // BMFF
+      Array[Byte](0, 0, 1, 0, 1, 0), // ICO directory
       Array(0x1a, 0x45, 0xdf.toByte, 0xa3.toByte), // Matroska EBML
       Array('I', 'D', '3'), Array(0xff.toByte, 0xfb.toByte)) // MP3
     val payloads = for (m <- magics; _ <- 0 until 12) yield {
@@ -114,6 +115,11 @@ class FuzzSafetySpec extends SparkSpec {
         "565038203C000000F001009D012A1000100002C04C25B00274010F0C" +
         "12F2E44000FEF9527D589C0276F91644594E47952BFDAE2A6D5FB0FF" +
         "FD310DAFEEDB7E6084000000"),
+      // 1x1 ICO with a headerless-BMP entry (round-14 favicon route)
+      hex("000001000100" + "01010000" + "0100" + "1800" +
+        "30000000" + "16000000" +
+        "28000000" + "01000000" + "02000000" + "0100" + "1800" +
+        "00000000" * 6 + "09090900" + "00000000"),
       // AVIF (round-14 BMFF image route: ftyp + meta/pitm/iprp/ipco
       // with two ispe properties + the ipma association table)
       hex("000000146674797061766966000000006D696631000000766D65746100" +

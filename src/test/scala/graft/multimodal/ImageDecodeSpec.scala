@@ -656,6 +656,97 @@ class ImageDecodeSpec extends SparkSpec {
     assert(decode(Array.empty[Byte])._1 == "unknown")
   }
 
+  // ---- ICO builders (public ICONDIR/ICONDIRENTRY + headerless-BMP
+  // entry layout), shared by the decode and policy tests below
+  private def le16b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+  private def le32b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+    (v >> 16).toByte, (v >> 24).toByte)
+  /** entries: (dirWidth, dirHeight, bitCount, payload) */
+  private def ico(entries: (Int, Int, Int, Array[Byte])*): Array[Byte] = {
+    var off = 6 + 16 * entries.length
+    val dirs = entries.map { case (w, h, bpp, p) =>
+      val e = Array[Byte](w.toByte, h.toByte, 0, 0) ++ le16b(1) ++
+        le16b(bpp) ++ le32b(p.length) ++ le32b(off)
+      off += p.length
+      e
+    }
+    Array[Byte](0, 0, 1, 0) ++ le16b(entries.length) ++
+      dirs.flatten ++ entries.flatMap(_._4)
+  }
+  /** headerless-BMP DIB with the ICO doubled height */
+  private def icoDib(w: Int, h: Int, bpp: Int, clrUsed: Int = 0) =
+    le32b(40) ++ le32b(w) ++ le32b(h * 2) ++ le16b(1) ++ le16b(bpp) ++
+      le32b(0) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++ le32b(clrUsed) ++
+      le32b(0)
+
+  test("ico: largest entry wins; XOR+AND BMP entries; PNG entries; 32bpp alpha") {
+    def px(i: Int) = 0xff000000 | ((10 + i) << 16) | ((20 + i) << 8) | (30 + i)
+    def bgr(i: Int) = Array[Byte]((30 + i).toByte, (20 + i).toByte,
+      (10 + i).toByte)
+    // 2x2 24bpp: XOR bottom-up (row 1 first), 2-byte row pad; AND mask
+    // marks display pixel (0,0) transparent
+    val xor24 = bgr(2) ++ bgr(3) ++ Array[Byte](0, 0) ++
+      bgr(0) ++ bgr(1) ++ Array[Byte](0, 0)
+    val and24 = Array[Byte](0, 0, 0, 0) ++ // display row 1: opaque
+      Array[Byte](0x80.toByte, 0, 0, 0) // display row 0: (0,0) masked
+    val bmp2 = icoDib(2, 2, 24) ++ xor24 ++ and24
+    // 1x1 24bpp loser entry
+    val bmp1 = icoDib(1, 1, 24) ++ Array[Byte](9, 9, 9, 0) ++
+      Array[Byte](0, 0, 0, 0)
+    val two = ico((1, 1, 24, bmp1), (2, 2, 24, bmp2))
+    assert(decode(two) == ("ico", 2, 2,
+      Seq(0, px(1), px(2), px(3)))) // p0 transparent via the AND mask
+    // PNG entry: JDK-encoded stream routed to the png decoder
+    val img = testImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    val fromPng = ico((4, 4, 32, encodeJdk(img, "png")))
+    assert(decode(fromPng) == ("ico", 4, 4, argb(img)))
+    // 32bpp BGRA entry: alpha from the 4th byte; AND mask IGNORED
+    // (all-ones mask must not blank the image — Vista+ convention)
+    def bgra(i: Int, a: Int) = bgr(i) ++ Array[Byte](a.toByte)
+    val xor32 = bgra(2, 200) ++ bgra(3, 250) ++ bgra(0, 100) ++ bgra(1, 150)
+    val and32 = Array.fill[Byte](8)(0xff.toByte)
+    val bmp32 = icoDib(2, 2, 32) ++ xor32 ++ and32
+    assert(decode(ico((2, 2, 32, bmp32))) == ("ico", 2, 2, Seq(
+      (px(0) & 0xffffff) | (100 << 24), (px(1) & 0xffffff) | (150 << 24),
+      (px(2) & 0xffffff) | (200 << 24), (px(3) & 0xffffff) | (250 << 24))))
+    // 8bpp palette entry (colorsUsed = 2): indices through the BGRA
+    // quad table, AND mask opaque
+    val pal = Array[Byte](30, 20, 10, 0) ++ Array[Byte](33, 23, 13, 0)
+    val xor8 = Array[Byte](1, 0, 0, 0) ++ Array[Byte](0, 1, 0, 0)
+    val bmp8 = icoDib(2, 2, 8, clrUsed = 2) ++ pal ++ xor8 ++
+      Array.fill[Byte](8)(0)
+    assert(decode(ico((2, 2, 8, bmp8))) == ("ico", 2, 2,
+      Seq(px(0), px(3), px(3), px(0))))
+    // meta agrees on the directory's largest entry
+    val m = Seq(Tuple1(two)).toDF("p")
+      .select(Multimodal.imageMeta(col("p")).as("m"))
+      .select("m.format", "m.width", "m.height").head()
+    assert((m.getString(0), m.getInt(1), m.getInt(2)) == ("ico", 2, 2))
+  }
+
+  test("ico: cursors, odd heights, out-of-bounds entries degrade to unknown") {
+    val good = icoDib(1, 1, 24) ++ Array[Byte](9, 9, 9, 0, 0, 0, 0, 0)
+    // cursor type (2) is not an icon
+    val cur = ico((1, 1, 24, good))
+    cur(2) = 2
+    assert(decode(cur)._1 == "unknown")
+    // entry claiming bytes past the payload
+    val oob = ico((1, 1, 24, good))
+    oob(6 + 8) = 99 // inflate the size field
+    assert(decode(oob)._1 == "unknown")
+    // odd (un-doubled) DIB height
+    val odd = icoDib(1, 1, 24).clone()
+    odd(8) = 1 // height 1 instead of 2
+    assert(decode(ico((1, 1, 24, odd ++ Array[Byte](9, 9, 9, 0, 0, 0, 0, 0))))._1
+      == "unknown")
+    // truncation sweep never throws
+    val whole = ico((1, 1, 24, good))
+    for (cut <- 1 until whole.length) {
+      val r = decode(whole.take(cut))
+      assert(r._1 == "unknown" || r._2 > 0)
+    }
+  }
+
   test("resizeDecoded: nearest-neighbor downsample matches the direct computation") {
     val img = testImage(16, 12, BufferedImage.TYPE_INT_RGB)
     val r = Seq(Tuple1(encodeJdk(img, "png"))).toDF("p")
