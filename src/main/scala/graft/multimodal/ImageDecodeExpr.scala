@@ -79,7 +79,7 @@ case class ImageDecodeExpr(child: Expression)
     try decode(b) catch { case _: Exception => unknown }
   }
 
-  private def decode(b: Array[Byte]): InternalRow = {
+  private[multimodal] def decode(b: Array[Byte]): InternalRow = {
     if (b.length >= 8 &&
         (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
         (b(4) & 0xff) == 0x0d && (b(5) & 0xff) == 0x0a &&
@@ -1089,6 +1089,12 @@ object ImageDecodeExpr {
   /** Decompression-bomb cap: declared pixel count above this (256 MiB
     * of ARGB) decodes as unknown rather than allocating. */
   val MaxPixels: Long = 1L << 26
+
+  /** Standalone decode entry for sibling expressions that re-assemble
+    * containers around the shared pipelines (the APNG frame walk in
+    * [[VideoFrameExpr]]); the instance never evaluates its child. */
+  private[multimodal] lazy val standalone: ImageDecodeExpr =
+    ImageDecodeExpr(null)
 
   /** ICO directory parse (the public ICONDIR/ICONDIRENTRY layout):
     * (width, height, bitCount, size, offset) per entry — the 0-means-

@@ -33,6 +33,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - Animated WebP (RIFF): ANMF chunks in container order are the
   *    frames, each decoded standalone from its ALPH?+VP8/VP8L
   *    sub-chunks (no canvas compositing).
+  *  - APNG (PNG acTL/fcTL/fdAT): fcTL chunks are the frames, each
+  *    re-assembled as a standalone PNG and decoded through the
+  *    shared PNG pipeline (no canvas compositing — see [[apngWalk]]).
   *
   * In every container the chosen frame is verified by its bitstream
   * magic (JPEG SOI / VP8 keyframe tag + sync code) rather than
@@ -83,6 +86,8 @@ case class VideoFrameExpr(left: Expression, right: Expression)
           (b(3) & 0xff) == 0xa3) mkvWalk(b, n)
       else if (n >= 0 && b.length >= 12 && fourcc(b, 0) == "RIFF" &&
           fourcc(b, 8) == "WEBP") webpAnimWalk(b, n)
+      else if (n >= 0 && b.length >= 8 && (b(0) & 0xff) == 0x89 &&
+          b(1) == 'P' && b(2) == 'N' && b(3) == 'G') apngWalk(b, n)
       else walk(b, n)
     } catch { case _: Exception => unknown }
   }
@@ -116,6 +121,104 @@ case class VideoFrameExpr(left: Expression, right: Expression)
         r.width, r.height, frames, new GenericArrayData(r.pixels))
       case None => unknown
     }
+  }
+
+  /** APNG (the public acTL/fcTL/fdAT animation chunks, part of the
+    * W3C PNG-3 spec): fcTL chunks in container order are the frames —
+    * the IDAT image belongs to the animation only when an fcTL
+    * precedes it (otherwise it is the non-animated default image and
+    * fdAT frames start at index 0 regardless). Frame n decodes
+    * STANDALONE by re-assembling a minimal PNG — IHDR patched to the
+    * fcTL dimensions, PLTE/tRNS carried over, the frame's IDAT/fdAT
+    * payloads concatenated as one IDAT — through the shared
+    * [[ImageDecodeExpr]] PNG pipeline (inflate + unfilter + bomb
+    * guard). Canvas compositing with x/y offsets, dispose and blend
+    * ops is out of scope — the ANMF convention; the dominant corpus
+    * shape is full-canvas frames. A still PNG (no acTL) is an image,
+    * not a video — unknown here, image_decode's job. */
+  private def apngWalk(b: Array[Byte], want: Int): InternalRow = {
+    def be32i(i: Int): Int = ((b(i) & 0xff) << 24) |
+      ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    var i = 8
+    var ihdrS = -1
+    var hasActl = false
+    var plteS = -1; var plteE = -1
+    var trnsS = -1; var trnsE = -1
+    var frames = 0
+    var curIsWant = false
+    var wantW = -1; var wantH = -1
+    val parts = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var end = false
+    while (!end && i + 8 <= b.length) {
+      val len = be32i(i)
+      if (len < 0 || i + 12L + len > b.length) return unknown
+      val typ = fourcc(b, i + 4)
+      val ds = i + 8; val de = ds + len
+      typ match {
+        case "IHDR" => if (len >= 13 && ihdrS < 0) ihdrS = ds
+        case "acTL" => hasActl = true
+        case "PLTE" => if (plteS < 0) { plteS = ds; plteE = de }
+        case "tRNS" => if (trnsS < 0) { trnsS = ds; trnsE = de }
+        case "fcTL" =>
+          if (len < 26) return unknown
+          curIsWant = frames == want
+          if (curIsWant) { wantW = be32i(ds + 4); wantH = be32i(ds + 8) }
+          frames += 1
+        case "IDAT" => // a frame only when an fcTL already opened one
+          if (frames > 0 && curIsWant) parts += ((ds, de))
+        case "fdAT" => // 4-byte sequence number, then raw IDAT data
+          if (len < 4) return unknown
+          if (curIsWant) parts += ((ds + 4, de))
+        case "IEND" => end = true
+        case _ => ()
+      }
+      i = de + 4 // skip CRC
+    }
+    if (!hasActl || frames == 0 || want >= frames || ihdrS < 0 ||
+        parts.isEmpty || wantW <= 0 || wantH <= 0) return unknown
+    // minimal PNG re-assembly; the shared decoder tolerates zero CRCs
+    val dataLen = parts.map(p => p._2 - p._1).sum
+    val palLen = if (plteS < 0) 0 else 12 + (plteE - plteS)
+    val trnLen = if (trnsS < 0) 0 else 12 + (trnsE - trnsS)
+    val synth = new Array[Byte](8 + 25 + palLen + trnLen +
+      12 + dataLen + 12)
+    var o = 0
+    def put(bytes: Array[Byte]): Unit = {
+      System.arraycopy(bytes, 0, synth, o, bytes.length)
+      o += bytes.length
+    }
+    def chunkHead(len: Int, typ: String): Unit = {
+      synth(o) = (len >> 24).toByte; synth(o + 1) = (len >> 16).toByte
+      synth(o + 2) = (len >> 8).toByte; synth(o + 3) = len.toByte
+      o += 4
+      var k = 0
+      while (k < 4) { synth(o + k) = typ.charAt(k).toByte; k += 1 }
+      o += 4
+    }
+    def copyRange(s: Int, e: Int): Unit = {
+      System.arraycopy(b, s, synth, o, e - s); o += e - s
+    }
+    put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    chunkHead(13, "IHDR")
+    copyRange(ihdrS, ihdrS + 13)
+    // patch the frame's own dimensions over the canvas dimensions
+    synth(o - 13) = (wantW >> 24).toByte; synth(o - 12) = (wantW >> 16).toByte
+    synth(o - 11) = (wantW >> 8).toByte; synth(o - 10) = wantW.toByte
+    synth(o - 9) = (wantH >> 24).toByte; synth(o - 8) = (wantH >> 16).toByte
+    synth(o - 7) = (wantH >> 8).toByte; synth(o - 6) = wantH.toByte
+    o += 4 // zero CRC
+    if (plteS >= 0) { chunkHead(plteE - plteS, "PLTE")
+      copyRange(plteS, plteE); o += 4 }
+    if (trnsS >= 0) { chunkHead(trnsE - trnsS, "tRNS")
+      copyRange(trnsS, trnsE); o += 4 }
+    chunkHead(dataLen, "IDAT")
+    parts.foreach { case (s, e) => copyRange(s, e) }
+    o += 4
+    chunkHead(0, "IEND")
+    val r = ImageDecodeExpr.standalone.decode(synth)
+    if (r.getUTF8String(0).toString != "png") unknown
+    else InternalRow(UTF8String.fromString("apng"),
+      r.getInt(1), r.getInt(2), frames, r.getArray(3))
   }
 
   /** Decode + emit once the frame slot is located (shared tail of all

@@ -58,6 +58,8 @@ case class VideoMetaExpr(child: Expression)
       else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' &&
           b(2) == 'F' && b(3) == 'F' && b(8) == 'W' && b(9) == 'E' &&
           b(10) == 'B' && b(11) == 'P') webpAnimMeta(b)
+      else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' &&
+          b(2) == 'N' && b(3) == 'G') apngMeta(b)
       else walk(b)
     } catch { case _: Exception => unknown }
   }
@@ -90,6 +92,44 @@ case class VideoMetaExpr(child: Expression)
     // malformed container — the unknown row, not -1×-1 dimensions
     if (!ok || frames == 0 || w < 0) unknown
     else InternalRow(UTF8String.fromString("webp"), durationMs, w, h, 1)
+  }
+
+  /** APNG (PNG acTL/fcTL/fdAT animation chunks): format "apng";
+    * width/height = the IHDR canvas; duration_ms = the sum of fcTL
+    * delays (delay_num/delay_den seconds, a zero denominator meaning
+    * 1/100 s per the spec); tracks = 1 — the frame count is
+    * video_frame's `frames` output, the ANMF symmetry. A still PNG
+    * (no acTL, or acTL with no fcTL) is an image → unknown. */
+  private def apngMeta(b: Array[Byte]): InternalRow = {
+    def be32i(i: Int): Int = ((b(i) & 0xff) << 24) |
+      ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) |
+      (b(i + 3) & 0xff)
+    var i = 8
+    var w = -1; var h = -1
+    var hasActl = false
+    var frames = 0
+    var durationMs = 0L
+    var end = false
+    while (!end && i + 8 <= b.length) {
+      val len = be32i(i)
+      if (len < 0 || i + 12L + len > b.length) return unknown
+      val ds = i + 8
+      new String(b, i + 4, 4, "ISO-8859-1") match {
+        case "IHDR" => if (len >= 13 && w < 0) { w = be32i(ds); h = be32i(ds + 4) }
+        case "acTL" => hasActl = true
+        case "fcTL" =>
+          if (len < 26) return unknown
+          frames += 1
+          val num = be16(b, ds + 20)
+          val den = { val d = be16(b, ds + 22); if (d == 0) 100 else d }
+          durationMs += num * 1000L / den
+        case "IEND" => end = true
+        case _ => ()
+      }
+      i = ds + len + 4
+    }
+    if (!hasActl || frames == 0 || w <= 0 || h <= 0) unknown
+    else InternalRow(UTF8String.fromString("apng"), durationMs, w, h, 1)
   }
 
   /** Matroska/WebM metadata ([[Ebml]] primitives, RFC 8794 + the

@@ -438,6 +438,102 @@ object SamplingPackQueries {
             - 16777216 AS INTEGER) AS p$i""").mkString(",\n        ") + """
       FROM documents""")),
 
+    // APNG frame sampling (round-14 VideoFrameExpr route — the
+    // acTL/fcTL/fdAT symmetry of q_gif_frames/q_webp_anim): per doc a
+    // TWO-frame 2x2 APNG — frame 0 carried by the IDAT (its fcTL
+    // precedes it), frame 1 by an fdAT chunk, both STORED-deflate zlib
+    // blocks of the shared v(i,c) scanline arithmetic (frame 1 uses
+    // pixel indices 4..7). Both frames are sampled and every pixel is
+    // replayed by the oracle.
+    QueryDef("q_apng_frames", (s, dir) => {
+      def hx(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def v(i: Int, c: Int) = pmod(col("doc_id") * 7 + i * 13 + c * 29,
+        lit(256)).cast("int")
+      def rgb(i: Int) = concat(hx(v(i, 0)), hx(v(i, 1)), hx(v(i, 2)))
+      def be16h(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+      def stored(base: Int) = concat(
+        lit("7801" + "01" + "0E00" + "F1FF" + "00"),
+        rgb(base), rgb(base + 1), lit("00"), rgb(base + 2), rgb(base + 3))
+      def fctl(seqHex: String, num: org.apache.spark.sql.Column,
+          denHex: String) = concat(
+        lit("0000001A" + "6663544C" + seqHex +
+          "00000002" + "00000002" + "00000000" + "00000000"),
+        be16h(num), lit(denHex + "0000" + "00000000"))
+      val apngHex = concat(
+        lit("89504E470D0A1A0A" +
+          "0000000D" + "49484452" + "00000002" + "00000002" +
+          "08" + "02" + "000000" + "00000000" +
+          "00000008" + "6163544C" + "00000002" + "00000000" + "00000000"),
+        fctl("00000000", pmod(col("doc_id"), lit(20)) + 1, "0064"),
+        lit("00000015" + "49444154"), stored(0), lit("00000000"),
+        fctl("00000001", pmod(col("doc_id"), lit(7)) + 1, "0000"),
+        lit("00000019" + "66644154" + "00000002"), stored(4),
+        lit("00000000" + "00000000" + "49454E44" + "00000000"))
+      val payload = unhex(apngHex)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.videoFrame(payload, lit(0)).as("f0"),
+          Multimodal.videoFrame(payload, lit(1)).as("f1"))
+        .select(col("doc_id"), col("f0.format").as("format"),
+          col("f0.width").as("width"), col("f0.height").as("height"),
+          col("f0.frames").as("frames"),
+          element_at(col("f0.pixels"), 1).as("a0"),
+          element_at(col("f0.pixels"), 4).as("a3"),
+          element_at(col("f1.pixels"), 1).as("b0"),
+          element_at(col("f1.pixels"), 4).as("b3"))
+    }, Some("""
+      SELECT doc_id, 'apng' AS format, 2 AS width, 2 AS height,
+        2 AS frames,
+        """ + Seq(("a0", 0), ("a3", 3), ("b0", 4), ("b3", 7)).map {
+          case (name, i) =>
+            s"""CAST((doc_id*7 + $i*13) % 256 * 65536
+              + (doc_id*7 + $i*13 + 29) % 256 * 256
+              + (doc_id*7 + $i*13 + 58) % 256
+              - 16777216 AS INTEGER) AS $name""" }.mkString(",\n        ") + """
+      FROM documents""")),
+
+    // APNG metadata (the q_video_meta duration-row symmetry): the
+    // q_apng_frames payload through video_meta — duration = the sum
+    // of fcTL delays, frame 1 pinning the zero-denominator-means-100
+    // rule; canvas from IHDR; tracks = 1.
+    QueryDef("q_video_meta_apng", (s, dir) => {
+      def hx(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      def v(i: Int, c: Int) = pmod(col("doc_id") * 7 + i * 13 + c * 29,
+        lit(256)).cast("int")
+      def rgb(i: Int) = concat(hx(v(i, 0)), hx(v(i, 1)), hx(v(i, 2)))
+      def be16h(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+      def stored(base: Int) = concat(
+        lit("7801" + "01" + "0E00" + "F1FF" + "00"),
+        rgb(base), rgb(base + 1), lit("00"), rgb(base + 2), rgb(base + 3))
+      def fctl(seqHex: String, num: org.apache.spark.sql.Column,
+          denHex: String) = concat(
+        lit("0000001A" + "6663544C" + seqHex +
+          "00000002" + "00000002" + "00000000" + "00000000"),
+        be16h(num), lit(denHex + "0000" + "00000000"))
+      val apngHex = concat(
+        lit("89504E470D0A1A0A" +
+          "0000000D" + "49484452" + "00000002" + "00000002" +
+          "08" + "02" + "000000" + "00000000" +
+          "00000008" + "6163544C" + "00000002" + "00000000" + "00000000"),
+        fctl("00000000", pmod(col("doc_id"), lit(20)) + 1, "0064"),
+        lit("00000015" + "49444154"), stored(0), lit("00000000"),
+        fctl("00000001", pmod(col("doc_id"), lit(7)) + 1, "0000"),
+        lit("00000019" + "66644154" + "00000002"), stored(4),
+        lit("00000000" + "00000000" + "49454E44" + "00000000"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.videoMeta(unhex(apngHex)).as("m"))
+        .select(col("doc_id"), col("m.format").as("format"),
+          col("m.duration_ms").as("duration_ms"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.tracks").as("tracks"))
+    }, Some("""
+      SELECT doc_id, 'apng' AS format,
+        CAST((doc_id % 20 + 1) * 10 + (doc_id % 7 + 1) * 10 AS BIGINT)
+          AS duration_ms,
+        2 AS width, 2 AS height, 1 AS tracks
+      FROM documents""")),
+
     // REAL nearest-neighbor resize over decoded pixels
     // (Multimodal.resizeDecoded — pure Catalyst sequence/transform/
     // element_at, no UDF): the q_image_decode payloads are decoded,

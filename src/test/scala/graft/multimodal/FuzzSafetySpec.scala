@@ -115,6 +115,16 @@ class FuzzSafetySpec extends SparkSpec {
         "565038203C000000F001009D012A1000100002C04C25B00274010F0C" +
         "12F2E44000FEF9527D589C0276F91644594E47952BFDAE2A6D5FB0FF" +
         "FD310DAFEEDB7E6084000000"),
+      // 2-frame 2x2 APNG (round-14 acTL/fcTL/fdAT route; the
+      // q_apng_frames doc_id=0 shape)
+      hex("89504E470D0A1A0A0000000D4948445200000002000000020802000000" +
+        "00000000000000086163544C0000000200000000000000000000001A66" +
+        "63544C0000000000000002000000020000000000000000000100640000" +
+        "0000000000000015494441547801010E00F1FF00001D3A0D2A47001A37" +
+        "54274461000000000000001A6663544C00000001000000020000000200" +
+        "0000000000000000010000000000000000000000196664415400000002" +
+        "7801010E00F1FF0034516E415E7B004E6B885B78950000000000000000" +
+        "49454E4400000000"),
       // 1x1 ICO with a headerless-BMP entry (round-14 favicon route)
       hex("000001000100" + "01010000" + "0100" + "1800" +
         "30000000" + "16000000" +

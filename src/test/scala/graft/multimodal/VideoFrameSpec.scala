@@ -327,6 +327,82 @@ class VideoFrameSpec extends SparkSpec {
     assert(asImage.nonEmpty && asImage.get.pixels.toSeq == px0)
   }
 
+  test("APNG: fcTL frames re-assemble through the PNG pipeline; default image excluded") {
+    def pngOf(seed: Int): (Array[Byte], Seq[Int]) = {
+      val img = new BufferedImage(4, 4, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 4; x <- 0 until 4)
+        img.setRGB(x, y, 0xff000000 | (((x * 41 + y * 13 + seed) % 256) << 16) |
+          (((x * 7 + y * 59 + seed * 3) % 256) << 8) |
+          ((x * 23 + y * 5 + seed * 11) % 256))
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      (bos.toByteArray,
+        for (y <- 0 until 4; x <- 0 until 4) yield img.getRGB(x, y))
+    }
+    def chunksOf(png: Array[Byte]): Seq[(String, Array[Byte])] = {
+      val out = ArrayBuffer[(String, Array[Byte])]()
+      var i = 8
+      while (i + 8 <= png.length) {
+        val len = ((png(i) & 0xff) << 24) | ((png(i + 1) & 0xff) << 16) |
+          ((png(i + 2) & 0xff) << 8) | (png(i + 3) & 0xff)
+        out += ((new String(png, i + 4, 4, "ISO-8859-1"),
+          png.slice(i + 8, i + 8 + len)))
+        i += 12 + len
+      }
+      out.toSeq
+    }
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def be16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]) = // zero CRC: tolerated
+      be32(data.length) ++ typ.getBytes("ISO-8859-1") ++ data ++ be32(0)
+    val (png0, px0) = pngOf(1)
+    val (png1, px1) = pngOf(77)
+    val ihdr = chunksOf(png0).find(_._1 == "IHDR").get._2
+    def idat(png: Array[Byte]) =
+      chunksOf(png).filter(_._1 == "IDAT").flatMap(_._2).toArray
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    def fctl(seq: Int, num: Int, den: Int) = chunk("fcTL",
+      be32(seq) ++ be32(4) ++ be32(4) ++ be32(0) ++ be32(0) ++
+        be16(num) ++ be16(den) ++ Array[Byte](0, 0))
+    // 2-frame animation: frame 0 carried by IDAT (fcTL precedes it),
+    // frame 1 by an fdAT chunk
+    val anim = sig ++ chunk("IHDR", ihdr) ++
+      chunk("acTL", be32(2) ++ be32(0)) ++
+      fctl(0, 3, 100) ++ chunk("IDAT", idat(png0)) ++
+      fctl(1, 7, 0) ++ chunk("fdAT", be32(2) ++ idat(png1)) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(frame(anim, 0) == ("apng", 4, 4, 2, px0))
+    assert(frame(anim, 1) == ("apng", 4, 4, 2, px1))
+    assert(frame(anim, 2)._1 == "unknown") // out of range
+    // the metadata twin: duration 3/100 s + 7/(0 -> 100) s = 100 ms
+    val m = Seq(Tuple1(anim)).toDF("p")
+      .select(Multimodal.videoMeta(col("p")).as("m"))
+      .select("m.format", "m.duration_ms", "m.width", "m.height",
+        "m.tracks").head()
+    assert((m.getString(0), m.getLong(1), m.getInt(2), m.getInt(3),
+      m.getInt(4)) == ("apng", 100L, 4, 4, 1))
+    // an IDAT with NO preceding fcTL is the non-animated default
+    // image: excluded from the animation, fdAT frames start at 0
+    val deflt = sig ++ chunk("IHDR", ihdr) ++
+      chunk("acTL", be32(1) ++ be32(0)) ++
+      chunk("IDAT", idat(png0)) ++
+      fctl(0, 5, 100) ++ chunk("fdAT", be32(1) ++ idat(png1)) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(frame(deflt, 0) == ("apng", 4, 4, 1, px1))
+    // a still PNG (no acTL) is an image, not a video
+    assert(frame(png0, 0)._1 == "unknown")
+    val sm = Seq(Tuple1(png0)).toDF("p")
+      .select(Multimodal.videoMeta(col("p")).as("m")).select("m.format")
+      .head()
+    assert(sm.getString(0) == "unknown")
+    // truncation sweep never throws
+    for (cut <- 1 until anim.length by 7) {
+      val r = frame(anim.take(cut), 0)
+      assert(r._1 == "unknown" || r._2 > 0)
+    }
+  }
+
   test("MKV corpus-safety: lacing, wrong codec, truncation") {
     val j = jpegOf(50, 8, 8)
     val tracks = elem(0x1654AE6B, mkvTrackEntry(1, "V_MJPEG"))
