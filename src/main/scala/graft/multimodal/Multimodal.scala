@@ -110,6 +110,17 @@ object Multimodal {
     ColumnBridge.column(HttpResponseExpr(ColumnBridge.expression(payload)))
   }
 
+  /** sitemaps.org XML parsing — see [[SitemapEntriesExpr]]. The
+    * crawl-discovery inventory: array<struct<kind, loc, lastmod,
+    * changefreq, priority>> from a urlset or sitemapindex document
+    * (NULL when the payload is not a sitemap); robots.txt names the
+    * sitemaps, this yields their URLs to join against fetched pages. */
+  def sitemapEntries(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(SitemapEntriesExpr(ColumnBridge.expression(payload)))
+  }
+
   /** RFC 9309 robots.txt evaluation — see [[RobotsCheckExpr]]. The
     * crawl-compliance gate: struct<allowed, matched_rule,
     * crawl_delay> for (robots_txt, user_agent, path). */

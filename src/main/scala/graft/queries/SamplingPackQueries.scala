@@ -940,6 +940,101 @@ object SamplingPackQueries {
       FROM documents
       WHERE (doc_id % 3 = 0 AND doc_id % 2 = 1) OR doc_id % 3 = 2""")),
 
+    // sitemap.xml parsing (round-14 SitemapEntriesExpr — the discovery
+    // half of the crawl chain robots.txt's Sitemap: directive names):
+    // per doc one of THREE sitemaps.org shapes — a two-URL urlset with
+    // lastmod/changefreq/priority and an &amp; entity in the second
+    // loc, a sitemapindex (kind "sitemap"), and a namespace-prefixed
+    // urlset whose first url LACKS the mandatory loc (dropped) with
+    // the surviving loc in CDATA. The oracle replays the exploded rows
+    // as a UNION of doc_id arithmetic.
+    QueryDef("q_sitemap_entries", (s, dir) => {
+      val m = pmod(col("doc_id"), lit(3))
+      val urlset = concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+          "<url><loc>https://ex.com/a"), col("doc_id"),
+        lit("</loc><lastmod>2024-01-02</lastmod>" +
+          "<changefreq>daily</changefreq><priority>0."),
+        pmod(col("doc_id"), lit(10)),
+        lit("</priority></url><url><loc>https://ex.com/b"), col("doc_id"),
+        lit("?x=1&amp;y=2</loc></url></urlset>"))
+      val index = concat(
+        lit("<sitemapindex><sitemap><loc>https://ex.com/sm"), col("doc_id"),
+        lit(".xml</loc><lastmod>2024-02-03T04:05:06Z</lastmod>" +
+          "</sitemap></sitemapindex>"))
+      val prefixed = concat(
+        lit("<ns:urlset xmlns:ns=\"x\">" +
+          "<ns:url><ns:lastmod>2024-03-04</ns:lastmod></ns:url>" +
+          "<ns:url><ns:loc><![CDATA[https://ex.com/c"), col("doc_id"),
+        lit("]]></ns:loc></ns:url></ns:urlset>"))
+      val xml = when(m === 0, urlset).when(m === 1, index)
+        .otherwise(prefixed)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Multimodal.sitemapEntries(encode(xml, "UTF-8"))).as("e"))
+        .select(col("doc_id"), col("e.kind").as("kind"),
+          col("e.loc").as("loc"), col("e.lastmod").as("lastmod"),
+          col("e.changefreq").as("changefreq"),
+          col("e.priority").as("priority"))
+    }, Some("""
+      SELECT doc_id, 'url' AS kind,
+        'https://ex.com/a' || doc_id AS loc, '2024-01-02' AS lastmod,
+        'daily' AS changefreq,
+        CAST(doc_id % 10 AS DOUBLE) / 10 AS priority
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, 'url', 'https://ex.com/b' || doc_id || '?x=1&y=2',
+        NULL, NULL, NULL
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, 'sitemap', 'https://ex.com/sm' || doc_id || '.xml',
+        '2024-02-03T04:05:06Z', NULL, NULL
+      FROM documents WHERE doc_id % 3 = 1
+      UNION ALL
+      SELECT doc_id, 'url', 'https://ex.com/c' || doc_id,
+        NULL, NULL, NULL
+      FROM documents WHERE doc_id % 3 = 2""")),
+
+    // sitemap -> fetched-pages discovery join (round-14 — closes the
+    // crawl-ingestion discovery story: robots names sitemaps, sitemaps
+    // name URLs, the join audits coverage of what was actually
+    // fetched): pages live on 16 hosts (doc_id % 16); each host's
+    // sitemap is AGGREGATED from the docs the host "lists" (doc_id %
+    // 3 != 0 — a third of the corpus is deliberately unlisted), then
+    // exploded through sitemap_entries and joined back on (host, url).
+    // The oracle replays the discovered flag as pure arithmetic. Scale
+    // shape: the per-host aggregation is one shuffle over 16 keys
+    // (real sitemaps cap at the protocol's 50k URLs per file); the
+    // discovery join is a keyed equi-join on (host, url) — both sides
+    // partition by the same key, no broadcast needed, no skew (hosts
+    // are uniform by construction).
+    QueryDef("q_crawl_sitemap_join", (s, dir) => {
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(16)).cast("int").as("host"))
+        .withColumn("url", concat(lit("https://h"), col("host"),
+          lit(".ex/doc/"), col("doc_id")))
+      val sitemaps = pages
+        .filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .groupBy("host")
+        .agg(concat(lit("<urlset>"),
+          concat_ws("", sort_array(collect_list(
+            concat(lit("<url><loc>"), col("url"), lit("</loc></url>"))))),
+          lit("</urlset>")).as("xml"))
+      val listed = sitemaps
+        .select(col("host"),
+          explode(Multimodal.sitemapEntries(encode(col("xml"), "UTF-8")))
+            .as("e"))
+        .select(col("host"), col("e.loc").as("url"),
+          lit(true).as("found"))
+      pages.join(listed, Seq("host", "url"), "left")
+        .select(col("doc_id"),
+          coalesce(col("found"), lit(false)).as("discovered"))
+    }, Some("""
+      SELECT doc_id, doc_id % 3 <> 0 AS discovered
+      FROM documents""")),
+
     // robots.txt evaluation (round-12 RobotsCheckExpr, RFC 9309): a
     // FIXED rule file (specific group with a prefix disallow, a
     // longer allow override, a *$-anchored wildcard, crawl-delay,

@@ -26,7 +26,8 @@ class FuzzSafetySpec extends SparkSpec {
     ("video_frame", c => Multimodal.videoFrame(c, lit(0))),
     ("decompress", c => Multimodal.decompress(c)),
     ("warc_records", Multimodal.warcRecords),
-    ("http_response", Multimodal.httpResponse))
+    ("http_response", Multimodal.httpResponse),
+    ("sitemap_entries", Multimodal.sitemapEntries))
 
   private def sweep(payloads: Seq[Array[Byte]], label: String): Unit = {
     val df = payloads.map(Tuple1(_)).toDF("p")
