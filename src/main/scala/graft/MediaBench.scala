@@ -445,6 +445,87 @@ object MediaBench {
     out
   }
 
+  /** Transparent lossy WebP: VP8X + a raw (uncompressed, filter-0)
+    * noise ALPH plane + the [[vp8Bytes]] keyframe — the round-13
+    * alpha route at corpus sizes (the raw plane isolates alpha-apply
+    * cost; the compressed-plane path rides the VP8L machinery already
+    * measured by the webp rows). */
+  private[graft] def vp8AlphaBytes(id: Long, size: Int): Array[Byte] = {
+    val base = vp8Bytes(id, size)
+    val vp8Chunk = java.util.Arrays.copyOfRange(base, 12, base.length)
+    val alphaData = new Array[Byte](1 + size * size) // header byte 0 = raw
+    var s = id
+    var i = 1
+    while (i < alphaData.length) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      alphaData(i) = (s >>> 32).toByte
+      i += 1
+    }
+    val alphaPad = alphaData.length & 1
+    val out = new Array[Byte](12 + 18 + 8 + alphaData.length + alphaPad +
+      vp8Chunk.length)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    def le24(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte
+    }
+    "RIFF".getBytes.copyToArray(out, 0)
+    le32(4, out.length - 8)
+    "WEBPVP8X".getBytes.copyToArray(out, 8)
+    le32(16, 10)
+    out(20) = 0x10 // alpha flag
+    le24(24, size - 1); le24(27, size - 1)
+    "ALPH".getBytes.copyToArray(out, 30)
+    le32(34, alphaData.length)
+    alphaData.copyToArray(out, 38)
+    vp8Chunk.copyToArray(out, 38 + alphaData.length + alphaPad)
+    out
+  }
+
+  /** Animated WebP: `frames` ANMF chunks each wrapping an independent
+    * [[vp8Bytes]] keyframe — the round-13 ANMF walk + per-frame
+    * standalone decode at corpus sizes. */
+  private[graft] def webpAnimBytes(id: Long, size: Int,
+      frames: Int): Array[Byte] = {
+    val subs = (0 until frames).map { f =>
+      val base = vp8Bytes(id * 31 + f, size)
+      java.util.Arrays.copyOfRange(base, 12, base.length)
+    }
+    val anmf = subs.map { sub =>
+      val len = 16 + sub.length
+      val c = new Array[Byte](8 + len + (len & 1))
+      "ANMF".getBytes.copyToArray(c, 0)
+      c(4) = len.toByte; c(5) = (len >> 8).toByte; c(6) = (len >> 16).toByte
+      // x=0 y=0; w-1/h-1 24-bit LE; duration 40 ms; flags 0
+      c(14) = (size - 1).toByte; c(15) = ((size - 1) >> 8).toByte
+      c(17) = (size - 1).toByte; c(18) = ((size - 1) >> 8).toByte
+      c(20) = 40
+      sub.copyToArray(c, 24)
+      c
+    }
+    val body = 18 + 14 + anmf.map(_.length).sum // VP8X + ANIM + frames
+    val out = new Array[Byte](12 + body)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    "RIFF".getBytes.copyToArray(out, 0)
+    le32(4, out.length - 8)
+    "WEBPVP8X".getBytes.copyToArray(out, 8)
+    le32(16, 10)
+    out(20) = 0x02 // animation flag
+    out(24) = (size - 1).toByte; out(25) = ((size - 1) >> 8).toByte
+    out(27) = (size - 1).toByte; out(28) = ((size - 1) >> 8).toByte
+    "ANIM".getBytes.copyToArray(out, 30)
+    le32(34, 6) // 6-byte body (bgcolor + loop count), ends at 44
+    var o = 44
+    anmf.foreach { c => c.copyToArray(out, o); o += c.length }
+    out
+  }
+
   /** Noise-content brotli (RFC 7932): one LAST compressed meta-block,
     * single block types, one 4-symbol literal code (2 bits/literal),
     * a degenerate single-command code whose one command inserts the
@@ -519,6 +600,8 @@ object MediaBench {
       ("webp", 128, 800), ("webp", 256, 240), ("webp", 512, 64),
       ("webp", 2048, 8),
       ("vp8", 128, 800), ("vp8", 256, 240), ("vp8", 512, 64),
+      ("vp8-alpha", 256, 240), ("vp8-alpha", 512, 64),
+      ("webp-anim", 256, 120), ("webp-anim", 512, 32),
       ("wav", 44100, 400), ("wav-ulaw", 44100, 400),
       ("wav-ima", 44100, 400), ("wav-ms", 44100, 400),
       ("br", 60000, 400), ("br", 60000, 1600))
@@ -532,6 +615,8 @@ object MediaBench {
             case "tiff-lzw" => tiffLzwBytes(id, size)
             case "webp" => webpBytes(id, size)
             case "vp8" => vp8Bytes(id, size)
+            case "vp8-alpha" => vp8AlphaBytes(id, size)
+            case "webp-anim" => webpAnimBytes(id, size, 2)
             case "br" => brotliBytes(id, size)
             case "wav-ulaw" => ulawBytes(id)
             case "wav-ima" => imaBytes(id)
@@ -550,6 +635,12 @@ object MediaBench {
           else if (fmt.startsWith("wav"))
             payloads.select(graft.multimodal.Multimodal.decodeAudio(col("p"))
               .as("d")).select(sum(element_at(col("d.samples"), 1))).head()
+          else if (fmt == "webp-anim") // both frames: walk + 2 decodes
+            payloads.select(
+              graft.multimodal.Multimodal.videoFrame(col("p"), lit(0)).as("a"),
+              graft.multimodal.Multimodal.videoFrame(col("p"), lit(1)).as("b"))
+              .select(sum(element_at(col("a.pixels"), 1) +
+                element_at(col("b.pixels"), 1)), lit(0)).head()
           else
             payloads.select(graft.multimodal.Multimodal.decodeImage(col("p"))
               .as("d")).select(sum(element_at(col("d.pixels"), 1)),
@@ -563,6 +654,7 @@ object MediaBench {
       val mb = totalBytes / 1e6
       val mpx =
         if (fmt == "br") n.toDouble * size / 1e6 // decoded MB
+        else if (fmt == "webp-anim") n.toDouble * 2 * size * size / 1e6
         else if (fmt == "wav-ima") n * (22.0 * 2041) / 1e6 // decoded frames
         else if (fmt == "wav-ms") n * (44.0 * 1012) / 1e6
         else if (fmt.startsWith("wav")) n * 44100.0 / 1e6
