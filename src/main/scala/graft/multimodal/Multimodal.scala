@@ -110,6 +110,15 @@ object Multimodal {
     ColumnBridge.column(HttpResponseExpr(ColumnBridge.expression(payload)))
   }
 
+  /** `Sitemap:` directives of a robots.txt, in document order — see
+    * [[RobotsSitemapsExpr]]. The robots→sitemap link of the crawl
+    * discovery chain; array<string>, empty when the file names none. */
+  def robotsSitemaps(robotsTxt: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(RobotsSitemapsExpr(ColumnBridge.expression(robotsTxt)))
+  }
+
   /** sitemaps.org XML parsing — see [[SitemapEntriesExpr]]. The
     * crawl-discovery inventory: array<struct<kind, loc, lastmod,
     * changefreq, priority>> from a urlset or sitemapindex document

@@ -1035,6 +1035,56 @@ object SamplingPackQueries {
       SELECT doc_id, doc_id % 3 <> 0 AS discovered
       FROM documents""")),
 
+    // Full discovery chain E2E (round-14): robots.txt → Sitemap:
+    // directives (robots_sitemaps) → fetched sitemap XML →
+    // sitemap_entries → pages. Eight hosts; each robots names TWO
+    // sitemaps (sm lists doc_id % 5 != 0 pages, sm2 the even
+    // multiples of 5), so a page is discovered unless doc_id is an
+    // ODD multiple of 5 — replayed by the oracle as arithmetic. The
+    // sitemap-url hop joins on (host, sitemap_url) — only sitemaps
+    // the robots actually names are read, the compliance-correct
+    // order. Scale shape: two keyed joins + one 8-key aggregation;
+    // everything else single-scan map-side.
+    QueryDef("q_crawl_discovery_e2e", (s, dir) => {
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(8)).cast("int").as("host"))
+        .withColumn("url", concat(lit("https://h"), col("host"),
+          lit(".ex/p/"), col("doc_id")))
+      val robots = pages.select("host").distinct()
+        .withColumn("robots_txt", concat(
+          lit("User-agent: *\nDisallow:\nSitemap: https://h"), col("host"),
+          lit(".ex/sm.xml\nSitemap: https://h"), col("host"),
+          lit(".ex/sm2.xml\n")))
+      val wanted = robots.select(col("host"),
+        explode(Multimodal.robotsSitemaps(col("robots_txt")))
+          .as("sitemap_url"))
+      def smXml(listed: org.apache.spark.sql.DataFrame, name: String) =
+        listed.groupBy("host")
+          .agg(concat(lit("<urlset>"),
+            concat_ws("", sort_array(collect_list(concat(
+              lit("<url><loc>"), col("url"), lit("</loc></url>"))))),
+            lit("</urlset>")).as("xml"))
+          .withColumn("sitemap_url", concat(lit("https://h"), col("host"),
+            lit(s".ex/$name")))
+      val fetched = smXml(pages.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          "sm.xml")
+        .unionByName(smXml(pages.filter(
+          pmod(col("doc_id"), lit(5)) === 0 &&
+            pmod(col("doc_id"), lit(2)) === 0), "sm2.xml"))
+      val discovered = wanted.join(fetched, Seq("host", "sitemap_url"))
+        .select(col("host"),
+          explode(Multimodal.sitemapEntries(encode(col("xml"), "UTF-8")))
+            .as("e"))
+        .select(col("host"), col("e.loc").as("url"), lit(true).as("found"))
+      pages.join(discovered, Seq("host", "url"), "left")
+        .select(col("doc_id"),
+          coalesce(col("found"), lit(false)).as("discovered"))
+    }, Some("""
+      SELECT doc_id,
+        doc_id % 5 <> 0 OR doc_id % 2 = 0 AS discovered
+      FROM documents""")),
+
     // robots.txt evaluation (round-12 RobotsCheckExpr, RFC 9309): a
     // FIXED rule file (specific group with a prefix disallow, a
     // longer allow override, a *$-anchored wildcard, crawl-delay,

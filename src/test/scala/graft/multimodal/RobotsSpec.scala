@@ -121,4 +121,31 @@ class RobotsSpec extends SparkSpec {
     // a matched empty-pattern must never be reported
     assert(check("User-agent: *\nDisallow:\n", "bot", "/x")._2 == null)
   }
+
+  test("robots_sitemaps: Sitemap directives in document order, file-scoped") {
+    def sitemaps(robots: String): Seq[String] =
+      Seq(Tuple1(robots)).toDF("r")
+        .select(Multimodal.robotsSitemaps(col("r")).as("s"))
+        .head().getSeq[String](0)
+    val robots = """User-agent: a
+      |Disallow: /x
+      |Sitemap: https://ex.com/sm1.xml
+      |User-agent: b
+      |sitemap: https://ex.com/sm2.xml # trailing comment
+      |SITEMAP: https://ex.com/sm1.xml
+      |Sitemap:
+      |""".stripMargin
+    // directives are file-scoped (collected across groups), order kept,
+    // case-insensitive key, duplicates and empty values dropped
+    assert(sitemaps(robots) ==
+      Seq("https://ex.com/sm1.xml", "https://ex.com/sm2.xml"))
+    assert(sitemaps("User-agent: *\nDisallow: /") == Seq.empty)
+    assert(sitemaps("") == Seq.empty)
+    // a Sitemap line between user-agent lines still ENDS the agent
+    // run for group parsing (robots_check semantics unchanged)
+    val split = "User-agent: a\nSitemap: https://s\nUser-agent: b\n" +
+      "Disallow: /p"
+    assert(check(split, "b", "/p")._1 == false)
+    assert(check(split, "a", "/p")._1 == true)
+  }
 }
