@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, IntegerType}
 
 /** exif_orientation(payload): the EXIF orientation tag (1-8) from a
-  * JPEG's APP1 segment or a WebP extended container's EXIF chunk, or
-  * 0 when absent/unreadable — the pre-decode metadata a real
+  * JPEG's APP1 segment, a WebP extended container's EXIF chunk, an
+  * AVIF/HEIC META item (iinf/iloc walk — see [[bmffExif]]), or a bare
+  * TIFF payload, or 0 when absent/unreadable — the pre-decode metadata a real
   * image-curation pass needs before any resize (web JPEGs from phones
   * are routinely stored rotated with orientation 3/6/8; training on
   * them un-rotated silently skews every visual model downstream).
@@ -56,6 +57,13 @@ case class ExifOrientationExpr(child: Expression)
       }
       return result
     }
+    // AVIF/HEIC: EXIF is a META item — iinf/iloc walk (ISO 23008-12)
+    if (b.length >= 16 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' &&
+        b(7) == 'p') return bmffExif(b)
+    // bare TIFF payload (the scanned-document corpus format): the
+    // shared walk applies directly
+    if (b.length >= 8 && ((b(0) == 'I' && b(1) == 'I') ||
+        (b(0) == 'M' && b(1) == 'M'))) return tiffOrientation(b, 0, b.length)
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
       return 0
     var i = 2
@@ -78,6 +86,92 @@ case class ExifOrientationExpr(child: Expression)
       }
     }
     0
+  }
+
+  /** HEIF/AVIF (ISO 23008-12): EXIF rides as a META item — `iinf`
+    * names the item whose item_type is 'Exif' (infe versions 2/3),
+    * `iloc` locates its bytes (construction_method 0 = absolute file
+    * offsets, all three iloc versions, first extent), and the
+    * ExifDataBlock (A.2.1) leads with a u32 exif_tiff_header_offset
+    * before the TIFF blob — some writers also keep the JPEG-style
+    * "Exif\0\0" prefix, tolerated exactly like the WebP chunk. */
+  private def bmffExif(b: Array[Byte]): Int = {
+    var metaS = -1; var metaE = -1
+    if (!Bmff.boxes(b, 0, b.length) { (t, s, e) =>
+      if (t == "meta" && metaS < 0 && e - s >= 4) { metaS = s + 4; metaE = e }
+    }) return 0
+    if (metaS < 0) return 0
+    var iinfS = -1; var iinfE = -1; var ilocS = -1; var ilocE = -1
+    Bmff.boxes(b, metaS, metaE) { (t, s, e) =>
+      if (t == "iinf") { iinfS = s; iinfE = e }
+      else if (t == "iloc") { ilocS = s; ilocE = e }
+    }
+    if (iinfS < 0 || ilocS < 0 || ilocE - ilocS < 8) return 0
+    // iinf fullbox: u16 (v0) / u32 entry count, then infe children
+    val infeStart = iinfS + 4 + (if ((b(iinfS) & 0xff) == 0) 2 else 4)
+    var exifId = -1L
+    Bmff.boxes(b, infeStart, iinfE) { (t, s, e) =>
+      if (t == "infe" && exifId < 0) {
+        val v = b(s) & 0xff
+        // v2: fullbox + id(2) + protection(2) + type(4) = 12-byte min;
+        // v3 widens the id to 4 bytes
+        if (v == 2 && e - s >= 12) {
+          if (new String(b, s + 8, 4, "ISO-8859-1") == "Exif")
+            exifId = Bmff.be16(b, s + 4).toLong
+        } else if (v == 3 && e - s >= 14) {
+          if (new String(b, s + 10, 4, "ISO-8859-1") == "Exif")
+            exifId = Bmff.be32(b, s + 4)
+        }
+      }
+    }
+    if (exifId < 0) return 0
+    val lv = b(ilocS) & 0xff
+    val offSize = (b(ilocS + 4) >> 4) & 0xf
+    val lenSize = b(ilocS + 4) & 0xf
+    val baseSize = (b(ilocS + 5) >> 4) & 0xf
+    val idxSize = if (lv == 1 || lv == 2) b(ilocS + 5) & 0xf else 0
+    def readN(pos: Int, n: Int): Long = {
+      var v = 0L; var k = 0
+      while (k < n) { v = (v << 8) | (b(pos + k) & 0xff); k += 1 }
+      v
+    }
+    var p = ilocS + 6
+    val itemCount =
+      if (lv < 2) { val c = Bmff.be16(b, p); p += 2; c }
+      else { val c = Bmff.be32(b, p).toInt; p += 4; c }
+    var found = -1L; var foundLen = -1L
+    var it = 0
+    while (it < itemCount && found < 0 && p < ilocE) {
+      val id = if (lv < 2) { val v = Bmff.be16(b, p); p += 2; v.toLong }
+        else { val v = Bmff.be32(b, p); p += 4; v }
+      var method = 0
+      if (lv == 1 || lv == 2) { method = Bmff.be16(b, p) & 0xf; p += 2 }
+      p += 2 // data_reference_index (0 = this file)
+      val base = readN(p, baseSize); p += baseSize
+      val extents = Bmff.be16(b, p); p += 2
+      var ex = 0
+      while (ex < extents) {
+        p += idxSize
+        val eo = readN(p, offSize); p += offSize
+        val el = readN(p, lenSize); p += lenSize
+        if (ex == 0 && id == exifId && method == 0) {
+          found = base + eo; foundLen = el
+        }
+        ex += 1
+      }
+      it += 1
+    }
+    if (found < 4 || foundLen < 12 || found + foundLen > b.length) return 0
+    val itemS = found.toInt
+    val end = (found + foundLen).toInt
+    val tiffOff = ((b(itemS) & 0xffL) << 24) | ((b(itemS + 1) & 0xffL) << 16) |
+      ((b(itemS + 2) & 0xffL) << 8) | (b(itemS + 3) & 0xffL)
+    if (tiffOff < 0 || itemS + 4 + tiffOff > end - 8) return 0
+    var pos = itemS + 4 + tiffOff.toInt
+    if (pos + 6 <= end && b(pos) == 'E' && b(pos + 1) == 'x' &&
+        b(pos + 2) == 'i' && b(pos + 3) == 'f' && b(pos + 4) == 0 &&
+        b(pos + 5) == 0) pos += 6
+    tiffOrientation(b, pos, end)
   }
 
   /** TIFF 6.0 IFD0 scan for tag 0x0112 within [tiff, end). */

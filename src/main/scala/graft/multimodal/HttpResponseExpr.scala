@@ -332,6 +332,18 @@ case class HttpResponseExpr(child: Expression)
       // latin-1 mislabel fallback as the multibyte families.
       case sb if HttpResponseExpr.SingleByteCharsets.contains(sb) =>
         strictJdk(body, HttpResponseExpr.SingleByteCharsets(sb))
+      case "x-user-defined" =>
+        // WHATWG: ASCII passes, 0x80-0xFF map to the U+F780-U+F7FF
+        // private-use ramp (legacy custom-font pages); pure
+        // arithmetic — no JDK table exists for this one
+        val sb = new java.lang.StringBuilder(body.length)
+        var k = 0
+        while (k < body.length) {
+          val c = body(k) & 0xff
+          sb.append(if (c < 0x80) c.toChar else (0xf780 + (c - 0x80)).toChar)
+          k += 1
+        }
+        sb.toString
       case "utf-16le" | "utf-16be" | "utf-16" =>
         // strip the BOM only when actually present — the charset may
         // come from the header with a BOM-less body (and a 0/1-byte

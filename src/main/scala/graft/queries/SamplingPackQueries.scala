@@ -2305,6 +2305,38 @@ object SamplingPackQueries {
       SELECT doc_id, CAST(1 + doc_id % 8 AS INT) AS orientation
       FROM documents""")),
 
+    // EXIF orientation from AVIF/HEIC containers (round-14 bmffExif —
+    // the ISO 23008-12 META-item walk): per doc an avif whose iinf
+    // names an 'Exif' item and whose iloc points (absolute offsets,
+    // v0) at an mdat-held ExifDataBlock — evens with
+    // exif_tiff_header_offset 0 and a bare TIFF, odds keeping the
+    // JPEG-style "Exif\0\0" prefix with the offset pointing past it
+    // (both writer conventions). Orientation replayed from doc_id.
+    QueryDef("q_exif_bmff", (s, dir) => {
+      def hx1(c: org.apache.spark.sql.Column) = lpad(hex(c), 2, "0")
+      val o = (pmod(col("doc_id"), lit(8)) + 1).cast("int")
+      val shell = "000000146674797061766966000000006D6966310000004D" +
+        "6D657461000000000000002369696E660000000000010000001569" +
+        "6E6665020000000001000045786966000000001E696C6F6300000000" +
+        "44000001000100000001"
+      val raw = concat(
+        lit(shell + "000000690000001E" + "000000266D64617400000000" +
+          "49492A00" + "08000000" + "0100" + "12010300" + "01000000"),
+        hx1(o), lit("000000" + "00000000"))
+      val prefixed = concat(
+        lit(shell + "0000006900000024" + "0000002C6D64617400000006" +
+          "457869660000" +
+          "49492A00" + "08000000" + "0100" + "12010300" + "01000000"),
+        hx1(o), lit("000000" + "00000000"))
+      val payload = unhex(
+        when(pmod(col("doc_id"), lit(2)) === 0, raw).otherwise(prefixed))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Multimodal.exifOrientation(payload).as("orientation"))
+    }, Some("""
+      SELECT doc_id, CAST(1 + doc_id % 8 AS INT) AS orientation
+      FROM documents""")),
+
     // EXIF orientation (ExifOrientationExpr): per doc a JPEG APP1
     // segment with a real TIFF 6.0 IFD0 carrying tag 0x0112 is
     // synthesized from doc_id — little-endian (II) for doc_id%3==0,

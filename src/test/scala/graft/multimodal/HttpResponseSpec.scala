@@ -160,6 +160,12 @@ class HttpResponseSpec extends SparkSpec {
       Seq("Content-Type: text/plain; charset=windows-1253"),
       Array[Byte](0xaa.toByte, 'A'))
     assert(parse(lied)._5 == "ªA")
+    // x-user-defined (WHATWG private-use ramp): ASCII passes, high
+    // bytes map to U+F780 + (b - 0x80)
+    val xud = msg(200,
+      Seq("Content-Type: text/plain; charset=x-user-defined"),
+      Array[Byte]('A', 0x80.toByte, 0xff.toByte))
+    assert(parse(xud)._5 == "A\uF780\uF7FF")
   }
 
   test("mislabeled CJK body falls back to latin-1, byte-preserving") {

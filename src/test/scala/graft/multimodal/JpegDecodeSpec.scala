@@ -390,6 +390,40 @@ class JpegDecodeSpec extends SparkSpec {
       "0F000000" + "2F" + "07000000" + "380060010AD0FF020000" + "00")) == 0)
   }
 
+  test("exif orientation: AVIF/HEIC META item (iinf/iloc) and bare TIFF routes") {
+    // ftyp avif + meta{iinf(infe v2 'Exif' id 1) + iloc(v0, absolute
+    // offset)} + mdat{ExifDataBlock}; generated by tools-free python
+    // box assembly, orientation byte spliced
+    val raw = "000000146674797061766966000000006D6966310000004D6D65746" +
+      "1000000000000002369696E6600000000000100000015696E66650200000000" +
+      "01000045786966000000001E696C6F63000000004400000100010000000100" +
+      "0000690000001E000000266D6461740000000049492A0008000000010012010" +
+      "30001000000" + "06" + "00000000000000"
+    // same but the ExifDataBlock keeps "Exif\0\0" and points
+    // exif_tiff_header_offset past it (both writer conventions)
+    val pre = "000000146674797061766966000000006D6966310000004D6D6574" +
+      "61000000000000002369696E6600000000000100000015696E666502000000" +
+      "0001000045786966000000001E696C6F6300000000440000010001000000010" +
+      "0000069000000240000002C6D6461740000000645786966000049492A000800" +
+      "00000100120103000100000003" + "00000000000000"
+    def orientOf(hexStr: String, o: Int) =
+      orient(hx(hexStr.dropRight(16) + f"$o%02X" + "000000" + "00000000"))
+    (1 to 8).foreach { o =>
+      assert(orientOf(raw, o) == o, s"avif raw $o")
+      assert(orientOf(pre, o) == o, s"avif Exif-prefixed $o")
+    }
+    // EXIF-less BMFF (a video mp4 shell) -> 0; truncations never throw
+    assert(orient(hx("000000146674797069736F6D0000000069736F6D")) == 0)
+    val whole = hx(raw)
+    for (cut <- 1 until whole.length)
+      assert(orient(whole.take(cut)) == 0 || orient(whole.take(cut)) == 6)
+    // bare TIFF payloads route straight to the shared walk
+    assert(orient(hx("49492A00" + "08000000" + "0100" + "12010300" +
+      "01000000" + "05000000" + "00000000")) == 5)
+    assert(orient(hx("4D4D002A" + "00000008" + "0001" + "01120003" +
+      "00000001" + "00070000" + "00000000")) == 7)
+  }
+
   test("resize composes over decoded JPEG pixels") {
     val p = dcOnlyColor(20, 18, 22)
     val want = expectedRgb(20, 18, 22)
