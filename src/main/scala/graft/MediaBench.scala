@@ -579,6 +579,63 @@ object MediaBench {
     out
   }
 
+  /** A `pages`-page text PDF with Flate-compressed content streams
+    * (the corpus norm): 40 lines x ~60 chars of deterministic prose
+    * per page, classic xref, shared font inherited from the Pages
+    * node — the pdf_text throughput payload. */
+  private def pdfBytes(id: Long, pages: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets += ((num, out.size)); w(s"$num 0 obj\n"); body; w("\nendobj\n")
+    }
+    var s = id * 6364136223846793005L + 1442695040888963407L
+    w("%PDF-1.4\n")
+    obj(1) { w("<< /Type /Catalog /Pages 2 0 R >>") }
+    val kids = (0 until pages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    obj(2) { w(s"<< /Type /Pages /Kids [$kids] /Count $pages " +
+      "/Resources << /Font << /F1 3 0 R >> >> >>") }
+    obj(3) { w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") }
+    var i = 0
+    while (i < pages) {
+      val sbc = new java.lang.StringBuilder("BT /F1 10 Tf 50 780 Td ")
+      var line = 0
+      while (line < 40) {
+        sbc.append('(')
+        var k = 0
+        while (k < 60) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          val r = ((s >>> 40) % 27).toInt
+          sbc.append(if (r == 26) ' ' else ('a' + r).toChar)
+          k += 1
+        }
+        sbc.append(") Tj 0 -18 TD ")
+        line += 1
+      }
+      sbc.append("ET")
+      val raw = sbc.toString.getBytes("ISO-8859-1")
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val cn = d.deflate(buf); d.end()
+      obj(4 + 2 * i) { w(s"<< /Type /Page /Parent 2 0 R /Contents ${5 + 2 * i} 0 R >>") }
+      obj(5 + 2 * i) {
+        w(s"<< /Length $cn /Filter /FlateDecode >>\nstream\n")
+        out.write(buf, 0, cn); w("\nendstream")
+      }
+      i += 1
+    }
+    val xref = out.size
+    val maxNum = 3 + 2 * pages
+    w(s"xref\n0 ${maxNum + 1}\n0000000000 65535 f \n")
+    val map = offsets.toMap
+    var n = 1
+    while (n <= maxNum) { w(f"${map(n)}%010d 00000 n \n"); n += 1 }
+    w(s"trailer\n<< /Size ${maxNum + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = args.headOption.map(_.toInt).getOrElse(8)
     val spark = SparkSession.builder()
@@ -604,7 +661,8 @@ object MediaBench {
       ("webp-anim", 256, 120), ("webp-anim", 512, 32),
       ("wav", 44100, 400), ("wav-ulaw", 44100, 400),
       ("wav-ima", 44100, 400), ("wav-ms", 44100, 400),
-      ("br", 60000, 400), ("br", 60000, 1600))
+      ("br", 60000, 400), ("br", 60000, 1600),
+      ("pdf", 5, 400), ("pdf", 20, 100))
     val rows = cells.map { case (fmt, size, n) =>
       val payloads = spark.range(n).repartition(cpus)
         .map { id =>
@@ -618,6 +676,7 @@ object MediaBench {
             case "vp8-alpha" => vp8AlphaBytes(id, size)
             case "webp-anim" => webpAnimBytes(id, size, 2)
             case "br" => brotliBytes(id, size)
+            case "pdf" => pdfBytes(id, size)
             case "wav-ulaw" => ulawBytes(id)
             case "wav-ima" => imaBytes(id)
             case "wav-ms" => msBytes(id)
@@ -632,6 +691,9 @@ object MediaBench {
             payloads.select(graft.multimodal.Multimodal
               .decompress(col("p"), "br").as("d"))
               .select(sum(length(col("d.data"))), lit(0)).head()
+          else if (fmt == "pdf")
+            payloads.select(graft.multimodal.Multimodal.pdfText(col("p"))
+              .as("t")).select(sum(length(col("t"))), lit(0)).head()
           else if (fmt.startsWith("wav"))
             payloads.select(graft.multimodal.Multimodal.decodeAudio(col("p"))
               .as("d")).select(sum(element_at(col("d.samples"), 1))).head()
@@ -653,14 +715,16 @@ object MediaBench {
       payloads.unpersist()
       val mb = totalBytes / 1e6
       val mpx =
-        if (fmt == "br") n.toDouble * size / 1e6 // decoded MB
+        if (fmt == "pdf") n.toDouble * size * 40 * 61 / 1e6 // extracted chars
+        else if (fmt == "br") n.toDouble * size / 1e6 // decoded MB
         else if (fmt == "webp-anim") n.toDouble * 2 * size * size / 1e6
         else if (fmt == "wav-ima") n * (22.0 * 2041) / 1e6 // decoded frames
         else if (fmt == "wav-ms") n * (44.0 * 1012) / 1e6
         else if (fmt.startsWith("wav")) n * 44100.0 / 1e6
         else n.toDouble * size * size / 1e6
       val label =
-        if (fmt == "br") s"br ${size}B x$n"
+        if (fmt == "pdf") s"pdf ${size}p x$n"
+        else if (fmt == "br") s"br ${size}B x$n"
         else if (fmt.startsWith("wav")) s"$fmt 1s" else s"$fmt ${size}x$size"
       (label, n, mb, dt, mb / dt, mb / dt / cpus, mpx / dt)
     }

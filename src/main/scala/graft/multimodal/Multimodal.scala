@@ -110,6 +110,24 @@ object Multimodal {
     ColumnBridge.column(HttpResponseExpr(ColumnBridge.expression(payload)))
   }
 
+  /** PDF body-text extraction — see [[PdfTextExpr]]. The pdftotext
+    * pass of the crawl chain: string ('\n' lines, '\f' pages), NULL
+    * for non-PDF/encrypted payloads. */
+  def pdfText(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(PdfTextExpr(ColumnBridge.expression(payload)))
+  }
+
+  /** PDF header/Info metadata without touching page content — see
+    * [[PdfMetaExpr]]. struct<version, pages, encrypted, title,
+    * author, subject, creator, producer, created, modified>. */
+  def pdfMeta(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(PdfMetaExpr(ColumnBridge.expression(payload)))
+  }
+
   /** `Sitemap:` directives of a robots.txt, in document order — see
     * [[RobotsSitemapsExpr]]. The robots→sitemap link of the crawl
     * discovery chain; array<string>, empty when the file names none. */

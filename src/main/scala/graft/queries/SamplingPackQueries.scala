@@ -14,6 +14,54 @@ import Q._
   */
 object SamplingPackQueries {
 
+  /** Fixed-width one-page PDF shell as a hex column (q_pdf_*): the
+    * classic-xref file layout is constant, so every offset in the
+    * embedded xref table is byte-exact; the only variable parts are
+    * fixed-length — the header's version digit, the 40-byte text the
+    * content stream shows as a hex string via Tj, and the 24-byte
+    * Info /Title. Assembled from the same object syntax as
+    * tools/make_pdf_fixtures.py; the sanitizer keeps the ASCII subset
+    * that StandardEncoding maps to itself (no quote characters —
+    * 0x27/0x60 are quoteright/quoteleft in Annex D). */
+  private[queries] def pdfShellHex(docId: org.apache.spark.sql.Column,
+      content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val txt = rpad(regexp_replace(substring(content, 1, 60),
+      "[^a-zA-Z0-9 .,]", ""), 40, ".")
+    val title = rpad(regexp_replace(substring(content, 1, 30),
+      "[^a-zA-Z0-9 .,]", ""), 24, "t")
+    val ver = lpad(hex(pmod(docId, lit(8)) + 48), 2, "0")
+    // the shown text rides as a <hex string> inside the content
+    // stream, so the payload embeds the hex CHARACTERS — hex(hex(.));
+    // the /Title rides as a literal string — raw bytes, hex(.) once
+    concat(lit(PdfShell1), ver, lit(PdfShell2), hex(hex(txt)), lit(PdfShell3),
+      hex(title), lit(PdfShell4))
+  }
+
+  // "%PDF-1." — the version digit follows
+  private val PdfShell1 = "255044462D312E"
+  // objects 1-3 (catalog, pages, page) + object 4's dict and the
+  // content-stream prefix up to the '<' of the shown hex string
+  private val PdfShell2 =
+    "0A312030206F626A0A3C3C202F54797065202F436174616C6F67202F5061676573203220302052203E3E0A656E646F626A0A" +
+    "322030206F626A0A3C3C202F54797065202F5061676573202F4B696473205B33203020525D202F436F756E742031203E3E0A" +
+    "656E646F626A0A332030206F626A0A3C3C202F54797065202F50616765202F506172656E74203220302052202F436F6E7465" +
+    "6E7473203420302052202F5265736F7572636573203C3C202F466F6E74203C3C202F4631203520302052203E3E203E3E203E" +
+    "3E0A656E646F626A0A342030206F626A0A3C3C202F4C656E67746820313131203E3E0A73747265616D0A4254202F46312031" +
+    "3220546620373220373230205464203C"
+  // "> Tj ET\nendstream", object 5 (font), object 6's "/Title (" prefix
+  private val PdfShell3 =
+    "3E20546A2045540A656E6473747265616D0A656E646F626A0A352030206F626A0A3C3C202F54797065202F466F6E74202F53" +
+    "756274797065202F5479706531202F42617365466F6E74202F48656C766574696361203E3E0A656E646F626A0A362030206F" +
+    "626A0A3C3C202F5469746C652028"
+  // ") /Producer (graft) >>", the xref table with burnt-in offsets,
+  // trailer, startxref, %%EOF
+  private val PdfShell4 =
+    "29202F50726F64756365722028677261667429203E3E0A656E646F626A0A787265660A3020370A3030303030303030303020" +
+    "36353533352066200A30303030303030303039203030303030206E200A30303030303030303538203030303030206E200A30" +
+    "303030303030313135203030303030206E200A30303030303030323137203030303030206E200A3030303030303033373920" +
+    "3030303030206E200A30303030303030343439203030303030206E200A747261696C65720A3C3C202F53697A652037202F52" +
+    "6F6F74203120302052202F496E666F203620302052203E3E0A7374617274787265660A3532320A2525454F460A"
+
   val defs: Seq[QueryDef] = Seq(
 
 
@@ -2303,6 +2351,70 @@ object SamplingPackQueries {
           Multimodal.exifOrientation(payload).as("orientation"))
     }, Some("""
       SELECT doc_id, CAST(1 + doc_id % 8 AS INT) AS orientation
+      FROM documents""")),
+
+    // PDF text extraction (round-14 PdfTextExpr, ISO 32000-1): per doc
+    // a complete classic-xref one-page PDF — catalog/pages/page/font +
+    // a content stream showing a 40-char hex string via Tj — is
+    // synthesized around the doc's own sanitized content prefix; the
+    // shell is fixed-width (every offset in the embedded xref table is
+    // byte-exact), the version digit and Info /Title vary per doc.
+    // pdf_text must hand the exact constructed text back; DuckDB
+    // replays the sanitization. The spec's fixture matrix
+    // (PdfSpec/make_pdf_fixtures.py) covers the compressed/Type0/
+    // ObjStm/reconstruction paths this single-scan oracle can't.
+    QueryDef("q_pdf_text", (s, dir) => {
+      val payload = unhex(SamplingPackQueries.pdfShellHex(col("doc_id"),
+        col("text")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.pdfText(payload).as("txt"))
+    }, Some("""
+      SELECT doc_id,
+             rpad(regexp_replace(substring(text, 1, 60),
+                                 '[^a-zA-Z0-9 .,]', '', 'g'), 40, '.') AS txt
+      FROM documents""")),
+
+    // PDF metadata (round-14 PdfMetaExpr): the same synthesized shell,
+    // auditing header version, page-tree leaf count, the /Encrypt
+    // flag, and Info-dict strings without touching page content.
+    QueryDef("q_pdf_meta", (s, dir) => {
+      val payload = unhex(SamplingPackQueries.pdfShellHex(col("doc_id"),
+        col("text")))
+      val m = Multimodal.pdfMeta(payload)
+      t(s, dir, "documents")
+        .select(col("doc_id"), m.getField("version").as("version"),
+          m.getField("pages").as("pages"),
+          m.getField("encrypted").as("encrypted"),
+          m.getField("title").as("title"),
+          m.getField("producer").as("producer"))
+    }, Some("""
+      SELECT doc_id,
+             '1.' || CAST(doc_id % 8 AS VARCHAR) AS version,
+             CAST(1 AS INT) AS pages,
+             FALSE AS encrypted,
+             rpad(regexp_replace(substring(text, 1, 30),
+                                 '[^a-zA-Z0-9 .,]', '', 'g'), 24, 't') AS title,
+             'graft' AS producer
+      FROM documents""")),
+
+    // Crawl-chain composition: an HTTP/1.1 response carrying
+    // Content-Type: application/pdf -> http_response keeps the body
+    // as bytes (binary type, no text decode) -> pdf_text extracts the
+    // document text. Two round-14 expressions chained in one
+    // map-side projection, zero shuffle.
+    QueryDef("q_pdf_ingest", (s, dir) => {
+      val http = lit(("HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n" +
+        "\r\n").getBytes("ISO-8859-1").map("%02X".format(_)).mkString)
+      val payload = unhex(concat(http,
+        SamplingPackQueries.pdfShellHex(col("doc_id"), col("text"))))
+      val r = Multimodal.httpResponse(payload)
+      t(s, dir, "documents")
+        .select(col("doc_id"), r.getField("status").as("status"),
+          Multimodal.pdfText(r.getField("body")).as("txt"))
+    }, Some("""
+      SELECT doc_id, CAST(200 AS INT) AS status,
+             rpad(regexp_replace(substring(text, 1, 60),
+                                 '[^a-zA-Z0-9 .,]', '', 'g'), 40, '.') AS txt
       FROM documents""")),
 
     // EXIF orientation from AVIF/HEIC containers (round-14 bmffExif —

@@ -27,7 +27,9 @@ class FuzzSafetySpec extends SparkSpec {
     ("decompress", c => Multimodal.decompress(c)),
     ("warc_records", Multimodal.warcRecords),
     ("http_response", Multimodal.httpResponse),
-    ("sitemap_entries", Multimodal.sitemapEntries))
+    ("sitemap_entries", Multimodal.sitemapEntries),
+    ("pdf_text", Multimodal.pdfText),
+    ("pdf_meta", Multimodal.pdfMeta))
 
   private def sweep(payloads: Seq[Array[Byte]], label: String): Unit = {
     val df = payloads.map(Tuple1(_)).toDF("p")
@@ -70,7 +72,8 @@ class FuzzSafetySpec extends SparkSpec {
       Array(0, 0, 0, 0x14, 'f', 't', 'y', 'p'), // BMFF
       Array[Byte](0, 0, 1, 0, 1, 0), // ICO directory
       Array(0x1a, 0x45, 0xdf.toByte, 0xa3.toByte), // Matroska EBML
-      Array('I', 'D', '3'), Array(0xff.toByte, 0xfb.toByte)) // MP3
+      Array('I', 'D', '3'), Array(0xff.toByte, 0xfb.toByte), // MP3
+      "%PDF-1.4\n".getBytes) // PDF header
     val payloads = for (m <- magics; _ <- 0 until 12) yield {
       val tail = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(tail)
       m ++ tail
@@ -145,7 +148,27 @@ class FuzzSafetySpec extends SparkSpec {
         "4B2CB1C4124B2CB1CC607F44FF0394D3DD5F5650382040000000D001" +
         "009D012A1000100002003425B0027400D8BC90C8C000C749A4A60F62" +
         "7C8E30007EF8065F59FFD3606FFF86937EFF35590EC47FF8C4F2EB8F" +
-        "F02E85E00000"))
+        "F02E85E00000"),
+      // one-page text PDF, classic xref (round-14 pdf_text route)
+      hex("255044462D312E340A312030206F626A0A3C3C2F547970652F436174" +
+        "616C6F672F50616765732032203020523E3E0A656E646F626A0A3220" +
+        "30206F626A0A3C3C2F547970652F50616765732F4B6964735B332030" +
+        "20525D2F436F756E7420313E3E0A656E646F626A0A332030206F626A" +
+        "0A3C3C2F547970652F506167652F506172656E742032203020522F43" +
+        "6F6E74656E74732034203020522F5265736F75726365733C3C2F466F" +
+        "6E743C3C2F46312035203020523E3E3E3E3E3E0A656E646F626A0A34" +
+        "2030206F626A0A3C3C2F4C656E6774682033353E3E73747265616D0A" +
+        "4254202F4631203920546620352035205464202846757A7A206D652E" +
+        "2920546A2045540A656E6473747265616D0A656E646F626A0A352030" +
+        "206F626A0A3C3C2F547970652F466F6E742F537562747970652F5479" +
+        "7065312F42617365466F6E742F48656C7665746963613E3E0A656E64" +
+        "6F626A0A787265660A3020360A303030303030303030302036353533" +
+        "352066200A30303030303030303039203030303030206E200A303030" +
+        "30303030303534203030303030206E200A3030303030303031303520" +
+        "3030303030206E200A30303030303030313935203030303030206E20" +
+        "0A30303030303030323737203030303030206E200A747261696C6572" +
+        "0A3C3C2F53697A6520362F526F6F742031203020523E3E0A73746172" +
+        "74787265660A3334300A2525454F46"))
     val payloads = valid.flatMap(v => (0 until v.length).map(v.take))
     sweep(payloads, "truncation")
   }
