@@ -62,7 +62,8 @@ object Pdf {
     def get(k: String): Option[Obj] = m.get(k)
   }
   final case class PRef(num: Int, gen: Int) extends Obj
-  final case class PStream(dict: PDict, raw: Array[Byte]) extends Obj
+  final case class PStream(dict: PDict, raw: Array[Byte],
+      num: Int = -1, gen: Int = 0) extends Obj
 
   final class PdfError(msg: String) extends Exception(msg)
   private def fail(msg: String): Nothing = throw new PdfError(msg)
@@ -510,6 +511,53 @@ object Pdf {
 
     load()
 
+    /** The /Encrypt dict's own object number — exempt from
+      * decryption (its /O and /U are stored in the clear). */
+    private val encObjNum: Int = trailer.get("Encrypt") match {
+      case Some(PRef(n, _)) => n
+      case _ => -1
+    }
+
+    /** Empty-user-password Standard-handler decryptor, built after
+      * structural load; None = unencrypted OR truly locked. */
+    private val crypt: Option[PdfCrypt.Decryptor] =
+      trailer.get("Encrypt") match {
+        case Some(e) =>
+          try {
+            val d = dict(e)
+            val id0 = resolve(trailer.get("ID").getOrElse(PNull)) match {
+              case PArr(items) if items.nonEmpty => resolve(items.head) match {
+                case PStr(b) => b
+                case _ => Array.empty[Byte]
+              }
+              case _ => Array.empty[Byte]
+            }
+            val built = PdfCrypt.build(d, id0, resolve)
+            if (built.isDefined) {
+              // anything resolved during load was read undecrypted
+              cache.clear(); objStmCache.clear(); objStmIds.clear()
+            }
+            built
+          } catch { case _: Exception => None }
+        case None => None
+      }
+
+    /** Encrypted AND the empty user password opens it. */
+    def unlocked: Boolean = crypt != null && crypt.isDefined
+
+    private def cryptActive: Boolean = crypt != null && crypt.isDefined
+
+    private def decryptStrings(o: Obj, num: Int, gen: Int): Obj = o match {
+      case PStr(b) => PStr(crypt.get.string(b, num, gen))
+      case PArr(items) => PArr(items.map(decryptStrings(_, num, gen)))
+      case PDict(m) =>
+        PDict(m.map { case (k, v) => k -> decryptStrings(v, num, gen) })
+      case s: PStream =>
+        PStream(decryptStrings(s.dict, num, gen).asInstanceOf[PDict],
+          s.raw, s.num, s.gen)
+      case x => x
+    }
+
     private def load(): Unit = {
       try loadViaXref()
       catch { case _: Exception => reconstruct() }
@@ -737,7 +785,7 @@ object Pdf {
     private def parseIndirectAt(off: Int): (Int, Obj) = {
       val lx = new Lexer(bytes, off, bytes.length)
       val num = lx.obj(0) match { case PNum(v) => v.toInt; case _ => fail("obj header") }
-      lx.obj(0) match { case PNum(_) => (); case _ => fail("obj header") }
+      val gen = lx.obj(0) match { case PNum(v) => v.toInt; case _ => fail("obj header") }
       lx.expect("obj")
       val body = lx.obj(0)
       lx.skipWs()
@@ -762,7 +810,7 @@ object Pdf {
           }
           val raw = java.util.Arrays.copyOfRange(bytes, dataStart,
             math.min(dataStart + len, bytes.length))
-          (num, PStream(d, raw))
+          (num, PStream(d, raw, num, gen))
         case _ => (num, body)
       }
     }
@@ -843,7 +891,16 @@ object Pdf {
             if (loc >= bytes.length) PNull
             else {
               val (gotNum, body) = parseIndirectAt(loc.toInt)
-              if (gotNum != num) PNull else body
+              if (gotNum != num) PNull
+              // §7.6.3: strings in top-level objects are encrypted
+              // (ObjStm members are not — the stream itself was);
+              // the /Encrypt dict's own strings stay clear
+              else if (cryptActive && num != encObjNum)
+                decryptStrings(body, num, body match {
+                  case s: PStream => s.gen
+                  case _ => 0
+                })
+              else body
             }
           } else {
             val enc = -1L - loc
@@ -891,6 +948,10 @@ object Pdf {
         case _ => Seq.empty
       }
       var data = s.raw
+      // decrypt before filters; XRef streams are never encrypted
+      if (cryptActive && s.num >= 0 && s.num != encObjNum &&
+          !s.dict.get("Type").contains(PName("XRef")))
+        data = crypt.get.stream(data, s.num, s.gen)
       var fi = 0
       while (fi < filters.length) {
         val f = filters(fi)

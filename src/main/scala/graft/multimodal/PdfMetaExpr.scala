@@ -55,10 +55,16 @@ case class PdfMetaExpr(child: Expression)
     }
     val pages = try doc.pages().length catch { case _: Exception => 0 }
     val info = doc.dict(doc.trailer.get("Info").getOrElse(Pdf.PNull))
-    def s(k: String): UTF8String = doc.resolve(info.get(k).getOrElse(Pdf.PNull)) match {
-      case Pdf.PStr(bytes) => UTF8String.fromString(PdfMetaExpr.decodeTextString(bytes))
-      case _ => null
-    }
+    // a truly locked document's Info strings are ciphertext — NULL
+    // beats surfacing garbage (unlocked docs decrypt transparently)
+    val locked = doc.encrypted && !doc.unlocked
+    def s(k: String): UTF8String =
+      if (locked) null
+      else doc.resolve(info.get(k).getOrElse(Pdf.PNull)) match {
+        case Pdf.PStr(bytes) =>
+          UTF8String.fromString(PdfMetaExpr.decodeTextString(bytes))
+        case _ => null
+      }
     InternalRow(
       if (version == null) null else UTF8String.fromString(version),
       pages,

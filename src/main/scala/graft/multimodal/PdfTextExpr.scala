@@ -69,7 +69,9 @@ object PdfText {
   def extract(b: Array[Byte]): String = {
     val doc = Pdf.open(b)
     if (doc == null) return null
-    if (doc.encrypted) return null
+    // owner-password-only documents decrypt with the empty user
+    // password (PdfCrypt); truly user-locked ones stay NULL
+    if (doc.encrypted && !doc.unlocked) return null
     val pages = doc.pages()
     if (pages.isEmpty) return null
     val sb = new java.lang.StringBuilder(1024)

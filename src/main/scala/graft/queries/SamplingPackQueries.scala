@@ -62,6 +62,36 @@ object SamplingPackQueries {
     "3030303030206E200A30303030303030343439203030303030206E200A747261696C65720A3C3C202F53697A652037202F52" +
     "6F6F74203120302052202F496E666F203620302052203E3E0A7374617274787265660A3532320A2525454F460A"
 
+  // V4/R4 crypt-filter shell for q_pdf_decrypt (generated alongside
+  // tools/make_pdf_crypt_fixtures.py): /StmF /Identity keeps the
+  // varying content clear; /O //U/Title are the real RC4 handler
+  // outputs for the empty user password, owner password "owner",
+  // /ID 000102..0f
+  private val PdfEncShellPre =
+    "255044462D312E360A312030206F626A0A3C3C202F54797065202F436174616C6F67202F5061676573203220302052203E3E" +
+    "0A656E646F626A0A322030206F626A0A3C3C202F54797065202F5061676573202F4B696473205B33203020525D202F436F75" +
+    "6E742031203E3E0A656E646F626A0A332030206F626A0A3C3C202F54797065202F50616765202F506172656E742032203020" +
+    "52202F436F6E74656E7473203420302052202F5265736F7572636573203C3C202F466F6E74203C3C202F4631203520302052" +
+    "203E3E203E3E203E3E0A656E646F626A0A342030206F626A0A3C3C202F4C656E67746820313131203E3E0A73747265616D0A" +
+    "4254202F463120313220546620373220373230205464203C"
+  private val PdfEncShellPost =
+    "3E20546A2045540A656E6473747265616D0A656E646F626A0A352030206F626A0A3C3C202F54797065202F466F6E74202F53" +
+    "756274797065202F5479706531202F42617365466F6E74202F48656C766574696361203E3E0A656E646F626A0A362030206F" +
+    "626A0A3C3C202F5469746C65203C3631383432623865616539653163336133303966333232313E203E3E0A656E646F626A0A" +
+    "372030206F626A0A3C3C202F46696C746572202F5374616E64617264202F562034202F522034202F4C656E67746820313238" +
+    "202F4346203C3C202F5374644346203C3C202F43464D202F5632202F4C656E677468203136203E3E203E3E202F53746D4620" +
+    "2F4964656E74697479202F53747246202F5374644346202F4F203C3536366661383733656533336337393763643362393034" +
+    "66646164663831346166613334646639613338663665643431623938346532633664613261613666353E202F55203C323338" +
+    "3439643839366632326665626435646233356263636431333930653933303030303030303030303030303030303030303030" +
+    "30303030303030303030303E202F50202D3434203E3E0A656E646F626A0A787265660A3020380A3030303030303030303020" +
+    "36353533352066200A30303030303030303039203030303030206E200A30303030303030303538203030303030206E200A30" +
+    "303030303030313135203030303030206E200A30303030303030323137203030303030206E200A3030303030303033373920" +
+    "3030303030206E200A30303030303030343439203030303030206E200A30303030303030353034203030303030206E200A74" +
+    "7261696C65720A3C3C202F53697A652038202F526F6F74203120302052202F496E666F203620302052202F456E6372797074" +
+    "203720302052202F4944205B3C30303031303230333034303530363037303830393061306230633064306530663E203C3030" +
+    "3031303230333034303530363037303830393061306230633064306530663E5D203E3E0A7374617274787265660A3738340A" +
+    "2525454F460A"
+
   val defs: Seq[QueryDef] = Seq(
 
 
@@ -2415,6 +2445,34 @@ object SamplingPackQueries {
       SELECT doc_id, CAST(200 AS INT) AS status,
              rpad(regexp_replace(substring(text, 1, 60),
                                  '[^a-zA-Z0-9 .,]', '', 'g'), 40, '.') AS txt
+      FROM documents""")),
+
+    // PDF decryption (round-14 PdfCrypt, ISO 32000 §7.6 Standard
+    // security handler): the shell is a V4/R4 crypt-filter document
+    // with /StmF /Identity and /StrF /StdCF (CFM V2 = 128-bit RC4) —
+    // the per-doc content stream rides in the clear (so the oracle
+    // can replay it) while opening the document still requires the
+    // full empty-user-password authentication (algorithms 2+5 against
+    // /O //U) and the Info /Title is real RC4 ciphertext decrypted
+    // with the object-6 key. The all-ciphertext revisions (R2/R3
+    // RC4, R4 AESV2, R6 AES-256) are pinned in PdfSpec against the
+    // independent python `cryptography` encryptors.
+    QueryDef("q_pdf_decrypt", (s, dir) => {
+      val txt = rpad(regexp_replace(substring(col("text"), 1, 60),
+        "[^a-zA-Z0-9 .,]", ""), 40, ".")
+      val payload = unhex(concat(lit(SamplingPackQueries.PdfEncShellPre),
+        hex(hex(txt)), lit(SamplingPackQueries.PdfEncShellPost)))
+      val m = Multimodal.pdfMeta(payload)
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.pdfText(payload).as("txt"),
+          m.getField("title").as("title"),
+          m.getField("encrypted").as("encrypted"))
+    }, Some("""
+      SELECT doc_id,
+             rpad(regexp_replace(substring(text, 1, 60),
+                                 '[^a-zA-Z0-9 .,]', '', 'g'), 40, '.') AS txt,
+             'Secret title' AS title,
+             TRUE AS encrypted
       FROM documents""")),
 
     // EXIF orientation from AVIF/HEIC containers (round-14 bmffExif —

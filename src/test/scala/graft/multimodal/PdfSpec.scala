@@ -35,6 +35,29 @@ class PdfSpec extends SparkSpec {
     }
   }
 
+  test("Standard security handler: empty-user-password docs decrypt across revisions") {
+    // fixtures encrypted by the INDEPENDENT python `cryptography`
+    // implementation (tools/make_pdf_crypt_fixtures.py): R2 40-bit
+    // RC4, R3 128-bit RC4, R4 AESV2 crypt filters, R6 AES-256
+    for (name <- Seq("rc4_r2", "rc4_r3", "aesv2_r4", "aes256_r6")) {
+      assert(text(fixture(name + ".pdf")) == "Decrypted body text.", name)
+      val row = PdfMetaExpr(org.apache.spark.sql.catalyst.expressions.Literal(
+        fixture(name + ".pdf"))).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      assert(row.getBoolean(2), s"$name encrypted flag")
+      // the Info /Title string decrypts through the same handler
+      assert(row.getUTF8String(3).toString == "Secret title", s"$name title")
+    }
+  }
+
+  test("a REAL user password refuses the empty-password key: NULL, never garbage") {
+    assert(text(fixture("locked_r3.pdf")) == null)
+    val row = PdfMetaExpr(org.apache.spark.sql.catalyst.expressions.Literal(
+      fixture("locked_r3.pdf"))).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(row.getBoolean(2)) // still audited as encrypted
+  }
+
   test("encrypted documents yield NULL text but audited metadata") {
     assert(text(fixture("encrypted.pdf")) == null)
     val row = PdfMetaExpr(org.apache.spark.sql.catalyst.expressions.Literal(
@@ -84,7 +107,8 @@ class PdfSpec extends SparkSpec {
 
   test("deterministic byte-mutation fuzz never throws") {
     val rnd = new scala.util.Random(0x9df5eed)
-    for (name <- textFixtures; _ <- 0 until 40) {
+    val fuzzSet = textFixtures ++ Seq("rc4_r3", "aesv2_r4", "aes256_r6")
+    for (name <- fuzzSet; _ <- 0 until 40) {
       val m = fixture(name + ".pdf").clone()
       val flips = 1 + rnd.nextInt(8)
       for (_ <- 0 until flips)
