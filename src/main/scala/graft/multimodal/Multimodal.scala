@@ -128,6 +128,23 @@ object Multimodal {
     ColumnBridge.column(PdfMetaExpr(ColumnBridge.expression(payload)))
   }
 
+  /** ZIP container walk — see [[ZipEntriesExpr]]. array<struct<name,
+    * size, compressed, method, data>> in central-directory order;
+    * the gateway for the OOXML/ODF/EPUB document family. */
+  def zipEntries(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(ZipEntriesExpr(ColumnBridge.expression(payload)))
+  }
+
+  /** Office/EPUB document text — see [[OfficeTextExpr]].
+    * struct<format, text> for docx/pptx/xlsx/odf/epub payloads. */
+  def officeText(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(OfficeTextExpr(ColumnBridge.expression(payload)))
+  }
+
   /** `Sitemap:` directives of a robots.txt, in document order — see
     * [[RobotsSitemapsExpr]]. The robots→sitemap link of the crawl
     * discovery chain; array<string>, empty when the file names none. */

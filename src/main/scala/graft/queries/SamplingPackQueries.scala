@@ -92,6 +92,24 @@ object SamplingPackQueries {
     "3031303230333034303530363037303830393061306230633064306530663E5D203E3E0A7374617274787265660A3738340A" +
     "2525454F460A"
 
+  // One-entry stored docx shell for q_office_text / q_zip_entries:
+  // local header up to CRC (L1), the rest of the local header + name
+  // (L2), the document.xml around its 40-char text (XmlPre/Post),
+  // central header up to CRC (C1), the rest + EOCD (C2); the CRC is
+  // computed in-query and spliced at both sites
+  private val DocxZipL1 = "504B030414000000000000000000"
+  private val DocxZipL2 =
+    "940000009400000011000000776F72642F646F63756D656E742E786D6C"
+  private val DocxXmlPre =
+    "3C3F786D6C2076657273696F6E3D22312E30223F3E3C773A646F63756D656E7420786D6C6E733A773D2278223E3C773A626F" +
+    "64793E3C773A703E3C773A723E3C773A743E"
+  private val DocxXmlPost =
+    "3C2F773A743E3C2F773A723E3C2F773A703E3C2F773A626F64793E3C2F773A646F63756D656E743E"
+  private val DocxZipC1 = "504B0102140014000000000000000000"
+  private val DocxZipC2 =
+    "9400000094000000110000000000000000000000000000000000776F72642F646F63756D656E742E786D6C504B0506000000" +
+    "00010001003F000000C30000000000"
+
   val defs: Seq[QueryDef] = Seq(
 
 
@@ -2445,6 +2463,66 @@ object SamplingPackQueries {
       SELECT doc_id, CAST(200 AS INT) AS status,
              rpad(regexp_replace(substring(text, 1, 60),
                                  '[^a-zA-Z0-9 .,]', '', 'g'), 40, '.') AS txt
+      FROM documents""")),
+
+    // Office document text (round-14 OfficeTextExpr over the
+    // ZipEntriesExpr container walk): per doc a real one-entry docx —
+    // stored word/document.xml with a correct CRC-32 (computed
+    // in-query via crc32(), spliced little-endian into both the
+    // local and central headers at fixed offsets) around the doc's
+    // sanitized 40-char text in a w:t run. The pptx/xlsx/odf/epub
+    // shapes and deflate entries are pinned in OfficeTextSpec
+    // against python-zipfile-built fixtures.
+    QueryDef("q_office_text", (s, dir) => {
+      val txt = rpad(regexp_replace(substring(col("text"), 1, 60),
+        "[^a-zA-Z0-9 .,]", ""), 40, ".")
+      val xmlHex = concat(lit(SamplingPackQueries.DocxXmlPre), hex(txt),
+        lit(SamplingPackQueries.DocxXmlPost))
+      val crcHex = lpad(hex(crc32(unhex(xmlHex))), 8, "0")
+      val crcLe = concat(substring(crcHex, 7, 2), substring(crcHex, 5, 2),
+        substring(crcHex, 3, 2), substring(crcHex, 1, 2))
+      val payload = unhex(concat(lit(SamplingPackQueries.DocxZipL1), crcLe,
+        lit(SamplingPackQueries.DocxZipL2), xmlHex,
+        lit(SamplingPackQueries.DocxZipC1), crcLe,
+        lit(SamplingPackQueries.DocxZipC2)))
+      val o = Multimodal.officeText(payload)
+      t(s, dir, "documents")
+        .select(col("doc_id"), o.getField("format").as("format"),
+          o.getField("text").as("txt"))
+    }, Some("""
+      SELECT doc_id, 'docx' AS format,
+             rpad(regexp_replace(substring(text, 1, 60),
+                                 '[^a-zA-Z0-9 .,]', '', 'g'), 40, '.') AS txt
+      FROM documents""")),
+
+    // ZIP container walk (round-14 ZipEntriesExpr): the same per-doc
+    // archive exploded to its entry rows — name, declared vs stored
+    // sizes, method, and the entry bytes surfaced as text.
+    QueryDef("q_zip_entries", (s, dir) => {
+      val txt = rpad(regexp_replace(substring(col("text"), 1, 60),
+        "[^a-zA-Z0-9 .,]", ""), 40, ".")
+      val xmlHex = concat(lit(SamplingPackQueries.DocxXmlPre), hex(txt),
+        lit(SamplingPackQueries.DocxXmlPost))
+      val crcHex = lpad(hex(crc32(unhex(xmlHex))), 8, "0")
+      val crcLe = concat(substring(crcHex, 7, 2), substring(crcHex, 5, 2),
+        substring(crcHex, 3, 2), substring(crcHex, 1, 2))
+      val payload = unhex(concat(lit(SamplingPackQueries.DocxZipL1), crcLe,
+        lit(SamplingPackQueries.DocxZipL2), xmlHex,
+        lit(SamplingPackQueries.DocxZipC1), crcLe,
+        lit(SamplingPackQueries.DocxZipC2)))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Multimodal.zipEntries(payload)).as("e"))
+        .select(col("doc_id"), col("e.name").as("name"),
+          col("e.size").as("size"), col("e.method").as("method"),
+          col("e.data").cast("string").as("entry_text"))
+    }, Some("""
+      SELECT doc_id, 'word/document.xml' AS name, CAST(148 AS BIGINT) AS size,
+             'stored' AS method,
+             '<?xml version="1.0"?><w:document xmlns:w="x"><w:body><w:p><w:r><w:t>'
+               || rpad(regexp_replace(substring(text, 1, 60),
+                                      '[^a-zA-Z0-9 .,]', '', 'g'), 40, '.')
+               || '</w:t></w:r></w:p></w:body></w:document>' AS entry_text
       FROM documents""")),
 
     // PDF decryption (round-14 PdfCrypt, ISO 32000 §7.6 Standard

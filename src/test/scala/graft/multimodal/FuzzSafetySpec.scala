@@ -29,7 +29,9 @@ class FuzzSafetySpec extends SparkSpec {
     ("http_response", Multimodal.httpResponse),
     ("sitemap_entries", Multimodal.sitemapEntries),
     ("pdf_text", Multimodal.pdfText),
-    ("pdf_meta", Multimodal.pdfMeta))
+    ("pdf_meta", Multimodal.pdfMeta),
+    ("zip_entries", Multimodal.zipEntries),
+    ("office_text", Multimodal.officeText))
 
   private def sweep(payloads: Seq[Array[Byte]], label: String): Unit = {
     val df = payloads.map(Tuple1(_)).toDF("p")
@@ -73,7 +75,9 @@ class FuzzSafetySpec extends SparkSpec {
       Array[Byte](0, 0, 1, 0, 1, 0), // ICO directory
       Array(0x1a, 0x45, 0xdf.toByte, 0xa3.toByte), // Matroska EBML
       Array('I', 'D', '3'), Array(0xff.toByte, 0xfb.toByte), // MP3
-      "%PDF-1.4\n".getBytes) // PDF header
+      "%PDF-1.4\n".getBytes, // PDF header
+      "PK".getBytes("ISO-8859-1"), // ZIP local header
+      "PK".getBytes("ISO-8859-1")) // ZIP EOCD
     val payloads = for (m <- magics; _ <- 0 until 12) yield {
       val tail = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(tail)
       m ++ tail
