@@ -145,6 +145,15 @@ object Multimodal {
     ColumnBridge.column(OfficeTextExpr(ColumnBridge.expression(payload)))
   }
 
+  /** Descriptive media tags — see [[MediaTagsExpr]]. struct<format,
+    * tags: map> from ID3v1/v2, Vorbis comments (FLAC/Ogg/Opus), MP4
+    * ilst, RIFF INFO; the dedup/stratify keys of an audio corpus. */
+  def mediaTags(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(MediaTagsExpr(ColumnBridge.expression(payload)))
+  }
+
   /** `Sitemap:` directives of a robots.txt, in document order — see
     * [[RobotsSitemapsExpr]]. The robots→sitemap link of the crawl
     * discovery chain; array<string>, empty when the file names none. */

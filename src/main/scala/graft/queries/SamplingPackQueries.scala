@@ -2465,6 +2465,41 @@ object SamplingPackQueries {
                                  '[^a-zA-Z0-9 .,]', '', 'g'), 40, '.') AS txt
       FROM documents""")),
 
+    // Media tags (round-14 MediaTagsExpr): per doc a fixed-layout
+    // ID3v2.3 tag — latin-1 TIT2/TPE1/TRCK/TYER frames of constant
+    // width so every size field is byte-exact — built from the doc's
+    // own sanitized text; the v2.2/v2.4 layouts, UTF-16 encodings,
+    // COMM framing, ID3v1 merge, Vorbis/Opus/FLAC comments, MP4
+    // ilst and RIFF INFO are pinned in MediaTagsSpec.
+    QueryDef("q_media_tags", (s, dir) => {
+      val title = rpad(regexp_replace(substring(col("text"), 1, 40),
+        "[^a-zA-Z0-9 .,]", ""), 24, ".")
+      val artist = rpad(col("source"), 16, "_")
+      val track = lpad((pmod(col("doc_id"), lit(99)) + 1).cast("string"), 2, "0")
+      // "ID3" v2.3, flags 0, syncsafe size 90 = the four fixed frames
+      val payload = unhex(concat(
+        lit("4944330300" + "00" + "0000005A"),
+        lit("54495432" + "00000019" + "0000" + "00"), hex(title),
+        lit("54504531" + "00000011" + "0000" + "00"), hex(artist),
+        lit("5452434B" + "00000003" + "0000" + "00"), hex(track),
+        lit("54594552" + "00000005" + "0000" + "00" + "32303234")))
+      val m = Multimodal.mediaTags(payload)
+      t(s, dir, "documents")
+        .select(col("doc_id"), m.getField("format").as("format"),
+          element_at(m.getField("tags"), "title").as("title"),
+          element_at(m.getField("tags"), "artist").as("artist"),
+          element_at(m.getField("tags"), "track").as("track"),
+          element_at(m.getField("tags"), "date").as("tag_date"))
+    }, Some("""
+      SELECT doc_id, 'id3v2' AS format,
+             trim(rpad(regexp_replace(substring(text, 1, 40),
+                                      '[^a-zA-Z0-9 .,]', '', 'g'), 24, '.'),
+                  ' ') AS title,
+             trim(rpad(source, 16, '_'), ' ') AS artist,
+             lpad(CAST(doc_id % 99 + 1 AS VARCHAR), 2, '0') AS track,
+             '2024' AS tag_date
+      FROM documents""")),
+
     // Office document text (round-14 OfficeTextExpr over the
     // ZipEntriesExpr container walk): per doc a real one-entry docx —
     // stored word/document.xml with a correct CRC-32 (computed

@@ -31,7 +31,8 @@ class FuzzSafetySpec extends SparkSpec {
     ("pdf_text", Multimodal.pdfText),
     ("pdf_meta", Multimodal.pdfMeta),
     ("zip_entries", Multimodal.zipEntries),
-    ("office_text", Multimodal.officeText))
+    ("office_text", Multimodal.officeText),
+    ("media_tags", Multimodal.mediaTags))
 
   private def sweep(payloads: Seq[Array[Byte]], label: String): Unit = {
     val df = payloads.map(Tuple1(_)).toDF("p")
