@@ -154,6 +154,24 @@ object Multimodal {
     ColumnBridge.column(MediaTagsExpr(ColumnBridge.expression(payload)))
   }
 
+  /** POSIX/GNU tar walk — see [[TarEntriesExpr]]. array<struct<name,
+    * size, type, data>>; `tarEntries(decompress(p)("data"))` opens
+    * the .tar.gz corpus-distribution format in one map-side chain. */
+  def tarEntries(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(TarEntriesExpr(ColumnBridge.expression(payload)))
+  }
+
+  /** SRT / WebVTT cue parsing — see [[SubtitleCuesExpr]].
+    * array<struct<idx, start_ms, end_ms, text>>; the speech-aligned
+    * text half of a video-caption corpus. */
+  def subtitleCues(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(SubtitleCuesExpr(ColumnBridge.expression(payload)))
+  }
+
   /** `Sitemap:` directives of a robots.txt, in document order — see
     * [[RobotsSitemapsExpr]]. The robots→sitemap link of the crawl
     * discovery chain; array<string>, empty when the file names none. */

@@ -110,6 +110,21 @@ object SamplingPackQueries {
     "9400000094000000110000000000000000000000000000000000776F72642F646F63756D656E742E786D6C504B0506000000" +
     "00010001003F000000C30000000000"
 
+  // The constant 512-byte ustar header for q_tar_entries (python
+  // tarfile output: name doc.txt, size 40, mtime 0, valid checksum)
+  private val TarDocHeader =
+    "646F632E74787400000000000000000000000000000000000000000000000000000000000000000000000000000000000000" +
+    "0000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000" +
+    "3030303036343400303030303030300030303030303030003030303030303030303530003030303030303030303030003030" +
+    "3732343600203000000000000000000000000000000000000000000000000000000000000000000000000000000000000000" +
+    "0000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000" +
+    "0000000000000075737461720030300000000000000000000000000000000000000000000000000000000000000000000000" +
+    "0000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000" +
+    "0000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000" +
+    "0000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000" +
+    "0000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000" +
+    "000000000000000000000000"
+
   val defs: Seq[QueryDef] = Seq(
 
 
@@ -2464,6 +2479,66 @@ object SamplingPackQueries {
              rpad(regexp_replace(substring(text, 1, 60),
                                  '[^a-zA-Z0-9 .,]', '', 'g'), 40, '.') AS txt
       FROM documents""")),
+
+    // tar walk (round-14 TarEntriesExpr): per doc a one-member ustar
+    // archive — the 512-byte header (name doc.txt, size 40, checksum)
+    // is the CONSTANT python-tarfile output, so only the member data
+    // varies and the header checksum stays byte-exact; data padded to
+    // its 512 block + the two terminator blocks. GNU long names and
+    // pax unicode records are pinned in TarSubtitleSpec against
+    // python-tarfile dialect fixtures.
+    QueryDef("q_tar_entries", (s, dir) => {
+      val txt = rpad(regexp_replace(substring(col("text"), 1, 60),
+        "[^a-zA-Z0-9 .,]", ""), 40, ".")
+      val payload = unhex(concat(lit(SamplingPackQueries.TarDocHeader),
+        hex(txt), lit("00" * (472 + 1024))))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Multimodal.tarEntries(payload)).as("e"))
+        .select(col("doc_id"), col("e.name").as("name"),
+          col("e.size").as("size"), col("e.type").as("tar_type"),
+          col("e.data").cast("string").as("entry_text"))
+    }, Some("""
+      SELECT doc_id, 'doc.txt' AS name, CAST(40 AS BIGINT) AS size,
+             'file' AS tar_type,
+             rpad(regexp_replace(substring(text, 1, 60),
+                                 '[^a-zA-Z0-9 .,]', '', 'g'), 40, '.')
+               AS entry_text
+      FROM documents""")),
+
+    // Subtitle cues (round-14 SubtitleCuesExpr): per doc a two-cue
+    // SRT authored in-query from the doc's own text and doc_id-derived
+    // timestamps; the cue index, ms conversions, multi-line join and
+    // markup stripping replay in DuckDB. WebVTT (short timestamps,
+    // settings, NOTE blocks, voice tags) is pinned in TarSubtitleSpec.
+    QueryDef("q_subtitle_cues", (s, dir) => {
+      val sec = lpad(pmod(col("doc_id"), lit(60)).cast("string"), 2, "0")
+      // no spaces in the cue line: the parser trims each text line,
+      // so leading/trailing spaces would not replay
+      val line1 = rpad(regexp_replace(substring(col("text"), 1, 40),
+        "[^a-zA-Z0-9.,]", ""), 20, "x")
+      val srt = concat(
+        lit("1\n00:00:"), sec, lit(",000 --> 00:01:"), sec,
+        lit(",500\n<i>"), line1, lit("</i>\nsecond line\n\n2\n"),
+        lit("00:02:00,000 --> 00:02:05,000\nclosing cue\n"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Multimodal.subtitleCues(srt.cast("binary"))).as("c"))
+        .select(col("doc_id"), col("c.idx").as("idx"),
+          col("c.start_ms").as("start_ms"), col("c.end_ms").as("end_ms"),
+          col("c.text").as("cue_text"))
+    }, Some("""
+      SELECT doc_id, idx, start_ms, end_ms, cue_text FROM (
+        SELECT doc_id, 1 AS idx,
+               (doc_id % 60) * 1000 AS start_ms,
+               60000 + (doc_id % 60) * 1000 + 500 AS end_ms,
+               rpad(regexp_replace(substring(text, 1, 40),
+                                   '[^a-zA-Z0-9.,]', '', 'g'), 20, 'x')
+                 || chr(10) || 'second line' AS cue_text
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 2, 120000, 125000, 'closing cue' FROM documents
+      )""")),
 
     // Media tags (round-14 MediaTagsExpr): per doc a fixed-layout
     // ID3v2.3 tag — latin-1 TIT2/TPE1/TRCK/TYER frames of constant

@@ -32,7 +32,9 @@ class FuzzSafetySpec extends SparkSpec {
     ("pdf_meta", Multimodal.pdfMeta),
     ("zip_entries", Multimodal.zipEntries),
     ("office_text", Multimodal.officeText),
-    ("media_tags", Multimodal.mediaTags))
+    ("media_tags", Multimodal.mediaTags),
+    ("tar_entries", Multimodal.tarEntries),
+    ("subtitle_cues", Multimodal.subtitleCues))
 
   private def sweep(payloads: Seq[Array[Byte]], label: String): Unit = {
     val df = payloads.map(Tuple1(_)).toDF("p")
@@ -77,8 +79,9 @@ class FuzzSafetySpec extends SparkSpec {
       Array(0x1a, 0x45, 0xdf.toByte, 0xa3.toByte), // Matroska EBML
       Array('I', 'D', '3'), Array(0xff.toByte, 0xfb.toByte), // MP3
       "%PDF-1.4\n".getBytes, // PDF header
-      "PK".getBytes("ISO-8859-1"), // ZIP local header
-      "PK".getBytes("ISO-8859-1")) // ZIP EOCD
+      Array[Byte]('P', 'K', 3, 4), // ZIP local header
+      Array[Byte]('P', 'K', 5, 6), // ZIP EOCD
+      "WEBVTT\n".getBytes) // WebVTT header
     val payloads = for (m <- magics; _ <- 0 until 12) yield {
       val tail = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(tail)
       m ++ tail
