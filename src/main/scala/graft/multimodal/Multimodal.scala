@@ -172,6 +172,24 @@ object Multimodal {
     ColumnBridge.column(SubtitleCuesExpr(ColumnBridge.expression(payload)))
   }
 
+  /** RFC 5322/MIME message parsing — see [[EmailMessageExpr]].
+    * struct<from, to, subject, date, message_id, content_type, text,
+    * html, attachments>; encoded-word headers, QP/base64 bodies,
+    * multipart recursion. */
+  def emailMessage(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(EmailMessageExpr(ColumnBridge.expression(payload)))
+  }
+
+  /** Unix mbox split — see [[MboxMessagesExpr]]. array<binary> of
+    * member messages; explode + emailMessage is the archive chain. */
+  def mboxMessages(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(MboxMessagesExpr(ColumnBridge.expression(payload)))
+  }
+
   /** `Sitemap:` directives of a robots.txt, in document order — see
     * [[RobotsSitemapsExpr]]. The robots→sitemap link of the crawl
     * discovery chain; array<string>, empty when the file names none. */

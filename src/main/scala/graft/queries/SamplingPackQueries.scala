@@ -2480,6 +2480,53 @@ object SamplingPackQueries {
                                  '[^a-zA-Z0-9 .,]', '', 'g'), 40, '.') AS txt
       FROM documents""")),
 
+    // Email chain (round-14 MboxMessagesExpr + EmailMessageExpr): per
+    // doc a two-message unix mbox authored in-query — message 1
+    // carries a B-encoded-word subject (base64 round-trip) and a
+    // base64 body built from the doc's text, message 2 a plain 7bit
+    // body; mbox split -> explode -> header/body extraction all
+    // map-side. The python-email fixture matrix (QP soft breaks,
+    // multipart/alternative, attachments, >From quoting) is pinned
+    // in EmailSpec.
+    QueryDef("q_email_mbox", (s, dir) => {
+      val subj = rpad(regexp_replace(substring(col("text"), 1, 20),
+        "[^a-zA-Z0-9.,]", ""), 12, "t")
+      val body1 = concat(lit("body: "), rpad(regexp_replace(
+        substring(col("text"), 1, 60), "[^a-zA-Z0-9 .,]", ""), 40, "."))
+      val msg1 = concat(
+        lit("From d0 Thu Jan  1 00:00:00 2024\nFrom: d"), col("doc_id"),
+        lit("@example.org\nTo: corpus@example.org\nSubject: =?utf-8?B?"),
+        base64(subj.cast("binary")), lit("?=\nDate: Mon, 01 Jan 2024 00:00:00 +0000\n" +
+          "Content-Type: text/plain; charset=\"utf-8\"\n" +
+          "Content-Transfer-Encoding: base64\n\n"),
+        base64(body1.cast("binary")), lit("\n\n"))
+      val msg2 = concat(
+        lit("From d1 Thu Jan  1 00:00:00 2024\nFrom: second@example.org\n" +
+          "Subject: plain two\n\nbody: constant second message\n"))
+      val payload = concat(msg1, msg2).cast("binary")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Multimodal.mboxMessages(payload)).as("m"))
+        .select(col("doc_id"), Multimodal.emailMessage(col("m")).as("e"))
+        .select(col("doc_id"), col("e.from").as("from_hdr"),
+          col("e.subject").as("subject"), col("e.text").as("body"))
+    }, Some("""
+      SELECT doc_id, from_hdr, subject, body FROM (
+        SELECT doc_id,
+               'd' || CAST(doc_id AS VARCHAR) || '@example.org' AS from_hdr,
+               rpad(regexp_replace(substring(text, 1, 20),
+                                   '[^a-zA-Z0-9.,]', '', 'g'), 12, 't')
+                 AS subject,
+               'body: ' || rpad(regexp_replace(substring(text, 1, 60),
+                                               '[^a-zA-Z0-9 .,]', '', 'g'),
+                                40, '.') AS body
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'second@example.org', 'plain two',
+               'body: constant second message'
+        FROM documents
+      )""")),
+
     // tar walk (round-14 TarEntriesExpr): per doc a one-member ustar
     // archive — the 512-byte header (name doc.txt, size 40, checksum)
     // is the CONSTANT python-tarfile output, so only the member data

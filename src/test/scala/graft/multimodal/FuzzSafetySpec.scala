@@ -34,7 +34,9 @@ class FuzzSafetySpec extends SparkSpec {
     ("office_text", Multimodal.officeText),
     ("media_tags", Multimodal.mediaTags),
     ("tar_entries", Multimodal.tarEntries),
-    ("subtitle_cues", Multimodal.subtitleCues))
+    ("subtitle_cues", Multimodal.subtitleCues),
+    ("email_message", Multimodal.emailMessage),
+    ("mbox_messages", Multimodal.mboxMessages))
 
   private def sweep(payloads: Seq[Array[Byte]], label: String): Unit = {
     val df = payloads.map(Tuple1(_)).toDF("p")
@@ -81,7 +83,9 @@ class FuzzSafetySpec extends SparkSpec {
       "%PDF-1.4\n".getBytes, // PDF header
       Array[Byte]('P', 'K', 3, 4), // ZIP local header
       Array[Byte]('P', 'K', 5, 6), // ZIP EOCD
-      "WEBVTT\n".getBytes) // WebVTT header
+      "WEBVTT\n".getBytes, // WebVTT header
+      "From x@y Thu Jan  1 00:00:00 2024\n".getBytes, // mbox separator
+      "From: a@b\nTo: c@d\n\n".getBytes) // RFC 5322 header block
     val payloads = for (m <- magics; _ <- 0 until 12) yield {
       val tail = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(tail)
       m ++ tail
