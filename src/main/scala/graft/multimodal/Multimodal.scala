@@ -190,6 +190,14 @@ object Multimodal {
     ColumnBridge.column(MboxMessagesExpr(ColumnBridge.expression(payload)))
   }
 
+  /** RSS/Atom feed parsing — see [[FeedEntriesExpr]]. struct<format,
+    * feed_title, entries>; the syndication half of crawl discovery. */
+  def feedEntries(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(FeedEntriesExpr(ColumnBridge.expression(payload)))
+  }
+
   /** `Sitemap:` directives of a robots.txt, in document order — see
     * [[RobotsSitemapsExpr]]. The robots→sitemap link of the crawl
     * discovery chain; array<string>, empty when the file names none. */

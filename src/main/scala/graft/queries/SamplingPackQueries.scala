@@ -2480,6 +2480,50 @@ object SamplingPackQueries {
                                  '[^a-zA-Z0-9 .,]', '', 'g'), 40, '.') AS txt
       FROM documents""")),
 
+    // Feed parsing (round-14 FeedEntriesExpr): per doc an RSS 2.0
+    // document authored in-query — channel title + two items (one
+    // with entity-encoded title, link, pubDate, description; one
+    // minimal) — exploded to entry rows and replayed in DuckDB. The
+    // Atom/RDF shapes, CDATA, dc:creator, and link-rel preference
+    // are pinned in FeedEntriesSpec.
+    QueryDef("q_feed_entries", (s, dir) => {
+      val t1 = rpad(regexp_replace(substring(col("text"), 1, 30),
+        "[^a-zA-Z0-9 .,]", ""), 16, "f")
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>" +
+          "<title>corpus feed</title><item><title>"), t1,
+        lit("</title><link>https://example.org/doc/"), col("doc_id"),
+        lit("</link><pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>" +
+          "<description>summary &amp; detail</description></item>" +
+          "<item><title>static second</title>" +
+          "<link>https://example.org/static</link></item>" +
+          "</channel></rss>"))
+      val f = Multimodal.feedEntries(xml.cast("binary"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), f.getField("format").as("format"),
+          f.getField("feed_title").as("feed_title"),
+          explode(f.getField("entries")).as("e"))
+        .select(col("doc_id"), col("format"), col("feed_title"),
+          col("e.title").as("title"), col("e.link").as("link"),
+          col("e.published").as("published"),
+          col("e.summary").as("summary"))
+    }, Some("""
+      SELECT doc_id, 'rss' AS format, 'corpus feed' AS feed_title,
+             title, link, published, summary FROM (
+        SELECT doc_id,
+               trim(rpad(regexp_replace(substring(text, 1, 30),
+                                        '[^a-zA-Z0-9 .,]', '', 'g'), 16, 'f'),
+                    ' ') AS title,
+               'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS link,
+               'Mon, 01 Jan 2024 00:00:00 GMT' AS published,
+               'summary & detail' AS summary
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'static second', 'https://example.org/static',
+               NULL, NULL
+        FROM documents
+      )""")),
+
     // Email chain (round-14 MboxMessagesExpr + EmailMessageExpr): per
     // doc a two-message unix mbox authored in-query — message 1
     // carries a B-encoded-word subject (base64 round-trip) and a

@@ -36,7 +36,8 @@ class FuzzSafetySpec extends SparkSpec {
     ("tar_entries", Multimodal.tarEntries),
     ("subtitle_cues", Multimodal.subtitleCues),
     ("email_message", Multimodal.emailMessage),
-    ("mbox_messages", Multimodal.mboxMessages))
+    ("mbox_messages", Multimodal.mboxMessages),
+    ("feed_entries", Multimodal.feedEntries))
 
   private def sweep(payloads: Seq[Array[Byte]], label: String): Unit = {
     val df = payloads.map(Tuple1(_)).toDF("p")
