@@ -198,6 +198,22 @@ object Multimodal {
     ColumnBridge.column(FeedEntriesExpr(ColumnBridge.expression(payload)))
   }
 
+  /** Tag-stripped HTML text — see [[HtmlTextExpr]]. The crawl chain's
+    * final normalization: `htmlText(httpResponse(p)("text"))`. */
+  def htmlText(html: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(HtmlTextExpr(ColumnBridge.expression(html)))
+  }
+
+  /** Markdown reduced to plain text — see [[MarkdownTextExpr]]. The
+    * README/docs-corpus normalization before stats/dedup. */
+  def markdownText(md: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(MarkdownTextExpr(ColumnBridge.expression(md)))
+  }
+
   /** `Sitemap:` directives of a robots.txt, in document order — see
     * [[RobotsSitemapsExpr]]. The robots→sitemap link of the crawl
     * discovery chain; array<string>, empty when the file names none. */

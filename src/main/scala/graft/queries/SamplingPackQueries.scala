@@ -2480,6 +2480,56 @@ object SamplingPackQueries {
                                  '[^a-zA-Z0-9 .,]', '', 'g'), 40, '.') AS txt
       FROM documents""")),
 
+    // Markdown normalization (round-14 MarkdownTextExpr): per doc a
+    // markdown document authored from its own text — ATX heading,
+    // bold span, inline link — whose stripped form is replayed as
+    // plain concatenation in DuckDB. The fence/table/quote/list
+    // matrix is pinned in TextStripSpec.
+    QueryDef("q_markdown_text", (s, dir) => {
+      def clean(n: Int, len: Int) = concat(lit("w"),
+        rpad(regexp_replace(substring(col("text"), n, 40),
+          "[^a-zA-Z ]", ""), len, "m"))
+      val mdSrc = concat(lit("# "), clean(1, 12), lit("\n\n**"), clean(5, 8),
+        lit("** ["), clean(9, 8), lit("](https://example.org/x)"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.markdownText(mdSrc).as("txt"))
+    }, Some("""
+      SELECT doc_id,
+        'w' || rpad(regexp_replace(substring(text, 1, 40), '[^a-zA-Z ]', '', 'g'), 12, 'm')
+        || chr(10) || chr(10) ||
+        'w' || rpad(regexp_replace(substring(text, 5, 40), '[^a-zA-Z ]', '', 'g'), 8, 'm')
+        || ' ' ||
+        'w' || rpad(regexp_replace(substring(text, 9, 40), '[^a-zA-Z ]', '', 'g'), 8, 'm')
+        AS txt
+      FROM documents""")),
+
+    // HTML normalization (round-14 HtmlTextExpr): the crawl chain's
+    // last step as one expression — an html document authored from
+    // the doc's text, tag-stripped with block-level line breaks and
+    // whitespace collapse, replayed in DuckDB (the same collapse).
+    QueryDef("q_html_text", (s, dir) => {
+      def clean(n: Int) = rpad(regexp_replace(substring(col("text"), n, 40),
+        "[^a-zA-Z0-9 .,]", ""), 24, "h")
+      val html = concat(
+        lit("<html><head><title>skip me</title><style>p{}</style></head>" +
+          "<body><h1>"), clean(1),
+        lit("</h1><p>"), clean(3),
+        lit(" <b>bold</b></p><script>var x=1;</script></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.htmlText(html).as("txt"))
+    }, Some("""
+      SELECT doc_id,
+        regexp_replace(rpad(regexp_replace(substring(text, 1, 40),
+                                           '[^a-zA-Z0-9 .,]', '', 'g'), 24, 'h'),
+                       ' +', ' ', 'g')
+        || chr(10) ||
+        regexp_replace(rpad(regexp_replace(substring(text, 3, 40),
+                                           '[^a-zA-Z0-9 .,]', '', 'g'), 24, 'h')
+                         || ' ',
+                       ' +', ' ', 'g')
+        || 'bold' AS txt
+      FROM documents""")),
+
     // Feed parsing (round-14 FeedEntriesExpr): per doc an RSS 2.0
     // document authored in-query — channel title + two items (one
     // with entity-encoded title, link, pubDate, description; one
