@@ -67,6 +67,30 @@ case class MarkdownTextExpr(child: Expression)
 
 private[multimodal] object Markdown {
 
+  // precompiled: replaceAll would recompile per row otherwise
+  private val PQuote = java.util.regex.Pattern.compile("^\\s{0,3}(>\\s?)+")
+  private val PAtx = java.util.regex.Pattern.compile("^\\s{0,3}#{1,6}\\s+")
+  private val PAtxTail = java.util.regex.Pattern.compile("\\s+#+\\s*$")
+  private val PBullet = java.util.regex.Pattern.compile("^\\s*[-*+]\\s+")
+  private val PNumber = java.util.regex.Pattern.compile("^\\s*\\d{1,3}[.)]\\s+")
+  private val PImage = java.util.regex.Pattern.compile("!\\[([^\\]]*)\\]\\([^)]*\\)")
+  private val PLink = java.util.regex.Pattern.compile("\\[([^\\]]+)\\]\\([^)]*\\)")
+  private val PRefLink = java.util.regex.Pattern.compile("\\[([^\\]]+)\\]\\[[^\\]]*\\]")
+  private val PAuto = java.util.regex.Pattern.compile("<(https?://[^>]+)>")
+  private val PHtml = java.util.regex.Pattern.compile("</?[A-Za-z][^>]*>")
+  private val PCode = java.util.regex.Pattern.compile("`([^`]*)`")
+  private val PStrong = java.util.regex.Pattern.compile("(\\*\\*|__)(.+?)\\1")
+  private val PEmphA = java.util.regex.Pattern.compile(
+    "(?<![\\w*])\\*([^*\\s][^*]*)\\*(?![\\w*])")
+  private val PEmphU = java.util.regex.Pattern.compile(
+    "(?<![\\w_])_([^_\\s][^_]*)_(?![\\w_])")
+  private val PStrike = java.util.regex.Pattern.compile("~~(.+?)~~")
+  private val PLinkDef = java.util.regex.Pattern.compile("^\\[[^\\]]+\\]:\\s*\\S+.*$")
+  private val PHr = java.util.regex.Pattern.compile(
+    "^(\\*\\s*){3,}$|^(-\\s*){3,}$|^(_\\s*){3,}$")
+  private val PTableSep = java.util.regex.Pattern.compile(
+    "^\\|?\\s*:?-{2,}:?\\s*(\\|\\s*:?-{2,}:?\\s*)+\\|?$")
+
   def toText(md: String): String = {
     val out = new java.lang.StringBuilder(md.length)
     val lines = md.split("\n", -1)
@@ -90,13 +114,13 @@ private[multimodal] object Markdown {
           // covered by isHr for ---; === drops here
         } else {
           // blockquote prefixes
-          line = line.replaceAll("^\\s{0,3}(>\\s?)+", "")
+          line = PQuote.matcher(line).replaceAll("")
           // ATX headings
-          line = line.replaceAll("^\\s{0,3}#{1,6}\\s+", "")
-            .replaceAll("\\s+#+\\s*$", "")
+          line = PAtxTail.matcher(PAtx.matcher(line).replaceAll(""))
+            .replaceAll("")
           // list bullets / numbers
-          line = line.replaceAll("^\\s*[-*+]\\s+", "")
-            .replaceAll("^\\s*\\d{1,3}[.)]\\s+", "")
+          line = PNumber.matcher(PBullet.matcher(line).replaceAll(""))
+            .replaceAll("")
           line = inline(line)
           out.append(line).append('\n')
         }
@@ -109,30 +133,27 @@ private[multimodal] object Markdown {
     out.substring(0, e)
   }
 
-  private def isLinkDef(t: String): Boolean =
-    t.matches("^\\[[^\\]]+\\]:\\s*\\S+.*$")
-  private def isHr(t: String): Boolean =
-    t.matches("^(\\*\\s*){3,}$|^(-\\s*){3,}$|^(_\\s*){3,}$")
-  private def isTableSep(t: String): Boolean =
-    t.matches("^\\|?\\s*:?-{2,}:?\\s*(\\|\\s*:?-{2,}:?\\s*)+\\|?$")
+  private def isLinkDef(t: String): Boolean = PLinkDef.matcher(t).matches()
+  private def isHr(t: String): Boolean = PHr.matcher(t).matches()
+  private def isTableSep(t: String): Boolean = PTableSep.matcher(t).matches()
 
   private def inline(s0: String): String = {
     var s = s0
     // images then links (inline + reference style)
-    s = s.replaceAll("!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
-    s = s.replaceAll("\\[([^\\]]+)\\]\\([^)]*\\)", "$1")
-    s = s.replaceAll("\\[([^\\]]+)\\]\\[[^\\]]*\\]", "$1")
+    s = PImage.matcher(s).replaceAll("$1")
+    s = PLink.matcher(s).replaceAll("$1")
+    s = PRefLink.matcher(s).replaceAll("$1")
     // autolinks keep the url
-    s = s.replaceAll("<(https?://[^>]+)>", "$1")
+    s = PAuto.matcher(s).replaceAll("$1")
     // raw html tags
-    s = s.replaceAll("</?[A-Za-z][^>]*>", "")
+    s = PHtml.matcher(s).replaceAll("")
     // inline code spans: keep content
-    s = s.replaceAll("`([^`]*)`", "$1")
+    s = PCode.matcher(s).replaceAll("$1")
     // emphasis / strong / strike markers around words
-    s = s.replaceAll("(\\*\\*|__)(.+?)\\1", "$2")
-    s = s.replaceAll("(?<![\\w*])\\*([^*\\s][^*]*)\\*(?![\\w*])", "$1")
-    s = s.replaceAll("(?<![\\w_])_([^_\\s][^_]*)_(?![\\w_])", "$1")
-    s = s.replaceAll("~~(.+?)~~", "$1")
+    s = PStrong.matcher(s).replaceAll("$2")
+    s = PEmphA.matcher(s).replaceAll("$1")
+    s = PEmphU.matcher(s).replaceAll("$1")
+    s = PStrike.matcher(s).replaceAll("$1")
     // table pipes -> tabs (outer pipes drop)
     if (s.contains("|")) {
       val body = s.trim.stripPrefix("|").stripSuffix("|")
