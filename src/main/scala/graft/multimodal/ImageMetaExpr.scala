@@ -193,6 +193,9 @@ case class ImageMetaExpr(child: Expression)
       }
       val w = nextInt(); val h = nextInt()
       if (w > 0 && h > 0) out("pnm", w, h) else unknown
+    } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0x0a) {
+      // bare JPEG XL codestream: the SizeHeader follows the signature
+      try jxlSize(b, 2, b.length) catch { case _: Exception => unknown }
     } else if (b.length >= 16 && b(4) == 'f' && b(5) == 't' &&
         b(6) == 'y' && b(7) == 'p') {
       try bmffImage(b) catch { case _: Exception => unknown }
@@ -234,11 +237,69 @@ case class ImageMetaExpr(child: Expression)
     * alpha planes are never larger than the primary image). Pixel
     * DECODE stays out of scope by design: the payload is AV1/HEVC
     * inter-prediction territory, the documented boundary class. */
+  /** JPEG XL SizeHeader (public ISO/IEC 18181-1 layout) at `off`:
+    * LSB-first bits — small(1); ysize = small ? (u(5)+1)*8 :
+    * u(U32 9/13/18/30)+1; ratio(3) selects xsize from the table or 0
+    * = explicit xsize in the same form. */
+  private def jxlSize(b: Array[Byte], off: Int, end: Int): InternalRow = {
+    var bitPos = 0
+    def u(n: Int): Int = {
+      var v = 0
+      var k = 0
+      var bad = false
+      while (k < n && !bad) {
+        val byteIdx = off + ((bitPos + k) >> 3)
+        if (byteIdx >= end) bad = true
+        else {
+          v |= (((b(byteIdx) >> ((bitPos + k) & 7)) & 1) << k)
+          k += 1
+        }
+      }
+      if (bad) -1 else { bitPos += n; v }
+    }
+    def sizeVal(small: Boolean): Int =
+      if (small) { val v = u(5); if (v < 0) -1 else (v + 1) * 8 }
+      else {
+        val sel = u(2)
+        if (sel < 0) -1
+        else {
+          val bits = sel match {
+            case 0 => 9; case 1 => 13; case 2 => 18; case _ => 30
+          }
+          val v = u(bits)
+          if (v < 0) -1 else v + 1
+        }
+      }
+    val small = u(1) == 1
+    val h = sizeVal(small)
+    if (h <= 0) return unknown
+    val ratio = u(3)
+    if (ratio < 0) return unknown
+    val w =
+      if (ratio == 0) sizeVal(small)
+      else {
+        val (num, den) = ratio match {
+          case 1 => (1, 1)
+          case 2 => (12, 10)
+          case 3 => (4, 3)
+          case 4 => (3, 2)
+          case 5 => (16, 9)
+          case 6 => (5, 4)
+          case _ => (2, 1)
+        }
+        (h.toLong * num / den).toInt
+      }
+    if (w <= 0 || w > (1 << 28) || h > (1 << 28)) unknown
+    else InternalRow(UTF8String.fromString("jxl"), w, h)
+  }
+
   private def bmffImage(b: Array[Byte]): InternalRow = {
     var fmt: String = null
     var genericHeif = false
     var metaS = -1
     var metaE = -1
+    var jxlcS = -1
+    var jxlcE = -1
     val ok = Bmff.boxes(b, 0, b.length) { (typ, s, e) =>
       typ match {
         case "ftyp" =>
@@ -253,6 +314,7 @@ case class ImageMetaExpr(child: Expression)
               if (brand == "avif" || brand == "avis") fmt = "avif"
               else if (brand.startsWith("hei") || brand.startsWith("hev"))
                 fmt = "heic"
+              else if (brand == "jxl ") fmt = "jxl"
               else if (brand == "mif1" || brand == "msf1")
                 genericHeif = true
             }
@@ -261,8 +323,20 @@ case class ImageMetaExpr(child: Expression)
         case "meta" if metaS < 0 && e - s >= 4 =>
           metaS = s + 4 // meta is a fullbox: skip version/flags
           metaE = e
+        case "jxlc" if jxlcS < 0 => jxlcS = s; jxlcE = e
+        case "jxlp" if jxlcS < 0 && e - s > 4 =>
+          // partial codestream: first box (index 0) holds the head
+          jxlcS = s + 4; jxlcE = e
         case _ => ()
       }
+    }
+    if (fmt == "jxl") {
+      // the container's codestream box carries the FF0A signature +
+      // SizeHeader; dimensions come from there (no ispe required)
+      if (ok && jxlcS >= 0 && jxlcE - jxlcS >= 4 &&
+          (b(jxlcS) & 0xff) == 0xff && (b(jxlcS + 1) & 0xff) == 0x0a)
+        return jxlSize(b, jxlcS + 2, jxlcE)
+      return unknown
     }
     if (!ok || (fmt == null && !genericHeif) || metaS < 0) return unknown
     val format = if (fmt == null) "heif" else fmt

@@ -2480,6 +2480,26 @@ object SamplingPackQueries {
                                  '[^a-zA-Z0-9 .,]', '', 'g'), 40, '.') AS txt
       FROM documents""")),
 
+    // JPEG XL metadata (round-14 jxlSize, ISO 18181-1 SizeHeader):
+    // per doc a bare codestream in the small square form — LSB-first
+    // bits small=1 | ysize5 | ratio=1 pack to one byte 0x41|(v<<1) —
+    // dimensions replayed from doc_id; the non-small selectors, the
+    // full ratio table, and the BMFF jxlc container route are pinned
+    // in ImageMetaSpec.
+    QueryDef("q_image_meta_jxl", (s, dir) => {
+      val v = pmod(col("doc_id"), lit(32))
+      val payload = unhex(concat(lit("FF0A"),
+        lpad(hex(lit(0x41) + v * 2), 2, "0"), lit("00")))
+      val m = Multimodal.imageMeta(payload)
+      t(s, dir, "documents")
+        .select(col("doc_id"), m.getField("format").as("format"),
+          m.getField("width").as("width"), m.getField("height").as("height"))
+    }, Some("""
+      SELECT doc_id, 'jxl' AS format,
+             CAST(8 * (doc_id % 32 + 1) AS INT) AS width,
+             CAST(8 * (doc_id % 32 + 1) AS INT) AS height
+      FROM documents""")),
+
     // Markdown normalization (round-14 MarkdownTextExpr): per doc a
     // markdown document authored from its own text — ATX heading,
     // bold span, inline link — whose stripped form is replayed as

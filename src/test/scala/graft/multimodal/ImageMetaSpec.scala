@@ -206,4 +206,25 @@ class ImageMetaSpec extends SparkSpec {
     assert(meta(hexBytes("FFD8 00C0 000B"))._1 === "unknown") // lost sync
     assert(meta(hexBytes("FFD8 FFC0 0005 08 01"))._1 === "unknown") // cut SOF
   }
+
+  test("jpeg xl: SizeHeader forms, ratio table, container route (round 14)") {
+    // bare codestream, small form 16x16 (ratio 1:1)
+    assert(meta(hexBytes("ff0a4300")) === ("jxl", 16, 16))
+    // small form, explicit xsize: 64x32
+    assert(meta(hexBytes("ff0a070e")) === ("jxl", 64, 32))
+    // non-small 1000x1000 via ratio 1:1
+    assert(meta(hexBytes("ff0a3a1f01")) === ("jxl", 1000, 1000))
+    // 16:9 ratio: height 1080 -> width 1920
+    assert(meta(hexBytes("ff0aba2105")) === ("jxl", 1920, 1080))
+    // explicit non-small both dims: 123x77
+    assert(meta(hexBytes("ff0a6002f400")) === ("jxl", 123, 77))
+    // ISOBMFF container: ftyp "jxl " + jxlc box holding the codestream
+    val boxed = hexBytes(
+      "0000001466747970" + "6a786c2000000000" + "6a786c20" + // ftyp jxl
+      "0000000c" + "6a786c63" + "ff0a4300")                  // jxlc
+    assert(meta(boxed) === ("jxl", 16, 16))
+    // truncated codestream: unknown, never throws
+    assert(meta(hexBytes("ff0a"))._1 === "unknown")
+    assert(meta(hexBytes("ff0aba"))._1 === "unknown")
+  }
 }
