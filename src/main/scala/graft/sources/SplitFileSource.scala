@@ -138,10 +138,14 @@ private object SplitOffset {
     if (t.isEmpty) initial
     else SplitOffset(t.split("""},""").toSeq.map { entry =>
       val e = entry.trim.stripSuffix("}")
-      val name = e.substring(1, e.indexOf('"', 1))
-      val hw = e.split("\"hw\":")(1).takeWhile(c => c == '-' || c.isDigit)
+      val nameEnd = e.indexOf('"', 1)
+      val name = e.substring(1, nameEnd)
+      // search the FIELD key strictly after the split name — a split
+      // literally named "hw" must not hijack the parse
+      val rest = e.substring(nameEnd + 1)
+      val hw = rest.split("\"hw\":")(1).takeWhile(c => c == '-' || c.isDigit)
         .toLong
-      val body = e.substring(e.indexOf('[') + 1).stripSuffix("]").trim
+      val body = rest.substring(rest.indexOf('[') + 1).stripSuffix("]").trim
       val files =
         if (body.isEmpty) Nil
         else body.split(",").toSeq

@@ -47,6 +47,16 @@ class OffsetPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("a split literally named \"hw\" round-trips (parser must scope the field key)") {
+    // regression: the field search used to scan the whole entry, so a
+    // split NAME of "hw" hijacked the "hw": key lookup
+    val o = SplitOffset(Map(
+      "hw" -> (0L, Seq.empty),
+      "files" -> (Long.MinValue, Seq("123-a.csv")),
+      "normal" -> (42L, Seq("456-b.csv", "789-c.csv"))))
+    assert(SplitOffset.fromJson(o.json()) == o)
+  }
+
   test("SplitOffset json round-trips (per-split hw + files)") {
     val splitEntry = for {
       name <- splitName
