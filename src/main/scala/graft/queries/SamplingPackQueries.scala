@@ -2480,6 +2480,66 @@ object SamplingPackQueries {
                                  '[^a-zA-Z0-9 .,]', '', 'g'), 40, '.') AS txt
       FROM documents""")),
 
+    // Document-ingestion E2E (round-14 certification): one chain
+    // over a mixed crawl — per doc an HTTP response whose body is a
+    // PDF, a docx, or an HTML page by doc_id%3; http_response parses
+    // the message, the Content-Type header dispatches to
+    // pdf_text / office_text / html_text, and every branch's
+    // extracted text replays in DuckDB. The real-corpus shape: one
+    // scan, one projection, zero shuffle, three decoders behind one
+    // CASE.
+    QueryDef("q_doc_ingest_e2e", (s, dir) => {
+      val txt = rpad(regexp_replace(substring(col("text"), 1, 60),
+        "[^a-zA-Z0-9 .,]", ""), 40, ".")
+      val branch = pmod(col("doc_id"), lit(3))
+      // bodies (hex): the fixed-offset shells used by q_pdf_text /
+      // q_office_text, and a plain html page
+      val pdfHex = SamplingPackQueries.pdfShellHex(col("doc_id"), col("text"))
+      val xmlHex = concat(lit(SamplingPackQueries.DocxXmlPre), hex(txt),
+        lit(SamplingPackQueries.DocxXmlPost))
+      val crcHex = lpad(hex(crc32(unhex(xmlHex))), 8, "0")
+      val crcLe = concat(substring(crcHex, 7, 2), substring(crcHex, 5, 2),
+        substring(crcHex, 3, 2), substring(crcHex, 1, 2))
+      val docxHex = concat(lit(SamplingPackQueries.DocxZipL1), crcLe,
+        lit(SamplingPackQueries.DocxZipL2), xmlHex,
+        lit(SamplingPackQueries.DocxZipC1), crcLe,
+        lit(SamplingPackQueries.DocxZipC2))
+      val htmlHex = hex(concat(lit("<html><body><p>"), txt,
+        lit("</p></body></html>")))
+      val ct = when(branch === 0, "application/pdf")
+        .when(branch === 1,
+          "application/vnd.openxmlformats-officedocument.wordprocessingml.document")
+        .otherwise("text/html; charset=utf-8")
+      val bodyHex = when(branch === 0, pdfHex)
+        .when(branch === 1, docxHex).otherwise(htmlHex)
+      val payload = unhex(concat(
+        hex(concat(lit("HTTP/1.1 200 OK\r\nContent-Type: "), ct,
+          lit("\r\n\r\n"))), bodyHex))
+      val r = Multimodal.httpResponse(payload)
+      val extracted = when(branch === 0, Multimodal.pdfText(r.getField("body")))
+        .when(branch === 1,
+          Multimodal.officeText(r.getField("body")).getField("text"))
+        .otherwise(Multimodal.htmlText(r.getField("text")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), r.getField("status").as("status"),
+          r.getField("content_type").as("content_type"),
+          extracted.as("txt"))
+    }, Some("""
+      SELECT doc_id, CAST(200 AS INT) AS status,
+             CASE doc_id % 3
+               WHEN 0 THEN 'application/pdf'
+               WHEN 1 THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+               ELSE 'text/html; charset=utf-8'
+             END AS content_type,
+             CASE WHEN doc_id % 3 = 2
+               THEN regexp_replace(rpad(regexp_replace(substring(text, 1, 60),
+                                        '[^a-zA-Z0-9 .,]', '', 'g'), 40, '.'),
+                                   ' +', ' ', 'g')
+               ELSE rpad(regexp_replace(substring(text, 1, 60),
+                                        '[^a-zA-Z0-9 .,]', '', 'g'), 40, '.')
+             END AS txt
+      FROM documents""")),
+
     // JPEG XL metadata (round-14 jxlSize, ISO 18181-1 SizeHeader):
     // per doc a bare codestream in the small square form — LSB-first
     // bits small=1 | ysize5 | ratio=1 pack to one byte 0x41|(v<<1) —
