@@ -30,4 +30,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // optimization-iteration aid: space-separated extra JVM flags (e.g.
+  // "-Dspark.sql.adaptive.enabled=false" for a config A/B) — SparkConf
+  // picks up spark.* system properties automatically. Empty by default.
+  sys.env.get("SPARK_GRAFT_EXTRA_OPTS").toSeq.flatMap(_.split(' ').filter(_.nonEmpty))

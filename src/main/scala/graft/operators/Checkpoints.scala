@@ -32,4 +32,19 @@ private[graft] object Checkpoints {
     val rdd = org.apache.spark.sql.graftbridge.ColumnBridge.backingRdd(out)
     (out, () => rdd.foreach(_.unpersist(blocking = false)))
   }
+
+  /** [[tracked]] that ALSO returns the row count, in ONE action: the
+    * checkpoint is taken lazily and the count job is what materializes
+    * (and persists) it. Convergence-checked loops (k-core's per-round
+    * live-edge count) previously paid two jobs per round — eager
+    * checkpoint materialization, then a separate count over the fresh
+    * blocks; at 100 TB that second pass re-reads the whole round's
+    * working set. */
+  def trackedCounted(df: DataFrame): (DataFrame, Long, () => Unit) = {
+    val out = df.localCheckpoint(false)
+    val rdd = org.apache.spark.sql.graftbridge.ColumnBridge.backingRdd(out)
+    val n = out.count() // first action over the marked RDD: computes,
+                        // persists the blocks, and counts in one pass
+    (out, n, () => rdd.foreach(_.unpersist(blocking = false)))
+  }
 }

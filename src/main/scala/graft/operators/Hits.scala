@@ -45,6 +45,17 @@ object Hits {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var hub = e.select(col("hub_id")).distinct().withColumn("hub", lit(1.0))
     var auth: DataFrame = null
+    // the normalization denominator: a driver-side scalar off the
+    // already-materialized sum checkpoint (one node-sized agg job). The
+    // previous broadcast formulation (crossJoin(broadcast(asum.agg(max))))
+    // collected the same single row to the driver anyway, then paid a
+    // BroadcastExchange build plus a nested-loop-join node in every
+    // downstream plan — per half-iteration. The division is the same
+    // IEEE op against the same max, so scores are bit-identical.
+    def maxOf(sums: DataFrame): Double = {
+      val r = sums.agg(max(col("s"))).head()
+      if (r.isNullAt(0)) Double.NaN else r.getDouble(0) // empty side: no rows flow
+    }
     // deterministic block release (Checkpoints.tracked): hsum_{t-1}
     // frees once asum_t materializes (hub_t is a lazy view over it);
     // asum_t frees once hsum_t materializes — EXCEPT the final
@@ -52,25 +63,23 @@ object Hits {
     var releaseHsum: () => Unit = () => ()
     for (i <- 1 to iterations) {
       // checkpoint the SUM table, not the normalized scores: `asum`
-      // feeds both the max-broadcast subquery and the main select, so
-      // an unmaterialized asum would run the edge join + groupBy twice
+      // feeds both the max scalar and the main select, so an
+      // unmaterialized asum would run the edge join + groupBy twice
       // per half-iteration. The normalization itself is a node-sized
-      // scan + broadcast scalar — cheap to leave lazy.
+      // scan with a literal divisor — cheap to leave lazy.
       val (asum, releaseAsum) = Checkpoints.tracked(
         e.join(hub, Seq("hub_id"))
           .groupBy(col("auth_id")).agg(sum(col("hub")).as("s")))
       releaseHsum()
-      auth = asum.crossJoin(broadcast(asum.agg(max(col("s")).as("mx"))))
-        .select(col("auth_id"),
-          (floor(col("s") / col("mx") * Q) / lit(Q.toDouble)).as("auth"))
+      auth = asum.select(col("auth_id"),
+        (floor(col("s") / lit(maxOf(asum)) * Q) / lit(Q.toDouble)).as("auth"))
       val (hsum, rh) = Checkpoints.tracked(
         e.join(auth, Seq("auth_id"))
           .groupBy(col("hub_id")).agg(sum(col("auth")).as("s")))
       if (i < iterations) releaseAsum()
       releaseHsum = rh
-      hub = hsum.crossJoin(broadcast(hsum.agg(max(col("s")).as("mx"))))
-        .select(col("hub_id"),
-          (floor(col("s") / col("mx") * Q) / lit(Q.toDouble)).as("hub"))
+      hub = hsum.select(col("hub_id"),
+        (floor(col("s") / lit(maxOf(hsum)) * Q) / lit(Q.toDouble)).as("hub"))
     }
     val out = auth.select(lit("auth").as("kind"), col("auth_id").as("id"),
         col("auth").as("score"))

@@ -35,19 +35,20 @@ object KCore {
   def run(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxRounds: Int = 100): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    var (live, release) = Checkpoints.tracked(
+    // trackedCounted: the count that drives convergence IS the action
+    // that materializes the round's checkpoint — one pass per round
+    // over the live edge set instead of materialize-then-recount (two)
+    var (live, n, release) = Checkpoints.trackedCounted(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
-    var n = live.count()
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       val keep = live.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src"))
-      val (next, releaseNext) = Checkpoints.tracked(live
+      val (next, m, releaseNext) = Checkpoints.trackedCounted(live
         .join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
         .select(col("src"), col("dst")))
-      val m = next.count()
       release() // round t-1's blocks: next is materialized, free them
       converged = m == n
       live = next

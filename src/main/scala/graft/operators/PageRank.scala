@@ -50,34 +50,47 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = deg.select(col("src").as("node")) // undirected: src set = node set
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // the initial uniform rank is a free projection of the cached node
-    // set — no materialization needed before the first iteration
-    var pr = nodes.withColumn("pr", lit(1.0))
+    if (iterations == 0) {
+      val out = deg.select(col("src").as("node"), lit(1.0).as("pr"))
+      Seq(und, deg).foreach(_.unpersist()) // lazy out recomputes from source
+      return out
+    }
+    // The iterate carries (node, outdeg, pr): attaching outdeg once per
+    // round on the NODE-sized table (below, pre-checkpoint) replaces a
+    // second EDGE-sized join inside every contribution pass. And because
+    // `und` is symmetric, every node has outdeg >= 1 AND indegree >= 1,
+    // so the mass sum covers exactly the node set — the old
+    // nodes LEFT JOIN sums (with coalesce(in_mass, 0)) was a bijective
+    // no-op and is dropped outright: two fewer joins per iteration, one
+    // of them edge-sized. Emitted ranks are bit-identical (same quantized
+    // op sequence per node).
+    var pr = deg.select(col("src").as("node"), col("outdeg"),
+      lit(1.0).as("pr"))
     var release: () => Unit = () => ()
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val contrib = und
         .join(pr, und("src") === pr("node"))
-        .join(deg, Seq("src"))
         .select(col("dst"),
           (floor(col("pr") / col("outdeg") * Q) / lit(Q.toDouble)).as("c"))
       val sums = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+      val ranked = sums.select(col("dst").as("node"),
+        (lit(1.0 - damping) + lit(damping) * col("in_mass")).as("pr"))
       // tracked eager checkpoint: one action materializes the iteration
       // AND caps lineage; the previous iterate's blocks are freed
       // deterministically (Checkpoints.tracked) instead of waiting on
-      // the context cleaner's next GC
-      val (next, releaseNext) = Checkpoints.tracked(nodes
-        .join(sums, nodes("node") === sums("dst"), "left")
-        .select(col("node"),
-          (lit(1.0 - damping) +
-            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("pr")))
+      // the context cleaner's next GC. The last round skips the outdeg
+      // attach — nothing consumes it.
+      val withDeg = if (i < iterations)
+        ranked.join(deg, ranked("node") === deg("src"))
+          .select(col("node"), col("outdeg"), col("pr"))
+      else ranked
+      val (next, releaseNext) = Checkpoints.tracked(withDeg)
       release()
       pr = next
       release = releaseNext
     }
-    Seq(und, deg, nodes).foreach(_.unpersist())
-    pr
+    Seq(und, deg).foreach(_.unpersist())
+    pr.select(col("node"), col("pr"))
   }
 
   /** Driver-side reference implementation with the identical quantized

@@ -104,10 +104,22 @@ object SetSimJoin {
       distributedVocab: Option[Boolean] = None): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
     require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
+    // LAZY persist: the deduped token table feeds the document-frequency
+    // aggregation AND the factorization join below — two exchanges whose
+    // canonical forms AQE does not always unify (the r14 profile showed
+    // the scan+tokenize+distinct map stage running once PER consumer).
+    // A lazy MEMORY_AND_DISK persist computes it on the query's own
+    // first action and shares via the plan cache, so construction still
+    // runs no job (EXPLAIN/audit flows stay lazy) while the corpus is
+    // tokenized exactly once per run. At 100 TB this trades one block
+    // write of the (id, token) table against a second full tokenization
+    // pass. (Not localCheckpoint: lazy checkpoints still force AQE
+    // stage execution at planning time, and eager ones run a job at
+    // construction.)
     val tok = tok0
       .select(col(idCol).as("id"), col(tokenCol).as("token"))
       .distinct()
-    val sz = tok.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq0 = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // Factorization selection. The plan shape depends on the
     // vocabulary size, which only a job can measure — so by DEFAULT
@@ -176,12 +188,25 @@ object SetSimJoin {
           .withColumn("tid", (col("off") + col("rn")).cast("int"))
           .select(col("token"), col("df"), col("tid"))
       }
+    // int-factorized tokens, lazily persisted for the same reason as
+    // `tok`: both the prefix window and the per-doc array aggregation
+    // consume it, and a recompute would re-run the factorization join
+    // (including the vocabulary rank) per consumer.
     val tokI = tok.join(vocab, "token").select(col("id"), col("tid"), col("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // set size and prefix rank from ONE pass over the same id-keyed
+    // window: count(*) over the partition IS the old `sz` table, so the
+    // separate groupBy(id) aggregation and its join are gone — one
+    // exchange on id instead of an aggregation exchange plus a
+    // sort-merge join. (The explicit isNotNull matches the inner join's
+    // null-key drop; a window partition would otherwise keep null ids.)
+    val wId = Window.partitionBy(col("id"))
     val prefix = tokI
-      .join(sz, "id")
+      .withColumn("n", count(lit(1)).over(wId))
       .withColumn("rn",
-        row_number().over(Window.partitionBy(col("id")).orderBy(col("df"), col("tid"))))
-      .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n")) + lit(1))
+        row_number().over(wId.orderBy(col("df"), col("tid"))))
+      .filter(col("rn") <= col("n") - ceil(lit(tau) * col("n")) + lit(1) &&
+        col("id").isNotNull)
       .select(col("id"), col("tid"))
     // candidate pairs per prefix-token bucket (the TextDedup.minhashLsh
     // shape): ONE aggregation + a bounded pair expansion per bucket —
@@ -204,8 +229,11 @@ object SetSimJoin {
     // token-level join (re-shuffles |cand| * avg_set rows), not
     // array_intersect (builds a per-row hash set + result array; ~10x
     // slower than the merge at candidate volume)
+    // doc-sized sorted-array table, materialized once for BOTH sides of
+    // the verification join (the simhashNearDup fingerprint pattern)
     val docToks = tokI.groupBy(col("id"))
       .agg(sort_array(collect_list(col("tid"))).as("toks"), count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val interCnt = ColumnBridge.column(graft.functions.SortedIntersectCount(
       ColumnBridge.expression(col("ta")), ColumnBridge.expression(col("tb"))))
     cand
