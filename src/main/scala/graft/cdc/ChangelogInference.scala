@@ -325,26 +325,40 @@ object ChangelogInference {
     val refs = refCounts(sinks)
     val releases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     val out = executeImpl(sinks, { (n, fl) =>
-      n match {
-        case _: Join | _: GroupAgg
-            if refs.getOrElse(new Ref(n), 0) >= 2 =>
-          val (df, rel) = graft.operators.Checkpoints.tracked(fl.df)
-          releases += rel
-          Flow(df, fl.seq)
-        case _ => fl
-      }
+      // a flow consumed from two or more places (shared branch subtree,
+      // or either input of a relational changelog join, which probes
+      // each side 2-4 times) materializes once — when re-computing it
+      // costs more than a block write. Stateful nodes (Join/GroupAgg)
+      // always do; for pass-throughs and Sources the break-even is a
+      // property of the wrapped PLAN, not the node type: a changelog
+      // synthesized by an explode/aggregate re-runs that work per scan
+      // (r14 profile: 0.3-0.7 s per rescan at sf0.1, a full parquet
+      // pass each at 100 TB), while a plain leaf scan stays lazy —
+      // a rescan of that really is cheaper than a checkpoint write.
+      val mat = refs.getOrElse(new Ref(n), 0) >= 2 && (n match {
+        case _: Join | _: GroupAgg => true
+        case _ => expensiveToRecompute(fl.df)
+      })
+      if (mat) {
+        val (df, rel) = graft.operators.Checkpoints.tracked(fl.df)
+        releases += rel
+        Flow(df, fl.seq)
+      } else fl
     })
     (out, () => releases.foreach(_.apply()))
   }
 
-  /** The first stateful (Join/GroupAgg) node reachable through
-    * stateless pass-throughs, if any. */
-  private def statefulCore(n: Node): Option[Node] = n match {
-    case Calc(c, _) => statefulCore(c)
-    case EnrichJoin(c, _, _, _) => statefulCore(c)
-    case j: Join => Some(j)
-    case a: GroupAgg => Some(a)
-    case _ => None
+  /** Whether re-computing `df` involves more than leaf scans plus
+    * stateless row ops — the checkpoint-vs-rescan break-even test for
+    * multiply-consumed flows. Generate (changelog explodes), Aggregate,
+    * Window, Join, Sort and Distinct all re-run real work per rescan. */
+  private def expensiveToRecompute(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.{logical => lg}
+    df.queryExecution.analyzed.collectFirst {
+      case _: lg.Generate => (); case _: lg.Aggregate => ()
+      case _: lg.Window => (); case _: lg.Join => ()
+      case _: lg.Sort => (); case _: lg.Distinct => ()
+    }.isDefined
   }
 
   /** Per-path reference counts by node INSTANCE across all branches: a
@@ -360,20 +374,23 @@ object ChangelogInference {
         case Source(_, _, _, _) => ()
         case Calc(c, _) => countRefs(c)
         case EnrichJoin(c, _, _, _) => countRefs(c)
-        case Join(l, rt, _, _, _, _) =>
+        case Join(l, rt, _, _, _, replay) =>
           countRefs(l); countRefs(rt)
-          // a changelog join SCANS each input at least twice (probe +
-          // state passes; up to four for outer pads/transitions), so a
-          // STATEFUL child subtree would replay its expensive
-          // window/join work once per scan — give each input's stateful
-          // core (through Calc/EnrichJoin pass-throughs) an extra
-          // reference so the share hook materializes it once. Plain
-          // Source children stay uncounted: a parquet rescan is cheaper
-          // than a checkpoint write.
-          Seq(l, rt).foreach(ch => statefulCore(ch).foreach { c =>
-            val rc = new Ref(c)
+          // the relational changelog join SCANS each input at least
+          // twice (probe + state passes; up to four for outer
+          // pads/transitions), so give each input an extra reference
+          // and let the share hook materialize it once — a stateful
+          // child would otherwise replay its window/join work per scan,
+          // and even a plain Source child re-runs its changelog
+          // explode/decode per scan (the r14 profile measured 0.3-0.7 s
+          // per rescan at sf0.1; at 100 TB each rescan is a full
+          // parquet pass, vs ONE pass plus a block write when
+          // checkpointed). The REPLAY formulation scans each input
+          // exactly once (a single union) — no bump.
+          if (!replay) Seq(l, rt).foreach { ch =>
+            val rc = new Ref(ch)
             refs(rc) = refs.getOrElse(rc, 0) + 1
-          })
+          }
         case GroupAgg(c, _, _, _) => countRefs(c)
         case s: Sink => countRefs(s.child)
       }

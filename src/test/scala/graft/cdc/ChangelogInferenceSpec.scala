@@ -189,8 +189,9 @@ class ChangelogInferenceSpec extends SparkSpec {
   test("stateful subtrees under a changelog join materialize once") {
     // the changelog join scans each input 2-4 times (probe + state
     // passes); a GroupAgg child would replay its window work per scan.
-    // refCounts gives each input's stateful core an extra reference so
-    // the share hook checkpoints it once — even in a single-sink plan.
+    // refCounts gives each join input an extra reference and the share
+    // hook checkpoints any multiply-consumed flow whose plan is
+    // expensive to recompute — even in a single-sink plan.
     val l = Calc(GroupAgg(Source(srcDf, seqCols = Seq("seq")), Seq("k"), "v"),
       _.withColumnRenamed("cnt", "lc").withColumnRenamed("sum_val", "lv"))
     val rDf = Seq(("a", 1.0, "+I", 1L), ("b", 2.0, "+I", 2L))
@@ -210,8 +211,9 @@ class ChangelogInferenceSpec extends SparkSpec {
       (spark.sparkContext.getPersistentRDDs.keySet & added).nonEmpty)
       Thread.sleep(50)
     assert((spark.sparkContext.getPersistentRDDs.keySet & added).isEmpty)
-    // a join over PLAIN sources must not checkpoint: a parquet/local
-    // rescan is cheaper than a checkpoint write
+    // a join over PLAIN sources (leaf scans, no explode/agg/window in
+    // the wrapped plan) must not checkpoint: a rescan of a leaf really
+    // is cheaper than a checkpoint write
     val b2 = spark.sparkContext.getPersistentRDDs.keySet
     val pl = Source(srcDf.withColumnRenamed("k", "k1"), seqCols = Seq("seq"))
     val pr = Source(rDf.withColumnRenamed("k2", "k3")
