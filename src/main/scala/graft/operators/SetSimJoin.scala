@@ -104,22 +104,16 @@ object SetSimJoin {
       distributedVocab: Option[Boolean] = None): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
     require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
-    // LAZY persist: the deduped token table feeds the document-frequency
-    // aggregation AND the factorization join below — two exchanges whose
-    // canonical forms AQE does not always unify (the r14 profile showed
-    // the scan+tokenize+distinct map stage running once PER consumer).
-    // A lazy MEMORY_AND_DISK persist computes it on the query's own
-    // first action and shares via the plan cache, so construction still
-    // runs no job (EXPLAIN/audit flows stay lazy) while the corpus is
-    // tokenized exactly once per run. At 100 TB this trades one block
-    // write of the (id, token) table against a second full tokenization
-    // pass. (Not localCheckpoint: lazy checkpoints still force AQE
-    // stage execution at planning time, and eager ones run a job at
-    // construction.)
+    // No explicit persist on the shared tables (measured, r14): the
+    // multiply-consumed subtrees below (tok, tokI, docToks) all end in
+    // an exchange, and AQE's runtime stage reuse already computes each
+    // identical exchange once per run — an added MEMORY_AND_DISK
+    // persist only paid the columnar-cache conversion (isolated A/B:
+    // neutral-to-slower, medians 4.75 s vs 4.28 s) while at 100 TB it
+    // would cache a corpus-sized token table for no avoided pass.
     val tok = tok0
       .select(col(idCol).as("id"), col(tokenCol).as("token"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq0 = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
     // Factorization selection. The plan shape depends on the
     // vocabulary size, which only a job can measure — so by DEFAULT
@@ -188,12 +182,7 @@ object SetSimJoin {
           .withColumn("tid", (col("off") + col("rn")).cast("int"))
           .select(col("token"), col("df"), col("tid"))
       }
-    // int-factorized tokens, lazily persisted for the same reason as
-    // `tok`: both the prefix window and the per-doc array aggregation
-    // consume it, and a recompute would re-run the factorization join
-    // (including the vocabulary rank) per consumer.
     val tokI = tok.join(vocab, "token").select(col("id"), col("tid"), col("df"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // set size and prefix rank from ONE pass over the same id-keyed
     // window: count(*) over the partition IS the old `sz` table, so the
     // separate groupBy(id) aggregation and its join are gone — one
@@ -229,11 +218,10 @@ object SetSimJoin {
     // token-level join (re-shuffles |cand| * avg_set rows), not
     // array_intersect (builds a per-row hash set + result array; ~10x
     // slower than the merge at candidate volume)
-    // doc-sized sorted-array table, materialized once for BOTH sides of
-    // the verification join (the simhashNearDup fingerprint pattern)
+    // doc-sized sorted-array table; both verification-join sides read
+    // the same aggregate exchange (AQE stage reuse — see note on `tok`)
     val docToks = tokI.groupBy(col("id"))
       .agg(sort_array(collect_list(col("tid"))).as("toks"), count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val interCnt = ColumnBridge.column(graft.functions.SortedIntersectCount(
       ColumnBridge.expression(col("ta")), ColumnBridge.expression(col("tb"))))
     cand

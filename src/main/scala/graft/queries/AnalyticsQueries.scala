@@ -177,17 +177,22 @@ object AnalyticsQueries {
         .select(col("l_returnflag"), col("n_sample"),
           graft.operators.Sketches.interpolatedQuantile(col("__s"), 0.5).as("p50_est"),
           graft.operators.Sketches.interpolatedQuantile(col("__s"), 0.95).as("p95_est"))
-      li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+      // one certification pass (r14): the broadcast sample join keeps
+      // row multiplicity (exactly one sample row per flag), so
+      // count(*) in the final aggregate IS the old pre-joined n_rows
+      // table — the separate full-table count aggregate and its join
+      // are gone: two scans of the fact table instead of three, one
+      // aggregation instead of two. Values are bit-identical (same
+      // counts, same single double division).
+      li.select(col("l_returnflag"), col("l_extendedprice").as("v"))
         .join(broadcast(sample), "l_returnflag")
-        .join(li.select(col("l_returnflag"), col("l_extendedprice").as("v")),
-          "l_returnflag")
         .groupBy(col("l_returnflag"))
-        .agg(max(col("n_rows")).as("n_rows"), max(col("n_sample")).as("n_sample"),
+        .agg(count(lit(1)).as("n_rows"), max(col("n_sample")).as("n_sample"),
           max(col("p50_est")).as("p50_est"), max(col("p95_est")).as("p95_est"),
           (count(when(col("v") < col("p50_est"), 1)).cast("double") /
-            max(col("n_rows")).cast("double")).as("frac_below_p50"),
+            count(lit(1)).cast("double")).as("frac_below_p50"),
           (count(when(col("v") < col("p95_est"), 1)).cast("double") /
-            max(col("n_rows")).cast("double")).as("frac_below_p95"))
+            count(lit(1)).cast("double")).as("frac_below_p95"))
         .orderBy(col("l_returnflag"))
     }, Some("""
       WITH s AS (
