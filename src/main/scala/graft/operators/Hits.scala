@@ -45,21 +45,26 @@ object Hits {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var hub = e.select(col("hub_id")).distinct().withColumn("hub", lit(1.0))
     var auth: DataFrame = null
-    // the normalization denominator: a driver-side scalar off the
-    // already-materialized sum checkpoint (one node-sized agg job). The
-    // previous broadcast formulation (crossJoin(broadcast(asum.agg(max))))
-    // collected the same single row to the driver anyway, then paid a
-    // BroadcastExchange build plus a nested-loop-join node in every
-    // downstream plan — per half-iteration. The division is the same
-    // IEEE op against the same max, so scores are bit-identical.
-    def maxOf(sums: DataFrame): Double = {
-      val r = sums.agg(max(col("s"))).head()
-      if (r.isNullAt(0)) Double.NaN else r.getDouble(0) // empty side: no rows flow
+    // checkpoint + normalization denominator in ONE action per
+    // half-iteration (the Checkpoints.trackedCounted pattern): the
+    // lazy checkpoint's materializing action is the max aggregate
+    // itself, and the max rides to the driver as that job's result —
+    // a driver-side scalar, exactly the single row the previous
+    // crossJoin(broadcast(asum.agg(max))) formulation collected anyway,
+    // minus the BroadcastExchange build and the nested-loop-join node
+    // per half-iteration. The division is the same IEEE op against the
+    // same max, so scores are bit-identical.
+    def checkpointWithMax(df: DataFrame): (DataFrame, Double, () => Unit) = {
+      val out = df.localCheckpoint(false)
+      val rdd = org.apache.spark.sql.graftbridge.ColumnBridge.backingRdd(out)
+      val r = out.agg(max(col("s"))).head() // materializes the checkpoint
+      val mx = if (r.isNullAt(0)) Double.NaN else r.getDouble(0) // empty side
+      (out, mx, () => rdd.foreach(_.unpersist(blocking = false)))
     }
-    // deterministic block release (Checkpoints.tracked): hsum_{t-1}
-    // frees once asum_t materializes (hub_t is a lazy view over it);
-    // asum_t frees once hsum_t materializes — EXCEPT the final
-    // iteration's, whose lazy auth/hub projections feed the output
+    // deterministic block release: hsum_{t-1} frees once asum_t
+    // materializes (hub_t is a lazy view over it); asum_t frees once
+    // hsum_t materializes — EXCEPT the final iteration's, whose lazy
+    // auth/hub projections feed the output
     var releaseHsum: () => Unit = () => ()
     for (i <- 1 to iterations) {
       // checkpoint the SUM table, not the normalized scores: `asum`
@@ -67,19 +72,19 @@ object Hits {
       // unmaterialized asum would run the edge join + groupBy twice
       // per half-iteration. The normalization itself is a node-sized
       // scan with a literal divisor — cheap to leave lazy.
-      val (asum, releaseAsum) = Checkpoints.tracked(
+      val (asum, amax, releaseAsum) = checkpointWithMax(
         e.join(hub, Seq("hub_id"))
           .groupBy(col("auth_id")).agg(sum(col("hub")).as("s")))
       releaseHsum()
       auth = asum.select(col("auth_id"),
-        (floor(col("s") / lit(maxOf(asum)) * Q) / lit(Q.toDouble)).as("auth"))
-      val (hsum, rh) = Checkpoints.tracked(
+        (floor(col("s") / lit(amax) * Q) / lit(Q.toDouble)).as("auth"))
+      val (hsum, hmax, rh) = checkpointWithMax(
         e.join(auth, Seq("auth_id"))
           .groupBy(col("hub_id")).agg(sum(col("auth")).as("s")))
       if (i < iterations) releaseAsum()
       releaseHsum = rh
       hub = hsum.select(col("hub_id"),
-        (floor(col("s") / lit(maxOf(hsum)) * Q) / lit(Q.toDouble)).as("hub"))
+        (floor(col("s") / lit(hmax) * Q) / lit(Q.toDouble)).as("hub"))
     }
     val out = auth.select(lit("auth").as("kind"), col("auth_id").as("id"),
         col("auth").as("score"))

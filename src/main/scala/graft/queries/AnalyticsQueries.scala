@@ -30,7 +30,7 @@ object AnalyticsQueries {
     // + one exact groupBy for the comparison column (the sketch path is
     // the one that scales; exact is the demo's ground truth).
     QueryDef("q_countmin_topk", (s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = fanOut(t(s, dir, "lineitem")) // CPU-dense sketch per row (§2.5 guard)
       val sk = li.agg(
         CountMin.sketch(col("l_partkey"), CmsDepth, CmsWidth).as("sk"))
       val top = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("exact"))
@@ -164,7 +164,7 @@ object AnalyticsQueries {
     // oracle hash-matches estimates AND fractions bit-for-bit.
     QueryDef("q_quantile_sample", (s, dir) => {
       val k = 256
-      val li = t(s, dir, "lineitem")
+      val li = fanOut(t(s, dir, "lineitem")) // hash-rank per row (§2.5 guard)
       val keyed = li.select(col("l_returnflag"), col("l_extendedprice").as("v"),
         concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("rk"))
       val sample = keyed

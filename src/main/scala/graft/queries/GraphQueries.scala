@@ -118,7 +118,7 @@ object GraphQueries {
       import graft.operators.{Sketches, TextDedup}
       import org.apache.spark.sql.Encoders
       val k = 256
-      val docs = t(s, dir, "documents")
+      val docs = fanOut(t(s, dir, "documents")) // shingle explode (§2.5 guard)
       // materialize the deduped (group, hash) table once for its two
       // consumers (synopses; exact counts+intersection) — without it
       // the explode+distinct shuffle re-runs per consumer, which the

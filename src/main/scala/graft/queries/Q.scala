@@ -54,4 +54,24 @@ object Q {
     Tables.registerAll(s, dir)
     s.sql(q)
   }
+
+  /** Input-skew guard (optimization guide §2.5 "one huge unsplittable
+    * file"): when a CPU-dense-per-byte computation (shingling, hashing,
+    * per-row decode) reads an input whose SCAN parallelism is below the
+    * cluster's core count — the one-small-file shape of the bench
+    * tables, where `files.openCostInBytes` floors the split size — one
+    * round-robin redistribution lets the expensive projection run on
+    * every core instead of 1-3 scan tasks. A NO-OP whenever the scan is
+    * already parallel (any real multi-file table at scale), so
+    * production plans are unchanged. Row content is untouched and the
+    * assignment is deterministic (Spark sorts before round-robin
+    * repartition, SPARK-23207). Call on scan-stage frames only: the
+    * partition probe plans the frame, and a frame with exchanges below
+    * would materialize AQE stages at construction. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val p = df.rdd.getNumPartitions
+    if (p > 0 && p < sc.defaultParallelism) df.repartition(sc.defaultParallelism)
+    else df
+  }
 }
