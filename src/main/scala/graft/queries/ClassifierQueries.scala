@@ -92,7 +92,7 @@ object ClassifierQueries {
     // row with the exact integer margin. rows = documents; columns:
     // doc_id, score_fx (fixed-point margin at 2^20), pred, y.
     QueryDef("q_quality_classifier_train", (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = fanOut(t(s, dir, "documents")) // gram moments per row (§2.5 guard)
         .withColumn("words", split(col("text"), " "))
         .withColumn("y", when(array_contains(col("words"), "spark") &&
           !array_contains(col("words"), "slow"), 1L).otherwise(-1L))

@@ -666,7 +666,7 @@ object SamplingPackQueries {
       val d = Multimodal.decodeImage(unhex(bmpHex))
       val up = Multimodal.resizeDecoded(d, 4, 4)
       val down = Multimodal.resizeDecoded(d, 1, 1)
-      t(s, dir, "documents")
+      fanOut(t(s, dir, "documents")) // per-row decode+resize (§2.5 guard)
         .select(col("doc_id"), up.as("u"), down.as("d1"))
         .select(col("doc_id"),
           col("u.width").as("width"), col("u.height").as("height"),

@@ -93,7 +93,7 @@ object TextDedupQueries {
     // 2..maxBucket size gate, the per-bucket self-join, and the exact
     // jaccard verify.
     QueryDef("q_minhash_lsh", (s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = fanOut(t(s, dir, "documents")) // minhash sigs per row (§2.5 guard)
       val cands = TextDedup.lshCandidates(docs, "doc_id", "text",
         n = 3, numHashes = 32, bands = 16)
       // verify candidates with exact jaccard
