@@ -12,8 +12,21 @@ class PlanSpec extends SparkSpec {
     Registry.byName(name).run(spark, sfDir)
       .queryExecution.executedPlan.toString
 
+  test("q_image_resize: one scan, no KEY shuffle (round-robin fan-out allowed)") {
+    // r14: the query carries Q.fanOut — a round-robin redistribution
+    // that fires only when scan parallelism is below the core count
+    // (the bench's single-small-file shape) and is a no-op on any real
+    // multi-file table. The scale contract stays: payload rows are
+    // never KEY-shuffled (no hashpartitioning/rangepartitioning), the
+    // decode remains a pure projection, and the corpus is scanned once.
+    val p = plan("q_image_resize")
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      s"decode payloads must never key-shuffle:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1, "one documents scan")
+  }
+
   test("decode/meta queries are single-scan zero-shuffle projections") {
-    Seq("q_image_decode", "q_image_resize", "q_audio_decode",
+    Seq("q_image_decode", "q_audio_decode",
       "q_video_meta", "q_image_meta", "q_media_quality",
       // round-11 decode family: JPEG, PNG-advanced, EXIF, wide PCM,
       // GIF/MJPEG frame sampling, audio/image metadata, TIFF
